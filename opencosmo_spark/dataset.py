@@ -1,0 +1,606 @@
+"""The core Dataset abstraction: an immutable, lazy, unit-aware view
+over a Spark DataFrame.
+
+Parity target: reference ``python/opencosmo/dataset/dataset.py:52``
+(Dataset) + ``dataset/state.py:71`` (DatasetState). The reference's
+producer DAG / row-index algebra / column cache all collapse into the
+Catalyst logical plan; this wrapper only keeps what Spark doesn't model:
+unit-convention state, header metadata, hidden columns, the declared
+sort key, and the active spatial region.
+
+Every transform returns a NEW Dataset (reference dataset.py:571-572).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import inspect
+from typing import Any, Callable, Iterable, Iterator, Mapping
+
+from pyspark.sql import Column as SparkColumn
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .column.expr import (
+    Binder,
+    ColumnExpr,
+    ColRef,
+    Mask,
+    ScalarReduction,
+    col,
+    wrap,
+)
+from .header import OpenCosmoHeader
+from .units import (
+    KNOWN_REDSHIFT_COLUMNS,
+    KNOWN_SCALEFACTOR_COLUMNS,
+    Unit,
+    UnitConvention,
+    parse_unit,
+)
+
+HIDDEN_PREFIX = "__"
+ROW_ID = "__row_id"
+
+
+class _DSBinder(Binder):
+    def __init__(self, units: Mapping[str, Unit], columns: set[str]):
+        self._units = units
+        self._columns = columns
+        self.scalar_cols: dict[tuple, str] = {}
+
+    def resolve(self, name: str):
+        if name not in self._columns:
+            raise KeyError(f"unknown column {name!r}")
+        return F.col(name), self._units.get(name, Unit())
+
+    def scalar(self, node: ScalarReduction):
+        name = self.scalar_cols.get(node.key())
+        if name is None:
+            raise RuntimeError("scalar reduction not pre-resolved")
+        return F.col(name)
+
+
+class Dataset:
+    """Immutable lazy dataset = DataFrame + (header, units, sort, region).
+
+    User-facing verbs mirror the reference API:
+    ``filter select drop with_new_columns sort_by take take_range
+    take_rows bound with_units evaluate get_data rows``.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        header: OpenCosmoHeader | None = None,
+        units: Mapping[str, Unit] | None = None,
+        descriptions: Mapping[str, str] | None = None,
+        sort_keys: tuple[tuple[str, bool], ...] = (),
+        region=None,
+        convention: str | None = None,
+    ):
+        self._df = df
+        self._header = header or OpenCosmoHeader()
+        self._units = dict(units or {})
+        self._descriptions = dict(descriptions or {})
+        self._sort_keys = tuple(sort_keys)
+        self._region = region
+        self._convention = convention or self._header.unit_convention
+        self._count_cache: list[int | None] = [None]
+
+    # ------------------------------------------------------------------
+    # plumbing
+    # ------------------------------------------------------------------
+    def _clone(self, df=None, **kw) -> "Dataset":
+        return Dataset(
+            df if df is not None else self._df,
+            header=kw.get("header", self._header),
+            units=kw.get("units", self._units),
+            descriptions=kw.get("descriptions", self._descriptions),
+            sort_keys=kw.get("sort_keys", self._sort_keys),
+            region=kw.get("region", self._region),
+            convention=kw.get("convention", self._convention),
+        )
+
+    @property
+    def df(self) -> DataFrame:
+        """Escape hatch: the underlying Spark DataFrame (visible cols)."""
+        return self._df.select(*self.columns)
+
+    @property
+    def spark_df(self) -> DataFrame:
+        """Underlying DataFrame including hidden metadata columns."""
+        return self._df
+
+    @property
+    def header(self) -> OpenCosmoHeader:
+        return self._header
+
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self._df.columns if not c.startswith(HIDDEN_PREFIX)]
+
+    @property
+    def units(self) -> dict[str, Unit]:
+        return {c: self._units.get(c, Unit()) for c in self.columns}
+
+    @property
+    def descriptions(self) -> dict[str, str]:
+        return {c: self._descriptions.get(c, "") for c in self.columns}
+
+    @property
+    def cosmology(self):
+        return self._header.cosmology
+
+    @property
+    def redshift(self):
+        return self._header.redshift
+
+    @property
+    def region(self):
+        return self._region
+
+    @property
+    def sorted_by(self):
+        return self._sort_keys
+
+    @property
+    def convention(self) -> str:
+        return self._convention
+
+    def __len__(self) -> int:
+        if self._count_cache[0] is None:
+            self._count_cache[0] = self._df.count()
+        return self._count_cache[0]
+
+    def __repr__(self) -> str:
+        n_cols = len(self.columns)
+        head = self.df.limit(10).toPandas()
+        return (
+            f"OpenCosmo Dataset (convention={self._convention}, "
+            f"{n_cols} columns)\nFirst 10 rows:\n{head}"
+        )
+
+    # ------------------------------------------------------------------
+    # expression binding (scalar reductions -> broadcast crossJoin)
+    # ------------------------------------------------------------------
+    def _bind(
+        self, exprs: Iterable[ColumnExpr]
+    ) -> tuple[DataFrame, _DSBinder, list[str]]:
+        """Lower expressions: pre-resolve ScalarReductions into hidden
+        scalar columns attached via crossJoin(broadcast(agg)).
+
+        Multi-round to support nesting like ``(x - x.mean()).std()``:
+        each round aggregates all reductions whose children are already
+        resolvable, then broadcasts the 1-row result onto every row.
+        """
+        binder = _DSBinder(self._units, set(self._df.columns))
+        df = self._df
+        pending: dict[tuple, ScalarReduction] = {}
+        for e in exprs:
+            for r in e.reductions():
+                pending.setdefault(r.key(), r)
+        round_no = 0
+        while pending:
+            ready = {
+                k: r
+                for k, r in pending.items()
+                if all(
+                    c.key() in binder.scalar_cols
+                    for c in r.child.reductions()
+                )
+            }
+            if not ready:
+                raise RuntimeError("unresolvable scalar-reduction cycle")
+            aggs = []
+            for i, (k, r) in enumerate(sorted(ready.items())):
+                name = f"__sc_{round_no}_{i}"
+                binder.scalar_cols[k] = name
+                aggs.append(r.agg_column(binder).alias(name))
+                del pending[k]
+            scalars = df.agg(*aggs)
+            df = df.crossJoin(F.broadcast(scalars))
+            round_no += 1
+        binder._columns = set(df.columns)
+        return df, binder, list(binder.scalar_cols.values())
+
+    def _lower_one(self, e: ColumnExpr) -> tuple[DataFrame, SparkColumn, Unit, list[str]]:
+        df, binder, extra = self._bind([e])
+        return df, e.lower(binder), e.unit(binder), extra
+
+    # ------------------------------------------------------------------
+    # filter
+    # ------------------------------------------------------------------
+    def filter(self, *masks: Mask, **_ignored) -> "Dataset":
+        """AND of boolean masks. Fully lazy (reference evaluates masks
+        eagerly — dataset.py:530-572; Catalyst defers and pushes down)."""
+        if not masks:
+            return self
+        for m in masks:
+            if not isinstance(m, Mask):
+                raise TypeError("filter() requires boolean mask expressions")
+        df, binder, extra = self._bind(masks)
+        pred = None
+        for m in masks:
+            c = m.lower(binder)
+            pred = c if pred is None else (pred & c)
+        out = df.filter(pred)
+        if extra:
+            out = out.drop(*extra)
+        return self._clone(out)
+
+    # ------------------------------------------------------------------
+    # select / drop
+    # ------------------------------------------------------------------
+    def _expand_wildcards(self, names: Iterable[str]) -> list[str]:
+        cols = self.columns
+        out: list[str] = []
+        for n in names:
+            if any(ch in n for ch in "*?["):
+                matched = fnmatch.filter(cols, n)
+                if not matched:
+                    raise KeyError(f"wildcard {n!r} matched no columns")
+                out.extend(m for m in matched if m not in out)
+            else:
+                if n not in self._df.columns:
+                    raise KeyError(f"unknown column {n!r}")
+                if n not in out:
+                    out.append(n)
+        return out
+
+    def select(self, *columns: str | Iterable[str], **derived: ColumnExpr):
+        """Column subset with ``*`` wildcards; ``**derived`` adds new
+        derived columns in the same call (reference dataset.py:614-708).
+
+        A select of only scalar reductions returns a dict of scalars.
+        """
+        names: list[str] = []
+        for c in columns:
+            if isinstance(c, str):
+                names.append(c)
+            else:
+                names.extend(c)
+        # scalar-only select -> eager scalars (reference behavior)
+        if not names and derived and all(
+            isinstance(e, ScalarReduction) for e in derived.values()
+        ):
+            df, binder, _ = self._bind(list(derived.values()))
+            row = df.limit(1).select(
+                *[e.lower(binder).alias(k) for k, e in derived.items()]
+            ).collect()
+            return {k: row[0][k] for k in derived} if row else {}
+
+        keep = self._expand_wildcards(names)
+        df = self._df
+        units = dict(self._units)
+        descriptions = dict(self._descriptions)
+        proj = [F.col(c) for c in keep]
+        if derived:
+            df, binder, extra = self._bind(list(derived.values()))
+            for k, e in derived.items():
+                ex = wrap(e)
+                proj.append(ex.lower(binder).alias(k))
+                units[k] = ex.unit(binder)
+                keep.append(k)
+        hidden = [c for c in df.columns if c.startswith(HIDDEN_PREFIX) and not c.startswith("__sc_")]
+        out = df.select(*proj, *[F.col(h) for h in hidden])
+        units = {c: units[c] for c in units if c in out.columns}
+        return self._clone(out, units=units, descriptions=descriptions)
+
+    def drop(self, *columns: str) -> "Dataset":
+        gone = self._expand_wildcards(columns)
+        keep = [c for c in self.columns if c not in gone]
+        return self.select(*keep)
+
+    # ------------------------------------------------------------------
+    # derived columns
+    # ------------------------------------------------------------------
+    def with_new_columns(
+        self,
+        descriptions: Mapping[str, str] | None = None,
+        allow_overwrite: bool = False,
+        **new_cols: ColumnExpr | float | int,
+    ) -> "Dataset":
+        """Add derived (lazy, unit-aware) columns
+        (reference dataset.py:914-992)."""
+        clash = set(new_cols) & set(self.columns)
+        if clash and not allow_overwrite:
+            raise ValueError(
+                f"columns already exist: {sorted(clash)} "
+                "(pass allow_overwrite=True)"
+            )
+        exprs = {k: wrap(v) for k, v in new_cols.items()}
+        df, binder, extra = self._bind(list(exprs.values()))
+        units = dict(self._units)
+        descs = dict(self._descriptions)
+        assignments = {}
+        for k, e in exprs.items():
+            assignments[k] = e.lower(binder)
+            units[k] = e.unit(binder)
+            if descriptions and k in descriptions:
+                descs[k] = descriptions[k]
+        out = df.withColumns(assignments)
+        if extra:
+            out = out.drop(*extra)
+        return self._clone(out, units=units, descriptions=descs)
+
+    # ------------------------------------------------------------------
+    # sort / take
+    # ------------------------------------------------------------------
+    def sort_by(self, column: str | ColumnExpr, invert: bool = False) -> "Dataset":
+        """Declare the sort key; applied lazily at take/materialize
+        (reference dataset.py:747-785)."""
+        if isinstance(column, str):
+            if column not in self._df.columns:
+                raise KeyError(f"unknown column {column!r}")
+            return self._clone(sort_keys=((column, not invert),))
+        # derived sort key: materialize it as a hidden column
+        e = wrap(column)
+        df, binder, extra = self._bind([e])
+        out = df.withColumn("__sortkey", e.lower(binder))
+        if extra:
+            out = out.drop(*extra)
+        return self._clone(out, sort_keys=(("__sortkey", not invert),))
+
+    def _order_cols(self, reverse: bool = False) -> list[SparkColumn]:
+        keys = self._sort_keys
+        if not keys and ROW_ID in self._df.columns:
+            keys = ((ROW_ID, True),)
+        out = []
+        for name, asc in keys:
+            asc = asc ^ reverse
+            out.append(F.col(name).asc() if asc else F.col(name).desc())
+        return out
+
+    def take(self, n: int, at: str = "start", seed: int | None = None) -> "Dataset":
+        """Head / tail / uniform random sample of n rows
+        (reference dataset.py:787-836)."""
+        if at == "random":
+            # exact-n global uniform sample: rank by rand(seed).
+            # TakeOrderedAndProject keeps this a per-partition top-n +
+            # driver merge — no global shuffle.
+            r = F.rand(seed) if seed is not None else F.rand()
+            out = self._df.orderBy(r).limit(n)
+        elif at == "start":
+            order = self._order_cols()
+            out = self._df.orderBy(*order).limit(n) if order else self._df.limit(n)
+        elif at == "end":
+            order = self._order_cols(reverse=True)
+            if order:
+                out = self._df.orderBy(*order).limit(n)
+            else:
+                out = self._df.sparkSession.createDataFrame(
+                    self._df.tail(n), self._df.schema
+                )
+        else:
+            raise ValueError(f"take at={at!r} (want start|end|random)")
+        return self._clone(out)
+
+    def take_range(self, start: int, end: int) -> "Dataset":
+        """Rows [start, end) in the current order
+        (reference dataset.py:838-883). Plans as TakeOrderedAndProject
+        (limit end) then a row_number over only those ``end`` rows."""
+        if start < 0 or end < start:
+            raise ValueError("bad range")
+        order = self._order_cols()
+        df = self._df
+        if order:
+            head = df.orderBy(*order).limit(end)
+        else:
+            head = df.limit(end)
+        if start == 0:
+            return self._clone(head)
+        from pyspark.sql import Window
+
+        order = order or [F.lit(1)]
+        w = Window.orderBy(*order)
+        ranked = head.withColumn("__rn", F.row_number().over(w))
+        out = ranked.filter(F.col("__rn") > start).drop("__rn")
+        return self._clone(out)
+
+    def take_rows(self, rows: Iterable[int]) -> "Dataset":
+        """Select explicit row positions in the current order
+        (reference dataset.py:885-912). Positions are joined against a
+        row_number — a broadcast semi-join on the positions list."""
+        positions = sorted(set(int(r) for r in rows))
+        if not positions:
+            return self._clone(self._df.limit(0))
+        from pyspark.sql import Window
+
+        order = self._order_cols() or [F.lit(1)]
+        hi = positions[-1] + 1
+        head = self._df.orderBy(*[c for c in order]).limit(hi)
+        w = Window.orderBy(*order)
+        ranked = head.withColumn("__rn", F.row_number().over(w) - 1)
+        spark = self._df.sparkSession
+        pos_df = spark.createDataFrame([(p,) for p in positions], "__rn long")
+        out = ranked.join(F.broadcast(pos_df), "__rn", "left_semi").drop("__rn")
+        return self._clone(out)
+
+    # ------------------------------------------------------------------
+    # spatial
+    # ------------------------------------------------------------------
+    def bound(self, region, select_by: str | None = None) -> "Dataset":
+        """Restrict to a spatial region using the two-phase
+        interior/boundary-cell predicate (reference dataset.py:340-431).
+        Delegates to the spatial compiler."""
+        from .spatial.bound import bound_dataset
+
+        return bound_dataset(self, region, select_by)
+
+    def cone_search(self, ra, dec, radius) -> "Dataset":
+        from .spatial.region import make_cone
+
+        return self.bound(make_cone((ra, dec), radius))
+
+    def box_search(self, p1, p2) -> "Dataset":
+        from .spatial.region import make_box
+
+        return self.bound(make_box(p1, p2))
+
+    # ------------------------------------------------------------------
+    # units
+    # ------------------------------------------------------------------
+    def with_units(
+        self,
+        convention: str | None = None,
+        conversions: Mapping[str, str | Unit] | None = None,
+        **column_conversions: str | Unit,
+    ) -> "Dataset":
+        """Switch unit convention and/or convert individual columns.
+
+        Convention math (reference units/converters.py:23-210):
+        scalefree -> comoving multiplies by h**p (p = littleh exponent);
+        -> physical additionally multiplies by a**d (d = length power),
+        with per-row scale factor from a known column when present.
+        Implemented as a pure projection rewrite — Catalyst folds the
+        constants; no custom execution.
+        """
+        df = self._df
+        units = dict(self._units)
+        conv = self._convention
+        target = convention or conv
+        if target not in UnitConvention.ALL:
+            raise ValueError(f"unknown convention {target!r}")
+        assignments: dict[str, SparkColumn] = {}
+
+        if target != conv and conv != UnitConvention.UNITLESS:
+            if target == UnitConvention.UNITLESS:
+                units = {c: Unit() for c in units}
+            else:
+                h = self._header.h
+                a_col = self._scale_factor_column()
+                for c in self.columns:
+                    u = units.get(c, Unit())
+                    expr_c = F.col(c)
+                    cur_h = u.h_power if conv == UnitConvention.SCALEFREE else 0
+                    tgt_has_h = target == UnitConvention.SCALEFREE
+                    base_u = u
+                    changed = False
+                    # step 1: littleh removal / addition
+                    if cur_h != 0 and not tgt_has_h:
+                        expr_c = expr_c * F.lit(float(h) ** float(cur_h))
+                        base_u = u.without_h()
+                        changed = True
+                    if conv in (UnitConvention.COMOVING,) and tgt_has_h:
+                        raise ValueError(
+                            "comoving -> scalefree is not invertible "
+                            "(reference raises too)"
+                        )
+                    # step 2: comoving <-> physical scale factor
+                    d = float(base_u.length_power)
+                    src_physical = conv == UnitConvention.PHYSICAL
+                    dst_physical = target == UnitConvention.PHYSICAL
+                    if d != 0 and src_physical != dst_physical:
+                        if a_col is not None:
+                            factor = F.pow(a_col, F.lit(d if dst_physical else -d))
+                        else:
+                            a = self._header.scale_factor
+                            factor = F.lit(float(a) ** (d if dst_physical else -d))
+                        expr_c = expr_c * factor
+                        changed = True
+                    if changed:
+                        assignments[c] = expr_c
+                    units[c] = base_u
+        # per-column conversions
+        all_conv = dict(conversions or {})
+        all_conv.update(column_conversions)
+        for c, new_unit in all_conv.items():
+            nu = new_unit if isinstance(new_unit, Unit) else parse_unit(new_unit)
+            u = units.get(c, Unit())
+            factor = u.conversion_factor(nu)
+            base = assignments.get(c, F.col(c))
+            assignments[c] = base * F.lit(factor)
+            units[c] = nu
+        out = df.withColumns(assignments) if assignments else df
+        return self._clone(out, units=units, convention=target)
+
+    def _scale_factor_column(self) -> SparkColumn | None:
+        cols = set(self._df.columns)
+        for c in KNOWN_SCALEFACTOR_COLUMNS:
+            if c in cols:
+                return F.col(c)
+        for c in KNOWN_REDSHIFT_COLUMNS:
+            if c in cols:
+                return F.lit(1.0) / (F.lit(1.0) + F.col(c))
+        return None
+
+    # ------------------------------------------------------------------
+    # UDF surface
+    # ------------------------------------------------------------------
+    def evaluate(
+        self,
+        func: Callable,
+        vectorize: bool = False,
+        insert: bool = True,
+        format: str = "numpy",
+        **kwargs: Any,
+    ):
+        """Apply a Python function over the dataset
+        (reference dataset.py:433-528).
+
+        Column pruning by signature: only parameters of ``func`` that
+        match column names are read (reference dataset.py:458-459).
+        Vectorized path = Arrow-batched ``mapInPandas``; row path
+        iterates inside the same Arrow batches (never per-row pickling).
+        ``insert=False`` collects and returns raw results.
+        """
+        from .evaluate import evaluate_dataset
+
+        return evaluate_dataset(
+            self, func, vectorize=vectorize, insert=insert, format=format, **kwargs
+        )
+
+    # ------------------------------------------------------------------
+    # materialization
+    # ------------------------------------------------------------------
+    def _materialize_df(self) -> DataFrame:
+        order = self._order_cols()
+        df = self._df
+        if self._sort_keys:
+            df = df.orderBy(*order)
+        return df.select(*[c for c in self.columns])
+
+    def get_data(self, format: str = "pandas"):
+        """Materialize (reference dataset.py:265-338). Formats:
+        pandas | numpy | arrow | polars | spark | list."""
+        df = self._materialize_df()
+        if format == "spark":
+            return df
+        if format == "pandas":
+            return df.toPandas()
+        if format == "arrow":
+            return df.toArrow()
+        if format == "numpy":
+            pdf = df.toPandas()
+            return {c: pdf[c].to_numpy() for c in pdf.columns}
+        if format == "polars":
+            try:
+                import polars as pl  # noqa: PLC0415
+            except ImportError as exc:
+                raise ImportError("polars not installed in this image") from exc
+            return pl.from_arrow(df.toArrow())
+        if format == "list":
+            return [r.asDict() for r in df.collect()]
+        raise ValueError(f"unknown format {format!r}")
+
+    def rows(self, batch_size: int = 1000) -> Iterator[dict]:
+        """Stream rows as dicts (reference dataset.py:574-612)."""
+        for row in self._materialize_df().toLocalIterator():
+            yield row.asDict()
+
+    def get_metadata(self, columns: Iterable[str]) -> dict:
+        """Read hidden metadata columns (reference dataset.py:259-263)."""
+        pdf = self._df.select(*columns).toPandas()
+        return {c: pdf[c].to_numpy() for c in pdf.columns}
+
+    def cache(self) -> "Dataset":
+        self._df.cache()
+        return self
+
+    def unpersist(self) -> "Dataset":
+        self._df.unpersist()
+        return self
+
+
+__all__ = ["Dataset", "col", "ROW_ID", "HIDDEN_PREFIX"]
