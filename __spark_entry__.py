@@ -1,38 +1,860 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` — one entry per implemented operator from SURVEY.md §2,
+each a callable (spark, sf_dir) -> DataFrame exercising the
+opencosmo_spark engine (or raw DataFrame ops for generic relational
+operators). ``oracle_sql()`` — the DuckDB-equivalent SQL.
+
+Determinism policy (so Spark and DuckDB hash-match bit-for-bit):
+* monetary aggregates go through exact integer arithmetic
+  (``round(x*100) -> BIGINT`` cents) — double summation order differs
+  between engines, integers don't;
+* arbitrary doubles are rounded to 6 decimals (identical input bits +
+  identical rounding -> identical outputs) BEFORE aggregation;
+* transcendental outputs (log10, asin, cosine similarity) are rounded
+  to 6 decimals;
+* every top-k has a full tiebreak ordering;
+* deterministic "random" sampling uses md5 prefixes, identical in both
+  engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(c, scale=100):
+    """Exact integer money: round(x*scale) as BIGINT."""
+    return F.round(c * F.lit(scale), 0).cast("long")
+
+
+# =====================================================================
+# flagship
+# =====================================================================
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """TPC-H Q1-shaped pricing summary via exact integer aggregation."""
+    return q15_tpch_q1(spark, SF_SMOKE)
 
 
+# =====================================================================
+# §2.1/2.2 scan, projection, filters, takes
+# =====================================================================
+def q01_scan_filter_project(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") < "1996-01-01") & (F.col("l_quantity") > 25))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+def q02_select_wildcard(spark, sf):
+    from opencosmo_spark import Dataset
+
+    ds = Dataset(_t(spark, sf, "lineitem"))
+    return ds.select("l_*key", "l_linenumber").df
+
+
+def q03_drop(spark, sf):
+    from opencosmo_spark import Dataset
+
+    ds = Dataset(_t(spark, sf, "part"))
+    return ds.drop("p_name", "p_retailprice").df
+
+
+def q04_filter_compound(spark, sf):
+    from opencosmo_spark import Dataset, col
+
+    ds = Dataset(_t(spark, sf, "lineitem"))
+    mask = ((col("l_quantity") >= 30) & (col("l_discount") < 0.05)) | (
+        col("l_returnflag") == "R"
+    )
+    return ds.filter(mask).select("l_orderkey", "l_linenumber", "l_quantity").df
+
+
+def q05_filter_isin(spark, sf):
+    from opencosmo_spark import Dataset, col
+
+    ds = Dataset(_t(spark, sf, "nation"))
+    return ds.filter(col("n_name").isin(["NATION_3", "NATION_7", "NATION_12"])).df
+
+
+def q06_filter_scalar_mean(spark, sf):
+    # "rows above the mean" — the DerivedScalarValue-in-filter pattern,
+    # lowered exactly: price_cents * N > sum_cents (integer compare).
+    li = _t(spark, sf, "lineitem").withColumn("__pc", _cents(F.col("l_extendedprice")))
+    agg = li.agg(
+        F.sum("__pc").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        li.crossJoin(F.broadcast(agg))
+        .filter(F.col("__pc") * F.col("__n") > F.col("__s"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+def q07_sample_hash(spark, sf):
+    # deterministic pseudo-random sample via md5 prefix (reference
+    # take(at="random") gets real rand(); this is the oracle-checkable
+    # twin — see also tests for the rand() path)
+    li = _t(spark, sf, "lineitem")
+    key = F.md5(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    )
+    return li.filter(F.substring(key, 1, 2) <= "14").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def q08_sort_topk(spark, sf):
+    from opencosmo_spark import Dataset
+
+    ds = Dataset(_t(spark, sf, "lineitem"))
+    top = ds.sort_by("l_extendedprice", "l_orderkey", "l_linenumber", invert=True).take(
+        100, at="start"
+    )
+    return top.select("l_orderkey", "l_linenumber", "l_extendedprice").df
+
+
+def q09_take_range(spark, sf):
+    from opencosmo_spark import Dataset
+
+    ds = Dataset(_t(spark, sf, "lineitem"))
+    rng = ds.sort_by("l_extendedprice", "l_orderkey", "l_linenumber", invert=True)
+    return rng.take_range(100, 300).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).df
+
+
+# =====================================================================
+# §2.3 derived columns and scalar functions
+# =====================================================================
+def q10_derived_arith(spark, sf):
+    from opencosmo_spark import Dataset, col
+
+    ds = Dataset(_t(spark, sf, "lineitem"))
+    ds = ds.with_new_columns(
+        rev=col("l_extendedprice") * (1 - col("l_discount")) * (1 + col("l_tax"))
+    )
+    return ds.select("l_orderkey", "l_linenumber", "rev").df
+
+
+def q11_derived_math(spark, sf):
+    from opencosmo_spark import Dataset, col
+
+    ds = Dataset(_t(spark, sf, "orders"))
+    ds = ds.select(
+        "o_orderkey",
+        lg=col("o_totalprice").log10(),
+        sq=col("o_totalprice").sqrt(),
+        ang=(col("o_totalprice") / 1000000.0).arcsin(),
+    )
+    df = ds.df
+    return df.select(
+        "o_orderkey",
+        F.round("lg", 6).alias("lg"),
+        F.round("sq", 6).alias("sq"),
+        F.round("ang", 6).alias("ang"),
+    )
+
+
+def q12_norm_mag(spark, sf):
+    from opencosmo_spark import Dataset, add_mag_cols, norm_cols
+
+    ds = Dataset(_t(spark, sf, "lineitem"))
+    ds = ds.select(
+        "l_orderkey",
+        "l_linenumber",
+        norm=norm_cols("l_quantity", "l_discount", "l_tax"),
+        mag=add_mag_cols("l_discount", "l_tax"),
+    )
+    return ds.df.select(
+        "l_orderkey", "l_linenumber", "norm", F.round("mag", 6).alias("mag")
+    )
+
+
+def q13_zscore(spark, sf):
+    # z-score with exact integer sums (cents): mean/std identical in
+    # both engines, so the per-row doubles match bit-for-bit.
+    li = _t(spark, sf, "lineitem").withColumn("__pc", _cents(F.col("l_extendedprice")))
+    agg = li.agg(
+        F.sum("__pc").alias("__s"),
+        F.sum(F.col("__pc") * F.col("__pc")).alias("__ss"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    j = li.crossJoin(F.broadcast(agg))
+    mean = F.col("__s").cast("double") / F.col("__n")
+    var = F.col("__ss").cast("double") / F.col("__n") - mean * mean
+    z = (F.col("__pc").cast("double") - mean) / F.sqrt(var)
+    return j.select(
+        "l_orderkey", "l_linenumber", z.alias("z")
+    )
+
+
+def q14_quantile_filter(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    agg = li.agg(F.percentile(F.col("l_extendedprice"), F.lit(0.9)).alias("__q"))
+    return (
+        li.crossJoin(F.broadcast(agg))
+        .filter(F.col("l_extendedprice") > F.col("__q"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# =====================================================================
+# §2.5 aggregations
+# =====================================================================
+def q15_tpch_q1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    pc = _cents(F.col("l_extendedprice"))
+    dc = _cents(F.col("l_discount"))
+    tc = _cents(F.col("l_tax"))
+    qi = F.col("l_quantity").cast("long")
+    e = li.filter(F.col("l_shipdate") <= "1998-09-02").select(
+        "l_returnflag",
+        "l_linestatus",
+        qi.alias("qi"),
+        pc.alias("pc"),
+        dc.alias("dc"),
+        tc.alias("tc"),
+    )
+    g = e.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qi").alias("sq"),
+        F.sum("pc").alias("sp"),
+        F.sum(F.col("pc") * (100 - F.col("dc"))).alias("sd"),
+        F.sum(F.col("pc") * (100 - F.col("dc")) * (100 + F.col("tc"))).alias("sc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    n = F.col("count_order")
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sq").cast("double").alias("sum_qty"),
+        (F.col("sp").cast("double") / 100.0).alias("sum_base_price"),
+        (F.col("sd").cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.col("sc").cast("double") / 1000000.0).alias("sum_charge"),
+        (F.col("sq").cast("double") / n).alias("avg_qty"),
+        (F.col("sp").cast("double") / n / 100.0).alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def q16_degrade(spark, sf):
+    # HealpixMap.with_resolution analog: group key // ratio, mean-agg
+    # (reference healpix_map.py:426-508) — exact via micro-units.
+    ev = _t(spark, sf, "events")
+    vi = F.round(F.round(F.col("value"), 6) * 1000000, 0).cast("long")
+    g = (
+        ev.select((F.floor(F.col("user_id") / 16)).alias("bucket"), vi.alias("vi"))
+        .groupBy("bucket")
+        .agg(F.sum("vi").alias("sv"), F.count(F.lit(1)).alias("n"))
+    )
+    return g.select(
+        "bucket",
+        (F.col("sv").cast("double") / F.col("n") / 1000000.0).alias("avg_value"),
+        "n",
+    )
+
+
+def q17_histogram(spark, sf):
+    # halo-mass-function analog: groupBy(bin).count()
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(F.floor(F.col("o_totalprice") / 20000).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q18_distinct(spark, sf):
+    return _t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# =====================================================================
+# §2.6 joins / linking
+# =====================================================================
+def q19_join_1n(spark, sf):
+    # halo -> particles 1:N link analog (particles.join(halos, tag))
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 200000)
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus"
+    )
+
+
+def q20_join_left(spark, sf):
+    # 1:1 idx link with missing (-1 -> null) analog
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").filter(F.col("c_acctbal") < -900)
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "c_name"
+    )
+
+
+def q21_semi_cascade(spark, sf):
+    # the StructureCollection filter cascade: filter source, linked
+    # tables narrow via left-semi joins (reference handler.py:187-333)
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").join(
+        c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    )
+    li = _t(spark, sf, "lineitem").join(
+        o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    return li.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q22_join_nested_agg(spark, sf):
+    # nested link chain analog (halos -> galaxies -> particles):
+    # lineitem -> orders -> customer -> nation, revenue per nation
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    rev = (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).alias(
+        "rc"
+    )
+    j = (
+        li.select("l_orderkey", rev)
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    g = j.groupBy("n_name").agg(
+        F.sum("rc").alias("src"), F.count(F.lit(1)).alias("n_items")
+    )
+    return g.select(
+        "n_name", (F.col("src").cast("double") / 10000.0).alias("revenue"), "n_items"
+    )
+
+
+def q23_anti(spark, sf):
+    # orders with zero lineitems (absent 1:N link = no child rows)
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return o.join(
+        li.select("l_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"), "left_anti"
+    ).select("o_orderkey", "o_totalprice")
+
+
+# =====================================================================
+# §2.7 set operations
+# =====================================================================
+def q24_union_steps(spark, sf):
+    # lightcone step vstack analog: unionByName of two slices
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("value") > 50)
+    b = ev.filter(F.col("event_type") == "click")
+    u = a.unionByName(b)
+    return u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q25_intersect(spark, sf):
+    c = _t(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    return a.intersect(b)
+
+
+# =====================================================================
+# windows (internal machinery for take_range; exposed as operators)
+# =====================================================================
+def q26_window_topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def q27_window_running(spark, sf):
+    # ts arrives as raw nanos long (nanosAsLong); ordering is identical
+    ev = _t(spark, sf, "events")
+    vi = F.round(F.round(F.col("value"), 6) * 1000000, 0).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id", "event_id", F.sum(vi).over(w).alias("run_micros")
+    )
+
+
+def q28_time_window(spark, sf):
+    ev = _t(spark, sf, "events")
+    vi = F.round(F.round(F.col("value"), 6) * 1000000, 0).cast("long")
+    hour = F.date_trunc(
+        "hour", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    ).cast("string")
+    g = (
+        ev.select(hour.alias("hour"), vi.alias("vi"))
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vi").alias("sv"))
+    )
+    return g.select("hour", "n", (F.col("sv").cast("double") / 1000000.0).alias("sum_value"))
+
+
+# =====================================================================
+# §2.8 spatial: two-phase interior/boundary predicate
+# =====================================================================
+def q29_spatial_box(spark, sf):
+    from opencosmo_spark import Dataset, OpenCosmoHeader, make_box
+    from opencosmo_spark.spatial.octree import morton_cell_column
+
+    li = _t(spark, sf, "lineitem")
+    # synthetic 3-D coordinates in [0,1)^3 from lineitem columns
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") / 51.0).alias("x"),
+        (F.col("l_discount") * 9.0).alias("y"),
+        (F.col("l_tax") * 11.0).alias("z"),
+    )
+    df = df.withColumn(
+        "__cell_id",
+        morton_cell_column([F.col("x"), F.col("y"), F.col("z")], [0.0, 0.0, 0.0], 1.0, 4),
+    )
+    header = OpenCosmoHeader(box_size=1.0)
+    ds = Dataset(df, header=header)
+    region = make_box((0.2, 0.1, 0.0), (0.61, 0.73, 0.41))
+    out = ds.bound(region)
+    return out.df.select("l_orderkey", "l_linenumber")
+
+
+# =====================================================================
+# LLM-pipeline operators: text analysis / dedup / similarity
+# =====================================================================
+def q30_text_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    length = F.length(F.col("text"))
+    nospace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    tokens = length - nospace + 1
+    return d.select(
+        "doc_id",
+        length.alias("n_chars_calc"),
+        tokens.alias("n_tokens"),
+        (nospace.cast("double") / tokens).alias("avg_word_len"),
+    )
+
+
+def q31_dedup_fingerprint(spark, sf):
+    # exact near-dup fingerprint: md5 of text prefix; keep-first per
+    # group (hash-groupBy dedup)
+    d = _t(spark, sf, "documents")
+    f = d.select(F.md5(F.substring(F.col("text"), 1, 40)).alias("fp"), "doc_id")
+    g = f.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc_id")
+    )
+    return g.filter(F.col("n") > 1)
+
+
+def q32_langid(spark, sf):
+    # n-gram/stopword language heuristic, exact integer scoring
+    d = _t(spark, sf, "documents")
+    s = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+
+    def cnt(word):
+        pat = f" {word} "
+        return (F.length(s) - F.length(F.regexp_replace(s, pat, ""))) / len(pat)
+
+    score = cnt("the") + cnt("a") + cnt("of")
+    return d.select(
+        "doc_id",
+        score.cast("long").alias("en_score"),
+        F.when(score >= 2, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+def q33_cosine_topk(spark, sf):
+    # brute-force cosine top-k against one query vector (ANN baseline)
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    j = emb.crossJoin(F.broadcast(qv))
+
+    def dot(a, b):
+        prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+    def nrm(a):
+        sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+        return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+    cos = dot(F.col("embedding"), F.col("qv")) / (
+        nrm(F.col("embedding")) * nrm(F.col("qv"))
+    )
+    return (
+        j.select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def q34_neardup_cosine(spark, sf):
+    # embedding-cosine near-duplicate pairs (brute pair join baseline;
+    # LSH-bucketed variant in opencosmo_spark.pipeline for scale)
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    j = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+
+    def dot(x, y):
+        prods = F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double"))
+        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+    def nrm(x):
+        sq = F.transform(x, lambda p: p.cast("double") * p.cast("double"))
+        return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+    cos = dot(F.col("ea"), F.col("eb")) / (nrm(F.col("ea")) * nrm(F.col("eb")))
+    return j.select("a", "b", F.round(cos, 6).alias("cos_sim")).filter(
+        F.col("cos_sim") > 0.3
+    )
+
+
+def q35_minhash_lsh(spark, sf):
+    from opencosmo_spark.pipeline.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_candidates(d, text_col="text", id_col="doc_id")
+
+
+def q36_simhash(spark, sf):
+    from opencosmo_spark.pipeline.dedup import simhash
+
+    d = _t(spark, sf, "documents")
+    return simhash(d, text_col="text", id_col="doc_id")
+
+
+def q37_sessionize(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)  # nanos
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "sid",
+        F.sum(new_sess).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    return sess.groupBy("user_id").agg(F.max("sid").alias("n_sessions"))
+
+
+# =====================================================================
+# registry
+# =====================================================================
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_scan_filter_project": q01_scan_filter_project,
+        "q02_select_wildcard": q02_select_wildcard,
+        "q03_drop": q03_drop,
+        "q04_filter_compound": q04_filter_compound,
+        "q05_filter_isin": q05_filter_isin,
+        "q06_filter_scalar_mean": q06_filter_scalar_mean,
+        "q07_sample_hash": q07_sample_hash,
+        "q08_sort_topk": q08_sort_topk,
+        "q09_take_range": q09_take_range,
+        "q10_derived_arith": q10_derived_arith,
+        "q11_derived_math": q11_derived_math,
+        "q12_norm_mag": q12_norm_mag,
+        "q13_zscore": q13_zscore,
+        "q14_quantile_filter": q14_quantile_filter,
+        "q15_tpch_q1": q15_tpch_q1,
+        "q16_degrade": q16_degrade,
+        "q17_histogram": q17_histogram,
+        "q18_distinct": q18_distinct,
+        "q19_join_1n": q19_join_1n,
+        "q20_join_left": q20_join_left,
+        "q21_semi_cascade": q21_semi_cascade,
+        "q22_join_nested_agg": q22_join_nested_agg,
+        "q23_anti": q23_anti,
+        "q24_union_steps": q24_union_steps,
+        "q25_intersect": q25_intersect,
+        "q26_window_topk": q26_window_topk,
+        "q27_window_running": q27_window_running,
+        "q28_time_window": q28_time_window,
+        "q29_spatial_box": q29_spatial_box,
+        "q30_text_stats": q30_text_stats,
+        "q31_dedup_fingerprint": q31_dedup_fingerprint,
+        "q32_langid": q32_langid,
+        "q33_cosine_topk": q33_cosine_topk,
+        "q34_neardup_cosine": q34_neardup_cosine,
+        "q35_minhash_lsh": q35_minhash_lsh,
+        "q36_simhash": q36_simhash,
+        "q37_sessionize": q37_sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cents = "CAST(round(l_extendedprice*100, 0) AS BIGINT)"
+    dc = "CAST(round(l_discount*100, 0) AS BIGINT)"
+    tc = "CAST(round(l_tax*100, 0) AS BIGINT)"
+    vi = "CAST(round(round(value, 6)*1000000, 0) AS BIGINT)"
+    return {
+        "q01_scan_filter_project": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 25
+        """,
+        "q02_select_wildcard": """
+            SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem
+        """,
+        "q03_drop": """
+            SELECT p_partkey, p_brand, p_type, p_size FROM part
+        """,
+        "q04_filter_compound": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE (l_quantity >= 30 AND l_discount < 0.05) OR l_returnflag = 'R'
+        """,
+        "q05_filter_isin": """
+            SELECT * FROM nation
+            WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_12')
+        """,
+        "q06_filter_scalar_mean": f"""
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            WHERE {cents} * (SELECT count(*) FROM lineitem)
+                  > (SELECT SUM({cents}) FROM lineitem)
+        """,
+        "q07_sample_hash": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE substr(md5(CAST(l_orderkey*10 + l_linenumber AS VARCHAR)), 1, 2) <= '14'
+        """,
+        "q08_sort_topk": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+        """,
+        "q09_take_range": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+            LIMIT 200 OFFSET 100
+        """,
+        "q10_derived_arith": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) * (1 + l_tax) AS rev
+            FROM lineitem
+        """,
+        "q11_derived_math": """
+            SELECT o_orderkey,
+                   round(log10(o_totalprice), 6) AS lg,
+                   round(sqrt(o_totalprice), 6) AS sq,
+                   round(asin(o_totalprice / 1000000.0), 6) AS ang
+            FROM orders
+        """,
+        "q12_norm_mag": """
+            SELECT l_orderkey, l_linenumber,
+                   sqrt(l_quantity*l_quantity + l_discount*l_discount
+                        + l_tax*l_tax) AS norm,
+                   round(-2.5 * log10(pow(10, l_discount*-0.4)
+                                      + pow(10, l_tax*-0.4)), 6) AS mag
+            FROM lineitem
+        """,
+        "q13_zscore": f"""
+            WITH s AS (
+              SELECT SUM({cents}) AS s, SUM({cents}*{cents}) AS ss,
+                     count(*) AS n
+              FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   (CAST({cents} AS DOUBLE)
+                      - CAST(s.s AS DOUBLE)/s.n)
+                   / sqrt(CAST(s.ss AS DOUBLE)/s.n
+                          - (CAST(s.s AS DOUBLE)/s.n)*(CAST(s.s AS DOUBLE)/s.n))
+                   AS z
+            FROM lineitem, s
+        """,
+        "q14_quantile_filter": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            WHERE l_extendedprice >
+                  (SELECT quantile_cont(l_extendedprice, 0.9) FROM lineitem)
+        """,
+        "q15_tpch_q1": f"""
+            WITH e AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(l_quantity AS BIGINT) AS qi,
+                     {cents} AS pc, {dc} AS dcc, {tc} AS tcc
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(qi) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(pc) AS DOUBLE)/100.0 AS sum_base_price,
+                   CAST(SUM(pc*(100-dcc)) AS DOUBLE)/10000.0 AS sum_disc_price,
+                   CAST(SUM(pc*(100-dcc)*(100+tcc)) AS DOUBLE)/1000000.0 AS sum_charge,
+                   CAST(SUM(qi) AS DOUBLE)/count(*) AS avg_qty,
+                   CAST(SUM(pc) AS DOUBLE)/count(*)/100.0 AS avg_price,
+                   count(*) AS count_order
+            FROM e GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q16_degrade": f"""
+            SELECT CAST(floor(user_id / 16) AS BIGINT) AS bucket,
+                   CAST(SUM({vi}) AS DOUBLE)/count(*)/1000000.0 AS avg_value,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "q17_histogram": """
+            SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "q18_distinct": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "q19_join_1n": """
+            SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_totalprice > 200000
+        """,
+        "q20_join_left": """
+            SELECT o_orderkey, c_name
+            FROM orders LEFT JOIN
+                 (SELECT * FROM customer WHERE c_acctbal < -900) c
+                 ON o_custkey = c.c_custkey
+        """,
+        "q21_semi_cascade": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders WHERE o_custkey IN (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+        """,
+        "q22_join_nested_agg": f"""
+            SELECT n_name,
+                   CAST(SUM({cents} * (100 - {dc})) AS DOUBLE)/10000.0 AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q23_anti": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        """,
+        "q24_union_steps": """
+            SELECT event_type, count(*) AS n FROM (
+              SELECT * FROM events WHERE value > 50
+              UNION ALL
+              SELECT * FROM events WHERE event_type = 'click'
+            ) GROUP BY event_type
+        """,
+        "q25_intersect": """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        """,
+        "q26_window_topk": """
+            SELECT o_custkey, o_orderkey, rn FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+            WHERE rn <= 3
+        """,
+        "q27_window_running": f"""
+            SELECT user_id, event_id,
+                   SUM({vi}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_micros
+            FROM events
+        """,
+        "q28_time_window": f"""
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                   count(*) AS n,
+                   CAST(SUM({vi}) AS DOUBLE)/1000000.0 AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "q29_spatial_box": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE l_quantity/51.0 >= 0.2 AND l_quantity/51.0 < 0.61
+              AND l_discount*9.0 >= 0.1 AND l_discount*9.0 < 0.73
+              AND l_tax*11.0 >= 0.0 AND l_tax*11.0 < 0.41
+        """,
+        "q30_text_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars_calc,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / (length(text) - length(replace(text, ' ', '')) + 1)
+                   AS avg_word_len
+            FROM documents
+        """,
+        "q31_dedup_fingerprint": """
+            SELECT md5(substr(text, 1, 40)) AS fp, count(*) AS n,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "q32_langid": """
+            WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+            c AS (SELECT doc_id,
+                   (length(s) - length(replace(s, ' the ', ''))) / 5.0
+                 + (length(s) - length(replace(s, ' a ', ''))) / 3.0
+                 + (length(s) - length(replace(s, ' of ', ''))) / 4.0 AS score
+                  FROM t)
+            SELECT doc_id, CAST(score AS BIGINT) AS en_score,
+                   CASE WHEN score >= 2 THEN 'en' ELSE 'other' END AS lang_guess
+            FROM c
+        """,
+        "q33_cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            z AS (
+              SELECT e.vec_id,
+                     CAST(UNNEST(e.embedding) AS DOUBLE) AS a,
+                     CAST(UNNEST(q.qv) AS DOUBLE) AS b
+              FROM embeddings e, q
+            )
+            SELECT vec_id,
+                   round(SUM(a*b) / (sqrt(SUM(a*a)) * sqrt(SUM(b*b))), 6) AS cos_sim
+            FROM z GROUP BY vec_id
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "q34_neardup_cosine": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+            p AS (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     CAST(UNNEST(x.embedding) AS DOUBLE) AS xa,
+                     CAST(UNNEST(y.embedding) AS DOUBLE) AS yb
+              FROM e x, e y WHERE x.vec_id < y.vec_id
+            )
+            SELECT a, b,
+                   round(SUM(xa*yb) / (sqrt(SUM(xa*xa)) * sqrt(SUM(yb*yb))), 6)
+                   AS cos_sim
+            FROM p GROUP BY a, b
+            HAVING round(SUM(xa*yb) / (sqrt(SUM(xa*xa)) * sqrt(SUM(yb*yb))), 6) > 0.3
+        """,
+        "q37_sessionize": """
+            WITH l AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+              FROM events
+            ), f AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN pts IS NULL
+                          OR epoch_ns(ts) - epoch_ns(pts) > 1800000000000
+                          THEN 1 ELSE 0 END AS ns
+              FROM l
+            ), s AS (
+              SELECT user_id,
+                     SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS sid
+              FROM f
+            )
+            SELECT user_id, max(sid) AS n_sessions FROM s GROUP BY user_id
+        """,
+        # q35_minhash_lsh / q36_simhash: engine-hash-based, not
+        # SQL-expressible -> rows-only check by design
+    }

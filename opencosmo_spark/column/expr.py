@@ -175,6 +175,8 @@ def wrap(v) -> ColumnExpr:
         return Lit(v.value, v.unit)
     if isinstance(v, (int, float)):
         return Lit(float(v), Unit())
+    if isinstance(v, (str, bool)):
+        return Lit(v, Unit())
     raise TypeError(f"cannot use {type(v).__name__} in a column expression")
 
 
@@ -196,7 +198,7 @@ class ColRef(ColumnExpr):
 
 
 class Lit(ColumnExpr):
-    def __init__(self, value: float, unit: Unit):
+    def __init__(self, value, unit: Unit):
         self.value = value
         self._unit = unit
 
@@ -292,7 +294,8 @@ class Func(ColumnExpr):
     def unit(self, b: Binder) -> Unit:
         u0 = self.args[0].unit(b)
         if self.name == "log10":
-            return u0.dex()
+            # dimensionless log stays dimensionless; unitful -> dex
+            return u0.dex() if u0.powers else Unit()
         if self.name == "exp10":
             return u0.undex() if u0.is_dex else Unit()
         if self.name == "sqrt":

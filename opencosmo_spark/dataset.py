@@ -327,13 +327,19 @@ class Dataset:
     # ------------------------------------------------------------------
     # sort / take
     # ------------------------------------------------------------------
-    def sort_by(self, column: str | ColumnExpr, invert: bool = False) -> "Dataset":
-        """Declare the sort key; applied lazily at take/materialize
-        (reference dataset.py:747-785)."""
+    def sort_by(self, column, *more: str, invert: bool = False) -> "Dataset":
+        """Declare the sort key(s); applied lazily at take/materialize
+        (reference dataset.py:747-785). Extra string keys act as
+        tiebreakers (always ascending)."""
         if isinstance(column, str):
-            if column not in self._df.columns:
-                raise KeyError(f"unknown column {column!r}")
-            return self._clone(sort_keys=((column, not invert),))
+            keys = [column, *more]
+            for k in keys:
+                if k not in self._df.columns:
+                    raise KeyError(f"unknown column {k!r}")
+            sort_keys = ((keys[0], not invert),) + tuple(
+                (k, True) for k in keys[1:]
+            )
+            return self._clone(sort_keys=sort_keys)
         # derived sort key: materialize it as a hidden column
         e = wrap(column)
         df, binder, extra = self._bind([e])

@@ -1,0 +1,38 @@
+"""LLM-training-data pipeline operators: dedup, text analysis,
+similarity search, multimodal columns.
+
+These go beyond the reference's own surface (BASELINE.json north-star):
+every operator is designed for the 100 TB path — built-in JVM
+expressions wherever possible, Arrow-batched Pandas UDFs only where
+semantics demand Python, and LSH-style candidate generation instead of
+all-pairs scans.
+"""
+
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .similarity import brute_force_cosine_topk, lsh_bucket_ann
+from .text import (
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "brute_force_cosine_topk",
+    "lsh_bucket_ann",
+    "token_count",
+    "quality_score",
+    "language_id",
+    "document_fingerprint",
+]

@@ -1,0 +1,200 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every stage is built-in JVM expressions (xxhash64,
+array_min, transform) — no Python in the hot path. MinHash-LSH is the
+canonical shingle -> minhash -> band -> bucket-join pipeline: candidate
+generation is a hash-partition groupBy on band keys (shuffle ∝ corpus
+size, not corpus²); only candidates pay the exact-Jaccard verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _shingles(text_col: str, k: int):
+    """Distinct k-word shingles as an array column (JVM-side)."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    return F.array_distinct(sh)
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup via hash-groupBy: one surviving (min id) row per
+    distinct text; returns (fingerprint, keep id, group size)."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    f = df.select(F.md5(t).alias("fp"), F.col(id_col))
+    return f.groupBy("fp").agg(
+        F.min(id_col).alias(f"keep_{id_col}"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, shingles: array<long>, sig: array<long>).
+
+    Shingles are hashed k-word windows: each word is string-hashed ONCE
+    (xxhash64), windows combine the k word-hash longs — so the
+    expensive string hashing is a single pass, and the ``num_hashes``
+    minhash passes run over longs. sig[j] = min over shingles of
+    xxhash64(shingle_hash, j).
+    """
+    words = F.split(F.col(text_col), " ")
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    base = df.select(F.col(id_col), wh.alias("wh"))
+    n = F.size(F.col("wh"))
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(shingle_k - 1), F.lit(1)))
+    window_hash = F.transform(
+        idx,
+        lambda i: F.xxhash64(
+            # try_element_at: docs shorter than k words yield one
+            # partial window (nulls hash deterministically)
+            *[F.try_element_at(F.col("wh"), i + off) for off in range(shingle_k)]
+        ),
+    )
+    base = base.select(
+        F.col(id_col), F.array_distinct(window_hash).alias("shingles")
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), lambda s, j=j: F.xxhash64(s, F.lit(j)))
+            )
+            for j in range(num_hashes)
+        ]
+    ).alias("sig")
+    return base.select(F.col(id_col), F.col("shingles"), sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    banding: rows = num_hashes/bands hashes per band; docs sharing any
+    band key become candidates (bucket-join, not all-pairs); candidates
+    are verified with exact shingle-set Jaccard.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    # persist: the signature frame is read 4x (band self-join sides +
+    # two verify joins); recomputing shingles+minhash each time costs
+    # more than materializing once. Storage is MEMORY_AND_DISK — safe
+    # at scale, and the frame is (id, shingles, sig) only.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
+
+    # ONE pass over the signatures: band keys as an array, exploded —
+    # a per-band union would recompute the whole minhash pipeline
+    # bands× (measured 4x wall-clock at sf0.1).
+    band_keys = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+
+    a = banded.select(F.col(id_col).alias("a"), "band_key")
+    b = banded.select(F.col(id_col).alias("b"), "band_key")
+    cand = (
+        a.join(b, "band_key")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    j = (
+        cand.join(sh.withColumnsRenamed({id_col: "a", "shingles": "sh_a"}), "a")
+        .join(sh.withColumnsRenamed({id_col: "b", "shingles": "sh_b"}), "b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / union
+    return (
+        j.select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document from word-level xxhash64.
+
+    Explode words -> per-bit ±1 contributions -> 64 grouped sums ->
+    reassemble sign bits. Pure JVM aggregation; the 64 sum exprs stay
+    inside one hash-aggregate pass.
+    """
+    words = F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ex = df.select(F.col(id_col), words).filter(F.col("w") != "")
+    wh = F.xxhash64(F.col("w"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(wh, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    g = ex.groupBy(id_col).agg(*bit_sums)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.shiftleft(
+                F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+                i,
+            )
+        )
+    return g.select(F.col(id_col), out.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (all pairs if no
+    candidate frame given — quadratic; supply LSH candidates at scale)."""
+    sh = df.select(F.col(id_col), _shingles(text_col, k).alias("sh"))
+    if candidates is None:
+        a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+        pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    else:
+        pairs = (
+            candidates.join(
+                sh.withColumnsRenamed({id_col: "a", "sh": "sh_a"}), "a"
+            ).join(sh.withColumnsRenamed({id_col: "b", "sh": "sh_b"}), "b")
+        )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / union
+    return pairs.select("a", "b", F.round(jac, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )

@@ -1,0 +1,92 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID, document fingerprinting. All built-in JVM expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword lists for the n-gram heuristic
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "de", "que", "es"],
+}
+
+
+def token_count(text: Column | str, mode: str = "whitespace") -> Column:
+    """Token count: whitespace split or a BPE-ish word/punct regex."""
+    c = F.col(text) if isinstance(text, str) else text
+    if mode == "whitespace":
+        return F.size(F.split(F.trim(c), r"\s+"))
+    if mode == "bpe":
+        # words, numbers, and single punctuation marks as tokens
+        toks = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0)
+        return F.size(toks)
+    raise ValueError(mode)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length, mean word length,
+    alpha ratio, punctuation balance."""
+    c = F.col(text) if isinstance(text, str) else text
+    length = F.length(c)
+    n_tok = token_count(c)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(c, r"[^.,!?;:]", ""))
+    mean_word = alpha.cast("double") / F.greatest(n_tok, F.lit(1))
+    len_score = F.least(length / F.lit(500.0), F.lit(1.0))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 10), 1.0).otherwise(0.5)
+    alpha_ratio = alpha.cast("double") / F.greatest(length, F.lit(1))
+    punct_ratio = punct.cast("double") / F.greatest(length, F.lit(1))
+    punct_score = F.when(punct_ratio < 0.1, 1.0).otherwise(0.3)
+    return F.round(
+        0.3 * len_score + 0.2 * word_score + 0.3 * alpha_ratio + 0.2 * punct_score, 6
+    )
+
+
+def language_id(text: Column | str) -> Column:
+    """Stopword-vote language classifier: argmax over per-language
+    stopword hit counts (deterministic tie-break by language code)."""
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+
+    def score(lang: str) -> Column:
+        s = F.lit(0)
+        for w in _STOPWORDS[lang]:
+            pat = f" {w} "
+            s = s + (F.length(padded) - F.length(F.regexp_replace(padded, pat, ""))) / len(pat)
+        return s
+
+    scores = [(lang, score(lang)) for lang in sorted(_STOPWORDS)]
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    out = F.lit("unknown")
+    for lang, s in reversed(scores):
+        out = F.when(s == best, F.lit(lang)).otherwise(out)
+    return F.when(best <= 0, F.lit("unknown")).otherwise(out)
+
+
+def document_fingerprint(text: Column | str, prefix: int = 64) -> Column:
+    """Normalized-prefix fingerprint (md5 of collapsed-whitespace
+    lowercase prefix) — the cheap rolling-hash analog."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.md5(F.substring(norm, 1, prefix))
+
+
+def add_text_features(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> DataFrame:
+    """Convenience: attach all text-analysis columns at once."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            f"{prefix}n_tokens": token_count(c),
+            f"{prefix}quality": quality_score(c),
+            f"{prefix}lang_id": language_id(c),
+            f"{prefix}fingerprint": document_fingerprint(c),
+        }
+    )

@@ -25,6 +25,9 @@ _DEFAULTS = {
     "spark.sql.parquet.aggregatePushdown": "true",
     # Don't let tiny local files produce thousands of partitions.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Read INT64 TIMESTAMP(NANOS) parquet columns as raw nanos longs
+    # (Spark has no ns timestamp; callers convert via timestamp_micros).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

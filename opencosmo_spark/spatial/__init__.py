@@ -1,0 +1,21 @@
+from .region import (
+    BoxRegion,
+    ConeRegion,
+    FullSkyRegion,
+    HealpixRegion,
+    SkyboxRegion,
+    make_box,
+    make_cone,
+    make_skybox,
+)
+
+__all__ = [
+    "BoxRegion",
+    "ConeRegion",
+    "SkyboxRegion",
+    "HealpixRegion",
+    "FullSkyRegion",
+    "make_box",
+    "make_cone",
+    "make_skybox",
+]

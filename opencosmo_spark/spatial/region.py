@@ -1,0 +1,174 @@
+"""Geometric query regions with contains/intersects algebra.
+
+Parity target: reference ``python/opencosmo/spatial/region.py``
+(BoxRegion:304, ConeRegion:58, SkyboxRegion:151, HealpixRegion:216,
+FullSkyRegion:284) and ``spatial/relations.py:24-271``. Pure
+driver-side value objects — they compile to Spark predicates (see
+``bound.py``); no data motion.
+
+All angles in degrees (ra 0..360, dec -90..90) matching the reference's
+user surface; cone radius in degrees.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+
+def _unit_vec(ra_deg: float, dec_deg: float) -> tuple[float, float, float]:
+    ra, dec = math.radians(ra_deg), math.radians(dec_deg)
+    return (
+        math.cos(dec) * math.cos(ra),
+        math.cos(dec) * math.sin(ra),
+        math.sin(dec),
+    )
+
+
+def _ang_sep_deg(ra1, dec1, ra2, dec2) -> float:
+    v1, v2 = _unit_vec(ra1, dec1), _unit_vec(ra2, dec2)
+    dot = max(-1.0, min(1.0, sum(a * b for a, b in zip(v1, v2))))
+    return math.degrees(math.acos(dot))
+
+
+@dataclass(frozen=True)
+class BoxRegion:
+    """Axis-aligned 3-D box [p1, p2) in simulation coordinates."""
+
+    p1: tuple[float, float, float]
+    p2: tuple[float, float, float]
+
+    def __post_init__(self):
+        if any(a >= b for a, b in zip(self.p1, self.p2)):
+            raise ValueError("box requires p1 < p2 on every axis")
+
+    @property
+    def center(self):
+        return tuple((a + b) / 2 for a, b in zip(self.p1, self.p2))
+
+    def contains_point(self, p) -> bool:
+        return all(a <= x < b for a, x, b in zip(self.p1, p, self.p2))
+
+    def contains(self, other: "BoxRegion") -> bool:
+        return all(a <= oa for a, oa in zip(self.p1, other.p1)) and all(
+            ob <= b for ob, b in zip(other.p2, self.p2)
+        )
+
+    def intersects(self, other: "BoxRegion") -> bool:
+        return all(
+            a < ob and oa < b
+            for a, b, oa, ob in zip(self.p1, self.p2, other.p1, other.p2)
+        )
+
+
+@dataclass(frozen=True)
+class ConeRegion:
+    """Sky cone: center (ra, dec) + angular radius, degrees."""
+
+    ra: float
+    dec: float
+    radius: float
+
+    def __post_init__(self):
+        if self.radius <= 0 or self.radius > 180:
+            raise ValueError("cone radius must be in (0, 180] degrees")
+
+    def contains_point(self, ra: float, dec: float) -> bool:
+        return _ang_sep_deg(self.ra, self.dec, ra, dec) <= self.radius
+
+    def contains(self, other: "ConeRegion") -> bool:
+        sep = _ang_sep_deg(self.ra, self.dec, other.ra, other.dec)
+        return sep + other.radius <= self.radius
+
+    def intersects(self, other: "ConeRegion") -> bool:
+        sep = _ang_sep_deg(self.ra, self.dec, other.ra, other.dec)
+        return sep <= self.radius + other.radius
+
+
+@dataclass(frozen=True)
+class SkyboxRegion:
+    """RA/Dec rectangle, degrees; handles RA wraparound."""
+
+    ra_min: float
+    ra_max: float
+    dec_min: float
+    dec_max: float
+
+    def __post_init__(self):
+        if not (-90 <= self.dec_min < self.dec_max <= 90):
+            raise ValueError("bad dec range")
+
+    @property
+    def wraps(self) -> bool:
+        return self.ra_min > self.ra_max
+
+    def contains_point(self, ra: float, dec: float) -> bool:
+        ra = ra % 360.0
+        if not (self.dec_min <= dec <= self.dec_max):
+            return False
+        if self.wraps:
+            return ra >= self.ra_min or ra <= self.ra_max
+        return self.ra_min <= ra <= self.ra_max
+
+    def contains(self, other: "SkyboxRegion") -> bool:
+        if self.wraps or other.wraps:
+            raise NotImplementedError("wrapped skybox containment")
+        return (
+            self.ra_min <= other.ra_min
+            and other.ra_max <= self.ra_max
+            and self.dec_min <= other.dec_min
+            and other.dec_max <= self.dec_max
+        )
+
+    def intersects(self, other: "SkyboxRegion") -> bool:
+        if self.wraps or other.wraps:
+            raise NotImplementedError("wrapped skybox intersection")
+        return (
+            self.ra_min < other.ra_max
+            and other.ra_min < self.ra_max
+            and self.dec_min < other.dec_max
+            and other.dec_min < self.dec_max
+        )
+
+
+@dataclass(frozen=True)
+class HealpixRegion:
+    """Explicit set of HEALPix pixels at a given nside (nested)."""
+
+    pixels: tuple[int, ...]
+    nside: int
+
+    def combine(self, other: "HealpixRegion") -> "HealpixRegion":
+        if other.nside != self.nside:
+            raise ValueError("cannot combine HealpixRegions of different nside")
+        return HealpixRegion(tuple(sorted(set(self.pixels) | set(other.pixels))), self.nside)
+
+
+@dataclass(frozen=True)
+class FullSkyRegion:
+    def contains_point(self, ra: float, dec: float) -> bool:
+        return True
+
+    def contains(self, other) -> bool:
+        return True
+
+    def intersects(self, other) -> bool:
+        return True
+
+
+# -- constructors (reference spatial/builders.py:39-140) ---------------
+def make_box(p1, p2) -> BoxRegion:
+    return BoxRegion(tuple(float(x) for x in p1), tuple(float(x) for x in p2))
+
+
+def make_cone(center, radius) -> ConeRegion:
+    ra, dec = center
+    return ConeRegion(float(ra), float(dec), float(radius))
+
+
+def make_skybox(p1, p2) -> SkyboxRegion:
+    (ra1, dec1), (ra2, dec2) = p1, p2
+    return SkyboxRegion(
+        float(min(ra1, ra2)), float(max(ra1, ra2)),
+        float(min(dec1, dec2)), float(max(dec1, dec2)),
+    )
