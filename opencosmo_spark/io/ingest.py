@@ -1,0 +1,60 @@
+"""Ingest normalization: the layer that turns raw catalog tables into
+scale-ready Spark layouts.
+
+This replaces the reference's positional machinery (SURVEY §1.2 "the
+single biggest model translation"): spatial octree cells, HEALPix
+pixels, and link keys become ordinary columns computed once at ingest,
+so every later query is a plain predicate/join that Catalyst can push
+down and prune.
+
+At 100 TB the ingest also decides physical layout: ``repartitionByRange``
+on the cell column + ``sortWithinPartitions`` ⇒ z-order clustering ⇒
+Parquet row-group min/max stats skip non-matching cells for any
+spatial query; lightcones additionally ``partitionBy(step)`` for
+directory-level pruning of redshift ranges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..spatial.bound import CELL_COL, PIXEL_COL
+from ..spatial.octree import morton_cell_column
+
+
+def ingest_snapshot(
+    df: DataFrame,
+    coord_cols: tuple[str, str, str],
+    box_size: float,
+    level: int = 4,
+    cluster: bool = True,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Attach the z-order octree cell column and (optionally) cluster
+    the data by it."""
+    cell = morton_cell_column(
+        [F.col(c) for c in coord_cols], [0.0, 0.0, 0.0], box_size, level
+    )
+    out = df.withColumn(CELL_COL, cell)
+    if cluster:
+        n = partitions or df.sparkSession.sparkContext.defaultParallelism
+        out = out.repartitionByRange(n, CELL_COL).sortWithinPartitions(CELL_COL)
+    return out
+
+
+def ingest_lightcone(
+    df: DataFrame,
+    nside: int = 64,
+    ra_col: str = "ra",
+    dec_col: str = "dec",
+    cluster: bool = True,
+) -> DataFrame:
+    """Attach the HEALPix (nested) pixel column for sky indexing."""
+    from ..spatial.healpix import ang2pix_expr
+
+    pix = ang2pix_expr(nside, F.col(ra_col), F.col(dec_col))
+    out = df.withColumn(PIXEL_COL, pix)
+    if cluster:
+        n = df.sparkSession.sparkContext.defaultParallelism
+        out = out.repartitionByRange(n, PIXEL_COL).sortWithinPartitions(PIXEL_COL)
+    return out

@@ -1,0 +1,186 @@
+"""Dataset / collection storage: Parquet + JSON header sidecar.
+
+Parity target: reference ``python/opencosmo/io/io.py:58-154`` (open /
+write) and ``io/iopen.py:77-124`` (type dispatch). The reference's
+HDF5 layout (column datasets + attrs + positional link/tree metadata,
+SPEC.md) maps to:
+
+* ``<name>.ocs/data.parquet/`` — Spark-written Parquet (partitioned,
+  clustered on the spatial cell column when present);
+* ``<name>.ocs/header.json`` — header + per-column units/descriptions
+  + link metadata (replaces HDF5 attrs);
+* collections are directories of member datasets + ``collection.json``.
+
+Positional links (start/size, idx) become explicit key columns at
+ingest (SURVEY §1.2) — ``oc.write`` of a StructureCollection persists
+the key-linked tables, and MPI-parallel writes are simply Spark's
+normal parallel Parquet write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import TYPE_CHECKING
+
+from pyspark.sql import SparkSession
+
+from ..dataset import Dataset
+from ..header import OpenCosmoHeader
+from ..units import parse_unit
+
+if TYPE_CHECKING:
+    from ..collection.structure import StructureCollection
+
+HEADER_FILE = "header.json"
+COLLECTION_FILE = "collection.json"
+DATA_DIR = "data.parquet"
+
+
+def _active_spark() -> SparkSession:
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from ..session import get_spark
+
+        spark = get_spark()
+    return spark
+
+
+def write_dataset(path: str, ds, overwrite: bool = False) -> None:
+    """Write a Dataset or collection to ``<path>`` (reference
+    io/io.py:118-154)."""
+    from ..collection.lightcone import Lightcone
+    from ..collection.healpix_map import HealpixMap
+    from ..collection.simulation import SimulationCollection
+    from ..collection.structure import StructureCollection
+
+    if os.path.exists(path):
+        if not overwrite:
+            raise FileExistsError(f"{path} exists (pass overwrite=True)")
+        shutil.rmtree(path)
+
+    if isinstance(ds, StructureCollection):
+        os.makedirs(path)
+        members = {}
+        for name, member in ds.members().items():
+            write_dataset(os.path.join(path, name), member, overwrite=True)
+            members[name] = name
+        meta = {
+            "type": "structure_collection",
+            "source": ds.source_name,
+            "links": {
+                name: {"kind": l.kind, "source_key": l.source_key, "child_key": l.child_key}
+                for name, l in ds.links.items()
+            },
+        }
+        with open(os.path.join(path, COLLECTION_FILE), "w") as f:
+            json.dump(meta, f, indent=2)
+        return
+    if isinstance(ds, SimulationCollection):
+        os.makedirs(path)
+        for name, member in ds.items():
+            write_dataset(os.path.join(path, name), member, overwrite=True)
+        with open(os.path.join(path, COLLECTION_FILE), "w") as f:
+            json.dump({"type": "simulation_collection"}, f, indent=2)
+        return
+
+    dtype = "dataset"
+    if isinstance(ds, HealpixMap):
+        dtype = "healpix_map"
+    elif isinstance(ds, Lightcone):
+        dtype = "lightcone"
+
+    os.makedirs(path)
+    df = ds.spark_df
+    # cluster on the spatial cell for row-group pruning on re-open
+    for cluster_col in ("__cell_id", "pixel_cell", "pixel"):
+        if cluster_col in df.columns:
+            df = df.sortWithinPartitions(cluster_col)
+            break
+    df.write.mode("overwrite").parquet(os.path.join(path, DATA_DIR))
+    sidecar = {
+        "type": dtype,
+        "header": json.loads(ds.header.to_json()),
+        "units": {c: str(u) for c, u in ds._units.items()},
+        "descriptions": dict(ds._descriptions),
+        "convention": ds.convention,
+        "extra": {"nside": ds.nside} if isinstance(ds, HealpixMap) else {},
+    }
+    with open(os.path.join(path, HEADER_FILE), "w") as f:
+        json.dump(sidecar, f, indent=2)
+
+
+def _open_single(spark: SparkSession, path: str):
+    from ..collection.lightcone import Lightcone
+    from ..collection.healpix_map import HealpixMap
+
+    if path.endswith(".parquet") or not os.path.exists(
+        os.path.join(path, HEADER_FILE)
+    ):
+        # bare parquet: no sidecar metadata
+        return Dataset(spark.read.parquet(path))
+    with open(os.path.join(path, HEADER_FILE)) as f:
+        sidecar = json.load(f)
+    df = spark.read.parquet(os.path.join(path, DATA_DIR))
+    header = OpenCosmoHeader.from_json(json.dumps(sidecar.get("header", {})))
+    units = {c: parse_unit(u) for c, u in sidecar.get("units", {}).items()}
+    kwargs = dict(
+        header=header,
+        units=units,
+        descriptions=sidecar.get("descriptions", {}),
+        convention=sidecar.get("convention"),
+    )
+    dtype = sidecar.get("type", "dataset")
+    if dtype == "healpix_map":
+        return HealpixMap(df, nside=int(sidecar["extra"]["nside"]), **kwargs)
+    if dtype == "lightcone":
+        return Lightcone(df, **kwargs)
+    return Dataset(df, **kwargs)
+
+
+def open_files(*paths: str, **flags):
+    """Open one or more datasets (reference io/io.py:58-113).
+
+    One path -> Dataset (or typed collection from its sidecar).
+    A collection dir -> StructureCollection / SimulationCollection.
+    Multiple paths -> StructureCollection linked on tag keys inferred
+    from headers (reference io/iopen.py:209-311 categorization).
+    """
+    from ..collection.structure import LinkSpec, StructureCollection
+    from ..collection.simulation import SimulationCollection
+
+    spark = _active_spark()
+    if len(paths) == 1:
+        p = paths[0]
+        cfile = os.path.join(p, COLLECTION_FILE)
+        if os.path.exists(cfile):
+            with open(cfile) as f:
+                meta = json.load(f)
+            member_names = sorted(
+                d for d in os.listdir(p) if os.path.isdir(os.path.join(p, d))
+            )
+            members = {
+                name: _open_single(spark, os.path.join(p, name))
+                for name in member_names
+            }
+            if meta["type"] == "simulation_collection":
+                return SimulationCollection(members)
+            links = {
+                name: LinkSpec(**spec) for name, spec in meta["links"].items()
+            }
+            return StructureCollection(
+                source=members[meta["source"]],
+                source_name=meta["source"],
+                children={n: m for n, m in members.items() if n != meta["source"]},
+                links=links,
+            )
+        return _open_single(spark, p)
+    # multiple paths: link into a StructureCollection
+    members = {}
+    for p in paths:
+        name = os.path.basename(p.rstrip("/")).replace(".ocs", "").replace(
+            ".parquet", ""
+        )
+        members[name] = _open_single(spark, p)
+    return StructureCollection.from_members(members)

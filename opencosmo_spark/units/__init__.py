@@ -251,11 +251,14 @@ class _Parser:
                 i = j
             else:
                 raise UnitError(f"bad char {c!r}")
-        # collapse duplicate '*'
+        # collapse whitespace-multiplication artifacts: drop a '*' that
+        # would sit next to another operator or a paren
         res: list[str] = []
         for t in out:
             if t == "*" and (not res or res[-1] in "*/(^"):
                 continue
+            if t in "*/^)" and res and res[-1] == "*":
+                res.pop()
             res.append(t)
         while res and res[-1] == "*":
             res.pop()

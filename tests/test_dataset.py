@@ -1,0 +1,183 @@
+"""Core Dataset verb tests — reference-style oracle/invariant checks
+(test/test_dataset.py, test_filters.py, test_derive.py analogs):
+every result is compared against an independent numpy recomputation.
+"""
+
+import numpy as np
+import pytest
+
+import opencosmo_spark as oc
+from opencosmo_spark import col, norm_cols
+
+
+@pytest.fixture(scope="module")
+def halos(spark, fixtures):
+    return oc.open(f"{fixtures}/halo_properties")
+
+
+@pytest.fixture(scope="module")
+def halos_np(halos):
+    return halos.get_data("numpy")
+
+
+def test_open_units(halos):
+    assert str(halos.units["fof_halo_mass"]) == "Msun / h"
+    assert halos.convention == "scalefree"
+    assert halos.header.box_size == 64.0
+
+
+def test_len_and_columns(halos):
+    assert len(halos) == 2000
+    assert "fof_halo_mass" in halos.columns
+    assert not any(c.startswith("__") for c in halos.columns)
+
+
+def test_filter_minmax(halos, halos_np):
+    out = halos.filter(col("fof_halo_mass") > 1e13).get_data("numpy")
+    expected = np.sum(halos_np["fof_halo_mass"] > 1e13)
+    assert len(out["fof_halo_mass"]) == expected
+    assert out["fof_halo_mass"].min() > 1e13
+
+
+def test_filter_compound(halos, halos_np):
+    m, s = halos_np["fof_halo_mass"], halos_np["sod_halo_mass"]
+    expected = np.sum((m > 1e13) & (s > 0) | (m < 1e12))
+    out = halos.filter(
+        ((col("fof_halo_mass") > 1e13) & (col("sod_halo_mass") > 0))
+        | (col("fof_halo_mass") < 1e12)
+    )
+    assert len(out) == expected
+
+
+def test_select_wildcard(halos):
+    out = halos.select("fof_halo_center_*")
+    assert sorted(out.columns) == [
+        "fof_halo_center_a",
+        "fof_halo_center_x",
+        "fof_halo_center_y",
+        "fof_halo_center_z",
+    ]
+
+
+def test_sorted_take_equals_np_sort(halos, halos_np):
+    top = (
+        halos.sort_by("fof_halo_mass", invert=True)
+        .take(50)
+        .get_data("numpy")["fof_halo_mass"]
+    )
+    expected = np.sort(halos_np["fof_halo_mass"])[::-1][:50]
+    np.testing.assert_allclose(np.sort(top)[::-1], expected, rtol=0)
+
+
+def test_take_range(halos, halos_np):
+    rng = (
+        halos.sort_by("fof_halo_mass")
+        .take_range(10, 40)
+        .get_data("numpy")["fof_halo_mass"]
+    )
+    expected = np.sort(halos_np["fof_halo_mass"])[10:40]
+    np.testing.assert_allclose(np.sort(rng), expected, rtol=0)
+
+
+def test_take_rows(halos, halos_np):
+    rows = [0, 5, 17, 100]
+    out = (
+        halos.sort_by("unique_tag").take_rows(rows).get_data("numpy")["unique_tag"]
+    )
+    expected = np.sort(halos_np["unique_tag"])[rows]
+    assert sorted(out) == sorted(expected)
+
+
+def test_take_random_exact_n(halos):
+    out = halos.take(100, at="random", seed=11)
+    assert len(out) == 100
+    # sampling without replacement: tags unique
+    tags = out.get_data("numpy")["fof_halo_tag"]
+    assert len(np.unique(tags)) == 100
+
+
+def test_derived_column_and_sort(halos, halos_np):
+    ds = halos.with_new_columns(
+        v2=col("fof_halo_com_vx") ** 2 + col("fof_halo_com_vy") ** 2
+    )
+    out = ds.sort_by("v2", invert=True).take(10).get_data("numpy")
+    expected = np.sort(
+        halos_np["fof_halo_com_vx"].astype(np.float64) ** 2
+        + halos_np["fof_halo_com_vy"].astype(np.float64) ** 2
+    )[::-1][:10]
+    np.testing.assert_allclose(np.sort(out["v2"])[::-1], expected, rtol=1e-6)
+
+
+def test_derived_units(halos):
+    ds = halos.with_new_columns(
+        xoff=norm_cols("fof_halo_com_vx", "fof_halo_com_vy", "fof_halo_com_vz")
+    )
+    assert str(ds.units["xoff"]) == "km / s"
+    ds2 = halos.with_new_columns(
+        m2=col("fof_halo_mass") * col("fof_halo_mass")
+    )
+    assert ds2.units["m2"].as_dict() == {"Msun": 2, "h": -2}
+
+
+def test_add_requires_compatible_units(halos):
+    from opencosmo_spark.units import UnitError
+
+    with pytest.raises(UnitError):
+        halos.with_new_columns(
+            bad=col("fof_halo_mass") + col("fof_halo_center_x")
+        ).get_data()
+
+
+def test_zscore_scalar_reductions(halos, halos_np):
+    ds = halos.select(
+        "fof_halo_tag",
+        z=(col("fof_halo_mass") - col("fof_halo_mass").mean())
+        / col("fof_halo_mass").std(),
+    )
+    z = ds.get_data("numpy")["z"]
+    assert abs(z.mean()) < 1e-9
+    assert abs(z.std() - 1.0) < 1e-9
+
+
+def test_scalar_in_filter(halos, halos_np):
+    m = halos_np["fof_halo_mass"].astype(np.float64)
+    expected = np.sum(m > m.mean())
+    out = halos.filter(col("fof_halo_mass") > col("fof_halo_mass").mean())
+    assert len(out) == expected
+
+
+def test_quantile_reduction(halos, halos_np):
+    m = halos_np["fof_halo_mass"].astype(np.float64)
+    q90 = np.quantile(m, 0.9)
+    scalars = halos.select(q=col("fof_halo_mass").quantile(0.9))
+    assert scalars["q"] == pytest.approx(q90, rel=1e-6)
+
+
+def test_scalar_only_select(halos, halos_np):
+    out = halos.select(
+        mean=col("fof_halo_mass").mean(), mx=col("fof_halo_mass").max()
+    )
+    assert out["mean"] == pytest.approx(
+        halos_np["fof_halo_mass"].astype(np.float64).mean(), rel=1e-9
+    )
+    assert out["mx"] == pytest.approx(halos_np["fof_halo_mass"].max())
+
+
+def test_unit_aware_filter_quantity(halos, halos_np):
+    from opencosmo_spark import Quantity
+
+    # radius in kpc/h-free terms: 1 Mpc threshold = 1000 kpc
+    n_mpc = len(halos.filter(col("sod_halo_radius") > Quantity(1.0, "Mpc")))
+    n_kpc = len(halos.filter(col("sod_halo_radius") > Quantity(1000.0, "kpc")))
+    assert n_mpc == n_kpc > 0
+
+
+def test_repr(halos):
+    r = repr(halos)
+    assert "OpenCosmo Dataset" in r and "First 10 rows" in r
+
+
+def test_rows_iterator(halos):
+    it = halos.rows()
+    row = next(it)
+    assert "fof_halo_mass" in row

@@ -1,0 +1,63 @@
+"""Unit algebra + parser tests (reference test/test_units.py analog —
+astropy is unavailable, so expected factors are computed by hand)."""
+
+import pytest
+from fractions import Fraction
+
+from opencosmo_spark.units import Quantity, Unit, UnitError, parse_unit
+
+
+def test_parse_basic():
+    u = parse_unit("Msun/h")
+    assert u.as_dict() == {"Msun": 1, "h": -1}
+    assert parse_unit("km/s").as_dict() == {"km": 1, "s": -1}
+    assert parse_unit("(km/s)^2").as_dict() == {"km": 2, "s": -2}
+    assert parse_unit("Msun/yr").as_dict() == {"Msun": 1, "yr": -1}
+    assert parse_unit("comoving Mpc/h").as_dict() == {"Mpc": 1, "h": -1}
+    assert parse_unit("").dimensionless_
+    assert parse_unit(None).dimensionless_
+
+
+def test_parse_dex():
+    u = parse_unit("dex(Msun)")
+    assert u.is_dex and u.as_dict() == {"Msun": 1}
+
+
+def test_algebra():
+    a, b = parse_unit("Mpc"), parse_unit("Mpc")
+    assert (a * b).as_dict() == {"Mpc": 2}
+    assert (a / b).dimensionless_
+    assert a.pow(2).sqrt() == a
+
+
+def test_h_and_length_powers():
+    u = parse_unit("Msun/h")
+    assert u.h_power == -1
+    assert u.length_power == 0
+    v = parse_unit("Mpc/h")
+    assert v.length_power == 1
+    w = parse_unit("(km/s)^2")
+    assert w.length_power == 2
+
+
+def test_conversion_factor():
+    assert parse_unit("Mpc").conversion_factor(parse_unit("kpc")) == pytest.approx(1000.0)
+    assert parse_unit("km/s").conversion_factor(parse_unit("m/s")) == pytest.approx(1000.0)
+    # h is transparent for conversions
+    assert parse_unit("Mpc/h").conversion_factor(parse_unit("kpc")) == pytest.approx(1000.0)
+    with pytest.raises(UnitError):
+        parse_unit("Mpc").conversion_factor(parse_unit("Msun"))
+
+
+def test_quantity():
+    q = Quantity(1.0, "Mpc")
+    assert q.to_value(parse_unit("kpc")) == pytest.approx(1000.0)
+
+
+def test_without_h():
+    assert parse_unit("Msun/h").without_h().as_dict() == {"Msun": 1}
+
+
+def test_str_roundtrip():
+    for s in ("Msun / h", "km / s", "Mpc"):
+        assert str(parse_unit(s)).replace(" ", "") == s.replace(" ", "")
