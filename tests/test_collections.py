@@ -1,0 +1,203 @@
+"""Collection tests (reference test/test_collection.py,
+test_structure_collection.py, test_lightcone.py, test_healpixmap.py
+analogs): link cascades, per-structure evaluation, lightcone pruning,
+healpix degrade — all against pandas/numpy oracles.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import opencosmo_spark as oc
+from opencosmo_spark import col
+
+
+@pytest.fixture(scope="module")
+def coll(spark, fixtures):
+    return oc.open(
+        f"{fixtures}/halo_properties",
+        f"{fixtures}/dm_particles",
+        f"{fixtures}/galaxy_properties",
+    )
+
+
+@pytest.fixture(scope="module")
+def raw(coll):
+    return {
+        "halos": coll.source.get_data("pandas"),
+        "particles": coll["dm_particles"].get_data("pandas"),
+        "galaxies": coll["galaxy_properties"].get_data("pandas"),
+    }
+
+
+def test_link_inference(coll):
+    assert coll.source_name == "halo_properties"
+    assert coll.links["dm_particles"].child_key == "halo_tag"
+    assert coll.links["galaxy_properties"].child_key == "fof_halo_tag"
+
+
+def test_filter_cascade(coll, raw):
+    """Filtering halos narrows particles to surviving tags only
+    (reference handler.py:187-333)."""
+    f = coll.filter(col("fof_halo_mass") > 1e13)
+    surviving = set(
+        raw["halos"][raw["halos"].fof_halo_mass > 1e13].fof_halo_tag
+    )
+    parts = f["dm_particles"].get_data("pandas")
+    assert set(parts.halo_tag).issubset(surviving)
+    expected = raw["particles"][raw["particles"].halo_tag.isin(surviving)]
+    assert len(parts) == len(expected)
+
+
+def test_filter_on_child(coll, raw):
+    """filter(on=galaxies) keeps halos with a massive galaxy
+    (reference structure.py:860-927)."""
+    f = coll.filter(col("gal_mass_star") > 1e10, on="galaxy_properties")
+    hosts = set(
+        raw["galaxies"][raw["galaxies"].gal_mass_star > 1e10].fof_halo_tag
+    )
+    kept = set(f.source.get_data("pandas").fof_halo_tag)
+    assert kept == (hosts & set(raw["halos"].fof_halo_tag))
+
+
+def test_take_cascades(coll):
+    t = coll.take(5, at="start")
+    tags = set(t.source.get_data("pandas").fof_halo_tag)
+    parts = t["dm_particles"].get_data("pandas")
+    assert set(parts.halo_tag).issubset(tags)
+
+
+def test_objects_iteration(coll, raw):
+    f = coll.sort_by("fof_halo_mass", invert=True).take(5)
+    seen = 0
+    for row, children in f.objects(["dm_particles"]):
+        seen += 1
+        expected = raw["particles"][raw["particles"].halo_tag == row["fof_halo_tag"]]
+        assert len(children["dm_particles"]) == len(expected)
+    assert seen == 5
+
+
+def test_evaluate_per_structure(coll, raw):
+    """Per-halo particle count + mean |v| vs pandas groupby oracle."""
+
+    def stats(halo, particles, **kw):
+        v = np.sqrt(
+            particles.vx.to_numpy() ** 2
+            + particles.vy.to_numpy() ** 2
+            + particles.vz.to_numpy() ** 2
+        )
+        return {"n_parts": len(particles), "mean_speed": float(v.mean())}
+
+    res = coll.evaluate(stats, dataset="dm_particles").get_data("pandas")
+    p = raw["particles"]
+    oracle = (
+        p.assign(speed=np.sqrt(p.vx**2 + p.vy**2 + p.vz**2))
+        .groupby("halo_tag")
+        .agg(n=("id", "size"), ms=("speed", "mean"))
+    )
+    merged = res.set_index("fof_halo_tag").join(oracle, how="inner")
+    assert len(merged) == len(res)
+    np.testing.assert_array_equal(merged.n_parts, merged.n)
+    np.testing.assert_allclose(merged.mean_speed, merged.ms, rtol=1e-5)
+
+
+def test_evaluate_insert(coll):
+    def count_parts(halo, particles, **kw):
+        return {"n_parts": len(particles)}
+
+    out = coll.evaluate(count_parts, dataset="dm_particles", insert=True)
+    src = out.source.get_data("pandas")
+    assert "n_parts" in src.columns
+
+
+def test_write_roundtrip_collection(coll, spark, tmp_path):
+    f = coll.filter(col("fof_halo_mass") > 5e13)
+    path = str(tmp_path / "coll_out")
+    oc.write(path, f)
+    re = oc.open(path)
+    assert len(re) == len(f)
+    a = f["dm_particles"].get_data("pandas").sort_values("id").reset_index(drop=True)
+    b = re["dm_particles"].get_data("pandas").sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+# ---------------------------------------------------------------------
+# lightcone
+# ---------------------------------------------------------------------
+def test_lightcone_zrange(spark, fixtures):
+    lc = oc.open(f"{fixtures}/lightcone")
+    raw = lc.get_data("pandas")
+    out = lc.with_redshift_range(0.08, 0.12)
+    expected = np.sum((raw.redshift >= 0.08) & (raw.redshift < 0.12))
+    assert len(out) == expected
+    # within one step's range: only that step survives
+    assert lc.with_steps([600]).steps == [600]
+
+
+def test_lightcone_union_is_single_frame(spark, fixtures):
+    lc = oc.open(f"{fixtures}/lightcone")
+    assert lc.steps == [600, 601]
+    assert len(lc) == 4000
+
+
+def test_lightcone_scope_global_zscore(spark, fixtures):
+    """Global scalar over the whole lightcone (reference
+    test_lc_scope_global_zscore:595)."""
+    lc = oc.open(f"{fixtures}/lightcone")
+    z = lc.select(
+        "fof_halo_tag",
+        zz=(col("fof_halo_mass") - col("fof_halo_mass").mean())
+        / col("fof_halo_mass").std(),
+    ).get_data("pandas")
+    assert abs(z.zz.mean()) < 1e-9
+    assert abs(z.zz.std(ddof=0) - 1) < 1e-9
+
+
+# ---------------------------------------------------------------------
+# healpix map
+# ---------------------------------------------------------------------
+def test_healpix_degrade(spark, fixtures):
+    hm = oc.open(f"{fixtures}/healpix_map")
+    raw = hm.get_data("pandas")
+    deg = hm.with_resolution(16)
+    assert deg.nside == 16
+    out = deg.get_data("pandas").set_index("pixel")
+    oracle = raw.assign(parent=raw.pixel // 4).groupby("parent")[["tsz", "ksz"]].mean()
+    merged = out.join(oracle, how="inner", rsuffix="_o")
+    assert len(merged) == len(out)
+    np.testing.assert_allclose(merged.tsz, merged.tsz_o, rtol=1e-9)
+    np.testing.assert_allclose(merged.ksz, merged.ksz_o, rtol=1e-9)
+
+
+def test_healpix_bound_cone(spark, fixtures):
+    from opencosmo_spark.spatial.healpix import pix2radec_nest
+
+    hm = oc.open(f"{fixtures}/healpix_map")
+    out = hm.cone_search(90.0, 45.0, 20.0)
+    pix = out.get_data("pandas").pixel.to_numpy()
+    assert len(pix) > 0
+    ra, dec = pix2radec_nest(32, pix)
+    from opencosmo_spark.spatial.region import ConeRegion
+
+    # all surviving pixel centers within radius + one pixel diagonal
+    region = ConeRegion(90.0, 45.0, 23.0)
+    assert all(region.contains_point(r, d) for r, d in zip(ra, dec))
+
+
+def test_healpix_full_sky(spark, fixtures):
+    hm = oc.open(f"{fixtures}/healpix_map")
+    full = hm.to_full_sky()
+    assert len(full) == 12 * 32 * 32
+
+
+# ---------------------------------------------------------------------
+# simulation collection
+# ---------------------------------------------------------------------
+def test_simulation_broadcast(spark, fixtures):
+    from opencosmo_spark.collection.simulation import SimulationCollection
+
+    a = oc.open(f"{fixtures}/halo_properties")
+    sc = SimulationCollection({"simA": a, "simB": a})
+    f = sc.filter(col("fof_halo_mass") > 1e13)
+    assert set(f.keys()) == {"simA", "simB"}
+    assert len(f["simA"]) == len(f["simB"]) == len(a.filter(col("fof_halo_mass") > 1e13))

@@ -1,0 +1,122 @@
+"""Unit-convention switching tests (reference test/test_units.py
+semantics, factors recomputed by hand): scalefree -> comoving divides
+out littleh; -> physical additionally applies a^(length power) with
+per-row scale factor where available.
+"""
+
+import numpy as np
+import pytest
+
+import opencosmo_spark as oc
+
+
+@pytest.fixture(scope="module")
+def halos(spark, fixtures):
+    return oc.open(f"{fixtures}/halo_properties")
+
+
+H = 0.6766
+
+
+def test_scalefree_to_comoving(halos):
+    raw = halos.get_data("numpy")
+    com = halos.with_units("comoving")
+    data = com.get_data("numpy")
+    # Msun/h -> Msun: divide by h
+    np.testing.assert_allclose(
+        data["fof_halo_mass"],
+        raw["fof_halo_mass"].astype(np.float64) / H,
+        rtol=1e-6,
+    )
+    # Mpc/h -> Mpc
+    np.testing.assert_allclose(
+        data["fof_halo_center_x"],
+        raw["fof_halo_center_x"].astype(np.float64) / H,
+        rtol=1e-6,
+    )
+    # km/s: no h -> unchanged
+    np.testing.assert_allclose(data["fof_halo_com_vx"], raw["fof_halo_com_vx"])
+    assert str(com.units["fof_halo_mass"]) == "Msun"
+    assert com.convention == "comoving"
+
+
+def test_comoving_to_physical_per_row_a(halos):
+    raw = halos.get_data("numpy")
+    phys = halos.with_units("physical")
+    data = phys.get_data("numpy")
+    a = raw["fof_halo_center_a"].astype(np.float64)
+    # positions: ×a (length power 1), after h removal
+    np.testing.assert_allclose(
+        data["fof_halo_center_x"],
+        raw["fof_halo_center_x"].astype(np.float64) / H * a,
+        rtol=1e-6,
+    )
+    # velocity km/s has length power 1 -> ×a
+    np.testing.assert_allclose(
+        data["fof_halo_com_vx"],
+        raw["fof_halo_com_vx"].astype(np.float64) * a,
+        rtol=1e-6,
+    )
+    # mass: no length dimension -> only h removal
+    np.testing.assert_allclose(
+        data["fof_halo_mass"],
+        raw["fof_halo_mass"].astype(np.float64) / H,
+        rtol=1e-6,
+    )
+
+
+def test_unitless(halos):
+    un = halos.with_units("unitless")
+    assert all(u.dimensionless_ for u in un.units.values())
+    raw = halos.get_data("numpy")
+    data = un.get_data("numpy")
+    np.testing.assert_allclose(data["fof_halo_mass"], raw["fof_halo_mass"])
+
+
+def test_per_column_conversion(halos):
+    conv = halos.with_units(conversions={"sod_halo_radius": "kpc"})
+    raw = halos.get_data("numpy")
+    data = conv.get_data("numpy")
+    np.testing.assert_allclose(
+        data["sod_halo_radius"],
+        raw["sod_halo_radius"].astype(np.float64) * 1000.0,
+        rtol=1e-6,
+    )
+    assert str(conv.units["sod_halo_radius"]) == "kpc"
+
+
+def test_filter_in_new_convention(halos):
+    from opencosmo_spark import col
+
+    com = halos.with_units("comoving")
+    raw = halos.get_data("numpy")
+    expected = np.sum(raw["fof_halo_mass"].astype(np.float64) / H > 1e13)
+    assert len(com.filter(col("fof_halo_mass") > 1e13)) == expected
+
+
+def test_derived_in_new_convention(halos):
+    from opencosmo_spark import col
+
+    com = halos.with_units("comoving")
+    d = com.with_new_columns(mm=col("fof_halo_mass") * 2.0)
+    raw = halos.get_data("numpy")
+    np.testing.assert_allclose(
+        d.get_data("numpy")["mm"],
+        raw["fof_halo_mass"].astype(np.float64) / H * 2,
+        rtol=1e-6,
+    )
+
+
+def test_lightcone_physical_uses_redshift(spark, fixtures):
+    lc = oc.open(f"{fixtures}/lightcone")
+    raw = lc.get_data("pandas")
+    phys = lc.with_units("physical")
+    data = phys.get_data("pandas")
+    a = 1.0 / (1.0 + raw["redshift"].to_numpy())
+    np.testing.assert_allclose(
+        data["fof_halo_mass"],
+        raw["fof_halo_mass"].to_numpy().astype(np.float64) / H,
+        rtol=1e-6,
+    )
+    # ra/dec are angles: untouched
+    np.testing.assert_allclose(data["ra"], raw["ra"])

@@ -1,0 +1,141 @@
+"""LLM-pipeline operator tests: dedup finds planted duplicates,
+similarity matches numpy oracles, text features behave.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    base = docs.limit(50).toPandas()
+    dup = base.copy()
+    dup["doc_id"] = dup["doc_id"] + 100000  # exact dups
+    near = base.copy()
+    near["doc_id"] = near["doc_id"] + 200000
+    near["text"] = near["text"] + " extra tail token"  # near dups
+    return spark.createDataFrame(pd.concat([base, dup, near]))
+
+
+def test_exact_dedup(docs_with_dups):
+    from opencosmo_spark.pipeline import exact_dedup
+
+    out = exact_dedup(docs_with_dups).toPandas()
+    dup_groups = out[out.n >= 2]
+    assert len(dup_groups) == 50  # each original + its exact copy
+    # keep-first: min doc_id survives
+    assert (dup_groups.keep_doc_id < 100000).all()
+
+
+def test_minhash_finds_near_dups(docs_with_dups):
+    from opencosmo_spark.pipeline import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(
+        docs_with_dups, jaccard_threshold=0.5
+    ).toPandas()
+    # exact duplicates must pair with jaccard 1.0
+    exact = pairs[(pairs.a < 100000) & (pairs.b == pairs.a + 100000)]
+    assert len(exact) == 50
+    assert (exact.jaccard == 1.0).all()
+    # near-duplicates (small tail added) found with high jaccard
+    near = pairs[(pairs.a < 100000) & (pairs.b == pairs.a + 200000)]
+    assert len(near) >= 45
+    assert (near.jaccard > 0.7).all()
+
+
+def test_simhash_near_dups_close(docs_with_dups):
+    from opencosmo_spark.pipeline import simhash
+
+    out = simhash(docs_with_dups).toPandas().set_index("doc_id")
+
+    def hamming(a, b):
+        return bin((int(a) & 0xFFFFFFFFFFFFFFFF) ^ (int(b) & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    base_ids = [i for i in out.index if i < 100000]
+    d_near = [
+        hamming(out.simhash[i], out.simhash[i + 200000])
+        for i in base_ids
+        if i + 200000 in out.index
+    ]
+    rng = np.random.default_rng(0)
+    others = rng.choice(base_ids, 20)
+    d_rand = [
+        hamming(out.simhash[a], out.simhash[b])
+        for a, b in zip(others[:10], others[10:])
+        if a != b
+    ]
+    assert np.mean(d_near) < np.mean(d_rand) / 2
+    # exact dups: identical simhash
+    assert all(
+        out.simhash[i] == out.simhash[i + 100000]
+        for i in base_ids
+        if i + 100000 in out.index
+    )
+
+
+def test_cosine_topk_matches_numpy(spark):
+    from opencosmo_spark.pipeline import brute_force_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pdf = emb.toPandas()
+    mat = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    q = mat[0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf.vec_id.to_numpy(), -np.round(sims, 6)))[:5]
+    expected = set(pdf.vec_id.to_numpy()[order])
+    out = brute_force_cosine_topk(emb, list(q), k=5).toPandas()
+    assert set(out.vec_id) == expected
+
+
+def test_lsh_ann_contains_query(spark):
+    from opencosmo_spark.pipeline import lsh_bucket_ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pdf = emb.limit(1).toPandas()
+    q = list(np.asarray(pdf.embedding[0], dtype=float))
+    out = lsh_bucket_ann(emb, q, k=5).toPandas()
+    # the query vector itself must be its own nearest neighbor
+    assert out.vec_id.iloc[0] == pdf.vec_id[0]
+    assert out.cos_sim.iloc[0] == pytest.approx(1.0)
+
+
+def test_ngram_jaccard(docs_with_dups):
+    from opencosmo_spark.pipeline import ngram_jaccard_pairs
+
+    small = docs_with_dups.filter(F.col("doc_id") % 5 == 0)
+    pairs = ngram_jaccard_pairs(small, threshold=0.9).toPandas()
+    exact = pairs[(pairs.a < 100000) & (pairs.b == pairs.a + 100000)]
+    assert (exact.jaccard == 1.0).all() and len(exact) > 0
+
+
+def test_text_features(docs):
+    from opencosmo_spark.pipeline.text import add_text_features
+
+    out = add_text_features(docs).limit(100).toPandas()
+    assert (out.n_tokens > 0).all()
+    assert out.quality.between(0, 1).all()
+    assert out.lang_id.isin(["en", "de", "fr", "es", "unknown"]).all()
+    assert out.fingerprint.str.len().eq(32).all()
+
+
+def test_langid_real_sentences(spark):
+    # the synthetic corpus uses one shared vocabulary for every lang
+    # value, so accuracy is measured on real sentences instead
+    from opencosmo_spark.pipeline.text import language_id
+
+    samples = [
+        ("en", "the cat sat on a mat and the dog barked at the end of it"),
+        ("de", "der hund und die katze sind in das haus gegangen und der tag ist gut"),
+        ("fr", "le chien et la maison sont dans les champs et la nuit est belle"),
+        ("es", "el perro y la casa de madera que es grande y la noche es buena"),
+    ]
+    df = spark.createDataFrame(samples, "lang string, text string")
+    out = df.select("lang", language_id(F.col("text")).alias("guess")).toPandas()
+    assert (out.lang == out.guess).all(), out.to_dict("records")
