@@ -1,0 +1,100 @@
+"""Analysis helpers: the map-reduce surface.
+
+Parity target: reference ``python/opencosmo/analysis/mpi.py:21-196``
+(``analysis.reduce``: evaluate per rank, MPI-combine SUM/PROD/AVG) and
+the halo-mass-function idiom (:54-58). Spark realization: partial
+results per Arrow batch via ``mapInPandas`` combined by a global
+aggregation — or, for histogram-shaped reductions, a direct
+``groupBy(bin).count()`` that never materializes per-rank partials.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def reduce(
+    ds,
+    func: Callable,
+    operation: str = "sum",
+    **kwargs,
+) -> np.ndarray | float:
+    """Apply ``func`` per Arrow batch; combine partial arrays with
+    SUM / PROD / AVG (reference analysis/mpi.py operations).
+
+    ``func(**columns)`` receives numpy arrays for the columns named in
+    its signature and must return a numpy array (e.g. a histogram) —
+    partials combine associatively, so the result equals a single-pass
+    evaluation.
+    """
+    import inspect
+
+    from pyspark.sql import types as T
+
+    cols = [p for p in inspect.signature(func).parameters if p in ds.columns]
+    if not cols:
+        raise ValueError("function references no dataset columns")
+
+    probe = ds.spark_df.select(*cols).limit(4).toPandas()
+    sample = func(**{c: probe[c].to_numpy() for c in cols}, **kwargs)
+    sample = np.atleast_1d(np.asarray(sample, dtype=np.float64))
+    width = len(sample)
+    schema = T.StructType(
+        [T.StructField("partial", T.ArrayType(T.DoubleType())), T.StructField("n", T.LongType())]
+    )
+    fn = func
+
+    def per_batch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = fn(**{c: pdf[c].to_numpy() for c in cols}, **kwargs)
+            out = np.atleast_1d(np.asarray(out, dtype=np.float64))
+            yield pd.DataFrame({"partial": [out.tolist()], "n": [len(pdf)]})
+
+    partials = ds.spark_df.select(*cols).mapInPandas(per_batch, schema)
+    idx = list(range(width))
+    flat = partials.select(
+        F.col("n"), *[F.col("partial")[i].alias(f"p{i}") for i in idx]
+    )
+    if operation in ("sum", "avg"):
+        aggs = [F.sum(f"p{i}").alias(f"p{i}") for i in idx]
+    elif operation == "prod":
+        # product via exp(sum(log)) is lossy; collect partials instead
+        rows = flat.collect()
+        acc = np.ones(width)
+        for r in rows:
+            acc *= np.array([r[f"p{i}"] for i in idx])
+        return acc if width > 1 else float(acc[0])
+    else:
+        raise ValueError(f"unknown operation {operation!r}")
+    row = flat.agg(F.sum("n").alias("n"), *aggs).collect()[0]
+    total = np.array([row[f"p{i}"] for i in idx])
+    if operation == "avg":
+        n_batches = partials.count()
+        total = total / n_batches
+    return total if width > 1 else float(total[0])
+
+
+def halo_mass_function(
+    ds,
+    mass_col: str = "fof_halo_mass",
+    bins: int = 20,
+    lo: float = 11.0,
+    hi: float = 15.0,
+) -> DataFrame:
+    """HMF as a native hash aggregate: groupBy(log-mass bin).count()
+    — the scale path (no driver-side arrays at any size)."""
+    width = (hi - lo) / bins
+    b = F.floor((F.log10(F.col(mass_col)) - F.lit(lo)) / F.lit(width))
+    b = F.greatest(F.lit(-1), F.least(F.lit(bins), b)).cast("long")
+    return (
+        ds.spark_df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("log_mass_lo", F.lit(lo) + F.col("bin") * F.lit(width))
+    )

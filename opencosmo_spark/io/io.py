@@ -112,6 +112,7 @@ def write_dataset(path: str, ds, overwrite: bool = False) -> None:
 
 
 def _open_single(spark: SparkSession, path: str):
+    from ..plugins import fire
     from ..collection.lightcone import Lightcone
     from ..collection.healpix_map import HealpixMap
 
@@ -119,7 +120,7 @@ def _open_single(spark: SparkSession, path: str):
         os.path.join(path, HEADER_FILE)
     ):
         # bare parquet: no sidecar metadata
-        return Dataset(spark.read.parquet(path))
+        return fire("dataset_open", Dataset(spark.read.parquet(path)))
     with open(os.path.join(path, HEADER_FILE)) as f:
         sidecar = json.load(f)
     df = spark.read.parquet(os.path.join(path, DATA_DIR))
@@ -133,10 +134,12 @@ def _open_single(spark: SparkSession, path: str):
     )
     dtype = sidecar.get("type", "dataset")
     if dtype == "healpix_map":
-        return HealpixMap(df, nside=int(sidecar["extra"]["nside"]), **kwargs)
-    if dtype == "lightcone":
-        return Lightcone(df, **kwargs)
-    return Dataset(df, **kwargs)
+        out = HealpixMap(df, nside=int(sidecar["extra"]["nside"]), **kwargs)
+    elif dtype == "lightcone":
+        out = Lightcone(df, **kwargs)
+    else:
+        out = Dataset(df, **kwargs)
+    return fire("dataset_open", out)
 
 
 def open_files(*paths: str, **flags):

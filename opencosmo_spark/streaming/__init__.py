@@ -1,0 +1,23 @@
+"""Structured Streaming surface.
+
+The reference is pure batch (SURVEY §1.3) — this module is part of the
+beyond-parity scope: the same engine operators applied to unbounded
+event streams. Batch DataFrame queries (the `events` table operators)
+carry over verbatim; this adds the streaming execution shell:
+watermarks, windowed aggregation, sessionization, and a stateful
+custom-operator hook.
+"""
+
+from .events import (
+    read_event_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+    windowed_aggregate,
+)
+
+__all__ = [
+    "read_event_stream",
+    "windowed_aggregate",
+    "sessionize_stream",
+    "run_stream_to_memory",
+]

@@ -1,0 +1,109 @@
+"""Streaming operators over event tables.
+
+Design: identical logical transformations to the batch operators
+(bench q28 tumbling window, q37 sessionize) expressed on an unbounded
+source — Catalyst plans incremental execution; watermarks bound state.
+At scale the source would be Kafka; locally the parquet directory
+source provides exactly-once file streaming for tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based event stream with a proper event-time column."""
+    import os
+
+    if os.path.isfile(path):
+        raise ValueError(
+            "the streaming file source needs a DIRECTORY of parquet "
+            "files (new files appended = new micro-batches); got a "
+            f"single file: {path}"
+        )
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return raw.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_aggregate(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts + sums per type."""
+    w = (
+        F.window("event_time", window, slide)
+        if slide
+        else F.window("event_time", window)
+    )
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(w, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user via the native session_window operator
+    (the streaming twin of the batch lag/cumsum sessionizer)."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming query to completion against the current file
+    set (test/smoke harness): memory sink + processAllAvailable."""
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

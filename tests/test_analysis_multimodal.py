@@ -1,0 +1,126 @@
+"""analysis.reduce, halo_mass_function, multimodal plumbing, plugins."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import opencosmo_spark as oc
+from opencosmo_spark import analysis, plugins
+
+
+@pytest.fixture(scope="module")
+def halos(spark, fixtures):
+    return oc.open(f"{fixtures}/halo_properties")
+
+
+def test_reduce_histogram(halos):
+    def hist(fof_halo_mass):
+        h, _ = np.histogram(np.log10(fof_halo_mass), bins=8, range=(11, 15))
+        return h
+
+    total = analysis.reduce(halos, hist, operation="sum")
+    raw = halos.get_data("numpy")["fof_halo_mass"]
+    expected, _ = np.histogram(np.log10(raw), bins=8, range=(11, 15))
+    np.testing.assert_array_equal(total.astype(int), expected)
+
+
+def test_reduce_scalar(halos):
+    def total_mass(fof_halo_mass):
+        return np.sum(fof_halo_mass, dtype=np.float64)
+
+    s = analysis.reduce(halos, total_mass, operation="sum")
+    raw = halos.get_data("numpy")["fof_halo_mass"].astype(np.float64)
+    assert s == pytest.approx(raw.sum(), rel=1e-9)
+
+
+def test_halo_mass_function(halos):
+    hmf = analysis.halo_mass_function(halos, bins=8, lo=11, hi=15).toPandas()
+    raw = halos.get_data("numpy")["fof_halo_mass"]
+    expected, _ = np.histogram(np.log10(raw), bins=8, range=(11, 15))
+    got = hmf[(hmf.bin >= 0) & (hmf.bin < 8)].set_index("bin").n
+    np.testing.assert_array_equal(
+        got.reindex(range(8), fill_value=0).to_numpy(), expected
+    )
+
+
+# ---------------------------------------------------------------------
+def _media_frame(n=20):
+    rng = np.random.default_rng(3)
+    return pd.DataFrame(
+        {
+            "media_id": np.arange(n, dtype=np.int64),
+            "kind": ["image" if i % 2 == 0 else "video" for i in range(n)],
+            "payload": [rng.bytes(256) for _ in range(n)],
+            "mime": ["image/png" if i % 2 == 0 else "video/mp4" for i in range(n)],
+            "width": np.full(n, 64, dtype=np.int32),
+            "height": np.full(n, 64, dtype=np.int32),
+            "duration_ms": np.where(np.arange(n) % 2 == 0, 0, 3500).astype(np.int64),
+        }
+    )
+
+
+def test_multimodal_features(spark):
+    from opencosmo_spark.pipeline.multimodal import MEDIA_SCHEMA, decode_image_features
+
+    df = spark.createDataFrame(_media_frame(), MEDIA_SCHEMA)
+    out = decode_image_features(df, feature_dim=16).toPandas()
+    assert len(out) == 20
+    assert all(len(f) == 16 for f in out.features)
+    # deterministic: same payload -> same features
+    again = decode_image_features(df, feature_dim=16).toPandas()
+    a = np.stack(out.sort_values("media_id").features.to_numpy())
+    b = np.stack(again.sort_values("media_id").features.to_numpy())
+    np.testing.assert_array_equal(a, b)
+    assert (out.decoder == "stub-sha256").all()
+
+
+def test_multimodal_requires_real_codec_raises(spark):
+    from opencosmo_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+    )
+
+    df = spark.createDataFrame(_media_frame(4), MEDIA_SCHEMA)
+    with pytest.raises(NotImplementedError):
+        decode_image_features(df, require_real_codec=True)
+
+
+def test_video_frame_sampling(spark):
+    from opencosmo_spark.pipeline.multimodal import MEDIA_SCHEMA, sample_video_frames
+
+    df = spark.createDataFrame(_media_frame(), MEDIA_SCHEMA)
+    frames = sample_video_frames(df.filter("kind = 'video'"), every_ms=1000).toPandas()
+    # 3500ms at 1000ms -> 3 frames per video, 10 videos
+    assert len(frames) == 30
+    assert set(frames.frame_idx) == {0, 1, 2}
+    assert (frames.t_ms == frames.frame_idx * 1000).all()
+
+
+def test_media_stats(spark):
+    from opencosmo_spark.pipeline.multimodal import MEDIA_SCHEMA, media_stats
+
+    df = spark.createDataFrame(_media_frame(), MEDIA_SCHEMA)
+    out = media_stats(df).toPandas().set_index("kind")
+    assert out.loc["image", "n"] == 10
+    assert out.loc["video", "total_bytes"] == 10 * 256
+
+
+# ---------------------------------------------------------------------
+def test_plugin_hooks(spark, fixtures):
+    calls = []
+
+    @plugins.register("dataset_open")
+    def on_open(ds):
+        calls.append(type(ds).__name__)
+        return ds
+
+    try:
+        oc.open(f"{fixtures}/halo_properties")
+        assert calls == ["Dataset"]
+    finally:
+        plugins.clear()
+
+
+def test_plugin_unknown_context():
+    with pytest.raises(ValueError):
+        plugins.register("bogus")
