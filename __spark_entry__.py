@@ -554,6 +554,42 @@ def q37_sessionize(spark, sf):
     return sess.groupBy("user_id").agg(F.max("sid").alias("n_sessions"))
 
 
+def q38_quality_score(spark, sf):
+    from opencosmo_spark.pipeline.text import quality_score
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+def q39_ngram_jaccard(spark, sf):
+    # exact n-gram Jaccard dedup (all pairs here; at scale pass
+    # minhash_lsh_candidates as the candidate frame)
+    from opencosmo_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, k=3, threshold=0.5)
+
+
+def q40_ann_lsh(spark, sf):
+    # bucketed ANN scale path: random-hyperplane LSH, Hamming<=1 probing
+    from opencosmo_spark.pipeline.similarity import lsh_bucket_ann
+
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return lsh_bucket_ann(emb, [float(x) for x in qv], k=10, planes=8, seed=7)
+
+
+def q41_token_bpe(spark, sf):
+    from opencosmo_spark.pipeline.text import token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text", "whitespace").alias("n_ws"),
+        token_count("text", "bpe").alias("n_bpe"),
+    )
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -596,7 +632,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_minhash_lsh": q35_minhash_lsh,
         "q36_simhash": q36_simhash,
         "q37_sessionize": q37_sessionize,
+        "q38_quality_score": q38_quality_score,
+        "q39_ngram_jaccard": q39_ngram_jaccard,
+        "q40_ann_lsh": q40_ann_lsh,
+        "q41_token_bpe": q41_token_bpe,
     }
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, planes: int = 8, seed: int = 7) -> str:
+    """DuckDB oracle for q40: regenerate the seed-deterministic
+    hyperplanes used by ``lsh_bucket_ann`` and embed them as literals."""
+    import random
+
+    rng = random.Random(seed)
+    hps = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(v) for v in hp)}]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, hp in enumerate(hps)
+    )
+    probe = ", ".join(str(1 << i) for i in range(planes))
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, {bucket_terms} AS bucket FROM embeddings
+        ), q AS (
+          SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0
+        ), c AS (
+          SELECT b.vec_id, b.embedding, q.qv FROM b, q
+          WHERE b.bucket = q.qb OR xor(b.bucket, q.qb) IN ({probe})
+        ), z AS (
+          SELECT vec_id,
+                 CAST(UNNEST(embedding) AS DOUBLE) AS a,
+                 CAST(UNNEST(qv) AS DOUBLE) AS qvv
+          FROM c
+        )
+        SELECT vec_id,
+               round(SUM(a*qvv) / (sqrt(SUM(a*a)) * sqrt(SUM(qvv*qvv))), 6)
+               AS cos_sim
+        FROM z GROUP BY vec_id ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -854,6 +928,54 @@ def oracle_sql() -> dict[str, str]:
               FROM f
             )
             SELECT user_id, max(sid) AS n_sessions FROM s GROUP BY user_id
+        """,
+        "q38_quality_score": """
+            WITH m AS (
+              SELECT doc_id,
+                     length(text) AS len,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                     length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS punct
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     least(len / 500.0, 1.0) AS len_score,
+                     CASE WHEN CAST(alpha AS DOUBLE) / greatest(n_tok, 1)
+                               BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END AS word_score,
+                     CAST(alpha AS DOUBLE) / greatest(len, 1) AS alpha_ratio,
+                     CASE WHEN CAST(punct AS DOUBLE) / greatest(len, 1) < 0.1
+                          THEN 1.0 ELSE 0.3 END AS punct_score
+              FROM m
+            )
+            SELECT doc_id,
+                   round(0.3*len_score + 0.2*word_score
+                         + 0.3*alpha_ratio + 0.2*punct_score, 6) AS quality
+            FROM s
+        """,
+        "q39_ngram_jaccard": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(words) - 2, 1) + 1),
+                       i -> array_to_string(words[i:i+2], ' '))) AS sh
+              FROM w
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+            FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+            WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.5
+        """,
+        "q40_ann_lsh": _ann_lsh_oracle_sql(),
+        "q41_token_bpe": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe
+            FROM documents
         """,
         # q35_minhash_lsh / q36_simhash: engine-hash-based, not
         # SQL-expressible -> rows-only check by design

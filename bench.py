@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "q33_cosine_topk",
     "q35_minhash_lsh",
     "q37_sessionize",
+    "q40_ann_lsh",
 ]
 
 

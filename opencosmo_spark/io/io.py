@@ -125,6 +125,10 @@ def _open_single(spark: SparkSession, path: str):
         sidecar = json.load(f)
     df = spark.read.parquet(os.path.join(path, DATA_DIR))
     header = OpenCosmoHeader.from_json(json.dumps(sidecar.get("header", {})))
+    if "__cell_id" in df.columns:
+        # storage-resident cell column: bound() may emit the INSET pruning
+        # predicate (row-group stats on the clustered column make it pay)
+        header.extra["cell_materialized"] = True
     units = {c: parse_unit(u) for c, u in sidecar.get("units", {}).items()}
     kwargs = dict(
         header=header,

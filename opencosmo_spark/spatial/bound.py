@@ -108,24 +108,30 @@ def bound_dataset(ds, region, select_by=None):
     coords = find_coords(ds.columns, dims, select_by)
     exact = exact_predicate(region, coords)
 
-    # two-phase pruning via the ingest-time cell column
-    if dims == 3 and CELL_COL in df.columns and header.box_size:
+    # Two-phase pruning via the ingest-time cell column. The exact
+    # predicate already implies cell ∈ interior ∪ boundary (the cell walk
+    # covers the region), so the INSET's only value is Parquet row-group /
+    # partition pruning — worth evaluating ONLY when the cell column is
+    # materialized in storage (sidecar-opened data). For a derived cell
+    # expression the INSET would inline the whole morton chain per probe
+    # and cost far more than the 6-comparison exact test it implies.
+    if (
+        dims == 3
+        and CELL_COL in df.columns
+        and header.box_size
+        and header.extra.get("cell_materialized")
+    ):
         level = int(header.extra.get("tree_level", 4))
         interior, boundary = region_to_cells(
             region, [0.0, 0.0, 0.0], float(header.box_size), level, dims=3
         )
-        if interior or boundary:
-            cell = F.col(CELL_COL)
-            pred = None
-            if interior:
-                pred = cell.isin(interior)
-            if boundary:
-                b = cell.isin(boundary) & exact
-                pred = b if pred is None else (pred | b)
-            out = df.filter(pred)
-        else:
-            out = df.filter(F.lit(False))
-        return ds._clone(out, region=region)
+        if not (interior or boundary):
+            return ds._clone(df.filter(F.lit(False)), region=region)
+        # interior ∪ (boundary ∧ exact) ≡ (cell ∈ interior∪boundary) ∧ exact
+        # for a precise exact predicate: one INSET probe instead of two,
+        # same rows, same row-group pruning on the clustered cell column.
+        pred = F.col(CELL_COL).isin(interior + boundary) & exact
+        return ds._clone(df.filter(pred), region=region)
 
     # no spatial index: exact predicate only (still pushed to Parquet
     # row groups when data is clustered on the coordinate columns)
