@@ -11,6 +11,7 @@ custom-operator hook.
 from .events import (
     read_event_stream,
     run_stream_to_memory,
+    running_user_stats,
     sessionize_stream,
     windowed_aggregate,
 )
@@ -19,5 +20,6 @@ __all__ = [
     "read_event_stream",
     "windowed_aggregate",
     "sessionize_stream",
+    "running_user_stats",
     "run_stream_to_memory",
 ]

@@ -91,6 +91,71 @@ def sessionize_stream(
     )
 
 
+def running_user_stats(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum, max)
+    maintained across micro-batches via ``applyInPandasWithState`` —
+    the escape hatch for stateful logic the built-in windowed/session
+    aggregates can't express (here: emit an updated running row per
+    user per batch, monotone across restarts from the state store).
+
+    State is one (count, sum, vmax) triple per user — O(users), not
+    O(events); the shuffle partitions by user_id exactly like the
+    batch q27/q37 twins.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("m", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += int(len(pdf))
+            s += float(pdf["value"].sum())
+            if len(pdf):
+                m = max(m, float(pdf["value"].max()))
+        state.update((n, s, m))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "max_value": [m],
+            }
+        )
+
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, mode: str = "append"
 ) -> DataFrame:

@@ -179,10 +179,20 @@ class Unit:
         for sym, p in self.powers:
             tgt = num if p > 0 else den
             q = abs(p)
-            tgt.append(sym if q == 1 else f"{sym}^{q}")
+            if q == 1:
+                tgt.append(sym)
+            elif q.denominator == 1:
+                tgt.append(f"{sym}^{q}")
+            else:
+                # fractional exponent needs parens: Mpc^1/2 would
+                # parse as (Mpc^1)/2
+                tgt.append(f"{sym}^({q})")
         s = " ".join(num) if num else "1"
         if den:
-            s += " / " + " ".join(den)
+            # parenthesize multi-factor denominators: "1 / Mpc Msun"
+            # would parse as (1/Mpc)*Msun under standard precedence
+            d = " ".join(den)
+            s += " / " + (f"({d})" if len(den) > 1 else d)
         return f"dex({s})" if self.is_dex else s
 
     def __repr__(self) -> str:  # pragma: no cover
@@ -298,7 +308,16 @@ class _Parser:
         if self.peek() == "^":
             self.next()
             exp = self.next()
-            u = u.pow(Fraction(exp))
+            if exp == "(":
+                frac = Fraction(self.next())
+                if self.peek() == "/":
+                    self.next()
+                    frac /= Fraction(self.next())
+                if self.next() != ")":
+                    raise UnitError("unbalanced parens in exponent")
+                u = u.pow(frac)
+            else:
+                u = u.pow(Fraction(exp))
         return u
 
     def parse_group(self) -> Unit:

@@ -1,0 +1,143 @@
+"""Property-based invariants (hypothesis) for the driver-side math the
+spatial and unit subsystems depend on. Pure Python — no SparkSession —
+so these run in milliseconds and explore far more geometry than the
+example-based tests.
+
+Invariants mirror what the reference guarantees structurally:
+* region→cells soundness: every point of the region lands in an
+  interior or boundary cell (reference octree query completeness,
+  octree.py:131-177);
+* interior precision: interior cells are fully inside the region (their
+  rows may skip the exact test, dataset.py:399-427);
+* morton encoding is injective per level;
+* unit algebra is a group action with exact rational exponents.
+"""
+
+from fractions import Fraction
+
+from hypothesis import given, settings, strategies as st
+
+from opencosmo_spark.spatial.octree import _morton_encode, region_to_cells
+from opencosmo_spark.spatial.region import (
+    BoxRegion,
+    ConeRegion,
+    make_box,
+    make_cone,
+    make_skybox,
+)
+from opencosmo_spark.units import Unit, parse_unit
+
+LEVEL = 3  # 8^3 = 512 cells: fast yet non-trivial
+
+
+def cell_of_point(p, level=LEVEL):
+    """Driver-side twin of octree.morton_cell_column."""
+    n = 1 << level
+    coords = tuple(max(0, min(n - 1, int(x * n))) for x in p)
+    return _morton_encode(coords, level)
+
+
+coord = st.floats(0.0, 1.0, exclude_max=True, allow_nan=False, width=64)
+boxes = st.tuples(
+    st.tuples(coord, coord, coord), st.tuples(coord, coord, coord)
+).map(
+    lambda ps: make_box(
+        tuple(min(a, b) for a, b in zip(*ps)),
+        tuple(min(max(a, b) + 1e-9, 1.0) for a, b in zip(*ps)),
+    )
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(region=boxes, p=st.tuples(coord, coord, coord))
+def test_region_cells_sound(region, p):
+    """point ∈ region ⟹ its cell was emitted (interior or boundary)."""
+    interior, boundary = region_to_cells(
+        region, [0.0, 0.0, 0.0], 1.0, LEVEL, dims=3
+    )
+    if region.contains_point(p):
+        assert cell_of_point(p) in set(interior) | set(boundary)
+
+
+@settings(max_examples=100, deadline=None)
+@given(region=boxes, p=st.tuples(coord, coord, coord))
+def test_interior_cells_precise(region, p):
+    """point in an interior cell ⟹ point ∈ region (rows in interior
+    cells may legally skip the exact geometric test)."""
+    interior, _ = region_to_cells(region, [0.0, 0.0, 0.0], 1.0, LEVEL, dims=3)
+    if cell_of_point(p) in set(interior):
+        assert region.contains_point(p)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a=st.tuples(*[st.integers(0, 7)] * 3),
+    b=st.tuples(*[st.integers(0, 7)] * 3),
+)
+def test_morton_injective(a, b):
+    if a != b:
+        assert _morton_encode(a, 3) != _morton_encode(b, 3)
+    assert 0 <= _morton_encode(a, 3) < 512
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    c1=st.tuples(st.floats(0, 360), st.floats(-80, 80), st.floats(0.1, 20)),
+    c2=st.tuples(st.floats(0, 360), st.floats(-80, 80), st.floats(0.1, 20)),
+)
+def test_cone_contains_implies_intersects(c1, c2):
+    a, b = make_cone(c1[:2], c1[2]), make_cone(c2[:2], c2[2])
+    if a.contains(b):
+        assert a.intersects(b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(region=boxes, other=boxes)
+def test_box_contains_implies_intersects(region, other):
+    if region.contains(other):
+        assert region.intersects(other)
+
+
+units = st.dictionaries(
+    st.sampled_from(["Mpc", "Msun", "km", "s", "h"]),
+    st.sampled_from(
+        [Fraction(n, d) for n in range(-6, 7) for d in (1, 2, 3) if n]
+    ),
+    max_size=3,
+).map(lambda d: Unit.of(**{k: v for k, v in d.items() if v}))
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=units, b=units)
+def test_unit_group_laws(a, b):
+    assert (a * b) / b == a
+    assert a * Unit.dimensionless() == a
+    assert (a * b).pow(2) == a.pow(2) * b.pow(2)
+    assert a.pow(2).sqrt() == a
+
+
+@settings(max_examples=200, deadline=None)
+@given(u=units)
+def test_unit_str_roundtrip(u):
+    assert parse_unit(str(u)) == u
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    p=st.integers(1, 3),
+)
+def test_conversion_factor_inverse(p):
+    a, b = Unit.of(Mpc=p), Unit.of(km=p)
+    f, g = a.conversion_factor(b), b.conversion_factor(a)
+    assert abs(f * g - 1.0) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    ra=st.floats(0, 360, allow_nan=False),
+    dec=st.floats(-90, 90, allow_nan=False),
+)
+def test_skybox_membership_consistent(ra, dec):
+    sb = make_skybox((10.0, -20.0), (50.0, 20.0))
+    inside = 10.0 <= ra % 360.0 <= 50.0 and -20.0 <= dec <= 20.0
+    assert sb.contains_point(ra, dec) == inside

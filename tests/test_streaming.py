@@ -67,3 +67,30 @@ def test_sessionize_stream_runs(spark, events_dir):
     for _, g in out.groupby("user_id"):
         g = g.sort_values("session_start")
         assert (g.session_start.shift(-1)[:-1] >= g.session_end[:-1]).all()
+
+
+def test_running_user_stats_matches_batch(spark, batch_events, events_dir):
+    from opencosmo_spark.streaming import running_user_stats
+
+    stream = read_event_stream(spark, events_dir)
+    out = run_stream_to_memory(
+        running_user_stats(stream), "run_out", mode="update"
+    ).toPandas()
+    assert len(out) > 0
+    # the LAST update per user must equal the batch aggregate (state
+    # accumulated across both micro-batches)
+    final = out.groupby("user_id").last()
+    batch = (
+        batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    merged = final.join(batch, lsuffix="_s", rsuffix="_b")
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert (abs(merged.sum_value_s - merged.sum_value_b) < 1e-6).all()
+    assert (merged.max_value_s == merged.max_value_b).all()
