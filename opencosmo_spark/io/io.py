@@ -93,10 +93,17 @@ def write_dataset(path: str, ds, overwrite: bool = False) -> None:
 
     os.makedirs(path)
     df = ds.spark_df
-    # cluster on the spatial cell for row-group pruning on re-open
+    # Cluster on the spatial cell for pruning on re-open: range-partition
+    # so each output FILE owns a contiguous cell range (file-level skip),
+    # then sort within partitions so row-group min/max stats are tight.
+    # One extra shuffle at write time buys every future spatial query
+    # its partition pruning — the 100 TB trade the reference makes with
+    # its tree-ordered HDF5 layout (SPEC.md:56-60).
     for cluster_col in ("__cell_id", "pixel_cell", "pixel"):
         if cluster_col in df.columns:
-            df = df.sortWithinPartitions(cluster_col)
+            df = df.repartitionByRange(cluster_col).sortWithinPartitions(
+                cluster_col
+            )
             break
     df.write.mode("overwrite").parquet(os.path.join(path, DATA_DIR))
     sidecar = {
