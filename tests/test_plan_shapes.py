@@ -1,0 +1,127 @@
+"""Physical-plan shape regressions.
+
+Correctness tests prove the operators compute the right rows; these
+prove Catalyst picks the *physical strategy we designed for scale*
+(SCALE.md). A refactor that silently turns a broadcast join into a
+sort-merge join, adds a shuffle to a spatial restrict, or drops
+TakeOrderedAndProject from top-k still passes every oracle — only a
+plan assertion catches it before it costs 100× at 100 TB.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, qname: str) -> str:
+    df = entry.queries()[qname](spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def count_in(plan: str, token: str) -> int:
+    return plan.count(token)
+
+
+def nodes(plan: str) -> list[str]:
+    """Physical operator names from the formatted plan's detail list."""
+    import re
+
+    return re.findall(r"\(\d+\) (\w+)", plan)
+
+
+def partitionings(plan: str) -> list[str]:
+    import re
+
+    return re.findall(r"Arguments: (\w+)partitioning", plan)
+
+
+def test_q22_dims_broadcast_one_shuffle(spark):
+    """4-table star join: every dimension broadcasts; the only exchange
+    is the final group-by's."""
+    plan = plan_of(spark, "q22_join_nested_agg")
+    n = nodes(plan)
+    assert n.count("BroadcastHashJoin") == 3
+    assert n.count("SortMergeJoin") == 0
+    # one shuffle for the aggregation; dims move by broadcast only
+    assert n.count("Exchange") == 1
+    assert partitionings(plan) == ["hash"]
+
+
+def test_q21_semi_cascade_broadcasts(spark):
+    plan = plan_of(spark, "q21_semi_cascade")
+    assert "LeftSemi" in plan
+    assert count_in(plan, "SortMergeJoin") == 0
+
+
+def test_q29_spatial_no_shuffle_no_udf(spark):
+    """Spatial restrict = scan + filter in one codegen stage."""
+    plan = plan_of(spark, "q29_spatial_box")
+    assert count_in(plan, "Exchange") == 0
+    assert "BatchEvalPython" not in plan
+    assert "codegen id" in plan
+
+
+def test_q08_topk_is_take_ordered(spark):
+    """sort_by().take(n) must never plan a global sort."""
+    plan = plan_of(spark, "q08_sort_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "range" not in partitionings(plan)
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    plan = plan_of(spark, "q01_scan_filter_project")
+    assert "PushedFilters: [" in plan
+    # the pushed-filter list must be non-empty
+    assert "PushedFilters: []" not in plan
+
+
+def test_q15_partial_aggregation(spark):
+    """TPC-H Q1 must map-side combine (two HashAggregates around one
+    exchange), not shuffle raw rows."""
+    plan = plan_of(spark, "q15_tpch_q1")
+    n = nodes(plan)
+    assert n.count("HashAggregate") >= 2
+    # one hash exchange (partial->final agg) + one range (final sort)
+    assert sorted(partitionings(plan)) == ["hash", "range"]
+
+
+def test_q35_minhash_no_cartesian(spark):
+    """LSH candidate generation must be a key join, never a cross."""
+    plan = plan_of(spark, "q35_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_python_udf_in_jvm_operators(spark):
+    """Every operator that claims 'built-in expressions only' must not
+    plan a Python eval node."""
+    for q in (
+        "q30_text_stats",
+        "q31_dedup_fingerprint",
+        "q32_langid",
+        "q33_cosine_topk",
+        "q35_minhash_lsh",
+        "q36_simhash",
+        "q38_quality_score",
+        "q40_ann_lsh",
+        "q41_token_bpe",
+    ):
+        plan = plan_of(spark, q)
+        assert "BatchEvalPython" not in plan, q
+        assert "ArrowEvalPython" not in plan, q
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection over lineitem must not read all 16 cols."""
+    plan = plan_of(spark, "q01_scan_filter_project")
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no parquet scan in plan"
+    ncols = len([c for c in m.group(1).split(",") if c])
+    assert ncols <= 6, f"scan reads {ncols} columns: {m.group(1)}"
