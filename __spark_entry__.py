@@ -590,6 +590,36 @@ def q41_token_bpe(spark, sf):
     )
 
 
+def q42_unit_convention(spark, sf):
+    # §2.9 unit layer end-to-end: scalefree -> physical (littleh removal
+    # x scale-factor) plus a per-column km -> m conversion, all as a
+    # Catalyst projection rewrite (constants folded; no data pass).
+    from opencosmo_spark import Dataset, OpenCosmoHeader
+    from opencosmo_spark.header import Cosmology
+    from opencosmo_spark.units import parse_unit
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    header = OpenCosmoHeader(cosmology=Cosmology(H0=70.0), redshift=0.25)
+    ds = Dataset(
+        li,
+        header=header,
+        units={
+            "l_extendedprice": parse_unit("Mpc / h"),
+            "l_quantity": parse_unit("km"),
+        },
+        convention="scalefree",
+    )
+    out = ds.with_units("physical", l_quantity="m")
+    return out.df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 6).alias("price_phys"),
+        F.round("l_quantity", 6).alias("qty_m"),
+    )
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -636,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_ngram_jaccard": q39_ngram_jaccard,
         "q40_ann_lsh": q40_ann_lsh,
         "q41_token_bpe": q41_token_bpe,
+        "q42_unit_convention": q42_unit_convention,
     }
 
 
@@ -970,6 +1001,12 @@ def oracle_sql() -> dict[str, str]:
                         / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.5
         """,
         "q40_ann_lsh": _ann_lsh_oracle_sql(),
+        "q42_unit_convention": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice * 1.4285714285714286 * 0.8, 6) AS price_phys,
+                   round(l_quantity * 0.8 * 1000.0, 6) AS qty_m
+            FROM lineitem
+        """,
         "q41_token_bpe": """
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws,
