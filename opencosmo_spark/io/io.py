@@ -153,6 +153,25 @@ def _open_single(spark: SparkSession, path: str):
     return fire("dataset_open", out)
 
 
+def _load_conditions_met(path: str, flags: dict) -> bool:
+    """Conditional member loading (reference io/iopen.py:638-657): a
+    member with ``header.extra["load_if"] = {key: bool}`` loads only
+    when every condition equals the user flag (missing flags are
+    False)."""
+    hfile = os.path.join(path, HEADER_FILE)
+    if not os.path.exists(hfile):
+        return True
+    with open(hfile) as f:
+        sidecar = json.load(f)
+    conditions = (sidecar.get("header", {}).get("extra", {}) or {}).get(
+        "load_if", {}
+    )
+    return all(
+        bool(flags.get(key, False)) == bool(cond)
+        for key, cond in conditions.items()
+    )
+
+
 def open_files(*paths: str, **flags):
     """Open one or more datasets (reference io/io.py:58-113).
 
@@ -174,6 +193,11 @@ def open_files(*paths: str, **flags):
             member_names = sorted(
                 d for d in os.listdir(p) if os.path.isdir(os.path.join(p, d))
             )
+            member_names = [
+                name
+                for name in member_names
+                if _load_conditions_met(os.path.join(p, name), flags)
+            ]
             members = {
                 name: _open_single(spark, os.path.join(p, name))
                 for name in member_names
@@ -181,7 +205,9 @@ def open_files(*paths: str, **flags):
             if meta["type"] == "simulation_collection":
                 return SimulationCollection(members)
             links = {
-                name: LinkSpec(**spec) for name, spec in meta["links"].items()
+                name: LinkSpec(**spec)
+                for name, spec in meta["links"].items()
+                if name in members  # member may be flag-excluded
             }
             return StructureCollection(
                 source=members[meta["source"]],

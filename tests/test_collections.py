@@ -121,6 +121,24 @@ def test_write_roundtrip_collection(coll, spark, tmp_path):
     pd.testing.assert_frame_equal(a, b, check_like=True)
 
 
+def test_conditional_load_flags(coll, spark, tmp_path):
+    # reference io/iopen.py:638-657 — members with load_if conditions
+    # open only when the user flag matches (missing flags are False)
+    path = str(tmp_path / "coll_flags")
+    oc.write(path, coll)
+    import json, os
+
+    hfile = os.path.join(path, "dm_particles", "header.json")
+    side = json.load(open(hfile))
+    side["header"]["extra"]["load_if"] = {"with_particles": True}
+    json.dump(side, open(hfile, "w"))
+
+    default = oc.open(path)
+    assert "dm_particles" not in default.members()
+    flagged = oc.open(path, with_particles=True)
+    assert "dm_particles" in flagged.members()
+
+
 # ---------------------------------------------------------------------
 # lightcone
 # ---------------------------------------------------------------------
