@@ -141,3 +141,57 @@ def test_skybox_membership_consistent(ra, dec):
     sb = make_skybox((10.0, -20.0), (50.0, 20.0))
     inside = 10.0 <= ra % 360.0 <= 50.0 and -20.0 <= dec <= 20.0
     assert sb.contains_point(ra, dec) == inside
+
+
+# ---------------------------------------------------------------------
+# HEALPix pixelization (hand-written, healpy-free) invariants
+# ---------------------------------------------------------------------
+@settings(max_examples=300, deadline=None)
+@given(
+    ra=st.floats(0, 360, exclude_max=True, allow_nan=False),
+    dec=st.floats(-89.9, 89.9, allow_nan=False),
+    nside_pow=st.integers(0, 8),
+)
+def test_healpix_roundtrip_within_pixel(ra, dec, nside_pow):
+    """ang2pix(pix2ang(ang2pix(p))) is a fixed point, pixel ids are in
+    range, and the pixel center is close to the input direction (within
+    ~2 pixel diagonals)."""
+    import numpy as np
+
+    from opencosmo_spark.spatial.healpix import (
+        pix2radec_nest,
+        radec2pix_nest,
+    )
+
+    nside = 1 << nside_pow
+    pix = radec2pix_nest(nside, np.array([ra]), np.array([dec]))
+    assert 0 <= pix[0] < 12 * nside * nside
+    cra, cdec = pix2radec_nest(nside, pix)
+    # center maps back to the same pixel (exact fixed point)
+    pix2 = radec2pix_nest(nside, cra, cdec)
+    assert pix2[0] == pix[0]
+    # angular distance center<->input bounded by ~2x pixel scale
+    from opencosmo_spark.spatial.region import _ang_sep_deg
+
+    pixel_scale = 58.6 / nside  # sqrt(4pi/12npix) in degrees
+    assert _ang_sep_deg(ra, dec, float(cra[0]), float(cdec[0])) < 2.5 * pixel_scale
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    ra=st.floats(0, 360, exclude_max=True, allow_nan=False),
+    dec=st.floats(-85, 85, allow_nan=False),
+    radius=st.floats(1.0, 30.0),
+)
+def test_healpix_query_region_covers_center(ra, dec, radius):
+    """The cone's own center pixel must be among the pixels returned by
+    query_region (coverage soundness at the query's heart)."""
+    import numpy as np
+
+    from opencosmo_spark.spatial.healpix import query_region, radec2pix_nest
+
+    nside = 32
+    cone = make_cone((ra, dec), radius)
+    interior, boundary = query_region(nside, cone)
+    center_pix = int(radec2pix_nest(nside, np.array([ra]), np.array([dec]))[0])
+    assert center_pix in set(interior) | set(boundary)
