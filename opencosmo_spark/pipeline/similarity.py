@@ -44,6 +44,41 @@ def brute_force_cosine_topk(
     )
 
 
+def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
+    """Deterministic gaussian hyperplanes shared by ingest and query."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def _bucket_expr(vec: Column, hyperplanes: list[list[float]]) -> Column:
+    key = F.lit(0)
+    for i, hp in enumerate(hyperplanes):
+        hp_col = F.array(*[F.lit(x) for x in hp])
+        bit = F.when(_dot(vec, hp_col) >= 0, F.lit(1)).otherwise(F.lit(0))
+        key = key + F.shiftleft(bit, i)
+    return key
+
+
+def add_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    planes: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    bucket_col: str = "__bucket",
+) -> DataFrame:
+    """Ingest-time bucket materialization: stamp each vector with its
+    sign-pattern bucket. Write the result clustered on ``bucket_col``
+    (``repartitionByRange(bucket_col)``) and every later ANN probe
+    reads only the ~``planes+1`` probed buckets' files instead of the
+    whole corpus — that is the 100 TB path."""
+    return df.withColumn(
+        bucket_col, _bucket_expr(F.col(vec_col), _hyperplanes(dim, planes, seed))
+    )
+
+
 def lsh_bucket_ann(
     df: DataFrame,
     query_vector: list[float],
@@ -52,30 +87,19 @@ def lsh_bucket_ann(
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    bucket_col: str = "__bucket",
 ) -> DataFrame:
     """Approximate NN via random-hyperplane LSH.
 
     Bucket key = sign pattern of ``planes`` fixed pseudo-random
     hyperplanes (deterministic from ``seed``). Only vectors in the
     query's bucket (or at Hamming distance <= 1, probing) are scored.
-    At 100 TB the bucket column is computed at ingest and the table is
-    clustered by it, so a query touches a handful of partitions.
+    If ``bucket_col`` already exists (materialized at ingest by
+    ``add_lsh_buckets`` with the same seed), it is used directly — on a
+    bucket-clustered table the isin predicate prunes at file level.
     """
-    import random
-
     dim = len(query_vector)
-    rng = random.Random(seed)
-    hyperplanes = [
-        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)
-    ]
-
-    def bucket_of(vec: Column) -> Column:
-        key = F.lit(0)
-        for i, hp in enumerate(hyperplanes):
-            hp_col = F.array(*[F.lit(x) for x in hp])
-            bit = F.when(_dot(vec, hp_col) >= 0, F.lit(1)).otherwise(F.lit(0))
-            key = key + F.shiftleft(bit, i)
-        return key
+    hyperplanes = _hyperplanes(dim, planes, seed)
 
     def bucket_py(vec: list[float]) -> int:
         key = 0
@@ -87,9 +111,9 @@ def lsh_bucket_ann(
     qb = bucket_py(query_vector)
     probe = [qb] + [qb ^ (1 << i) for i in range(planes)]  # Hamming<=1
     q = F.array(*[F.lit(float(x)) for x in query_vector])
-    cand = df.withColumn("__bucket", bucket_of(F.col(vec_col))).filter(
-        F.col("__bucket").isin(probe)
-    )
+    if bucket_col not in df.columns:
+        df = add_lsh_buckets(df, dim, planes, seed, vec_col, bucket_col)
+    cand = df.filter(F.col(bucket_col).isin(probe))
     sim = cosine(F.col(vec_col), q)
     return (
         cand.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))

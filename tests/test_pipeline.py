@@ -139,3 +139,39 @@ def test_langid_real_sentences(spark):
     df = spark.createDataFrame(samples, "lang string, text string")
     out = df.select("lang", language_id(F.col("text")).alias("guess")).toPandas()
     assert (out.lang == out.guess).all(), out.to_dict("records")
+
+
+def test_lsh_ann_precomputed_buckets_equivalent(spark, tmp_path):
+    """Materialized ingest-time buckets (the 100 TB path) must give the
+    same probe result as on-the-fly buckets, and survive a clustered
+    parquet roundtrip with pruning-friendly layout."""
+    from pyspark.sql import functions as F
+
+    from opencosmo_spark.pipeline.similarity import (
+        add_lsh_buckets,
+        lsh_bucket_ann,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    baseline = lsh_bucket_ann(emb, qv).toPandas()
+
+    path = str(tmp_path / "emb_bucketed")
+    bucketed = add_lsh_buckets(emb, dim=len(qv))
+    bucketed.repartitionByRange("__bucket").sortWithinPartitions(
+        "__bucket"
+    ).write.parquet(path)
+    re = spark.read.parquet(path)
+    out = lsh_bucket_ann(re, qv).toPandas()
+
+    assert out.vec_id.tolist() == baseline.vec_id.tolist()
+    assert out.cos_sim.tolist() == baseline.cos_sim.tolist()
+    # the probe predicate is pushable on the stored bucket column
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = (
+        lsh_bucket_ann(re, qv)._jdf.queryExecution().explainString(mode)
+    )
+    assert "PushedFilters: [In(__bucket" in plan
