@@ -566,7 +566,9 @@ def q39_ngram_jaccard(spark, sf):
     # minhash_lsh_candidates as the candidate frame)
     from opencosmo_spark.pipeline.dedup import ngram_jaccard_pairs
 
-    d = _t(spark, sf, "documents")
+    # bounded all-pairs baseline (like q34): at scale pass
+    # minhash_lsh_candidates as the candidate frame instead
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)
     return ngram_jaccard_pairs(d, k=3, threshold=0.5)
 
 
@@ -986,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
         "q39_ngram_jaccard": """
             WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS words FROM documents
+              WHERE doc_id < 1000
             ), sh AS (
               SELECT doc_id,
                      list_distinct(list_transform(

@@ -17,9 +17,17 @@ from .dataset import Dataset
 from .header import Cosmology, OpenCosmoHeader
 from .session import get_spark
 from .units import Quantity, Unit, UnitConvention, parse_unit
+from .collection.healpix_map import HealpixMap
+from .collection.lightcone import Lightcone
+from .collection.simulation import SimulationCollection
+from .collection.structure import StructureCollection
 
 __all__ = [
     "Dataset",
+    "StructureCollection",
+    "SimulationCollection",
+    "Lightcone",
+    "HealpixMap",
     "OpenCosmoHeader",
     "Cosmology",
     "get_spark",
