@@ -181,3 +181,55 @@ def test_rows_iterator(halos):
     it = halos.rows()
     row = next(it)
     assert "fof_halo_mass" in row
+
+
+def test_drop_inverse_of_select(halos):
+    d = halos.drop("fof_halo_mass")
+    assert "fof_halo_mass" not in d.columns
+    assert set(d.columns) == set(halos.columns) - {"fof_halo_mass"}
+
+
+def test_stock_columns_vs_numpy(halos, halos_np):
+    import numpy as np
+
+    from opencosmo_spark import add_mag_cols, col, norm_cols, offset_3d
+
+    d = halos.select(
+        "fof_halo_tag",
+        speed=norm_cols("vx", "vy", "vz") if "vx" in halos.columns else norm_cols(
+            "fof_halo_center_x", "fof_halo_center_y", "fof_halo_center_z"
+        ),
+        off=offset_3d(
+            ("fof_halo_center_x", "fof_halo_center_y", "fof_halo_center_z"),
+            ("sod_halo_com_x", "sod_halo_com_y", "sod_halo_com_z"),
+        )
+        if "sod_halo_com_x" in halos.columns
+        else col("fof_halo_center_x") * 0,
+    ).get_data("pandas").set_index("fof_halo_tag").sort_index()
+    n = halos_np
+    ref = np.sqrt(
+        n["fof_halo_center_x"] ** 2
+        + n["fof_halo_center_y"] ** 2
+        + n["fof_halo_center_z"] ** 2
+    )
+    order = np.argsort(n["fof_halo_tag"])
+    # fixture columns are float32; spark computes in double
+    np.testing.assert_allclose(d.speed.to_numpy(), ref[order], rtol=1e-5)
+
+
+def test_trig_functions_vs_numpy(halos, halos_np):
+    import numpy as np
+
+    from opencosmo_spark import col
+
+    # build a dimensionless column in [-1, 1] for arcsin
+    d = halos.select(
+        "fof_halo_tag",
+        s=(col("fof_halo_mass") / col("fof_halo_mass").max()).arcsin(),
+    ).get_data("pandas").set_index("fof_halo_tag").sort_index()
+    n = halos_np
+    order = np.argsort(n["fof_halo_tag"])
+    m = n["fof_halo_mass"][order]
+    np.testing.assert_allclose(
+        d.s.to_numpy(), np.arcsin(m.astype(np.float64) / m.max()), rtol=1e-5
+    )
