@@ -183,17 +183,27 @@ def q12_norm_mag(spark, sf):
 
 def q13_zscore(spark, sf):
     # z-score with exact integer sums (cents): mean/std identical in
-    # both engines, so the per-row doubles match bit-for-bit.
+    # both engines, so the per-row doubles match bit-for-bit. Sums run
+    # in decimal(38,0): sum(cents^2) overflows int64 already at sf0.1
+    # (~6e19), and DuckDB's SUM(BIGINT) is exact 128-bit — decimal is
+    # the Spark twin of that (and the only scale-safe choice).
+    # z = (pc*n - s) / sqrt(n*ss - s^2): numerator and radicand are
+    # EXACT integers (decimal algebra), so each engine performs exactly
+    # ONE int->double rounding plus identical double ops — bit-equal
+    # output with no tolerance games.
     li = _t(spark, sf, "lineitem").withColumn("__pc", _cents(F.col("l_extendedprice")))
+    pcd = F.col("__pc").cast("decimal(19,0)")
     agg = li.agg(
-        F.sum("__pc").alias("__s"),
-        F.sum(F.col("__pc") * F.col("__pc")).alias("__ss"),
-        F.count(F.lit(1)).alias("__n"),
+        F.sum(pcd).alias("__s"),
+        F.sum(pcd * pcd).alias("__ss"),
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("__n"),
     )
     j = li.crossJoin(F.broadcast(agg))
-    mean = F.col("__s").cast("double") / F.col("__n")
-    var = F.col("__ss").cast("double") / F.col("__n") - mean * mean
-    z = (F.col("__pc").cast("double") - mean) / F.sqrt(var)
+    num = (pcd * F.col("__n") - F.col("__s")).cast("double")
+    rad = (F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")).cast(
+        "double"
+    )
+    z = num / F.sqrt(rad)
     return j.select(
         "l_orderkey", "l_linenumber", z.alias("z")
     )
@@ -226,11 +236,14 @@ def q15_tpch_q1(spark, sf):
         dc.alias("dc"),
         tc.alias("tc"),
     )
+    # decimal sums: int64 product-sums overflow around 1e19 total cents
+    # — DuckDB's SUM(BIGINT) is exact 128-bit, decimal(38,0) matches it
+    pcd = F.col("pc").cast("decimal(19,0)")
     g = e.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("qi").alias("sq"),
-        F.sum("pc").alias("sp"),
-        F.sum(F.col("pc") * (100 - F.col("dc"))).alias("sd"),
-        F.sum(F.col("pc") * (100 - F.col("dc")) * (100 + F.col("tc"))).alias("sc"),
+        F.sum(pcd).alias("sp"),
+        F.sum(pcd * (100 - F.col("dc"))).alias("sd"),
+        F.sum(pcd * (100 - F.col("dc")) * (100 + F.col("tc"))).alias("sc"),
         F.count(F.lit(1)).alias("count_order"),
     )
     n = F.col("count_order")
@@ -319,9 +332,10 @@ def q22_join_nested_agg(spark, sf):
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
     n = _t(spark, sf, "nation")
-    rev = (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).alias(
-        "rc"
-    )
+    rev = (
+        _cents(F.col("l_extendedprice")).cast("decimal(19,0)")
+        * (100 - _cents(F.col("l_discount")))
+    ).alias("rc")
     j = (
         li.select("l_orderkey", rev)
         .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
@@ -770,16 +784,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "q13_zscore": f"""
+            -- z = (pc*n - s)/sqrt(n*ss - s^2), integer-exact inputs.
+            -- The radicand goes HUGEINT -> VARCHAR -> DOUBLE because
+            -- DuckDB's direct HUGEINT->DOUBLE cast is not correctly
+            -- rounded (1 ULP off vs IEEE round-to-nearest).
             WITH s AS (
               SELECT SUM({cents}) AS s, SUM({cents}*{cents}) AS ss,
                      count(*) AS n
               FROM lineitem
             )
             SELECT l_orderkey, l_linenumber,
-                   (CAST({cents} AS DOUBLE)
-                      - CAST(s.s AS DOUBLE)/s.n)
-                   / sqrt(CAST(s.ss AS DOUBLE)/s.n
-                          - (CAST(s.s AS DOUBLE)/s.n)*(CAST(s.s AS DOUBLE)/s.n))
+                   CAST(CAST({cents}*s.n - s.s AS VARCHAR) AS DOUBLE)
+                   / sqrt(CAST(CAST(s.n*s.ss - s.s*s.s AS VARCHAR) AS DOUBLE))
                    AS z
             FROM lineitem, s
         """,
