@@ -576,13 +576,12 @@ def q38_quality_score(spark, sf):
 
 
 def q39_ngram_jaccard(spark, sf):
-    # exact n-gram Jaccard dedup (all pairs here; at scale pass
-    # minhash_lsh_candidates as the candidate frame)
+    # exact n-gram Jaccard dedup via inverted shingle index: explode
+    # shingles, self-join on shingle hash, groupBy-count = intersection.
+    # Only docs sharing >=1 shingle ever pair up, so no all-pairs blowup.
     from opencosmo_spark.pipeline.dedup import ngram_jaccard_pairs
 
-    # bounded all-pairs baseline (like q34): at scale pass
-    # minhash_lsh_candidates as the candidate frame instead
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    d = _t(spark, sf, "documents")
     return ngram_jaccard_pairs(d, k=3, threshold=0.5)
 
 
@@ -1004,20 +1003,22 @@ def oracle_sql() -> dict[str, str]:
         "q39_ngram_jaccard": """
             WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS words FROM documents
-              WHERE doc_id < 1000
             ), sh AS (
               SELECT doc_id,
                      list_distinct(list_transform(
                        range(1, greatest(len(words) - 2, 1) + 1),
                        i -> array_to_string(words[i:i+2], ' '))) AS sh
               FROM w
+            ), ex AS (
+              SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh
             )
             SELECT x.doc_id AS a, y.doc_id AS b,
-                   round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                         / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
-            FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-            WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.5
+                   round(CAST(count(*) AS DOUBLE)
+                         / (x.n + y.n - count(*)), 6) AS jaccard
+            FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id, x.n, y.n
+            HAVING round(CAST(count(*) AS DOUBLE)
+                         / (x.n + y.n - count(*)), 6) >= 0.5
         """,
         "q40_ann_lsh": _ann_lsh_oracle_sql(),
         "q42_unit_convention": """

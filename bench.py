@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "q33_cosine_topk",
     "q35_minhash_lsh",
     "q37_sessionize",
+    "q39_ngram_jaccard",
     "q40_ann_lsh",
 ]
 

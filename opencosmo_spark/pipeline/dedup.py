@@ -12,13 +12,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _shingles(text_col: str, k: int):
-    """Distinct k-word shingles as an array column (JVM-side)."""
-    words = F.split(F.col(text_col), " ")
-    n = F.size(words)
+def _shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, sh: array<long>) of distinct hashed k-word shingles.
+
+    Each word is xxhash64'd ONCE; a shingle is the hash-combine of its k
+    word hashes — no per-window string slicing or concatenation, and the
+    k-word window equality relation is identical to comparing the joined
+    strings (words cannot contain the split delimiter), so Jaccard
+    counts are unchanged (modulo negligible 64-bit collisions).
+
+    The word-hash array is materialized as its own projection on
+    purpose: a higher-order-function lambda is interpreted (no codegen),
+    so if ``split(text)`` appeared inside the transform body it would
+    re-split the WHOLE document per shingle — O(words^2) per doc
+    (measured 40x+ wall-clock, and catastrophically worse when Catalyst
+    fused that projection into a single-partition scan stage). A bound
+    column reference is O(1) per element, and CollapseProject keeps the
+    barrier because the alias is referenced more than once and is not a
+    cheap expression. Docs shorter than k words yield one partial window
+    (try_element_at nulls are skipped by xxhash64, deterministically).
+    """
+    wh = F.transform(
+        F.split(F.col(text_col), " "), lambda w: F.xxhash64(w)
+    )
+    wdf = df.select(F.col(id_col), wh.alias("__wh"))
+    c = F.col("__wh")
+    n = F.size(c)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
-    return F.array_distinct(sh)
+    sh = F.transform(
+        idx,
+        lambda i: F.xxhash64(
+            *[F.try_element_at(c, i + off) for off in range(k)]
+        ),
+    )
+    return wdf.select(F.col(id_col), F.array_distinct(sh).alias("sh"))
 
 
 def exact_dedup(
@@ -179,9 +208,62 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs (all pairs if no
-    candidate frame given — quadratic; supply LSH candidates at scale)."""
-    sh = df.select(F.col(id_col), _shingles(text_col, k).alias("sh"))
+    """Exact n-gram Jaccard similarity pairs.
+
+    With no candidate frame and threshold > 0, uses the scalable
+    inverted-index plan: explode distinct shingles, group by shingle
+    hash, emit (a, b) pairs inside each posting list, and count
+    co-occurrences per pair — the intersection size — then
+    Jaccard = inter / (|A| + |B| - inter).
+    Pairs sharing zero shingles (Jaccard 0) are never generated, so the
+    result is identical to all-pairs for any positive threshold, but the
+    cost is keyed by shared shingles instead of O(n^2) docs. Word
+    k-shingles are rarely shared across unrelated documents, so join
+    fan-out stays bounded; a pathological shingle shared by s docs costs
+    s^2 — at 100 TB, cap or drop top-frequency shingles first.
+
+    threshold <= 0 (or an explicit candidate frame) falls back to the
+    pairwise array_intersect plan.
+    """
+    if candidates is None and threshold > 0:
+        sh = _shingle_frame(df, text_col, id_col, k)
+        ex = sh.select(
+            F.struct(F.col(id_col), F.size("sh").alias("n")).alias("dn"),
+            F.explode("sh").alias("h"),
+        )
+        # One shuffle keyed by shingle hash; shingles computed ONCE
+        # (a self-join would evaluate the explode subtree per side).
+        buckets = ex.groupBy("h").agg(
+            F.collect_list("dn").alias("ds")
+        ).filter(F.size("ds") > 1)
+        pairs = F.filter(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x: F.transform(
+                        "ds",
+                        lambda y: F.struct(
+                            x[id_col].alias("a"),
+                            y[id_col].alias("b"),
+                            x["n"].alias("na"),
+                            y["n"].alias("nb"),
+                        ),
+                    ),
+                )
+            ),
+            lambda p: p["a"] < p["b"],
+        )
+        pe = buckets.select(F.explode(pairs).alias("p")).select("p.*")
+        hits = pe.groupBy("a", "b", "na", "nb").agg(
+            F.count(F.lit(1)).alias("inter")
+        )
+        jac = F.col("inter").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("inter")
+        )
+        return hits.select(
+            "a", "b", F.round(jac, 6).alias("jaccard")
+        ).filter(F.col("jaccard") >= threshold)
+    sh = _shingle_frame(df, text_col, id_col, k)
     if candidates is None:
         a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
         b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))

@@ -28,6 +28,15 @@ _DEFAULTS = {
     # Read INT64 TIMESTAMP(NANOS) parquet columns as raw nanos longs
     # (Spark has no ns timestamp; callers convert via timestamp_micros).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate synthesizes `size(arr) > 0` under every
+    # explode; predicate pushdown then inlines the full array-producing
+    # expression into a per-row interpreted Filter (no codegen for
+    # higher-order functions, no common-subexpression reuse) — measured
+    # 40-80x wall-clock on the shingle pipelines. explode() already
+    # skips empty arrays, so the rule buys nothing for this engine.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
