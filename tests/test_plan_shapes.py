@@ -125,3 +125,30 @@ def test_column_pruning_reaches_scan(spark):
     assert m, "no parquet scan in plan"
     ncols = len([c for c in m.group(1).split(",") if c])
     assert ncols <= 6, f"scan reads {ncols} columns: {m.group(1)}"
+
+
+def test_q39_no_inferred_filter_under_generate(spark):
+    """InferFiltersFromGenerate must stay excluded: it synthesizes a
+    size(arr)>0 filter that pushdown inlines into an interpreted per-row
+    re-evaluation of the whole shingle pipeline (measured 40-80x)."""
+    plan = plan_of(spark, "q39_ngram_jaccard")
+    n = nodes(plan)
+    assert "Generate" in n
+    # no Filter node may contain the shingle-building expression tree
+    import re
+
+    for block in re.split(r"\n\n", plan):
+        if re.match(r"\(\d+\) Filter", block.strip()):
+            assert "transform(" not in block, (
+                "array-producing expression inlined into a Filter:\n" + block
+            )
+
+
+def test_q39_single_pass_pair_generation(spark):
+    """The inverted-index plan must not self-join (shingles would be
+    computed once per side): no join nodes at all, two hash exchanges
+    (posting-list groupBy + pair-count groupBy)."""
+    plan = plan_of(spark, "q39_ngram_jaccard")
+    n = nodes(plan)
+    assert not any("Join" in x for x in n), n
+    assert "CartesianProduct" not in plan
