@@ -635,6 +635,57 @@ def q42_unit_convention(spark, sf):
     )
 
 
+def q43_rollup(spark, sf):
+    # grouping-sets family (absent in the reference — SURVEY §2.5 notes
+    # it comes free in Spark): subtotals + grand total in ONE pass, one
+    # shuffle — vs three scans for the manual union-of-groupbys.
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_cents(F.col("l_quantity")).cast("decimal(19,0)"))
+        .cast("long")
+        .alias("sum_qty_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q44_asof_join(spark, sf):
+    # as-of join: each event picks the latest order by the same customer
+    # at-or-before the event time (union + ordered-window plan — one
+    # shuffle, no range-join blowup; see opencosmo_spark/joins.py).
+    from opencosmo_spark.joins import asof_join
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    res = asof_join(
+        ev,
+        o,
+        on="user_id",
+        # ts is raw nanos (nanosAsLong); align orders to nanos exactly
+        left_time=F.col("ts"),
+        # o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast
+        # to TIMESTAMP is an identity relabeling
+        right_time=F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        * F.lit(1000),
+        tiebreak="o_orderkey",
+    )
+    return res.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+def q45_ivf_ann(spark, sf):
+    # IVF-style ANN: deterministic coarse quantizer (first nlist ids),
+    # probe the 2 nearest cells, exact rerank inside them.
+    from opencosmo_spark.pipeline.similarity import ivf_ann
+
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_ann(emb, [float(x) for x in qv], k=10, nlist=8, nprobe=2)
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -682,6 +733,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_ann_lsh": q40_ann_lsh,
         "q41_token_bpe": q41_token_bpe,
         "q42_unit_convention": q42_unit_convention,
+        "q43_rollup": q43_rollup,
+        "q44_asof_join": q44_asof_join,
+        "q45_ivf_ann": q45_ivf_ann,
     }
 
 
@@ -1033,6 +1087,70 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe
             FROM documents
+        """,
+        "q43_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(round(l_quantity*100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "q44_asof_join": """
+            WITH o AS (
+              SELECT user_id, o_orderkey, o_orderdate, o_totalprice FROM (
+                SELECT o_custkey AS user_id, o_orderkey, o_orderdate,
+                       o_totalprice,
+                       row_number() OVER (
+                         PARTITION BY o_custkey, o_orderdate
+                         ORDER BY o_orderkey DESC) AS rn
+                FROM orders) WHERE rn = 1
+            )
+            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+            FROM events e ASOF LEFT JOIN o
+              ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        """,
+        "q45_ivf_ann": """
+            WITH c AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id < 8
+            ), q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 0
+            ), vc AS (
+              SELECT e.vec_id, c.cid,
+                     round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+              FROM embeddings e CROSS JOIN c
+            ), assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+                FROM vc) WHERE rn = 1
+            ), qc AS (
+              SELECT c.cid,
+                     round(list_dot_product(q.qv, c.cv)
+                           / (sqrt(list_dot_product(q.qv, q.qv))
+                              * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+              FROM c, q
+            ), probe AS (
+              SELECT cid FROM qc ORDER BY sim DESC, cid LIMIT 2
+            ), z AS (
+              SELECT e.vec_id,
+                     CAST(UNNEST(e.embedding) AS DOUBLE) AS a,
+                     CAST(UNNEST(q.qv) AS DOUBLE) AS b
+              FROM embeddings e
+              JOIN assign ac ON e.vec_id = ac.vec_id
+              JOIN probe p ON ac.cid = p.cid
+              CROSS JOIN q
+            )
+            SELECT vec_id,
+                   round(SUM(a*b) / (sqrt(SUM(a*a)) * sqrt(SUM(b*b))), 6)
+                   AS cos_sim
+            FROM z GROUP BY vec_id
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
         # q35_minhash_lsh / q36_simhash: engine-hash-based, not
         # SQL-expressible -> rows-only check by design

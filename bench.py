@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "q37_sessionize",
     "q39_ngram_jaccard",
     "q40_ann_lsh",
+    "q44_asof_join",
 ]
 
 

@@ -1,0 +1,126 @@
+"""Custom join operators Spark lacks as built-ins.
+
+``asof_join`` is the time-series "most recent matching row" join
+(reference has no theta/as-of joins — SURVEY.md §2.6 "join types NOT
+present" — but a training-data pipeline joining event streams to
+slowly-changing dimensions needs it).
+
+Scale design: the naive formulation is a range join (``l.key = r.key
+AND r.t <= l.t`` + window max) whose candidate set explodes with time
+span. Instead we use the union + ordered-window plan: tag both sides,
+union them, and run ``last(payload, ignorenulls)`` over a window
+partitioned by key and ordered by time. One shuffle + sort keyed by
+(key), zero row blowup, no broadcast requirement — survives 100 TB on
+both sides. Skewed keys behave like any window (AQE handles the
+shuffle; a hot key serializes its own partition only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str | Column,
+    right_time: str | Column,
+    direction: str = "backward",
+    suffix: str = "",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the single right row with the greatest
+    ``right_time <= left_time`` (direction="backward") or smallest
+    ``right_time >= left_time`` ("forward") within the same ``on`` key.
+
+    Left rows with no match keep nulls for the right columns (left
+    outer semantics, like DuckDB/pandas ASOF). A right row whose time
+    equals the left time DOES match.
+
+    Right-side payload = every right column except the key(s); name
+    collisions with left columns get ``suffix`` appended. When several
+    right rows share the winning time, ``tiebreak`` (a right column
+    name) makes the choice deterministic: backward picks the max
+    tiebreak, forward the min; without it the winner among exact
+    time-ties is plan-dependent.
+    """
+    # decimal(38,9), not double: nanosecond epoch longs (~1.7e18)
+    # exceed double's 2^53 exact-integer range; a lossy cast can flip
+    # >=/< at exact-boundary matches. decimal holds any int64 and any
+    # microsecond timestamp exactly and stays orderable.
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    keys = [on] if isinstance(on, str) else list(on)
+    lt = F.col(left_time) if isinstance(left_time, str) else left_time
+    rt = F.col(right_time) if isinstance(right_time, str) else right_time
+
+    payload = [c for c in right.columns if c not in keys]
+    renames = {
+        c: c + suffix if c in left.columns and c not in keys else c
+        for c in payload
+    }
+
+    l_tag = left.select(
+        *[F.col(k) for k in keys],
+        lt.cast("decimal(38,9)").alias("__t"),
+        F.lit(None).cast("decimal(38,9)").alias("__tb"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        F.lit(None).cast(
+            right.select(
+                F.struct(*[F.col(c).alias(renames[c]) for c in payload]).alias(
+                    "s"
+                )
+            ).schema["s"].dataType
+        ).alias("__rrow"),
+    )
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        rt.cast("decimal(38,9)").alias("__t"),
+        (
+            F.col(tiebreak).cast("decimal(38,9)")
+            if tiebreak
+            else F.lit(None).cast("decimal(38,9)")
+        ).alias("__tb"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c) for c in left.columns]).alias("s")
+            ).schema["s"].dataType
+        ).alias("__lrow"),
+        F.struct(*[F.col(c).alias(renames[c]) for c in payload]).alias(
+            "__rrow"
+        ),
+    )
+    u = l_tag.unionByName(r_tag)
+
+    # Backward: order ascending; at equal times right rows sort FIRST
+    # (__is_left asc) so an exactly-simultaneous right row is visible.
+    # Forward: mirror by descending time, right still first.
+    if direction == "backward":
+        order = [
+            F.col("__t").asc(),
+            F.col("__is_left").asc(),
+            F.col("__tb").asc_nulls_first(),
+        ]
+    else:
+        order = [
+            F.col("__t").desc(),
+            F.col("__is_left").asc(),
+            F.col("__tb").desc_nulls_first(),
+        ]
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn(
+        "__m", F.last(F.col("__rrow"), ignorenulls=True).over(w)
+    ).filter(F.col("__is_left") == 1)
+
+    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"__m.{renames[c]}").alias(renames[c]) for c in payload
+    ]
+    return matched.select(*out_cols)

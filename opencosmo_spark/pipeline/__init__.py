@@ -15,7 +15,12 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from .similarity import brute_force_cosine_topk, lsh_bucket_ann
+from .similarity import (
+    assign_ivf_cells,
+    brute_force_cosine_topk,
+    ivf_ann,
+    lsh_bucket_ann,
+)
 from .text import (
     document_fingerprint,
     language_id,
@@ -31,6 +36,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "brute_force_cosine_topk",
     "lsh_bucket_ann",
+    "ivf_ann",
+    "assign_ivf_cells",
     "token_count",
     "quality_score",
     "language_id",

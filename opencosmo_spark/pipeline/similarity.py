@@ -79,6 +79,99 @@ def add_lsh_buckets(
     )
 
 
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    cell_col: str = "__ivf_cell",
+) -> DataFrame:
+    """Ingest-time IVF cell assignment: stamp each vector with the id of
+    its nearest centroid (max rounded cosine; ties -> lowest centroid
+    id). Write clustered on ``cell_col`` and a probe reads only the
+    probed cells' files — same 100 TB posture as ``add_lsh_buckets``.
+
+    Sims are rounded to 6 decimals before the argmax so the assignment
+    is reproducible across engines (bit-level fold differences can't
+    flip the winner except at exact 1e-6 ties, which the id tiebreak
+    settles).
+    """
+    v = F.col(vec_col)
+    sims = F.array(
+        *[
+            F.round(
+                cosine(v, F.array(*[F.lit(float(x)) for x in c])), 6
+            )
+            for _, c in centroids
+        ]
+    )
+    # array_position returns the FIRST index (1-based) of the max ->
+    # lowest centroid id wins ties.
+    cell = F.array_position(sims, F.array_max(sims)) - 1
+    return df.withColumn(cell_col, cell.cast("long"))
+
+
+def ivf_ann(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "__ivf_cell",
+) -> DataFrame:
+    """IVF-style approximate NN: coarse-quantize the corpus into
+    ``nlist`` cells, probe the ``nprobe`` cells nearest the query, score
+    only those candidates.
+
+    The coarse quantizer here is deterministic — the first ``nlist``
+    vectors by id act as the codebook — so results are reproducible and
+    oracle-checkable; at real scale you would train the codebook offline
+    (e.g. MLlib KMeans) and pass it in: the search structure (assign ->
+    cluster-by-cell write -> probe subset -> exact rerank) is identical.
+    If ``cell_col`` already exists (materialized at ingest by
+    ``assign_ivf_cells`` with the same codebook), it is used directly;
+    on a cell-clustered table the isin predicate prunes at file level,
+    so probe cost scales with nprobe/nlist of the corpus, not the
+    corpus.
+    """
+    cents = [
+        (int(r[0]), list(r[1]))
+        for r in df.filter(F.col(id_col) < nlist)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    ]
+    if not cents:
+        raise ValueError("no centroid rows (empty corpus?)")
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            x, y = float(x), float(y)
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / ((na**0.5) * (nb**0.5))
+
+    probe = sorted(
+        ((round(cos_py(query_vector, c), 6), cid) for cid, c in cents),
+        key=lambda t: (-t[0], t[1]),
+    )[:nprobe]
+    probe_cells = [cid for _, cid in probe]
+
+    if cell_col not in df.columns:
+        df = assign_ivf_cells(df, cents, vec_col, cell_col)
+    cand = df.filter(F.col(cell_col).isin(probe_cells))
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    sim = cosine(F.col(vec_col), q)
+    return (
+        cand.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_bucket_ann(
     df: DataFrame,
     query_vector: list[float],

@@ -1,0 +1,100 @@
+"""asof_join semantics: backward/forward, exact-time matches, ties,
+left-outer nulls — verified against a hand-computed truth table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opencosmo_spark.joins import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            # (event id, key, t)
+            (1, 10, 100),
+            (2, 10, 205),   # between r-rows at 200 and 300
+            (3, 10, 300),   # exactly simultaneous with a right row
+            (4, 10, 50),    # before any right row -> null
+            (5, 20, 500),   # key with a single right row
+            (6, 30, 500),   # key with no right rows -> null
+        ],
+        "eid INT, k INT, t INT",
+    )
+    right = spark.createDataFrame(
+        [
+            # (key, t, payload, tiebreak id)
+            (10, 100, "a", 1),
+            (10, 200, "b", 2),
+            (10, 200, "b2", 3),  # tie at t=200
+            (10, 300, "c", 4),
+            (20, 400, "d", 5),
+        ],
+        "k INT, t INT, v STRING, rid INT",
+    )
+    return left, right
+
+
+def _lookup(df):
+    return {
+        r["eid"]: (r["v"], r["rid"])
+        for r in df.select("eid", "v", "rid").collect()
+    }
+
+
+def test_backward(spark, frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t", tiebreak="rid"
+    )
+    assert out.count() == left.count()
+    m = _lookup(out)
+    assert m[1] == ("a", 1)      # exact time counts
+    assert m[2] == ("b2", 3)     # tie at 200 -> max tiebreak
+    assert m[3] == ("c", 4)
+    assert m[4] == (None, None)  # nothing at or before 50
+    assert m[5] == ("d", 5)
+    assert m[6] == (None, None)  # key has no right rows
+
+
+def test_forward(spark, frames):
+    left, right = frames
+    out = asof_join(
+        left,
+        right,
+        on="k",
+        left_time="t",
+        right_time="t",
+        direction="forward",
+        tiebreak="rid",
+    )
+    m = _lookup(out)
+    assert m[1] == ("a", 1)      # exact time counts
+    assert m[2] == ("c", 4)      # next at-or-after 205 is 300
+    assert m[3] == ("c", 4)
+    assert m[4] == ("a", 1)      # first at-or-after 50 is 100
+    assert m[5] == (None, None)  # nothing at or after 500 for key 20
+
+
+def test_column_collision_suffix(spark, frames):
+    left, right = frames
+    # right's time column collides with left's "t"
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        suffix="_r", tiebreak="rid",
+    )
+    assert set(out.columns) == {"eid", "k", "t", "t_r", "v", "rid"}
+
+
+def test_single_shuffle_no_join_node(spark, frames):
+    """The union+window plan must not contain a join operator and must
+    shuffle exactly once (hash by key for the window sort)."""
+    left, right = frames
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t", tiebreak="rid"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -175,3 +175,52 @@ def test_lsh_ann_precomputed_buckets_equivalent(spark, tmp_path):
         lsh_bucket_ann(re, qv)._jdf.queryExecution().explainString(mode)
     )
     assert "PushedFilters: [In(__bucket" in plan
+
+
+def test_ivf_ann_full_probe_equals_brute_force(spark):
+    """With nprobe == nlist (every cell probed) IVF must return exactly
+    the brute-force top-k."""
+    from opencosmo_spark.pipeline import brute_force_cosine_topk
+    from opencosmo_spark.pipeline.similarity import ivf_ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = list(
+        np.asarray(
+            emb.filter(F.col("vec_id") == 3).toPandas().embedding[0],
+            dtype=float,
+        )
+    )
+    full = ivf_ann(emb, q, k=8, nlist=8, nprobe=8).toPandas()
+    brute = brute_force_cosine_topk(emb, q, k=8).toPandas()
+    assert list(full.vec_id) == list(brute.vec_id)
+    assert list(full.cos_sim) == list(brute.cos_sim)
+
+
+def test_ivf_ann_probe_prunes_and_keeps_query(spark):
+    from opencosmo_spark.pipeline.similarity import assign_ivf_cells, ivf_ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pdf = emb.filter(F.col("vec_id") == 0).toPandas()
+    q = list(np.asarray(pdf.embedding[0], dtype=float))
+    out = ivf_ann(emb, q, k=5, nlist=8, nprobe=2).toPandas()
+    # query vector is its own nearest neighbor and sits in a probed cell
+    assert out.vec_id.iloc[0] == 0
+    assert out.cos_sim.iloc[0] == pytest.approx(1.0)
+    # materialized cells cover every vector and stay within [0, nlist)
+    cents = [
+        (int(r[0]), list(r[1]))
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    cells = assign_ivf_cells(emb, cents).select("__ivf_cell").toPandas()
+    assert cells.__ivf_cell.between(0, 7).all()
+    # each centroid is assigned to its own cell
+    own = (
+        assign_ivf_cells(emb, cents)
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "__ivf_cell")
+        .toPandas()
+    )
+    assert (own.vec_id == own.__ivf_cell).all()
