@@ -9,6 +9,7 @@ custom-operator hook.
 """
 
 from .events import (
+    dedup_stream,
     read_event_stream,
     run_stream_to_memory,
     running_user_stats,
@@ -18,6 +19,7 @@ from .events import (
 
 __all__ = [
     "read_event_stream",
+    "dedup_stream",
     "windowed_aggregate",
     "sessionize_stream",
     "running_user_stats",

@@ -156,6 +156,27 @@ def running_user_stats(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first arrival of each key wins, duplicates
+    arriving within the watermark horizon are dropped.
+
+    ``dropDuplicatesWithinWatermark`` keeps state only until the
+    watermark passes a key's first-seen event time, so state is
+    O(keys per watermark window) — bounded, unlike a plain streaming
+    ``dropDuplicates`` whose state grows forever. This is the streaming
+    twin of ``pipeline.dedup.exact_dedup`` (same keys, same survivors
+    when each duplicate group arrives within one watermark span).
+    """
+    keys = key_cols or ["event_id"]
+    return events.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, mode: str = "append"
 ) -> DataFrame:

@@ -94,3 +94,34 @@ def test_running_user_stats_matches_batch(spark, batch_events, events_dir):
     assert (merged.n_events_s == merged.n_events_b).all()
     assert (abs(merged.sum_value_s - merged.sum_value_b) < 1e-6).all()
     assert (merged.max_value_s == merged.max_value_b).all()
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(
+    spark, tmp_path_factory, batch_events
+):
+    """Duplicate event_ids arriving in a LATER micro-batch must be
+    dropped; the surviving set equals batch dropDuplicates."""
+    import pyarrow.parquet as pq
+
+    from opencosmo_spark.streaming import dedup_stream
+
+    d = tmp_path_factory.mktemp("events_dedup")
+    t = pq.read_table(EVENTS)
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "part-0.parquet")
+    # second batch overlaps the first (rows 1/4..3/4): every row in the
+    # first half's tail is a cross-batch duplicate
+    pq.write_table(t.slice(half // 2, half), d / "part-1.parquet")
+
+    stream = read_event_stream(spark, str(d))
+    out = run_stream_to_memory(
+        dedup_stream(stream, ["event_id"]), "dedup_out"
+    ).toPandas()
+
+    assert len(out) == t.num_rows // 2 + half // 2  # staged distinct rows
+    assert out.event_id.is_unique
+    expected = set(
+        r.event_id
+        for r in spark.read.parquet(str(d)).dropDuplicates(["event_id"]).collect()
+    )
+    assert set(out.event_id) == expected
