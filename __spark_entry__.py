@@ -686,6 +686,35 @@ def q45_ivf_ann(spark, sf):
     return ivf_ann(emb, [float(x) for x in qv], k=10, nlist=8, nprobe=2)
 
 
+def q46_range_join(spark, sf):
+    # point-in-interval range join via bin-bucketing (joins.py): how
+    # many orders were placed in the 24h up to each event. A bare
+    # inequality join would plan BroadcastNestedLoop — the bin join is
+    # an equi-join whose shuffle is O(events + 2x orders).
+    from opencosmo_spark.joins import point_in_interval_join
+
+    DAY = 86_400_000_000  # microseconds
+    ev = _t(spark, sf, "events").select(
+        "event_id", F.expr("ts div 1000").alias("t_us")
+    )
+    o_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        o_us.alias("w_start"),
+        (o_us + F.lit(DAY)).alias("w_end"),
+    )
+    j = point_in_interval_join(ev, o, "t_us", "w_start", "w_end", DAY)
+    cnt = j.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        ev.select("event_id")
+        .join(cnt, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -736,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_rollup": q43_rollup,
         "q44_asof_join": q44_asof_join,
         "q45_ivf_ann": q45_ivf_ann,
+        "q46_range_join": q46_range_join,
     }
 
 
@@ -1151,6 +1181,13 @@ def oracle_sql() -> dict[str, str]:
                    AS cos_sim
             FROM z GROUP BY vec_id
             ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "q46_range_join": """
+            SELECT e.event_id, count(o.o_orderkey) AS n_orders
+            FROM events e LEFT JOIN orders o
+              ON o.o_orderdate <= e.ts
+             AND e.ts < o.o_orderdate + INTERVAL 1 DAY
+            GROUP BY e.event_id
         """,
         # q35_minhash_lsh / q36_simhash: engine-hash-based, not
         # SQL-expressible -> rows-only check by design

@@ -20,6 +20,50 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def point_in_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int,
+    on: str | list[str] | None = None,
+    include_end: bool = False,
+) -> DataFrame:
+    """Range join: each left row pairs with every right row whose
+    interval ``[right_start, right_end)`` (or ``[..., ...]`` with
+    ``include_end``) contains ``left_point``; optional extra equi-keys
+    via ``on``.
+
+    Scale path: a bare inequality join plans as BroadcastNestedLoop /
+    cartesian — O(n*m). Instead both sides are bucketed into time bins
+    of ``bin_width`` (same unit as the point/bounds columns): a right
+    interval is exploded to the bins it spans, the join is an EQUI-join
+    on bin (+ keys), and the exact containment predicate filters the
+    bin-collisions. Shuffle volume is O(left + right * avg_span/width);
+    pick ``bin_width`` ≈ the typical interval length so intervals span
+    ~2 bins. Each (left, right) pair meets in exactly one bin (the
+    left point's), so no post-join dedup is needed.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    lp = F.col(left_point)
+    rs, re_ = F.col(right_start), F.col(right_end)
+    w = F.lit(int(bin_width))
+
+    def _bin(c):
+        # decimal division, not double: nanosecond epoch longs exceed
+        # double's exact-integer range and a lossy floor mis-bins
+        # boundary rows
+        return F.floor(c.cast("decimal(38,9)") / w).cast("long")
+
+    lb = left.withColumn("__bin", _bin(lp))
+    rb = right.withColumn(
+        "__bin", F.explode(F.sequence(_bin(rs), _bin(re_)))
+    )
+    exact = (rs <= lp) & ((lp <= re_) if include_end else (lp < re_))
+    return lb.join(rb, ["__bin", *keys]).filter(exact).drop("__bin")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

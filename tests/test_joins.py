@@ -98,3 +98,63 @@ def test_single_shuffle_no_join_node(spark, frames):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_point_in_interval_join(spark):
+    from opencosmo_spark.joins import point_in_interval_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 250), (3, 2, 100), (4, 1, 300)],
+        "lid INT, k INT, t LONG",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, 50, 150),    # contains t=100 (key 1)
+            (11, 1, 100, 300),   # contains 100, 250; 300 only if inclusive
+            (12, 2, 90, 110),    # contains 100 (key 2)
+            (13, 1, 400, 500),   # matches nothing
+        ],
+        "rid INT, k INT, s LONG, e LONG",
+    )
+    out = point_in_interval_join(
+        left, right, "t", "s", "e", bin_width=100, on="k"
+    )
+    pairs = {(r.lid, r.rid) for r in out.collect()}
+    assert pairs == {(1, 10), (1, 11), (2, 11), (3, 12)}
+
+    inc = point_in_interval_join(
+        left, right, "t", "s", "e", bin_width=100, on="k", include_end=True
+    )
+    assert {(r.lid, r.rid) for r in inc.collect()} == pairs | {(4, 11)}
+
+    # equi-join plan, never a nested-loop/cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_point_in_interval_join_matches_inequality_join(spark):
+    """Bin join == brute-force inequality join on random data."""
+    import random
+
+    from opencosmo_spark.joins import point_in_interval_join
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(i, rng.randrange(0, 1000)) for i in range(300)], "lid INT, t LONG"
+    )
+    right_rows = []
+    for i in range(120):
+        s = rng.randrange(0, 950)
+        right_rows.append((i, s, s + rng.randrange(0, 120)))
+    right = spark.createDataFrame(right_rows, "rid INT, s LONG, e LONG")
+
+    out = point_in_interval_join(left, right, "t", "s", "e", bin_width=64)
+    got = {(r.lid, r.rid) for r in out.collect()}
+    brute = {
+        (lr, rr)
+        for (lr, t) in [(r.lid, r.t) for r in left.collect()]
+        for (rr, s, e) in [(r.rid, r.s, r.e) for r in right.collect()]
+        if s <= t < e
+    }
+    assert got == brute
