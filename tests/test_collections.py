@@ -219,3 +219,28 @@ def test_simulation_broadcast(spark, fixtures):
     f = sc.filter(col("fof_halo_mass") > 1e13)
     assert set(f.keys()) == {"simA", "simB"}
     assert len(f["simA"]) == len(f["simB"]) == len(a.filter(col("fof_halo_mass") > 1e13))
+
+
+def test_collection_wide_units(coll, raw):
+    """with_units on the collection converts source AND every child
+    (reference structure.py:1143-1243): scalefree -> physical divides
+    out littleh powers on h-carrying columns."""
+    phys = coll.with_units("physical")
+    h = coll.source.header.cosmology.H0 / 100.0
+
+    src_sf = raw["halos"]
+    src_ph = phys.source.get_data("pandas")
+    # fof_halo_mass carries Msun/h -> physical divides by h
+    # float32 source columns: compare at float32 precision
+    np.testing.assert_allclose(
+        src_ph.fof_halo_mass, src_sf.fof_halo_mass / h, rtol=1e-6
+    )
+    part_sf = raw["particles"]
+    part_ph = phys["dm_particles"].get_data("pandas")
+    # comoving length Mpc/h -> physical: x * a / h (a from header z)
+    a = 1.0 / (1.0 + coll.source.header.redshift)
+    np.testing.assert_allclose(
+        np.sort(part_ph.x), np.sort(part_sf.x * a / h), rtol=1e-6
+    )
+    # unitless columns untouched
+    pd.testing.assert_series_equal(src_ph.fof_halo_tag, src_sf.fof_halo_tag)
