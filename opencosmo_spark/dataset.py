@@ -34,6 +34,7 @@ from .header import OpenCosmoHeader
 from .units import (
     KNOWN_REDSHIFT_COLUMNS,
     KNOWN_SCALEFACTOR_COLUMNS,
+    Quantity,
     Unit,
     UnitConvention,
     parse_unit,
@@ -41,6 +42,17 @@ from .units import (
 
 HIDDEN_PREFIX = "__"
 ROW_ID = "__row_id"
+
+
+def _is_literal_array(v) -> bool:
+    """True for driver-side value arrays (numpy array, list/tuple of
+    values, or an array-valued Quantity) — attached by alignment join,
+    not as expressions."""
+    if isinstance(v, Quantity):
+        return hasattr(v.value, "__len__")
+    if isinstance(v, (list, tuple)):
+        return True
+    return hasattr(v, "dtype") and hasattr(v, "__len__")
 
 
 class _DSBinder(Binder):
@@ -309,6 +321,19 @@ class Dataset:
                 f"columns already exist: {sorted(clash)} "
                 "(pass allow_overwrite=True)"
             )
+        literals = {
+            k: v
+            for k, v in new_cols.items()
+            if _is_literal_array(v)
+        }
+        if literals:
+            rest = {k: v for k, v in new_cols.items() if k not in literals}
+            out = self._with_literal_arrays(literals, descriptions)
+            return (
+                out.with_new_columns(descriptions, allow_overwrite, **rest)
+                if rest
+                else out
+            )
         exprs = {k: wrap(v) for k, v in new_cols.items()}
         df, binder, extra = self._bind(list(exprs.values()))
         units = dict(self._units)
@@ -323,6 +348,52 @@ class Dataset:
         if extra:
             out = out.drop(*extra)
         return self._clone(out, units=units, descriptions=descs)
+
+    def _with_literal_arrays(
+        self,
+        arrays: Mapping[str, object],
+        descriptions: Mapping[str, str] | None = None,
+    ) -> "Dataset":
+        """Attach driver-side value arrays (numpy / list / Quantity
+        array) as columns, aligned to the current row order (reference
+        dataset/columns.py in-memory columns, test/test_im_col.py).
+
+        The array is O(n) driver memory by construction, so the
+        row_number alignment join is bounded by what the caller could
+        build anyway; the literal side is broadcast.
+        """
+        import pandas as pd  # noqa: PLC0415
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        n = len(self)
+        data: dict[str, object] = {}
+        units = dict(self._units)
+        descs = dict(self._descriptions)
+        for k, v in arrays.items():
+            unit = Unit()
+            if isinstance(v, Quantity):
+                unit, v = v.unit, v.value
+            vals = list(v.tolist() if hasattr(v, "tolist") else v)
+            if len(vals) != n:
+                raise ValueError(
+                    f"column '{k}' has {len(vals)} values for {n} rows"
+                )
+            data[k] = vals
+            units[k] = unit
+            if descriptions and k in descriptions:
+                descs[k] = descriptions[k]
+        data["__pos"] = list(range(n))
+        lit_df = self._df.sparkSession.createDataFrame(pd.DataFrame(data))
+
+        order = self._order_cols() or [F.lit(1)]
+        w = Window.orderBy(*order)
+        pos = (F.row_number().over(w) - 1).alias("__pos")
+        joined = (
+            self._df.withColumn("__pos", pos)
+            .join(F.broadcast(lit_df), "__pos")
+            .drop("__pos")
+        )
+        return self._clone(joined, units=units, descriptions=descs)
 
     # ------------------------------------------------------------------
     # sort / take

@@ -15,36 +15,78 @@ from dataclasses import asdict, dataclass, field
 
 @dataclass
 class Cosmology:
-    """Flat-LCDM parameters (enough for unit conversions + z<->a)."""
+    """Cosmology parameters covering the reference's model family
+    (reference cosmology.py:62-80 dispatches FlatLambdaCDM / LambdaCDM
+    / FlatwCDM / wCDM / Flatw0waCDM / w0waCDM from the same five
+    numbers; we keep the parameters and the distance integral instead
+    of astropy class objects).
+
+    Defaults are flat LCDM. ``Ode0=None`` means flat (Ode0 =
+    1 - Om0); set it explicitly for open/closed models.
+    """
 
     H0: float = 67.66
     Om0: float = 0.3096
     Ob0: float = 0.04897
     sigma8: float = 0.8102
     ns: float = 0.9665
+    Ode0: float | None = None
+    w0: float = -1.0
+    wa: float = 0.0
 
     @property
     def h(self) -> float:
         return self.H0 / 100.0
 
+    @property
+    def ode0(self) -> float:
+        return 1.0 - self.Om0 if self.Ode0 is None else self.Ode0
+
+    @property
+    def ok0(self) -> float:
+        """Curvature density (0 for flat models)."""
+        return 1.0 - self.Om0 - self.ode0
+
+    @property
+    def is_flat(self) -> bool:
+        return abs(self.ok0) < 1e-12
+
+    @property
+    def model_type(self) -> str:
+        """Most specific model name (mirrors the reference's astropy
+        class dispatch, cosmology.py:62-80)."""
+        if self.wa != 0:
+            return "Flatw0waCDM" if self.is_flat else "w0waCDM"
+        if self.w0 != -1:
+            return "FlatwCDM" if self.is_flat else "wCDM"
+        return "FlatLambdaCDM" if self.is_flat else "LambdaCDM"
+
     def scale_factor(self, z: float) -> float:
         return 1.0 / (1.0 + z)
 
-    def comoving_distance(self, z: float, n: int = 512) -> float:
-        """Comoving distance in Mpc (flat LCDM, trapezoid integration).
+    def efunc(self, z: float) -> float:
+        """E(z) = H(z)/H0 with curvature and CPL dark energy
+        w(a) = w0 + wa(1-a)."""
+        zp = 1.0 + z
+        de = self.ode0
+        if self.w0 != -1.0 or self.wa != 0.0:
+            a = 1.0 / zp
+            de = de * a ** (-3.0 * (1.0 + self.w0 + self.wa)) * math.exp(
+                -3.0 * self.wa * (1.0 - a)
+            )
+        return math.sqrt(self.Om0 * zp**3 + self.ok0 * zp**2 + de)
 
-        c/H0 * ∫ dz' / E(z'); good to <0.1% for test redshifts.
-        """
+    def comoving_distance(self, z: float, n: int = 512) -> float:
+        """Line-of-sight comoving distance in Mpc (trapezoid
+        integration of c/H0 ∫ dz'/E(z'); <0.1% for test redshifts)."""
         if z <= 0:
             return 0.0
         c_km_s = 299792.458
-        om, ol = self.Om0, 1.0 - self.Om0
         total = 0.0
         prev = 1.0  # 1/E(0)
         for i in range(1, n + 1):
             zi = z * i / n
-            e = math.sqrt(om * (1 + zi) ** 3 + ol)
-            cur = 1.0 / e
+            cur = 1.0 / self.efunc(zi)
             total += 0.5 * (prev + cur) * (z / n)
             prev = cur
         return c_km_s / self.H0 * total

@@ -233,3 +233,34 @@ def test_trig_functions_vs_numpy(halos, halos_np):
     np.testing.assert_allclose(
         d.s.to_numpy(), np.arcsin(m.astype(np.float64) / m.max()), rtol=1e-5
     )
+
+
+def test_literal_array_columns(halos):
+    """numpy arrays / Quantity arrays attach as columns aligned to the
+    current row order (reference test_im_col.py add_column analog),
+    then compose with filter/take."""
+    import numpy as np
+
+    from opencosmo_spark import Quantity
+
+    n = len(halos)
+    arr = np.arange(n, dtype=np.int64) * 2
+    q = Quantity(np.linspace(0.0, 1.0, n), "km/s")
+    ds = halos.with_new_columns(idx2=arr, speed=q)
+    assert str(ds.units["speed"]) == "km / s"
+    pdf = ds.sort_by("fof_halo_tag").get_data("pandas")
+    base = halos.sort_by("fof_halo_tag").get_data("pandas")
+
+    # alignment: row k of the canonical (__row_id) order got arr[k]
+    canon = halos.get_data("pandas")  # canonical order
+    tag_to_pos = {t: i for i, t in enumerate(canon.fof_halo_tag)}
+    expect = [arr[tag_to_pos[t]] for t in base.fof_halo_tag]
+    assert list(pdf.idx2) == expect
+
+    # composes with filter + take
+    f = ds.filter(oc.col("idx2") < 100).get_data("pandas")
+    assert (f.idx2 < 100).all() and len(f) == 50
+
+    # wrong length raises
+    with pytest.raises(ValueError):
+        halos.with_new_columns(bad=np.arange(3))

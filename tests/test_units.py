@@ -61,3 +61,40 @@ def test_without_h():
 def test_str_roundtrip():
     for s in ("Msun / h", "km / s", "Mpc"):
         assert str(parse_unit(s)).replace(" ", "") == s.replace(" ", "")
+
+
+def test_cosmology_model_dispatch():
+    """Model-type dispatch mirrors the reference's astropy class choice
+    (reference cosmology.py:62-80) for all six families."""
+    from opencosmo_spark import Cosmology
+
+    assert Cosmology().model_type == "FlatLambdaCDM"
+    assert Cosmology(Om0=0.3, Ode0=0.6).model_type == "LambdaCDM"
+    assert Cosmology(w0=-0.9).model_type == "FlatwCDM"
+    assert Cosmology(w0=-0.9, Om0=0.3, Ode0=0.6).model_type == "wCDM"
+    assert Cosmology(w0=-0.9, wa=0.1).model_type == "Flatw0waCDM"
+    assert (
+        Cosmology(w0=-0.9, wa=0.1, Om0=0.3, Ode0=0.6).model_type == "w0waCDM"
+    )
+
+
+def test_cosmology_efunc_and_distance():
+    from opencosmo_spark import Cosmology
+
+    flat = Cosmology()
+    assert flat.efunc(0.0) == pytest.approx(1.0)
+    # LCDM E(1) = sqrt(Om*8 + Ode)
+    assert flat.efunc(1.0) == pytest.approx(
+        (0.3096 * 8 + (1 - 0.3096)) ** 0.5
+    )
+    # open model: curvature term present at z=1
+    open_ = Cosmology(Om0=0.3, Ode0=0.6)
+    assert open_.efunc(1.0) == pytest.approx((0.3 * 8 + 0.1 * 4 + 0.6) ** 0.5)
+    # w0=-1, wa=0 reduces to LCDM exactly
+    assert Cosmology(w0=-1.0).comoving_distance(0.5) == pytest.approx(
+        flat.comoving_distance(0.5)
+    )
+    # phantom-free w>-1 shrinks distances (DE dilutes with a)
+    assert Cosmology(w0=-0.8).comoving_distance(1.0) < flat.comoving_distance(
+        1.0
+    )
