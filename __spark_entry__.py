@@ -687,30 +687,36 @@ def q45_ivf_ann(spark, sf):
 
 
 def q46_range_join(spark, sf):
-    # point-in-interval range join via bin-bucketing (joins.py): how
-    # many orders were placed in the 24h up to each event. A bare
-    # inequality join would plan BroadcastNestedLoop — the bin join is
-    # an equi-join whose shuffle is O(events + 2x orders).
+    # point-in-interval range join via bin-bucketing (joins.py): for
+    # each event, how many ERROR events (any user) occurred in the hour
+    # before it. A bare inequality join plans BroadcastNestedLoop — the
+    # bin join is an equi-join whose shuffle is O(events + 2x errors).
     from opencosmo_spark.joins import point_in_interval_join
 
-    DAY = 86_400_000_000  # microseconds
+    HOUR = 3_600_000_000  # microseconds
     ev = _t(spark, sf, "events").select(
         "event_id", F.expr("ts div 1000").alias("t_us")
     )
-    o_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-    o = _t(spark, sf, "orders").select(
-        "o_orderkey",
-        o_us.alias("w_start"),
-        (o_us + F.lit(DAY)).alias("w_end"),
+    err = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.expr("ts div 1000").alias("w_start"),
+            (F.expr("ts div 1000") + F.lit(HOUR)).alias("w_end"),
+        )
     )
-    j = point_in_interval_join(ev, o, "t_us", "w_start", "w_end", DAY)
-    cnt = j.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_orders"))
+    # (t_err, t_err + 1h] — strictly-after start, up to one hour later
+    j = point_in_interval_join(
+        ev, err, "t_us", "w_start", "w_end", HOUR, include_end=True
+    ).filter(F.col("t_us") != F.col("w_start"))
+    cnt = j.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_err_1h"))
     return (
         ev.select("event_id")
         .join(cnt, "event_id", "left")
         .select(
             "event_id",
-            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("n_err_1h"), F.lit(0)).alias("n_err_1h"),
         )
     )
 
@@ -1183,10 +1189,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
         "q46_range_join": """
-            SELECT e.event_id, count(o.o_orderkey) AS n_orders
-            FROM events e LEFT JOIN orders o
-              ON o.o_orderdate <= e.ts
-             AND e.ts < o.o_orderdate + INTERVAL 1 DAY
+            SELECT e.event_id, count(x.event_id) AS n_err_1h
+            FROM events e LEFT JOIN events x
+              ON x.event_type = 'error'
+             AND x.ts < e.ts AND e.ts <= x.ts + INTERVAL 1 HOUR
             GROUP BY e.event_id
         """,
         # q35_minhash_lsh / q36_simhash: engine-hash-based, not

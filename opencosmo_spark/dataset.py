@@ -659,6 +659,23 @@ class Dataset:
             return pl.from_arrow(df.toArrow())
         if format == "list":
             return [r.asDict() for r in df.collect()]
+        if format == "astropy":
+            # reference's default format (dataset/formats.py); gated —
+            # astropy is not in this image
+            try:
+                from astropy.table import Table  # noqa: PLC0415
+            except ImportError as exc:
+                raise ImportError(
+                    "astropy not installed in this image"
+                ) from exc
+            return Table.from_pandas(df.toPandas())
+        if format == "jax":
+            try:
+                import jax.numpy as jnp  # noqa: PLC0415
+            except ImportError as exc:
+                raise ImportError("jax not installed in this image") from exc
+            pdf = df.toPandas()
+            return {c: jnp.asarray(pdf[c].to_numpy()) for c in pdf.columns}
         raise ValueError(f"unknown format {format!r}")
 
     def rows(self, batch_size: int = 1000) -> Iterator[dict]:

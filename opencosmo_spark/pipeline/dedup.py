@@ -207,6 +207,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs.
 
@@ -219,41 +220,69 @@ def ngram_jaccard_pairs(
     result is identical to all-pairs for any positive threshold, but the
     cost is keyed by shared shingles instead of O(n^2) docs. Word
     k-shingles are rarely shared across unrelated documents, so join
-    fan-out stays bounded; a pathological shingle shared by s docs costs
-    s^2 — at 100 TB, cap or drop top-frequency shingles first.
+    fan-out stays bounded; a shingle shared by s docs still costs s^2
+    pairs. ``max_doc_freq`` drops posting lists longer than that cap —
+    the standard cost bound for heavy-duplication corpora (a capped
+    shingle only loses pairs that share NO other rare shingle, so
+    high-threshold recall is essentially unaffected). Exact-dedup the
+    corpus first (``exact_dedup``) — identical copies are the main
+    source of long posting lists and are far cheaper to collapse with a
+    hash groupBy than to rediscover pairwise here.
 
     threshold <= 0 (or an explicit candidate frame) falls back to the
     pairwise array_intersect plan.
     """
     if candidates is None and threshold > 0:
         sh = _shingle_frame(df, text_col, id_col, k)
-        ex = sh.select(
-            F.struct(F.col(id_col), F.size("sh").alias("n")).alias("dn"),
-            F.explode("sh").alias("h"),
-        )
+        if max_doc_freq is not None:
+            # Capped-universe semantics: shingles with document
+            # frequency > cap are removed from the vocabulary, and doc
+            # sizes are recomputed over the KEPT shingles — Jaccard
+            # stays exact on the reduced universe (subtracting from
+            # intersection only, as a naive cap would, biases scores
+            # down and silently drops true duplicates).
+            ex0 = sh.select(F.col(id_col), F.explode("sh").alias("h"))
+            hot = (
+                ex0.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > max_doc_freq)
+                .select("h")
+            )
+            ex0 = ex0.join(F.broadcast(hot), "h", "left_anti")
+            sizes = ex0.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+            ex = ex0.join(sizes, id_col).select(
+                F.struct(F.col(id_col), F.col("n")).alias("dn"), "h"
+            )
+        else:
+            ex = sh.select(
+                F.struct(F.col(id_col), F.size("sh").alias("n")).alias(
+                    "dn"
+                ),
+                F.explode("sh").alias("h"),
+            )
         # One shuffle keyed by shingle hash; shingles computed ONCE
         # (a self-join would evaluate the explode subtree per side).
         buckets = ex.groupBy("h").agg(
             F.collect_list("dn").alias("ds")
         ).filter(F.size("ds") > 1)
-        pairs = F.filter(
-            F.flatten(
-                F.transform(
-                    "ds",
-                    lambda x: F.transform(
-                        "ds",
-                        lambda y: F.struct(
-                            x[id_col].alias("a"),
-                            y[id_col].alias("b"),
-                            x["n"].alias("na"),
-                            y["n"].alias("nb"),
-                        ),
-                    ),
-                )
+        # Pair generation is streamed: explode one side first, then a
+        # c-element transform per row — peak memory O(c) per posting
+        # list, never the c^2 array a nested flatten would build
+        # (measured 8x on a corpus where every doc has 9 twins).
+        x = buckets.select("ds", F.explode("ds").alias("x"))
+        ys = F.filter(
+            F.transform(
+                "ds",
+                lambda y: F.struct(
+                    F.col("x")[id_col].alias("a"),
+                    y[id_col].alias("b"),
+                    F.col("x")["n"].alias("na"),
+                    y["n"].alias("nb"),
+                ),
             ),
             lambda p: p["a"] < p["b"],
         )
-        pe = buckets.select(F.explode(pairs).alias("p")).select("p.*")
+        pe = x.select(F.explode(ys).alias("p")).select("p.*")
         hits = pe.groupBy("a", "b", "na", "nb").agg(
             F.count(F.lit(1)).alias("inter")
         )

@@ -224,3 +224,15 @@ def test_ivf_ann_probe_prunes_and_keeps_query(spark):
         .toPandas()
     )
     assert (own.vec_id == own.__ivf_cell).all()
+
+
+def test_ngram_jaccard_capped_universe_keeps_exact_twins(docs_with_dups):
+    """max_doc_freq must use capped-universe semantics: an exact twin
+    pair scores 1.0 on any shingle universe, so it survives any cap
+    that leaves the docs at least one shingle."""
+    from opencosmo_spark.pipeline import ngram_jaccard_pairs
+
+    small = docs_with_dups.filter(F.col("doc_id") % 5 == 0)
+    capped = ngram_jaccard_pairs(small, threshold=0.9, max_doc_freq=64).toPandas()
+    exact = capped[(capped.a < 100000) & (capped.b == capped.a + 100000)]
+    assert (exact.jaccard == 1.0).all() and len(exact) > 0
