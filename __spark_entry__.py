@@ -28,7 +28,35 @@ from pyspark.sql import functions as F
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def _harden(spark: SparkSession) -> None:
+    """Make queries self-sufficient on ANY session (the driver's
+    correctness harness passes a vanilla one). All four are
+    runtime-settable SQLConfs:
+    * nanosAsLong — events.parquet stores INT64 TIMESTAMP(NANOS),
+      which a vanilla session rejects at read time;
+    * UTC — timestamp<->string rendering must match the DuckDB oracle;
+    * excludedRules — InferFiltersFromGenerate inlines array-producing
+      expressions into interpreted per-row filters under explode
+      (measured 40-80x on the shingle pipelines);
+    * Arrow — fast toPandas for the harness's collection step.
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        (
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        ),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — never let hardening kill a query
+            pass
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _harden(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -73,10 +73,21 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 def main():
     import __spark_entry__ as entrymod
-    from opencosmo_spark import get_spark
+    from pyspark.sql import SparkSession
 
     only = set(sys.argv[1:])
-    spark = get_spark("check_oracle")
+    # Deliberately VANILLA session — the driver's harness passes its own
+    # plain SparkSession into queries(), so any hidden dependency on the
+    # engine's session factory (get_spark) must surface here too.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    spark = (
+        SparkSession.builder.appName("check_oracle_vanilla")
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
     con = duck_connection()
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
