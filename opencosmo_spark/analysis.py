@@ -61,8 +61,14 @@ def reduce(
     flat = partials.select(
         F.col("n"), *[F.col("partial")[i].alias(f"p{i}") for i in idx]
     )
-    if operation in ("sum", "avg"):
+    if operation == "sum":
         aggs = [F.sum(f"p{i}").alias(f"p{i}") for i in idx]
+    elif operation == "avg":
+        # Row-weighted mean, matching the reference's MPI combine
+        # (analysis/mpi.py:142-146: weight = len(dataset)/total_size):
+        # sum(partial_i * n_i) / sum(n_i), in ONE aggregation — no
+        # second job re-executing the mapInPandas pipeline.
+        aggs = [F.sum(F.col(f"p{i}") * F.col("n")).alias(f"p{i}") for i in idx]
     elif operation == "prod":
         # product via exp(sum(log)) is lossy; collect partials instead
         rows = flat.collect()
@@ -75,8 +81,7 @@ def reduce(
     row = flat.agg(F.sum("n").alias("n"), *aggs).collect()[0]
     total = np.array([row[f"p{i}"] for i in idx])
     if operation == "avg":
-        n_batches = partials.count()
-        total = total / n_batches
+        total = total / row["n"]
     return total if width > 1 else float(total[0])
 
 

@@ -385,7 +385,7 @@ class Dataset:
         data["__pos"] = list(range(n))
         lit_df = self._df.sparkSession.createDataFrame(pd.DataFrame(data))
 
-        order = self._order_cols() or [F.lit(1)]
+        order = self._require_order("literal array columns")
         w = Window.orderBy(*order)
         pos = (F.row_number().over(w) - 1).alias("__pos")
         joined = (
@@ -418,6 +418,21 @@ class Dataset:
         if extra:
             out = out.drop(*extra)
         return self._clone(out, sort_keys=(("__sortkey", not invert),))
+
+    def _require_order(self, what: str) -> list[SparkColumn]:
+        """Positional semantics need a TOTAL order that is stable
+        across actions; 'current plan order' on multi-partition data is
+        not one (exchange-dependent). Datasets written by
+        ``oc.write`` carry a persisted ``__row_id``; otherwise the
+        caller must declare an order with ``sort_by``."""
+        order = self._order_cols()
+        if not order:
+            raise ValueError(
+                f"{what} require a stable row order: call sort_by(...) "
+                "first, or use data written by oc.write (which persists "
+                "a __row_id column)"
+            )
+        return order
 
     def _order_cols(self, reverse: bool = False) -> list[SparkColumn]:
         keys = self._sort_keys
@@ -469,7 +484,8 @@ class Dataset:
             return self._clone(head)
         from pyspark.sql import Window
 
-        order = order or [F.lit(1)]
+        if not order:
+            order = self._require_order("take_range with start > 0")
         w = Window.orderBy(*order)
         ranked = head.withColumn("__rn", F.row_number().over(w))
         out = ranked.filter(F.col("__rn") > start).drop("__rn")
@@ -484,7 +500,7 @@ class Dataset:
             return self._clone(self._df.limit(0))
         from pyspark.sql import Window
 
-        order = self._order_cols() or [F.lit(1)]
+        order = self._require_order("take_rows")
         hi = positions[-1] + 1
         head = self._df.orderBy(*[c for c in order]).limit(hi)
         w = Window.orderBy(*order)
@@ -545,6 +561,19 @@ class Dataset:
             if target == UnitConvention.UNITLESS:
                 units = {c: Unit() for c in units}
             else:
+                if (
+                    target == UnitConvention.SCALEFREE
+                    and conv != UnitConvention.SCALEFREE
+                ):
+                    # restoring littleh (and, from physical, the scale
+                    # factor) is not derivable from the data alone; the
+                    # reference only supports scalefree as a BASE
+                    # convention and raises on the inverse switch
+                    # (units/converters.py)
+                    raise ValueError(
+                        f"{conv} -> scalefree is not invertible "
+                        "(littleh cannot be re-added; reference raises too)"
+                    )
                 h = self._header.h
                 a_col = self._scale_factor_column()
                 for c in self.columns:
@@ -559,11 +588,6 @@ class Dataset:
                         expr_c = expr_c * F.lit(float(h) ** float(cur_h))
                         base_u = u.without_h()
                         changed = True
-                    if conv in (UnitConvention.COMOVING,) and tgt_has_h:
-                        raise ValueError(
-                            "comoving -> scalefree is not invertible "
-                            "(reference raises too)"
-                        )
                     # step 2: comoving <-> physical scale factor
                     d = float(base_u.length_power)
                     src_physical = conv == UnitConvention.PHYSICAL
@@ -611,6 +635,7 @@ class Dataset:
         vectorize: bool = False,
         insert: bool = True,
         format: str = "numpy",
+        batch_size: int | None = None,
         **kwargs: Any,
     ):
         """Apply a Python function over the dataset
@@ -620,12 +645,19 @@ class Dataset:
         match column names are read (reference dataset.py:458-459).
         Vectorized path = Arrow-batched ``mapInPandas``; row path
         iterates inside the same Arrow batches (never per-row pickling).
-        ``insert=False`` collects and returns raw results.
+        ``insert=False`` returns raw results; the row-wise and batched
+        variants run distributed and collect only the outputs.
         """
         from .evaluate import evaluate_dataset
 
         return evaluate_dataset(
-            self, func, vectorize=vectorize, insert=insert, format=format, **kwargs
+            self,
+            func,
+            vectorize=vectorize,
+            insert=insert,
+            format=format,
+            batch_size=batch_size,
+            **kwargs,
         )
 
     # ------------------------------------------------------------------

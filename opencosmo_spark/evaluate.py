@@ -82,6 +82,108 @@ def _convert_batch(pdf: pd.DataFrame, format: str, cols: list[str]) -> dict[str,
     raise ValueError(f"unknown evaluate format {format!r}")
 
 
+def _evaluate_collect_results(ds, func, needed, vectorize, format, batch_size, kwargs):
+    """``insert=False``: return raw results WITHOUT materializing the
+    input on the driver.
+
+    Scale posture (the reference, dataset/evaluate.py:57-69, fetches the
+    whole selection driver-side; we only do that for the one case whose
+    semantics demand it):
+
+    * row-wise  -> distributed: each Arrow batch runs the UDF on the
+      executors and ships back only a pickled list of per-row results,
+      tagged (partition_id, batch_seq) so driver-side reassembly is
+      order-stable regardless of collect() ordering.
+    * vectorized + batch_size -> distributed likewise; per-batch outputs
+      are concatenated (reference visit_dataset_batched concat_chunks
+      semantics, evaluate.py:72-95).
+    * vectorized, no batch_size -> the function contract is "sees the
+      FULL columns at once" (e.g. a histogram over the whole dataset),
+      which is irreducibly driver-side (O(input) driver memory is
+      inherent to the contract); we fetch as Arrow and build numpy
+      columns batch-wise rather than toPandas, avoiding the extra
+      full-DataFrame pandas copy.
+    """
+    import pickle
+
+    from pyspark.sql import functions as F
+
+    src = ds.spark_df.select(*needed)
+    fn, needed_l, kwargs_l, fmt_l = func, list(needed), kwargs, format
+
+    if vectorize and not batch_size:
+        # whole-column semantics: assemble numpy columns batch-by-batch
+        chunks: dict[str, list] = {c: [] for c in needed_l}
+        for pdf in _local_batches(src):
+            for c in needed_l:
+                chunks[c].append(pdf[c].to_numpy())
+        full = pd.DataFrame(
+            {c: np.concatenate(chunks[c]) if chunks[c] else np.array([]) for c in needed_l}
+        )
+        return fn(**_convert_batch(full, fmt_l, needed_l), **kwargs_l)
+
+    vec_l, bs = vectorize, batch_size
+    out_schema = T.StructType(
+        [
+            T.StructField("pid", T.IntegerType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seq = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            data = pdf.drop(columns="__pid")
+            outs = []
+            if vec_l:
+                step = bs or len(data)
+                for lo in range(0, len(data), step):
+                    sub = data.iloc[lo : lo + step].reset_index(drop=True)
+                    outs.append(fn(**_convert_batch(sub, fmt_l, needed_l), **kwargs_l))
+            else:
+                cols_np = {c: data[c].to_numpy() for c in needed_l}
+                for i in range(len(data)):
+                    outs.append(
+                        fn(**{c: cols_np[c][i] for c in needed_l}, **kwargs_l)
+                    )
+            yield pd.DataFrame(
+                {"pid": [pid], "seq": [seq], "payload": [pickle.dumps(outs)]}
+            )
+            seq += 1
+
+    tagged = src.withColumn("__pid", F.spark_partition_id())
+    rows = tagged.mapInPandas(run, out_schema).collect()
+    rows.sort(key=lambda r: (r["pid"], r["seq"]))
+    results: list = []
+    for r in rows:
+        results.extend(pickle.loads(r["payload"]))
+    if not vectorize:
+        return results
+    # vectorized-batched: concatenate per-batch outputs like the
+    # reference's concat_chunks
+    if not results:
+        return results
+    first = results[0]
+    if isinstance(first, dict):
+        return {
+            k: np.concatenate([np.atleast_1d(np.asarray(r[k])) for r in results])
+            for k in first
+        }
+    if isinstance(first, np.ndarray):
+        return np.concatenate([np.atleast_1d(r) for r in results])
+    return results
+
+
+def _local_batches(df) -> Iterator[pd.DataFrame]:
+    """Driver-side Arrow batches (no intermediate full-pandas copy)."""
+    for batch in df.toArrow().to_batches():
+        yield batch.to_pandas()
+
+
 def evaluate_dataset(
     ds,
     func: Callable,
@@ -117,14 +219,9 @@ def evaluate_dataset(
     sample_norm = normalize(sample_out, len(sample_pdf))
 
     if not insert:
-        # eager path: run over batches, collect raw results
-        results = []
-        pdf = ds.spark_df.select(*needed).toPandas()
-        if vectorize:
-            return func(**_convert_batch(pdf, format, needed), **kwargs)
-        for _, row in pdf.iterrows():
-            results.append(func(**{c: row[c] for c in needed}, **kwargs))
-        return results
+        return _evaluate_collect_results(
+            ds, func, needed, vectorize, format, batch_size, kwargs
+        )
 
     if not sample_norm:
         raise ValueError("insert=True but the function returned nothing")

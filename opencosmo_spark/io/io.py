@@ -24,9 +24,9 @@ import os
 import shutil
 from typing import TYPE_CHECKING
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
-from ..dataset import Dataset
+from ..dataset import ROW_ID, Dataset
 from ..header import OpenCosmoHeader
 from ..units import parse_unit
 
@@ -93,6 +93,23 @@ def write_dataset(path: str, ds, overwrite: bool = False) -> None:
 
     os.makedirs(path)
     df = ds.spark_df
+    # Persist a stable row identity if the dataset doesn't have one:
+    # positional APIs (take_range / take_rows / literal-array columns)
+    # need a total order that survives re-partitioning, and "current
+    # plan order" is not one. monotonically_increasing_id is only
+    # partition-deterministic, but the WRITE materializes it exactly
+    # once — after that it is as stable as any data column. With sort
+    # keys declared we orderBy first so ids follow the declared order
+    # (range shuffle + per-partition mzid: ids stay monotonic across
+    # partitions, no global single-task pass — scale-safe).
+    if ROW_ID not in df.columns:
+        if ds._sort_keys:
+            order = [
+                F.col(n).asc() if asc else F.col(n).desc()
+                for n, asc in ds._sort_keys
+            ]
+            df = df.orderBy(*order)
+        df = df.withColumn(ROW_ID, F.monotonically_increasing_id())
     # Cluster on the spatial cell for pruning on re-open: range-partition
     # so each output FILE owns a contiguous cell range (file-level skip),
     # then sort within partitions so row-group min/max stats are tight.

@@ -179,63 +179,95 @@ def pixel_sample_points(nside: int, pix: np.ndarray, refine: int = 4):
     return pts  # list of (ra_array, dec_array)
 
 
+def pixel_circumradius(nside: int, pix: np.ndarray) -> np.ndarray:
+    """Per-pixel upper bound on the center-to-anywhere angular distance
+    (degrees). Estimated from refined corner-child centers: the true
+    corner lies inside the corner child, whose own circumradius is
+    ~1/16 of the parent's (refine=4), so a 1.5x factor safely covers
+    the estimate-to-true gap."""
+    pts = pixel_sample_points(nside, pix)
+    cra, cdec = pts[-1]
+    max_sep = np.zeros(len(pix))
+    for ra, dec in pts[:-1]:
+        max_sep = np.maximum(max_sep, _angsep_vec(cra, cdec, ra, dec))
+    return max_sep * 1.5
+
+
+def _angsep_vec(ra1, dec1, ra2, dec2) -> np.ndarray:
+    """Angular separation in degrees, vectorized over arrays."""
+    r1, d1 = np.radians(ra1), np.radians(dec1)
+    r2, d2 = np.radians(ra2), np.radians(dec2)
+    cos_sep = np.sin(d1) * np.sin(d2) + np.cos(d1) * np.cos(d2) * np.cos(r1 - r2)
+    return np.degrees(np.arccos(np.clip(cos_sep, -1.0, 1.0)))
+
+
 def query_region(nside: int, region) -> tuple[list[int], list[int]]:
     """(interior_pixels, boundary_pixels) for a sky region at nside.
 
-    Classification samples 9 points per pixel (center, corners, edge
-    midpoints): all inside -> interior; any inside (or pixel holds the
-    region center) -> boundary. Conservative for regions larger than
-    ~half a pixel; exact row-level predicates run on boundary pixels.
+    CONSERVATIVE both ways (the healpy query_disc(inclusive=True)
+    posture the reference relies on, spatial/healpix.py:27-66):
+
+    * interior only when containment is PROVABLE — the whole pixel disk
+      (center +- circumradius bound) fits inside the region, so rows in
+      interior pixels may legitimately skip the exact predicate;
+    * boundary is a SUPERSET of every pixel that could intersect — any
+      pixel whose disk touches the region (never classified by point
+      samples alone, which can all miss a corner-clipping region).
+
+    The exact row-level predicate then decides for boundary pixels, so
+    over-inclusion costs a little compute and never correctness.
     """
-    npix = 12 * nside * nside
-    pix = np.arange(npix, dtype=np.int64)
-    pts = pixel_sample_points(nside, pix)
-    inside = np.zeros((len(pts), npix), dtype=bool)
-    for i, (ra, dec) in enumerate(pts):
-        inside[i] = _contains_vec(region, ra, dec)
-    n_in = inside.sum(axis=0)
-    interior = pix[n_in == len(pts)]
-    boundary = pix[(n_in > 0) & (n_in < len(pts))]
-    # the pixel containing the region's center is at least boundary
-    center = _region_center(region)
-    if center is not None:
-        cpix = int(radec2pix_nest(nside, [center[0]], [center[1]])[0])
-        if cpix not in interior and cpix not in boundary:
-            boundary = np.append(boundary, cpix)
-    return interior.tolist(), boundary.tolist()
-
-
-def _contains_vec(region, ra: np.ndarray, dec: np.ndarray) -> np.ndarray:
     from .region import ConeRegion, FullSkyRegion, SkyboxRegion
 
+    npix = 12 * nside * nside
+    pix = np.arange(npix, dtype=np.int64)
     if isinstance(region, FullSkyRegion):
-        return np.ones(ra.shape, dtype=bool)
-    if isinstance(region, ConeRegion):
-        ra_r, dec_r = np.radians(ra), np.radians(dec)
-        ra0, dec0 = np.radians(region.ra), np.radians(region.dec)
-        cos_sep = np.sin(dec_r) * np.sin(dec0) + np.cos(dec_r) * np.cos(dec0) * np.cos(
-            ra_r - ra0
-        )
-        return cos_sep >= np.cos(np.radians(region.radius))
-    if isinstance(region, SkyboxRegion):
-        ra_m = np.mod(ra, 360.0)
-        decp = (dec >= region.dec_min) & (dec <= region.dec_max)
-        if region.wraps:
-            rap = (ra_m >= region.ra_min) | (ra_m <= region.ra_max)
-        else:
-            rap = (ra_m >= region.ra_min) & (ra_m <= region.ra_max)
-        return decp & rap
-    raise TypeError(f"unsupported sky region {type(region).__name__}")
+        return pix.tolist(), []
 
-
-def _region_center(region):
-    from .region import ConeRegion, SkyboxRegion
+    cra, cdec = pix2radec_nest(nside, pix)
+    rpix = pixel_circumradius(nside, pix)
 
     if isinstance(region, ConeRegion):
-        return (region.ra, region.dec)
-    if isinstance(region, SkyboxRegion) and not region.wraps:
-        return ((region.ra_min + region.ra_max) / 2, (region.dec_min + region.dec_max) / 2)
-    return None
+        sep = _angsep_vec(cra, cdec, region.ra, region.dec)
+        interior_m = sep <= region.radius - rpix
+        boundary_m = ~interior_m & (sep <= region.radius + rpix)
+    elif isinstance(region, SkyboxRegion):
+        interior_m, boundary_m = _classify_skybox(region, cra, cdec, rpix)
+    else:
+        raise TypeError(f"unsupported sky region {type(region).__name__}")
+
+    return pix[interior_m].tolist(), pix[boundary_m].tolist()
+
+
+def _classify_skybox(region, cra, cdec, rpix):
+    """Margin-based skybox classification. All pixel points lie within
+    ``rpix`` of the center, so dec spans cdec +- rpix and RA spans
+    cra +- dra with dra = rpix / cos(closest-to-pole dec in the pixel)
+    (clamped: near-pole pixels get full-circle RA spread -> demoted to
+    boundary, where the exact predicate decides)."""
+    dec_lo, dec_hi = region.dec_min, region.dec_max
+    # RA spread bound: worst-case |dec| anywhere in the pixel
+    extreme = np.minimum(np.abs(cdec) + rpix, 89.999)
+    dra = np.minimum(rpix / np.cos(np.radians(extreme)) * 1.2, 360.0)
+    near_pole = (np.abs(cdec) + rpix) >= 89.0
+    dra = np.where(near_pole, 360.0, dra)
+
+    ra_len = region.ra_length
+    # forward arc offset from the region's RA start to the pixel center
+    off = np.mod(cra - region.ra_min, 360.0)
+
+    dec_interior = (cdec - rpix >= dec_lo) & (cdec + rpix <= dec_hi)
+    ra_interior = (off >= dra) & (off + dra <= ra_len)
+    interior = dec_interior & ra_interior & ~near_pole
+
+    dec_touch = (cdec + rpix >= dec_lo) & (cdec - rpix <= dec_hi)
+    # pixel RA arc [cra-dra, cra+dra] overlaps region arc
+    ra_touch = (
+        (np.mod(cra - dra - region.ra_min, 360.0) <= ra_len)
+        | (np.mod(region.ra_min - (cra - dra), 360.0) <= 2 * dra)
+    )
+    boundary = dec_touch & (ra_touch | (dra >= 360.0)) & ~interior
+    return interior, boundary
 
 
 def ang2pix_expr(nside: int, ra_col, dec_col):

@@ -31,6 +31,12 @@ def _ang_sep_deg(ra1, dec1, ra2, dec2) -> float:
     return math.degrees(math.acos(dot))
 
 
+def _arc_len(lo: float, hi: float) -> float:
+    """Forward (counterclockwise) arc length lo -> hi on the RA circle,
+    in [0, 360)."""
+    return (hi - lo) % 360.0
+
+
 @dataclass(frozen=True)
 class BoxRegion:
     """Axis-aligned 3-D box [p1, p2) in simulation coordinates."""
@@ -110,25 +116,38 @@ class SkyboxRegion:
             return ra >= self.ra_min or ra <= self.ra_max
         return self.ra_min <= ra <= self.ra_max
 
+    @property
+    def ra_length(self) -> float:
+        """Forward arc length ra_min -> ra_max on the RA circle; a
+        distinct-endpoint multiple of 360 (e.g. 0 -> 360) means full
+        coverage, not zero."""
+        d = _arc_len(self.ra_min, self.ra_max)
+        if d == 0.0 and self.ra_min != self.ra_max:
+            return 360.0
+        return d
+
     def contains(self, other: "SkyboxRegion") -> bool:
-        if self.wraps or other.wraps:
-            raise NotImplementedError("wrapped skybox containment")
-        return (
-            self.ra_min <= other.ra_min
-            and other.ra_max <= self.ra_max
-            and self.dec_min <= other.dec_min
-            and other.dec_max <= self.dec_max
+        """RA coverage is a single circular arc whether or not it
+        crosses 0 deg, so containment is pure arc algebra: other's arc
+        starts inside self's and fits in the remaining length
+        (reference handles wrap the same way, spatial/region.py:151-214).
+        """
+        dec_ok = (
+            self.dec_min <= other.dec_min and other.dec_max <= self.dec_max
         )
+        ra_ok = self.ra_length >= 360.0 or (
+            _arc_len(self.ra_min, other.ra_min) + other.ra_length
+            <= self.ra_length
+        )
+        return dec_ok and ra_ok
 
     def intersects(self, other: "SkyboxRegion") -> bool:
-        if self.wraps or other.wraps:
-            raise NotImplementedError("wrapped skybox intersection")
-        return (
-            self.ra_min < other.ra_max
-            and other.ra_min < self.ra_max
-            and self.dec_min < other.dec_max
-            and other.dec_min < self.dec_max
+        dec_ok = self.dec_min < other.dec_max and other.dec_min < self.dec_max
+        ra_ok = (
+            _arc_len(self.ra_min, other.ra_min) < self.ra_length
+            or _arc_len(other.ra_min, self.ra_min) < other.ra_length
         )
+        return dec_ok and ra_ok
 
 
 @dataclass(frozen=True)

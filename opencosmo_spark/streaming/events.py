@@ -41,8 +41,11 @@ def read_event_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+    # integer ns->us: `/` on longs goes through double (ulp 256ns at
+    # epoch-nanos magnitude), mis-assigning boundary events; `div` stays
+    # in long arithmetic.
     return raw.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 

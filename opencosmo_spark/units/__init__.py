@@ -156,11 +156,20 @@ class Unit:
     def conversion_factor(self, other: "Unit") -> float:
         """Multiplier converting values in ``self`` to ``other``.
 
-        littleh is treated as dimensionless with factor 1 (conversion
-        across h-powers is a convention switch, not a unit conversion).
+        Units that differ in littleh power are DIFFERENT conventions,
+        not a numeric conversion — the factor depends on the cosmology,
+        which plain unit algebra doesn't have. The reference routes
+        those through ``cu.with_H0`` or errors; silently treating h as
+        1 would mix conventions, so we raise (convert via
+        ``Dataset.with_units`` instead, which has the cosmology).
         """
         a, b = self.as_dict(), other.as_dict()
-        a.pop("h", None), b.pop("h", None)
+        if a.pop("h", 0) != b.pop("h", 0):
+            raise UnitError(
+                f"{self} -> {other} changes littleh power: that is a "
+                "unit-convention switch (needs the cosmology); use "
+                "Dataset.with_units instead of unit arithmetic"
+            )
         ua, ub = Unit(_norm(a)), Unit(_norm(b))
         if ua.dimension() != ub.dimension():
             raise UnitError(f"incompatible units: {self} -> {other}")

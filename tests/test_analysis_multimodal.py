@@ -33,6 +33,27 @@ def test_reduce_scalar(halos):
     assert s == pytest.approx(raw.sum(), rel=1e-9)
 
 
+def test_reduce_avg_row_weighted(spark):
+    """AVG must weight partials by per-batch row counts (reference
+    analysis/mpi.py:142-146), not average the batch means — the two
+    differ whenever batches are uneven, which we force here with a
+    skewed repartition (1 row vs 999 rows)."""
+    from pyspark.sql import functions as F
+
+    from opencosmo_spark.dataset import Dataset
+
+    pdf = pd.DataFrame({"v": np.arange(1000, dtype=np.float64)})
+    skew = F.when(F.col("v") == 0, 0).otherwise(1)
+    df = spark.createDataFrame(pdf).repartition(2, skew)
+    ds = Dataset(df)
+
+    def mean_v(v):
+        return np.mean(v, dtype=np.float64)
+
+    got = analysis.reduce(ds, mean_v, operation="avg")
+    assert got == pytest.approx(np.arange(1000).mean(), rel=1e-12)
+
+
 def test_halo_mass_function(halos):
     hmf = analysis.halo_mass_function(halos, bins=8, lo=11, hi=15).toPandas()
     raw = halos.get_data("numpy")["fof_halo_mass"]

@@ -74,7 +74,10 @@ def test_unitless(halos):
 
 
 def test_per_column_conversion(halos):
-    conv = halos.with_units(conversions={"sod_halo_radius": "kpc"})
+    # the column is Mpc/h: converting the prefix is fine as long as the
+    # littleh power is preserved (h conversion needs the cosmology and
+    # must go through a convention switch)
+    conv = halos.with_units(conversions={"sod_halo_radius": "kpc/h"})
     raw = halos.get_data("numpy")
     data = conv.get_data("numpy")
     np.testing.assert_allclose(
@@ -82,7 +85,12 @@ def test_per_column_conversion(halos):
         raw["sod_halo_radius"].astype(np.float64) * 1000.0,
         rtol=1e-6,
     )
-    assert str(conv.units["sod_halo_radius"]) == "kpc"
+    assert str(conv.units["sod_halo_radius"]) == "kpc / h"
+
+    from opencosmo_spark.units import UnitError
+
+    with pytest.raises(UnitError):
+        halos.with_units(conversions={"sod_halo_radius": "kpc"})
 
 
 def test_filter_in_new_convention(halos):

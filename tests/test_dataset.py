@@ -166,10 +166,17 @@ def test_scalar_only_select(halos, halos_np):
 def test_unit_aware_filter_quantity(halos, halos_np):
     from opencosmo_spark import Quantity
 
-    # radius in kpc/h-free terms: 1 Mpc threshold = 1000 kpc
-    n_mpc = len(halos.filter(col("sod_halo_radius") > Quantity(1.0, "Mpc")))
-    n_kpc = len(halos.filter(col("sod_halo_radius") > Quantity(1000.0, "kpc")))
+    # radius column is Mpc/h: thresholds must carry the same h-power
+    n_mpc = len(halos.filter(col("sod_halo_radius") > Quantity(1.0, "Mpc/h")))
+    n_kpc = len(halos.filter(col("sod_halo_radius") > Quantity(1000.0, "kpc/h")))
     assert n_mpc == n_kpc > 0
+
+    # a plain-Mpc threshold against an Mpc/h column is a convention
+    # mix — unit algebra must refuse (needs the cosmology)
+    from opencosmo_spark.units import UnitError
+
+    with pytest.raises(UnitError):
+        len(halos.filter(col("sod_halo_radius") > Quantity(1.0, "Mpc")))
 
 
 def test_repr(halos):

@@ -54,6 +54,62 @@ def test_insert_false_returns_results(halos):
     assert res.sum() == len(halos)
 
 
+def test_insert_false_rowwise_distributed(halos):
+    def ratio(fof_halo_mass, sod_halo_mass):
+        return float(sod_halo_mass / fof_halo_mass)
+
+    sub = halos.take(40)
+    res = sub.evaluate(ratio, insert=False)
+    data = sub.get_data("pandas")
+    expected = (data["sod_halo_mass"] / data["fof_halo_mass"]).tolist()
+    assert res == pytest.approx(expected, rel=1e-9)
+
+
+def test_insert_false_vectorized_batched_concat(halos):
+    def logm(fof_halo_mass):
+        return np.log10(fof_halo_mass)
+
+    sub = halos.take(100)
+    res = sub.evaluate(logm, vectorize=True, insert=False, batch_size=17)
+    raw = sub.get_data("numpy")["fof_halo_mass"]
+    np.testing.assert_allclose(res, np.log10(raw), rtol=1e-9)
+
+
+def test_insert_false_never_collects_full_input(halos, monkeypatch):
+    """The distributed insert=False paths must not materialize the
+    input selection on the driver: every driver-side toPandas must be
+    the <=8-row schema probe."""
+    cls = type(halos.spark_df)  # the concrete (classic) DataFrame class
+    seen = []
+    orig = cls.toPandas
+
+    def spy(self):
+        out = orig(self)
+        seen.append(len(out))
+        return out
+
+    monkeypatch.setattr(cls, "toPandas", spy)
+
+    sub = halos.take(200)
+
+    def ratio(fof_halo_mass, sod_halo_mass):
+        return float(sod_halo_mass / fof_halo_mass)
+
+    res = sub.evaluate(ratio, insert=False)
+    assert len(res) == 200
+    assert seen and max(seen) <= 8
+
+    seen.clear()
+    res2 = sub.evaluate(
+        lambda fof_halo_mass: np.log10(fof_halo_mass),
+        vectorize=True,
+        insert=False,
+        batch_size=50,
+    )
+    assert len(res2) == 200
+    assert max(seen, default=0) <= 8
+
+
 def test_signature_pruning_unknown_raises(halos):
     with pytest.raises(ValueError):
         halos.evaluate(lambda not_a_column: not_a_column * 2)

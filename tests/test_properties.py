@@ -195,3 +195,128 @@ def test_healpix_query_region_covers_center(ra, dec, radius):
     interior, boundary = query_region(nside, cone)
     center_pix = int(radec2pix_nest(nside, np.array([ra]), np.array([dec]))[0])
     assert center_pix in set(interior) | set(boundary)
+
+
+# ---------------------------------------------------------------------
+# RA-wrapping skybox algebra (reference spatial/region.py:151-214)
+# ---------------------------------------------------------------------
+def _skybox(ra_min, ra_max, dec_min=-10.0, dec_max=10.0):
+    from opencosmo_spark.spatial.region import SkyboxRegion
+
+    return SkyboxRegion(ra_min, ra_max, dec_min, dec_max)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a_start=st.floats(0, 360, exclude_max=True),
+    a_len=st.floats(1.0, 180.0),
+    b_start=st.floats(0, 360, exclude_max=True),
+    b_len=st.floats(1.0, 180.0),
+)
+def test_skybox_wrap_algebra_vs_pointwise(a_start, a_len, b_start, b_len):
+    """contains/intersects must agree with dense point-wise evaluation,
+    including arcs crossing RA=0."""
+    import numpy as np
+
+    a = _skybox(a_start, (a_start + a_len) % 360.0)
+    b = _skybox(b_start, (b_start + b_len) % 360.0)
+
+    # dense RA sampling of b's arc (dec band is shared)
+    ts = np.linspace(0.0, b_len, 721)
+    ras = (b_start + ts) % 360.0
+    inside_a = np.array([a.contains_point(r, 0.0) for r in ras])
+
+    if a.contains(b):
+        assert inside_a.all()
+    if inside_a.all():
+        # endpoint-sampled containment implies algebraic containment up
+        # to sampling resolution: check the exact claim only when the
+        # arcs don't merely touch at the resolution limit
+        margin = b_len / 720
+        a2 = _skybox(a_start, (a_start + a_len) % 360.0)
+        if a2.ra_length >= b.ra_length + 2 * margin:
+            assert a.contains(b)
+    if inside_a.any() and not a.intersects(b):
+        # any strictly-inside sample point refutes a non-intersection
+        strict = [
+            r
+            for r, i in zip(ras[1:-1], inside_a[1:-1])
+            if i
+        ]
+        assert not strict
+
+
+def test_skybox_wrap_examples():
+    """Deterministic wrap cases: [350, 10] crosses zero."""
+    wrap = _skybox(350.0, 10.0)
+    assert wrap.wraps and wrap.ra_length == 20.0
+    assert wrap.contains(_skybox(355.0, 5.0))
+    assert wrap.contains(_skybox(350.0, 10.0))
+    assert not wrap.contains(_skybox(340.0, 5.0))
+    assert wrap.intersects(_skybox(5.0, 20.0))
+    assert not wrap.intersects(_skybox(20.0, 340.0))
+    # the complement arc wraps the other way
+    comp = _skybox(10.0, 350.0)
+    assert not comp.wraps
+    assert comp.intersects(wrap) is False  # strict: they touch only at endpoints
+    # full-RA band contains everything
+    full = _skybox(0.0, 360.0)
+    assert full.ra_length == 360.0
+    assert full.contains(wrap) and full.intersects(wrap)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    ra=st.floats(0, 360, exclude_max=True, allow_nan=False),
+    dec=st.floats(-85, 85, allow_nan=False),
+    radius=st.floats(1.0, 30.0),
+)
+def test_healpix_interior_pixels_provably_inside(ra, dec, radius):
+    """Every INTERIOR pixel's sampled outline must be fully inside the
+    cone — interior rows skip the exact predicate, so a misclassified
+    interior would admit wrong rows."""
+    import numpy as np
+
+    from opencosmo_spark.spatial.healpix import (
+        pixel_sample_points,
+        query_region,
+    )
+
+    nside = 16
+    cone = make_cone((ra, dec), radius)
+    interior, _ = query_region(nside, cone)
+    if not interior:
+        return
+    pts = pixel_sample_points(nside, np.array(interior))
+    for pra, pdec in pts:
+        for r, d in zip(pra, pdec):
+            assert cone.contains_point(float(r), float(d))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    ra=st.floats(0, 360, exclude_max=True, allow_nan=False),
+    dec=st.floats(-85, 85, allow_nan=False),
+    radius=st.floats(0.05, 2.0),
+)
+def test_healpix_small_cone_never_dropped(ra, dec, radius):
+    """A cone smaller than a pixel must still be covered: points ON the
+    cone (center + rim samples) map to pixels that query_region
+    returned (the false-negative class ADVICE flagged: all 9 samples
+    outside an intersecting pixel)."""
+    import numpy as np
+
+    from opencosmo_spark.spatial.healpix import query_region, radec2pix_nest
+
+    nside = 16
+    cone = make_cone((ra, dec), radius)
+    interior, boundary = query_region(nside, cone)
+    covered = set(interior) | set(boundary)
+    # rim points in several directions
+    for ang in np.linspace(0, 2 * np.pi, 13):
+        pr = ra + radius * np.cos(ang) / max(np.cos(np.radians(dec)), 1e-6)
+        pd = np.clip(dec + radius * np.sin(ang), -90.0, 90.0)
+        if not cone.contains_point(pr % 360.0, float(pd)):
+            continue  # flat-sky approx outside the true cone: skip
+        p = int(radec2pix_nest(nside, np.array([pr % 360.0]), np.array([pd]))[0])
+        assert p in covered

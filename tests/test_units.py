@@ -43,10 +43,22 @@ def test_h_and_length_powers():
 def test_conversion_factor():
     assert parse_unit("Mpc").conversion_factor(parse_unit("kpc")) == pytest.approx(1000.0)
     assert parse_unit("km/s").conversion_factor(parse_unit("m/s")) == pytest.approx(1000.0)
-    # h is transparent for conversions
-    assert parse_unit("Mpc/h").conversion_factor(parse_unit("kpc")) == pytest.approx(1000.0)
+    # same h-power on both sides converts normally
+    assert parse_unit("Mpc/h").conversion_factor(parse_unit("kpc/h")) == pytest.approx(1000.0)
+    # differing h-power is a convention switch, not a unit conversion —
+    # it needs the cosmology (with_units), so plain unit algebra raises
+    with pytest.raises(UnitError):
+        parse_unit("Mpc/h").conversion_factor(parse_unit("kpc"))
     with pytest.raises(UnitError):
         parse_unit("Mpc").conversion_factor(parse_unit("Msun"))
+
+
+def test_physical_to_scalefree_raises(spark, fixtures):
+    import opencosmo_spark as oc
+
+    ds = oc.open(f"{fixtures}/halo_properties").with_units("physical")
+    with pytest.raises(ValueError, match="not invertible"):
+        ds.with_units("scalefree")
 
 
 def test_quantity():
