@@ -567,17 +567,23 @@ def q34_neardup_cosine(spark, sf):
 
 
 def q35_minhash_lsh(spark, sf):
+    # hasher="md5": same banding/bucket-join/exact-verify algebra as
+    # the xxhash64 scale default, but every hash lane is reproducible
+    # in DuckDB — so this pipeline is value-checked end to end (the
+    # q40 literal-parameter pattern, applied to the hash primitive).
     from opencosmo_spark.pipeline.dedup import minhash_lsh_candidates
 
     d = _t(spark, sf, "documents")
-    return minhash_lsh_candidates(d, text_col="text", id_col="doc_id")
+    return minhash_lsh_candidates(
+        d, text_col="text", id_col="doc_id", hasher="md5"
+    )
 
 
 def q36_simhash(spark, sf):
     from opencosmo_spark.pipeline.dedup import simhash
 
     d = _t(spark, sf, "documents")
-    return simhash(d, text_col="text", id_col="doc_id")
+    return simhash(d, text_col="text", id_col="doc_id", bits=60, hasher="md5")
 
 
 def q37_sessionize(spark, sf):
@@ -801,6 +807,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_ivf_ann": q45_ivf_ann,
         "q46_range_join": q46_range_join,
     }
+
+
+_MD5_LANE = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+) -> str:
+    """DuckDB twin of minhash_lsh_candidates(hasher='md5'): identical
+    md5-lane shingles, signatures, band keys, bucket join, and
+    exact-Jaccard verify."""
+    k = shingle_k
+    rows = num_hashes // bands
+    lane_sh = _MD5_LANE.format(x=f"array_to_string(ws[i:i+{k - 1}], ' ')")
+    sig_lanes = ", ".join(
+        "list_min(list_transform(sh, h -> "
+        + _MD5_LANE.format(x=f"h::VARCHAR || ':{j}'")
+        + "))"
+        for j in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        _MD5_LANE.format(
+            x="'"
+            + str(b)
+            + "' || ':' || "
+            + " || ':' || ".join(
+                f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows)
+            )
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - {k - 1}, 1)),
+                   i -> {lane_sh})) AS sh
+          FROM w
+        ), sig AS (
+          SELECT doc_id, sh, [{sig_lanes}] AS sig FROM sh
+        ), banded AS (
+          SELECT doc_id, UNNEST([{band_keys}]) AS band_key FROM sig
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM banded x JOIN banded y USING (band_key)
+          WHERE x.doc_id < y.doc_id
+        )
+        SELECT a, b,
+               round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                     / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = a
+        JOIN sh sb ON sb.doc_id = b
+        WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                    / len(list_distinct(sa.sh || sb.sh)), 6) >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(bits: int = 60) -> str:
+    """DuckDB twin of simhash(hasher='md5', bits=60): per-word md5
+    lanes, ±1 bit sums, sign-bit reassembly."""
+    lane = _MD5_LANE.format(x="w")
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+        WITH e AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+        ), h AS (
+          SELECT doc_id, {lane} AS h FROM e WHERE w <> ''
+        )
+        SELECT doc_id, {bit_terms} AS simhash
+        FROM h GROUP BY doc_id
+    """
 
 
 def _ann_lsh_oracle_sql(dim: int = 64, planes: int = 8, seed: int = 7) -> str:
@@ -1223,6 +1310,6 @@ def oracle_sql() -> dict[str, str]:
              AND x.ts < e.ts AND e.ts <= x.ts + INTERVAL 1 HOUR
             GROUP BY e.event_id
         """,
-        # q35_minhash_lsh / q36_simhash: engine-hash-based, not
-        # SQL-expressible -> rows-only check by design
+        "q35_minhash_lsh": _minhash_oracle_sql(),
+        "q36_simhash": _simhash_oracle_sql(),
     }

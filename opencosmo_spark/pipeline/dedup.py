@@ -12,6 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def md5_lane(c) -> F.Column:
+    """Deterministic 60-bit non-negative hash lane from md5, computable
+    bit-for-bit in standard SQL engines (DuckDB:
+    ``('0x' || substring(md5(x), 1, 15))::BIGINT``). ~2x slower than
+    xxhash64 — the cross-engine-checkable primitive, not the scale
+    default."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def _shingle_frame(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
@@ -73,39 +82,73 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """(id, shingles: array<long>, sig: array<long>).
 
-    Shingles are hashed k-word windows: each word is string-hashed ONCE
-    (xxhash64), windows combine the k word-hash longs — so the
+    ``hasher="xxhash64"`` (default, the scale path): each word is
+    string-hashed ONCE, windows combine the k word-hash longs — so the
     expensive string hashing is a single pass, and the ``num_hashes``
     minhash passes run over longs. sig[j] = min over shingles of
     xxhash64(shingle_hash, j).
+
+    ``hasher="md5"``: shingles are md5 lanes of the joined k-word
+    window string and sig[j] = min of md5_lane(shingle_hash || ':' ||
+    j) — every step reproducible in DuckDB SQL, so the whole pipeline
+    (banding, bucket join, exact-Jaccard verify) is oracle-checkable.
+    Same algebra, swappable primitive.
     """
-    words = F.split(F.col(text_col), " ")
-    wh = F.transform(words, lambda w: F.xxhash64(w))
-    base = df.select(F.col(id_col), wh.alias("wh"))
-    n = F.size(F.col("wh"))
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(shingle_k - 1), F.lit(1)))
-    window_hash = F.transform(
-        idx,
-        lambda i: F.xxhash64(
-            # try_element_at: docs shorter than k words yield one
-            # partial window (nulls hash deterministically)
-            *[F.try_element_at(F.col("wh"), i + off) for off in range(shingle_k)]
-        ),
-    )
-    base = base.select(
-        F.col(id_col), F.array_distinct(window_hash).alias("shingles")
-    )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("shingles"), lambda s, j=j: F.xxhash64(s, F.lit(j)))
+    if hasher == "xxhash64":
+        words = F.split(F.col(text_col), " ")
+        wh = F.transform(words, lambda w: F.xxhash64(w))
+        base = df.select(F.col(id_col), wh.alias("wh"))
+        n = F.size(F.col("wh"))
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(shingle_k - 1), F.lit(1)))
+        window_hash = F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                # try_element_at: docs shorter than k words yield one
+                # partial window (nulls hash deterministically)
+                *[F.try_element_at(F.col("wh"), i + off) for off in range(shingle_k)]
+            ),
+        )
+        base = base.select(
+            F.col(id_col), F.array_distinct(window_hash).alias("shingles")
+        )
+
+        def sig_lane(j):
+            return F.array_min(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(j)))
             )
-            for j in range(num_hashes)
-        ]
-    ).alias("sig")
+
+    elif hasher == "md5":
+        words = F.split(F.col(text_col), " ")
+        base = df.select(F.col(id_col), words.alias("ws"))
+        n = F.size(F.col("ws"))
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(shingle_k - 1), F.lit(1)))
+        window_hash = F.transform(
+            idx,
+            lambda i: md5_lane(
+                F.array_join(F.slice(F.col("ws"), i, shingle_k), " ")
+            ),
+        )
+        base = base.select(
+            F.col(id_col), F.array_distinct(window_hash).alias("shingles")
+        )
+
+        def sig_lane(j):
+            return F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: md5_lane(
+                        F.concat(s.cast("string"), F.lit(f":{j}"))
+                    ),
+                )
+            )
+
+    else:
+        raise ValueError(f"unknown hasher {hasher!r} (xxhash64|md5)")
+    sig = F.array(*[sig_lane(j) for j in range(num_hashes)]).alias("sig")
     return base.select(F.col(id_col), F.col("shingles"), sig)
 
 
@@ -117,12 +160,16 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.2,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
     banding: rows = num_hashes/bands hashes per band; docs sharing any
     band key become candidates (bucket-join, not all-pairs); candidates
-    are verified with exact shingle-set Jaccard.
+    are verified with exact shingle-set Jaccard. Band keys hash the
+    band's signature lanes down to one long (8-byte shuffle keys)
+    using the mode's own primitive, so md5 mode stays
+    byte-reproducible in SQL.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -131,17 +178,27 @@ def minhash_lsh_candidates(
     # two verify joins); recomputing shingles+minhash each time costs
     # more than materializing once. Storage is MEMORY_AND_DISK — safe
     # at scale, and the frame is (id, shingles, sig) only.
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, hasher
+    ).persist()
 
     # ONE pass over the signatures: band keys as an array, exploded —
     # a per-band union would recompute the whole minhash pipeline
     # bands× (measured 4x wall-clock at sf0.1).
-    band_keys = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
-            for b in range(bands)
-        ]
-    )
+    def band_key(b):
+        if hasher == "md5":
+            return md5_lane(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(b)),
+                    *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)],
+                )
+            )
+        return F.xxhash64(
+            F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)]
+        )
+
+    band_keys = F.array(*[band_key(b) for b in range(bands)])
     banded = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
 
     a = banded.select(F.col(id_col).alias("a"), "band_key")
@@ -172,16 +229,26 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document from word-level xxhash64.
+    """SimHash per document from word-level hashes.
 
-    Explode words -> per-bit ±1 contributions -> 64 grouped sums ->
-    reassemble sign bits. Pure JVM aggregation; the 64 sum exprs stay
-    inside one hash-aggregate pass.
+    Explode words -> per-bit ±1 contributions -> ``bits`` grouped sums
+    -> reassemble sign bits. Pure JVM aggregation; the sum exprs stay
+    inside one hash-aggregate pass. ``hasher="md5"`` uses the 60-bit
+    md5 lane (bits must be <= 60) so the identical computation runs in
+    DuckDB SQL for oracle checking.
     """
     words = F.explode(F.split(F.col(text_col), " ")).alias("w")
     ex = df.select(F.col(id_col), words).filter(F.col("w") != "")
-    wh = F.xxhash64(F.col("w"))
+    if hasher == "md5":
+        if bits > 60:
+            raise ValueError("md5 lane provides 60 bits")
+        wh = md5_lane(F.col("w"))
+    elif hasher == "xxhash64":
+        wh = F.xxhash64(F.col("w"))
+    else:
+        raise ValueError(f"unknown hasher {hasher!r} (xxhash64|md5)")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(wh, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

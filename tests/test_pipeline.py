@@ -236,3 +236,37 @@ def test_ngram_jaccard_capped_universe_keeps_exact_twins(docs_with_dups):
     capped = ngram_jaccard_pairs(small, threshold=0.9, max_doc_freq=64).toPandas()
     exact = capped[(capped.a < 100000) & (capped.b == capped.a + 100000)]
     assert (exact.jaccard == 1.0).all() and len(exact) > 0
+
+
+def test_minhash_md5_mode_equivalent_semantics(docs_with_dups):
+    """hasher='md5' (the oracle-checkable primitive) must find the same
+    exact-duplicate pairs with the same verified Jaccard — the banding
+    randomness differs, but exact dups collide in every band under any
+    hasher, and the exact-verify stage is hash-free set algebra."""
+    from opencosmo_spark.pipeline import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(
+        docs_with_dups, jaccard_threshold=0.5, hasher="md5"
+    ).toPandas()
+    exact = pairs[(pairs.a < 100000) & (pairs.b == pairs.a + 100000)]
+    assert len(exact) == 50
+    assert (exact.jaccard == 1.0).all()
+
+
+def test_simhash_md5_mode(docs_with_dups):
+    """md5 lanes are 60-bit; near-dup hamming stays far below random."""
+    from opencosmo_spark.pipeline import simhash
+
+    out = simhash(docs_with_dups, bits=60, hasher="md5").toPandas().set_index("doc_id")
+    assert (out.simhash >= 0).all()
+
+    def hamming(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    base_ids = [i for i in out.index if i < 100000]
+    d_near = [
+        hamming(out.simhash[i], out.simhash[i + 200000])
+        for i in base_ids
+        if i + 200000 in out.index
+    ]
+    assert np.mean(d_near) < 10
