@@ -1093,8 +1093,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q27_window_running": f"""
             SELECT user_id, event_id,
-                   SUM({vi}) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   CAST(SUM({vi}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT)
                    AS run_micros
             FROM events
         """,
@@ -1175,12 +1176,13 @@ def oracle_sql() -> dict[str, str]:
               FROM l
             ), s AS (
               SELECT user_id,
-                     SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT)
                      AS sid
               FROM f
             )
-            SELECT user_id, max(sid) AS n_sessions FROM s GROUP BY user_id
+            SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions FROM s GROUP BY user_id
         """,
         "q38_quality_score": """
             WITH m AS (
