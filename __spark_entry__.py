@@ -55,9 +55,32 @@ def _harden(spark: SparkSession) -> None:
             pass
 
 
+def _ts_ns(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events time axis to INT64 epoch-nanoseconds.
+
+    The fixture has shipped ``ts`` two ways across rounds: INT64
+    TIMESTAMP(NANOS) (surfaces as a raw long under ``nanosAsLong``) and
+    ``timestamp[us]`` (surfaces as TIMESTAMP_NTZ, where ``nanosAsLong``
+    is a no-op). Branch on the read dtype: a timestamp is relabeled to
+    exact long nanos (``unix_micros`` under the UTC session TZ is an
+    identity relabel, then *1000 in long arithmetic — no doubles, no
+    precision loss); a long passes through untouched. Downstream query
+    code can then assume long nanos unconditionally.
+    """
+    dt = dict(df.dtypes).get(col, "")
+    if dt.startswith("timestamp"):
+        return df.withColumn(
+            col, F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)
+        )
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _harden(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _ts_ns(df)
+    return df
 
 
 def _cents(c, scale=100):
@@ -422,7 +445,7 @@ def q26_window_topk(spark, sf):
 
 
 def q27_window_running(spark, sf):
-    # ts arrives as raw nanos long (nanosAsLong); ordering is identical
+    # ts is long nanos after _t's normalization; ordering is identical
     ev = _t(spark, sf, "events")
     vi = F.round(F.round(F.col("value"), 6) * 1000000, 0).cast("long")
     w = (
@@ -436,10 +459,12 @@ def q27_window_running(spark, sf):
 
 
 def q28_time_window(spark, sf):
+    # _t normalizes ts to long nanos; `div` keeps ns->us in exact long
+    # arithmetic (double `/` has 256ns ulp at epoch-nanos magnitude)
     ev = _t(spark, sf, "events")
     vi = F.round(F.round(F.col("value"), 6) * 1000000, 0).cast("long")
     hour = F.date_trunc(
-        "hour", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "hour", F.timestamp_micros(F.expr("ts div 1000"))
     ).cast("string")
     g = (
         ev.select(hour.alias("hour"), vi.alias("vi"))
@@ -699,7 +724,8 @@ def q44_asof_join(spark, sf):
         ev,
         o,
         on="user_id",
-        # ts is raw nanos (nanosAsLong); align orders to nanos exactly
+        # ts is long nanos after _t's normalization; align orders to
+        # nanos exactly
         left_time=F.col("ts"),
         # o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast
         # to TIMESTAMP is an identity relabeling

@@ -10,6 +10,7 @@ custom-operator hook.
 
 from .events import (
     dedup_stream,
+    event_time_expr,
     read_event_stream,
     run_stream_to_memory,
     running_user_stats,
@@ -19,6 +20,7 @@ from .events import (
 
 __all__ = [
     "read_event_stream",
+    "event_time_expr",
     "dedup_stream",
     "windowed_aggregate",
     "sessionize_stream",

@@ -12,10 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+# Fallback schema when the directory can't be probed. The fixture has
+# shipped ``ts`` two ways across rounds (INT64 nanos read as long under
+# ``nanosAsLong``; ``timestamp[us]`` read as TIMESTAMP_NTZ) — the
+# actual stream schema is inferred from the files, never hardcoded.
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -24,10 +28,29 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
+def event_time_expr(ts_type: T.DataType):
+    """Event-time column for either ``ts`` representation.
+
+    * timestamp / timestamp_ntz — identity relabel (session TZ is UTC);
+    * long epoch-nanos — integer ns->us via ``div``: `/` on longs goes
+      through double (ulp 256ns at epoch-nanos magnitude),
+      mis-assigning boundary events; ``div`` stays in long arithmetic.
+    """
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        return F.col("ts").cast("timestamp")
+    return F.timestamp_micros(F.expr("ts div 1000"))
+
+
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-based event stream with a proper event-time column."""
+    """File-based event stream with a proper event-time column.
+
+    The schema (in particular the ``ts`` physical type) is probed from
+    the files already in the directory with a batch read — streaming
+    sources require an explicit schema, and hardcoding one broke when
+    the fixture's ``ts`` dtype changed between rounds.
+    """
     import os
 
     if os.path.isfile(path):
@@ -36,17 +59,16 @@ def read_event_stream(
             "files (new files appended = new micro-batches); got a "
             f"single file: {path}"
         )
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:  # noqa: BLE001 — empty dir: fall back to default
+        schema = EVENT_SCHEMA
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    # integer ns->us: `/` on longs goes through double (ulp 256ns at
-    # epoch-nanos magnitude), mis-assigning boundary events; `div` stays
-    # in long arithmetic.
-    return raw.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return raw.withColumn("event_time", event_time_expr(schema["ts"].dataType))
 
 
 def windowed_aggregate(

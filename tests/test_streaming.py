@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from opencosmo_spark.streaming import (
+    event_time_expr,
     read_event_stream,
     run_stream_to_memory,
     sessionize_stream,
@@ -32,9 +33,8 @@ def events_dir(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def batch_events(spark):
-    return spark.read.parquet(EVENTS).withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    df = spark.read.parquet(EVENTS)
+    return df.withColumn("event_time", event_time_expr(df.schema["ts"].dataType))
 
 
 def test_windowed_aggregate_matches_batch(spark, batch_events, events_dir):
