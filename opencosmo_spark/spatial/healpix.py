@@ -241,16 +241,20 @@ def query_region(nside: int, region) -> tuple[list[int], list[int]]:
 
 def _classify_skybox(region, cra, cdec, rpix):
     """Margin-based skybox classification. All pixel points lie within
-    ``rpix`` of the center, so dec spans cdec +- rpix and RA spans
-    cra +- dra with dra = rpix / cos(closest-to-pole dec in the pixel)
-    (clamped: near-pole pixels get full-circle RA spread -> demoted to
-    boundary, where the exact predicate decides)."""
+    ``rpix`` of the center (a spherical cap), so dec spans
+    cdec +- rpix, and the cap's RA extent is the EXACT tangent-meridian
+    bound: a meridian is tangent to a cap of radius r centered at
+    declination d at longitude offset asin(sin r / cos d) — every cap
+    point satisfies |RA - cra| <= that offset. When sin r >= cos d the
+    cap contains (or touches) a pole and spans the full RA circle ->
+    demoted to boundary, where the exact predicate decides."""
     dec_lo, dec_hi = region.dec_min, region.dec_max
-    # RA spread bound: worst-case |dec| anywhere in the pixel
-    extreme = np.minimum(np.abs(cdec) + rpix, 89.999)
-    dra = np.minimum(rpix / np.cos(np.radians(extreme)) * 1.2, 360.0)
-    near_pole = (np.abs(cdec) + rpix) >= 89.0
-    dra = np.where(near_pole, 360.0, dra)
+    r = np.radians(rpix)
+    sin_r, cos_d = np.sin(r), np.cos(np.radians(cdec))
+    # rpix >= 90 deg breaks the sin monotonicity the bound relies on
+    near_pole = (sin_r >= cos_d) | (rpix >= 90.0)
+    ratio = np.clip(np.divide(sin_r, np.maximum(cos_d, 1e-12)), 0.0, 1.0)
+    dra = np.where(near_pole, 360.0, np.degrees(np.arcsin(ratio)))
 
     ra_len = region.ra_length
     # forward arc offset from the region's RA start to the pixel center

@@ -295,6 +295,73 @@ def test_healpix_interior_pixels_provably_inside(ra, dec, radius):
 
 @settings(max_examples=40, deadline=None)
 @given(
+    ra_start=st.floats(0, 360, exclude_max=True, allow_nan=False),
+    ra_len=st.floats(1.0, 359.0, allow_nan=False),
+    dec_lo=st.floats(-89.0, 87.0, allow_nan=False),
+    dec_span=st.floats(0.5, 60.0, allow_nan=False),
+)
+def test_healpix_skybox_interior_pixels_provably_inside(
+    ra_start, ra_len, dec_lo, dec_span
+):
+    """Skybox twin of the cone proof, including RA wrap and near-pole
+    boxes: every INTERIOR pixel's sampled outline must be fully inside
+    the skybox — interior rows skip the exact predicate, so a
+    misclassified interior silently admits wrong rows."""
+    import numpy as np
+
+    from opencosmo_spark.spatial.healpix import (
+        pixel_sample_points,
+        query_region,
+    )
+    from opencosmo_spark.spatial.region import SkyboxRegion
+
+    dec_hi = min(dec_lo + dec_span, 90.0)
+    box = SkyboxRegion(ra_start, (ra_start + ra_len) % 360.0, dec_lo, dec_hi)
+    nside = 16
+    interior, _ = query_region(nside, box)
+    if not interior:
+        return
+    pts = pixel_sample_points(nside, np.array(interior))
+    for pra, pdec in pts:
+        for r, d in zip(pra, pdec):
+            assert box.contains_point(float(r), float(d))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    ra_start=st.floats(0, 360, exclude_max=True, allow_nan=False),
+    ra_len=st.floats(0.5, 359.0, allow_nan=False),
+    dec_lo=st.floats(-89.9, 89.0, allow_nan=False),
+    dec_span=st.floats(0.1, 30.0, allow_nan=False),
+)
+def test_healpix_skybox_never_drops_covered_points(
+    ra_start, ra_len, dec_lo, dec_span
+):
+    """Points inside the skybox (corners, edge midpoints, center) must
+    land in pixels that query_region returned — the false-negative
+    class: a covered pixel classified neither interior nor boundary."""
+    import numpy as np
+
+    from opencosmo_spark.spatial.healpix import query_region, radec2pix_nest
+    from opencosmo_spark.spatial.region import SkyboxRegion
+
+    dec_hi = min(dec_lo + dec_span, 90.0)
+    box = SkyboxRegion(ra_start, (ra_start + ra_len) % 360.0, dec_lo, dec_hi)
+    nside = 16
+    interior, boundary = query_region(nside, box)
+    covered = set(interior) | set(boundary)
+    fr = [0.0, 0.25, 0.5, 0.75, 1.0]
+    for fx in fr:
+        for fy in fr:
+            pr = (ra_start + fx * ra_len) % 360.0
+            pd = dec_lo + fy * (dec_hi - dec_lo)
+            assert box.contains_point(pr, pd)
+            p = int(radec2pix_nest(nside, np.array([pr]), np.array([pd]))[0])
+            assert p in covered
+
+
+@settings(max_examples=40, deadline=None)
+@given(
     ra=st.floats(0, 360, exclude_max=True, allow_nan=False),
     dec=st.floats(-85, 85, allow_nan=False),
     radius=st.floats(0.05, 2.0),
