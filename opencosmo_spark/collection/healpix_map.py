@@ -18,15 +18,22 @@ PIX = "pixel"
 
 
 class HealpixMap(Dataset):
-    def __init__(self, df, nside: int, **kw):
+    def __init__(self, df, nside: int, nside_lr: int | None = None, **kw):
         super().__init__(df, **kw)
         if PIX not in df.columns:
             raise ValueError("HealpixMap requires a 'pixel' column")
         self._nside = int(nside)
+        # coverage (low-res) nside for healsparse output; healsparse
+        # requires it strictly coarser than the sparse nside
+        self._nside_lr = int(nside_lr) if nside_lr else max(1, min(32, self._nside // 4))
 
     @property
     def nside(self) -> int:
         return self._nside
+
+    @property
+    def nside_lr(self) -> int:
+        return self._nside_lr
 
     @property
     def npix(self) -> int:
@@ -37,12 +44,15 @@ class HealpixMap(Dataset):
         return HealpixMap(
             base._df,
             nside=self._nside,
+            nside_lr=self._nside_lr,
             header=base._header,
             units=base._units,
             descriptions=base._descriptions,
             sort_keys=base._sort_keys,
             region=base._region,
             convention=base._convention,
+            base_convention=base._base_convention,
+            base_units=base._base_units,
         )
 
     def with_resolution(self, nside: int) -> "HealpixMap":
@@ -93,3 +103,62 @@ class HealpixMap(Dataset):
         allpix = spark.range(self.npix).select(F.col("id").alias(PIX))
         out = allpix.join(self._df, PIX, "left")
         return self._clone(out)
+
+    # ------------------------------------------------------------------
+    # map-format output (reference healpix_map.py:328-408)
+    # ------------------------------------------------------------------
+    def get_data(self, format: str = "pandas", nside_out: int | None = None, **kw):
+        """Materialize the map. Beyond the Dataset formats, supports the
+        reference's map formats (healpix_map.py:328-408):
+
+        * ``"healpix"`` — dense per-column float32 arrays indexed by
+          pixel (masked arrays when the map is partial-sky); pure
+          numpy, always available;
+        * ``"healsparse"`` — ``healsparse.HealSparseMap`` per value
+          column (the single map directly when there is one value
+          column), import-gated: the lib isn't in this image.
+
+        Collecting a map is a materialization boundary by design —
+        npix(nside) values, not event-scale data; degrade first
+        (``nside_out``) for coarse products.
+        """
+        if nside_out is not None:
+            return self.with_resolution(nside_out).get_data(format, **kw)
+        if format not in ("healpix", "healsparse"):
+            return super().get_data(format, **kw)
+
+        import numpy as np
+
+        pdf = self.df.orderBy(PIX).toPandas()
+        pixels = pdf[PIX].to_numpy(dtype=np.int64)
+        value_cols = [c for c in pdf.columns if c != PIX]
+
+        if format == "healpix":
+            storage = {}
+            partial = len(pixels) != self.npix
+            for c in value_cols:
+                arr = np.zeros(self.npix, dtype=np.float32)
+                arr[pixels] = pdf[c].to_numpy(dtype=np.float32)
+                if partial:
+                    mask = np.ones(self.npix, dtype=bool)
+                    mask[pixels] = False
+                    arr = np.ma.masked_array(arr, mask)
+                storage[c] = arr
+            return storage[value_cols[0]] if len(storage) == 1 else storage
+
+        try:
+            import healsparse as hsp  # noqa: PLC0415 - optional dep
+        except ImportError as exc:  # pragma: no cover - lib not in image
+            raise ImportError(
+                "healsparse output needs the 'healsparse' package "
+                "(pip install healsparse); 'healpix' format works "
+                "without it"
+            ) from exc
+        result = {}
+        for c in value_cols:  # pragma: no cover - needs healsparse
+            m = hsp.HealSparseMap.make_empty(
+                self._nside_lr, self._nside, np.float32
+            )
+            m[pixels] = pdf[c].to_numpy(dtype=np.float32)
+            result[c] = m
+        return result[value_cols[0]] if len(result) == 1 else result

@@ -221,38 +221,82 @@ class StructureCollection:
     # iteration & per-structure evaluation
     # ------------------------------------------------------------------
     def objects(
-        self, data_types: list[str] | None = None
+        self,
+        data_types: list[str] | None = None,
+        batch_size: int | None = None,
     ) -> Iterator[tuple[dict, dict[str, pd.DataFrame]]]:
         """Stream (source row, {child name -> pandas rows}) per
         structure (reference structure.py:1503-1611).
 
-        Driver-side iteration collects child rows grouped by tag in ONE
-        distributed pass per child (not one job per structure).
+        Default path (``batch_size=None``): collects child rows grouped
+        by tag in ONE distributed pass per child (not one job per
+        structure). Driver memory is O(total child rows across the
+        current selection) — fine after a filter cascade, wrong for a
+        full-corpus walk.
+
+        Streaming path (``batch_size=n``): iterates source rows via
+        ``toLocalIterator`` (one partition resident at a time) and
+        fetches each batch's children with a key-pruned semi-filtered
+        collect. Driver memory is O(batch's child rows); cost is one
+        Spark job per (batch, child) — the explicit memory/latency
+        trade for iterating structures at scale.
         """
         names = data_types or list(self._children)
-        src_pdf = self._source.get_data("pandas")
-        child_groups: dict[str, dict] = {}
-        for name in names:
-            link = self._links[name]
-            child = self[name]
-            cdf = (
-                child.get_data("pandas")
-                if isinstance(child, Dataset)
-                else child.source.get_data("pandas")
-            )
-            child_groups[name] = {
-                k: g.drop(columns=[link.child_key])
-                for k, g in cdf.groupby(link.child_key)
-            }
-        for _, row in src_pdf.iterrows():
-            rowd = row.to_dict()
-            out = {}
+        if batch_size is None:
+            src_pdf = self._source.get_data("pandas")
+            child_groups: dict[str, dict] = {}
             for name in names:
                 link = self._links[name]
-                key = rowd[link.source_key]
-                grp = child_groups[name].get(key)
-                out[name] = grp if grp is not None else pd.DataFrame()
-            yield rowd, out
+                cdf = self._child_pdf(name)
+                child_groups[name] = {
+                    k: g.drop(columns=[link.child_key])
+                    for k, g in cdf.groupby(link.child_key)
+                }
+            for _, row in src_pdf.iterrows():
+                yield self._emit(row.to_dict(), names, child_groups)
+            return
+
+        from itertools import islice
+
+        it = self._source.df.toLocalIterator(prefetchPartitions=True)
+        while True:
+            rows = list(islice(it, batch_size))
+            if not rows:
+                return
+            src_pdf = pd.DataFrame([r.asDict() for r in rows])
+            child_groups = {}
+            for name in names:
+                link = self._links[name]
+                keys = [
+                    k for k in src_pdf[link.source_key].unique().tolist()
+                ]
+                cdf = self._child_pdf(name, keys=keys, child_key=link.child_key)
+                child_groups[name] = {
+                    k: g.drop(columns=[link.child_key])
+                    for k, g in cdf.groupby(link.child_key)
+                }
+            for _, row in src_pdf.iterrows():
+                yield self._emit(row.to_dict(), names, child_groups)
+
+    def _child_pdf(
+        self, name: str, keys: list | None = None, child_key: str | None = None
+    ) -> pd.DataFrame:
+        child = self[name]
+        ds = child if isinstance(child, Dataset) else child.source
+        if keys is not None:
+            ds = Dataset(
+                ds.df.filter(F.col(child_key).isin(keys)),
+                header=ds.header,
+            )
+        return ds.get_data("pandas")
+
+    def _emit(self, rowd: dict, names, child_groups):
+        out = {}
+        for name in names:
+            link = self._links[name]
+            grp = child_groups[name].get(rowd[link.source_key])
+            out[name] = grp if grp is not None else pd.DataFrame()
+        return rowd, out
 
     def halos(self, *a, **k):
         return self.objects(*a, **k)

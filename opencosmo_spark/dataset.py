@@ -90,6 +90,8 @@ class Dataset:
         sort_keys: tuple[tuple[str, bool], ...] = (),
         region=None,
         convention: str | None = None,
+        base_convention: str | None = None,
+        base_units: Mapping[str, Unit] | None = None,
     ):
         self._df = df
         self._header = header or OpenCosmoHeader()
@@ -98,6 +100,13 @@ class Dataset:
         self._sort_keys = tuple(sort_keys)
         self._region = region
         self._convention = convention or self._header.unit_convention
+        # the convention/units the data was BORN with: switching back to
+        # scalefree is only derivable for scalefree-base data (the base
+        # units record each column's littleh power after without_h()
+        # erased it from the working units) — reference
+        # units/converters.py:57-90 installs add_littleh the same way
+        self._base_convention = base_convention or self._convention
+        self._base_units = dict(base_units if base_units is not None else self._units)
         self._count_cache: list[int | None] = [None]
 
     # ------------------------------------------------------------------
@@ -112,6 +121,8 @@ class Dataset:
             sort_keys=kw.get("sort_keys", self._sort_keys),
             region=kw.get("region", self._region),
             convention=kw.get("convention", self._convention),
+            base_convention=kw.get("base_convention", self._base_convention),
+            base_units=kw.get("base_units", self._base_units),
         )
 
     @property
@@ -410,14 +421,25 @@ class Dataset:
             sort_keys = ((keys[0], not invert),) + tuple(
                 (k, True) for k in keys[1:]
             )
-            return self._clone(sort_keys=sort_keys)
+            return self._fire_post_sort(self._clone(sort_keys=sort_keys))
         # derived sort key: materialize it as a hidden column
         e = wrap(column)
         df, binder, extra = self._bind([e])
         out = df.withColumn("__sortkey", e.lower(binder))
         if extra:
             out = out.drop(*extra)
-        return self._clone(out, sort_keys=(("__sortkey", not invert),))
+        return self._fire_post_sort(
+            self._clone(out, sort_keys=(("__sortkey", not invert),))
+        )
+
+    @staticmethod
+    def _fire_post_sort(ds: "Dataset") -> "Dataset":
+        """post_sort plugin context (reference PostSortCtx,
+        dtypes/diffsky.py:175-183 remaps row-referencing columns after
+        a sort re-declares positional identity)."""
+        from .plugins import fire
+
+        return fire("post_sort", ds)
 
     def _require_order(self, what: str) -> list[SparkColumn]:
         """Positional semantics need a TOTAL order that is stable
@@ -564,15 +586,17 @@ class Dataset:
                 if (
                     target == UnitConvention.SCALEFREE
                     and conv != UnitConvention.SCALEFREE
+                    and self._base_convention != UnitConvention.SCALEFREE
                 ):
-                    # restoring littleh (and, from physical, the scale
-                    # factor) is not derivable from the data alone; the
-                    # reference only supports scalefree as a BASE
-                    # convention and raises on the inverse switch
-                    # (units/converters.py)
+                    # restoring littleh requires knowing each column's
+                    # original h power — only recorded for data BORN
+                    # scalefree; the reference likewise only installs
+                    # add_littleh for scalefree-base data and raises
+                    # otherwise (units/converters.py:57-90)
                     raise ValueError(
-                        f"{conv} -> scalefree is not invertible "
-                        "(littleh cannot be re-added; reference raises too)"
+                        f"{conv} -> scalefree is not invertible for "
+                        f"{self._base_convention}-base data (littleh "
+                        "powers were never recorded)"
                     )
                 h = self._header.h
                 a_col = self._scale_factor_column()
@@ -583,11 +607,22 @@ class Dataset:
                     tgt_has_h = target == UnitConvention.SCALEFREE
                     base_u = u
                     changed = False
-                    # step 1: littleh removal / addition
+                    # step 1: littleh removal / re-addition. Forward
+                    # (scalefree -> x) multiplies by h**p and drops h
+                    # from the unit; the inverse multiplies by h**-p and
+                    # re-attaches h**p from the BASE unit (h powers
+                    # survive per-column conversions: those only rescale
+                    # the h-free part).
                     if cur_h != 0 and not tgt_has_h:
                         expr_c = expr_c * F.lit(float(h) ** float(cur_h))
                         base_u = u.without_h()
                         changed = True
+                    elif tgt_has_h and conv != UnitConvention.SCALEFREE:
+                        p = self._base_units.get(c, Unit()).h_power
+                        if p != 0:
+                            expr_c = expr_c * F.lit(float(h) ** float(-p))
+                            base_u = u * Unit.of(h=p)
+                            changed = True
                     # step 2: comoving <-> physical scale factor
                     d = float(base_u.length_power)
                     src_physical = conv == UnitConvention.PHYSICAL

@@ -122,6 +122,12 @@ def write_dataset(path: str, ds, overwrite: bool = False) -> None:
                 cluster_col
             )
             break
+    # partition hook: a plugin may re-layout the DataFrame before the
+    # write (reference PartitionCtx, dtypes/diffsky.py:186-216 keeps
+    # host-satellite groups co-resident the same way)
+    from ..plugins import fire
+
+    df = fire("partition", df, dataset=ds, path=path)
     df.write.mode("overwrite").parquet(os.path.join(path, DATA_DIR))
     sidecar = {
         "type": dtype,
@@ -167,7 +173,12 @@ def _open_single(spark: SparkSession, path: str):
         out = Lightcone(df, **kwargs)
     else:
         out = Dataset(df, **kwargs)
-    return fire("dataset_open", out)
+    out = fire("dataset_open", out)
+    if dtype in ("healpix_map", "lightcone"):
+        # typed collections additionally fire instantiate (reference
+        # LightconeInstantiateCtx, dtypes/diffsky.py:140-159)
+        out = fire("dataset_instantiate", out)
+    return out
 
 
 def _load_conditions_met(path: str, flags: dict) -> bool:
@@ -219,25 +230,32 @@ def open_files(*paths: str, **flags):
                 name: _open_single(spark, os.path.join(p, name))
                 for name in member_names
             }
+            from ..plugins import fire
+
             if meta["type"] == "simulation_collection":
-                return SimulationCollection(members)
+                return fire("dataset_instantiate", SimulationCollection(members))
             links = {
                 name: LinkSpec(**spec)
                 for name, spec in meta["links"].items()
                 if name in members  # member may be flag-excluded
             }
-            return StructureCollection(
-                source=members[meta["source"]],
-                source_name=meta["source"],
-                children={n: m for n, m in members.items() if n != meta["source"]},
-                links=links,
+            return fire(
+                "dataset_instantiate",
+                StructureCollection(
+                    source=members[meta["source"]],
+                    source_name=meta["source"],
+                    children={n: m for n, m in members.items() if n != meta["source"]},
+                    links=links,
+                ),
             )
         return _open_single(spark, p)
     # multiple paths: link into a StructureCollection
+    from ..plugins import fire
+
     members = {}
     for p in paths:
         name = os.path.basename(p.rstrip("/")).replace(".ocs", "").replace(
             ".parquet", ""
         )
         members[name] = _open_single(spark, p)
-    return StructureCollection.from_members(members)
+    return fire("dataset_instantiate", StructureCollection.from_members(members))

@@ -77,6 +77,22 @@ def test_objects_iteration(coll, raw):
     assert seen == 5
 
 
+def test_objects_streaming_matches_collected(coll):
+    """batch_size path (toLocalIterator + per-batch key-pruned child
+    fetch) must yield the same structures as the one-pass collect —
+    only driver memory differs (O(batch children) vs O(all children))."""
+    f = coll.sort_by("fof_halo_mass", invert=True).take(12)
+    bulk = {
+        row["fof_halo_tag"]: len(ch["dm_particles"])
+        for row, ch in f.objects(["dm_particles"])
+    }
+    streamed = {}
+    for row, ch in f.objects(["dm_particles"], batch_size=5):
+        assert row["fof_halo_tag"] not in streamed  # no duplicates
+        streamed[row["fof_halo_tag"]] = len(ch["dm_particles"])
+    assert streamed == bulk
+
+
 def test_evaluate_per_structure(coll, raw):
     """Per-halo particle count + mean |v| vs pandas groupby oracle."""
 
@@ -206,6 +222,51 @@ def test_healpix_full_sky(spark, fixtures):
     hm = oc.open(f"{fixtures}/healpix_map")
     full = hm.to_full_sky()
     assert len(full) == 12 * 32 * 32
+
+
+def test_healpix_map_format_dense_masked(spark, fixtures):
+    """get_data('healpix'): dense float32 per value column, masked
+    where the partial-sky map has no coverage (reference
+    healpix_map.py:380-404 semantics, numpy-only)."""
+    hm = oc.open(f"{fixtures}/healpix_map")
+    pdf = hm.get_data("pandas")
+    out = hm.get_data("healpix")
+    npix = 12 * 32 * 32
+    assert set(out) == {"tsz", "ksz"}
+    arr = out["tsz"]
+    assert arr.shape == (npix,)
+    # 6000 of 12288 pixels covered -> masked array
+    assert np.ma.isMaskedArray(arr)
+    assert int((~arr.mask).sum()) == len(pdf)
+    np.testing.assert_allclose(
+        np.asarray(arr)[pdf.pixel.to_numpy()],
+        pdf.tsz.to_numpy(dtype=np.float32),
+        rtol=1e-6,
+    )
+
+
+def test_healpix_map_format_single_column_and_degrade(spark, fixtures):
+    hm = oc.open(f"{fixtures}/healpix_map").drop("ksz")
+    # one value column -> the bare array, not a dict
+    arr = hm.get_data("healpix")
+    assert arr.shape == (12 * 32 * 32,)
+    # nside_out degrades first (reference :362-364)
+    coarse = hm.get_data("healpix", nside_out=16)
+    assert coarse.shape == (12 * 16 * 16,)
+
+
+def test_healsparse_format_gated(spark, fixtures):
+    """healsparse output is import-gated: with the lib absent the error
+    names the dependency; with it present, returns sparse maps."""
+    hm = oc.open(f"{fixtures}/healpix_map")
+    try:
+        import healsparse  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="healsparse"):
+            hm.get_data("healsparse")
+    else:  # pragma: no cover - lib not in this image
+        maps = hm.get_data("healsparse")
+        assert set(maps) == {"tsz", "ksz"}
 
 
 # ---------------------------------------------------------------------

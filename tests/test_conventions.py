@@ -128,3 +128,72 @@ def test_lightcone_physical_uses_redshift(spark, fixtures):
     )
     # ra/dec are angles: untouched
     np.testing.assert_allclose(data["ra"], raw["ra"])
+
+
+def test_scalefree_roundtrip(halos):
+    """Scalefree-base data supports the inverse switch (reference
+    units/converters.py:57-90 installs add_littleh from the cosmology):
+    -> comoving -> scalefree restores values AND littleh powers."""
+    raw = halos.get_data("numpy")
+    back = halos.with_units("comoving").with_units("scalefree")
+    data = back.get_data("numpy")
+    np.testing.assert_allclose(
+        data["fof_halo_mass"], raw["fof_halo_mass"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        data["fof_halo_center_x"], raw["fof_halo_center_x"], rtol=1e-6
+    )
+    assert str(back.units["fof_halo_mass"]) == "Msun / h"
+    assert back.convention == "scalefree"
+
+
+def test_physical_roundtrip_to_scalefree(halos):
+    """physical -> scalefree inverts BOTH steps (per-row scale factor
+    and littleh)."""
+    raw = halos.get_data("numpy")
+    back = halos.with_units("physical").with_units("scalefree")
+    data = back.get_data("numpy")
+    np.testing.assert_allclose(
+        data["fof_halo_center_x"], raw["fof_halo_center_x"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        data["fof_halo_com_vx"], raw["fof_halo_com_vx"], rtol=1e-6
+    )
+
+
+def test_scalefree_unreachable_for_comoving_base(spark):
+    """Data born comoving has no recorded littleh powers: the inverse
+    switch must still raise (scoped error, reference parity)."""
+    import pandas as pd
+
+    from opencosmo_spark import Dataset, OpenCosmoHeader
+    from opencosmo_spark.header import Cosmology
+    from opencosmo_spark.units import parse_unit
+
+    df = spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0]}))
+    ds = Dataset(
+        df,
+        header=OpenCosmoHeader(cosmology=Cosmology(H0=67.66)),
+        units={"x": parse_unit("Mpc")},
+        convention="comoving",
+    )
+    with pytest.raises(ValueError, match="not invertible"):
+        ds.with_units("scalefree")
+
+
+def test_roundtrip_preserves_column_conversion(halos):
+    """A per-column prefix conversion done while comoving survives the
+    switch back: kpc stays kpc, the h power re-attaches."""
+    conv = halos.with_units("comoving").with_units(
+        conversions={"sod_halo_radius": "kpc"}
+    )
+    back = conv.with_units("scalefree")
+    raw = halos.get_data("numpy")
+    data = back.get_data("numpy")
+    # Mpc/h -> (x/h) Mpc -> (1000x/h) kpc -> x*1000 kpc/h
+    np.testing.assert_allclose(
+        data["sod_halo_radius"],
+        raw["sod_halo_radius"].astype(np.float64) * 1000.0,
+        rtol=1e-6,
+    )
+    assert str(back.units["sod_halo_radius"]) == "kpc / h"

@@ -53,12 +53,16 @@ def test_conversion_factor():
         parse_unit("Mpc").conversion_factor(parse_unit("Msun"))
 
 
-def test_physical_to_scalefree_raises(spark, fixtures):
+def test_physical_to_scalefree_for_scalefree_base(spark, fixtures):
+    # scalefree-BASE data supports the inverse switch (reference
+    # units/converters.py:57-90); the comoving-base raise is covered in
+    # test_conventions.test_scalefree_unreachable_for_comoving_base
     import opencosmo_spark as oc
 
-    ds = oc.open(f"{fixtures}/halo_properties").with_units("physical")
-    with pytest.raises(ValueError, match="not invertible"):
-        ds.with_units("scalefree")
+    ds = oc.open(f"{fixtures}/halo_properties")
+    back = ds.with_units("physical").with_units("scalefree")
+    assert back.convention == "scalefree"
+    assert str(back.units["fof_halo_mass"]) == "Msun / h"
 
 
 def test_quantity():
