@@ -781,6 +781,33 @@ def q46_range_join(spark, sf):
     )
 
 
+def q47_dedup_clusters(spark, sf):
+    # the dedup ENDGAME: MinHash-LSH candidate pairs -> connected
+    # components (iterative min-label propagation, one shuffle per
+    # round, rounds = graph diameter) -> per-doc canonical cluster id.
+    # md5 hash lane so every step is reproducible in the SQL oracle
+    # (transitive closure via recursive CTE).
+    from opencosmo_spark.pipeline.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_candidates(d, text_col="text", id_col="doc_id", hasher="md5")
+    return connected_components(pairs, d.select("doc_id"), id_col="doc_id")
+
+
+def q48_repetition_quality(spark, sf):
+    # gopher-style repetition signals — boilerplate/spam predictors
+    from opencosmo_spark.pipeline.text import repetition_stats
+
+    d = _t(spark, sf, "documents")
+    stats = repetition_stats("text")
+    return d.select(
+        "doc_id", *[c.alias(name) for name, c in stats.items()]
+    )
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -831,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_rollup": q43_rollup,
         "q44_asof_join": q44_asof_join,
         "q45_ivf_ann": q45_ivf_ann,
+        "q47_dedup_clusters": q47_dedup_clusters,
+        "q48_repetition_quality": q48_repetition_quality,
         "q46_range_join": q46_range_join,
     }
 
@@ -1340,4 +1369,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q35_minhash_lsh": _minhash_oracle_sql(),
         "q36_simhash": _simhash_oracle_sql(),
+        "q47_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+            edges AS (
+              SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+              WHERE e.b <> r.a
+            ),
+            minr AS (SELECT a AS doc_id, min(b) AS mb FROM reach GROUP BY a)
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(m.mb, d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN minr m ON d.doc_id = m.doc_id
+        """,
+        "q48_repetition_quality": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents
+            ), b AS (
+              SELECT doc_id, ws, len(ws) AS n,
+                     list_transform(
+                       generate_series(1, greatest(len(ws) - 1, 1)),
+                       i -> concat_ws(' ', ws[i], ws[i+1])) AS bg
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_words,
+                   round(1.0 - len(list_distinct(ws))::DOUBLE
+                         / greatest(n, 1), 6) AS dup_word_frac,
+                   round(list_max(list_transform(list_distinct(ws),
+                           x -> len(list_filter(ws, y -> y = x))))::DOUBLE
+                         / greatest(n, 1), 6) AS top_word_frac,
+                   round(1.0 - len(list_distinct(bg))::DOUBLE
+                         / greatest(len(bg), 1), 6) AS dup_bigram_frac
+            FROM b
+        """,
     }

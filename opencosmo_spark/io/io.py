@@ -146,6 +146,16 @@ def _open_single(spark: SparkSession, path: str):
     from ..collection.lightcone import Lightcone
     from ..collection.healpix_map import HealpixMap
 
+    # bare-file dispatch by extension (the Spark-first analog of the
+    # reference's format dispatch, io/iopen.py:77-124: parquet is the
+    # native format; csv/json are convenience ingest paths)
+    if path.endswith(".csv"):
+        return fire(
+            "dataset_open",
+            Dataset(spark.read.csv(path, header=True, inferSchema=True)),
+        )
+    if path.endswith((".json", ".jsonl", ".ndjson")):
+        return fire("dataset_open", Dataset(spark.read.json(path)))
     if path.endswith(".parquet") or not os.path.exists(
         os.path.join(path, HEADER_FILE)
     ):

@@ -73,6 +73,7 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "",
     tiebreak: str | None = None,
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """For each left row, attach the single right row with the greatest
     ``right_time <= left_time`` (direction="backward") or smallest
@@ -88,6 +89,12 @@ def asof_join(
     name) makes the choice deterministic: backward picks the max
     tiebreak, forward the min; without it the winner among exact
     time-ties is plan-dependent.
+
+    ``tolerance`` (same units as the time axis) nulls out a match
+    whose time gap exceeds it — pandas ``merge_asof(tolerance=...)``
+    semantics; the match is rejected, not replaced by an older one.
+    Evaluated post-window from the carried match time, so it adds no
+    shuffle.
     """
     # decimal(38,9), not double: nanosecond epoch longs (~1.7e18)
     # exceed double's 2^53 exact-integer range; a lossy cast can flip
@@ -159,9 +166,22 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = u.withColumn(
-        "__m", F.last(F.col("__rrow"), ignorenulls=True).over(w)
-    ).filter(F.col("__is_left") == 1)
+    win_cols = {"__m": F.last(F.col("__rrow"), ignorenulls=True).over(w)}
+    if tolerance is not None:
+        # matched right row's time, carried through the SAME window
+        # spec (one sort, both expressions in one window pass)
+        win_cols["__mt"] = F.last(
+            F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True
+        ).over(w)
+    matched = u.withColumns(win_cols).filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "__m",
+            F.when(
+                F.abs(F.col("__t") - F.col("__mt")) <= F.lit(tolerance),
+                F.col("__m"),
+            ),
+        )
 
     out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
     out_cols += [

@@ -376,3 +376,72 @@ def ngram_jaccard_pairs(
     return pairs.select("a", "b", F.round(jac, 6).alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Duplicate CLUSTERS from candidate pairs: connected components by
+    iterative min-label propagation. Returns (id_col, cluster_id) for
+    every node, cluster_id = the smallest id reachable through the
+    pair graph (isolated nodes keep their own id) — the dedup endgame:
+    candidate pairs -> groups -> keep ``cluster_id == id`` as the
+    canonical survivor.
+
+    Scale shape: each iteration is ONE shuffle keyed by node id
+    (symmetric edges joined to current labels, groupBy min, least with
+    self); iterations = graph diameter. Near-dup graphs are unions of
+    near-cliques (diameter 2-3), so the loop runs a handful of rounds
+    regardless of corpus size. The driver loop carries only a
+    convergence scalar (labels only ever decrease, so an unchanged
+    label-sum is a fixpoint); labels are localCheckpoint-ed per round
+    to truncate lineage — at cluster scale swap for
+    ``checkpoint()`` against distributed storage. For graphs with huge
+    diameter or giant components, the alternating large-star /
+    small-star algorithm (Kiveris et al. 2014) halves rounds; not
+    needed for dedup-shaped graphs.
+    """
+    # materialize the edge list ONCE: it is re-joined every round, and
+    # upstream candidate generation (LSH banding, Jaccard verify) must
+    # not be re-executed per iteration
+    sym = (
+        edges.select(F.col(a_col).alias("__src"), F.col(b_col).alias("__dst"))
+        .union(
+            edges.select(F.col(b_col).alias("__src"), F.col(a_col).alias("__dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("__node"), F.col(id_col).alias("__label")
+    ).localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iterations):
+        nmin = (
+            sym.join(labels, sym["__dst"] == labels["__node"])
+            .groupBy("__src")
+            .agg(F.min("__label").alias("__nmin"))
+        )
+        labels = (
+            labels.join(nmin, labels["__node"] == nmin["__src"], "left")
+            .select(
+                "__node",
+                F.least(
+                    F.col("__label"), F.coalesce("__nmin", "__label")
+                ).alias("__label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(
+            F.sum(F.col("__label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select(
+        F.col("__node").alias(id_col), F.col("__label").alias("cluster_id")
+    )

@@ -77,6 +77,49 @@ def document_fingerprint(text: Column | str, prefix: int = 64) -> Column:
     return F.md5(F.substring(norm, 1, prefix))
 
 
+def repetition_stats(text: Column | str) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    strongest cheap predictors of boilerplate/spam in web corpora.
+
+    * ``dup_word_frac`` — fraction of word occurrences that are repeats
+      (1 - distinct/total);
+    * ``top_word_frac`` — share of the single most frequent word;
+    * ``dup_bigram_frac`` — fraction of repeated 2-grams.
+
+    All higher-order array functions — per-row JVM evaluation, no
+    shuffle, no UDF; cost is O(distinct x words) per doc, bounded by
+    document length.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    w = F.split(F.trim(c), r"\s+")
+    n = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    dup_word = F.lit(1.0) - n_distinct.cast("double") / F.greatest(n, F.lit(1))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda x: F.size(F.filter(w, lambda y: y == x)),
+        )
+    )
+    top_word = top_count.cast("double") / F.greatest(n, F.lit(1))
+    bg = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    nb = F.size(bg)
+    dup_bigram = (
+        F.lit(1.0)
+        - F.size(F.array_distinct(bg)).cast("double") / F.greatest(nb, F.lit(1))
+    )
+    return {
+        # long: the driver's value-hash is dtype-strict vs the oracle
+        "n_words": n.cast("long"),
+        "dup_word_frac": F.round(dup_word, 6),
+        "top_word_frac": F.round(top_word, 6),
+        "dup_bigram_frac": F.round(dup_bigram, 6),
+    }
+
+
 def add_text_features(
     df: DataFrame, text_col: str = "text", prefix: str = ""
 ) -> DataFrame:

@@ -80,3 +80,24 @@ def test_formats(halos):
     assert tbl.num_rows == 5
     rows = ds.get_data("list")
     assert isinstance(rows[0], dict)
+
+
+def test_open_csv_json_dispatch(spark, tmp_path):
+    """Extension dispatch: .csv and .jsonl open as plain Datasets."""
+    import json as _json
+
+    import pandas as pd
+
+    import opencosmo_spark as oc
+
+    csv = tmp_path / "t.csv"
+    pd.DataFrame({"x": [1, 2, 3], "y": ["a", "b", "c"]}).to_csv(csv, index=False)
+    ds = oc.open(str(csv))
+    assert sorted(ds.columns) == ["x", "y"] and len(ds) == 3
+
+    jl = tmp_path / "t.jsonl"
+    with open(jl, "w") as f:
+        for i in range(4):
+            f.write(_json.dumps({"k": i, "v": f"s{i}"}) + "\n")
+    ds2 = oc.open(str(jl))
+    assert sorted(ds2.columns) == ["k", "v"] and len(ds2) == 4

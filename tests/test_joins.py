@@ -158,3 +158,40 @@ def test_point_in_interval_join_matches_inequality_join(spark):
         if s <= t < e
     }
     assert got == brute
+
+
+def test_tolerance(spark, frames):
+    """pandas merge_asof(tolerance=...) semantics: a match whose gap
+    exceeds the tolerance is rejected (nulled), not replaced."""
+    left, right = frames
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        tiebreak="rid", tolerance=10,
+    )
+    m = _lookup(out)
+    assert m[1] == ("a", 1)      # gap 0 <= 10
+    assert m[2] == ("b2", 3)     # 205-200 = 5 <= 10
+    assert m[3] == ("c", 4)      # gap 0
+    assert m[5] == (None, None)  # 500-400 = 100 > 10 -> rejected
+    assert m[6] == (None, None)
+
+    fwd = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        direction="forward", tiebreak="rid", tolerance=60,
+    )
+    mf = _lookup(fwd)
+    assert mf[4] == ("a", 1)     # 100-50 = 50 <= 60
+    assert mf[2] == (None, None)  # 300-205 = 95 > 60
+
+
+def test_tolerance_single_shuffle(spark, frames):
+    """tolerance must not add a shuffle or a join: both window
+    expressions share the one hash exchange."""
+    left, right = frames
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        tiebreak="rid", tolerance=10,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

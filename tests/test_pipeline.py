@@ -270,3 +270,79 @@ def test_simhash_md5_mode(docs_with_dups):
         if i + 200000 in out.index
     ]
     assert np.mean(d_near) < 10
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """Min-label propagation must cross multi-hop chains (diameter >
+    1): 1-2, 2-3, 3-4 collapse to cluster 1; 10-11 to 10; 99 isolated
+    keeps itself. Oracle = union-find in python."""
+    from opencosmo_spark.pipeline.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 3, 10], "b": [2, 3, 4, 11]})
+    )
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 10, 11, 99]})
+    )
+    out = (
+        connected_components(edges, nodes, id_col="doc_id")
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+        .to_dict()
+    )
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dedup_clusters_group_planted_duplicates(docs_with_dups):
+    """End-to-end: LSH pairs over the planted corpus -> components.
+    Every (base, exact-dup, near-dup) triple must land in ONE cluster
+    labeled by the base id."""
+    from opencosmo_spark.pipeline.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    # 8 bands x 2 rows: band-collision prob for j~0.9 near-dups is
+    # 1-(1-j^2)^8 ~ 1-2e-6 — effectively deterministic over 50 docs
+    # (the 4x4 default has an expected ~1 miss at this corpus size)
+    pairs = minhash_lsh_candidates(
+        docs_with_dups, bands=8, jaccard_threshold=0.5
+    )
+    out = (
+        connected_components(
+            pairs, docs_with_dups.select("doc_id"), id_col="doc_id"
+        )
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+        .to_dict()
+    )
+    base_ids = [i for i in out if i < 100000]
+    for i in base_ids:
+        assert out[i + 100000] == out[i]  # exact dup joins base cluster
+        assert out[i + 200000] == out[i]  # near dup too
+    # distinct base docs must NOT merge
+    assert len({out[i] for i in base_ids}) == len(base_ids)
+
+
+def test_repetition_stats_oracle(spark):
+    """Hand-computed fractions on a constructed doc."""
+    from opencosmo_spark.pipeline.text import repetition_stats
+
+    # words: [a a b c], bigrams: [a a, a b, b c]
+    df = spark.createDataFrame(pd.DataFrame({"text": ["a a b c", "x y"]}))
+    stats = repetition_stats("text")
+    row = (
+        df.select(*[c.alias(n) for n, c in stats.items()])
+        .toPandas()
+        .iloc[0]
+    )
+    assert row.n_words == 4
+    assert row.dup_word_frac == pytest.approx(1 - 3 / 4)
+    assert row.top_word_frac == pytest.approx(2 / 4)
+    assert row.dup_bigram_frac == pytest.approx(0.0)
+    row2 = (
+        df.select(*[c.alias(n) for n, c in stats.items()])
+        .toPandas()
+        .iloc[1]
+    )
+    assert row2.n_words == 2 and row2.dup_word_frac == 0.0
