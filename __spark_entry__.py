@@ -808,6 +808,25 @@ def q48_repetition_quality(spark, sf):
     )
 
 
+def q49_ivf_train_ann(spark, sf):
+    # trained coarse quantizer: distributed spherical k-means codebook
+    # (Lloyd's — iterative, deliberately NOT SQL-expressible, so this
+    # entry is rows-only), then the standard IVF probe against it.
+    # Invariant tests live in test_pipeline.py (full probe == brute).
+    from opencosmo_spark.pipeline.similarity import (
+        ivf_ann,
+        train_ivf_codebook,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    cb = train_ivf_codebook(emb, nlist=8, iters=2)
+    return ivf_ann(emb, qv, k=10, nlist=8, nprobe=2, codebook=cb)
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -860,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_ivf_ann": q45_ivf_ann,
         "q47_dedup_clusters": q47_dedup_clusters,
         "q48_repetition_quality": q48_repetition_quality,
+        "q49_ivf_train_ann": q49_ivf_train_ann,
         "q46_range_join": q46_range_join,
     }
 

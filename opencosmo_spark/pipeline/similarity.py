@@ -110,6 +110,69 @@ def assign_ivf_cells(
     return df.withColumn(cell_col, cell.cast("long"))
 
 
+def train_ivf_codebook(
+    df: DataFrame,
+    nlist: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Train an IVF codebook with distributed spherical k-means
+    (Lloyd's iterations under the cosine metric, centroids normalized
+    to unit length each round). Returns ``[(cell_id, centroid), ...]``
+    in the shape ``assign_ivf_cells`` / ``ivf_ann`` consume.
+
+    Scale shape: per iteration, (1) assignment is a pure JVM argmax
+    over ``nlist`` broadcast literal centroids — no shuffle, no UDF;
+    (2) the centroid update is ONE shuffle keyed by (cell, position)
+    (``posexplode`` + avg, then per-cell ordered reassembly). The
+    driver only ever holds the ``nlist x dim`` codebook; corpus rows
+    never collect. Init is deterministic pseudo-random: the vectors
+    with the ``nlist`` smallest ``xxhash64(id)`` values — reproducible
+    across runs without a pass over the data beyond a top-k.
+
+    A cell that captures no vectors keeps its previous centroid (the
+    standard empty-cluster fallback). Convergence in a handful of
+    rounds is typical; this is codebook TRAINING, run at ingest time,
+    not per query.
+    """
+    seeds = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(nlist)
+        .collect()
+    )
+    if len(seeds) < nlist:
+        raise ValueError(f"corpus has fewer than nlist={nlist} vectors")
+
+    def _unit(v: list[float]) -> list[float]:
+        n = sum(float(x) * float(x) for x in v) ** 0.5 or 1.0
+        return [float(x) / n for x in v]
+
+    cents = [(i, _unit(list(r[1]))) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        assigned = assign_ivf_cells(df, cents, vec_col, "__km_cell")
+        pe = assigned.select(
+            "__km_cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = pe.groupBy("__km_cell", "pos").agg(
+            F.avg(F.col("val").cast("double")).alias("m")
+        )
+        rows = (
+            means.groupBy("__km_cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("vec")
+            )
+            .collect()
+        )
+        updated = {int(r[0]): _unit(list(r[1])) for r in rows}
+        cents = [(cid, updated.get(cid, c)) for cid, c in cents]
+    return cents
+
+
 def ivf_ann(
     df: DataFrame,
     query_vector: list[float],
@@ -119,6 +182,7 @@ def ivf_ann(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str = "__ivf_cell",
+    codebook: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate NN: coarse-quantize the corpus into
     ``nlist`` cells, probe the ``nprobe`` cells nearest the query, score
@@ -133,9 +197,10 @@ def ivf_ann(
     ``assign_ivf_cells`` with the same codebook), it is used directly;
     on a cell-clustered table the isin predicate prunes at file level,
     so probe cost scales with nprobe/nlist of the corpus, not the
-    corpus.
+    corpus. Pass ``codebook`` (e.g. from ``train_ivf_codebook``) to
+    search against a trained quantizer instead.
     """
-    cents = [
+    cents = codebook or [
         (int(r[0]), list(r[1]))
         for r in df.filter(F.col(id_col) < nlist)
         .select(id_col, vec_col)

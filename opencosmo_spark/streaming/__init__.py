@@ -11,6 +11,7 @@ custom-operator hook.
 from .events import (
     dedup_stream,
     event_time_expr,
+    interval_join_stream,
     read_event_stream,
     run_stream_to_memory,
     running_user_stats,
@@ -21,6 +22,7 @@ from .events import (
 __all__ = [
     "read_event_stream",
     "event_time_expr",
+    "interval_join_stream",
     "dedup_stream",
     "windowed_aggregate",
     "sessionize_stream",

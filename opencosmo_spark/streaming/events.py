@@ -202,6 +202,57 @@ def dedup_stream(
     )
 
 
+def interval_join_stream(
+    events: DataFrame,
+    markers: DataFrame,
+    window_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream join: each event pairs with every marker row (a
+    filtered second stream, e.g. errors) whose event time falls in the
+    preceding ``window_seconds`` — the streaming twin of the batch
+    point-in-interval join (q46).
+
+    Same trick as ``joins.point_in_interval_join``: a raw time-range
+    condition between two streams gives Spark no equi-key to
+    co-partition the state store on, so both sides are stamped with
+    coarse time-bin keys — the marker with its own bin AND the
+    successor bin (an event in ``(t, t + W]`` lands in one of exactly
+    those two W-wide bins) — and the join becomes an EQUI-join on bin
+    plus the exact range predicate. State per side is bounded by the
+    watermark horizon, partitioned by bin instead of replicated.
+    """
+    w = f"{window_seconds} seconds"
+    e = (
+        events.withWatermark("event_time", watermark)
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("event_time").alias("e_time"),
+            F.window("event_time", w).start.alias("bin"),
+        )
+    )
+    bin0 = F.window("event_time", w).start
+    m = markers.withWatermark("event_time", watermark).select(
+        F.col("event_id").alias("m_id"),
+        F.col("event_time").alias("m_time"),
+        F.explode(
+            F.array(
+                bin0, bin0 + F.expr(f"INTERVAL {window_seconds} SECONDS")
+            )
+        ).alias("bin"),
+    )
+    cond = (
+        (F.col("e_time") > F.col("m_time"))
+        & (
+            F.col("e_time")
+            <= F.col("m_time") + F.expr(f"INTERVAL {window_seconds} SECONDS")
+        )
+    )
+    return e.join(m, on=[e["bin"] == m["bin"], cond], how="inner").select(
+        "e_id", "m_id", "e_time", "m_time"
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, mode: str = "append"
 ) -> DataFrame:

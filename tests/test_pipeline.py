@@ -346,3 +346,56 @@ def test_repetition_stats_oracle(spark):
         .iloc[1]
     )
     assert row2.n_words == 2 and row2.dup_word_frac == 0.0
+
+
+def test_train_ivf_codebook_properties(spark):
+    """Spherical k-means invariants: deterministic, unit-norm
+    centroids, and non-increasing inertia across iterations."""
+    from opencosmo_spark.pipeline.similarity import (
+        assign_ivf_cells,
+        train_ivf_codebook,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    cb1 = train_ivf_codebook(emb, nlist=4, iters=3)
+    cb2 = train_ivf_codebook(emb, nlist=4, iters=3)
+    assert cb1 == cb2  # deterministic end to end
+    for _, c in cb1:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9  # unit norm
+
+    def inertia(codebook):
+        a = assign_ivf_cells(emb, codebook, cell_col="__c")
+        sims = {cid: np.array(vec) for cid, vec in codebook}
+        pdf = a.select("embedding", "__c").toPandas()
+        tot = 0.0
+        for _, r in pdf.iterrows():
+            v = np.array(r.embedding, dtype=float)
+            c = sims[int(r.__c)]
+            tot += 1.0 - float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+        return tot
+
+    prev = None
+    for it in (0, 1, 3):
+        cur = inertia(train_ivf_codebook(emb, nlist=4, iters=it))
+        if prev is not None:
+            assert cur <= prev + 1e-6  # Lloyd's never increases inertia
+        prev = cur
+
+
+def test_ivf_ann_trained_codebook_full_probe_equals_brute(spark):
+    """With nprobe = nlist the trained quantizer must return exactly
+    the brute-force top-k — training changes routing, never scoring."""
+    from opencosmo_spark.pipeline.similarity import (
+        brute_force_cosine_topk,
+        ivf_ann,
+        train_ivf_codebook,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    cb = train_ivf_codebook(emb, nlist=4, iters=2)
+    full = ivf_ann(emb, qv, k=10, nlist=4, nprobe=4, codebook=cb).toPandas()
+    brute = brute_force_cosine_topk(emb, qv, k=10).toPandas()
+    assert full.vec_id.tolist() == brute.vec_id.tolist()
+    assert full.cos_sim.tolist() == brute.cos_sim.tolist()

@@ -125,3 +125,30 @@ def test_dedup_stream_drops_cross_batch_duplicates(
         for r in spark.read.parquet(str(d)).dropDuplicates(["event_id"]).collect()
     )
     assert set(out.event_id) == expected
+
+
+def test_interval_join_stream_matches_batch(spark, batch_events, events_dir):
+    """Stream-stream bin join == the batch inequality join over the
+    same files: every (event, error-in-prior-hour) pair, no dupes."""
+    from opencosmo_spark.streaming import interval_join_stream
+
+    ev = read_event_stream(spark, events_dir)
+    err = read_event_stream(spark, events_dir).filter(
+        F.col("event_type") == "error"
+    )
+    out = run_stream_to_memory(
+        interval_join_stream(ev, err, window_seconds=3600), "ij_out"
+    ).toPandas()
+
+    b = batch_events.select("event_id", "event_time", "event_type").toPandas()
+    errs = b[b.event_type == "error"]
+    expected = set()
+    import pandas as pd
+
+    for _, m in errs.iterrows():
+        hi = m.event_time + pd.Timedelta(seconds=3600)
+        hits = b[(b.event_time > m.event_time) & (b.event_time <= hi)]
+        expected.update((e, m.event_id) for e in hits.event_id)
+    got = set(zip(out.e_id, out.m_id))
+    assert len(out) == len(got)  # bin trick must not duplicate pairs
+    assert got == expected
