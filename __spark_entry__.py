@@ -827,6 +827,69 @@ def q49_ivf_train_ann(spark, sf):
     return ivf_ann(emb, qv, k=10, nlist=8, nprobe=2, codebook=cb)
 
 
+def q50_stratified_sample(spark, sf):
+    # per-stratum deterministic downsampling — the training-mix
+    # operation (keep 50% of A, 10% of N, 25% of R), reproducible
+    # across engines via the md5 hash lane (q07 pattern, per-stratum)
+    from opencosmo_spark.pipeline.sample import stratified_sample
+
+    li = _t(spark, sf, "lineitem").withColumn(
+        "k", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    out = stratified_sample(
+        li, {"A": 0.5, "N": 0.1, "R": 0.25}, "l_returnflag", id_col="k"
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+def q51_tpch_q3(spark, sf):
+    # TPC-H Q3 shape: 3-way join (filtered dim broadcast), agg, top-k.
+    # Exact integer money (cents x (100 - discount-cents)) so the sum
+    # is order-independent and hash-matches the oracle.
+    c = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    cents = _cents(F.col("l_extendedprice"))
+    dc = _cents(F.col("l_discount"))
+    j = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    g = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        (
+            F.sum(cents * (F.lit(100) - dc)).cast("double") / 10000.0
+        ).alias("revenue")
+    )
+    return (
+        g.select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+            F.round("revenue", 2).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q52_range_rolling(spark, sf):
+    # RANGE-frame window: per-user rolling 1h count/sum by event TIME
+    # (not row position) — the frame the rows-frame q27 can't express.
+    ev = _t(spark, sf, "events")
+    vi = F.round(F.round(F.col("value"), 6) * 1000000, 0).cast("long")
+    HOUR_NS = 3_600 * 1_000_000_000
+    w = Window.partitionBy("user_id").orderBy("ts").rangeBetween(-HOUR_NS, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(vi).over(w).alias("sum_vi_1h"),
+    )
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -880,6 +943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_dedup_clusters": q47_dedup_clusters,
         "q48_repetition_quality": q48_repetition_quality,
         "q49_ivf_train_ann": q49_ivf_train_ann,
+        "q50_stratified_sample": q50_stratified_sample,
+        "q51_tpch_q3": q51_tpch_q3,
+        "q52_range_rolling": q52_range_rolling,
         "q46_range_join": q46_range_join,
     }
 
@@ -1389,6 +1455,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q35_minhash_lsh": _minhash_oracle_sql(),
         "q36_simhash": _simhash_oracle_sql(),
+        "q50_stratified_sample": f"""
+            WITH t AS (
+              SELECT l_orderkey, l_linenumber, l_returnflag,
+                     ('0x' || substring(md5(
+                        CAST(l_orderkey*10 + l_linenumber AS VARCHAR) || ':s'
+                      ), 1, 15))::BIGINT AS lane
+              FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, l_returnflag FROM t
+            WHERE lane < CASE l_returnflag
+                           WHEN 'A' THEN {int(0.5 * (1 << 60))}
+                           WHEN 'N' THEN {int(0.1 * (1 << 60))}
+                           WHEN 'R' THEN {int(0.25 * (1 << 60))}
+                           ELSE 0 END
+        """,
+        "q51_tpch_q3": f"""
+            SELECT l_orderkey,
+                   CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                   o_orderpriority,
+                   round(CAST(SUM({cents} * (100 - {dc})) AS DOUBLE)/10000.0, 2)
+                   AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q52_range_rolling": f"""
+            SELECT user_id, event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_1h,
+                   CAST(SUM({vi}) OVER w AS BIGINT) AS sum_vi_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                         RANGE BETWEEN 3600000000000 PRECEDING
+                               AND CURRENT ROW)
+        """,
         "q47_dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
             edges AS (

@@ -152,3 +152,34 @@ def test_q39_single_pass_pair_generation(spark):
     n = nodes(plan)
     assert not any("Join" in x for x in n), n
     assert "CartesianProduct" not in plan
+
+
+def test_q51_star_join_broadcasts_and_pushes(spark):
+    """TPC-H Q3 shape: dims broadcast (no sort-merge at this SF) and
+    every filter reaches its parquet scan."""
+    plan = plan_of(spark, "q51_tpch_q3")
+    n = nodes(plan)
+    assert n.count("SortMergeJoin") == 0
+    assert n.count("BroadcastHashJoin") == 2
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_q50_sample_is_pushable_scan_filter(spark):
+    """Stratified sampling compiles to a bare filter over one scan: no
+    exchange, no join, no Python."""
+    plan = plan_of(spark, "q50_stratified_sample")
+    n = nodes(plan)
+    assert "Exchange" not in n
+    assert not any("Join" in x for x in n)
+    assert "BatchEvalPython" not in n
+
+
+def test_q52_range_window_single_exchange(spark):
+    """RANGE-frame rolling window: one hash exchange (user_id) + one
+    window node; both aggregates share the frame."""
+    plan = plan_of(spark, "q52_range_rolling")
+    n = nodes(plan)
+    assert n.count("Exchange") == 1
+    assert n.count("Window") == 1
