@@ -103,3 +103,91 @@ def halo_mass_function(
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("log_mass_lo", F.lit(lo) + F.col("bin") * F.lit(width))
     )
+
+
+# ---------------------------------------------------------------------
+# yt export (reference analysis/yt_utils.py:23-199), import-gated
+# ---------------------------------------------------------------------
+_YT_SPECIAL_FIELDS = {
+    "x": "particle_position_x",
+    "y": "particle_position_y",
+    "z": "particle_position_z",
+    "mass": "particle_mass",
+    "rho": "density",
+    "hh": "smoothing_length",
+}
+
+
+def yt_particle_payload(data: dict) -> tuple[dict, list[list[float]]]:
+    """The engine-side half of ``create_yt_dataset`` (reference
+    analysis/yt_utils.py:82-160), runnable without yt installed:
+
+    * members whose name contains "particles" contribute fields;
+    * reference field names map to yt's particle conventions
+      (x -> particle_position_x, mass -> particle_mass, ...);
+    * units travel as strings next to the arrays;
+    * littleh-bearing units are rejected — yt has no littleh
+      convention; convert with ``with_units("comoving")`` first
+      (same error contract as the reference :109-115);
+    * the bounding box comes from the x/y/z extrema across members
+      (one Spark agg per member, not a driver scan).
+
+    Returns ``(data_dict, bbox)`` with
+    ``data_dict[(ptype, yt_field)] = (ndarray, unit_str)`` — exactly
+    the structure ``yt.load_particles`` consumes.
+    """
+    data_dict: dict = {}
+    bounds = [[np.inf, -np.inf], [np.inf, -np.inf], [np.inf, -np.inf]]
+    for ptype, ds in data.items():
+        if "particles" not in ptype:
+            continue
+        for c, u in ds.units.items():
+            if u.h_power != 0:
+                raise RuntimeError(
+                    "cannot convert factors of littleh to yt convention, "
+                    "try converting the dataset to comoving units first "
+                    '(ds.with_units("comoving"))'
+                )
+        ptype_short = ptype.split("_")[0]
+        arrays = ds.get_data("numpy")
+        units = ds.units
+        for field, arr in arrays.items():
+            yt_name = _YT_SPECIAL_FIELDS.get(field, field)
+            ustr = str(units.get(field, "")) or "dimensionless"
+            data_dict[(ptype_short, yt_name)] = (np.asarray(arr), ustr)
+        ext = ds.df.agg(
+            *[f(c) for c in ("x", "y", "z") for f in (F.min, F.max)]
+        ).collect()[0]
+        for axis in range(3):
+            bounds[axis][0] = min(bounds[axis][0], float(ext[axis * 2]))
+            bounds[axis][1] = max(bounds[axis][1], float(ext[axis * 2 + 1]))
+    if any(np.isinf(b) for axis in bounds for b in axis):
+        raise ValueError(
+            "bounding box contains infinite values — no particle member "
+            "with x/y/z positions found"
+        )
+    return data_dict, bounds
+
+
+def create_yt_dataset(data: dict, **load_kwargs):
+    """Convert particle members to a yt particle dataset (reference
+    analysis/yt_utils.py:23-199; the pyxsim X-ray path is out of scope).
+    Import-gated: yt is not in this image, but the payload construction
+    above is real and tested."""
+    payload, bbox = yt_particle_payload(data)
+    try:
+        import yt  # noqa: PLC0415 - optional dep
+    except ImportError as exc:  # pragma: no cover - lib not in image
+        raise ImportError(
+            "yt export needs the 'yt' package (pip install yt); "
+            "yt_particle_payload() provides the converted arrays "
+            "without it"
+        ) from exc
+    return yt.load_particles(  # pragma: no cover - needs yt
+        {k: v for k, v in payload.items()},
+        length_unit="Mpc",
+        mass_unit="Msun",
+        bbox=bbox,
+        periodicity=(False, False, False),
+        **load_kwargs,
+    )

@@ -145,3 +145,38 @@ def test_plugin_hooks(spark, fixtures):
 def test_plugin_unknown_context():
     with pytest.raises(ValueError):
         plugins.register("bogus")
+
+
+def test_yt_payload_and_gate(spark, fixtures):
+    """yt export (reference analysis/yt_utils.py): the engine-side
+    payload (field renames, unit strings, bbox, littleh rejection) is
+    real and tested; yt.load_particles itself is import-gated."""
+    from opencosmo_spark.analysis import create_yt_dataset, yt_particle_payload
+
+    parts = oc.open(f"{fixtures}/dm_particles")
+    halos = oc.open(f"{fixtures}/halo_properties")
+
+    # scalefree (Mpc/h) data must be rejected with the reference's
+    # advice to convert to comoving first
+    with pytest.raises(RuntimeError, match="comoving"):
+        yt_particle_payload({"dm_particles": parts})
+
+    com = parts.with_units("comoving")
+    payload, bbox = yt_particle_payload(
+        {"dm_particles": com, "halo_properties": halos}
+    )
+    # non-particle members contribute nothing
+    assert all(k[0] == "dm" for k in payload)
+    arr, unit = payload[("dm", "particle_position_x")]
+    assert unit == "Mpc" and len(arr) == len(com)
+    assert payload[("dm", "particle_mass")][1] == "Msun"
+    assert payload[("dm", "vx")][1] == "km / s"
+    pdf = com.get_data("pandas")
+    assert bbox[0][0] == pytest.approx(float(pdf.x.min()))
+    assert bbox[2][1] == pytest.approx(float(pdf.z.max()))
+
+    try:
+        import yt  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="yt"):
+            create_yt_dataset({"dm_particles": com})

@@ -195,3 +195,60 @@ def test_tolerance_single_shuffle(spark, frames):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tolerance", [None, 37])
+def test_asof_matches_pandas_merge_asof(spark, direction, tolerance):
+    """Differential test against pandas.merge_asof (the canonical
+    asof semantics) on random data with duplicate times and sparse
+    keys. Right times are unique per key (merge_asof's winner among
+    exact right-side time ties is positional, not value-determined, so
+    a fair comparison needs unique times; asof_join's tiebreak=
+    covers that case in test_backward/test_forward)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    left = pd.DataFrame(
+        {
+            "lid": range(200),
+            "k": [rng.randrange(5) for _ in range(200)],
+            "t": [rng.randrange(0, 500) for _ in range(200)],
+        }
+    )
+    seen = set()
+    rows = []
+    for i in range(100):
+        k = rng.randrange(6)  # key 5 never appears on the left
+        t = rng.randrange(0, 500)
+        if (k, t) in seen:
+            continue
+        seen.add((k, t))
+        rows.append((i, k, t))
+    right = pd.DataFrame(rows, columns=["rid", "k", "rt"])
+
+    expected = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("rt").rename(columns={"rt": "t"}),
+        on="t",
+        by="k",
+        direction=direction,
+        tolerance=tolerance,
+        allow_exact_matches=True,
+    ).set_index("lid")["rid"]
+
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k",
+        left_time="t",
+        right_time="rt",
+        direction=direction,
+        tolerance=tolerance,
+    ).toPandas().set_index("lid")["rid"]
+
+    for lid in left.lid:
+        e, g = expected.get(lid), out.get(lid)
+        assert (pd.isna(e) and pd.isna(g)) or e == g, (lid, e, g)
