@@ -191,3 +191,48 @@ def create_yt_dataset(data: dict, **load_kwargs):
         periodicity=(False, False, False),
         **load_kwargs,
     )
+
+
+def approx_stats(
+    ds,
+    columns: list[str],
+    rsd: float = 0.05,
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    accuracy: int = 10000,
+) -> "pd.DataFrame":
+    """Single-pass sketch profile per column: approximate distinct
+    count (HyperLogLog++, relative error ``rsd``) and approximate
+    percentiles (Greenwald-Khanna, rank error 1/``accuracy``), plus
+    exact count/min/max.
+
+    The 100 TB profiling primitive: every sketch is mergeable, so the
+    whole profile is ONE scan + one O(sketch-size) combine — no sort,
+    no per-column passes, bounded executor memory. (An exact distinct
+    would shuffle the full column; an exact median would sort it.)
+    """
+    df = ds.df if hasattr(ds, "df") else ds
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.approx_count_distinct(c, rsd).alias(f"{c}__distinct"),
+            F.percentile_approx(
+                c, list(percentiles), accuracy
+            ).alias(f"{c}__pct"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    out = []
+    for c in columns:
+        rec = {
+            "column": c,
+            "count": row[f"{c}__n"],
+            "min": row[f"{c}__min"],
+            "max": row[f"{c}__max"],
+            "approx_distinct": row[f"{c}__distinct"],
+        }
+        for p, v in zip(percentiles, row[f"{c}__pct"] or []):
+            rec[f"p{int(p * 100)}"] = v
+        out.append(rec)
+    return pd.DataFrame(out)

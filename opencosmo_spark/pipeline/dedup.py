@@ -378,6 +378,27 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_by_clusters(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """End-to-end keep-canonical dedup: candidate pairs -> connected
+    components -> keep ONE row per cluster (the smallest id — the
+    standard keep-first policy). The composition every curation
+    pipeline actually runs: generate pairs with any of the candidate
+    operators (exact/minhash/simhash/ngram), then collapse here.
+
+    The final semi-join broadcasts only the survivor ids when small;
+    at full scale it is one hash join keyed by id — no extra pass over
+    document payloads."""
+    labels = connected_components(edges, df.select(id_col), id_col, a_col, b_col)
+    keep = labels.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,

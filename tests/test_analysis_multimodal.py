@@ -180,3 +180,44 @@ def test_yt_payload_and_gate(spark, fixtures):
     except ImportError:
         with pytest.raises(ImportError, match="yt"):
             create_yt_dataset({"dm_particles": com})
+
+
+def test_approx_stats_error_bounds(spark):
+    """Sketch profile: HLL distinct within its rsd band, approx
+    percentiles within rank-error of exact, all in ONE job."""
+    from opencosmo_spark.analysis import approx_stats
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    out = approx_stats(
+        li, ["l_orderkey", "l_quantity"], rsd=0.05
+    ).set_index("column")
+
+    exact_d = li.select("l_orderkey").distinct().count()
+    got = out.loc["l_orderkey", "approx_distinct"]
+    assert abs(got - exact_d) / exact_d < 0.15  # 3x rsd guard band
+
+    n = li.count()
+    exact_median = li.selectExpr(
+        "percentile(l_quantity, 0.5) AS m"
+    ).first()["m"]
+    approx_median = out.loc["l_quantity", "p50"]
+    # rank error 1/accuracy -> value error bounded by neighborhood;
+    # l_quantity is integers 1..50, so within 1 of exact
+    assert abs(approx_median - exact_median) <= 1
+    assert out.loc["l_quantity", "min"] == 1
+    assert out.loc["l_quantity", "count"] == n
+
+
+def test_dedup_by_clusters_keeps_canonical(spark):
+    import pandas as pd
+
+    from opencosmo_spark.pipeline.dedup import dedup_by_clusters
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 10, 11, 99], "text": list("abcdefg")})
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 3, 10], "b": [2, 3, 4, 11]})
+    )
+    out = dedup_by_clusters(docs, edges).toPandas()
+    assert sorted(out.doc_id) == [1, 10, 99]
