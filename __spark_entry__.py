@@ -890,6 +890,36 @@ def q52_range_rolling(spark, sf):
     )
 
 
+def q53_window_family(spark, sf):
+    # the ranking/navigation window family over one partition spec —
+    # rank, dense_rank, ntile, lead/lag all share a single sort
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_orderkey", 1).over(w).alias("next_ok"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_ok"),
+    )
+
+
+def q54_cube(spark, sf):
+    # CUBE grouping sets: all 4 (returnflag x linestatus) subtotal
+    # combinations in ONE pass / one shuffle (vs 4 scans manually)
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_cents(F.col("l_quantity")).cast("decimal(19,0)"))
+        .cast("long")
+        .alias("sum_qty_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -946,6 +976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_stratified_sample": q50_stratified_sample,
         "q51_tpch_q3": q51_tpch_q3,
         "q52_range_rolling": q52_range_rolling,
+        "q53_window_family": q53_window_family,
+        "q54_cube": q54_cube,
         "q46_range_join": q46_range_join,
     }
 
@@ -1389,6 +1421,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "q53_window_family": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                   CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                   lead(o_orderkey, 1) OVER w AS next_ok,
+                   lag(o_orderkey, 1) OVER w AS prev_ok
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey)
+        """,
+        "q54_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(round(l_quantity*100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "q44_asof_join": """
             WITH o AS (

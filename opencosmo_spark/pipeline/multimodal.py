@@ -133,6 +133,23 @@ def sample_video_frames(
     return df.mapInPandas(run, out_schema)
 
 
+def media_exact_dedup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Exact byte-identical media dedup — fully REAL (no codec needed):
+    sha2 over the binary payload, keep the smallest id per digest.
+    Pure JVM (one shuffle keyed by digest); at 100 TB hash at ingest
+    and store the digest column so re-dedup never re-reads payloads."""
+    digest = F.sha2(F.col(payload_col), 256)
+    w = df.select(F.col(id_col), digest.alias("sha256"))
+    groups = w.groupBy("sha256").agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return groups
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Pure-JVM metadata aggregation over a media table."""
     return df.groupBy("kind").agg(

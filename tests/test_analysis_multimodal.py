@@ -221,3 +221,44 @@ def test_dedup_by_clusters_keeps_canonical(spark):
     )
     out = dedup_by_clusters(docs, edges).toPandas()
     assert sorted(out.doc_id) == [1, 10, 99]
+
+
+def test_media_exact_dedup_real_path(spark):
+    """Byte-identical payload dedup is REAL (sha2 over binary, no
+    codec): planted copies collapse, keep-first wins."""
+    import pandas as pd
+
+    from opencosmo_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        media_exact_dedup,
+    )
+
+    base = _media_frame(10)
+    dup = base.copy()
+    dup["media_id"] = dup["media_id"] + 100  # same payloads, new ids
+    df = spark.createDataFrame(pd.concat([base, dup]), MEDIA_SCHEMA)
+    out = media_exact_dedup(df).toPandas()
+    assert len(out) == 10  # one digest group per distinct payload
+    assert (out.n_copies == 2).all()
+    assert (out.keep_id < 100).all()  # smallest id survives
+
+
+def test_media_features_feed_ann(spark):
+    """Composition: decoded media features drive the similarity ops —
+    an identical payload is its own nearest neighbor at cos 1.0."""
+    from pyspark.sql import functions as F
+
+    from opencosmo_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+    )
+    from opencosmo_spark.pipeline.similarity import brute_force_cosine_topk
+
+    df = spark.createDataFrame(_media_frame(12), MEDIA_SCHEMA)
+    feats = decode_image_features(df, feature_dim=16).select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    qv = [float(x) for x in feats.filter(F.col("vec_id") == 4).first()[1]]
+    out = brute_force_cosine_topk(feats, qv, k=3).toPandas()
+    assert out.vec_id.iloc[0] == 4
+    assert out.cos_sim.iloc[0] == 1.0
