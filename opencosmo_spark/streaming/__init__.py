@@ -14,6 +14,7 @@ from .events import (
     interval_join_stream,
     read_event_stream,
     run_stream_to_memory,
+    run_stream_to_parquet,
     running_user_stats,
     sessionize_stream,
     windowed_aggregate,
@@ -28,4 +29,5 @@ __all__ = [
     "sessionize_stream",
     "running_user_stats",
     "run_stream_to_memory",
+    "run_stream_to_parquet",
 ]

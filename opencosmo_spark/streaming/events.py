@@ -269,3 +269,29 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drive a streaming query against the current file set into a
+    parquet sink with a durable checkpoint, then stop.
+
+    The checkpoint carries source offsets, the watermark, AND stateful
+    operator state (dedup keys, window partials) — a later call with
+    the SAME checkpoint resumes exactly where this one stopped:
+    already-read files are not re-read, already-emitted rows are not
+    re-emitted, and state-dependent decisions (e.g. duplicate drops)
+    hold across the restart. This is Spark's exactly-once contract;
+    the restart test exercises it."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

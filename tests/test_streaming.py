@@ -152,3 +152,41 @@ def test_interval_join_stream_matches_batch(spark, batch_events, events_dir):
     got = set(zip(out.e_id, out.m_id))
     assert len(out) == len(got)  # bin trick must not duplicate pairs
     assert got == expected
+
+
+def test_dedup_survives_restart_from_checkpoint(spark, tmp_path_factory):
+    """Exactly-once across a RESTART: the checkpoint restores source
+    offsets and dedup state, so a second query run sees only the new
+    file and still drops ids first seen before the restart."""
+    import pyarrow.parquet as pq
+
+    from opencosmo_spark.streaming import dedup_stream, run_stream_to_parquet
+
+    src = tmp_path_factory.mktemp("events_restart_src")
+    out = str(tmp_path_factory.mktemp("events_restart_out"))
+    ckpt = str(tmp_path_factory.mktemp("events_restart_ckpt"))
+    t = pq.read_table(EVENTS)
+    half = t.num_rows // 2
+
+    # run 1: only part-0 exists
+    pq.write_table(t.slice(0, half), src / "part-0.parquet")
+    stream = dedup_stream(read_event_stream(spark, str(src)), ["event_id"])
+    run_stream_to_parquet(stream, out, ckpt)
+    n1 = len(spark.read.parquet(out).collect())
+    assert n1 == half
+
+    # run 2: part-1 overlaps part-0's tail; a FRESH query resumes from
+    # the checkpoint (new lineage, same state store)
+    pq.write_table(t.slice(half // 2, half), src / "part-1.parquet")
+    stream2 = dedup_stream(read_event_stream(spark, str(src)), ["event_id"])
+    run_stream_to_parquet(stream2, out, ckpt)
+
+    final = spark.read.parquet(out).toPandas()
+    # part-0 not re-emitted; overlap ids dropped by restored state
+    assert len(final) == half + half // 2
+    assert final.event_id.is_unique
+    expected = set(
+        r.event_id
+        for r in spark.read.parquet(str(src)).dropDuplicates(["event_id"]).collect()
+    )
+    assert set(final.event_id) == expected
