@@ -920,6 +920,23 @@ def q54_cube(spark, sf):
     )
 
 
+def q55_chunk_documents(spark, sf):
+    # pre-training chunking: explode each doc into <=64-token pieces
+    from opencosmo_spark.pipeline.text import chunk_documents
+
+    d = _t(spark, sf, "documents")
+    return chunk_documents(d, max_tokens=64)
+
+
+def q56_pack_chunks(spark, sf):
+    # sequence packing: assign chunks to 256-token training sequences
+    # by cumulative fill in (doc, chunk) order
+    from opencosmo_spark.pipeline.text import chunk_documents, pack_chunks
+
+    d = _t(spark, sf, "documents")
+    return pack_chunks(chunk_documents(d, max_tokens=64), budget=256)
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -978,6 +995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_range_rolling": q52_range_rolling,
         "q53_window_family": q53_window_family,
         "q54_cube": q54_cube,
+        "q55_chunk_documents": q55_chunk_documents,
+        "q56_pack_chunks": q56_pack_chunks,
         "q46_range_join": q46_range_join,
     }
 
@@ -1440,6 +1459,50 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "q55_chunk_documents": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents
+            ), c AS (
+              SELECT doc_id, len(ws) AS n, ws,
+                     UNNEST(generate_series(
+                       0, greatest(CAST(ceil(len(ws)/64.0) AS BIGINT) - 1, 0)
+                     )) AS i
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(ws[i*64 + 1 : least((i+1)*64, n)], ' ')
+                   AS chunk_text,
+                   CAST(least(64, n - i*64) AS BIGINT) AS n_tokens
+            FROM c
+        """,
+        "q56_pack_chunks": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents
+            ), c AS (
+              SELECT doc_id, len(ws) AS n,
+                     UNNEST(generate_series(
+                       0, greatest(CAST(ceil(len(ws)/64.0) AS BIGINT) - 1, 0)
+                     )) AS i
+              FROM w
+            ), t AS (
+              SELECT doc_id,
+                     CAST(i AS BIGINT) AS chunk_idx,
+                     CAST(least(64, n - i*64) AS BIGINT) AS n_tokens
+              FROM c
+            )
+            SELECT doc_id, chunk_idx, n_tokens,
+                   CAST(floor(
+                     (SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW)
+                      - n_tokens) / 256.0) AS BIGINT) AS pack_id
+            FROM t
         """,
         "q44_asof_join": """
             WITH o AS (

@@ -120,6 +120,71 @@ def repetition_stats(text: Column | str) -> dict[str, Column]:
     }
 
 
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into whitespace-token chunks of at most
+    ``max_tokens`` — the pre-training chunking step. One row in,
+    ceil(n/max) rows out: (id, chunk_idx, chunk_text, n_tokens).
+
+    Pure JVM: one split per document, then an array-of-structs
+    transform + explode — no UDF, no shuffle; chunk boundaries are
+    deterministic functions of the token stream.
+    """
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(ws)
+    m = F.lit(int(max_tokens))
+    nchunks = F.ceil(n.cast("double") / m).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(nchunks - 1, F.lit(0))),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.array_join(F.slice(ws, i * m + 1, m), " ").alias("chunk_text"),
+            F.least(m, n - i * m).cast("long").alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    ).select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 256,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign chunks to fixed-token-budget training sequences by
+    cumulative packing in (id, chunk_idx) order:
+    ``pack_id = floor((running_total - n_tokens) / budget)`` — each
+    pack holds consecutive chunks whose combined start offset fits the
+    budget. Deterministic given the order, so it is value-checkable;
+    order-preserving packing also keeps same-document chunks adjacent
+    (what sequence-packing wants for attention-mask construction).
+
+    One global window sort — at 100 TB shard first (pack within
+    date/domain partitions) so the sort is per-shard; the operator is
+    unchanged, only the partitionBy differs.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(id_col, idx_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.sum(tokens_col).over(w)
+    pack = F.floor(
+        (running - F.col(tokens_col)).cast("double") / F.lit(int(budget))
+    ).cast("long")
+    return chunks.select(
+        id_col, idx_col, tokens_col, pack.alias("pack_id")
+    )
+
+
 def add_text_features(
     df: DataFrame, text_col: str = "text", prefix: str = ""
 ) -> DataFrame:

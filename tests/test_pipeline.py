@@ -399,3 +399,46 @@ def test_ivf_ann_trained_codebook_full_probe_equals_brute(spark):
     brute = brute_force_cosine_topk(emb, qv, k=10).toPandas()
     assert full.vec_id.tolist() == brute.vec_id.tolist()
     assert full.cos_sim.tolist() == brute.cos_sim.tolist()
+
+
+def test_chunk_documents_roundtrip(docs):
+    """Chunking must partition the token stream exactly: per-doc
+    concatenation of chunk_texts reproduces the normalized document,
+    every chunk respects the budget, counts are consistent."""
+    from opencosmo_spark.pipeline.text import chunk_documents
+
+    out = chunk_documents(docs.limit(50), max_tokens=64).toPandas()
+    orig = docs.limit(50).toPandas().set_index("doc_id")["text"]
+    assert (out.n_tokens <= 64).all() and (out.n_tokens > 0).all()
+    assert (
+        out.chunk_text.str.split().str.len() == out.n_tokens
+    ).all()
+    rebuilt = (
+        out.sort_values(["doc_id", "chunk_idx"])
+        .groupby("doc_id")["chunk_text"]
+        .apply(" ".join)
+    )
+    import re
+
+    for did, text in orig.items():
+        assert rebuilt[did] == re.sub(r"\s+", " ", text.strip())
+
+
+def test_pack_chunks_budget_and_order(docs):
+    """Cumulative packing: pack ids contiguous from 0, chunks stay in
+    (doc, idx) order within packs, and every pack's token total stays
+    within budget + one chunk overhang (the streaming-pack bound)."""
+    from opencosmo_spark.pipeline.text import chunk_documents, pack_chunks
+
+    packed = pack_chunks(
+        chunk_documents(docs.limit(80), max_tokens=64), budget=256
+    ).toPandas()
+    sums = packed.groupby("pack_id")["n_tokens"].sum()
+    assert sums.index.min() == 0
+    assert set(sums.index) == set(range(int(sums.index.max()) + 1))
+    assert (sums <= 256 + 63).all()
+    # every pack except the last is filled past budget - 64
+    assert (sums[:-1] > 256 - 64).all()
+    # (doc_id, chunk_idx) IS the packing order: pack_id non-decreasing
+    s = packed.sort_values(["doc_id", "chunk_idx"])
+    assert (s.pack_id.diff().dropna() >= 0).all()
