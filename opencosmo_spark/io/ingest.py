@@ -42,6 +42,31 @@ def ingest_snapshot(
     return out
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Bucketed ingest for co-located joins: persist ``df`` hash-bucketed
+    (and sorted) by the link key via the table catalog.
+
+    Two tables bucketed by the same key with the same bucket count join
+    with ZERO exchange on either side — the bucket layout IS the hash
+    partitioning, carried in catalog metadata, so every future
+    halo↔particle cascade join starts pre-shuffled (the SCALE.md §2
+    claim, asserted by plan test). Sorting within buckets additionally
+    removes the join's sort. At 100 TB this is the difference between
+    re-shuffling the particle table per query and never shuffling it
+    again after ingest.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key).sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def ingest_lightcone(
     df: DataFrame,
     nside: int = 64,

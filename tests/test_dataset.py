@@ -271,3 +271,36 @@ def test_literal_array_columns(halos):
     # wrong length raises
     with pytest.raises(ValueError):
         halos.with_new_columns(bad=np.arange(3))
+
+
+def test_literal_array_compositions(halos):
+    """The reference's test_im_col composition matrix: derive FROM an
+    added array column, unit-aware filter on it, take after add, and
+    select/drop interplay (reference test/test_im_col.py:47-120)."""
+    import numpy as np
+
+    from opencosmo_spark import Quantity
+
+    n = len(halos)
+    q = Quantity(np.linspace(1.0, 2.0, n), "Mpc")
+    ds = halos.with_new_columns(dist=q)
+
+    # derive from the added column: units propagate through arithmetic
+    d2 = ds.with_new_columns(dist_kpc=oc.col("dist") * 1000.0)
+    assert str(d2.units["dist_kpc"]) == "Mpc"  # scalar doesn't change unit
+    pdf = d2.get_data("pandas")
+    np.testing.assert_allclose(pdf.dist_kpc, pdf.dist * 1000.0)
+
+    # unit-aware filter with a Quantity RHS on the added column
+    f = ds.filter(oc.col("dist") > Quantity(1500.0, "kpc"))
+    fp = f.get_data("pandas")
+    assert (fp.dist > 1.5).all() and 0 < len(fp) < n
+
+    # take after add keeps alignment (canonical __row_id order)
+    canon = ds.get_data("pandas")
+    t = ds.take(7, at="start").get_data("pandas")
+    np.testing.assert_allclose(t.dist, canon.dist.iloc[:7])
+
+    # select keeps the added column; drop removes it
+    assert "dist" in ds.select("fof_halo_tag", "dist").columns
+    assert "dist" not in ds.drop("dist").columns

@@ -183,3 +183,39 @@ def test_q52_range_window_single_exchange(spark):
     n = nodes(plan)
     assert n.count("Exchange") == 1
     assert n.count("Window") == 1
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key: the join plans with ZERO
+    Exchange on either side (bucket layout = hash partitioning carried
+    in catalog metadata) — the SCALE.md §2 pre-bucketing claim."""
+    import pandas as pd
+
+    from opencosmo_spark.io.ingest import write_bucketed
+
+    halos = pd.DataFrame({"tag": range(200), "mass": [float(i) for i in range(200)]})
+    parts = pd.DataFrame(
+        {"tag": [i % 200 for i in range(2000)], "pid": range(2000)}
+    )
+    write_bucketed(
+        spark.createDataFrame(halos), "halos_b", "tag", buckets=8,
+        path=str(tmp_path / "halos_b"),
+    )
+    write_bucketed(
+        spark.createDataFrame(parts), "parts_b", "tag", buckets=8,
+        path=str(tmp_path / "parts_b"),
+    )
+    try:
+        # disable broadcast so the join would OTHERWISE shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("halos_b").join(spark.table("parts_b"), "tag")
+        assert j.count() == 2000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        # bucketed scan advertises the output partitioning
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS halos_b")
+        spark.sql("DROP TABLE IF EXISTS parts_b")
