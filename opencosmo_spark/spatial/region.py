@@ -82,13 +82,30 @@ class ConeRegion:
     def contains_point(self, ra: float, dec: float) -> bool:
         return _ang_sep_deg(self.ra, self.dec, ra, dec) <= self.radius
 
-    def contains(self, other: "ConeRegion") -> bool:
-        sep = _ang_sep_deg(self.ra, self.dec, other.ra, other.dec)
-        return sep + other.radius <= self.radius
+    def contains(self, other) -> bool:
+        """Cross-type dispatch mirrors reference
+        spatial/relations.py:223-250: cone-cone is exact; cone-skybox
+        tests the box's four corners (the reference's criterion)."""
+        if isinstance(other, ConeRegion):
+            sep = _ang_sep_deg(self.ra, self.dec, other.ra, other.dec)
+            return sep + other.radius <= self.radius
+        if isinstance(other, SkyboxRegion):
+            corners = [
+                (other.ra_min, other.dec_min),
+                (other.ra_min, other.dec_max),
+                (other.ra_max, other.dec_min),
+                (other.ra_max, other.dec_max),
+            ]
+            return all(self.contains_point(r, d) for r, d in corners)
+        raise ValueError(f"expected a 2D sky region, got {type(other).__name__}")
 
-    def intersects(self, other: "ConeRegion") -> bool:
-        sep = _ang_sep_deg(self.ra, self.dec, other.ra, other.dec)
-        return sep <= self.radius + other.radius
+    def intersects(self, other) -> bool:
+        if isinstance(other, ConeRegion):
+            sep = _ang_sep_deg(self.ra, self.dec, other.ra, other.dec)
+            return sep <= self.radius + other.radius
+        if isinstance(other, SkyboxRegion):
+            return other.intersects(self)
+        raise ValueError(f"expected a 2D sky region, got {type(other).__name__}")
 
 
 @dataclass(frozen=True)
@@ -126,12 +143,28 @@ class SkyboxRegion:
             return 360.0
         return d
 
-    def contains(self, other: "SkyboxRegion") -> bool:
+    def contains(self, other) -> bool:
         """RA coverage is a single circular arc whether or not it
         crosses 0 deg, so containment is pure arc algebra: other's arc
         starts inside self's and fits in the remaining length
         (reference handles wrap the same way, spatial/region.py:151-214).
+        Cone containment uses the reference's flat ra/dec span test
+        (relations.py __skybox_contains_cone), wrap-aware here.
         """
+        if isinstance(other, ConeRegion):
+            r = other.radius
+            dec_ok = (
+                self.dec_min <= other.dec - r and other.dec + r <= self.dec_max
+            )
+            ra_ok = self.ra_length >= 360.0 or (
+                _arc_len(self.ra_min, (other.ra - r) % 360.0) + 2 * r
+                <= self.ra_length
+            )
+            return dec_ok and ra_ok
+        if not isinstance(other, SkyboxRegion):
+            raise ValueError(
+                f"expected a 2D sky region, got {type(other).__name__}"
+            )
         dec_ok = (
             self.dec_min <= other.dec_min and other.dec_max <= self.dec_max
         )
@@ -141,7 +174,25 @@ class SkyboxRegion:
         )
         return dec_ok and ra_ok
 
-    def intersects(self, other: "SkyboxRegion") -> bool:
+    def intersects(self, other) -> bool:
+        if isinstance(other, ConeRegion):
+            # nearest point of the box to the cone center (reference
+            # relations.py __skybox_intersects_cone, arc-aware clip)
+            dec_n = min(max(other.dec, self.dec_min), self.dec_max)
+            if _arc_len(self.ra_min, other.ra % 360.0) <= self.ra_length:
+                ra_n = other.ra % 360.0
+                return (
+                    _ang_sep_deg(other.ra, other.dec, ra_n, dec_n)
+                    < other.radius
+                )
+            return min(
+                _ang_sep_deg(other.ra, other.dec, self.ra_min, dec_n),
+                _ang_sep_deg(other.ra, other.dec, self.ra_max, dec_n),
+            ) < other.radius
+        if not isinstance(other, SkyboxRegion):
+            raise ValueError(
+                f"expected a 2D sky region, got {type(other).__name__}"
+            )
         dec_ok = self.dec_min < other.dec_max and other.dec_min < self.dec_max
         ra_ok = (
             _arc_len(self.ra_min, other.ra_min) < self.ra_length
@@ -162,6 +213,42 @@ class HealpixRegion:
             raise ValueError("cannot combine HealpixRegions of different nside")
         return HealpixRegion(tuple(sorted(set(self.pixels) | set(other.pixels))), self.nside)
 
+    def _cover_of(self, other) -> set[int]:
+        """Pixels at self.nside that may intersect ``other`` (the
+        reference's get_healpix_intersections: a conservative cover —
+        interior + boundary from query_region)."""
+        from .healpix import query_region
+
+        if isinstance(other, (ConeRegion, SkyboxRegion, FullSkyRegion)):
+            interior, boundary = query_region(self.nside, other)
+            return set(interior) | set(boundary)
+        raise ValueError(f"expected a 2D sky region, got {type(other).__name__}")
+
+    def contains(self, other) -> bool:
+        """True only when every covering pixel of ``other`` is in this
+        region (reference relations.py __healpix_contains_other). The
+        cover is conservative, so contains() never returns a false
+        True for cone/skybox arguments."""
+        if isinstance(other, HealpixRegion):
+            # reference posture: pixel sets never "contain" each other
+            # (test_healpix_never_contains_healpix) — a pixel set is a
+            # cover, not a closed shape with an interior
+            return False
+        return self._cover_of(other) <= set(self.pixels)
+
+    def intersects(self, other) -> bool:
+        if isinstance(other, HealpixRegion):
+            a, b = self, other
+            if a.nside != b.nside:
+                # align to the coarser scheme (nested parents)
+                if a.nside > b.nside:
+                    a, b = b, a
+                ratio = (b.nside // a.nside) ** 2
+                bp = {p // ratio for p in b.pixels}
+                return bool(bp & set(a.pixels))
+            return bool(set(a.pixels) & set(b.pixels))
+        return bool(self._cover_of(other) & set(self.pixels))
+
 
 @dataclass(frozen=True)
 class FullSkyRegion:
@@ -169,10 +256,13 @@ class FullSkyRegion:
         return True
 
     def contains(self, other) -> bool:
-        return True
+        # a region does not contain itself (reference relations.py:218)
+        return not isinstance(other, FullSkyRegion)
 
     def intersects(self, other) -> bool:
-        return True
+        # mirrors the reference's (FullSky, FullSky) -> False quirk
+        # (test_full_sky_does_not_intersect_itself)
+        return not isinstance(other, FullSkyRegion)
 
 
 # -- constructors (reference spatial/builders.py:39-140) ---------------

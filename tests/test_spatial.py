@@ -103,3 +103,58 @@ def test_lightcone_pixel_search(lc):
     meta = out.get_metadata(["pixel_cell"])["pixel_cell"]
     assert set(np.unique(meta)).issubset(set(sub))
     assert len(out) > 0
+
+
+def test_cross_type_region_relations():
+    """Cross-type relations (reference spatial/test_relations.py):
+    cone<->skybox, healpix<->everything, full-sky quirks, type errors."""
+    import pytest as _pytest
+
+    from opencosmo_spark.spatial.region import (
+        ConeRegion,
+        FullSkyRegion,
+        HealpixRegion,
+        SkyboxRegion,
+    )
+
+    cone = ConeRegion(90.0, 0.0, 10.0)
+    small = ConeRegion(90.0, 0.0, 2.0)
+    box = SkyboxRegion(80.0, 100.0, -10.0, 10.0)
+    tiny_box = SkyboxRegion(88.0, 92.0, -2.0, 2.0)
+    far_box = SkyboxRegion(200.0, 220.0, 40.0, 60.0)
+
+    # cone <-> skybox, both directions
+    assert cone.contains(tiny_box) and not cone.contains(box)
+    assert box.contains(small) and not tiny_box.contains(cone)
+    assert cone.intersects(box) and box.intersects(cone)
+    assert not cone.intersects(far_box) and not far_box.intersects(cone)
+    # wrap-aware: box across 0 RA containing a cone at RA 1
+    wrap_box = SkyboxRegion(350.0, 10.0, -20.0, 20.0)
+    assert wrap_box.contains(ConeRegion(1.0, 0.0, 5.0))
+    assert wrap_box.intersects(ConeRegion(349.0, 0.0, 5.0))
+
+    # full-sky: contains/intersects everything EXCEPT itself
+    full = FullSkyRegion()
+    assert full.contains(cone) and full.intersects(box)
+    assert not full.contains(FullSkyRegion())
+    assert not full.intersects(FullSkyRegion())
+
+    # healpix relations (conservative cover semantics)
+    from opencosmo_spark.spatial.healpix import query_region
+
+    interior, boundary = query_region(16, cone)
+    hp = HealpixRegion(tuple(sorted(set(interior) | set(boundary))), 16)
+    assert hp.contains(small)          # cover of the small cone is inside
+    assert hp.intersects(cone)
+    assert not hp.intersects(ConeRegion(270.0, 0.0, 5.0))  # opposite sky
+    assert not hp.contains(hp)         # pixel sets never contain pixel sets
+    assert hp.intersects(HealpixRegion(hp.pixels[:3], 16))
+    # cross-nside healpix intersection aligns to the coarser scheme
+    fine = HealpixRegion(tuple(p * 4 for p in hp.pixels[:2]), 32)
+    assert hp.intersects(fine)
+
+    # invalid types raise (reference ValueError contract)
+    with _pytest.raises(ValueError):
+        cone.contains("nope")
+    with _pytest.raises(ValueError):
+        hp.intersects(42)
