@@ -937,6 +937,31 @@ def q56_pack_chunks(spark, sf):
     return pack_chunks(chunk_documents(d, max_tokens=64), budget=256)
 
 
+def q57_sky_crossmatch(spark, sf):
+    # nearest-neighbor sky cross-match via dynamic-neighbor bin join
+    # (spatial/crossmatch.py) — deterministic synthetic sky derived
+    # from customer/supplier keys; sep rounded to 6 before the argmin
+    # so the DuckDB all-pairs oracle selects identically.
+    from opencosmo_spark.spatial.crossmatch import crossmatch_sky
+
+    def sky(df, key):
+        return df.select(
+            F.col(key).alias("id"),
+            ((F.col(key) * 7919 % 36000) / 100.0).alias("ra"),
+            (((F.col(key) * 104729) % 16000) / 100.0 - 80.0).alias("dec"),
+        )
+
+    left = sky(_t(spark, sf, "customer"), "c_custkey").withColumnRenamed(
+        "id", "lid"
+    )
+    right = sky(_t(spark, sf, "supplier"), "s_suppkey").withColumnRenamed(
+        "id", "rid"
+    )
+    return crossmatch_sky(
+        left, right, 2.0, "lid", "rid", bin_deg=2.0, sep_decimals=6
+    )
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -997,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_cube": q54_cube,
         "q55_chunk_documents": q55_chunk_documents,
         "q56_pack_chunks": q56_pack_chunks,
+        "q57_sky_crossmatch": q57_sky_crossmatch,
         "q46_range_join": q46_range_join,
     }
 
@@ -1566,6 +1592,33 @@ def oracle_sql() -> dict[str, str]:
               ON x.event_type = 'error'
              AND x.ts < e.ts AND e.ts <= x.ts + INTERVAL 1 HOUR
             GROUP BY e.event_id
+        """,
+        "q57_sky_crossmatch": """
+            WITH l AS (
+              SELECT c_custkey AS lid,
+                     (c_custkey*7919 % 36000)/100.0 AS ra,
+                     ((c_custkey*104729) % 16000)/100.0 - 80.0 AS dec
+              FROM customer
+            ), r AS (
+              SELECT s_suppkey AS rid,
+                     (s_suppkey*7919 % 36000)/100.0 AS ra,
+                     ((s_suppkey*104729) % 16000)/100.0 - 80.0 AS dec
+              FROM supplier
+            ), p AS (
+              SELECT l.lid, r.rid,
+                     round(degrees(2*asin(least(sqrt(
+                       pow(sin(radians(r.dec - l.dec)/2), 2)
+                       + cos(radians(l.dec))*cos(radians(r.dec))
+                         *pow(sin(radians(r.ra - l.ra)/2), 2)
+                     ), 1.0))), 6) AS sep
+              FROM l CROSS JOIN r
+            ), f AS (
+              SELECT lid, rid, sep,
+                     row_number() OVER (PARTITION BY lid
+                                        ORDER BY sep, rid) AS rn
+              FROM p WHERE sep <= 2.0
+            )
+            SELECT lid, rid, round(sep, 8) AS sep_deg FROM f WHERE rn = 1
         """,
         "q35_minhash_lsh": _minhash_oracle_sql(),
         "q36_simhash": _simhash_oracle_sql(),

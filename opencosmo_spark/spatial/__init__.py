@@ -1,3 +1,4 @@
+from .crossmatch import crossmatch_sky
 from .region import (
     BoxRegion,
     ConeRegion,
@@ -10,6 +11,7 @@ from .region import (
 )
 
 __all__ = [
+    "crossmatch_sky",
     "BoxRegion",
     "ConeRegion",
     "SkyboxRegion",

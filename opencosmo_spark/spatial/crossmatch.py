@@ -1,0 +1,172 @@
+"""Sky cross-match: nearest-neighbor catalog matching within a radius.
+
+The astronomy staple the reference leaves to external tools
+(astropy ``match_to_catalog_sky`` is single-node): for every left
+row, find the nearest right row within ``radius_deg``. Beyond-parity
+operator, same family as the engine's other bin-join designs.
+
+Scale design: a bare cross join is O(n*m). Instead both catalogs are
+bucketed into square sky bins of ``bin_deg`` (>= radius, so any match
+lies in the left row's bin or its 8 neighbors): the RIGHT side is
+exploded to its bin + 8 wrap-aware neighbors, the join is an EQUI-join
+on bin, the exact great-circle separation filters bin collisions, and
+a window argmin keeps the nearest match per left row. Shuffle volume
+is O(left + 9*right); each candidate pair meets in exactly one bin
+(the left row's own), so no dedup is needed.
+
+Pole handling: RA-neighbor bins stop covering true neighborhoods when
+cos(dec) collapses, so rows with |dec| >= polar_cut are routed into a
+single per-pole cap bin (both sides), where the exact predicate does
+the work — correctness is preserved for any radius <= 90 - polar_cut;
+cap-bin cost is O(cap population^2), negligible for survey-like data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_POLE_BIN = -1_000_000  # sentinel bin ids for the two polar caps
+
+
+def _sep_deg(ra1: Column, dec1: Column, ra2: Column, dec2: Column) -> Column:
+    """Great-circle separation in degrees (haversine — stable at small
+    angles where the cosine formula loses precision)."""
+    r1, d1 = F.radians(ra1), F.radians(dec1)
+    r2, d2 = F.radians(ra2), F.radians(dec2)
+    a = (
+        F.pow(F.sin((d2 - d1) / 2), 2)
+        + F.cos(d1) * F.cos(d2) * F.pow(F.sin((r2 - r1) / 2), 2)
+    )
+    return F.degrees(2 * F.asin(F.least(F.sqrt(a), F.lit(1.0))))
+
+
+def _bin_of(ra: Column, dec: Column, bin_deg: float, polar_cut: float) -> Column:
+    nra = int(360.0 / bin_deg) + 1
+    # pmod, not %: Spark % keeps the dividend sign (Java remainder)
+    ira = F.floor(F.pmod(ra, F.lit(360.0)) / F.lit(bin_deg)).cast("long")
+    idec = F.floor((dec + 90.0) / F.lit(bin_deg)).cast("long")
+    return (
+        F.when(dec >= polar_cut, F.lit(_POLE_BIN))
+        .when(dec <= -polar_cut, F.lit(_POLE_BIN - 1))
+        .otherwise(idec * nra + ira)
+    )
+
+
+def _neighbor_bins(
+    ra: Column,
+    dec: Column,
+    bin_deg: float,
+    polar_cut: float,
+    radius_deg: float,
+) -> Column:
+    """Bins of every left row this right row could match: dec
+    neighbors +-1 (|d-dec| <= radius <= bin), and an RA span that
+    WIDENS with declination — a match at separation r implies
+    |dRA| <= r / cos(dec), so the neighbor count is
+    ceil(r / (cos * bin)) per side, computed per row (k=1 on the
+    equator, ~29 at the 88 deg cut; bounded). Adjacent pole caps are
+    appended when the row borders one."""
+    nra = int(360.0 / bin_deg) + 1
+    extreme = F.least(F.abs(dec) + F.lit(bin_deg), F.lit(polar_cut))
+    k = F.ceil(
+        F.lit(float(radius_deg))
+        / (F.cos(F.radians(extreme)) * F.lit(bin_deg))
+    ).cast("int")
+    dras = F.sequence(-k, k)
+    per_ddec = []
+    for ddec in (-1, 0, 1):
+        d = F.least(
+            F.greatest(dec + F.lit(ddec * bin_deg), F.lit(-90.0)), F.lit(90.0)
+        )
+        idec = F.floor((d + 90.0) / F.lit(bin_deg)).cast("long")
+        per_ddec.append(
+            F.transform(
+                dras,
+                lambda dra: idec * nra
+                + F.floor(
+                    F.pmod(
+                        ra + dra.cast("double") * F.lit(bin_deg),
+                        F.lit(360.0),
+                    )
+                    / F.lit(bin_deg)
+                ).cast("long"),
+            )
+        )
+    arr = F.flatten(F.array(*per_ddec))
+    arr = F.when(
+        dec + F.lit(bin_deg) >= polar_cut, F.array_append(arr, F.lit(_POLE_BIN))
+    ).otherwise(arr)
+    arr = F.when(
+        dec - F.lit(bin_deg) <= -polar_cut,
+        F.array_append(arr, F.lit(_POLE_BIN - 1)),
+    ).otherwise(arr)
+    return F.array_distinct(arr)
+
+
+def crossmatch_sky(
+    left: DataFrame,
+    right: DataFrame,
+    radius_deg: float,
+    left_id: str,
+    right_id: str,
+    ra_col: str = "ra",
+    dec_col: str = "dec",
+    bin_deg: float | None = None,
+    polar_cut: float = 88.0,
+    sep_decimals: int | None = None,
+) -> DataFrame:
+    """Nearest right-row within ``radius_deg`` for every left row.
+
+    Returns (left_id, right_id, sep_deg) — left rows with no match
+    within the radius are absent (inner semantics; left-join the
+    result back for outer). Ties on separation break toward the
+    smallest right id, so the match is deterministic.
+
+    ``sep_decimals`` rounds the separation BEFORE the radius filter
+    and the argmin (engine-determinism knob: trig last-ulp differences
+    between engines cannot flip the selected match once both rank the
+    rounded value; ties resolve by id).
+    """
+    if radius_deg <= 0:
+        raise ValueError("radius_deg must be positive")
+    if bin_deg is None:
+        bin_deg = max(radius_deg, 0.25)
+    if bin_deg < radius_deg:
+        raise ValueError("bin_deg must be >= radius_deg (neighbor cover)")
+    if radius_deg > 90.0 - polar_cut:
+        # matches may span a cap boundary the bin graph can't see
+        polar_cut = max(0.0, 90.0 - radius_deg - bin_deg)
+
+    l = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(ra_col).alias("__lra"),
+        F.col(dec_col).alias("__ldec"),
+        _bin_of(F.col(ra_col), F.col(dec_col), bin_deg, polar_cut).alias("__bin"),
+    )
+    r = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(ra_col).alias("__rra"),
+        F.col(dec_col).alias("__rdec"),
+        F.explode(
+            _neighbor_bins(
+                F.col(ra_col), F.col(dec_col), bin_deg, polar_cut, radius_deg
+            )
+        ).alias("__bin"),
+    )
+    sep = _sep_deg(
+        F.col("__lra"), F.col("__ldec"), F.col("__rra"), F.col("__rdec")
+    )
+    if sep_decimals is not None:
+        sep = F.round(sep, sep_decimals)
+    cand = (
+        l.join(r, "__bin")
+        .withColumn("__sep", sep)
+        .filter(F.col("__sep") <= F.lit(float(radius_deg)))
+    )
+    w = Window.partitionBy("__lid").orderBy(F.col("__sep").asc(), F.col("__rid").asc())
+    best = cand.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1)
+    return best.select(
+        F.col("__lid").alias(left_id),
+        F.col("__rid").alias(right_id),
+        F.round(F.col("__sep"), 8).alias("sep_deg"),
+    )

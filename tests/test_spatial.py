@@ -158,3 +158,64 @@ def test_cross_type_region_relations():
         cone.contains("nope")
     with _pytest.raises(ValueError):
         hp.intersects(42)
+
+
+def test_crossmatch_sky_matches_brute_force(spark):
+    """Bin-join cross-match == numpy all-pairs nearest neighbor, on a
+    sky including the equator, high declination (RA compression), the
+    RA wrap, and the pole caps."""
+    import numpy as np
+
+    from opencosmo_spark.spatial.crossmatch import crossmatch_sky
+
+    rng = np.random.default_rng(42)
+    n_l, n_r = 400, 300
+
+    def sky(n, seed_shift=0):
+        ra = rng.uniform(0, 360, n)
+        # oversample high declinations and poles to stress the bins
+        dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+        k = n // 8
+        dec[:k] = rng.uniform(80, 90, k)
+        dec[k : 2 * k] = rng.uniform(-90, -80, k)
+        ra[n // 4 : n // 3] = rng.uniform(-1, 1, len(ra[n // 4 : n // 3])) % 360.0
+        return ra, dec
+
+    lra, ldec = sky(n_l)
+    rra, rdec = sky(n_r)
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"lid": range(n_l), "ra": lra, "dec": ldec})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"rid": range(n_r), "ra": rra, "dec": rdec})
+    )
+
+    R = 2.0
+    got = {
+        r.lid: (r.rid, r.sep_deg)
+        for r in crossmatch_sky(
+            left, right, R, "lid", "rid", bin_deg=2.0
+        ).collect()
+    }
+
+    # numpy brute force
+    def unit(ra, dec):
+        ra, dec = np.radians(ra), np.radians(dec)
+        return np.stack(
+            [np.cos(dec) * np.cos(ra), np.cos(dec) * np.sin(ra), np.sin(dec)],
+            axis=-1,
+        )
+    ul, ur = unit(lra, ldec), unit(rra, rdec)
+    cos = np.clip(ul @ ur.T, -1, 1)
+    sep = np.degrees(np.arccos(cos))
+    for i in range(n_l):
+        js = np.where(sep[i] <= R)[0]
+        if len(js) == 0:
+            assert i not in got
+            continue
+        best = min((round(float(sep[i][j]), 8), j) for j in js)
+        assert i in got, f"left {i} missing (dec={ldec[i]:.2f})"
+        assert got[i][0] == best[1], (i, got[i], best, ldec[i])
+        assert abs(got[i][1] - best[0]) < 1e-6
