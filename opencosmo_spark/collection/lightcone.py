@@ -45,6 +45,8 @@ class Lightcone(Dataset):
             units=first._units,
             descriptions=first._descriptions,
             convention=first._convention,
+            base_convention=first._base_convention,
+            base_units=first._base_units,
         )
 
     def _clone(self, df=None, **kw) -> "Lightcone":
@@ -57,6 +59,8 @@ class Lightcone(Dataset):
             sort_keys=base._sort_keys,
             region=base._region,
             convention=base._convention,
+            base_convention=base._base_convention,
+            base_units=base._base_units,
         )
         return lc
 

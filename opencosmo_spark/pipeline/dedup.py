@@ -412,7 +412,9 @@ def connected_components(
     every node, cluster_id = the smallest id reachable through the
     pair graph (isolated nodes keep their own id) — the dedup endgame:
     candidate pairs -> groups -> keep ``cluster_id == id`` as the
-    canonical survivor.
+    canonical survivor. Node ids must be numeric (the convergence
+    check sums labels as decimal; string ids would need a rank
+    pre-pass).
 
     Scale shape: each iteration is ONE shuffle keyed by node id
     (symmetric edges joined to current labels, groupBy min, least with
@@ -441,6 +443,7 @@ def connected_components(
         F.col(id_col).alias("__node"), F.col(id_col).alias("__label")
     ).localCheckpoint(eager=True)
     prev_sum = None
+    converged = False
     for _ in range(max_iterations):
         nmin = (
             sym.join(labels, sym["__dst"] == labels["__node"])
@@ -461,8 +464,22 @@ def connected_components(
             F.sum(F.col("__label").cast("decimal(38,0)"))
         ).collect()[0][0]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # a silent partial result would let dedup_by_clusters keep >1
+        # "canonical" row per true cluster — surface it loudly
+        import warnings
+
+        warnings.warn(
+            f"connected_components exhausted max_iterations="
+            f"{max_iterations} before the label fixpoint; labels may "
+            f"be unconverged (raise max_iterations — rounds needed = "
+            f"graph diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("__node").alias(id_col), F.col("__label").alias("cluster_id")
     )

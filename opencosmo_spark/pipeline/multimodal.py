@@ -133,21 +133,37 @@ def sample_video_frames(
     return df.mapInPandas(run, out_schema)
 
 
-def media_exact_dedup(
+def media_digest_groups(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Exact byte-identical media dedup — fully REAL (no codec needed):
-    sha2 over the binary payload, keep the smallest id per digest.
-    Pure JVM (one shuffle keyed by digest); at 100 TB hash at ingest
-    and store the digest column so re-dedup never re-reads payloads."""
+    """Per-digest duplicate report — fully REAL (no codec needed):
+    sha2 over the binary payload; one row per distinct payload with
+    (sha256, keep_id = smallest id, n_copies). Pure JVM (one shuffle
+    keyed by digest); at 100 TB hash at ingest and store the digest
+    column so re-dedup never re-reads payloads."""
     digest = F.sha2(F.col(payload_col), 256)
     w = df.select(F.col(id_col), digest.alias("sha256"))
     groups = w.groupBy("sha256").agg(
         F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
     )
     return groups
+
+
+def media_exact_dedup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Exact byte-identical media dedup, df-in/df-out (same semantics
+    as ``dedup_by_clusters``): keep the smallest-id row per distinct
+    payload, return the surviving rows with their full schema. The
+    per-digest report is ``media_digest_groups``."""
+    keep = media_digest_groups(df, payload_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
 
 
 def media_stats(df: DataFrame) -> DataFrame:

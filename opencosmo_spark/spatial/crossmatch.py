@@ -61,16 +61,26 @@ def _neighbor_bins(
 ) -> Column:
     """Bins of every left row this right row could match: dec
     neighbors +-1 (|d-dec| <= radius <= bin), and an RA span that
-    WIDENS with declination — a match at separation r implies
-    |dRA| <= r / cos(dec), so the neighbor count is
-    ceil(r / (cos * bin)) per side, computed per row (k=1 on the
-    equator, ~29 at the 88 deg cut; bounded). Adjacent pole caps are
-    appended when the row borders one."""
+    WIDENS with declination. The exact bound comes from the haversine
+    identity sin^2(sep/2) = sin^2(ddec/2) + cos d1 cos d2 sin^2(dRA/2):
+    with both endpoints at |dec| <= D, separation <= r implies
+    |dRA| <= 2*asin(min(1, sin(r/2)/cos(D))). The linear r/cos(D)
+    approximation under-covers near the cap (where dRA can approach a
+    half circle while the separation stays small), silently dropping
+    matches; the asin form is exact, and the min(1, .) clamp degrades
+    to full-circle coverage (dRA = 180) when sin(r/2) >= cos(D) — the
+    -k..k sequence then wraps and array_distinct dedups it. Adjacent
+    pole caps are appended when the row borders one."""
     nra = int(360.0 / bin_deg) + 1
     extreme = F.least(F.abs(dec) + F.lit(bin_deg), F.lit(polar_cut))
-    k = F.ceil(
-        F.lit(float(radius_deg))
-        / (F.cos(F.radians(extreme)) * F.lit(bin_deg))
+    ratio = F.least(
+        F.sin(F.radians(F.lit(float(radius_deg)) / 2))
+        / F.cos(F.radians(extreme)),
+        F.lit(1.0),
+    )
+    dra_max = F.degrees(2 * F.asin(ratio))
+    k = F.least(
+        F.ceil(dra_max / F.lit(bin_deg)), F.lit(nra)
     ).cast("int")
     dras = F.sequence(-k, k)
     per_ddec = []

@@ -87,8 +87,11 @@ class ConeRegion:
         spatial/relations.py:223-250: cone-cone is exact; cone-skybox
         tests the box's four corners (the reference's criterion)."""
         if isinstance(other, ConeRegion):
+            # strict, matching reference relations.py __cone_contains_cone
+            # ('>'): an identical cone does not contain itself, consistent
+            # with the FullSkyRegion posture
             sep = _ang_sep_deg(self.ra, self.dec, other.ra, other.dec)
-            return sep + other.radius <= self.radius
+            return sep + other.radius < self.radius
         if isinstance(other, SkyboxRegion):
             corners = [
                 (other.ra_min, other.dec_min),
@@ -101,8 +104,9 @@ class ConeRegion:
 
     def intersects(self, other) -> bool:
         if isinstance(other, ConeRegion):
+            # strict ('<'), reference relations.py __cone_intersects_cone
             sep = _ang_sep_deg(self.ra, self.dec, other.ra, other.dec)
-            return sep <= self.radius + other.radius
+            return sep < self.radius + other.radius
         if isinstance(other, SkyboxRegion):
             return other.intersects(self)
         raise ValueError(f"expected a 2D sky region, got {type(other).__name__}")

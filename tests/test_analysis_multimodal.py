@@ -230,6 +230,7 @@ def test_media_exact_dedup_real_path(spark):
 
     from opencosmo_spark.pipeline.multimodal import (
         MEDIA_SCHEMA,
+        media_digest_groups,
         media_exact_dedup,
     )
 
@@ -237,10 +238,14 @@ def test_media_exact_dedup_real_path(spark):
     dup = base.copy()
     dup["media_id"] = dup["media_id"] + 100  # same payloads, new ids
     df = spark.createDataFrame(pd.concat([base, dup]), MEDIA_SCHEMA)
+    groups = media_digest_groups(df).toPandas()
+    assert len(groups) == 10  # one digest group per distinct payload
+    assert (groups.n_copies == 2).all()
+    assert (groups.keep_id < 100).all()  # smallest id survives
+    # df-in/df-out: surviving rows carry the full media schema
     out = media_exact_dedup(df).toPandas()
-    assert len(out) == 10  # one digest group per distinct payload
-    assert (out.n_copies == 2).all()
-    assert (out.keep_id < 100).all()  # smallest id survives
+    assert sorted(out.media_id) == sorted(base.media_id)
+    assert set(out.columns) == set(base.columns)
 
 
 def test_media_features_feed_ann(spark):

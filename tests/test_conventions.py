@@ -161,6 +161,26 @@ def test_physical_roundtrip_to_scalefree(halos):
     )
 
 
+def test_lightcone_scalefree_roundtrip(spark, fixtures):
+    """Regression: Lightcone._clone must propagate base_convention /
+    base_units (as HealpixMap does) — a scalefree-born lightcone
+    converted to comoving keeps its recorded littleh powers, so the
+    switch back to scalefree stays invertible."""
+    lc = oc.open(f"{fixtures}/lightcone")
+    assert lc.convention == "scalefree"
+    back = lc.with_units("comoving").with_units("scalefree")
+    from opencosmo_spark.collection.lightcone import Lightcone
+
+    assert isinstance(back, Lightcone)
+    raw = lc.get_data("numpy")
+    data = back.get_data("numpy")
+    np.testing.assert_allclose(
+        data["fof_halo_mass"], raw["fof_halo_mass"], rtol=1e-6
+    )
+    assert str(back.units["fof_halo_mass"]) == "Msun / h"
+    assert back.convention == "scalefree"
+
+
 def test_scalefree_unreachable_for_comoving_base(spark):
     """Data born comoving has no recorded littleh powers: the inverse
     switch must still raise (scoped error, reference parity)."""

@@ -160,6 +160,42 @@ def test_cross_type_region_relations():
         hp.intersects(42)
 
 
+def test_crossmatch_sky_polar_ra_coverage(spark):
+    """Regression: near the polar cut, the max RA offset between two
+    points within `radius` is 2*asin(sin(r/2)/cos(dec)), which exceeds
+    the linear r/cos(dec) bound — a linear-bound k silently misses the
+    match. dec=87.99 with dRA=59 deg has separation 1.979 <= 2.0 but
+    sits at bin offset 30 > linear k=29."""
+    import math
+
+    import pandas as pd
+
+    from opencosmo_spark.spatial.crossmatch import crossmatch_sky
+
+    rows_l = [(0, 0.5, 87.99), (1, 200.0, 10.0)]
+    rows_r = [(10, 59.5, 87.99), (11, 200.1, 10.0)]
+    left = spark.createDataFrame(
+        pd.DataFrame(rows_l, columns=["lid", "ra", "dec"])
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(rows_r, columns=["rid", "ra", "dec"])
+    )
+    # confirm the geometry: separation really is inside the radius
+    d = math.radians(87.99)
+    dra = math.radians(59.0)
+    a = math.cos(d) ** 2 * math.sin(dra / 2) ** 2
+    sep = math.degrees(2 * math.asin(math.sqrt(a)))
+    assert sep <= 2.0
+
+    got = {
+        r.lid: r.rid
+        for r in crossmatch_sky(
+            left, right, 2.0, "lid", "rid", bin_deg=2.0, polar_cut=88.0
+        ).collect()
+    }
+    assert got == {0: 10, 1: 11}
+
+
 def test_crossmatch_sky_matches_brute_force(spark):
     """Bin-join cross-match == numpy all-pairs nearest neighbor, on a
     sky including the equator, high declination (RA compression), the
