@@ -107,18 +107,13 @@ def q01_scan_filter_project(spark, sf):
     )
 
 
-def q02_select_wildcard(spark, sf):
+def q02_select_drop(spark, sf):
+    # select (wildcard expansion) chained with drop — the two
+    # projection verbs in one lineage (formerly q02 + q03)
     from opencosmo_spark import Dataset
 
     ds = Dataset(_t(spark, sf, "lineitem"))
-    return ds.select("l_*key", "l_linenumber").df
-
-
-def q03_drop(spark, sf):
-    from opencosmo_spark import Dataset
-
-    ds = Dataset(_t(spark, sf, "part"))
-    return ds.drop("p_name", "p_retailprice").df
+    return ds.select("l_*key", "l_linenumber", "l_quantity").drop("l_quantity").df
 
 
 def q04_filter_compound(spark, sf):
@@ -188,29 +183,29 @@ def q09_take_range(spark, sf):
 # =====================================================================
 # §2.3 derived columns and scalar functions
 # =====================================================================
-def q10_derived_arith(spark, sf):
+def q10_derived_cols(spark, sf):
+    # with_new_columns arithmetic chained into math-function derivations
+    # REFERENCING the derived column (formerly q10 + q11): rev is a real
+    # column after with_new_columns, so the log10/sqrt/arcsin exprs
+    # compose on it like any base column.
     from opencosmo_spark import Dataset, col
 
     ds = Dataset(_t(spark, sf, "lineitem"))
     ds = ds.with_new_columns(
         rev=col("l_extendedprice") * (1 - col("l_discount")) * (1 + col("l_tax"))
     )
-    return ds.select("l_orderkey", "l_linenumber", "rev").df
-
-
-def q11_derived_math(spark, sf):
-    from opencosmo_spark import Dataset, col
-
-    ds = Dataset(_t(spark, sf, "orders"))
     ds = ds.select(
-        "o_orderkey",
-        lg=col("o_totalprice").log10(),
-        sq=col("o_totalprice").sqrt(),
-        ang=(col("o_totalprice") / 1000000.0).arcsin(),
+        "l_orderkey",
+        "l_linenumber",
+        "rev",
+        lg=col("rev").log10(),
+        sq=col("rev").sqrt(),
+        ang=(col("rev") / 1000000.0).arcsin(),
     )
-    df = ds.df
-    return df.select(
-        "o_orderkey",
+    return ds.df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "rev",
         F.round("lg", 6).alias("lg"),
         F.round("sq", 6).alias("sq"),
         F.round("ang", 6).alias("ang"),
@@ -413,20 +408,27 @@ def q23_anti(spark, sf):
 # =====================================================================
 # §2.7 set operations
 # =====================================================================
-def q24_union_steps(spark, sf):
-    # lightcone step vstack analog: unionByName of two slices
+def q24_set_ops(spark, sf):
+    # set-operation family in one result (formerly q24 + q25): the
+    # lightcone step-vstack analog (unionByName of two event slices,
+    # then agg) stacked over an INTERSECT of customer key sets, tagged
+    # into a common (tag, val) schema.
     ev = _t(spark, sf, "events")
     a = ev.filter(F.col("value") > 50)
     b = ev.filter(F.col("event_type") == "click")
-    u = a.unionByName(b)
-    return u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-
-
-def q25_intersect(spark, sf):
+    counts = (
+        a.unionByName(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("event_type").alias("tag"), F.col("n").alias("val"))
+    )
     c = _t(spark, sf, "customer")
-    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    b = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
-    return a.intersect(b)
+    ia = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ib = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    inter = ia.intersect(ib).select(
+        F.lit("ix_custkey").alias("tag"), F.col("c_custkey").alias("val")
+    )
+    return counts.unionByName(inter)
 
 
 # =====================================================================
@@ -504,16 +506,41 @@ def q29_spatial_box(spark, sf):
 # =====================================================================
 # LLM-pipeline operators: text analysis / dedup / similarity
 # =====================================================================
-def q30_text_stats(spark, sf):
+def q30_text_profile(spark, sf):
+    # the full per-document text-analysis pass in ONE projection
+    # (formerly q30 + q32 + q38 + q41 + q48): char/token stats,
+    # language-ID heuristic, quality score, whitespace/BPE-ish token
+    # counts, and gopher-style repetition signals — the way a real
+    # curation pipeline computes them: one scan, no joins, pure JVM.
+    from opencosmo_spark.pipeline.text import (
+        quality_score,
+        repetition_stats,
+        token_count,
+    )
+
     d = _t(spark, sf, "documents")
     length = F.length(F.col("text"))
     nospace = F.length(F.regexp_replace(F.col("text"), " ", ""))
     tokens = length - nospace + 1
+    s = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+
+    def cnt(word):
+        pat = f" {word} "
+        return (F.length(s) - F.length(F.regexp_replace(s, pat, ""))) / len(pat)
+
+    score = cnt("the") + cnt("a") + cnt("of")
+    stats = repetition_stats("text")
     return d.select(
         "doc_id",
         length.alias("n_chars_calc"),
         tokens.alias("n_tokens"),
         (nospace.cast("double") / tokens).alias("avg_word_len"),
+        score.cast("long").alias("en_score"),
+        F.when(score >= 2, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+        quality_score("text").alias("quality"),
+        token_count("text", "whitespace").alias("n_ws"),
+        token_count("text", "bpe").alias("n_bpe"),
+        *[c.alias(name) for name, c in stats.items()],
     )
 
 
@@ -526,23 +553,6 @@ def q31_dedup_fingerprint(spark, sf):
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc_id")
     )
     return g.filter(F.col("n") > 1)
-
-
-def q32_langid(spark, sf):
-    # n-gram/stopword language heuristic, exact integer scoring
-    d = _t(spark, sf, "documents")
-    s = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
-
-    def cnt(word):
-        pat = f" {word} "
-        return (F.length(s) - F.length(F.regexp_replace(s, pat, ""))) / len(pat)
-
-    score = cnt("the") + cnt("a") + cnt("of")
-    return d.select(
-        "doc_id",
-        score.cast("long").alias("en_score"),
-        F.when(score >= 2, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
-    )
 
 
 def q33_cosine_topk(spark, sf):
@@ -627,13 +637,6 @@ def q37_sessionize(spark, sf):
     return sess.groupBy("user_id").agg(F.max("sid").alias("n_sessions"))
 
 
-def q38_quality_score(spark, sf):
-    from opencosmo_spark.pipeline.text import quality_score
-
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", quality_score("text").alias("quality"))
-
-
 def q39_ngram_jaccard(spark, sf):
     # exact n-gram Jaccard dedup via inverted shingle index: explode
     # shingles, self-join on shingle hash, groupBy-count = intersection.
@@ -651,17 +654,6 @@ def q40_ann_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return lsh_bucket_ann(emb, [float(x) for x in qv], k=10, planes=8, seed=7)
-
-
-def q41_token_bpe(spark, sf):
-    from opencosmo_spark.pipeline.text import token_count
-
-    d = _t(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        token_count("text", "whitespace").alias("n_ws"),
-        token_count("text", "bpe").alias("n_bpe"),
-    )
 
 
 def q42_unit_convention(spark, sf):
@@ -797,34 +789,17 @@ def q47_dedup_clusters(spark, sf):
     return connected_components(pairs, d.select("doc_id"), id_col="doc_id")
 
 
-def q48_repetition_quality(spark, sf):
-    # gopher-style repetition signals — boilerplate/spam predictors
-    from opencosmo_spark.pipeline.text import repetition_stats
-
-    d = _t(spark, sf, "documents")
-    stats = repetition_stats("text")
-    return d.select(
-        "doc_id", *[c.alias(name) for name, c in stats.items()]
-    )
-
-
-def q49_ivf_train_ann(spark, sf):
-    # trained coarse quantizer: distributed spherical k-means codebook
-    # (Lloyd's — iterative, deliberately NOT SQL-expressible, so this
-    # entry is rows-only), then the standard IVF probe against it.
-    # Invariant tests live in test_pipeline.py (full probe == brute).
-    from opencosmo_spark.pipeline.similarity import (
-        ivf_ann,
-        train_ivf_codebook,
-    )
+def q49_ivf_lloyd_step(spark, sf):
+    # the value-checkable IVF-training proof: ONE deterministic Lloyd
+    # iteration (md5-lane seed init -> JVM argmax assignment ->
+    # posexplode integer-exact update) emitted as per-(cell, pos)
+    # counts and means — the same machinery train_ivf_codebook loops
+    # (whose multi-round form stays non-SQL; full-probe==brute
+    # invariants live in test_pipeline.py).
+    from opencosmo_spark.pipeline.similarity import ivf_lloyd_step
 
     emb = _t(spark, sf, "embeddings")
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
-    cb = train_ivf_codebook(emb, nlist=8, iters=2)
-    return ivf_ann(emb, qv, k=10, nlist=8, nprobe=2, codebook=cb)
+    return ivf_lloyd_step(emb, nlist=8, hasher="md5")
 
 
 def q50_stratified_sample(spark, sf):
@@ -967,17 +942,21 @@ def q57_sky_crossmatch(spark, sf):
 # =====================================================================
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # exactly 50 entries — the driver's correctness window is 50
+        # rows, so EVERY query gets a driver oracle row. Formerly-
+        # separate trivial queries were merged, keeping operator
+        # coverage: q02+q03 -> q02_select_drop, q10+q11 ->
+        # q10_derived_cols, q24+q25 -> q24_set_ops, and
+        # q30+q32+q38+q41+q48 -> q30_text_profile (see COVERAGE.md).
         "q01_scan_filter_project": q01_scan_filter_project,
-        "q02_select_wildcard": q02_select_wildcard,
-        "q03_drop": q03_drop,
+        "q02_select_drop": q02_select_drop,
         "q04_filter_compound": q04_filter_compound,
         "q05_filter_isin": q05_filter_isin,
         "q06_filter_scalar_mean": q06_filter_scalar_mean,
         "q07_sample_hash": q07_sample_hash,
         "q08_sort_topk": q08_sort_topk,
         "q09_take_range": q09_take_range,
-        "q10_derived_arith": q10_derived_arith,
-        "q11_derived_math": q11_derived_math,
+        "q10_derived_cols": q10_derived_cols,
         "q12_norm_mag": q12_norm_mag,
         "q13_zscore": q13_zscore,
         "q14_quantile_filter": q14_quantile_filter,
@@ -990,31 +969,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_semi_cascade": q21_semi_cascade,
         "q22_join_nested_agg": q22_join_nested_agg,
         "q23_anti": q23_anti,
-        "q24_union_steps": q24_union_steps,
-        "q25_intersect": q25_intersect,
+        "q24_set_ops": q24_set_ops,
         "q26_window_topk": q26_window_topk,
         "q27_window_running": q27_window_running,
         "q28_time_window": q28_time_window,
         "q29_spatial_box": q29_spatial_box,
-        "q30_text_stats": q30_text_stats,
+        "q30_text_profile": q30_text_profile,
         "q31_dedup_fingerprint": q31_dedup_fingerprint,
-        "q32_langid": q32_langid,
         "q33_cosine_topk": q33_cosine_topk,
         "q34_neardup_cosine": q34_neardup_cosine,
         "q35_minhash_lsh": q35_minhash_lsh,
         "q36_simhash": q36_simhash,
         "q37_sessionize": q37_sessionize,
-        "q38_quality_score": q38_quality_score,
         "q39_ngram_jaccard": q39_ngram_jaccard,
         "q40_ann_lsh": q40_ann_lsh,
-        "q41_token_bpe": q41_token_bpe,
         "q42_unit_convention": q42_unit_convention,
         "q43_rollup": q43_rollup,
         "q44_asof_join": q44_asof_join,
         "q45_ivf_ann": q45_ivf_ann,
+        "q46_range_join": q46_range_join,
         "q47_dedup_clusters": q47_dedup_clusters,
-        "q48_repetition_quality": q48_repetition_quality,
-        "q49_ivf_train_ann": q49_ivf_train_ann,
+        "q49_ivf_lloyd_step": q49_ivf_lloyd_step,
         "q50_stratified_sample": q50_stratified_sample,
         "q51_tpch_q3": q51_tpch_q3,
         "q52_range_rolling": q52_range_rolling,
@@ -1023,7 +998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_chunk_documents": q55_chunk_documents,
         "q56_pack_chunks": q56_pack_chunks,
         "q57_sky_crossmatch": q57_sky_crossmatch,
-        "q46_range_join": q46_range_join,
     }
 
 
@@ -1153,11 +1127,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 25
         """,
-        "q02_select_wildcard": """
+        "q02_select_drop": """
             SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem
-        """,
-        "q03_drop": """
-            SELECT p_partkey, p_brand, p_type, p_size FROM part
         """,
         "q04_filter_compound": """
             SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
@@ -1185,17 +1156,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
             LIMIT 200 OFFSET 100
         """,
-        "q10_derived_arith": """
-            SELECT l_orderkey, l_linenumber,
-                   l_extendedprice * (1 - l_discount) * (1 + l_tax) AS rev
-            FROM lineitem
-        """,
-        "q11_derived_math": """
-            SELECT o_orderkey,
-                   round(log10(o_totalprice), 6) AS lg,
-                   round(sqrt(o_totalprice), 6) AS sq,
-                   round(asin(o_totalprice / 1000000.0), 6) AS ang
-            FROM orders
+        "q10_derived_cols": """
+            WITH t AS (
+              SELECT l_orderkey, l_linenumber,
+                     l_extendedprice * (1 - l_discount) * (1 + l_tax) AS rev
+              FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, rev,
+                   round(log10(rev), 6) AS lg,
+                   round(sqrt(rev), 6) AS sq,
+                   round(asin(rev / 1000000.0), 6) AS ang
+            FROM t
         """,
         "q12_norm_mag": """
             SELECT l_orderkey, l_linenumber,
@@ -1289,17 +1260,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         """,
-        "q24_union_steps": """
-            SELECT event_type, count(*) AS n FROM (
+        "q24_set_ops": """
+            SELECT event_type AS tag, count(*) AS val FROM (
               SELECT * FROM events WHERE value > 50
               UNION ALL
               SELECT * FROM events WHERE event_type = 'click'
             ) GROUP BY event_type
-        """,
-        "q25_intersect": """
-            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-            INTERSECT
-            SELECT c_custkey FROM customer WHERE c_acctbal > 0
+            UNION ALL
+            SELECT 'ix_custkey' AS tag, c_custkey AS val FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              INTERSECT
+              SELECT c_custkey FROM customer WHERE c_acctbal > 0
+            )
         """,
         "q26_window_topk": """
             SELECT o_custkey, o_orderkey, rn FROM (
@@ -1329,30 +1301,84 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount*9.0 >= 0.1 AND l_discount*9.0 < 0.73
               AND l_tax*11.0 >= 0.0 AND l_tax*11.0 < 0.41
         """,
-        "q30_text_stats": """
-            SELECT doc_id,
-                   length(text) AS n_chars_calc,
-                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
-                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                     / (length(text) - length(replace(text, ' ', '')) + 1)
-                   AS avg_word_len
-            FROM documents
+        "q30_text_profile": r"""
+            WITH stats AS (
+              SELECT doc_id,
+                     length(text) AS n_chars_calc,
+                     length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+                     CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / (length(text) - length(replace(text, ' ', '')) + 1)
+                     AS avg_word_len
+              FROM documents
+            ), lt AS (
+              SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents
+            ), lang AS (
+              SELECT doc_id,
+                     (length(s) - length(replace(s, ' the ', ''))) / 5.0
+                   + (length(s) - length(replace(s, ' a ', ''))) / 3.0
+                   + (length(s) - length(replace(s, ' of ', ''))) / 4.0 AS score
+              FROM lt
+            ), qm AS (
+              SELECT doc_id,
+                     length(text) AS len,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                     length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS punct
+              FROM documents
+            ), qs AS (
+              SELECT doc_id,
+                     least(len / 500.0, 1.0) AS len_score,
+                     CASE WHEN CAST(alpha AS DOUBLE) / greatest(n_tok, 1)
+                               BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END AS word_score,
+                     CAST(alpha AS DOUBLE) / greatest(len, 1) AS alpha_ratio,
+                     CASE WHEN CAST(punct AS DOUBLE) / greatest(len, 1) < 0.1
+                          THEN 1.0 ELSE 0.3 END AS punct_score
+              FROM qm
+            ), tok AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe
+              FROM documents
+            ), rw AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents
+            ), rb AS (
+              SELECT doc_id, ws, len(ws) AS n,
+                     list_transform(
+                       generate_series(1, greatest(len(ws) - 1, 1)),
+                       i -> concat_ws(' ', ws[i], ws[i+1])) AS bg
+              FROM rw
+            ), rep AS (
+              SELECT doc_id,
+                     CAST(n AS BIGINT) AS n_words,
+                     round(1.0 - len(list_distinct(ws))::DOUBLE
+                           / greatest(n, 1), 6) AS dup_word_frac,
+                     round(list_max(list_transform(list_distinct(ws),
+                             x -> len(list_filter(ws, y -> y = x))))::DOUBLE
+                           / greatest(n, 1), 6) AS top_word_frac,
+                     round(1.0 - len(list_distinct(bg))::DOUBLE
+                           / greatest(len(bg), 1), 6) AS dup_bigram_frac
+              FROM rb
+            )
+            SELECT s.doc_id, s.n_chars_calc, s.n_tokens, s.avg_word_len,
+                   CAST(l.score AS BIGINT) AS en_score,
+                   CASE WHEN l.score >= 2 THEN 'en' ELSE 'other' END AS lang_guess,
+                   round(0.3*q.len_score + 0.2*q.word_score
+                         + 0.3*q.alpha_ratio + 0.2*q.punct_score, 6) AS quality,
+                   t.n_ws, t.n_bpe,
+                   r.n_words, r.dup_word_frac, r.top_word_frac, r.dup_bigram_frac
+            FROM stats s
+            JOIN lang l USING (doc_id)
+            JOIN qs q USING (doc_id)
+            JOIN tok t USING (doc_id)
+            JOIN rep r USING (doc_id)
         """,
         "q31_dedup_fingerprint": """
             SELECT md5(substr(text, 1, 40)) AS fp, count(*) AS n,
                    min(doc_id) AS keep_doc_id
             FROM documents GROUP BY 1 HAVING count(*) > 1
-        """,
-        "q32_langid": """
-            WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
-            c AS (SELECT doc_id,
-                   (length(s) - length(replace(s, ' the ', ''))) / 5.0
-                 + (length(s) - length(replace(s, ' a ', ''))) / 3.0
-                 + (length(s) - length(replace(s, ' of ', ''))) / 4.0 AS score
-                  FROM t)
-            SELECT doc_id, CAST(score AS BIGINT) AS en_score,
-                   CASE WHEN score >= 2 THEN 'en' ELSE 'other' END AS lang_guess
-            FROM c
         """,
         "q33_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1402,29 +1428,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions FROM s GROUP BY user_id
         """,
-        "q38_quality_score": """
-            WITH m AS (
-              SELECT doc_id,
-                     length(text) AS len,
-                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
-                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-                     length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS punct
-              FROM documents
-            ), s AS (
-              SELECT doc_id,
-                     least(len / 500.0, 1.0) AS len_score,
-                     CASE WHEN CAST(alpha AS DOUBLE) / greatest(n_tok, 1)
-                               BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END AS word_score,
-                     CAST(alpha AS DOUBLE) / greatest(len, 1) AS alpha_ratio,
-                     CASE WHEN CAST(punct AS DOUBLE) / greatest(len, 1) < 0.1
-                          THEN 1.0 ELSE 0.3 END AS punct_score
-              FROM m
-            )
-            SELECT doc_id,
-                   round(0.3*len_score + 0.2*word_score
-                         + 0.3*alpha_ratio + 0.2*punct_score, 6) AS quality
-            FROM s
-        """,
         "q39_ngram_jaccard": """
             WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -1451,13 +1454,6 @@ def oracle_sql() -> dict[str, str]:
                    round(l_extendedprice * 1.4285714285714286 * 0.8, 6) AS price_phys,
                    round(l_quantity * 0.8 * 1000.0, 6) AS qty_m
             FROM lineitem
-        """,
-        "q41_token_bpe": """
-            SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws,
-                   len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe
-            FROM documents
         """,
         "q43_rollup": """
             SELECT l_returnflag, l_linestatus,
@@ -1677,27 +1673,41 @@ def oracle_sql() -> dict[str, str]:
                    least(d.doc_id, coalesce(m.mb, d.doc_id)) AS cluster_id
             FROM documents d LEFT JOIN minr m ON d.doc_id = m.doc_id
         """,
-        "q48_repetition_quality": r"""
-            WITH w AS (
-              SELECT doc_id,
-                     regexp_split_to_array(trim(text), '\s+') AS ws
-              FROM documents
-            ), b AS (
-              SELECT doc_id, ws, len(ws) AS n,
-                     list_transform(
-                       generate_series(1, greatest(len(ws) - 1, 1)),
-                       i -> concat_ws(' ', ws[i], ws[i+1])) AS bg
-              FROM w
+        "q49_ivf_lloyd_step": f"""
+            WITH lane AS (
+              SELECT vec_id, embedding,
+                     {_MD5_LANE.format(x="CAST(vec_id AS VARCHAR)")} AS lane
+              FROM embeddings
+            ), seeds AS (
+              SELECT row_number() OVER (ORDER BY lane, vec_id) - 1 AS cid,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM lane ORDER BY lane, vec_id LIMIT 8
+            ), sims AS (
+              SELECT e.vec_id, s.cid,
+                     round(list_dot_product(CAST(e.embedding AS DOUBLE[]), s.cv)
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(s.cv, s.cv))), 6) AS sim
+              FROM embeddings e CROSS JOIN seeds s
+            ), assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+                FROM sims) WHERE rn = 1
+            ), px AS (
+              SELECT a.cid AS cell, e.embedding,
+                     UNNEST(generate_series(1, len(e.embedding))) AS p
+              FROM assign a JOIN embeddings e USING (vec_id)
+            ), vals AS (
+              SELECT cell, p - 1 AS pos,
+                     CAST(round(round(CAST(embedding[p] AS DOUBLE), 6)
+                                * 1000000, 0) AS BIGINT) AS vi
+              FROM px
             )
-            SELECT doc_id,
-                   CAST(n AS BIGINT) AS n_words,
-                   round(1.0 - len(list_distinct(ws))::DOUBLE
-                         / greatest(n, 1), 6) AS dup_word_frac,
-                   round(list_max(list_transform(list_distinct(ws),
-                           x -> len(list_filter(ws, y -> y = x))))::DOUBLE
-                         / greatest(n, 1), 6) AS top_word_frac,
-                   round(1.0 - len(list_distinct(bg))::DOUBLE
-                         / greatest(len(bg), 1), 6) AS dup_bigram_frac
-            FROM b
+            SELECT cell, CAST(pos AS INTEGER) AS pos,
+                   count(*) AS n,
+                   round(CAST(SUM(vi) AS DOUBLE) / count(*) / 1000000.0, 6)
+                   AS mean_v
+            FROM vals GROUP BY cell, pos
         """,
     }

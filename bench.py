@@ -50,7 +50,7 @@ BENCH_QUERIES = [
 
 EXTRA_QUERIES = [
     "q47_dedup_clusters",
-    "q49_ivf_train_ann",
+    "q49_ivf_lloyd_step",
     "q50_stratified_sample",
     "q51_tpch_q3",
     "q52_range_rolling",

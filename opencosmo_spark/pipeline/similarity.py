@@ -173,6 +173,77 @@ def train_ivf_codebook(
     return cents
 
 
+def ivf_lloyd_step(
+    df: DataFrame,
+    nlist: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    hasher: str = "xxhash64",
+    value_decimals: int = 6,
+) -> DataFrame:
+    """ONE deterministic Lloyd iteration, emitted as checkable values:
+    per-(cell, pos) assignment count and centroid-update mean.
+
+    This is the value-proof companion to ``train_ivf_codebook`` (whose
+    multi-round loop is deliberately not SQL-expressible): identical
+    init -> argmax assignment -> posexplode-avg update machinery, but
+    frozen at a single round with every step reproducible in any
+    engine:
+
+    * init: the ``nlist`` vectors with the smallest hash-lane values
+      (``hasher='md5'`` uses the 60-bit md5 lane so DuckDB can replay
+      it; ``'xxhash64'`` is the cheap JVM default), ties by id;
+    * assignment: pure-JVM argmax of per-centroid cosine rounded to 6
+      decimals (``assign_ivf_cells``), ties to the lowest cell id —
+      raw seed vectors are used unnormalized (cosine is
+      scale-invariant, and skipping the normalize keeps the expression
+      bit-identical across engines);
+    * update: component values are fixed-pointed to exact integers
+      (round(x,6)*1e6 as long) so the per-(cell,pos) sums are
+      order-independent; the emitted mean is one bigint->double
+      division, identical everywhere.
+
+    Output: (cell long, pos int, n long, mean_v double) — nlist x dim
+    rows. Scale shape matches the trainer: assignment is shuffle-free
+    (broadcast literal centroids), the update is ONE shuffle keyed by
+    (cell, pos); the driver holds only the nlist seed vectors.
+    """
+    if hasher == "md5":
+        lane = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("decimal(38,0)")
+    elif hasher == "xxhash64":
+        lane = F.xxhash64(F.col(id_col))
+    else:
+        raise ValueError(f"unknown hasher: {hasher!r}")
+    seeds = (
+        df.select(id_col, vec_col)
+        .orderBy(lane, F.col(id_col))
+        .limit(nlist)
+        .collect()
+    )
+    if len(seeds) < nlist:
+        raise ValueError(f"corpus has fewer than nlist={nlist} vectors")
+    cents = [(i, [float(x) for x in r[1]]) for i, r in enumerate(seeds)]
+    assigned = assign_ivf_cells(df, cents, vec_col, "cell")
+    scale = float(10**value_decimals)
+    vi = F.round(
+        F.round(F.col("val").cast("double"), value_decimals) * scale, 0
+    ).cast("long")
+    pe = assigned.select(
+        "cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
+    ).select("cell", "pos", vi.alias("vi"))
+    g = pe.groupBy("cell", "pos").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vi").alias("s")
+    )
+    mean = (
+        F.col("s").cast("double") / F.col("n").cast("double") / F.lit(scale)
+    )
+    return g.select(
+        "cell", "pos", "n", F.round(mean, value_decimals).alias("mean_v")
+    )
+
+
 def ivf_ann(
     df: DataFrame,
     query_vector: list[float],

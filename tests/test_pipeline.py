@@ -383,6 +383,50 @@ def test_train_ivf_codebook_properties(spark):
         prev = cur
 
 
+def test_ivf_lloyd_step_consistent_with_trainer(spark):
+    """The single-round Lloyd step must emit exactly nlist x dim rows,
+    per-cell counts summing to the corpus size, and means consistent
+    with an independent pandas recomputation of the same assignment."""
+    from opencosmo_spark.pipeline.similarity import ivf_lloyd_step
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_corpus = emb.count()
+    dim = len(emb.first()["embedding"])
+    out = ivf_lloyd_step(emb, nlist=4, hasher="md5").toPandas()
+    assert len(out) == 4 * dim
+    # each position's counts partition the corpus
+    assert (out.groupby("pos").n.sum() == n_corpus).all()
+    # deterministic across runs and across hashers' machinery
+    again = ivf_lloyd_step(emb, nlist=4, hasher="md5").toPandas()
+    a = out.sort_values(["cell", "pos"]).reset_index(drop=True)
+    b = again.sort_values(["cell", "pos"]).reset_index(drop=True)
+    assert a.equals(b)
+    # independent mean recomputation for one (cell, pos)
+    pdf = emb.toPandas()
+    import hashlib
+
+    def lane(vid):
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16)
+
+    seeds = sorted(pdf.vec_id, key=lambda v: (lane(v), v))[:4]
+    sv = {i: np.array(pdf.set_index("vec_id").loc[s, "embedding"], dtype=float)
+          for i, s in enumerate(seeds)}
+
+    def cell_of(v):
+        v = np.array(v, dtype=float)
+        sims = [round(float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c))), 6)
+                for c in [sv[i] for i in range(4)]]
+        return int(np.argmax(sims))
+
+    cells = pdf.embedding.map(cell_of)
+    members = np.stack(pdf.embedding[cells == 0].to_numpy()).astype(float)
+    vi = np.round(np.round(members[:, 0], 6) * 1e6)
+    expect = round(float(vi.sum() / len(vi) / 1e6), 6)
+    got = out[(out.cell == 0) & (out.pos == 0)]
+    assert int(got.n.iloc[0]) == len(members)
+    assert abs(float(got.mean_v.iloc[0]) - expect) < 1e-9
+
+
 def test_ivf_ann_trained_codebook_full_probe_equals_brute(spark):
     """With nprobe = nlist the trained quantizer must return exactly
     the brute-force top-k — training changes routing, never scoring."""

@@ -101,15 +101,13 @@ def test_no_python_udf_in_jvm_operators(spark):
     """Every operator that claims 'built-in expressions only' must not
     plan a Python eval node."""
     for q in (
-        "q30_text_stats",
+        "q30_text_profile",
         "q31_dedup_fingerprint",
-        "q32_langid",
         "q33_cosine_topk",
         "q35_minhash_lsh",
         "q36_simhash",
-        "q38_quality_score",
         "q40_ann_lsh",
-        "q41_token_bpe",
+        "q49_ivf_lloyd_step",
     ):
         plan = plan_of(spark, q)
         assert "BatchEvalPython" not in plan, q
