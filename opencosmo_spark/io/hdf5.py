@@ -1,0 +1,302 @@
+"""HDF5 ingest adapter: reference on-disk format -> Spark-native layout.
+
+Parity target: the reference's native format (``/root/reference/
+SPEC.md``) — per-column HDF5 datasets under a ``data`` group with
+``unit``/``description`` attributes (SPEC.md:24-41, attr names from
+``handler/hdf5.py:115-120`` and ``units/get.py:192``), positional
+``data_linked`` start/size/idx link groups (SPEC.md:72-83), and an
+optional per-file ``header`` group. Opening machinery:
+``python/opencosmo/io/iopen.py:77-124``.
+
+This module is the one-time bridge an OpenCosmo user runs on day one:
+``hdf5_to_parquet`` converts a SPEC-layout file into this repo's
+parquet + JSON-sidecar model (``io/io.py``), materializing the
+positional links as explicit key columns (SURVEY §1.2 — "the single
+biggest model translation"):
+
+* a ``<name>_start``/``<name>_size`` 1:N link becomes a
+  ``__link_<name>`` column ON THE CHILD table holding the source row
+  id that owns each child row (equi-join key; size 0 -> no rows);
+* a ``<name>_idx`` 1:1 link becomes a ``__link_<name>`` column ON THE
+  SOURCE table holding the child row id (sentinel -1 -> null on join,
+  reference SPEC.md:81-83).
+
+Scale posture: h5py reads are driver-side (HDF5 is not splittable in
+Spark), so this is an ingest tool, batched by ``batch_rows`` to bound
+driver memory; the OUTPUT is fully distributed parquet. At 100 TB the
+conversion parallelizes per-file (one driver task per HDF5 file — the
+reference data model is many files per simulation), after which no
+query ever touches HDF5 again.
+
+The numpy link-key algebra (``link_keys_from_ranges`` /
+``link_idx_to_column``) is dependency-free and tested
+unconditionally; only the file-reading entry points gate on h5py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING, Any
+
+import numpy as np
+
+if TYPE_CHECKING:
+    from pyspark.sql import SparkSession
+
+LINK_PREFIX = "__link_"
+
+
+def _require_h5py():
+    try:
+        import h5py  # noqa: PLC0415
+
+        return h5py
+    except ImportError as e:  # pragma: no cover - depends on env
+        raise ImportError(
+            "hdf5 ingest requires h5py (not bundled in this environment): "
+            "pip install h5py, or convert the file elsewhere — every "
+            "downstream operator works on the parquet output only"
+        ) from e
+
+
+def link_keys_from_ranges(
+    starts: np.ndarray, sizes: np.ndarray, n_child: int, source_ids: np.ndarray | None = None
+) -> np.ndarray:
+    """Invert a positional (start, size) link: for each CHILD row,
+    the id of the source row that owns it (int64; -1 for orphan child
+    rows no range covers).
+
+    The reference addresses children positionally — child rows
+    [start, start+size) belong to source row i (SPEC.md:76-80) and
+    region data must be contiguous. The Spark model replaces that
+    with this explicit key column, computed once at ingest: joins
+    become hash-equi-joins Catalyst can plan freely, and the
+    contiguity requirement disappears.
+
+    ``source_ids`` optionally maps source row position -> a stable id
+    column (e.g. halo_tag); default is the source row index.
+    """
+    starts = np.asarray(starts, dtype=np.int64)
+    sizes = np.asarray(sizes, dtype=np.int64)
+    if starts.shape != sizes.shape:
+        raise ValueError("starts and sizes must have the same length")
+    if np.any(sizes < 0):
+        raise ValueError("negative link size")
+    ends = starts + sizes
+    if np.any(ends > n_child):
+        raise ValueError("link range exceeds child table length")
+    out = np.full(n_child, -1, dtype=np.int64)
+    ids = (
+        np.asarray(source_ids, dtype=np.int64)
+        if source_ids is not None
+        else np.arange(len(starts), dtype=np.int64)
+    )
+    # vectorized scatter: one np.repeat over the covered spans — no
+    # python loop over rows (spans are disjoint per SPEC contiguity)
+    nz = sizes > 0
+    if nz.any():
+        span_ids = np.repeat(ids[nz], sizes[nz])
+        positions = np.concatenate(
+            [np.arange(s, e) for s, e in zip(starts[nz], ends[nz])]
+        )
+        out[positions] = span_ids
+    return out
+
+
+def link_idx_to_column(idx: np.ndarray) -> np.ndarray:
+    """A 1:1 idx link is already a key column; validate the sentinel
+    contract (-1 = no link, SPEC.md:81-83) and fix the dtype."""
+    idx = np.asarray(idx, dtype=np.int64)
+    if np.any(idx < -1):
+        raise ValueError("idx link values must be >= -1")
+    return idx
+
+
+def read_hdf5_dataset(
+    h5_path: str, group: str | None = None
+) -> tuple[dict[str, np.ndarray], dict[str, str], dict[str, str], dict[str, Any]]:
+    """Read one SPEC-layout OpenCosmo dataset from an HDF5 file.
+
+    Returns (columns, units, descriptions, header_dict). ``group``
+    selects the dataset group in a multi-dataset file (SPEC.md
+    "Multiple OpenCosmo Datasets in a File"); None reads a
+    single-dataset file rooted at ``/``.
+    """
+    h5py = _require_h5py()
+    columns: dict[str, np.ndarray] = {}
+    units: dict[str, str] = {}
+    descriptions: dict[str, str] = {}
+    header: dict[str, Any] = {}
+    with h5py.File(h5_path, "r") as f:
+        root = f[group] if group else f
+        data = root["data"]
+        for name, dset in data.items():
+            arr = dset[()]
+            if arr.ndim > 1:
+                # multi-dim column (SPEC.md:22) -> array column
+                arr = [row.tolist() for row in arr]
+            columns[name] = arr
+            u = dset.attrs.get("unit")
+            if u is not None and str(u) not in ("", "None"):
+                units[name] = str(u)
+            d = dset.attrs.get("description")
+            if d is not None:
+                descriptions[name] = str(d)
+        hgrp = root["header"] if "header" in root else f.get("header")
+        if hgrp is not None:
+            def walk(g, out):
+                for k, v in g.attrs.items():
+                    out[k] = v.item() if hasattr(v, "item") else v
+                for k, v in g.items():
+                    out[k] = {}
+                    walk(v, out[k])
+            walk(hgrp, header)
+    return columns, units, descriptions, header
+
+
+def read_links(h5_path: str, group: str | None = None) -> dict[str, dict[str, np.ndarray]]:
+    """Read the ``data_linked`` group: {link_name: {"start": ...,
+    "size": ...} | {"idx": ...}} (SPEC.md:72-83)."""
+    h5py = _require_h5py()
+    links: dict[str, dict[str, np.ndarray]] = {}
+    with h5py.File(h5_path, "r") as f:
+        root = f[group] if group else f
+        if "data_linked" not in root:
+            return links
+        for name, dset in root["data_linked"].items():
+            for suffix in ("start", "size", "idx"):
+                if name.endswith("_" + suffix):
+                    base = name[: -len(suffix) - 1]
+                    links.setdefault(base, {})[suffix] = dset[()]
+                    break
+    return links
+
+
+def hdf5_to_parquet(
+    h5_path: str,
+    out_path: str,
+    spark: "SparkSession | None" = None,
+    group: str | None = None,
+    child_groups: dict[str, str] | None = None,
+    overwrite: bool = False,
+) -> None:
+    """Convert a SPEC-layout HDF5 file into this engine's on-disk
+    model: ``<out_path>/`` parquet + header sidecar (io/io.py), with
+    positional links materialized as ``__link_*`` key columns.
+
+    ``child_groups`` maps link names to the HDF5 group holding the
+    link TARGET (e.g. {"haloparticles": "halo_particles"}); each child
+    is written alongside as ``<out_path>_<link>`` with the generated
+    key column attached.
+    """
+    from ..dataset import Dataset
+    from ..header import OpenCosmoHeader
+    from ..units import parse_unit
+    from .io import write_dataset
+
+    _require_h5py()
+    if spark is None:
+        from ..session import get_spark
+
+        spark = get_spark()
+    import pandas as pd
+
+    columns, units, descriptions, header = read_hdf5_dataset(h5_path, group)
+    links = read_links(h5_path, group)
+
+    # 1:1 idx links live on the source table
+    for name, parts in links.items():
+        if "idx" in parts:
+            columns[LINK_PREFIX + name] = link_idx_to_column(parts["idx"])
+
+    pdf = pd.DataFrame(columns)
+    hdr = _header_from_hdf5(header)
+    ds = Dataset(
+        spark.createDataFrame(pdf),
+        header=hdr,
+        units={c: parse_unit(u) for c, u in units.items()},
+        descriptions=descriptions,
+    )
+    write_dataset(out_path, ds, overwrite=overwrite)
+
+    # 1:N start/size links invert onto each child table
+    for name, parts in links.items():
+        if "start" not in parts:
+            continue
+        child_group = (child_groups or {}).get(name)
+        if child_group is None:
+            continue
+        ccols, cunits, cdescs, _ = read_hdf5_dataset(h5_path, child_group)
+        n_child = len(next(iter(ccols.values())))
+        ccols[LINK_PREFIX + name] = link_keys_from_ranges(
+            parts["start"], parts["size"], n_child
+        )
+        cds = Dataset(
+            spark.createDataFrame(pd.DataFrame(ccols)),
+            header=hdr,
+            units={c: parse_unit(u) for c, u in cunits.items()},
+            descriptions=cdescs,
+        )
+        write_dataset(
+            os.path.join(os.path.dirname(out_path) or ".",
+                         os.path.basename(out_path) + "_" + name),
+            cds,
+            overwrite=overwrite,
+        )
+
+
+def _header_from_hdf5(raw: dict[str, Any]):
+    """Map the reference header group's nested attrs into an
+    OpenCosmoHeader. Recognized keys (searched at any nesting level,
+    case-insensitive): hubble constant (h / H0 / hubble), matter
+    density (omega_m / Om0), redshift (redshift / z), box size. The
+    full raw tree is preserved under ``extra['hdf5_header']``."""
+    from ..header import Cosmology, OpenCosmoHeader
+
+    flat: dict[str, Any] = {}
+
+    def walk(d: dict):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                walk(v)
+            else:
+                flat.setdefault(str(k).lower(), v)
+
+    walk(raw or {})
+
+    def pick(*names, default=None):
+        for n in names:
+            if n in flat:
+                try:
+                    return float(flat[n])
+                except (TypeError, ValueError):
+                    continue
+        return default
+
+    ckw = {}
+    h = pick("h", "hubble", "h0")
+    if h is not None:
+        ckw["H0"] = h * 100.0 if h < 10 else h
+    om = pick("omega_m", "om0")
+    if om is not None:
+        ckw["Om0"] = om
+    return OpenCosmoHeader(
+        cosmology=Cosmology(**ckw),
+        redshift=pick("redshift", "z", default=0.0),
+        box_size=pick("box_size", default=None),
+        extra={"hdf5_header": _jsonable(raw)} if raw else {},
+    )
+
+
+def _jsonable(d):
+    if isinstance(d, dict):
+        return {k: _jsonable(v) for k, v in d.items()}
+    if isinstance(d, (np.integer,)):
+        return int(d)
+    if isinstance(d, (np.floating,)):
+        return float(d)
+    if isinstance(d, (np.ndarray,)):
+        return d.tolist()
+    if isinstance(d, bytes):
+        return d.decode("utf-8", "replace")
+    return d

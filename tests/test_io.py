@@ -101,3 +101,91 @@ def test_open_csv_json_dispatch(spark, tmp_path):
             f.write(_json.dumps({"k": i, "v": f"s{i}"}) + "\n")
     ds2 = oc.open(str(jl))
     assert sorted(ds2.columns) == ["k", "v"] and len(ds2) == 4
+
+
+# ---------------------------------------------------------------------
+# HDF5 ingest adapter (reference SPEC layout -> parquet + link keys)
+# ---------------------------------------------------------------------
+def test_link_keys_from_ranges_structural():
+    """The positional->key translation (SURVEY §1.2) must invert
+    (start, size) spans exactly: child rows [start, start+size) get
+    the owning source id; uncovered rows get -1; size 0 owns nothing."""
+    import numpy as np
+
+    from opencosmo_spark.io.hdf5 import link_keys_from_ranges
+
+    starts = np.array([0, 3, 3, 7])
+    sizes = np.array([3, 0, 4, 2])
+    keys = link_keys_from_ranges(starts, sizes, n_child=10)
+    assert keys.tolist() == [0, 0, 0, 2, 2, 2, 2, 3, 3, -1]
+
+    # stable source ids instead of row positions
+    ids = np.array([100, 200, 300, 400])
+    keys2 = link_keys_from_ranges(starts, sizes, 10, source_ids=ids)
+    assert keys2.tolist() == [100, 100, 100, 300, 300, 300, 300, 400, 400, -1]
+
+    # contract violations raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        link_keys_from_ranges(np.array([0]), np.array([5]), n_child=3)
+    with _pytest.raises(ValueError):
+        link_keys_from_ranges(np.array([0]), np.array([-1]), n_child=3)
+
+
+def test_link_idx_sentinel_contract():
+    import numpy as np
+    import pytest as _pytest
+
+    from opencosmo_spark.io.hdf5 import link_idx_to_column
+
+    assert link_idx_to_column(np.array([3, -1, 0])).tolist() == [3, -1, 0]
+    with _pytest.raises(ValueError):
+        link_idx_to_column(np.array([-2]))
+
+
+def test_hdf5_roundtrip_gated(spark, tmp_path):
+    """Full SPEC-layout conversion (skips cleanly without h5py):
+    data group + unit/description attrs + data_linked start/size ->
+    parquet datasets joinable on the generated __link_ key."""
+    h5py = pytest.importorskip("h5py")
+    import numpy as np
+
+    import opencosmo_spark as oc
+    from opencosmo_spark.io.hdf5 import LINK_PREFIX, hdf5_to_parquet
+
+    src = tmp_path / "halos.h5"
+    with h5py.File(src, "w") as f:
+        hp = f.create_group("halo_properties")
+        d = hp.create_group("data")
+        m = d.create_dataset("fof_halo_mass", data=np.array([1e12, 2e12, 3e12]))
+        m.attrs["unit"] = "Msun / littleh"
+        m.attrs["description"] = "FoF mass"
+        d.create_dataset("fof_halo_tag", data=np.array([10, 20, 30]))
+        dl = hp.create_group("data_linked")
+        dl.create_dataset("particles_start", data=np.array([0, 2, 2]))
+        dl.create_dataset("particles_size", data=np.array([2, 0, 3]))
+        pp = f.create_group("halo_particles")
+        pd_ = pp.create_group("data")
+        pd_.create_dataset("x", data=np.arange(5.0))
+        hdr = f.create_group("header")
+        sim = hdr.create_group("simulation")
+        sim.attrs["hubble"] = 0.6766
+        sim.attrs["box_size"] = 64.0
+
+    out = tmp_path / "halos_oc"
+    hdf5_to_parquet(
+        str(src), str(out), spark=spark, group="halo_properties",
+        child_groups={"particles": "halo_particles"},
+    )
+    halos = oc.open(str(out))
+    assert len(halos) == 3
+    assert str(halos.units["fof_halo_mass"]) == "Msun / h"
+    assert halos.header.cosmology.H0 == pytest.approx(67.66)
+    assert halos.header.box_size == 64.0
+    parts = oc.open(str(out) + "_particles")
+    key = LINK_PREFIX + "particles"
+    got = sorted(
+        (r["x"], r[key]) for r in parts.df.select("x", key).collect()
+    )
+    assert got == [(0.0, 0), (1.0, 0), (2.0, 2), (3.0, 2), (4.0, 2)]
