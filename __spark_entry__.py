@@ -658,14 +658,16 @@ def q40_ann_lsh(spark, sf):
 
 def q42_unit_convention(spark, sf):
     # §2.9 unit layer end-to-end: scalefree -> physical (littleh removal
-    # x scale-factor) plus a per-column km -> m conversion, all as a
-    # Catalyst projection rewrite (constants folded; no data pass).
+    # x scale-factor), a unit-keyed BLANKET conversion (Mpc -> kpc hits
+    # every Mpc column after the switch, reference dataset.py:1055-1060)
+    # and a per-column km -> m override, all as a Catalyst projection
+    # rewrite (constants folded; no data pass).
     from opencosmo_spark import Dataset, OpenCosmoHeader
     from opencosmo_spark.header import Cosmology
     from opencosmo_spark.units import parse_unit
 
     li = _t(spark, sf, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"
     )
     header = OpenCosmoHeader(cosmology=Cosmology(H0=70.0), redshift=0.25)
     ds = Dataset(
@@ -673,15 +675,17 @@ def q42_unit_convention(spark, sf):
         header=header,
         units={
             "l_extendedprice": parse_unit("Mpc / h"),
+            "l_discount": parse_unit("Mpc / h"),
             "l_quantity": parse_unit("km"),
         },
         convention="scalefree",
     )
-    out = ds.with_units("physical", l_quantity="m")
+    out = ds.with_units("physical", conversions={"Mpc": "kpc"}, l_quantity="m")
     return out.df.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("l_extendedprice", 6).alias("price_phys"),
+        F.round("l_extendedprice", 6).alias("price_kpc"),
+        F.round("l_discount", 6).alias("disc_kpc"),
         F.round("l_quantity", 6).alias("qty_m"),
     )
 
@@ -1451,7 +1455,10 @@ def oracle_sql() -> dict[str, str]:
         "q40_ann_lsh": _ann_lsh_oracle_sql(),
         "q42_unit_convention": """
             SELECT l_orderkey, l_linenumber,
-                   round(l_extendedprice * 1.4285714285714286 * 0.8, 6) AS price_phys,
+                   round(l_extendedprice * 1.4285714285714286 * 0.8 * 1000.0, 6)
+                     AS price_kpc,
+                   round(l_discount * 1.4285714285714286 * 0.8 * 1000.0, 6)
+                     AS disc_kpc,
                    round(l_quantity * 0.8 * 1000.0, 6) AS qty_m
             FROM lineitem
         """,

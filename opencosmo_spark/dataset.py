@@ -638,9 +638,29 @@ class Dataset:
                     if changed:
                         assignments[c] = expr_c
                     units[c] = base_u
-        # per-column conversions
-        all_conv = dict(conversions or {})
+        # conversions: a key naming a column applies to that column; any
+        # other key is parsed as a UNIT and blankets every column whose
+        # current (post-convention) unit equals it — the reference's
+        # `conversions={u.Mpc: u.lyr}` semantics (dataset.py:1055-1060;
+        # matching by current-convention unit, units/handler.py:93-114).
+        # Explicit column keys/kwargs take precedence over blankets.
+        col_names = set(self.columns)
+        all_conv: dict[str, str | Unit] = {}
+        blankets: list[tuple[Unit, Unit]] = []
+        for k, v in dict(conversions or {}).items():
+            if isinstance(k, str) and k in col_names:
+                all_conv[k] = v
+            else:
+                ku = k if isinstance(k, Unit) else parse_unit(str(k))
+                nv = v if isinstance(v, Unit) else parse_unit(str(v))
+                blankets.append((ku, nv))
         all_conv.update(column_conversions)
+        for ku, nv in blankets:
+            for c in self.columns:
+                if c in all_conv:
+                    continue  # column conversions take precedence
+                if units.get(c, Unit()) == ku:
+                    all_conv[c] = nv
         for c, new_unit in all_conv.items():
             nu = new_unit if isinstance(new_unit, Unit) else parse_unit(new_unit)
             u = units.get(c, Unit())

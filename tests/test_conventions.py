@@ -217,3 +217,47 @@ def test_roundtrip_preserves_column_conversion(halos):
         rtol=1e-6,
     )
     assert str(back.units["sod_halo_radius"]) == "kpc / h"
+
+
+def test_blanket_unit_conversion(halos):
+    """Reference dataset.py:1055-1060: a unit-keyed `conversions` entry
+    applies to EVERY column carrying that unit in the current
+    convention; explicit column conversions take precedence."""
+    com = halos.with_units("comoving")
+    # all Mpc columns (positions + radius) -> kpc in one blanket
+    out = com.with_units(conversions={"Mpc": "kpc"})
+    raw = com.get_data("numpy")
+    data = out.get_data("numpy")
+    for c in ("fof_halo_center_x", "fof_halo_center_y", "sod_halo_radius"):
+        assert str(out.units[c]) == "kpc"
+        np.testing.assert_allclose(data[c], raw[c] * 1000.0, rtol=1e-6)
+    # non-Mpc columns untouched
+    np.testing.assert_allclose(data["fof_halo_mass"], raw["fof_halo_mass"])
+    assert str(out.units["fof_halo_mass"]) == "Msun"
+
+    # column conversion wins over the blanket for its column
+    mixed = com.with_units(
+        conversions={"Mpc": "kpc"}, fof_halo_center_x="m"
+    )
+    md = mixed.get_data("numpy")
+    assert str(mixed.units["fof_halo_center_x"]) == "m"
+    np.testing.assert_allclose(
+        md["fof_halo_center_x"], raw["fof_halo_center_x"] * 3.0856775814913673e22,
+        rtol=1e-6,
+    )
+    assert str(mixed.units["fof_halo_center_y"]) == "kpc"
+
+
+def test_blanket_conversion_with_convention_switch(halos):
+    """Blankets match the POST-convention unit (reference
+    units/handler.py:93-114): Mpc matches after scalefree->comoving
+    drops the littleh."""
+    out = halos.with_units("comoving", conversions={"Mpc": "lyr"})
+    assert str(out.units["fof_halo_center_x"]) == "lyr"
+    raw = halos.get_data("numpy")
+    data = out.get_data("numpy")
+    np.testing.assert_allclose(
+        data["fof_halo_center_x"],
+        raw["fof_halo_center_x"].astype(np.float64) / H * 3.2615637771674333e6,
+        rtol=1e-6,
+    )
