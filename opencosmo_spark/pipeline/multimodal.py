@@ -52,6 +52,61 @@ def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
     return rng.standard_normal(out_dim).astype(np.float32)
 
 
+def _decode_bmp(data: bytes) -> np.ndarray | None:
+    """Pure-python decode of an uncompressed 24-bit BMP (the one
+    format parseable without any codec library): returns an (h, w, 3)
+    uint8 RGB array, or None when the payload is not such a BMP.
+    BITMAPINFOHEADER layout per the public Windows BMP spec."""
+    if data is None or len(data) < 54 or data[:2] != b"BM":
+        return None
+    pixel_offset = int.from_bytes(data[10:14], "little")
+    width = int.from_bytes(data[18:22], "little", signed=True)
+    height = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    bottom_up = height > 0
+    h = abs(height)
+    row_size = ((width * 3 + 3) // 4) * 4  # rows pad to 4 bytes
+    if pixel_offset + row_size * h > len(data):
+        return None
+    arr = np.frombuffer(
+        data, np.uint8, count=row_size * h, offset=pixel_offset
+    ).reshape(h, row_size)
+    arr = arr[:, : width * 3].reshape(h, width, 3)[..., ::-1]  # BGR -> RGB
+    if bottom_up:
+        arr = arr[::-1]
+    return arr
+
+
+def _pixel_features(arr: np.ndarray, out_dim: int) -> np.ndarray:
+    """Real features from decoded pixels: overall channel means plus a
+    g x g block-mean grid (the 'resize -> channel-mean' path), scaled
+    to [0, 1], zero-padded/truncated to ``out_dim``."""
+    g = max(1, int((out_dim / 3.0) ** 0.5))
+    h, w, _ = arr.shape
+    ys = np.linspace(0, h, g + 1).astype(int)
+    xs = np.linspace(0, w, g + 1).astype(int)
+    blocks = [
+        arr[
+            ys[i] : max(ys[i + 1], ys[i] + 1),
+            xs[j] : max(xs[j + 1], xs[j] + 1),
+        ]
+        .reshape(-1, 3)
+        .mean(axis=0)
+        for i in range(g)
+        for j in range(g)
+    ]
+    feat = (
+        np.concatenate([arr.reshape(-1, 3).mean(axis=0), np.concatenate(blocks)])
+        / 255.0
+    ).astype(np.float32)
+    out = np.zeros(out_dim, np.float32)
+    out[: min(out_dim, len(feat))] = feat[:out_dim]
+    return out
+
+
 def decode_image_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -60,12 +115,20 @@ def decode_image_features(
 ) -> DataFrame:
     """Attach an image feature vector column.
 
-    Real path (PIL present): decode -> resize -> channel-mean features.
-    Stub path: deterministic fake features (flagged in ``decoder``).
+    Decode ladder, per row: PIL when installed ('pil'); else the
+    built-in pure-python 24-bit-BMP parser over the ACTUAL pixels
+    ('bmp' — real channel-mean/block-grid features, no dependency);
+    else the deterministic digest fake ('stub-sha256'). The ``decoder``
+    column records which path each row took.
+
+    ``require_real_codec=True`` keeps the strict contract: without a
+    general codec library every non-BMP payload would silently stub,
+    so it raises unless PIL is importable.
     """
     if require_real_codec and not _HAVE_PIL:
         raise NotImplementedError(
-            "image decoding requires PIL, which is not installed here"
+            "image decoding requires PIL, which is not installed here "
+            "(only uncompressed 24-bit BMP decodes without it)"
         )
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -74,16 +137,27 @@ def decode_image_features(
             T.StructField("decoder", T.StringType()),
         ]
     )
-    decoder = "pil" if _HAVE_PIL else "stub-sha256"
+
+    def decode_one(p: bytes | None) -> tuple[list[float], str]:
+        p = p if p is not None else b""
+        if _HAVE_PIL:  # pragma: no cover - not present in this image
+            import io
+
+            try:
+                img = np.asarray(Image.open(io.BytesIO(p)).convert("RGB"))
+                return _pixel_features(img, feature_dim).tolist(), "pil"
+            except Exception:  # noqa: BLE001 - fall through the ladder
+                pass
+        arr = _decode_bmp(p)
+        if arr is not None:
+            return _pixel_features(arr, feature_dim).tolist(), "bmp"
+        return _fake_decode(p, feature_dim).tolist(), "stub-sha256"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_decode(p if p is not None else b"", feature_dim)
-                for p in pdf[payload_col]
-            ]
-            pdf["features"] = [f.tolist() for f in feats]
-            pdf["decoder"] = decoder
+            decoded = [decode_one(p) for p in pdf[payload_col]]
+            pdf["features"] = [f for f, _ in decoded]
+            pdf["decoder"] = [d for _, d in decoded]
             yield pdf
 
     return df.mapInPandas(run, out_schema)
@@ -94,43 +168,49 @@ def sample_video_frames(
     every_ms: int = 1000,
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Explode each video row into frame rows at a fixed sampling rate.
+    """Explode each video row into frame rows at a fixed sampling rate:
+    one input row -> N output rows (media_id, frame_idx, t_ms,
+    frame_payload).
 
-    The frame extraction itself is stubbed (no codec in the image);
-    the row-explosion plumbing — one input row -> N output rows with
-    (media_id, frame_idx, t_ms, frame_payload) — is the real operator.
+    The frame-index fan-out is pure JVM — sequence + explode, so the
+    row explosion shuffles nothing through Python — and ONLY the
+    per-frame decode call crosses into an Arrow-batched pandas UDF
+    (here a sha256 marker standing in for the codec; a real decoder
+    drops into the same one-call-per-frame slot).
     """
-    out_schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("frame_idx", T.IntegerType()),
-            T.StructField("t_ms", T.LongType()),
-            T.StructField("frame_payload", T.BinaryType()),
-        ]
+    n = F.greatest(
+        F.lit(1),
+        F.floor(
+            F.coalesce(F.col("duration_ms"), F.lit(0)) / F.lit(int(every_ms))
+        ).cast("int"),
     )
+    frames = df.select(
+        "media_id",
+        F.col(payload_col).alias("__payload"),
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("frame_idx"),
+    ).withColumn("t_ms", (F.col("frame_idx").cast("long")) * F.lit(int(every_ms)))
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                dur = int(r.get("duration_ms") or 0)
-                n = max(1, dur // every_ms)
-                for i in range(n):
-                    # stub frame payload: digest-derived marker bytes
-                    marker = hashlib.sha256(
-                        (r[payload_col] or b"") + i.to_bytes(4, "little")
-                    ).digest()[:16]
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_idx": i,
-                            "t_ms": i * every_ms,
-                            "frame_payload": marker,
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+    @F.pandas_udf(T.BinaryType())
+    def frame_decode(payload: pd.Series, idx: pd.Series) -> pd.Series:
+        # stub frame payload: digest-derived marker bytes; the real
+        # codec call would replace exactly this expression
+        return pd.Series(
+            [
+                hashlib.sha256(
+                    (p or b"") + int(i).to_bytes(4, "little")
+                ).digest()[:16]
+                for p, i in zip(payload, idx)
+            ]
+        )
 
-    return df.mapInPandas(run, out_schema)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "t_ms",
+        frame_decode(F.col("__payload"), F.col("frame_idx")).alias(
+            "frame_payload"
+        ),
+    )
 
 
 def media_digest_groups(

@@ -157,6 +157,7 @@ def pack_chunks(
     id_col: str = "doc_id",
     idx_col: str = "chunk_idx",
     tokens_col: str = "n_tokens",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Assign chunks to fixed-token-budget training sequences by
     cumulative packing in (id, chunk_idx) order:
@@ -166,23 +167,27 @@ def pack_chunks(
     order-preserving packing also keeps same-document chunks adjacent
     (what sequence-packing wants for attention-mask construction).
 
-    One global window sort — at 100 TB shard first (pack within
-    date/domain partitions) so the sort is per-shard; the operator is
-    unchanged, only the partitionBy differs.
+    ``shard_col=None`` is a GLOBAL window sort (single reducer — fine
+    for test scale, wrong at 100 TB). Pass ``shard_col`` (date, domain,
+    an ingest bucket …) to pack independently within each shard:
+    the window becomes ``partitionBy(shard_col)``, the sort runs
+    per-shard in parallel, and ``pack_id`` is unique per
+    ``(shard, pack_id)`` pair. Packs never span shards — exactly the
+    isolation a sharded training mix wants.
     """
     from pyspark.sql import Window
 
     w = (
-        Window.orderBy(id_col, idx_col)
+        (Window.partitionBy(shard_col) if shard_col else Window)
+        .orderBy(id_col, idx_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     running = F.sum(tokens_col).over(w)
     pack = F.floor(
         (running - F.col(tokens_col)).cast("double") / F.lit(int(budget))
     ).cast("long")
-    return chunks.select(
-        id_col, idx_col, tokens_col, pack.alias("pack_id")
-    )
+    cols = ([shard_col] if shard_col else []) + [id_col, idx_col, tokens_col]
+    return chunks.select(*cols, pack.alias("pack_id"))
 
 
 def add_text_features(

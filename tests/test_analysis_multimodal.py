@@ -267,3 +267,80 @@ def test_media_features_feed_ann(spark):
     out = brute_force_cosine_topk(feats, qv, k=3).toPandas()
     assert out.vec_id.iloc[0] == 4
     assert out.cos_sim.iloc[0] == 1.0
+
+
+def _make_bmp(pixels):
+    """Minimal uncompressed 24-bit bottom-up BMP from an (h, w, 3) RGB
+    uint8 array — pure bytes, no codec library."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    row_size = ((w * 3 + 3) // 4) * 4
+    body = bytearray()
+    for row in arr[::-1]:  # bottom-up
+        line = bytearray()
+        for px in row:
+            line += bytes([px[2], px[1], px[0]])  # BGR
+        line += b"\x00" * (row_size - len(line))
+        body += line
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    header[2:6] = (54 + len(body)).to_bytes(4, "little")
+    header[10:14] = (54).to_bytes(4, "little")
+    header[14:18] = (40).to_bytes(4, "little")
+    header[18:22] = w.to_bytes(4, "little")
+    header[22:26] = h.to_bytes(4, "little")
+    header[26:28] = (1).to_bytes(2, "little")
+    header[28:30] = (24).to_bytes(2, "little")
+    header[34:38] = len(body).to_bytes(4, "little")
+    return bytes(header) + bytes(body)
+
+
+def test_decode_image_features_real_bmp(spark):
+    """The pure-python BMP path decodes ACTUAL pixels: channel means in
+    the feature head must match the image, decoder flags 'bmp', and
+    non-BMP payloads in the same batch still stub."""
+    import pandas as pd
+
+    from opencosmo_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+    )
+
+    # 2x2: red, green / blue, white
+    img = [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]]
+    bmp = _make_bmp(img)
+    rows = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "kind": ["image", "image"],
+            "payload": [bmp, b"not-a-bmp-payload"],
+            "mime": ["image/bmp", "application/octet-stream"],
+            "width": [2, None],
+            "height": [2, None],
+            "duration_ms": [None, None],
+        }
+    )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = (
+        decode_image_features(df, feature_dim=16)
+        .toPandas()
+        .set_index("media_id")
+    )
+    assert out.loc[1, "decoder"] == "bmp"
+    assert out.loc[2, "decoder"] == "stub-sha256"
+    feats = out.loc[1, "features"]
+    # head = overall channel means / 255: R=(255+0+0+255)/4, same G, B
+    expect = [510 / 4 / 255.0] * 3
+    np.testing.assert_allclose(feats[:3], expect, rtol=1e-6)
+    # grid g=2 block means follow: block(0,0) is the red pixel
+    np.testing.assert_allclose(feats[3:6], [1.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_no_iterrows_in_multimodal():
+    """Plan-template hygiene: the module must not contain per-row
+    pandas iteration (the pattern a future real codec would inherit)."""
+    import inspect
+
+    import opencosmo_spark.pipeline.multimodal as mm
+
+    assert "iterrows" not in inspect.getsource(mm)

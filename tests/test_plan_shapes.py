@@ -217,3 +217,52 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS halos_b")
         spark.sql("DROP TABLE IF EXISTS parts_b")
+
+
+def test_pack_chunks_sharded_no_global_sort(spark):
+    """pack_chunks(shard_col=...) must plan a hash-partitioned window,
+    never the single-reducer global sort of the unsharded default —
+    the 100 TB posture promoted into the API."""
+    import pandas as pd
+
+    from opencosmo_spark.pipeline.text import pack_chunks
+
+    chunks = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "shard": ["a"] * 4 + ["b"] * 4,
+                "doc_id": [1, 1, 2, 3, 4, 5, 5, 6],
+                "chunk_idx": [0, 1, 0, 0, 0, 0, 1, 0],
+                "n_tokens": [64, 10, 64, 64, 30, 64, 64, 40],
+            }
+        )
+    )
+    sharded = pack_chunks(chunks, budget=128, shard_col="shard")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = sharded._jdf.queryExecution().explainString(mode)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
+
+    # the unsharded default IS the global sort (documented trade)
+    global_plan = (
+        pack_chunks(chunks, budget=128)
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    assert "SinglePartition" in global_plan
+
+    # per-shard semantics: pack ids restart within each shard
+    out = sharded.toPandas()
+    a = out[out.shard == "a"].sort_values(["doc_id", "chunk_idx"])
+    b = out[out.shard == "b"].sort_values(["doc_id", "chunk_idx"])
+    # shard a start offsets: 0,64,74,138 -> packs 0,0,0,1
+    assert a.pack_id.tolist() == [0, 0, 0, 1]
+    # shard b start offsets: 0,30,94,158 -> packs 0,0,0,1 (the 158
+    # crossing proves the running sum RESTARTED at the shard boundary:
+    # globally it would be 138+158=296 -> pack 2)
+    assert b.pack_id.tolist() == [0, 0, 0, 1]
+    glob = pack_chunks(chunks, budget=128).toPandas()
+    gb = glob[glob.doc_id == 6]
+    assert gb.pack_id.tolist() == [2]
