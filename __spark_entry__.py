@@ -639,8 +639,14 @@ def q37_sessionize(spark, sf):
 
 def q39_ngram_jaccard(spark, sf):
     # exact n-gram Jaccard dedup via inverted shingle index: explode
-    # shingles, self-join on shingle hash, groupBy-count = intersection.
-    # Only docs sharing >=1 shingle ever pair up, so no all-pairs blowup.
+    # shingles, group by shingle hash, streamed pair expansion with the
+    # size-ratio prune (min/max >= t), groupBy-count = intersection.
+    # Only docs sharing >=1 shingle ever pair up, so no all-pairs
+    # blowup. Production composition: run exact_dedup FIRST — byte
+    # -identical copies are the main source of long posting lists and
+    # collapse for one hash-groupBy, vs rediscovering each clique
+    # pairwise here; this corpus is pre-deduplicated so the query runs
+    # the similarity stage directly.
     from opencosmo_spark.pipeline.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")

@@ -336,7 +336,13 @@ def ngram_jaccard_pairs(
         # c-element transform per row — peak memory O(c) per posting
         # list, never the c^2 array a nested flatten would build
         # (measured 8x on a corpus where every doc has 9 twins).
+        # The size-compatibility bound prunes INSIDE the transform,
+        # before the pair shuffle: J(A,B) <= min(|A|,|B|)/max(|A|,|B|)
+        # (intersection <= min, union >= max), so any pair with
+        # min < t*max can never reach the threshold — dropped here it
+        # skips the groupBy entirely, with zero effect on the result.
         x = buckets.select("ds", F.explode("ds").alias("x"))
+        t = F.lit(float(threshold))
         ys = F.filter(
             F.transform(
                 "ds",
@@ -347,7 +353,11 @@ def ngram_jaccard_pairs(
                     y["n"].alias("nb"),
                 ),
             ),
-            lambda p: p["a"] < p["b"],
+            lambda p: (p["a"] < p["b"])
+            & (
+                F.least(p["na"], p["nb"]).cast("double")
+                >= t * F.greatest(p["na"], p["nb"]).cast("double")
+            ),
         )
         pe = x.select(F.explode(ys).alias("p")).select("p.*")
         hits = pe.groupBy("a", "b", "na", "nb").agg(
