@@ -9,7 +9,10 @@ all-pairs scans.
 """
 
 from .dedup import (
+    connected_components,
+    dedup_by_clusters,
     exact_dedup,
+    line_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -19,27 +22,38 @@ from .similarity import (
     assign_ivf_cells,
     brute_force_cosine_topk,
     ivf_ann,
+    ivf_lloyd_step,
     lsh_bucket_ann,
+    train_ivf_codebook,
 )
 from .text import (
+    chunk_documents,
     document_fingerprint,
     language_id,
+    pack_chunks,
     quality_score,
     token_count,
 )
 
 __all__ = [
     "exact_dedup",
+    "line_dedup",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "simhash",
     "ngram_jaccard_pairs",
+    "connected_components",
+    "dedup_by_clusters",
     "brute_force_cosine_topk",
     "lsh_bucket_ann",
     "ivf_ann",
+    "ivf_lloyd_step",
     "assign_ivf_cells",
+    "train_ivf_codebook",
     "token_count",
     "quality_score",
     "language_id",
     "document_fingerprint",
+    "chunk_documents",
+    "pack_chunks",
 ]

@@ -388,6 +388,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_dup: int = 2,
+    min_line_chars: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level duplicate-LINE removal — the boilerplate scrub of
+    the RefinedWeb/Falcon recipe (Penedo et al. 2023): any line at
+    least ``min_line_chars`` long that appears in >= ``min_dup``
+    DISTINCT documents (headers, nav menus, cookie banners, licence
+    stubs) is deleted from EVERY document; remaining lines keep their
+    order. Rows whose text was entirely boilerplate survive with
+    ``text=''`` so row identity is stable for downstream joins.
+
+    Scale shape — two keyed shuffles, both partial-aggregated:
+    (1) posexplode lines, count distinct docs per 8-byte line hash;
+    (2) anti-join the exploded lines against the hot-line set and
+    reassemble per doc (sorted-struct collect_list). The hot set is
+    the DISTINCT boilerplate vocabulary — tiny relative to the corpus
+    (that's what makes it boilerplate), so AQE broadcasts the
+    anti-join side; hashes (not line strings) cross the shuffle.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("h", F.xxhash64("line"))
+    hot = (
+        lines.filter(F.length("line") >= min_line_chars)
+        .groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_dup)
+        .select("h")
+    )
+    kept = lines.join(hot, "h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    out = df.drop(text_col).join(rebuilt, id_col, "left")
+    return out.fillna({text_col: ""})
+
+
 def dedup_by_clusters(
     df: DataFrame,
     edges: DataFrame,

@@ -486,3 +486,43 @@ def test_pack_chunks_budget_and_order(docs):
     # (doc_id, chunk_idx) IS the packing order: pack_id non-decreasing
     s = packed.sort_values(["doc_id", "chunk_idx"])
     assert (s.pack_id.diff().dropna() >= 0).all()
+
+
+def test_line_dedup_boilerplate_scrub(spark):
+    """Falcon-style corpus line dedup: lines shared by >= min_dup docs
+    vanish everywhere, unique lines keep their order, all-boilerplate
+    docs survive empty, and a line repeated only WITHIN one doc stays
+    (the count is distinct-docs, not occurrences)."""
+    import pandas as pd
+
+    from opencosmo_spark.pipeline.dedup import line_dedup
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "SUBSCRIBE NOW\nalpha beta\nCOOKIE NOTICE\ngamma",
+                "SUBSCRIBE NOW\ndelta\nCOOKIE NOTICE",
+                "SUBSCRIBE NOW\nCOOKIE NOTICE",
+                "echo\necho\nfoxtrot",
+            ],
+        }
+    )
+    out = (
+        line_dedup(spark.createDataFrame(docs), min_dup=2)
+        .toPandas()
+        .set_index("doc_id")
+        .text
+    )
+    assert out[1] == "alpha beta\ngamma"
+    assert out[2] == "delta"
+    assert out[3] == ""          # fully boilerplate, row preserved
+    assert out[4] == "echo\necho\nfoxtrot"  # intra-doc repeat kept
+    # threshold respected: min_dup=4 removes nothing
+    out4 = (
+        line_dedup(spark.createDataFrame(docs), min_dup=4)
+        .toPandas()
+        .set_index("doc_id")
+        .text
+    )
+    assert (out4 == docs.set_index("doc_id").text).all()
