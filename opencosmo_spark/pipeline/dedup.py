@@ -26,36 +26,36 @@ def _shingle_frame(
 ) -> DataFrame:
     """(id, sh: array<long>) of distinct hashed k-word shingles.
 
-    Each word is xxhash64'd ONCE; a shingle is the hash-combine of its k
-    word hashes — no per-window string slicing or concatenation, and the
-    k-word window equality relation is identical to comparing the joined
-    strings (words cannot contain the split delimiter), so Jaccard
-    counts are unchanged (modulo negligible 64-bit collisions).
+    Each word is xxhash64'd; a shingle is the progressive hash-combine
+    of its k word hashes (``h = xxhash64(h, next)``) — no per-window
+    string slicing or concatenation, and the k-word window equality
+    relation is identical to comparing the joined strings (words cannot
+    contain the split delimiter), so Jaccard counts are unchanged
+    (modulo negligible 64-bit collisions).
 
-    The word-hash array is materialized as its own projection on
-    purpose: a higher-order-function lambda is interpreted (no codegen),
-    so if ``split(text)`` appeared inside the transform body it would
-    re-split the WHOLE document per shingle — O(words^2) per doc
-    (measured 40x+ wall-clock, and catastrophically worse when Catalyst
-    fused that projection into a single-partition scan stage). A bound
-    column reference is O(1) per element, and CollapseProject keeps the
-    barrier because the alias is referenced more than once and is not a
-    cheap expression. Docs shorter than k words yield one partial window
-    (try_element_at nulls are skipped by xxhash64, deterministically).
+    The windows are built with ``zip_with`` over k SHIFTED SLICES of
+    the word-hash array, never with indexed access inside a lambda:
+    ``try_element_at(wh, i)`` in a transform body invites Catalyst's
+    CollapseProject to inline the word-hash projection into the lambda,
+    re-evaluating ``split(text)`` + the full word-hash transform per
+    ELEMENT — O(words^2) per doc (measured 25x wall-clock at sf0.1,
+    and the projection-alias "barrier" is an optimizer implementation
+    detail, not a contract). With slices, the worst case after full
+    inlining is k evaluations per ROW — still linear, no persist or
+    exchange barrier needed, zero shuffle. Docs shorter than k words
+    yield one partial window: slices past the end are empty, zip_with
+    null-pads, and xxhash64 skips nulls deterministically.
     """
     wh = F.transform(
         F.split(F.col(text_col), " "), lambda w: F.xxhash64(w)
     )
     wdf = df.select(F.col(id_col), wh.alias("__wh"))
     c = F.col("__wh")
-    n = F.size(c)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    sh = F.transform(
-        idx,
-        lambda i: F.xxhash64(
-            *[F.try_element_at(c, i + off) for off in range(k)]
-        ),
-    )
+    nwin = F.greatest(F.size(c) - F.lit(k - 1), F.lit(1))
+    sh = F.slice(c, 1, nwin)
+    for off in range(1, k):
+        nxt = F.slice(c, 1 + off, nwin)
+        sh = F.zip_with(sh, nxt, lambda h, w: F.xxhash64(h, w))
     return wdf.select(F.col(id_col), F.array_distinct(sh).alias("sh"))
 
 
