@@ -8,6 +8,7 @@ semantics demand Python, and LSH-style candidate generation instead of
 all-pairs scans.
 """
 
+from .decontaminate import decontaminate, ngram_overlap
 from .dedup import (
     connected_components,
     dedup_by_clusters,
@@ -18,12 +19,16 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from .pii import pii_counts, redact_pii, scrub_pii
+from .shard import assign_shards, shard_lane, write_sharded
 from .similarity import (
     assign_ivf_cells,
     brute_force_cosine_topk,
     ivf_ann,
     ivf_lloyd_step,
     lsh_bucket_ann,
+    semantic_dedup,
+    semantic_dedup_survivors,
     train_ivf_codebook,
 )
 from .text import (
@@ -56,4 +61,14 @@ __all__ = [
     "document_fingerprint",
     "chunk_documents",
     "pack_chunks",
+    "ngram_overlap",
+    "decontaminate",
+    "pii_counts",
+    "redact_pii",
+    "scrub_pii",
+    "shard_lane",
+    "assign_shards",
+    "write_sharded",
+    "semantic_dedup",
+    "semantic_dedup_survivors",
 ]

@@ -1,0 +1,100 @@
+"""Benchmark decontamination: flag or drop training documents that
+overlap an evaluation/benchmark set by word n-grams.
+
+The standard contamination check (GPT-3 appendix C; Dolma/FineWeb
+recipes): a training doc is contaminated when it shares at least one
+(or more than ``max_frac``) k-word n-grams with any benchmark document.
+
+Scale design: the benchmark side is SMALL (a few thousand eval docs)
+and the corpus side is the 100 TB one, so the plan must stream the
+corpus exactly once and never shuffle it by gram:
+
+1. distinct k-gram hash set of the eval set — tiny (``n_eval x grams``
+   8-byte hashes), built once;
+2. corpus docs explode their DISTINCT grams and LEFT-SEMI join the
+   broadcast eval set — map-side hash probe, NO corpus shuffle;
+3. one groupBy(doc) to count hits — the only shuffle, keyed by doc id
+   and combinable map-side (count partial-aggregates).
+
+Gram hashing reuses the dedup shingle machinery (progressive xxhash64
+over the word stream — ``dedup._shingle_frame``), so the equality
+relation is exactly "same k consecutive words" and the whole check is
+value-reproducible in a SQL oracle over string n-grams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _shingle_frame
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Per-corpus-doc overlap stats vs the eval set's k-gram universe.
+
+    Returns ``(id_col, n_grams, n_hit, frac)`` — one row per corpus
+    doc, where ``n_grams`` counts the doc's DISTINCT k-grams, ``n_hit``
+    how many of them appear anywhere in the eval set, and
+    ``frac = n_hit / n_grams`` rounded to 6 decimals.
+    """
+    ce = _shingle_frame(corpus, text_col, id_col, k)
+    ev = (
+        _shingle_frame(
+            eval_df.select(
+                F.monotonically_increasing_id().alias("__eid"),
+                F.col(eval_text_col or text_col).alias("__etext"),
+            ),
+            "__etext",
+            "__eid",
+            k,
+        )
+        .select(F.explode("sh").alias("h"))
+        .distinct()
+    )
+    ex = ce.select(F.col(id_col), F.explode("sh").alias("h"))
+    hits = (
+        ex.join(F.broadcast(ev), "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    sizes = ce.select(F.col(id_col), F.size("sh").alias("n_grams"))
+    out = sizes.join(hits, id_col, "left").withColumn(
+        "n_hit", F.coalesce(F.col("n_hit"), F.lit(0))
+    )
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_grams"), 6
+        ).alias("frac"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    k: int = 8,
+    max_frac: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Drop corpus docs whose eval-set n-gram overlap exceeds
+    ``max_frac`` (default 0.0 — any shared k-gram disqualifies).
+    Returns surviving corpus rows with their original columns; the
+    survivor set is applied with a LEFT-SEMI join on id, so the corpus
+    payload columns never enter the overlap computation's shuffles.
+    """
+    stats = ngram_overlap(
+        corpus, eval_df, k, text_col, id_col, eval_text_col
+    )
+    keep = stats.filter(F.col("frac") <= max_frac).select(id_col)
+    return corpus.join(keep, id_col, "left_semi")

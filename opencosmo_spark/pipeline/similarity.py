@@ -349,3 +349,89 @@ def lsh_bucket_ann(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "__ivf_cell",
+    codebook: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style embedding dedup (Abbas et al. 2023): coarse-
+    quantize the corpus into IVF cells, then inside each cell mark any
+    vector whose cosine to a LOWER-id cellmate reaches ``threshold``.
+
+    Returns ``(id_col, cell, dup_of)`` for every input row — ``dup_of``
+    is the smallest qualifying earlier id (null = kept). The rule is
+    one-hop (x is a dup of the earliest y it directly matches, whether
+    or not y was itself marked) — deterministic and closed-form, the
+    same posture as LSH candidate dedup; run the pair set through
+    ``dedup.connected_components`` when transitive cluster identity is
+    needed.
+
+    Scale shape: the only data-sized shuffles are the two exchanges of
+    the cell-keyed self-join; comparisons are quadratic ONLY within a
+    cell, and nlist is chosen so cells are executor-sized (SemDeDup
+    uses ~100k clusters at web scale — cell population, not corpus,
+    bounds the quadratic term; AQE skew-split handles hot cells). The
+    codebook is nlist rows on the driver, broadcast as literals.
+    Like ``ivf_ann``, the default codebook is the first ``nlist``
+    vectors by id (deterministic, oracle-checkable); pass a trained
+    one (``train_ivf_codebook``) for real corpora.
+    """
+    cents = codebook or [
+        (int(r[0]), list(r[1]))
+        for r in df.filter(F.col(id_col) < nlist)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    ]
+    if not cents:
+        raise ValueError("no centroid rows (empty corpus?)")
+    if cell_col not in df.columns:
+        df = assign_ivf_cells(df, cents, vec_col, cell_col)
+    a = df.select(
+        F.col(id_col).alias("__a"),
+        F.col(vec_col).alias("__va"),
+        F.col(cell_col).alias("cell"),
+    )
+    b = df.select(
+        F.col(id_col).alias("__b"),
+        F.col(vec_col).alias("__vb"),
+        F.col(cell_col).alias("cell"),
+    )
+    pairs = a.join(b, "cell").filter(
+        (F.col("__b") < F.col("__a"))
+        & (
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+            >= F.lit(float(threshold))
+        )
+    )
+    dup = pairs.groupBy("__a").agg(F.min("__b").alias("dup_of"))
+    return (
+        a.select("__a", "cell")
+        .join(dup, "__a", "left")
+        .select(F.col("__a").alias(id_col), "cell", "dup_of")
+    )
+
+
+def semantic_dedup_survivors(
+    df: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "__ivf_cell",
+    codebook: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """The df-in/df-out form: original rows minus semantic duplicates
+    (LEFT-SEMI join on the kept ids, so payload columns stay out of
+    the pair computation)."""
+    marks = semantic_dedup(
+        df, threshold, nlist, vec_col, id_col, cell_col, codebook
+    )
+    keep = marks.filter(F.col("dup_of").isNull()).select(id_col)
+    return df.join(keep, id_col, "left_semi")

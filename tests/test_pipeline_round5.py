@@ -1,0 +1,237 @@
+"""Round-5 pipeline operators: decontamination, PII scrub, shard
+assignment, semantic dedup."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from opencosmo_spark.pipeline import (
+    assign_shards,
+    decontaminate,
+    ngram_overlap,
+    pii_counts,
+    redact_pii,
+    scrub_pii,
+    semantic_dedup,
+    semantic_dedup_survivors,
+    write_sharded,
+)
+
+
+# ---------------------------------------------------------------- decontam
+def test_ngram_overlap_counts(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps high"),
+            Row(doc_id=2, text="a totally different sentence here now"),
+            Row(doc_id=3, text="quick brown fox"),
+        ]
+    )
+    ev = spark.createDataFrame([Row(doc_id=0, text="see the quick brown fox run")])
+    ov = {r["doc_id"]: r for r in ngram_overlap(corpus, ev, k=3).collect()}
+    # doc 1 grams: {the quick brown, quick brown fox, brown fox jumps,
+    # fox jumps high}; eval has the first two -> 2/4
+    assert ov[1]["n_grams"] == 4 and ov[1]["n_hit"] == 2
+    assert ov[1]["frac"] == pytest.approx(0.5)
+    assert ov[2]["n_hit"] == 0 and ov[2]["frac"] == 0.0
+    # doc 3 is a single full window "quick brown fox", present in eval
+    assert ov[3]["n_grams"] == 1 and ov[3]["n_hit"] == 1
+
+
+def test_decontaminate_drops_overlapping(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps high"),
+            Row(doc_id=2, text="a totally different sentence here now"),
+        ]
+    )
+    ev = spark.createDataFrame([Row(doc_id=0, text="the quick brown fox")])
+    kept = decontaminate(corpus, ev, k=3).collect()
+    assert [r["doc_id"] for r in kept] == [2]
+    # max_frac loosens the cut
+    kept2 = decontaminate(corpus, ev, k=3, max_frac=0.9).count()
+    assert kept2 == 2
+
+
+def test_short_doc_partial_window_consistency(spark):
+    # docs shorter than k words form ONE partial window; two docs with
+    # the same short text must match, different short texts must not
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="tiny doc"), Row(doc_id=2, text="other words")]
+    )
+    ev = spark.createDataFrame([Row(doc_id=0, text="tiny doc")])
+    ov = {r["doc_id"]: r["n_hit"] for r in ngram_overlap(corpus, ev, k=5).collect()}
+    assert ov == {1: 1, 2: 0}
+
+
+# --------------------------------------------------------------------- pii
+def test_pii_redaction_families(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                id=1,
+                text=(
+                    "mail bob.smith+x@corp.example.org from 192.168.0.1 "
+                    "ssn 123-45-6789 call 555-123-4567 end"
+                ),
+            )
+        ]
+    )
+    out = scrub_pii(df, keep_original=True).collect()[0]
+    assert out["n_email"] == 1 and out["n_ip"] == 1
+    assert out["n_ssn"] == 1 and out["n_phone"] == 1
+    assert (
+        out["text"]
+        == "mail <EMAIL> from <IP> ssn <SSN> call <PHONE> end"
+    )
+    assert "bob.smith" in out["text_raw"]
+
+
+def test_pii_no_cross_family_double_count(spark):
+    # an SSN must not also be counted/redacted as a phone number, and
+    # digits inside an email must not leak into later families
+    df = spark.createDataFrame(
+        [Row(id=1, text="a 111-22-3333 b 123-456-7890 c 9.9.9.9@10.0.0.1 d")]
+    )
+    out = scrub_pii(df).collect()[0]
+    assert out["n_ssn"] == 1 and out["n_phone"] == 1
+    # 9.9.9.9@10.0.0.1 is NOT an email (TLD must be alphabetic) —
+    # both sides are bare IPs
+    assert out["n_email"] == 0 and out["n_ip"] == 2
+    assert out["text"] == "a <SSN> b <PHONE> c <IP>@<IP> d"
+
+
+def test_pii_counts_expression_form(spark):
+    df = spark.createDataFrame([Row(t="x@y.io and z@w.ai")])
+    row = df.select(*(v.alias(k) for k, v in pii_counts("t").items())).collect()[0]
+    assert row["n_email"] == 2 and row["n_ip"] == 0
+    red = df.select(redact_pii("t").alias("r")).collect()[0]["r"]
+    assert red == "<EMAIL> and <EMAIL>"
+
+
+# ------------------------------------------------------------------- shard
+def test_assign_shards_dense_positions(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    sh = assign_shards(df, 8, "doc_id").cache()
+    assert sh.count() == 500
+    # every shard's positions are exactly 0..n-1
+    per = sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("shard_pos").alias("lo"),
+        F.max("shard_pos").alias("hi"),
+    )
+    for r in per.collect():
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+    # deterministic: identical on recompute
+    again = assign_shards(df, 8, "doc_id")
+    assert (
+        sh.select("doc_id", "shard", "shard_pos")
+        .exceptAll(again.select("doc_id", "shard", "shard_pos"))
+        .count()
+        == 0
+    )
+    # seed changes the permutation
+    seeded = assign_shards(df, 8, "doc_id", seed="v2")
+    diff = (
+        sh.select("doc_id", "shard")
+        .exceptAll(seeded.select("doc_id", "shard"))
+        .count()
+    )
+    assert diff > 0
+
+
+def test_write_sharded_matches_assign_order(spark, tmp_path):
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id").withColumn(
+        "payload", F.col("doc_id") * 3
+    )
+    path = str(tmp_path / "sharded")
+    write_sharded(df, path, 4, "doc_id")
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    # file order within each shard == assign_shards' shard_pos order
+    expect = assign_shards(df, 4, "doc_id")
+    for s in range(4):
+        got = [
+            r["doc_id"]
+            for r in back.filter(F.col("shard") == s).collect()
+        ]
+        want = [
+            r["doc_id"]
+            for r in expect.filter(F.col("shard") == s)
+            .orderBy("shard_pos")
+            .collect()
+        ]
+        assert got == want
+
+
+# ---------------------------------------------------------------- semdedup
+def _emb_df(spark):
+    import math
+
+    rows = []
+    # 10 well-separated base directions in 4d + exact/near duplicates
+    base = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    for i, v in enumerate(base):
+        rows.append(Row(vec_id=i, embedding=v))
+    # 4 = dup of 0 (identical), 5 = near-dup of 1, 6 = isolated
+    rows.append(Row(vec_id=4, embedding=[1.0, 0.0, 0.0, 0.0]))
+    n = math.sqrt(1 + 0.01**2)
+    rows.append(Row(vec_id=5, embedding=[0.01 / n, 1.0 / n, 0.0, 0.0]))
+    rows.append(Row(vec_id=6, embedding=[0.5, -0.5, 0.5, -0.5]))
+    return spark.createDataFrame(rows)
+
+
+def test_semantic_dedup_marks_duplicates(spark):
+    df = _emb_df(spark)
+    marks = {
+        r["vec_id"]: r["dup_of"]
+        for r in semantic_dedup(df, threshold=0.99, nlist=4).collect()
+    }
+    assert marks[4] == 0  # identical copy -> dup of the earlier id
+    assert marks[5] == 1  # near-dup above threshold
+    assert marks[0] is None and marks[1] is None and marks[6] is None
+    surv = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_survivors(df, threshold=0.99, nlist=4).collect()
+    )
+    assert surv == [0, 1, 2, 3, 6]
+
+
+def test_semantic_dedup_one_hop_not_transitive(spark):
+    # a~b and b~c above threshold, a~c below: c is marked via b even
+    # though b itself is marked (one-hop rule, documented)
+    import math
+
+    def unit(x, y):
+        n = math.sqrt(x * x + y * y)
+        return [x / n, y / n, 0.0, 0.0]
+
+    rows = [
+        Row(vec_id=0, embedding=unit(1.0, 0.0)),
+        Row(vec_id=1, embedding=unit(1.0, 0.2)),
+        Row(vec_id=2, embedding=unit(1.0, 0.4)),
+    ]
+    df = spark.createDataFrame(rows)
+    marks = {
+        r["vec_id"]: r["dup_of"]
+        for r in semantic_dedup(df, threshold=0.97, nlist=1).collect()
+    }
+    assert marks[0] is None
+    assert marks[1] == 0
+    assert marks[2] == 1  # one-hop: nearest earlier match, not closure
+
+
+def test_semantic_dedup_respects_existing_cells(spark):
+    # pre-assigned cell column short-circuits assignment (ingest path)
+    df = _emb_df(spark).withColumn("__ivf_cell", F.col("vec_id") % 2)
+    marks = {
+        r["vec_id"]: r["dup_of"]
+        for r in semantic_dedup(df, threshold=0.99, nlist=4).collect()
+    }
+    # 0 and 4 share cell 0 -> still caught; 1 and 5 are in different
+    # cells (1 vs 5%2=1 ... both odd -> same cell 1) -> caught too
+    assert marks[4] == 0 and marks[5] == 1
