@@ -117,20 +117,15 @@ def q02_select_drop(spark, sf):
 
 
 def q04_filter_compound(spark, sf):
+    # comparison + boolean combinators + isin in one mask (formerly
+    # q04 + q05 — the isin verb folded into the compound predicate)
     from opencosmo_spark import Dataset, col
 
     ds = Dataset(_t(spark, sf, "lineitem"))
-    mask = ((col("l_quantity") >= 30) & (col("l_discount") < 0.05)) | (
-        col("l_returnflag") == "R"
-    )
+    mask = ((col("l_quantity") >= 30) & (col("l_discount") < 0.05)) | col(
+        "l_returnflag"
+    ).isin(["R", "A"])
     return ds.filter(mask).select("l_orderkey", "l_linenumber", "l_quantity").df
-
-
-def q05_filter_isin(spark, sf):
-    from opencosmo_spark import Dataset, col
-
-    ds = Dataset(_t(spark, sf, "nation"))
-    return ds.filter(col("n_name").isin(["NATION_3", "NATION_7", "NATION_12"])).df
 
 
 def q06_filter_scalar_mean(spark, sf):
@@ -161,23 +156,21 @@ def q07_sample_hash(spark, sf):
 
 
 def q08_sort_topk(spark, sf):
+    # sorted take + take_range on the same sort (formerly q08 + q09):
+    # top-100 UNION rows [100, 300) — together the first 300 rows, but
+    # produced through BOTH verbs' plans (TakeOrderedAndProject for the
+    # head, offset-window for the range).
     from opencosmo_spark import Dataset
 
     ds = Dataset(_t(spark, sf, "lineitem"))
-    top = ds.sort_by("l_extendedprice", "l_orderkey", "l_linenumber", invert=True).take(
-        100, at="start"
-    )
-    return top.select("l_orderkey", "l_linenumber", "l_extendedprice").df
-
-
-def q09_take_range(spark, sf):
-    from opencosmo_spark import Dataset
-
-    ds = Dataset(_t(spark, sf, "lineitem"))
-    rng = ds.sort_by("l_extendedprice", "l_orderkey", "l_linenumber", invert=True)
-    return rng.take_range(100, 300).select(
+    srt = ds.sort_by("l_extendedprice", "l_orderkey", "l_linenumber", invert=True)
+    top = srt.take(100, at="start").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
-    ).df
+    )
+    rng = srt.take_range(100, 300).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return top.df.unionByName(rng.df)
 
 
 # =====================================================================
@@ -194,6 +187,8 @@ def q10_derived_cols(spark, sf):
     ds = ds.with_new_columns(
         rev=col("l_extendedprice") * (1 - col("l_discount")) * (1 + col("l_tax"))
     )
+    from opencosmo_spark import add_mag_cols, norm_cols
+
     ds = ds.select(
         "l_orderkey",
         "l_linenumber",
@@ -201,6 +196,9 @@ def q10_derived_cols(spark, sf):
         lg=col("rev").log10(),
         sq=col("rev").sqrt(),
         ang=(col("rev") / 1000000.0).arcsin(),
+        # the stock-column helpers (formerly q12) in the same lineage
+        norm=norm_cols("l_quantity", "l_discount", "l_tax"),
+        mag=add_mag_cols("l_discount", "l_tax"),
     )
     return ds.df.select(
         "l_orderkey",
@@ -209,21 +207,8 @@ def q10_derived_cols(spark, sf):
         F.round("lg", 6).alias("lg"),
         F.round("sq", 6).alias("sq"),
         F.round("ang", 6).alias("ang"),
-    )
-
-
-def q12_norm_mag(spark, sf):
-    from opencosmo_spark import Dataset, add_mag_cols, norm_cols
-
-    ds = Dataset(_t(spark, sf, "lineitem"))
-    ds = ds.select(
-        "l_orderkey",
-        "l_linenumber",
-        norm=norm_cols("l_quantity", "l_discount", "l_tax"),
-        mag=add_mag_cols("l_discount", "l_tax"),
-    )
-    return ds.df.select(
-        "l_orderkey", "l_linenumber", "norm", F.round("mag", 6).alias("mag")
+        "norm",
+        F.round("mag", 6).alias("mag"),
     )
 
 
@@ -333,10 +318,6 @@ def q17_histogram(spark, sf):
     )
 
 
-def q18_distinct(spark, sf):
-    return _t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
-
-
 # =====================================================================
 # §2.6 joins / linking
 # =====================================================================
@@ -409,10 +390,11 @@ def q23_anti(spark, sf):
 # §2.7 set operations
 # =====================================================================
 def q24_set_ops(spark, sf):
-    # set-operation family in one result (formerly q24 + q25): the
-    # lightcone step-vstack analog (unionByName of two event slices,
-    # then agg) stacked over an INTERSECT of customer key sets, tagged
-    # into a common (tag, val) schema.
+    # set-operation family in one result (formerly q24 + q25 + q18):
+    # the lightcone step-vstack analog (unionByName of two event
+    # slices, then agg) stacked over an INTERSECT of customer key sets
+    # and a DISTINCT projection, tagged into a common (tag, val)
+    # schema.
     ev = _t(spark, sf, "events")
     a = ev.filter(F.col("value") > 50)
     b = ev.filter(F.col("event_type") == "click")
@@ -428,7 +410,18 @@ def q24_set_ops(spark, sf):
     inter = ia.intersect(ib).select(
         F.lit("ix_custkey").alias("tag"), F.col("c_custkey").alias("val")
     )
-    return counts.unionByName(inter)
+    dis = (
+        _t(spark, sf, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("rl:"), F.col("l_returnflag"), F.col("l_linestatus")
+            ).alias("tag"),
+            F.lit(0).cast("long").alias("val"),
+        )
+    )
+    return counts.unionByName(inter).unionByName(dis)
 
 
 # =====================================================================
@@ -696,16 +689,29 @@ def q42_unit_convention(spark, sf):
     )
 
 
-def q43_rollup(spark, sf):
+def q43_grouping_sets(spark, sf):
     # grouping-sets family (absent in the reference — SURVEY §2.5 notes
-    # it comes free in Spark): subtotals + grand total in ONE pass, one
-    # shuffle — vs three scans for the manual union-of-groupbys.
+    # it comes free in Spark; formerly q43 ROLLUP + q54 CUBE): each
+    # variant computes all its subtotal combinations in ONE pass / one
+    # shuffle — vs N scans for the manual union-of-groupbys.
     li = _t(spark, sf, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(_cents(F.col("l_quantity")).cast("decimal(19,0)"))
-        .cast("long")
-        .alias("sum_qty_c"),
-        F.count(F.lit(1)).alias("n"),
+
+    def agg(grouped, tag):
+        return grouped.agg(
+            F.sum(_cents(F.col("l_quantity")).cast("decimal(19,0)"))
+            .cast("long")
+            .alias("sum_qty_c"),
+            F.count(F.lit(1)).alias("n"),
+        ).select(
+            F.lit(tag).alias("gs"),
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty_c",
+            "n",
+        )
+
+    return agg(li.rollup("l_returnflag", "l_linestatus"), "rollup").unionByName(
+        agg(li.cube("l_returnflag", "l_linestatus"), "cube")
     )
 
 
@@ -893,18 +899,6 @@ def q53_window_family(spark, sf):
     )
 
 
-def q54_cube(spark, sf):
-    # CUBE grouping sets: all 4 (returnflag x linestatus) subtotal
-    # combinations in ONE pass / one shuffle (vs 4 scans manually)
-    li = _t(spark, sf, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(_cents(F.col("l_quantity")).cast("decimal(19,0)"))
-        .cast("long")
-        .alias("sum_qty_c"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
 def q55_chunk_documents(spark, sf):
     # pre-training chunking: explode each doc into <=64-token pieces
     from opencosmo_spark.pipeline.text import chunk_documents
@@ -914,12 +908,18 @@ def q55_chunk_documents(spark, sf):
 
 
 def q56_pack_chunks(spark, sf):
-    # sequence packing: assign chunks to 256-token training sequences
-    # by cumulative fill in (doc, chunk) order
+    # SHARDED sequence packing: assign chunks to 256-token training
+    # sequences by cumulative fill in (doc, chunk) order WITHIN each
+    # of 8 hash shards — the scale form (window partitioned by shard,
+    # parallel per-shard sorts, packs never span shards), not the
+    # single-reducer global sort.
     from opencosmo_spark.pipeline.text import chunk_documents, pack_chunks
 
     d = _t(spark, sf, "documents")
-    return pack_chunks(chunk_documents(d, max_tokens=64), budget=256)
+    chunks = chunk_documents(d, max_tokens=64).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+    )
+    return pack_chunks(chunks, budget=256, shard_col="shard")
 
 
 def q57_sky_crossmatch(spark, sf):
@@ -947,6 +947,85 @@ def q57_sky_crossmatch(spark, sf):
     )
 
 
+def q58_decontaminate(spark, sf):
+    # benchmark decontamination: per-corpus-doc 4-gram overlap vs an
+    # eval slice (docs with id % 20 == 0). The eval gram universe is
+    # broadcast; the corpus is never shuffled by gram — only the
+    # per-doc hit-count aggregation shuffles, keyed by doc id.
+    from opencosmo_spark.pipeline.decontaminate import ngram_overlap
+
+    d = _t(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return ngram_overlap(corpus, ev, k=4)
+
+
+def q59_pii_scrub(spark, sf):
+    # PII scrub over deterministic synthetic PII (the corpus itself is
+    # clean, so each doc gets an email + IP + phone appended, SSN on
+    # even ids): per-family counts + the fully redacted text, all JVM
+    # regexp — the counts see the progressively-redacted text, so no
+    # cross-family double counting.
+    from opencosmo_spark.pipeline.pii import scrub_pii
+
+    d = _t(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-123-4567"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return scrub_pii(aug).select(
+        "doc_id", "n_email", "n_ip", "n_ssn", "n_phone", "text"
+    )
+
+
+def q60_semantic_dedup(spark, sf):
+    # SemDeDup-style embedding dedup: IVF-cell partition (first-8-ids
+    # codebook, the q45 quantizer), within-cell pairwise cosine, mark
+    # each vector's earliest same-cell match at sim >= 0.35 — the
+    # quadratic term is bounded by cell population, never the corpus.
+    from opencosmo_spark.pipeline.similarity import semantic_dedup
+
+    emb = _t(spark, sf, "embeddings")
+    return semantic_dedup(emb, threshold=0.35, nlist=8)
+
+
+def q61_shard_assign(spark, sf):
+    # deterministic global shuffle for training output: md5-lane hash
+    # -> shard = lane mod 16, position = rank of lane within shard.
+    # Same (shard, pos) on every run/engine/retry — the reproducible
+    # data-loader order; write_sharded materializes it as file order.
+    from opencosmo_spark.pipeline.shard import assign_shards
+
+    li = _t(spark, sf, "lineitem").withColumn(
+        "k", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    return assign_shards(li, 16, id_col="k").select("k", "shard", "shard_pos")
+
+
+def q62_line_dedup(spark, sf):
+    # corpus-level duplicate-line scrub (RefinedWeb boilerplate
+    # removal), exercised at word granularity (sep=' ': the synthetic
+    # corpus is single-line): any token appearing in >= 390/500 of
+    # docs is boilerplate and is deleted from every doc; survivors
+    # keep their order, emptied docs survive as text=''.
+    from opencosmo_spark.pipeline.dedup import line_dedup
+
+    d = _t(spark, sf, "documents")
+    return line_dedup(d, sep=" ", min_dup=390).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -961,19 +1040,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_scan_filter_project": q01_scan_filter_project,
         "q02_select_drop": q02_select_drop,
         "q04_filter_compound": q04_filter_compound,
-        "q05_filter_isin": q05_filter_isin,
         "q06_filter_scalar_mean": q06_filter_scalar_mean,
         "q07_sample_hash": q07_sample_hash,
         "q08_sort_topk": q08_sort_topk,
-        "q09_take_range": q09_take_range,
         "q10_derived_cols": q10_derived_cols,
-        "q12_norm_mag": q12_norm_mag,
         "q13_zscore": q13_zscore,
         "q14_quantile_filter": q14_quantile_filter,
         "q15_tpch_q1": q15_tpch_q1,
         "q16_degrade": q16_degrade,
         "q17_histogram": q17_histogram,
-        "q18_distinct": q18_distinct,
         "q19_join_1n": q19_join_1n,
         "q20_join_left": q20_join_left,
         "q21_semi_cascade": q21_semi_cascade,
@@ -994,7 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_ngram_jaccard": q39_ngram_jaccard,
         "q40_ann_lsh": q40_ann_lsh,
         "q42_unit_convention": q42_unit_convention,
-        "q43_rollup": q43_rollup,
+        "q43_grouping_sets": q43_grouping_sets,
         "q44_asof_join": q44_asof_join,
         "q45_ivf_ann": q45_ivf_ann,
         "q46_range_join": q46_range_join,
@@ -1004,14 +1079,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_tpch_q3": q51_tpch_q3,
         "q52_range_rolling": q52_range_rolling,
         "q53_window_family": q53_window_family,
-        "q54_cube": q54_cube,
         "q55_chunk_documents": q55_chunk_documents,
         "q56_pack_chunks": q56_pack_chunks,
         "q57_sky_crossmatch": q57_sky_crossmatch,
+        "q58_decontaminate": q58_decontaminate,
+        "q59_pii_scrub": q59_pii_scrub,
+        "q60_semantic_dedup": q60_semantic_dedup,
+        "q61_shard_assign": q61_shard_assign,
+        "q62_line_dedup": q62_line_dedup,
     }
 
 
 _MD5_LANE = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of q59: the synthetic-PII augmentation, then one CTE
+    per PII family applying count + redact on the PROGRESSIVELY
+    redacted text — the pattern strings are imported from
+    pipeline.pii.PII_PATTERNS, so both engines run literally the same
+    regexes in the same order (both are RE2-compatible by contract)."""
+    from opencosmo_spark.pipeline.pii import PII_PATTERNS
+
+    sql = """
+        WITH s0 AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com from 10.0.'
+                      || (doc_id % 256) || '.7 call 555-123-4567'
+                      || CASE WHEN doc_id % 2 = 0
+                              THEN ' ssn 123-45-6789' ELSE '' END AS text
+          FROM documents
+        )"""
+    carried: list[str] = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS, 1):
+        p = pat.replace("'", "''")
+        cols = ", ".join(carried + [""]) if carried else ""
+        sql += f""", s{i} AS (
+          SELECT doc_id, {cols}
+                 CAST(len(regexp_extract_all(text, '{p}')) AS INTEGER)
+                 AS n_{name},
+                 regexp_replace(text, '{p}', '{repl}', 'g') AS text
+          FROM s{i - 1}
+        )"""
+        carried.append(f"n_{name}")
+    sql += f"""
+        SELECT doc_id, {", ".join(carried)}, text FROM s{len(PII_PATTERNS)}
+    """
+    return sql
 
 
 def _minhash_oracle_sql(
@@ -1142,11 +1256,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q04_filter_compound": """
             SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-            WHERE (l_quantity >= 30 AND l_discount < 0.05) OR l_returnflag = 'R'
-        """,
-        "q05_filter_isin": """
-            SELECT * FROM nation
-            WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_12')
+            WHERE (l_quantity >= 30 AND l_discount < 0.05)
+               OR l_returnflag IN ('R', 'A')
         """,
         "q06_filter_scalar_mean": f"""
             SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
@@ -1159,32 +1270,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q08_sort_topk": """
             SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
-            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
-        """,
-        "q09_take_range": """
-            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
-            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-            LIMIT 200 OFFSET 100
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 300
         """,
         "q10_derived_cols": """
             WITH t AS (
-              SELECT l_orderkey, l_linenumber,
+              SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+                     l_tax,
                      l_extendedprice * (1 - l_discount) * (1 + l_tax) AS rev
               FROM lineitem
             )
             SELECT l_orderkey, l_linenumber, rev,
                    round(log10(rev), 6) AS lg,
                    round(sqrt(rev), 6) AS sq,
-                   round(asin(rev / 1000000.0), 6) AS ang
-            FROM t
-        """,
-        "q12_norm_mag": """
-            SELECT l_orderkey, l_linenumber,
+                   round(asin(rev / 1000000.0), 6) AS ang,
                    sqrt(l_quantity*l_quantity + l_discount*l_discount
                         + l_tax*l_tax) AS norm,
                    round(-2.5 * log10(pow(10, l_discount*-0.4)
                                       + pow(10, l_tax*-0.4)), 6) AS mag
-            FROM lineitem
+            FROM t
         """,
         "q13_zscore": f"""
             -- z = (pc*n - s)/sqrt(n*ss - s^2), integer-exact inputs.
@@ -1236,9 +1339,6 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM orders GROUP BY 1
         """,
-        "q18_distinct": """
-            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-        """,
         "q19_join_1n": """
             SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1282,6 +1382,10 @@ def oracle_sql() -> dict[str, str]:
               INTERSECT
               SELECT c_custkey FROM customer WHERE c_acctbal > 0
             )
+            UNION ALL
+            SELECT 'rl:' || l_returnflag || l_linestatus AS tag,
+                   CAST(0 AS BIGINT) AS val
+            FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
         """,
         "q26_window_topk": """
             SELECT o_custkey, o_orderkey, rn FROM (
@@ -1468,13 +1572,20 @@ def oracle_sql() -> dict[str, str]:
                    round(l_quantity * 0.8 * 1000.0, 6) AS qty_m
             FROM lineitem
         """,
-        "q43_rollup": """
-            SELECT l_returnflag, l_linestatus,
+        "q43_grouping_sets": """
+            SELECT 'rollup' AS gs, l_returnflag, l_linestatus,
                    CAST(SUM(CAST(round(l_quantity*100, 0) AS BIGINT))
                         AS BIGINT) AS sum_qty_c,
                    count(*) AS n
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            UNION ALL
+            SELECT 'cube' AS gs, l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(round(l_quantity*100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "q53_window_family": """
             SELECT o_custkey, o_orderkey,
@@ -1486,14 +1597,6 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_totalprice DESC, o_orderkey)
-        """,
-        "q54_cube": """
-            SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(round(l_quantity*100, 0) AS BIGINT))
-                        AS BIGINT) AS sum_qty_c,
-                   count(*) AS n
-            FROM lineitem
-            GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "q55_chunk_documents": r"""
             WITH w AS (
@@ -1527,13 +1630,15 @@ def oracle_sql() -> dict[str, str]:
               FROM w
             ), t AS (
               SELECT doc_id,
+                     CAST(doc_id % 8 AS INTEGER) AS shard,
                      CAST(i AS BIGINT) AS chunk_idx,
                      CAST(least(64, n - i*64) AS BIGINT) AS n_tokens
               FROM c
             )
-            SELECT doc_id, chunk_idx, n_tokens,
+            SELECT shard, doc_id, chunk_idx, n_tokens,
                    CAST(floor(
-                     (SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                     (SUM(n_tokens) OVER (PARTITION BY shard
+                                          ORDER BY doc_id, chunk_idx
                                           ROWS BETWEEN UNBOUNDED PRECEDING
                                                 AND CURRENT ROW)
                       - n_tokens) / 256.0) AS BIGINT) AS pack_id
@@ -1722,5 +1827,105 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(vi) AS DOUBLE) / count(*) / 1000000.0, 6)
                    AS mean_v
             FROM vals GROUP BY cell, pos
+        """,
+        "q58_decontaminate": """
+            WITH ws AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(w) - 3, 1) + 1),
+                       i -> array_to_string(w[i:i+3], ' '))) AS gs
+              FROM ws
+            ), corpus AS (
+              SELECT * FROM g WHERE doc_id % 20 != 0
+            ), eg AS (
+              SELECT DISTINCT UNNEST(gs) AS gram FROM g
+              WHERE doc_id % 20 = 0
+            ), ex AS (
+              SELECT doc_id, UNNEST(gs) AS gram FROM corpus
+            ), hit AS (
+              SELECT doc_id, count(*) AS n_hit
+              FROM ex JOIN eg USING (gram) GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(len(c.gs) AS INTEGER) AS n_grams,
+                   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+                   round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                         / len(c.gs), 6) AS frac
+            FROM corpus c LEFT JOIN hit h USING (doc_id)
+        """,
+        "q59_pii_scrub": _pii_oracle_sql(),
+        "q60_semantic_dedup": """
+            WITH c AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id < 8
+            ), vc AS (
+              SELECT e.vec_id, c.cid,
+                     round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                           / (sqrt(list_dot_product(
+                                CAST(e.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+              FROM embeddings e CROSS JOIN c
+            ), assign AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+                FROM vc) WHERE rn = 1
+            ), pairs AS (
+              SELECT a.vec_id AS aid, b.vec_id AS bid
+              FROM assign a
+              JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id
+              WHERE round(
+                      list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[]))
+                      / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                               CAST(ea.embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                                 CAST(eb.embedding AS DOUBLE[])))),
+                      6) >= 0.35
+            ), dup AS (
+              SELECT aid, min(bid) AS dup_of FROM pairs GROUP BY aid
+            )
+            SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell, d.dup_of
+            FROM assign s LEFT JOIN dup d ON s.vec_id = d.aid
+        """,
+        "q61_shard_assign": """
+            WITH t AS (
+              SELECT l_orderkey*10 + l_linenumber AS k FROM lineitem
+            ), s AS (
+              SELECT k,
+                     ('0x' || substring(md5(CAST(k AS VARCHAR) || ':'), 1, 15)
+                     )::BIGINT AS lane
+              FROM t
+            )
+            SELECT k,
+                   CAST(lane % 16 AS INTEGER) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY lane % 16 ORDER BY lane, k) - 1
+                   AS INTEGER) AS shard_pos
+            FROM s
+        """,
+        "q62_line_dedup": """
+            WITH ex AS (
+              SELECT doc_id,
+                     UNNEST(string_split(text, ' ')) AS line,
+                     UNNEST(range(len(string_split(text, ' ')))) AS pos
+              FROM documents
+            ), hot AS (
+              SELECT line FROM ex WHERE len(line) >= 1
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 390
+            ), kept AS (
+              SELECT ex.* FROM ex ANTI JOIN hot USING (line)
+            ), reb AS (
+              SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(r.text, '') AS text,
+                   d.lang, d.source, d.n_chars
+            FROM documents d LEFT JOIN reb r USING (doc_id)
         """,
     }

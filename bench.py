@@ -49,13 +49,18 @@ BENCH_QUERIES = [
 ]
 
 EXTRA_QUERIES = [
+    "q43_grouping_sets",
     "q47_dedup_clusters",
     "q49_ivf_lloyd_step",
     "q50_stratified_sample",
     "q51_tpch_q3",
     "q52_range_rolling",
     "q53_window_family",
-    "q54_cube",
+    "q58_decontaminate",
+    "q59_pii_scrub",
+    "q60_semantic_dedup",
+    "q61_shard_assign",
+    "q62_line_dedup",
 ]
 
 
