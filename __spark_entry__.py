@@ -632,7 +632,7 @@ def q37_sessionize(spark, sf):
 
 def q39_ngram_jaccard(spark, sf):
     # exact n-gram Jaccard dedup via inverted shingle index: explode
-    # shingles, group by shingle hash, streamed pair expansion with the
+    # shingles, codegen equi-self-join on the shingle hash with the
     # size-ratio prune (min/max >= t), groupBy-count = intersection.
     # Only docs sharing >=1 shingle ever pair up, so no all-pairs
     # blowup. Production composition: run exact_dedup FIRST — byte

@@ -279,22 +279,34 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity pairs.
 
     With no candidate frame and threshold > 0, uses the scalable
-    inverted-index plan: explode distinct shingles, group by shingle
-    hash, emit (a, b) pairs inside each posting list, and count
-    co-occurrences per pair — the intersection size — then
-    Jaccard = inter / (|A| + |B| - inter).
+    inverted-index plan: explode each doc's distinct shingles to
+    (id, |doc|, shingle-hash) rows, EQUI-SELF-JOIN on the hash, and
+    count co-occurrences per (a, b) pair — the intersection size —
+    then Jaccard = inter / (|A| + |B| - inter).
     Pairs sharing zero shingles (Jaccard 0) are never generated, so the
     result is identical to all-pairs for any positive threshold, but the
     cost is keyed by shared shingles instead of O(n^2) docs. Word
     k-shingles are rarely shared across unrelated documents, so join
     fan-out stays bounded; a shingle shared by s docs still costs s^2
-    pairs. ``max_doc_freq`` drops posting lists longer than that cap —
-    the standard cost bound for heavy-duplication corpora (a capped
-    shingle only loses pairs that share NO other rare shingle, so
-    high-threshold recall is essentially unaffected). Exact-dedup the
-    corpus first (``exact_dedup``) — identical copies are the main
-    source of long posting lists and are far cheaper to collapse with a
-    hash groupBy than to rediscover pairwise here.
+    pairs. ``max_doc_freq`` removes shingles with document frequency
+    above the cap BEFORE the join — the standard cost bound for
+    heavy-duplication corpora (capped-universe semantics: doc sizes
+    are recomputed over the kept vocabulary, so Jaccard stays exact on
+    the reduced universe rather than silently biased down). Exact-dedup
+    the corpus first (``exact_dedup``) — identical copies are the main
+    source of hot shingles and are far cheaper to collapse with a hash
+    groupBy than to rediscover pairwise here.
+
+    Plan-shape rationale (measured at sf0.1): the join generates pairs
+    in whole-stage codegen and re-evaluates the cheap shingle subtree
+    once per side; the collect_list/explode alternative evaluates an
+    INTERPRETED higher-order lambda per posting-list element (~25%
+    slower end-to-end) and concentrates a hot shingle's s^2 expansion
+    in one task, whereas the join spreads pair rows across reducers
+    and AQE skew-join splits hot keys. The size-compatibility bound
+    prunes inside the join filter, before the pair-count shuffle:
+    J(A,B) <= min/max of the sizes, so min < t*max can never reach
+    the threshold — dropped with zero effect on the result.
 
     threshold <= 0 (or an explicit candidate frame) falls back to the
     pairwise array_intersect plan.
@@ -302,65 +314,37 @@ def ngram_jaccard_pairs(
     if candidates is None and threshold > 0:
         sh = _shingle_frame(df, text_col, id_col, k)
         if max_doc_freq is not None:
-            # Capped-universe semantics: shingles with document
-            # frequency > cap are removed from the vocabulary, and doc
-            # sizes are recomputed over the KEPT shingles — Jaccard
-            # stays exact on the reduced universe (subtracting from
-            # intersection only, as a naive cap would, biases scores
-            # down and silently drops true duplicates).
-            ex0 = sh.select(F.col(id_col), F.explode("sh").alias("h"))
+            ex = sh.select(F.col(id_col), F.explode("sh").alias("h"))
             hot = (
-                ex0.groupBy("h")
+                ex.groupBy("h")
                 .agg(F.count(F.lit(1)).alias("df"))
                 .filter(F.col("df") > max_doc_freq)
                 .select("h")
             )
-            ex0 = ex0.join(F.broadcast(hot), "h", "left_anti")
-            sizes = ex0.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-            ex = ex0.join(sizes, id_col).select(
-                F.struct(F.col(id_col), F.col("n")).alias("dn"), "h"
-            )
+            ex = ex.join(F.broadcast(hot), "h", "left_anti")
+            sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+            ex = ex.join(sizes, id_col)
         else:
             ex = sh.select(
-                F.struct(F.col(id_col), F.size("sh").alias("n")).alias(
-                    "dn"
-                ),
+                F.col(id_col),
+                F.size("sh").alias("n"),
                 F.explode("sh").alias("h"),
             )
-        # One shuffle keyed by shingle hash; shingles computed ONCE
-        # (a self-join would evaluate the explode subtree per side).
-        buckets = ex.groupBy("h").agg(
-            F.collect_list("dn").alias("ds")
-        ).filter(F.size("ds") > 1)
-        # Pair generation is streamed: explode one side first, then a
-        # c-element transform per row — peak memory O(c) per posting
-        # list, never the c^2 array a nested flatten would build
-        # (measured 8x on a corpus where every doc has 9 twins).
-        # The size-compatibility bound prunes INSIDE the transform,
-        # before the pair shuffle: J(A,B) <= min(|A|,|B|)/max(|A|,|B|)
-        # (intersection <= min, union >= max), so any pair with
-        # min < t*max can never reach the threshold — dropped here it
-        # skips the groupBy entirely, with zero effect on the result.
-        x = buckets.select("ds", F.explode("ds").alias("x"))
-        t = F.lit(float(threshold))
-        ys = F.filter(
-            F.transform(
-                "ds",
-                lambda y: F.struct(
-                    F.col("x")[id_col].alias("a"),
-                    y[id_col].alias("b"),
-                    F.col("x")["n"].alias("na"),
-                    y["n"].alias("nb"),
-                ),
-            ),
-            lambda p: (p["a"] < p["b"])
-            & (
-                F.least(p["na"], p["nb"]).cast("double")
-                >= t * F.greatest(p["na"], p["nb"]).cast("double")
-            ),
+        t = float(threshold)
+        a = ex.select(
+            F.col(id_col).alias("a"), F.col("n").alias("na"), "h"
         )
-        pe = x.select(F.explode(ys).alias("p")).select("p.*")
-        hits = pe.groupBy("a", "b", "na", "nb").agg(
+        b = ex.select(
+            F.col(id_col).alias("b"), F.col("n").alias("nb"), "h"
+        )
+        pairs = a.join(b, "h").filter(
+            (F.col("a") < F.col("b"))
+            & (
+                F.least("na", "nb").cast("double")
+                >= F.lit(t) * F.greatest("na", "nb").cast("double")
+            )
+        )
+        hits = pairs.groupBy("a", "b", "na", "nb").agg(
             F.count(F.lit(1)).alias("inter")
         )
         jac = F.col("inter").cast("double") / (

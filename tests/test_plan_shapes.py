@@ -142,14 +142,20 @@ def test_q39_no_inferred_filter_under_generate(spark):
             )
 
 
-def test_q39_single_pass_pair_generation(spark):
-    """The inverted-index plan must not self-join (shingles would be
-    computed once per side): no join nodes at all, two hash exchanges
-    (posting-list groupBy + pair-count groupBy)."""
+def test_q39_pair_generation_is_equi_join(spark):
+    """Pair generation must be the codegen'd EQUI-self-join on the
+    shingle hash — never a cross product, and never the interpreted
+    collect_list/transform expansion (which runs a non-codegen lambda
+    per posting-list element and concentrates a hot shingle's s^2
+    blowup in one task; the join spreads pairs across reducers and
+    AQE skew-join splits hot keys)."""
     plan = plan_of(spark, "q39_ngram_jaccard")
     n = nodes(plan)
-    assert not any("Join" in x for x in n), n
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = [x for x in n if "Join" in x]
+    assert len(joins) == 1, joins  # exactly the shingle-hash equi-join
+    assert "collect_list" not in plan
 
 
 def test_q51_star_join_broadcasts_and_pushes(spark):
