@@ -393,22 +393,35 @@ def semantic_dedup(
         raise ValueError("no centroid rows (empty corpus?)")
     if cell_col not in df.columns:
         df = assign_ivf_cells(df, cents, vec_col, cell_col)
-    a = df.select(
+    # Norms hoisted to a per-ROW column: each vector's norm is folded
+    # once instead of once per pair (cells of size c pay 2c^2 extra
+    # interpreted folds otherwise). The pair expression stays
+    # dot/(na*nb) — bit-identical to cosine(), so thresholds and the
+    # SQL twin are unaffected.
+    stamped = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(cell_col),
+        _norm(F.col(vec_col)).alias("__nrm"),
+    )
+    a = stamped.select(
         F.col(id_col).alias("__a"),
         F.col(vec_col).alias("__va"),
+        F.col("__nrm").alias("__na"),
         F.col(cell_col).alias("cell"),
     )
-    b = df.select(
+    b = stamped.select(
         F.col(id_col).alias("__b"),
         F.col(vec_col).alias("__vb"),
+        F.col("__nrm").alias("__nb"),
         F.col(cell_col).alias("cell"),
+    )
+    sim = _dot(F.col("__va"), F.col("__vb")) / (
+        F.col("__na") * F.col("__nb")
     )
     pairs = a.join(b, "cell").filter(
         (F.col("__b") < F.col("__a"))
-        & (
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6)
-            >= F.lit(float(threshold))
-        )
+        & (F.round(sim, 6) >= F.lit(float(threshold)))
     )
     dup = pairs.groupBy("__a").agg(F.min("__b").alias("dup_of"))
     return (
