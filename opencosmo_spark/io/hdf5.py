@@ -300,3 +300,151 @@ def _jsonable(d):
     if isinstance(d, bytes):
         return d.decode("utf-8", "replace")
     return d
+
+
+# ---------------------------------------------------------------------
+# export: Spark-native layout -> reference on-disk format
+# ---------------------------------------------------------------------
+def ranges_from_link_keys(
+    child_keys: np.ndarray,
+    n_source: int,
+    source_ids: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Invert ``link_keys_from_ranges``: from a CHILD table's link-key
+    column (already sorted/grouped by key — the export path sorts),
+    the positional (start, size) arrays the reference format stores on
+    the source side (SPEC.md:76-80). Orphan children (key -1) must be
+    sorted first and are covered by no range; sources with no children
+    get size 0 and start = the next covered offset (any value is valid
+    for an empty range; this one keeps starts monotone).
+
+    ``source_ids`` maps source row position -> the id space the key
+    column uses (default: the row index).
+    """
+    child_keys = np.asarray(child_keys, dtype=np.int64)
+    if np.any(np.diff(child_keys) < 0):
+        raise ValueError("child keys must be sorted (sort_by the link key)")
+    ids = (
+        np.asarray(source_ids, dtype=np.int64)
+        if source_ids is not None
+        else np.arange(n_source, dtype=np.int64)
+    )
+    if len(ids) != n_source:
+        raise ValueError("source_ids length != n_source")
+    # positions of each source id's block in the sorted child keys
+    starts = np.searchsorted(child_keys, ids, side="left").astype(np.int64)
+    ends = np.searchsorted(child_keys, ids, side="right").astype(np.int64)
+    return starts, ends - starts
+
+
+def dataset_to_hdf5(
+    ds,
+    h5_path: str,
+    group: str | None = None,
+    children: "dict[str, Any] | None" = None,
+    overwrite: bool = False,
+) -> None:
+    """Export a Dataset back to the reference SPEC layout — the
+    round-trip twin of ``hdf5_to_parquet`` for users who interchange
+    with reference tooling: per-column datasets under ``data`` with
+    ``unit``/``description`` attributes (SPEC.md:24-41), the header
+    group, and positional ``data_linked`` entries rebuilt from the
+    explicit ``__link_*`` key columns.
+
+    ``children`` maps link names to child Datasets carrying
+    ``__link_<name>``; each child is sorted by its key (restoring the
+    SPEC contiguity contract), written to the group
+    ``<name>`` with its own data group, and the inverted
+    (start, size) arrays land in the SOURCE group's ``data_linked``.
+    1:1 ``__link_<name>`` columns on the source itself export as
+    ``<name>_idx`` (null -> -1 sentinel, SPEC.md:81-83).
+
+    Driver-side like all HDF5 touchpoints (the format is not
+    splittable); at scale export one file per partition-range the same
+    way ingest parallelizes per-file.
+    """
+    h5py = _require_h5py()
+    import pandas as pd  # noqa: F401
+
+    if os.path.exists(h5_path) and not overwrite:
+        raise FileExistsError(f"{h5_path} exists (pass overwrite=True)")
+
+    def _column_arrays(d):
+        pdf = d.df.toPandas()
+        out = {}
+        for c in pdf.columns:
+            v = pdf[c]
+            if len(v) and isinstance(v.iloc[0], (list, np.ndarray)):
+                out[c] = np.stack([np.asarray(x) for x in v])
+            else:
+                out[c] = v.to_numpy()
+        return out
+
+    def _write_data_group(root, d, cols):
+        data = root.create_group("data")
+        units = getattr(d, "_units", {}) or {}
+        descs = getattr(d, "_descriptions", {}) or {}
+        for name, arr in cols.items():
+            if name.startswith(LINK_PREFIX):
+                continue
+            if arr.dtype == object:
+                arr = arr.astype("S")
+            dset = data.create_dataset(name, data=arr)
+            u = units.get(name)
+            if u is not None and str(u) not in ("", "None"):
+                dset.attrs["unit"] = str(u)
+            if name in descs:
+                dset.attrs["description"] = str(descs[name])
+
+    with h5py.File(h5_path, "w") as f:
+        root = f.create_group(group) if group else f
+        src_cols = _column_arrays(ds)
+        n_src = len(next(iter(src_cols.values()))) if src_cols else 0
+        _write_data_group(root, ds, src_cols)
+
+        linked = None
+        # 1:1 idx links carried on the source
+        for name, arr in src_cols.items():
+            if not name.startswith(LINK_PREFIX):
+                continue
+            lname = name[len(LINK_PREFIX):]
+            idx = np.where(np.isnan(arr.astype("float64")), -1, arr).astype(
+                np.int64
+            ) if arr.dtype.kind == "f" else arr.astype(np.int64)
+            linked = linked or root.create_group("data_linked")
+            linked.create_dataset(lname + "_idx", data=idx)
+
+        # 1:N links rebuilt from each child's key column
+        for lname, child in (children or {}).items():
+            key = LINK_PREFIX + lname
+            cdf = child.df.orderBy(key) if key in child.df.columns else child.df
+            csorted = type(child)(
+                cdf,
+                header=getattr(child, "_header", None),
+                units=getattr(child, "_units", None),
+                descriptions=getattr(child, "_descriptions", None),
+            )
+            ccols = _column_arrays(csorted)
+            if key not in ccols:
+                raise ValueError(f"child {lname!r} lacks {key} column")
+            starts, sizes = ranges_from_link_keys(ccols[key], n_src)
+            linked = linked or root.create_group("data_linked")
+            linked.create_dataset(lname + "_start", data=starts)
+            linked.create_dataset(lname + "_size", data=sizes)
+            cgrp = root.create_group(lname)
+            _write_data_group(cgrp, child, ccols)
+
+        hdr = getattr(ds, "_header", None)
+        if hdr is not None:
+            hgrp = root.create_group("header")
+            cos = hgrp.create_group("cosmology")
+            c = getattr(hdr, "cosmology", None)
+            if c is not None:
+                for attr in ("H0", "Om0", "Ode0", "w0", "wa"):
+                    v = getattr(c, attr, None)
+                    if v is not None:
+                        cos.attrs[attr] = float(v)
+            for attr in ("redshift", "box_size"):
+                v = getattr(hdr, attr, None)
+                if v is not None:
+                    hgrp.attrs[attr] = v

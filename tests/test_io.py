@@ -189,3 +189,82 @@ def test_hdf5_roundtrip_gated(spark, tmp_path):
         (r["x"], r[key]) for r in parts.df.select("x", key).collect()
     )
     assert got == [(0.0, 0), (1.0, 0), (2.0, 2), (3.0, 2), (4.0, 2)]
+
+
+def test_ranges_from_link_keys_inverts_ingest():
+    """Export-side inversion: key column -> (start, size) must be the
+    exact inverse of link_keys_from_ranges on sorted children,
+    including empty ranges and orphan (-1) children."""
+    import numpy as np
+
+    from opencosmo_spark.io.hdf5 import (
+        link_keys_from_ranges,
+        ranges_from_link_keys,
+    )
+
+    starts = np.array([0, 3, 3, 7])
+    sizes = np.array([3, 0, 4, 2])
+    keys = link_keys_from_ranges(starts, sizes, n_child=10)
+    # sort orphans (-1) first, as the export path would
+    skeys = np.sort(keys)
+    s2, z2 = ranges_from_link_keys(skeys, n_source=4)
+    # sizes must round-trip exactly; starts must address the same rows
+    assert z2.tolist() == sizes.tolist()
+    for i in range(4):
+        assert skeys[s2[i] : s2[i] + z2[i]].tolist() == [i] * z2[i]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ranges_from_link_keys(np.array([2, 1]), n_source=3)
+
+
+def test_hdf5_export_roundtrip_gated(spark, tmp_path):
+    """parquet -> SPEC-layout export -> re-ingest equals the original
+    (skips cleanly without h5py): data/unit attrs, header cosmology,
+    and the 1:N link rebuilt as start/size."""
+    h5py = pytest.importorskip("h5py")
+    import numpy as np
+
+    import opencosmo_spark as oc
+    from opencosmo_spark.dataset import Dataset
+    from opencosmo_spark.header import Cosmology, OpenCosmoHeader
+    from opencosmo_spark.io.hdf5 import (
+        LINK_PREFIX,
+        dataset_to_hdf5,
+        read_hdf5_dataset,
+        read_links,
+    )
+    from opencosmo_spark.units import parse_unit
+
+    src = Dataset(
+        spark.createDataFrame(
+            [(10, 1e12), (20, 2e12), (30, 3e12)], ["tag", "mass"]
+        ),
+        header=OpenCosmoHeader(
+            cosmology=Cosmology(H0=67.66), redshift=0.5, box_size=64.0
+        ),
+        units={"mass": parse_unit("Msun / h")},
+        descriptions={"mass": "FoF mass"},
+    )
+    child = Dataset(
+        spark.createDataFrame(
+            [(0.0, 0), (1.0, 2), (2.0, 0), (3.0, 2), (4.0, 2)],
+            ["x", LINK_PREFIX + "particles"],
+        )
+    )
+    out = tmp_path / "halos.h5"
+    dataset_to_hdf5(src, str(out), children={"particles": child})
+
+    cols, units, descs, header = read_hdf5_dataset(str(out))
+    assert sorted(cols["tag"].tolist()) == [10, 20, 30]
+    assert units["mass"] == "Msun / h"
+    assert descs["mass"] == "FoF mass"
+    links = read_links(str(out))
+    assert links["particles"]["size"].tolist() == [2, 0, 3]
+    # children stored sorted by owner; the ranges address exactly them
+    with h5py.File(out, "r") as f:
+        cx = f["particles/data/x"][()]
+    s, z = links["particles"]["start"], links["particles"]["size"]
+    assert sorted(cx[s[0] : s[0] + z[0]].tolist()) == [0.0, 2.0]
+    assert sorted(cx[s[2] : s[2] + z[2]].tolist()) == [1.0, 3.0, 4.0]
