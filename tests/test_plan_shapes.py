@@ -272,3 +272,42 @@ def test_pack_chunks_sharded_no_global_sort(spark):
     glob = pack_chunks(chunks, budget=128).toPandas()
     gb = glob[glob.doc_id == 6]
     assert gb.pack_id.tolist() == [2]
+
+
+def test_q59_pii_is_pure_projection(spark):
+    """PII scrub must be a single scan+project: zero exchanges, zero
+    Python, zero joins — the whole scrub rides the scan stage."""
+    plan = plan_of(spark, "q59_pii_scrub")
+    n = nodes(plan)
+    assert n.count("Exchange") == 0
+    assert not any("Join" in x for x in n)
+    assert "BatchEvalPython" not in plan
+
+
+def test_q61_shard_assign_single_shuffle(spark):
+    """Exact shard positions cost exactly ONE exchange (the per-shard
+    ranking window); the lane/shard stamp itself is row-local."""
+    plan = plan_of(spark, "q61_shard_assign")
+    n = nodes(plan)
+    assert n.count("Exchange") == 1
+    assert n.count("Window") == 1
+
+
+def test_q58_decontaminate_broadcasts_eval_side(spark):
+    """The eval gram universe and the hit-count frame must BROADCAST;
+    the corpus must never enter a sort-merge join."""
+    plan = plan_of(spark, "q58_decontaminate")
+    n = nodes(plan)
+    assert n.count("SortMergeJoin") == 0
+    assert n.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q62_line_dedup_hot_set_broadcasts(spark):
+    """The boilerplate vocabulary (hot-line set) anti-join and the
+    rebuilt-text join must broadcast — line strings never shuffle for
+    the anti-join, only 8-byte hashes do."""
+    plan = plan_of(spark, "q62_line_dedup")
+    n = nodes(plan)
+    assert n.count("SortMergeJoin") == 0
+    assert n.count("BroadcastHashJoin") >= 2
