@@ -235,3 +235,73 @@ def test_semantic_dedup_respects_existing_cells(spark):
     # 0 and 4 share cell 0 -> still caught; 1 and 5 are in different
     # cells (1 vs 5%2=1 ... both odd -> same cell 1) -> caught too
     assert marks[4] == 0 and marks[5] == 1
+
+
+def test_pii_patterns_cross_engine_parity(spark):
+    """The RE2-portability contract, checked empirically: Spark's Java
+    regex and DuckDB's RE2 must agree on counts AND redacted text for
+    a corpus of adversarial strings (boundary digits, dots, multiple
+    matches, near-misses). One batched comparison, not per-example
+    round-trips."""
+    import random
+
+    import duckdb
+
+    from opencosmo_spark.pipeline import scrub_pii
+    from opencosmo_spark.pipeline.pii import PII_PATTERNS
+
+    # deterministic adversarial corpus over the characters the
+    # patterns care about (one Spark job for the whole batch)
+    rng = random.Random(7)
+    alphabet = "abz09.@-+ _%15"
+    samples = [
+        "a@b.co",
+        "a@b.c",  # 1-char TLD: not an email
+        "1.2.3.4",
+        "1.2.3.4.5",  # five octets: first four match, \b decides
+        "999.999.999.999",
+        "123-45-6789",
+        "123-456-7890",
+        "123-45-67890",  # 5-digit tail: ssn \b fails, phone?
+        "+1 555-123-4567",
+        "x123-45-6789y",  # no word boundary -> no SSN
+        "a.b@c.d.ee f 0.0.0.0 g 111-22-3333",
+        "..@..",
+        "@",
+        "1-2-3",
+    ]
+    for _ in range(300):
+        n = rng.randint(0, 40)
+        samples.append("".join(rng.choice(alphabet) for _ in range(n)))
+    rows = [(i, s) for i, s in enumerate(samples)]
+
+    out = scrub_pii(
+        spark.createDataFrame(rows, ["id", "text"])
+    ).toPandas().sort_values("id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(rows, columns=["id", "text"]))
+    sql = "SELECT id, text FROM t"
+    carried = []
+    for j, (name, pat, repl) in enumerate(PII_PATTERNS):
+        p = pat.replace("'", "''")
+        cols = (", ".join(carried) + ", ") if carried else ""
+        sql = (
+            f"SELECT id, {cols}"
+            f"CAST(len(regexp_extract_all(text, '{p}')) AS INTEGER) AS n_{name}, "
+            f"regexp_replace(text, '{p}', '{repl}', 'g') AS text "
+            f"FROM ({sql})"
+        )
+        carried.append(f"n_{name}")
+    duck = con.sql(sql).df().sort_values("id").reset_index(drop=True)
+
+    for col in ["n_email", "n_ip", "n_ssn", "n_phone", "text"]:
+        mism = out[col].astype(str) != duck[col].astype(str)
+        assert not mism.any(), (
+            f"{col} diverges on: "
+            + repr(out.loc[mism, ["id", col]].head().values.tolist())
+            + " vs "
+            + repr(duck.loc[mism, [col]].head().values.tolist())
+            + " input: "
+            + repr([samples[i] for i in out.loc[mism, "id"].head()])
+        )
