@@ -190,3 +190,49 @@ def test_dedup_survives_restart_from_checkpoint(spark, tmp_path_factory):
         for r in spark.read.parquet(str(src)).dropDuplicates(["event_id"]).collect()
     )
     assert set(final.event_id) == expected
+
+
+def test_pipeline_scrub_runs_on_stream(spark, tmp_path):
+    """The corpus-hygiene operators are stateless projections, so the
+    SAME expressions run unchanged on a readStream — prove it: stream
+    the documents fixture through scrub_pii + add_text_features and
+    match the batch twin row-for-row."""
+    import pyarrow.parquet as pq
+
+    from opencosmo_spark.pipeline import scrub_pii
+    from opencosmo_spark.pipeline.text import add_text_features
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    t = pq.read_table(src)
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "part-0.parquet")
+    pq.write_table(t.slice(half), d / "part-1.parquet")
+
+    batch_df = spark.read.parquet(src)
+
+    def xform(df):
+        return add_text_features(scrub_pii(df)).select(
+            "doc_id", "n_email", "n_ip", "text", "n_tokens", "quality"
+        )
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(d))
+    q = (
+        xform(stream)
+        .writeStream.format("memory")
+        .queryName("scrub_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        spark.table("scrub_out").toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = xform(batch_df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == len(want) > 0
+    for c in out.columns:
+        assert (out[c].astype(str) == want[c].astype(str)).all(), c
