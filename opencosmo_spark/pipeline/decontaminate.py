@@ -42,7 +42,9 @@ def ngram_overlap(
     Returns ``(id_col, n_grams, n_hit, frac)`` — one row per corpus
     doc, where ``n_grams`` counts the doc's DISTINCT k-grams, ``n_hit``
     how many of them appear anywhere in the eval set, and
-    ``frac = n_hit / n_grams`` rounded to 6 decimals.
+    ``frac = n_hit / n_grams`` rounded to 6 decimals. Docs whose text
+    yields no grams (null text) have no row — they cannot overlap;
+    ``decontaminate`` keeps them.
     """
     ce = _shingle_frame(corpus, text_col, id_col, k)
     ev = (
@@ -92,11 +94,14 @@ def decontaminate(
     """Drop corpus docs whose eval-set n-gram overlap exceeds
     ``max_frac`` (default 0.0 — any shared k-gram disqualifies).
     Returns surviving corpus rows with their original columns; the
-    survivor set is applied with a LEFT-SEMI join on id, so the corpus
-    payload columns never enter the overlap computation's shuffles.
+    CONTAMINATED set is applied with a LEFT-ANTI join on id, so the
+    corpus payload columns never enter the overlap computation's
+    shuffles — and docs that produce no grams at all (null text) are
+    absent from the stats and correctly SURVIVE (nothing to overlap),
+    which a keep-side semi-join would silently drop.
     """
     stats = ngram_overlap(
         corpus, eval_df, k, text_col, id_col, eval_text_col
     )
-    keep = stats.filter(F.col("frac") <= max_frac).select(id_col)
-    return corpus.join(keep, id_col, "left_semi")
+    drop = stats.filter(F.col("frac") > max_frac).select(id_col)
+    return corpus.join(drop, id_col, "left_anti")

@@ -305,3 +305,31 @@ def test_pii_patterns_cross_engine_parity(spark):
             + " input: "
             + repr([samples[i] for i in out.loc[mism, "id"].head()])
         )
+
+
+def test_null_and_empty_text_robustness(spark):
+    """Real corpora contain nulls: null-text docs must SURVIVE
+    decontamination (nothing to overlap — a keep-side semi-join would
+    silently drop them), pass through scrub_pii as null, and become
+    '' under line_dedup."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from opencosmo_spark.pipeline import line_dedup
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    d = spark.createDataFrame(
+        [(1, "hello world foo"), (2, None), (3, ""), (4, "x")], schema
+    )
+    ev = spark.createDataFrame([(0, "hello world foo bar")], schema)
+
+    kept = sorted(r["doc_id"] for r in decontaminate(d, ev, k=2).collect())
+    assert kept == [2, 3, 4]  # doc 1 contaminated; null doc 2 SURVIVES
+
+    out = {r["doc_id"]: r for r in scrub_pii(d).collect()}
+    assert out[2]["text"] is None and out[2]["n_email"] is None
+    assert out[3]["n_email"] == 0
+
+    ld = {r["doc_id"]: r["text"] for r in line_dedup(d, sep=" ", min_dup=2).collect()}
+    assert ld[2] == ""  # null normalizes to the emptied-doc contract
