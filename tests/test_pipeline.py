@@ -526,3 +526,51 @@ def test_line_dedup_boilerplate_scrub(spark):
         .text
     )
     assert (out4 == docs.set_index("doc_id").text).all()
+
+
+def test_bucket_partitioned_probe_reads_probed_files_only(spark, tmp_path):
+    """The 100 TB claim, MEASURED: store the corpus partitioned by LSH
+    bucket and an ANN probe's scan must touch only the probed buckets'
+    files — asserted from the executed scan's numFiles metric, not
+    from the plan text."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from opencosmo_spark.pipeline.similarity import (
+        add_lsh_buckets,
+        lsh_bucket_ann,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    baseline = lsh_bucket_ann(emb, qv).toPandas()
+
+    path = str(tmp_path / "emb_bucket_part")
+    add_lsh_buckets(emb, dim=len(qv)).write.partitionBy("__bucket").parquet(path)
+    total_files = sum(
+        1
+        for _, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+    re = spark.read.parquet(path)
+    probe_df = lsh_bucket_ann(re, qv)
+    out = probe_df.toPandas()
+    assert out.vec_id.tolist() == baseline.vec_id.tolist()
+    assert out.cos_sim.tolist() == baseline.cos_sim.tolist()
+
+    # walk the executed plan's leaves for the parquet scan's metrics
+    qe = probe_df._jdf.queryExecution()
+    leaves = qe.executedPlan().collectLeaves()
+    num_files = None
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numFiles"):
+            num_files = m.apply("numFiles").value()
+            break
+    assert num_files is not None, "no file scan in executed plan"
+    # Hamming<=1 probing touches at most planes+1 = 9 of 256 buckets
+    assert 0 < num_files <= 9, (num_files, total_files)
+    assert num_files < total_files / 5
