@@ -8,7 +8,7 @@ semantics demand Python, and LSH-style candidate generation instead of
 all-pairs scans.
 """
 
-from .decontaminate import decontaminate, ngram_overlap
+from .decontaminate import decontaminate, ngram_overlap, semantic_overlap
 from .dedup import (
     connected_components,
     dedup_by_clusters,
@@ -63,6 +63,7 @@ __all__ = [
     "pack_chunks",
     "ngram_overlap",
     "decontaminate",
+    "semantic_overlap",
     "pii_counts",
     "redact_pii",
     "scrub_pii",

@@ -105,3 +105,80 @@ def decontaminate(
     )
     drop = stats.filter(F.col("frac") > max_frac).select(id_col)
     return corpus.join(drop, id_col, "left_anti")
+
+
+def semantic_overlap(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    nlist: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebook: list | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination (the FineWeb-era complement of
+    the n-gram check): for each corpus vector, the nearest eval vector
+    at cosine >= ``threshold`` within the same IVF cell.
+
+    Returns ``(id_col, cell, eval_id, sim)`` for flagged corpus rows
+    only — rows absent from the result have no sufficiently-similar
+    eval neighbor in their cell. Join semantics mirror
+    ``similarity.semantic_dedup`` (shared quantizer across both
+    frames, cell-keyed join, norms hoisted per row); the same
+    cell-population scaling rule applies: grow ``nlist`` with the
+    corpus, and remember recall is per-cell (a borderline eval
+    neighbor quantized into another cell is not seen — raise nprobe
+    semantics by lowering nlist, or accept the standard IVF recall
+    trade).
+
+    The codebook defaults to the first ``nlist`` CORPUS vectors by id;
+    pass an explicit one to share a quantizer with other stages.
+    """
+    from .similarity import _dot, _norm, assign_ivf_cells
+
+    cents = codebook or [
+        (int(r[0]), list(r[1]))
+        for r in corpus.filter(F.col(id_col) < nlist)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    ]
+    if not cents:
+        raise ValueError("no centroid rows (empty corpus?)")
+
+    def stamp(df, side):
+        out = assign_ivf_cells(df, cents, vec_col, "__cell")
+        return out.select(
+            F.col(id_col).alias(f"__{side}_id"),
+            F.col(vec_col).alias(f"__{side}_v"),
+            _norm(F.col(vec_col)).alias(f"__{side}_n"),
+            F.col("__cell").alias("cell"),
+        )
+
+    c = stamp(corpus, "c")
+    e = stamp(eval_df, "e")
+    sim = F.round(
+        _dot(F.col("__c_v"), F.col("__e_v"))
+        / (F.col("__c_n") * F.col("__e_n")),
+        6,
+    )
+    pairs = (
+        c.join(e, "cell")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= F.lit(float(threshold)))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__c_id").orderBy(
+        F.col("sim").desc(), F.col("__e_id")
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__c_id").alias(id_col),
+            "cell",
+            F.col("__e_id").alias("eval_id"),
+            "sim",
+        )
+    )

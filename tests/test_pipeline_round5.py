@@ -333,3 +333,38 @@ def test_null_and_empty_text_robustness(spark):
 
     ld = {r["doc_id"]: r["text"] for r in line_dedup(d, sep=" ", min_dup=2).collect()}
     assert ld[2] == ""  # null normalizes to the emptied-doc contract
+
+
+def test_semantic_overlap_flags_nearest_eval(spark):
+    """Cross-corpus embedding decontamination: each corpus vector with
+    a same-cell eval neighbor at sim >= t reports its NEAREST one;
+    clean vectors are absent."""
+    import math
+
+    from opencosmo_spark.pipeline import semantic_overlap
+
+    def unit(x, y):
+        n = math.sqrt(x * x + y * y)
+        return [x / n, y / n, 0.0, 0.0]
+
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 1.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=unit(1.0, 0.05)),  # near eval 100
+            Row(vec_id=3, embedding=[0.0, 0.0, 1.0, 0.0]),  # clean
+        ]
+    )
+    ev = spark.createDataFrame(
+        [
+            Row(vec_id=100, embedding=unit(1.0, 0.04)),
+            Row(vec_id=101, embedding=unit(1.0, 0.24)),
+        ]
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_overlap(corpus, ev, threshold=0.97, nlist=2).collect()
+    }
+    assert set(out) == {0, 2}  # 0 and 2 point near eval; 1, 3 clean
+    assert out[2]["eval_id"] == 100  # the NEAREST eval doc wins
+    assert out[2]["sim"] > 0.99
