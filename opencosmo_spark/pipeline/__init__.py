@@ -8,6 +8,7 @@ semantics demand Python, and LSH-style candidate generation instead of
 all-pairs scans.
 """
 
+from .curate import curate_corpus
 from .decontaminate import decontaminate, ngram_overlap, semantic_overlap
 from .dedup import (
     connected_components,
@@ -64,6 +65,7 @@ __all__ = [
     "ngram_overlap",
     "decontaminate",
     "semantic_overlap",
+    "curate_corpus",
     "pii_counts",
     "redact_pii",
     "scrub_pii",

@@ -1,0 +1,129 @@
+"""End-to-end corpus curation: the composition a real pre-training
+data pipeline runs, as one call.
+
+Stage order follows the published recipes (RefinedWeb, Dolma,
+FineWeb): cheap row-local filters first (quality, PII), then
+corpus-level scrubs (boilerplate lines), then exact dedup, then
+near-dup clustering (the expensive stage runs on the smallest
+possible corpus), then benchmark decontamination, then the
+deterministic training mix + shard assignment. Every stage is
+df-in/df-out on the same id column, so the composition is one lazy
+lineage per stage boundary.
+
+Scale posture: no stage introduces a shape the individual operators
+don't already have (see SCALE.md §6/§15); the composition adds only
+the per-stage row counts, and those are optional (``report=False``
+keeps the whole pipeline lazy — at 100 TB, run with ``report=True``
+once per recipe change, not per run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import (
+    dedup_by_clusters,
+    exact_dedup,
+    line_dedup,
+    minhash_lsh_candidates,
+)
+from .decontaminate import decontaminate
+from .pii import scrub_pii
+from .sample import stratified_sample
+from .shard import assign_shards
+from .text import quality_score, token_count
+
+
+def curate_corpus(
+    df: DataFrame,
+    eval_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    boilerplate_min_dup: int | None = None,
+    jaccard_threshold: float = 0.8,
+    decontam_k: int = 8,
+    mix: dict[str, float] | None = None,
+    mix_col: str | None = None,
+    n_shards: int | None = None,
+    report: bool = True,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Run the standard curation recipe; returns ``(curated_df,
+    stage_counts)``. ``stage_counts`` maps stage name -> surviving row
+    count (empty dict when ``report=False``).
+
+    Stages (each skippable via its parameter):
+
+    1. quality gate: ``quality_score >= min_quality`` and
+       ``token_count >= min_tokens`` — row-local, pushable.
+    2. PII redaction (always on): counts attached, text redacted.
+    3. boilerplate line scrub (``boilerplate_min_dup`` not None).
+    4. exact dedup (always on): keep lowest id per identical text.
+    5. near-dup removal: MinHash-LSH candidates -> connected
+       components -> keep cluster canonical.
+    6. decontamination vs ``eval_df`` (when given): any shared
+       ``decontam_k``-gram disqualifies.
+    7. training mix: per-stratum deterministic downsample (``mix`` +
+       ``mix_col``).
+    8. shard assignment (``n_shards``): adds shard / shard_pos.
+    """
+    counts: dict[str, int] = {}
+
+    def mark(name: str, d: DataFrame) -> DataFrame:
+        if report:
+            counts[name] = d.count()
+        return d
+
+    out = mark("input", df)
+
+    q = quality_score(F.col(text_col))
+    t = token_count(F.col(text_col))
+    out = mark(
+        "quality_gate",
+        out.filter((q >= min_quality) & (t >= min_tokens)),
+    )
+
+    out = scrub_pii(out, text_col=text_col)
+
+    if boilerplate_min_dup is not None:
+        out = mark(
+            "line_dedup",
+            line_dedup(
+                out, text_col=text_col, id_col=id_col,
+                min_dup=boilerplate_min_dup,
+            ),
+        )
+
+    # exact_dedup returns the digest report; apply it as a survivor
+    # semi-join (keep the min-id row of every identical-text group)
+    survivors = exact_dedup(out, text_col, id_col).select(
+        F.col(f"keep_{id_col}").alias(id_col)
+    )
+    out = mark("exact_dedup", out.join(survivors, id_col, "left_semi"))
+
+    pairs = minhash_lsh_candidates(
+        out, text_col=text_col, id_col=id_col,
+        jaccard_threshold=jaccard_threshold,
+    )
+    out = mark("near_dedup", dedup_by_clusters(out, pairs, id_col=id_col))
+
+    if eval_df is not None:
+        out = mark(
+            "decontaminate",
+            decontaminate(
+                out, eval_df, k=decontam_k,
+                text_col=text_col, id_col=id_col,
+            ),
+        )
+
+    if mix and mix_col:
+        out = mark(
+            "mix",
+            stratified_sample(out, mix, mix_col, id_col=id_col),
+        )
+
+    if n_shards:
+        out = assign_shards(out, n_shards, id_col=id_col)
+
+    return out, counts

@@ -368,3 +368,59 @@ def test_semantic_overlap_flags_nearest_eval(spark):
     assert set(out) == {0, 2}  # 0 and 2 point near eval; 1, 3 clean
     assert out[2]["eval_id"] == 100  # the NEAREST eval doc wins
     assert out[2]["sim"] > 0.99
+
+
+def test_curate_corpus_end_to_end(spark):
+    """The full recipe on a corpus with every defect class: low
+    quality, PII, exact dups, near-dups, and benchmark contamination.
+    Each stage must drop exactly the rows it owns."""
+    from opencosmo_spark.pipeline import curate_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays a slow waltz in the warm evening light of september"
+    )
+    near = base.replace("september", "october")
+    contaminated = (
+        "completely separate benchmark style passage about measuring "
+        "model capability with held out evaluation questions here"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, near),  # near dup of 0
+        (3, "junk!!"),  # fails quality/min_tokens
+        (4, "mail me at a@b.io " + base.replace("fox", "cat")),  # PII, kept
+        (5, contaminated),
+        (6, "an entirely different clean document about gardening "
+            "techniques for growing tomatoes in cold climates"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(100, "held out evaluation questions here")], ["doc_id", "text"]
+    )
+
+    out, counts = curate_corpus(
+        df,
+        eval_df=ev,
+        min_quality=0.1,
+        min_tokens=5,
+        jaccard_threshold=0.5,
+        decontam_k=4,
+        n_shards=2,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    # 0 survives (canonical of {0,1,2}), 4 survives redacted, 6 clean
+    assert set(got) == {0, 4, 6}
+    assert "<EMAIL>" in got[4]["text"] and "a@b.io" not in got[4]["text"]
+    assert {got[d]["shard"] for d in got} <= {0, 1}
+    assert counts["input"] == 7
+    assert counts["quality_gate"] == 6     # -junk
+    assert counts["exact_dedup"] == 5      # -exact dup 1
+    assert counts["near_dedup"] == 4       # -near dup 2
+    assert counts["decontaminate"] == 3    # -contaminated 5
+
+    # report=False keeps it lazy and returns no counts
+    out2, counts2 = curate_corpus(df, report=False)
+    assert counts2 == {}
+    assert out2.count() > 0
