@@ -72,6 +72,12 @@ def curate_corpus(
 
     def mark(name: str, d: DataFrame) -> DataFrame:
         if report:
+            # checkpoint at the stage boundary so each count pays for
+            # its OWN stage, not the whole lineage prefix again
+            # (measured 3x at sf0.1); report mode is for recipe
+            # tuning — production runs use report=False and stay lazy.
+            # On a cluster swap localCheckpoint for checkpoint().
+            d = d.localCheckpoint(eager=True)
             counts[name] = d.count()
         return d
 
