@@ -428,28 +428,49 @@ def q24_set_ops(spark, sf):
 # windows (internal machinery for take_range; exposed as operators)
 # =====================================================================
 def q26_window_topk(spark, sf):
+    # window top-k + the ranking/navigation family (formerly q53) over
+    # ONE partition spec: row_number/rank/dense_rank/ntile/lead/lag all
+    # share a single per-partition sort, then the rn <= 3 filter keeps
+    # the top-k semantics
     o = _t(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.lead("o_orderkey", 1).over(w).alias("next_ok"),
+            F.lag("o_orderkey", 1).over(w).alias("prev_ok"),
+        )
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "rn")
     )
 
 
 def q27_window_running(spark, sf):
-    # ts is long nanos after _t's normalization; ordering is identical
+    # ts is long nanos after _t's normalization; ordering is identical.
+    # Merged former q52: the ROWS running total and the RANGE 1h
+    # rolling count/sum (frame by event TIME, not row position) share
+    # the per-user partition — one query proves both frame kinds.
     ev = _t(spark, sf, "events")
     vi = F.round(F.round(F.col("value"), 6) * 1000000, 0).cast("long")
-    w = (
+    wrows = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    HOUR_NS = 3_600 * 1_000_000_000
+    wrange = Window.partitionBy("user_id").orderBy("ts").rangeBetween(-HOUR_NS, 0)
     return ev.select(
-        "user_id", "event_id", F.sum(vi).over(w).alias("run_micros")
+        "user_id",
+        "event_id",
+        F.sum(vi).over(wrows).alias("run_micros"),
+        F.count(F.lit(1)).over(wrange).alias("n_1h"),
+        F.sum(vi).over(wrange).alias("sum_vi_1h"),
     )
 
 
@@ -866,60 +887,23 @@ def q51_tpch_q3(spark, sf):
     )
 
 
-def q52_range_rolling(spark, sf):
-    # RANGE-frame window: per-user rolling 1h count/sum by event TIME
-    # (not row position) — the frame the rows-frame q27 can't express.
-    ev = _t(spark, sf, "events")
-    vi = F.round(F.round(F.col("value"), 6) * 1000000, 0).cast("long")
-    HOUR_NS = 3_600 * 1_000_000_000
-    w = Window.partitionBy("user_id").orderBy("ts").rangeBetween(-HOUR_NS, 0)
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.count(F.lit(1)).over(w).alias("n_1h"),
-        F.sum(vi).over(w).alias("sum_vi_1h"),
-    )
-
-
-def q53_window_family(spark, sf):
-    # the ranking/navigation window family over one partition spec —
-    # rank, dense_rank, ntile, lead/lag all share a single sort
-    o = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.lead("o_orderkey", 1).over(w).alias("next_ok"),
-        F.lag("o_orderkey", 1).over(w).alias("prev_ok"),
-    )
-
-
-def q55_chunk_documents(spark, sf):
-    # pre-training chunking: explode each doc into <=64-token pieces
-    from opencosmo_spark.pipeline.text import chunk_documents
-
-    d = _t(spark, sf, "documents")
-    return chunk_documents(d, max_tokens=64)
-
-
 def q56_pack_chunks(spark, sf):
-    # SHARDED sequence packing: assign chunks to 256-token training
-    # sequences by cumulative fill in (doc, chunk) order WITHIN each
-    # of 8 hash shards — the scale form (window partitioned by shard,
-    # parallel per-shard sorts, packs never span shards), not the
-    # single-reducer global sort.
+    # chunk + SHARDED sequence packing in one pipeline (merged former
+    # q55): explode each doc into <=64-token pieces, then assign
+    # chunks to 256-token training sequences by cumulative fill in
+    # (doc, chunk) order WITHIN each of 8 hash shards — the scale form
+    # (window partitioned by shard, parallel per-shard sorts, packs
+    # never span shards), not the single-reducer global sort.
+    # chunk_text rides through, proving the chunk content too.
     from opencosmo_spark.pipeline.text import chunk_documents, pack_chunks
 
     d = _t(spark, sf, "documents")
     chunks = chunk_documents(d, max_tokens=64).withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
     )
-    return pack_chunks(chunks, budget=256, shard_col="shard")
+    return pack_chunks(
+        chunks, budget=256, shard_col="shard", keep_cols=("chunk_text",)
+    )
 
 
 def q57_sky_crossmatch(spark, sf):
@@ -1026,6 +1010,43 @@ def q62_line_dedup(spark, sf):
     )
 
 
+def q63_bm25_topk(spark, sf):
+    # corpus keyword search: BM25 top-10 for a 3-term query. Per-term
+    # tf is a pure array projection (no explode); corpus stats (N,
+    # avgdl, per-term df) are ONE single-row aggregate broadcast back;
+    # the top-k is TakeOrderedAndProject. "dup" is rare (idf ~3) so
+    # the engineered near-dup docs rank first — a visible, stable
+    # ordering.
+    from opencosmo_spark.pipeline.search import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    return bm25_topk(d, _BM25_TERMS, k=10)
+
+
+def q64_nb_classify(spark, sf):
+    # distributed Naive Bayes: train per-lang token models on the 80%
+    # split (doc_id % 5 != 0), score the held-out 20%. Log-probs are
+    # quantized to integer micro-nats so every sum is exact long
+    # arithmetic — bit-reproducible across engines and partitionings.
+    from opencosmo_spark.pipeline.classify import nb_classify
+
+    d = _t(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    score = d.filter(F.col("doc_id") % 5 == 0)
+    return nb_classify(train, score, num_features=64)
+
+
+def q65_dup_spans(spark, sf):
+    # exact duplicated-span profile (substring-dedup niche): for each
+    # doc, how many of its distinct 8-word windows appear in >= 2 docs
+    # corpus-wide. Hash-combined windows (zip_with over shifted
+    # slices), one explode keyed by span hash — never all-pairs.
+    from opencosmo_spark.pipeline.dedup import duplicate_spans
+
+    d = _t(spark, sf, "documents")
+    return duplicate_spans(d, span=8, min_docs=2)
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -1077,9 +1098,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_ivf_lloyd_step": q49_ivf_lloyd_step,
         "q50_stratified_sample": q50_stratified_sample,
         "q51_tpch_q3": q51_tpch_q3,
-        "q52_range_rolling": q52_range_rolling,
-        "q53_window_family": q53_window_family,
-        "q55_chunk_documents": q55_chunk_documents,
         "q56_pack_chunks": q56_pack_chunks,
         "q57_sky_crossmatch": q57_sky_crossmatch,
         "q58_decontaminate": q58_decontaminate,
@@ -1087,10 +1105,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_semantic_dedup": q60_semantic_dedup,
         "q61_shard_assign": q61_shard_assign,
         "q62_line_dedup": q62_line_dedup,
+        "q63_bm25_topk": q63_bm25_topk,
+        "q64_nb_classify": q64_nb_classify,
+        "q65_dup_spans": q65_dup_spans,
     }
 
 
 _MD5_LANE = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+
+# q63 query terms — shared by the Spark query and its oracle
+_BM25_TERMS = ["dup", "vector", "key"]
+
+
+def _bm25_oracle_sql(terms=None, k1=1.2, b=0.75, k=10) -> str:
+    """DuckDB twin of q63, generated from the same term list. Literal
+    association order mirrors pipeline/search.py exactly (every
+    constant cast ::DOUBLE — DuckDB decimal literals would otherwise
+    run decimal, not IEEE double, arithmetic)."""
+    terms = terms or _BM25_TERMS
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    tf_cols = ",\n                     ".join(
+        f"len(list_filter({toks}, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                     ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    terms_sql = "\n                     + ".join(
+        f"ln(1.0::DOUBLE + (n - CAST(df{i} AS DOUBLE) + 0.5::DOUBLE)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5::DOUBLE))"
+        f" * CAST(tf{i} AS DOUBLE) * {k1 + 1.0}::DOUBLE"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1}::DOUBLE * ({1.0 - b}::DOUBLE"
+        f" + {b}::DOUBLE * dl / (CAST(sumdl AS DOUBLE) / n)))"
+        for i in range(len(terms))
+    )
+    hit = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    return f"""
+            WITH tf AS (
+              SELECT doc_id, len({toks}) AS dl,
+                     {tf_cols}
+              FROM documents
+            ), s AS (
+              SELECT count(*) AS n, SUM(dl) AS sumdl,
+                     {df_cols}
+              FROM tf
+            )
+            SELECT doc_id,
+                   round({terms_sql}, 6) AS bm25
+            FROM tf, s
+            WHERE {hit}
+            ORDER BY bm25 DESC, doc_id
+            LIMIT {k}
+        """
 
 
 def _pii_oracle_sql() -> str:
@@ -1388,20 +1455,33 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
         """,
         "q26_window_topk": """
-            SELECT o_custkey, o_orderkey, rn FROM (
+            SELECT o_custkey, o_orderkey, rn, rnk, drnk, quartile,
+                   next_ok, prev_ok
+            FROM (
               SELECT o_custkey, o_orderkey,
-                     row_number() OVER (PARTITION BY o_custkey
-                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
-              FROM orders)
+                     row_number() OVER w AS rn,
+                     CAST(rank() OVER w AS BIGINT) AS rnk,
+                     CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                     CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                     lead(o_orderkey, 1) OVER w AS next_ok,
+                     lag(o_orderkey, 1) OVER w AS prev_ok
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey))
             WHERE rn <= 3
         """,
         "q27_window_running": f"""
             SELECT user_id, event_id,
-                   CAST(SUM({vi}) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS BIGINT)
-                   AS run_micros
+                   CAST(SUM({vi}) OVER wr AS BIGINT) AS run_micros,
+                   CAST(count(*) OVER wh AS BIGINT) AS n_1h,
+                   CAST(SUM({vi}) OVER wh AS BIGINT) AS sum_vi_1h
             FROM events
+            WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW),
+                   wh AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                          RANGE BETWEEN 3600000000000 PRECEDING
+                                AND CURRENT ROW)
         """,
         "q28_time_window": f"""
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
@@ -1587,18 +1667,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
-        "q53_window_family": """
-            SELECT o_custkey, o_orderkey,
-                   CAST(rank() OVER w AS BIGINT) AS rnk,
-                   CAST(dense_rank() OVER w AS BIGINT) AS drnk,
-                   CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-                   lead(o_orderkey, 1) OVER w AS next_ok,
-                   lag(o_orderkey, 1) OVER w AS prev_ok
-            FROM orders
-            WINDOW w AS (PARTITION BY o_custkey
-                         ORDER BY o_totalprice DESC, o_orderkey)
-        """,
-        "q55_chunk_documents": r"""
+        "q56_pack_chunks": r"""
             WITH w AS (
               SELECT doc_id,
                      regexp_split_to_array(trim(text), '\s+') AS ws
@@ -1609,33 +1678,16 @@ def oracle_sql() -> dict[str, str]:
                        0, greatest(CAST(ceil(len(ws)/64.0) AS BIGINT) - 1, 0)
                      )) AS i
               FROM w
-            )
-            SELECT doc_id,
-                   CAST(i AS BIGINT) AS chunk_idx,
-                   array_to_string(ws[i*64 + 1 : least((i+1)*64, n)], ' ')
-                   AS chunk_text,
-                   CAST(least(64, n - i*64) AS BIGINT) AS n_tokens
-            FROM c
-        """,
-        "q56_pack_chunks": r"""
-            WITH w AS (
-              SELECT doc_id,
-                     regexp_split_to_array(trim(text), '\s+') AS ws
-              FROM documents
-            ), c AS (
-              SELECT doc_id, len(ws) AS n,
-                     UNNEST(generate_series(
-                       0, greatest(CAST(ceil(len(ws)/64.0) AS BIGINT) - 1, 0)
-                     )) AS i
-              FROM w
             ), t AS (
               SELECT doc_id,
                      CAST(doc_id % 8 AS INTEGER) AS shard,
                      CAST(i AS BIGINT) AS chunk_idx,
+                     array_to_string(ws[i*64 + 1 : least((i+1)*64, n)], ' ')
+                     AS chunk_text,
                      CAST(least(64, n - i*64) AS BIGINT) AS n_tokens
               FROM c
             )
-            SELECT shard, doc_id, chunk_idx, n_tokens,
+            SELECT shard, doc_id, chunk_idx, n_tokens, chunk_text,
                    CAST(floor(
                      (SUM(n_tokens) OVER (PARTITION BY shard
                                           ORDER BY doc_id, chunk_idx
@@ -1765,15 +1817,6 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1995-03-15'
             GROUP BY 1, 2, 3
             ORDER BY revenue DESC, l_orderkey LIMIT 10
-        """,
-        "q52_range_rolling": f"""
-            SELECT user_id, event_id,
-                   CAST(count(*) OVER w AS BIGINT) AS n_1h,
-                   CAST(SUM({vi}) OVER w AS BIGINT) AS sum_vi_1h
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
-                         RANGE BETWEEN 3600000000000 PRECEDING
-                               AND CURRENT ROW)
         """,
         "q47_dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
@@ -1927,5 +1970,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(r.text, '') AS text,
                    d.lang, d.source, d.n_chars
             FROM documents d LEFT JOIN reb r USING (doc_id)
+        """,
+        "q63_bm25_topk": _bm25_oracle_sql(),
+        "q64_nb_classify": f"""
+            WITH tr AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents WHERE doc_id % 5 <> 0
+            ), cnts AS (
+              SELECT lang, ({_MD5_LANE.format(x="tok")}) % 64 AS feat,
+                     count(*) AS c
+              FROM (SELECT lang, UNNEST(ts) AS tok FROM tr)
+              GROUP BY lang, feat
+            ), tot AS (
+              SELECT lang, SUM(c) AS t FROM cnts GROUP BY lang
+            ), dense AS (
+              SELECT l.lang, f.feat,
+                     CAST(round(ln((coalesce(c.c, 0) + 1.0::DOUBLE)
+                                   / (tot.t + 64.0::DOUBLE)) * 1000000, 0)
+                          AS BIGINT) AS ll
+              FROM (SELECT DISTINCT lang FROM tr) l
+              CROSS JOIN (SELECT UNNEST(range(64)) AS feat) f
+              JOIN tot ON tot.lang = l.lang
+              LEFT JOIN cnts c ON c.lang = l.lang AND c.feat = f.feat
+            ), pri AS (
+              SELECT lang,
+                     CAST(round(ln(CAST(count(*) AS DOUBLE)
+                                   / CAST((SELECT count(*) FROM tr) AS DOUBLE))
+                                * 1000000, 0) AS BIGINT) AS prior
+              FROM tr GROUP BY lang
+            ), sc AS (
+              SELECT doc_id, ({_MD5_LANE.format(x="tok")}) % 64 AS feat,
+                     count(*) AS c
+              FROM (SELECT doc_id,
+                           UNNEST(regexp_extract_all(lower(text),
+                                                     '[a-z0-9]+')) AS tok
+                    FROM documents WHERE doc_id % 5 = 0)
+              GROUP BY doc_id, feat
+            ), scored AS (
+              SELECT s.doc_id, d.lang,
+                     SUM(s.c * d.ll) + p.prior AS score_micros
+              FROM sc s
+              JOIN dense d ON s.feat = d.feat
+              JOIN pri p ON p.lang = d.lang
+              GROUP BY s.doc_id, d.lang, p.prior
+            )
+            SELECT doc_id, lang AS pred_lang, score_micros FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_micros DESC, lang) AS rn
+              FROM scored) WHERE rn = 1
+        """,
+        "q65_dup_spans": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(ws) - 7, 1) + 1),
+                       i -> array_to_string(ws[i:i+7], ' '))) AS sh
+              FROM w
+            ), ex AS (
+              SELECT doc_id, len(sh) AS n_spans, UNNEST(sh) AS g FROM s
+            ), hot AS (
+              SELECT g FROM ex GROUP BY g HAVING count(*) >= 2
+            ), hits AS (
+              SELECT doc_id, count(*) AS n_dup
+              FROM ex JOIN hot USING (g) GROUP BY doc_id
+            )
+            SELECT b.doc_id, CAST(b.n_spans AS BIGINT) AS n_spans,
+                   CAST(coalesce(h.n_dup, 0) AS BIGINT) AS n_dup_spans,
+                   round(CAST(coalesce(h.n_dup, 0) AS DOUBLE) / b.n_spans, 6)
+                   AS dup_frac
+            FROM (SELECT DISTINCT doc_id, n_spans FROM ex) b
+            LEFT JOIN hits h USING (doc_id)
         """,
     }

@@ -54,13 +54,14 @@ EXTRA_QUERIES = [
     "q49_ivf_lloyd_step",
     "q50_stratified_sample",
     "q51_tpch_q3",
-    "q52_range_rolling",
-    "q53_window_family",
     "q58_decontaminate",
     "q59_pii_scrub",
     "q60_semantic_dedup",
     "q61_shard_assign",
     "q62_line_dedup",
+    "q63_bm25_topk",
+    "q64_nb_classify",
+    "q65_dup_spans",
 ]
 
 

@@ -8,11 +8,13 @@ semantics demand Python, and LSH-style candidate generation instead of
 all-pairs scans.
 """
 
+from .classify import nb_classify, nb_predict, nb_train
 from .curate import curate_corpus
 from .decontaminate import decontaminate, ngram_overlap, semantic_overlap
 from .dedup import (
     connected_components,
     dedup_by_clusters,
+    duplicate_spans,
     exact_dedup,
     line_dedup,
     minhash_lsh_candidates,
@@ -20,6 +22,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from .search import bm25_scores, bm25_topk
 from .pii import pii_counts, redact_pii, scrub_pii
 from .shard import assign_shards, shard_lane, write_sharded
 from .similarity import (
@@ -74,4 +77,10 @@ __all__ = [
     "write_sharded",
     "semantic_dedup",
     "semantic_dedup_survivors",
+    "bm25_scores",
+    "bm25_topk",
+    "nb_train",
+    "nb_predict",
+    "nb_classify",
+    "duplicate_spans",
 ]

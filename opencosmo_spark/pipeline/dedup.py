@@ -76,6 +76,69 @@ def exact_dedup(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 8,
+    min_docs: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact duplicated-span profile (the suffix-array substring-dedup
+    niche, e.g. Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better", recast as hash aggregation): for every
+    document, how many of its distinct ``span``-word windows also
+    appear in at least ``min_docs`` documents corpus-wide.
+
+    Returns one row per document:
+    ``(id, n_spans, n_dup_spans, dup_frac)`` — filter on ``dup_frac``
+    to drop documents that are mostly copied boilerplate, or join the
+    flagged span set back to locate the copied regions.
+
+    Plan: distinct hashed windows per doc (``_shingle_frame`` —
+    zip_with over shifted slices, zero shuffle, no O(words^2)), then
+    one explode keyed by span hash for global document frequency, an
+    equi-join of the exploded frame against the >=min_docs span set
+    (both sides partitioned by the hash), and one aggregation keyed by
+    doc id. Every shuffle is proportional to corpus token count — the
+    irreducible size of the problem — and the span set never
+    materializes on the driver. 64-bit hash collisions merge unrelated
+    spans at ~2^-64 per pair; a production run at vocabulary scale can
+    widen to 128 bits by pairing two seeded xxhash64 lanes.
+    """
+    sh = _shingle_frame(df, text_col, id_col, span)
+    counted = sh.select(
+        F.col(id_col), F.size("sh").cast("long").alias("n_spans"), F.col("sh")
+    )
+    ex = counted.select(F.col(id_col), F.explode("sh").alias("g"))
+    dup = (
+        ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= int(min_docs))
+        .select("g")
+    )
+    hits = (
+        ex.join(dup, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        counted.drop("sh")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("double")
+                / F.col("n_spans"),
+                decimals,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

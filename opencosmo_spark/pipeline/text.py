@@ -158,6 +158,7 @@ def pack_chunks(
     idx_col: str = "chunk_idx",
     tokens_col: str = "n_tokens",
     shard_col: str | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign chunks to fixed-token-budget training sequences by
     cumulative packing in (id, chunk_idx) order:
@@ -186,7 +187,11 @@ def pack_chunks(
     pack = F.floor(
         (running - F.col(tokens_col)).cast("double") / F.lit(int(budget))
     ).cast("long")
-    cols = ([shard_col] if shard_col else []) + [id_col, idx_col, tokens_col]
+    cols = (
+        ([shard_col] if shard_col else [])
+        + [id_col, idx_col, tokens_col]
+        + list(keep_cols)
+    )
     return chunks.select(*cols, pack.alias("pack_id"))
 
 

@@ -1,0 +1,165 @@
+"""Round-5 additions: BM25 search, Naive Bayes classification,
+duplicated-span profiling."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from opencosmo_spark.pipeline import (
+    bm25_scores,
+    bm25_topk,
+    duplicate_spans,
+    nb_classify,
+    nb_train,
+)
+
+
+def _bm25_ref(docs, terms, k1=1.2, b=0.75):
+    """Brute-force BM25 over {id: text} in plain Python."""
+    toks = {i: t.lower().split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if any(t in v for t in terms):
+            out[i] = s
+    return out
+
+
+# ---------------------------------------------------------------- bm25
+def test_bm25_scores_match_bruteforce(spark):
+    docs = {
+        1: "spark shuffles data across the cluster",
+        2: "shuffle shuffle shuffle tiny",
+        3: "broadcast joins avoid the shuffle entirely in spark",
+        4: "nothing relevant here at all",
+    }
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs.items()])
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, ["shuffle", "spark"]).collect()
+    }
+    want = _bm25_ref(docs, ["shuffle", "spark"])
+    assert set(got) == set(want)  # doc 4 dropped
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=1e-6)
+
+
+def test_bm25_topk_order_and_ties(spark):
+    rows = [Row(doc_id=i, text="common word") for i in range(5)]
+    rows.append(Row(doc_id=99, text="unrelated text"))
+    df = spark.createDataFrame(rows)
+    top = bm25_topk(df, ["common"], k=3).collect()
+    # five identical docs: deterministic tie-break by ascending id
+    assert [r["doc_id"] for r in top] == [0, 1, 2]
+
+
+def test_bm25_plan_single_row_broadcast(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    plan = bm25_topk(df, ["a"], k=5)._jdf.queryExecution().executedPlan().toString()
+    # corpus stats reach the scorer via broadcast, and the top-k is a
+    # TakeOrderedAndProject — not a global sort
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------- naive bayes
+def test_nb_classify_separable(spark):
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta alpha", lang="aa") for i in range(5)]
+        + [Row(doc_id=10 + i, text="gamma delta delta", lang="bb") for i in range(5)]
+    )
+    score = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="alpha alpha beta beta"),
+            Row(doc_id=101, text="delta gamma gamma"),
+        ]
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in nb_classify(train, score).collect()}
+    assert got == {100: "aa", 101: "bb"}
+
+
+def test_nb_scores_exact_integer_micros(spark):
+    # one label, two tokens -> verify the quantized model values
+    # against an independent Python computation (md5 lane + ln micros)
+    train = spark.createDataFrame([Row(doc_id=1, text="xx yy", lang="zz")])
+    model, priors = nb_train(train, num_features=16)
+    got = {
+        (r["lang"], r["feat"]): r["ll"] for r in model.collect()
+    }
+
+    def lane(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 16
+
+    # each of the two tokens occurs once; total tokens = 2, nf = 16
+    for tok in ("xx", "yy"):
+        want = round(math.log((1 + 1.0) / (2 + 16.0)) * 1_000_000)
+        assert got[("zz", lane(tok))] == want
+    unseen = round(math.log(1.0 / (2 + 16.0)) * 1_000_000)
+    seen_feats = {lane("xx"), lane("yy")}
+    for (_, f), v in got.items():
+        if f not in seen_feats:
+            assert v == unseen
+    assert priors.collect()[0]["prior"] == 0  # ln(1) == 0
+
+
+def test_nb_tie_breaks_by_label(spark):
+    # two labels with identical token distributions and priors: the
+    # argmax must deterministically pick the lexicographically smaller
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="tok tok", lang="bb"),
+            Row(doc_id=2, text="tok tok", lang="aa"),
+        ]
+    )
+    score = spark.createDataFrame([Row(doc_id=9, text="tok")])
+    assert nb_classify(train, score).collect()[0]["pred_lang"] == "aa"
+
+
+# ---------------------------------------------------------------- dup spans
+def test_duplicate_spans_bruteforce(spark):
+    a = "one two three four five six"
+    b = "zz one two three four qq rr"
+    c = "totally different words in this document here"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=b), Row(doc_id=3, text=c)]
+    )
+    got = {r["doc_id"]: r for r in duplicate_spans(df, span=4).collect()}
+
+    def spans(t, k=4):
+        w = t.split()
+        if len(w) <= k:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    sa, sb, sc = spans(a), spans(b), spans(c)
+    assert got[1]["n_spans"] == len(sa) and got[3]["n_spans"] == len(sc)
+    assert got[1]["n_dup_spans"] == len(sa & sb) == 1  # "one two three four"
+    assert got[2]["n_dup_spans"] == len(sb & sa) == 1
+    assert got[3]["n_dup_spans"] == 0
+    assert got[3]["dup_frac"] == 0.0
+    assert got[1]["dup_frac"] == pytest.approx(1 / len(sa), abs=1e-6)
+
+
+def test_duplicate_spans_short_docs(spark):
+    # docs shorter than span form one partial window; identical short
+    # docs count as duplicated, distinct ones do not
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="tiny doc"),
+            Row(doc_id=2, text="tiny doc"),
+            Row(doc_id=3, text="other"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in duplicate_spans(df, span=8).collect()}
+    assert got[1]["n_spans"] == 1 and got[1]["n_dup_spans"] == 1
+    assert got[2]["dup_frac"] == 1.0
+    assert got[3]["n_dup_spans"] == 0

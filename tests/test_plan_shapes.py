@@ -180,13 +180,15 @@ def test_q50_sample_is_pushable_scan_filter(spark):
     assert "BatchEvalPython" not in n
 
 
-def test_q52_range_window_single_exchange(spark):
-    """RANGE-frame rolling window: one hash exchange (user_id) + one
-    window node; both aggregates share the frame."""
-    plan = plan_of(spark, "q52_range_rolling")
+def test_q27_rolling_windows_single_exchange(spark):
+    """Merged ROWS running-total + RANGE 1h rolling window: both frames
+    partition by user_id, so ONE hash exchange feeds both window nodes
+    (sorts differ — ts,event_id vs ts — but the partitioning is
+    reused)."""
+    plan = plan_of(spark, "q27_window_running")
     n = nodes(plan)
     assert n.count("Exchange") == 1
-    assert n.count("Window") == 1
+    assert n.count("Window") == 2
 
 
 def test_bucketed_join_no_shuffle(spark, tmp_path):
