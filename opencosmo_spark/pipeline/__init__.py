@@ -22,6 +22,12 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from .sample import (
+    deterministic_sample,
+    stratified_sample,
+    temperature_mixture_rates,
+    temperature_sample,
+)
 from .search import bm25_scores, bm25_topk
 from .pii import pii_counts, redact_pii, scrub_pii
 from .shard import assign_shards, shard_lane, write_sharded
@@ -31,6 +37,10 @@ from .similarity import (
     ivf_ann,
     ivf_lloyd_step,
     lsh_bucket_ann,
+    pq_encode,
+    pq_pack_codes,
+    pq_search,
+    pq_train_codebooks,
     semantic_dedup,
     semantic_dedup_survivors,
     train_ivf_codebook,
@@ -83,4 +93,12 @@ __all__ = [
     "nb_predict",
     "nb_classify",
     "duplicate_spans",
+    "pq_train_codebooks",
+    "pq_encode",
+    "pq_pack_codes",
+    "pq_search",
+    "deterministic_sample",
+    "stratified_sample",
+    "temperature_mixture_rates",
+    "temperature_sample",
 ]

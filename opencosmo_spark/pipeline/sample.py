@@ -62,3 +62,66 @@ def stratified_sample(
             ).otherwise(rate_expr)
         )
     return df.filter(_lane(key) < rate_expr)
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.7,
+    target_frac: float = 0.5,
+) -> dict[str, float]:
+    """Temperature-based data-mixing rates (the multilingual-LM
+    resampling rule, e.g. XLM-R: sample group g proportional to
+    p_g^alpha where p_g is its corpus share). Returns per-stratum keep
+    rates such that the expected kept fraction of the WHOLE corpus is
+    ``target_frac``; alpha < 1 upweights small groups (alpha = 1 is
+    proportional sampling, alpha = 0 uniform-per-group).
+
+    Rates are solved on the driver from the per-group counts (one
+    aggregation over the stratum column; the number of strata —
+    languages, domains — is assumed driver-small). Groups whose
+    computed rate exceeds 1 are clamped and the excess mass is
+    re-spread over the rest (waterfilling), so the target is met
+    whenever it is feasible. Feed the result to
+    ``stratified_sample`` for the deterministic hash-lane filter.
+    """
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError("target_frac must be in (0, 1]")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).count().collect()
+    }
+    total = sum(counts.values())
+    want = target_frac * total
+    active = dict(counts)
+    rates: dict[str, float] = {}
+    # waterfill: clamp saturated groups to 1.0 and re-solve on the rest
+    while active:
+        denom = sum(n**alpha for n in active.values())
+        if denom == 0:
+            break
+        c = (want - sum(counts[g] for g in rates)) / denom
+        overflow = [g for g, n in active.items() if c * n ** (alpha - 1.0) >= 1.0]
+        if not overflow:
+            for g, n in active.items():
+                rates[g] = max(0.0, c * n ** (alpha - 1.0))
+            break
+        for g in overflow:
+            rates[g] = 1.0
+            del active[g]
+    return rates
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.7,
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "s",
+) -> DataFrame:
+    """Compute temperature-mixing rates from the data, then apply the
+    deterministic per-stratum hash filter — the one-call path from a
+    raw multi-domain corpus to a reproducible training mix."""
+    rates = temperature_mixture_rates(df, stratum_col, alpha, target_frac)
+    return stratified_sample(df, rates, stratum_col, id_col=id_col, salt=salt)

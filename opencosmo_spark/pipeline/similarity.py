@@ -448,3 +448,172 @@ def semantic_dedup_survivors(
     )
     keep = marks.filter(F.col("dup_of").isNull()).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------- product
+# quantization: the memory-compression scale path. At 100 TB of float32
+# embeddings, even IVF probes stream full vectors; PQ stores an m-byte
+# code per vector (64-d float32 -> 4 bytes at m=4, 64x smaller) and
+# scans codes with table lookups. Public method: Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search".
+def pq_train_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks with distributed L2 k-means.
+    The vector is split into ``m`` equal slices; each slice gets its
+    own ``ksub``-centroid codebook. Returns ``codebooks[s][j]`` = the
+    j-th centroid of subspace s.
+
+    Same scale shape as ``train_ivf_codebook``: per round, assignment
+    is a JVM argmin over broadcast literal centroids (no shuffle) and
+    the update is one shuffle keyed by (subspace, code, position); all
+    ``m`` subspaces train in the SAME jobs (subspace is just another
+    grouping column), so the round count doesn't multiply by m. The
+    driver holds only the m x ksub x dim/m codebook. Init is
+    deterministic: subvectors of the ``ksub`` smallest-xxhash64(id)
+    vectors.
+    """
+    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    seeds = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(ksub)
+        .collect()
+    )
+    if len(seeds) < ksub:
+        raise ValueError(f"corpus has fewer than ksub={ksub} vectors")
+    books = [
+        [[float(x) for x in r[1][s * dsub : (s + 1) * dsub]] for r in seeds]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        enc = pq_encode(df, books, vec_col=vec_col, code_col="__pq")
+        # one explode covers every subspace: (subspace, code, subvector)
+        pe = enc.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.alias("sub"),
+                        F.element_at(F.col("__pq"), s + 1).alias("code"),
+                        F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("sv"),
+                    ),
+                )
+            ).alias("z")
+        ).select(
+            F.col("z.sub").alias("sub"),
+            F.col("z.code").alias("code"),
+            F.posexplode(F.col("z.sv")).alias("off", "val"),
+        )
+        means = pe.groupBy("sub", "code", "off").agg(
+            F.avg(F.col("val").cast("double")).alias("mval")
+        )
+        rows = (
+            means.groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("off", "mval"))),
+                    lambda st: st["mval"],
+                ).alias("cent")
+            )
+            .collect()
+        )
+        updated = {(int(r[0]), int(r[1])): [float(x) for x in r[2]] for r in rows}
+        books = [
+            [updated.get((s, j), books[s][j]) for j in range(ksub)]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Stamp each vector with its PQ codes: ``code_col`` is an
+    array<int> of length m, code s = argmin L2 distance between the
+    s-th vector slice and subspace s's centroids (distances rounded to
+    6 decimals; ties -> lowest code, so the encoding is reproducible
+    across engines and partitionings). Pure JVM expressions — encoding
+    is a projection, no shuffle, and composes with a clustered write
+    for at-rest compression.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def sub_dist(s: int, j: int) -> Column:
+        sl = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        cent = F.array(*[F.lit(float(x)) for x in codebooks[s][j]])
+        d = F.zip_with(
+            sl, cent, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        )
+        return F.round(F.aggregate(d, F.lit(0.0), lambda a, v: a + v), 6)
+
+    def sub_code(s: int) -> Column:
+        dists = F.array(*[sub_dist(s, j) for j in range(len(codebooks[s]))])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    codes = F.array(*[sub_code(s) for s in range(m)])
+    return df.withColumn(code_col, codes)
+
+
+def pq_pack_codes(code_col: str = "pq_codes") -> Column:
+    """Pack an array of m<=8 codes (ksub<=256) into one BIGINT — the
+    8-bytes-per-vector at-rest form."""
+    return F.aggregate(
+        F.col(code_col),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * 256 + c.cast("long"),
+    )
+
+
+def pq_search(
+    df_encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vector: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query's per-subspace
+    distance table (m x ksub floats) is computed on the driver,
+    embedded as literal arrays, and each row's approximate distance is
+    m table lookups + a fixed-order sum — no vector column is read at
+    all, which is the entire point: the scan touches only the m-byte
+    codes. orderBy+limit plans as TakeOrderedAndProject.
+
+    Exact distances can be recovered for the top candidates by
+    re-ranking the k results against the raw vectors (a k-row join) —
+    standard PQ practice when recall@k matters.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    tables = []
+    for s in range(m):
+        qs = [float(x) for x in query_vector[s * dsub : (s + 1) * dsub]]
+        tables.append(
+            [
+                round(sum((a - b) ** 2 for a, b in zip(qs, c)), 6)
+                for c in codebooks[s]
+            ]
+        )
+    dist: Column | None = None
+    for s in range(m):
+        t = F.array(*[F.lit(v) for v in tables[s]])
+        term = F.element_at(t, F.element_at(F.col(code_col), s + 1) + 1)
+        dist = term if dist is None else dist + term
+    return (
+        df_encoded.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
