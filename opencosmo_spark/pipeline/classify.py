@@ -96,18 +96,17 @@ def nb_train(
             .alias("ll"),
         )
     )
-    n_docs = df.count()
-    priors = (
-        df.groupBy(label_col)
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .select(
-            label_col,
-            F.round(
-                F.log(F.col("nd").cast("double") / F.lit(float(n_docs))) * _SCALE, 0
-            )
-            .cast("long")
-            .alias("prior"),
+    # N comes from summing the per-label doc counts (a few rows) — no
+    # extra pass over the corpus just to count it
+    nd = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("nd"))
+    n_all = nd.agg(F.sum("nd").alias("n_all"))
+    priors = nd.crossJoin(F.broadcast(n_all)).select(
+        label_col,
+        F.round(
+            F.log(F.col("nd").cast("double") / F.col("n_all")) * _SCALE, 0
         )
+        .cast("long")
+        .alias("prior"),
     )
     return dense, priors
 
