@@ -107,6 +107,129 @@ def _pixel_features(arr: np.ndarray, out_dim: int) -> np.ndarray:
     return out
 
 
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
+    """Pure-python decode of RIFF/WAVE PCM (format code 1, 8- or
+    16-bit, any channel count — the one audio container parseable
+    without a codec library, public RIFF spec): returns
+    ``(mono float32 samples in [-1, 1], sample_rate)`` or None when
+    the payload is not such a WAV. Channels are mixed down by mean.
+    """
+    if data is None or len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = (
+                int.from_bytes(body[0:2], "little"),  # format code
+                int.from_bytes(body[2:4], "little"),  # channels
+                int.from_bytes(body[4:8], "little"),  # sample rate
+                int.from_bytes(body[14:16], "little"),  # bits/sample
+            )
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks pad to even length
+    if fmt is None or raw is None:
+        return None
+    code, nch, rate, bits = fmt
+    if code != 1 or nch < 1 or rate <= 0 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        samples = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    else:
+        samples = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    n = (len(samples) // nch) * nch
+    if n == 0:
+        return None
+    mono = samples[:n].reshape(-1, nch).mean(axis=1)
+    return mono, rate
+
+
+def decode_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    require_real_codec: bool = False,
+) -> DataFrame:
+    """Attach audio signal features. Decode ladder per row: the
+    built-in pure-python RIFF/WAVE PCM parser over the ACTUAL samples
+    ('wav' — real rate/duration/RMS/zero-crossing/peak, no
+    dependency); else the deterministic digest fake ('stub-sha256').
+    The ``decoder`` column records which path each row took.
+
+    Appended columns: sample_rate (int), n_samples (long),
+    audio_duration_ms (long), rms (double), zcr (double — fraction of
+    sign changes), peak (double), decoder (string).
+
+    ``require_real_codec=True`` raises: compressed formats (mp3, ogg,
+    flac) need a codec library that is not installed here.
+    """
+    if require_real_codec:
+        raise NotImplementedError(
+            "general audio decoding needs a codec library not installed "
+            "here (only RIFF/WAVE PCM decodes without one)"
+        )
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("audio_duration_ms", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zcr", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+            T.StructField("decoder", T.StringType()),
+        ]
+    )
+
+    def decode_one(p: bytes | None):
+        got = _decode_wav(p)
+        if got is not None:
+            mono, rate = got
+            m64 = mono.astype(np.float64)  # stats in f64: f32 sums drift
+            n = len(m64)
+            signs = np.signbit(m64)
+            zc = int(np.count_nonzero(signs[1:] != signs[:-1]))
+            return (
+                rate,
+                n,
+                int(n * 1000 / rate),
+                float(np.sqrt(np.mean(m64 * m64))),
+                float(zc / max(n - 1, 1)),
+                float(np.max(np.abs(m64))),
+                "wav",
+            )
+        fake = _fake_decode(p or b"", 4)
+        return (
+            0,
+            0,
+            0,
+            float(abs(fake[0])),
+            float(abs(fake[1])) % 1.0,
+            float(abs(fake[2])),
+            "stub-sha256",
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "sample_rate",
+            "n_samples",
+            "audio_duration_ms",
+            "rms",
+            "zcr",
+            "peak",
+            "decoder",
+        ]
+        for pdf in batches:
+            decoded = [decode_one(p) for p in pdf[payload_col]]
+            for i, c in enumerate(cols):
+                pdf[c] = [d[i] for d in decoded]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def decode_image_features(
     df: DataFrame,
     payload_col: str = "payload",
