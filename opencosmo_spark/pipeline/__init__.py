@@ -16,6 +16,7 @@ from .dedup import (
     dedup_by_clusters,
     duplicate_spans,
     exact_dedup,
+    incremental_dedup,
     line_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -101,4 +102,5 @@ __all__ = [
     "stratified_sample",
     "temperature_mixture_rates",
     "temperature_sample",
+    "incremental_dedup",
 ]

@@ -215,6 +215,56 @@ def minhash_signatures(
     return base.select(F.col(id_col), F.col("shingles"), sig)
 
 
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    hasher: str,
+) -> tuple[DataFrame, DataFrame]:
+    """``(sigs, banded)``: the persisted (id, shingles, sig) frame plus
+    its exploded (id, band_key) LSH index. ``banded`` is exactly what
+    an ingest-time materialization writes (clustered on band_key) so
+    later batches can probe it without recomputing the corpus side.
+
+    persist: the signature frame is read multiple times (band join
+    sides + verify joins); recomputing shingles+minhash each time
+    costs more than materializing once. Storage is MEMORY_AND_DISK —
+    safe at scale, and the frame is (id, shingles, sig) only.
+
+    Band keys hash the band's signature lanes down to one long
+    (8-byte shuffle keys) with the mode's own primitive, so md5 mode
+    stays byte-reproducible in SQL. The keys are built as ONE array
+    then exploded — a per-band union would recompute the whole
+    minhash pipeline bands× (measured 4x wall-clock at sf0.1).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, hasher
+    ).persist()
+
+    def band_key(b):
+        if hasher == "md5":
+            return md5_lane(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(b)),
+                    *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)],
+                )
+            )
+        return F.xxhash64(
+            F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)]
+        )
+
+    band_keys = F.array(*[band_key(b) for b in range(bands)])
+    banded = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+    return sigs, banded
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -234,36 +284,9 @@ def minhash_lsh_candidates(
     using the mode's own primitive, so md5 mode stays
     byte-reproducible in SQL.
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
-    # persist: the signature frame is read 4x (band self-join sides +
-    # two verify joins); recomputing shingles+minhash each time costs
-    # more than materializing once. Storage is MEMORY_AND_DISK — safe
-    # at scale, and the frame is (id, shingles, sig) only.
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k, hasher
-    ).persist()
-
-    # ONE pass over the signatures: band keys as an array, exploded —
-    # a per-band union would recompute the whole minhash pipeline
-    # bands× (measured 4x wall-clock at sf0.1).
-    def band_key(b):
-        if hasher == "md5":
-            return md5_lane(
-                F.concat_ws(
-                    ":",
-                    F.lit(str(b)),
-                    *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)],
-                )
-            )
-        return F.xxhash64(
-            F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)]
-        )
-
-    band_keys = F.array(*[band_key(b) for b in range(bands)])
-    banded = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
-
+    sigs, banded = _banded_signatures(
+        df, text_col, id_col, num_hashes, bands, shingle_k, hasher
+    )
     a = banded.select(F.col(id_col).alias("a"), "band_key")
     b = banded.select(F.col(id_col).alias("b"), "band_key")
     cand = (
@@ -503,6 +526,99 @@ def dedup_by_clusters(
     labels = connected_components(edges, df.select(id_col), id_col, a_col, b_col)
     keep = labels.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    near_dup: bool = True,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Dedup an INCOMING batch against an already-curated EXISTING
+    corpus and against itself — the continuous-ingest form every
+    growing training corpus needs (a full re-dedup of corpus+batch
+    would re-shuffle the whole corpus per batch).
+
+    Stages:
+
+    1. exact — normalized-text md5 fingerprints: keep one incoming row
+       per new fingerprint (smallest id), drop fingerprints the
+       existing corpus already has. Shuffles keyed by fingerprint and
+       sized by the BATCH plus one streamed pass over existing.
+    2. near-dup (optional) — MinHash band keys: candidate pairs come
+       from joining INCOMING bands to EXISTING bands (never existing x
+       existing — that side is already deduped), verified with exact
+       shingle Jaccard; then within-batch near-dups collapse via
+       connected components (batch-sized).
+
+    At 100 TB the existing side's (id, band_key) index and fingerprint
+    set are materialized once at ingest (``_banded_signatures``'s
+    ``banded`` frame, written clustered on band_key) and each batch
+    probes them as bucketed tables; this function recomputes them from
+    ``existing`` for the self-contained API, which is correct at any
+    scale but pays one extra pass over the corpus per call.
+
+    Returns the surviving incoming rows (df-in/df-out).
+    """
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    fp = F.md5(t)
+    inc_fp = incoming.withColumn("__fp", fp)
+    keep_first = (
+        inc_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    )
+    survivors = (
+        inc_fp.join(keep_first, id_col, "left_semi")
+        .join(existing.select(fp.alias("__fp")).distinct(), "__fp", "left_anti")
+        .drop("__fp")
+    )
+    if not near_dup:
+        return survivors
+
+    sigs_in, bands_in = _banded_signatures(
+        survivors, text_col, id_col, num_hashes, bands, shingle_k, hasher
+    )
+    sigs_ex, bands_ex = _banded_signatures(
+        existing, text_col, id_col, num_hashes, bands, shingle_k, hasher
+    )
+    cand = (
+        bands_in.select(F.col(id_col).alias("a"), "band_key")
+        .join(bands_ex.select(F.col(id_col).alias("b"), "band_key"), "band_key")
+        .select("a", "b")
+        .distinct()
+    )
+    sh_in = sigs_in.select(F.col(id_col).alias("a"), F.col("shingles").alias("sh_a"))
+    sh_ex = sigs_ex.select(F.col(id_col).alias("b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    flagged = (
+        cand.join(sh_in, "a")
+        .join(sh_ex, "b")
+        .filter(inter.cast("double") / union >= jaccard_threshold)
+        .select(F.col("a").alias(id_col))
+        .distinct()
+    )
+    fresh = survivors.join(flagged, id_col, "left_anti")
+    pairs = minhash_lsh_candidates(
+        fresh,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        shingle_k,
+        jaccard_threshold,
+        hasher,
+    )
+    return dedup_by_clusters(fresh, pairs, id_col)
 
 
 def connected_components(

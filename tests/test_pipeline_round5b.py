@@ -163,3 +163,61 @@ def test_duplicate_spans_short_docs(spark):
     assert got[1]["n_spans"] == 1 and got[1]["n_dup_spans"] == 1
     assert got[2]["dup_frac"] == 1.0
     assert got[3]["n_dup_spans"] == 0
+
+
+# ------------------------------------------------------------ incremental
+def _inc_corpora(spark):
+    from pyspark.sql import Row
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text="completely unrelated existing document here"),
+        ]
+    )
+    incoming = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=base),  # exact copy of existing 1
+            Row(doc_id=101, text=base.replace("dog", "cat")),  # near-dup of 1
+            Row(doc_id=102, text="a genuinely novel incoming document full of new words"),
+            Row(doc_id=103, text="a genuinely novel incoming document full of new words"),  # exact in-batch dup
+            Row(doc_id=104, text="shared shingle soup alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=105, text="shared shingle soup alpha beta gamma delta epsilon eta"),  # near-dup of 104
+        ]
+    )
+    return existing, incoming
+
+
+def test_incremental_dedup_exact_only(spark):
+    from opencosmo_spark.pipeline import incremental_dedup
+
+    existing, incoming = _inc_corpora(spark)
+    out = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(existing, incoming, near_dup=False).collect()
+    )
+    # 100 dies (exact cross), 103 dies (exact in-batch, keep 102)
+    assert out == [101, 102, 104, 105]
+
+
+def test_incremental_dedup_near_dup(spark):
+    from opencosmo_spark.pipeline import incremental_dedup
+
+    existing, incoming = _inc_corpora(spark)
+    out = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(
+            existing, incoming, jaccard_threshold=0.5
+        ).collect()
+    )
+    # plus: 101 dies (near-dup of existing 1), 105 collapses onto 104
+    assert out == [102, 104]
+
+
+def test_incremental_dedup_keeps_schema(spark):
+    from opencosmo_spark.pipeline import incremental_dedup
+
+    existing, incoming = _inc_corpora(spark)
+    out = incremental_dedup(existing, incoming, near_dup=False)
+    assert out.columns == incoming.columns
