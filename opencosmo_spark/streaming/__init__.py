@@ -9,6 +9,7 @@ custom-operator hook.
 """
 
 from .events import (
+    corpus_dedup_stream,
     dedup_stream,
     event_time_expr,
     interval_join_stream,
@@ -24,6 +25,7 @@ __all__ = [
     "read_event_stream",
     "event_time_expr",
     "interval_join_stream",
+    "corpus_dedup_stream",
     "dedup_stream",
     "windowed_aggregate",
     "sessionize_stream",

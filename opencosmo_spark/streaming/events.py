@@ -295,3 +295,46 @@ def run_stream_to_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def corpus_dedup_stream(
+    docs: DataFrame,
+    existing: DataFrame,
+    *,
+    text_col: str = "text",
+    normalize: bool = True,
+    ingest_time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming corpus-ingest dedup: drop incoming documents whose
+    normalized-text fingerprint already exists in a curated static
+    corpus (stream-static LEFT ANTI join — Spark re-plans the static
+    side per micro-batch, so pass the FINGERPRINT projection, not the
+    full corpus, and persist it upstream when the corpus is large),
+    then drop within-stream duplicates.
+
+    The streaming twin of the exact stage of
+    ``pipeline.dedup.incremental_dedup``, for the ingestion topology
+    where batches arrive as files/Kafka rather than DataFrames.
+
+    Within-stream state: with ``ingest_time_col`` set, duplicates are
+    dropped via ``dropDuplicatesWithinWatermark`` — state is bounded
+    by the watermark horizon, the only form that survives an unbounded
+    run. Without an ingest-time column the fallback is a plain
+    streaming ``dropDuplicates`` whose state grows with distinct
+    fingerprints — acceptable for bounded backfills only.
+    """
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    fp = F.md5(t)
+    stream = docs.withColumn("__fp", fp)
+    static_fp = existing.select(fp.alias("__fp")).distinct()
+    fresh = stream.join(static_fp, "__fp", "left_anti")
+    if ingest_time_col is not None:
+        fresh = fresh.withWatermark(
+            ingest_time_col, watermark
+        ).dropDuplicatesWithinWatermark(["__fp"])
+    else:
+        fresh = fresh.dropDuplicates(["__fp"])
+    return fresh.drop("__fp")

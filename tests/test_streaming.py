@@ -236,3 +236,46 @@ def test_pipeline_scrub_runs_on_stream(spark, tmp_path):
     assert len(out) == len(want) > 0
     for c in out.columns:
         assert (out[c].astype(str) == want[c].astype(str)).all(), c
+
+
+def test_corpus_dedup_stream_matches_batch_incremental(spark, tmp_path):
+    """Streaming ingest dedup (stream-static anti-join + within-stream
+    dedup) must keep exactly the docs the batch incremental exact
+    stage keeps, even when the duplicate of a batch-1 doc arrives in
+    batch 2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opencosmo_spark.streaming import corpus_dedup_stream
+
+    existing = spark.createDataFrame(
+        [(1, "already curated text"), (2, "another existing doc")],
+        ["doc_id", "text"],
+    )
+    batch1 = pa.table(
+        {"doc_id": [100, 101], "text": ["already curated text", "brand new doc"]}
+    )
+    # 102 duplicates 101 across the micro-batch boundary
+    batch2 = pa.table(
+        {"doc_id": [102, 103], "text": ["brand new doc", "second new doc"]}
+    )
+    d = tmp_path / "docs_inc"
+    d.mkdir()
+    pq.write_table(batch1, d / "part-0.parquet")
+    pq.write_table(batch2, d / "part-1.parquet")
+
+    stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(str(d))
+    q = (
+        corpus_dedup_stream(stream, existing)
+        .writeStream.format("memory")
+        .queryName("corpus_dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.doc_id for r in spark.table("corpus_dedup_out").collect())
+    # 100 dies (exists in corpus), 102 dies (cross-batch stream dup)
+    assert got == [101, 103]
