@@ -83,3 +83,55 @@ def ingest_lightcone(
         n = df.sparkSession.sparkContext.defaultParallelism
         out = out.repartitionByRange(n, PIXEL_COL).sortWithinPartitions(PIXEL_COL)
     return out
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 512,
+    cluster_col: str | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_mb`` files —
+    the small-files compaction every long-running ingest eventually
+    needs (streaming sinks and per-batch appends leave thousands of
+    KB-sized files; at 100 TB the NameNode/object-store listing and
+    per-file open costs dominate scan time long before the bytes do).
+
+    Sizing comes from the directory's actual on-disk bytes (driver
+    file listing via the JVM's Hadoop FileSystem — no data read), so
+    the output count adapts to compression ratios. With
+    ``cluster_col`` the rewrite uses ``repartitionByRange`` +
+    ``sortWithinPartitions`` to restore clustering (identical posture
+    to ``write_dataset``); without it a plain ``repartition`` balances
+    bytes. Writes to ``<path>.__compact__`` then swaps — the rewrite
+    is atomic-ish at the directory level; on an object store prefer
+    a table format's transactional rewrite.
+
+    Returns the number of output files.
+    """
+    import os
+    import shutil
+
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, round(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if cluster_col is not None:
+        out = df.repartitionByRange(n_out, F.col(cluster_col)).sortWithinPartitions(
+            cluster_col
+        )
+    else:
+        out = df.repartition(n_out)
+    tmp = path.rstrip("/") + ".__compact__"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(
+        1
+        for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

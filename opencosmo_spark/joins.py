@@ -188,3 +188,40 @@ def asof_join(
         F.col(f"__m.{renames[c]}").alias(renames[c]) for c in payload
     ]
     return matched.select(*out_cols)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with explicit key salting for EXTREME skew — the
+    fallback when AQE's skew-join splitting is not enough (one key
+    holding a double-digit percentage of a 100 TB fact table still
+    lands its post-split shuffle blocks on few reducers, and skew
+    splitting only applies to sort-merge joins).
+
+    The skewed LEFT side gets a random salt in [0, salt); the RIGHT
+    side is replicated ``salt`` times via an inline explode so every
+    (key, salt) bucket finds its match. Join cardinality and result
+    are unchanged; the hot key's rows spread over ``salt`` reducers.
+    Replication multiplies the right side — use for dimension-sized
+    right tables (if both sides are huge AND skewed, range-partition
+    the hot keys out instead).
+
+    ``rand()`` makes the salt nondeterministic run-to-run; results are
+    identical regardless (the salt never leaves the join).
+    """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        # right/full-outer would emit `salt` copies of unmatched
+        # right rows — salt the other side instead
+        raise ValueError(f"salted_join does not support how={how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    l_salted = left.withColumn("__salt", (F.rand() * salt).cast("int"))
+    r_rep = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = l_salted.join(r_rep, keys + ["__salt"], how)
+    return out.drop("__salt")

@@ -268,3 +268,27 @@ def test_hdf5_export_roundtrip_gated(spark, tmp_path):
     s, z = links["particles"]["start"], links["particles"]["size"]
     assert sorted(cx[s[0] : s[0] + z[0]].tolist()) == [0.0, 2.0]
     assert sorted(cx[s[2] : s[2] + z[2]].tolist()) == [1.0, 3.0, 4.0]
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """Many tiny files -> few files, same rows, clustering restored
+    when asked."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from opencosmo_spark.io.ingest import compact_parquet
+
+    p = str(tmp_path / "small_files")
+    df = spark.range(10000).withColumn("cell", (F.col("id") % 64))
+    df.repartition(64).write.parquet(p)
+    before = sum(
+        1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+    )
+    assert before >= 32
+
+    n_out = compact_parquet(spark, p, target_file_mb=512, cluster_col="cell")
+    assert n_out <= 2
+    back = spark.read.parquet(p)
+    assert back.count() == 10000
+    assert set(back.columns) == {"id", "cell"}

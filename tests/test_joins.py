@@ -252,3 +252,44 @@ def test_asof_matches_pandas_merge_asof(spark, direction, tolerance):
     for lid in left.lid:
         e, g = expected.get(lid), out.get(lid)
         assert (pd.isna(e) and pd.isna(g)) or e == g, (lid, e, g)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change the result set, only the key
+    distribution: verify against the unsalted join on a skewed key."""
+    from opencosmo_spark.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 900), (3, 901)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold")], ["k", "name"])
+
+    got = (
+        salted_join(left, right, "k", salt=8)
+        .orderBy("v")
+        .collect()
+    )
+    want = left.join(right, "k").orderBy("v").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # left join keeps unmatched left rows exactly once
+    got_l = salted_join(left, right, "k", salt=8, how="left").count()
+    assert got_l == left.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
+
+
+def test_salted_join_keys_include_salt(spark):
+    """The join condition must carry the salt column — that is what
+    spreads a hot key over `salt` reducers (partition-count assertions
+    are meaningless under AQE coalescing at test scale)."""
+    from opencosmo_spark.joins import salted_join
+
+    left = spark.createDataFrame([(1, i) for i in range(1000)], ["k", "v"])
+    right = spark.createDataFrame([(1, "hot")], ["k", "name"])
+    out = salted_join(left, right, "k", salt=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in plan and "Join" in plan
