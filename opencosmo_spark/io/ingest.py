@@ -112,6 +112,18 @@ def compact_parquet(
     import os
     import shutil
 
+    # refuse layouts the flat rewrite would silently destroy: hive
+    # key=value partition dirs (directory-level pruning would be lost)
+    # and streaming-sink transaction logs
+    for entry in os.listdir(path):
+        full = os.path.join(path, entry)
+        if entry == "_spark_metadata" or (os.path.isdir(full) and "=" in entry):
+            raise ValueError(
+                f"{path} contains {entry!r}: compact each partition "
+                "directory individually (or rewrite with "
+                "write.partitionBy) — a flat rewrite would drop the "
+                "partitioning/metadata"
+            )
     total = 0
     for root, _, files in os.walk(path):
         for f in files:

@@ -211,15 +211,24 @@ def salted_join(
     right tables (if both sides are huge AND skewed, range-partition
     the hot keys out instead).
 
-    ``rand()`` makes the salt nondeterministic run-to-run; results are
-    identical regardless (the salt never leaves the join).
+    The salt is a DETERMINISTIC hash of the left row's columns — never
+    ``rand()``: a nondeterministic shuffle key makes the map stage
+    indeterminate under task retry (recomputed rows land in different
+    reduce partitions than already-fetched outputs, forcing full-stage
+    rollback at best). Rows identical in every column share a salt,
+    which only matters if the hot key's rows are also byte-identical.
     """
     if how not in ("inner", "left", "left_semi", "left_anti"):
         # right/full-outer would emit `salt` copies of unmatched
         # right rows — salt the other side instead
         raise ValueError(f"salted_join does not support how={how!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    l_salted = left.withColumn("__salt", (F.rand() * salt).cast("int"))
+    l_salted = left.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+        ).cast("int"),
+    )
     r_rep = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

@@ -71,9 +71,11 @@ def nb_train(
     - priors: (label, prior) — ``round(ln(docs_label / N) * 1e6)``.
     """
     spark = df.sparkSession
-    counts = _doc_features(df, [label_col], text_col, num_features).groupBy(
-        label_col, "feat"
-    ).agg(F.sum("c").alias("cnt"))
+    # _doc_features grouped by [label] already returns one row per
+    # (label, feat) with the total token count — just rename it
+    counts = _doc_features(df, [label_col], text_col, num_features).select(
+        label_col, "feat", F.col("c").alias("cnt")
+    )
     totals = counts.groupBy(label_col).agg(F.sum("cnt").alias("tot"))
     labels = df.select(label_col).distinct()
     feats = spark.range(num_features).select(F.col("id").cast("long").alias("feat"))

@@ -223,6 +223,7 @@ def _banded_signatures(
     bands: int,
     shingle_k: int,
     hasher: str,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """``(sigs, banded)``: the persisted (id, shingles, sig) frame plus
     its exploded (id, band_key) LSH index. ``banded`` is exactly what
@@ -243,9 +244,9 @@ def _banded_signatures(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k, hasher
-    ).persist()
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hasher)
+    if persist:
+        sigs = sigs.persist()
 
     def band_key(b):
         if hasher == "md5":
@@ -564,7 +565,11 @@ def incremental_dedup(
     ``banded`` frame, written clustered on band_key) and each batch
     probes them as bucketed tables; this function recomputes them from
     ``existing`` for the self-contained API, which is correct at any
-    scale but pays one extra pass over the corpus per call.
+    scale but pays extra passes over the corpus per call. The corpus
+    side is deliberately NOT cached (a per-batch persist of the whole
+    corpus's signature frame would accumulate across the ingest loop);
+    only the batch-sized incoming signatures persist, and both the
+    cross-corpus and within-batch stages reuse that one frame.
 
     Returns the surviving incoming rows (df-in/df-out).
     """
@@ -588,35 +593,50 @@ def incremental_dedup(
         survivors, text_col, id_col, num_hashes, bands, shingle_k, hasher
     )
     sigs_ex, bands_ex = _banded_signatures(
-        existing, text_col, id_col, num_hashes, bands, shingle_k, hasher
+        existing, text_col, id_col, num_hashes, bands, shingle_k, hasher,
+        persist=False,
     )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac_ok = inter.cast("double") / union >= jaccard_threshold
+    sh_in = sigs_in.select(F.col(id_col).alias("a"), F.col("shingles").alias("sh_a"))
+
+    # cross-corpus: incoming bands probe existing bands
     cand = (
         bands_in.select(F.col(id_col).alias("a"), "band_key")
         .join(bands_ex.select(F.col(id_col).alias("b"), "band_key"), "band_key")
         .select("a", "b")
         .distinct()
     )
-    sh_in = sigs_in.select(F.col(id_col).alias("a"), F.col("shingles").alias("sh_a"))
     sh_ex = sigs_ex.select(F.col(id_col).alias("b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     flagged = (
         cand.join(sh_in, "a")
         .join(sh_ex, "b")
-        .filter(inter.cast("double") / union >= jaccard_threshold)
+        .filter(jac_ok)
         .select(F.col("a").alias(id_col))
         .distinct()
     )
     fresh = survivors.join(flagged, id_col, "left_anti")
-    pairs = minhash_lsh_candidates(
-        fresh,
-        text_col,
-        id_col,
-        num_hashes,
-        bands,
-        shingle_k,
-        jaccard_threshold,
-        hasher,
+
+    # within-batch: pair generation straight from the ALREADY-persisted
+    # incoming bands/shingles (filtered to still-fresh ids) — no third
+    # run of the shingle+minhash pipeline
+    fresh_ids = fresh.select(id_col)
+    b_in = bands_in.join(fresh_ids, id_col, "left_semi")
+    pa = b_in.select(F.col(id_col).alias("a"), "band_key")
+    pb = b_in.select(F.col(id_col).alias("b"), "band_key")
+    pairs = (
+        pa.join(pb, "band_key")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .join(sh_in, "a")
+        .join(
+            sigs_in.select(F.col(id_col).alias("b"), F.col("shingles").alias("sh_b")),
+            "b",
+        )
+        .filter(jac_ok)
+        .select("a", "b")
     )
     return dedup_by_clusters(fresh, pairs, id_col)
 

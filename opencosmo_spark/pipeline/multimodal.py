@@ -137,6 +137,8 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
     if code != 1 or nch < 1 or rate <= 0 or bits not in (8, 16):
         return None
     if bits == 16:
+        # a truncated data chunk may end mid-sample — trim, don't crash
+        raw = raw[: len(raw) - (len(raw) % 2)]
         samples = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
     else:
         samples = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
@@ -184,7 +186,10 @@ def decode_audio_features(
     )
 
     def decode_one(p: bytes | None):
-        got = _decode_wav(p)
+        try:
+            got = _decode_wav(p)
+        except Exception:  # noqa: BLE001 - any dirty payload -> stub
+            got = None
         if got is not None:
             mono, rate = got
             m64 = mono.astype(np.float64)  # stats in f64: f32 sums drift

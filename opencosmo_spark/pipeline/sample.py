@@ -54,10 +54,14 @@ def stratified_sample(
     """
     key = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
     rate_expr = F.lit(int(default_rate * _SCALE)).cast("decimal(38,0)")
-    for k, r in sorted(rates.items()):
+    # None is a legal stratum key (NULL-stratum rows) — equality would
+    # never match NULL, so it compiles to isNull(); sort by str for a
+    # stable CASE order with mixed/None keys
+    for k, r in sorted(rates.items(), key=lambda kv: str(kv[0])):
+        cond = F.col(stratum_col).isNull() if k is None else F.col(stratum_col) == k
         rate_expr = (
             F.when(
-                F.col(stratum_col) == k,
+                cond,
                 F.lit(int(r * _SCALE)).cast("decimal(38,0)"),
             ).otherwise(rate_expr)
         )

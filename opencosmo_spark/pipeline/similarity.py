@@ -598,6 +598,11 @@ def pq_search(
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    if len(query_vector) != m * dsub:
+        raise ValueError(
+            f"query_vector has dim {len(query_vector)}, codebooks expect "
+            f"{m * dsub} (m={m} x dsub={dsub})"
+        )
     tables = []
     for s in range(m):
         qs = [float(x) for x in query_vector[s * dsub : (s + 1) * dsub]]

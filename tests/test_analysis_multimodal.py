@@ -413,3 +413,19 @@ def test_decode_audio_requires_real_codec_raises(spark):
     df = spark.createDataFrame([], MEDIA_SCHEMA)
     with pytest.raises(NotImplementedError):
         decode_audio_features(df, require_real_codec=True)
+
+
+def test_decode_audio_truncated_wav_falls_to_stub_or_trims(spark):
+    """A WAV whose data chunk is cut mid-sample must not crash the
+    task — it either trims to whole samples or stubs."""
+    from opencosmo_spark.pipeline.multimodal import MEDIA_SCHEMA, decode_audio_features
+
+    good = _wav_bytes(np.sin(np.arange(100) / 10.0), 8000)
+    truncated = good[:-1]  # odd byte count in the 16-bit data chunk
+    df = spark.createDataFrame(
+        [(0, "audio", bytearray(truncated), "audio/wav", 0, 0, 0)], MEDIA_SCHEMA
+    )
+    row = decode_audio_features(df).collect()[0]
+    assert row["decoder"] in ("wav", "stub-sha256")  # no crash is the contract
+    if row["decoder"] == "wav":
+        assert row["n_samples"] in (99, 100)

@@ -160,3 +160,22 @@ def test_temperature_sample_deterministic_and_near_target(spark):
     assert ids1 == ids2  # hash-deterministic, not RNG
     # the realized fraction is close to the target (hash noise only)
     assert abs(len(ids1) / 1000 - 0.5) < 0.08
+
+
+def test_pq_search_rejects_wrong_dim(spark):
+    df = pq_encode(_vec_df(spark, np.zeros((3, 4))), BOOKS)
+    with pytest.raises(ValueError, match="dim"):
+        pq_search(df, BOOKS, [0.0] * 3, k=2)
+
+
+def test_temperature_sample_null_stratum(spark):
+    # NULL-stratum rows are a legal group: they get a temperature rate
+    # like any other and the CASE compiles to isNull()
+    rows = [Row(doc_id=i, lang="en") for i in range(80)]
+    rows += [Row(doc_id=100 + i, lang=None) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    rates = temperature_mixture_rates(df, "lang", alpha=0.5, target_frac=0.5)
+    assert None in rates and rates[None] > rates["en"]
+    out = temperature_sample(df, "lang", alpha=0.5, target_frac=0.5)
+    kept = out.count()
+    assert 0 < kept < 100
