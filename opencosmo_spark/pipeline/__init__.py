@@ -18,6 +18,7 @@ from .dedup import (
     exact_dedup,
     incremental_dedup,
     line_dedup,
+    write_dedup_index,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -29,7 +30,7 @@ from .sample import (
     temperature_mixture_rates,
     temperature_sample,
 )
-from .search import bm25_scores, bm25_topk
+from .search import bm25_batch, bm25_scores, bm25_topk, build_term_index
 from .pii import pii_counts, redact_pii, scrub_pii
 from .shard import assign_shards, shard_lane, write_sharded
 from .similarity import (
@@ -103,4 +104,7 @@ __all__ = [
     "temperature_mixture_rates",
     "temperature_sample",
     "incremental_dedup",
+    "write_dedup_index",
+    "build_term_index",
+    "bm25_batch",
 ]

@@ -243,10 +243,25 @@ def _banded_signatures(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hasher)
     if persist:
         sigs = sigs.persist()
+    return sigs, band_keys_from_signatures(sigs, id_col, num_hashes, bands, hasher)
+
+
+def band_keys_from_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """(id, band_key) from a signature frame — pure array expressions
+    over the ``sig`` column, NO pass over the text. This is how a
+    loaded on-disk index (``write_dedup_index``) rebuilds its band
+    keys: the expensive part (tokenize + shingle + minhash) stays
+    paid-once at ingest."""
+    rows = num_hashes // bands
 
     def band_key(b):
         if hasher == "md5":
@@ -262,8 +277,35 @@ def _banded_signatures(
         )
 
     band_keys = F.array(*[band_key(b) for b in range(bands)])
-    banded = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
-    return sigs, banded
+    return sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+
+
+def write_dedup_index(
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    hasher: str = "xxhash64",
+    normalize: bool = True,
+    buckets: int = 64,
+) -> None:
+    """Materialize the corpus's dedup index: one parquet table of
+    (id, fp, shingles, sig) rows — the exact-dedup fingerprint plus
+    the MinHash state — repartitioned into ``buckets`` files by id
+    hash. Later ``incremental_dedup(existing_index=...)`` calls load
+    it and derive band keys with array expressions only — the corpus
+    text is never re-read, which is the difference between O(batch)
+    and O(corpus) work per arriving batch."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hasher)
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    fps = df.select(F.col(id_col), F.md5(t).alias("fp"))
+    out = fps.join(sigs, id_col)
+    out.repartition(buckets, F.col(id_col)).write.mode("overwrite").parquet(path)
 
 
 def minhash_lsh_candidates(
@@ -530,7 +572,7 @@ def dedup_by_clusters(
 
 
 def incremental_dedup(
-    existing: DataFrame,
+    existing: DataFrame | None,
     incoming: DataFrame,
     *,
     text_col: str = "text",
@@ -542,6 +584,7 @@ def incremental_dedup(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     hasher: str = "xxhash64",
+    existing_index: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup an INCOMING batch against an already-curated EXISTING
     corpus and against itself — the continuous-ingest form every
@@ -560,19 +603,22 @@ def incremental_dedup(
        shingle Jaccard; then within-batch near-dups collapse via
        connected components (batch-sized).
 
-    At 100 TB the existing side's (id, band_key) index and fingerprint
-    set are materialized once at ingest (``_banded_signatures``'s
-    ``banded`` frame, written clustered on band_key) and each batch
-    probes them as bucketed tables; this function recomputes them from
-    ``existing`` for the self-contained API, which is correct at any
-    scale but pays extra passes over the corpus per call. The corpus
-    side is deliberately NOT cached (a per-batch persist of the whole
-    corpus's signature frame would accumulate across the ingest loop);
-    only the batch-sized incoming signatures persist, and both the
-    cross-corpus and within-batch stages reuse that one frame.
+    At 100 TB pass ``existing_index`` — the loaded
+    ``write_dedup_index`` table of (id, fp, shingles, sig) — and the
+    corpus TEXT is never touched: the exact stage anti-joins the
+    index's fingerprints and the band keys derive from the stored
+    signatures with array expressions only. Without an index the
+    function recomputes both from ``existing``, which is correct at
+    any scale but pays extra passes over the corpus per call. The
+    corpus side is deliberately NOT cached (a per-batch persist of the
+    whole corpus's signature frame would accumulate across the ingest
+    loop); only the batch-sized incoming signatures persist, and both
+    the cross-corpus and within-batch stages reuse that one frame.
 
     Returns the surviving incoming rows (df-in/df-out).
     """
+    if existing is None and existing_index is None:
+        raise ValueError("pass existing and/or existing_index")
     t = F.col(text_col)
     if normalize:
         t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
@@ -581,9 +627,13 @@ def incremental_dedup(
     keep_first = (
         inc_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
     )
+    if existing_index is not None:
+        ex_fps = existing_index.select(F.col("fp").alias("__fp")).distinct()
+    else:
+        ex_fps = existing.select(fp.alias("__fp")).distinct()
     survivors = (
         inc_fp.join(keep_first, id_col, "left_semi")
-        .join(existing.select(fp.alias("__fp")).distinct(), "__fp", "left_anti")
+        .join(ex_fps, "__fp", "left_anti")
         .drop("__fp")
     )
     if not near_dup:
@@ -592,10 +642,16 @@ def incremental_dedup(
     sigs_in, bands_in = _banded_signatures(
         survivors, text_col, id_col, num_hashes, bands, shingle_k, hasher
     )
-    sigs_ex, bands_ex = _banded_signatures(
-        existing, text_col, id_col, num_hashes, bands, shingle_k, hasher,
-        persist=False,
-    )
+    if existing_index is not None:
+        sigs_ex = existing_index.select(id_col, "shingles", "sig")
+        bands_ex = band_keys_from_signatures(
+            sigs_ex, id_col, num_hashes, bands, hasher
+        )
+    else:
+        sigs_ex, bands_ex = _banded_signatures(
+            existing, text_col, id_col, num_hashes, bands, shingle_k, hasher,
+            persist=False,
+        )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac_ok = inter.cast("double") / union >= jaccard_threshold

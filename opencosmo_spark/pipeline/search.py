@@ -24,7 +24,7 @@ Scoring is Robertson/Spärck Jones BM25 (public formula):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _WORD_RE = "[a-z0-9]+"
 
@@ -112,3 +112,105 @@ def bm25_topk(
         decimals=decimals,
     )
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+
+
+def build_term_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materializable inverted index: one row per (doc, term) with the
+    term frequency and the doc's length — the batch-query amortization
+    of ``bm25_topk``. At ingest, write this clustered on ``term`` so a
+    query's posting lists prune to a handful of files; corpus-level
+    stats (N, avgdl, per-term df) are cheap aggregates over it.
+    """
+    toks = _tokens(text_col)
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(
+            df.select(
+                F.col(id_col), F.size(_tokens(text_col)).alias("dl")
+            ),
+            id_col,
+        )
+    )
+
+
+def bm25_batch(
+    df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    decimals: int = 6,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k per query for a WHOLE TABLE of queries at once — the
+    batch/offline retrieval shape (mining query-document training
+    pairs, eval-set retrieval). ``queries_df`` holds one row per
+    (query_id, term).
+
+    Plan: the per-(doc, term) inverted index (``index`` if you have it
+    materialized, else built inline) inner-joins the broadcast query
+    terms — only posting lists of queried terms survive the join; per-
+    term document frequencies and corpus stats are aggregates; scoring
+    is one groupBy (query, doc) and top-k one window per query. Every
+    shuffle is keyed by term, (query, doc), or query — never all
+    query x doc pairs.
+    """
+    idx = index if index is not None else build_term_index(
+        df, id_col=id_col, text_col=text_col
+    )
+    # corpus stats from the corpus, not the index: token-less docs are
+    # absent from posting lists but still count toward N/avgdl (same
+    # semantics as bm25_scores)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(_tokens(text_col))).alias("sumdl"),
+    )
+    qterms = queries_df.select(query_id_col, F.col(term_col).alias("term")).distinct()
+    dfreq = (
+        idx.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    hits = (
+        idx.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sumdl").cast("double") / F.col("n")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    term_score = (
+        idf
+        * tf
+        * F.lit(k1 + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+    )
+    scored = (
+        hits.select(query_id_col, id_col, term_score.alias("s"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("s"), decimals).alias("bm25"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

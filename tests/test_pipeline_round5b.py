@@ -221,3 +221,83 @@ def test_incremental_dedup_keeps_schema(spark):
     existing, incoming = _inc_corpora(spark)
     out = incremental_dedup(existing, incoming, near_dup=False)
     assert out.columns == incoming.columns
+
+
+# ---------------------------------------------------------------- bm25 batch
+def test_bm25_batch_matches_single_query_path(spark):
+    from opencosmo_spark.pipeline.search import bm25_batch, bm25_scores
+
+    docs = {
+        1: "spark shuffles data across the cluster",
+        2: "shuffle shuffle shuffle tiny",
+        3: "broadcast joins avoid the shuffle entirely in spark",
+        4: "nothing relevant here at all",
+        5: "data data data and more data",
+    }
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs.items()])
+    q1 = ["shuffle", "spark"]
+    q2 = ["data"]
+    queries = spark.createDataFrame(
+        [Row(query_id=1, term=t) for t in q1]
+        + [Row(query_id=2, term=t) for t in q2]
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["bm25"]
+        for r in bm25_batch(df, queries, k=10).collect()
+    }
+    for qid, terms in ((1, q1), (2, q2)):
+        want = {
+            r["doc_id"]: r["bm25"] for r in bm25_scores(df, terms).collect()
+        }
+        batch_docs = {d for (q, d) in got if q == qid}
+        assert batch_docs == set(want)
+        for d, s in want.items():
+            assert got[(qid, d)] == pytest.approx(s, abs=2e-6), (qid, d)
+
+
+def test_bm25_batch_accepts_materialized_index(spark, tmp_path):
+    from opencosmo_spark.pipeline.search import (
+        bm25_batch,
+        build_term_index,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta doc{i}") for i in range(10)]
+    )
+    p = str(tmp_path / "term_index")
+    build_term_index(df).write.parquet(p)
+    idx = spark.read.parquet(p)
+    queries = spark.createDataFrame([Row(query_id=1, term="alpha")])
+    out = bm25_batch(df, queries, k=3, index=idx).collect()
+    assert len(out) == 3 and all(r["query_id"] == 1 for r in out)
+
+
+def test_incremental_dedup_with_materialized_index(spark, tmp_path):
+    """The on-disk index path must give identical results to the
+    recompute-from-text path, without reading the corpus text."""
+    from opencosmo_spark.pipeline import incremental_dedup, write_dedup_index
+
+    existing, incoming = _inc_corpora(spark)
+    p = str(tmp_path / "dedup_index")
+    write_dedup_index(existing, p, buckets=4)
+    idx = spark.read.parquet(p)
+    assert set(idx.columns) == {"doc_id", "fp", "shingles", "sig"}
+
+    got_idx = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(
+            None, incoming, jaccard_threshold=0.5, existing_index=idx
+        ).collect()
+    )
+    got_txt = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(
+            existing, incoming, jaccard_threshold=0.5
+        ).collect()
+    )
+    assert got_idx == got_txt == [102, 104]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        incremental_dedup(None, incoming)
