@@ -38,6 +38,7 @@ from .similarity import (
     brute_force_cosine_topk,
     ivf_ann,
     ivf_lloyd_step,
+    ivf_pq_search,
     lsh_bucket_ann,
     pq_encode,
     pq_pack_codes,
@@ -107,4 +108,5 @@ __all__ = [
     "write_dedup_index",
     "build_term_index",
     "bm25_batch",
+    "ivf_pq_search",
 ]

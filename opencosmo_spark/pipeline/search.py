@@ -127,16 +127,17 @@ def build_term_index(
     stats (N, avgdl, per-term df) are cheap aggregates over it.
     """
     toks = _tokens(text_col)
+    # dl rides the explode so the index is ONE pass + one shuffle —
+    # no re-tokenize, no join back
     return (
-        df.select(F.col(id_col), F.explode(toks).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .join(
-            df.select(
-                F.col(id_col), F.size(_tokens(text_col)).alias("dl")
-            ),
-            id_col,
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(
+            F.col(id_col),
+            F.size("__t").alias("dl"),
+            F.explode("__t").alias("term"),
         )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
 
 

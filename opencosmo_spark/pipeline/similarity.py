@@ -622,3 +622,68 @@ def pq_search(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_pq_search(
+    df_encoded: DataFrame,
+    ivf_codebook: list[tuple[int, list[float]]],
+    pq_codebooks: list[list[list[float]]],
+    query_vector: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    *,
+    id_col: str = "vec_id",
+    cell_col: str = "__ivf_cell",
+    code_col: str = "pq_codes",
+    rerank: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The FAISS-IVFPQ composition, from this module's own pieces:
+    IVF cell probe (file-level pruning on a cell-clustered table) ->
+    PQ asymmetric-distance scan over the probed cells (reads only the
+    m-byte codes) -> optional exact re-rank of the short candidate
+    list against the raw vectors.
+
+    ``df_encoded`` must carry ``cell_col`` (from ``assign_ivf_cells``)
+    and ``code_col`` (from ``pq_encode``) — both stamped at ingest.
+    With ``rerank`` (a (id, vec) frame, usually the same table), the
+    top ``4*k`` ADC candidates are joined back to their raw vectors
+    and exactly re-scored — a k-row join, the standard recall
+    recovery. This is the 100 TB posture: the big scan touches codes
+    of nprobe/nlist of the corpus; full vectors are read for tens of
+    rows only.
+    """
+
+    def cos_py(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            x, y = float(x), float(y)
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / ((na**0.5) * (nb**0.5) or 1.0)
+
+    probe = sorted(
+        ((round(cos_py(query_vector, c), 6), cid) for cid, c in ivf_codebook),
+        key=lambda t: (-t[0], t[1]),
+    )[:nprobe]
+    probe_cells = [cid for _, cid in probe]
+    cand = df_encoded.filter(F.col(cell_col).isin(probe_cells))
+    adc = pq_search(
+        cand,
+        pq_codebooks,
+        query_vector,
+        k=k if rerank is None else 4 * k,
+        id_col=id_col,
+        code_col=code_col,
+    )
+    if rerank is None:
+        return adc
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    sim = cosine(F.col(vec_col), q)
+    return (
+        rerank.join(adc.select(id_col), id_col, "left_semi")
+        .select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -179,3 +179,39 @@ def test_temperature_sample_null_stratum(spark):
     out = temperature_sample(df, "lang", alpha=0.5, target_frac=0.5)
     kept = out.count()
     assert 0 < kept < 100
+
+
+def test_ivf_pq_search_recovers_exact_with_rerank(spark):
+    """IVF probe -> ADC scan -> exact rerank: with full probes and
+    rerank, the result equals brute-force cosine top-k."""
+    from opencosmo_spark.pipeline import (
+        assign_ivf_cells,
+        brute_force_cosine_topk,
+        ivf_pq_search,
+        pq_train_codebooks,
+        train_ivf_codebook,
+    )
+
+    rng = np.random.default_rng(9)
+    vecs = np.vstack(
+        [rng.normal(0, 0.3, size=(25, 8)), rng.normal(5, 0.3, size=(25, 8))]
+    )
+    df = _vec_df(spark, vecs)
+    ivf = train_ivf_codebook(df, nlist=2, iters=3, vec_col="embedding")
+    books = pq_train_codebooks(df, m=4, ksub=4, iters=3)
+    from opencosmo_spark.pipeline import pq_encode
+
+    enc = pq_encode(assign_ivf_cells(df, ivf), books)
+    q = list(vecs[3])
+
+    got = ivf_pq_search(
+        enc, ivf, books, q, k=5, nprobe=2, rerank=df
+    ).collect()
+    want = brute_force_cosine_topk(df, q, k=5).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
+        (r["vec_id"], r["cos_sim"]) for r in want
+    ]
+
+    # single-probe ADC-only: stays inside the query's blob
+    adc_only = ivf_pq_search(enc, ivf, books, q, k=5, nprobe=1).collect()
+    assert all(r["vec_id"] < 25 for r in adc_only)
