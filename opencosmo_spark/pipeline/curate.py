@@ -44,8 +44,12 @@ def curate_corpus(
     boilerplate_min_dup: int | None = None,
     jaccard_threshold: float = 0.8,
     decontam_k: int = 8,
+    max_dup_span_frac: float | None = None,
+    dup_span: int = 8,
     mix: dict[str, float] | None = None,
     mix_col: str | None = None,
+    mix_alpha: float | None = None,
+    mix_target_frac: float = 0.5,
     n_shards: int | None = None,
     report: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
@@ -64,8 +68,15 @@ def curate_corpus(
        components -> keep cluster canonical.
     6. decontamination vs ``eval_df`` (when given): any shared
        ``decontam_k``-gram disqualifies.
-    7. training mix: per-stratum deterministic downsample (``mix`` +
-       ``mix_col``).
+    6b. duplicated-span gate (``max_dup_span_frac`` not None): drop
+       docs whose fraction of corpus-duplicated ``dup_span``-word
+       windows exceeds the cap — catches heavy boilerplate that
+       survives doc-level near-dup (runs late: it is span-explode
+       priced, so the corpus is already small).
+    7. training mix: per-stratum deterministic downsample — explicit
+       ``mix`` rates, or ``mix_alpha`` to derive temperature-based
+       rates from the surviving group counts (``mix_target_frac`` of
+       the corpus kept).
     8. shard assignment (``n_shards``): adds shard / shard_pos.
     """
     counts: dict[str, int] = {}
@@ -123,7 +134,28 @@ def curate_corpus(
             ),
         )
 
-    if mix and mix_col:
+    if max_dup_span_frac is not None:
+        from .dedup import duplicate_spans
+
+        spanned = duplicate_spans(
+            out, text_col=text_col, id_col=id_col, span=dup_span
+        )
+        keep_spans = spanned.filter(
+            F.col("dup_frac") <= max_dup_span_frac
+        ).select(id_col)
+        out = mark("span_gate", out.join(keep_spans, id_col, "left_semi"))
+
+    if mix_col and mix_alpha is not None:
+        from .sample import temperature_sample
+
+        out = mark(
+            "mix",
+            temperature_sample(
+                out, mix_col, alpha=mix_alpha,
+                target_frac=mix_target_frac, id_col=id_col,
+            ),
+        )
+    elif mix and mix_col:
         out = mark(
             "mix",
             stratified_sample(out, mix, mix_col, id_col=id_col),

@@ -424,3 +424,59 @@ def test_curate_corpus_end_to_end(spark):
     out2, counts2 = curate_corpus(df, report=False)
     assert counts2 == {}
     assert out2.count() > 0
+
+
+def test_curate_corpus_span_gate_and_temperature_mix(spark):
+    """The optional round-5 stages: span-duplication gate drops the
+    boilerplate-heavy doc; temperature mix derives rates from the
+    surviving language counts."""
+    from pyspark.sql import Row
+
+    from opencosmo_spark.pipeline import curate_corpus
+
+    span_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # 30 clean majority-language docs with unique tails
+        Row(
+            doc_id=i,
+            text=f"perfectly clean document number {i} with plenty of "
+            f"unique words appended tail{i} tail{i + 1} tail{i + 2}",
+            lang="en",
+        )
+        for i in range(30)
+    ] + [
+        # 10 minority-language docs
+        Row(
+            doc_id=100 + i,
+            text=f"kleines sauberes dokument nummer {i} mit vielen "
+            f"eindeutigen worten ende{i} ende{i + 1} ende{i + 2}",
+            lang="de",
+        )
+        for i in range(10)
+    ] + [
+        # one doc that is ENTIRELY a span shared with doc 201 ->
+        # dup_frac 1.0 in both; both must die at the span gate
+        Row(doc_id=200, text=span_text + " unique200suffix word word", lang="en"),
+        Row(doc_id=201, text=span_text + " unique201suffix word word", lang="en"),
+    ]
+    df = spark.createDataFrame(rows)
+    out, counts = curate_corpus(
+        df,
+        min_quality=0.0,
+        min_tokens=1,
+        jaccard_threshold=0.95,
+        max_dup_span_frac=0.2,
+        dup_span=8,
+        mix_col="lang",
+        mix_alpha=0.5,
+        mix_target_frac=0.6,
+        report=True,
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 200 not in ids and 201 not in ids
+    assert counts["span_gate"] == counts["near_dedup"] - 2
+    assert counts["mix"] == len(ids) > 0
+    # temperature upweights the minority language relative to share
+    n_en = sum(1 for i in ids if i < 100)
+    n_de = sum(1 for i in ids if 100 <= i < 200)
+    assert n_de / 10 > n_en / 30
