@@ -1,0 +1,76 @@
+"""End-to-end example: curate a raw document corpus, build search and
+ANN indexes over the survivors, and dedup a later incremental batch.
+
+Run against the synthetic fixtures:
+
+    python examples/curation_pipeline.py [sf_dir]
+
+Everything here is the public package API; each step prints what it
+did. At real scale the same calls run unchanged on a cluster — the
+operators' scale posture is documented per-function and in SCALE.md.
+"""
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from opencosmo_spark import get_spark  # noqa: E402
+from opencosmo_spark.pipeline import (  # noqa: E402
+    bm25_topk,
+    brute_force_cosine_topk,
+    curate_corpus,
+    incremental_dedup,
+    ivf_ann,
+    train_ivf_codebook,
+)
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def main():
+    spark = get_spark("example")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    # 1. one-call curation: quality gate, PII scrub, exact + near dedup,
+    #    span gate, temperature training mix, 8 loader shards
+    curated, counts = curate_corpus(
+        docs,
+        min_quality=0.2,
+        jaccard_threshold=0.8,
+        max_dup_span_frac=0.8,
+        mix_col="lang",
+        mix_alpha=0.7,
+        mix_target_frac=0.7,
+        n_shards=8,
+        report=True,
+    )
+    print("curation attrition:", counts)
+
+    # 2. keyword search over the curated corpus
+    hits = bm25_topk(curated, ["vector", "key"], k=5)
+    print("bm25 top-5:", [(r["doc_id"], r["bm25"]) for r in hits.collect()])
+
+    # 3. ANN over embeddings: train an IVF codebook, probe 2 cells
+    codebook = train_ivf_codebook(emb, nlist=8, iters=3)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    ann = ivf_ann(emb, q, k=5, nlist=8, nprobe=2, codebook=codebook)
+    exact = brute_force_cosine_topk(emb, q, k=5)
+    print("ivf top-5:  ", [r["vec_id"] for r in ann.collect()])
+    print("exact top-5:", [r["vec_id"] for r in exact.collect()])
+
+    # 4. a later batch arrives: dedup it against the curated corpus
+    batch = docs.limit(50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    fresh = incremental_dedup(curated, batch, jaccard_threshold=0.8)
+    print(f"incremental batch: {batch.count()} in -> {fresh.count()} new")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
