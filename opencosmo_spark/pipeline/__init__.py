@@ -8,6 +8,7 @@ semantics demand Python, and LSH-style candidate generation instead of
 all-pairs scans.
 """
 
+from .bpe import apply_bpe, train_bpe_merges, word_frequencies
 from .classify import nb_classify, nb_predict, nb_train
 from .curate import curate_corpus
 from .decontaminate import decontaminate, ngram_overlap, semantic_overlap
@@ -109,4 +110,7 @@ __all__ = [
     "build_term_index",
     "bm25_batch",
     "ivf_pq_search",
+    "train_bpe_merges",
+    "apply_bpe",
+    "word_frequencies",
 ]

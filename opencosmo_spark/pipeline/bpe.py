@@ -1,0 +1,150 @@
+"""Distributed BPE (byte-pair encoding) merge training — the
+tokenizer-training step of a pre-training data pipeline, expressed as
+DataFrame aggregations (public algorithm: Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units").
+
+Shape: the corpus collapses once into a WORD-FREQUENCY table (one
+shuffle keyed by word; at web scale this is tens of millions of rows —
+DataFrame-sized, never driver-sized). Each merge round then
+
+  1. counts adjacent symbol pairs over the word table, weighted by
+     word frequency — one aggregation keyed by the 2-symbol pair, and
+  2. pulls ONE row (the argmax pair) to the driver, and
+  3. rewrites each word's symbol array with that pair merged — a pure
+     array expression, no shuffle.
+
+So ``n_merges`` rounds cost n_merges aggregations over the word table
+(not the corpus), and the driver only ever holds the merge list. The
+word table is localCheckpoint()ed each round to truncate the plan
+(the symbol rewrite would otherwise nest n_merges transforms deep) —
+swap for ``checkpoint()`` on a real cluster.
+
+Determinism: ties on pair count break by the pair's symbols
+lexicographically, so the merge list is reproducible across runs and
+partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_WORD_RE = "[a-z0-9]+"
+_EOW = "</w>"
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq) over the corpus — the one corpus-sized shuffle."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+    return (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_symbols(word: F.Column) -> F.Column:
+    """Split a word into single characters plus the end-of-word mark."""
+    chars = F.split(word, "")
+    # split("") leaves a trailing empty string on some engines; filter
+    chars = F.filter(chars, lambda c: c != F.lit(""))
+    return F.concat(chars, F.array(F.lit(_EOW)))
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over (symbols, freq) rows: zip_with of
+    the symbol array against its own 1-shifted slice (the shingle
+    trick), exploded and weight-summed. One aggregation keyed by the
+    pair string."""
+    syms = F.col("symbols")
+    n = F.size(syms)
+    left = F.slice(syms, 1, F.greatest(n - 1, F.lit(0)))
+    right = F.slice(syms, 2, F.greatest(n - 1, F.lit(0)))
+    pairs = F.zip_with(left, right, lambda a, b: F.concat_ws(" ", a, b))
+    return (
+        words.select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _merge_symbols(syms, a: str, b: str) -> F.Column:
+    """Rewrite a symbol array merging every adjacent (a, b) into ab —
+    a left-to-right fold (the BPE rule), as one aggregate expression.
+    ``a``/``b`` bind via this closure: the fold lambda itself must
+    take exactly (acc, s) for PySpark's HOF arity detection."""
+    merged = F.lit(a + b)
+
+    def step(acc, s):
+        prev = F.element_at(acc, -1)
+        return F.when(
+            (F.size(acc) > 0) & (prev == F.lit(a)) & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the
+    ordered merge list [(left_symbol, right_symbol), ...]. Stops early
+    when the best remaining pair's weighted frequency drops below
+    ``min_pair_freq``."""
+    words = (
+        word_frequencies(df, text_col)
+        .select(_initial_symbols(F.col("word")).alias("symbols"), "freq")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_freq:
+            break
+        a, b = top[0]["pair"].split(" ")
+        merges.append((a, b))
+        words = words.select(
+            _merge_symbols(F.col("symbols"), a, b).alias("symbols"), "freq"
+        ).localCheckpoint()
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize documents with a learned merge list: per word, apply
+    the merges in training order (the standard greedy scheme). Pure
+    array expressions — at 100 TB this is an embarrassingly parallel
+    projection; the merge list is a driver literal.
+
+    The merge chain nests ``len(merges)`` fold expressions; keep merge
+    lists applied this way to O(100). Real vocab-sized lists (30k+)
+    belong in a broadcast trie consumed by a pandas UDF — this
+    expression form exists to keep small/medium vocabularies entirely
+    JVM-side.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+
+    def tokenize_word(w):
+        chars = F.filter(F.split(w, ""), lambda c: c != F.lit(""))
+        syms = F.concat(chars, F.array(F.lit(_EOW)))
+        for a, b in merges:
+            syms = _merge_symbols(syms, a, b)
+        return syms
+
+    out = F.flatten(F.transform(toks, tokenize_word))
+    return df.select(F.col(id_col), out.alias(out_col))

@@ -1,0 +1,109 @@
+"""Distributed BPE merge training vs a reference Python implementation."""
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import Row
+
+from opencosmo_spark.pipeline.bpe import (
+    apply_bpe,
+    train_bpe_merges,
+    word_frequencies,
+)
+
+EOW = "</w>"
+
+
+def _ref_bpe(texts, n_merges, min_pair_freq=2):
+    """Plain-Python BPE (Sennrich-style) on a word-frequency dict."""
+    wf = Counter()
+    for t in texts:
+        wf.update(re.findall(r"[a-z0-9]+", t.lower()))
+    words = {tuple(list(w) + [EOW]): f for w, f in wf.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        # argmax with lexicographic tie-break on "a b" strings
+        best = min(pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        if best[1] < min_pair_freq:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        new = {}
+        for syms, f in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        words = new
+    return merges
+
+
+def _ref_apply(word, merges):
+    syms = list(word) + [EOW]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+TEXTS = [
+    "low lower lowest newer newest wide wider widest",
+    "low low lower newer newer newest new new news",
+    "the lowest new wide road the widest low road",
+]
+
+
+def test_word_frequencies(spark):
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(TEXTS)])
+    got = {r["word"]: r["freq"] for r in word_frequencies(df).collect()}
+    want = Counter()
+    for t in TEXTS:
+        want.update(re.findall(r"[a-z0-9]+", t.lower()))
+    assert got == dict(want)
+
+
+def test_train_bpe_matches_reference(spark):
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(TEXTS)])
+    got = train_bpe_merges(df, n_merges=12)
+    want = _ref_bpe(TEXTS, 12)
+    assert got == want
+    assert len(got) > 3  # the corpus has real structure to learn
+
+
+def test_apply_bpe_matches_reference(spark):
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(TEXTS)])
+    merges = train_bpe_merges(df, n_merges=8)
+    toks = {
+        r["doc_id"]: r["bpe_tokens"] for r in apply_bpe(df, merges).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        want = []
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            want.extend(_ref_apply(w, merges))
+        assert toks[i] == want, i
+
+
+def test_train_bpe_early_stop(spark):
+    # every word unique, every pair frequency 1 -> no merges at default
+    # min_pair_freq=2
+    df = spark.createDataFrame([Row(doc_id=0, text="ab cd ef")])
+    assert train_bpe_merges(df, n_merges=5) == []
