@@ -32,7 +32,7 @@ from .sample import (
     temperature_sample,
 )
 from .search import bm25_batch, bm25_scores, bm25_topk, build_term_index
-from .pii import pii_counts, redact_pii, scrub_pii
+from .pii import pii_counts, pseudonymize, redact_pii, scrub_pii
 from .shard import assign_shards, shard_lane, write_sharded
 from .similarity import (
     assign_ivf_cells,
@@ -113,4 +113,5 @@ __all__ = [
     "train_bpe_merges",
     "apply_bpe",
     "word_frequencies",
+    "pseudonymize",
 ]

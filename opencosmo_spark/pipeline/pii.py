@@ -87,3 +87,41 @@ def scrub_pii(
     if keep_original:
         out = out.withColumn(f"{text_col}_raw", F.col(text_col))
     return out.withColumn(text_col, redact_pii(F.col(text_col)))
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str,
+    keep_bits: int = 60,
+) -> DataFrame:
+    """Replace identifier columns with salted one-way hashes — the
+    pseudonymization step privacy reviews require before user-keyed
+    data enters a training corpus. Same input + salt always maps to
+    the same token (joins and groupBys on the pseudonym still work,
+    across tables and runs); without the salt the mapping is not
+    reversible by rainbow table.
+
+    Each column becomes ``md5(value || ':' || salt)`` truncated to
+    ``keep_bits`` as a BIGINT (the md5-lane idiom — engine-portable
+    and join-friendly). NULLs stay NULL. Pure projection: no shuffle,
+    no UDF, pushes through column pruning.
+    """
+    if not salt:
+        raise ValueError("a non-empty salt is required")
+    hexlen = max(1, min(15, keep_bits // 4))
+    out = df
+    for c in cols:
+        lane = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(c).cast("string"), F.lit(":" + salt))),
+                1,
+                hexlen,
+            ),
+            16,
+            10,
+        ).cast("long")
+        out = out.withColumn(
+            c, F.when(F.col(c).isNull(), F.lit(None).cast("long")).otherwise(lane)
+        )
+    return out

@@ -480,3 +480,35 @@ def test_curate_corpus_span_gate_and_temperature_mix(spark):
     n_en = sum(1 for i in ids if i < 100)
     n_de = sum(1 for i in ids if 100 <= i < 200)
     assert n_de / 10 > n_en / 30
+
+
+def test_pseudonymize_stable_joinable_and_irreversible(spark):
+    from pyspark.sql import Row
+
+    from opencosmo_spark.pipeline.pii import pseudonymize
+
+    ev = spark.createDataFrame(
+        [Row(user_id=7, v=1.0), Row(user_id=8, v=2.0), Row(user_id=None, v=3.0)],
+        "user_id LONG, v DOUBLE",
+    )
+    orders = spark.createDataFrame(
+        [Row(user_id=7, amt=10.0), Row(user_id=9, amt=20.0)]
+    )
+    pe = pseudonymize(ev, ["user_id"], salt="s1")
+    po = pseudonymize(orders, ["user_id"], salt="s1")
+    # same salt -> joins still line up on the pseudonym
+    joined = pe.join(po, "user_id")
+    assert joined.count() == 1 and joined.first()["amt"] == 10.0
+    # values are replaced, not passthrough; NULL stays NULL
+    vals = {r["v"]: r["user_id"] for r in pe.collect()}
+    assert vals[1.0] not in (7, 8) and vals[3.0] is None
+    # a different salt breaks linkage
+    po2 = pseudonymize(orders, ["user_id"], salt="s2")
+    assert pe.join(po2, "user_id").count() == 0
+    # deterministic across invocations
+    again = {r["v"]: r["user_id"] for r in pseudonymize(ev, ["user_id"], "s1").collect()}
+    assert again == vals
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pseudonymize(ev, ["user_id"], salt="")
