@@ -11,6 +11,7 @@ all-pairs scans.
 from .bpe import apply_bpe, train_bpe_merges, word_frequencies
 from .classify import nb_classify, nb_predict, nb_train
 from .curate import curate_corpus
+from .drift import psi_report
 from .decontaminate import decontaminate, ngram_overlap, semantic_overlap
 from .dedup import (
     connected_components,
@@ -114,4 +115,5 @@ __all__ = [
     "apply_bpe",
     "word_frequencies",
     "pseudonymize",
+    "psi_report",
 ]

@@ -313,3 +313,22 @@ def test_q62_line_dedup_hot_set_broadcasts(spark):
     n = nodes(plan)
     assert n.count("SortMergeJoin") == 0
     assert n.count("BroadcastHashJoin") >= 2
+
+
+def test_bm25_batch_no_cartesian(spark):
+    """Batch retrieval must never cross query x doc: the only join
+    paths are term-keyed (broadcast query terms) plus the single-row
+    stats broadcast — no CartesianProduct in the plan."""
+    from pyspark.sql import Row
+
+    from opencosmo_spark.pipeline.search import bm25_batch
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta w{i}") for i in range(20)]
+    )
+    qs = spark.createDataFrame(
+        [Row(query_id=1, term="alpha"), Row(query_id=2, term="beta")]
+    )
+    plan = bm25_batch(docs, qs, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
