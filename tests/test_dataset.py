@@ -304,3 +304,41 @@ def test_literal_array_compositions(halos):
     # select keeps the added column; drop removes it
     assert "dist" in ds.select("fof_halo_tag", "dist").columns
     assert "dist" not in ds.drop("dist").columns
+
+
+def test_take_too_many_returns_all(halos):
+    """Reference test_take.py::test_take_too_many / _end_too_many:
+    asking for more rows than exist returns the whole dataset, not an
+    error — both ends."""
+    n = len(halos)
+    assert len(halos.take(n + 1)) == n
+    assert len(halos.take(n + 1, at="end")) == n
+
+
+def test_filter_scalar_uses_current_selection(halos, halos_np):
+    """Reference test_filters.py::test_filter_scalar_uses_current_selection:
+    a scalar reduction chained after a filter reduces over the
+    already-filtered rows, not the full dataset."""
+    m = halos_np["fof_halo_mass"].astype(np.float64)
+    cut = np.median(m)
+    pref = halos.filter(col("fof_halo_mass") > cut)
+    pref_mean = m[m > cut].mean()
+    full_mean = m.mean()
+    assert not np.isclose(pref_mean, full_mean)
+
+    above = pref.filter(col("fof_halo_mass") > col("fof_halo_mass").mean())
+    vals = above.get_data("numpy")["fof_halo_mass"].astype(np.float64)
+    assert len(vals) == np.sum(m[m > cut] > pref_mean)
+    assert np.all(vals > pref_mean)
+
+
+def test_invalid_column_raises(halos):
+    """Reference test_filters/test_select invalid-column tests: using a
+    nonexistent column fails loudly at materialization or before."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises((AnalysisException, KeyError, ValueError)):
+        halos.filter(col("definitely_not_a_column") > 1).get_data()
+    with _pytest.raises((AnalysisException, KeyError, ValueError)):
+        halos.select("also_not_a_column").get_data()
