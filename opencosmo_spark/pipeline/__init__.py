@@ -24,6 +24,7 @@ from .dedup import (
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
+    read_dedup_index,
     simhash,
 )
 from .sample import (
@@ -116,4 +117,5 @@ __all__ = [
     "word_frequencies",
     "pseudonymize",
     "psi_report",
+    "read_dedup_index",
 ]

@@ -28,7 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-_WORD_RE = "[a-z0-9]+"
+from .text import words_expr
+
 _EOW = "</w>"
 
 
@@ -36,7 +37,7 @@ def word_frequencies(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """(word, freq) over the corpus — the one corpus-sized shuffle."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+    toks = words_expr(text_col)
     return (
         df.select(F.explode(toks).alias("word"))
         .groupBy("word")
@@ -137,7 +138,7 @@ def apply_bpe(
     expression form exists to keep small/medium vocabularies entirely
     JVM-side.
     """
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+    toks = words_expr(text_col)
 
     def tokenize_word(w):
         chars = F.filter(F.split(w, ""), lambda c: c != F.lit(""))

@@ -32,8 +32,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from .dedup import md5_lane
+from .text import words_expr
 
-_WORD_RE = "[a-z0-9]+"
 _SCALE = 1_000_000
 
 
@@ -43,7 +43,7 @@ def _doc_features(
     """(id_cols..., feat, c): hashed-token counts per document —
     pre-aggregated so later joins fan out over distinct features, not
     raw tokens."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+    toks = words_expr(text_col)
     return (
         df.select(*id_cols, F.explode(toks).alias("__tok"))
         .select(

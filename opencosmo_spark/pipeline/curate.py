@@ -79,6 +79,11 @@ def curate_corpus(
        the corpus kept).
     8. shard assignment (``n_shards``): adds shard / shard_pos.
     """
+    if mix is not None and mix_alpha is not None:
+        raise ValueError(
+            "pass explicit mix rates OR mix_alpha (temperature-derived "
+            "rates), not both — the combination is ambiguous"
+        )
     counts: dict[str, int] = {}
 
     def mark(name: str, d: DataFrame) -> DataFrame:

@@ -12,13 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def md5_lane(c) -> F.Column:
-    """Deterministic 60-bit non-negative hash lane from md5, computable
-    bit-for-bit in standard SQL engines (DuckDB:
-    ``('0x' || substring(md5(x), 1, 15))::BIGINT``). ~2x slower than
-    xxhash64 — the cross-engine-checkable primitive, not the scale
-    default."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+def md5_lane(c, hex_digits: int = 15) -> F.Column:
+    """Deterministic non-negative hash lane from md5 (60 bits at the
+    default 15 hex digits), computable bit-for-bit in standard SQL
+    engines (DuckDB: ``('0x' || substring(md5(x), 1, 15))::BIGINT``).
+    ~2x slower than xxhash64 — the cross-engine-checkable primitive,
+    not the scale default. The ONE home of this idiom: sampling,
+    sharding, classification hashing, and pseudonymization all call
+    it so the lane can never drift between modules."""
+    return F.conv(F.substring(F.md5(c), 1, hex_digits), 16, 10).cast("long")
 
 
 def _shingle_frame(
@@ -291,14 +293,21 @@ def write_dedup_index(
     hasher: str = "xxhash64",
     normalize: bool = True,
     buckets: int = 64,
-) -> None:
+) -> dict:
     """Materialize the corpus's dedup index: one parquet table of
     (id, fp, shingles, sig) rows — the exact-dedup fingerprint plus
     the MinHash state — repartitioned into ``buckets`` files by id
     hash. Later ``incremental_dedup(existing_index=...)`` calls load
     it and derive band keys with array expressions only — the corpus
     text is never re-read, which is the difference between O(batch)
-    and O(corpus) work per arriving batch."""
+    and O(corpus) work per arriving batch.
+
+    The build parameters are written as ``_dedup_params.json`` inside
+    the directory (and returned): an index probed with DIFFERENT
+    shingle/hash parameters would silently miss every duplicate, so
+    ``read_dedup_index`` returns them and ``incremental_dedup``
+    validates them when given.
+    """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hasher)
     t = F.col(text_col)
     if normalize:
@@ -306,6 +315,36 @@ def write_dedup_index(
     fps = df.select(F.col(id_col), F.md5(t).alias("fp"))
     out = fps.join(sigs, id_col)
     out.repartition(buckets, F.col(id_col)).write.mode("overwrite").parquet(path)
+    import json
+    import os
+
+    params = {
+        "num_hashes": num_hashes,
+        "shingle_k": shingle_k,
+        "hasher": hasher,
+        "normalize": normalize,
+        "id_col": id_col,
+    }
+    with open(os.path.join(path, "_dedup_params.json"), "w") as f:
+        json.dump(params, f)
+    return params
+
+
+def read_dedup_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a ``write_dedup_index`` table plus its build parameters.
+    Pass both to ``incremental_dedup(existing_index=...,
+    index_params=...)`` so a parameter mismatch fails loudly instead
+    of silently missing duplicates."""
+    import json
+    import os
+
+    df = spark.read.parquet(path)
+    params_file = os.path.join(path, "_dedup_params.json")
+    params: dict = {}
+    if os.path.exists(params_file):
+        with open(params_file) as f:
+            params = json.load(f)
+    return df, params
 
 
 def minhash_lsh_candidates(
@@ -585,6 +624,7 @@ def incremental_dedup(
     jaccard_threshold: float = 0.5,
     hasher: str = "xxhash64",
     existing_index: DataFrame | None = None,
+    index_params: dict | None = None,
 ) -> DataFrame:
     """Dedup an INCOMING batch against an already-curated EXISTING
     corpus and against itself — the continuous-ingest form every
@@ -619,6 +659,27 @@ def incremental_dedup(
     """
     if existing is None and existing_index is None:
         raise ValueError("pass existing and/or existing_index")
+    if index_params:
+        # an index probed with different shingle/hash parameters would
+        # silently miss every duplicate — fail loudly instead
+        call_params = {
+            "num_hashes": num_hashes,
+            "shingle_k": shingle_k,
+            "hasher": hasher,
+            "normalize": normalize,
+            "id_col": id_col,
+        }
+        mismatched = {
+            k: (v, index_params[k])
+            for k, v in call_params.items()
+            if k in index_params and index_params[k] != v
+        }
+        if mismatched:
+            raise ValueError(
+                f"index was built with different parameters: {mismatched} "
+                "(call vs index) — re-run with the index's parameters or "
+                "rebuild the index"
+            )
     t = F.col(text_col)
     if normalize:
         t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))

@@ -5,13 +5,14 @@ in production data monitoring (public formula:
 ``PSI = sum_i (p_cur_i - p_ref_i) * ln(p_cur_i / p_ref_i)``, with the
 usual reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
 
-Shape: numeric columns are bucketed by the REFERENCE side's quantile
-edges (one ``approx_percentile`` pass over the reference), then each
-side pays one aggregation keyed by (column, bucket); categorical
-columns aggregate by value with a top-k cap so a high-cardinality id
-column can't blow up the report. Everything that crosses the wire is
-(column, bucket, count) rows — the report itself is driver-sized by
-construction.
+Shape, per snapshot side: ONE quantile pass over the reference fixes
+every numeric column's bucket edges, then ONE aggregation covers ALL
+numeric columns at once (each row explodes to its (column, bucket)
+pairs — numeric-col-count small integers per row, grouped by
+(column, bucket)), and ONE aggregation per categorical column (value-
+keyed, with the row total taken from the numeric pass or a single
+count). Everything that crosses the wire is (column, bucket, count)
+rows — the report itself is driver-sized by construction.
 """
 
 from __future__ import annotations
@@ -37,7 +38,7 @@ def _numeric_edges(
     return {c: sorted(set(row[c] or [])) for c in columns}
 
 
-def _bucketize(df: DataFrame, col: str, edges: list[float]) -> F.Column:
+def _bucketize(col: str, edges: list[float]) -> F.Column:
     """Bucket index by the reference edges — a CASE chain (edges are
     driver-small), NULLs to bucket -1."""
     b = F.lit(len(edges))
@@ -47,19 +48,40 @@ def _bucketize(df: DataFrame, col: str, edges: list[float]) -> F.Column:
     return F.when(v.isNull(), F.lit(-1)).otherwise(b)
 
 
-def _bucket_fracs(
-    df: DataFrame, col: str, edges: list[float]
-) -> dict[int, float]:
+def _all_numeric_fracs(
+    df: DataFrame, edges: dict[str, list[float]]
+) -> tuple[dict[str, dict[int, float]], int]:
+    """{col: {bucket: fraction}} for every numeric column in ONE
+    aggregation: each row contributes one (col, bucket) struct per
+    column, exploded and counted. Also returns the row total."""
+    cols = list(edges)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"), _bucketize(c, edges[c]).alias("b")
+            )
+            for c in cols
+        ]
+    )
     rows = (
-        df.groupBy(_bucketize(df, col, edges).alias("b"))
+        df.select(F.explode(structs).alias("z"))
+        .groupBy(F.col("z.col").alias("col"), F.col("z.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    total = sum(r["n"] for r in rows) or 1
-    return {int(r["b"]): r["n"] / total for r in rows}
+    per_col: dict[str, dict[int, float]] = {c: {} for c in cols}
+    totals: dict[str, int] = {c: 0 for c in cols}
+    for r in rows:
+        totals[r["col"]] += r["n"]
+    for r in rows:
+        per_col[r["col"]][int(r["b"])] = r["n"] / (totals[r["col"]] or 1)
+    total_rows = next(iter(totals.values()), 0)
+    return per_col, total_rows
 
 
-def _value_fracs(df: DataFrame, col: str, top_k: int) -> dict[str, float]:
+def _value_fracs(
+    df: DataFrame, col: str, top_k: int, total: int
+) -> dict[str, float]:
     rows = (
         df.groupBy(F.col(col).cast("string").alias("v"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -67,8 +89,8 @@ def _value_fracs(df: DataFrame, col: str, top_k: int) -> dict[str, float]:
         .limit(top_k)
         .collect()
     )
-    total_all = df.count() or 1
-    out = {r["v"]: r["n"] / total_all for r in rows}
+    total = total or 1
+    out = {r["v"]: r["n"] / total for r in rows}
     tail = 1.0 - sum(out.values())
     if tail > 0:
         out["__other__"] = tail
@@ -98,19 +120,29 @@ def psi_report(
     that is what makes the comparison meaningful); categorical columns
     compare top-``top_k`` value frequencies with the tail folded into
     one bucket. Returns {column: psi}.
+
+    Job count: one quantile pass (reference only), one bucket
+    aggregation per side covering all numeric columns, one
+    aggregation per categorical column per side, plus at most one
+    row-count per side (skipped when the numeric pass already supplied
+    it).
     """
     numeric_cols = numeric_cols or []
     categorical_cols = categorical_cols or []
     report: dict[str, float] = {}
+    n_ref = n_cur = None
     if numeric_cols:
         edges = _numeric_edges(ref, numeric_cols, bins)
+        fr, n_ref = _all_numeric_fracs(ref, edges)
+        fc, n_cur = _all_numeric_fracs(cur, edges)
         for c in numeric_cols:
+            report[c] = _psi(fr[c], fc[c])
+    if categorical_cols:
+        if n_ref is None:
+            n_ref, n_cur = ref.count(), cur.count()
+        for c in categorical_cols:
             report[c] = _psi(
-                _bucket_fracs(ref, c, edges[c]),
-                _bucket_fracs(cur, c, edges[c]),
+                _value_fracs(ref, c, top_k, n_ref),
+                _value_fracs(cur, c, top_k, n_cur),
             )
-    for c in categorical_cols:
-        report[c] = _psi(
-            _value_fracs(ref, c, top_k), _value_fracs(cur, c, top_k)
-        )
     return report

@@ -107,20 +107,17 @@ def pseudonymize(
     and join-friendly). NULLs stay NULL. Pure projection: no shuffle,
     no UDF, pushes through column pruning.
     """
+    from .dedup import md5_lane
+
     if not salt:
         raise ValueError("a non-empty salt is required")
     hexlen = max(1, min(15, keep_bits // 4))
     out = df
     for c in cols:
-        lane = F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(c).cast("string"), F.lit(":" + salt))),
-                1,
-                hexlen,
-            ),
-            16,
-            10,
-        ).cast("long")
+        lane = md5_lane(
+            F.concat(F.col(c).cast("string"), F.lit(":" + salt)),
+            hex_digits=hexlen,
+        )
         out = out.withColumn(
             c, F.when(F.col(c).isNull(), F.lit(None).cast("long")).otherwise(lane)
         )

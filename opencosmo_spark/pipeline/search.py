@@ -26,11 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-_WORD_RE = "[a-z0-9]+"
-
-
-def _tokens(text_col: str) -> Column:
-    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+from .text import words_expr as _tokens
 
 
 def bm25_scores(
@@ -154,6 +150,7 @@ def bm25_batch(
     b: float = 0.75,
     decimals: int = 6,
     index: DataFrame | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-k per query for a WHOLE TABLE of queries at once — the
     batch/offline retrieval shape (mining query-document training
@@ -161,32 +158,50 @@ def bm25_batch(
     (query_id, term).
 
     Plan: the per-(doc, term) inverted index (``index`` if you have it
-    materialized, else built inline) inner-joins the broadcast query
-    terms — only posting lists of queried terms survive the join; per-
-    term document frequencies and corpus stats are aggregates; scoring
-    is one groupBy (query, doc) and top-k one window per query. Every
+    materialized, else built inline) inner-joins the query terms —
+    only posting lists of queried terms survive the join; per-term
+    document frequencies and corpus stats are aggregates; scoring is
+    one groupBy (query, doc) and top-k one window per query. Every
     shuffle is keyed by term, (query, doc), or query — never all
     query x doc pairs.
+
+    ``broadcast_queries=True`` (default) hints the query-term side for
+    the interactive/eval case; set it False at query-MINING scale
+    (millions of (query_id, term) rows), where a forced broadcast
+    would hit the driver/8 GB broadcast limits — the joins then run
+    term-keyed shuffles, which is the right plan at that size.
+
+    With a materialized ``index``, corpus stats (N, avgdl) come from
+    the index too — the corpus TEXT is never touched. That counts only
+    docs with >= 1 token toward N/avgdl; ``bm25_scores`` counts
+    token-less docs as well, so scores can differ in the (degenerate)
+    presence of empty documents.
     """
-    idx = index if index is not None else build_term_index(
-        df, id_col=id_col, text_col=text_col
-    )
-    # corpus stats from the corpus, not the index: token-less docs are
-    # absent from posting lists but still count toward N/avgdl (same
-    # semantics as bm25_scores)
-    stats = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size(_tokens(text_col))).alias("sumdl"),
-    )
+    maybe_b = F.broadcast if broadcast_queries else (lambda d: d)
+    if index is not None:
+        idx = index
+        stats = (
+            idx.groupBy(id_col)
+            .agg(F.first("dl").alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sumdl"))
+        )
+    else:
+        idx = build_term_index(df, id_col=id_col, text_col=text_col)
+        # inline build: stats from the corpus, matching bm25_scores
+        # (token-less docs count toward N/avgdl)
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(_tokens(text_col))).alias("sumdl"),
+        )
     qterms = queries_df.select(query_id_col, F.col(term_col).alias("term")).distinct()
     dfreq = (
-        idx.join(F.broadcast(qterms.select("term").distinct()), "term")
+        idx.join(maybe_b(qterms.select("term").distinct()), "term")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
     hits = (
-        idx.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
+        idx.join(maybe_b(qterms), "term")
+        .join(maybe_b(dfreq), "term")
         .crossJoin(F.broadcast(stats))
     )
     avgdl = F.col("sumdl").cast("double") / F.col("n")

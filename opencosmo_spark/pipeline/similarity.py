@@ -25,6 +25,19 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cos_py(a, b) -> float:
+    """Driver-side cosine for probing tiny codebooks — one shared
+    implementation (zero-norm guarded) so every probe path orders
+    centroids identically, even for degenerate codebooks."""
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        x, y = float(x), float(y)
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return dot / (((na**0.5) * (nb**0.5)) or 1.0)
+
+
 def brute_force_cosine_topk(
     df: DataFrame,
     query_vector: list[float],
@@ -281,17 +294,8 @@ def ivf_ann(
     if not cents:
         raise ValueError("no centroid rows (empty corpus?)")
 
-    def cos_py(a: list[float], b: list[float]) -> float:
-        dot = na = nb = 0.0
-        for x, y in zip(a, b):
-            x, y = float(x), float(y)
-            dot += x * y
-            na += x * x
-            nb += y * y
-        return dot / ((na**0.5) * (nb**0.5))
-
     probe = sorted(
-        ((round(cos_py(query_vector, c), 6), cid) for cid, c in cents),
+        ((round(_cos_py(query_vector, c), 6), cid) for cid, c in cents),
         key=lambda t: (-t[0], t[1]),
     )[:nprobe]
     probe_cells = [cid for _, cid in probe]
@@ -654,17 +658,8 @@ def ivf_pq_search(
     rows only.
     """
 
-    def cos_py(a, b):
-        dot = na = nb = 0.0
-        for x, y in zip(a, b):
-            x, y = float(x), float(y)
-            dot += x * y
-            na += x * x
-            nb += y * y
-        return dot / ((na**0.5) * (nb**0.5) or 1.0)
-
     probe = sorted(
-        ((round(cos_py(query_vector, c), 6), cid) for cid, c in ivf_codebook),
+        ((round(_cos_py(query_vector, c), 6), cid) for cid, c in ivf_codebook),
         key=lambda t: (-t[0], t[1]),
     )[:nprobe]
     probe_cells = [cid for _, cid in probe]

@@ -6,6 +6,18 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+# the ONE word tokenizer shared by search / classification / BPE —
+# these three must tokenize identically or learned artifacts (merges,
+# models, posting lists) stop matching each other
+WORD_RE = "[a-z0-9]+"
+
+
+def words_expr(text_col: Column | str) -> Column:
+    """Lowercased word array — the shared retrieval/training tokenizer."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), 0)
+
+
 # tiny per-language stopword lists for the n-gram heuristic
 _STOPWORDS = {
     "en": ["the", "a", "of", "and", "is"],

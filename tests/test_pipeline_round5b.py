@@ -301,3 +301,33 @@ def test_incremental_dedup_with_materialized_index(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         incremental_dedup(None, incoming)
+
+
+def test_dedup_index_params_validated(spark, tmp_path):
+    """An index probed with different shingle/hash parameters silently
+    misses every duplicate — the params sidecar makes it fail loudly."""
+    from opencosmo_spark.pipeline import (
+        incremental_dedup,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    existing, incoming = _inc_corpora(spark)
+    p = str(tmp_path / "idx_p")
+    wrote = write_dedup_index(existing, p, shingle_k=5)
+    idx, params = read_dedup_index(spark, p)
+    assert params == wrote and params["shingle_k"] == 5
+
+    # matching params: runs fine
+    ok = incremental_dedup(
+        None, incoming, shingle_k=5, existing_index=idx, index_params=params
+    )
+    assert ok.count() > 0
+
+    # mismatched shingle_k: loud error, not silent misses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different parameters"):
+        incremental_dedup(
+            None, incoming, shingle_k=3, existing_index=idx, index_params=params
+        )

@@ -29,7 +29,12 @@ def load(path: str) -> dict:
         text = doc.get("tail", "")
     except json.JSONDecodeError:
         pass
-    start = text.rindex('{"metric"')
+    start = text.rfind('{"metric"')
+    if start < 0:
+        raise SystemExit(
+            f"error: {path} contains no bench metric line "
+            '(expected a {"metric": ...} JSON object)'
+        )
     return json.loads(text[start:].splitlines()[0])
 
 
@@ -52,9 +57,10 @@ def main() -> int:
         print(f"{q:28s} {qr[q]:7.3f}s -> {qn[q]:7.3f}s  ({r:4.2f}x){flag}")
         if r > ratio:
             bad.append(q)
+    total_ratio = now["value"] / ref["value"] if ref["value"] else float("inf")
     print(
         f"\ntotal {ref['value']:.3f}s -> {now['value']:.3f}s "
-        f"({now['value'] / ref['value']:.2f}x), {len(shared)} shared queries, "
+        f"({total_ratio:.2f}x), {len(shared)} shared queries, "
         f"{len(bad)} over {ratio}x"
     )
     return 1 if bad else 0
