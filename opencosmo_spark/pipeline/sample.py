@@ -95,10 +95,21 @@ def temperature_mixture_rates(
         r[0]: r[1]
         for r in df.groupBy(stratum_col).count().collect()
     }
+    return waterfill_rates(counts, alpha, target_frac)
+
+
+def waterfill_rates(
+    counts: dict, alpha: float, target_frac: float
+) -> dict:
+    """The pure solver behind ``temperature_mixture_rates`` (exposed
+    for testability and for callers with precomputed group counts):
+    per-group keep rates proportional to n^(alpha-1), clamped at 1.0
+    with the clamped groups' excess mass re-spread over the rest,
+    meeting ``target_frac`` of the total whenever feasible."""
     total = sum(counts.values())
     want = target_frac * total
     active = dict(counts)
-    rates: dict[str, float] = {}
+    rates: dict = {}
     # waterfill: clamp saturated groups to 1.0 and re-solve on the rest
     while active:
         denom = sum(n**alpha for n in active.values())

@@ -15,6 +15,7 @@ Invariants mirror what the reference guarantees structurally:
 
 from fractions import Fraction
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from opencosmo_spark.spatial.octree import _morton_encode, region_to_cells
@@ -387,3 +388,51 @@ def test_healpix_small_cone_never_dropped(ra, dec, radius):
             continue  # flat-sky approx outside the true cone: skip
         p = int(radec2pix_nest(nside, np.array([pr % 360.0]), np.array([pd]))[0])
         assert p in covered
+
+
+# --------------------------------------------------------------- waterfill
+# the temperature-mixing rate solver is pure driver math — explore it
+# far beyond the example-based tests
+group_counts = st.dictionaries(
+    st.text(st.characters(codec="ascii", categories=["Ll"]), min_size=1, max_size=4),
+    st.integers(1, 100_000),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(
+    counts=group_counts,
+    alpha=st.floats(0.0, 1.5, allow_nan=False),
+    target=st.floats(0.01, 1.0, allow_nan=False, exclude_min=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_waterfill_rates_invariants(counts, alpha, target):
+    from opencosmo_spark.pipeline.sample import waterfill_rates
+
+    rates = waterfill_rates(counts, alpha, target)
+    assert set(rates) == set(counts)
+    # rates are valid probabilities
+    for g, r in rates.items():
+        assert 0.0 <= r <= 1.0 + 1e-12, (g, r)
+    # expected kept mass hits the target whenever feasible (target <= 1
+    # of total is always feasible since rate 1.0 keeps everything)
+    total = sum(counts.values())
+    kept = sum(counts[g] * rates[g] for g in counts)
+    assert kept == pytest.approx(target * total, rel=1e-9, abs=1e-6)
+    # alpha < 1 upweights smaller groups: rates anti-monotone in size
+    if alpha < 1.0:
+        by_size = sorted(counts.items(), key=lambda kv: kv[1])
+        for (g1, n1), (g2, n2) in zip(by_size, by_size[1:]):
+            if n1 < n2:
+                assert rates[g1] >= rates[g2] - 1e-9, (g1, g2)
+
+
+@given(counts=group_counts, target=st.floats(0.01, 1.0, allow_nan=False))
+@settings(max_examples=100, deadline=None)
+def test_waterfill_alpha_one_is_uniform_rate(counts, target):
+    from opencosmo_spark.pipeline.sample import waterfill_rates
+
+    rates = waterfill_rates(counts, 1.0, target)
+    for r in rates.values():
+        assert r == pytest.approx(target, rel=1e-9)
