@@ -10,8 +10,13 @@ from .region import (
     make_skybox,
 )
 
+from .pairs import fof_groups, neighbor_pairs_3d, two_point_correlation
+
 __all__ = [
     "crossmatch_sky",
+    "neighbor_pairs_3d",
+    "two_point_correlation",
+    "fof_groups",
     "BoxRegion",
     "ConeRegion",
     "SkyboxRegion",

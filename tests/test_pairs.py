@@ -1,0 +1,142 @@
+"""Neighbor pairs / 2-point correlation / FoF vs brute-force numpy."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from opencosmo_spark.spatial.pairs import (
+    fof_groups,
+    neighbor_pairs_3d,
+    two_point_correlation,
+)
+
+BOX = 10.0
+
+
+def _points_df(spark, pts):
+    return spark.createDataFrame(
+        [Row(id=i, x=float(p[0]), y=float(p[1]), z=float(p[2])) for i, p in enumerate(pts)]
+    )
+
+
+def _brute_pairs(pts, radius, periodic=True, box=BOX):
+    out = {}
+    n = len(pts)
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = np.abs(pts[i] - pts[j])
+            if periodic:
+                d = np.minimum(d, box - d)
+            dist = float(np.sqrt((d**2).sum()))
+            if dist <= radius:
+                out[(i, j)] = dist
+    return out
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_neighbor_pairs_match_bruteforce(spark, periodic):
+    rng = np.random.default_rng(17)
+    pts = rng.uniform(0, BOX, size=(250, 3))
+    df = _points_df(spark, pts)
+    got = {
+        (r["a"], r["b"]): r["dist"]
+        for r in neighbor_pairs_3d(df, 1.3, BOX, periodic=periodic).collect()
+    }
+    want = _brute_pairs(pts, 1.3, periodic=periodic)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9)
+
+
+def test_neighbor_pairs_coarse_grid(spark):
+    """radius > box/3: the neighbor offsets collapse mod n — pairs must
+    still be exact (and unique) on a tiny grid."""
+    rng = np.random.default_rng(23)
+    pts = rng.uniform(0, BOX, size=(60, 3))
+    df = _points_df(spark, pts)
+    got = {
+        (r["a"], r["b"]): r["dist"]
+        for r in neighbor_pairs_3d(df, 4.9, BOX).collect()
+    }
+    want = _brute_pairs(pts, 4.9)
+    assert set(got) == set(want)
+
+
+def test_two_point_correlation_uniform_is_flat(spark):
+    """A uniform random box has xi(r) ~ 0 in every bin (within shot
+    noise); a strongly clustered set has xi >> 0 at small r."""
+    rng = np.random.default_rng(31)
+    uni = rng.uniform(0, BOX, size=(2000, 3))
+    bins = [0.2, 0.5, 1.0, 1.5]
+    xi_u = {
+        r["bin"]: r["xi"]
+        for r in two_point_correlation(_points_df(spark, uni), bins, BOX).collect()
+    }
+    for b, v in xi_u.items():
+        assert abs(v) < 0.35, (b, v)  # shot-noise band at this N
+
+    # 50 clusters of 20 points each, sigma 0.1
+    centers = rng.uniform(0, BOX, size=(50, 3))
+    cl = np.vstack([c + rng.normal(0, 0.1, size=(20, 3)) for c in centers]) % BOX
+    xi_c = {
+        r["bin"]: r["xi"]
+        for r in two_point_correlation(_points_df(spark, cl), bins, BOX).collect()
+    }
+    assert xi_c[0] > 20  # huge excess at r < 0.5
+    assert xi_c[0] > xi_c[2]  # decreasing with scale
+
+
+def test_two_point_dd_matches_bruteforce(spark):
+    rng = np.random.default_rng(41)
+    pts = rng.uniform(0, BOX, size=(400, 3))
+    bins = [0.3, 0.8, 1.2]
+    out = {r["bin"]: r for r in two_point_correlation(_points_df(spark, pts), bins, BOX).collect()}
+    brute = _brute_pairs(pts, 1.2)
+    for i in range(len(bins) - 1):
+        dd = sum(1 for d in brute.values() if bins[i] <= d < bins[i + 1])
+        assert out[i]["dd"] == dd, i
+        # analytic RR sanity: shell volume fraction
+        n = len(pts)
+        shell = 4 / 3 * math.pi * (bins[i + 1] ** 3 - bins[i] ** 3)
+        assert out[i]["rr"] == pytest.approx(n * (n - 1) / 2 * shell / BOX**3)
+
+
+def _brute_fof(pts, ll, box=BOX):
+    """Union-find over brute-force pairs."""
+    parent = list(range(len(pts)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for (i, j) in _brute_pairs(pts, ll, box=box):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    groups = {}
+    for i in range(len(pts)):
+        groups.setdefault(find(i), []).append(i)
+    # canonical label = min member
+    return {i: min(members) for members in groups.values() for i in members}
+
+
+def test_fof_groups_match_union_find(spark):
+    rng = np.random.default_rng(53)
+    # clumps + field particles
+    centers = rng.uniform(0, BOX, size=(12, 3))
+    clumps = np.vstack([c + rng.normal(0, 0.15, size=(15, 3)) for c in centers]) % BOX
+    field = rng.uniform(0, BOX, size=(80, 3))
+    pts = np.vstack([clumps, field])
+    df = _points_df(spark, pts)
+    got = {r["id"]: r["group_id"] for r in fof_groups(df, 0.5, BOX).collect()}
+    want = _brute_fof(pts, 0.5)
+    assert got == want
+    # the clumps actually produced non-trivial groups
+    sizes = {}
+    for g in got.values():
+        sizes[g] = sizes.get(g, 0) + 1
+    assert max(sizes.values()) >= 10
