@@ -236,3 +236,52 @@ def approx_stats(
             rec[f"p{int(p * 100)}"] = v
         out.append(rec)
     return pd.DataFrame(out)
+
+
+def fof(ds, linking_length: float, select_by: tuple[str, str, str] | None = None):
+    """Friends-of-friends groups over a Dataset's positions — the
+    Dataset-level entry to ``spatial.pairs.fof_groups``: coordinates
+    are discovered the same way spatial queries discover them
+    (reference spatial/check.py conventions), the box size and
+    periodicity come from the header, and the result is
+    ``(row id, group_id)`` keyed by the dataset's first id-like
+    column (``*_tag`` / ``*_id``), falling back to ``__row_id``.
+    """
+    from .spatial.bound import find_coords
+    from .spatial.pairs import fof_groups
+
+    coords = select_by or find_coords(ds.columns, 3)
+    if ds.header is None or ds.header.box_size is None:
+        raise ValueError("fof needs header.box_size (periodic box extent)")
+    id_col = next(
+        (c for c in ds.df.columns if c.endswith("_tag") or c.endswith("_id")),
+        "__row_id",
+    )
+    return fof_groups(
+        ds.df,
+        linking_length,
+        float(ds.header.box_size),
+        id_col=id_col,
+        cols=tuple(coords),
+    )
+
+
+def two_point(
+    ds, bins: list[float], select_by: tuple[str, str, str] | None = None
+):
+    """Two-point correlation of a Dataset's positions (periodic
+    natural estimator — see ``spatial.pairs.two_point_correlation``),
+    with coordinates and box size resolved from the dataset."""
+    from .spatial.bound import find_coords
+    from .spatial.pairs import two_point_correlation
+
+    coords = select_by or find_coords(ds.columns, 3)
+    if ds.header is None or ds.header.box_size is None:
+        raise ValueError("two_point needs header.box_size")
+    id_col = next(
+        (c for c in ds.df.columns if c.endswith("_tag") or c.endswith("_id")),
+        "__row_id",
+    )
+    return two_point_correlation(
+        ds.df, bins, float(ds.header.box_size), id_col=id_col, cols=tuple(coords)
+    )

@@ -429,3 +429,26 @@ def test_decode_audio_truncated_wav_falls_to_stub_or_trims(spark):
     assert row["decoder"] in ("wav", "stub-sha256")  # no crash is the contract
     if row["decoder"] == "wav":
         assert row["n_samples"] in (99, 100)
+
+
+def test_fof_and_two_point_dataset_entry(spark, fixtures):
+    """Dataset-level FoF / 2PCF: coordinates, box size, and id column
+    resolve from the dataset itself; FoF groups halos that sit within
+    a linking length of each other."""
+    from pyspark.sql import functions as F
+
+    from opencosmo_spark.analysis import fof, two_point
+
+    halos = oc.open(f"{fixtures}/halo_properties")
+    labels = fof(halos, linking_length=5.0)
+    assert set(labels.columns) == {"fof_halo_tag", "group_id"}
+    n = labels.count()
+    assert n == len(halos)
+    # labels are a valid partition: every group_id is a member id
+    ids = {r[0] for r in labels.select("fof_halo_tag").collect()}
+    gids = {r[0] for r in labels.select("group_id").distinct().collect()}
+    assert gids <= ids
+
+    xi = two_point(halos, [1.0, 5.0, 10.0]).collect()
+    assert [r["bin"] for r in xi] == [0, 1]
+    assert all(r["dd"] >= 0 and r["rr"] > 0 for r in xi)
