@@ -1,0 +1,54 @@
+"""Driver-contract regression guards.
+
+Round 4 lost driver-side proof for 7 queries because the registry
+grew past the correctness gate's 50-row window — these assertions
+make that class of mistake fail CI instead of costing a round.
+"""
+
+import inspect
+
+import __spark_entry__ as entry
+
+
+def test_registry_exactly_fifty_with_oracles():
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert len(q) == 50, (
+        f"queries() has {len(q)} entries — the driver's correctness "
+        "gate checks exactly the first 50; merge or retire entries "
+        "instead of overflowing the window"
+    )
+    assert set(q) == set(o), {
+        "missing_oracles": sorted(set(q) - set(o)),
+        "orphan_oracles": sorted(set(o) - set(q)),
+    }
+
+
+def test_registry_callables_take_spark_and_sfdir():
+    for name, fn in entry.queries().items():
+        params = list(inspect.signature(fn).parameters)
+        assert len(params) == 2, (name, params)
+
+
+def test_oracle_sql_mentions_known_tables_only():
+    """Oracles may only reference the driver's pre-registered views."""
+    import re
+
+    tables = set(
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    )
+    for name, sql in entry.oracle_sql().items():
+        froms = set(
+            t.lower()
+            for t in re.findall(r"(?:FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)", sql)
+        )
+        unknown = froms - tables - {"unnest", "range", "generate_series"}
+        # CTE names are fine: they're defined inside the same statement
+        ctes = set(
+            t.lower() for t in re.findall(r"([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", sql)
+        )
+        unknown -= ctes
+        # parenthesized subqueries / aliases captured by the regex
+        unknown = {u for u in unknown if u not in ("select",)}
+        assert not unknown, (name, sorted(unknown))
