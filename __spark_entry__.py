@@ -2009,7 +2009,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id, feat
             ), scored AS (
               SELECT s.doc_id, d.lang,
-                     SUM(s.c * d.ll) + p.prior AS score_micros
+                     CAST(SUM(s.c * d.ll) + p.prior AS BIGINT) AS score_micros
               FROM sc s
               JOIN dense d ON s.feat = d.feat
               JOIN pri p ON p.lang = d.lang

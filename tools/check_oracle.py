@@ -54,6 +54,23 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # Dtype-strict kind check BEFORE any coercion: the driver hashes
+        # formatted values, so an int64-vs-float64 divergence renders as
+        # `-123` vs `-123.0` and hash-mismatches even when the values are
+        # numerically equal (this is exactly how q64 shipped red in r5 —
+        # DuckDB SUM(BIGINT)->HUGEINT->pandas float64 vs Spark int64).
+        # Integer kinds ('i'/'u') may differ in width but must not face a
+        # float kind ('f') on the other side; bool-vs-numeric also fails.
+        kinds = {av.dtype.kind, bv.dtype.kind}
+        if kinds <= {"i", "u"}:
+            pass  # widths may differ; formatted values agree
+        elif len(kinds) > 1 and not kinds <= {"O", "U"}:
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={av.dtype} duck={bv.dtype}"
+                " (driver hashes formatted values; int vs float renders"
+                " differently) — CAST the oracle aggregate"
+            )
+            continue
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype(float)
             bv = bv.astype(float)
