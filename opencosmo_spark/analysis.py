@@ -238,6 +238,45 @@ def approx_stats(
     return pd.DataFrame(out)
 
 
+def _pair_id_col(ds) -> str:
+    """Pick the row-identity column for the pair engine. A NON-UNIQUE
+    id silently corrupts pair analyses (the a<b filter drops same-id
+    pairs; dropDuplicates([a,b]) collapses genuinely distinct pairs —
+    think a particle table carrying its halo's fof_halo_tag), so the
+    first ``*_tag``/``*_id`` column is only used after a one-pass
+    count-vs-distinct probe proves it unique; a non-unique domain id
+    falls back to the persisted ``__row_id`` (written by ``oc.write``,
+    unique by construction) and raises if neither exists. The probe is
+    one aggregate over a single column — cheap next to the O(pairs)
+    work that follows."""
+    from pyspark.sql import functions as F
+
+    from .dataset import ROW_ID
+
+    cand = next(
+        (c for c in ds.df.columns if c.endswith("_tag") or c.endswith("_id")),
+        None,
+    )
+    if cand is not None:
+        n, nd = ds.df.agg(
+            F.count(cand).alias("n"), F.count_distinct(cand).alias("nd")
+        ).collect()[0]
+        if n == nd:
+            return cand
+    if ROW_ID in ds.df.columns:
+        return ROW_ID
+    if cand is not None:
+        raise ValueError(
+            f"id column {cand!r} is not unique — pair analyses need a "
+            f"unique row id; write the dataset with oc.write (persists "
+            f"__row_id) or add one"
+        )
+    raise ValueError(
+        "no unique row-id column found (need a unique *_tag/*_id column "
+        "or a persisted __row_id) for the pair engine"
+    )
+
+
 def fof(ds, linking_length: float, select_by: tuple[str, str, str] | None = None):
     """Friends-of-friends groups over a Dataset's positions — the
     Dataset-level entry to ``spatial.pairs.fof_groups``: coordinates
@@ -253,10 +292,7 @@ def fof(ds, linking_length: float, select_by: tuple[str, str, str] | None = None
     coords = select_by or find_coords(ds.columns, 3)
     if ds.header is None or ds.header.box_size is None:
         raise ValueError("fof needs header.box_size (periodic box extent)")
-    id_col = next(
-        (c for c in ds.df.columns if c.endswith("_tag") or c.endswith("_id")),
-        "__row_id",
-    )
+    id_col = _pair_id_col(ds)
     return fof_groups(
         ds.df,
         linking_length,
@@ -278,10 +314,7 @@ def two_point(
     coords = select_by or find_coords(ds.columns, 3)
     if ds.header is None or ds.header.box_size is None:
         raise ValueError("two_point needs header.box_size")
-    id_col = next(
-        (c for c in ds.df.columns if c.endswith("_tag") or c.endswith("_id")),
-        "__row_id",
-    )
+    id_col = _pair_id_col(ds)
     return two_point_correlation(
         ds.df, bins, float(ds.header.box_size), id_col=id_col, cols=tuple(coords)
     )

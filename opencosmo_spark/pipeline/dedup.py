@@ -765,6 +765,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iterations: int = 30,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Duplicate CLUSTERS from candidate pairs: connected components by
     iterative min-label propagation. Returns (id_col, cluster_id) for
@@ -775,19 +776,38 @@ def connected_components(
     check sums labels as decimal; string ids would need a rank
     pre-pass).
 
-    Scale shape: each iteration is ONE shuffle keyed by node id
-    (symmetric edges joined to current labels, groupBy min, least with
-    self); iterations = graph diameter. Near-dup graphs are unions of
-    near-cliques (diameter 2-3), so the loop runs a handful of rounds
-    regardless of corpus size. The driver loop carries only a
-    convergence scalar (labels only ever decrease, so an unchanged
-    label-sum is a fixpoint); labels are localCheckpoint-ed per round
-    to truncate lineage — at cluster scale swap for
-    ``checkpoint()`` against distributed storage. For graphs with huge
-    diameter or giant components, the alternating large-star /
-    small-star algorithm (Kiveris et al. 2014) halves rounds; not
-    needed for dedup-shaped graphs.
+    Two algorithms:
+
+    - ``algorithm="minlabel"`` (default): iterative min-label
+      propagation. Each iteration is ONE shuffle keyed by node id
+      (symmetric edges joined to current labels, groupBy min, least
+      with self); iterations = graph diameter. Near-dup graphs are
+      unions of near-cliques (diameter 2-3), so the loop runs a
+      handful of rounds regardless of corpus size. The driver loop
+      carries only a convergence scalar (labels only ever decrease, so
+      an unchanged label-sum is a fixpoint).
+    - ``algorithm="star"``: alternating large-star / small-star
+      (Kiveris et al. 2014, "Connected Components in MapReduce and
+      Beyond"). Rounds are O(log^2 n) worst case and O(log n) in
+      practice regardless of diameter — the right choice for
+      percolation-shaped graphs (FoF chains, long web-link paths)
+      where diameter can exceed any fixed round budget. Each round is
+      two grouped shuffles over the *edge* set (which only ever
+      shrinks toward one edge per non-root node), so per-round cost is
+      comparable to a minlabel round on the same graph.
+
+    Both paths localCheckpoint per round to truncate lineage — at
+    cluster scale swap for ``checkpoint()`` against distributed
+    storage.
     """
+    if algorithm == "star":
+        return _star_components(
+            edges, nodes, id_col, a_col, b_col, max_iterations
+        )
+    if algorithm != "minlabel":
+        raise ValueError(
+            f"algorithm must be 'minlabel' or 'star', got {algorithm!r}"
+        )
     # materialize the edge list ONCE: it is re-joined every round, and
     # upstream candidate generation (LSH banding, Jaccard verify) must
     # not be re-executed per iteration
@@ -841,4 +861,111 @@ def connected_components(
         )
     return labels.select(
         F.col("__node").alias(id_col), F.col("__label").alias("cluster_id")
+    )
+
+
+def _star_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    max_iterations: int,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014).
+
+    Invariant per round (edge set E over numeric node ids):
+
+    - large-star: for every node u, with neighborhood G(u) over
+      symmetric edges and m = min(G(u) + {u}), rewire every STRICTLY
+      LARGER neighbor v > u to (v, m). Preserves connectivity, never
+      increases the component minimum's distance.
+    - small-star: orient every edge (max, min); for every node u with
+      smaller-neighbors G-(u) and m = min(G-(u)), emit (v, m) for each
+      v in G-(u) - {m} plus (u, m). Collapses local chains onto local
+      minima.
+
+    The composition converges to a star forest — one star per original
+    component, centered at the component MINIMUM (a center that is not
+    the minimum is not a large-star fixpoint), so labels agree exactly
+    with the minlabel path. Convergence detection: the edge set is
+    monotone toward (child -> root) stars; we stop when a round leaves
+    the edge set unchanged (count + order-independent xxhash64
+    checksum + one-out-edge-per-child), all computed in a single
+    aggregate per round. Every round is two grouped shuffles keyed by
+    node id over the current edge set; no step ever materializes a
+    neighborhood list (min via groupBy, rewiring via join), so a
+    heavy-hitter node costs a skewed join (AQE-splittable), not an
+    OOM-sized array.
+    """
+    e = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    converged = False
+    for _ in range(max_iterations):
+        # large-star over the symmetric edge set
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mv"))
+            .select("u", F.least(F.col("u"), F.col("__mv")).alias("__m"))
+        )
+        e = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over min-oriented edges
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        omins = oriented.groupBy("u").agg(F.min("v").alias("__m"))
+        e = (
+            oriented.join(omins, "u")
+            .select(F.col("v").alias("__n"), F.col("__m"))
+            .union(omins.select(F.col("u").alias("__n"), F.col("__m")))
+            .filter(F.col("__n") != F.col("__m"))
+            .select(F.col("__n").alias("u"), F.col("__m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("u").alias("nu"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("chk"),
+        ).collect()[0]
+        cur = (row["n"], row["chk"])
+        if cur == prev and row["n"] == row["nu"]:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"star connected_components exhausted max_iterations="
+            f"{max_iterations} before the star-forest fixpoint; labels "
+            f"may be unconverged (rounds needed = O(log^2 n))",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    # at fixpoint e is (child -> component-min root); isolated nodes and
+    # roots label themselves
+    return (
+        nodes.select(F.col(id_col).alias("__node"))
+        .join(
+            e.select(F.col("u").alias("__node"), F.col("v").alias("__root")),
+            "__node",
+            "left",
+        )
+        .select(
+            F.col("__node").alias(id_col),
+            F.coalesce("__root", "__node").alias("cluster_id"),
+        )
     )

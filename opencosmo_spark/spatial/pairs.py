@@ -186,6 +186,7 @@ def fof_groups(
     cols: tuple[str, str, str] = ("x", "y", "z"),
     periodic: bool = True,
     max_iterations: int = 30,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Friends-of-friends group finding (Davis et al. 1985): particles
     closer than ``linking_length`` are friends; groups are the
@@ -193,8 +194,12 @@ def fof_groups(
     ``(id, group_id)`` with ``group_id`` = the smallest member id —
     the halo-finder decomposition, from the same two primitives the
     dedup pipeline already proves at scale (cell-keyed pair join +
-    min-label propagation, one shuffle per CC round, rounds bounded by
-    group diameter).
+    distributed connected components). FoF percolation chains are the
+    HIGH-DIAMETER connected-components case (a filament of length L
+    needs L min-label rounds), so the default here is the
+    large-star/small-star algorithm (O(log n) rounds regardless of
+    chain length); pass ``algorithm="minlabel"`` for the
+    diameter-bounded propagation loop.
     """
     from ..pipeline.dedup import connected_components
 
@@ -203,6 +208,7 @@ def fof_groups(
     ).select("a", "b")
     nodes = df.select(F.col(id_col))
     labels = connected_components(
-        pairs, nodes, id_col, "a", "b", max_iterations=max_iterations
+        pairs, nodes, id_col, "a", "b", max_iterations=max_iterations,
+        algorithm=algorithm,
     )
     return labels.withColumnRenamed("cluster_id", "group_id")

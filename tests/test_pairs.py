@@ -3,8 +3,10 @@
 import math
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from opencosmo_spark.spatial.pairs import (
     fof_groups,
@@ -140,3 +142,29 @@ def test_fof_groups_match_union_find(spark):
     for g in got.values():
         sizes[g] = sizes.get(g, 0) + 1
     assert max(sizes.values()) >= 10
+
+
+def test_pair_id_col_rejects_non_unique(spark):
+    """A non-unique *_tag id must never silently drive the pair
+    engine: fall back to __row_id when persisted, raise otherwise."""
+    import pytest as _pytest
+
+    from opencosmo_spark.analysis import _pair_id_col
+
+    class _DS:
+        def __init__(self, df):
+            self.df = df
+
+    dup = spark.createDataFrame(
+        pd.DataFrame({"fof_halo_tag": [1, 1, 2], "x": [0.0, 1.0, 2.0]})
+    )
+    with _pytest.raises(ValueError, match="not unique"):
+        _pair_id_col(_DS(dup))
+
+    with_rid = dup.withColumn("__row_id", F.monotonically_increasing_id())
+    assert _pair_id_col(_DS(with_rid)) == "__row_id"
+
+    uniq = spark.createDataFrame(
+        pd.DataFrame({"fof_halo_tag": [1, 2, 3], "x": [0.0, 1.0, 2.0]})
+    )
+    assert _pair_id_col(_DS(uniq)) == "fof_halo_tag"

@@ -293,6 +293,66 @@ def test_connected_components_chain_and_isolated(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_star_components_high_diameter_chain(spark):
+    """Large-star/small-star must label a diameter-400 path graph in
+    O(log n) rounds — far under a round budget the min-label loop
+    would exhaust (it needs rounds = diameter). Oracle = union-find;
+    also differential vs minlabel on a mixed random graph."""
+    import warnings
+
+    from opencosmo_spark.pipeline.dedup import connected_components
+
+    # path 0-1-2-...-400 plus two isolated nodes; shuffle edge order so
+    # convergence can't ride on a lucky input ordering
+    rng = np.random.default_rng(7)
+    chain = [(i, i + 1) for i in range(400)]
+    rng.shuffle(chain)
+    edges = spark.createDataFrame(
+        pd.DataFrame({"a": [a for a, _ in chain], "b": [b for _, b in chain]})
+    )
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(401)) + [900, 901]})
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # must CONVERGE
+        out = (
+            connected_components(
+                edges, nodes, id_col="doc_id", max_iterations=15,
+                algorithm="star",
+            )
+            .toPandas()
+            .set_index("doc_id")["cluster_id"]
+            .to_dict()
+        )
+    want = {i: 0 for i in range(401)}
+    want.update({900: 900, 901: 901})
+    assert out == want
+
+
+def test_star_vs_minlabel_differential(spark):
+    """Both algorithms must produce identical component-min labels on
+    a random clumpy graph (the dedup-shaped regime where minlabel is
+    the proven default)."""
+    from opencosmo_spark.pipeline.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    n = 300
+    ea, eb = [], []
+    for _ in range(350):
+        i, j = rng.integers(0, n, size=2)
+        if i != j:
+            ea.append(int(i))
+            eb.append(int(j))
+    edges = spark.createDataFrame(pd.DataFrame({"a": ea, "b": eb}))
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+    kw = dict(id_col="doc_id", max_iterations=50)
+    a = connected_components(edges, nodes, algorithm="minlabel", **kw)
+    b = connected_components(edges, nodes, algorithm="star", **kw)
+    pa = a.toPandas().set_index("doc_id")["cluster_id"].to_dict()
+    pb = b.toPandas().set_index("doc_id")["cluster_id"].to_dict()
+    assert pa == pb
+
+
 def test_dedup_clusters_group_planted_duplicates(docs_with_dups):
     """End-to-end: LSH pairs over the planted corpus -> components.
     Every (base, exact-dup, near-dup) triple must land in ONE cluster
