@@ -26,6 +26,7 @@ partitionings.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .text import words_expr
@@ -126,18 +127,38 @@ def apply_bpe(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "bpe_tokens",
+    method: str = "auto",
 ) -> DataFrame:
-    """Tokenize documents with a learned merge list: per word, apply
-    the merges in training order (the standard greedy scheme). Pure
-    array expressions — at 100 TB this is an embarrassingly parallel
-    projection; the merge list is a driver literal.
+    """Tokenize documents with a learned merge list. Two physical
+    paths, identical results (exact-match tested against each other
+    and against the reference Python implementation):
 
-    The merge chain nests ``len(merges)`` fold expressions; keep merge
-    lists applied this way to O(100). Real vocab-sized lists (30k+)
-    belong in a broadcast trie consumed by a pandas UDF — this
-    expression form exists to keep small/medium vocabularies entirely
-    JVM-side.
+    - ``method="expr"``: per word, apply the merges in training order
+      as nested JVM fold expressions — zero Python in the hot path,
+      but the plan nests ``len(merges)`` folds deep, so it is only
+      viable to O(100) merges (expression-tree size, codegen limits).
+    - ``method="pandas"``: an Arrow-batched pandas UDF consuming the
+      merge-rank table shipped ONCE per executor via
+      ``SparkContext.broadcast`` — the vocab-scale path (30k+
+      merges). Uses the standard min-rank greedy loop (GPT-2-style):
+      repeatedly merge the present pair with the lowest training
+      rank. For a merge list produced by training this is exactly
+      in-training-order application, because a pair involving a
+      merged symbol can only have been LEARNED after the merge that
+      created that symbol — so no earlier-ranked pair is ever
+      created by a later merge. A per-partition word memo makes the
+      cost O(distinct words), not O(tokens).
+
+    ``method="auto"`` picks expr for <=100 merges, pandas beyond. At
+    100 TB both are embarrassingly parallel projections; the merge
+    list never touches a shuffle.
     """
+    if method == "auto":
+        method = "expr" if len(merges) <= 100 else "pandas"
+    if method == "pandas":
+        return _apply_bpe_pandas(df, merges, text_col, id_col, out_col)
+    if method != "expr":
+        raise ValueError(f"method must be auto|expr|pandas, got {method!r}")
     toks = words_expr(text_col)
 
     def tokenize_word(w):
@@ -149,3 +170,66 @@ def apply_bpe(
 
     out = F.flatten(F.transform(toks, tokenize_word))
     return df.select(F.col(id_col), out.alias(out_col))
+
+
+def _apply_bpe_pandas(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str,
+    id_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Vocab-scale BPE application: broadcast merge-rank dict + Arrow
+    pandas UDF (see ``apply_bpe`` for the equivalence argument)."""
+    import re
+
+    from .text import WORD_RE
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    bc = df.sparkSession.sparkContext.broadcast(ranks)
+    word_re = re.compile(WORD_RE)
+
+    @F.pandas_udf("array<string>")
+    def bpe_udf(texts: pd.Series) -> pd.Series:
+        rk = bc.value
+        cache: dict[str, list[str]] = {}
+
+        def encode(word: str) -> list[str]:
+            got = cache.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            syms.append(_EOW)
+            while len(syms) > 1:
+                best_rank = None
+                best = None
+                for i in range(len(syms) - 1):
+                    r = rk.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank = r
+                        best = (syms[i], syms[i + 1])
+                if best is None:
+                    break
+                a, b = best
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[word] = syms
+            return syms
+
+        res = []
+        for t in texts:
+            toks: list[str] = []
+            for w in word_re.findall((t or "").lower()):
+                toks.extend(encode(w))
+            res.append(toks)
+        return pd.Series(res)
+
+    return df.select(F.col(id_col), bpe_udf(F.col(text_col)).alias(out_col))

@@ -107,3 +107,47 @@ def test_train_bpe_early_stop(spark):
     # min_pair_freq=2
     df = spark.createDataFrame([Row(doc_id=0, text="ab cd ef")])
     assert train_bpe_merges(df, n_merges=5) == []
+
+
+def test_apply_bpe_pandas_matches_expr(spark):
+    """The broadcast-rank pandas path must be bit-identical to the
+    JVM expression path on the same trained merges."""
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(TEXTS)])
+    merges = train_bpe_merges(df, n_merges=10)
+    assert len(merges) > 3
+    a = {r["doc_id"]: r["bpe_tokens"]
+         for r in apply_bpe(df, merges, method="expr").collect()}
+    b = {r["doc_id"]: r["bpe_tokens"]
+         for r in apply_bpe(df, merges, method="pandas").collect()}
+    assert a == b
+
+
+def test_apply_bpe_vocab_scale(spark):
+    """Vocab-scale merge list (far past the ~100-merge expression
+    cap): train hundreds of merges with the reference Python trainer,
+    apply through the pandas path (method='auto' must select it), and
+    exact-match the reference in-training-order application — the
+    min-rank greedy equivalence the docstring claims."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    alpha = "abcdefgh"
+    vocab = [
+        "".join(rng.choice(list(alpha), size=rng.integers(3, 12)))
+        for _ in range(300)
+    ]
+    texts = [
+        " ".join(rng.choice(vocab, size=40)) for _ in range(30)
+    ]
+    merges = _ref_bpe(texts, n_merges=1500, min_pair_freq=1)
+    assert len(merges) > 400, len(merges)  # genuinely vocab-scale
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {r["doc_id"]: r["bpe_tokens"] for r in apply_bpe(df, merges).collect()}
+    for i, t in enumerate(texts):
+        want = []
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            want.extend(_ref_apply(w, merges))
+        assert got[i] == want, i
