@@ -19,6 +19,7 @@ from .dedup import (
     duplicate_spans,
     exact_dedup,
     incremental_dedup,
+    release_cached,
     line_dedup,
     write_dedup_index,
     minhash_lsh_candidates,
@@ -108,6 +109,7 @@ __all__ = [
     "temperature_mixture_rates",
     "temperature_sample",
     "incremental_dedup",
+    "release_cached",
     "write_dedup_index",
     "build_term_index",
     "bm25_batch",

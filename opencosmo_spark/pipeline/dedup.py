@@ -217,6 +217,29 @@ def minhash_signatures(
     return base.select(F.col(id_col), F.col("shingles"), sig)
 
 
+def _attach_cached(result: DataFrame, cached) -> DataFrame:
+    """Record persisted intermediates on the (lazy) result frame so the
+    caller can free them once the result is materialized. The builders
+    here persist the signature frame because it feeds several joins of
+    ONE result; but the result is lazy, so the builder can never know
+    when the cache is safe to drop — that moment belongs to the
+    caller. Without this, a continuous-ingest loop (incremental_dedup
+    per batch) accumulates MEMORY_AND_DISK frames until the executor
+    store evicts under pressure."""
+    prior = list(getattr(result, "_oc_cached", []))
+    result._oc_cached = prior + list(cached)
+    return result
+
+
+def release_cached(df: DataFrame) -> None:
+    """Unpersist every intermediate the dedup builders cached while
+    constructing ``df``. Call AFTER materializing the result (write,
+    collect, count) — per batch in ingest loops."""
+    for c in getattr(df, "_oc_cached", []):
+        c.unpersist()
+    df._oc_cached = []
+
+
 def _banded_signatures(
     df: DataFrame,
     text_col: str,
@@ -316,7 +339,8 @@ def write_dedup_index(
     out = fps.join(sigs, id_col)
     out.repartition(buckets, F.col(id_col)).write.mode("overwrite").parquet(path)
     import json
-    import os
+
+    from ..io.ingest import hadoop_fs
 
     params = {
         "num_hashes": num_hashes,
@@ -325,8 +349,16 @@ def write_dedup_index(
         "normalize": normalize,
         "id_col": id_col,
     }
-    with open(os.path.join(path, "_dedup_params.json"), "w") as f:
-        json.dump(params, f)
+    # sidecar goes through the Hadoop FileSystem so the index works on
+    # HDFS/S3 URIs, not just driver-local paths
+    jvm, fs, jpath = hadoop_fs(
+        df.sparkSession, path.rstrip("/") + "/_dedup_params.json"
+    )
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(json.dumps(params).encode("utf-8")))
+    finally:
+        stream.close()
     return params
 
 
@@ -336,14 +368,19 @@ def read_dedup_index(spark, path: str) -> tuple[DataFrame, dict]:
     index_params=...)`` so a parameter mismatch fails loudly instead
     of silently missing duplicates."""
     import json
-    import os
+
+    from ..io.ingest import hadoop_fs
 
     df = spark.read.parquet(path)
-    params_file = os.path.join(path, "_dedup_params.json")
+    jvm, fs, jpath = hadoop_fs(spark, path.rstrip("/") + "/_dedup_params.json")
     params: dict = {}
-    if os.path.exists(params_file):
-        with open(params_file) as f:
-            params = json.load(f)
+    if fs.exists(jpath):
+        stream = fs.open(jpath)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+            stream, baos, spark._jsc.hadoopConfiguration(), True
+        )
+        params = json.loads(bytes(baos.toByteArray()).decode("utf-8"))
     return df, params
 
 
@@ -386,9 +423,10 @@ def minhash_lsh_candidates(
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = inter.cast("double") / union
-    return (
+    return _attach_cached(
         j.select("a", "b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= jaccard_threshold)
+        .filter(F.col("jaccard") >= jaccard_threshold),
+        [sigs],
     )
 
 
@@ -443,6 +481,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = None,
+    allow_bruteforce: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs.
 
@@ -477,7 +516,11 @@ def ngram_jaccard_pairs(
     the threshold — dropped with zero effect on the result.
 
     threshold <= 0 (or an explicit candidate frame) falls back to the
-    pairwise array_intersect plan.
+    pairwise array_intersect plan. With neither a candidate frame nor
+    a positive threshold that plan is an ALL-PAIRS crossJoin —
+    O(n^2) rows, a corpus-killer if reached by accident — so it
+    additionally requires ``allow_bruteforce=True``; it exists only
+    as the exact-verification baseline for differential tests.
     """
     if candidates is None and threshold > 0:
         sh = _shingle_frame(df, text_col, id_col, k)
@@ -523,6 +566,14 @@ def ngram_jaccard_pairs(
         ).filter(F.col("jaccard") >= threshold)
     sh = _shingle_frame(df, text_col, id_col, k)
     if candidates is None:
+        if not allow_bruteforce:
+            raise ValueError(
+                "ngram_jaccard_pairs with candidates=None and "
+                "threshold <= 0 is an all-pairs crossJoin (O(n^2)); "
+                "pass candidates (e.g. from minhash_lsh_candidates), "
+                "use a positive threshold for the inverted-index plan, "
+                "or opt in explicitly with allow_bruteforce=True"
+            )
         a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
         b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
         pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
@@ -755,7 +806,7 @@ def incremental_dedup(
         .filter(jac_ok)
         .select("a", "b")
     )
-    return dedup_by_clusters(fresh, pairs, id_col)
+    return _attach_cached(dedup_by_clusters(fresh, pairs, id_col), [sigs_in])
 
 
 def connected_components(

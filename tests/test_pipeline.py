@@ -634,3 +634,38 @@ def test_bucket_partitioned_probe_reads_probed_files_only(spark, tmp_path):
     # Hamming<=1 probing touches at most planes+1 = 9 of 256 buckets
     assert 0 < num_files <= 9, (num_files, total_files)
     assert num_files < total_files / 5
+
+
+def test_ngram_jaccard_bruteforce_requires_opt_in(docs_with_dups):
+    """candidates=None with threshold<=0 is an all-pairs crossJoin;
+    it must demand explicit opt-in (and still work when granted)."""
+    from opencosmo_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    small = docs_with_dups.limit(6)
+    with pytest.raises(ValueError, match="allow_bruteforce"):
+        ngram_jaccard_pairs(small, threshold=0.0)
+    out = ngram_jaccard_pairs(
+        small, threshold=0.0, allow_bruteforce=True
+    )
+    assert out.count() >= 0  # brute path still functions when opted in
+
+
+def test_release_cached_unpersists_signature_frames(docs_with_dups):
+    """The LSH builders persist the signature frame for their internal
+    join fan-out; release_cached must free it after materialization so
+    ingest loops don't accumulate MEMORY_AND_DISK frames."""
+    from opencosmo_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        release_cached,
+    )
+
+    res = minhash_lsh_candidates(docs_with_dups, bands=8, jaccard_threshold=0.5)
+    res.count()
+    cached = list(res._oc_cached)
+    assert cached, "builder should have registered its persisted frames"
+    assert all(c.storageLevel.useMemory or c.storageLevel.useDisk for c in cached)
+    release_cached(res)
+    assert not any(
+        c.storageLevel.useMemory or c.storageLevel.useDisk for c in cached
+    )
+    assert res._oc_cached == []
