@@ -85,6 +85,16 @@ def ingest_lightcone(
     return out
 
 
+def hadoop_fs(spark, path: str):
+    """(jvm, FileSystem, Path) for any Hadoop-supported URI. The one
+    place driver-side filesystem metadata operations go through —
+    os.listdir/shutil only see the driver's local disk, which silently
+    breaks maintenance tooling the moment a table lives on HDFS/S3."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
 def compact_parquet(
     spark,
     path: str,
@@ -98,37 +108,48 @@ def compact_parquet(
     per-file open costs dominate scan time long before the bytes do).
 
     Sizing comes from the directory's actual on-disk bytes (driver
-    file listing via the JVM's Hadoop FileSystem — no data read), so
-    the output count adapts to compression ratios. With
-    ``cluster_col`` the rewrite uses ``repartitionByRange`` +
-    ``sortWithinPartitions`` to restore clustering (identical posture
-    to ``write_dataset``); without it a plain ``repartition`` balances
-    bytes. Writes to ``<path>.__compact__`` then swaps — the rewrite
-    is atomic-ish at the directory level; on an object store prefer
-    a table format's transactional rewrite.
+    file listing through the Hadoop FileSystem API — no data read),
+    so the output count adapts to compression ratios and the whole
+    rewrite works on any Hadoop-supported URI (file://, hdfs://,
+    s3a://...), not just driver-local paths. With ``cluster_col`` the
+    rewrite uses ``repartitionByRange`` + ``sortWithinPartitions`` to
+    restore clustering (identical posture to ``write_dataset``);
+    without it a plain ``repartition`` balances bytes. Writes to
+    ``<path>.__compact__`` then delete-and-renames — there is a
+    non-atomic window between the delete and the rename (a reader
+    racing the swap sees a missing directory), and on S3 the rename
+    is itself a copy: for concurrent-reader production tables prefer
+    a table format's transactional rewrite (the docstring contract
+    here is single-writer maintenance windows).
 
     Returns the number of output files.
     """
-    import os
-    import shutil
+    jvm, fs, jpath = hadoop_fs(spark, path)
 
     # refuse layouts the flat rewrite would silently destroy: hive
     # key=value partition dirs (directory-level pruning would be lost)
     # and streaming-sink transaction logs
-    for entry in os.listdir(path):
-        full = os.path.join(path, entry)
-        if entry == "_spark_metadata" or (os.path.isdir(full) and "=" in entry):
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name == "_spark_metadata" or (st.isDirectory() and "=" in name):
             raise ValueError(
-                f"{path} contains {entry!r}: compact each partition "
+                f"{path} contains {name!r}: compact each partition "
                 "directory individually (or rewrite with "
                 "write.partitionBy) — a flat rewrite would drop the "
                 "partitioning/metadata"
             )
-    total = 0
-    for root, _, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+
+    def _parquet_stats():
+        n, total = 0, 0
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                n += 1
+                total += st.getLen()
+        return n, total
+
+    _, total = _parquet_stats()
     n_out = max(1, round(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     if cluster_col is not None:
@@ -139,11 +160,11 @@ def compact_parquet(
         out = df.repartition(n_out)
     tmp = path.rstrip("/") + ".__compact__"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    return sum(
-        1
-        for _, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    if not fs.delete(jpath, True):
+        raise IOError(f"could not delete {path} for the compaction swap")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath):
+        raise IOError(
+            f"rename {tmp} -> {path} failed AFTER the original was "
+            f"deleted; the compacted data is intact at {tmp}"
+        )
+    return _parquet_stats()[0]
