@@ -572,12 +572,19 @@ def pq_encode(
 
 
 def pq_pack_codes(code_col: str = "pq_codes") -> Column:
-    """Pack an array of m<=8 codes (ksub<=256) into one BIGINT — the
-    8-bytes-per-vector at-rest form."""
+    """Pack an array of m<=8 codes (ksub<=256) into one DECIMAL(38,0)
+    — the compact at-rest form. DECIMAL, not BIGINT: 8 codes x 8 bits
+    need 64 bits, and a signed long has 63 — a first code >= 128
+    would wrap negative. DECIMAL(38,0) holds 256^8 with 18 digits to
+    spare and stores as a fixed 16-byte parquet value; cast the
+    result to long yourself only when you KNOW m*ceil(log2(ksub)) <=
+    63 (e.g. m=7 at ksub=256)."""
     return F.aggregate(
         F.col(code_col),
-        F.lit(0).cast("long"),
-        lambda acc, c: acc * 256 + c.cast("long"),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, c: (acc * 256 + c.cast("decimal(38,0)")).cast(
+            "decimal(38,0)"
+        ),
     )
 
 

@@ -90,6 +90,18 @@ def test_pq_pack_codes_roundtrip(spark):
     assert packed == ((3 * 256 + 0) * 256 + 255) * 256 + 17
 
 
+def test_pq_pack_codes_no_sign_overflow(spark):
+    """m=8 with a leading code >= 128 needs the full 64 bits — the
+    BIGINT form wrapped negative here; DECIMAL(38,0) must not."""
+    codes = [255, 255, 255, 255, 255, 255, 255, 255]
+    df = spark.createDataFrame([Row(pq_codes=codes)])
+    packed = df.select(pq_pack_codes().alias("p")).collect()[0]["p"]
+    want = 0
+    for c in codes:
+        want = want * 256 + c
+    assert packed == want == 2**64 - 1
+
+
 def test_pq_train_separates_clusters(spark):
     # two tight blobs per subspace: trained codebooks must land one
     # centroid near each blob, and encoding must separate the blobs
