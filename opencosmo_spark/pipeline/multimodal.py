@@ -80,6 +80,54 @@ def _decode_bmp(data: bytes) -> np.ndarray | None:
     return arr
 
 
+def _decode_pnm(data: bytes) -> np.ndarray | None:
+    """Pure-python decode of binary PNM (P5 grayscale PGM / P6 RGB
+    PPM, maxval <= 255 — the netpbm formats, public spec, even
+    simpler than BMP): returns an (h, w, 3) uint8 RGB array
+    (grayscale replicated across channels), or None when the payload
+    is not such a PNM. Header is whitespace-tokenized with
+    ``#``-comment lines allowed, per the spec."""
+    if data is None or len(data) < 10 or data[:1] != b"P" or data[1:2] not in b"56":
+        return None
+    is_rgb = data[1:2] == b"6"
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(data):
+        c = data[pos : pos + 1]
+        if c == b"#":  # comment to end of line
+            while pos < len(data) and data[pos : pos + 1] not in b"\r\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(data) and data[pos : pos + 1].isdigit():
+                pos += 1
+            tokens.append(int(data[start:pos]))
+        else:
+            return None
+    if len(tokens) < 3:
+        return None
+    width, height, maxval = tokens
+    # exactly ONE whitespace byte separates the header from raster data
+    if width <= 0 or height <= 0 or not 0 < maxval <= 255:
+        return None
+    if pos >= len(data) or not data[pos : pos + 1].isspace():
+        return None
+    pos += 1
+    nch = 3 if is_rgb else 1
+    need = width * height * nch
+    if pos + need > len(data):
+        return None
+    arr = np.frombuffer(data, np.uint8, count=need, offset=pos).reshape(
+        height, width, nch
+    )
+    if maxval != 255:  # spec: sample values scale against maxval
+        arr = (arr.astype(np.float32) * (255.0 / maxval)).round().astype(np.uint8)
+    if not is_rgb:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
 def _pixel_features(arr: np.ndarray, out_dim: int) -> np.ndarray:
     """Real features from decoded pixels: overall channel means plus a
     g x g block-mean grid (the 'resize -> channel-mean' path), scaled
@@ -244,14 +292,15 @@ def decode_image_features(
     """Attach an image feature vector column.
 
     Decode ladder, per row: PIL when installed ('pil'); else the
-    built-in pure-python 24-bit-BMP parser over the ACTUAL pixels
-    ('bmp' — real channel-mean/block-grid features, no dependency);
-    else the deterministic digest fake ('stub-sha256'). The ``decoder``
-    column records which path each row took.
+    built-in pure-python parsers over the ACTUAL pixels — 24-bit BMP
+    ('bmp') and binary PGM/PPM ('pnm'), both real
+    channel-mean/block-grid features with no dependency; else the
+    deterministic digest fake ('stub-sha256'). The ``decoder`` column
+    records which path each row took.
 
     ``require_real_codec=True`` keeps the strict contract: without a
-    general codec library every non-BMP payload would silently stub,
-    so it raises unless PIL is importable.
+    general codec library every compressed-format payload would
+    silently stub, so it raises unless PIL is importable.
     """
     if require_real_codec and not _HAVE_PIL:
         raise NotImplementedError(
@@ -279,6 +328,9 @@ def decode_image_features(
         arr = _decode_bmp(p)
         if arr is not None:
             return _pixel_features(arr, feature_dim).tolist(), "bmp"
+        arr = _decode_pnm(p)
+        if arr is not None:
+            return _pixel_features(arr, feature_dim).tolist(), "pnm"
         return _fake_decode(p, feature_dim).tolist(), "stub-sha256"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -336,6 +336,77 @@ def test_decode_image_features_real_bmp(spark):
     np.testing.assert_allclose(feats[3:6], [1.0, 0.0, 0.0], atol=1e-6)
 
 
+def test_decode_image_features_real_pnm(spark):
+    """The pure-python PNM path decodes ACTUAL pixels end-to-end: a
+    generated P6 PPM and a P5 PGM (with header comment and maxval
+    scaling) both produce real channel-mean features and flag 'pnm'."""
+    import pandas as pd
+
+    from opencosmo_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_pnm,
+        decode_image_features,
+    )
+
+    # P6 PPM, 2x2: red, green / blue, white — raster is raw RGB rows
+    raster = bytes(
+        [255, 0, 0, 0, 255, 0,
+         0, 0, 255, 255, 255, 255]
+    )
+    ppm = b"P6\n# a comment\n2 2\n255\n" + raster
+    # P5 PGM, 2x1 grayscale, maxval 100 (values rescale 100 -> 255)
+    pgm = b"P5 2 1 100 " + bytes([0, 100])
+    want_gray = _decode_pnm(pgm)
+    np.testing.assert_array_equal(
+        want_gray, np.array([[[0, 0, 0], [255, 255, 255]]], np.uint8)
+    )
+
+    rows = pd.DataFrame(
+        {
+            "media_id": [1, 2, 3],
+            "kind": ["image"] * 3,
+            "payload": [ppm, pgm, b"P6 bogus"],
+            "mime": ["image/x-portable-pixmap",
+                     "image/x-portable-graymap", "application/octet-stream"],
+            "width": [2, 2, None],
+            "height": [2, 1, None],
+            "duration_ms": [None, None, None],
+        }
+    )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = (
+        decode_image_features(df, feature_dim=16)
+        .toPandas()
+        .set_index("media_id")
+    )
+    assert out.loc[1, "decoder"] == "pnm"
+    assert out.loc[2, "decoder"] == "pnm"
+    assert out.loc[3, "decoder"] == "stub-sha256"
+    feats = out.loc[1, "features"]
+    np.testing.assert_allclose(feats[:3], [510 / 4 / 255.0] * 3, rtol=1e-6)
+    np.testing.assert_allclose(feats[3:6], [1.0, 0.0, 0.0], atol=1e-6)
+    # the PPM and its BMP twin must featurize identically
+    bmp_twin = _make_bmp(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]]
+    )
+    df2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [9],
+                "kind": ["image"],
+                "payload": [bmp_twin],
+                "mime": ["image/bmp"],
+                "width": [2],
+                "height": [2],
+                "duration_ms": [None],
+            }
+        ),
+        MEDIA_SCHEMA,
+    )
+    twin = decode_image_features(df2, feature_dim=16).toPandas()
+    np.testing.assert_allclose(feats, twin.loc[0, "features"], rtol=1e-6)
+
+
 def test_no_iterrows_in_multimodal():
     """Plan-template hygiene: the module must not contain per-row
     pandas iteration (the pattern a future real codec would inherit)."""
