@@ -10,8 +10,10 @@ all-pairs scans.
 
 from .bpe import apply_bpe, train_bpe_merges, word_frequencies
 from .classify import nb_classify, nb_predict, nb_train
+from .clean import c4_clean, gopher_quality_flags
 from .curate import curate_corpus
 from .drift import psi_report
+from .embed import pca_project, pca_project_expr, pca_train
 from .decontaminate import decontaminate, ngram_overlap, semantic_overlap
 from .dedup import (
     connected_components,
@@ -119,5 +121,10 @@ __all__ = [
     "word_frequencies",
     "pseudonymize",
     "psi_report",
+    "gopher_quality_flags",
+    "c4_clean",
+    "pca_train",
+    "pca_project",
+    "pca_project_expr",
     "read_dedup_index",
 ]
