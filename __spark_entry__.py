@@ -544,7 +544,14 @@ def q30_text_profile(spark, sf):
 
     score = cnt("the") + cnt("a") + cnt("of")
     stats = repetition_stats("text")
-    return d.select(
+    # Gopher quality rules (pipeline/clean.py; Rae et al. 2021 A1.1) —
+    # the word-level slice that is exactly mirrorable in SQL; the
+    # synthetic vocabulary holds at most one of the paper's stopwords,
+    # so the presence threshold is 1 here
+    from opencosmo_spark.pipeline.clean import gopher_quality_flags
+
+    g = gopher_quality_flags(d, min_stopword_hits=1)
+    return g.select(
         "doc_id",
         length.alias("n_chars_calc"),
         tokens.alias("n_tokens"),
@@ -555,6 +562,16 @@ def q30_text_profile(spark, sf):
         token_count("text", "whitespace").alias("n_ws"),
         token_count("text", "bpe").alias("n_bpe"),
         *[c.alias(name) for name, c in stats.items()],
+        "g_word_count",
+        "g_mean_word_len",
+        "g_alpha_word_ratio",
+        "g_stopword_hits",
+        (
+            F.col("g_ok_word_count")
+            & F.col("g_ok_mean_word_len")
+            & F.col("g_ok_alpha_word_ratio")
+            & F.col("g_ok_stopwords")
+        ).alias("g_keep"),
     )
 
 
@@ -1556,18 +1573,41 @@ def oracle_sql() -> dict[str, str]:
                            / greatest(len(bg), 1), 6) AS dup_bigram_frac
               FROM rb
             )
+            , gq AS (
+              SELECT doc_id,
+                     len(ws) AS g_word_count,
+                     round(list_aggregate(list_transform(ws,
+                             w -> CAST(length(w) AS DOUBLE)), 'sum')
+                           / greatest(len(ws), 1), 6) AS g_mean_word_len,
+                     round(CAST(len(list_filter(ws,
+                             w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                           / greatest(len(ws), 1), 6) AS g_alpha_word_ratio,
+                     len(list_filter(
+                           ['the','be','to','of','and','that','have','with'],
+                           st -> list_contains(
+                                   list_transform(ws, x -> lower(x)), st)))
+                       AS g_stopword_hits
+              FROM rw
+            )
             SELECT s.doc_id, s.n_chars_calc, s.n_tokens, s.avg_word_len,
                    CAST(l.score AS BIGINT) AS en_score,
                    CASE WHEN l.score >= 2 THEN 'en' ELSE 'other' END AS lang_guess,
                    round(0.3*q.len_score + 0.2*q.word_score
                          + 0.3*q.alpha_ratio + 0.2*q.punct_score, 6) AS quality,
                    t.n_ws, t.n_bpe,
-                   r.n_words, r.dup_word_frac, r.top_word_frac, r.dup_bigram_frac
+                   r.n_words, r.dup_word_frac, r.top_word_frac, r.dup_bigram_frac,
+                   g.g_word_count, g.g_mean_word_len, g.g_alpha_word_ratio,
+                   g.g_stopword_hits,
+                   (g.g_word_count BETWEEN 50 AND 100000
+                    AND g.g_mean_word_len BETWEEN 3 AND 10
+                    AND g.g_alpha_word_ratio >= 0.8
+                    AND g.g_stopword_hits >= 1) AS g_keep
             FROM stats s
             JOIN lang l USING (doc_id)
             JOIN qs q USING (doc_id)
             JOIN tok t USING (doc_id)
             JOIN rep r USING (doc_id)
+            JOIN gq g USING (doc_id)
         """,
         "q31_dedup_fingerprint": """
             SELECT md5(substr(text, 1, 40)) AS fp, count(*) AS n,

@@ -1,0 +1,108 @@
+"""Gopher / C4 cleaning rules: every rule must fire on a constructed
+defect and pass on clean prose."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from opencosmo_spark.pipeline.clean import c4_clean, gopher_quality_flags
+
+GOOD = (
+    "The quick brown fox jumps over the lazy dog and runs far away. "
+    "It then returns to the field with a friend and they both rest. "
+) * 5  # ~120 words of plain prose
+
+
+def _flags(spark, texts, **kw):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    return (
+        gopher_quality_flags(df, **kw)
+        .toPandas()
+        .set_index("doc_id")
+    )
+
+
+def test_gopher_passes_clean_prose(spark):
+    out = _flags(spark, [GOOD])
+    row = out.loc[0]
+    assert bool(row.keep), row.to_dict()
+    assert row.g_word_count == 130
+    assert row.g_stopword_hits >= 4
+
+
+def test_gopher_each_rule_fires(spark):
+    too_short = "tiny doc."
+    hashy = " ".join(["word##" for _ in range(60)])
+    bullets = "\n".join([f"- item {i} ok" for i in range(20)])
+    ellipses = "\n".join(
+        [f"this line number {i} trails off..." for i in range(10)]
+    )
+    numeric = " ".join(str(i) for i in range(80))
+    long_words = " ".join(["pneumonoultramicroscopic"] * 60)
+    no_stop = " ".join(["zebra lion tiger puma jaguar"] * 15)
+    out = _flags(
+        spark,
+        [too_short, hashy, bullets, ellipses, numeric, long_words, no_stop],
+    )
+    assert not out.loc[0].g_ok_word_count
+    assert not out.loc[1].g_ok_symbol_ratio
+    assert not out.loc[2].g_ok_bullet_ratio
+    assert not out.loc[3].g_ok_ellipsis_ratio
+    assert not out.loc[4].g_ok_alpha_word_ratio
+    assert not out.loc[5].g_ok_mean_word_len
+    assert not out.loc[6].g_ok_stopwords
+    assert not out.keep.any()
+
+
+def test_c4_line_and_doc_rules(spark):
+    doc = "\n".join(
+        [
+            "This is a perfectly fine sentence with many words.",
+            "Short one.",  # < 3 words -> dropped
+            "no terminal punctuation here at all",  # dropped
+            "Please enable javascript to continue browsing now.",  # dropped
+            "We use cookie banners to track you everywhere online.",  # dropped
+            "Another good sentence stays in the cleaned output here.",
+            "A third good sentence keeps the document long enough.",
+        ]
+    )
+    df = spark.createDataFrame([Row(doc_id=0, text=doc)])
+    out = c4_clean(df).toPandas().loc[0]
+    kept_lines = out.c4_text.split("\n")
+    assert len(kept_lines) == 3
+    assert all(ln.endswith(".") for ln in kept_lines)
+    assert "javascript" not in out.c4_text.lower()
+    assert out.c4_n_sentences == 3
+    assert bool(out.keep)
+
+    brace = "\n".join(
+        ["A sentence mentioning {curly} braces in code output.",
+         "Another full sentence to pad the document nicely here.",
+         "And a third complete sentence to pass the length rule."]
+    )
+    lorem = "\n".join(
+        ["Lorem ipsum dolor sit amet consectetur adipiscing elit now.",
+         "Another full sentence to pad the document nicely here.",
+         "And a third complete sentence to pass the length rule."]
+    )
+    short = "Only one good sentence lives inside this document here."
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=brace), Row(doc_id=2, text=lorem),
+         Row(doc_id=3, text=short)]
+    )
+    out = c4_clean(df).toPandas().set_index("doc_id")
+    assert not out.loc[1].c4_ok_no_brace
+    assert not out.loc[2].c4_ok_no_badword
+    assert not out.loc[3].c4_ok_sentences
+    assert not out.keep.any()
+
+
+def test_clean_stays_jvm(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text=GOOD)])
+    for op in (gopher_quality_flags, c4_clean):
+        plan = (
+            op(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
