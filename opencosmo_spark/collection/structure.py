@@ -224,6 +224,7 @@ class StructureCollection:
         self,
         data_types: list[str] | None = None,
         batch_size: int | None = None,
+        auto_stream_threshold: int = 100_000,
     ) -> Iterator[tuple[dict, dict[str, pd.DataFrame]]]:
         """Stream (source row, {child name -> pandas rows}) per
         structure (reference structure.py:1503-1611).
@@ -231,8 +232,12 @@ class StructureCollection:
         Default path (``batch_size=None``): collects child rows grouped
         by tag in ONE distributed pass per child (not one job per
         structure). Driver memory is O(total child rows across the
-        current selection) — fine after a filter cascade, wrong for a
-        full-corpus walk.
+        current selection) — the right trade AFTER a filter cascade,
+        wrong for a full-corpus walk, so selections larger than
+        ``auto_stream_threshold`` source rows automatically fall
+        through to the streaming path (with a warning naming the
+        count; one cheap count() job decides). Set the threshold to 0
+        to force streaming, or very large to force collect-once.
 
         Streaming path (``batch_size=n``): iterates source rows via
         ``toLocalIterator`` (one partition resident at a time) and
@@ -242,6 +247,22 @@ class StructureCollection:
         trade for iterating structures at scale.
         """
         names = data_types or list(self._children)
+        if batch_size is None:
+            n_src = len(self._source)
+            if n_src > auto_stream_threshold:
+                import warnings
+
+                warnings.warn(
+                    f"objects(): selection has {n_src} source rows "
+                    f"(> auto_stream_threshold={auto_stream_threshold}); "
+                    f"switching to the streaming path (batch_size=1024) "
+                    f"to keep driver memory bounded — pass batch_size "
+                    f"or raise auto_stream_threshold to choose "
+                    f"explicitly",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                batch_size = 1024
         if batch_size is None:
             src_pdf = self._source.get_data("pandas")
             child_groups: dict[str, dict] = {}

@@ -93,6 +93,31 @@ def test_objects_streaming_matches_collected(coll):
     assert streamed == bulk
 
 
+def test_objects_auto_streams_large_selections(coll):
+    """A selection above auto_stream_threshold must warn and fall
+    through to the bounded-memory streaming path — yielding exactly
+    the same structures as the collect-once default."""
+    import warnings
+
+    f = coll.sort_by("fof_halo_mass", invert=True).take(12)
+    bulk = {
+        row["fof_halo_tag"]: len(ch["dm_particles"])
+        for row, ch in f.objects(["dm_particles"])
+    }
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        auto = {
+            row["fof_halo_tag"]: len(ch["dm_particles"])
+            for row, ch in f.objects(
+                ["dm_particles"], auto_stream_threshold=3
+            )
+        }
+    assert auto == bulk
+    assert any(
+        "auto_stream_threshold" in str(w.message) for w in caught
+    ), [str(w.message) for w in caught]
+
+
 def test_evaluate_per_structure(coll, raw):
     """Per-halo particle count + mean |v| vs pandas groupby oracle."""
 
