@@ -9,7 +9,7 @@ size, not corpus²); only candidates pay the exact-Jaccard verify.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 
 def md5_lane(c, hex_digits: int = 15) -> F.Column:
@@ -880,6 +880,10 @@ def connected_components(
             .groupBy("__src")
             .agg(F.min("__label").alias("__nmin"))
         )
+        # the convergence scalar rides the SAME job that materializes
+        # the checkpoint (Observation = CollectMetrics in the plan) —
+        # one pass over labels per round instead of two
+        obs = Observation()
         labels = (
             labels.join(nmin, labels["__node"] == nmin["__src"], "left")
             .select(
@@ -888,11 +892,12 @@ def connected_components(
                     F.col("__label"), F.coalesce("__nmin", "__label")
                 ).alias("__label"),
             )
+            .observe(
+                obs, F.sum(F.col("__label").cast("decimal(38,0)")).alias("s")
+            )
             .localCheckpoint(eager=True)
         )
-        cur = labels.agg(
-            F.sum(F.col("__label").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        cur = obs.get["s"]
         if cur == prev_sum:
             converged = True
             break
@@ -977,6 +982,7 @@ def _star_components(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         omins = oriented.groupBy("u").agg(F.min("v").alias("__m"))
+        obs = Observation()
         e = (
             oriented.join(omins, "u")
             .select(F.col("v").alias("__n"), F.col("__m"))
@@ -984,15 +990,20 @@ def _star_components(
             .filter(F.col("__n") != F.col("__m"))
             .select(F.col("__n").alias("u"), F.col("__m").alias("v"))
             .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("chk"),
+            )
             .localCheckpoint(eager=True)
         )
-        row = e.agg(
-            F.count("*").alias("n"),
-            F.count_distinct("u").alias("nu"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("chk"),
-        ).collect()[0]
+        # observed during the checkpoint job — no second pass; the
+        # one-edge-per-child forest property is not separately checked
+        # because the final labeling aggregates min(v) per child, which
+        # is exact at any composition fixpoint
+        row = obs.get
         cur = (row["n"], row["chk"])
-        if cur == prev and row["n"] == row["nu"]:
+        if cur == prev:
             converged = True
             break
         prev = cur
@@ -1006,12 +1017,15 @@ def _star_components(
             RuntimeWarning,
             stacklevel=3,
         )
-    # at fixpoint e is (child -> component-min root); isolated nodes and
-    # roots label themselves
+    # at fixpoint e is (child -> component-min root); min-aggregate per
+    # child (exact when the forest property holds, still correct-min if
+    # a pathological stable-but-multi-edge state ever slipped through),
+    # isolated nodes and roots label themselves
+    roots = e.groupBy("u").agg(F.min("v").alias("__root"))
     return (
         nodes.select(F.col(id_col).alias("__node"))
         .join(
-            e.select(F.col("u").alias("__node"), F.col("v").alias("__root")),
+            roots.select(F.col("u").alias("__node"), "__root"),
             "__node",
             "left",
         )
