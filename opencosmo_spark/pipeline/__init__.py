@@ -47,6 +47,7 @@ from .similarity import (
     ivf_pq_search,
     lsh_bucket_ann,
     pq_encode,
+    kmeans_parallel_init,
     pq_pack_codes,
     pq_search,
     pq_train_codebooks,
@@ -104,6 +105,7 @@ __all__ = [
     "duplicate_spans",
     "pq_train_codebooks",
     "pq_encode",
+    "kmeans_parallel_init",
     "pq_pack_codes",
     "pq_search",
     "deterministic_sample",

@@ -123,12 +123,122 @@ def assign_ivf_cells(
     return df.withColumn(cell_col, cell.cast("long"))
 
 
+def kmeans_parallel_init(
+    df: DataFrame,
+    nlist: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rounds: int = 3,
+    oversample: int | None = None,
+) -> list[list[float]]:
+    """k-means|| initialization (Bahmani et al. 2012, "Scalable
+    K-Means++") under the cosine metric — the published scalable
+    alternative to hash seeding when codebook QUALITY matters more
+    than cross-engine reproducibility of the seeds themselves.
+
+    Per round (``rounds`` ~ 3-5 suffices per the paper): every
+    point's distance to its nearest current candidate is a pure JVM
+    argmin over literal centers (no shuffle, two scans per round —
+    one for the global cost, one for the filtered draw); points
+    enter the candidate set with probability
+    ``min(1, oversample * d / cost)`` decided by an md5 hash lane —
+    deterministic, no RNG state. The candidate set (about
+    ``oversample`` per round, default ``2 * nlist``) is driver-sized
+    by construction. A final pass counts each candidate's population
+    (one aggregation), and weighted k-means++ on the driver reduces
+    the candidates to ``nlist`` seeds. Total: ``2 * rounds + 1``
+    corpus scans, nothing corpus-sized ever collects.
+    """
+    li = int(oversample or 2 * nlist)
+    first = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("empty corpus")
+    cands: list[list[float]] = [[float(x) for x in first[0][0]]]
+    v = F.col(vec_col)
+    for rnd in range(rounds):
+        dmin = F.least(
+            *[
+                F.lit(1.0)
+                - cosine(v, F.array(*[F.lit(float(x)) for x in c]))
+                for c in cands
+            ]
+        ) if len(cands) > 1 else (
+            F.lit(1.0)
+            - cosine(v, F.array(*[F.lit(float(x)) for x in cands[0]]))
+        )
+        scored = df.select(F.col(id_col), v.alias("__v"), dmin.alias("__d"))
+        # the lane draw must vary by round or every round picks the
+        # same points
+        lane = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col(id_col), F.lit(str(rnd)))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(2**60))
+        )
+        # the sampling threshold needs the GLOBAL cost, so each round
+        # is two passes: aggregate the cost, then filter against it
+        # (both evaluate the same JVM argmin; nothing is cached — the
+        # corpus-sized scored frame must not persist per round)
+        total = scored.agg(F.sum("__d").alias("c")).collect()[0]["c"]
+        if not total or total <= 0:
+            break  # all mass on existing candidates
+        picked = scored.filter(
+            lane < F.lit(float(li)) * F.col("__d") / F.lit(float(total))
+        )
+        new = [
+            [float(x) for x in r["__v"]]
+            for r in picked.select("__v").collect()
+        ]
+        cands.extend(new)
+    # weight candidates by population (one JVM argmin pass)
+    sims = F.array(
+        *[
+            F.round(cosine(v, F.array(*[F.lit(float(x)) for x in c])), 6)
+            for c in cands
+        ]
+    )
+    nearest = (F.array_position(sims, F.array_max(sims)) - 1).alias("__c")
+    wrows = df.select(nearest).groupBy("__c").agg(F.count(F.lit(1)).alias("w")).collect()
+    weights = {int(r["__c"]): float(r["w"]) for r in wrows}
+    import numpy as np
+
+    X = np.asarray(cands, dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    w = np.asarray([weights.get(i, 0.0) for i in range(len(cands))])
+    # weighted k-means++ on the (tiny) candidate set, deterministic:
+    # greedy max-weighted-distance variant
+    chosen = [int(np.argmax(w))]
+    for _ in range(1, min(nlist, len(cands))):
+        d = np.min(1.0 - X @ X[chosen].T, axis=1)
+        score = w * np.maximum(d, 0.0)
+        score[chosen] = -1.0
+        chosen.append(int(np.argmax(score)))
+    if len(chosen) < nlist:
+        raise ValueError(
+            f"k-means|| gathered only {len(chosen)} distinct candidates "
+            f"for nlist={nlist}; raise rounds/oversample"
+        )
+    return [list(map(float, X[i])) for i in chosen]
+
+
 def train_ivf_codebook(
     df: DataFrame,
     nlist: int = 8,
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    init: str = "hash",
 ) -> list[tuple[int, list[float]]]:
     """Train an IVF codebook with distributed spherical k-means
     (Lloyd's iterations under the cosine metric, centroids normalized
@@ -148,21 +258,37 @@ def train_ivf_codebook(
     standard empty-cluster fallback). Convergence in a handful of
     rounds is typical; this is codebook TRAINING, run at ingest time,
     not per query.
+
+    ``init="hash"`` (default) seeds from the ``nlist`` smallest
+    ``xxhash64(id)`` vectors — cheap, deterministic, reproducible in
+    SQL. ``init="kmeans||"`` runs the Bahmani et al. 2012 scalable
+    k-means++ oversampling (``kmeans_parallel_init``) — better-spread
+    seeds for skewed corpora at the cost of ~4 extra corpus scans.
     """
-    seeds = (
-        df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(nlist)
-        .collect()
-    )
-    if len(seeds) < nlist:
-        raise ValueError(f"corpus has fewer than nlist={nlist} vectors")
 
     def _unit(v: list[float]) -> list[float]:
         n = sum(float(x) * float(x) for x in v) ** 0.5 or 1.0
         return [float(x) / n for x in v]
 
-    cents = [(i, _unit(list(r[1]))) for i, r in enumerate(seeds)]
+    if init == "kmeans||":
+        cents = [
+            (i, _unit(c))
+            for i, c in enumerate(
+                kmeans_parallel_init(df, nlist, vec_col, id_col)
+            )
+        ]
+    elif init == "hash":
+        seeds = (
+            df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(nlist)
+            .collect()
+        )
+        if len(seeds) < nlist:
+            raise ValueError(f"corpus has fewer than nlist={nlist} vectors")
+        cents = [(i, _unit(list(r[1]))) for i, r in enumerate(seeds)]
+    else:
+        raise ValueError(f"init must be 'hash' or 'kmeans||', got {init!r}")
     for _ in range(iters):
         assigned = assign_ivf_cells(df, cents, vec_col, "__km_cell")
         pe = assigned.select(

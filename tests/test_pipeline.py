@@ -669,3 +669,57 @@ def test_release_cached_unpersists_signature_frames(docs_with_dups):
         c.storageLevel.useMemory or c.storageLevel.useDisk for c in cached
     )
     assert res._oc_cached == []
+
+
+def test_kmeans_parallel_init_quality(spark):
+    """k-means|| seeds on a 4-blob corpus: one seed lands in each
+    blob, and the resulting codebook's inertia is no worse than the
+    hash-seeded codebook trained with the same Lloyd budget."""
+    from opencosmo_spark.pipeline.similarity import (
+        _cos_py,
+        kmeans_parallel_init,
+        train_ivf_codebook,
+    )
+
+    rng = np.random.default_rng(17)
+    dirs = np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], float
+    )
+    pts = np.vstack(
+        [d + rng.normal(0, 0.05, size=(40, 4)) for d in dirs]
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(pts)), "embedding": [list(map(float, p)) for p in pts]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    seeds = kmeans_parallel_init(df, nlist=4, rounds=3)
+    assert len(seeds) == 4
+    # each blob direction captured by exactly one seed
+    owners = {int(np.argmax([_cos_py(s, d) for d in dirs])) for s in seeds}
+    assert owners == {0, 1, 2, 3}
+
+    def inertia(cb):
+        cents = [c for _, c in cb]
+        return sum(
+            1.0 - max(_cos_py(p, c) for c in cents) for p in pts
+        )
+
+    km = train_ivf_codebook(df, nlist=4, iters=2, init="kmeans||")
+    hh = train_ivf_codebook(df, nlist=4, iters=2, init="hash")
+    assert inertia(km) <= inertia(hh) * 1.001
+
+    with pytest.raises(ValueError, match="init must be"):
+        train_ivf_codebook(df, nlist=4, init="bogus")
+
+
+def test_kmeans_parallel_init_deterministic(spark):
+    """The md5-lane draws make the init reproducible run-over-run and
+    across partitionings (wide margins on this corpus: the float cost
+    threshold is nowhere near any lane value)."""
+    from opencosmo_spark.pipeline.similarity import kmeans_parallel_init
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = kmeans_parallel_init(emb, nlist=4, rounds=2)
+    b = kmeans_parallel_init(emb.repartition(7), nlist=4, rounds=2)
+    assert a == b
