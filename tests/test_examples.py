@@ -1,0 +1,21 @@
+"""The examples must actually run — they are the documented
+compositions users copy. Subprocess-isolated (each example owns and
+stops its SparkSession)."""
+
+import subprocess
+import sys
+
+
+def test_embedding_pipeline_example_runs():
+    out = subprocess.run(
+        [sys.executable, "examples/embedding_pipeline.py",
+         "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "pca: kept k=8 axes" in out.stdout
+    assert "ann top-5:" in out.stdout
+    assert "semantic dedup:" in out.stdout

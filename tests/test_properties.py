@@ -436,3 +436,52 @@ def test_waterfill_alpha_one_is_uniform_rate(counts, target):
     rates = waterfill_rates(counts, 1.0, target)
     for r in rates.values():
         assert r == pytest.approx(target, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# codec robustness: the pure-python decoders gate a mapInPandas hot
+# path over UNTRUSTED binary payloads — they must classify (None) or
+# decode, never raise, on arbitrary bytes
+# ---------------------------------------------------------------------------
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_decoders_never_raise_on_garbage(data):
+    from opencosmo_spark.pipeline.multimodal import (
+        _decode_bmp,
+        _decode_pnm,
+        _decode_wav,
+    )
+
+    for dec in (_decode_bmp, _decode_pnm, _decode_wav):
+        out = dec(data)
+        assert out is None or out is not None  # no exception escapes
+
+
+@given(
+    st.binary(max_size=200),
+    st.sampled_from([b"BM", b"P5", b"P6", b"RIFF"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_decoders_never_raise_on_magic_prefixed_garbage(tail, magic):
+    """Payloads that pass the magic check but carry corrupt
+    headers/rasters are the adversarial case — still no exceptions,
+    and any non-None image result is a well-formed (h, w, 3) uint8."""
+    import numpy as np
+
+    from opencosmo_spark.pipeline.multimodal import (
+        _decode_bmp,
+        _decode_pnm,
+        _decode_wav,
+    )
+
+    data = magic + tail
+    for dec in (_decode_bmp, _decode_pnm):
+        out = dec(data)
+        if out is not None:
+            assert out.dtype == np.uint8 and out.ndim == 3 and out.shape[2] == 3
+    w = _decode_wav(data)
+    if w is not None:
+        samples, rate = w
+        assert rate > 0 and samples.dtype == np.float32
