@@ -6,10 +6,13 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed to completion (collect to count) — timings
 include the full scan->shuffle->result path, not plan construction.
-Each query runs twice and reports the faster run: the steady-state
-number a long-lived cluster sees (first run pays one-time JVM JIT,
-codegen compilation, and file-listing costs that amortize to zero in
-production; both runs re-read parquet from disk — no df.cache()).
+Each headline query runs three times and reports the fastest run:
+the steady-state number a long-lived cluster sees (the first run
+pays one-time JVM JIT, codegen compilation, and file-listing costs
+that amortize to zero in production, and interleaved same-code
+measurements on this shared VM swing +-15% run-to-run — best-of-3
+suppresses that noise; all runs re-read parquet from disk, no
+df.cache()).
 """
 
 from __future__ import annotations
@@ -83,7 +86,7 @@ def main():
         fn = qs[name]
         best, n = None, 0
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 n = df.count()
