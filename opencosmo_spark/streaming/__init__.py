@@ -10,6 +10,7 @@ custom-operator hook.
 
 from .events import (
     corpus_dedup_stream,
+    drift_monitor_stream,
     dedup_stream,
     event_time_expr,
     interval_join_stream,
@@ -26,6 +27,7 @@ __all__ = [
     "event_time_expr",
     "interval_join_stream",
     "corpus_dedup_stream",
+    "drift_monitor_stream",
     "dedup_stream",
     "windowed_aggregate",
     "sessionize_stream",

@@ -338,3 +338,75 @@ def corpus_dedup_stream(
     else:
         fresh = fresh.dropDuplicates(["__fp"])
     return fresh.drop("__fp")
+
+
+def drift_monitor_stream(
+    stream_df: DataFrame,
+    ref: DataFrame,
+    *,
+    numeric_cols: list[str] | None = None,
+    categorical_cols: list[str] | None = None,
+    bins: int = 10,
+    top_k: int = 50,
+    on_report=None,
+):
+    """Streaming twin of ``pipeline.drift.psi_report``: monitor each
+    arriving micro-batch's distribution drift against a static
+    reference snapshot via ``foreachBatch``.
+
+    The reference side is computed ONCE before the query starts —
+    quantile edges, reference bucket fractions, categorical top-k
+    fractions, reference row count — so per batch the only work is
+    the batch's own bucket/frequency aggregations (the same job
+    shape ``psi_report`` documents for its "cur" side). Returns
+    ``(start, reports)``: call ``start(stream_df.writeStream)``-style
+    is NOT needed — ``start()`` takes no arguments, starts the
+    query, and ``reports`` (a driver-side list) accumulates one
+    ``{"batch_id": n, <column>: psi, ...}`` dict per micro-batch;
+    ``on_report(batch_id, report)`` fires per batch for alert
+    wiring. Driver state is O(batches x columns) floats — bounded by
+    run length, not data.
+    """
+    from ..pipeline.drift import (
+        _all_numeric_fracs,
+        _numeric_edges,
+        _psi,
+        _value_fracs,
+    )
+
+    numeric_cols = numeric_cols or []
+    categorical_cols = categorical_cols or []
+    edges = _numeric_edges(ref, numeric_cols, bins) if numeric_cols else {}
+    ref_fracs = {}
+    n_ref = None
+    if numeric_cols:
+        ref_fracs, n_ref = _all_numeric_fracs(ref, edges)
+    if categorical_cols and n_ref is None:
+        n_ref = ref.count()
+    ref_cat = {
+        c: _value_fracs(ref, c, top_k, n_ref) for c in categorical_cols
+    }
+    reports: list[dict] = []
+
+    def _on_batch(bdf: DataFrame, batch_id: int):
+        if bdf.isEmpty():
+            return
+        rep: dict = {"batch_id": int(batch_id)}
+        n_cur = None
+        if numeric_cols:
+            cur_fracs, n_cur = _all_numeric_fracs(bdf, edges)
+            for c in numeric_cols:
+                rep[c] = _psi(ref_fracs[c], cur_fracs[c])
+        if categorical_cols:
+            if n_cur is None:
+                n_cur = bdf.count()
+            for c in categorical_cols:
+                rep[c] = _psi(ref_cat[c], _value_fracs(bdf, c, top_k, n_cur))
+        reports.append(rep)
+        if on_report is not None:
+            on_report(int(batch_id), rep)
+
+    def start():
+        return stream_df.writeStream.foreachBatch(_on_batch).start()
+
+    return start, reports

@@ -279,3 +279,61 @@ def test_corpus_dedup_stream_matches_batch_incremental(spark, tmp_path):
     got = sorted(r.doc_id for r in spark.table("corpus_dedup_out").collect())
     # 100 dies (exists in corpus), 102 dies (cross-batch stream dup)
     assert got == [101, 103]
+
+
+def test_drift_monitor_stream_matches_batch_psi(spark, tmp_path):
+    """Per-micro-batch PSI from the streaming monitor must equal
+    psi_report(ref, that_batch) computed in batch — and the drifted
+    batch must score far above the in-distribution one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opencosmo_spark.pipeline.drift import psi_report
+    from opencosmo_spark.streaming.events import drift_monitor_stream
+
+    rng = __import__("numpy").random.default_rng(5)
+    ref_vals = rng.normal(0, 1, 4000)
+    same_vals = rng.normal(0, 1, 1000)
+    drifted_vals = rng.normal(3, 1, 1000)  # mean-shifted
+
+    ref = spark.createDataFrame(
+        [(float(v), "a" if v < 0 else "b") for v in ref_vals],
+        ["x", "cat"],
+    )
+    b1 = pa.table({"x": same_vals, "cat": ["a" if v < 0 else "b" for v in same_vals]})
+    b2 = pa.table({"x": drifted_vals, "cat": ["a" if v < 0 else "b" for v in drifted_vals]})
+    d = tmp_path / "drift_in"
+    d.mkdir()
+    pq.write_table(b1, d / "part-0.parquet")
+    pq.write_table(b2, d / "part-1.parquet")
+
+    stream = (
+        spark.readStream.schema("x DOUBLE, cat STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    seen = []
+    start, reports = drift_monitor_stream(
+        stream,
+        ref,
+        numeric_cols=["x"],
+        categorical_cols=["cat"],
+        on_report=lambda bid, rep: seen.append(bid),
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert [r["batch_id"] for r in reports] == [0, 1] == seen
+    # batch twin: same numbers
+    for rep, tbl in zip(reports, (b1, b2)):
+        batch_df = spark.createDataFrame(tbl.to_pandas())
+        want = psi_report(
+            ref, batch_df, numeric_cols=["x"], categorical_cols=["cat"]
+        )
+        assert rep["x"] == pytest.approx(want["x"], rel=1e-9)
+        assert rep["cat"] == pytest.approx(want["cat"], rel=1e-9)
+    # drifted batch stands out
+    assert reports[0]["x"] < 0.1 < 1.0 < reports[1]["x"]
