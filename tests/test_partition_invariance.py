@@ -70,8 +70,12 @@ CORE_QUERIES = [
     "q21_semi_cascade",
     "q24_set_ops",
     "q26_window_topk",
+    "q31_dedup_fingerprint",
+    "q35_minhash_lsh",
     "q47_dedup_clusters",
     "q50_stratified_sample",
+    "q63_bm25_topk",
+    "q64_nb_classify",
 ]
 
 
