@@ -303,18 +303,37 @@ def fof(ds, linking_length: float, select_by: tuple[str, str, str] | None = None
 
 
 def two_point(
-    ds, bins: list[float], select_by: tuple[str, str, str] | None = None
+    ds,
+    bins: list[float],
+    select_by: tuple[str, str, str] | None = None,
+    estimator: str = "natural",
+    **kw,
 ):
-    """Two-point correlation of a Dataset's positions (periodic
-    natural estimator — see ``spatial.pairs.two_point_correlation``),
-    with coordinates and box size resolved from the dataset."""
+    """Two-point correlation of a Dataset's positions, with
+    coordinates and box size resolved from the dataset.
+    ``estimator="natural"`` (default) is the periodic-box analytic-RR
+    form (``spatial.pairs.two_point_correlation``);
+    ``estimator="landy-szalay"`` runs the random-catalog LS estimator
+    for non-periodic/survey geometries
+    (``spatial.pairs.two_point_landy_szalay``; pass ``random_df`` /
+    ``n_random`` / ``seed`` / ``periodic`` through ``**kw``)."""
     from .spatial.bound import find_coords
-    from .spatial.pairs import two_point_correlation
+    from .spatial.pairs import two_point_correlation, two_point_landy_szalay
 
     coords = select_by or find_coords(ds.columns, 3)
     if ds.header is None or ds.header.box_size is None:
         raise ValueError("two_point needs header.box_size")
     id_col = _pair_id_col(ds)
+    if estimator == "landy-szalay":
+        return two_point_landy_szalay(
+            ds.df, bins, float(ds.header.box_size), id_col=id_col,
+            cols=tuple(coords), **kw,
+        )
+    if estimator != "natural":
+        raise ValueError(
+            f"estimator must be 'natural' or 'landy-szalay', got "
+            f"{estimator!r}"
+        )
     return two_point_correlation(
         ds.df, bins, float(ds.header.box_size), id_col=id_col, cols=tuple(coords)
     )

@@ -26,27 +26,18 @@ def _cell_id(ix, iy, iz, n: int):
     return (ix * n + iy) * n + iz
 
 
-def neighbor_pairs_3d(
+def _prep_cells(
     df: DataFrame,
-    radius: float,
-    box_size: float,
-    id_col: str = "id",
-    cols: tuple[str, str, str] = ("x", "y", "z"),
-    periodic: bool = True,
-) -> DataFrame:
-    """Every unordered pair (a < b) of rows within ``radius``:
-    ``(a, b, dist)``. Coordinates live in [0, box_size)^3; with
-    ``periodic`` the minimum-image convention applies to both the cell
-    keys and the distances (simulation boxes are periodic).
-    """
-    n = max(1, int(box_size / radius))
-    cell = box_size / n
+    id_col: str,
+    cols: tuple[str, str, str],
+    n: int,
+    cell: float,
+):
     x, y, z = (F.col(c) for c in cols)
     ix = F.least(F.floor(x / cell), F.lit(n - 1)).cast("long")
     iy = F.least(F.floor(y / cell), F.lit(n - 1)).cast("long")
     iz = F.least(F.floor(z / cell), F.lit(n - 1)).cast("long")
-
-    base = df.select(
+    return df.select(
         F.col(id_col).alias("__pid"),
         x.cast("double").alias("__x"),
         y.cast("double").alias("__y"),
@@ -56,7 +47,29 @@ def neighbor_pairs_3d(
         iz.alias("__iz"),
     )
 
-    a = base.select(
+
+def _pairs_engine(
+    dfa: DataFrame,
+    dfb: DataFrame,
+    radius: float,
+    box_size: float,
+    id_col_a: str,
+    id_col_b: str,
+    cols_a: tuple[str, str, str],
+    cols_b: tuple[str, str, str],
+    periodic: bool,
+    self_join: bool,
+) -> DataFrame:
+    """The shared cell-keyed pair join. ``self_join`` keeps unordered
+    pairs (a < b) of ONE catalog; otherwise every (a in A, b in B)
+    pair within ``radius`` appears once (the DR case — A and B are
+    distinct catalogs, ids may overlap numerically)."""
+    n = max(1, int(box_size / radius))
+    cell = box_size / n
+    base_a = _prep_cells(dfa, id_col_a, cols_a, n, cell)
+    base_b = _prep_cells(dfb, id_col_b, cols_b, n, cell)
+
+    a = base_a.select(
         F.col("__pid").alias("a"),
         F.col("__x").alias("xa"),
         F.col("__y").alias("ya"),
@@ -93,7 +106,7 @@ def neighbor_pairs_3d(
     cells = F.array_distinct(
         F.filter(F.array(*neigh), lambda c: c.isNotNull())
     )
-    b = base.select(
+    b = base_b.select(
         F.col("__pid").alias("b"),
         F.col("__x").alias("xb"),
         F.col("__y").alias("yb"),
@@ -109,14 +122,68 @@ def neighbor_pairs_3d(
 
     dx, dy, dz = delta("xa", "xb"), delta("ya", "yb"), delta("za", "zb")
     dist = F.sqrt(dx * dx + dy * dy + dz * dz)
+    out = a.join(b, "__cell")
+    if self_join:
+        out = out.filter(F.col("a") < F.col("b"))
     return (
-        a.join(b, "__cell")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", dist.alias("dist"))
+        out.select("a", "b", dist.alias("dist"))
         .filter(F.col("dist") <= float(radius))
         # a pair can meet in several cells of b's fan-out
         .dropDuplicates(["a", "b"])
     )
+
+
+def neighbor_pairs_3d(
+    df: DataFrame,
+    radius: float,
+    box_size: float,
+    id_col: str = "id",
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+    periodic: bool = True,
+) -> DataFrame:
+    """Every unordered pair (a < b) of rows within ``radius``:
+    ``(a, b, dist)``. Coordinates live in [0, box_size)^3; with
+    ``periodic`` the minimum-image convention applies to both the cell
+    keys and the distances (simulation boxes are periodic).
+    """
+    return _pairs_engine(
+        df, df, radius, box_size, id_col, id_col, cols, cols,
+        periodic, self_join=True,
+    )
+
+
+def cross_pairs_3d(
+    dfa: DataFrame,
+    dfb: DataFrame,
+    radius: float,
+    box_size: float,
+    id_col_a: str = "id",
+    id_col_b: str = "id",
+    cols_a: tuple[str, str, str] = ("x", "y", "z"),
+    cols_b: tuple[str, str, str] = ("x", "y", "z"),
+    periodic: bool = True,
+) -> DataFrame:
+    """Every (a in A, b in B) pair within ``radius`` between TWO
+    catalogs: ``(a, b, dist)`` — the DR count of a Landy-Szalay
+    estimator, galaxy-halo cross-correlations, environment queries.
+    Same cell-keyed join as the self-pair engine; cost O(|A| + 27|B|)
+    join rows."""
+    return _pairs_engine(
+        dfa, dfb, radius, box_size, id_col_a, id_col_b, cols_a, cols_b,
+        periodic, self_join=False,
+    )
+
+
+def _bin_expr(edges: list[float]):
+    """Radial-bin index of ``dist`` against sorted ``edges`` (NULL
+    outside every bin)."""
+    out = F.lit(None).cast("int")
+    for i in range(len(edges) - 1, 0, -1):
+        out = F.when(
+            (F.col("dist") >= edges[i - 1]) & (F.col("dist") < edges[i]),
+            F.lit(i - 1),
+        ).otherwise(out)
+    return out
 
 
 def two_point_correlation(
@@ -143,12 +210,7 @@ def two_point_correlation(
         df, rmax, box_size, id_col=id_col, cols=cols, periodic=True
     )
     edges = [float(e) for e in bins]
-    bin_expr = F.lit(None).cast("int")
-    for i in range(len(edges) - 1, 0, -1):
-        bin_expr = F.when(
-            (F.col("dist") >= edges[i - 1]) & (F.col("dist") < edges[i]),
-            F.lit(i - 1),
-        ).otherwise(bin_expr)
+    bin_expr = _bin_expr(edges)
     dd = (
         pairs.select(bin_expr.alias("bin"))
         .filter(F.col("bin").isNotNull())
@@ -212,3 +274,128 @@ def fof_groups(
         algorithm=algorithm,
     )
     return labels.withColumnRenamed("cluster_id", "group_id")
+
+
+def uniform_random_catalog(
+    spark,
+    n: int,
+    box_size: float,
+    seed: int = 1,
+    id_col: str = "id",
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+) -> DataFrame:
+    """Deterministic uniform random catalog in [0, box_size)^3 — the
+    randoms of a Landy-Szalay estimator, generated distributed
+    (``spark.range`` + md5 hash lanes, no RNG state): the same
+    (n, seed) always yields the same catalog, on any partitioning,
+    on any engine that can evaluate md5 — the sampling-lane posture
+    every stochastic operator in this repo takes."""
+    from ..pipeline.dedup import md5_lane
+
+    out = spark.range(n).select(F.col("id").alias(id_col))
+    for axis, name in zip(("x", "y", "z"), cols):
+        lane = md5_lane(
+            F.concat_ws(":", F.lit(str(seed)), F.col(id_col), F.lit(axis))
+        )
+        out = out.withColumn(
+            name, lane.cast("double") / F.lit(float(2**60)) * F.lit(float(box_size))
+        )
+    return out
+
+
+def two_point_landy_szalay(
+    df: DataFrame,
+    bins: list[float],
+    box_size: float,
+    id_col: str = "id",
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+    random_df: DataFrame | None = None,
+    n_random: int | None = None,
+    seed: int = 1,
+    periodic: bool = False,
+) -> DataFrame:
+    """Landy-Szalay two-point correlation (Landy & Szalay 1993):
+    ``xi = (DDn - 2 DRn + RRn) / RRn`` with each pair count
+    normalized by its number of possible pairs. This is the
+    estimator for NON-periodic geometries (survey volumes, masked
+    lightcone chunks) where the analytic-RR natural estimator of
+    ``two_point_correlation`` does not apply — edge effects cancel
+    through the random catalog instead.
+
+    ``random_df`` supplies survey-geometry randoms (same columns);
+    by default a deterministic uniform box catalog of
+    ``n_random`` (default ``2 * len(df)``) points is generated.
+    Returns one row per bin:
+    ``(bin, r_lo, r_hi, dd, dr, rr, xi)`` with raw pair counts and
+    the normalized estimator.
+
+    Scale shape: three cell-keyed pair joins (DD, DR, RR) — each the
+    same O(N * 27) machinery as ``neighbor_pairs_3d`` — plus three
+    per-bin aggregations; randoms cost ~(Nr/Nd)^2 of the DD work, so
+    the usual Nr = 2-3 Nd multiplies total work by ~5-10, exactly
+    like every production pair-count code."""
+    if sorted(bins) != list(bins) or len(bins) < 2:
+        raise ValueError("bins must be a sorted list of >= 2 edges")
+    rmax = float(bins[-1])
+    edges = [float(e) for e in bins]
+    nd = df.count()
+    if random_df is None:
+        nr = int(n_random or 2 * nd)
+        random_df = uniform_random_catalog(
+            df.sparkSession, nr, box_size, seed, id_col="id"
+        )
+        r_id, r_cols = "id", ("x", "y", "z")
+    else:
+        nr = random_df.count()
+        r_id, r_cols = id_col, cols
+    if nd < 2 or nr < 2:
+        raise ValueError(f"need >= 2 data and random points, got {nd}/{nr}")
+
+    def binned(pairs, name):
+        return (
+            pairs.select(_bin_expr(edges).alias("bin"))
+            .filter(F.col("bin").isNotNull())
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    dd = binned(
+        neighbor_pairs_3d(df, rmax, box_size, id_col, cols, periodic), "dd"
+    )
+    dr = binned(
+        cross_pairs_3d(
+            df, random_df, rmax, box_size, id_col, r_id, cols, r_cols,
+            periodic,
+        ),
+        "dr",
+    )
+    rr = binned(
+        neighbor_pairs_3d(random_df, rmax, box_size, r_id, r_cols, periodic),
+        "rr",
+    )
+    spark = df.sparkSession
+    rows = [(i, edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+    grid = spark.createDataFrame(rows, "bin INT, r_lo DOUBLE, r_hi DOUBLE")
+    ddn = F.col("dd") / F.lit(nd * (nd - 1) / 2.0)
+    drn = F.col("dr") / F.lit(float(nd) * nr)
+    rrn = F.col("rr") / F.lit(nr * (nr - 1) / 2.0)
+    return (
+        grid.join(dd, "bin", "left")
+        .join(dr, "bin", "left")
+        .join(rr, "bin", "left")
+        .select(
+            "bin",
+            "r_lo",
+            "r_hi",
+            F.coalesce("dd", F.lit(0)).alias("dd"),
+            F.coalesce("dr", F.lit(0)).alias("dr"),
+            F.coalesce("rr", F.lit(0)).alias("rr"),
+        )
+        .withColumn(
+            "xi",
+            F.when(
+                F.col("rr") > 0, (ddn - 2.0 * drn + rrn) / rrn
+            ),
+        )
+        .orderBy("bin")
+    )

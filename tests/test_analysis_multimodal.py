@@ -523,3 +523,9 @@ def test_fof_and_two_point_dataset_entry(spark, fixtures):
     xi = two_point(halos, [1.0, 5.0, 10.0]).collect()
     assert [r["bin"] for r in xi] == [0, 1]
     assert all(r["dd"] >= 0 and r["rr"] > 0 for r in xi)
+
+    ls = two_point(
+        halos, [1.0, 5.0, 10.0], estimator="landy-szalay", n_random=300
+    ).collect()
+    assert [r["bin"] for r in ls] == [0, 1]
+    assert all(r["rr"] >= 0 for r in ls)

@@ -168,3 +168,98 @@ def test_pair_id_col_rejects_non_unique(spark):
         pd.DataFrame({"fof_halo_tag": [1, 2, 3], "x": [0.0, 1.0, 2.0]})
     )
     assert _pair_id_col(_DS(uniq)) == "fof_halo_tag"
+
+
+def _brute_cross(pa, pb, radius, periodic, box=BOX):
+    out = {}
+    for i in range(len(pa)):
+        for j in range(len(pb)):
+            d = np.abs(pa[i] - pb[j])
+            if periodic:
+                d = np.minimum(d, box - d)
+            dist = float(np.sqrt((d**2).sum()))
+            if dist <= radius:
+                out[(i, j)] = dist
+    return out
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_cross_pairs_match_bruteforce(spark, periodic):
+    from opencosmo_spark.spatial.pairs import cross_pairs_3d
+
+    rng = np.random.default_rng(31)
+    pa = rng.uniform(0, BOX, size=(120, 3))
+    pb = rng.uniform(0, BOX, size=(90, 3))
+    got = {
+        (r["a"], r["b"]): r["dist"]
+        for r in cross_pairs_3d(
+            _points_df(spark, pa), _points_df(spark, pb), 1.5, BOX,
+            periodic=periodic,
+        ).collect()
+    }
+    want = _brute_cross(pa, pb, 1.5, periodic)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9)
+
+
+def test_uniform_random_catalog_deterministic_and_uniform(spark):
+    from opencosmo_spark.spatial.pairs import uniform_random_catalog
+
+    a = uniform_random_catalog(spark, 2000, BOX, seed=3).toPandas()
+    b = uniform_random_catalog(spark, 2000, BOX, seed=3).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("id").reset_index(drop=True),
+        b.sort_values("id").reset_index(drop=True),
+    )
+    c = uniform_random_catalog(spark, 2000, BOX, seed=4).toPandas()
+    assert not np.allclose(
+        a.sort_values("id").x.to_numpy(), c.sort_values("id").x.to_numpy()
+    )
+    for col in ("x", "y", "z"):
+        v = a[col].to_numpy()
+        assert 0 <= v.min() and v.max() < BOX
+        assert abs(v.mean() - BOX / 2) < 0.25  # ~3 sigma at n=2000
+
+
+def test_landy_szalay_uniform_is_flat(spark):
+    """On uniform data LS must give xi ~ 0 — the estimator's defining
+    property is that geometry/edge effects cancel through the randoms
+    even in a NON-periodic box."""
+    from opencosmo_spark.spatial.pairs import two_point_landy_szalay
+
+    rng = np.random.default_rng(41)
+    pts = rng.uniform(0, BOX, size=(900, 3))
+    out = two_point_landy_szalay(
+        _points_df(spark, pts), [0.5, 1.0, 1.5, 2.0], BOX,
+        n_random=2700, periodic=False,
+    ).collect()
+    assert [r["bin"] for r in out] == [0, 1, 2]
+    for r in out:
+        assert r["dd"] > 0 and r["rr"] > 0
+        assert abs(r["xi"]) < 0.25, (r["bin"], r["xi"])
+
+
+def test_landy_szalay_detects_clustering(spark):
+    """Tight clumps must produce strongly positive xi in the
+    small-separation bin, and the LS value must agree with a numpy
+    recomputation from the same raw counts."""
+    from opencosmo_spark.spatial.pairs import two_point_landy_szalay
+
+    rng = np.random.default_rng(43)
+    centers = rng.uniform(1, BOX - 1, size=(25, 3))
+    pts = np.vstack(
+        [c + rng.normal(0, 0.08, size=(20, 3)) for c in centers]
+    ).clip(0, BOX - 1e-9)
+    nd = len(pts)
+    nr = 2 * nd
+    out = two_point_landy_szalay(
+        _points_df(spark, pts), [0.2, 0.6, 3.0], BOX,
+        n_random=nr, periodic=False,
+    ).collect()
+    r0 = out[0]
+    assert r0["xi"] > 5.0  # strong small-scale clustering
+    ddn = r0["dd"] / (nd * (nd - 1) / 2)
+    drn = r0["dr"] / (nd * nr)
+    rrn = r0["rr"] / (nr * (nr - 1) / 2)
+    assert r0["xi"] == pytest.approx((ddn - 2 * drn + rrn) / rrn, rel=1e-12)
