@@ -32,6 +32,7 @@ from .dedup import (
 )
 from .sample import (
     deterministic_sample,
+    importance_sample,
     stratified_sample,
     temperature_mixture_rates,
     temperature_sample,
@@ -109,6 +110,7 @@ __all__ = [
     "pq_pack_codes",
     "pq_search",
     "deterministic_sample",
+    "importance_sample",
     "stratified_sample",
     "temperature_mixture_rates",
     "temperature_sample",

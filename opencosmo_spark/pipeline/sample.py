@@ -140,3 +140,70 @@ def temperature_sample(
     raw multi-domain corpus to a reproducible training mix."""
     rates = temperature_mixture_rates(df, stratum_col, alpha, target_frac)
     return stratified_sample(df, rates, stratum_col, id_col=id_col, salt=salt)
+
+
+def importance_sample(
+    df: DataFrame,
+    weight_col: str,
+    target_frac: float,
+    id_col: str = "doc_id",
+    salt: str = "s",
+    iters: int = 8,
+) -> DataFrame:
+    """Keep each row with probability proportional to a non-negative
+    per-row weight (quality score, classifier logit mapped to [0, inf)),
+    scaled so the EXPECTED kept fraction is ``target_frac`` — the
+    quality-proportional selection step of recent curation recipes
+    (weights from a quality classifier, keep budget fixed).
+
+    Acceptance is ``hash_lane(id) < min(1, w * s)`` — deterministic,
+    engine-reproducible, a single pushable filter like every sampler
+    here. The scale ``s`` solves ``sum(min(1, w*s)) = target_frac * n``
+    by driver-side bisection (the left side is monotone in ``s``);
+    each probe is ONE aggregation over the weight column, ``iters``
+    (default 8, giving ~0.4% budget accuracy) probes total. The
+    clipping at 1 is what makes bisection necessary: without it heavy
+    rows would be 'kept more than once' and the naive
+    ``s = target * n / sum(w)`` under-fills the budget whenever any
+    ``w * s`` clips.
+
+    Rows with NULL or non-positive weight are never kept.
+    """
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError(f"target_frac must be in (0, 1], got {target_frac}")
+    w = F.col(weight_col).cast("double")
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(w > 0, w).otherwise(F.lit(0.0))).alias("sw"),
+        F.max(w).alias("wmax"),
+    ).collect()[0]
+    n, sw, wmax = stats["n"], stats["sw"] or 0.0, stats["wmax"] or 0.0
+    if n == 0 or sw <= 0:
+        return df.filter(F.lit(False))
+    target_n = target_frac * n
+
+    def expected(s: float) -> float:
+        return df.agg(
+            F.sum(
+                F.when(w > 0, F.least(F.lit(1.0), w * F.lit(s))).otherwise(
+                    F.lit(0.0)
+                )
+            )
+        ).collect()[0][0]
+
+    lo, hi = 0.0, max(1.0 / wmax, target_n / sw) * 2.0
+    # grow hi until it overshoots the budget (or every row saturates)
+    while expected(hi) < target_n and hi * wmax < 1e6:
+        hi *= 4.0
+    s = hi
+    for _ in range(iters):
+        mid = (lo + hi) / 2.0
+        if expected(mid) < target_n:
+            lo = mid
+        else:
+            hi = mid
+        s = hi
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    accept = F.least(F.lit(1.0), w * F.lit(s))
+    lane_u = _lane(key).cast("double") / F.lit(float(2**60))
+    return df.filter(w > 0).filter(lane_u < accept)

@@ -723,3 +723,49 @@ def test_kmeans_parallel_init_deterministic(spark):
     a = kmeans_parallel_init(emb, nlist=4, rounds=2)
     b = kmeans_parallel_init(emb.repartition(7), nlist=4, rounds=2)
     assert a == b
+
+
+def test_importance_sample_budget_and_proportionality(spark):
+    """Kept fraction hits the target within sampling noise; acceptance
+    is proportional to weight below the clip; zero/NULL weights never
+    survive; same inputs -> identical survivor set."""
+    from opencosmo_spark.pipeline.sample import importance_sample
+
+    n = 20000
+    rng = np.random.default_rng(29)
+    w = rng.choice([0.0, 1.0, 2.0, 4.0], size=n, p=[0.1, 0.5, 0.3, 0.1])
+    pdf = pd.DataFrame({"doc_id": np.arange(n), "w": w})
+    pdf.loc[0, "w"] = None  # NULL weight
+    df = spark.createDataFrame(pdf)
+
+    out = importance_sample(df, "w", target_frac=0.3)
+    got = out.toPandas()
+    # budget: expected 6000 kept, binomial sd ~ 67
+    assert abs(len(got) - 6000) < 350
+    # no zero/NULL-weight survivors
+    assert (got.w > 0).all()
+    # proportionality below the clip: keep-rate ratio ~~ weight ratio
+    kept_by_w = got.groupby("w").size()
+    tot_by_w = pdf.groupby("w").size()
+    r1 = kept_by_w.get(1.0, 0) / tot_by_w[1.0]
+    r2 = kept_by_w.get(2.0, 0) / tot_by_w[2.0]
+    assert r2 / r1 == pytest.approx(2.0, rel=0.15)
+    # determinism
+    again = importance_sample(df, "w", target_frac=0.3).toPandas()
+    assert sorted(again.doc_id) == sorted(got.doc_id)
+
+
+def test_importance_sample_clipping_still_fills_budget(spark):
+    """When heavy rows clip at probability 1 the bisection must
+    re-spread the lost mass: naive sum-scaling would keep ~21% here,
+    the solver must still hit ~30%."""
+    from opencosmo_spark.pipeline.sample import importance_sample
+
+    n = 10000
+    rng = np.random.default_rng(31)
+    # 5% of rows carry 50x weight -> naive scale clips them hard
+    w = np.where(rng.uniform(size=n) < 0.05, 50.0, 1.0)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": np.arange(n), "w": w}))
+    out = importance_sample(df, "w", target_frac=0.3)
+    kept = out.count()
+    assert abs(kept - 3000) < 300
