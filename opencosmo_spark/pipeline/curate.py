@@ -41,6 +41,8 @@ def curate_corpus(
     id_col: str = "doc_id",
     min_quality: float = 0.3,
     min_tokens: int = 5,
+    gopher: bool | dict = False,
+    c4_lines: bool = False,
     boilerplate_min_dup: int | None = None,
     jaccard_threshold: float = 0.8,
     decontam_k: int = 8,
@@ -50,6 +52,7 @@ def curate_corpus(
     mix_col: str | None = None,
     mix_alpha: float | None = None,
     mix_target_frac: float = 0.5,
+    importance_col: str | None = None,
     n_shards: int | None = None,
     report: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
@@ -61,6 +64,13 @@ def curate_corpus(
 
     1. quality gate: ``quality_score >= min_quality`` and
        ``token_count >= min_tokens`` — row-local, pushable.
+    1b. Gopher rules (``gopher=True`` or a dict of threshold
+       overrides): drop documents failing the Rae et al. 2021
+       conjunction — row-local, scan-fused.
+    1c. C4 line cleaning (``c4_lines=True``): rewrite each document
+       to its C4-kept lines and drop documents failing the C4
+       document rules — runs BEFORE dedup so fingerprints see the
+       cleaned text.
     2. PII redaction (always on): counts attached, text redacted.
     3. boilerplate line scrub (``boilerplate_min_dup`` not None).
     4. exact dedup (always on): keep lowest id per identical text.
@@ -74,15 +84,20 @@ def curate_corpus(
        survives doc-level near-dup (runs late: it is span-explode
        priced, so the corpus is already small).
     7. training mix: per-stratum deterministic downsample — explicit
-       ``mix`` rates, or ``mix_alpha`` to derive temperature-based
-       rates from the surviving group counts (``mix_target_frac`` of
-       the corpus kept).
+       ``mix`` rates, ``mix_alpha`` to derive temperature-based
+       rates from the surviving group counts, or ``importance_col``
+       for quality-proportional selection (all against
+       ``mix_target_frac`` of the corpus).
     8. shard assignment (``n_shards``): adds shard / shard_pos.
     """
-    if mix is not None and mix_alpha is not None:
+    chosen = [
+        x for x in (mix, mix_alpha, importance_col) if x is not None
+    ]
+    if len(chosen) > 1:
         raise ValueError(
-            "pass explicit mix rates OR mix_alpha (temperature-derived "
-            "rates), not both — the combination is ambiguous"
+            "pass exactly ONE of mix (explicit rates), mix_alpha "
+            "(temperature-derived rates), or importance_col "
+            "(quality-proportional) — the combination is ambiguous"
         )
     counts: dict[str, int] = {}
 
@@ -105,6 +120,32 @@ def curate_corpus(
         "quality_gate",
         out.filter((q >= min_quality) & (t >= min_tokens)),
     )
+
+    if gopher:
+        from .clean import gopher_quality_flags
+
+        kw = gopher if isinstance(gopher, dict) else {}
+        flagged = gopher_quality_flags(out, text_col=text_col, **kw)
+        added = [c for c in flagged.columns if c not in out.columns]
+        out = mark(
+            "gopher_gate",
+            flagged.filter(F.col("keep")).drop(*added),
+        )
+
+    if c4_lines:
+        from .clean import c4_clean
+
+        cleaned = c4_clean(out, text_col=text_col)
+        added = [
+            c for c in cleaned.columns
+            if c not in out.columns and c != "c4_text"
+        ]
+        out = mark(
+            "c4_lines",
+            cleaned.filter(F.col("keep"))
+            .drop(text_col, *added)
+            .withColumnRenamed("c4_text", text_col),
+        )
 
     out = scrub_pii(out, text_col=text_col)
 
@@ -164,6 +205,16 @@ def curate_corpus(
         out = mark(
             "mix",
             stratified_sample(out, mix, mix_col, id_col=id_col),
+        )
+    elif importance_col is not None:
+        from .sample import importance_sample
+
+        out = mark(
+            "mix",
+            importance_sample(
+                out, importance_col, target_frac=mix_target_frac,
+                id_col=id_col,
+            ),
         )
 
     if n_shards:

@@ -512,3 +512,57 @@ def test_pseudonymize_stable_joinable_and_irreversible(spark):
 
     with _pytest.raises(ValueError):
         pseudonymize(ev, ["user_id"], salt="")
+
+
+def test_curate_corpus_gopher_c4_importance_stages(spark):
+    """The round-6 optional stages compose: Gopher gate drops the
+    rule-violating doc, C4 line cleaning rewrites text BEFORE dedup
+    (so fingerprints see cleaned lines), importance mixing keeps a
+    quality-weighted subset, and the output schema is unchanged."""
+    from opencosmo_spark.pipeline import curate_corpus
+
+    good = (
+        "The quick brown fox jumps over the lazy dog while the band "
+        "plays a slow waltz in the warm evening light of september. "
+    ) * 4
+    hashy = " ".join(["tok##" for _ in range(80)])  # fails gopher symbols
+    webby = "\n".join(
+        [
+            good.strip(),
+            "Please enable javascript to continue browsing now.",
+            "We use cookie banners to track you everywhere online.",
+        ]
+    )
+    rows = [(0, good), (1, hashy), (2, webby), (3, good + " extra")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out, counts = curate_corpus(
+        df,
+        min_quality=0.0,
+        min_tokens=1,
+        gopher={"min_words": 10, "min_stopword_hits": 1},
+        c4_lines=True,
+        jaccard_threshold=0.95,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert counts["gopher_gate"] == 3          # -hashy
+    assert 1 not in got
+    # C4 scrubbed the boilerplate lines from doc 2 before dedup
+    assert all("javascript" not in t.lower() for t in got.values())
+    assert all("cookie" not in t.lower() for t in got.values())
+    assert set(out.columns) >= {"doc_id", "text"}
+    assert "keep" not in out.columns and "c4_text" not in out.columns
+
+    # importance mixing path + mutual exclusion
+    wdf = df.withColumn("w", F.col("doc_id").cast("double") + 1.0)
+    out2, c2 = curate_corpus(
+        wdf, min_quality=0.0, min_tokens=1,
+        importance_col="w", mix_target_frac=0.5,
+    )
+    assert "mix" in c2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly ONE"):
+        curate_corpus(
+            wdf, mix_alpha=0.7, mix_col="text", importance_col="w"
+        )
