@@ -180,3 +180,185 @@ def crossmatch_sky(
         F.col("__rid").alias(right_id),
         F.round(F.col("__sep"), 8).alias("sep_deg"),
     )
+
+
+def sky_pairs(
+    left: DataFrame,
+    right: DataFrame | None,
+    radius_deg: float,
+    left_id: str = "id",
+    right_id: str = "id",
+    ra_col: str = "ra",
+    dec_col: str = "dec",
+    bin_deg: float | None = None,
+    polar_cut: float = 88.0,
+) -> DataFrame:
+    """ALL pairs within ``radius_deg`` — the pair-count primitive
+    behind angular correlation functions, where ``crossmatch_sky``
+    keeps only the nearest. ``right=None`` gives unordered SELF pairs
+    of ``left`` (a < b); otherwise every (left, right) pair appears
+    once. Returns (a, b, sep_deg).
+
+    Same scale shape as the cross-match: bin equi-join, right side
+    exploded to its wrap-aware 9-neighborhood, each candidate pair
+    meeting in exactly one bin (the left row's own) so no dedup is
+    needed — except pole-cap collisions, which are de-duplicated.
+    """
+    if radius_deg <= 0:
+        raise ValueError("radius_deg must be positive")
+    if bin_deg is None:
+        bin_deg = max(radius_deg, 0.25)
+    if bin_deg < radius_deg:
+        raise ValueError("bin_deg must be >= radius_deg (neighbor cover)")
+    if radius_deg > 90.0 - polar_cut:
+        polar_cut = max(0.0, 90.0 - radius_deg - bin_deg)
+    self_pairs = right is None
+    if self_pairs:
+        right = left
+        right_id = left_id
+
+    l = left.select(
+        F.col(left_id).alias("a"),
+        F.col(ra_col).alias("__lra"),
+        F.col(dec_col).alias("__ldec"),
+        _bin_of(F.col(ra_col), F.col(dec_col), bin_deg, polar_cut).alias("__bin"),
+    )
+    r = right.select(
+        F.col(right_id).alias("b"),
+        F.col(ra_col).alias("__rra"),
+        F.col(dec_col).alias("__rdec"),
+        F.explode(
+            _neighbor_bins(
+                F.col(ra_col), F.col(dec_col), bin_deg, polar_cut, radius_deg
+            )
+        ).alias("__bin"),
+    )
+    sep = _sep_deg(
+        F.col("__lra"), F.col("__ldec"), F.col("__rra"), F.col("__rdec")
+    )
+    out = l.join(r, "__bin")
+    if self_pairs:
+        out = out.filter(F.col("a") < F.col("b"))
+    return (
+        out.withColumn("__sep", sep)
+        .filter(F.col("__sep") <= F.lit(float(radius_deg)))
+        .select("a", "b", F.round(F.col("__sep"), 8).alias("sep_deg"))
+        # a cap-bin row also appears in ring bins near the cut — the
+        # one case where a pair can meet twice
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def uniform_sky_catalog(
+    spark,
+    n: int,
+    seed: int = 1,
+    id_col: str = "id",
+    ra_col: str = "ra",
+    dec_col: str = "dec",
+) -> DataFrame:
+    """Deterministic uniform random catalog on the full sphere
+    (``ra`` uniform, ``dec = asin(2u - 1)`` — equal-area), generated
+    distributed from md5 hash lanes: the same (n, seed) yields the
+    same catalog on any partitioning. For survey footprints pass your
+    own masked randoms instead — the estimator only cancels geometry
+    the randoms actually trace."""
+    from ..pipeline.dedup import md5_lane
+
+    out = spark.range(n).select(F.col("id").alias(id_col))
+    u1 = md5_lane(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col), F.lit("ra"))
+    ).cast("double") / F.lit(float(2**60))
+    u2 = md5_lane(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col), F.lit("dec"))
+    ).cast("double") / F.lit(float(2**60))
+    return out.withColumn(ra_col, u1 * F.lit(360.0)).withColumn(
+        dec_col, F.degrees(F.asin(u2 * 2.0 - 1.0))
+    )
+
+
+def w_theta_landy_szalay(
+    df: DataFrame,
+    bins_deg: list[float],
+    id_col: str = "id",
+    ra_col: str = "ra",
+    dec_col: str = "dec",
+    random_df: DataFrame | None = None,
+    n_random: int | None = None,
+    seed: int = 1,
+) -> DataFrame:
+    """Angular two-point correlation w(theta) with the Landy-Szalay
+    estimator — the lightcone-side twin of the 3-D
+    ``two_point_landy_szalay``: DD/DR/RR through ``sky_pairs``'
+    bin-join (never all-pairs), normalized counts, per-angular-bin
+    ``(bin, t_lo, t_hi, dd, dr, rr, w)``. Default randoms are
+    full-sky uniform (``2 * len(df)`` points); supply masked
+    ``random_df`` for survey footprints."""
+    if sorted(bins_deg) != list(bins_deg) or len(bins_deg) < 2:
+        raise ValueError("bins_deg must be a sorted list of >= 2 edges")
+    tmax = float(bins_deg[-1])
+    edges = [float(e) for e in bins_deg]
+    nd = df.count()
+    if random_df is None:
+        nr = int(n_random or 2 * nd)
+        random_df = uniform_sky_catalog(df.sparkSession, nr, seed)
+        r_id, r_ra, r_dec = "id", "ra", "dec"
+    else:
+        nr = random_df.count()
+        r_id, r_ra, r_dec = id_col, ra_col, dec_col
+    if nd < 2 or nr < 2:
+        raise ValueError(f"need >= 2 data and random points, got {nd}/{nr}")
+
+    from .pairs import _bin_expr
+
+    def binned(pairs, name):
+        return (
+            pairs.select(F.col("sep_deg").alias("dist"))
+            .select(_bin_expr(edges).alias("bin"))
+            .filter(F.col("bin").isNotNull())
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    dd = binned(
+        sky_pairs(df, None, tmax, id_col, id_col, ra_col, dec_col), "dd"
+    )
+    dr = binned(
+        sky_pairs(
+            df, random_df, tmax, id_col, r_id, ra_col, dec_col
+        )
+        if (ra_col, dec_col) == (r_ra, r_dec)
+        else sky_pairs(
+            df,
+            random_df.withColumnsRenamed({r_ra: ra_col, r_dec: dec_col}),
+            tmax, id_col, r_id, ra_col, dec_col,
+        ),
+        "dr",
+    )
+    rr = binned(
+        sky_pairs(random_df, None, tmax, r_id, r_id, r_ra, r_dec), "rr"
+    )
+    spark = df.sparkSession
+    rows = [(i, edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+    grid = spark.createDataFrame(rows, "bin INT, t_lo DOUBLE, t_hi DOUBLE")
+    ddn = F.col("dd") / F.lit(nd * (nd - 1) / 2.0)
+    drn = F.col("dr") / F.lit(float(nd) * nr)
+    rrn = F.col("rr") / F.lit(nr * (nr - 1) / 2.0)
+    return (
+        grid.join(dd, "bin", "left")
+        .join(dr, "bin", "left")
+        .join(rr, "bin", "left")
+        .select(
+            "bin",
+            "t_lo",
+            "t_hi",
+            F.coalesce("dd", F.lit(0)).alias("dd"),
+            F.coalesce("dr", F.lit(0)).alias("dr"),
+            F.coalesce("rr", F.lit(0)).alias("rr"),
+        )
+        .withColumn(
+            "w",
+            F.when(F.col("rr") > 0, (ddn - 2.0 * drn + rrn) / rrn),
+        )
+        .orderBy("bin")
+    )

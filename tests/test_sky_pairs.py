@@ -1,0 +1,120 @@
+"""sky_pairs / uniform sky randoms / w(theta) vs numpy brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+
+from opencosmo_spark.spatial.crossmatch import (
+    sky_pairs,
+    uniform_sky_catalog,
+    w_theta_landy_szalay,
+)
+
+
+def _sky_df(spark, ra, dec):
+    return spark.createDataFrame(
+        [Row(id=i, ra=float(r), dec=float(d)) for i, (r, d) in enumerate(zip(ra, dec))]
+    )
+
+
+def _sep_deg(ra1, dec1, ra2, dec2):
+    r1, d1, r2, d2 = map(np.radians, (ra1, dec1, ra2, dec2))
+    a = (
+        np.sin((d2 - d1) / 2) ** 2
+        + np.cos(d1) * np.cos(d2) * np.sin((r2 - r1) / 2) ** 2
+    )
+    return np.degrees(2 * np.arcsin(np.minimum(np.sqrt(a), 1.0)))
+
+
+def _uniform_sphere(rng, n):
+    ra = rng.uniform(0, 360, n)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    return ra, dec
+
+
+def test_sky_self_pairs_match_bruteforce(spark):
+    rng = np.random.default_rng(61)
+    ra, dec = _uniform_sphere(rng, 300)
+    # force coverage of the polar caps and the RA wrap seam
+    ra[:3], dec[:3] = [0.05, 359.95, 120.0], [89.5, 89.4, -89.3]
+    got = {
+        (r["a"], r["b"]): r["sep_deg"]
+        for r in sky_pairs(_sky_df(spark, ra, dec), None, 8.0).collect()
+    }
+    want = {}
+    for i in range(len(ra)):
+        for j in range(i + 1, len(ra)):
+            s = _sep_deg(ra[i], dec[i], ra[j], dec[j])
+            if s <= 8.0:
+                want[(i, j)] = s
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+
+def test_sky_cross_pairs_match_bruteforce(spark):
+    rng = np.random.default_rng(67)
+    ra1, dec1 = _uniform_sphere(rng, 150)
+    ra2, dec2 = _uniform_sphere(rng, 120)
+    got = {
+        (r["a"], r["b"]): r["sep_deg"]
+        for r in sky_pairs(
+            _sky_df(spark, ra1, dec1), _sky_df(spark, ra2, dec2), 6.0
+        ).collect()
+    }
+    want = {}
+    for i in range(len(ra1)):
+        for j in range(len(ra2)):
+            s = _sep_deg(ra1[i], dec1[i], ra2[j], dec2[j])
+            if s <= 6.0:
+                want[(i, j)] = s
+    assert set(got) == set(want)
+
+
+def test_uniform_sky_catalog_is_equal_area(spark):
+    cat = uniform_sky_catalog(spark, 4000, seed=2).toPandas()
+    again = uniform_sky_catalog(spark, 4000, seed=2).toPandas()
+    pd.testing.assert_frame_equal(
+        cat.sort_values("id").reset_index(drop=True),
+        again.sort_values("id").reset_index(drop=True),
+    )
+    # equal-area: sin(dec) uniform in [-1, 1], so mean ~ 0 and the
+    # |dec| < 30 band holds ~half the points
+    s = np.sin(np.radians(cat.dec.to_numpy()))
+    assert abs(s.mean()) < 0.05
+    frac = (np.abs(cat.dec) < 30).mean()
+    assert abs(frac - 0.5) < 0.04
+    assert 0 <= cat.ra.min() and cat.ra.max() < 360
+
+
+def test_w_theta_uniform_is_flat(spark):
+    rng = np.random.default_rng(71)
+    ra, dec = _uniform_sphere(rng, 800)
+    out = w_theta_landy_szalay(
+        _sky_df(spark, ra, dec), [1.0, 3.0, 6.0], n_random=2400
+    ).collect()
+    assert [r["bin"] for r in out] == [0, 1]
+    for r in out:
+        assert r["dd"] > 0 and r["rr"] > 0
+        assert abs(r["w"]) < 0.25, (r["bin"], r["w"])
+
+
+def test_w_theta_detects_clustering(spark):
+    rng = np.random.default_rng(73)
+    cra, cdec = _uniform_sphere(rng, 30)
+    ra = np.concatenate([c + rng.normal(0, 0.15, 20) for c in cra]) % 360
+    dec = np.concatenate(
+        [c + rng.normal(0, 0.15, 20) for c in cdec]
+    ).clip(-89.9, 89.9)
+    nd = len(ra)
+    nr = 2 * nd
+    out = w_theta_landy_szalay(
+        _sky_df(spark, ra, dec), [0.1, 0.5, 5.0], n_random=nr
+    ).collect()
+    r0 = out[0]
+    assert r0["w"] > 5.0
+    ddn = r0["dd"] / (nd * (nd - 1) / 2)
+    drn = r0["dr"] / (nd * nr)
+    rrn = r0["rr"] / (nr * (nr - 1) / 2)
+    assert r0["w"] == pytest.approx((ddn - 2 * drn + rrn) / rrn, rel=1e-12)
