@@ -302,6 +302,28 @@ def fof(ds, linking_length: float, select_by: tuple[str, str, str] | None = None
     )
 
 
+def w_theta(
+    ds,
+    bins_deg: list[float],
+    select_by: tuple[str, str] | None = None,
+    **kw,
+):
+    """Angular two-point correlation of a Dataset's sky positions
+    (Landy-Szalay; ``spatial.crossmatch.w_theta_landy_szalay``) —
+    the lightcone-side analysis product. RA/Dec resolve the same way
+    sky regions resolve them (``find_coords(.., 2)``); pass
+    ``random_df`` for survey-footprint randoms, else full-sky
+    uniform randoms are generated (see the estimator's caveat)."""
+    from .spatial.bound import find_coords
+    from .spatial.crossmatch import w_theta_landy_szalay
+
+    ra, dec = select_by or find_coords(ds.columns, 2)
+    id_col = _pair_id_col(ds)
+    return w_theta_landy_szalay(
+        ds.df, bins_deg, id_col=id_col, ra_col=ra, dec_col=dec, **kw
+    )
+
+
 def two_point(
     ds,
     bins: list[float],

@@ -1,0 +1,78 @@
+"""Bigram-LM perplexity scoring vs a hand-computed oracle."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from opencosmo_spark.pipeline.lm import perplexity_score, train_bigram_lm
+
+
+def test_bigram_lm_hand_oracle(spark):
+    """Tiny corpus, exact expected cross-entropy by hand."""
+    train = spark.createDataFrame([Row(doc_id=0, text="a b a b a c")])
+    model = train_bigram_lm(train)
+    # bigrams: (a,b)x2 (b,a)x2 (a,c)x1 ; c1: a=3, b=2 ; V=3, N=5
+    assert model["vocab"] == 3 and model["total"] == 5
+
+    doc = spark.createDataFrame([Row(doc_id=1, text="a b c"),
+                                 Row(doc_id=2, text="solo")])
+    out = perplexity_score(doc, model, alpha=0.5).toPandas().set_index("doc_id")
+    a = 0.5
+    p_ab = (2 + a) / (3 + a * 3)   # c12=2, c1(a)=3
+    p_bc = (0 + a) / (2 + a * 3)   # unseen bigram, c1(b)=2
+    want_h = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert out.loc[1, "n_bigrams"] == 2
+    assert out.loc[1, "cross_entropy"] == pytest.approx(want_h, abs=1e-6)
+    assert out.loc[1, "perplexity"] == pytest.approx(math.exp(want_h), abs=1e-5)
+    # a 1-word document scores NULL, not perfect
+    assert out.loc[2, "n_bigrams"] == 0
+    assert np.isnan(out.loc[2, "cross_entropy"])
+
+
+def test_bigram_lm_separates_domains(spark):
+    """In-domain prose scores lower perplexity than shuffled words,
+    which scores lower than out-of-vocabulary gibberish."""
+    rng = np.random.default_rng(37)
+    sent = ("the cat sat on the mat and the dog ran to the cat "
+            "while the mat lay on the floor near the dog ")
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text=sent) for i in range(20)]
+    )
+    model = train_bigram_lm(train)
+
+    words = sent.split()
+    shuffled = list(words)
+    rng.shuffle(shuffled)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=sent),
+            Row(doc_id=1, text=" ".join(shuffled)),
+            Row(doc_id=2, text="zq xw vv kj pq mn zz yy xx ww uu tt"),
+        ]
+    )
+    out = perplexity_score(docs, model).toPandas().set_index("doc_id")
+    assert out.loc[0, "perplexity"] < out.loc[1, "perplexity"]
+    assert out.loc[1, "perplexity"] < out.loc[2, "perplexity"]
+    # in-domain text is DRAMATICALLY more likely
+    assert out.loc[0, "perplexity"] * 3 < out.loc[2, "perplexity"]
+
+
+def test_bigram_lm_conditional_normalizes(spark):
+    """sum over h2 of c12 == c1 for every h1 (the counting convention
+    the smoothing formula depends on)."""
+    from pyspark.sql import functions as F
+
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(
+            ["a b c a b", "b b a", "c a c a c"])]
+    )
+    model = train_bigram_lm(train)
+    chk = (
+        model["bigrams"].groupBy("h1").agg(F.sum("c12").alias("s"))
+        .join(model["unigrams"], "h1")
+        .filter(F.col("s") != F.col("c1"))
+        .count()
+    )
+    assert chk == 0

@@ -118,3 +118,20 @@ def test_w_theta_detects_clustering(spark):
     drn = r0["dr"] / (nd * nr)
     rrn = r0["rr"] / (nr * (nr - 1) / 2)
     assert r0["w"] == pytest.approx((ddn - 2 * drn + rrn) / rrn, rel=1e-12)
+
+
+def test_w_theta_dataset_entry(spark, fixtures):
+    """Dataset-level w_theta: RA/Dec and the id column resolve from a
+    lightcone dataset the way sky regions resolve them."""
+    import opencosmo_spark as oc
+    from opencosmo_spark.analysis import w_theta
+
+    lc = oc.open(f"{fixtures}/lightcone")
+    # the WHOLE synthetic lightcone is uniform on the sphere -> w ~ 0.
+    # (A pixel-ordered take(at="start") would grab a contiguous sky
+    # patch and w against full-sky randoms would be large — that is
+    # the footprint caveat the estimator documents, not a bug.)
+    out = w_theta(lc, [2.0, 5.0], n_random=4000).collect()
+    assert [r["bin"] for r in out] == [0]
+    assert out[0]["dd"] > 0 and out[0]["rr"] > 0
+    assert abs(out[0]["w"]) < 0.3
