@@ -332,3 +332,79 @@ def test_bm25_batch_no_cartesian(spark):
     plan = bm25_batch(docs, qs, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sky_pairs_no_cartesian(spark):
+    """All-pairs-within-radius must run as a bin equi-join, never a
+    cross product — at survey scale a cartesian is game over."""
+    from pyspark.sql import Row
+
+    from opencosmo_spark.spatial.crossmatch import sky_pairs
+
+    df = spark.createDataFrame(
+        [Row(id=i, ra=float(i * 3 % 360), dec=float((i * 7 % 120) - 60))
+         for i in range(40)]
+    )
+    for right in (None, df.withColumnRenamed("id", "id")):
+        plan = (
+            sky_pairs(df, right, 2.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cross_pairs_3d_no_cartesian(spark):
+    from pyspark.sql import Row
+
+    from opencosmo_spark.spatial.pairs import cross_pairs_3d
+
+    pts = spark.createDataFrame(
+        [Row(id=i, x=float(i % 10), y=float(i % 7), z=float(i % 5))
+         for i in range(30)]
+    )
+    plan = (
+        cross_pairs_3d(pts, pts, 1.0, 10.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_importance_sample_final_filter_is_pushable(spark):
+    """After the driver-side bisection, the returned frame must be a
+    pure scan+filter — no shuffle, no Python eval."""
+    from pyspark.sql import Row
+
+    from opencosmo_spark.pipeline.sample import importance_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, w=float(1 + i % 3)) for i in range(50)]
+    )
+    plan = (
+        importance_sample(df, "w", 0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_perplexity_score_joins_are_hash_keyed(spark):
+    """Model joins must be equi-joins on the hash keys (broadcast or
+    shuffled-hash under AQE) — never nested-loop — and the scoring
+    expression stays JVM-side."""
+    from pyspark.sql import Row
+
+    from opencosmo_spark.pipeline.lm import perplexity_score, train_bigram_lm
+
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text="a b c d e f g a b") for i in range(5)]
+    )
+    model = train_bigram_lm(train)
+    plan = (
+        perplexity_score(train, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
