@@ -14,7 +14,7 @@ from .clean import c4_clean, gopher_quality_flags
 from .curate import curate_corpus
 from .drift import psi_report
 from .embed import pca_project, pca_project_expr, pca_train
-from .lm import perplexity_score, train_bigram_lm
+from .lm import perplexity_buckets, perplexity_score, train_bigram_lm
 from .decontaminate import decontaminate, ngram_overlap, semantic_overlap
 from .dedup import (
     connected_components,
@@ -130,6 +130,7 @@ __all__ = [
     "c4_clean",
     "train_bigram_lm",
     "perplexity_score",
+    "perplexity_buckets",
     "pca_train",
     "pca_project",
     "pca_project_expr",

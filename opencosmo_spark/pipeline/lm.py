@@ -141,3 +141,38 @@ def perplexity_score(
             F.round(F.exp(F.col("__h")), decimals).alias("perplexity"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    splits: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """The CCNet head/middle/tail split (Wenzek et al. 2020): score
+    every document's perplexity, then label the lowest-perplexity
+    ``splits[0]`` fraction "head", the next band "middle", the rest
+    "tail" (head = most in-domain; CCNet trains on head+middle).
+    Documents too short to score (NULL perplexity) are labeled
+    "unscored" rather than silently joining a band.
+
+    The two thresholds come from ONE ``approxQuantile`` pass
+    (``rel_err`` rank accuracy — at corpus scale the exact quantile
+    is statistically meaningless anyway); the labeling itself is a
+    pushable CASE projection. Returns the ``perplexity_score``
+    columns plus ``ppl_bucket``.
+    """
+    scored = perplexity_score(df, model, text_col, id_col, alpha)
+    lo, hi = scored.filter(F.col("perplexity").isNotNull()).approxQuantile(
+        "perplexity", [float(splits[0]), float(splits[1])], rel_err
+    )
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(F.col("perplexity").isNull(), F.lit("unscored"))
+        .when(F.col("perplexity") <= lo, F.lit("head"))
+        .when(F.col("perplexity") <= hi, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )

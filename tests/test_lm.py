@@ -76,3 +76,34 @@ def test_bigram_lm_conditional_normalizes(spark):
         .count()
     )
     assert chk == 0
+
+
+def test_perplexity_buckets_ccnet_split(spark):
+    """Thirds split: band populations ~ equal, ordering head < middle
+    < tail by perplexity, short docs land in 'unscored'."""
+    rng = np.random.default_rng(47)
+    vocab = ["the", "cat", "dog", "sat", "ran", "mat", "on", "a"]
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(rng.choice(vocab, 30))) for i in range(40)]
+    )
+    model = train_bigram_lm(train)
+    from opencosmo_spark.pipeline.lm import perplexity_buckets
+
+    docs = [Row(doc_id=i, text=" ".join(rng.choice(vocab, 25))) for i in range(90)]
+    docs.append(Row(doc_id=999, text="single"))
+    out = perplexity_buckets(
+        spark.createDataFrame(docs), model
+    ).toPandas().set_index("doc_id")
+    assert out.loc[999, "ppl_bucket"] == "unscored"
+    scored = out.drop(999)
+    counts = scored.ppl_bucket.value_counts()
+    assert set(counts.index) <= {"head", "middle", "tail"}
+    assert counts.min() >= 20  # ~30 each over 90 docs
+    assert (
+        scored[scored.ppl_bucket == "head"].perplexity.max()
+        <= scored[scored.ppl_bucket == "middle"].perplexity.min()
+    )
+    assert (
+        scored[scored.ppl_bucket == "middle"].perplexity.max()
+        <= scored[scored.ppl_bucket == "tail"].perplexity.min()
+    )
