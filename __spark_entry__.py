@@ -521,11 +521,13 @@ def q29_spatial_box(spark, sf):
 # LLM-pipeline operators: text analysis / dedup / similarity
 # =====================================================================
 def q30_text_profile(spark, sf):
-    # the full per-document text-analysis pass in ONE projection
-    # (formerly q30 + q32 + q38 + q41 + q48): char/token stats,
+    # the full per-document text-analysis pass (formerly q30 + q32 +
+    # q38 + q41 + q48, + the Gopher word rules and the self-trained
+    # bigram-LM cross-entropy since round 6): char/token stats,
     # language-ID heuristic, quality score, whitespace/BPE-ish token
-    # counts, and gopher-style repetition signals — the way a real
-    # curation pipeline computes them: one scan, no joins, pure JVM.
+    # counts, gopher-style repetition signals — one scan, pure JVM —
+    # plus the LM scoring joins (hash-keyed model tables,
+    # integer-micro log-probs for cross-engine exactness).
     from opencosmo_spark.pipeline.text import (
         quality_score,
         repetition_stats,
@@ -551,6 +553,31 @@ def q30_text_profile(spark, sf):
     from opencosmo_spark.pipeline.clean import gopher_quality_flags
 
     g = gopher_quality_flags(d, min_stopword_hits=1)
+
+    # self-trained bigram LM (pipeline/lm.py; CCNet-style signal):
+    # every bigram is in-model, so the add-alpha conditional applies
+    # everywhere; log-probs quantized to integer micros BEFORE the
+    # per-doc sum (the q64 idiom) so the oracle matches bit-for-bit
+    from opencosmo_spark.pipeline.lm import _bigram_frame, train_bigram_lm
+
+    lm = train_bigram_lm(d)
+    v = float(lm["vocab"])
+    bgr = _bigram_frame(d, "text", "doc_id")
+    lp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(0.1))
+        / (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(0.1) * F.lit(v))
+    )
+    lm_agg = (
+        bgr.join(lm["bigrams"], ["h1", "h2"], "left")
+        .join(lm["unigrams"], ["h1"], "left")
+        .select("doc_id", F.round(lp * F.lit(1e6), 0).cast("long").alias("__lpm"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__lpm").alias("lp_micro_sum"),
+        )
+    )
+    g = g.join(lm_agg, "doc_id", "left")
     return g.select(
         "doc_id",
         length.alias("n_chars_calc"),
@@ -572,6 +599,8 @@ def q30_text_profile(spark, sf):
             & F.col("g_ok_alpha_word_ratio")
             & F.col("g_ok_stopwords")
         ).alias("g_keep"),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("lp_micro_sum", F.lit(0)).alias("lp_micro_sum"),
     )
 
 
@@ -1573,7 +1602,38 @@ def oracle_sql() -> dict[str, str]:
                            / greatest(len(bg), 1), 6) AS dup_bigram_frac
               FROM rb
             )
-            , gq AS (
+            , lw AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS lws
+              FROM documents
+            ), lbg AS (
+              SELECT doc_id,
+                     UNNEST(list_transform(
+                       range(1, greatest(len(lws), 1)),
+                       i -> {'w1': lws[i], 'w2': lws[i+1]}),
+                       recursive := true)
+              FROM lw
+            ), lc12 AS (
+              SELECT w1, w2, count(*) AS c12 FROM lbg GROUP BY 1, 2
+            ), lc1 AS (
+              SELECT w1, count(*) AS c1 FROM lbg GROUP BY 1
+            ), lv AS (
+              SELECT count(DISTINCT w) AS v
+              FROM (SELECT UNNEST(lws) AS w FROM lw)
+            ), lsc AS (
+              SELECT b.doc_id,
+                     CAST(round(ln((c.c12 + 0.1::DOUBLE)
+                                   / (u.c1 + 0.1::DOUBLE * lv.v))
+                                * 1000000, 0) AS BIGINT) AS lpm
+              FROM lbg b
+              JOIN lc12 c ON b.w1 = c.w1 AND b.w2 = c.w2
+              JOIN lc1 u ON b.w1 = u.w1
+              CROSS JOIN lv
+            ), lagg AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     CAST(SUM(lpm) AS BIGINT) AS lp_micro_sum
+              FROM lsc GROUP BY doc_id
+            ), gq AS (
               SELECT doc_id,
                      len(ws) AS g_word_count,
                      round(list_aggregate(list_transform(ws,
@@ -1601,13 +1661,16 @@ def oracle_sql() -> dict[str, str]:
                    (g.g_word_count BETWEEN 50 AND 100000
                     AND g.g_mean_word_len BETWEEN 3 AND 10
                     AND g.g_alpha_word_ratio >= 0.8
-                    AND g.g_stopword_hits >= 1) AS g_keep
+                    AND g.g_stopword_hits >= 1) AS g_keep,
+                   COALESCE(la.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(la.lp_micro_sum, 0) AS lp_micro_sum
             FROM stats s
             JOIN lang l USING (doc_id)
             JOIN qs q USING (doc_id)
             JOIN tok t USING (doc_id)
             JOIN rep r USING (doc_id)
             JOIN gq g USING (doc_id)
+            LEFT JOIN lagg la USING (doc_id)
         """,
         "q31_dedup_fingerprint": """
             SELECT md5(substr(text, 1, 40)) AS fp, count(*) AS n,
