@@ -20,6 +20,7 @@ from .dedup import (
     connected_components,
     dedup_by_clusters,
     duplicate_spans,
+    remove_duplicate_spans,
     exact_dedup,
     incremental_dedup,
     release_cached,
@@ -105,6 +106,7 @@ __all__ = [
     "nb_predict",
     "nb_classify",
     "duplicate_spans",
+    "remove_duplicate_spans",
     "pq_train_codebooks",
     "pq_encode",
     "kmeans_parallel_init",

@@ -1034,3 +1034,79 @@ def _star_components(
             F.coalesce("__root", "__node").alias("cluster_id"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Excise corpus-duplicated spans from every document — the
+    REMOVAL form of ``duplicate_spans`` (Lee et al. 2022 deduplicate
+    the training data by cutting repeated substrings out, not by
+    dropping whole documents): any word covered by at least one
+    ``span``-word window that appears in >= ``min_docs`` distinct
+    documents is deleted; surviving words keep their order. Documents
+    shorter than ``span`` words are untouched; documents that were
+    entirely duplicated span text survive with ``text=''`` (stable
+    row identity, the ``line_dedup`` convention).
+
+    Plan: positional window hashes per doc (the shifted-slice zip
+    with positions — zero shuffle), one document-frequency
+    aggregation keyed by the 8-byte window hash, an equi-join of the
+    positional windows against the duplicated-hash set, a
+    sequence-explode from flagged starts to covered word indices, an
+    index anti-join, and one ordered reassembly per doc
+    (sorted-struct collect_list). Every shuffle is keyed by window
+    hash or doc id and proportional to corpus token count; span
+    STRINGS never shuffle — only hashes and integer positions do.
+    """
+    words = F.split(F.col(text_col), " ")
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    base = df.select(F.col(id_col), words.alias("__w"), wh.alias("__wh"))
+    c = F.col("__wh")
+    nwin = F.greatest(F.size(c) - F.lit(span - 1), F.lit(0))
+    sh = F.slice(c, 1, nwin)
+    for off in range(1, span):
+        nxt = F.slice(c, 1 + off, nwin)
+        sh = F.zip_with(sh, nxt, lambda h, w: F.xxhash64(h, w))
+    wins = base.select(
+        F.col(id_col), F.posexplode(sh).alias("__pos", "__h")
+    )
+    dup = (
+        wins.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= int(min_docs))
+        .select("__h")
+    )
+    covered = (
+        wins.join(dup, "__h")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(span - 1))
+            ).alias("__idx"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        F.col(id_col), F.posexplode("__w").alias("__idx", "__tok")
+    )
+    kept = toks.join(covered, [id_col, "__idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("__new_text")
+    )
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce("__new_text", F.lit("")))
+        .drop("__new_text")
+    )

@@ -769,3 +769,54 @@ def test_importance_sample_clipping_still_fills_budget(spark):
     out = importance_sample(df, "w", target_frac=0.3)
     kept = out.count()
     assert abs(kept - 3000) < 300
+
+
+def test_remove_duplicate_spans_excises_boilerplate(spark):
+    """Planted shared boilerplate must be cut from every document
+    while each document's unique text survives untouched; output
+    matches a python oracle reimplementation exactly."""
+    from opencosmo_spark.pipeline.dedup import remove_duplicate_spans
+
+    boiler = "subscribe to our newsletter for daily updates and exclusive offers today"
+    uniq = [
+        "the tomato plants need deep watering twice weekly during summer heat",
+        "quantum error correction codes protect fragile qubit states from noise",
+        "the mountain trail climbs steeply past three alpine lakes before the summit",
+    ]
+    rows = [
+        (0, uniq[0] + " " + boiler),
+        (1, boiler + " " + uniq[1]),
+        (2, uniq[2]),          # clean doc
+        (3, "too short"),      # < span words: untouched
+        (4, boiler),           # entirely boilerplate -> ''
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    span, min_docs = 8, 2
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(df, span=span, min_docs=min_docs).collect()
+    }
+
+    # python oracle: same windowing, same coverage rule
+    texts = {i: t.split(" ") for i, t in rows}
+    from collections import defaultdict
+
+    docs_of = defaultdict(set)
+    for i, ws in texts.items():
+        for p in range(len(ws) - span + 1):
+            docs_of[tuple(ws[p : p + span])].add(i)
+    want = {}
+    for i, ws in texts.items():
+        covered = set()
+        for p in range(len(ws) - span + 1):
+            if len(docs_of[tuple(ws[p : p + span])]) >= min_docs:
+                covered.update(range(p, p + span))
+        want[i] = " ".join(w for j, w in enumerate(ws) if j not in covered)
+    assert out == want
+    # and the shape we intended: boilerplate gone, unique text intact
+    for i in (0, 1):
+        assert "newsletter" not in out[i]
+    assert out[0].startswith("the tomato plants")
+    assert out[2] == uniq[2]
+    assert out[3] == "too short"
+    assert out[4] == ""
