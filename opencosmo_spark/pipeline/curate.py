@@ -47,6 +47,7 @@ def curate_corpus(
     jaccard_threshold: float = 0.8,
     decontam_k: int = 8,
     max_dup_span_frac: float | None = None,
+    remove_dup_spans: bool = False,
     dup_span: int = 8,
     mix: dict[str, float] | None = None,
     mix_col: str | None = None,
@@ -78,11 +79,13 @@ def curate_corpus(
        components -> keep cluster canonical.
     6. decontamination vs ``eval_df`` (when given): any shared
        ``decontam_k``-gram disqualifies.
-    6b. duplicated-span gate (``max_dup_span_frac`` not None): drop
-       docs whose fraction of corpus-duplicated ``dup_span``-word
-       windows exceeds the cap — catches heavy boilerplate that
-       survives doc-level near-dup (runs late: it is span-explode
-       priced, so the corpus is already small).
+    6b. duplicated-span handling (mutually exclusive forms):
+       ``max_dup_span_frac`` DROPS docs whose corpus-duplicated
+       ``dup_span``-window fraction exceeds the cap;
+       ``remove_dup_spans=True`` instead EXCISES the duplicated
+       spans from every document (Lee et al. 2022) and keeps the
+       rows. Both run late: span-explode priced, so the corpus is
+       already small.
     7. training mix: per-stratum deterministic downsample — explicit
        ``mix`` rates, ``mix_alpha`` to derive temperature-based
        rates from the surviving group counts, or ``importance_col``
@@ -180,6 +183,11 @@ def curate_corpus(
             ),
         )
 
+    if max_dup_span_frac is not None and remove_dup_spans:
+        raise ValueError(
+            "max_dup_span_frac (drop docs) and remove_dup_spans "
+            "(excise spans) are mutually exclusive span treatments"
+        )
     if max_dup_span_frac is not None:
         from .dedup import duplicate_spans
 
@@ -190,6 +198,15 @@ def curate_corpus(
             F.col("dup_frac") <= max_dup_span_frac
         ).select(id_col)
         out = mark("span_gate", out.join(keep_spans, id_col, "left_semi"))
+    elif remove_dup_spans:
+        from .dedup import remove_duplicate_spans
+
+        out = mark(
+            "span_removal",
+            remove_duplicate_spans(
+                out, text_col=text_col, id_col=id_col, span=dup_span
+            ),
+        )
 
     if mix_col and mix_alpha is not None:
         from .sample import temperature_sample

@@ -566,3 +566,31 @@ def test_curate_corpus_gopher_c4_importance_stages(spark):
         curate_corpus(
             wdf, mix_alpha=0.7, mix_col="text", importance_col="w"
         )
+
+
+def test_curate_corpus_span_removal_mode(spark):
+    """remove_dup_spans excises shared boilerplate instead of
+    dropping documents; rows survive with cleaned text."""
+    from opencosmo_spark.pipeline import curate_corpus
+
+    boiler = ("subscribe to our newsletter for daily updates and "
+              "exclusive offers every single morning")
+    rows = [
+        (0, "the tomato plants need deep watering twice weekly in summer " + boiler),
+        (1, boiler + " quantum error correction protects qubit states from noise"),
+        (2, "an entirely unrelated document about alpine hiking trails and lakes"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out, counts = curate_corpus(
+        df, min_quality=0.0, min_tokens=1,
+        jaccard_threshold=0.99, remove_dup_spans=True,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {0, 1, 2}          # nothing dropped
+    assert counts["span_removal"] == 3
+    assert all("newsletter" not in t for t in got.values())
+    assert "tomato" in got[0] and "quantum" in got[1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        curate_corpus(df, max_dup_span_frac=0.5, remove_dup_spans=True)
