@@ -112,3 +112,39 @@ def test_star_cc_partition_invariance(spark):
     narrow = _run_under(spark, NARROW, run)
     wide = _run_under(spark, WIDE, run)
     pd.testing.assert_frame_equal(narrow, wide, check_exact=True)
+
+
+def test_new_ops_partition_invariance(spark):
+    """Round-6 operators that claim determinism must also be
+    layout-invariant: span removal (ordered reassembly), perplexity
+    (integer-exact counts feeding float formula per row), importance
+    sampling (hash-lane acceptance after a float bisection whose
+    probes are order-independent sums of identical doubles... the
+    bisection threshold itself is asserted stable by the equality)."""
+    from pyspark.sql import functions as F
+
+    from opencosmo_spark.pipeline.dedup import remove_duplicate_spans
+    from opencosmo_spark.pipeline.lm import perplexity_score, train_bigram_lm
+    from opencosmo_spark.pipeline.sample import importance_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+
+    def span_run(s):
+        return remove_duplicate_spans(docs, span=6, min_docs=2)
+
+    def ppl_run(s):
+        model = train_bigram_lm(docs)
+        return perplexity_score(docs, model)
+
+    wdf = docs.select("doc_id").withColumn(
+        "w", (F.col("doc_id") % 7 + 1).cast("double")
+    )
+
+    def imp_run(s):
+        return importance_sample(wdf, "w", 0.4)
+
+    for fn in (span_run, ppl_run, imp_run):
+        narrow = _run_under(spark, NARROW, fn)
+        wide = _run_under(spark, WIDE, fn)
+        pd.testing.assert_frame_equal(narrow, wide, check_exact=True)
+        assert len(narrow) > 0
