@@ -102,6 +102,24 @@ def curate_corpus(
             "(temperature-derived rates), or importance_col "
             "(quality-proportional) — the combination is ambiguous"
         )
+    if max_dup_span_frac is not None and remove_dup_spans:
+        raise ValueError(
+            "max_dup_span_frac (drop docs) and remove_dup_spans "
+            "(excise spans) are mutually exclusive span treatments"
+        )
+    # the gopher/c4 stages attach-and-drop helper columns; a user
+    # column with one of those names would be silently overwritten by
+    # withColumn and then survive the drop — refuse up front
+    if gopher or c4_lines:
+        clash = [
+            c for c in df.columns
+            if c == "keep" or c.startswith("g_") or c.startswith("c4_")
+        ]
+        if clash:
+            raise ValueError(
+                f"input columns {clash} collide with the gopher/c4 "
+                f"stage columns — rename them before curate_corpus"
+            )
     counts: dict[str, int] = {}
 
     def mark(name: str, d: DataFrame) -> DataFrame:
@@ -173,6 +191,18 @@ def curate_corpus(
         jaccard_threshold=jaccard_threshold,
     )
     out = mark("near_dedup", dedup_by_clusters(out, pairs, id_col=id_col))
+    if report:
+        # the mark() checkpoint materialized the stage — the builder's
+        # persisted signature frame is now dead weight; free it
+        from .dedup import release_cached
+
+        release_cached(pairs)
+        carried_cache = []
+    else:
+        # lazy mode: the cache must survive until the caller
+        # materializes the result — ownership is handed forward on the
+        # RETURNED frame (attached at the end; later stages rebind out)
+        carried_cache = list(getattr(pairs, "_oc_cached", []))
 
     if eval_df is not None:
         out = mark(
@@ -183,11 +213,6 @@ def curate_corpus(
             ),
         )
 
-    if max_dup_span_frac is not None and remove_dup_spans:
-        raise ValueError(
-            "max_dup_span_frac (drop docs) and remove_dup_spans "
-            "(excise spans) are mutually exclusive span treatments"
-        )
     if max_dup_span_frac is not None:
         from .dedup import duplicate_spans
 
@@ -237,4 +262,8 @@ def curate_corpus(
     if n_shards:
         out = assign_shards(out, n_shards, id_col=id_col)
 
+    if carried_cache:
+        from .dedup import _attach_cached
+
+        _attach_cached(out, carried_cache)
     return out, counts

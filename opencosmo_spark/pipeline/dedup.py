@@ -1092,7 +1092,10 @@ def remove_duplicate_spans(
         )
         .distinct()
     )
-    toks = base.select(
+    # only AFFECTED documents pay the token explode + ordered rebuild;
+    # untouched rows (including NULL text) keep their text VERBATIM
+    affected = covered.select(id_col).distinct()
+    toks = base.join(affected, id_col, "left_semi").select(
         F.col(id_col), F.posexplode("__w").alias("__idx", "__tok")
     )
     kept = toks.join(covered, [id_col, "__idx"], "left_anti")
@@ -1105,8 +1108,16 @@ def remove_duplicate_spans(
             " ",
         ).alias("__new_text")
     )
+    flagged = affected.withColumn("__affected", F.lit(True))
     return (
         df.join(rebuilt, id_col, "left")
-        .withColumn(text_col, F.coalesce("__new_text", F.lit("")))
-        .drop("__new_text")
+        .join(flagged, id_col, "left")
+        .withColumn(
+            text_col,
+            F.when(
+                F.col("__affected").isNotNull(),
+                F.coalesce("__new_text", F.lit("")),
+            ).otherwise(F.col(text_col)),
+        )
+        .drop("__new_text", "__affected")
     )

@@ -73,6 +73,8 @@ def pca_train(
         .agg(F.sum("v").alias("v"))
         .collect()
     )
+    if not summed:
+        raise ValueError("pca_train needs >= 2 rows, saw 0")
     flat = np.zeros(max(r["i"] for r in summed) + 1)
     for r in summed:
         flat[r["i"]] = r["v"]

@@ -166,9 +166,16 @@ def perplexity_buckets(
     columns plus ``ppl_bucket``.
     """
     scored = perplexity_score(df, model, text_col, id_col, alpha)
-    lo, hi = scored.filter(F.col("perplexity").isNotNull()).approxQuantile(
+    qs = scored.filter(F.col("perplexity").isNotNull()).approxQuantile(
         "perplexity", [float(splits[0]), float(splits[1])], rel_err
     )
+    if len(qs) < 2:  # nothing scorable: every row is 'unscored'
+        return scored.withColumn(
+            "ppl_bucket",
+            F.when(F.col("perplexity").isNull(), F.lit("unscored"))
+            .otherwise(F.lit("head")),
+        )
+    lo, hi = qs
     return scored.withColumn(
         "ppl_bucket",
         F.when(F.col("perplexity").isNull(), F.lit("unscored"))

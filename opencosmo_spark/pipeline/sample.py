@@ -183,13 +183,22 @@ def importance_sample(
     target_n = target_frac * n
 
     def expected(s: float) -> float:
-        return df.agg(
+        # each row's clipped acceptance is quantized to integer micros
+        # BEFORE the sum (the repo's integer-micro idiom): the probe is
+        # then an exact integer total, independent of partition order —
+        # a raw double F.sum could flip a bisection comparison by ulps
+        # under a different layout and change the final survivor set
+        row = df.agg(
             F.sum(
-                F.when(w > 0, F.least(F.lit(1.0), w * F.lit(s))).otherwise(
-                    F.lit(0.0)
-                )
+                F.when(
+                    w > 0,
+                    F.round(
+                        F.least(F.lit(1.0), w * F.lit(s)) * F.lit(1e6), 0
+                    ).cast("long"),
+                ).otherwise(F.lit(0))
             )
         ).collect()[0][0]
+        return (row or 0) / 1e6
 
     lo, hi = 0.0, max(1.0 / wmax, target_n / sw) * 2.0
     # grow hi until it overshoots the budget (or every row saturates)

@@ -171,30 +171,31 @@ def kmeans_parallel_init(
             F.lit(1.0)
             - cosine(v, F.array(*[F.lit(float(x)) for x in cands[0]]))
         )
-        scored = df.select(F.col(id_col), v.alias("__v"), dmin.alias("__d"))
+        # distances quantized to integer micros: the global cost is
+        # then an exact integer sum (partition-order independent), so
+        # the acceptance threshold — and therefore the candidate set —
+        # is identical under any layout
+        dm = F.round(dmin * F.lit(1e6), 0).cast("long")
+        scored = df.select(F.col(id_col), v.alias("__v"), dm.alias("__dm"))
         # the lane draw must vary by round or every round picks the
-        # same points
-        lane = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col(id_col), F.lit(str(rnd)))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("double")
-            / F.lit(float(2**60))
-        )
+        # same points; md5_lane is the canonical 60-bit lane
+        from .dedup import md5_lane
+
+        lane = md5_lane(
+            F.concat_ws(":", F.col(id_col), F.lit(str(rnd)))
+        ).cast("double") / F.lit(float(2**60))
         # the sampling threshold needs the GLOBAL cost, so each round
         # is two passes: aggregate the cost, then filter against it
         # (both evaluate the same JVM argmin; nothing is cached — the
         # corpus-sized scored frame must not persist per round)
-        total = scored.agg(F.sum("__d").alias("c")).collect()[0]["c"]
+        total = scored.agg(F.sum("__dm").alias("c")).collect()[0]["c"]
         if not total or total <= 0:
             break  # all mass on existing candidates
         picked = scored.filter(
-            lane < F.lit(float(li)) * F.col("__d") / F.lit(float(total))
+            lane
+            < F.lit(float(li))
+            * F.col("__dm").cast("double")
+            / F.lit(float(total))
         )
         new = [
             [float(x) for x in r["__v"]]

@@ -309,15 +309,11 @@ def w_theta_landy_szalay(
     if nd < 2 or nr < 2:
         raise ValueError(f"need >= 2 data and random points, got {nd}/{nr}")
 
-    from .pairs import _bin_expr
+    from .pairs import _binned_counts, _ls_assemble
 
     def binned(pairs, name):
-        return (
-            pairs.select(F.col("sep_deg").alias("dist"))
-            .select(_bin_expr(edges).alias("bin"))
-            .filter(F.col("bin").isNotNull())
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias(name))
+        return _binned_counts(
+            pairs.select(F.col("sep_deg").alias("dist")), edges, name
         )
 
     dd = binned(
@@ -338,27 +334,6 @@ def w_theta_landy_szalay(
     rr = binned(
         sky_pairs(random_df, None, tmax, r_id, r_id, r_ra, r_dec), "rr"
     )
-    spark = df.sparkSession
-    rows = [(i, edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
-    grid = spark.createDataFrame(rows, "bin INT, t_lo DOUBLE, t_hi DOUBLE")
-    ddn = F.col("dd") / F.lit(nd * (nd - 1) / 2.0)
-    drn = F.col("dr") / F.lit(float(nd) * nr)
-    rrn = F.col("rr") / F.lit(nr * (nr - 1) / 2.0)
-    return (
-        grid.join(dd, "bin", "left")
-        .join(dr, "bin", "left")
-        .join(rr, "bin", "left")
-        .select(
-            "bin",
-            "t_lo",
-            "t_hi",
-            F.coalesce("dd", F.lit(0)).alias("dd"),
-            F.coalesce("dr", F.lit(0)).alias("dr"),
-            F.coalesce("rr", F.lit(0)).alias("rr"),
-        )
-        .withColumn(
-            "w",
-            F.when(F.col("rr") > 0, (ddn - 2.0 * drn + rrn) / rrn),
-        )
-        .orderBy("bin")
+    return _ls_assemble(
+        df.sparkSession, edges, dd, dr, rr, nd, nr, "t_lo", "t_hi", "w"
     )

@@ -276,6 +276,60 @@ def fof_groups(
     return labels.withColumnRenamed("cluster_id", "group_id")
 
 
+def _ls_assemble(
+    spark,
+    edges: list[float],
+    dd: DataFrame,
+    dr: DataFrame,
+    rr: DataFrame,
+    nd: int,
+    nr: int,
+    lo_name: str,
+    hi_name: str,
+    value_name: str,
+) -> DataFrame:
+    """Shared Landy-Szalay assembly for the 3-D and angular
+    estimators: join the per-bin DD/DR/RR counts onto the bin grid,
+    zero-fill empty bins, normalize by pair counts, emit
+    ``(DDn - 2 DRn + RRn) / RRn``. One home so a normalization or
+    NULL-handling fix can never diverge between geometries."""
+    rows = [(i, edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+    grid = spark.createDataFrame(
+        rows, f"bin INT, {lo_name} DOUBLE, {hi_name} DOUBLE"
+    )
+    ddn = F.col("dd") / F.lit(nd * (nd - 1) / 2.0)
+    drn = F.col("dr") / F.lit(float(nd) * nr)
+    rrn = F.col("rr") / F.lit(nr * (nr - 1) / 2.0)
+    return (
+        grid.join(dd, "bin", "left")
+        .join(dr, "bin", "left")
+        .join(rr, "bin", "left")
+        .select(
+            "bin",
+            lo_name,
+            hi_name,
+            F.coalesce("dd", F.lit(0)).alias("dd"),
+            F.coalesce("dr", F.lit(0)).alias("dr"),
+            F.coalesce("rr", F.lit(0)).alias("rr"),
+        )
+        .withColumn(
+            value_name,
+            F.when(F.col("rr") > 0, (ddn - 2.0 * drn + rrn) / rrn),
+        )
+        .orderBy("bin")
+    )
+
+
+def _binned_counts(pairs: DataFrame, edges: list[float], name: str) -> DataFrame:
+    """Per-bin pair counts of a (…, dist) frame against sorted edges."""
+    return (
+        pairs.select(_bin_expr(edges).alias("bin"))
+        .filter(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias(name))
+    )
+
+
 def uniform_random_catalog(
     spark,
     n: int,
@@ -351,51 +405,21 @@ def two_point_landy_szalay(
     if nd < 2 or nr < 2:
         raise ValueError(f"need >= 2 data and random points, got {nd}/{nr}")
 
-    def binned(pairs, name):
-        return (
-            pairs.select(_bin_expr(edges).alias("bin"))
-            .filter(F.col("bin").isNotNull())
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
-
-    dd = binned(
-        neighbor_pairs_3d(df, rmax, box_size, id_col, cols, periodic), "dd"
+    dd = _binned_counts(
+        neighbor_pairs_3d(df, rmax, box_size, id_col, cols, periodic),
+        edges, "dd",
     )
-    dr = binned(
+    dr = _binned_counts(
         cross_pairs_3d(
             df, random_df, rmax, box_size, id_col, r_id, cols, r_cols,
             periodic,
         ),
-        "dr",
+        edges, "dr",
     )
-    rr = binned(
+    rr = _binned_counts(
         neighbor_pairs_3d(random_df, rmax, box_size, r_id, r_cols, periodic),
-        "rr",
+        edges, "rr",
     )
-    spark = df.sparkSession
-    rows = [(i, edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
-    grid = spark.createDataFrame(rows, "bin INT, r_lo DOUBLE, r_hi DOUBLE")
-    ddn = F.col("dd") / F.lit(nd * (nd - 1) / 2.0)
-    drn = F.col("dr") / F.lit(float(nd) * nr)
-    rrn = F.col("rr") / F.lit(nr * (nr - 1) / 2.0)
-    return (
-        grid.join(dd, "bin", "left")
-        .join(dr, "bin", "left")
-        .join(rr, "bin", "left")
-        .select(
-            "bin",
-            "r_lo",
-            "r_hi",
-            F.coalesce("dd", F.lit(0)).alias("dd"),
-            F.coalesce("dr", F.lit(0)).alias("dr"),
-            F.coalesce("rr", F.lit(0)).alias("rr"),
-        )
-        .withColumn(
-            "xi",
-            F.when(
-                F.col("rr") > 0, (ddn - 2.0 * drn + rrn) / rrn
-            ),
-        )
-        .orderBy("bin")
+    return _ls_assemble(
+        df.sparkSession, edges, dd, dr, rr, nd, nr, "r_lo", "r_hi", "xi"
     )

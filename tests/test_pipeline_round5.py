@@ -594,3 +594,27 @@ def test_curate_corpus_span_removal_mode(spark):
 
     with _pytest.raises(ValueError, match="mutually exclusive"):
         curate_corpus(df, max_dup_span_frac=0.5, remove_dup_spans=True)
+
+
+def test_curate_corpus_cache_ownership(spark):
+    """report=True frees the LSH signature cache itself; report=False
+    hands it forward on the returned frame for release_cached."""
+    from opencosmo_spark.pipeline import curate_corpus
+    from opencosmo_spark.pipeline.dedup import release_cached
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some distinct words here {i}")
+         for i in range(12)],
+        ["doc_id", "text"],
+    )
+    out, _ = curate_corpus(df, min_quality=0.0, min_tokens=1, report=False)
+    cached = list(getattr(out, "_oc_cached", []))
+    assert cached, "lazy mode must hand the cache forward"
+    out.count()
+    release_cached(out)
+    assert not any(
+        c.storageLevel.useMemory or c.storageLevel.useDisk for c in cached
+    )
+
+    out2, _ = curate_corpus(df, min_quality=0.0, min_tokens=1, report=True)
+    assert not getattr(out2, "_oc_cached", [])
