@@ -34,11 +34,14 @@ def main():
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
 
-    # 1. one-call curation: quality gate, PII scrub, exact + near dedup,
-    #    span gate, temperature training mix, 8 loader shards
+    # 1. one-call curation: quality gate, Gopher rules, C4 line scrub,
+    #    PII scrub, exact + near dedup, span gate, temperature training
+    #    mix, 8 loader shards
     curated, counts = curate_corpus(
         docs,
         min_quality=0.2,
+        gopher={"min_words": 10, "min_stopword_hits": 1},
+        c4_lines=False,  # synthetic docs have no line structure
         jaccard_threshold=0.8,
         max_dup_span_frac=0.8,
         mix_col="lang",
@@ -48,6 +51,19 @@ def main():
         report=True,
     )
     print("curation attrition:", counts)
+
+    # 1b. perplexity triage under a self-trained bigram LM: the CCNet
+    #     head/middle/tail bands over the curated corpus
+    from opencosmo_spark.pipeline import perplexity_buckets, train_bigram_lm
+
+    lm = train_bigram_lm(curated)
+    bands = (
+        perplexity_buckets(curated, lm)
+        .groupBy("ppl_bucket")
+        .count()
+        .collect()
+    )
+    print("perplexity bands:", {r["ppl_bucket"]: r["count"] for r in bands})
 
     # 2. keyword search over the curated corpus
     hits = bm25_topk(curated, ["vector", "key"], k=5)
