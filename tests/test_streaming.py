@@ -306,6 +306,15 @@ def test_drift_monitor_stream_matches_batch_psi(spark, tmp_path):
     d.mkdir()
     pq.write_table(b1, d / "part-0.parquet")
     pq.write_table(b2, d / "part-1.parquet")
+    # the file source orders batches by modification time; the two
+    # writes can land in the same clock tick, flipping batch order
+    # nondeterministically — pin it
+    import os
+    import time as _time
+
+    now = _time.time()
+    os.utime(d / "part-0.parquet", (now - 60, now - 60))
+    os.utime(d / "part-1.parquet", (now, now))
 
     stream = (
         spark.readStream.schema("x DOUBLE, cat STRING")
