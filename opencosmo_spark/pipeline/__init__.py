@@ -21,6 +21,7 @@ from .dedup import (
     dedup_by_clusters,
     duplicate_spans,
     remove_duplicate_spans,
+    similarity_join,
     exact_dedup,
     incremental_dedup,
     release_cached,
@@ -107,6 +108,7 @@ __all__ = [
     "nb_classify",
     "duplicate_spans",
     "remove_duplicate_spans",
+    "similarity_join",
     "pq_train_codebooks",
     "pq_encode",
     "kmeans_parallel_init",

@@ -1121,3 +1121,108 @@ def remove_duplicate_spans(
         )
         .drop("__new_text", "__affected")
     )
+
+
+def _char_shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, sh: array<long>) of distinct hashed character k-grams —
+    the short-string (names, titles, addresses) twin of the word
+    ``_shingle_frame``, same shifted-slice zip, zero shuffle.
+    Lowercased so case differences don't break matches."""
+    chars = F.filter(
+        F.split(F.lower(F.col(text_col)), ""), lambda c: c != F.lit("")
+    )
+    ch = F.transform(chars, lambda c: F.xxhash64(c))
+    wdf = df.select(F.col(id_col), ch.alias("__ch"))
+    c = F.col("__ch")
+    nwin = F.greatest(F.size(c) - F.lit(k - 1), F.lit(1))
+    sh = F.slice(c, 1, nwin)
+    for off in range(1, k):
+        nxt = F.slice(c, 1 + off, nwin)
+        sh = F.zip_with(sh, nxt, lambda h, w: F.xxhash64(h, w))
+    return wdf.select(F.col(id_col), F.array_distinct(sh).alias("sh"))
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    right_text_col: str | None = None,
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    unit: str = "word",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Fuzzy join of TWO corpora by n-gram Jaccard similarity — the
+    record-linkage / entity-matching operator (match product titles,
+    author names, near-identical passages across two tables). Returns
+    ``(a, b, jaccard)`` with ``a`` from ``left``, ``b`` from
+    ``right``, one row per pair meeting ``threshold``.
+
+    The cross-corpus form of ``ngram_jaccard_pairs``' inverted-index
+    plan: both sides explode their distinct shingles, the join is an
+    EQUI-join on the 8-byte shingle hash (a pair sharing zero
+    shingles is never generated — exact for any positive threshold),
+    the size-compatibility bound ``min < t * max`` prunes inside the
+    join filter, and one aggregation per surviving pair counts the
+    intersection. ``unit="word"`` shingles word windows (documents);
+    ``unit="char"`` shingles character k-grams (short strings — the
+    standard entity-matching representation). ``max_doc_freq`` caps
+    shingle document frequency across BOTH sides combined before the
+    join (capped-universe semantics as in ``ngram_jaccard_pairs``).
+    """
+    if threshold <= 0:
+        raise ValueError(
+            "similarity_join requires a positive threshold (the "
+            "inverted index is exact for any threshold > 0; an "
+            "all-pairs join has no scalable plan)"
+        )
+    if unit == "word":
+        shingler = _shingle_frame
+    elif unit == "char":
+        shingler = _char_shingle_frame
+    else:
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    rt = right_text_col or text_col
+    sa = shingler(left, text_col, left_id, k).select(
+        F.col(left_id).alias("a"), F.col("sh").alias("sh")
+    )
+    sb = shingler(right, rt, right_id, k).select(
+        F.col(right_id).alias("b"), F.col("sh").alias("sh")
+    )
+    ea = sa.select("a", F.size("sh").alias("na"), F.explode("sh").alias("h"))
+    eb = sb.select("b", F.size("sh").alias("nb"), F.explode("sh").alias("h"))
+    if max_doc_freq is not None:
+        hot = (
+            ea.select("h").union(eb.select("h"))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("h")
+        )
+        ea = ea.join(F.broadcast(hot), "h", "left_anti")
+        eb = eb.join(F.broadcast(hot), "h", "left_anti")
+        # recompute sizes over the kept vocabulary (capped-universe)
+        ea = ea.drop("na").join(
+            ea.groupBy("a").agg(F.count(F.lit(1)).alias("na")), "a"
+        )
+        eb = eb.drop("nb").join(
+            eb.groupBy("b").agg(F.count(F.lit(1)).alias("nb")), "b"
+        )
+    t = float(threshold)
+    pairs = ea.join(eb, "h").filter(
+        F.least("na", "nb").cast("double")
+        >= F.lit(t) * F.greatest("na", "nb").cast("double")
+    )
+    hits = pairs.groupBy("a", "b", "na", "nb").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return hits.select(
+        "a", "b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

@@ -820,3 +820,69 @@ def test_remove_duplicate_spans_excises_boilerplate(spark):
     assert out[2] == uniq[2]
     assert out[3] == "too short"
     assert out[4] == ""
+
+
+def test_similarity_join_word_matches_bruteforce(spark):
+    """Cross-corpus word-shingle Jaccard vs a python oracle: exact
+    pair set and values for every positive threshold."""
+    from opencosmo_spark.pipeline.dedup import similarity_join
+
+    left = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "completely different text about gardening and tomatoes"),
+    ]
+    right = [
+        (10, "the quick brown fox jumps over the lazy dog today"),
+        (11, "gardening with tomatoes is a rewarding hobby indeed"),
+        (12, "unrelated passage about quantum error correction codes"),
+    ]
+    ldf = spark.createDataFrame(left, ["doc_id", "text"])
+    rdf = spark.createDataFrame(right, ["doc_id", "text"])
+    k, thr = 3, 0.2
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in similarity_join(ldf, rdf, k=k, threshold=thr).collect()
+    }
+
+    def shingles(t):
+        ws = t.split()
+        return {tuple(ws[i : i + k]) for i in range(max(len(ws) - k + 1, 1))}
+
+    want = {}
+    for i, lt in left:
+        for j, rt in right:
+            a, b = shingles(lt), shingles(rt)
+            jac = len(a & b) / len(a | b)
+            if jac >= thr:
+                want[(i, j)] = round(jac, 6)
+    assert got == want
+    assert (0, 10) in got  # the near-identical pair was found
+
+
+def test_similarity_join_char_entity_matching(spark):
+    """Char-gram mode links dirty name variants across two tables and
+    rejects unrelated names."""
+    from opencosmo_spark.pipeline.dedup import similarity_join
+
+    crm = spark.createDataFrame(
+        [(0, "Jonathan Smithson"), (1, "Acme Corporation Ltd")],
+        ["rec_id", "name"],
+    )
+    billing = spark.createDataFrame(
+        [(10, "jonathan smithson"), (11, "ACME Corporation Limited"),
+         (12, "Zerelda Quixote")],
+        ["rec_id", "name"],
+    )
+    out = similarity_join(
+        crm, billing, text_col="name", left_id="rec_id",
+        right_id="rec_id", k=3, unit="char", threshold=0.5,
+    ).collect()
+    matched = {(r["a"], r["b"]) for r in out}
+    assert (0, 10) in matched          # case-insensitive exact
+    assert (1, 11) in matched          # Ltd vs Limited variant
+    assert all(b != 12 for _, b in matched)  # no spurious link
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive threshold"):
+        similarity_join(crm, billing, threshold=0.0)
