@@ -1154,6 +1154,7 @@ def similarity_join(
     k: int = 3,
     threshold: float = 0.5,
     unit: str = "word",
+    metric: str = "jaccard",
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Fuzzy join of TWO corpora by n-gram Jaccard similarity — the
@@ -1170,7 +1171,13 @@ def similarity_join(
     join filter, and one aggregation per surviving pair counts the
     intersection. ``unit="word"`` shingles word windows (documents);
     ``unit="char"`` shingles character k-grams (short strings — the
-    standard entity-matching representation). ``max_doc_freq`` caps
+    standard entity-matching representation).
+    ``metric="containment"`` scores ``|A n B| / |A|`` instead of
+    Jaccard — the asymmetric "how much of the LEFT row is inside the
+    right row" measure for quote/subset detection, where a short
+    passage fully contained in a long document scores 1.0 but a tiny
+    Jaccard; the size-compatibility prune only applies to Jaccard
+    (containment has no two-sided size bound). ``max_doc_freq`` caps
     shingle document frequency across BOTH sides combined before the
     join (capped-universe semantics as in ``ngram_jaccard_pairs``).
     """
@@ -1212,17 +1219,26 @@ def similarity_join(
         eb = eb.drop("nb").join(
             eb.groupBy("b").agg(F.count(F.lit(1)).alias("nb")), "b"
         )
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(
+            f"metric must be 'jaccard' or 'containment', got {metric!r}"
+        )
     t = float(threshold)
-    pairs = ea.join(eb, "h").filter(
-        F.least("na", "nb").cast("double")
-        >= F.lit(t) * F.greatest("na", "nb").cast("double")
-    )
+    pairs = ea.join(eb, "h")
+    if metric == "jaccard":
+        pairs = pairs.filter(
+            F.least("na", "nb").cast("double")
+            >= F.lit(t) * F.greatest("na", "nb").cast("double")
+        )
     hits = pairs.groupBy("a", "b", "na", "nb").agg(
         F.count(F.lit(1)).alias("inter")
     )
-    jac = F.col("inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("inter")
-    )
+    if metric == "containment":
+        score = F.col("inter").cast("double") / F.col("na")
+    else:
+        score = F.col("inter").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("inter")
+        )
     return hits.select(
-        "a", "b", F.round(jac, 6).alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+        "a", "b", F.round(score, 6).alias(metric)
+    ).filter(F.col(metric) >= threshold)

@@ -886,3 +886,24 @@ def test_similarity_join_char_entity_matching(spark):
 
     with _pytest.raises(ValueError, match="positive threshold"):
         similarity_join(crm, billing, threshold=0.0)
+
+
+def test_similarity_join_containment_finds_quotes(spark):
+    """A short passage fully contained in a long document scores
+    containment 1.0 while its Jaccard stays tiny."""
+    from opencosmo_spark.pipeline.dedup import similarity_join
+
+    quote = "to be or not to be that is the question"
+    long_doc = (
+        "the prince wandered the halls muttering " + quote +
+        " while the court watched from the shadows with growing unease "
+        "and the play continued long into the cold evening hours"
+    )
+    ldf = spark.createDataFrame([(0, quote)], ["doc_id", "text"])
+    rdf = spark.createDataFrame([(10, long_doc)], ["doc_id", "text"])
+    cont = similarity_join(
+        ldf, rdf, metric="containment", threshold=0.9
+    ).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    jac = similarity_join(ldf, rdf, metric="jaccard", threshold=0.9).collect()
+    assert jac == []  # jaccard misses the quote relation

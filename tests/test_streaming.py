@@ -346,3 +346,55 @@ def test_drift_monitor_stream_matches_batch_psi(spark, tmp_path):
         assert rep["cat"] == pytest.approx(want["cat"], rel=1e-9)
     # drifted batch stands out
     assert reports[0]["x"] < 0.1 < 1.0 < reports[1]["x"]
+
+
+def test_samplers_run_on_streams(spark, tmp_path):
+    """deterministic_sample / stratified_sample compile to stateless
+    pushable filters, so the SAME calls run unchanged on a readStream
+    — and keep exactly the rows the batch form keeps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opencosmo_spark.pipeline.sample import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    rows = pa.table(
+        {
+            "doc_id": list(range(200)),
+            "lang": [("en", "de", "fr")[i % 3] for i in range(200)],
+        }
+    )
+    d = tmp_path / "sample_in"
+    d.mkdir()
+    pq.write_table(rows, d / "part-0.parquet")
+
+    batch_df = spark.read.parquet(str(d))
+    stream = spark.readStream.schema("doc_id LONG, lang STRING").parquet(str(d))
+
+    for name, fn in (
+        ("det", lambda df: deterministic_sample(df, 0.4, id_col="doc_id")),
+        (
+            "strat",
+            lambda df: stratified_sample(
+                df, {"en": 0.5, "de": 0.2}, "lang", id_col="doc_id"
+            ),
+        ),
+    ):
+        want = sorted(r.doc_id for r in fn(batch_df).collect())
+        q = (
+            fn(stream)
+            .writeStream.format("memory")
+            .queryName(f"sampled_{name}")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            r.doc_id for r in spark.table(f"sampled_{name}").collect()
+        )
+        assert got == want and len(got) > 0
