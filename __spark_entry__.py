@@ -377,13 +377,6 @@ def q22_join_nested_agg(spark, sf):
     )
 
 
-def q23_anti(spark, sf):
-    # orders with zero lineitems (absent 1:N link = no child rows)
-    o = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
-    return o.join(
-        li.select("l_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"), "left_anti"
-    ).select("o_orderkey", "o_totalprice")
 
 
 # =====================================================================
@@ -421,7 +414,88 @@ def q24_set_ops(spark, sf):
             F.lit(0).cast("long").alias("val"),
         )
     )
-    return counts.unionByName(inter).unionByName(dis)
+    # anti-join family member (formerly q23): orders with zero
+    # lineitems (absent 1:N link = no child rows), in the shared
+    # (tag, val) schema
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    anti = o.join(
+        li.select("l_orderkey"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_anti",
+    ).select(
+        F.lit("anti_orderkey").alias("tag"),
+        F.col("o_orderkey").cast("long").alias("val"),
+    )
+    return counts.unionByName(inter).unionByName(dis).unionByName(anti)
+
+
+
+
+def q66_pair_counts(spark, sf):
+    # DRIVER-CHECKED pair-count parity: deterministic point clouds are
+    # derived from doc/vec ids via the md5 lane (identically derivable
+    # in SQL), the REAL cell-keyed pair engine counts DD (self pairs)
+    # and DR (cross pairs) per radial bin under periodic minimum-image
+    # distance, and the DuckDB oracle brute-forces the same counts —
+    # integer-exact, no float hashing risk. This is the engine-vs-
+    # brute-force differential as a driver row.
+    from opencosmo_spark.pipeline.dedup import md5_lane
+    from opencosmo_spark.spatial.pairs import (
+        _bin_expr,
+        cross_pairs_3d,
+        neighbor_pairs_3d,
+    )
+
+    box, rmax = 100.0, 10.0
+    edges = [0.0, 5.0, 10.0]
+
+    def coords(df, idc, tag):
+        out = df
+        for ax in ("x", "y", "z"):
+            lane = md5_lane(
+                F.concat_ws(
+                    ":", F.lit(tag), F.col(idc).cast("string"), F.lit(ax)
+                )
+            )
+            out = out.withColumn(
+                ax,
+                lane.cast("double") / F.lit(float(2**60)) * F.lit(box),
+            )
+        return out
+
+    P = coords(_t(spark, sf, "documents").select("doc_id"), "doc_id", "p")
+    Q = coords(_t(spark, sf, "embeddings").select("vec_id"), "vec_id", "q")
+
+    def binned(pairs, name):
+        return (
+            pairs.select(_bin_expr(edges).alias("bin"))
+            .filter(F.col("bin").isNotNull())
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    dd = binned(
+        neighbor_pairs_3d(P, rmax, box, id_col="doc_id", periodic=True), "dd"
+    )
+    dr = binned(
+        cross_pairs_3d(
+            P, Q, rmax, box, id_col_a="doc_id", id_col_b="vec_id",
+            periodic=True,
+        ),
+        "dr",
+    )
+    grid = spark.createDataFrame([(0,), (1,)], "bin INT")
+    return (
+        grid.join(dd, "bin", "left")
+        .join(dr, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("dd", F.lit(0)).alias("dd"),
+            F.coalesce("dr", F.lit(0)).alias("dr"),
+        )
+        .orderBy("bin")
+    )
 
 
 # =====================================================================
@@ -1102,8 +1176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows, so EVERY query gets a driver oracle row. Formerly-
         # separate trivial queries were merged, keeping operator
         # coverage: q02+q03 -> q02_select_drop, q10+q11 ->
-        # q10_derived_cols, q24+q25 -> q24_set_ops, and
-        # q30+q32+q38+q41+q48 -> q30_text_profile (see COVERAGE.md).
+        # q10_derived_cols, q24+q25+q23 -> q24_set_ops (the anti-join
+        # family member joined in round 6, freeing a slot for the
+        # pair-engine parity row q66), and q30+q32+q38+q41+q48 ->
+        # q30_text_profile (see COVERAGE.md).
         "q01_scan_filter_project": q01_scan_filter_project,
         "q02_select_drop": q02_select_drop,
         "q04_filter_compound": q04_filter_compound,
@@ -1120,7 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_join_left": q20_join_left,
         "q21_semi_cascade": q21_semi_cascade,
         "q22_join_nested_agg": q22_join_nested_agg,
-        "q23_anti": q23_anti,
+        "q66_pair_counts": q66_pair_counts,
         "q24_set_ops": q24_set_ops,
         "q26_window_topk": q26_window_topk,
         "q27_window_running": q27_window_running,
@@ -1479,9 +1555,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
-        "q23_anti": """
-            SELECT o_orderkey, o_totalprice FROM orders
-            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        "q66_pair_counts": """
+            WITH pp AS (
+              SELECT doc_id AS id,
+                ((('0x' || substring(md5('p:' || doc_id || ':x'), 1, 15))::BIGINT)::DOUBLE
+                 / 1152921504606846976.0) * 100.0 AS x,
+                ((('0x' || substring(md5('p:' || doc_id || ':y'), 1, 15))::BIGINT)::DOUBLE
+                 / 1152921504606846976.0) * 100.0 AS y,
+                ((('0x' || substring(md5('p:' || doc_id || ':z'), 1, 15))::BIGINT)::DOUBLE
+                 / 1152921504606846976.0) * 100.0 AS z
+              FROM documents
+            ), qq AS (
+              SELECT vec_id AS id,
+                ((('0x' || substring(md5('q:' || vec_id || ':x'), 1, 15))::BIGINT)::DOUBLE
+                 / 1152921504606846976.0) * 100.0 AS x,
+                ((('0x' || substring(md5('q:' || vec_id || ':y'), 1, 15))::BIGINT)::DOUBLE
+                 / 1152921504606846976.0) * 100.0 AS y,
+                ((('0x' || substring(md5('q:' || vec_id || ':z'), 1, 15))::BIGINT)::DOUBLE
+                 / 1152921504606846976.0) * 100.0 AS z
+              FROM embeddings
+            ), ddp AS (
+              SELECT sqrt(
+                pow(least(abs(a.x - b.x), 100.0 - abs(a.x - b.x)), 2)
+              + pow(least(abs(a.y - b.y), 100.0 - abs(a.y - b.y)), 2)
+              + pow(least(abs(a.z - b.z), 100.0 - abs(a.z - b.z)), 2)) AS dist
+              FROM pp a JOIN pp b ON a.id < b.id
+            ), drp AS (
+              SELECT sqrt(
+                pow(least(abs(a.x - b.x), 100.0 - abs(a.x - b.x)), 2)
+              + pow(least(abs(a.y - b.y), 100.0 - abs(a.y - b.y)), 2)
+              + pow(least(abs(a.z - b.z), 100.0 - abs(a.z - b.z)), 2)) AS dist
+              FROM pp a CROSS JOIN qq b
+            ), ddb AS (
+              SELECT CASE WHEN dist >= 0 AND dist < 5 THEN 0
+                          WHEN dist >= 5 AND dist < 10 THEN 1 END AS bin,
+                     count(*) AS dd
+              FROM ddp WHERE dist < 10 GROUP BY 1
+            ), drb AS (
+              SELECT CASE WHEN dist >= 0 AND dist < 5 THEN 0
+                          WHEN dist >= 5 AND dist < 10 THEN 1 END AS bin,
+                     count(*) AS dr
+              FROM drp WHERE dist < 10 GROUP BY 1
+            )
+            SELECT g.bin,
+                   CAST(COALESCE(ddb.dd, 0) AS BIGINT) AS dd,
+                   CAST(COALESCE(drb.dr, 0) AS BIGINT) AS dr
+            FROM (VALUES (0), (1)) AS g(bin)
+            LEFT JOIN ddb ON ddb.bin = g.bin
+            LEFT JOIN drb ON drb.bin = g.bin
+            ORDER BY g.bin
         """,
         "q24_set_ops": """
             SELECT event_type AS tag, count(*) AS val FROM (
@@ -1495,6 +1617,11 @@ def oracle_sql() -> dict[str, str]:
               INTERSECT
               SELECT c_custkey FROM customer WHERE c_acctbal > 0
             )
+            UNION ALL
+            SELECT 'anti_orderkey' AS tag, CAST(o_orderkey AS BIGINT) AS val
+            FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_orderkey = o_orderkey)
             UNION ALL
             SELECT 'rl:' || l_returnflag || l_linestatus AS tag,
                    CAST(0 AS BIGINT) AS val
