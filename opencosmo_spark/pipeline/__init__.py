@@ -14,7 +14,13 @@ from .clean import c4_clean, gopher_quality_flags
 from .curate import curate_corpus
 from .drift import psi_report
 from .embed import pca_project, pca_project_expr, pca_train
-from .lm import perplexity_buckets, perplexity_score, train_bigram_lm
+from .lm import (
+    perplexity_buckets,
+    perplexity_score,
+    train_bigram_lm,
+    train_trigram_lm,
+    trigram_perplexity_score,
+)
 from .decontaminate import decontaminate, ngram_overlap, semantic_overlap
 from .dedup import (
     connected_components,
@@ -135,6 +141,8 @@ __all__ = [
     "train_bigram_lm",
     "perplexity_score",
     "perplexity_buckets",
+    "train_trigram_lm",
+    "trigram_perplexity_score",
     "pca_train",
     "pca_project",
     "pca_project_expr",

@@ -183,3 +183,162 @@ def perplexity_buckets(
         .when(F.col("perplexity") <= hi, F.lit("middle"))
         .otherwise(F.lit("tail")),
     )
+
+
+def _trigram_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, h1, h2, h3) — one row per adjacent word triple; documents
+    with < 3 words produce no rows. Same shifted-slice zip as the
+    bigram frame, one more fold."""
+    words = words_expr(text_col)
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    base = df.select(F.col(id_col), wh.alias("__wh"))
+    c = F.col("__wh")
+    n = F.size(c)
+    nwin = F.greatest(n - 2, F.lit(0))
+    a = F.slice(c, 1, nwin)
+    b = F.slice(c, 2, nwin)
+    d = F.slice(c, 3, nwin)
+    z12 = F.zip_with(a, b, lambda x, y: F.struct(x.alias("h1"), y.alias("h2")))
+    z = F.zip_with(
+        z12,
+        d,
+        lambda s, x: F.struct(
+            s["h1"].alias("h1"), s["h2"].alias("h2"), x.alias("h3")
+        ),
+    )
+    return base.select(F.col(id_col), F.explode(z).alias("tg")).select(
+        id_col,
+        F.col("tg.h1").alias("h1"),
+        F.col("tg.h2").alias("h2"),
+        F.col("tg.h3").alias("h3"),
+    )
+
+
+def train_trigram_lm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> dict:
+    """Count tables for a Jelinek-Mercer interpolated trigram LM —
+    one step closer to the 5-gram KenLM CCNet actually uses, same
+    model-as-data posture as ``train_bigram_lm``:
+
+    - ``trigrams`` (h1, h2, h3, c3) and its context sums
+      ``ctx3`` (h1, h2, cc3),
+    - ``bigrams`` / ``unigrams`` with the first-position convention
+      (so ML2 = c12/c1 conditions exactly),
+    - ``tokens`` (h, ct) over ALL token positions with the scalar
+      ``n_tokens`` for the unigram ML term,
+    - ``vocab_df`` / ``vocab`` for the floor term and OOV handling.
+    """
+    base = train_bigram_lm(df, text_col, id_col)
+    tg = _trigram_frame(df, text_col, id_col)
+    trigrams = tg.groupBy("h1", "h2", "h3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    ctx3 = trigrams.groupBy("h1", "h2").agg(F.sum("c3").alias("cc3"))
+    toks = (
+        df.select(F.explode(words_expr(text_col)).alias("__w"))
+        .select(F.xxhash64("__w").alias("h"))
+    )
+    tokens = toks.groupBy("h").agg(F.count(F.lit(1)).alias("ct"))
+    n_tokens = toks.count()
+    base.update(
+        {
+            "trigrams": trigrams,
+            "ctx3": ctx3,
+            "tokens": tokens,
+            "n_tokens": int(n_tokens),
+        }
+    )
+    return base
+
+
+def trigram_perplexity_score(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lambdas: tuple[float, float, float, float] = (0.6, 0.25, 0.1, 0.05),
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document cross-entropy/perplexity under the interpolated
+    trigram model:
+
+    ``p(w3 | w1 w2) = L3*c123/c12ctx + L2*c23/c2 + L1*ct(w3)/N + L0/V``
+
+    — Jelinek & Mercer 1980 linear interpolation with fixed weights
+    (``lambdas`` must sum to ~1); every maximum-likelihood term
+    degrades to 0 when its context is unseen, shifting mass to the
+    lower orders, and the ``L0/V`` floor keeps the log finite.
+    Out-of-vocabulary predicted words score ``log(L0 / (V + 1))``.
+    Only positions with a full 2-word context are scored (documents
+    with < 3 words get NULL, the ``perplexity_score`` convention).
+
+    Scale shape: four hash-keyed equi-joins over the exploded trigram
+    stream (trigram, trigram-context, bigram+its context, token
+    unigram) — AQE broadcasts small models, web-scale models stay
+    shuffled-hash; the arithmetic is one JVM expression.
+    """
+    import math
+
+    l3, l2, l1, l0 = (float(x) for x in lambdas)
+    if abs(l3 + l2 + l1 + l0 - 1.0) > 1e-9 or min(l3, l2, l1, l0) < 0:
+        raise ValueError(f"lambdas must be non-negative and sum to 1, got {lambdas}")
+    if l0 <= 0:
+        raise ValueError("lambdas[3] (the 1/V floor) must be positive")
+    v = float(model["vocab"])
+    nt = float(model["n_tokens"])
+    oov_lp = math.log(l0 / (v + 1.0))
+    tg = _trigram_frame(df, text_col, id_col)
+    in_vocab = model["vocab_df"].select(
+        F.col("h").alias("h3"), F.lit(True).alias("__known")
+    )
+    # bigram tables condition on (h2 -> h3): rename for the join
+    bi = model["bigrams"].select(
+        F.col("h1").alias("h2"), F.col("h2").alias("h3"), F.col("c12")
+    )
+    uni = model["unigrams"].select(F.col("h1").alias("h2"), F.col("c1"))
+    tok = model["tokens"].select(F.col("h").alias("h3"), F.col("ct"))
+    z = F.lit(0.0)
+    ml3 = F.when(
+        F.col("cc3").isNotNull() & F.col("c3").isNotNull(),
+        F.col("c3").cast("double") / F.col("cc3").cast("double"),
+    ).otherwise(z)
+    ml2 = F.when(
+        F.col("c1").isNotNull() & F.col("c12").isNotNull(),
+        F.col("c12").cast("double") / F.col("c1").cast("double"),
+    ).otherwise(z)
+    ml1 = F.coalesce(F.col("ct").cast("double"), z) / F.lit(nt)
+    p = (
+        F.lit(l3) * ml3
+        + F.lit(l2) * ml2
+        + F.lit(l1) * ml1
+        + F.lit(l0) / F.lit(v)
+    )
+    scored = (
+        tg.join(model["trigrams"], ["h1", "h2", "h3"], "left")
+        .join(model["ctx3"], ["h1", "h2"], "left")
+        .join(bi, ["h2", "h3"], "left")
+        .join(uni, ["h2"], "left")
+        .join(tok, ["h3"], "left")
+        .join(in_vocab, ["h3"], "left")
+        .select(
+            id_col,
+            F.when(F.col("__known").isNull(), F.lit(oov_lp))
+            .otherwise(F.log(p))
+            .alias("__lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        (-F.avg("__lp")).alias("__h"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.round(F.col("__h"), decimals).alias("cross_entropy"),
+            F.round(F.exp(F.col("__h")), decimals).alias("perplexity"),
+        )
+    )

@@ -107,3 +107,107 @@ def test_perplexity_buckets_ccnet_split(spark):
         scored[scored.ppl_bucket == "middle"].perplexity.max()
         <= scored[scored.ppl_bucket == "tail"].perplexity.min()
     )
+
+
+def _py_trigram_score(train_texts, doc, lambdas=(0.6, 0.25, 0.1, 0.05)):
+    """Reference implementation of the interpolated trigram model."""
+    import re as _re
+    from collections import Counter
+
+    def words(t):
+        return _re.findall(r"[a-z0-9]+", t.lower())
+
+    tri, ctx3, bi, c1, tok = Counter(), Counter(), Counter(), Counter(), Counter()
+    vocab = set()
+    nt = 0
+    for t in train_texts:
+        ws = words(t)
+        vocab.update(ws)
+        nt += len(ws)
+        tok.update(ws)
+        for i in range(len(ws) - 1):
+            bi[(ws[i], ws[i + 1])] += 1
+            c1[ws[i]] += 1
+        for i in range(len(ws) - 2):
+            tri[(ws[i], ws[i + 1], ws[i + 2])] += 1
+            ctx3[(ws[i], ws[i + 1])] += 1
+    l3, l2, l1, l0 = lambdas
+    v = len(vocab)
+    ws = words(doc)
+    lps = []
+    for i in range(2, len(ws)):
+        w1, w2, w3 = ws[i - 2], ws[i - 1], ws[i]
+        if w3 not in vocab:
+            lps.append(math.log(l0 / (v + 1)))
+            continue
+        p = l0 / v
+        if ctx3.get((w1, w2)):
+            p += l3 * tri.get((w1, w2, w3), 0) / ctx3[(w1, w2)]
+        if c1.get(w2):
+            p += l2 * bi.get((w2, w3), 0) / c1[w2]
+        p += l1 * tok.get(w3, 0) / nt
+        lps.append(math.log(p))
+    if not lps:
+        return 0, None
+    h = -sum(lps) / len(lps)
+    return len(lps), h
+
+
+def test_trigram_lm_matches_python_reference(spark):
+    from opencosmo_spark.pipeline.lm import (
+        train_trigram_lm,
+        trigram_perplexity_score,
+    )
+
+    train_texts = [
+        "the cat sat on the mat and the cat ran to the mat",
+        "a dog ran on the mat while the cat sat near a dog",
+    ]
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(train_texts)]
+    )
+    model = train_trigram_lm(train)
+    docs = [
+        (0, "the cat sat on the mat"),       # fully in-domain
+        (1, "a dog sat on the zebra mat"),   # one OOV word
+        (2, "xx yy"),                        # too short for a trigram
+    ]
+    out = (
+        trigram_perplexity_score(
+            spark.createDataFrame(docs, ["doc_id", "text"]), model
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for i, t in docs:
+        n, h = _py_trigram_score(train_texts, t)
+        assert out.loc[i, "n_trigrams"] == n
+        if h is None:
+            assert np.isnan(out.loc[i, "cross_entropy"])
+        else:
+            assert out.loc[i, "cross_entropy"] == pytest.approx(h, abs=1e-6)
+
+
+def test_trigram_sharper_than_bigram_in_domain(spark):
+    """On text the model has actually seen, the trigram interpolation
+    must assign lower perplexity than the bigram add-alpha model —
+    that is what buying the extra order is for."""
+    from opencosmo_spark.pipeline.lm import (
+        train_trigram_lm,
+        trigram_perplexity_score,
+    )
+
+    sent = ("the cat sat on the mat and the dog ran to the cat "
+            "while the mat lay on the floor near the dog ")
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text=sent) for i in range(10)]
+    )
+    tri_model = train_trigram_lm(train)
+    bi_model = {k: tri_model[k] for k in
+                ("bigrams", "unigrams", "vocab_df", "vocab", "total")}
+    doc = spark.createDataFrame([Row(doc_id=0, text=sent)])
+    tri = trigram_perplexity_score(doc, tri_model).collect()[0]
+    bi = perplexity_score(doc, bi_model).collect()[0]
+    assert tri["perplexity"] < bi["perplexity"]
+    with pytest.raises(ValueError, match="sum to 1"):
+        trigram_perplexity_score(doc, tri_model, lambdas=(1, 1, 1, 1))
