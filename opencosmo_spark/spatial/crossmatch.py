@@ -337,3 +337,30 @@ def w_theta_landy_szalay(
     return _ls_assemble(
         df.sparkSession, edges, dd, dr, rr, nd, nr, "t_lo", "t_hi", "w"
     )
+
+
+def sky_fof_groups(
+    df: DataFrame,
+    linking_deg: float,
+    id_col: str = "id",
+    ra_col: str = "ra",
+    dec_col: str = "dec",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Angular friends-of-friends: sources within ``linking_deg`` of
+    each other chain into groups (cluster finding on the sky — the
+    angular twin of ``spatial.pairs.fof_groups``). Returns
+    ``(id, group_id)`` with ``group_id`` = the smallest member id.
+    Percolation chains are the high-diameter connected-components
+    case, so this rides the large-star/small-star algorithm like the
+    3-D finder."""
+    from ..pipeline.dedup import connected_components
+
+    pairs = sky_pairs(
+        df, None, linking_deg, id_col, id_col, ra_col, dec_col
+    ).select("a", "b")
+    labels = connected_components(
+        pairs, df.select(F.col(id_col)), id_col, "a", "b",
+        max_iterations=max_iterations, algorithm="star",
+    )
+    return labels.withColumnRenamed("cluster_id", "group_id")

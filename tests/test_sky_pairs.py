@@ -135,3 +135,51 @@ def test_w_theta_dataset_entry(spark, fixtures):
     assert [r["bin"] for r in out] == [0]
     assert out[0]["dd"] > 0 and out[0]["rr"] > 0
     assert abs(out[0]["w"]) < 0.3
+
+
+def test_sky_fof_groups_match_union_find(spark):
+    """Angular FoF vs union-find over brute-force sky pairs, with
+    clumps planted near a pole and across the RA seam."""
+    from opencosmo_spark.spatial.crossmatch import sky_fof_groups
+
+    rng = np.random.default_rng(83)
+    cra, cdec = _uniform_sphere(rng, 10)
+    cra[0], cdec[0] = 359.9, 0.0      # straddles the RA seam
+    cra[1], cdec[1] = 10.0, 88.5      # near-polar clump
+    ra = np.concatenate([c + rng.normal(0, 0.2, 8) for c in cra]) % 360
+    dec = np.concatenate(
+        [c + rng.normal(0, 0.2, 8) for c in cdec]
+    ).clip(-89.9, 89.9)
+    field_ra, field_dec = _uniform_sphere(rng, 40)
+    ra = np.concatenate([ra, field_ra])
+    dec = np.concatenate([dec, field_dec])
+
+    got = {
+        r["id"]: r["group_id"]
+        for r in sky_fof_groups(_sky_df(spark, ra, dec), 1.0).collect()
+    }
+
+    # union-find oracle over brute-force pairs
+    parent = list(range(len(ra)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(ra)):
+        for j in range(i + 1, len(ra)):
+            if _sep_deg(ra[i], dec[i], ra[j], dec[j]) <= 1.0:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    groups = {}
+    for i in range(len(ra)):
+        groups.setdefault(find(i), []).append(i)
+    want = {i: min(m) for m in groups.values() for i in m}
+    assert got == want
+    sizes = {}
+    for g in got.values():
+        sizes[g] = sizes.get(g, 0) + 1
+    assert max(sizes.values()) >= 8  # the clumps really grouped
