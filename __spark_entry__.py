@@ -442,7 +442,7 @@ def q66_pair_counts(spark, sf):
     # brute-force differential as a driver row.
     from opencosmo_spark.pipeline.dedup import md5_lane
     from opencosmo_spark.spatial.pairs import (
-        _bin_expr,
+        _binned_counts,
         cross_pairs_3d,
         neighbor_pairs_3d,
     )
@@ -467,23 +467,16 @@ def q66_pair_counts(spark, sf):
     P = coords(_t(spark, sf, "documents").select("doc_id"), "doc_id", "p")
     Q = coords(_t(spark, sf, "embeddings").select("vec_id"), "vec_id", "q")
 
-    def binned(pairs, name):
-        return (
-            pairs.select(_bin_expr(edges).alias("bin"))
-            .filter(F.col("bin").isNotNull())
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
-
-    dd = binned(
-        neighbor_pairs_3d(P, rmax, box, id_col="doc_id", periodic=True), "dd"
+    dd = _binned_counts(
+        neighbor_pairs_3d(P, rmax, box, id_col="doc_id", periodic=True),
+        edges, "dd",
     )
-    dr = binned(
+    dr = _binned_counts(
         cross_pairs_3d(
             P, Q, rmax, box, id_col_a="doc_id", id_col_b="vec_id",
             periodic=True,
         ),
-        "dr",
+        edges, "dr",
     )
     grid = spark.createDataFrame([(0,), (1,)], "bin INT")
     return (

@@ -302,6 +302,25 @@ def fof(ds, linking_length: float, select_by: tuple[str, str, str] | None = None
     )
 
 
+def sky_fof(
+    ds,
+    linking_deg: float,
+    select_by: tuple[str, str] | None = None,
+):
+    """Angular friends-of-friends over a Dataset's sky positions —
+    the Dataset-level entry to ``spatial.crossmatch.sky_fof_groups``,
+    with RA/Dec resolved like sky regions and the id column passing
+    the same uniqueness guard as the 3-D ``fof``."""
+    from .spatial.bound import find_coords
+    from .spatial.crossmatch import sky_fof_groups
+
+    ra, dec = select_by or find_coords(ds.columns, 2)
+    id_col = _pair_id_col(ds)
+    return sky_fof_groups(
+        ds.df, linking_deg, id_col=id_col, ra_col=ra, dec_col=dec
+    )
+
+
 def w_theta(
     ds,
     bins_deg: list[float],

@@ -1176,8 +1176,9 @@ def similarity_join(
     Jaccard — the asymmetric "how much of the LEFT row is inside the
     right row" measure for quote/subset detection, where a short
     passage fully contained in a long document scores 1.0 but a tiny
-    Jaccard; the size-compatibility prune only applies to Jaccard
-    (containment has no two-sided size bound). ``max_doc_freq`` caps
+    Jaccard; containment uses the
+    one-sided prune ``nb >= t * na`` (implied by ``inter <= nb``)
+    where Jaccard uses the two-sided min/max bound. ``max_doc_freq`` caps
     shingle document frequency across BOTH sides combined before the
     join (capped-universe semantics as in ``ngram_jaccard_pairs``).
     """
@@ -1193,6 +1194,10 @@ def similarity_join(
         shingler = _char_shingle_frame
     else:
         raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(
+            f"metric must be 'jaccard' or 'containment', got {metric!r}"
+        )
     rt = right_text_col or text_col
     sa = shingler(left, text_col, left_id, k).select(
         F.col(left_id).alias("a"), F.col("sh").alias("sh")
@@ -1219,16 +1224,19 @@ def similarity_join(
         eb = eb.drop("nb").join(
             eb.groupBy("b").agg(F.count(F.lit(1)).alias("nb")), "b"
         )
-    if metric not in ("jaccard", "containment"):
-        raise ValueError(
-            f"metric must be 'jaccard' or 'containment', got {metric!r}"
-        )
     t = float(threshold)
     pairs = ea.join(eb, "h")
     if metric == "jaccard":
         pairs = pairs.filter(
             F.least("na", "nb").cast("double")
             >= F.lit(t) * F.greatest("na", "nb").cast("double")
+        )
+    else:
+        # containment = inter/na and inter <= nb, so nb >= t*na is the
+        # valid ONE-SIDED prune — it cuts the pair-count shuffle the
+        # same way the two-sided bound does for jaccard
+        pairs = pairs.filter(
+            F.col("nb").cast("double") >= F.lit(t) * F.col("na").cast("double")
         )
     hits = pairs.groupBy("a", "b", "na", "nb").agg(
         F.count(F.lit(1)).alias("inter")

@@ -183,3 +183,13 @@ def test_sky_fof_groups_match_union_find(spark):
     for g in got.values():
         sizes[g] = sizes.get(g, 0) + 1
     assert max(sizes.values()) >= 8  # the clumps really grouped
+
+
+def test_sky_fof_dataset_entry(spark, fixtures):
+    import opencosmo_spark as oc
+    from opencosmo_spark.analysis import sky_fof
+
+    lc = oc.open(f"{fixtures}/lightcone")
+    labels = sky_fof(lc, 0.5)
+    assert set(labels.columns) == {"fof_halo_tag", "group_id"}
+    assert labels.count() == len(lc)
