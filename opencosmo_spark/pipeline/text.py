@@ -137,25 +137,45 @@ def chunk_documents(
     max_tokens: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    overlap: int = 0,
 ) -> DataFrame:
     """Split each document into whitespace-token chunks of at most
     ``max_tokens`` — the pre-training chunking step. One row in,
-    ceil(n/max) rows out: (id, chunk_idx, chunk_text, n_tokens).
+    ceil(n/max) rows out (more with overlap):
+    (id, chunk_idx, chunk_text, n_tokens).
+
+    ``overlap`` tokens are shared between consecutive chunks (stride
+    = max_tokens - overlap) — the retrieval-chunking form, where a
+    passage near a boundary must appear whole in at least one chunk.
+    The final chunk may be shorter than ``overlap + 1`` tokens only
+    when it is the document's only chunk.
 
     Pure JVM: one split per document, then an array-of-structs
     transform + explode — no UDF, no shuffle; chunk boundaries are
     deterministic functions of the token stream.
     """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap} for "
+            f"max_tokens={max_tokens}"
+        )
     ws = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(ws)
     m = F.lit(int(max_tokens))
-    nchunks = F.ceil(n.cast("double") / m).cast("int")
+    stride = F.lit(int(max_tokens - overlap))
+    # chunks needed to cover n tokens at this stride: 1 + ceil((n-m)/stride)
+    nchunks = F.greatest(
+        F.lit(1),
+        F.lit(1) + F.ceil((n - m).cast("double") / stride).cast("int"),
+    )
     chunks = F.transform(
-        F.sequence(F.lit(0), F.greatest(nchunks - 1, F.lit(0))),
+        F.sequence(F.lit(0), nchunks - 1),
         lambda i: F.struct(
             i.cast("long").alias("chunk_idx"),
-            F.array_join(F.slice(ws, i * m + 1, m), " ").alias("chunk_text"),
-            F.least(m, n - i * m).cast("long").alias("n_tokens"),
+            F.array_join(F.slice(ws, i * stride + 1, m), " ").alias(
+                "chunk_text"
+            ),
+            F.least(m, n - i * stride).cast("long").alias("n_tokens"),
         ),
     )
     return df.select(

@@ -907,3 +907,31 @@ def test_similarity_join_containment_finds_quotes(spark):
     assert len(cont) == 1 and cont[0]["containment"] == 1.0
     jac = similarity_join(ldf, rdf, metric="jaccard", threshold=0.9).collect()
     assert jac == []  # jaccard misses the quote relation
+
+
+def test_chunk_documents_overlap(spark):
+    """Overlapping chunks: stride = max - overlap, consecutive chunks
+    share exactly `overlap` tokens, every token covered, and
+    overlap=0 reproduces the disjoint behavior."""
+    from opencosmo_spark.pipeline.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    out = (
+        chunk_documents(df, max_tokens=4, overlap=2)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    chunks = [r["chunk_text"].split() for r in out]
+    # stride 2 over 10 tokens: starts 0,2,4,6 -> 4 chunks
+    assert [c[0] for c in chunks] == ["w0", "w2", "w4", "w6"]
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-2:] == b[:2]  # exactly 2 shared tokens
+    assert set(t for c in chunks for t in c) == set(text.split())
+
+    disjoint = chunk_documents(df, max_tokens=4, overlap=0).collect()
+    legacy = chunk_documents(df, max_tokens=4).collect()
+    assert sorted(map(tuple, disjoint)) == sorted(map(tuple, legacy))
+
+    with pytest.raises(ValueError, match="overlap must be"):
+        chunk_documents(df, max_tokens=4, overlap=4)
