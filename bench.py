@@ -65,6 +65,7 @@ EXTRA_QUERIES = [
     "q63_bm25_topk",
     "q64_nb_classify",
     "q65_dup_spans",
+    "q66_pair_counts",
 ]
 
 

@@ -935,3 +935,53 @@ def test_chunk_documents_overlap(spark):
 
     with pytest.raises(ValueError, match="overlap must be"):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_star_cc_stress_long_chain_and_blob(spark):
+    """Star CC at moderate scale: a 3000-node path (diameter 3000 —
+    hopeless for min-label's round budget) fused with a 500-node
+    near-clique converges in O(log n) rounds and matches union-find."""
+    import warnings
+
+    from opencosmo_spark.pipeline.dedup import connected_components
+
+    n_chain, n_blob = 3000, 500
+    ea = list(range(n_chain - 1))
+    eb = list(range(1, n_chain))
+    rng = np.random.default_rng(97)
+    blob = rng.integers(n_chain, n_chain + n_blob, size=(1500, 2))
+    ea += [int(a) for a, b in blob if a != b]
+    eb += [int(b) for a, b in blob if a != b]
+    # weld the blob to the chain's far end
+    ea.append(n_chain - 1)
+    eb.append(n_chain)
+    edges = spark.createDataFrame(pd.DataFrame({"a": ea, "b": eb}))
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(n_chain + n_blob))})
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # must converge
+        out = (
+            connected_components(
+                edges, nodes, id_col="doc_id", max_iterations=20,
+                algorithm="star",
+            )
+            .toPandas()
+        )
+    # union-find oracle
+    parent = list(range(n_chain + n_blob))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in zip(ea, eb):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n_chain + n_blob)}
+    got = out.set_index("doc_id")["cluster_id"].to_dict()
+    assert got == want
+    assert set(got.values()) == {0}  # everything welded into one group
