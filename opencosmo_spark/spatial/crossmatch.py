@@ -239,13 +239,15 @@ def sky_pairs(
     out = l.join(r, "__bin")
     if self_pairs:
         out = out.filter(F.col("a") < F.col("b"))
+    # no dedup needed: the left row carries exactly ONE bin (cap OR
+    # ring) and the right fan-out is array_distinct'ed (cap appends
+    # happen before the distinct), so a given (a, b) pair can match
+    # at most once — verified by the pole/seam brute-force
+    # differentials
     return (
         out.withColumn("__sep", sep)
         .filter(F.col("__sep") <= F.lit(float(radius_deg)))
         .select("a", "b", F.round(F.col("__sep"), 8).alias("sep_deg"))
-        # a cap-bin row also appears in ring bins near the cut — the
-        # one case where a pair can meet twice
-        .dropDuplicates(["a", "b"])
     )
 
 

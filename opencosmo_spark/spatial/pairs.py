@@ -125,11 +125,14 @@ def _pairs_engine(
     out = a.join(b, "__cell")
     if self_join:
         out = out.filter(F.col("a") < F.col("b"))
+    # no dedup needed: the left row carries exactly ONE cell key and
+    # the right fan-out is array_distinct'ed, so a given (a, b) pair
+    # can match at most once — the old dropDuplicates here was a
+    # redundant full shuffle on every pair-engine call (verified by
+    # the brute-force differentials and the q66 integer-count oracle)
     return (
         out.select("a", "b", dist.alias("dist"))
         .filter(F.col("dist") <= float(radius))
-        # a pair can meet in several cells of b's fan-out
-        .dropDuplicates(["a", "b"])
     )
 
 

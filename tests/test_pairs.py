@@ -42,10 +42,9 @@ def test_neighbor_pairs_match_bruteforce(spark, periodic):
     rng = np.random.default_rng(17)
     pts = rng.uniform(0, BOX, size=(250, 3))
     df = _points_df(spark, pts)
-    got = {
-        (r["a"], r["b"]): r["dist"]
-        for r in neighbor_pairs_3d(df, 1.3, BOX, periodic=periodic).collect()
-    }
+    rows = neighbor_pairs_3d(df, 1.3, BOX, periodic=periodic).collect()
+    got = {(r["a"], r["b"]): r["dist"] for r in rows}
+    assert len(rows) == len(got)  # engine must emit each pair ONCE
     want = _brute_pairs(pts, 1.3, periodic=periodic)
     assert set(got) == set(want)
     for k in want:
@@ -58,10 +57,9 @@ def test_neighbor_pairs_coarse_grid(spark):
     rng = np.random.default_rng(23)
     pts = rng.uniform(0, BOX, size=(60, 3))
     df = _points_df(spark, pts)
-    got = {
-        (r["a"], r["b"]): r["dist"]
-        for r in neighbor_pairs_3d(df, 4.9, BOX).collect()
-    }
+    rows = neighbor_pairs_3d(df, 4.9, BOX).collect()
+    got = {(r["a"], r["b"]): r["dist"] for r in rows}
+    assert len(rows) == len(got)  # uniqueness even on the collapsed grid
     want = _brute_pairs(pts, 4.9)
     assert set(got) == set(want)
 

@@ -38,10 +38,9 @@ def test_sky_self_pairs_match_bruteforce(spark):
     ra, dec = _uniform_sphere(rng, 300)
     # force coverage of the polar caps and the RA wrap seam
     ra[:3], dec[:3] = [0.05, 359.95, 120.0], [89.5, 89.4, -89.3]
-    got = {
-        (r["a"], r["b"]): r["sep_deg"]
-        for r in sky_pairs(_sky_df(spark, ra, dec), None, 8.0).collect()
-    }
+    rows = sky_pairs(_sky_df(spark, ra, dec), None, 8.0).collect()
+    got = {(r["a"], r["b"]): r["sep_deg"] for r in rows}
+    assert len(rows) == len(got)  # one row per pair, poles included
     want = {}
     for i in range(len(ra)):
         for j in range(i + 1, len(ra)):
