@@ -151,3 +151,42 @@ def test_apply_bpe_vocab_scale(spark):
         for w in re.findall(r"[a-z0-9]+", t.lower()):
             want.extend(_ref_apply(w, merges))
         assert got[i] == want, i
+
+
+def test_tokenizer_pipeline_end_to_end(spark):
+    """The full tokenizer path composes: train merges on a corpus,
+    tokenize at vocab scale (pandas path), chunk the token streams
+    with overlap, pack chunks to a training budget — token counts
+    conserved at every stage."""
+    from pyspark.sql import functions as F
+
+    from opencosmo_spark.pipeline.text import chunk_documents, pack_chunks
+
+    docs = [Row(doc_id=i, text=(TEXTS[i % 3] + " ") * 3) for i in range(9)]
+    df = spark.createDataFrame(docs)
+    merges = train_bpe_merges(df, n_merges=12)
+    toks = apply_bpe(df, merges, method="pandas")
+    tok_counts = {
+        r["doc_id"]: len(r["bpe_tokens"]) for r in toks.collect()
+    }
+    assert all(n > 0 for n in tok_counts.values())
+
+    # re-materialize token streams as text for the chunker
+    as_text = toks.select(
+        "doc_id", F.array_join("bpe_tokens", " ").alias("text")
+    )
+    chunks = chunk_documents(as_text, max_tokens=16, overlap=0)
+    per_doc = (
+        chunks.groupBy("doc_id").agg(F.sum("n_tokens").alias("n")).collect()
+    )
+    assert {r["doc_id"]: r["n"] for r in per_doc} == tok_counts
+
+    packed = pack_chunks(chunks, budget=48)
+    seqs = (
+        packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("n")).collect()
+    )
+    # start-offset packing: a pack may exceed the budget only by the
+    # straddling chunk's tail (< max_tokens)
+    assert all(r["n"] < 48 + 16 for r in seqs)
+    total = sum(r["n"] for r in seqs)
+    assert total == sum(tok_counts.values())  # nothing lost in packing
