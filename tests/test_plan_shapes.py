@@ -408,3 +408,34 @@ def test_perplexity_score_joins_are_hash_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q66_pair_counts_no_cartesian(spark):
+    """The pair-engine driver row must plan as cell-keyed equi-joins —
+    a cartesian here would mean the parity row certifies the wrong
+    machinery."""
+    plan = plan_of(spark, "q66_pair_counts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neighbor_pairs_shuffle_budget(spark):
+    """After the round-6 dedup removal the pair join costs exactly the
+    join's own exchanges — a reintroduced pair-level aggregate or
+    dropDuplicates would add an Exchange keyed by (a, b) and fail
+    this count."""
+    from pyspark.sql import Row
+
+    from opencosmo_spark.spatial.pairs import neighbor_pairs_3d
+
+    pts = spark.createDataFrame(
+        [Row(id=i, x=float(i % 10), y=float(i % 7), z=float(i % 5))
+         for i in range(50)]
+    )
+    plan = (
+        neighbor_pairs_3d(pts, 1.0, 10.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one exchange per join side at most (AQE may broadcast one away)
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+    assert "dropDuplicates" not in plan
