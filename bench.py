@@ -101,19 +101,28 @@ def main():
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    # extras get the same best-of-3 protocol as the headliners: on a
+    # shared VM with ±15% run-to-run swing, single-shot extras made
+    # round-over-round deltas unclassifiable (r6's q63 "regression"
+    # was pure single-shot noise — see SCALE.md)
     extra: dict[str, float] = {}
     for name in EXTRA_QUERIES:
         fn = qs.get(name)
         if fn is None:
             continue
+        best, n = None, 0
         try:
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            extra[name] = round(time.perf_counter() - t0, 3)
-            print(f"# {name}: {extra[name]:.3f}s ({n} rows) [extra]", file=sys.stderr)
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
         except Exception as e:  # noqa: BLE001 — isolate per query
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
+        extra[name] = round(best, 3)
+        print(f"# {name}: {extra[name]:.3f}s ({n} rows) [extra]", file=sys.stderr)
 
     out = {
         "metric": "headline_queries_total",

@@ -160,58 +160,95 @@ def importance_sample(
     engine-reproducible, a single pushable filter like every sampler
     here. The scale ``s`` solves ``sum(min(1, w*s)) = target_frac * n``
     by driver-side bisection (the left side is monotone in ``s``);
-    each probe is ONE aggregation over the weight column, ``iters``
-    (default 8, giving ~0.4% budget accuracy) probes total. The
+    ``iters`` (default 8) probes give ~0.4% budget accuracy. The
     clipping at 1 is what makes bisection necessary: without it heavy
     rows would be 'kept more than once' and the naive
     ``s = target * n / sum(w)`` under-fills the budget whenever any
     ``w * s`` clips.
 
-    Rows with NULL or non-positive weight are never kept.
+    Solve cost: the CORPUS is scanned exactly once. The ~10 probe
+    aggregations run against a persisted single-column projection of
+    the weights (materialized by the stats pass, MEMORY_AND_DISK so a
+    100 TB corpus's slim weight column spills rather than respills the
+    source), and the projection is unpersisted before returning. The
+    returned DataFrame is a plain filter over ``df`` — lazy, pushable,
+    no residual cache.
+
+    Rows with NULL or non-positive weight are never kept; if even a
+    fully-saturated acceptance (every positive-weight row kept) cannot
+    reach the budget, a warning is emitted and the maximal sample is
+    returned.
     """
     if not 0.0 < target_frac <= 1.0:
         raise ValueError(f"target_frac must be in (0, 1], got {target_frac}")
+    from pyspark import StorageLevel
+
     w = F.col(weight_col).cast("double")
-    stats = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(w > 0, w).otherwise(F.lit(0.0))).alias("sw"),
-        F.max(w).alias("wmax"),
-    ).collect()[0]
-    n, sw, wmax = stats["n"], stats["sw"] or 0.0, stats["wmax"] or 0.0
-    if n == 0 or sw <= 0:
-        return df.filter(F.lit(False))
-    target_n = target_frac * n
+    wdf = df.select(w.alias("__w")).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        wc = F.col("__w")
+        stats = wdf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(wc > 0, wc).otherwise(F.lit(0.0))).alias("sw"),
+            F.max(wc).alias("wmax"),
+        ).collect()[0]
+        n, sw, wmax = stats["n"], stats["sw"] or 0.0, stats["wmax"] or 0.0
+        if n == 0 or sw <= 0:
+            return df.filter(F.lit(False))
+        target_n = target_frac * n
 
-    def expected(s: float) -> float:
-        # each row's clipped acceptance is quantized to integer micros
-        # BEFORE the sum (the repo's integer-micro idiom): the probe is
-        # then an exact integer total, independent of partition order —
-        # a raw double F.sum could flip a bisection comparison by ulps
-        # under a different layout and change the final survivor set
-        row = df.agg(
-            F.sum(
-                F.when(
-                    w > 0,
-                    F.round(
-                        F.least(F.lit(1.0), w * F.lit(s)) * F.lit(1e6), 0
-                    ).cast("long"),
-                ).otherwise(F.lit(0))
-            )
-        ).collect()[0][0]
-        return (row or 0) / 1e6
+        def expected(s: float) -> float:
+            # each row's clipped acceptance is quantized to integer
+            # micros BEFORE the sum (the repo's integer-micro idiom):
+            # the probe is then an exact integer total, independent of
+            # partition order — a raw double F.sum could flip a
+            # bisection comparison by ulps under a different layout and
+            # change the final survivor set
+            row = wdf.agg(
+                F.sum(
+                    F.when(
+                        wc > 0,
+                        F.round(
+                            F.least(F.lit(1.0), wc * F.lit(s)) * F.lit(1e6), 0
+                        ).cast("long"),
+                    ).otherwise(F.lit(0))
+                )
+            ).collect()[0][0]
+            return (row or 0) / 1e6
 
-    lo, hi = 0.0, max(1.0 / wmax, target_n / sw) * 2.0
-    # grow hi until it overshoots the budget (or every row saturates)
-    while expected(hi) < target_n and hi * wmax < 1e6:
-        hi *= 4.0
-    s = hi
-    for _ in range(iters):
-        mid = (lo + hi) / 2.0
-        if expected(mid) < target_n:
-            lo = mid
-        else:
-            hi = mid
+        lo, hi = 0.0, max(1.0 / wmax, target_n / sw) * 2.0
+        # grow hi until it overshoots the budget (or every row saturates)
+        e_hi = expected(hi)
+        while e_hi < target_n and hi * wmax < 1e6:
+            hi *= 4.0
+            e_hi = expected(hi)
         s = hi
+        if e_hi < target_n:
+            # at the cap every positive-weight row is (effectively)
+            # saturated and the budget is still short: target_frac
+            # exceeds the positive-weight fraction. Bisecting would
+            # just walk lo up to hi — skip it, keep the maximal
+            # sample, and say so instead of silently under-filling.
+            import warnings
+
+            warnings.warn(
+                f"importance_sample: budget target_frac={target_frac} is "
+                f"unreachable — the maximal acceptance at the scale cap "
+                f"keeps only {e_hi / n:.4f} of rows (positive-weight "
+                f"fraction, or less under extreme weight skew); returning "
+                f"that maximal sample",
+                stacklevel=2,
+            )
+        else:
+            for _ in range(iters):
+                mid = (lo + hi) / 2.0
+                if expected(mid) < target_n:
+                    lo = mid
+                else:
+                    hi = mid
+                s = hi
+    finally:
+        wdf.unpersist()
     key = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
     accept = F.least(F.lit(1.0), w * F.lit(s))
     lane_u = _lane(key).cast("double") / F.lit(float(2**60))

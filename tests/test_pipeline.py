@@ -771,6 +771,61 @@ def test_importance_sample_clipping_still_fills_budget(spark):
     assert abs(kept - 3000) < 300
 
 
+def test_importance_sample_solve_scans_corpus_once(spark):
+    """The budget solve must read the CORPUS at most twice (r6 verdict:
+    the ~10 bisection probes used to rescan it every time). Counted by
+    an accumulator-instrumented pass-through source: one cache
+    materialization = n rows; the returned (lazy) filter adds nothing
+    until collected. Survivor set must be unchanged vs the plain path."""
+    from opencosmo_spark.pipeline.sample import importance_sample
+
+    n = 5000
+    rng = np.random.default_rng(37)
+    w = np.where(rng.uniform(size=n) < 0.05, 50.0, 1.0)
+    base = spark.createDataFrame(pd.DataFrame({"doc_id": np.arange(n), "w": w}))
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    src = base.mapInPandas(counting, base.schema)
+    out = importance_sample(src, "w", target_frac=0.3)  # solve runs here
+    assert acc.value <= 2 * n, (
+        f"solve scanned {acc.value / n:.1f} corpus-equivalents (max 2)"
+    )
+    got = sorted(r[0] for r in out.select("doc_id").collect())
+    plain = sorted(
+        r[0]
+        for r in importance_sample(base, "w", target_frac=0.3)
+        .select("doc_id")
+        .collect()
+    )
+    assert got == plain
+
+
+def test_importance_sample_unreachable_budget_warns(spark):
+    """When target_frac exceeds the positive-weight fraction the budget
+    is unreachable: the solver must warn (not silently under-fill) and
+    return every positive-weight row."""
+    import warnings as _warnings
+
+    from opencosmo_spark.pipeline.sample import importance_sample
+
+    n = 2000
+    rng = np.random.default_rng(41)
+    # only ~20% of rows have positive weight, budget wants 60%
+    w = np.where(rng.uniform(size=n) < 0.2, 1.0, 0.0)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": np.arange(n), "w": w}))
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        out = importance_sample(df, "w", target_frac=0.6)
+        kept = out.count()
+    assert any("unreachable" in str(x.message) for x in rec)
+    assert kept == int((w > 0).sum())
+
+
 def test_remove_duplicate_spans_excises_boilerplate(spark):
     """Planted shared boilerplate must be cut from every document
     while each document's unique text survives untouched; output
