@@ -437,8 +437,12 @@ def q66_pair_counts(spark, sf):
     # derived from doc/vec ids via the md5 lane (identically derivable
     # in SQL), the REAL cell-keyed pair engine counts DD (self pairs)
     # and DR (cross pairs) per radial bin under periodic minimum-image
-    # distance, and the DuckDB oracle brute-forces the same counts —
-    # integer-exact, no float hashing risk. This is the engine-vs-
+    # distance, and the DuckDB oracle brute-forces the same counts.
+    # The COUNTS are integer-exact; bin membership is float-derived
+    # (Spark dx*dx vs DuckDB pow(x,2)), so dist is rounded to 6
+    # decimals on BOTH sides before binning (the crossmatch_sky
+    # sep_decimals idiom) — a pair within ulps of the 5.0/10.0 edges
+    # can't bin differently across engines. This is the engine-vs-
     # brute-force differential as a driver row.
     from opencosmo_spark.pipeline.dedup import md5_lane
     from opencosmo_spark.spatial.pairs import (
@@ -467,15 +471,16 @@ def q66_pair_counts(spark, sf):
     P = coords(_t(spark, sf, "documents").select("doc_id"), "doc_id", "p")
     Q = coords(_t(spark, sf, "embeddings").select("vec_id"), "vec_id", "q")
 
+    rnd = lambda pf: pf.withColumn("dist", F.round(F.col("dist"), 6))  # noqa: E731
     dd = _binned_counts(
-        neighbor_pairs_3d(P, rmax, box, id_col="doc_id", periodic=True),
+        rnd(neighbor_pairs_3d(P, rmax, box, id_col="doc_id", periodic=True)),
         edges, "dd",
     )
     dr = _binned_counts(
-        cross_pairs_3d(
+        rnd(cross_pairs_3d(
             P, Q, rmax, box, id_col_a="doc_id", id_col_b="vec_id",
             periodic=True,
-        ),
+        )),
         edges, "dr",
     )
     grid = spark.createDataFrame([(0,), (1,)], "bin INT")
@@ -1568,16 +1573,18 @@ def oracle_sql() -> dict[str, str]:
                  / 1152921504606846976.0) * 100.0 AS z
               FROM embeddings
             ), ddp AS (
-              SELECT sqrt(
+              -- dist rounded to 6 decimals on both engines before
+              -- binning: edge-ulp pairs can't bin differently
+              SELECT round(sqrt(
                 pow(least(abs(a.x - b.x), 100.0 - abs(a.x - b.x)), 2)
               + pow(least(abs(a.y - b.y), 100.0 - abs(a.y - b.y)), 2)
-              + pow(least(abs(a.z - b.z), 100.0 - abs(a.z - b.z)), 2)) AS dist
+              + pow(least(abs(a.z - b.z), 100.0 - abs(a.z - b.z)), 2)), 6) AS dist
               FROM pp a JOIN pp b ON a.id < b.id
             ), drp AS (
-              SELECT sqrt(
+              SELECT round(sqrt(
                 pow(least(abs(a.x - b.x), 100.0 - abs(a.x - b.x)), 2)
               + pow(least(abs(a.y - b.y), 100.0 - abs(a.y - b.y)), 2)
-              + pow(least(abs(a.z - b.z), 100.0 - abs(a.z - b.z)), 2)) AS dist
+              + pow(least(abs(a.z - b.z), 100.0 - abs(a.z - b.z)), 2)), 6) AS dist
               FROM pp a CROSS JOIN qq b
             ), ddb AS (
               SELECT CASE WHEN dist >= 0 AND dist < 5 THEN 0

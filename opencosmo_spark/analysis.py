@@ -242,32 +242,38 @@ def _pair_id_col(ds) -> str:
     """Pick the row-identity column for the pair engine. A NON-UNIQUE
     id silently corrupts pair analyses (the a<b filter drops same-id
     pairs; dropDuplicates([a,b]) collapses genuinely distinct pairs —
-    think a particle table carrying its halo's fof_halo_tag), so the
-    first ``*_tag``/``*_id`` column is only used after a one-pass
-    count-vs-distinct probe proves it unique; a non-unique domain id
-    falls back to the persisted ``__row_id`` (written by ``oc.write``,
-    unique by construction) and raises if neither exists. The probe is
-    one aggregate over a single column — cheap next to the O(pairs)
-    work that follows."""
+    think a particle table carrying its halo's fof_halo_tag), so EVERY
+    ``*_tag``/``*_id`` column is probed by one combined
+    count-vs-distinct aggregate (all candidates, still a single job)
+    and the first unique one wins — a particle table whose first
+    id-like column is the shared halo tag still finds its own unique
+    particle id. If none is unique, fall back to the persisted
+    ``__row_id`` (written by ``oc.write``, unique by construction) and
+    raise if that's absent too. The probe is one aggregate — cheap
+    next to the O(pairs) work that follows."""
     from pyspark.sql import functions as F
 
     from .dataset import ROW_ID
 
-    cand = next(
-        (c for c in ds.df.columns if c.endswith("_tag") or c.endswith("_id")),
-        None,
-    )
-    if cand is not None:
-        n, nd = ds.df.agg(
-            F.count(cand).alias("n"), F.count_distinct(cand).alias("nd")
-        ).collect()[0]
-        if n == nd:
-            return cand
+    cands = [
+        c for c in ds.df.columns if c.endswith("_tag") or c.endswith("_id")
+    ]
+    if cands:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, c in enumerate(cands):
+            aggs.append(F.count(c).alias(f"n{i}"))
+            aggs.append(F.count_distinct(c).alias(f"d{i}"))
+        row = ds.df.agg(*aggs).collect()[0]
+        for i, c in enumerate(cands):
+            # unique AND non-null everywhere (count(c) skips NULLs;
+            # a NULL id would vanish from the pair engine silently)
+            if row[f"n{i}"] == row["__n"] and row[f"n{i}"] == row[f"d{i}"]:
+                return c
     if ROW_ID in ds.df.columns:
         return ROW_ID
-    if cand is not None:
+    if cands:
         raise ValueError(
-            f"id column {cand!r} is not unique — pair analyses need a "
+            f"no unique id column among {cands} — pair analyses need a "
             f"unique row id; write the dataset with oc.write (persists "
             f"__row_id) or add one"
         )
@@ -378,3 +384,23 @@ def two_point(
     return two_point_correlation(
         ds.df, bins, float(ds.header.box_size), id_col=id_col, cols=tuple(coords)
     )
+
+
+def make_named_tuple(ds, input_tuple):
+    """Typed named-tuple extraction over a Dataset — the Diffsky model
+    input helper (parity: reference ``analysis/diffsky.py:16-43``,
+    where ``make_named_tuple(dataset, DIFFMAH_INPUT)`` selects the
+    tuple's fields and returns the tuple of bare numpy arrays, units
+    stripped).
+
+    ``input_tuple`` is a ``namedtuple`` class (or ``typing.NamedTuple``
+    subclass); one numpy array per field, in field order, dtypes
+    preserved from the parquet columns. Column selection goes through
+    ``Dataset.select`` so wildcards/derived-column semantics and the
+    missing-column error match the rest of the verb surface — this
+    collects, so it is the (driver-small) model-input path, not a
+    distributed operator.
+    """
+    fields = list(input_tuple._fields)
+    data = ds.select(fields).get_data("numpy")
+    return input_tuple(**{c: data[c] for c in fields})

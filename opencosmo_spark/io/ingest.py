@@ -158,13 +158,30 @@ def compact_parquet(
         )
     else:
         out = df.repartition(n_out)
+    # swap order guarantees a complete copy exists at every step:
+    # write tmp -> set aside the original -> promote tmp -> drop the
+    # set-aside. A failure at any point leaves either the original
+    # (still at path, or restorable by renaming .__old__ back) or the
+    # compacted copy in place — never a window with data only at a
+    # temp path after the original is gone.
     tmp = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
     out.write.mode("overwrite").parquet(tmp)
-    if not fs.delete(jpath, True):
-        raise IOError(f"could not delete {path} for the compaction swap")
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath):
+    if fs.exists(jold) and not fs.delete(jold, True):
+        raise IOError(f"stale {old} exists and could not be removed")
+    if not fs.rename(jpath, jold):
         raise IOError(
-            f"rename {tmp} -> {path} failed AFTER the original was "
-            f"deleted; the compacted data is intact at {tmp}"
+            f"could not set aside {path} -> {old} for the compaction "
+            f"swap; original untouched, compacted copy at {tmp}"
         )
+    if not fs.rename(jtmp, jpath):
+        # restore the original so the dataset path stays valid
+        fs.rename(jold, jpath)
+        raise IOError(
+            f"rename {tmp} -> {path} failed; original restored, "
+            f"compacted copy left at {tmp}"
+        )
+    fs.delete(jold, True)
     return _parquet_stats()[0]

@@ -43,6 +43,11 @@ def curate_corpus(
     min_tokens: int = 5,
     gopher: bool | dict = False,
     c4_lines: bool = False,
+    ppl_model: dict | None = None,
+    ppl_train_df: DataFrame | None = None,
+    ppl_keep: tuple[str, ...] = ("head", "middle"),
+    ppl_splits: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    ppl_scorer: str = "auto",
     boilerplate_min_dup: int | None = None,
     jaccard_threshold: float = 0.8,
     decontam_k: int = 8,
@@ -72,6 +77,18 @@ def curate_corpus(
        to its C4-kept lines and drop documents failing the C4
        document rules — runs BEFORE dedup so fingerprints see the
        cleaned text.
+    1d. CCNet perplexity gate (Wenzek et al. 2020): score every
+       document's LM perplexity under a trusted-corpus model and keep
+       only the ``ppl_keep`` buckets of the ``ppl_splits``
+       head/middle/tail split (default head+middle — the CCNet
+       training mix). Pass a trained model via ``ppl_model``
+       (``train_bigram_lm`` / ``train_trigram_lm``; ``ppl_scorer``
+       dispatches, "auto" by default) or a trusted corpus via
+       ``ppl_train_df`` to train a bigram LM in-call. Runs before
+       dedup so the expensive stages see only in-domain text.
+       Documents too short to score are KEPT only if "unscored" is
+       listed in ``ppl_keep`` (the stage-1 ``min_tokens`` gate
+       normally leaves nothing unscored).
     2. PII redaction (always on): counts attached, text redacted.
     3. boilerplate line scrub (``boilerplate_min_dup`` not None).
     4. exact dedup (always on): keep lowest id per identical text.
@@ -107,6 +124,13 @@ def curate_corpus(
             "max_dup_span_frac (drop docs) and remove_dup_spans "
             "(excise spans) are mutually exclusive span treatments"
         )
+    if ppl_model is not None and ppl_train_df is not None:
+        raise ValueError(
+            "pass ONE of ppl_model (a trained LM) or ppl_train_df "
+            "(a trusted corpus to train on), not both"
+        )
+    if (ppl_model is not None or ppl_train_df is not None) and not ppl_keep:
+        raise ValueError("ppl_keep must name at least one bucket to keep")
     # the gopher/c4 stages attach-and-drop helper columns; a user
     # column with one of those names would be silently overwritten by
     # withColumn and then survive the drop — refuse up front
@@ -166,6 +190,29 @@ def curate_corpus(
             cleaned.filter(F.col("keep"))
             .drop(text_col, *added)
             .withColumnRenamed("c4_text", text_col),
+        )
+
+    if ppl_model is not None or ppl_train_df is not None:
+        from .lm import perplexity_buckets, train_bigram_lm
+
+        model = (
+            ppl_model if ppl_model is not None
+            else train_bigram_lm(ppl_train_df, text_col=text_col, id_col=id_col)
+        )
+        keep_set = set(ppl_keep)
+        bad = keep_set - {"head", "middle", "tail", "unscored"}
+        if bad:
+            raise ValueError(f"unknown ppl_keep buckets: {sorted(bad)}")
+        kept_ids = (
+            perplexity_buckets(
+                out, model, text_col=text_col, id_col=id_col,
+                splits=ppl_splits, scorer=ppl_scorer,
+            )
+            .filter(F.col("ppl_bucket").isin(sorted(keep_set)))
+            .select(id_col)
+        )
+        out = mark(
+            "perplexity_gate", out.join(kept_ids, id_col, "left_semi")
         )
 
     out = scrub_pii(out, text_col=text_col)

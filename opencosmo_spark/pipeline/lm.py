@@ -151,6 +151,8 @@ def perplexity_buckets(
     alpha: float = 0.1,
     splits: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
     rel_err: float = 0.001,
+    scorer: str = "auto",
+    lambdas: tuple[float, float, float, float] = (0.6, 0.25, 0.1, 0.05),
 ) -> DataFrame:
     """The CCNet head/middle/tail split (Wenzek et al. 2020): score
     every document's perplexity, then label the lowest-perplexity
@@ -159,13 +161,32 @@ def perplexity_buckets(
     Documents too short to score (NULL perplexity) are labeled
     "unscored" rather than silently joining a band.
 
+    ``scorer`` picks the model: "bigram" (add-``alpha`` smoothing),
+    "trigram" (Jelinek-Mercer interpolation with ``lambdas`` — the
+    sharper split, needs a ``train_trigram_lm`` model), or "auto"
+    (default: trigram iff the model dict carries trigram tables).
+
     The two thresholds come from ONE ``approxQuantile`` pass
     (``rel_err`` rank accuracy — at corpus scale the exact quantile
     is statistically meaningless anyway); the labeling itself is a
     pushable CASE projection. Returns the ``perplexity_score``
     columns plus ``ppl_bucket``.
     """
-    scored = perplexity_score(df, model, text_col, id_col, alpha)
+    if scorer == "auto":
+        scorer = "trigram" if "trigrams" in model else "bigram"
+    if scorer == "trigram":
+        if "trigrams" not in model:
+            raise ValueError(
+                "scorer='trigram' needs a train_trigram_lm model "
+                "(no trigram tables in this model dict)"
+            )
+        scored = trigram_perplexity_score(
+            df, model, text_col, id_col, lambdas=lambdas
+        )
+    elif scorer == "bigram":
+        scored = perplexity_score(df, model, text_col, id_col, alpha)
+    else:
+        raise ValueError(f"scorer must be auto|bigram|trigram, got {scorer!r}")
     qs = scored.filter(F.col("perplexity").isNotNull()).approxQuantile(
         "perplexity", [float(splits[0]), float(splits[1])], rel_err
     )

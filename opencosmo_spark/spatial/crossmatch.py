@@ -200,9 +200,10 @@ def sky_pairs(
     once. Returns (a, b, sep_deg).
 
     Same scale shape as the cross-match: bin equi-join, right side
-    exploded to its wrap-aware 9-neighborhood, each candidate pair
-    meeting in exactly one bin (the left row's own) so no dedup is
-    needed — except pole-cap collisions, which are de-duplicated.
+    exploded to its wrap-aware 9-neighborhood. Each candidate pair
+    meets in exactly one bin — the left row's own single bin, with the
+    right fan-out array_distinct'ed, so this holds at the pole caps
+    too — hence no dedup exists or is needed.
     """
     if radius_deg <= 0:
         raise ValueError("radius_deg must be positive")

@@ -78,22 +78,32 @@ def test_bigram_lm_conditional_normalizes(spark):
     assert chk == 0
 
 
-def test_perplexity_buckets_ccnet_split(spark):
-    """Thirds split: band populations ~ equal, ordering head < middle
-    < tail by perplexity, short docs land in 'unscored'."""
+@pytest.mark.parametrize("scorer", ["bigram", "trigram"])
+def test_perplexity_buckets_ccnet_split(spark, scorer):
+    """Thirds split under BOTH scorers: band populations ~ equal,
+    ordering head < middle < tail by perplexity, short docs land in
+    'unscored'. The trigram path exercises the auto-dispatch too."""
+    from opencosmo_spark.pipeline.lm import (
+        perplexity_buckets,
+        train_trigram_lm,
+    )
+
     rng = np.random.default_rng(47)
     vocab = ["the", "cat", "dog", "sat", "ran", "mat", "on", "a"]
     train = spark.createDataFrame(
         [Row(doc_id=i, text=" ".join(rng.choice(vocab, 30))) for i in range(40)]
     )
-    model = train_bigram_lm(train)
-    from opencosmo_spark.pipeline.lm import perplexity_buckets
-
+    model = (
+        train_bigram_lm(train) if scorer == "bigram"
+        else train_trigram_lm(train)
+    )
     docs = [Row(doc_id=i, text=" ".join(rng.choice(vocab, 25))) for i in range(90)]
     docs.append(Row(doc_id=999, text="single"))
+    # "auto" must resolve to the scorer matching the trained model
     out = perplexity_buckets(
-        spark.createDataFrame(docs), model
+        spark.createDataFrame(docs), model, scorer="auto"
     ).toPandas().set_index("doc_id")
+    assert ("n_trigrams" if scorer == "trigram" else "n_bigrams") in out.columns
     assert out.loc[999, "ppl_bucket"] == "unscored"
     scored = out.drop(999)
     counts = scored.ppl_bucket.value_counts()
@@ -107,6 +117,13 @@ def test_perplexity_buckets_ccnet_split(spark):
         scored[scored.ppl_bucket == "middle"].perplexity.max()
         <= scored[scored.ppl_bucket == "tail"].perplexity.min()
     )
+    with pytest.raises(ValueError, match="scorer must be"):
+        perplexity_buckets(spark.createDataFrame(docs), model, scorer="nope")
+    if scorer == "bigram":
+        with pytest.raises(ValueError, match="trigram tables"):
+            perplexity_buckets(
+                spark.createDataFrame(docs), model, scorer="trigram"
+            )
 
 
 def _py_trigram_score(train_texts, doc, lambdas=(0.6, 0.25, 0.1, 0.05)):

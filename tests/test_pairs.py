@@ -156,7 +156,7 @@ def test_pair_id_col_rejects_non_unique(spark):
     dup = spark.createDataFrame(
         pd.DataFrame({"fof_halo_tag": [1, 1, 2], "x": [0.0, 1.0, 2.0]})
     )
-    with _pytest.raises(ValueError, match="not unique"):
+    with _pytest.raises(ValueError, match="no unique id column"):
         _pair_id_col(_DS(dup))
 
     with_rid = dup.withColumn("__row_id", F.monotonically_increasing_id())
@@ -166,6 +166,20 @@ def test_pair_id_col_rejects_non_unique(spark):
         pd.DataFrame({"fof_halo_tag": [1, 2, 3], "x": [0.0, 1.0, 2.0]})
     )
     assert _pair_id_col(_DS(uniq)) == "fof_halo_tag"
+
+    # a LATER unique id must win over a non-unique first candidate —
+    # the particle-table shape (shared halo tag first, own unique
+    # particle id second); the probe covers all candidates in one job
+    particle = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "fof_halo_tag": [1, 1, 2],
+                "particle_id": [10, 11, 12],
+                "x": [0.0, 1.0, 2.0],
+            }
+        )
+    )
+    assert _pair_id_col(_DS(particle)) == "particle_id"
 
 
 def _brute_cross(pa, pb, radius, periodic, box=BOX):

@@ -145,3 +145,32 @@ def test_fold_order_and_gating_reevaluation(spark):
         assert "enabled" in out.columns
     finally:
         plugins.clear()
+
+
+def test_make_named_tuple_diffsky_semantics(spark, fixtures):
+    """Mirrors reference analysis/diffsky.py:16-43: select exactly the
+    tuple's fields, return the namedtuple of bare numpy arrays in
+    field order with dtypes preserved; a missing field errors like any
+    select of an unknown column."""
+    from collections import namedtuple
+
+    from opencosmo_spark.analysis import make_named_tuple
+
+    ds = oc.open(f"{fixtures}/halo_properties")
+
+    HaloInput = namedtuple("HaloInput", ["fof_halo_mass", "fof_halo_tag"])
+    out = make_named_tuple(ds, HaloInput)
+    assert isinstance(out, HaloInput)
+    ref = ds.get_data("numpy")
+    # field order, values, and dtype all preserved
+    assert out._fields == ("fof_halo_mass", "fof_halo_tag")
+    np.testing.assert_array_equal(out.fof_halo_mass, ref["fof_halo_mass"])
+    np.testing.assert_array_equal(out.fof_halo_tag, ref["fof_halo_tag"])
+    assert out.fof_halo_mass.dtype == ref["fof_halo_mass"].dtype
+    assert out.fof_halo_tag.dtype == ref["fof_halo_tag"].dtype
+    # positional access follows field order (the model-input contract)
+    np.testing.assert_array_equal(out[0], ref["fof_halo_mass"])
+
+    Missing = namedtuple("Missing", ["fof_halo_mass", "no_such_col"])
+    with pytest.raises(Exception, match="no_such_col"):
+        make_named_tuple(ds, Missing)
