@@ -128,6 +128,95 @@ def _decode_pnm(data: bytes) -> np.ndarray | None:
     return arr
 
 
+def _decode_png(data: bytes) -> np.ndarray | None:
+    """Pure-python decode of an 8-bit non-interlaced PNG (gray,
+    gray+alpha, RGB, RGBA — the overwhelmingly common web shapes;
+    public PNG spec, RFC 2083): stdlib ``zlib`` inflate of the IDAT
+    stream, then per-scanline unfiltering (None/Sub/Up/Average/Paeth),
+    returning an (h, w, 3) uint8 RGB array (gray replicated, alpha
+    dropped — the ``convert("RGB")`` posture) or None when the payload
+    is not such a PNG. Palette, 16-bit, and Adam7-interlaced images
+    fall through to the stub rather than mis-decode.
+
+    The unfilter loop is per-byte Python per scanline — fine for the
+    thumbnail/feature sizes this path serves; a production raster
+    pipeline would swap in a codec library via the PIL gate above
+    this rung of the ladder.
+    """
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if data is None or len(data) < 8 + 25 or data[:8] != sig:
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None  # truncated chunk
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if (
+        width <= 0 or height <= 0 or depth != 8 or nch is None
+        or comp != 0 or filt != 0 or interlace != 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = width * nch
+    if len(raw) < height * (stride + 1):
+        return None
+    out = np.zeros((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(height):
+        off = y * (stride + 1)
+        f = raw[off]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=off + 1)
+        cur = line.astype(np.int32)
+        if f == 0:  # None
+            pass
+        elif f == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need the left pixel
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                if f == 1:
+                    cur[i] = (cur[i] + a) & 0xFF
+                elif f == 3:
+                    cur[i] = (cur[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[i - nch]) if i >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            return None  # invalid filter type
+        out[y] = cur
+        prev = cur
+    px = out.reshape(height, width, nch)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    return np.ascontiguousarray(px[..., :3])  # RGB, or RGBA minus alpha
+
+
 def _pixel_features(arr: np.ndarray, out_dim: int) -> np.ndarray:
     """Real features from decoded pixels: overall channel means plus a
     g x g block-mean grid (the 'resize -> channel-mean' path), scaled
@@ -292,20 +381,22 @@ def decode_image_features(
     """Attach an image feature vector column.
 
     Decode ladder, per row: PIL when installed ('pil'); else the
-    built-in pure-python parsers over the ACTUAL pixels — 24-bit BMP
-    ('bmp') and binary PGM/PPM ('pnm'), both real
+    built-in pure-python parsers over the ACTUAL pixels — 8-bit
+    non-interlaced PNG ('png', stdlib zlib + scanline unfiltering),
+    24-bit BMP ('bmp'), and binary PGM/PPM ('pnm'), all real
     channel-mean/block-grid features with no dependency; else the
     deterministic digest fake ('stub-sha256'). The ``decoder`` column
     records which path each row took.
 
     ``require_real_codec=True`` keeps the strict contract: without a
-    general codec library every compressed-format payload would
-    silently stub, so it raises unless PIL is importable.
+    general codec library JPEG/WebP/GIF payloads would silently stub,
+    so it raises unless PIL is importable.
     """
     if require_real_codec and not _HAVE_PIL:
         raise NotImplementedError(
             "image decoding requires PIL, which is not installed here "
-            "(only uncompressed 24-bit BMP decodes without it)"
+            "(only 8-bit PNG, uncompressed 24-bit BMP, and binary "
+            "PGM/PPM decode without it)"
         )
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -325,6 +416,9 @@ def decode_image_features(
                 return _pixel_features(img, feature_dim).tolist(), "pil"
             except Exception:  # noqa: BLE001 - fall through the ladder
                 pass
+        arr = _decode_png(p)
+        if arr is not None:
+            return _pixel_features(arr, feature_dim).tolist(), "png"
         arr = _decode_bmp(p)
         if arr is not None:
             return _pixel_features(arr, feature_dim).tolist(), "bmp"

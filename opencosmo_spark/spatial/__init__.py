@@ -1,5 +1,6 @@
 from .crossmatch import (
     crossmatch_sky,
+    precompute_rr_sky,
     sky_fof_groups,
     sky_pairs,
     uniform_sky_catalog,
@@ -16,7 +17,14 @@ from .region import (
     make_skybox,
 )
 
-from .pairs import fof_groups, neighbor_pairs_3d, two_point_correlation
+from .pairs import (
+    fof_groups,
+    neighbor_pairs_3d,
+    precompute_rr,
+    release_rr,
+    two_point_correlation,
+    two_point_landy_szalay,
+)
 
 __all__ = [
     "crossmatch_sky",
@@ -24,8 +32,12 @@ __all__ = [
     "sky_pairs",
     "uniform_sky_catalog",
     "w_theta_landy_szalay",
+    "precompute_rr",
+    "precompute_rr_sky",
+    "release_rr",
     "neighbor_pairs_3d",
     "two_point_correlation",
+    "two_point_landy_szalay",
     "fof_groups",
     "BoxRegion",
     "ConeRegion",

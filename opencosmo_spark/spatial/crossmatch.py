@@ -280,6 +280,47 @@ def uniform_sky_catalog(
     )
 
 
+def precompute_rr_sky(
+    spark,
+    tmax_deg: float,
+    n_random: int,
+    seed: int = 1,
+    random_df: DataFrame | None = None,
+    id_col: str = "id",
+    ra_col: str = "ra",
+    dec_col: str = "dec",
+) -> dict:
+    """Angular twin of ``spatial.pairs.precompute_rr``: run the RR
+    sky-pair join once, persist the randoms and the RR separations out
+    to ``tmax_deg``, and return the artifact for
+    ``w_theta_landy_szalay(..., rr=...)`` sweeps (any bin edges with
+    ``max(edges) <= tmax_deg`` reuse it). Release with
+    ``spatial.pairs.release_rr``."""
+    from pyspark import StorageLevel
+
+    if random_df is None:
+        random_df = uniform_sky_catalog(spark, int(n_random), seed)
+        id_col, ra_col, dec_col = "id", "ra", "dec"
+    rdf = random_df.persist(StorageLevel.MEMORY_AND_DISK)
+    nr = rdf.count()
+    rr_pairs = (
+        sky_pairs(rdf, None, float(tmax_deg), id_col, id_col, ra_col, dec_col)
+        .select(F.col("sep_deg").alias("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rr_pairs.count()  # the ONE RR pair-join execution
+    return {
+        "kind": "sky",
+        "random_df": rdf,
+        "rr_pairs": rr_pairs,
+        "nr": int(nr),
+        "rmax": float(tmax_deg),
+        "id_col": id_col,
+        "ra_col": ra_col,
+        "dec_col": dec_col,
+    }
+
+
 def w_theta_landy_szalay(
     df: DataFrame,
     bins_deg: list[float],
@@ -289,30 +330,47 @@ def w_theta_landy_szalay(
     random_df: DataFrame | None = None,
     n_random: int | None = None,
     seed: int = 1,
+    rr: dict | None = None,
 ) -> DataFrame:
     """Angular two-point correlation w(theta) with the Landy-Szalay
     estimator — the lightcone-side twin of the 3-D
     ``two_point_landy_szalay``: DD/DR/RR through ``sky_pairs``'
     bin-join (never all-pairs), normalized counts, per-angular-bin
     ``(bin, t_lo, t_hi, dd, dr, rr, w)``. Default randoms are
-    full-sky uniform (``2 * len(df)`` points); supply masked
-    ``random_df`` for survey footprints."""
+    full-sky uniform (``2 * len(df)`` points), persisted across the
+    DR and RR joins (handle on the result's ``_oc_cached``); supply
+    masked ``random_df`` for survey footprints, or an
+    ``rr=precompute_rr_sky(...)`` artifact to skip the RR join
+    entirely across a sweep."""
     if sorted(bins_deg) != list(bins_deg) or len(bins_deg) < 2:
         raise ValueError("bins_deg must be a sorted list of >= 2 edges")
     tmax = float(bins_deg[-1])
     edges = [float(e) for e in bins_deg]
     nd = df.count()
-    if random_df is None:
+
+    from .pairs import _binned_counts, _check_rr, _ls_assemble
+
+    cached = []
+    if rr is not None:
+        _check_rr(rr, "sky", edges)
+        random_df = rr["random_df"]
+        nr = rr["nr"]
+        r_id, r_ra, r_dec = rr["id_col"], rr["ra_col"], rr["dec_col"]
+        rr_counts = _binned_counts(rr["rr_pairs"], edges, "rr")
+    elif random_df is None:
+        from pyspark import StorageLevel
+
         nr = int(n_random or 2 * nd)
-        random_df = uniform_sky_catalog(df.sparkSession, nr, seed)
+        random_df = uniform_sky_catalog(df.sparkSession, nr, seed).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        cached.append(random_df)
         r_id, r_ra, r_dec = "id", "ra", "dec"
     else:
         nr = random_df.count()
         r_id, r_ra, r_dec = id_col, ra_col, dec_col
     if nd < 2 or nr < 2:
         raise ValueError(f"need >= 2 data and random points, got {nd}/{nr}")
-
-    from .pairs import _binned_counts, _ls_assemble
 
     def binned(pairs, name):
         return _binned_counts(
@@ -334,12 +392,18 @@ def w_theta_landy_szalay(
         ),
         "dr",
     )
-    rr = binned(
-        sky_pairs(random_df, None, tmax, r_id, r_id, r_ra, r_dec), "rr"
+    if rr is None:
+        rr_counts = binned(
+            sky_pairs(random_df, None, tmax, r_id, r_id, r_ra, r_dec), "rr"
+        )
+    out = _ls_assemble(
+        df.sparkSession, edges, dd, dr, rr_counts, nd, nr, "t_lo", "t_hi", "w"
     )
-    return _ls_assemble(
-        df.sparkSession, edges, dd, dr, rr, nd, nr, "t_lo", "t_hi", "w"
-    )
+    if cached:
+        from ..pipeline.dedup import _attach_cached
+
+        _attach_cached(out, cached)
+    return out
 
 
 def sky_fof_groups(

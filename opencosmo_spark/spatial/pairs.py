@@ -360,6 +360,87 @@ def uniform_random_catalog(
     return out
 
 
+def precompute_rr(
+    spark,
+    rmax: float,
+    box_size: float,
+    n_random: int,
+    seed: int = 1,
+    periodic: bool = False,
+    random_df: DataFrame | None = None,
+    id_col: str = "id",
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+) -> dict:
+    """Run the RR pair join ONCE and return a reusable artifact for
+    ``two_point_landy_szalay(..., rr=...)`` sweeps.
+
+    RR is ~4x the DD cost at the default ``n_random = 2 * nd`` and is
+    identical across every call with the same (randoms, rmax, box,
+    periodicity) — exactly what an analyst sweeping bin edges or
+    galaxy samples re-pays without this. The artifact persists the
+    randoms (so the estimator's DR join reads the cache, not a
+    regeneration) and the RR pair SEPARATIONS out to ``rmax`` (so each
+    call's per-bin RR count is a cheap re-aggregation, never a pair
+    join) — any bin edges with ``max(edges) <= rmax`` reuse it.
+    Release with ``release_rr`` when the sweep is done.
+    """
+    from pyspark import StorageLevel
+
+    if random_df is None:
+        random_df = uniform_random_catalog(
+            spark, int(n_random), box_size, seed, id_col=id_col, cols=cols
+        )
+    rdf = random_df.persist(StorageLevel.MEMORY_AND_DISK)
+    nr = rdf.count()  # materializes the randoms cache
+    rr_pairs = (
+        neighbor_pairs_3d(rdf, float(rmax), box_size, id_col, cols, periodic)
+        .select("dist")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rr_pairs.count()  # the ONE RR pair-join execution
+    return {
+        "kind": "3d",
+        "random_df": rdf,
+        "rr_pairs": rr_pairs,
+        "nr": int(nr),
+        "rmax": float(rmax),
+        "box_size": float(box_size),
+        "periodic": bool(periodic),
+        "id_col": id_col,
+        "cols": tuple(cols),
+    }
+
+
+def release_rr(rr: dict) -> None:
+    """Unpersist a ``precompute_rr`` / ``precompute_rr_sky`` artifact's
+    cached frames (call after the sweep's results are materialized)."""
+    rr["random_df"].unpersist()
+    rr["rr_pairs"].unpersist()
+
+
+def _check_rr(rr: dict, kind: str, edges: list[float], **expect) -> None:
+    """A precomputed-RR artifact silently mismatched to the call
+    (different box, periodicity, or bins past its rmax) would produce
+    a WRONG estimator, not an error — validate every axis up front."""
+    if rr.get("kind") != kind:
+        raise ValueError(
+            f"rr artifact kind {rr.get('kind')!r} does not fit this "
+            f"{kind!r} estimator"
+        )
+    if edges[-1] > rr["rmax"] + 1e-12:
+        raise ValueError(
+            f"bins reach {edges[-1]} but the RR artifact only holds "
+            f"pairs out to rmax={rr['rmax']} — precompute with a "
+            f"larger rmax"
+        )
+    for k, v in expect.items():
+        if rr.get(k) != v:
+            raise ValueError(
+                f"rr artifact was built with {k}={rr.get(k)!r}, this "
+                f"call uses {k}={v!r}"
+            )
+
+
 def two_point_landy_szalay(
     df: DataFrame,
     bins: list[float],
@@ -370,6 +451,7 @@ def two_point_landy_szalay(
     n_random: int | None = None,
     seed: int = 1,
     periodic: bool = False,
+    rr: dict | None = None,
 ) -> DataFrame:
     """Landy-Szalay two-point correlation (Landy & Szalay 1993):
     ``xi = (DDn - 2 DRn + RRn) / RRn`` with each pair count
@@ -381,8 +463,14 @@ def two_point_landy_szalay(
 
     ``random_df`` supplies survey-geometry randoms (same columns);
     by default a deterministic uniform box catalog of
-    ``n_random`` (default ``2 * len(df)``) points is generated.
-    Returns one row per bin:
+    ``n_random`` (default ``2 * len(df)``) points is generated and
+    PERSISTED across the DR and RR joins within the call; the result
+    is lazy, so the cache handle rides the result's ``_oc_cached``
+    for the caller to free via ``pipeline.dedup.release_cached``
+    after materializing. For sweep workflows pass
+    ``rr=`` from ``precompute_rr`` instead: the RR pair join then
+    never runs here at all, and DR reads the artifact's cached
+    randoms. Returns one row per bin:
     ``(bin, r_lo, r_hi, dd, dr, rr, xi)`` with raw pair counts and
     the normalized estimator.
 
@@ -390,17 +478,32 @@ def two_point_landy_szalay(
     same O(N * 27) machinery as ``neighbor_pairs_3d`` — plus three
     per-bin aggregations; randoms cost ~(Nr/Nd)^2 of the DD work, so
     the usual Nr = 2-3 Nd multiplies total work by ~5-10, exactly
-    like every production pair-count code."""
+    like every production pair-count code (and is why ``rr=`` reuse
+    pays: cf. the reference's link-handler caching rationale,
+    collection/structure/handler.py:205-214)."""
     if sorted(bins) != list(bins) or len(bins) < 2:
         raise ValueError("bins must be a sorted list of >= 2 edges")
     rmax = float(bins[-1])
     edges = [float(e) for e in bins]
     nd = df.count()
-    if random_df is None:
+    cached = []
+    if rr is not None:
+        _check_rr(
+            rr, "3d", edges,
+            box_size=float(box_size), periodic=bool(periodic),
+        )
+        random_df = rr["random_df"]
+        nr = rr["nr"]
+        r_id, r_cols = rr["id_col"], rr["cols"]
+        rr_counts = _binned_counts(rr["rr_pairs"], edges, "rr")
+    elif random_df is None:
+        from pyspark import StorageLevel
+
         nr = int(n_random or 2 * nd)
         random_df = uniform_random_catalog(
             df.sparkSession, nr, box_size, seed, id_col="id"
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(random_df)
         r_id, r_cols = "id", ("x", "y", "z")
     else:
         nr = random_df.count()
@@ -419,10 +522,16 @@ def two_point_landy_szalay(
         ),
         edges, "dr",
     )
-    rr = _binned_counts(
-        neighbor_pairs_3d(random_df, rmax, box_size, r_id, r_cols, periodic),
-        edges, "rr",
+    if rr is None:
+        rr_counts = _binned_counts(
+            neighbor_pairs_3d(random_df, rmax, box_size, r_id, r_cols, periodic),
+            edges, "rr",
+        )
+    out = _ls_assemble(
+        df.sparkSession, edges, dd, dr, rr_counts, nd, nr, "r_lo", "r_hi", "xi"
     )
-    return _ls_assemble(
-        df.sparkSession, edges, dd, dr, rr, nd, nr, "r_lo", "r_hi", "xi"
-    )
+    if cached:
+        from ..pipeline.dedup import _attach_cached
+
+        _attach_cached(out, cached)
+    return out

@@ -407,6 +407,142 @@ def test_decode_image_features_real_pnm(spark):
     np.testing.assert_allclose(feats, twin.loc[0, "features"], rtol=1e-6)
 
 
+def _make_png(arr, color_type, row_filters, depth=8, interlace=0):
+    """Minimal PNG encoder with per-row filter selection — pure stdlib
+    (zlib + struct), no codec library. ``arr`` is (h, w, ch) uint8
+    with ch matching ``color_type`` (0=gray ch1, 2=RGB ch3,
+    4=gray+alpha ch2, 6=RGBA ch4)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    arr = np.asarray(arr, np.uint8)
+    h, w, nch = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    raw = bytearray()
+    prev = np.zeros(w * nch, np.int32)
+    for y in range(h):
+        cur = arr[y].reshape(-1).astype(np.int32)
+        f = row_filters[y % len(row_filters)]
+        filt = cur.copy()
+        for i in range(len(cur)):
+            a = int(cur[i - nch]) if i >= nch else 0
+            b = int(prev[i])
+            c = int(prev[i - nch]) if i >= nch else 0
+            if f == 1:
+                filt[i] = (cur[i] - a) & 0xFF
+            elif f == 2:
+                filt[i] = (cur[i] - b) & 0xFF
+            elif f == 3:
+                filt[i] = (cur[i] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (cur[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(filt.astype(np.uint8))
+        prev = cur
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_all_filters_numpy_differential():
+    """The pure-python PNG path must invert every scanline filter type
+    (None/Sub/Up/Average/Paeth) exactly, for gray / gray+alpha / RGB /
+    RGBA, recovering the original pixel array bit-for-bit."""
+    from opencosmo_spark.pipeline.multimodal import _decode_png
+
+    rng = np.random.default_rng(61)
+    for color_type, nch in ((0, 1), (4, 2), (2, 3), (6, 4)):
+        img = rng.integers(0, 256, size=(7, 5, nch), dtype=np.uint8)
+        # 7 rows cycle through all five filters (and repeat two)
+        png = _make_png(img, color_type, row_filters=[0, 1, 2, 3, 4])
+        got = _decode_png(png)
+        assert got is not None, f"color_type={color_type} failed to decode"
+        if color_type == 0:
+            want = np.repeat(img, 3, axis=2)
+        elif color_type == 4:
+            want = np.repeat(img[..., :1], 3, axis=2)
+        else:
+            want = img[..., :3]
+        np.testing.assert_array_equal(got, want)
+
+    img = rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    # honest gates: 16-bit and interlaced fall through (None), as do
+    # truncated streams and non-PNG bytes
+    assert _decode_png(_make_png(img, 2, [0], depth=16)) is None
+    assert _decode_png(_make_png(img, 2, [0], interlace=1)) is None
+    assert _decode_png(_make_png(img, 2, [0])[:-12]) is not None  # IEND loss ok
+    assert _decode_png(_make_png(img, 2, [0])[:30]) is None
+    assert _decode_png(b"\x89PNG\r\n\x1a\n" + b"junk" * 20) is None
+    assert _decode_png(b"not a png at all, nope") is None
+
+
+def test_decode_image_features_real_png(spark):
+    """End-to-end PNG through decode_image_features: real channel-mean
+    features identical to the BMP twin of the same pixels, decoder
+    flags 'png', corrupt PNGs stub."""
+    import pandas as pd
+
+    from opencosmo_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+    )
+
+    pixels = [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]]
+    png = _make_png(np.array(pixels, np.uint8), 2, row_filters=[1, 4])
+    rows = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "kind": ["image", "image"],
+            "payload": [png, b"\x89PNG\r\n\x1a\ncorrupt"],
+            "mime": ["image/png", "image/png"],
+            "width": [2, None],
+            "height": [2, None],
+            "duration_ms": [None, None],
+        }
+    )
+    out = (
+        decode_image_features(
+            spark.createDataFrame(rows, MEDIA_SCHEMA), feature_dim=16
+        )
+        .toPandas()
+        .set_index("media_id")
+    )
+    assert out.loc[1, "decoder"] == "png"
+    assert out.loc[2, "decoder"] == "stub-sha256"
+    feats = out.loc[1, "features"]
+    np.testing.assert_allclose(feats[:3], [510 / 4 / 255.0] * 3, rtol=1e-6)
+    # identical features to the BMP twin (same pixels, other codec)
+    twin = decode_image_features(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "media_id": [9],
+                    "kind": ["image"],
+                    "payload": [_make_bmp(pixels)],
+                    "mime": ["image/bmp"],
+                    "width": [2],
+                    "height": [2],
+                    "duration_ms": [None],
+                }
+            ),
+            MEDIA_SCHEMA,
+        ),
+        feature_dim=16,
+    ).toPandas()
+    np.testing.assert_allclose(feats, twin.loc[0, "features"], rtol=1e-6)
+
+
 def test_no_iterrows_in_multimodal():
     """Plan-template hygiene: the module must not contain per-row
     pandas iteration (the pattern a future real codec would inherit)."""

@@ -275,3 +275,69 @@ def test_landy_szalay_detects_clustering(spark):
     drn = r0["dr"] / (nd * nr)
     rrn = r0["rr"] / (nr * (nr - 1) / 2)
     assert r0["xi"] == pytest.approx((ddn - 2 * drn + rrn) / rrn, rel=1e-12)
+
+
+def test_precompute_rr_sweep_runs_rr_join_once(spark, monkeypatch):
+    """A two-call bin-edge sweep sharing a precompute_rr artifact must
+    build the RR pair join exactly once (spied at the operator level),
+    with estimator values identical to the self-contained path."""
+    import opencosmo_spark.spatial.pairs as pairs_mod
+    from opencosmo_spark.spatial.pairs import (
+        precompute_rr,
+        release_rr,
+        two_point_landy_szalay,
+    )
+
+    rng = np.random.default_rng(47)
+    pts = rng.uniform(0, BOX, size=(400, 3))
+    df = _points_df(spark, pts)
+    nr = 800
+
+    calls = []
+    orig = pairs_mod.neighbor_pairs_3d
+
+    def spy(d, *a, **k):
+        calls.append(1)
+        return orig(d, *a, **k)
+
+    monkeypatch.setattr(pairs_mod, "neighbor_pairs_3d", spy)
+
+    rr = precompute_rr(spark, rmax=2.0, box_size=BOX, n_random=nr)
+    assert len(calls) == 1  # the one RR join, built here
+
+    bins_a = [0.5, 1.0, 2.0]
+    bins_b = [0.25, 0.75, 1.25, 2.0]  # different edges, same artifact
+    got_a = two_point_landy_szalay(df, bins_a, BOX, rr=rr).collect()
+    got_b = two_point_landy_szalay(df, bins_b, BOX, rr=rr).collect()
+    # 1 (precompute RR) + 2 (one DD per estimator call): the sweep
+    # added NO further RR joins
+    assert len(calls) == 3
+
+    monkeypatch.setattr(pairs_mod, "neighbor_pairs_3d", orig)
+    plain_a = two_point_landy_szalay(df, bins_a, BOX, n_random=nr).collect()
+    assert [tuple(r) for r in got_a] == [tuple(r) for r in plain_a]
+    assert all(r["rr"] > 0 for r in got_b)
+    release_rr(rr)
+
+
+def test_precompute_rr_mismatch_is_refused(spark):
+    """An artifact silently mismatched to the call would produce a
+    WRONG xi, not an error — every axis must validate up front."""
+    from opencosmo_spark.spatial.pairs import (
+        precompute_rr,
+        release_rr,
+        two_point_landy_szalay,
+    )
+
+    rng = np.random.default_rng(49)
+    df = _points_df(spark, rng.uniform(0, BOX, size=(50, 3)))
+    rr = precompute_rr(spark, rmax=1.0, box_size=BOX, n_random=100)
+    with pytest.raises(ValueError, match="rmax"):
+        two_point_landy_szalay(df, [0.5, 2.0], BOX, rr=rr)
+    with pytest.raises(ValueError, match="box_size"):
+        two_point_landy_szalay(df, [0.5, 1.0], BOX * 2, rr=rr)
+    with pytest.raises(ValueError, match="periodic"):
+        two_point_landy_szalay(df, [0.5, 1.0], BOX, periodic=True, rr=rr)
+    with pytest.raises(ValueError, match="kind"):
+        two_point_landy_szalay(df, [0.5, 1.0], BOX, rr={**rr, "kind": "sky"})
+    release_rr(rr)

@@ -192,3 +192,48 @@ def test_sky_fof_dataset_entry(spark, fixtures):
     labels = sky_fof(lc, 0.5)
     assert set(labels.columns) == {"fof_halo_tag", "group_id"}
     assert labels.count() == len(lc)
+
+
+def test_precompute_rr_sky_sweep_runs_rr_join_once(spark, monkeypatch):
+    """Angular twin of the 3-D precompute test: a two-call bin-edge
+    sweep sharing a precompute_rr_sky artifact builds the RR sky-pair
+    join once, with values identical to the self-contained path."""
+    import opencosmo_spark.spatial.crossmatch as cm
+    from opencosmo_spark.spatial.crossmatch import (
+        precompute_rr_sky,
+        w_theta_landy_szalay,
+    )
+    from opencosmo_spark.spatial.pairs import release_rr
+
+    rng = np.random.default_rng(79)
+    ra, dec = _uniform_sphere(rng, 300)
+    df = _sky_df(spark, ra, dec)
+    nr = 600
+
+    calls = []
+    orig = cm.sky_pairs
+
+    def spy(left, right, *a, **k):
+        # count only SELF-pair builds (right=None): DD and RR shapes
+        if right is None:
+            calls.append(1)
+        return orig(left, right, *a, **k)
+
+    monkeypatch.setattr(cm, "sky_pairs", spy)
+    rr = precompute_rr_sky(spark, tmax_deg=6.0, n_random=nr)
+    assert len(calls) == 1  # the one RR join
+
+    got_a = w_theta_landy_szalay(df, [1.0, 3.0, 6.0], rr=rr).collect()
+    got_b = w_theta_landy_szalay(df, [0.5, 2.0, 4.0, 6.0], rr=rr).collect()
+    # + one DD self-join per estimator call, NO further RR joins
+    assert len(calls) == 3
+
+    monkeypatch.setattr(cm, "sky_pairs", orig)
+    plain_a = w_theta_landy_szalay(df, [1.0, 3.0, 6.0], n_random=nr).collect()
+    assert [tuple(r) for r in got_a] == [tuple(r) for r in plain_a]
+    assert all(r["rr"] > 0 for r in got_b)
+    with pytest.raises(ValueError, match="rmax"):
+        w_theta_landy_szalay(df, [1.0, 10.0], rr=rr)
+    with pytest.raises(ValueError, match="kind"):
+        w_theta_landy_szalay(df, [1.0, 3.0], rr={**rr, "kind": "3d"})
+    release_rr(rr)
