@@ -9,7 +9,13 @@ all-pairs scans.
 """
 
 from .bpe import apply_bpe, train_bpe_merges, word_frequencies
-from .classify import nb_classify, nb_predict, nb_train
+from .classify import (
+    nb_classify,
+    nb_predict,
+    nb_train,
+    quality_classifier_score,
+    train_quality_classifier,
+)
 from .clean import c4_clean, gopher_quality_flags
 from .curate import curate_corpus
 from .drift import psi_report
@@ -112,6 +118,8 @@ __all__ = [
     "nb_train",
     "nb_predict",
     "nb_classify",
+    "train_quality_classifier",
+    "quality_classifier_score",
     "duplicate_spans",
     "remove_duplicate_spans",
     "similarity_join",

@@ -182,3 +182,218 @@ def nb_classify(
         label_col=label_col,
         num_features=num_features,
     )
+
+
+# ---------------------------------------------------------------------
+# Trainable quality classifier: hashed-n-gram logistic regression — the
+# third canonical curation signal next to heuristic quality_score and
+# LM perplexity (the "Wikipedia-vs-CommonCrawl classifier" of the
+# GPT-3 / LLaMA data recipes: train on trusted-positive vs
+# crawl-negative examples, score the corpus, keep/importance-sample by
+# probability). Brown et al. 2020 App. A; Touvron et al. 2023 §2.
+#
+# Spark shape: features are tf-normalized hashed word uni+bigrams
+# (md5-lane, JVM expressions); the model is a driver-small weight
+# vector (num_features is the cap), trained by full-batch gradient
+# descent where EVERY iteration is one job over a persisted feature
+# frame — margins via a broadcast sparse weight table, errors, and the
+# per-feature gradient in a single plan, collecting only the
+# (<= num_features + 1)-row gradient. Per-row products are quantized
+# to integer micros before every sum, so training is bit-reproducible
+# across partitionings, engines, and retries.
+# ---------------------------------------------------------------------
+
+
+def _lr_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_features: int,
+    bigrams: bool,
+    label_col: str | None = None,
+) -> DataFrame:
+    """(id[, label], feat, val): tf-normalized hashed uni(+bi)gram
+    features plus one intercept row (feat = num_features, val = 1) per
+    document; documents with no tokens produce no rows."""
+    words = words_expr(text_col)
+    toks = words
+    if bigrams:
+        n = F.size(words)
+        win = F.greatest(n - 1, F.lit(0))
+        bg = F.zip_with(
+            F.slice(words, 1, win),
+            F.slice(words, 2, win),
+            lambda a, b: F.concat_ws("_", a, b),
+        )
+        toks = F.concat(words, bg)
+    names = [id_col] + ([label_col] if label_col else [])
+    base = df.select(*names, toks.alias("__t")).filter(F.size("__t") > 0)
+    per = (
+        base.select(
+            *names,
+            F.size("__t").alias("__n"),
+            F.explode("__t").alias("__tok"),
+        )
+        .select(
+            *names,
+            "__n",
+            F.pmod(md5_lane(F.col("__tok")), F.lit(num_features)).alias("feat"),
+        )
+        .groupBy(*names, "__n", "feat")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            *names, "feat", (F.col("c") / F.col("__n")).alias("val")
+        )
+    )
+    icept = base.select(
+        *names,
+        F.lit(int(num_features)).cast("long").alias("feat"),
+        F.lit(1.0).alias("val"),
+    )
+    return per.unionByName(icept)
+
+
+def _micro_dot(val: F.Column, w: F.Column) -> F.Column:
+    """sum of per-row val*w quantized to integer micros — exact long
+    arithmetic, independent of partition/merge order (the repo's
+    integer-micro idiom; a raw double sum could differ by ulps across
+    layouts and walk the gradient onto a different trajectory)."""
+    return (
+        F.sum(F.round(val * w * F.lit(1e6), 0).cast("long")) / F.lit(1e6)
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    num_features: int = 1 << 15,
+    iters: int = 30,
+    lr: float = 0.5,
+    reg: float = 1e-4,
+    bigrams: bool = True,
+) -> dict:
+    """Full-batch logistic regression over hashed n-gram features.
+    ``label_col`` holds 1 (positive / trusted) or 0 (negative).
+    Returns ``{"weights": ndarray[num_features], "bias": float,
+    "num_features", "bigrams", "n_docs"}`` for
+    ``quality_classifier_score``.
+
+    One Spark job per iteration over a persisted (id, y, feat, val)
+    frame; the driver holds only the weight vector and the collected
+    per-feature gradient (both bounded by ``num_features``, never by
+    corpus size). L2 regularization applies to feature weights, not
+    the intercept. Deterministic: md5-lane hashing + integer-micro
+    sums make the final weights identical on any partitioning.
+    """
+    import numpy as np
+    from pyspark import StorageLevel
+
+    if iters < 1 or lr <= 0:
+        raise ValueError("iters must be >= 1 and lr positive")
+    spark = df.sparkSession
+    feats = (
+        _lr_features(df, id_col, text_col, num_features, bigrams, label_col)
+        .withColumn("__y", F.col(label_col).cast("double"))
+        .drop(label_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # one intercept row per doc: counts docs AND materializes the cache
+    nd = feats.filter(F.col("feat") == num_features).count()
+    if nd == 0:
+        feats.unpersist()
+        raise ValueError("no documents with tokens to train on")
+    bad = feats.filter(~F.col("__y").isin(0.0, 1.0)).limit(1).count()
+    if bad:
+        feats.unpersist()
+        raise ValueError(f"{label_col} must be 0/1")
+
+    w = np.zeros(num_features + 1)
+    try:
+        for _ in range(iters):
+            nz = [(int(i), float(x)) for i, x in enumerate(w) if x != 0.0]
+            wtab = spark.createDataFrame(
+                nz or [(0, 0.0)], "feat LONG, w DOUBLE"
+            )
+            margins = (
+                feats.join(F.broadcast(wtab), "feat", "left")
+                .groupBy(id_col, "__y")
+                .agg(
+                    _micro_dot(
+                        F.col("val"), F.coalesce(F.col("w"), F.lit(0.0))
+                    ).alias("m")
+                )
+            )
+            errs = margins.select(
+                id_col,
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
+                    - F.col("__y")
+                ).alias("e"),
+            )
+            grad_rows = (
+                feats.join(errs, id_col)
+                .groupBy("feat")
+                .agg(_micro_dot(F.col("val"), F.col("e")).alias("g"))
+                .collect()
+            )
+            g = np.zeros(num_features + 1)
+            for r in grad_rows:
+                g[int(r["feat"])] = r["g"]
+            g /= nd
+            g[:num_features] += reg * w[:num_features]
+            w = w - lr * g
+    finally:
+        feats.unpersist()
+    return {
+        "weights": w[:num_features],
+        "bias": float(w[num_features]),
+        "num_features": int(num_features),
+        "bigrams": bool(bigrams),
+        "n_docs": int(nd),
+    }
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    model: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Score documents under a trained classifier: one row per
+    document with tokens, ``(id_col, margin, quality_prob)`` —
+    ``quality_prob = sigmoid(w . x + b)`` rounded to ``decimals``.
+    Feed ``quality_prob`` to ``importance_sample`` (or a threshold
+    filter) for the classifier-gated curation step.
+
+    The model ships as a sparse (feat, weight) broadcast table — the
+    same model-as-data posture as the NB and LM scorers, so a
+    web-scale feature space never lands in a closure."""
+    import numpy as np
+
+    spark = df.sparkSession
+    nf = int(model["num_features"])
+    warr = np.asarray(model["weights"])
+    rows = [(int(i), float(x)) for i, x in enumerate(warr) if x != 0.0]
+    rows.append((nf, float(model["bias"])))
+    wtab = spark.createDataFrame(rows, "feat LONG, w DOUBLE")
+    feats = _lr_features(df, id_col, text_col, nf, bool(model["bigrams"]))
+    m = F.col("m")
+    return (
+        feats.join(F.broadcast(wtab), "feat", "left")
+        .groupBy(id_col)
+        .agg(
+            _micro_dot(F.col("val"), F.coalesce(F.col("w"), F.lit(0.0))).alias("m")
+        )
+        .select(
+            id_col,
+            F.round(m, decimals).alias("margin"),
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), decimals
+            ).alias("quality_prob"),
+        )
+    )
