@@ -26,10 +26,7 @@ default and left-join instead of the dense inner join.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from .dedup import md5_lane
 from .text import words_expr
@@ -128,6 +125,13 @@ def nb_predict(
     argmax label (ties broken by ascending label) and its exact
     integer score. Documents with no tokens are dropped (score them
     with priors alone upstream if they matter).
+
+    The argmax is a struct-min hash aggregate — ``min((-score,
+    label))`` is lexicographically (score desc, label asc), the same
+    tie-break a window sort would give, but with map-side partial
+    aggregation and no per-document sort (one shuffle saved vs the
+    row_number formulation; scores are exact longs so the negation is
+    lossless).
     """
     feats = _doc_features(df, [id_col], text_col, num_features)
     scored = (
@@ -141,16 +145,19 @@ def nb_predict(
             (F.col("s") + F.col("prior")).alias("score_micros"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("score_micros").desc(), F.col(label_col)
-    )
+    best = F.min(
+        F.struct(
+            (-F.col("score_micros")).alias("__ns"),
+            F.col(label_col).alias("__lb"),
+        )
+    ).alias("__b")
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        scored.groupBy(id_col)
+        .agg(best)
         .select(
             id_col,
-            F.col(label_col).alias(f"pred_{label_col}"),
-            "score_micros",
+            F.col("__b.__lb").alias(f"pred_{label_col}"),
+            (-F.col("__b.__ns")).alias("score_micros"),
         )
     )
 

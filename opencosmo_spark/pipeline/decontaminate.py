@@ -167,18 +167,22 @@ def semantic_overlap(
         .withColumn("sim", sim)
         .filter(F.col("sim") >= F.lit(float(threshold)))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("__c_id").orderBy(
-        F.col("sim").desc(), F.col("__e_id")
+    # best-match argmax as a struct-min hash aggregate (sim desc,
+    # eval_id asc — sim negation is lossless on the rounded double);
+    # each (corpus, eval) pair meets in exactly one cell (single-cell
+    # IVF assignment), so the trailing fields are payload, not order
+    best = pairs.groupBy("__c_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("sim")).alias("__ns"),
+                F.col("__e_id"),
+                F.col("cell"),
+            )
+        ).alias("__b")
     )
-    return (
-        pairs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("__c_id").alias(id_col),
-            "cell",
-            F.col("__e_id").alias("eval_id"),
-            "sim",
-        )
+    return best.select(
+        F.col("__c_id").alias(id_col),
+        F.col("__b.cell").alias("cell"),
+        F.col("__b.__e_id").alias("eval_id"),
+        (-F.col("__b.__ns")).alias("sim"),
     )

@@ -10,7 +10,8 @@ bucketed into square sky bins of ``bin_deg`` (>= radius, so any match
 lies in the left row's bin or its 8 neighbors): the RIGHT side is
 exploded to its bin + 8 wrap-aware neighbors, the join is an EQUI-join
 on bin, the exact great-circle separation filters bin collisions, and
-a window argmin keeps the nearest match per left row. Shuffle volume
+a struct-min hash aggregate keeps the nearest match per left row
+(map-side partial aggregation, no per-source sort). Shuffle volume
 is O(left + 9*right); each candidate pair meets in exactly one bin
 (the left row's own), so no dedup is needed.
 
@@ -23,7 +24,7 @@ cap-bin cost is O(cap population^2), negligible for survey-like data.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 _POLE_BIN = -1_000_000  # sentinel bin ids for the two polar caps
 
@@ -173,12 +174,18 @@ def crossmatch_sky(
         .withColumn("__sep", sep)
         .filter(F.col("__sep") <= F.lit(float(radius_deg)))
     )
-    w = Window.partitionBy("__lid").orderBy(F.col("__sep").asc(), F.col("__rid").asc())
-    best = cand.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1)
+    # nearest-match argmin as a struct-min hash aggregate: min((sep,
+    # rid)) is lexicographically (sep asc, rid asc) — the same
+    # tie-break the former row_number window gave, but with map-side
+    # partial aggregation and no per-source sort (one shuffle's worth
+    # of sort work saved)
+    best = cand.groupBy("__lid").agg(
+        F.min(F.struct(F.col("__sep"), F.col("__rid"))).alias("__b")
+    )
     return best.select(
         F.col("__lid").alias(left_id),
-        F.col("__rid").alias(right_id),
-        F.round(F.col("__sep"), 8).alias("sep_deg"),
+        F.col("__b.__rid").alias(right_id),
+        F.round(F.col("__b.__sep"), 8).alias("sep_deg"),
     )
 
 
