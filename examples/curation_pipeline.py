@@ -65,6 +65,32 @@ def main():
     )
     print("perplexity bands:", {r["ppl_bucket"]: r["count"] for r in bands})
 
+    # 1c. trainable quality classifier (the Wikipedia-vs-CommonCrawl
+    #     recipe): label the perplexity head band positive, the tail
+    #     negative, train the hashed-n-gram logistic regression, and
+    #     score the whole corpus — quality_prob then feeds a threshold
+    #     or importance_sample
+    from opencosmo_spark.pipeline import (
+        quality_classifier_score,
+        train_quality_classifier,
+    )
+
+    labeled = (
+        perplexity_buckets(curated, lm)
+        .filter(F.col("ppl_bucket").isin("head", "tail"))
+        .select(
+            "doc_id",
+            F.when(F.col("ppl_bucket") == "head", 1).otherwise(0).alias("label"),
+        )
+        .join(curated.select("doc_id", "text"), "doc_id")
+    )
+    clf = train_quality_classifier(
+        labeled, num_features=4096, iters=10, lr=1.0
+    )
+    scored = quality_classifier_score(curated, clf)
+    hi = scored.filter(F.col("quality_prob") > 0.5).count()
+    print(f"classifier: {hi}/{scored.count()} docs above p=0.5")
+
     # 2. keyword search over the curated corpus
     hits = bm25_topk(curated, ["vector", "key"], k=5)
     print("bm25 top-5:", [(r["doc_id"], r["bm25"]) for r in hits.collect()])

@@ -19,3 +19,20 @@ def test_embedding_pipeline_example_runs():
     assert "pca: kept k=8 axes" in out.stdout
     assert "ann top-5:" in out.stdout
     assert "semantic dedup:" in out.stdout
+
+
+def test_curation_pipeline_example_runs():
+    out = subprocess.run(
+        [sys.executable, "examples/curation_pipeline.py",
+         "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "curation attrition:" in out.stdout
+    assert "perplexity bands:" in out.stdout
+    assert "classifier:" in out.stdout
+    assert "bm25 top-5:" in out.stdout
+    assert "incremental batch:" in out.stdout
