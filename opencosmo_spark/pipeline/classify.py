@@ -296,6 +296,7 @@ def train_quality_classifier(
     sums make the final weights identical on any partitioning.
     """
     import numpy as np
+    import pandas as pd
     from pyspark import StorageLevel
 
     if iters < 1 or lr <= 0:
@@ -312,17 +313,30 @@ def train_quality_classifier(
     if nd == 0:
         feats.unpersist()
         raise ValueError("no documents with tokens to train on")
-    bad = feats.filter(~F.col("__y").isin(0.0, 1.0)).limit(1).count()
+    # NULL labels must fail too: ~isin() is NULL (not true) for NULL,
+    # so a bare negation would let them slip through and silently
+    # poison the gradient sums with NULL errors
+    bad = feats.filter(
+        F.col("__y").isNull() | ~F.col("__y").isin(0.0, 1.0)
+    ).limit(1).count()
     if bad:
         feats.unpersist()
-        raise ValueError(f"{label_col} must be 0/1")
+        raise ValueError(f"{label_col} must be 0/1 and non-NULL")
 
     w = np.zeros(num_features + 1)
     try:
         for _ in range(iters):
-            nz = [(int(i), float(x)) for i, x in enumerate(w) if x != 0.0]
+            # ship nonzero weights via Arrow (a pandas frame), not
+            # per-row Python serialization — at num_features = 2^20
+            # this is the difference between ~ms and seconds per iter
+            nzi = np.flatnonzero(w)
             wtab = spark.createDataFrame(
-                nz or [(0, 0.0)], "feat LONG, w DOUBLE"
+                pd.DataFrame(
+                    {
+                        "feat": (nzi if len(nzi) else np.array([0])).astype("int64"),
+                        "w": w[nzi] if len(nzi) else np.array([0.0]),
+                    }
+                )
             )
             margins = (
                 feats.join(F.broadcast(wtab), "feat", "left")
@@ -381,13 +395,20 @@ def quality_classifier_score(
     same model-as-data posture as the NB and LM scorers, so a
     web-scale feature space never lands in a closure."""
     import numpy as np
+    import pandas as pd
 
     spark = df.sparkSession
     nf = int(model["num_features"])
-    warr = np.asarray(model["weights"])
-    rows = [(int(i), float(x)) for i, x in enumerate(warr) if x != 0.0]
-    rows.append((nf, float(model["bias"])))
-    wtab = spark.createDataFrame(rows, "feat LONG, w DOUBLE")
+    warr = np.asarray(model["weights"], dtype="float64")
+    nzi = np.flatnonzero(warr)
+    wtab = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "feat": np.append(nzi, nf).astype("int64"),
+                "w": np.append(warr[nzi], float(model["bias"])),
+            }
+        )
+    )
     feats = _lr_features(df, id_col, text_col, nf, bool(model["bigrams"]))
     m = F.col("m")
     return (

@@ -439,3 +439,29 @@ def test_neighbor_pairs_shuffle_budget(spark):
     # one exchange per join side at most (AQE may broadcast one away)
     assert plan.count("Exchange") <= 2, plan.count("Exchange")
     assert "dropDuplicates" not in plan
+
+
+def test_quality_classifier_score_plan_shape(spark):
+    """Scoring under a trained model must be a broadcast equi-join on
+    the feature hash (no cartesian, no nested loop) with zero Python
+    evaluation — the arithmetic is one JVM expression chain."""
+    from pyspark.sql import Row
+
+    from opencosmo_spark.pipeline.classify import (
+        quality_classifier_score,
+        train_quality_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma tok{i}", label=i % 2)
+         for i in range(20)]
+    )
+    model = train_quality_classifier(df, num_features=128, iters=2)
+    plan = (
+        quality_classifier_score(df, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

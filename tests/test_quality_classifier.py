@@ -167,6 +167,13 @@ def test_quality_classifier_validates_inputs(spark):
     )
     with pytest.raises(ValueError, match="iters"):
         train_quality_classifier(ok, num_features=32, iters=0)
+    # NULL labels must be rejected, not silently poison the gradient
+    nullish = spark.createDataFrame(
+        [(0, "a b", 1), (1, "c d", None)],
+        "doc_id LONG, text STRING, label INT",
+    )
+    with pytest.raises(ValueError, match="0/1"):
+        train_quality_classifier(nullish, num_features=32, iters=1)
 
 
 def test_quality_classifier_feeds_importance_sampling(spark):
