@@ -9,6 +9,12 @@ all-pairs scans.
 """
 
 from .bpe import apply_bpe, train_bpe_merges, word_frequencies
+from .web import (
+    html_to_text,
+    parse_warc_records,
+    read_warc,
+    warc_to_documents,
+)
 from .classify import (
     nb_classify,
     nb_predict,
@@ -118,6 +124,10 @@ __all__ = [
     "nb_train",
     "nb_predict",
     "nb_classify",
+    "read_warc",
+    "parse_warc_records",
+    "html_to_text",
+    "warc_to_documents",
     "train_quality_classifier",
     "quality_classifier_score",
     "duplicate_spans",

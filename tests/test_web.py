@@ -1,0 +1,157 @@
+"""WARC ingestion + HTML-to-text extraction: generated archives
+(plain and gzip, every record type) through the distributed reader,
+byte-exact framing, and the extraction chain vs expected text."""
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from opencosmo_spark.pipeline.web import (
+    html_to_text,
+    parse_warc_records,
+    read_warc,
+    split_http_response,
+    warc_to_documents,
+)
+
+HTML_BODY = (
+    b"<html><head><title>T</title><style>p{color:red}</style>\n"
+    b"<script>var x = '<p>not text</p>';</script></head>\n"
+    b"<body><!-- a comment --><h1>Heading</h1>\n"
+    b"<p>First &amp; second &lt;line&gt;.</p>"
+    b"<div>Item one</div><ul><li>alpha</li><li>beta</li></ul>"
+    b"<p>Tom&#39;s &quot;quote&quot;&nbsp;here</p></body></html>"
+)
+
+
+def _record(rtype, rid, uri, payload, extra=b""):
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + rtype + b"\r\n"
+        b"WARC-Record-ID: <urn:uuid:" + rid + b">\r\n"
+        b"WARC-Date: 2024-01-15T10:00:00Z\r\n"
+        + (b"WARC-Target-URI: " + uri + b"\r\n" if uri else b"")
+        + extra
+        + b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+    )
+    return head + payload + b"\r\n\r\n"
+
+
+def _http(status, ctype, body):
+    return (
+        b"HTTP/1.1 " + status + b"\r\n"
+        b"Content-Type: " + ctype + b"\r\n"
+        b"Server: test\r\n\r\n" + body
+    )
+
+
+def _archive():
+    return (
+        _record(b"warcinfo", b"0001", b"", b"software: test-crawler\r\n")
+        + _record(
+            b"request", b"0002", b"http://example.com/a",
+            b"GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n",
+        )
+        + _record(
+            b"response", b"0003", b"http://example.com/a",
+            _http(b"200 OK", b"text/html; charset=utf-8", HTML_BODY),
+        )
+        + _record(
+            b"response", b"0004", b"http://example.com/miss",
+            _http(b"404 Not Found", b"text/html", b"<p>gone</p>"),
+        )
+        + _record(
+            b"response", b"0005", b"http://example.com/img",
+            _http(b"200 OK", b"image/png", b"\x89PNGfake"),
+        )
+        + _record(
+            b"conversion", b"0006", b"http://example.com/wet",
+            b"Pre-extracted plain text.\nSecond line.",
+            extra=b"Content-Type: text/plain\r\n",
+        )
+    )
+
+
+def test_parse_warc_records_byte_exact_framing():
+    recs = parse_warc_records(_archive())
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "request", "response", "response", "response",
+        "conversion",
+    ]
+    assert recs[2]["target_uri"] == "http://example.com/a"
+    status, ctype, body = split_http_response(recs[2]["payload"])
+    assert status == 200 and ctype.startswith("text/html")
+    assert body == HTML_BODY  # exact Content-Length framing
+    # a payload containing \r\n\r\n + WARC/ must NOT split the record
+    tricky = _record(
+        b"response", b"0007", b"http://example.com/t",
+        _http(b"200 OK", b"text/plain", b"fake\r\n\r\nWARC/1.0\r\nboundary"),
+    )
+    got = parse_warc_records(tricky)
+    assert len(got) == 1
+    assert b"WARC/1.0" in got[0]["payload"]
+    # gzip twin parses identically
+    assert parse_warc_records(gzip.compress(_archive())) == recs
+    # truncated archive: complete records parse, the torn one is dropped
+    cut = _archive()[:-40]
+    assert len(parse_warc_records(cut)) == 5
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    (tmp_path / "seg-00.warc").write_bytes(_archive())
+    (tmp_path / "seg-01.warc.gz").write_bytes(gzip.compress(_archive()))
+    out = read_warc(spark, str(tmp_path), response_only=False).toPandas()
+    assert len(out) == 12  # 6 records x 2 files
+    resp = read_warc(spark, str(tmp_path)).toPandas()
+    assert set(resp.warc_type) == {"response", "conversion"}
+    assert len(resp) == 8
+    r = resp[resp.record_id.str.contains("0003")].iloc[0]
+    assert r.http_status == 200
+    assert bytes(r.payload) == HTML_BODY
+
+
+def test_html_to_text_extraction(spark):
+    df = spark.createDataFrame(
+        [(0, HTML_BODY.decode())], ["i", "html"]
+    ).select(html_to_text("html").alias("text"))
+    text = df.first()["text"]
+    # scripts/styles/comments gone — including the tag-looking string
+    # INSIDE the script
+    assert "color:red" not in text and "not text" not in text
+    assert "comment" not in text
+    # entities decoded, block structure became lines
+    lines = text.split("\n")
+    assert "Heading" in lines
+    assert "First & second <line>." in lines
+    assert "alpha" in lines and "beta" in lines
+    assert 'Tom\'s "quote" here' in lines
+    # amp-encoded entity decodes to the LITERAL entity, not through it
+    twice = spark.createDataFrame([("x &amp;lt; y",)], ["h"]).select(
+        html_to_text("h").alias("t")
+    )
+    assert twice.first()["t"] == "x &lt; y"
+
+
+def test_warc_to_documents_end_to_end(spark, tmp_path):
+    (tmp_path / "seg.warc").write_bytes(_archive())
+    docs = warc_to_documents(read_warc(spark, str(tmp_path))).toPandas()
+    # 200-HTML and the WET conversion survive; 404 and image/png drop
+    assert len(docs) == 2
+    by_url = docs.set_index("url")
+    assert "Heading" in by_url.loc["http://example.com/a", "text"]
+    assert (
+        by_url.loc["http://example.com/wet", "text"]
+        == "Pre-extracted plain text.\nSecond line."
+    )
+    assert docs.doc_id.nunique() == 2
+    assert (docs.fetch_date == "2024-01-15T10:00:00Z").all()
+    # the composition the stage exists for: straight into the curator
+    from opencosmo_spark.pipeline import curate_corpus
+
+    curated, counts = curate_corpus(
+        spark.createDataFrame(docs[["doc_id", "text"]]),
+        min_quality=0.0,
+        min_tokens=2,
+    )
+    assert counts["input"] == 2 and curated.count() == 2
