@@ -13,6 +13,8 @@ from .web import (
     html_to_text,
     parse_warc_records,
     read_warc,
+    url_features,
+    url_filter,
     warc_to_documents,
 )
 from .classify import (
@@ -128,6 +130,8 @@ __all__ = [
     "parse_warc_records",
     "html_to_text",
     "warc_to_documents",
+    "url_features",
+    "url_filter",
     "train_quality_classifier",
     "quality_classifier_score",
     "duplicate_spans",

@@ -41,6 +41,10 @@ def curate_corpus(
     id_col: str = "doc_id",
     min_quality: float = 0.3,
     min_tokens: int = 5,
+    url_col: str = "url",
+    url_block_domains=None,
+    url_allow_domains=None,
+    url_block_patterns=None,
     gopher: bool | dict = False,
     c4_lines: bool = False,
     ppl_model: dict | None = None,
@@ -68,6 +72,12 @@ def curate_corpus(
 
     Stages (each skippable via its parameter):
 
+    0. URL gate (any of ``url_block_domains`` /
+       ``url_block_patterns`` given): drop documents whose ``url_col``
+       matches the blocklist (domain-suffix or regex;
+       ``url_allow_domains`` exempts) — the first stage of every
+       published web recipe (C4 §2.2, RefinedWeb §3.1). Runs before
+       everything: it is the cheapest signal and needs no text.
     1. quality gate: ``quality_score >= min_quality`` and
        ``token_count >= min_tokens`` — row-local, pushable.
     1b. Gopher rules (``gopher=True`` or a dict of threshold
@@ -158,6 +168,26 @@ def curate_corpus(
         return d
 
     out = mark("input", df)
+
+    if url_block_domains is not None or url_block_patterns:
+        if url_col not in df.columns:
+            raise ValueError(
+                f"url blocklist given but column {url_col!r} is not in "
+                f"the input — pass url_col or drop the url_* parameters"
+            )
+        from .web import url_filter
+
+        out = mark(
+            "url_gate",
+            url_filter(
+                out,
+                url_col=url_col,
+                block_domains=url_block_domains,
+                allow_domains=url_allow_domains,
+                block_patterns=url_block_patterns,
+                id_col=id_col,
+            ),
+        )
 
     q = quality_score(F.col(text_col))
     t = token_count(F.col(text_col))

@@ -267,3 +267,178 @@ def warc_to_documents(
         )
         .filter(F.length("text") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# URL featurization + filtering (the C4 / RefinedWeb URL stage)
+# ---------------------------------------------------------------------------
+
+# ccTLD second-level compounds for the registered-domain heuristic:
+# "example.co.uk" registers at example.co.uk, not co.uk. This is the
+# public-suffix-LITE rule (the common compounds, not the full Mozilla
+# PSL); plug a PSL table into url_filter's DataFrame path when exact
+# boundaries matter.
+_COMPOUND_SLDS = (
+    "co", "com", "net", "org", "gov", "ac", "edu", "sch", "or", "ne",
+    "go", "mil",
+)
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased hostname of a URL (port stripped), NULL when the
+    value does not parse as a URL. Pure JVM (``try_parse_url``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(
+        F.regexp_replace(F.try_parse_url(c, F.lit("HOST")), r":\d+$", "")
+    )
+
+
+def url_suffixes(col: Column | str) -> Column:
+    """Array of every dot-suffix of the URL's host, longest first:
+    ``a.b.example.com -> [a.b.example.com, b.example.com, example.com,
+    com]``. Label-aligned — ``ample.com`` is NOT a suffix of
+    ``example.com``. This is the matching key for domain blocklists
+    (a listed domain blocks itself and every subdomain)."""
+    host = url_host(col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+
+def url_features(
+    df: DataFrame, url_col: str = "url", prefix: str = "url_"
+) -> DataFrame:
+    """Attach URL-derived columns (all JVM, scan-fused):
+    ``{prefix}host``, ``{prefix}domain`` (registered domain under the
+    compound-ccTLD heuristic), ``{prefix}tld``, ``{prefix}path_depth``
+    (number of non-empty path segments), ``{prefix}is_ip``."""
+    host = url_host(url_col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    tld = F.element_at(labels, -1)
+    sld = F.when(n >= 2, F.element_at(labels, -2))
+    # registered domain = last 2 labels, or last 3 when the 2nd-level
+    # label is a known compound under a 2-letter ccTLD
+    take = F.when(
+        (n >= 3)
+        & (F.length(tld) == 2)
+        & sld.isin(*_COMPOUND_SLDS),
+        F.lit(3),
+    ).otherwise(F.least(F.lit(2), n))
+    domain = F.array_join(F.slice(labels, n - take + 1, take), ".")
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    path = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("")
+    )
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    return df.select(
+        "*",
+        host.alias(f"{prefix}host"),
+        F.when(is_ip, host).otherwise(domain).alias(f"{prefix}domain"),
+        F.when(~is_ip, tld).alias(f"{prefix}tld"),
+        depth.alias(f"{prefix}path_depth"),
+        is_ip.alias(f"{prefix}is_ip"),
+    )
+
+
+def url_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    block_domains=None,
+    allow_domains=None,
+    block_patterns=None,
+    drop_unparseable: bool = False,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Drop rows whose URL matches a blocklist — the stage every
+    published recipe runs first (C4's bad-URL filter, Raffel et al.
+    2020 §2.2; RefinedWeb's UT1-blocklist gate, Penedo et al. 2023
+    §3.1). A listed domain blocks itself and all subdomains
+    (label-aligned suffix match); ``allow_domains`` exempts its
+    matches from BOTH domain and pattern blocks (the standard
+    blocklist-exception mechanism). ``block_patterns`` are
+    case-insensitive regexes over the whole URL.
+
+    ``block_domains`` scales two ways: a python list/set becomes a
+    literal array checked scan-side with ``arrays_overlap`` (zero
+    shuffle — right for lists up to ~10k); a single-column DataFrame
+    becomes a broadcast equi-join on the exploded suffix set (right
+    for UT1-scale lists of millions — never a driver literal). The
+    DataFrame path anti-joins on ``id_col`` when given (pass the
+    corpus's unique doc id); otherwise a synthetic
+    ``monotonically_increasing_id`` is used, which assumes a stable
+    source scan order across the two plan branches (true for file
+    sources; pass ``id_col`` when the input is itself a shuffle).
+    """
+    sufs = url_suffixes(url_col)
+    host = url_host(url_col)
+    keep = F.lit(True)
+    if drop_unparseable:
+        keep &= host.isNotNull()
+
+    blocked = F.lit(False)
+    if block_domains is not None and not isinstance(block_domains, DataFrame):
+        doms = sorted({d.strip().lower().lstrip(".") for d in block_domains})
+        if doms:
+            blocked |= F.arrays_overlap(
+                sufs, F.lit([d for d in doms if d]).cast("array<string>")
+            )
+    if block_patterns:
+        pat = "(?i)" + "|".join(f"(?:{p})" for p in block_patterns)
+        blocked |= F.coalesce(F.col(url_col), F.lit("")).rlike(pat)
+
+    allowed = F.lit(False)
+    if allow_domains:
+        al = sorted({d.strip().lower().lstrip(".") for d in allow_domains})
+        if al:
+            allowed = F.arrays_overlap(
+                sufs, F.lit(al).cast("array<string>")
+            )
+
+    # NULL-host rows (unparseable URLs) must read as "not blocked,
+    # not allowed", not as SQL NULL that the filter would drop
+    blocked = F.coalesce(blocked, F.lit(False))
+    allowed = F.coalesce(allowed, F.lit(False))
+    out = df.filter(keep & (allowed | ~blocked))
+
+    if isinstance(block_domains, DataFrame):
+        from pyspark.sql.functions import broadcast
+
+        dcol = block_domains.columns[0]
+        block = block_domains.select(
+            F.lower(F.trim(F.col(dcol))).alias("__block_domain")
+        ).where(F.col("__block_domain") != "")
+        # a row dies when ANY of its host suffixes appears in the
+        # list — unless allowed. Explode the (bounded: one entry per
+        # host label, ~3-6) suffix set, broadcast-hash-join the list
+        # (no shuffle of the corpus), distinct the hit row-ids, and
+        # anti-join back. The only corpus shuffles are on 8-byte ids.
+        if id_col is not None:
+            rid = id_col
+            with_id = out
+        else:
+            rid = "__url_rid"
+            with_id = out.withColumn(rid, F.monotonically_increasing_id())
+        exploded = with_id.select(rid, F.explode(sufs).alias("__suf"))
+        if allow_domains:
+            al = sorted({d.strip().lower().lstrip(".") for d in allow_domains})
+            if al:
+                exploded = with_id.filter(
+                    ~F.arrays_overlap(sufs, F.lit(al).cast("array<string>"))
+                ).select(rid, F.explode(sufs).alias("__suf"))
+        dead = (
+            exploded.join(
+                broadcast(block),
+                F.col("__suf") == F.col("__block_domain"),
+                "inner",
+            )
+            .select(rid)
+            .distinct()
+        )
+        out = with_id.join(dead, rid, "left_anti")
+        if id_col is None:
+            out = out.drop(rid)
+    return out

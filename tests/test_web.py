@@ -155,3 +155,117 @@ def test_warc_to_documents_end_to_end(spark, tmp_path):
         min_tokens=2,
     )
     assert counts["input"] == 2 and curated.count() == 2
+
+
+URLS = [
+    # (id, url)
+    (0, "https://example.com/a/b"),
+    (1, "http://sub.example.com/page?q=1"),
+    (2, "https://ample.com/x"),           # NOT a suffix match of example.com
+    (3, "http://news.bbc.co.uk/story"),
+    (4, "https://good.example.com/ok"),
+    (5, "http://192.168.0.1:8080/admin"),
+    (6, "https://casino-winner.biz/free-POKER-now"),
+    (7, "not a url at all"),
+    (8, "https://shop.example.org:443/cart/items/view"),
+]
+
+
+def _url_df(spark):
+    return spark.createDataFrame(URLS, ["doc_id", "url"])
+
+
+def test_url_features(spark):
+    from opencosmo_spark.pipeline.web import url_features
+
+    out = (
+        url_features(_url_df(spark))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "url_host"] == "sub.example.com"
+    assert out.loc[1, "url_domain"] == "example.com"
+    assert out.loc[3, "url_domain"] == "bbc.co.uk"  # compound ccTLD
+    assert out.loc[3, "url_tld"] == "uk"
+    assert out.loc[5, "url_is_ip"] and out.loc[5, "url_domain"] == "192.168.0.1"
+    assert out.loc[5, "url_tld"] is None
+    assert out.loc[8, "url_host"] == "shop.example.org"  # port stripped
+    assert out.loc[8, "url_path_depth"] == 3
+    assert out.loc[0, "url_path_depth"] == 2
+
+
+def test_url_filter_domain_suffix_and_patterns(spark):
+    from opencosmo_spark.pipeline.web import url_filter
+
+    df = _url_df(spark)
+    kept = url_filter(df, block_domains=["example.com"]).toPandas()
+    # blocks the apex and every subdomain; ample.com and example.org
+    # survive (label-aligned matching)
+    assert sorted(kept.doc_id) == [2, 3, 5, 6, 7, 8]
+    # allowlist punches through the block
+    kept = url_filter(
+        df,
+        block_domains=["example.com"],
+        allow_domains=["good.example.com"],
+    ).toPandas()
+    assert sorted(kept.doc_id) == [2, 3, 4, 5, 6, 7, 8]
+    # patterns: case-insensitive over the whole URL
+    kept = url_filter(df, block_patterns=[r"poker", r"casino"]).toPandas()
+    assert 6 not in set(kept.doc_id) and len(kept) == len(URLS) - 1
+    # unparseable rows survive by default, drop on request
+    kept = url_filter(
+        df, block_domains=["example.com"], drop_unparseable=True
+    ).toPandas()
+    assert 7 not in set(kept.doc_id)
+
+
+def test_url_filter_dataframe_blocklist_matches_list_path(spark):
+    from opencosmo_spark.pipeline.web import url_filter
+
+    df = _url_df(spark)
+    blk = ["example.com", "bbc.co.uk"]
+    want = sorted(
+        url_filter(df, block_domains=blk).toPandas().doc_id
+    )
+    blk_df = spark.createDataFrame([(d,) for d in blk], ["domain"])
+    got = url_filter(df, block_domains=blk_df, id_col="doc_id").toPandas()
+    assert sorted(got.doc_id) == want
+    assert sorted(got.columns) == ["doc_id", "url"]
+    # allowlist applies on the DataFrame path too
+    got = url_filter(
+        df,
+        block_domains=blk_df,
+        allow_domains=["good.example.com"],
+        id_col="doc_id",
+    ).toPandas()
+    assert 4 in set(got.doc_id)
+    # synthetic-id fallback (no id_col) returns the same survivors
+    got = url_filter(df, block_domains=blk_df).toPandas()
+    assert sorted(got.doc_id) == want
+
+
+def test_curate_corpus_url_gate(spark):
+    from opencosmo_spark.pipeline import curate_corpus
+
+    rows = [
+        (0, "https://example.com/a", "Good clean prose that passes the gate easily."),
+        (1, "https://spam.biz/casino", "Good clean prose that also reads fine here."),
+        (2, "https://other.org/b", "Completely fine document text for the pipeline."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    curated, counts = curate_corpus(
+        df,
+        min_quality=0.0,
+        min_tokens=2,
+        url_block_domains=["spam.biz"],
+    )
+    assert counts["url_gate"] == 2
+    assert sorted(r.doc_id for r in curated.collect()) == [0, 2]
+    # blocklist given but no url column -> loud failure
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="url"):
+        curate_corpus(
+            df.drop("url"), url_block_domains=["spam.biz"], min_quality=0.0
+        )
