@@ -17,6 +17,7 @@ from .web import (
     url_filter,
     warc_to_documents,
 )
+from .graph import extract_links, host_edges, pagerank
 from .classify import (
     nb_classify,
     nb_predict,
@@ -132,6 +133,9 @@ __all__ = [
     "warc_to_documents",
     "url_features",
     "url_filter",
+    "extract_links",
+    "host_edges",
+    "pagerank",
     "train_quality_classifier",
     "quality_classifier_score",
     "duplicate_spans",
