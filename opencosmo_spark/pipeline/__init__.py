@@ -18,6 +18,7 @@ from .web import (
     warc_to_documents,
 )
 from .graph import extract_links, host_edges, pagerank
+from .webdataset import read_tar_shards, samples_from_members, write_tar_shards
 from .classify import (
     nb_classify,
     nb_predict,
@@ -136,6 +137,9 @@ __all__ = [
     "extract_links",
     "host_edges",
     "pagerank",
+    "write_tar_shards",
+    "read_tar_shards",
+    "samples_from_members",
     "train_quality_classifier",
     "quality_classifier_score",
     "duplicate_spans",
