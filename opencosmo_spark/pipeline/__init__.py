@@ -13,6 +13,7 @@ from .web import (
     html_to_text,
     parse_warc_records,
     read_warc,
+    read_warc_stream,
     url_features,
     url_filter,
     warc_to_documents,
@@ -132,6 +133,7 @@ __all__ = [
     "parse_warc_records",
     "html_to_text",
     "warc_to_documents",
+    "read_warc_stream",
     "url_features",
     "url_filter",
     "extract_links",

@@ -121,6 +121,31 @@ def split_http_response(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, payload[head_end + 4 :]
 
 
+def _parse_warc_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel shared by the batch and streaming readers."""
+    for pdf in batches:
+        rows = []
+        for fpath, blob in zip(pdf["path"], pdf["content"]):
+            for rec in parse_warc_records(bytes(blob)):
+                status, http_ct, body = split_http_response(rec["payload"])
+                rows.append(
+                    (
+                        fpath,
+                        rec["record_id"],
+                        rec["warc_type"],
+                        rec["target_uri"],
+                        rec["warc_date"],
+                        rec["content_type"],
+                        status,
+                        http_ct,
+                        body,
+                    )
+                )
+        yield pd.DataFrame(rows, columns=[f.name for f in WARC_SCHEMA])
+
+
 def read_warc(
     spark,
     path: str,
@@ -144,31 +169,49 @@ def read_warc(
         .load(path)
         .select("path", "content")
     )
+    out = src.mapInPandas(_parse_warc_batches, WARC_SCHEMA)
+    if response_only:
+        out = out.filter(F.col("warc_type").isin("response", "conversion"))
+    return out
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for fpath, blob in zip(pdf["path"], pdf["content"]):
-                for rec in parse_warc_records(bytes(blob)):
-                    status, http_ct, body = split_http_response(
-                        rec["payload"]
-                    )
-                    rows.append(
-                        (
-                            fpath,
-                            rec["record_id"],
-                            rec["warc_type"],
-                            rec["target_uri"],
-                            rec["warc_date"],
-                            rec["content_type"],
-                            status,
-                            http_ct,
-                            body,
-                        )
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in WARC_SCHEMA])
 
-    out = src.mapInPandas(run, WARC_SCHEMA)
+# the binaryFile source's fixed schema — streaming file sources
+# require it declared up front
+_BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def read_warc_stream(
+    spark,
+    path: str,
+    response_only: bool = True,
+    path_glob: str = "*.warc*",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``read_warc``: a continuously-ingesting crawl
+    drops finished segment files into a directory and this source
+    picks each up exactly once (the file-source commit log dedups
+    across restarts). Same record schema, same executor-side parser;
+    compose with ``warc_to_documents`` and
+    ``streaming.corpus_dedup_stream`` for the live-ingest pipeline.
+    ``max_files_per_trigger`` bounds segments per micro-batch — one
+    ~1 GB WARC segment is one task, so this is the batch-size knob.
+    """
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", path_glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    src = reader.load(path).select("path", "content")
+    out = src.mapInPandas(_parse_warc_batches, WARC_SCHEMA)
     if response_only:
         out = out.filter(F.col("warc_type").isin("response", "conversion"))
     return out

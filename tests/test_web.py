@@ -269,3 +269,34 @@ def test_curate_corpus_url_gate(spark):
         curate_corpus(
             df.drop("url"), url_block_domains=["spam.biz"], min_quality=0.0
         )
+
+
+def test_read_warc_stream_matches_batch(spark, tmp_path):
+    from opencosmo_spark.pipeline.web import read_warc_stream
+    from opencosmo_spark.streaming.events import run_stream_to_memory
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "seg-00.warc").write_bytes(_archive())
+    (src / "seg-01.warc.gz").write_bytes(gzip.compress(_archive()))
+
+    stream = read_warc_stream(
+        spark, str(src), max_files_per_trigger=1
+    )
+    assert stream.isStreaming
+    got = run_stream_to_memory(stream, "warc_stream_t").toPandas()
+    want = read_warc(spark, str(src)).toPandas()
+    key = ["source_file", "record_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got[key + ["warc_type", "http_status"]].equals(
+        want[key + ["warc_type", "http_status"]]
+    )
+    assert [bytes(b) for b in got.payload] == [bytes(b) for b in want.payload]
+    # the composition: streaming WARC -> documents stays streaming
+    docs = warc_to_documents(
+        read_warc_stream(spark, str(src))
+    )
+    assert docs.isStreaming
+    out = run_stream_to_memory(docs, "warc_docs_t").toPandas()
+    assert len(out) == 4  # 2 docs x 2 segment files
