@@ -19,6 +19,7 @@ from .web import (
     warc_to_documents,
 )
 from .graph import extract_links, host_edges, pagerank
+from .report import corpus_report, dup_rate, format_dataset_card
 from .webdataset import read_tar_shards, samples_from_members, write_tar_shards
 from .classify import (
     nb_classify,
@@ -139,6 +140,9 @@ __all__ = [
     "extract_links",
     "host_edges",
     "pagerank",
+    "corpus_report",
+    "dup_rate",
+    "format_dataset_card",
     "write_tar_shards",
     "read_tar_shards",
     "samples_from_members",

@@ -1,0 +1,78 @@
+"""corpus_report vs exact pandas-computed statistics on a corpus with
+known duplication, language mix, and group structure."""
+
+import pytest
+
+from opencosmo_spark.pipeline.report import (
+    corpus_report,
+    dup_rate,
+    format_dataset_card,
+)
+
+EN = "the quick brown fox jumps over the lazy dog and runs away fast"
+FR = "le chat est sur la table et il regarde les oiseaux dans le jardin"
+DOCS = (
+    [(f"e{i}", "web", EN + f" variant {i}") for i in range(8)]
+    + [(f"f{i}", "web", FR) for i in range(3)]          # exact dups
+    + [(f"b{i}", "books", EN + f" book text {i}") for i in range(5)]
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "source", "text"])
+
+
+def test_global_report_exact_counts(spark, corpus):
+    rep = corpus_report(corpus).toPandas()
+    assert len(rep) == 1
+    r = rep.iloc[0]
+    assert r["docs"] == len(DOCS)
+    # HLL default rsd is 5% — allow +-1 at this scale
+    assert abs(r["distinct_ids"] - len(DOCS)) <= 1
+    # exact totals
+    exp_tokens = sum(len(t.split()) for _, _, t in DOCS)
+    assert r["total_tokens"] == exp_tokens
+    assert r["total_chars"] == sum(len(t) for _, _, t in DOCS)
+    assert r["total_bytes"] == sum(len(t.encode()) for _, _, t in DOCS)
+    # the 3 identical FR docs collapse in the distinct-text estimate
+    assert abs(r["approx_distinct_texts"] - (len(DOCS) - 2)) <= 1
+    assert r["lang_top"] == "en"
+    assert r["lang_top_frac"] == pytest.approx(13 / 16, abs=1e-6)
+    d = dup_rate(spark.createDataFrame(rep)).first()["dup_rate"]
+    assert d == pytest.approx(2 / 16, abs=1 / 16 + 1e-6)
+
+
+def test_grouped_report_and_quantiles(spark, corpus):
+    rep = (
+        corpus_report(corpus, group_by="source", quantiles=(0.5,))
+        .toPandas()
+        .set_index("group")
+    )
+    assert sorted(rep.index) == ["books", "web"]
+    assert rep.loc["web", "docs"] == 11
+    assert rep.loc["books", "docs"] == 5
+    assert "tokens_p50" in rep.columns
+    web_tokens = sorted(
+        len(t.split()) for _, s, t in DOCS if s == "web"
+    )
+    assert rep.loc["web", "tokens_p50"] == web_tokens[len(web_tokens) // 2]
+
+
+def test_report_without_language_or_ids(spark, corpus):
+    rep = corpus_report(
+        corpus, id_col=None, with_language=False
+    ).toPandas()
+    assert rep.iloc[0]["distinct_ids"] is None or str(
+        rep.iloc[0]["distinct_ids"]
+    ) in ("nan", "<NA>")
+    assert "lang_top" not in rep.columns
+
+
+def test_format_dataset_card(spark, corpus):
+    card = format_dataset_card(
+        corpus_report(corpus, group_by="source"), title="Test corpus"
+    )
+    assert card.startswith("# Test corpus")
+    assert "| books |" in card.replace("|books", "| books")
+    assert "docs" in card
