@@ -650,6 +650,38 @@ def q30_text_profile(spark, sf):
         )
     )
     g = g.join(lm_agg, "doc_id", "left")
+
+    # URL featurization lane (pipeline/web.py, new r7): deterministic
+    # synthetic URLs (documents has no url column) through the REAL
+    # url_features / url_suffixes operators — registered-domain
+    # heuristic incl. compound ccTLDs, path depth, and the suffix-
+    # match blocklist semantics of url_filter, all oracle-mirrored
+    from opencosmo_spark.pipeline.web import url_features, url_suffixes
+
+    tld = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("co.uk"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("org"))
+        .otherwise(F.lit("net"))
+    )
+    sub = F.when(F.col("doc_id") % 5 == 0, F.lit("www.")).otherwise(F.lit(""))
+    path = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("/a/b/"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
+    )
+    url = F.concat(
+        F.lit("https://"), sub, F.col("source"), F.lit("."), tld, path
+    )
+    blocklist = ["src3.com", "src7.co.uk", "src11.org"]
+    g = url_features(g.withColumn("url", url), "url").withColumn(
+        "u_blocked",
+        F.arrays_overlap(
+            url_suffixes("url"), F.lit(blocklist).cast("array<string>")
+        ),
+    )
     return g.select(
         "doc_id",
         length.alias("n_chars_calc"),
@@ -673,6 +705,11 @@ def q30_text_profile(spark, sf):
         ).alias("g_keep"),
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.coalesce("lp_micro_sum", F.lit(0)).alias("lp_micro_sum"),
+        F.col("url_host").alias("u_host"),
+        F.col("url_domain").alias("u_domain"),
+        F.col("url_tld").alias("u_tld"),
+        F.col("url_path_depth").alias("u_depth"),
+        "u_blocked",
     )
 
 
@@ -1776,6 +1813,18 @@ def oracle_sql() -> dict[str, str]:
                        AS g_stopword_hits
               FROM rw
             )
+            , uu AS (
+              SELECT doc_id,
+                     source || '.' ||
+                     (CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                           WHEN 2 THEN 'org' ELSE 'net' END) AS dom,
+                     (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END) AS sub,
+                     (CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'uk'
+                           WHEN 2 THEN 'org' ELSE 'net' END) AS tld,
+                     (CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 2 END)::INTEGER
+                       AS depth
+              FROM documents
+            )
             SELECT s.doc_id, s.n_chars_calc, s.n_tokens, s.avg_word_len,
                    CAST(l.score AS BIGINT) AS en_score,
                    CASE WHEN l.score >= 2 THEN 'en' ELSE 'other' END AS lang_guess,
@@ -1790,13 +1839,20 @@ def oracle_sql() -> dict[str, str]:
                     AND g.g_alpha_word_ratio >= 0.8
                     AND g.g_stopword_hits >= 1) AS g_keep,
                    COALESCE(la.n_bigrams, 0) AS n_bigrams,
-                   COALESCE(la.lp_micro_sum, 0) AS lp_micro_sum
+                   COALESCE(la.lp_micro_sum, 0) AS lp_micro_sum,
+                   u.sub || u.dom AS u_host,
+                   u.dom AS u_domain,
+                   u.tld AS u_tld,
+                   u.depth AS u_depth,
+                   u.dom IN ('src3.com', 'src7.co.uk', 'src11.org')
+                     AS u_blocked
             FROM stats s
             JOIN lang l USING (doc_id)
             JOIN qs q USING (doc_id)
             JOIN tok t USING (doc_id)
             JOIN rep r USING (doc_id)
             JOIN gq g USING (doc_id)
+            JOIN uu u USING (doc_id)
             LEFT JOIN lagg la USING (doc_id)
         """,
         "q31_dedup_fingerprint": """
