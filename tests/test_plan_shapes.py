@@ -465,3 +465,63 @@ def test_quality_classifier_score_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _explain(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_url_filter_list_path_is_pure_scan_filter(spark):
+    """A literal blocklist must stay a scan-side filter: zero
+    exchanges, zero joins, no Python evaluation."""
+    from opencosmo_spark.pipeline.web import url_filter
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "concat('https://', source, '.com/p/', doc_id) AS url"
+    )
+    plan = _explain(
+        url_filter(
+            df,
+            block_domains=["src3.com", "bad.org"],
+            block_patterns=[r"casino"],
+        )
+    )
+    n = nodes(plan)
+    assert "Exchange" not in n
+    assert not any("Join" in x for x in n)
+    assert count_in(plan, "PythonUDF") == 0
+
+
+def test_url_filter_df_blocklist_broadcasts(spark):
+    """The UT1-scale path: the blocklist side must broadcast — the
+    corpus never shuffles for the domain join, only the 8-byte-id
+    distinct + anti-join."""
+    from opencosmo_spark.pipeline.web import url_filter
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "concat('https://', source, '.com/p/', doc_id) AS url"
+    )
+    blk = spark.createDataFrame([("src3.com",), ("bad.org",)], ["domain"])
+    plan = _explain(
+        url_filter(df, block_domains=blk, id_col="doc_id")
+    )
+    assert count_in(plan, "BroadcastHashJoin") >= 1
+    assert count_in(plan, "CartesianProduct") == 0
+
+
+def test_host_edges_single_aggregation_shuffle(spark):
+    """Link extraction + host parsing fuse into the scan; the only
+    exchange is the (src, dst) count aggregation."""
+    from opencosmo_spark.pipeline.graph import host_edges
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "concat('https://', source, '.com/') AS url",
+        "concat('<a href=\"https://x.org/', doc_id, '\">l</a>') AS text",
+    )
+    plan = _explain(host_edges(df))
+    n = nodes(plan)
+    assert n.count("Exchange") == 1
+    assert count_in(plan, "PythonUDF") == 0

@@ -485,3 +485,40 @@ def test_decoders_never_raise_on_magic_prefixed_garbage(tail, magic):
     if w is not None:
         samples, rate = w
         assert rate > 0 and samples.dtype == np.float32
+
+
+# --- WARC framing round-trip (pipeline/web.py) -----------------------------
+
+_warc_payloads = st.binary(min_size=0, max_size=300)
+_warc_types = st.sampled_from(["response", "request", "conversion", "metadata"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_warc_types, _warc_payloads), min_size=1, max_size=8
+    ),
+    st.booleans(),
+)
+def test_warc_roundtrip_property(records, as_gzip):
+    """serialize -> parse recovers every record's type and exact
+    payload bytes, regardless of payload content (including payloads
+    embedding record-boundary byte sequences) and gzip framing."""
+    import gzip as _gzip
+
+    from opencosmo_spark.pipeline.web import parse_warc_records
+
+    blob = b""
+    for i, (rtype, payload) in enumerate(records):
+        blob += (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: " + rtype.encode() + b"\r\n"
+            b"WARC-Record-ID: <urn:uuid:" + str(i).encode() + b">\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+            b"\r\n" + payload + b"\r\n\r\n"
+        )
+    data = _gzip.compress(blob) if as_gzip else blob
+    got = parse_warc_records(data)
+    assert [(r["warc_type"], r["payload"]) for r in got] == [
+        (t, p) for t, p in records
+    ]
