@@ -36,3 +36,19 @@ def test_curation_pipeline_example_runs():
     assert "classifier:" in out.stdout
     assert "bm25 top-5:" in out.stdout
     assert "incremental batch:" in out.stdout
+
+
+def test_web_pipeline_example_runs(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "examples/web_pipeline.py", str(tmp_path)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ingested docs: 24" in out.stdout
+    assert "'url_gate': 16" in out.stdout
+    assert "# Example web corpus" in out.stdout
+    assert "top host:" in out.stdout
+    assert "wrote shards: [(0, 8), (1, 8)]" in out.stdout
