@@ -19,6 +19,7 @@ from .web import (
     warc_to_documents,
 )
 from .graph import extract_links, host_edges, pagerank
+from .dsir import dsir_resample, dsir_weights, train_dsir_model
 from .report import corpus_report, dup_rate, format_dataset_card
 from .webdataset import read_tar_shards, samples_from_members, write_tar_shards
 from .classify import (
@@ -140,6 +141,9 @@ __all__ = [
     "extract_links",
     "host_edges",
     "pagerank",
+    "train_dsir_model",
+    "dsir_weights",
+    "dsir_resample",
     "corpus_report",
     "dup_rate",
     "format_dataset_card",
