@@ -61,6 +61,8 @@ def curate_corpus(
     mix: dict[str, float] | None = None,
     mix_col: str | None = None,
     mix_alpha: float | None = None,
+    dsir_target_df: DataFrame | None = None,
+    dsir_buckets: int = 10_000,
     mix_target_frac: float = 0.5,
     importance_col: str | None = None,
     n_shards: int | None = None,
@@ -115,19 +117,23 @@ def curate_corpus(
        already small.
     7. training mix: per-stratum deterministic downsample — explicit
        ``mix`` rates, ``mix_alpha`` to derive temperature-based
-       rates from the surviving group counts, or ``importance_col``
-       for quality-proportional selection (all against
-       ``mix_target_frac`` of the corpus).
+       rates from the surviving group counts, ``importance_col``
+       for quality-proportional selection, or ``dsir_target_df``
+       for DSIR domain matching against a target corpus (all
+       against ``mix_target_frac`` of the corpus).
     8. shard assignment (``n_shards``): adds shard / shard_pos.
     """
     chosen = [
-        x for x in (mix, mix_alpha, importance_col) if x is not None
+        x
+        for x in (mix, mix_alpha, importance_col, dsir_target_df)
+        if x is not None
     ]
     if len(chosen) > 1:
         raise ValueError(
             "pass exactly ONE of mix (explicit rates), mix_alpha "
-            "(temperature-derived rates), or importance_col "
-            "(quality-proportional) — the combination is ambiguous"
+            "(temperature-derived rates), importance_col "
+            "(quality-proportional), or dsir_target_df (DSIR domain "
+            "matching) — the combination is ambiguous"
         )
     if max_dup_span_frac is not None and remove_dup_spans:
         raise ValueError(
@@ -334,6 +340,27 @@ def curate_corpus(
                 out, importance_col, target_frac=mix_target_frac,
                 id_col=id_col,
             ),
+        )
+    elif dsir_target_df is not None:
+        # DSIR domain matching (Xie et al. 2023): weight the
+        # SURVIVORS toward the target domain, raw model trained on
+        # the survivors themselves (the paper's raw pool = what the
+        # sampler actually draws from)
+        from .dsir import dsir_resample, train_dsir_model
+
+        tm = train_dsir_model(
+            dsir_target_df, text_col=text_col, id_col=id_col,
+            n_buckets=dsir_buckets,
+        )
+        rm = train_dsir_model(
+            out, text_col=text_col, id_col=id_col, n_buckets=dsir_buckets
+        )
+        out = mark(
+            "mix",
+            dsir_resample(
+                out, tm, rm, target_frac=mix_target_frac,
+                text_col=text_col, id_col=id_col,
+            ).drop("log_weight"),
         )
 
     if n_shards:

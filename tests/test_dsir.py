@@ -127,3 +127,28 @@ def test_empty_text_gets_zero_log_weight(spark, frames):
     }
     assert got[0] == 0.0
     assert got[1] == 0.0  # same model both sides -> ratio 1 everywhere
+
+
+def test_curate_corpus_dsir_stage(spark, frames):
+    from opencosmo_spark.pipeline import curate_corpus
+
+    target, raw = frames
+    curated, counts = curate_corpus(
+        raw,
+        min_quality=0.0,
+        min_tokens=2,
+        dsir_target_df=target,
+        dsir_buckets=B,
+        mix_target_frac=0.5,
+    )
+    ids = {r["doc_id"] for r in curated.collect()}
+    assert counts["mix"] == len(ids)
+    assert ids and ids <= {0, 1, 2}  # only target-domain docs survive
+    assert "log_weight" not in curated.columns
+    # mutually exclusive with the other mix modes
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly ONE"):
+        curate_corpus(
+            raw, dsir_target_df=target, mix_alpha=0.7, mix_col="text"
+        )
