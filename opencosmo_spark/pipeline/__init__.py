@@ -59,6 +59,7 @@ from .dedup import (
     simhash,
 )
 from .sample import (
+    plan_mixture,
     deterministic_sample,
     importance_sample,
     stratified_sample,
@@ -165,6 +166,7 @@ __all__ = [
     "stratified_sample",
     "temperature_mixture_rates",
     "temperature_sample",
+    "plan_mixture",
     "incremental_dedup",
     "release_cached",
     "write_dedup_index",

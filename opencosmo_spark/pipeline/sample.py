@@ -253,3 +253,74 @@ def importance_sample(
     accept = F.least(F.lit(1.0), w * F.lit(s))
     lane_u = _lane(key).cast("double") / F.lit(float(2**60))
     return df.filter(w > 0).filter(lane_u < accept)
+
+
+def plan_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    max_epochs: float = 1.0,
+) -> dict:
+    """Token-budget mixture planning — the arithmetic every published
+    mix runs before sampling (the Pile's epoch table, LLaMA's
+    sampling-proportion table): given target mixture ``weights`` per
+    domain and a total ``budget_tokens``, compute per-domain document
+    sampling RATES from the domain's actual token inventory.
+
+    A domain whose share of the budget exceeds its inventory needs
+    ``epochs`` > 1 (repeat passes); rates are capped at ``max_epochs``
+    and the shortfall is reported rather than silently reassigned —
+    deciding where under-inventory mass goes is a recipe choice, not
+    this function's.
+
+    One aggregation job (per-domain doc/token counts); everything
+    else is driver arithmetic. Returns ``{"rates": {domain: rate},
+    "epochs": {domain: e}, "tokens_planned": {domain: n},
+    "shortfall_tokens": {domain: n}, "inventory": {domain:
+    (docs, tokens)}}`` — feed ``rates`` (clamped to 1.0) to
+    ``stratified_sample``; domains with rate > 1 repeat the corpus
+    floor(e) times plus a sampled remainder pass.
+    """
+    from .text import token_count
+
+    if not weights:
+        raise ValueError("weights must name at least one domain")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+
+    inv_rows = (
+        df.filter(F.col(stratum_col).isin(*weights.keys()))
+        .groupBy(stratum_col)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(token_count(F.col(text_col))).alias("tokens"),
+        )
+        .collect()
+    )
+    inventory = {r[stratum_col]: (r["docs"], r["tokens"]) for r in inv_rows}
+    missing = sorted(set(weights) - set(inventory))
+    if missing:
+        raise ValueError(
+            f"domains {missing} have no rows in {stratum_col!r}"
+        )
+
+    rates, epochs, planned, shortfall = {}, {}, {}, {}
+    for dom, w in weights.items():
+        docs, toks = inventory[dom]
+        want = budget_tokens * (w / wsum)
+        e = want / toks if toks else float("inf")
+        capped = min(e, max_epochs)
+        epochs[dom] = round(e, 6)
+        rates[dom] = round(capped, 6)
+        planned[dom] = int(round(min(want, capped * toks)))
+        shortfall[dom] = int(round(max(0.0, want - capped * toks)))
+    return {
+        "rates": rates,
+        "epochs": epochs,
+        "tokens_planned": planned,
+        "shortfall_tokens": shortfall,
+        "inventory": inventory,
+    }

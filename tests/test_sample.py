@@ -57,3 +57,52 @@ def test_sample_filter_is_pushable(docs):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_plan_mixture_exact_arithmetic(spark):
+    from opencosmo_spark.pipeline.sample import plan_mixture
+
+    rows = (
+        [(f"w{i}", "web", "tok " * 99 + "tok") for i in range(10)]     # 1000 tok
+        + [(f"b{i}", "books", "tok " * 49 + "tok") for i in range(4)]  # 200 tok
+        + [(f"c{i}", "code", "tok " * 9 + "tok") for i in range(5)]    # 50 tok
+        + [(f"x{i}", "junk", "noise") for i in range(3)]               # excluded
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    plan = plan_mixture(
+        df,
+        weights={"web": 0.6, "books": 0.2, "code": 0.2},
+        budget_tokens=500,
+        max_epochs=2.0,
+    )
+    assert plan["inventory"] == {
+        "web": (10, 1000), "books": (4, 200), "code": (5, 50)
+    }
+    # web wants 300 of 1000 -> rate 0.3; books 100 of 200 -> 0.5;
+    # code wants 100 of 50 -> 2 epochs (at the cap), no shortfall
+    assert plan["rates"] == {"web": 0.3, "books": 0.5, "code": 2.0}
+    assert plan["epochs"]["code"] == 2.0
+    assert plan["shortfall_tokens"] == {"web": 0, "books": 0, "code": 0}
+    assert plan["tokens_planned"] == {"web": 300, "books": 100, "code": 100}
+    # cap below need -> shortfall reported, not reassigned
+    plan2 = plan_mixture(
+        df,
+        weights={"web": 0.6, "books": 0.2, "code": 0.2},
+        budget_tokens=500,
+        max_epochs=1.0,
+    )
+    assert plan2["rates"]["code"] == 1.0
+    assert plan2["shortfall_tokens"]["code"] == 50
+    # the handoff: rates (clamped) drive stratified_sample
+    from opencosmo_spark.pipeline.sample import stratified_sample
+
+    clamped = {k: min(1.0, v) for k, v in plan["rates"].items()}
+    kept = stratified_sample(df, clamped, "source").count()
+    assert 0 < kept < len(rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no rows"):
+        plan_mixture(df, weights={"absent": 1.0}, budget_tokens=10)
+    with _pytest.raises(ValueError, match="at least one"):
+        plan_mixture(df, weights={}, budget_tokens=10)
