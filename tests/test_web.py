@@ -300,3 +300,26 @@ def test_read_warc_stream_matches_batch(spark, tmp_path):
     assert docs.isStreaming
     out = run_stream_to_memory(docs, "warc_docs_t").toPandas()
     assert len(out) == 4  # 2 docs x 2 segment files
+
+
+def test_url_filter_applies_to_streams(spark, tmp_path):
+    """The list-path URL gate is a pure scan filter, so it must
+    compose with the streaming WARC reader unchanged."""
+    from opencosmo_spark.pipeline.web import read_warc_stream, url_filter
+    from opencosmo_spark.streaming.events import run_stream_to_memory
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "seg.warc").write_bytes(_archive())
+    docs = warc_to_documents(read_warc_stream(spark, str(src)))
+    gated = url_filter(docs, block_domains=["example.com"])
+    assert gated.isStreaming
+    out = run_stream_to_memory(gated, "url_gate_stream_t").toPandas()
+    assert len(out) == 0  # both surviving docs are on example.com
+    allow = url_filter(
+        docs,
+        block_domains=["example.com"],
+        allow_domains=["example.com"],
+    )
+    out2 = run_stream_to_memory(allow, "url_gate_stream_t2").toPandas()
+    assert len(out2) == 2
