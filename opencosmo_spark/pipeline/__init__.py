@@ -20,6 +20,7 @@ from .web import (
 )
 from .graph import extract_links, host_edges, pagerank
 from .dsir import dsir_resample, dsir_weights, train_dsir_model
+from .jsonl import read_jsonl, write_jsonl
 from .report import corpus_report, dup_rate, format_dataset_card
 from .webdataset import read_tar_shards, samples_from_members, write_tar_shards
 from .classify import (
@@ -145,6 +146,8 @@ __all__ = [
     "train_dsir_model",
     "dsir_weights",
     "dsir_resample",
+    "read_jsonl",
+    "write_jsonl",
     "corpus_report",
     "dup_rate",
     "format_dataset_card",
