@@ -60,6 +60,7 @@ from .dedup import (
     simhash,
 )
 from .sample import (
+    cap_per_group,
     plan_mixture,
     deterministic_sample,
     importance_sample,
@@ -170,6 +171,7 @@ __all__ = [
     "temperature_mixture_rates",
     "temperature_sample",
     "plan_mixture",
+    "cap_per_group",
     "incremental_dedup",
     "release_cached",
     "write_dedup_index",

@@ -45,6 +45,7 @@ def curate_corpus(
     url_block_domains=None,
     url_allow_domains=None,
     url_block_patterns=None,
+    cap_per_domain: int | None = None,
     gopher: bool | dict = False,
     c4_lines: bool = False,
     ppl_model: dict | None = None,
@@ -80,6 +81,10 @@ def curate_corpus(
        ``url_allow_domains`` exempts) — the first stage of every
        published web recipe (C4 §2.2, RefinedWeb §3.1). Runs before
        everything: it is the cheapest signal and needs no text.
+    0b. per-domain cap (``cap_per_domain``): keep at most N documents
+       per registered domain of ``url_col`` — the anti-domination
+       rule (RefinedWeb/FineWeb). Deterministic smallest-lane
+       survivors; one ranking window.
     1. quality gate: ``quality_score >= min_quality`` and
        ``token_count >= min_tokens`` — row-local, pushable.
     1b. Gopher rules (``gopher=True`` or a dict of threshold
@@ -192,6 +197,26 @@ def curate_corpus(
                 allow_domains=url_allow_domains,
                 block_patterns=url_block_patterns,
                 id_col=id_col,
+            ),
+        )
+
+    if cap_per_domain is not None:
+        if url_col not in out.columns:
+            raise ValueError(
+                f"cap_per_domain given but column {url_col!r} is not in "
+                f"the input"
+            )
+        from .sample import cap_per_group
+        from .web import url_features
+
+        feat = url_features(out, url_col=url_col, prefix="__cap_")
+        out = mark(
+            "domain_cap",
+            cap_per_group(
+                feat, "__cap_domain", cap_per_domain, id_col=id_col
+            ).drop(
+                "__cap_host", "__cap_domain", "__cap_tld",
+                "__cap_path_depth", "__cap_is_ip",
             ),
         )
 

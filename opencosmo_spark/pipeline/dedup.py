@@ -10,6 +10,7 @@ size, not corpus²); only candidates pay the exact-Jaccard verify.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, functions as F
+from pyspark.sql import types as T
 
 
 def md5_lane(c, hex_digits: int = 15) -> F.Column:
@@ -823,9 +824,9 @@ def connected_components(
     every node, cluster_id = the smallest id reachable through the
     pair graph (isolated nodes keep their own id) — the dedup endgame:
     candidate pairs -> groups -> keep ``cluster_id == id`` as the
-    canonical survivor. Node ids must be numeric (the convergence
-    check sums labels as decimal; string ids would need a rank
-    pre-pass).
+    canonical survivor. Numeric AND string ids both work (string
+    cluster ids are the lexicographic minimum; their convergence
+    check sums a 64-bit label hash — the star path's checksum idiom).
 
     Two algorithms:
 
@@ -872,6 +873,22 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("__node"), F.col(id_col).alias("__label")
     ).localCheckpoint(eager=True)
+    # convergence metric: numeric labels sum exactly; non-numeric
+    # (string) ids sum a 64-bit hash instead — the same
+    # consecutive-equal-checksum idiom the star path uses, since
+    # "unchanged sum while labels changed" needs a hash-sum collision
+    numeric_ids = isinstance(
+        labels.schema["__label"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType),
+    )
+
+    def _conv_metric():
+        lbl = F.col("__label")
+        return F.sum(
+            (lbl if numeric_ids else F.xxhash64(lbl)).cast("decimal(38,0)")
+        ).alias("s")
+
     prev_sum = None
     converged = False
     for _ in range(max_iterations):
@@ -893,7 +910,7 @@ def connected_components(
                 ).alias("__label"),
             )
             .observe(
-                obs, F.sum(F.col("__label").cast("decimal(38,0)")).alias("s")
+                obs, _conv_metric()
             )
             .localCheckpoint(eager=True)
         )

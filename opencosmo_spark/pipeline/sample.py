@@ -324,3 +324,36 @@ def plan_mixture(
         "shortfall_tokens": shortfall,
         "inventory": inventory,
     }
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col,
+    max_n: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``max_n`` rows per group — the anti-domination
+    rule of the published web recipes (RefinedWeb/FineWeb cap pages
+    per domain so no single host floods the mix). Which rows survive
+    is DETERMINISTIC: the ``max_n`` smallest md5 lanes (a uniform
+    random-but-reproducible choice), ties broken by id.
+
+    One shuffle (the per-group ranking window). Groups are domains or
+    sources — many and small by construction; a window partition is
+    one group, so no partition outgrows an executor. ``group_col``
+    may be a column name or an expression (e.g.
+    ``url_features``'s registered domain).
+    """
+    from pyspark.sql import Window
+
+    if max_n <= 0:
+        raise ValueError("max_n must be positive")
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    lane = _lane(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(g).orderBy(lane, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(max_n))
+        .drop("__rn")
+    )

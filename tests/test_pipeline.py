@@ -293,6 +293,31 @@ def test_connected_components_chain_and_isolated(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_connected_components_string_ids(spark):
+    """String doc ids (the JSONL convention) must work end-to-end:
+    cluster_id = lexicographic minimum, convergence via the label-hash
+    checksum instead of the numeric label sum."""
+    from opencosmo_spark.pipeline.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"a": ["d1", "d2", "d3", "x1"],
+                      "b": ["d2", "d3", "d4", "x2"]})
+    )
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["d1", "d2", "d3", "d4", "x1", "x2", "z9"]})
+    )
+    out = (
+        connected_components(edges, nodes, id_col="doc_id")
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+        .to_dict()
+    )
+    assert out == {
+        "d1": "d1", "d2": "d1", "d3": "d1", "d4": "d1",
+        "x1": "x1", "x2": "x1", "z9": "z9",
+    }
+
+
 def test_star_components_high_diameter_chain(spark):
     """Large-star/small-star must label a diameter-400 path graph in
     O(log n) rounds — far under a round budget the min-label loop

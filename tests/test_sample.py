@@ -106,3 +106,57 @@ def test_plan_mixture_exact_arithmetic(spark):
         plan_mixture(df, weights={"absent": 1.0}, budget_tokens=10)
     with _pytest.raises(ValueError, match="at least one"):
         plan_mixture(df, weights={}, budget_tokens=10)
+
+
+def test_cap_per_group_deterministic(spark):
+    from opencosmo_spark.pipeline.sample import cap_per_group
+
+    rows = [(f"d{i:02d}", f"g{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    a = cap_per_group(df, "grp", 4).toPandas()
+    assert a.groupby("grp").size().tolist() == [4, 4, 4]
+    b = cap_per_group(df, "grp", 4).toPandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)  # reproducible
+    # under-cap groups keep everything
+    small = cap_per_group(df, "grp", 100).count()
+    assert small == 30
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        cap_per_group(df, "grp", 0)
+
+
+def test_curate_corpus_domain_cap(spark):
+    from opencosmo_spark.pipeline import curate_corpus
+
+    rows = [
+        (
+            f"d{i:02d}",
+            f"https://{'big' if i < 12 else 'small'}.example.com/p/{i}",
+            f"Perfectly ordinary document text number {i} for the gate.",
+        )
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    curated, counts = curate_corpus(
+        df, min_quality=0.0, min_tokens=2, cap_per_domain=5
+    )
+    out = curated.toPandas()
+    # big./small. are SUBDOMAINS of example.com: the cap groups by
+    # REGISTERED domain, so they cap as ONE domain of 16 -> 5 survive
+    assert counts["domain_cap"] == 5
+    assert len(out) == 5
+    # distinct registered domains cap independently
+    rows2 = [
+        (f"e{i:02d}", f"https://site{i % 4}.org/p/{i}", "Doc text here ok.")
+        for i in range(16)
+    ]
+    df2 = spark.createDataFrame(rows2, ["doc_id", "url", "text"])
+    _, counts2 = curate_corpus(
+        df2, min_quality=0.0, min_tokens=2, cap_per_domain=2
+    )
+    assert counts2["domain_cap"] == 8  # 4 domains x cap 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="url"):
+        curate_corpus(df2.drop("url"), cap_per_domain=2, min_quality=0.0)
