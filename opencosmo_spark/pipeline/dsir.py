@@ -13,8 +13,10 @@ Scale shape: both feature models are COUNT TABLES (bucket ->
 probability), never driver objects — the lm.py discipline. Scoring is
 one explode + one join against the (tiny: ``n_buckets`` rows,
 broadcast by AQE) model table and a per-doc sum; training is one
-aggregation per corpus. Feature hashing uses the md5 lane so a python
-twin can reproduce weights bit-for-bit in tests.
+aggregation per corpus. Feature hashing defaults to xxhash64 (the
+scale path); ``hasher="md5"`` switches to the md5 lane, which the
+python-twin tests reproduce bit-for-bit — the same two-speed
+discipline as ``minhash_signatures``.
 """
 
 from __future__ import annotations
@@ -28,11 +30,15 @@ from .text import words_expr
 
 
 def _feature_frame(
-    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """(id, bucket, c) — hashed unigram+bigram counts per document.
-    Buckets are ``md5_lane(feature) % n_buckets``; bigram features are
-    the two words joined by a space (distinct from any unigram)."""
+    Buckets are ``hash(feature) % n_buckets``; bigram features are
+    the two words joined by a space (distinct from any unigram).
+    ``hasher="xxhash64"`` (default) is the scale path (~2x faster);
+    ``"md5"`` is bit-reproducible in the python twin / any SQL
+    engine — the minhash_signatures discipline."""
     words = words_expr(text_col)
     n = F.size(words)
     bigrams = F.zip_with(
@@ -45,9 +51,12 @@ def _feature_frame(
         df.select(F.col(id_col), F.explode(feats).alias("__f"))
         .select(
             id_col,
-            F.pmod(md5_lane(F.col("__f")), F.lit(int(n_buckets))).alias(
-                "bucket"
-            ),
+            F.pmod(
+                md5_lane(F.col("__f"))
+                if hasher == "md5"
+                else F.xxhash64(F.col("__f")),
+                F.lit(int(n_buckets)),
+            ).alias("bucket"),
         )
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -60,6 +69,7 @@ def train_dsir_model(
     id_col: str = "doc_id",
     n_buckets: int = 10_000,
     alpha: float = 1.0,
+    hasher: str = "xxhash64",
 ) -> dict:
     """Multinomial feature model of a corpus: ``{"probs": (bucket,
     logp), "n_buckets", "alpha", "total"}``. Add-alpha smoothed over
@@ -67,8 +77,10 @@ def train_dsir_model(
     — the table holds only OBSERVED buckets plus that floor as a
     driver scalar. One aggregation pass; the table is at most
     ``n_buckets`` rows."""
+    if hasher not in ("xxhash64", "md5"):
+        raise ValueError(f"hasher must be 'xxhash64' or 'md5', got {hasher!r}")
     counts = (
-        _feature_frame(df, text_col, id_col, n_buckets)
+        _feature_frame(df, text_col, id_col, n_buckets, hasher)
         .groupBy("bucket")
         .agg(F.sum("c").alias("n"))
     )
@@ -81,6 +93,7 @@ def train_dsir_model(
     return {
         "probs": probs,
         "n_buckets": int(n_buckets),
+        "hasher": hasher,
         "alpha": float(alpha),
         "floor_logp": math.log(alpha / denom),
         "total": int(total),
@@ -107,10 +120,34 @@ def dsir_weights(
             "target and raw models use different n_buckets — retrain "
             "with a shared feature space"
         )
-    feats = _feature_frame(df, text_col, id_col, target_model["n_buckets"])
+    if target_model.get("hasher", "md5") != raw_model.get("hasher", "md5"):
+        raise ValueError(
+            "target and raw models use different hashers — retrain "
+            "with a shared feature space"
+        )
+    scored = _score_frame(df, target_model, raw_model, text_col, id_col)
+    return df.join(scored, id_col, "left").withColumn(
+        "log_weight", F.coalesce("log_weight", F.lit(0.0))
+    )
+
+
+def _score_frame(
+    df: DataFrame,
+    target_model: dict,
+    raw_model: dict,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Narrow (id, log_weight) frame — the expensive featurization +
+    model joins, WITHOUT the corpus columns. ``dsir_resample`` persists
+    this so the solve never re-runs the explode."""
+    feats = _feature_frame(
+        df, text_col, id_col, target_model["n_buckets"],
+        target_model.get("hasher", "md5"),
+    )
     t = target_model["probs"].withColumnRenamed("logp", "__lt")
     r = raw_model["probs"].withColumnRenamed("logp", "__lr")
-    scored = (
+    return (
         feats.join(t, "bucket", "left")
         .join(r, "bucket", "left")
         .select(
@@ -128,9 +165,6 @@ def dsir_weights(
         .groupBy(id_col)
         .agg(F.sum("__lw").alias("log_weight"))
     )
-    return df.join(scored, id_col, "left").withColumn(
-        "log_weight", F.coalesce("log_weight", F.lit(0.0))
-    )
 
 
 def dsir_resample(
@@ -147,17 +181,37 @@ def dsir_resample(
     proportional to the weight (``importance_sample``'s budget
     solver). Weights are stabilized as ``exp(log_weight - max)``
     (one tiny aggregate) before the solve, so extreme ratios can't
-    overflow. Returns the surviving rows with ``log_weight``."""
+    overflow. Returns the surviving rows with ``log_weight``.
+
+    The corpus pays the featurization explode exactly ONCE: the
+    narrow (id, log_weight) score frame is persisted, the max /
+    budget-solve / acceptance all run against it, and the surviving
+    ids join back to the corpus at the end."""
+    from pyspark import StorageLevel
+
     from .sample import importance_sample
 
-    weighted = dsir_weights(
-        df, target_model, raw_model, text_col=text_col, id_col=id_col
-    )
-    mx = weighted.agg(F.max("log_weight")).first()[0] or 0.0
-    weighted = weighted.withColumn(
-        "__w", F.exp(F.col("log_weight") - F.lit(float(mx)))
-    )
-    out = importance_sample(
-        weighted, "__w", target_frac, id_col=id_col, salt=salt
-    )
-    return out.drop("__w")
+    scores = _score_frame(
+        df, target_model, raw_model, text_col, id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        mx = scores.agg(F.max("log_weight")).first()[0] or 0.0
+        weighted = scores.withColumn(
+            "__w", F.exp(F.col("log_weight") - F.lit(float(mx)))
+        )
+        # the surviving (id, log_weight) set is narrow — materialize
+        # it eagerly so the explode lineage is fully consumed before
+        # the unpersist, and the returned plan is corpus ⋈ small-ids
+        # (swap localCheckpoint for checkpoint on a cluster)
+        kept = (
+            importance_sample(
+                weighted, "__w", target_frac, id_col=id_col, salt=salt
+            )
+            .drop("__w")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        scores.unpersist()
+    # docs with no features never enter the score frame; a
+    # featureless doc cannot be importance-selected, so inner join
+    return df.join(kept, id_col, "inner")

@@ -72,8 +72,8 @@ def frames(spark):
 
 def test_dsir_weights_match_python_twin(spark, frames):
     target, raw = frames
-    tm = train_dsir_model(target, n_buckets=B)
-    rm = train_dsir_model(raw, n_buckets=B)
+    tm = train_dsir_model(target, n_buckets=B, hasher="md5")
+    rm = train_dsir_model(raw, n_buckets=B, hasher="md5")
     got = {
         r["doc_id"]: r["log_weight"]
         for r in dsir_weights(raw, tm, rm).collect()
