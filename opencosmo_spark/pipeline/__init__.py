@@ -62,6 +62,7 @@ from .dedup import (
 from .sample import (
     cap_per_group,
     plan_mixture,
+    split_corpus,
     deterministic_sample,
     importance_sample,
     stratified_sample,
@@ -172,6 +173,7 @@ __all__ = [
     "temperature_sample",
     "plan_mixture",
     "cap_per_group",
+    "split_corpus",
     "incremental_dedup",
     "release_cached",
     "write_dedup_index",

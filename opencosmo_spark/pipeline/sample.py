@@ -357,3 +357,43 @@ def cap_per_group(
         .filter(F.col("__rn") <= int(max_n))
         .drop("__rn")
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    fracs: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> dict[str, DataFrame]:
+    """Deterministic disjoint corpus splits (train/val/test): each row
+    lands in exactly one named split by its hash lane, so the split is
+    reproducible across runs, engines, and partitionings, and adding
+    rows later never moves an existing row between splits (the
+    property a random split breaks and eval integrity needs).
+
+    ``fracs`` must sum to 1 (±1e-9) — make the residual explicit
+    (e.g. ``{"train": 0.98, "val": 0.01, "test": 0.01}``). Each
+    returned DataFrame is a pushable scan filter on the parent.
+    """
+    if not fracs:
+        raise ValueError("fracs must name at least one split")
+    total = float(sum(fracs.values()))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"fracs must sum to 1 (got {total}) — assign the residual "
+            f"explicitly so no rows vanish silently"
+        )
+    if any(v < 0 for v in fracs.values()):
+        raise ValueError("fracs must be non-negative")
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    lane = _lane(key)
+    out: dict[str, DataFrame] = {}
+    lo = 0.0
+    items = list(fracs.items())
+    for i, (name, frac) in enumerate(items):
+        hi = 1.0 if i == len(items) - 1 else lo + frac
+        lo_b = F.lit(int(lo * _SCALE)).cast("decimal(38,0)")
+        hi_b = F.lit(int(hi * _SCALE)).cast("decimal(38,0)")
+        out[name] = df.filter((lane >= lo_b) & (lane < hi_b))
+        lo = hi
+    return out

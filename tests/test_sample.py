@@ -160,3 +160,42 @@ def test_curate_corpus_domain_cap(spark):
 
     with _pytest.raises(ValueError, match="url"):
         curate_corpus(df2.drop("url"), cap_per_domain=2, min_quality=0.0)
+
+
+def test_split_corpus_partition_properties(spark):
+    from opencosmo_spark.pipeline.sample import split_corpus
+
+    df = spark.createDataFrame(
+        [(f"d{i:04d}",) for i in range(2000)], ["doc_id"]
+    )
+    splits = split_corpus(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    parts = {k: set(r.doc_id for r in v.collect()) for k, v in splits.items()}
+    # disjoint and exhaustive
+    all_ids = set.union(*parts.values())
+    assert len(all_ids) == 2000
+    assert sum(len(p) for p in parts.values()) == 2000
+    # approximate proportions (hash uniformity)
+    assert 1500 < len(parts["train"]) < 1700
+    assert 150 < len(parts["val"]) < 250
+    # deterministic + stable under corpus growth: the original rows
+    # keep their split when new rows arrive
+    grown = df.union(
+        spark.createDataFrame([(f"x{i}",) for i in range(500)], ["doc_id"])
+    )
+    parts2 = {
+        k: set(r.doc_id for r in v.collect())
+        for k, v in split_corpus(
+            grown, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).items()
+    }
+    for k in parts:
+        assert parts[k] == {i for i in parts2[k] if i.startswith("d")}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(df, {"train": 0.5, "val": 0.1})
+    with _pytest.raises(ValueError, match="at least one"):
+        split_corpus(df, {})
