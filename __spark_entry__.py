@@ -1006,7 +1006,22 @@ def q50_stratified_sample(spark, sf):
     out = stratified_sample(
         li, {"A": 0.5, "N": 0.1, "R": 0.25}, "l_returnflag", id_col="k"
     )
-    return out.select("l_orderkey", "l_linenumber", "l_returnflag")
+    # split lane (new r7): the REAL split_corpus operator labels each
+    # surviving row with its deterministic train/val/test membership —
+    # disjoint lane ranges, oracle-mirrored with the same integer
+    # boundaries
+    from opencosmo_spark.pipeline.sample import split_corpus
+
+    splits = split_corpus(
+        out, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="k"
+    )
+    labeled = None
+    for name, part in splits.items():
+        lab = part.withColumn("split", F.lit(name))
+        labeled = lab if labeled is None else labeled.unionByName(lab)
+    return labeled.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "split"
+    )
 
 
 def q51_tpch_q3(spark, sf):
@@ -2082,7 +2097,18 @@ def oracle_sql() -> dict[str, str]:
                       ), 1, 15))::BIGINT AS lane
               FROM lineitem
             )
-            SELECT l_orderkey, l_linenumber, l_returnflag FROM t
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   CASE WHEN ('0x' || substring(md5(
+                          CAST(l_orderkey*10 + l_linenumber AS VARCHAR)
+                          || ':split'), 1, 15))::BIGINT
+                          < {int(0.8 * (1 << 60))} THEN 'train'
+                        WHEN ('0x' || substring(md5(
+                          CAST(l_orderkey*10 + l_linenumber AS VARCHAR)
+                          || ':split'), 1, 15))::BIGINT
+                          < {int((0.8 + 0.1) * (1 << 60))}
+                          THEN 'val'
+                        ELSE 'test' END AS split
+            FROM t
             WHERE lane < CASE l_returnflag
                            WHEN 'A' THEN {int(0.5 * (1 << 60))}
                            WHEN 'N' THEN {int(0.1 * (1 << 60))}
