@@ -30,7 +30,7 @@ from .classify import (
     quality_classifier_score,
     train_quality_classifier,
 )
-from .clean import c4_clean, gopher_quality_flags
+from .clean import c4_clean, gopher_quality_flags, normalize_text
 from .curate import curate_corpus
 from .drift import psi_report
 from .embed import pca_project, pca_project_expr, pca_train
@@ -187,6 +187,7 @@ __all__ = [
     "psi_report",
     "gopher_quality_flags",
     "c4_clean",
+    "normalize_text",
     "train_bigram_lm",
     "perplexity_score",
     "perplexity_buckets",

@@ -202,3 +202,43 @@ def c4_clean(
         & F.col("c4_ok_no_brace")
         & F.col("c4_ok_no_badword"),
     )
+
+
+def normalize_text(col) -> Column:
+    """Unicode normalization for crawled text — the deterministic
+    subset of the ftfy-style cleanup the published recipes run before
+    hashing (dedup keys must not split on a curly quote):
+
+    - curly single/double quotes and primes -> ASCII quotes,
+    - en/em/horizontal-bar dashes and the minus sign -> ``-``,
+    - ellipsis character -> ``...``,
+    - NBSP / thin / narrow / figure spaces -> plain space,
+    - zero-width characters, BOM, soft hyphen removed,
+    - C0/C1 control characters (except tab/newline) removed,
+    - horizontal whitespace runs collapsed, edges trimmed.
+
+    Pure JVM (``translate`` + ``regexp_replace``): scan-fused, safe
+    on any column, idempotent. NOT a full NFKC pass — ligature and
+    width folding change token identity and are a tokenizer decision;
+    this fixes only the characters that are noise in every convention.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    quotes_src = "\u2018\u2019\u201a\u201b\u2032"  # single + prime
+    dquotes_src = "\u201c\u201d\u201e\u201f\u2033"  # double + prime
+    dashes_src = "\u2013\u2014\u2015\u2212"          # en/em/bar/minus
+    spaces_src = "\u00a0\u2009\u202f\u2007"          # nbsp/thin/narrow/figure
+    c = F.translate(
+        c,
+        quotes_src + dquotes_src + dashes_src + spaces_src,
+        "\'" * 5 + '"' * 5 + "-" * 4 + " " * 4,
+    )
+    c = F.regexp_replace(c, "\u2026", "...")
+    # zero-width/BOM/soft-hyphen + C0/C1 controls (tab/newline survive)
+    c = F.regexp_replace(
+        c,
+        "[\u200b\u200c\u200d\ufeff\u00ad]"
+        "|[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]",
+        "",
+    )
+    c = F.regexp_replace(c, "[ \t]+", " ")
+    return F.trim(c)

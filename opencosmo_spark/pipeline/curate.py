@@ -46,6 +46,7 @@ def curate_corpus(
     url_allow_domains=None,
     url_block_patterns=None,
     cap_per_domain: int | None = None,
+    normalize_unicode: bool = False,
     gopher: bool | dict = False,
     c4_lines: bool = False,
     ppl_model: dict | None = None,
@@ -85,6 +86,10 @@ def curate_corpus(
        per registered domain of ``url_col`` — the anti-domination
        rule (RefinedWeb/FineWeb). Deterministic smallest-lane
        survivors; one ranking window.
+    0c. unicode normalization (``normalize_unicode=True``): curly
+       quotes/dashes/ellipsis folded to ASCII, zero-width and control
+       characters removed — BEFORE hashing, so dedup keys never split
+       on typography. Row-local, scan-fused.
     1. quality gate: ``quality_score >= min_quality`` and
        ``token_count >= min_tokens`` — row-local, pushable.
     1b. Gopher rules (``gopher=True`` or a dict of threshold
@@ -219,6 +224,12 @@ def curate_corpus(
                 "__cap_path_depth", "__cap_is_ip",
             ),
         )
+
+    if normalize_unicode:
+        from .clean import normalize_text
+
+        # row-local rewrite, no row count change: no mark() needed
+        out = out.withColumn(text_col, normalize_text(text_col))
 
     q = quality_score(F.col(text_col))
     t = token_count(F.col(text_col))

@@ -97,10 +97,39 @@ def parse_warc_records(data: bytes) -> list[dict]:
     return out
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked-transfer body (RFC 9112 §7.1) —
+    crawls archive response bytes verbatim, so chunked bodies arrive
+    with their hex size lines embedded. Malformed framing returns the
+    body unmodified rather than corrupting it."""
+    out = []
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return body
+        size_token = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return body
+        if size == 0:
+            break  # terminal chunk; trailers ignored
+        start = eol + 2
+        if start + size > n:
+            return body
+        out.append(body[start : start + size])
+        pos = start + size + 2  # skip the chunk's trailing CRLF
+    return b"".join(out)
+
+
 def split_http_response(payload: bytes) -> tuple[int | None, str | None, bytes]:
     """Split an HTTP response block into (status, content-type, body).
     Returns ``(None, None, payload)`` when the block is not an HTTP
-    response (e.g. a WET conversion record's bare text)."""
+    response (e.g. a WET conversion record's bare text). Chunked
+    transfer encoding is decoded (crawl archives store the raw
+    response bytes); gzip/deflate content-encoding is inflated."""
     if not payload[:5] == b"HTTP/":
         return None, None, payload
     head_end = payload.find(b"\r\n\r\n")
@@ -113,12 +142,35 @@ def split_http_response(payload: bytes) -> tuple[int | None, str | None, bytes]:
     except (IndexError, ValueError):
         return None, None, payload
     ctype = None
+    chunked = False
+    cenc = b""
     for line in lines[1:]:
         k, _, v = line.partition(b":")
-        if k.strip().lower() == b"content-type":
+        key = k.strip().lower()
+        if key == b"content-type" and ctype is None:
             ctype = v.strip().decode("utf-8", "replace")
-            break
-    return status, ctype, payload[head_end + 4 :]
+        elif key == b"transfer-encoding":
+            chunked = b"chunked" in v.strip().lower()
+        elif key == b"content-encoding":
+            cenc = v.strip().lower()
+    body = payload[head_end + 4 :]
+    if chunked:
+        body = _dechunk(body)
+    if cenc in (b"gzip", b"x-gzip") and body[:2] == b"\x1f\x8b":
+        try:
+            body = gzip.decompress(body)
+        except OSError:
+            pass  # torn/misdeclared stream: keep raw bytes
+    elif cenc == b"deflate":
+        import zlib
+
+        for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
+            try:
+                body = zlib.decompress(body, wbits)
+                break
+            except zlib.error:
+                continue
+    return status, ctype, body
 
 
 def _parse_warc_batches(

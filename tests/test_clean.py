@@ -106,3 +106,48 @@ def test_clean_stays_jvm(spark):
         )
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_normalize_text(spark):
+    from opencosmo_spark.pipeline.clean import normalize_text
+
+    raw = (
+        "“Smart” quotes, it’s fine — really… "
+        "a hard space, zero​width, ctrl\x07char, "
+        "range 1–2 and −5"
+    )
+    df = spark.createDataFrame([(raw,), ("",)], ["text"])
+    got = df.select(normalize_text("text").alias("t")).collect()
+    assert got[0]["t"] == (
+        '"Smart" quotes, it\'s fine - really... '
+        "a hard space, zerowidth, ctrlchar, range 1-2 and -5"
+    )
+    assert got[1]["t"] == ""
+    # idempotent and newline-preserving
+    two = spark.createDataFrame([("line1\nline2\t end",)], ["text"])
+    once = two.select(normalize_text("text").alias("t")).first()["t"]
+    again = (
+        two.select(normalize_text(normalize_text("text")).alias("t"))
+        .first()["t"]
+    )
+    assert once == again == "line1\nline2 end"
+
+
+def test_curate_normalize_unicode_stage(spark):
+    from opencosmo_spark.pipeline import curate_corpus
+
+    # two docs identical up to typography: normalization must make
+    # exact dedup collapse them
+    a = "It’s a “test” — done…  with words enough to pass the gate."
+    b = 'It\'s a "test" - done...  with words enough to pass the gate.'
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], ["doc_id", "text"]
+    )
+    curated, counts = curate_corpus(
+        df, min_quality=0.0, min_tokens=2, normalize_unicode=True
+    )
+    assert counts["exact_dedup"] == 1
+    assert curated.count() == 1
+    # without normalization they stay distinct
+    _, counts2 = curate_corpus(df, min_quality=0.0, min_tokens=2)
+    assert counts2["exact_dedup"] == 2

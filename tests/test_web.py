@@ -323,3 +323,58 @@ def test_url_filter_applies_to_streams(spark, tmp_path):
     )
     out2 = run_stream_to_memory(allow, "url_gate_stream_t2").toPandas()
     assert len(out2) == 2
+
+
+def test_split_http_response_chunked_and_compressed():
+    """Crawl archives store response bytes verbatim: chunked framing
+    and content-encoding must decode to the true body."""
+    body = b"Hello chunked world of web archives"
+    chunked = (
+        b"%x\r\n%s\r\n" % (10, body[:10])
+        + b"%x\r\n%s\r\n" % (len(body) - 10, body[10:])
+        + b"0\r\n\r\n"
+    )
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    status, ctype, got = split_http_response(payload)
+    assert (status, got) == (200, body)
+    # chunk extensions after ';' are ignored per RFC 9112
+    ext = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"5;name=v\r\nabcde\r\n0\r\n\r\n"
+    )
+    assert split_http_response(ext)[2] == b"abcde"
+    # malformed chunk framing: body passes through unmodified
+    bad = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"ZZ\r\nnot hex"
+    )
+    assert split_http_response(bad)[2] == b"ZZ\r\nnot hex"
+    # gzip content-encoding inflates; misdeclared gzip passes through
+    gz = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        + gzip.compress(body)
+    )
+    assert split_http_response(gz)[2] == body
+    lie = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nplain"
+    assert split_http_response(lie)[2] == b"plain"
+    # chunked + gzip stack (decode order: transfer then content)
+    both = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+    )
+    z = gzip.compress(body)
+    both += b"%x\r\n%s\r\n0\r\n\r\n" % (len(z), z)
+    assert split_http_response(both)[2] == body
+    # deflate (zlib-wrapped and raw)
+    import zlib as _z
+
+    raw_co = _z.compressobj(wbits=-15)
+    raw_blob = raw_co.compress(body) + raw_co.flush()
+    for blob in (_z.compress(body), raw_blob):
+        d = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + blob
+        )
+        assert split_http_response(d)[2] == body
