@@ -69,10 +69,18 @@ def curate_corpus(
     importance_col: str | None = None,
     n_shards: int | None = None,
     report: bool = True,
+    return_dropped: bool = False,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the standard curation recipe; returns ``(curated_df,
     stage_counts)``. ``stage_counts`` maps stage name -> surviving row
     count (empty dict when ``report=False``).
+
+    ``return_dropped=True`` (requires ``report=True``) returns a THIRD
+    value: an audit DataFrame ``(id_col, stage)`` attributing every
+    dropped document to the stage that dropped it — the recipe-
+    debugging view ("why did my document disappear?"). Stage
+    boundaries are already checkpointed in report mode, so each
+    attribution is one anti-join between materialized id sets.
 
     Stages (each skippable via its parameter):
 
@@ -170,7 +178,14 @@ def curate_corpus(
                 f"input columns {clash} collide with the gopher/c4 "
                 f"stage columns — rename them before curate_corpus"
             )
+    if return_dropped and not report:
+        raise ValueError(
+            "return_dropped needs report=True — stage attribution "
+            "anti-joins the checkpointed stage boundaries"
+        )
     counts: dict[str, int] = {}
+    audit_frames: list[DataFrame] = []
+    prev_ids: list[DataFrame] = []
 
     def mark(name: str, d: DataFrame) -> DataFrame:
         if report:
@@ -181,6 +196,15 @@ def curate_corpus(
             # On a cluster swap localCheckpoint for checkpoint().
             d = d.localCheckpoint(eager=True)
             counts[name] = d.count()
+        if return_dropped:
+            cur = d.select(id_col)
+            if prev_ids:
+                audit_frames.append(
+                    prev_ids[0]
+                    .join(cur, id_col, "left_anti")
+                    .withColumn("stage", F.lit(name))
+                )
+            prev_ids[:] = [cur]
         return d
 
     out = mark("input", df)
@@ -406,4 +430,23 @@ def curate_corpus(
         from .dedup import _attach_cached
 
         _attach_cached(out, carried_cache)
+    if return_dropped:
+        spark = df.sparkSession
+        if audit_frames:
+            dropped = audit_frames[0]
+            for f in audit_frames[1:]:
+                dropped = dropped.unionByName(f)
+        else:
+            from pyspark.sql import types as _T
+
+            dropped = spark.createDataFrame(
+                [],
+                _T.StructType(
+                    [
+                        _T.StructField(id_col, df.schema[id_col].dataType),
+                        _T.StructField("stage", _T.StringType()),
+                    ]
+                ),
+            )
+        return out, counts, dropped
     return out, counts
