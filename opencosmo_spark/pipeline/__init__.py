@@ -41,7 +41,7 @@ from .lm import (
     train_trigram_lm,
     trigram_perplexity_score,
 )
-from .decontaminate import decontaminate, ngram_overlap, semantic_overlap
+from .decontaminate import corpus_overlap, decontaminate, ngram_overlap, semantic_overlap
 from .dedup import (
     connected_components,
     dedup_by_clusters,
@@ -120,6 +120,7 @@ __all__ = [
     "pack_chunks",
     "ngram_overlap",
     "decontaminate",
+    "corpus_overlap",
     "semantic_overlap",
     "curate_corpus",
     "pii_counts",

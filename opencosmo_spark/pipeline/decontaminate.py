@@ -186,3 +186,82 @@ def semantic_overlap(
         F.col("__b.__e_id").alias("eval_id"),
         (-F.col("__b.__ns")).alias("sim"),
     )
+
+
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    b_text_col: str | None = None,
+    b_id_col: str | None = None,
+) -> dict:
+    """Symmetric corpus-level k-gram overlap report — the
+    contamination MEASUREMENT (``decontaminate`` is the treatment):
+    how much do two corpora share, and how many documents on each
+    side are touched? Run it train-vs-benchmark before a release, or
+    snapshot-vs-snapshot to size crawl churn.
+
+    Returns driver scalars only:
+    ``{"grams_a", "grams_b", "shared_grams", "jaccard",
+    "containment_a_in_b", "containment_b_in_a",
+    "docs_a", "docs_b", "docs_affected_a", "docs_affected_b"}``.
+
+    Plan: distinct hashed k-gram sets per side (the ``decontaminate``
+    machinery), one equi-join on the 8-byte gram hash for the shared
+    set, and one semi-join per side for affected-document counts.
+    Shuffles are keyed by gram hash / doc id; gram strings never
+    shuffle and nothing larger than the report collects.
+    """
+    from pyspark import StorageLevel
+
+    bt = b_text_col or text_col
+    bi = b_id_col or id_col
+    ea = (
+        _shingle_frame(a, text_col, id_col, k)
+        .select(F.col(id_col).alias("__ida"), F.explode("sh").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    eb = (
+        _shingle_frame(b.select(F.col(bi), F.col(bt)), bt, bi, k)
+        .select(F.col(bi).alias("__idb"), F.explode("sh").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        ga = ea.select("h").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        gb = eb.select("h").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            na, nb = ga.count(), gb.count()
+            shared = ga.join(gb, "h").persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                ns = shared.count()
+                aff_a = (
+                    ea.join(shared, "h", "left_semi")
+                    .select("__ida").distinct().count()
+                )
+                aff_b = (
+                    eb.join(shared, "h", "left_semi")
+                    .select("__idb").distinct().count()
+                )
+            finally:
+                shared.unpersist()
+        finally:
+            ga.unpersist()
+            gb.unpersist()
+    finally:
+        ea.unpersist()
+        eb.unpersist()
+    union = na + nb - ns
+    return {
+        "grams_a": na,
+        "grams_b": nb,
+        "shared_grams": ns,
+        "jaccard": round(ns / union, 6) if union else 0.0,
+        "containment_a_in_b": round(ns / na, 6) if na else 0.0,
+        "containment_b_in_a": round(ns / nb, 6) if nb else 0.0,
+        "docs_a": a.count(),
+        "docs_b": b.count(),
+        "docs_affected_a": aff_a,
+        "docs_affected_b": aff_b,
+    }
