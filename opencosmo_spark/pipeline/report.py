@@ -69,7 +69,13 @@ def corpus_report(
         F.md5(text).alias("__fp"),
         *([language_id(text).alias("__lang")] if with_language else []),
         *([F.col(id_col).alias("__id")] if id_col else []),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # two aggregations (card + language argmax) consume the profile
+    # when the language pass is on — persist so the text scans once;
+    # without it there is exactly one consumer, so persisting would
+    # only add cache traffic
+    if with_language:
+        proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
 
     key = ["group"] if grp else []
     try:
@@ -126,7 +132,8 @@ def corpus_report(
         spark = df.sparkSession
         return spark.createDataFrame(rows, card.schema)
     finally:
-        proj.unpersist()
+        if with_language:
+            proj.unpersist()
 
 
 def dup_rate(report_df: DataFrame) -> DataFrame:

@@ -447,6 +447,7 @@ def url_filter(
     block_patterns=None,
     drop_unparseable: bool = False,
     id_col: str | None = None,
+    broadcast_blocklist: bool = True,
 ) -> DataFrame:
     """Drop rows whose URL matches a blocklist — the stage every
     published recipe runs first (C4's bad-URL filter, Raffel et al.
@@ -467,6 +468,10 @@ def url_filter(
     ``monotonically_increasing_id`` is used, which assumes a stable
     source scan order across the two plan branches (true for file
     sources; pass ``id_col`` when the input is itself a shuffle).
+    ``broadcast_blocklist=False`` lets Spark pick the join strategy
+    instead of forcing a broadcast - use it when the blocklist
+    outgrows executor memory (a full UT1 dump with every subdomain
+    can; the registered-domain subset broadcasts comfortably).
     """
     sufs = url_suffixes(url_col)
     host = url_host(url_col)
@@ -524,9 +529,10 @@ def url_filter(
                 exploded = with_id.filter(
                     ~F.arrays_overlap(sufs, F.lit(al).cast("array<string>"))
                 ).select(rid, F.explode(sufs).alias("__suf"))
+        bside = broadcast(block) if broadcast_blocklist else block
         dead = (
             exploded.join(
-                broadcast(block),
+                bside,
                 F.col("__suf") == F.col("__block_domain"),
                 "inner",
             )
