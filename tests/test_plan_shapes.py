@@ -525,3 +525,20 @@ def test_host_edges_single_aggregation_shuffle(spark):
     n = nodes(plan)
     assert n.count("Exchange") == 1
     assert count_in(plan, "PythonUDF") == 0
+
+
+def test_dsir_scoring_broadcasts_models(spark):
+    """The DSIR score plan must join the (<=n_buckets)-row model
+    tables by broadcast — the corpus side shuffles only for the
+    per-doc aggregation — and contain no cartesian product."""
+    from opencosmo_spark.pipeline.dsir import (
+        _score_frame,
+        train_dsir_model,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tm = train_dsir_model(docs.limit(50), n_buckets=256)
+    rm = train_dsir_model(docs, n_buckets=256)
+    plan = _explain(_score_frame(docs, tm, rm, "text", "doc_id"))
+    assert count_in(plan, "CartesianProduct") == 0
+    assert count_in(plan, "BroadcastHashJoin") >= 2
