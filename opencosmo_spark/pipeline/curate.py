@@ -65,6 +65,7 @@ def curate_corpus(
     mix_alpha: float | None = None,
     dsir_target_df: DataFrame | None = None,
     dsir_buckets: int = 10_000,
+    dsir_alpha: float = 1.0,
     mix_target_frac: float = 0.5,
     importance_col: str | None = None,
     n_shards: int | None = None,
@@ -410,10 +411,11 @@ def curate_corpus(
 
         tm = train_dsir_model(
             dsir_target_df, text_col=text_col, id_col=id_col,
-            n_buckets=dsir_buckets,
+            n_buckets=dsir_buckets, alpha=dsir_alpha,
         )
         rm = train_dsir_model(
-            out, text_col=text_col, id_col=id_col, n_buckets=dsir_buckets
+            out, text_col=text_col, id_col=id_col,
+            n_buckets=dsir_buckets, alpha=dsir_alpha,
         )
         out = mark(
             "mix",
