@@ -19,6 +19,7 @@ from .web import (
     warc_to_documents,
 )
 from .graph import extract_links, host_edges, pagerank
+from .multimodal import image_dhash
 from .dsir import dsir_resample, dsir_weights, train_dsir_model
 from .jsonl import read_jsonl, write_jsonl
 from .report import corpus_report, dup_rate, format_dataset_card
@@ -44,6 +45,7 @@ from .lm import (
 from .decontaminate import corpus_overlap, decontaminate, ngram_overlap, semantic_overlap
 from .dedup import (
     connected_components,
+    hamming_near_dup_pairs,
     dedup_by_clusters,
     duplicate_spans,
     remove_duplicate_spans,
@@ -99,6 +101,8 @@ from .text import (
 
 __all__ = [
     "exact_dedup",
+    "hamming_near_dup_pairs",
+    "image_dhash",
     "line_dedup",
     "minhash_signatures",
     "minhash_lsh_candidates",

@@ -1267,3 +1267,71 @@ def similarity_join(
     return hits.select(
         "a", "b", F.round(score, 6).alias(metric)
     ).filter(F.col(metric) >= threshold)
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    sig_col: str = "simhash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """All id pairs whose ``bits``-wide integer signatures differ in at
+    most ``max_hamming`` bit positions — the near-dup join for SimHash
+    text signatures and dHash image fingerprints alike.
+
+    Scale shape (the Manku et al. 2007 pigeonhole): the signature is
+    cut into ``max_hamming + 1`` disjoint bands, so any pair within
+    the distance budget agrees EXACTLY on at least one band. Candidate
+    generation is therefore an equi-self-join on (band index, band
+    value) — shuffle ∝ corpus x bands, never corpus² — and only
+    candidates pay the exact ``bit_count(xor)`` verify. Pairs that
+    collide in several bands are deduplicated by the final aggregate.
+
+    Returns ``(a, b, hamming)`` with ``a < b``.
+    """
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    nb = int(max_hamming) + 1
+    if nb > bits:
+        raise ValueError("max_hamming + 1 bands cannot exceed bits")
+    width = (bits + nb - 1) // nb
+    sig = F.col(sig_col).cast("long")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.shiftrightunsigned(sig, j * width)
+                .bitwiseAND(F.lit((1 << min(width, bits - j * width)) - 1))
+                .alias("v"),
+            )
+            for j in range(nb)
+        ]
+    )
+    ex = df.select(
+        F.col(id_col).alias("__i"),
+        sig.alias("__s"),
+        F.explode(bands).alias("b"),
+    ).select("__i", "__s", F.col("b.j").alias("__j"), F.col("b.v").alias("__v"))
+    left = ex
+    right = ex.select(
+        F.col("__i").alias("__i2"),
+        F.col("__s").alias("__s2"),
+        F.col("__j").alias("__j2"),
+        F.col("__v").alias("__v2"),
+    )
+    cand = left.join(
+        right,
+        (F.col("__j") == F.col("__j2"))
+        & (F.col("__v") == F.col("__v2"))
+        & (F.col("__i") < F.col("__i2")),
+    )
+    ham = F.bit_count(F.col("__s").bitwiseXOR(F.col("__s2")))
+    return (
+        cand.filter(ham <= int(max_hamming))
+        .groupBy(
+            F.col("__i").alias("a"),
+            F.col("__i2").alias("b"),
+        )
+        .agg(F.min(ham).alias("hamming"))
+    )

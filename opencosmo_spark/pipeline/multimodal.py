@@ -528,3 +528,88 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.avg("width").alias("avg_width"),
         F.avg("height").alias("avg_height"),
     )
+
+
+def _dhash_bits(arr: np.ndarray, hash_size: int = 8) -> int:
+    """Difference hash of an (h, w, 3) or (h, w) pixel array: block-
+    mean downsample the grayscale to (hash_size, hash_size + 1), set
+    one bit per horizontal neighbor comparison. Robust to uniform
+    brightness/contrast shifts (monotone maps preserve inequalities)
+    and to resampling — the standard perceptual fingerprint."""
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 3:
+        a = a @ np.array([0.299, 0.587, 0.114])
+    h, w = a.shape
+    rows = np.array_split(np.arange(h), hash_size)
+    cols = np.array_split(np.arange(w), hash_size + 1)
+    g = np.empty((hash_size, hash_size + 1))
+    for i, r in enumerate(rows):
+        for j, c in enumerate(cols):
+            g[i, j] = a[np.ix_(r, c)].mean()
+    bits = (g[:, 1:] > g[:, :-1]).flatten()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Attach a 64-bit perceptual dHash column (``dhash``) plus the
+    ``decoder`` that produced the pixels — same decode ladder as
+    ``decode_image_features`` (PIL if present, else the real
+    PNG/BMP/PNM parsers); undecodable payloads get a DIGEST hash
+    (exact-dup-only semantics, flagged ``stub-sha256``) so the column
+    is total and downstream joins need no null handling.
+
+    Near-duplicate images then reduce to
+    ``dedup.hamming_near_dup_pairs(out, sig_col="dhash")`` — banded
+    candidate join, never all-pairs.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("dhash", T.LongType()),
+            T.StructField("decoder", T.StringType()),
+        ]
+    )
+
+    def one(p: bytes | None) -> tuple[int, str]:
+        p = p if p is not None else b""
+        if _HAVE_PIL:  # pragma: no cover - not in this container
+            import io
+
+            try:
+                img = np.asarray(Image.open(io.BytesIO(p)).convert("L"))
+                return _dhash_bits(img, hash_size), "pil"
+            except Exception:  # noqa: BLE001
+                pass
+        for dec, name in (
+            (_decode_png, "png"),
+            (_decode_bmp, "bmp"),
+            (_decode_pnm, "pnm"),
+        ):
+            arr = dec(p)
+            if arr is not None:
+                return _dhash_bits(arr, hash_size), name
+        import hashlib
+
+        digest = int.from_bytes(
+            hashlib.sha256(p).digest()[:8], "big", signed=True
+        )
+        return digest, "stub-sha256"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashed = [one(p) for p in pdf[payload_col]]
+            # two's-complement into a signed 64-bit long
+            pdf["dhash"] = [
+                h - (1 << 64) if h >= (1 << 63) else h for h, _ in hashed
+            ]
+            pdf["decoder"] = [d for _, d in hashed]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

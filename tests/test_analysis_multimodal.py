@@ -665,3 +665,72 @@ def test_fof_and_two_point_dataset_entry(spark, fixtures):
     ).collect()
     assert [r["bin"] for r in ls] == [0, 1]
     assert all(r["rr"] >= 0 for r in ls)
+
+
+def test_hamming_near_dup_pairs_matches_bruteforce(spark):
+    """Banded candidate generation must find EXACTLY the pairs within
+    the hamming budget (pigeonhole guarantees recall; the verify
+    guarantees precision) — checked against all-pairs python."""
+    import itertools
+
+    from opencosmo_spark.pipeline.dedup import hamming_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    sigs = [int(x) for x in rng.integers(-(2**63), 2**63 - 1, size=30)]
+    # plant near pairs at controlled distances
+    sigs[1] = sigs[0] ^ 0b101          # d=2
+    sigs[2] = sigs[0] ^ (1 << 40)      # d=1
+    sigs[3] = sigs[0] ^ 0b1111         # d=4 (outside budget 3)
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], ["doc_id", "sig"]
+    )
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in hamming_near_dup_pairs(
+            df, sig_col="sig", max_hamming=3
+        ).collect()
+    }
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(sigs), 2):
+        d = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        if d <= 3:
+            want[(i, j)] = d
+    assert got == want
+    assert (0, 1) in got and got[(0, 2)] == 1
+    assert (0, 3) not in got
+
+
+def test_image_dhash_perceptual_invariance(spark):
+    """dHash must be identical under uniform brightness shift,
+    near-identical under mild noise, and far for unrelated images;
+    near-dup pairs come out of the banded join."""
+    from opencosmo_spark.pipeline.dedup import hamming_near_dup_pairs
+    from opencosmo_spark.pipeline.multimodal import image_dhash
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 200, size=(32, 48, 3)).astype(np.uint8)
+    brighter = np.clip(base.astype(int) + 40, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 255, size=(32, 48, 3)).astype(np.uint8)
+    rows = [
+        (0, _make_bmp(base)),
+        (1, _make_bmp(brighter)),
+        (2, _make_bmp(other)),
+        (3, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    out = image_dhash(df).toPandas().set_index("doc_id")
+    assert set(out.loc[[0, 1, 2], "decoder"]) == {"bmp"}
+    assert out.loc[3, "decoder"] == "stub-sha256"
+    # uniform brightness shift preserves every inequality -> equal hash
+    assert out.loc[0, "dhash"] == out.loc[1, "dhash"]
+    d02 = bin((int(out.loc[0, "dhash"]) ^ int(out.loc[2, "dhash"])) & ((1 << 64) - 1)).count("1")
+    assert d02 > 10  # unrelated content is far
+    pairs = hamming_near_dup_pairs(
+        spark.createDataFrame(
+            [(i, int(out.loc[i, "dhash"])) for i in range(4)],
+            ["doc_id", "dhash"],
+        ),
+        sig_col="dhash",
+        max_hamming=3,
+    ).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(0, 1)}
