@@ -19,7 +19,7 @@ from .web import (
     warc_to_documents,
 )
 from .graph import extract_links, host_edges, pagerank
-from .multimodal import image_dhash
+from .multimodal import image_dhash, media_near_dedup
 from .dsir import dsir_resample, dsir_weights, train_dsir_model
 from .jsonl import read_jsonl, write_jsonl
 from .report import corpus_report, dup_rate, format_dataset_card
@@ -103,6 +103,7 @@ __all__ = [
     "exact_dedup",
     "hamming_near_dup_pairs",
     "image_dhash",
+    "media_near_dedup",
     "line_dedup",
     "minhash_signatures",
     "minhash_lsh_candidates",

@@ -613,3 +613,29 @@ def image_dhash(
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+def media_near_dedup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual media dedup, df-in/df-out: dHash every payload
+    (``image_dhash``), join near pairs with the banded hamming join,
+    cluster with connected components, keep the smallest id per
+    cluster. Brightness/contrast/re-encode twins collapse; byte-exact
+    dedup is the cheaper ``media_exact_dedup`` — run that first at
+    scale so the perceptual pass sees only distinct bytes."""
+    from .dedup import connected_components, hamming_near_dup_pairs
+
+    hashed = image_dhash(df, payload_col, hash_size=hash_size)
+    pairs = hamming_near_dup_pairs(
+        hashed, sig_col="dhash", id_col=id_col, max_hamming=max_hamming
+    )
+    cc = connected_components(
+        pairs.select("a", "b"), hashed.select(F.col(id_col)), id_col=id_col
+    )
+    keep = cc.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

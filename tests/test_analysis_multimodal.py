@@ -734,3 +734,18 @@ def test_image_dhash_perceptual_invariance(spark):
         max_hamming=3,
     ).collect()
     assert {(r["a"], r["b"]) for r in pairs} == {(0, 1)}
+
+
+def test_media_near_dedup_collapses_brightness_twins(spark):
+    from opencosmo_spark.pipeline.multimodal import media_near_dedup
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 200, size=(24, 24, 3)).astype(np.uint8)
+    rows = [
+        (0, _make_bmp(base)),
+        (1, _make_bmp(np.clip(base.astype(int) + 30, 0, 255).astype(np.uint8))),
+        (2, _make_bmp(rng.integers(0, 255, size=(24, 24, 3)).astype(np.uint8))),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    kept = sorted(r["media_id"] for r in media_near_dedup(df).collect())
+    assert kept == [0, 2]  # twin 1 collapses into 0; unrelated 2 stays
