@@ -380,11 +380,15 @@ _COMPOUND_SLDS = (
 
 
 def url_host(col: Column | str) -> Column:
-    """Lowercased hostname of a URL (port stripped), NULL when the
-    value does not parse as a URL. Pure JVM (``try_parse_url``)."""
+    """Lowercased hostname of a URL (port and FQDN trailing dot
+    stripped — ``example.com.`` must blocklist-match ``example.com``),
+    NULL when the value does not parse as a URL. Pure JVM
+    (``try_parse_url``)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.lower(
-        F.regexp_replace(F.try_parse_url(c, F.lit("HOST")), r":\d+$", "")
+        F.regexp_replace(
+            F.try_parse_url(c, F.lit("HOST")), r"(:\d+|\.)$", ""
+        )
     )
 
 

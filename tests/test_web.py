@@ -378,3 +378,16 @@ def test_split_http_response_chunked_and_compressed():
             b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + blob
         )
         assert split_http_response(d)[2] == body
+
+
+def test_url_host_fqdn_trailing_dot(spark):
+    from opencosmo_spark.pipeline.web import url_filter, url_host
+
+    df = spark.createDataFrame(
+        [(0, "https://Example.COM./a"), (1, "https://h.example.com:8443/b")],
+        ["doc_id", "url"],
+    )
+    hosts = [r[0] for r in df.select(url_host("url")).collect()]
+    assert hosts == ["example.com", "h.example.com"]
+    kept = url_filter(df, block_domains=["example.com"]).count()
+    assert kept == 0  # both match despite dot / port / case
