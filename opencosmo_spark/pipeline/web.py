@@ -331,6 +331,14 @@ def warc_to_documents(
     are unique by spec). Non-2xx responses and non-text content types
     are dropped; HTML goes through ``html_to_text``, ``text/plain``
     (WET conversions) passes through as-is.
+
+    Payload bytes decode as UTF-8 with replacement (the JVM string
+    cast): legacy-charset pages (latin-1, shift-jis, ...) arrive with
+    replacement characters rather than mojibake crashes — the C4
+    convention, which keeps UTF-8-clean text and lets the quality
+    gate drop the rest. For charset-faithful decoding, parse the
+    Content-Type charset parameter and decode in a ``mapInPandas``
+    over the ``read_warc`` output.
     """
     from .dedup import md5_lane
 
