@@ -17,6 +17,7 @@ from .region import (
     make_skybox,
 )
 
+from .power import density_mesh, power_spectrum
 from .pairs import (
     fof_groups,
     neighbor_pairs_3d,
@@ -27,6 +28,8 @@ from .pairs import (
 )
 
 __all__ = [
+    "density_mesh",
+    "power_spectrum",
     "crossmatch_sky",
     "sky_fof_groups",
     "sky_pairs",

@@ -1,0 +1,182 @@
+"""Matter power spectrum P(k): distributed mass-assignment gridding
+plus a driver-side FFT — the standard two-step every published P(k)
+estimator runs (NGP/CIC assignment, |δ(k)|² shell average, optional
+window deconvolution; cf. Hockney & Eastwood 1988 for the assignment
+schemes and Jing 2005 for the window corrections; the same pipeline
+nbodykit exposes on MPI).
+
+Scale shape: the mass assignment is the distributed part and it is
+ONE aggregation — each particle contributes to 1 (NGP) or 8 (CIC)
+mesh cells via a JVM explode of weighted cell contributions, then a
+groupBy(cell) sum. The shuffle carries (8-byte cell id, double), ∝
+particles, never particles². The mesh itself is the only thing that
+reaches the driver: n_mesh³ doubles (128³ ≈ 16 MB) — the FFT is a
+dense O(n³ log n) problem that belongs in numpy, not in a shuffle.
+The 100 TB pattern is billions of particles → one aggregation → a
+fixed-size mesh, which is exactly how the MPI codes do it too (they
+reduce the mesh, then FFT).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def density_mesh(
+    df: DataFrame,
+    n_mesh: int,
+    box_size: float,
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+    weight: str | None = None,
+    scheme: str = "cic",
+) -> DataFrame:
+    """Periodic mass-assignment mesh: one row per non-empty cell,
+    ``(cell, mass)`` with ``cell = (ix*n + iy)*n + iz``.
+
+    ``scheme="ngp"``: nearest grid point — each particle lands in one
+    cell. ``scheme="cic"``: cloud-in-cell — trilinear weights over the
+    8 surrounding cells, built as a JVM array of (cell, weight)
+    structs and exploded; total assigned mass is exactly the total
+    particle weight. Positions wrap periodically.
+    """
+    if scheme not in ("ngp", "cic"):
+        raise ValueError(f"scheme must be 'ngp' or 'cic', got {scheme!r}")
+    h = box_size / n_mesh
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    xs = [F.col(c).cast("double") for c in cols]
+
+    if scheme == "ngp":
+        idx = [
+            F.pmod(F.floor(x / h).cast("long"), F.lit(n_mesh)) for x in xs
+        ]
+        cell = (idx[0] * n_mesh + idx[1]) * n_mesh + idx[2]
+        return (
+            df.select(cell.alias("cell"), w.alias("__w"))
+            .groupBy("cell")
+            .agg(F.sum("__w").alias("mass"))
+        )
+
+    # CIC: s = p/h - 0.5 puts cell CENTERS on the grid; the particle
+    # splits between floor(s) and floor(s)+1 per axis with weights
+    # (1-f, f)
+    s = [x / h - 0.5 for x in xs]
+    i0 = [F.floor(si).cast("long") for si in s]
+    f = [si - F.floor(si) for si in s]
+    contribs = []
+    for dx in (0, 1):
+        wx = f[0] if dx else (1.0 - f[0])
+        for dy in (0, 1):
+            wy = f[1] if dy else (1.0 - f[1])
+            for dz in (0, 1):
+                wz = f[2] if dz else (1.0 - f[2])
+                ix = F.pmod(i0[0] + dx, F.lit(n_mesh))
+                iy = F.pmod(i0[1] + dy, F.lit(n_mesh))
+                iz = F.pmod(i0[2] + dz, F.lit(n_mesh))
+                contribs.append(
+                    F.struct(
+                        ((ix * n_mesh + iy) * n_mesh + iz).alias("cell"),
+                        (w * wx * wy * wz).alias("w"),
+                    )
+                )
+    return (
+        df.select(F.explode(F.array(*contribs)).alias("c"))
+        .select(F.col("c.cell").alias("cell"), F.col("c.w").alias("__w"))
+        .groupBy("cell")
+        .agg(F.sum("__w").alias("mass"))
+    )
+
+
+def _mesh_to_numpy(mesh_df: DataFrame, n_mesh: int) -> np.ndarray:
+    rho = np.zeros(n_mesh**3)
+    for row in mesh_df.collect():
+        rho[int(row["cell"])] = row["mass"]
+    return rho.reshape(n_mesh, n_mesh, n_mesh)
+
+
+def power_spectrum(
+    df: DataFrame,
+    n_mesh: int,
+    box_size: float,
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+    weight: str | None = None,
+    scheme: str = "cic",
+    n_bins: int | None = None,
+    compensated: bool = True,
+    subtract_shot_noise: bool = True,
+) -> dict:
+    """Shell-averaged matter power spectrum of a periodic particle
+    box. Returns ``{"k": ..., "power": ..., "n_modes": ...,
+    "shot_noise": float}`` (numpy arrays; k in 1/length units of the
+    box, power in length³).
+
+    Pipeline: ``density_mesh`` (distributed, one aggregation) → driver
+    FFT of the overdensity δ = ρ/ρ̄ - 1 → P(k) = |δ(k)|² · V averaged
+    in spherical shells of the fundamental-mode width 2π/L.
+    ``compensated`` divides out the assignment window (sinc per axis:
+    power 1 NGP, 2 CIC — Jing 2005 eq. 20 leading order);
+    ``subtract_shot_noise`` removes the V/N Poisson floor (weighted:
+    V·Σw²/(Σw)²).
+    """
+    mesh = density_mesh(df, n_mesh, box_size, cols, weight, scheme)
+    if weight:
+        stats = df.agg(
+            F.sum(F.col(weight).cast("double")).alias("sw"),
+            F.sum(F.col(weight).cast("double") ** 2).alias("sw2"),
+        ).first()
+        total_w, sw2 = float(stats["sw"]), float(stats["sw2"])
+    else:
+        total_w = float(df.count())
+        sw2 = total_w
+    if total_w == 0:
+        raise ValueError("empty particle set")
+    rho = _mesh_to_numpy(mesh, n_mesh)
+    volume = box_size**3
+    delta = rho / rho.mean() - 1.0
+    dk = np.fft.rfftn(delta) / n_mesh**3
+    pk3 = np.abs(dk) ** 2 * volume
+
+    kf = 2.0 * np.pi / box_size
+    freqs = np.fft.fftfreq(n_mesh, d=1.0 / n_mesh)  # integer wavenumbers
+    rfreqs = freqs[: n_mesh // 2 + 1]
+    kx = freqs[:, None, None]
+    ky = freqs[None, :, None]
+    kz = rfreqs[None, None, :]
+
+    if compensated:
+        p = {"ngp": 1, "cic": 2}[scheme]
+
+        def win(m):
+            return np.sinc(m / n_mesh) ** p
+
+        wgrid = win(kx) * win(ky) * win(kz)
+        pk3 = pk3 / wgrid**2
+
+    # rfft stores only half the modes: weight the duplicated ones x2
+    mult = np.full(pk3.shape, 2.0)
+    mult[:, :, 0] = 1.0
+    if n_mesh % 2 == 0:
+        mult[:, :, -1] = 1.0
+
+    kmag = np.sqrt(kx**2 + ky**2 + kz**2) * kf
+    nb = n_bins or (n_mesh // 2)
+    edges = np.linspace(0, kf * (n_mesh // 2), nb + 1)
+    idx = np.digitize(kmag.ravel(), edges) - 1
+    ok = (idx >= 0) & (idx < nb) & (kmag.ravel() > 0)
+    n_modes = np.bincount(idx[ok], weights=mult.ravel()[ok], minlength=nb)
+    psum = np.bincount(
+        idx[ok], weights=(pk3 * mult).ravel()[ok], minlength=nb
+    )
+    with np.errstate(invalid="ignore", divide="ignore"):
+        power = psum / n_modes
+    k_centers = 0.5 * (edges[:-1] + edges[1:])
+    shot = volume * sw2 / total_w**2
+    if subtract_shot_noise:
+        power = power - shot
+    keep = n_modes > 0
+    return {
+        "k": k_centers[keep],
+        "power": power[keep],
+        "n_modes": n_modes[keep],
+        "shot_noise": shot,
+    }

@@ -1,0 +1,124 @@
+"""Power spectrum: CIC/NGP gridding vs an exact numpy twin, mass
+conservation, periodic wrap, and a physics sanity check (a planted
+plane wave shows up at its wavenumber and nowhere else)."""
+
+import numpy as np
+import pytest
+
+from opencosmo_spark.spatial.power import (
+    density_mesh,
+    power_spectrum,
+)
+
+N_MESH = 16
+BOX = 100.0
+
+
+def _numpy_cic(pos, n, box, w=None):
+    h = box / n
+    rho = np.zeros((n, n, n))
+    w = np.ones(len(pos)) if w is None else w
+    s = pos / h - 0.5
+    i0 = np.floor(s).astype(int)
+    f = s - i0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                wt = (
+                    (f[:, 0] if dx else 1 - f[:, 0])
+                    * (f[:, 1] if dy else 1 - f[:, 1])
+                    * (f[:, 2] if dz else 1 - f[:, 2])
+                )
+                np.add.at(
+                    rho,
+                    (
+                        (i0[:, 0] + dx) % n,
+                        (i0[:, 1] + dy) % n,
+                        (i0[:, 2] + dz) % n,
+                    ),
+                    w * wt,
+                )
+    return rho
+
+
+@pytest.fixture(scope="module")
+def particles(spark):
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(0, BOX, size=(4000, 3))
+    wts = rng.uniform(0.5, 2.0, size=4000)
+    df = spark.createDataFrame(
+        [
+            (float(x), float(y), float(z), float(w))
+            for (x, y, z), w in zip(pos, wts)
+        ],
+        ["x", "y", "z", "w"],
+    )
+    return df, pos, wts
+
+
+def test_cic_mesh_matches_numpy(spark, particles):
+    df, pos, wts = particles
+    mesh = density_mesh(df, N_MESH, BOX, weight="w").collect()
+    got = np.zeros(N_MESH**3)
+    for r in mesh:
+        got[int(r["cell"])] = r["mass"]
+    want = _numpy_cic(pos, N_MESH, BOX, wts).ravel()
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-9)
+    # mass conservation is exact in both
+    assert got.sum() == pytest.approx(wts.sum(), rel=1e-12)
+
+
+def test_ngp_mesh_counts(spark, particles):
+    df, pos, _ = particles
+    mesh = density_mesh(df, N_MESH, BOX, scheme="ngp").collect()
+    assert sum(r["mass"] for r in mesh) == len(pos)
+    idx = (np.floor(pos / (BOX / N_MESH)).astype(int)) % N_MESH
+    cells, counts = np.unique(
+        (idx[:, 0] * N_MESH + idx[:, 1]) * N_MESH + idx[:, 2],
+        return_counts=True,
+    )
+    got = {int(r["cell"]): r["mass"] for r in mesh}
+    assert got == {int(c): float(n) for c, n in zip(cells, counts)}
+
+
+def test_power_spectrum_plane_wave(spark):
+    """Particles laid out with density 1 + eps*cos(k4 x) must show
+    power in the k = 4*kf bin and noise-level power elsewhere."""
+    rng = np.random.default_rng(7)
+    n_part = 60_000
+    # rejection-sample the modulated density
+    x = rng.uniform(0, BOX, size=int(n_part * 2.5))
+    keep = rng.uniform(0, 1, size=x.size) < (
+        (1 + 0.6 * np.cos(2 * np.pi * 4 * x / BOX)) / 1.6
+    )
+    x = x[keep][:n_part]
+    pos = np.column_stack(
+        [x, rng.uniform(0, BOX, x.size), rng.uniform(0, BOX, x.size)]
+    )
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in pos],
+        ["x", "y", "z"],
+    )
+    out = power_spectrum(df, 32, BOX)
+    kf = 2 * np.pi / BOX
+    # the planted mode dominates every other bin by a wide margin,
+    # and the dominating bin contains k = 4*kf (within a bin width)
+    peak = int(np.argmax(out["power"]))
+    assert abs(out["k"][peak] - 4 * kf) < 1.01 * kf
+    others = np.delete(out["power"], peak)
+    assert out["power"][peak] > 20 * np.abs(others).max()
+
+
+def test_power_spectrum_shot_noise_flat(spark, particles):
+    """Pure Poisson particles: after shot-noise subtraction the
+    spectrum is ~0; without it, ~V/N in every bin."""
+    df, pos, _ = particles
+    raw = power_spectrum(
+        df, N_MESH, BOX, subtract_shot_noise=False, weight=None
+    )
+    sub = power_spectrum(df, N_MESH, BOX, weight=None)
+    shot = BOX**3 / len(pos)
+    assert raw["shot_noise"] == pytest.approx(shot, rel=1e-12)
+    mid = slice(1, len(raw["k"]) - 1)
+    assert np.abs(raw["power"][mid] - shot).mean() < 0.6 * shot
+    assert np.abs(sub["power"][mid]).mean() < 0.6 * shot
