@@ -180,3 +180,72 @@ def power_spectrum(
         "n_modes": n_modes[keep],
         "shot_noise": shot,
     }
+
+
+def cross_power_spectrum(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    n_mesh: int,
+    box_size: float,
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+    weight_a: str | None = None,
+    weight_b: str | None = None,
+    scheme: str = "cic",
+    n_bins: int | None = None,
+    compensated: bool = True,
+) -> dict:
+    """Cross power spectrum P_AB(k) of two tracer sets (halos x
+    matter, two samples, ...): Re[δ_A(k) δ_B*(k)] shell-averaged.
+    Same distributed gridding per side, one driver FFT each; the
+    cross spectrum has no Poisson shot noise for disjoint tracers, so
+    none is subtracted. The auto spectrum of the same input equals
+    ``power_spectrum(..., subtract_shot_noise=False)`` exactly.
+    """
+    meshes = []
+    for d, wcol in ((df_a, weight_a), (df_b, weight_b)):
+        m = density_mesh(d, n_mesh, box_size, cols, wcol, scheme)
+        rho = _mesh_to_numpy(m, n_mesh)
+        if rho.sum() == 0:
+            raise ValueError("empty particle set")
+        meshes.append(rho / rho.mean() - 1.0)
+    volume = box_size**3
+    da = np.fft.rfftn(meshes[0]) / n_mesh**3
+    db = np.fft.rfftn(meshes[1]) / n_mesh**3
+    pk3 = np.real(da * np.conj(db)) * volume
+
+    kf = 2.0 * np.pi / box_size
+    freqs = np.fft.fftfreq(n_mesh, d=1.0 / n_mesh)
+    rfreqs = freqs[: n_mesh // 2 + 1]
+    kx = freqs[:, None, None]
+    ky = freqs[None, :, None]
+    kz = rfreqs[None, None, :]
+    if compensated:
+        p = {"ngp": 1, "cic": 2}[scheme]
+
+        def win(m):
+            return np.sinc(m / n_mesh) ** p
+
+        wgrid = win(kx) * win(ky) * win(kz)
+        pk3 = pk3 / wgrid**2
+    mult = np.full(pk3.shape, 2.0)
+    mult[:, :, 0] = 1.0
+    if n_mesh % 2 == 0:
+        mult[:, :, -1] = 1.0
+    kmag = np.sqrt(kx**2 + ky**2 + kz**2) * kf
+    nb = n_bins or (n_mesh // 2)
+    edges = np.linspace(0, kf * (n_mesh // 2), nb + 1)
+    idx = np.digitize(kmag.ravel(), edges) - 1
+    ok = (idx >= 0) & (idx < nb) & (kmag.ravel() > 0)
+    n_modes = np.bincount(idx[ok], weights=mult.ravel()[ok], minlength=nb)
+    psum = np.bincount(
+        idx[ok], weights=(pk3 * mult).ravel()[ok], minlength=nb
+    )
+    with np.errstate(invalid="ignore", divide="ignore"):
+        power = psum / n_modes
+    k_centers = 0.5 * (edges[:-1] + edges[1:])
+    keep = n_modes > 0
+    return {
+        "k": k_centers[keep],
+        "power": power[keep],
+        "n_modes": n_modes[keep],
+    }

@@ -122,3 +122,44 @@ def test_power_spectrum_shot_noise_flat(spark, particles):
     mid = slice(1, len(raw["k"]) - 1)
     assert np.abs(raw["power"][mid] - shot).mean() < 0.6 * shot
     assert np.abs(sub["power"][mid]).mean() < 0.6 * shot
+
+
+def test_cross_power_auto_equals_power(spark, particles):
+    """cross(X, X) must equal the uncorrected auto spectrum exactly
+    (same meshes, same FFT, no shot subtraction)."""
+    from opencosmo_spark.spatial.power import cross_power_spectrum
+
+    df, _, _ = particles
+    auto = power_spectrum(
+        df, N_MESH, BOX, weight="w", subtract_shot_noise=False
+    )
+    cross = cross_power_spectrum(
+        df, df, N_MESH, BOX, weight_a="w", weight_b="w"
+    )
+    np.testing.assert_allclose(cross["power"], auto["power"], rtol=1e-12)
+    np.testing.assert_array_equal(cross["n_modes"], auto["n_modes"])
+
+
+def test_cross_power_independent_fields_near_zero(spark):
+    """Two INDEPENDENT Poisson sets decorrelate: the cross power is
+    far below either auto power (which sits at its shot noise)."""
+    from opencosmo_spark.spatial.power import cross_power_spectrum
+
+    rng = np.random.default_rng(21)
+    mk = lambda seed: spark.createDataFrame(
+        [
+            (float(a), float(b), float(c))
+            for a, b, c in np.random.default_rng(seed).uniform(
+                0, BOX, size=(4000, 3)
+            )
+        ],
+        ["x", "y", "z"],
+    )
+    a, b = mk(1), mk(2)
+    cross = cross_power_spectrum(a, b, N_MESH, BOX)
+    auto = power_spectrum(a, N_MESH, BOX, subtract_shot_noise=False)
+    mid = slice(1, None)
+    assert (
+        np.abs(cross["power"][mid]).mean()
+        < 0.35 * auto["power"][mid].mean()
+    )
