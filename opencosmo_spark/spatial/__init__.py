@@ -17,7 +17,7 @@ from .region import (
     make_skybox,
 )
 
-from .power import density_mesh, power_spectrum
+from .power import cross_power_spectrum, density_mesh, power_spectrum, sample_mesh_at
 from .pairs import (
     fof_groups,
     neighbor_pairs_3d,
@@ -30,6 +30,8 @@ from .pairs import (
 __all__ = [
     "density_mesh",
     "power_spectrum",
+    "cross_power_spectrum",
+    "sample_mesh_at",
     "crossmatch_sky",
     "sky_fof_groups",
     "sky_pairs",

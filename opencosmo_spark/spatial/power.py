@@ -249,3 +249,71 @@ def cross_power_spectrum(
         "power": power[keep],
         "n_modes": n_modes[keep],
     }
+
+
+def sample_mesh_at(
+    df: DataFrame,
+    mesh: DataFrame,
+    n_mesh: int,
+    box_size: float,
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+    id_col: str = "halo_tag",
+    out_col: str = "delta",
+    mesh_total: float | None = None,
+) -> DataFrame:
+    """Local overdensity δ at each object's position — environment
+    tagging (halo-assembly / conformity analyses): trilinearly
+    interpolate the ``density_mesh`` field back to the points with
+    the SAME CIC kernel that built it.
+
+    Fully distributed, no driver mesh: each object explodes into its
+    8 (cell, weight) contributions (identical JVM expressions to the
+    assignment side), equi-joins the sparse mesh on the cell id, and
+    aggregates Σ wᵢ·δᵢ per object — cells absent from the sparse mesh
+    are EMPTY, i.e. δ = -1, handled by the coalesce. Works for meshes
+    far too large to broadcast; the shuffles carry (cell id, weight)
+    and (id, partial) pairs only. ``mesh_total`` skips the mesh-sum
+    job when the caller already knows the total mass.
+    """
+    h = box_size / n_mesh
+    if mesh_total is None:
+        mesh_total = float(mesh.agg(F.sum("mass")).first()[0] or 0.0)
+    if mesh_total <= 0:
+        raise ValueError("empty mesh")
+    mean_mass = mesh_total / n_mesh**3
+
+    xs = [F.col(c).cast("double") for c in cols]
+    s = [x / h - 0.5 for x in xs]
+    i0 = [F.floor(si).cast("long") for si in s]
+    f = [si - F.floor(si) for si in s]
+    contribs = []
+    for dx in (0, 1):
+        wx = f[0] if dx else (1.0 - f[0])
+        for dy in (0, 1):
+            wy = f[1] if dy else (1.0 - f[1])
+            for dz in (0, 1):
+                wz = f[2] if dz else (1.0 - f[2])
+                ix = F.pmod(i0[0] + dx, F.lit(n_mesh))
+                iy = F.pmod(i0[1] + dy, F.lit(n_mesh))
+                iz = F.pmod(i0[2] + dz, F.lit(n_mesh))
+                contribs.append(
+                    F.struct(
+                        ((ix * n_mesh + iy) * n_mesh + iz).alias("cell"),
+                        (wx * wy * wz).alias("w"),
+                    )
+                )
+    ex = df.select(
+        F.col(id_col), F.explode(F.array(*contribs)).alias("c")
+    ).select(
+        id_col, F.col("c.cell").alias("cell"), F.col("c.w").alias("__w")
+    )
+    delta = F.coalesce(
+        F.col("mass") / F.lit(mean_mass) - 1.0, F.lit(-1.0)
+    )
+    env = (
+        ex.join(mesh, "cell", "left")
+        .select(id_col, (F.col("__w") * delta).alias("__wd"))
+        .groupBy(id_col)
+        .agg(F.sum("__wd").alias(out_col))
+    )
+    return df.join(env, id_col, "left")

@@ -163,3 +163,41 @@ def test_cross_power_independent_fields_near_zero(spark):
         np.abs(cross["power"][mid]).mean()
         < 0.35 * auto["power"][mid].mean()
     )
+
+
+def test_sample_mesh_at_matches_numpy_trilinear(spark, particles):
+    """Environment interpolation equals the numpy twin (same CIC
+    kernel gathering from the same grid, empty cells = delta -1)."""
+    from opencosmo_spark.spatial.power import density_mesh, sample_mesh_at
+
+    df, pos, wts = particles
+    mesh = density_mesh(df, N_MESH, BOX, weight="w")
+    probes = [(i, float(p[0]), float(p[1]), float(p[2]))
+              for i, p in enumerate(pos[:200])]
+    pdf = spark.createDataFrame(probes, ["halo_tag", "x", "y", "z"])
+    got = {
+        r["halo_tag"]: r["delta"]
+        for r in sample_mesh_at(pdf, mesh, N_MESH, BOX).collect()
+    }
+    rho = _numpy_cic(pos, N_MESH, BOX, wts)
+    delta = rho / rho.mean() - 1.0
+    h = BOX / N_MESH
+    for i, x, y, z in probes:
+        s = np.array([x, y, z]) / h - 0.5
+        i0 = np.floor(s).astype(int)
+        f = s - i0
+        want = 0.0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    w = (
+                        (f[0] if dx else 1 - f[0])
+                        * (f[1] if dy else 1 - f[1])
+                        * (f[2] if dz else 1 - f[2])
+                    )
+                    want += w * delta[
+                        (i0[0] + dx) % N_MESH,
+                        (i0[1] + dy) % N_MESH,
+                        (i0[2] + dz) % N_MESH,
+                    ]
+        assert got[i] == pytest.approx(want, rel=1e-10, abs=1e-10)
