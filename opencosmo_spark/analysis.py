@@ -404,3 +404,19 @@ def make_named_tuple(ds, input_tuple):
     fields = list(input_tuple._fields)
     data = ds.select(fields).get_data("numpy")
     return input_tuple(**{c: data[c] for c in fields})
+
+
+def power_spectrum(ds, n_mesh: int, select_by=None, **kw):
+    """P(k) of a Dataset's positions, with coordinates and box size
+    resolved from the dataset (``spatial.power.power_spectrum``
+    underneath; ``weight=`` / ``scheme=`` / ``n_bins=`` pass
+    through)."""
+    from .spatial.bound import find_coords
+    from .spatial.power import power_spectrum as _pk
+
+    coords = select_by or find_coords(ds.columns, 3)
+    if ds.header is None or ds.header.box_size is None:
+        raise ValueError("power_spectrum needs header.box_size")
+    return _pk(
+        ds.df, n_mesh, float(ds.header.box_size), cols=tuple(coords), **kw
+    )

@@ -749,3 +749,17 @@ def test_media_near_dedup_collapses_brightness_twins(spark):
     df = spark.createDataFrame(rows, ["media_id", "payload"])
     kept = sorted(r["media_id"] for r in media_near_dedup(df).collect())
     assert kept == [0, 2]  # twin 1 collapses into 0; unrelated 2 stays
+
+
+def test_power_spectrum_dataset_entry(spark, fixtures):
+    """Dataset-level P(k): coordinates and box size resolve from the
+    dataset; the spectrum returns positive mode counts and finite
+    power with the documented keys."""
+    from opencosmo_spark.analysis import power_spectrum
+
+    halos = oc.open(f"{fixtures}/halo_properties")
+    out = power_spectrum(halos, n_mesh=16)
+    assert set(out) == {"k", "power", "n_modes", "shot_noise"}
+    assert (out["n_modes"] > 0).all()
+    assert np.isfinite(out["power"]).all()
+    assert out["shot_noise"] > 0
