@@ -19,6 +19,7 @@ from .region import (
 
 from .power import cross_power_spectrum, density_mesh, power_spectrum, sample_mesh_at
 from .pairs import (
+    stacked_radial_profile,
     fof_groups,
     neighbor_pairs_3d,
     precompute_rr,
@@ -32,6 +33,7 @@ __all__ = [
     "power_spectrum",
     "cross_power_spectrum",
     "sample_mesh_at",
+    "stacked_radial_profile",
     "crossmatch_sky",
     "sky_fof_groups",
     "sky_pairs",

@@ -341,3 +341,66 @@ def test_precompute_rr_mismatch_is_refused(spark):
     with pytest.raises(ValueError, match="kind"):
         two_point_landy_szalay(df, [0.5, 1.0], BOX, rr={**rr, "kind": "sky"})
     release_rr(rr)
+
+
+def test_stacked_radial_profile_bruteforce_and_physics(spark):
+    """Profile counts equal the all-pairs python twin bin-for-bin; a
+    planted overdense clump around every center shows up as a high
+    inner overdensity, and the outer bins approach the box mean."""
+    import numpy as np
+
+    from opencosmo_spark.spatial.pairs import stacked_radial_profile
+
+    rng = np.random.default_rng(13)
+    box = 60.0
+    centers = rng.uniform(0, box, size=(6, 3))
+    # background + a clump of 40 particles within r<2 of each center
+    bg = rng.uniform(0, box, size=(1500, 3))
+    clumps = np.concatenate(
+        [
+            (c + rng.normal(0, 0.8, size=(40, 3))) % box
+            for c in centers
+        ]
+    )
+    parts = np.concatenate([bg, clumps])
+    cdf = spark.createDataFrame(
+        [(i, *map(float, c)) for i, c in enumerate(centers)],
+        ["id", "x", "y", "z"],
+    )
+    pdf = spark.createDataFrame(
+        [(i, *map(float, p)) for i, p in enumerate(parts)],
+        ["id", "x", "y", "z"],
+    )
+    bins = [0.0, 2.0, 5.0, 10.0]
+    prof = {
+        r["bin"]: r
+        for r in stacked_radial_profile(
+            cdf, pdf, bins, box
+        ).collect()
+    }
+    # brute-force twin with periodic minimum image
+    def pdist(a, b):
+        d = np.abs(a - b)
+        d = np.minimum(d, box - d)
+        return np.sqrt((d**2).sum())
+
+    want = [0, 0, 0]
+    for c in centers:
+        for p in parts:
+            r = pdist(c, p)
+            for i in range(3):
+                if bins[i] <= r < bins[i + 1]:
+                    want[i] += 1
+    assert [prof[i]["n_pairs"] for i in range(3)] == want
+    # physics: inner bin strongly overdense, outer bin near the mean
+    assert prof[0]["overdensity"] > 5.0
+    assert abs(prof[2]["overdensity"]) < 1.0
+    # mass-weighted with unit masses reproduces the counts
+    pmdf = pdf.withColumn("m", F.lit(1.0))
+    prof_m = {
+        r["bin"]: r
+        for r in stacked_radial_profile(
+            cdf, pmdf, bins, box, mass_col="m"
+        ).collect()
+    }
+    assert [prof_m[i]["mass"] for i in range(3)] == [float(w) for w in want]
