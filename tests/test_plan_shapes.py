@@ -542,3 +542,21 @@ def test_dsir_scoring_broadcasts_models(spark):
     plan = _explain(_score_frame(docs, tm, rm, "text", "doc_id"))
     assert count_in(plan, "CartesianProduct") == 0
     assert count_in(plan, "BroadcastHashJoin") >= 2
+
+
+def test_density_mesh_single_aggregation_no_python(spark):
+    """Mass assignment must be one JVM explode + one groupBy(cell)
+    exchange — no Python evaluation, no joins."""
+    from opencosmo_spark.spatial.power import density_mesh
+
+    df = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "cast(user_id as double) as x",
+        "cast(value as double) as y",
+        "cast(event_id as double) as z",
+    )
+    for scheme in ("ngp", "cic"):
+        plan = _explain(density_mesh(df, 16, 1000.0, scheme=scheme))
+        n = nodes(plan)
+        assert n.count("Exchange") == 1, scheme
+        assert not any("Join" in x for x in n), scheme
+        assert count_in(plan, "PythonUDF") == 0, scheme
