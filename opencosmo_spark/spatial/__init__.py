@@ -20,6 +20,7 @@ from .region import (
 from .power import cross_power_spectrum, density_mesh, power_spectrum, sample_mesh_at
 from .pairs import (
     stacked_radial_profile,
+    stacked_value_profile,
     fof_groups,
     neighbor_pairs_3d,
     precompute_rr,
@@ -34,6 +35,7 @@ __all__ = [
     "cross_power_spectrum",
     "sample_mesh_at",
     "stacked_radial_profile",
+    "stacked_value_profile",
     "crossmatch_sky",
     "sky_fof_groups",
     "sky_pairs",

@@ -630,3 +630,57 @@ def stacked_radial_profile(
         "bin int, r_lo double, r_hi double, n_pairs long, mass double, "
         "mean_density double, overdensity double",
     )
+
+
+def stacked_value_profile(
+    centers: DataFrame,
+    particles: DataFrame,
+    bins: list[float],
+    box_size: float,
+    value_col: str,
+    id_col_centers: str = "id",
+    id_col_particles: str = "id",
+    cols_centers: tuple[str, str, str] = ("x", "y", "z"),
+    cols_particles: tuple[str, str, str] = ("x", "y", "z"),
+    periodic: bool = True,
+    decimals: int = 10,
+) -> DataFrame:
+    """Stacked radial profile of an arbitrary particle VALUE around a
+    center catalog — velocity-dispersion profiles σ_v(r), temperature
+    profiles, metallicity gradients: per radial bin, the count, mean,
+    and (population) standard deviation of ``value_col`` over every
+    (center, particle) pair in the shell.
+
+    Same cross-pair engine and cost shape as
+    ``stacked_radial_profile``; one extra equi-join attaches the value
+    and one aggregation reduces per bin.
+    """
+    if sorted(bins) != list(bins) or len(bins) < 2:
+        raise ValueError("bins must be a sorted list of >= 2 edges")
+    rmax = float(bins[-1])
+    part = particles.select(
+        *dict.fromkeys([id_col_particles, *cols_particles, value_col])
+    )
+    pairs = cross_pairs_3d(
+        centers, part, rmax, box_size,
+        id_col_a=id_col_centers, id_col_b=id_col_particles,
+        cols_a=cols_centers, cols_b=cols_particles, periodic=periodic,
+    )
+    vals = part.select(
+        F.col(id_col_particles).alias("b"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    return (
+        pairs.join(vals, "b")
+        .withColumn("bin", _bin_expr(bins))
+        .filter(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__v"), decimals).alias("mean"),
+            F.round(
+                F.coalesce(F.stddev_pop("__v"), F.lit(0.0)), decimals
+            ).alias("std"),
+        )
+        .orderBy("bin")
+    )

@@ -404,3 +404,50 @@ def test_stacked_radial_profile_bruteforce_and_physics(spark):
         ).collect()
     }
     assert [prof_m[i]["mass"] for i in range(3)] == [float(w) for w in want]
+
+
+def test_stacked_value_profile_matches_bruteforce(spark):
+    """Per-bin mean/std of a particle value over stacked shells equals
+    the all-pairs python twin."""
+    import numpy as np
+
+    from opencosmo_spark.spatial.pairs import stacked_value_profile
+
+    rng = np.random.default_rng(17)
+    box = 40.0
+    centers = rng.uniform(0, box, size=(4, 3))
+    parts = rng.uniform(0, box, size=(800, 3))
+    vals = rng.normal(5.0, 2.0, size=800)
+    cdf = spark.createDataFrame(
+        [(i, *map(float, c)) for i, c in enumerate(centers)],
+        ["id", "x", "y", "z"],
+    )
+    pdf = spark.createDataFrame(
+        [(i, *map(float, p), float(v)) for i, (p, v) in enumerate(zip(parts, vals))],
+        ["id", "x", "y", "z", "vel"],
+    )
+    bins = [0.0, 5.0, 10.0]
+    got = {
+        r["bin"]: r
+        for r in stacked_value_profile(
+            cdf, pdf, bins, box, value_col="vel"
+        ).collect()
+    }
+
+    def pdist(a, b):
+        d = np.abs(a - b)
+        d = np.minimum(d, box - d)
+        return np.sqrt((d**2).sum())
+
+    buckets = {0: [], 1: []}
+    for c in centers:
+        for p, v in zip(parts, vals):
+            r = pdist(c, p)
+            for i in range(2):
+                if bins[i] <= r < bins[i + 1]:
+                    buckets[i].append(v)
+    for i in range(2):
+        want = np.array(buckets[i])
+        assert got[i]["n"] == len(want)
+        assert got[i]["mean"] == pytest.approx(want.mean(), abs=1e-9)
+        assert got[i]["std"] == pytest.approx(want.std(), abs=1e-9)
