@@ -52,3 +52,17 @@ def test_web_pipeline_example_runs(tmp_path):
     assert "# Example web corpus" in out.stdout
     assert "top host:" in out.stdout
     assert "wrote shards: [(0, 8), (1, 8)]" in out.stdout
+
+
+def test_clustering_analysis_example_runs():
+    out = subprocess.run(
+        [sys.executable, "examples/clustering_analysis.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "fof: 12 groups with >= 20 members" in out.stdout
+    assert "P(k):" in out.stdout and "shot noise" in out.stdout
+    assert "densest center:" in out.stdout
