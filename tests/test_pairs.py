@@ -451,3 +451,64 @@ def test_stacked_value_profile_matches_bruteforce(spark):
         assert got[i]["n"] == len(want)
         assert got[i]["mean"] == pytest.approx(want.mean(), abs=1e-9)
         assert got[i]["std"] == pytest.approx(want.std(), abs=1e-9)
+
+
+def test_projected_correlation_bruteforce_and_poisson(spark):
+    """wp(rp) DD cells match the all-pairs python twin exactly, the
+    estimator formula agrees to 1e-9, and a Poisson box gives wp ~ 0
+    while a z-axis filament shows strong small-rp signal."""
+    import numpy as np
+
+    from opencosmo_spark.spatial.pairs import projected_correlation
+
+    box = 50.0
+    rng = np.random.default_rng(23)
+    pts = rng.uniform(0, box, size=(900, 3))
+    # a line-of-sight filament: tight in (x, y), extended in z
+    fil = np.column_stack(
+        [
+            np.full(120, 10.0) + rng.normal(0, 0.3, 120),
+            np.full(120, 20.0) + rng.normal(0, 0.3, 120),
+            rng.uniform(0, box, 120),
+        ]
+    ) % box
+    allpts = np.concatenate([pts, fil])
+    df = spark.createDataFrame(
+        [(i, *map(float, p)) for i, p in enumerate(allpts)],
+        ["id", "x", "y", "z"],
+    )
+    rp_bins = [0.0, 1.0, 4.0, 10.0]
+    pi_max = 8.0
+    n_pi = 4
+    got = {
+        r["bin"]: r
+        for r in projected_correlation(
+            df, rp_bins, pi_max, box, n_pi_bins=n_pi
+        ).collect()
+    }
+
+    # twin: identical estimator over brute-force pairs
+    n = len(allpts)
+    d = np.abs(allpts[:, None, :] - allpts[None, :, :])
+    d = np.minimum(d, box - d)
+    rp = np.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2)
+    pi = d[..., 2]
+    iu = np.triu_indices(n, 1)
+    rp, pi = rp[iu], pi[iu]
+    d_pi = pi_max / n_pi
+    total_pairs = n * (n - 1) / 2
+    for i in range(3):
+        lo, hi = rp_bins[i], rp_bins[i + 1]
+        sel = (rp >= lo) & (rp < hi) & (pi < pi_max)
+        assert got[i]["dd"] == int(sel.sum())
+        wp = 0.0
+        area = np.pi * (hi**2 - lo**2)
+        for j in range(n_pi):
+            dd = int(
+                (sel & (np.minimum((pi / d_pi).astype(int), n_pi - 1) == j)).sum()
+            )
+            rr = total_pairs * area * 2 * d_pi / box**3
+            wp += (dd / rr - 1.0) * 2 * d_pi
+        assert got[i]["wp"] == pytest.approx(wp, abs=1e-9)
+    # physics: the filament dominates the smallest rp bin
+    assert got[0]["wp"] > 5 * abs(got[2]["wp"])
