@@ -774,3 +774,82 @@ def projected_correlation(
     return df.sparkSession.createDataFrame(
         out, "bin int, rp_lo double, rp_hi double, dd long, wp double"
     )
+
+
+def correlation_multipoles(
+    df: DataFrame,
+    s_bins: list[float],
+    box_size: float,
+    ells: tuple[int, ...] = (0, 2),
+    id_col: str = "id",
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+) -> DataFrame:
+    """Redshift-space correlation multipoles ξ_ℓ(s) (monopole,
+    quadrupole, hexadecapole — the RSD observables; Hamilton 1992):
+
+        ξ_ℓ(s) = (2ℓ+1) · ⟨ (DD(s,μ)/RR(s,μ) − 1) · P_ℓ(μ) ⟩_μ
+
+    estimated pair-by-pair: each DD pair carries μ = π/s (line of
+    sight along ``cols[2]``), the Legendre weight is a JVM
+    expression, and the μ-average collapses into the per-s-bin
+    aggregate against the analytic isotropic RR of the periodic box —
+    ξ_ℓ(s) = (2ℓ+1)·Σ_pairs P_ℓ(μ)/RR(s) − (2ℓ+1)·δ_ℓ0. One pair
+    join + one aggregation, the engine's usual shuffles.
+
+    Returns one row per s bin: ``(bin, s_lo, s_hi, dd, xi_<ell>...)``.
+    """
+    if sorted(s_bins) != list(s_bins) or len(s_bins) < 2:
+        raise ValueError("s_bins must be a sorted list of >= 2 edges")
+    bad = [l for l in ells if l not in (0, 2, 4)]
+    if bad:
+        raise ValueError(f"supported multipoles are 0, 2, 4; got {bad}")
+    smax = float(s_bins[-1])
+    pairs = _pairs_engine(
+        df, df, smax, box_size, id_col, id_col, cols, cols,
+        periodic=True, self_join=True, components=True,
+    )
+    mu = F.col("pi") / F.col("dist")
+    legendre = {
+        0: F.lit(1.0),
+        2: (3.0 * mu * mu - 1.0) / 2.0,
+        4: (35.0 * mu**4 - 30.0 * mu * mu + 3.0) / 8.0,
+    }
+    sb = _bin_expr(s_bins)
+    aggs = [F.count(F.lit(1)).alias("dd")] + [
+        F.sum(legendre[l]).alias(f"__p{l}") for l in ells
+    ]
+    rows = {
+        r["__sb"]: r
+        for r in (
+            pairs.withColumn("__sb", sb)
+            .filter(F.col("__sb").isNotNull())
+            .groupBy("__sb")
+            .agg(*aggs)
+            .collect()
+        )
+    }
+    n = df.count()
+    total_pairs = n * (n - 1) / 2.0
+    volume = box_size**3
+    pi_const = 3.141592653589793
+    out = []
+    for i in range(len(s_bins) - 1):
+        lo, hi = float(s_bins[i]), float(s_bins[i + 1])
+        shell = 4.0 / 3.0 * pi_const * (hi**3 - lo**3)
+        rr = total_pairs * shell / volume
+        r = rows.get(i)
+        dd = int(r["dd"]) if r else 0
+        vals = []
+        for l in ells:
+            psum = float(r[f"__p{l}"]) if r else 0.0
+            xi = (2 * l + 1) * psum / rr - (2 * l + 1) * (1.0 if l == 0 else 0.0)
+            # the non-monopole correction term vanishes because
+            # ⟨P_ℓ(μ)⟩ = 0 for ℓ > 0 under isotropic RR — the -1 of
+            # the estimator only survives at ℓ = 0
+            vals.append(round(xi, 10))
+        out.append((i, lo, hi, dd, *vals))
+    schema = (
+        "bin int, s_lo double, s_hi double, dd long, "
+        + ", ".join(f"xi_{l} double" for l in ells)
+    )
+    return df.sparkSession.createDataFrame(out, schema)

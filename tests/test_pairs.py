@@ -512,3 +512,70 @@ def test_projected_correlation_bruteforce_and_poisson(spark):
         assert got[i]["wp"] == pytest.approx(wp, abs=1e-9)
     # physics: the filament dominates the smallest rp bin
     assert got[0]["wp"] > 5 * abs(got[2]["wp"])
+
+
+def test_correlation_multipoles_bruteforce_and_anisotropy(spark):
+    """xi_0/xi_2(s) equal the all-pairs twin to 1e-9; an isotropic
+    clustered field has xi_2 ~ 0, and squashing structures along the
+    line of sight drives xi_2 negative at small s (the Kaiser-like
+    signature the statistic exists to detect)."""
+    import numpy as np
+
+    from opencosmo_spark.spatial.pairs import correlation_multipoles
+
+    box = 50.0
+    rng = np.random.default_rng(29)
+
+    def clumpy(flatten_z):
+        field = rng.uniform(0, box, size=(700, 3))
+        cents = rng.uniform(0, box, size=(10, 3))
+        sig = np.array([1.5, 1.5, 1.5 * flatten_z])
+        clumps = np.concatenate(
+            [(c + rng.normal(0, 1, size=(60, 3)) * sig) % box for c in cents]
+        )
+        return np.concatenate([field, clumps])
+
+    iso = clumpy(1.0)
+    df = spark.createDataFrame(
+        [(i, *map(float, p)) for i, p in enumerate(iso)],
+        ["id", "x", "y", "z"],
+    )
+    s_bins = [0.5, 3.0, 8.0]
+    got = {
+        r["bin"]: r
+        for r in correlation_multipoles(df, s_bins, box).collect()
+    }
+
+    # brute twin with the identical estimator
+    n = len(iso)
+    d = np.abs(iso[:, None, :] - iso[None, :, :])
+    d = np.minimum(d, box - d)
+    dist = np.sqrt((d**2).sum(-1))
+    iu = np.triu_indices(n, 1)
+    dist, dz = dist[iu], d[..., 2][iu]
+    total = n * (n - 1) / 2
+    for i in range(2):
+        lo, hi = s_bins[i], s_bins[i + 1]
+        sel = (dist >= lo) & (dist < hi)
+        mu = dz[sel] / dist[sel]
+        rr = total * 4 / 3 * np.pi * (hi**3 - lo**3) / box**3
+        xi0 = mu.size / rr - 1.0
+        xi2 = 5.0 * ((3 * mu**2 - 1) / 2).sum() / rr
+        assert got[i]["dd"] == mu.size
+        assert got[i]["xi_0"] == pytest.approx(xi0, abs=1e-9)
+        assert got[i]["xi_2"] == pytest.approx(xi2, abs=1e-9)
+    # isotropic: strong monopole, small quadrupole at small s
+    assert got[0]["xi_0"] > 3.0
+    assert abs(got[0]["xi_2"]) < 0.5 * got[0]["xi_0"]
+
+    # anisotropic (z-flattened clumps): negative quadrupole
+    flat = clumpy(0.25)
+    df2 = spark.createDataFrame(
+        [(i, *map(float, p)) for i, p in enumerate(flat)],
+        ["id", "x", "y", "z"],
+    )
+    got2 = {
+        r["bin"]: r
+        for r in correlation_multipoles(df2, s_bins, box).collect()
+    }
+    assert got2[0]["xi_2"] < -0.5
