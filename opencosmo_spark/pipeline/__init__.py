@@ -31,7 +31,12 @@ from .classify import (
     quality_classifier_score,
     train_quality_classifier,
 )
-from .clean import c4_clean, gopher_quality_flags, normalize_text
+from .clean import (
+    c4_clean,
+    gopher_quality_flags,
+    gopher_repetition_flags,
+    normalize_text,
+)
 from .curate import curate_corpus
 from .drift import psi_report
 from .embed import pca_project, pca_project_expr, pca_train
@@ -192,6 +197,7 @@ __all__ = [
     "pseudonymize",
     "psi_report",
     "gopher_quality_flags",
+    "gopher_repetition_flags",
     "c4_clean",
     "normalize_text",
     "train_bigram_lm",

@@ -135,6 +135,251 @@ def gopher_quality_flags(
     return out.withColumn("keep", keep)
 
 
+def _dup_beyond_first(arr: Column) -> Column:
+    """Per-row duplicate census of a string array: struct with ``dups``
+    (# occurrences beyond each element's first) and ``dupchars`` (their
+    summed char lengths). Sort-then-scan inside the row — array_sort
+    puts equal elements adjacent, one aggregate pass counts repeats —
+    so the whole census is a JVM expression: no explode, no shuffle,
+    cost O(k log k) in the row's own element count."""
+    srt = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("dups"),
+        F.lit(0).cast("long").alias("dupchars"),
+    )
+    return F.aggregate(
+        srt,
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (
+                acc["dups"]
+                + F.when(x.eqNullSafe(acc["prev"]), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dups"),
+            (
+                acc["dupchars"]
+                + F.when(
+                    x.eqNullSafe(acc["prev"]), F.length(x).cast("long")
+                ).otherwise(F.lit(0))
+            ).alias("dupchars"),
+        ),
+    )
+
+
+def _word_grams(words: Column, n: int) -> Column:
+    """Space-joined word ``n``-grams of a word array, as a JVM
+    expression (sequence of window starts -> slice -> concat_ws).
+    Empty array when the row has fewer than ``n`` words — the CASE
+    guard keeps ``sequence`` from ever seeing start > stop."""
+    n_words = F.size(words)
+    starts = F.sequence(F.lit(1), n_words - F.lit(n - 1))
+    return F.when(
+        n_words >= F.lit(n),
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_gram_mass(grams: Column) -> Column:
+    """Characters covered by the heaviest repeated gram: the maximum
+    of ``count * length(gram)`` over grams occurring >= 2 times (the
+    most frequent gram, up to frequency ties broken toward the longer
+    gram), 0 when nothing repeats — count < 2 is not repetition.
+    Run-length scan over ``array_sort`` — one aggregate, row-local."""
+    srt = F.array_sort(grams)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_mass"),
+    )
+    scanned = F.aggregate(
+        srt,
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best_mass"],
+                F.when(
+                    x.eqNullSafe(acc["prev"]),
+                    (acc["run"] + 1) * F.length(x).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ).alias("best_mass"),
+        ),
+    )
+    return scanned["best_mass"]
+
+
+def _dup_gram_mass(grams: Column) -> Column:
+    """Characters covered by ALL duplicated grams — every occurrence
+    (including the first) of any gram appearing >= 2 times contributes
+    its char length. Same sorted run-length scan as
+    ``_top_gram_mass``; when a run reaches its second element the
+    first occurrence's mass is back-filled."""
+    srt = F.array_sort(grams)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("mass"),
+    )
+    scanned = F.aggregate(
+        srt,
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            (
+                acc["mass"]
+                + F.when(
+                    x.eqNullSafe(acc["prev"]),
+                    # this occurrence, plus the run's first occurrence
+                    # the moment the gram proves duplicated (run 1->2)
+                    F.length(x).cast("long")
+                    * F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1)),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("mass"),
+        ),
+    )
+    return scanned["mass"]
+
+
+# (threshold, signal kind) per Rae et al. 2021 Table A1, repetition rows
+_GOPHER_TOP_GRAM_CAPS = {2: 0.20, 3: 0.18, 4: 0.16}
+_GOPHER_DUP_GRAM_CAPS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    top_gram_caps: dict[int, float] | None = None,
+    dup_gram_caps: dict[int, float] | None = None,
+) -> DataFrame:
+    """The Gopher REPETITION rules (Rae et al. 2021 appendix A1.1,
+    Table A1's repetition rows) — the companion filter to
+    ``gopher_quality_flags``: documents dominated by repeated lines,
+    paragraphs, or n-grams (boilerplate loops, SEO spam, scraper
+    echo) are flagged. Attaches per-signal fractions, per-rule
+    booleans ``r_ok_*``, and their conjunction ``keep``:
+
+    - ``r_dup_line_frac`` / ``r_dup_para_frac``: fraction of non-blank
+      lines / paragraphs that are repeats of an earlier one (occurrence
+      count beyond first / total), capped at 0.30;
+    - ``r_dup_line_char_frac`` / ``r_dup_para_char_frac``: the same
+      repeats weighted by char length over the summed element length,
+      capped at 0.20;
+    - ``r_top_{2,3,4}gram_char_frac``: chars covered by the heaviest
+      repeated word n-gram (max of count x gram length over grams
+      appearing >= 2 times; 0 when nothing repeats) over the
+      normalized content length, caps 0.20 / 0.18 / 0.16;
+    - ``r_dup_{5..10}gram_char_frac``: chars covered by ALL word
+      n-grams occurring >= 2 times (every occurrence weighted, clamped
+      to 1.0), caps 0.15 down to 0.10.
+
+    Conventions (deterministic, documented because the paper leaves
+    them loose): lines split on ``\\n``, paragraphs on blank lines,
+    both trimmed with blanks dropped; words are whitespace tokens;
+    the n-gram denominators use the length of the space-normalized
+    word join. The dup-n-gram signal counts every duplicated
+    occurrence WITHOUT overlap marking — an upper bound on the
+    paper's span-marked fraction (a doc it passes, the paper's form
+    passes too); the exact form needs per-row span bookkeeping that
+    would force the text through Python at 100 TB.
+
+    Everything is ``array_sort`` + run-length ``aggregate`` JVM
+    expressions — row-local, shuffle-free, scan-fused; cost is
+    O(words x 9 sorts) per document and nothing leaves the row.
+    """
+    top_caps = dict(_GOPHER_TOP_GRAM_CAPS if top_gram_caps is None
+                    else top_gram_caps)
+    dup_caps = dict(_GOPHER_DUP_GRAM_CAPS if dup_gram_caps is None
+                    else dup_gram_caps)
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), F.trim), lambda x: x != F.lit("")
+    )
+    paras = F.filter(
+        F.transform(F.split(t, r"\n{2,}"), F.trim), lambda x: x != F.lit("")
+    )
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
+    content_len = F.greatest(
+        F.length(F.concat_ws(" ", words)), F.lit(1)
+    ).cast("double")
+
+    def elem_fracs(arr: Column, prefix: str) -> dict[str, Column]:
+        census = _dup_beyond_first(arr)
+        n = F.greatest(F.size(arr), F.lit(1)).cast("double")
+        total_chars = F.greatest(
+            F.aggregate(
+                arr,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.length(x).cast("long"),
+            ),
+            F.lit(1),
+        ).cast("double")
+        return {
+            f"r_dup_{prefix}_frac": F.round(
+                census["dups"].cast("double") / n, 6
+            ),
+            f"r_dup_{prefix}_char_frac": F.round(
+                census["dupchars"].cast("double") / total_chars, 6
+            ),
+        }
+
+    cols: dict[str, Column] = {}
+    cols.update(elem_fracs(lines, "line"))
+    cols.update(elem_fracs(paras, "para"))
+    for n in sorted(top_caps):
+        cols[f"r_top_{n}gram_char_frac"] = F.round(
+            _top_gram_mass(_word_grams(words, n)).cast("double")
+            / content_len,
+            6,
+        )
+    for n in sorted(dup_caps):
+        cols[f"r_dup_{n}gram_char_frac"] = F.round(
+            F.least(
+                _dup_gram_mass(_word_grams(words, n)).cast("double")
+                / content_len,
+                F.lit(1.0),
+            ),
+            6,
+        )
+    out = df
+    for name, c in cols.items():
+        out = out.withColumn(name, c)
+
+    checks: dict[str, Column] = {
+        "r_ok_dup_line_frac": F.col("r_dup_line_frac") <= max_dup_line_frac,
+        "r_ok_dup_para_frac": F.col("r_dup_para_frac") <= max_dup_para_frac,
+        "r_ok_dup_line_char_frac": F.col("r_dup_line_char_frac")
+        <= max_dup_line_char_frac,
+        "r_ok_dup_para_char_frac": F.col("r_dup_para_char_frac")
+        <= max_dup_para_char_frac,
+    }
+    for n, cap in sorted(top_caps.items()):
+        checks[f"r_ok_top_{n}gram"] = (
+            F.col(f"r_top_{n}gram_char_frac") <= cap
+        )
+    for n, cap in sorted(dup_caps.items()):
+        checks[f"r_ok_dup_{n}gram"] = (
+            F.col(f"r_dup_{n}gram_char_frac") <= cap
+        )
+    keep: Column = F.lit(True)
+    for name, cond in checks.items():
+        out = out.withColumn(name, cond)
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 def c4_clean(
     df: DataFrame,
     text_col: str = "text",

@@ -48,6 +48,7 @@ def curate_corpus(
     cap_per_domain: int | None = None,
     normalize_unicode: bool = False,
     gopher: bool | dict = False,
+    gopher_rep: bool | dict = False,
     c4_lines: bool = False,
     ppl_model: dict | None = None,
     ppl_train_df: DataFrame | None = None,
@@ -104,6 +105,11 @@ def curate_corpus(
     1b. Gopher rules (``gopher=True`` or a dict of threshold
        overrides): drop documents failing the Rae et al. 2021
        conjunction — row-local, scan-fused.
+    1b'. Gopher repetition rules (``gopher_rep=True`` or a dict of
+       threshold overrides): drop documents dominated by repeated
+       lines / paragraphs / n-grams (Rae et al. 2021 Table A1
+       repetition rows) — row-local sort-and-scan expressions,
+       scan-fused, no shuffle.
     1c. C4 line cleaning (``c4_lines=True``): rewrite each document
        to its C4-kept lines and drop documents failing the C4
        document rules — runs BEFORE dedup so fingerprints see the
@@ -169,10 +175,13 @@ def curate_corpus(
     # the gopher/c4 stages attach-and-drop helper columns; a user
     # column with one of those names would be silently overwritten by
     # withColumn and then survive the drop — refuse up front
-    if gopher or c4_lines:
+    if gopher or gopher_rep or c4_lines:
         clash = [
             c for c in df.columns
-            if c == "keep" or c.startswith("g_") or c.startswith("c4_")
+            if c == "keep"
+            or c.startswith("g_")
+            or c.startswith("r_")
+            or c.startswith("c4_")
         ]
         if clash:
             raise ValueError(
@@ -271,6 +280,17 @@ def curate_corpus(
         added = [c for c in flagged.columns if c not in out.columns]
         out = mark(
             "gopher_gate",
+            flagged.filter(F.col("keep")).drop(*added),
+        )
+
+    if gopher_rep:
+        from .clean import gopher_repetition_flags
+
+        kw = gopher_rep if isinstance(gopher_rep, dict) else {}
+        flagged = gopher_repetition_flags(out, text_col=text_col, **kw)
+        added = [c for c in flagged.columns if c not in out.columns]
+        out = mark(
+            "gopher_rep_gate",
             flagged.filter(F.col("keep")).drop(*added),
         )
 

@@ -364,6 +364,7 @@ def split_corpus(
     fracs: dict[str, float],
     id_col: str = "doc_id",
     salt: str = "split",
+    group_col: str | None = None,
 ) -> dict[str, DataFrame]:
     """Deterministic disjoint corpus splits (train/val/test): each row
     lands in exactly one named split by its hash lane, so the split is
@@ -374,6 +375,21 @@ def split_corpus(
     ``fracs`` must sum to 1 (±1e-9) — make the residual explicit
     (e.g. ``{"train": 0.98, "val": 0.01, "test": 0.01}``). Each
     returned DataFrame is a pushable scan filter on the parent.
+
+    ``group_col`` makes the split LEAKAGE-FREE at a coarser unit: the
+    lane is computed on that column instead of the row id, so every
+    row sharing the value lands in the same split. This is how a
+    near-duplicate-aware eval split is built — cluster the corpus
+    first (MinHash-LSH candidates -> ``connected_components``), attach
+    the cluster id, split on it — because splitting by document id
+    puts near-identical twins on both sides of the train/test fence
+    and silently inflates eval scores (the contamination mode
+    document-level dedup cannot fix). The same knob splits by any
+    leakage unit: source URL, domain, author. Split proportions then
+    hold over GROUPS, not rows (a heavy cluster drags its whole mass
+    into one split — that is the point). NULL group values raise:
+    silently lumping every unclustered row into one split would skew
+    it; coalesce to the row id upstream if singletons should scatter.
     """
     if not fracs:
         raise ValueError("fracs must name at least one split")
@@ -385,7 +401,23 @@ def split_corpus(
         )
     if any(v < 0 for v in fracs.values()):
         raise ValueError("fracs must be non-negative")
-    key = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    key_col = group_col if group_col is not None else id_col
+    if group_col is not None:
+        key = F.concat(
+            F.when(
+                F.col(group_col).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"split_corpus: NULL in group_col {group_col!r} — "
+                        f"coalesce unclustered rows to their own id "
+                        f"before a grouped split"
+                    )
+                ),
+            ).otherwise(F.col(group_col).cast("string")),
+            F.lit(":" + salt),
+        )
+    else:
+        key = F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
     lane = _lane(key)
     out: dict[str, DataFrame] = {}
     lo = 0.0

@@ -151,3 +151,121 @@ def test_curate_normalize_unicode_stage(spark):
     # without normalization they stay distinct
     _, counts2 = curate_corpus(df, min_quality=0.0, min_tokens=2)
     assert counts2["exact_dedup"] == 2
+
+
+# ---------------------------------------------------------------- A1.2
+
+
+def _rep_twin(text: str) -> dict:
+    """Python reference for gopher_repetition_flags' documented
+    conventions — duplicates beyond first, heaviest repeated gram
+    (max count*len), all-duplicated-occurrence gram mass."""
+    import re
+    from collections import Counter
+
+    lines = [x.strip() for x in text.split("\n") if x.strip()]
+    paras = [x.strip() for x in re.split(r"\n{2,}", text) if x.strip()]
+    words = [w for w in re.split(r"\s+", text.strip()) if w]
+    content_len = max(len(" ".join(words)), 1)
+
+    def dup(arr, prefix):
+        seen, d, dc = set(), 0, 0
+        for x in arr:
+            if x in seen:
+                d += 1
+                dc += len(x)
+            else:
+                seen.add(x)
+        return {
+            f"r_dup_{prefix}_frac": d / max(len(arr), 1),
+            f"r_dup_{prefix}_char_frac": dc
+            / max(sum(len(x) for x in arr), 1),
+        }
+
+    out = {}
+    out.update(dup(lines, "line"))
+    out.update(dup(paras, "para"))
+    for n in (2, 3, 4):
+        grams = Counter(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        mass = max(
+            (c * len(g) for g, c in grams.items() if c >= 2), default=0
+        )
+        out[f"r_top_{n}gram_char_frac"] = mass / content_len
+    for n in range(5, 11):
+        grams = Counter(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        mass = sum(c * len(g) for g, c in grams.items() if c >= 2)
+        out[f"r_dup_{n}gram_char_frac"] = min(mass / content_len, 1.0)
+    return out
+
+
+def test_gopher_repetition_matches_python_twin(spark):
+    from opencosmo_spark.pipeline.clean import gopher_repetition_flags
+
+    texts = [
+        GOOD,  # prose repeated x5: heavy n-gram repetition by design
+        "the same line\nthe same line\nthe same line\nanother one",
+        "para one is here\n\npara one is here\n\npara two differs",
+        " ".join(["buy cheap pills now"] * 30),
+        "completely unique words " + " ".join(f"w{i}" for i in range(200)),
+        "one two three four five six seven eight nine ten "
+        "one two three four five six seven eight nine ten extra",
+        "short",
+        "a\n\n\na\nb\n\nb  b",  # blank-run paragraphs, trim edge cases
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = (
+        gopher_repetition_flags(df)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i, t in enumerate(texts):
+        want = _rep_twin(t)
+        for k, v in want.items():
+            assert abs(got.loc[i, k] - v) < 1e-6, (i, k, got.loc[i, k], v)
+
+
+def test_gopher_repetition_flags_fire_and_pass(spark):
+    from opencosmo_spark.pipeline.clean import gopher_repetition_flags
+
+    clean = (
+        "Different sentences carry different words so nothing repeats "
+        "here at all. Every line brings fresh content and the corpus "
+        "filter should keep this document without firing any rule."
+    )
+    line_spam = "\n".join(["identical boilerplate line"] * 8 + ["unique"])
+    gram_spam = " ".join(["click here to win big prizes today"] * 12)
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=clean),
+            Row(doc_id=1, text=line_spam),
+            Row(doc_id=2, text=gram_spam),
+        ]
+    )
+    out = gopher_repetition_flags(df).toPandas().set_index("doc_id")
+    assert bool(out.loc[0, "keep"]), out.loc[0].to_dict()
+    assert not bool(out.loc[1, "keep"])
+    assert not bool(out.loc[1, "r_ok_dup_line_frac"])
+    assert not bool(out.loc[2, "keep"])
+    assert not bool(out.loc[2, "r_ok_top_2gram"])
+    assert not bool(out.loc[2, "r_ok_dup_5gram"])
+
+
+def test_gopher_repetition_stays_jvm(spark):
+    from opencosmo_spark.pipeline.clean import gopher_repetition_flags
+
+    df = spark.createDataFrame([Row(doc_id=0, text=GOOD)])
+    plan = (
+        gopher_repetition_flags(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

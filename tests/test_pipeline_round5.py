@@ -618,3 +618,52 @@ def test_curate_corpus_cache_ownership(spark):
 
     out2, _ = curate_corpus(df, min_quality=0.0, min_tokens=1, report=True)
     assert not getattr(out2, "_oc_cached", [])
+
+
+def test_curate_corpus_gopher_repetition_stage(spark):
+    """gopher_rep drops repetition-dominated docs before dedup while
+    clean prose passes; helper columns never leak into the output."""
+    from opencosmo_spark.pipeline import curate_corpus
+
+    clean = (
+        "Different sentences carry different words so nothing repeats "
+        "here at all. Every line brings fresh content and the filter "
+        "keeps this document while the spam below gets dropped early. "
+        "A second paragraph adds more unique material for the gate."
+    )
+    loop_spam = "\n".join(["identical boilerplate line of text"] * 12)
+    gram_spam = " ".join(["click here to win big prizes today"] * 15)
+    rows = [(0, clean), (1, loop_spam), (2, gram_spam)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out, counts = curate_corpus(
+        df, min_quality=0.0, min_tokens=1, gopher_rep=True
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {0}
+    assert counts["gopher_rep_gate"] == 1
+    assert not any(
+        c.startswith("r_") or c == "keep" for c in out.columns
+    )
+
+    # threshold overrides flow through the dict form
+    out2, c2 = curate_corpus(
+        df, min_quality=0.0, min_tokens=1,
+        gopher_rep={
+            "max_dup_line_frac": 1.0,
+            "max_dup_line_char_frac": 1.0,
+            "max_dup_para_frac": 1.0,
+            "max_dup_para_char_frac": 1.0,
+            "top_gram_caps": {n: 1.0 for n in (2, 3, 4)},
+            "dup_gram_caps": {n: 1.0 for n in range(5, 11)},
+        },
+    )
+    kept2 = {r["doc_id"] for r in out2.collect()}
+    assert 1 in kept2  # line spam survives fully loosened caps
+
+    # column-clash guard covers the r_ prefix
+    import pytest as _pytest
+
+    bad = df.withColumn("r_dup_line_frac", F.lit(0.0))
+    with _pytest.raises(ValueError, match="collide"):
+        curate_corpus(bad, gopher_rep=True)

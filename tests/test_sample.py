@@ -199,3 +199,59 @@ def test_split_corpus_partition_properties(spark):
         split_corpus(df, {"train": 0.5, "val": 0.1})
     with _pytest.raises(ValueError, match="at least one"):
         split_corpus(df, {})
+
+
+def test_split_corpus_grouped_is_leakage_free(spark):
+    """group_col splits whole near-dup clusters to one side: no two
+    rows sharing a group straddle splits, and the composition with
+    connected_components keeps planted near-dup twins together."""
+    from pyspark.sql import functions as F
+
+    from opencosmo_spark.pipeline.dedup import connected_components
+    from opencosmo_spark.pipeline.sample import split_corpus
+
+    # 300 docs in 100 clusters of 3 (ids c{k}_{j}), group = cluster k
+    rows = [(f"c{k}_{j}", k) for k in range(100) for j in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    parts = split_corpus(
+        df, {"train": 0.6, "val": 0.2, "test": 0.2}, group_col="grp"
+    )
+    seen: dict[int, str] = {}
+    for name, part in parts.items():
+        for r in part.collect():
+            assert seen.setdefault(r.grp, name) == name, (
+                f"group {r.grp} straddles {seen[r.grp]} and {name}"
+            )
+    assert len(seen) == 100  # every group landed somewhere
+    sizes = {k: v.count() for k, v in parts.items()}
+    assert sum(sizes.values()) == 300
+    assert sizes["train"] > sizes["val"]  # proportions hold over groups
+
+    # composition: cluster near-dup edges, then split on the cluster id
+    edges = spark.createDataFrame(
+        [(f"c{k}_0", f"c{k}_1") for k in range(100)]
+        + [(f"c{k}_1", f"c{k}_2") for k in range(100)],
+        ["a", "b"],
+    )
+    clustered = connected_components(edges, df.select("doc_id"))
+    labeled = df.join(clustered, "doc_id")
+    parts2 = split_corpus(
+        labeled, {"train": 0.8, "test": 0.2}, group_col="cluster_id"
+    )
+    train_ids = {r.doc_id for r in parts2["train"].collect()}
+    test_ids = {r.doc_id for r in parts2["test"].collect()}
+    for k in range(100):
+        members = {f"c{k}_{j}" for j in range(3)}
+        assert members <= train_ids or members <= test_ids
+
+    # NULL group refuses loudly rather than skewing one split
+    import pytest as _pytest
+
+    withnull = df.withColumn(
+        "grp", F.when(F.col("doc_id") == "c0_0", None).otherwise(F.col("grp"))
+    )
+    nullparts = split_corpus(
+        withnull, {"train": 0.5, "test": 0.5}, group_col="grp"
+    )
+    with _pytest.raises(Exception, match="NULL in group_col"):
+        sum(p.count() for p in nullparts.values())
