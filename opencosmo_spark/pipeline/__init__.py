@@ -86,6 +86,7 @@ from .similarity import (
     ivf_lloyd_step,
     ivf_pq_search,
     lsh_bucket_ann,
+    mine_hard_negatives,
     pq_encode,
     kmeans_parallel_init,
     pq_pack_codes,
@@ -119,6 +120,7 @@ __all__ = [
     "brute_force_cosine_topk",
     "lsh_bucket_ann",
     "ivf_ann",
+    "mine_hard_negatives",
     "ivf_lloyd_step",
     "assign_ivf_cells",
     "train_ivf_codebook",

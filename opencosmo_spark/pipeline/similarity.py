@@ -816,3 +816,126 @@ def ivf_pq_search(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def mine_hard_negatives(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    positives_df: DataFrame | None = None,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "doc_id",
+    query_vec_col: str = "embedding",
+    corpus_vec_col: str = "embedding",
+    max_sim: float | None = None,
+    method: str = "broadcast",
+    codebook: list[tuple[int, list[float]]] | None = None,
+    nprobe: int = 2,
+    cell_col: str = "__ivf_cell",
+) -> DataFrame:
+    """Hard-negative mining for embedding/retriever training (the
+    ANCE/DPR recipe): for every query vector, the ``k`` most
+    cosine-similar corpus items that are NOT its labeled positives —
+    the negatives that actually move a contrastive loss, vs the
+    uninformative random ones. Returns
+    ``(query_id, doc_id, cos_sim, neg_rank)``.
+
+    ``positives_df`` (query_id, doc_id pairs) is excluded by an
+    anti-join BEFORE ranking, so a filtered-out positive never eats a
+    negative slot. ``max_sim`` additionally drops candidates at or
+    above the cap — the standard false-negative guard: the nearest
+    non-labeled neighbors of a query are disproportionately unlabeled
+    POSITIVES, and training on them as negatives poisons the loss.
+
+    Two physical strategies:
+
+    - ``method="broadcast"`` (exact): the query table broadcasts and
+      cross-joins the corpus — per-executor scoring with NO shuffle of
+      the corpus; the per-query top-k is one window over the scored
+      pairs. Right whenever queries fit in a broadcast (the usual
+      case: thousands of training queries vs a huge corpus).
+    - ``method="ivf"``: both sides coarse-quantize against a shared
+      ``codebook`` (train with ``train_ivf_codebook``); each query
+      probes its ``nprobe`` nearest cells and meets only those
+      candidates through a (cell) equi-join. Approximate with the
+      usual IVF recall, but pair volume drops from Q x N to
+      Q x N x nprobe/nlist — the 100 TB path when the query side is
+      itself corpus-sized. A pre-materialized ``cell_col`` on the
+      corpus (ingest-time ``assign_ivf_cells``) is reused and prunes
+      at file level on a cell-clustered table.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = queries_df.select(
+        F.col(query_id_col), F.col(query_vec_col).alias("__qvec")
+    )
+    c = corpus_df.select(
+        F.col(corpus_id_col),
+        F.col(corpus_vec_col).alias("__cvec"),
+        *([F.col(cell_col)] if cell_col in corpus_df.columns else []),
+    )
+    if method == "broadcast":
+        pairs = c.crossJoin(F.broadcast(q))
+    elif method == "ivf":
+        if not codebook:
+            raise ValueError(
+                "method='ivf' needs a shared codebook "
+                "(train_ivf_codebook) so both sides quantize identically"
+            )
+        if cell_col not in c.columns:
+            c = assign_ivf_cells(
+                c.withColumnRenamed("__cvec", corpus_vec_col),
+                codebook,
+                corpus_vec_col,
+                cell_col,
+            ).withColumnRenamed(corpus_vec_col, "__cvec")
+        # per-query probe list: cosine to every centroid (a tiny
+        # literal), sort (desc sim, asc cell id) via a packed struct
+        # array, slice nprobe — all JVM, no driver pass over queries
+        cents = F.array(
+            *[
+                F.struct(
+                    F.lit(int(cid)).alias("cell"),
+                    F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+                )
+                for cid, vec in codebook
+            ]
+        )
+        scored = F.transform(
+            cents,
+            lambda s: F.struct(
+                (-F.round(cosine(F.col("__qvec"), s["c"]), 9)).alias(
+                    "neg_sim"
+                ),
+                s["cell"].alias("cell"),
+            ),
+        )
+        probes = F.slice(F.array_sort(scored), 1, nprobe)
+        q = q.withColumn(
+            cell_col, F.explode(F.transform(probes, lambda s: s["cell"]))
+        )
+        pairs = c.join(q, cell_col).drop(cell_col)
+    else:
+        raise ValueError(f"method must be broadcast|ivf, got {method!r}")
+
+    sim = F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6)
+    pairs = pairs.select(
+        query_id_col, corpus_id_col, sim.alias("cos_sim")
+    )
+    if max_sim is not None:
+        pairs = pairs.filter(F.col("cos_sim") < float(max_sim))
+    if positives_df is not None:
+        pairs = pairs.join(
+            positives_df.select(query_id_col, corpus_id_col),
+            [query_id_col, corpus_id_col],
+            "left_anti",
+        )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id_col)
+    )
+    return (
+        pairs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+    )
