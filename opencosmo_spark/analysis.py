@@ -420,3 +420,58 @@ def power_spectrum(ds, n_mesh: int, select_by=None, **kw):
     return _pk(
         ds.df, n_mesh, float(ds.header.box_size), cols=tuple(coords), **kw
     )
+
+
+def pairwise_velocity(
+    ds,
+    bins: list[float],
+    select_by: tuple[str, str, str] | None = None,
+    vel_by: tuple[str, str, str] | None = None,
+    **kw,
+):
+    """Mean radial pairwise velocity v12(r) of a Dataset — coordinates
+    / velocity columns / box size resolved from the dataset
+    (``spatial.pairs.pairwise_velocity`` underneath). Velocity columns
+    default to the coordinate names prefixed with ``v``
+    (x/y/z -> vx/vy/vz), overridable with ``vel_by``."""
+    from .spatial.bound import find_coords
+    from .spatial.pairs import pairwise_velocity as _v12
+
+    coords = select_by or find_coords(ds.columns, 3)
+    vels = vel_by or tuple(f"v{c}" for c in coords)
+    missing = [c for c in vels if c not in ds.columns]
+    if missing:
+        raise ValueError(
+            f"pairwise_velocity: velocity columns {missing} not in the "
+            f"dataset — pass vel_by explicitly"
+        )
+    if ds.header is None or ds.header.box_size is None:
+        raise ValueError("pairwise_velocity needs header.box_size")
+    return _v12(
+        ds.df, bins, float(ds.header.box_size), id_col=_pair_id_col(ds),
+        cols=tuple(coords), vel_cols=tuple(vels), **kw,
+    )
+
+
+def marked_correlation(
+    ds,
+    bins: list[float],
+    mark_col: str,
+    select_by: tuple[str, str, str] | None = None,
+    **kw,
+):
+    """Marked correlation M(r) of a Dataset — coordinates / box size
+    resolved from the dataset
+    (``spatial.pairs.marked_correlation`` underneath)."""
+    from .spatial.bound import find_coords
+    from .spatial.pairs import marked_correlation as _mcf
+
+    coords = select_by or find_coords(ds.columns, 3)
+    if mark_col not in ds.columns:
+        raise ValueError(f"marked_correlation: no column {mark_col!r}")
+    if ds.header is None or ds.header.box_size is None:
+        raise ValueError("marked_correlation needs header.box_size")
+    return _mcf(
+        ds.df, bins, float(ds.header.box_size), mark_col=mark_col,
+        id_col=_pair_id_col(ds), cols=tuple(coords), **kw,
+    )

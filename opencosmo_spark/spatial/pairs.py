@@ -32,6 +32,7 @@ def _prep_cells(
     cols: tuple[str, str, str],
     n: int,
     cell: float,
+    carry: tuple[str, ...] = (),
 ):
     x, y, z = (F.col(c) for c in cols)
     ix = F.least(F.floor(x / cell), F.lit(n - 1)).cast("long")
@@ -45,6 +46,10 @@ def _prep_cells(
         ix.alias("__ix"),
         iy.alias("__iy"),
         iz.alias("__iz"),
+        # per-point payload (velocities, marks) rides the SAME pair
+        # join instead of being re-attached by per-side equi-joins
+        # afterwards — at pair volume, two avoided joins
+        *[F.col(c).cast("double").alias(f"__carry_{c}") for c in carry],
     )
 
 
@@ -60,15 +65,21 @@ def _pairs_engine(
     periodic: bool,
     self_join: bool,
     components: bool = False,
+    vector: bool = False,
+    carry_a: tuple[str, ...] = (),
+    carry_b: tuple[str, ...] = (),
 ) -> DataFrame:
     """The shared cell-keyed pair join. ``self_join`` keeps unordered
     pairs (a < b) of ONE catalog; otherwise every (a in A, b in B)
     pair within ``radius`` appears once (the DR case — A and B are
-    distinct catalogs, ids may overlap numerically)."""
+    distinct catalogs, ids may overlap numerically). ``vector`` adds
+    the signed minimum-image separation components (dx, dy, dz) =
+    a - b; ``carry_a``/``carry_b`` thread per-point payload columns
+    through the join as ``{name}_a`` / ``{name}_b``."""
     n = max(1, int(box_size / radius))
     cell = box_size / n
-    base_a = _prep_cells(dfa, id_col_a, cols_a, n, cell)
-    base_b = _prep_cells(dfb, id_col_b, cols_b, n, cell)
+    base_a = _prep_cells(dfa, id_col_a, cols_a, n, cell, carry=carry_a)
+    base_b = _prep_cells(dfb, id_col_b, cols_b, n, cell, carry=carry_b)
 
     a = base_a.select(
         F.col("__pid").alias("a"),
@@ -76,6 +87,7 @@ def _pairs_engine(
         F.col("__y").alias("ya"),
         F.col("__z").alias("za"),
         _cell_id(F.col("__ix"), F.col("__iy"), F.col("__iz"), n).alias("__cell"),
+        *[F.col(f"__carry_{c}").alias(f"{c}_a") for c in carry_a],
     )
 
     # the other side fans out to its 27-neighborhood; when the grid is
@@ -113,6 +125,7 @@ def _pairs_engine(
         F.col("__y").alias("yb"),
         F.col("__z").alias("zb"),
         F.explode(cells).alias("__cell"),
+        *[F.col(f"__carry_{c}").alias(f"{c}_b") for c in carry_b],
     )
 
     def delta(p, q):
@@ -138,6 +151,10 @@ def _pairs_engine(
         if components
         else []
     )
+    if vector:
+        extra += [dx.alias("dx"), dy.alias("dy"), dz.alias("dz")]
+    extra += [F.col(f"{c}_a") for c in carry_a]
+    extra += [F.col(f"{c}_b") for c in carry_b]
     return (
         out.select("a", "b", dist.alias("dist"), *extra)
         .filter(F.col("dist") <= float(radius))
@@ -853,3 +870,151 @@ def correlation_multipoles(
         + ", ".join(f"xi_{l} double" for l in ells)
     )
     return df.sparkSession.createDataFrame(out, schema)
+
+
+def pairwise_velocity(
+    df: DataFrame,
+    bins: list[float],
+    box_size: float,
+    id_col: str = "id",
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+    vel_cols: tuple[str, str, str] = ("vx", "vy", "vz"),
+    periodic: bool = True,
+    decimals: int = 10,
+) -> DataFrame:
+    """Mean radial pairwise velocity v12(r) and its dispersion
+    sigma12(r) — the streaming-velocity statistic of large-scale
+    structure (Davis & Peebles 1977 conventions; the BBGKY/pair
+    conservation observable): for every unordered pair within the
+    outermost bin edge, the relative velocity projected on the
+    separation vector,
+
+        v12 = (v_a - v_b) . (x_a - x_b) / |x_a - x_b|,
+
+    averaged per separation bin. NEGATIVE v12 = net infall (the
+    gravitational signal); zero for an unclustered field. The sign is
+    swap-invariant (both factors flip), so unordered pairs need no
+    orientation bookkeeping.
+
+    The velocities ride the SAME cell-keyed pair join as the
+    positions (engine ``carry`` columns) — no per-side re-join at
+    pair volume; the reduction is one hash aggregate per bin keyed by
+    ~len(bins) keys. Returns
+    ``(bin, r_lo, r_hi, n_pairs, v12_mean, v12_std)``.
+    """
+    if sorted(bins) != list(bins) or len(bins) < 2:
+        raise ValueError("bins must be a sorted list of >= 2 edges")
+    rmax = float(bins[-1])
+    pairs = _pairs_engine(
+        df, df, rmax, box_size, id_col, id_col, cols, cols,
+        periodic, self_join=True, vector=True,
+        carry_a=tuple(vel_cols), carry_b=tuple(vel_cols),
+    )
+    vx, vy, vz = vel_cols
+    vrad = (
+        (F.col(f"{vx}_a") - F.col(f"{vx}_b")) * F.col("dx")
+        + (F.col(f"{vy}_a") - F.col(f"{vy}_b")) * F.col("dy")
+        + (F.col(f"{vz}_a") - F.col(f"{vz}_b")) * F.col("dz")
+    ) / F.col("dist")
+    binned = (
+        pairs.filter(F.col("dist") > 0)
+        .withColumn("bin", _bin_expr(bins))
+        .filter(F.col("bin").isNotNull())
+        .withColumn("__v12", vrad)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("__v12"), decimals).alias("v12_mean"),
+            F.round(
+                F.coalesce(F.stddev_pop("__v12"), F.lit(0.0)), decimals
+            ).alias("v12_std"),
+        )
+    )
+    edges = binned.sparkSession.createDataFrame(
+        [(i, float(bins[i]), float(bins[i + 1])) for i in range(len(bins) - 1)],
+        "bin int, r_lo double, r_hi double",
+    )
+    return (
+        edges.join(binned, "bin", "left")
+        .fillna({"n_pairs": 0, "v12_mean": 0.0, "v12_std": 0.0})
+        .orderBy("bin")
+    )
+
+
+def marked_correlation(
+    df: DataFrame,
+    bins: list[float],
+    box_size: float,
+    mark_col: str,
+    id_col: str = "id",
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+    periodic: bool = True,
+    decimals: int = 10,
+) -> DataFrame:
+    """Marked correlation function M(r) (Sheth & Tormen 2004): the
+    pair-weighted mean mark product over the unweighted pair count,
+
+        M(r) = WW(r) / (wbar^2 * DD(r)),
+
+    where WW sums ``w_a * w_b`` over pairs in the bin and wbar is the
+    catalog mean mark. M > 1 at a scale means close pairs carry
+    systematically larger marks (mass, luminosity, formation-time
+    environment dependence); an unmarked or shuffled catalog gives
+    M = 1 at every scale, which is exactly the standard null test.
+
+    One pair join (marks carried through the engine) + one hash
+    aggregate; the only driver data is the ~len(bins) result rows and
+    the single wbar scalar. Returns
+    ``(bin, r_lo, r_hi, dd, ww, mcf)``.
+    """
+    if sorted(bins) != list(bins) or len(bins) < 2:
+        raise ValueError("bins must be a sorted list of >= 2 edges")
+    rmax = float(bins[-1])
+    row = df.agg(
+        F.avg(F.col(mark_col).cast("double")).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if not row["n"]:
+        raise ValueError("marked_correlation: empty catalog")
+    wbar = float(row["m"] or 0.0)
+    if wbar == 0.0:
+        raise ValueError(
+            "marked_correlation: mean mark is 0 — M(r) is undefined; "
+            "shift the marks (e.g. +1) or use a strictly-positive mark"
+        )
+    pairs = _pairs_engine(
+        df, df, rmax, box_size, id_col, id_col, cols, cols,
+        periodic, self_join=True,
+        carry_a=(mark_col,), carry_b=(mark_col,),
+    )
+    binned = (
+        pairs.withColumn("bin", _bin_expr(bins))
+        .filter(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("dd"),
+            F.sum(
+                F.col(f"{mark_col}_a") * F.col(f"{mark_col}_b")
+            ).alias("ww"),
+        )
+    )
+    edges = binned.sparkSession.createDataFrame(
+        [(i, float(bins[i]), float(bins[i + 1])) for i in range(len(bins) - 1)],
+        "bin int, r_lo double, r_hi double",
+    )
+    return (
+        edges.join(binned, "bin", "left")
+        .fillna({"dd": 0, "ww": 0.0})
+        .withColumn(
+            "mcf",
+            F.when(
+                F.col("dd") > 0,
+                F.round(
+                    F.col("ww") / (F.col("dd") * F.lit(wbar * wbar)),
+                    decimals,
+                ),
+            ).otherwise(F.lit(None).cast("double")),
+        )
+        .withColumn("ww", F.round("ww", decimals))
+        .orderBy("bin")
+    )

@@ -763,3 +763,33 @@ def test_power_spectrum_dataset_entry(spark, fixtures):
     assert (out["n_modes"] > 0).all()
     assert np.isfinite(out["power"]).all()
     assert out["shot_noise"] > 0
+
+
+def test_pairwise_velocity_and_marked_correlation_dataset_entry(
+    spark, fixtures
+):
+    """Dataset-level v12(r) / M(r): coordinates, velocities, box size,
+    and id column resolve from the dataset; loud errors on missing
+    velocity/mark columns."""
+    from opencosmo_spark.analysis import marked_correlation, pairwise_velocity
+
+    halos = oc.open(f"{fixtures}/halo_properties")
+    v12 = pairwise_velocity(
+        halos, [0.0, 10.0, 20.0],
+        vel_by=("fof_halo_com_vx", "fof_halo_com_vy", "fof_halo_com_vz"),
+    ).collect()
+    assert [r["bin"] for r in v12] == [0, 1]
+    assert all(r["n_pairs"] >= 0 for r in v12)
+
+    mcf = marked_correlation(
+        halos, [0.0, 10.0, 20.0], mark_col="fof_halo_mass"
+    ).collect()
+    assert [r["bin"] for r in mcf] == [0, 1]
+    for r in mcf:
+        if r["dd"] > 0:
+            assert r["mcf"] is not None and r["mcf"] > 0
+
+    with pytest.raises(ValueError, match="velocity columns"):
+        pairwise_velocity(halos, [0.0, 10.0])
+    with pytest.raises(ValueError, match="no column"):
+        marked_correlation(halos, [0.0, 10.0], mark_col="nope")

@@ -579,3 +579,158 @@ def test_correlation_multipoles_bruteforce_and_anisotropy(spark):
         for r in correlation_multipoles(df2, s_bins, box).collect()
     }
     assert got2[0]["xi_2"] < -0.5
+
+
+def test_pairwise_velocity_bruteforce_and_infall(spark):
+    """v12(r) bin-for-bin vs an all-pairs numpy twin (minimum image),
+    plus physics: a planted radial-infall flow drives v12 negative at
+    clump scales while a static field gives exactly 0."""
+    from opencosmo_spark.spatial.pairs import pairwise_velocity
+
+    rng = np.random.default_rng(23)
+    n = 220
+    pts = rng.uniform(0, BOX, size=(n, 3))
+    vel = rng.normal(0, 50.0, size=(n, 3))
+    df = spark.createDataFrame(
+        [
+            Row(
+                id=i,
+                x=float(p[0]), y=float(p[1]), z=float(p[2]),
+                vx=float(v[0]), vy=float(v[1]), vz=float(v[2]),
+            )
+            for i, (p, v) in enumerate(zip(pts, vel))
+        ]
+    )
+    bins = [0.0, 1.0, 2.0, 3.0]
+    got = pairwise_velocity(df, bins, BOX).toPandas().set_index("bin")
+
+    # all-pairs twin
+    sums = np.zeros(3)
+    sqs = np.zeros(3)
+    cnt = np.zeros(3, dtype=int)
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = pts[i] - pts[j]
+            d -= BOX * np.round(d / BOX)
+            dist = float(np.sqrt((d**2).sum()))
+            if dist <= 0 or dist >= bins[-1]:
+                continue
+            b = int(np.searchsorted(bins, dist, side="right")) - 1
+            v12 = float(np.dot(vel[i] - vel[j], d) / dist)
+            sums[b] += v12
+            sqs[b] += v12 * v12
+            cnt[b] += 1
+    for b in range(3):
+        assert got.loc[b, "n_pairs"] == cnt[b]
+        if cnt[b]:
+            mean = sums[b] / cnt[b]
+            std = math.sqrt(max(sqs[b] / cnt[b] - mean * mean, 0.0))
+            assert got.loc[b, "v12_mean"] == pytest.approx(mean, abs=1e-8)
+            assert got.loc[b, "v12_std"] == pytest.approx(std, abs=1e-7)
+
+    # physics: velocities pointing at a common center -> pure infall
+    center = np.array([5.0, 5.0, 5.0])
+    cpts = center + rng.normal(0, 0.8, size=(80, 3))
+    cvel = (center - cpts) * 10.0  # each point falls toward the center
+    cdf = spark.createDataFrame(
+        [
+            Row(id=i, x=float(p[0]), y=float(p[1]), z=float(p[2]),
+                vx=float(v[0]), vy=float(v[1]), vz=float(v[2]))
+            for i, (p, v) in enumerate(zip(cpts, cvel))
+        ]
+    )
+    infall = (
+        pairwise_velocity(cdf, [0.0, 1.0, 2.0], BOX)
+        .toPandas().set_index("bin")
+    )
+    assert infall.loc[0, "v12_mean"] < -1.0
+    assert infall.loc[1, "v12_mean"] < -1.0
+
+    # static field: v12 identically zero
+    static = (
+        pairwise_velocity(
+            cdf.withColumn("vx", F.lit(0.0))
+            .withColumn("vy", F.lit(0.0))
+            .withColumn("vz", F.lit(0.0)),
+            [0.0, 1.0, 2.0], BOX,
+        ).toPandas().set_index("bin")
+    )
+    assert (static.v12_mean == 0.0).all()
+    assert (static.v12_std == 0.0).all()
+
+
+def test_marked_correlation_bruteforce_and_null(spark):
+    """M(r) vs an all-pairs twin; constant marks give exactly M = 1
+    (the shuffled-mark null), clump-concentrated marks give M > 1 at
+    clump scales; degenerate marks refuse loudly."""
+    from opencosmo_spark.spatial.pairs import marked_correlation
+
+    rng = np.random.default_rng(31)
+    n = 200
+    pts = rng.uniform(0, BOX, size=(n, 3))
+    marks = rng.uniform(0.5, 2.0, size=n)
+    df = spark.createDataFrame(
+        [
+            Row(id=i, x=float(p[0]), y=float(p[1]), z=float(p[2]),
+                m=float(w))
+            for i, (p, w) in enumerate(zip(pts, marks))
+        ]
+    )
+    bins = [0.0, 1.0, 2.0]
+    got = (
+        marked_correlation(df, bins, BOX, mark_col="m")
+        .toPandas().set_index("bin")
+    )
+    wbar = marks.mean()
+    dd = np.zeros(2, dtype=int)
+    ww = np.zeros(2)
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = pts[i] - pts[j]
+            d -= BOX * np.round(d / BOX)
+            dist = float(np.sqrt((d**2).sum()))
+            if dist >= bins[-1]:
+                continue
+            b = int(np.searchsorted(bins, dist, side="right")) - 1
+            dd[b] += 1
+            ww[b] += marks[i] * marks[j]
+    for b in range(2):
+        assert got.loc[b, "dd"] == dd[b]
+        assert got.loc[b, "ww"] == pytest.approx(ww[b], abs=1e-8)
+        assert got.loc[b, "mcf"] == pytest.approx(
+            ww[b] / (dd[b] * wbar * wbar), abs=1e-8
+        )
+
+    # constant marks -> M(r) == 1 exactly where pairs exist
+    const = (
+        marked_correlation(
+            df.withColumn("m", F.lit(3.0)), bins, BOX, mark_col="m"
+        ).toPandas().set_index("bin")
+    )
+    assert (const[const.dd > 0].mcf == 1.0).all()
+
+    # clump members carry big marks -> small-r M(r) > 1
+    clump = np.array([5.0, 5.0, 5.0]) + rng.normal(0, 0.4, size=(40, 3))
+    allpts = np.vstack([pts, clump])
+    allmarks = np.concatenate([marks, np.full(40, 10.0)])
+    big = spark.createDataFrame(
+        [
+            Row(id=i, x=float(p[0]), y=float(p[1]), z=float(p[2]),
+                m=float(w))
+            for i, (p, w) in enumerate(zip(allpts, allmarks))
+        ]
+    )
+    sig = (
+        marked_correlation(big, [0.0, 1.0], BOX, mark_col="m")
+        .toPandas().set_index("bin")
+    )
+    assert sig.loc[0, "mcf"] > 2.0
+
+    with pytest.raises(ValueError, match="mean mark is 0"):
+        marked_correlation(
+            df.withColumn("m", F.lit(0.0)), bins, BOX, mark_col="m"
+        )
+    with pytest.raises(ValueError, match="empty"):
+        marked_correlation(
+            df.filter(F.lit(False)), bins, BOX, mark_col="m"
+        )
