@@ -475,3 +475,18 @@ def marked_correlation(
         ds.df, bins, float(ds.header.box_size), mark_col=mark_col,
         id_col=_pair_id_col(ds), cols=tuple(coords), **kw,
     )
+
+
+def counts_in_cells(ds, n_mesh: int, select_by=None, **kw):
+    """Counts-in-cells moments of a Dataset's positions at smoothing
+    scale box/n_mesh (``spatial.power.counts_in_cells`` underneath;
+    ``weight=`` / ``scheme=`` pass through)."""
+    from .spatial.bound import find_coords
+    from .spatial.power import counts_in_cells as _cic
+
+    coords = select_by or find_coords(ds.columns, 3)
+    if ds.header is None or ds.header.box_size is None:
+        raise ValueError("counts_in_cells needs header.box_size")
+    return _cic(
+        ds.df, n_mesh, float(ds.header.box_size), cols=tuple(coords), **kw
+    )

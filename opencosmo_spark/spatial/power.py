@@ -317,3 +317,84 @@ def sample_mesh_at(
         .agg(F.sum("__wd").alias(out_col))
     )
     return df.join(env, id_col, "left")
+
+
+def counts_in_cells(
+    df: DataFrame,
+    n_mesh: int,
+    box_size: float,
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+    weight: str | None = None,
+    scheme: str = "ngp",
+) -> dict:
+    """Counts-in-cells moments of the density field at smoothing scale
+    ``box_size / n_mesh`` — the classic one-point clustering statistic
+    (Peebles 1980 §36; White 1979): variance, skewness, and kurtosis
+    of the cell-count distribution, plus the density-contrast forms
+    cosmology actually quotes:
+
+    - ``delta_var``: Var(delta) with delta = m/mbar - 1,
+    - ``delta_var_shotnoise_corrected``: Var(delta) - 1/mbar — the
+      Poisson shot-noise subtraction (exactly 0 in expectation for an
+      unclustered NGP count field),
+    - ``s3``: the hierarchical skewness S3 = <delta^3>/<delta^2>^2
+      (= 34/7 in perturbation theory for Gaussian initial conditions),
+    - ``skewness``/``kurtosis``: standardized central moments of the
+      raw cell masses.
+
+    EMPTY cells count: the sparse mesh stores only occupied cells, so
+    the raw power sums S_k = sum(m^k) are taken over occupied cells
+    (empty ones add zero) and every central moment is formed over the
+    FULL n_mesh^3 population on the driver. One ``density_mesh``
+    aggregation is the only cluster work; the driver holds five
+    numbers, never the mesh. For moments at several smoothing scales,
+    call per n_mesh — each is one independent aggregation.
+    """
+    mesh = density_mesh(df, n_mesh, box_size, cols, weight, scheme)
+    m = F.col("mass")
+    row = mesh.agg(
+        F.count(F.lit(1)).alias("nocc"),
+        F.sum(m).alias("s1"),
+        F.sum(m * m).alias("s2"),
+        F.sum(m * m * m).alias("s3"),
+        F.sum(m * m * m * m).alias("s4"),
+    ).collect()[0]
+    n_cells = n_mesh**3
+    nocc = int(row["nocc"] or 0)
+    s1 = float(row["s1"] or 0.0)
+    s2 = float(row["s2"] or 0.0)
+    s3 = float(row["s3"] or 0.0)
+    s4 = float(row["s4"] or 0.0)
+    mean = s1 / n_cells
+    # central moments over ALL cells (empty cells enter through the
+    # n_cells denominator and the -mean shifts)
+    m2 = s2 / n_cells - mean**2
+    m3 = s3 / n_cells - 3 * mean * s2 / n_cells + 2 * mean**3
+    m4 = (
+        s4 / n_cells
+        - 4 * mean * s3 / n_cells
+        + 6 * mean**2 * s2 / n_cells
+        - 3 * mean**4
+    )
+    out = {
+        "n_mesh": n_mesh,
+        "cell_size": box_size / n_mesh,
+        "n_cells": n_cells,
+        "n_occupied": nocc,
+        "mean": mean,
+        "variance": m2,
+        "skewness": m3 / m2**1.5 if m2 > 0 else 0.0,
+        "kurtosis": m4 / m2**2 - 3.0 if m2 > 0 else 0.0,
+    }
+    if mean > 0:
+        dvar = m2 / mean**2
+        out["delta_var"] = dvar
+        out["delta_var_shotnoise_corrected"] = dvar - 1.0 / mean
+        d2 = dvar
+        d3 = m3 / mean**3
+        out["s3"] = d3 / d2**2 if d2 > 0 else 0.0
+    else:
+        out["delta_var"] = 0.0
+        out["delta_var_shotnoise_corrected"] = 0.0
+        out["s3"] = 0.0
+    return out

@@ -201,3 +201,60 @@ def test_sample_mesh_at_matches_numpy_trilinear(spark, particles):
                         (i0[2] + dz) % N_MESH,
                     ]
         assert got[i] == pytest.approx(want, rel=1e-10, abs=1e-10)
+
+
+def test_counts_in_cells_matches_numpy_and_physics(spark, particles):
+    """CIC-in-cells moments vs a dense numpy twin (empty cells
+    included), Poisson shot-noise subtraction ~0 on an unclustered
+    field, and planted clumps driving positive skewness / excess
+    variance."""
+    from opencosmo_spark.spatial.power import counts_in_cells
+
+    df, pos, wts = particles
+    n = 8
+    got = counts_in_cells(df, n, BOX, scheme="ngp")
+
+    # dense numpy twin: NGP counts over ALL n^3 cells
+    h = BOX / n
+    idx = np.floor(pos / h).astype(int) % n
+    rho = np.zeros((n, n, n))
+    np.add.at(rho, (idx[:, 0], idx[:, 1], idx[:, 2]), 1.0)
+    flat = rho.ravel()
+    assert got["n_cells"] == n**3
+    assert got["n_occupied"] == int((flat > 0).sum())
+    assert got["mean"] == pytest.approx(flat.mean(), rel=1e-12)
+    assert got["variance"] == pytest.approx(flat.var(), rel=1e-9)
+    m2, m3 = flat.var(), ((flat - flat.mean()) ** 3).mean()
+    m4 = ((flat - flat.mean()) ** 4).mean()
+    assert got["skewness"] == pytest.approx(m3 / m2**1.5, rel=1e-9)
+    assert got["kurtosis"] == pytest.approx(m4 / m2**2 - 3, rel=1e-9)
+    mean = flat.mean()
+    assert got["delta_var"] == pytest.approx(m2 / mean**2, rel=1e-9)
+    assert got["s3"] == pytest.approx(
+        (m3 / mean**3) / (m2 / mean**2) ** 2, rel=1e-9
+    )
+
+    # Poisson physics: unclustered -> corrected delta variance ~ 0
+    # (|corrected| far below the raw 1/mean shot-noise term)
+    assert abs(got["delta_var_shotnoise_corrected"]) < 0.3 / mean
+
+    # clumps: pile half the particles into one cell-sized blob
+    rng = np.random.default_rng(5)
+    blob = np.array([50.0, 50.0, 50.0]) + rng.uniform(0, h / 2, (4000, 3))
+    clumped = np.vstack([pos, blob])
+    cdf = spark.createDataFrame(
+        [(float(x), float(y), float(z)) for x, y, z in clumped],
+        ["x", "y", "z"],
+    )
+    cgot = counts_in_cells(cdf, n, BOX, scheme="ngp")
+    assert cgot["skewness"] > 5 * max(got["skewness"], 0.1)
+    assert (
+        cgot["delta_var_shotnoise_corrected"]
+        > 10 * abs(got["delta_var_shotnoise_corrected"])
+    )
+
+    # weighted CIC twin: moments over the dense CIC mesh
+    wgot = counts_in_cells(df, n, BOX, weight="w", scheme="cic")
+    wflat = _numpy_cic(pos, n, BOX, wts).ravel()
+    assert wgot["mean"] == pytest.approx(wflat.mean(), rel=1e-9)
+    assert wgot["variance"] == pytest.approx(wflat.var(), rel=1e-9)
