@@ -429,3 +429,72 @@ def split_corpus(
         out[name] = df.filter((lane >= lo_b) & (lane < hi_b))
         lo = hi
     return out
+
+
+def epoch_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    salt: str = "s",
+    default_rate: float = 0.0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Materialize a mixture whose per-stratum rates may EXCEED 1 —
+    the executor for ``plan_mixture``'s epoch table: a domain with
+    rate 2.4 contributes every document twice plus a deterministic
+    40% lane of third copies (the Pile/LLaMA "epochs" column made
+    real). For rates <= 1 the kept set is EXACTLY
+    ``stratified_sample``'s — the two operators agree on the shared
+    lane, so a mixed plan (some domains down-, some up-sampled) is one
+    call.
+
+    Each surviving row carries ``epoch_col`` (0-based copy index);
+    downstream identity is (id, epoch) — exact dedup would otherwise
+    re-collapse the copies, so run this AFTER dedup, at mix time
+    (where curate_corpus places mixing). Expected copies per row is
+    exactly its stratum rate.
+
+    One projection + one ``sequence``/``explode`` — no join, no
+    shuffle, no RNG state; the CASE chain over strata is scan-fused
+    like the rest of the sampler family.
+    """
+    if epoch_col in df.columns:
+        raise ValueError(
+            f"epoch_sample: column {epoch_col!r} already exists — pass "
+            f"epoch_col to rename the copy index"
+        )
+    if default_rate < 0 or any(r < 0 for r in rates.values()):
+        raise ValueError("epoch_sample: rates must be non-negative")
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+
+    def _case(fn, default):
+        expr = default
+        for k, r in sorted(rates.items(), key=lambda kv: str(kv[0])):
+            cond = (
+                F.col(stratum_col).isNull()
+                if k is None
+                else F.col(stratum_col) == k
+            )
+            expr = F.when(cond, fn(r)).otherwise(expr)
+        return expr
+
+    full = _case(
+        lambda r: F.lit(int(r)), F.lit(int(default_rate))
+    )
+    frac = _case(
+        lambda r: F.lit(int((r - int(r)) * _SCALE)).cast("decimal(38,0)"),
+        F.lit(int((default_rate - int(default_rate)) * _SCALE)).cast(
+            "decimal(38,0)"
+        ),
+    )
+    n_copies = full + F.when(_lane(key) < frac, F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.withColumn("__nc", n_copies)
+        .filter(F.col("__nc") > 0)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)),
+        )
+        .drop("__nc")
+    )

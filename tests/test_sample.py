@@ -255,3 +255,74 @@ def test_split_corpus_grouped_is_leakage_free(spark):
     )
     with _pytest.raises(Exception, match="NULL in group_col"):
         sum(p.count() for p in nullparts.values())
+
+
+def test_epoch_sample_materializes_multi_epoch_mixture(spark):
+    """Rates > 1 replicate deterministically (floor copies + a lane of
+    extras that EQUALS the stratified_sample survivor set at the
+    fractional rate), rates <= 1 reproduce stratified_sample exactly,
+    and the epoch column indexes copies 0..n-1."""
+    from pyspark.sql import functions as F
+
+    from opencosmo_spark.pipeline.sample import (
+        epoch_sample,
+        stratified_sample,
+    )
+
+    rows = [(f"d{i}", "big" if i < 600 else "small") for i in range(800)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    out = epoch_sample(
+        df, {"big": 0.4, "small": 2.5}, "source"
+    ).toPandas()
+
+    # downsampled stratum: exactly the stratified_sample survivors,
+    # every copy at epoch 0
+    big = out[out.source == "big"]
+    ref = stratified_sample(
+        df.filter(F.col("source") == "big"), {"big": 0.4}, "source"
+    ).toPandas()
+    assert set(big.doc_id) == set(ref.doc_id)
+    assert (big.epoch == 0).all()
+
+    # upsampled stratum: every doc >= 2 copies; third copies are the
+    # 0.5-lane survivors, i.e. stratified_sample at the fractional rate
+    small = out[out.source == "small"]
+    per = small.groupby("doc_id").epoch.agg(["count", "max"])
+    assert set(per["count"].unique()) <= {2, 3}
+    assert (per["max"] == per["count"] - 1).all()  # epochs are 0..n-1
+    thirds = set(per[per["count"] == 3].index)
+    frac_ref = stratified_sample(
+        df.filter(F.col("source") == "small"), {"small": 0.5}, "source"
+    ).toPandas()
+    assert thirds == set(frac_ref.doc_id)
+    # expected total = 2.5 * 200 = 500; the lane draw is the only
+    # variance source and it's pinned by the exact set check above
+    assert len(small) == 2 * 200 + len(frac_ref)
+
+    # determinism
+    again = epoch_sample(df, {"big": 0.4, "small": 2.5}, "source").toPandas()
+    assert sorted(zip(again.doc_id, again.epoch)) == sorted(
+        zip(out.doc_id, out.epoch)
+    )
+
+    # plan_mixture handoff: epochs > 1 rates flow straight in
+    from opencosmo_spark.pipeline.sample import plan_mixture
+
+    tdf = df.withColumn("text", F.lit("seven words of filler text here ok"))
+    plan = plan_mixture(
+        tdf, {"big": 0.3, "small": 0.7}, budget_tokens=4000,
+        max_epochs=3.0,
+    )
+    assert plan["epochs"]["small"] > 1  # the small domain must repeat
+    mixed = epoch_sample(tdf, plan["rates"], "source")
+    assert mixed.count() > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        epoch_sample(
+            df.withColumn("epoch", F.lit(1)), {"big": 1.0}, "source"
+        )
+    with _pytest.raises(ValueError, match="non-negative"):
+        epoch_sample(df, {"big": -0.5}, "source")
