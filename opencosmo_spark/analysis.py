@@ -490,3 +490,65 @@ def counts_in_cells(ds, n_mesh: int, select_by=None, **kw):
     return _cic(
         ds.df, n_mesh, float(ds.header.box_size), cols=tuple(coords), **kw
     )
+
+
+def fit_nfw(profile, r_delta: float | None = None) -> dict:
+    """Fit an NFW profile rho(r) = rho_s / ((r/r_s)(1 + r/r_s)^2)
+    (Navarro, Frenk & White 1996 eq. 3) to a stacked density profile —
+    the output of ``spatial.pairs.stacked_radial_profile`` (or any
+    DataFrame/pandas frame with ``r_lo``/``r_hi``/``mean_density``
+    columns, already driver-small: one row per radial bin).
+
+    The fit is least squares in log rho at the bin mid-radii: for each
+    candidate scale radius r_s on a log grid spanning the binned range
+    x100 refinement, the best log rho_s is the closed-form mean offset
+    (the model is rho_s-linear in log space), so the scan is exact per
+    candidate and global over the grid — no iterative optimizer to
+    diverge on noisy outer bins. Empty bins (zero density) are
+    excluded. Returns ``{rho_s, r_s, log_rms, n_bins}`` plus
+    ``concentration`` = r_delta / r_s when ``r_delta`` (the halo
+    definition radius, e.g. R200c) is given.
+
+    Cluster cost: none beyond the profile aggregation itself — the
+    profile IS the sufficient statistic, so fitting is pure driver
+    numpy on ~tens of bins (the same split as the power-spectrum FFT).
+    """
+    import numpy as np
+
+    if hasattr(profile, "toPandas"):
+        pdf = profile.toPandas()
+    else:
+        pdf = profile
+    need = {"r_lo", "r_hi", "mean_density"}
+    if not need <= set(pdf.columns):
+        raise ValueError(
+            f"fit_nfw needs columns {sorted(need)} (a "
+            f"stacked_radial_profile output); got {list(pdf.columns)}"
+        )
+    r = (pdf.r_lo.to_numpy() + pdf.r_hi.to_numpy()) / 2.0
+    rho = pdf.mean_density.to_numpy().astype(float)
+    ok = (rho > 0) & (r > 0)
+    r, rho = r[ok], rho[ok]
+    if len(r) < 3:
+        raise ValueError(
+            f"fit_nfw needs >= 3 non-empty bins, got {len(r)}"
+        )
+    logrho = np.log(rho)
+    best = None
+    for rs in np.geomspace(r[0] / 10.0, r[-1] * 10.0, 400):
+        x = r / rs
+        shape = -np.log(x) - 2.0 * np.log1p(x)  # log of the x-part
+        off = float(np.mean(logrho - shape))    # closed-form log rho_s
+        rms = float(np.sqrt(np.mean((logrho - shape - off) ** 2)))
+        if best is None or rms < best[0]:
+            best = (rms, rs, off)
+    rms, rs, off = best
+    out = {
+        "rho_s": float(np.exp(off)),
+        "r_s": float(rs),
+        "log_rms": rms,
+        "n_bins": int(len(r)),
+    }
+    if r_delta is not None:
+        out["concentration"] = float(r_delta) / float(rs)
+    return out

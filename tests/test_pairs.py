@@ -734,3 +734,66 @@ def test_marked_correlation_bruteforce_and_null(spark):
         marked_correlation(
             df.filter(F.lit(False)), bins, BOX, mark_col="m"
         )
+
+
+def test_fit_nfw_recovers_planted_profile(spark):
+    """fit_nfw recovers rho_s/r_s from a sampled NFW halo through the
+    REAL stacked_radial_profile pipeline, and from a clean synthetic
+    profile exactly; loud errors on wrong schema / too-few bins."""
+    import pandas as pd
+
+    from opencosmo_spark.analysis import fit_nfw
+    from opencosmo_spark.spatial.pairs import stacked_radial_profile
+
+    # clean synthetic profile: exact NFW evaluated at bin mids
+    rho_s, r_s = 5000.0, 0.6
+    edges = np.geomspace(0.05, 4.0, 16)
+    mids = (edges[:-1] + edges[1:]) / 2
+    dens = rho_s / ((mids / r_s) * (1 + mids / r_s) ** 2)
+    prof = pd.DataFrame(
+        {"r_lo": edges[:-1], "r_hi": edges[1:], "mean_density": dens}
+    )
+    fit = fit_nfw(prof, r_delta=2.0)
+    assert fit["r_s"] == pytest.approx(r_s, rel=0.05)
+    assert fit["rho_s"] == pytest.approx(rho_s, rel=0.15)
+    assert fit["concentration"] == pytest.approx(2.0 / r_s, rel=0.05)
+    assert fit["log_rms"] < 0.02
+
+    # end-to-end: sample particles from an NFW cumulative-mass profile
+    # around one center, run the distributed profile, fit it
+    rng = np.random.default_rng(11)
+    n_p = 6000
+    # inverse-CDF sampling of M(<r) ∝ ln(1+x) - x/(1+x), x = r/r_s
+    xs = np.geomspace(1e-3, 5.0 / 0.5, 4000)
+    m = np.log1p(xs) - xs / (1 + xs)
+    u = rng.uniform(0, m[-1], n_p)
+    x = np.interp(u, m, xs)
+    radii = x * 0.5  # planted r_s = 0.5
+    dirs = rng.normal(size=(n_p, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    center = np.array([5.0, 5.0, 5.0])
+    pts = center + dirs * radii[:, None]
+    pts = np.mod(pts, BOX)
+    centers = spark.createDataFrame([Row(id=0, x=5.0, y=5.0, z=5.0)])
+    parts = spark.createDataFrame(
+        [
+            Row(id=i, x=float(p[0]), y=float(p[1]), z=float(p[2]))
+            for i, p in enumerate(pts)
+        ]
+    )
+    prof_df = stacked_radial_profile(
+        centers, parts, list(np.geomspace(0.05, 2.5, 14)), BOX
+    )
+    fit2 = fit_nfw(prof_df)
+    assert fit2["r_s"] == pytest.approx(0.5, rel=0.35)  # sampled, noisy
+    assert fit2["log_rms"] < 0.5
+
+    with pytest.raises(ValueError, match="needs columns"):
+        fit_nfw(pd.DataFrame({"r": [1.0], "rho": [1.0]}))
+    with pytest.raises(ValueError, match=">= 3 non-empty"):
+        fit_nfw(
+            pd.DataFrame(
+                {"r_lo": [0.1, 0.2], "r_hi": [0.2, 0.3],
+                 "mean_density": [1.0, 0.0]}
+            )
+        )
