@@ -363,9 +363,17 @@ def two_point(
     ``estimator="landy-szalay"`` runs the random-catalog LS estimator
     for non-periodic/survey geometries
     (``spatial.pairs.two_point_landy_szalay``; pass ``random_df`` /
-    ``n_random`` / ``seed`` / ``periodic`` through ``**kw``)."""
+    ``n_random`` / ``seed`` / ``periodic`` through ``**kw``);
+    ``estimator="jackknife"`` is the natural estimator with delete-one
+    spatial-jackknife error bars
+    (``spatial.pairs.two_point_jackknife``; ``n_side`` through
+    ``**kw``)."""
     from .spatial.bound import find_coords
-    from .spatial.pairs import two_point_correlation, two_point_landy_szalay
+    from .spatial.pairs import (
+        two_point_correlation,
+        two_point_jackknife,
+        two_point_landy_szalay,
+    )
 
     coords = select_by or find_coords(ds.columns, 3)
     if ds.header is None or ds.header.box_size is None:
@@ -376,10 +384,15 @@ def two_point(
             ds.df, bins, float(ds.header.box_size), id_col=id_col,
             cols=tuple(coords), **kw,
         )
+    if estimator == "jackknife":
+        return two_point_jackknife(
+            ds.df, bins, float(ds.header.box_size), id_col=id_col,
+            cols=tuple(coords), **kw,
+        )
     if estimator != "natural":
         raise ValueError(
-            f"estimator must be 'natural' or 'landy-szalay', got "
-            f"{estimator!r}"
+            f"estimator must be 'natural', 'landy-szalay', or "
+            f"'jackknife', got {estimator!r}"
         )
     return two_point_correlation(
         ds.df, bins, float(ds.header.box_size), id_col=id_col, cols=tuple(coords)

@@ -1018,3 +1018,131 @@ def marked_correlation(
         .withColumn("ww", F.round("ww", decimals))
         .orderBy("bin")
     )
+
+
+def two_point_jackknife(
+    df: DataFrame,
+    bins: list[float],
+    box_size: float,
+    n_side: int = 3,
+    id_col: str = "id",
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+) -> DataFrame:
+    """Natural-estimator xi(r) WITH delete-one spatial-jackknife error
+    bars (Norberg et al. 2009's recommended internal estimator): the
+    box is cut into ``n_side^3`` subvolumes, each jackknife sample
+    leaves one subvolume's points out, and the per-bin error is the
+    jackknife variance (K-1)/K * sum (xi_k - xi_mean)^2 over the K
+    resamples.
+
+    The key cost identity: ALL K resampled pair counts come from ONE
+    pair join. Each point's block id rides the pair engine as a carry
+    column, DD is aggregated once by (bin, block_a, block_b) — a
+    driver-small table of <= n_bins * K^2 rows — and every
+    leave-one-out count is pure driver arithmetic:
+
+        DD_k(bin) = DD(bin) - [pairs touching block k](bin),
+
+    with the analytic periodic RR rescaled to the retained pair count
+    n_k(n_k - 1)/2. No second pass, no K-fold recount — at 100 TB the
+    jackknife costs the same shuffle as the plain estimator plus one
+    tiny aggregation key.
+
+    The delete-one volumes are cubes, so the retained geometry is NOT
+    exactly uniform-periodic and the rescaled analytic RR is the
+    standard approximation (exact as n_side -> 1; the sub-percent bias
+    for n_side <= 4 is far below the jackknife error it estimates —
+    use an LS estimator with per-sample randoms when the error of the
+    error matters).
+
+    Returns one row per bin:
+    ``(bin, r_lo, r_hi, dd, rr, xi, xi_err, n_jackknife)``.
+    """
+    if sorted(bins) != list(bins) or len(bins) < 2:
+        raise ValueError("bins must be a sorted list of >= 2 edges")
+    if n_side < 2:
+        raise ValueError("n_side must be >= 2 (need >= 8 subvolumes)")
+    rmax = float(bins[-1])
+    k3 = n_side**3
+    blk = box_size / n_side
+    bx, by, bz = (F.col(c) for c in cols)
+
+    def _b(c):
+        return F.least(
+            F.floor(c.cast("double") / blk), F.lit(n_side - 1)
+        ).cast("long")
+
+    tagged = df.withColumn(
+        "__jk", (_b(bx) * n_side + _b(by)) * n_side + _b(bz)
+    )
+    # per-block point counts (driver-small: K values)
+    nk = {
+        int(r["__jk"]): int(r["n"])
+        for r in tagged.groupBy("__jk").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    n = sum(nk.values())
+    pairs = _pairs_engine(
+        tagged, tagged, rmax, box_size, id_col, id_col, cols, cols,
+        periodic=True, self_join=True, carry_a=("__jk",),
+        carry_b=("__jk",),
+    )
+    counts = (
+        pairs.select(
+            _bin_expr(bins).alias("bin"),
+            F.col("__jk_a").cast("long").alias("ba"),
+            F.col("__jk_b").cast("long").alias("bb"),
+        )
+        .filter(F.col("bin").isNotNull())
+        .groupBy("bin", "ba", "bb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    edges = [float(e) for e in bins]
+    n_bins = len(edges) - 1
+    dd = [0] * n_bins
+    touch = [[0] * n_bins for _ in range(k3)]  # pairs with an end in k
+    for r in counts:
+        b, ba, bb, c = r["bin"], int(r["ba"]), int(r["bb"]), int(r["c"])
+        dd[b] += c
+        touch[ba][b] += c
+        if bb != ba:
+            touch[bb][b] += c
+
+    vbox = box_size**3
+    shells = [
+        4.0 / 3.0 * math.pi * (edges[i + 1] ** 3 - edges[i] ** 3)
+        for i in range(n_bins)
+    ]
+
+    def xi_of(dd_bin, n_pts, i):
+        rr = n_pts * (n_pts - 1) / 2.0 * shells[i] / vbox
+        return (dd_bin / rr - 1.0) if rr > 0 else 0.0
+
+    out = []
+    for i in range(n_bins):
+        rr_full = n * (n - 1) / 2.0 * shells[i] / vbox
+        xi_full = xi_of(dd[i], n, i)
+        xis = []
+        for k in range(k3):
+            n_k = n - nk.get(k, 0)
+            if n_k < 2:
+                continue
+            xis.append(xi_of(dd[i] - touch[k][i], n_k, i))
+        kk = len(xis)
+        if kk > 1:
+            mean = sum(xis) / kk
+            var = (kk - 1) / kk * sum((x - mean) ** 2 for x in xis)
+            err = math.sqrt(var)
+        else:
+            err = float("nan")
+        out.append(
+            (i, edges[i], edges[i + 1], dd[i], rr_full,
+             round(xi_full, 10), round(err, 10), kk)
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "bin int, r_lo double, r_hi double, dd long, rr double, "
+        "xi double, xi_err double, n_jackknife int",
+    )

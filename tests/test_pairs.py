@@ -797,3 +797,86 @@ def test_fit_nfw_recovers_planted_profile(spark):
                  "mean_density": [1.0, 0.0]}
             )
         )
+
+
+def test_two_point_jackknife_exact_twin_and_consistency(spark):
+    """Jackknife xi/err vs an exact python twin (same definitions,
+    brute-force pairs), point-estimate identical to
+    two_point_correlation, and the planted-clustering signal exceeds
+    its own jackknife error."""
+    from opencosmo_spark.spatial.pairs import (
+        two_point_correlation,
+        two_point_jackknife,
+    )
+
+    rng = np.random.default_rng(41)
+    pts = rng.uniform(0, BOX, size=(300, 3))
+    df = _points_df(spark, pts)
+    bins = [0.5, 1.5, 2.5]
+    n_side = 2
+    got = (
+        two_point_jackknife(df, bins, BOX, n_side=n_side)
+        .toPandas().set_index("bin")
+    )
+
+    # python twin
+    blk = BOX / n_side
+    bid = (
+        (np.minimum(np.floor(pts[:, 0] / blk), n_side - 1) * n_side
+         + np.minimum(np.floor(pts[:, 1] / blk), n_side - 1)) * n_side
+        + np.minimum(np.floor(pts[:, 2] / blk), n_side - 1)
+    ).astype(int)
+    n = len(pts)
+    k3 = n_side**3
+    dd = np.zeros(2, dtype=int)
+    touch = np.zeros((k3, 2), dtype=int)
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = pts[i] - pts[j]
+            d -= BOX * np.round(d / BOX)
+            dist = float(np.sqrt((d**2).sum()))
+            if not (bins[0] <= dist < bins[-1]):
+                continue
+            b = 0 if dist < bins[1] else 1
+            dd[b] += 1
+            touch[bid[i]][b] += 1
+            if bid[j] != bid[i]:
+                touch[bid[j]][b] += 1
+    vbox = BOX**3
+    for b in range(2):
+        shell = 4 / 3 * math.pi * (bins[b + 1] ** 3 - bins[b] ** 3)
+        rr = n * (n - 1) / 2 * shell / vbox
+        xi = dd[b] / rr - 1
+        assert got.loc[b, "dd"] == dd[b]
+        assert got.loc[b, "xi"] == pytest.approx(xi, abs=1e-9)
+        xis = []
+        for k in range(k3):
+            n_k = n - int((bid == k).sum())
+            rr_k = n_k * (n_k - 1) / 2 * shell / vbox
+            xis.append((dd[b] - touch[k][b]) / rr_k - 1)
+        mean = np.mean(xis)
+        err = math.sqrt((k3 - 1) / k3 * ((np.array(xis) - mean) ** 2).sum())
+        assert got.loc[b, "xi_err"] == pytest.approx(err, abs=1e-9)
+        assert got.loc[b, "n_jackknife"] == k3
+
+    # point estimate identical to the plain estimator
+    plain = two_point_correlation(df, bins, BOX).toPandas().set_index("bin")
+    for b in range(2):
+        assert got.loc[b, "xi"] == pytest.approx(
+            plain.loc[b, "xi"], abs=1e-9
+        )
+
+    # clustering detected ABOVE its own error bar: clumped catalog
+    centers = rng.uniform(1, BOX - 1, size=(30, 3))
+    clumped = np.vstack(
+        [c + rng.normal(0, 0.3, size=(12, 3)) for c in centers]
+    )
+    cdf = _points_df(spark, np.mod(clumped, BOX))
+    cj = (
+        two_point_jackknife(cdf, [0.1, 1.0, 3.0], BOX, n_side=3)
+        .toPandas().set_index("bin")
+    )
+    assert cj.loc[0, "xi"] > 3 * cj.loc[0, "xi_err"] > 0
+
+    with pytest.raises(ValueError, match="n_side"):
+        two_point_jackknife(df, bins, BOX, n_side=1)
