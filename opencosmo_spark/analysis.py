@@ -331,6 +331,7 @@ def w_theta(
     ds,
     bins_deg: list[float],
     select_by: tuple[str, str] | None = None,
+    jackknife: bool = False,
     **kw,
 ):
     """Angular two-point correlation of a Dataset's sky positions
@@ -338,13 +339,17 @@ def w_theta(
     the lightcone-side analysis product. RA/Dec resolve the same way
     sky regions resolve them (``find_coords(.., 2)``); pass
     ``random_df`` for survey-footprint randoms, else full-sky
-    uniform randoms are generated (see the estimator's caveat)."""
+    uniform randoms are generated (see the estimator's caveat).
+    ``jackknife=True`` adds delete-one equal-area-region error bars
+    (``spatial.crossmatch.w_theta_jackknife``; ``n_ra`` / ``n_z``
+    through ``**kw``)."""
     from .spatial.bound import find_coords
-    from .spatial.crossmatch import w_theta_landy_szalay
+    from .spatial.crossmatch import w_theta_jackknife, w_theta_landy_szalay
 
     ra, dec = select_by or find_coords(ds.columns, 2)
     id_col = _pair_id_col(ds)
-    return w_theta_landy_szalay(
+    fn = w_theta_jackknife if jackknife else w_theta_landy_szalay
+    return fn(
         ds.df, bins_deg, id_col=id_col, ra_col=ra, dec_col=dec, **kw
     )
 

@@ -24,6 +24,8 @@ cap-bin cost is O(cap population^2), negligible for survey-like data.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 _POLE_BIN = -1_000_000  # sentinel bin ids for the two polar caps
@@ -199,12 +201,17 @@ def sky_pairs(
     dec_col: str = "dec",
     bin_deg: float | None = None,
     polar_cut: float = 88.0,
+    carry_left: tuple[str, ...] = (),
+    carry_right: tuple[str, ...] = (),
 ) -> DataFrame:
     """ALL pairs within ``radius_deg`` — the pair-count primitive
     behind angular correlation functions, where ``crossmatch_sky``
     keeps only the nearest. ``right=None`` gives unordered SELF pairs
     of ``left`` (a < b); otherwise every (left, right) pair appears
-    once. Returns (a, b, sep_deg).
+    once. Returns (a, b, sep_deg), plus ``{name}_a`` / ``{name}_b``
+    for ``carry_left`` / ``carry_right`` payload columns threaded
+    through the join (the 3-D engine's carry idiom — jackknife region
+    tags, weights — without a post-join re-attach at pair volume).
 
     Same scale shape as the cross-match: bin equi-join, right side
     exploded to its wrap-aware 9-neighborhood. Each candidate pair
@@ -224,12 +231,15 @@ def sky_pairs(
     if self_pairs:
         right = left
         right_id = left_id
+        if not carry_right:
+            carry_right = carry_left
 
     l = left.select(
         F.col(left_id).alias("a"),
         F.col(ra_col).alias("__lra"),
         F.col(dec_col).alias("__ldec"),
         _bin_of(F.col(ra_col), F.col(dec_col), bin_deg, polar_cut).alias("__bin"),
+        *[F.col(c).alias(f"{c}_a") for c in carry_left],
     )
     r = right.select(
         F.col(right_id).alias("b"),
@@ -240,6 +250,7 @@ def sky_pairs(
                 F.col(ra_col), F.col(dec_col), bin_deg, polar_cut, radius_deg
             )
         ).alias("__bin"),
+        *[F.col(c).alias(f"{c}_b") for c in carry_right],
     )
     sep = _sep_deg(
         F.col("__lra"), F.col("__ldec"), F.col("__rra"), F.col("__rdec")
@@ -255,7 +266,11 @@ def sky_pairs(
     return (
         out.withColumn("__sep", sep)
         .filter(F.col("__sep") <= F.lit(float(radius_deg)))
-        .select("a", "b", F.round(F.col("__sep"), 8).alias("sep_deg"))
+        .select(
+            "a", "b", F.round(F.col("__sep"), 8).alias("sep_deg"),
+            *[F.col(f"{c}_a") for c in carry_left],
+            *[F.col(f"{c}_b") for c in carry_right],
+        )
     )
 
 
@@ -438,3 +453,202 @@ def sky_fof_groups(
         max_iterations=max_iterations, algorithm="star",
     )
     return labels.withColumnRenamed("cluster_id", "group_id")
+
+
+def sky_jackknife_region(
+    ra: Column, dec: Column, n_ra: int, n_z: int
+) -> Column:
+    """Equal-area sky region id for jackknife resampling: RA split
+    uniformly, declination split uniformly in sin(dec) (the same
+    equal-area measure ``uniform_sky_catalog`` draws from), so the
+    ``n_ra * n_z`` regions have equal solid angle and comparable
+    point counts for any isotropic catalog."""
+    ira = F.least(
+        F.floor(F.pmod(ra, F.lit(360.0)) / F.lit(360.0 / n_ra)),
+        F.lit(n_ra - 1),
+    ).cast("long")
+    iz = F.least(
+        F.floor(
+            (F.sin(F.radians(dec)) + 1.0) / F.lit(2.0 / n_z)
+        ),
+        F.lit(n_z - 1),
+    ).cast("long")
+    return iz * n_ra + ira
+
+
+def w_theta_jackknife(
+    df: DataFrame,
+    bins_deg: list[float],
+    id_col: str = "id",
+    ra_col: str = "ra",
+    dec_col: str = "dec",
+    random_df: DataFrame | None = None,
+    n_random: int | None = None,
+    seed: int = 1,
+    n_ra: int = 4,
+    n_z: int = 2,
+) -> DataFrame:
+    """Landy-Szalay w(theta) WITH delete-one sky-jackknife error bars
+    (Norberg et al. 2009 on the sphere): equal-area regions (RA x
+    sin(dec) grid), each resample leaves one region's data AND randoms
+    out, per-bin error = jackknife variance over the K = n_ra * n_z
+    resamples.
+
+    Cost identity as in the 3-D twin: all K resampled DD/DR/RR counts
+    come from the SAME three pair joins the plain estimator runs —
+    region ids ride ``sky_pairs``' carry columns, each join aggregates
+    once by (bin, region_a, region_b) into a <= n_bins * K^2 driver
+    table, and every leave-one-out estimate is driver arithmetic with
+    the per-resample normalizations N_dd/N_dr/N_rr recomputed from the
+    retained point counts. Error bars cost zero extra shuffles.
+
+    Returns
+    ``(bin, t_lo, t_hi, dd, dr, rr, w, w_err, n_jackknife)`` with raw
+    (unnormalized) full-sample counts and the full-sample LS ``w``.
+    """
+    if sorted(bins_deg) != list(bins_deg) or len(bins_deg) < 2:
+        raise ValueError("bins_deg must be a sorted list of >= 2 edges")
+    if n_ra * n_z < 2:
+        raise ValueError("need >= 2 jackknife regions")
+    edges = [float(e) for e in bins_deg]
+    tmax = edges[-1]
+    k3 = n_ra * n_z
+    reg = sky_jackknife_region(F.col(ra_col), F.col(dec_col), n_ra, n_z)
+
+    data = df.withColumn("__jk", reg)
+    cached = []
+    if random_df is None:
+        from pyspark import StorageLevel
+
+        nd0 = df.count()
+        nr0 = int(n_random or 2 * nd0)
+        random_df = uniform_sky_catalog(df.sparkSession, nr0, seed)
+        rid, rra, rdec = "id", "ra", "dec"
+    else:
+        rid, rra, rdec = id_col, ra_col, dec_col
+    rand = random_df.withColumn(
+        "__jk", sky_jackknife_region(F.col(rra), F.col(rdec), n_ra, n_z)
+    )
+    from pyspark import StorageLevel
+
+    rand = rand.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.append(rand)
+    try:
+        ndk = {
+            int(r["__jk"]): int(r["n"])
+            for r in data.groupBy("__jk").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        nrk = {
+            int(r["__jk"]): int(r["n"])
+            for r in rand.groupBy("__jk").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        nd, nr = sum(ndk.values()), sum(nrk.values())
+        if nd < 2 or nr < 2:
+            raise ValueError(f"need >= 2 data and random points, got {nd}/{nr}")
+
+        n_bins = len(edges) - 1
+
+        def _bin_idx():
+            out = F.lit(None).cast("int")
+            for i in range(n_bins, 0, -1):
+                out = F.when(
+                    (F.col("sep_deg") >= edges[i - 1])
+                    & (F.col("sep_deg") < edges[i]),
+                    F.lit(i - 1),
+                ).otherwise(out)
+            return out
+
+        def tables(pairs):
+            rows = (
+                pairs.select(
+                    _bin_idx().alias("bin"),
+                    F.col("__jk_a").cast("long").alias("ra_"),
+                    F.col("__jk_b").cast("long").alias("rb_"),
+                )
+                .filter(F.col("bin").isNotNull())
+                .groupBy("bin", "ra_", "rb_")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            tot = [0] * n_bins
+            touch = [[0] * n_bins for _ in range(k3)]
+            for r in rows:
+                b, ba, bb, c = r["bin"], int(r["ra_"]), int(r["rb_"]), int(r["c"])
+                tot[b] += c
+                touch[ba][b] += c
+                if bb != ba:
+                    touch[bb][b] += c
+            return tot, touch
+
+        dd, dd_t = tables(
+            sky_pairs(
+                data, None, tmax, id_col, id_col, ra_col, dec_col,
+                carry_left=("__jk",),
+            )
+        )
+        r_for_cross = (
+            rand
+            if (rra, rdec) == (ra_col, dec_col)
+            else rand.withColumnsRenamed({rra: ra_col, rdec: dec_col})
+        )
+        dr, dr_t = tables(
+            sky_pairs(
+                data, r_for_cross, tmax, id_col, rid, ra_col, dec_col,
+                carry_left=("__jk",), carry_right=("__jk",),
+            )
+        )
+        rr, rr_t = tables(
+            sky_pairs(
+                rand, None, tmax, rid, rid, rra, rdec,
+                carry_left=("__jk",),
+            )
+        )
+    finally:
+        for c in cached:
+            c.unpersist()
+
+    def ls(ddc, drc, rrc, ndp, nrp):
+        if ndp < 2 or nrp < 2 or rrc <= 0:
+            return None
+        ndd = ndp * (ndp - 1) / 2.0
+        ndr = float(ndp) * nrp
+        nrr = nrp * (nrp - 1) / 2.0
+        rrn = rrc / nrr
+        return (ddc / ndd - 2.0 * drc / ndr + rrn) / rrn
+
+    out = []
+    for i in range(n_bins):
+        w_full = ls(dd[i], dr[i], rr[i], nd, nr)
+        ws = []
+        for k in range(k3):
+            wk = ls(
+                dd[i] - dd_t[k][i],
+                dr[i] - dr_t[k][i],
+                rr[i] - rr_t[k][i],
+                nd - ndk.get(k, 0),
+                nr - nrk.get(k, 0),
+            )
+            if wk is not None:
+                ws.append(wk)
+        kk = len(ws)
+        if kk > 1:
+            mean = sum(ws) / kk
+            err = math.sqrt((kk - 1) / kk * sum((x - mean) ** 2 for x in ws))
+        else:
+            err = float("nan")
+        out.append(
+            (
+                i, edges[i], edges[i + 1], dd[i], dr[i], rr[i],
+                round(w_full, 10) if w_full is not None else None,
+                round(err, 10), kk,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "bin int, t_lo double, t_hi double, dd long, dr long, rr long, "
+        "w double, w_err double, n_jackknife int",
+    )

@@ -237,3 +237,122 @@ def test_precompute_rr_sky_sweep_runs_rr_join_once(spark, monkeypatch):
     with pytest.raises(ValueError, match="kind"):
         w_theta_landy_szalay(df, [1.0, 3.0], rr={**rr, "kind": "3d"})
     release_rr(rr)
+
+
+def test_w_theta_jackknife_exact_twin_and_signal(spark):
+    """w_theta_jackknife vs an exact python twin (brute-force DD/DR/RR
+    per region, same LS + jackknife arithmetic); point estimate equals
+    w_theta_landy_szalay on the same randoms; planted clustering
+    exceeds its own error bar."""
+    import math
+
+    from opencosmo_spark.spatial.crossmatch import (
+        w_theta_jackknife,
+    )
+
+    rng = np.random.default_rng(71)
+    ra, dec = _uniform_sphere(rng, 150)
+    rra, rdec = _uniform_sphere(rng, 300)
+    df = _sky_df(spark, ra, dec)
+    rdf = _sky_df(spark, rra, rdec)
+    bins = [1.0, 4.0, 8.0]
+    n_ra, n_z = 2, 2
+    got = (
+        w_theta_jackknife(df, bins, random_df=rdf, n_ra=n_ra, n_z=n_z)
+        .toPandas().set_index("bin")
+    )
+
+    # python twin
+    def region(r, d):
+        ira = min(int((r % 360.0) / (360.0 / n_ra)), n_ra - 1)
+        iz = min(int((math.sin(math.radians(d)) + 1) / (2.0 / n_z)), n_z - 1)
+        return iz * n_ra + ira
+
+    dreg = np.array([region(r, d) for r, d in zip(ra, dec)])
+    rreg = np.array([region(r, d) for r, d in zip(rra, rdec)])
+    k3 = n_ra * n_z
+    nb = len(bins) - 1
+
+    def count(ra1, dec1, reg1, ra2, dec2, reg2, self_pairs):
+        tot = np.zeros(nb)
+        touch = np.zeros((k3, nb))
+        n1 = len(ra1)
+        n2 = len(ra2)
+        for i in range(n1):
+            js = range(i + 1, n2) if self_pairs else range(n2)
+            for j in js:
+                s = round(
+                    float(_sep_deg(ra1[i], dec1[i], ra2[j], dec2[j])), 8
+                )
+                if not (bins[0] <= s < bins[-1]):
+                    continue
+                b = 0 if s < bins[1] else 1
+                tot[b] += 1
+                touch[reg1[i]][b] += 1
+                if reg2[j] != reg1[i]:
+                    touch[reg2[j]][b] += 1
+        return tot, touch
+
+    dd, dd_t = count(ra, dec, dreg, ra, dec, dreg, True)
+    dr, dr_t = count(ra, dec, dreg, rra, rdec, rreg, False)
+    rr, rr_t = count(rra, rdec, rreg, rra, rdec, rreg, True)
+    nd, nr = len(ra), len(rra)
+
+    def ls(ddc, drc, rrc, ndp, nrp):
+        if ndp < 2 or nrp < 2 or rrc <= 0:
+            return None
+        rrn = rrc / (nrp * (nrp - 1) / 2)
+        return (
+            ddc / (ndp * (ndp - 1) / 2) - 2 * drc / (ndp * nrp) + rrn
+        ) / rrn
+
+    for b in range(nb):
+        assert got.loc[b, "dd"] == dd[b]
+        assert got.loc[b, "dr"] == dr[b]
+        assert got.loc[b, "rr"] == rr[b]
+        w = ls(dd[b], dr[b], rr[b], nd, nr)
+        assert got.loc[b, "w"] == pytest.approx(w, abs=1e-8)
+        ws = []
+        for k in range(k3):
+            wk = ls(
+                dd[b] - dd_t[k][b], dr[b] - dr_t[k][b],
+                rr[b] - rr_t[k][b],
+                nd - int((dreg == k).sum()), nr - int((rreg == k).sum()),
+            )
+            if wk is not None:
+                ws.append(wk)
+        mean = np.mean(ws)
+        err = math.sqrt(
+            (len(ws) - 1) / len(ws) * ((np.array(ws) - mean) ** 2).sum()
+        )
+        assert got.loc[b, "w_err"] == pytest.approx(err, abs=1e-8)
+        assert got.loc[b, "n_jackknife"] == k3
+
+    # point estimate agrees with the LS twin on the same randoms
+    lsdf = (
+        w_theta_landy_szalay(df, bins, random_df=rdf)
+        .toPandas().set_index("bin")
+    )
+    for b in range(nb):
+        assert got.loc[b, "w"] == pytest.approx(lsdf.loc[b, "w"], abs=1e-8)
+
+    # clustered field: tight sky clumps detected above the error bar
+    centers_ra, centers_dec = _uniform_sphere(rng, 25)
+    cra = np.concatenate(
+        [cr + rng.normal(0, 0.3, 12) for cr in centers_ra]
+    )
+    cdec = np.clip(
+        np.concatenate([cd + rng.normal(0, 0.3, 12) for cd in centers_dec]),
+        -89.9, 89.9,
+    )
+    cdf = _sky_df(spark, cra % 360.0, cdec)
+    sig = (
+        w_theta_jackknife(cdf, [0.1, 1.5, 6.0], n_random=800, n_ra=3, n_z=2)
+        .toPandas().set_index("bin")
+    )
+    # clump-dominated resamples make the jackknife error itself large;
+    # 2 sigma is the right bar for 25 clumps across 6 regions
+    assert sig.loc[0, "w"] > 2 * sig.loc[0, "w_err"] > 0
+
+    with pytest.raises(ValueError, match="sorted"):
+        w_theta_jackknife(df, [3.0, 1.0])
