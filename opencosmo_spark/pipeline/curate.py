@@ -141,8 +141,12 @@ def curate_corpus(
        rows. Both run late: span-explode priced, so the corpus is
        already small.
     7. training mix: per-stratum deterministic downsample — explicit
-       ``mix`` rates, ``mix_alpha`` to derive temperature-based
-       rates from the surviving group counts, ``importance_col``
+       ``mix`` rates (rates ABOVE 1 materialize multi-epoch repeats
+       via ``epoch_sample``: the output gains an ``epoch`` copy-index
+       column, row identity becomes (id, epoch), and sharding keys on
+       the composite so copies spread), ``mix_alpha`` to derive
+       temperature-based rates from the surviving group counts,
+       ``importance_col``
        for quality-proportional selection, or ``dsir_target_df``
        for DSIR domain matching against a target corpus (all
        against ``mix_target_frac`` of the corpus).
@@ -408,10 +412,22 @@ def curate_corpus(
             ),
         )
     elif mix and mix_col:
-        out = mark(
-            "mix",
-            stratified_sample(out, mix, mix_col, id_col=id_col),
-        )
+        if any(r > 1.0 for r in mix.values()):
+            # multi-epoch rates: materialize the repeats instead of
+            # silently capping at 1 (what the plain lane filter would
+            # do); output gains an `epoch` copy-index column and row
+            # identity becomes (id, epoch)
+            from .sample import epoch_sample
+
+            out = mark(
+                "mix",
+                epoch_sample(out, mix, mix_col, id_col=id_col),
+            )
+        else:
+            out = mark(
+                "mix",
+                stratified_sample(out, mix, mix_col, id_col=id_col),
+            )
     elif importance_col is not None:
         from .sample import importance_sample
 
@@ -446,7 +462,26 @@ def curate_corpus(
         )
 
     if n_shards:
-        out = assign_shards(out, n_shards, id_col=id_col)
+        if "epoch" in out.columns:
+            # epoch copies share the doc id; shard by the composite
+            # key so copies spread deterministically instead of tying
+            # on the id lane (a tie would make position<->epoch
+            # assignment partition-order-dependent)
+            key = "__mix_key"
+            out = assign_shards(
+                out.withColumn(
+                    key,
+                    F.concat_ws(
+                        "#",
+                        F.col(id_col).cast("string"),
+                        F.col("epoch").cast("string"),
+                    ),
+                ),
+                n_shards,
+                id_col=key,
+            ).drop(key)
+        else:
+            out = assign_shards(out, n_shards, id_col=id_col)
 
     if carried_cache:
         from .dedup import _attach_cached

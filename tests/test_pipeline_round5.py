@@ -667,3 +667,55 @@ def test_curate_corpus_gopher_repetition_stage(spark):
     bad = df.withColumn("r_dup_line_frac", F.lit(0.0))
     with _pytest.raises(ValueError, match="collide"):
         curate_corpus(bad, gopher_rep=True)
+
+
+def test_curate_corpus_multi_epoch_mix(spark):
+    """Explicit mix rates above 1 materialize epoch repeats end to
+    end: copies carry the epoch index, the mix count reflects the
+    replication, and sharding spreads copies deterministically by the
+    (id, epoch) composite instead of tying on the doc id."""
+    from opencosmo_spark.pipeline import curate_corpus
+
+    rows = [
+        (f"{d}-{i}", f"unique {d} document number {i} with words here", d)
+        for d in ("big", "small")
+        for i in range(100 if d == "big" else 40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    out, counts = curate_corpus(
+        df, min_quality=0.0, min_tokens=1,
+        mix={"big": 0.5, "small": 2.5}, mix_col="source",
+        n_shards=4, report=True,
+    )
+    pdf = out.toPandas()
+    assert "epoch" in pdf.columns
+    small = pdf[pdf.source == "small"]
+    per = small.groupby("doc_id").epoch.count()
+    assert set(per.unique()) <= {2, 3}          # 2 or 3 copies each
+    assert counts["mix"] == len(pdf)
+    assert (pdf[pdf.source == "big"].epoch == 0).all()
+
+    # copies of one doc land in >= 2 distinct shards somewhere (the
+    # composite key spreads them; an id-keyed lane could not)
+    spread = small.groupby("doc_id")["shard"].nunique()
+    assert (spread > 1).any()
+
+    # deterministic across runs
+    out2, _ = curate_corpus(
+        df, min_quality=0.0, min_tokens=1,
+        mix={"big": 0.5, "small": 2.5}, mix_col="source",
+        n_shards=4, report=True,
+    )
+    a = sorted(map(tuple, pdf[["doc_id", "epoch", "shard"]].values))
+    b = sorted(
+        map(tuple, out2.toPandas()[["doc_id", "epoch", "shard"]].values)
+    )
+    assert a == b
+
+    # rates <= 1 keep the old schema (no epoch column)
+    out3, _ = curate_corpus(
+        df, min_quality=0.0, min_tokens=1,
+        mix={"big": 0.5, "small": 1.0}, mix_col="source",
+    )
+    assert "epoch" not in out3.columns
