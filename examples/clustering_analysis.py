@@ -96,6 +96,41 @@ def main():
     )
     top = env.orderBy("delta", ascending=False).first()
     print(f"densest center: id={top['id']} delta={top['delta']:.2f}")
+
+    # 6. error bars: the same pair join, delete-one jackknife
+    from opencosmo_spark.spatial.pairs import two_point_jackknife
+
+    jk = two_point_jackknife(
+        parts, [0.5, 2.0, 8.0], BOX, n_side=3
+    ).collect()
+    for r in jk:
+        print(
+            f"xi_jk({r['r_lo']:.1f}-{r['r_hi']:.1f}) = "
+            f"{r['xi']:.3f} +- {r['xi_err']:.3f}"
+        )
+
+    # 7. counts-in-cells one-point moments at two smoothing scales
+    from opencosmo_spark.spatial.power import counts_in_cells
+
+    for nm in (8, 16):
+        mom = counts_in_cells(parts, nm, BOX)
+        print(
+            f"CiC n={nm}: delta_var={mom['delta_var']:.3f} "
+            f"(shot-corrected {mom['delta_var_shotnoise_corrected']:.3f}) "
+            f"S3={mom['s3']:.2f}"
+        )
+
+    # 8. NFW fit of the stacked profile (driver-side, profile is the
+    # sufficient statistic)
+    from opencosmo_spark.analysis import fit_nfw
+    from opencosmo_spark.spatial.pairs import stacked_radial_profile as srp
+
+    fine = srp(centers, parts, list(np.geomspace(0.2, 8.0, 10)), BOX)
+    fit = fit_nfw(fine)
+    print(
+        f"NFW fit: r_s={fit['r_s']:.2f} rho_s={fit['rho_s']:.1f} "
+        f"(log-rms {fit['log_rms']:.3f})"
+    )
     spark.stop()
 
 
