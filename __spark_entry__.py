@@ -682,6 +682,33 @@ def q30_text_profile(spark, sf):
             url_suffixes("url"), F.lit(blocklist).cast("array<string>")
         ),
     )
+    # Gopher A1.2 repetition slice (pipeline/clean.py, new r7): the
+    # heaviest repeated 2-gram's char coverage and the duplicated
+    # 5-gram mass, through the REAL gopher_repetition_flags helpers —
+    # integer mass / integer content length, exactly SQL-mirrorable
+    from opencosmo_spark.pipeline.clean import (
+        _dup_gram_mass,
+        _top_gram_mass,
+        _word_grams,
+    )
+
+    rep_words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    rep_cl = F.greatest(
+        F.length(F.concat_ws(" ", rep_words)), F.lit(1)
+    ).cast("double")
+    r_top2 = F.round(
+        _top_gram_mass(_word_grams(rep_words, 2)).cast("double") / rep_cl, 6
+    )
+    r_dup5 = F.round(
+        F.least(
+            _dup_gram_mass(_word_grams(rep_words, 5)).cast("double") / rep_cl,
+            F.lit(1.0),
+        ),
+        6,
+    )
+
     return g.select(
         "doc_id",
         length.alias("n_chars_calc"),
@@ -692,6 +719,8 @@ def q30_text_profile(spark, sf):
         quality_score("text").alias("quality"),
         token_count("text", "whitespace").alias("n_ws"),
         token_count("text", "bpe").alias("n_bpe"),
+        r_top2.alias("r_top2gram_cf"),
+        r_dup5.alias("r_dup5gram_cf"),
         *[c.alias(name) for name, c in stats.items()],
         "g_word_count",
         "g_mean_word_len",
@@ -1828,6 +1857,42 @@ def oracle_sql() -> dict[str, str]:
                        AS g_stopword_hits
               FROM rw
             )
+            , rgw AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ), rgg AS (
+              SELECT doc_id,
+                     greatest(length(array_to_string(ws, ' ')), 1) AS cl,
+                     CASE WHEN len(ws) >= 2 THEN
+                       list_transform(generate_series(1, len(ws) - 1),
+                         i -> concat_ws(' ', ws[i], ws[i+1]))
+                     ELSE CAST([] AS VARCHAR[]) END AS g2,
+                     CASE WHEN len(ws) >= 5 THEN
+                       list_transform(generate_series(1, len(ws) - 4),
+                         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2],
+                                        ws[i+3], ws[i+4]))
+                     ELSE CAST([] AS VARCHAR[]) END AS g5
+              FROM rgw
+            ), rgm AS (
+              SELECT doc_id,
+                     round(COALESCE(list_max(list_transform(
+                         list_distinct(g2),
+                         g -> CASE WHEN len(list_filter(g2, y -> y = g)) >= 2
+                              THEN len(list_filter(g2, y -> y = g))
+                                   * length(g)
+                              ELSE 0 END)), 0)::DOUBLE / cl, 6)
+                       AS r_top2gram_cf,
+                     round(least(COALESCE(list_sum(list_transform(
+                         list_distinct(g5),
+                         g -> CASE WHEN len(list_filter(g5, y -> y = g)) >= 2
+                              THEN len(list_filter(g5, y -> y = g))
+                                   * length(g)
+                              ELSE 0 END)), 0)::DOUBLE / cl, 1.0), 6)
+                       AS r_dup5gram_cf
+              FROM rgg
+            )
             , uu AS (
               SELECT doc_id,
                      source || '.' ||
@@ -1846,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
                    round(0.3*q.len_score + 0.2*q.word_score
                          + 0.3*q.alpha_ratio + 0.2*q.punct_score, 6) AS quality,
                    t.n_ws, t.n_bpe,
+                   rg.r_top2gram_cf, rg.r_dup5gram_cf,
                    r.n_words, r.dup_word_frac, r.top_word_frac, r.dup_bigram_frac,
                    g.g_word_count, g.g_mean_word_len, g.g_alpha_word_ratio,
                    g.g_stopword_hits,
@@ -1866,6 +1932,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN qs q USING (doc_id)
             JOIN tok t USING (doc_id)
             JOIN rep r USING (doc_id)
+            JOIN rgm rg USING (doc_id)
             JOIN gq g USING (doc_id)
             JOIN uu u USING (doc_id)
             LEFT JOIN lagg la USING (doc_id)
