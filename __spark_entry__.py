@@ -1048,8 +1048,19 @@ def q50_stratified_sample(spark, sf):
     for name, part in splits.items():
         lab = part.withColumn("split", F.lit(name))
         labeled = lab if labeled is None else labeled.unionByName(lab)
+    # epoch lane (new r7): the REAL epoch_sample materializes the
+    # multi-epoch side of the mix (N repeats twice, A carries a
+    # half-lane of second copies) — copies = floor(rate) + fractional
+    # lane, oracle-mirrored with the same integer boundary
+    from opencosmo_spark.pipeline.sample import epoch_sample
+
+    labeled = epoch_sample(
+        labeled, {"A": 1.5, "N": 2.0, "R": 1.0}, "l_returnflag",
+        id_col="k", salt="e",
+    )
     return labeled.select(
-        "l_orderkey", "l_linenumber", "l_returnflag", "split"
+        "l_orderkey", "l_linenumber", "l_returnflag", "split",
+        F.col("epoch").cast("long").alias("epoch"),
     )
 
 
@@ -2164,23 +2175,35 @@ def oracle_sql() -> dict[str, str]:
                       ), 1, 15))::BIGINT AS lane
               FROM lineitem
             )
-            SELECT l_orderkey, l_linenumber, l_returnflag,
-                   CASE WHEN ('0x' || substring(md5(
-                          CAST(l_orderkey*10 + l_linenumber AS VARCHAR)
-                          || ':split'), 1, 15))::BIGINT
-                          < {int(0.8 * (1 << 60))} THEN 'train'
-                        WHEN ('0x' || substring(md5(
-                          CAST(l_orderkey*10 + l_linenumber AS VARCHAR)
-                          || ':split'), 1, 15))::BIGINT
-                          < {int((0.8 + 0.1) * (1 << 60))}
-                          THEN 'val'
-                        ELSE 'test' END AS split
-            FROM t
-            WHERE lane < CASE l_returnflag
-                           WHEN 'A' THEN {int(0.5 * (1 << 60))}
-                           WHEN 'N' THEN {int(0.1 * (1 << 60))}
-                           WHEN 'R' THEN {int(0.25 * (1 << 60))}
-                           ELSE 0 END
+            , kept AS (
+              SELECT l_orderkey, l_linenumber, l_returnflag,
+                     CASE WHEN ('0x' || substring(md5(
+                            CAST(l_orderkey*10 + l_linenumber AS VARCHAR)
+                            || ':split'), 1, 15))::BIGINT
+                            < {int(0.8 * (1 << 60))} THEN 'train'
+                          WHEN ('0x' || substring(md5(
+                            CAST(l_orderkey*10 + l_linenumber AS VARCHAR)
+                            || ':split'), 1, 15))::BIGINT
+                            < {int((0.8 + 0.1) * (1 << 60))}
+                            THEN 'val'
+                          ELSE 'test' END AS split,
+                     (CASE l_returnflag WHEN 'N' THEN 2 ELSE 1 END)
+                     + (CASE WHEN l_returnflag = 'A'
+                             AND ('0x' || substring(md5(
+                               CAST(l_orderkey*10 + l_linenumber AS VARCHAR)
+                               || ':e'), 1, 15))::BIGINT
+                               < {int(0.5 * (1 << 60))}
+                             THEN 1 ELSE 0 END) AS copies
+              FROM t
+              WHERE lane < CASE l_returnflag
+                             WHEN 'A' THEN {int(0.5 * (1 << 60))}
+                             WHEN 'N' THEN {int(0.1 * (1 << 60))}
+                             WHEN 'R' THEN {int(0.25 * (1 << 60))}
+                             ELSE 0 END
+            )
+            SELECT l_orderkey, l_linenumber, l_returnflag, split,
+                   unnest(range(0, copies)) AS epoch
+            FROM kept
         """,
         "q51_tpch_q3": f"""
             SELECT l_orderkey,
