@@ -1146,3 +1146,44 @@ def two_point_jackknife(
         "bin int, r_lo double, r_hi double, dd long, rr double, "
         "xi double, xi_err double, n_jackknife int",
     )
+
+
+def apply_rsd(
+    df: DataFrame,
+    box_size: float,
+    hubble: float,
+    scale_factor: float = 1.0,
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+    vel_cols: tuple[str, str, str] = ("vx", "vy", "vz"),
+    axis: int = 2,
+) -> DataFrame:
+    """Map real-space positions to redshift space along a plane-
+    parallel line of sight (the distant-observer approximation every
+    periodic-box RSD analysis uses):
+
+        s_los = x_los + v_los / (a * H),
+
+    wrapped back into the periodic box. Feed the result to
+    ``correlation_multipoles`` / ``projected_correlation`` to predict
+    the OBSERVED clustering of a simulation catalog — the Kaiser
+    squashing on large scales and finger-of-god elongation in
+    collapsed structures both emerge from exactly this shift.
+
+    ``hubble`` is H(a) in velocity units per box length unit (e.g.
+    km/s / (Mpc/h): 100·E(a)·h/h = 100·E(a)); ``scale_factor``
+    multiplies as a·H for peculiar-velocity conventions where v is
+    comoving. Pure projection — one JVM expression on one column, no
+    shuffle, fully pushable.
+    """
+    if axis not in (0, 1, 2):
+        raise ValueError("axis must be 0, 1, or 2")
+    if hubble <= 0 or scale_factor <= 0:
+        raise ValueError("hubble and scale_factor must be positive")
+    pos = cols[axis]
+    vel = vel_cols[axis]
+    shifted = F.col(pos).cast("double") + F.col(vel).cast("double") / (
+        float(scale_factor) * float(hubble)
+    )
+    return df.withColumn(
+        pos, F.pmod(shifted, F.lit(float(box_size)))
+    )

@@ -880,3 +880,63 @@ def test_two_point_jackknife_exact_twin_and_consistency(spark):
 
     with pytest.raises(ValueError, match="n_side"):
         two_point_jackknife(df, bins, BOX, n_side=1)
+
+
+def test_apply_rsd_shift_and_kaiser_sign(spark):
+    """RSD mapping: exact per-row shift with periodic wrap, and the
+    physics — coherent infall along the line of sight drives the
+    quadrupole of the shifted field negative while the real-space
+    field has xi_2 ~ 0."""
+    from opencosmo_spark.spatial.pairs import (
+        apply_rsd,
+        correlation_multipoles,
+    )
+
+    rng = np.random.default_rng(47)
+    pts = rng.uniform(0, BOX, size=(120, 3))
+    vel = rng.normal(0, 30.0, size=(120, 3))
+    df = spark.createDataFrame(
+        [
+            Row(id=i, x=float(p[0]), y=float(p[1]), z=float(p[2]),
+                vx=float(v[0]), vy=float(v[1]), vz=float(v[2]))
+            for i, (p, v) in enumerate(zip(pts, vel))
+        ]
+    )
+    out = (
+        apply_rsd(df, BOX, hubble=100.0)
+        .toPandas().set_index("id").sort_index()
+    )
+    want = np.mod(pts[:, 2] + vel[:, 2] / 100.0, BOX)
+    assert np.allclose(out.z.to_numpy(), want, atol=1e-12)
+    # untouched axes
+    assert np.allclose(out.x.to_numpy(), pts[:, 0])
+    assert np.allclose(out.y.to_numpy(), pts[:, 1])
+
+    with pytest.raises(ValueError, match="axis"):
+        apply_rsd(df, BOX, 100.0, axis=3)
+    with pytest.raises(ValueError, match="positive"):
+        apply_rsd(df, BOX, -1.0)
+
+    # physics: clumps whose members stream toward the clump center
+    # along z only -> z-extent squashes -> negative quadrupole
+    centers = rng.uniform(5, BOX - 5, size=(25, 3))
+    members = np.concatenate(
+        [c + rng.normal(0, 1.2, size=(16, 3)) for c in centers]
+    )
+    cvz = np.concatenate(
+        [-(members[i * 16:(i + 1) * 16, 2] - c[2]) * 60.0
+         for i, c in enumerate(centers)]
+    )
+    cdf = spark.createDataFrame(
+        [
+            Row(id=i, x=float(p[0]), y=float(p[1]), z=float(p[2]),
+                vx=0.0, vy=0.0, vz=float(vz))
+            for i, (p, vz) in enumerate(zip(np.mod(members, BOX), cvz))
+        ]
+    )
+    bins = [2.0, 6.0]
+    real = correlation_multipoles(cdf, bins, BOX, ells=(0, 2)).collect()[0]
+    shifted = correlation_multipoles(
+        apply_rsd(cdf, BOX, hubble=100.0), bins, BOX, ells=(0, 2)
+    ).collect()[0]
+    assert shifted["xi_2"] < real["xi_2"] - 0.1
