@@ -1187,3 +1187,116 @@ def apply_rsd(
     return df.withColumn(
         pos, F.pmod(shifted, F.lit(float(box_size)))
     )
+
+
+def stacked_delta_sigma(
+    centers: DataFrame,
+    particles: DataFrame,
+    rp_bins: list[float],
+    box_size: float,
+    pi_max: float,
+    mass_col: str | None = None,
+    id_col_centers: str = "id",
+    id_col_particles: str = "id",
+    cols_centers: tuple[str, str, str] = ("x", "y", "z"),
+    cols_particles: tuple[str, str, str] = ("x", "y", "z"),
+    periodic: bool = True,
+    decimals: int = 10,
+) -> DataFrame:
+    """Stacked excess surface density ΔΣ(rp) = Σ̄(<rp) − Σ(rp) — the
+    galaxy-galaxy-lensing observable (Wright & Brainerd 2000
+    conventions) measured directly from a simulation: particles are
+    projected onto the plane transverse to the z line of sight within
+    ``|pi| <= pi_max``, Σ(rp) is the stacked surface density in each
+    projected annulus (per center), Σ̄(<rp) its area-weighted
+    cumulative mean including the core inside ``rp_bins[0]``.
+
+    One cross-pair join through the cell engine's (rp, pi) components
+    output (radius sqrt(rp_max² + pi_max²) covers the cylinder), one
+    aggregation keyed by ~len(rp_bins) annuli (+1 core bin); the
+    cumulative mean and area arithmetic are driver-side on the bin
+    rows. Unit mass per particle unless ``mass_col`` is given; Σ is
+    mass per unit transverse area (the projection depth cancels in
+    the stack).
+
+    Returns one row per annulus:
+    ``(bin, rp_lo, rp_hi, n_pairs, mass, sigma, sigma_bar, delta_sigma)``.
+    """
+    if sorted(rp_bins) != list(rp_bins) or len(rp_bins) < 2:
+        raise ValueError("rp_bins must be a sorted list of >= 2 edges")
+    if rp_bins[0] < 0:
+        raise ValueError("rp_bins must be non-negative")
+    if pi_max <= 0:
+        raise ValueError("pi_max must be positive")
+    edges = [float(e) for e in rp_bins]
+    if edges[0] > 0.0:
+        full_edges = [0.0] + edges  # core bin feeds the cumulative
+    else:
+        full_edges = edges
+    rmax = math.sqrt(edges[-1] ** 2 + float(pi_max) ** 2)
+    if rmax > box_size / 2 and periodic:
+        raise ValueError(
+            f"cylinder radius {rmax:.3f} exceeds half the box — "
+            f"minimum-image pairs would alias"
+        )
+    n_centers = centers.count()
+    if n_centers == 0:
+        raise ValueError("no centers")
+    carry = (mass_col,) if mass_col else ()
+    part = particles.select(
+        *dict.fromkeys(
+            [id_col_particles, *cols_particles, *(carry or ())]
+        )
+    )
+    pairs = _pairs_engine(
+        centers, part, rmax, box_size, id_col_centers, id_col_particles,
+        cols_centers, cols_particles, periodic, self_join=False,
+        components=True, carry_b=carry,
+    )
+    w = (
+        F.col(f"{mass_col}_b").cast("double")
+        if mass_col
+        else F.lit(1.0)
+    )
+    # rp-annulus index against the full edge list (core bin = 0)
+    bin_expr = F.lit(None).cast("int")
+    for i in range(len(full_edges) - 1, 0, -1):
+        bin_expr = F.when(
+            (F.col("rp") >= full_edges[i - 1])
+            & (F.col("rp") < full_edges[i]),
+            F.lit(i - 1),
+        ).otherwise(bin_expr)
+    rows = {
+        int(r["bin"]): (int(r["n"]), float(r["m"]))
+        for r in pairs.filter(F.col("pi") <= float(pi_max))
+        .withColumn("bin", bin_expr)
+        .filter(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(w).alias("m"))
+        .collect()
+    }
+    core_offset = 1 if edges[0] > 0.0 else 0
+    out = []
+    cum_mass = 0.0
+    cum_area = 0.0
+    for i in range(len(full_edges) - 1):
+        lo, hi = full_edges[i], full_edges[i + 1]
+        n_p, m = rows.get(i, (0, 0.0))
+        area = math.pi * (hi * hi - lo * lo)
+        sigma = m / (n_centers * area) if area > 0 else 0.0
+        cum_mass += m
+        cum_area += area
+        sigma_bar = cum_mass / (n_centers * cum_area)
+        if i >= core_offset:
+            out.append(
+                (
+                    i - core_offset, lo, hi, n_p, round(m, decimals),
+                    round(sigma, decimals), round(sigma_bar, decimals),
+                    round(sigma_bar - sigma, decimals),
+                )
+            )
+    return centers.sparkSession.createDataFrame(
+        out,
+        "bin int, rp_lo double, rp_hi double, n_pairs long, mass double, "
+        "sigma double, sigma_bar double, delta_sigma double",
+    )

@@ -940,3 +940,84 @@ def test_apply_rsd_shift_and_kaiser_sign(spark):
         apply_rsd(cdf, BOX, hubble=100.0), bins, BOX, ells=(0, 2)
     ).collect()[0]
     assert shifted["xi_2"] < real["xi_2"] - 0.1
+
+
+def test_stacked_delta_sigma_bruteforce_and_physics(spark):
+    """Delta-Sigma vs an exact all-pairs twin (counts, sigma, the
+    cumulative mean including the core), ~0 on a uniform field, and
+    positive declining excess around planted clumps."""
+    from opencosmo_spark.spatial.pairs import stacked_delta_sigma
+
+    rng = np.random.default_rng(53)
+    cen = rng.uniform(0, BOX, size=(6, 3))
+    parts = rng.uniform(0, BOX, size=(800, 3))
+    masses = rng.uniform(0.5, 2.0, size=800)
+    cdf = _points_df(spark, cen)
+    pdf_rows = [
+        Row(id=i, x=float(p[0]), y=float(p[1]), z=float(p[2]),
+            m=float(w))
+        for i, (p, w) in enumerate(zip(parts, masses))
+    ]
+    pdf = spark.createDataFrame(pdf_rows)
+    rp_bins = [0.5, 1.5, 3.0]
+    pi_max = 2.0
+    got = (
+        stacked_delta_sigma(
+            cdf, pdf, rp_bins, BOX, pi_max, mass_col="m"
+        ).toPandas().set_index("bin")
+    )
+
+    # exact twin over full edges [0, .5, 1.5, 3]
+    full = [0.0] + rp_bins
+    nb = len(full) - 1
+    cnt = np.zeros(nb, dtype=int)
+    mass = np.zeros(nb)
+    for ci in range(len(cen)):
+        for pi_ in range(len(parts)):
+            d = cen[ci] - parts[pi_]
+            d -= BOX * np.round(d / BOX)
+            rp = math.hypot(d[0], d[1])
+            if abs(d[2]) > pi_max or math.sqrt((d**2).sum()) > math.sqrt(
+                rp_bins[-1] ** 2 + pi_max**2
+            ):
+                continue
+            for b in range(nb):
+                if full[b] <= rp < full[b + 1]:
+                    cnt[b] += 1
+                    mass[b] += masses[pi_]
+    ncen = len(cen)
+    cum_m = np.cumsum(mass)
+    areas = np.array(
+        [math.pi * (full[i + 1] ** 2 - full[i] ** 2) for i in range(nb)]
+    )
+    cum_a = np.cumsum(areas)
+    for b in range(1, nb):  # output bins skip the core
+        o = b - 1
+        assert got.loc[o, "n_pairs"] == cnt[b]
+        assert got.loc[o, "mass"] == pytest.approx(mass[b], abs=1e-8)
+        sigma = mass[b] / (ncen * areas[b])
+        sigma_bar = cum_m[b] / (ncen * cum_a[b])
+        assert got.loc[o, "sigma"] == pytest.approx(sigma, abs=1e-8)
+        assert got.loc[o, "sigma_bar"] == pytest.approx(sigma_bar, abs=1e-8)
+        assert got.loc[o, "delta_sigma"] == pytest.approx(
+            sigma_bar - sigma, abs=1e-8
+        )
+
+    # physics: clumps centered ON the centers -> strong positive,
+    # declining Delta-Sigma
+    clump = np.concatenate(
+        [c + rng.normal(0, 0.3, size=(150, 3)) for c in cen]
+    )
+    all_parts = _points_df(spark, np.mod(np.vstack([parts, clump]), BOX))
+    sig = (
+        stacked_delta_sigma(
+            cdf, all_parts, [0.5, 1.0, 2.0, 3.0], BOX, pi_max
+        ).toPandas().set_index("bin")
+    )
+    assert sig.loc[0, "delta_sigma"] > 0
+    assert sig.loc[0, "delta_sigma"] > sig.loc[2, "delta_sigma"]
+
+    with pytest.raises(ValueError, match="exceeds half the box"):
+        stacked_delta_sigma(cdf, pdf, [0.5, 4.9], BOX, 4.9)
+    with pytest.raises(ValueError, match="pi_max"):
+        stacked_delta_sigma(cdf, pdf, rp_bins, BOX, 0.0)
