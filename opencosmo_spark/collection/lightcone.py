@@ -157,3 +157,81 @@ class Lightcone(Dataset):
             ratio = (base_nside // nside) ** 2
             col = F.floor(col / F.lit(ratio)).cast("long")
         return self._clone(self._df.filter(col.isin(list(pixels))))
+
+
+def lightcone_to_cartesian(
+    df,
+    cosmology,
+    ra_col: str = "ra",
+    dec_col: str = "dec",
+    z_col: str = "redshift",
+    out_cols: tuple[str, str, str] = ("x", "y", "z"),
+    dist_col: str = "comoving_distance",
+    z_max: float | None = None,
+    n_knots: int = 2048,
+    h_units: bool = True,
+):
+    """Convert observed lightcone coordinates (ra, dec, redshift) to
+    comoving Cartesian positions — the bridge that lets every 3-D
+    statistic in the engine (pair counts, FoF, P(k), profiles) run on
+    a lightcone catalog.
+
+    The cosmology-dependent part, D_C(z) = c/H0 ∫ dz'/E(z'), is
+    integrated ONCE on the driver over an ``n_knots`` uniform grid
+    (the same trapezoid kernel as ``Cosmology.comoving_distance``, so
+    the column agrees with the scalar API at the knots); the per-row
+    lookup is piecewise-linear interpolation against the literal knot
+    array — ``element_at`` + one multiply, pure JVM, scan-fused, no
+    shuffle, no Python in the hot path. Interpolation error is
+    O((z_max/n_knots)^2) on a smooth integrand — ~1e-7 relative at
+    the defaults — far below any survey redshift precision.
+
+    ``z_max`` bounds the grid (one max() aggregation when omitted);
+    rows beyond it raise at runtime rather than extrapolating.
+    ``h_units=True`` returns Mpc/h (the simulation convention, so the
+    output feeds box-side statistics directly); False gives Mpc.
+    """
+    if n_knots < 8:
+        raise ValueError("n_knots must be >= 8")
+    if z_max is None:
+        row = df.agg(F.max(F.col(z_col).cast("double"))).collect()[0]
+        z_max = float(row[0] or 0.0)
+    if z_max <= 0:
+        raise ValueError(f"z_max must be positive (got {z_max})")
+    z_max *= 1.0 + 1e-9  # the max row itself stays in-grid
+    dz = z_max / (n_knots - 1)
+    scale = cosmology.h if h_units else 1.0
+    knots = [
+        cosmology.comoving_distance(i * dz) * scale
+        for i in range(n_knots)
+    ]
+    arr = F.array(*[F.lit(float(v)) for v in knots])
+    zc = F.col(z_col).cast("double")
+    guard = F.when(
+        (zc < 0) | (zc > z_max),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"lightcone_to_cartesian: redshift outside "
+                    f"[0, {z_max:.6g}]: "
+                ),
+                zc.cast("string"),
+            )
+        ),
+    ).otherwise(zc)
+    idx = F.least(
+        F.floor(guard / F.lit(dz)).cast("int"), F.lit(n_knots - 2)
+    )
+    d0 = F.element_at(arr, idx + 1)
+    d1 = F.element_at(arr, idx + 2)
+    frac = guard / F.lit(dz) - idx.cast("double")
+    dist = d0 + (d1 - d0) * frac
+    ra_r = F.radians(F.col(ra_col).cast("double"))
+    dec_r = F.radians(F.col(dec_col).cast("double"))
+    out = df.withColumn(dist_col, dist)
+    dc = F.col(dist_col)
+    return (
+        out.withColumn(out_cols[0], dc * F.cos(dec_r) * F.cos(ra_r))
+        .withColumn(out_cols[1], dc * F.cos(dec_r) * F.sin(ra_r))
+        .withColumn(out_cols[2], dc * F.sin(dec_r))
+    )

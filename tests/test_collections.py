@@ -402,3 +402,59 @@ def test_stacked_radial_profile_recipe(spark, fixtures):
     # the profile decreases outward in mean per-halo count density
     # (inner bins are denser per volume; raw counts just must exist)
     assert all(v > 0 for v in stacked.values())
+
+
+def test_lightcone_to_cartesian_matches_scalar_cosmology(spark):
+    """The JVM interpolation column agrees with the driver-side
+    Cosmology.comoving_distance scalar API per row; geometry
+    identities hold (|pos| == D_C, ra/dec round-trip); out-of-grid
+    redshifts raise instead of extrapolating."""
+    from opencosmo_spark.collection.lightcone import lightcone_to_cartesian
+    from opencosmo_spark.header import Cosmology
+
+    cosmo = Cosmology()
+    rng = np.random.default_rng(59)
+    n = 200
+    ra = rng.uniform(0, 360, n)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    z = rng.uniform(0.01, 1.5, n)
+    df = spark.createDataFrame(
+        [
+            (i, float(r), float(d), float(zz))
+            for i, (r, d, zz) in enumerate(zip(ra, dec, z))
+        ],
+        ["id", "ra", "dec", "redshift"],
+    )
+    out = (
+        lightcone_to_cartesian(df, cosmo, h_units=False)
+        .toPandas().set_index("id").sort_index()
+    )
+    want = np.array([cosmo.comoving_distance(float(zz)) for zz in z])
+    assert np.allclose(out.comoving_distance.to_numpy(), want, rtol=5e-6)
+    # geometry: |pos| == D, and angles round-trip
+    pos = out[["x", "y", "z"]].to_numpy()
+    assert np.allclose(
+        np.linalg.norm(pos, axis=1), out.comoving_distance, rtol=1e-12
+    )
+    dec_back = np.degrees(np.arcsin(pos[:, 2] / np.linalg.norm(pos, axis=1)))
+    assert np.allclose(dec_back, dec, atol=1e-9)
+    ra_back = np.degrees(np.arctan2(pos[:, 1], pos[:, 0])) % 360.0
+    assert np.allclose(ra_back, ra % 360.0, atol=1e-9)
+
+    # h-units scale by h exactly
+    outh = (
+        lightcone_to_cartesian(df, cosmo, h_units=True)
+        .toPandas().set_index("id").sort_index()
+    )
+    assert np.allclose(
+        outh.comoving_distance.to_numpy(),
+        out.comoving_distance.to_numpy() * cosmo.h,
+        rtol=1e-12,
+    )
+
+    # out-of-grid refuses loudly
+    bad = lightcone_to_cartesian(df, cosmo, z_max=1.0)
+    with pytest.raises(Exception, match="redshift outside"):
+        bad.collect()
+    with pytest.raises(ValueError, match="n_knots"):
+        lightcone_to_cartesian(df, cosmo, n_knots=2)
