@@ -1081,6 +1081,22 @@ def remove_duplicate_spans(
     hash or doc id and proportional to corpus token count; span
     STRINGS never shuffle — only hashes and integer positions do.
     """
+    base, wins = _positional_windows(df, text_col, id_col, span)
+    dup = (
+        wins.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= int(min_docs))
+        .select("__h")
+    )
+    return _excise_flagged_windows(
+        df, base, wins, dup, text_col, id_col, span
+    )
+
+
+def _positional_windows(df, text_col, id_col, span):
+    """(base, wins): per-doc word/word-hash arrays and the exploded
+    positional ``span``-word window hashes — the shared front half of
+    the span-excision family (shifted-slice zip, zero shuffle)."""
     words = F.split(F.col(text_col), " ")
     wh = F.transform(words, lambda w: F.xxhash64(w))
     base = df.select(F.col(id_col), words.alias("__w"), wh.alias("__wh"))
@@ -1093,14 +1109,16 @@ def remove_duplicate_spans(
     wins = base.select(
         F.col(id_col), F.posexplode(sh).alias("__pos", "__h")
     )
-    dup = (
-        wins.groupBy("__h")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-        .filter(F.col("__nd") >= int(min_docs))
-        .select("__h")
-    )
+    return base, wins
+
+
+def _excise_flagged_windows(df, base, wins, bad, text_col, id_col, span):
+    """Shared back half: delete every word covered by a window whose
+    hash is in ``bad`` (a 1-column ``__h`` frame), rebuild affected
+    docs in order. Only affected documents pay the token explode;
+    span strings never shuffle — hashes and integer positions do."""
     covered = (
-        wins.join(dup, "__h")
+        wins.join(bad, "__h")
         .select(
             F.col(id_col),
             F.explode(
@@ -1137,6 +1155,37 @@ def remove_duplicate_spans(
             ).otherwise(F.col(text_col)),
         )
         .drop("__new_text", "__affected")
+    )
+
+
+def excise_contaminated_spans(
+    df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 8,
+) -> DataFrame:
+    """Surgical decontamination: instead of DROPPING every document
+    that shares a ``span``-word window with the benchmark/eval set
+    (``decontaminate``'s whole-document verdict), EXCISE just the
+    contaminated spans and keep the rest — the salvage path for long
+    documents that quote a benchmark question once (the span-removal
+    treatment of Lee et al. 2022 pointed at a cross-corpus index).
+
+    Any corpus word covered by at least one window whose hash appears
+    ANYWHERE in the eval set is deleted; surviving words keep order;
+    rows stay (a fully-contaminated doc survives as ``text=''`` —
+    filter on length downstream if empties should drop). Same plan
+    shape as ``remove_duplicate_spans`` with the document-frequency
+    aggregation replaced by the eval windows' distinct hash set;
+    at 100 TB the eval side is tiny, so that set broadcasts.
+    """
+    base, wins = _positional_windows(df, text_col, id_col, span)
+    _, eval_wins = _positional_windows(eval_df, text_col, id_col, span)
+    bad = eval_wins.select("__h").distinct()
+    return _excise_flagged_windows(
+        df, base, wins, bad, text_col, id_col, span
     )
 
 

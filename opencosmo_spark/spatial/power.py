@@ -398,3 +398,114 @@ def counts_in_cells(
         out["delta_var_shotnoise_corrected"] = 0.0
         out["s3"] = 0.0
     return out
+
+
+def tracer_bias(
+    tracers: DataFrame,
+    matter: DataFrame,
+    n_mesh: int,
+    box_size: float,
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+    weight_tracers: str | None = None,
+    weight_matter: str | None = None,
+    scheme: str = "cic",
+    n_bins: int | None = None,
+) -> dict:
+    """Scale-dependent tracer bias from the three spectra
+    (Dekel & Lahav 1999 conventions):
+
+        b(k) = P_tm(k) / P_mm(k),
+        r(k) = P_tm(k) / sqrt(P_tt(k) * P_mm(k))  (stochasticity),
+
+    with P_tm the cross spectrum (no shot noise for distinct
+    tracers), P_mm and P_tt the auto spectra WITHOUT shot-noise
+    subtraction so a tracer set equal to the matter field gives
+    b = r = 1 identically (the estimator-consistency null the tests
+    pin). For shot-noise-corrected large-scale bias, read the
+    cross/auto ratio at low k where the correction is negligible, or
+    subtract ``1/nbar`` from the autos downstream — corrections are a
+    modeling choice, not hard-wired.
+
+    Cost: the two mass-assignment aggregations (tracer + matter mesh)
+    are the only cluster work — the three spectra share them; FFTs
+    and ratios are driver numpy on the fixed-size meshes. Returns
+    ``{k, b, r, p_tm, p_tt, p_mm, n_modes}``.
+    """
+    meshes = []
+    for d, wcol in ((tracers, weight_tracers), (matter, weight_matter)):
+        m = density_mesh(d, n_mesh, box_size, cols, wcol, scheme)
+        rho = _mesh_to_numpy(m, n_mesh)
+        if rho.sum() == 0:
+            raise ValueError("empty particle set")
+        meshes.append(rho / rho.mean() - 1.0)
+    volume = box_size**3
+    dt = np.fft.rfftn(meshes[0]) / n_mesh**3
+    dm = np.fft.rfftn(meshes[1]) / n_mesh**3
+    if scheme == "cic":
+        # the same Jing (2005) deconvolution power_spectrum applies
+        freqs = np.fft.fftfreq(n_mesh, d=1.0 / n_mesh)
+        rfreqs = freqs[: n_mesh // 2 + 1]
+
+        def win(m):
+            arg = np.pi * m / n_mesh
+            w = np.ones_like(m, dtype=float)
+            nz = m != 0
+            w[nz] = (np.sin(arg[nz]) / arg[nz]) ** 2
+            return w
+
+        wx = win(freqs)[:, None, None]
+        wy = win(freqs)[None, :, None]
+        wz = win(rfreqs)[None, None, :]
+        dt = dt / (wx * wy * wz)
+        dm = dm / (wx * wy * wz)
+    p_tm3 = np.real(dt * np.conj(dm)) * volume
+    p_tt3 = np.abs(dt) ** 2 * volume
+    p_mm3 = np.abs(dm) ** 2 * volume
+
+    kf = 2.0 * np.pi / box_size
+    freqs = np.fft.fftfreq(n_mesh, d=1.0 / n_mesh)
+    rfreqs = freqs[: n_mesh // 2 + 1]
+    kmag = (
+        np.sqrt(
+            freqs[:, None, None] ** 2
+            + freqs[None, :, None] ** 2
+            + rfreqs[None, None, :] ** 2
+        )
+        * kf
+    )
+    mult = np.full(kmag.shape, 2.0)
+    mult[..., 0] = 1.0
+    if n_mesh % 2 == 0:
+        mult[..., -1] = 1.0
+    nb = n_bins or (n_mesh // 2)
+    edges = np.linspace(kf, kf * (n_mesh // 2), nb + 1)
+    which = np.digitize(kmag.ravel(), edges) - 1
+    ok = (which >= 0) & (which < nb) & (kmag.ravel() > 0)
+    w = mult.ravel()[ok]
+    idx = which[ok]
+    n_modes = np.bincount(idx, weights=w, minlength=nb)
+    k_mean = np.bincount(idx, weights=w * kmag.ravel()[ok], minlength=nb)
+    ptm = np.bincount(idx, weights=w * p_tm3.ravel()[ok], minlength=nb)
+    ptt = np.bincount(idx, weights=w * p_tt3.ravel()[ok], minlength=nb)
+    pmm = np.bincount(idx, weights=w * p_mm3.ravel()[ok], minlength=nb)
+    keep = n_modes > 0
+    k_mean = k_mean[keep] / n_modes[keep]
+    ptm, ptt, pmm = (
+        ptm[keep] / n_modes[keep],
+        ptt[keep] / n_modes[keep],
+        pmm[keep] / n_modes[keep],
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        b = np.where(pmm > 0, ptm / pmm, np.nan)
+        r = np.where(
+            (pmm > 0) & (ptt > 0), ptm / np.sqrt(ptt * pmm), np.nan
+        )
+    return {
+        "k": k_mean.tolist(),
+        "b": b.tolist(),
+        "r": r.tolist(),
+        "p_tm": ptm.tolist(),
+        "p_tt": ptt.tolist(),
+        "p_mm": pmm.tolist(),
+        "n_modes": n_modes[keep].tolist(),
+    }

@@ -1065,3 +1065,55 @@ def test_star_cc_stress_long_chain_and_blob(spark):
     got = out.set_index("doc_id")["cluster_id"].to_dict()
     assert got == want
     assert set(got.values()) == {0}  # everything welded into one group
+
+
+def test_excise_contaminated_spans_surgical_decontamination(spark):
+    """Eval-set spans are cut out of corpus documents while the rest
+    of the text survives verbatim; clean docs are untouched; the
+    python oracle reproduces the rebuilt text exactly."""
+    from opencosmo_spark.pipeline.dedup import excise_contaminated_spans
+
+    bench_q = "what is the capital of france answer paris of course"
+    prefix = "my long blog post talks about many interesting things"
+    suffix = "and then concludes with entirely original commentary here"
+    corpus = spark.createDataFrame(
+        [
+            (0, f"{prefix} {bench_q} {suffix}"),
+            (1, "a completely clean document with no overlap at all ok"),
+            (2, bench_q),  # fully contaminated
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, bench_q)], ["doc_id", "text"])
+    span = 6
+    out = {
+        r["doc_id"]: r["text"]
+        for r in excise_contaminated_spans(
+            corpus, ev, span=span
+        ).collect()
+    }
+
+    # python oracle: same window hashing semantics = word windows;
+    # any corpus word inside a window present in eval gets cut
+    def windows(words, n):
+        return {
+            tuple(words[i : i + n]) for i in range(len(words) - n + 1)
+        }
+
+    evw = windows(bench_q.split(" "), span)
+    for did, text in [(0, f"{prefix} {bench_q} {suffix}"),
+                      (1, "a completely clean document with no overlap at all ok"),
+                      (2, bench_q)]:
+        ws = text.split(" ")
+        cut = set()
+        for i in range(len(ws) - span + 1):
+            if tuple(ws[i : i + span]) in evw:
+                cut.update(range(i, i + span))
+        want = " ".join(w for i, w in enumerate(ws) if i not in cut)
+        assert out[did] == want, (did, out[did], want)
+    # sanity on the oracle itself: doc 0 keeps its prefix + suffix,
+    # doc 1 untouched, doc 2 emptied
+    assert out[0].startswith(prefix) and out[0].endswith(suffix)
+    assert "capital" not in out[0]
+    assert out[1].endswith("ok")
+    assert out[2] == ""

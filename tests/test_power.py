@@ -258,3 +258,39 @@ def test_counts_in_cells_matches_numpy_and_physics(spark, particles):
     wflat = _numpy_cic(pos, n, BOX, wts).ravel()
     assert wgot["mean"] == pytest.approx(wflat.mean(), rel=1e-9)
     assert wgot["variance"] == pytest.approx(wflat.var(), rel=1e-9)
+
+
+def test_tracer_bias_nulls_and_signal(spark, particles):
+    """b(k) estimator consistency: tracers == matter gives b = r = 1
+    identically at every k; a clump-only tracer set is biased high
+    (b > 1 at the largest scales) while r stays <= 1."""
+    from opencosmo_spark.spatial.power import tracer_bias
+
+    df, pos, wts = particles
+    out = tracer_bias(df, df, 16, BOX)
+    assert np.allclose(out["b"], 1.0, atol=1e-10)
+    assert np.allclose(out["r"], 1.0, atol=1e-10)
+
+    # biased tracers: keep only particles near planted clump centers
+    rng = np.random.default_rng(67)
+    centers = rng.uniform(0, BOX, size=(10, 3))
+    clumps = np.concatenate(
+        [(c + rng.normal(0, 3.0, size=(200, 3))) % BOX for c in centers]
+    )
+    allpos = np.vstack([pos, clumps])
+    matter = spark.createDataFrame(
+        [(float(x), float(y), float(z)) for x, y, z in allpos],
+        ["x", "y", "z"],
+    )
+    tracers = spark.createDataFrame(
+        [(float(x), float(y), float(z)) for x, y, z in clumps],
+        ["x", "y", "z"],
+    )
+    biased = tracer_bias(tracers, matter, 16, BOX)
+    # the clump field over-weights the structured part of matter:
+    # large-scale (lowest-k) bias exceeds 1
+    assert biased["b"][0] > 1.1
+    assert all(r <= 1.0 + 1e-9 for r in biased["r"] if not np.isnan(r))
+
+    with pytest.raises(ValueError, match="empty"):
+        tracer_bias(df.filter("x < -1"), df, 8, BOX)
