@@ -66,3 +66,17 @@ def test_clustering_analysis_example_runs():
     assert "fof: 12 groups with >= 20 members" in out.stdout
     assert "P(k):" in out.stdout and "shot noise" in out.stdout
     assert "densest center:" in out.stdout
+
+
+def test_lightcone_analysis_example_runs():
+    out = subprocess.run(
+        [sys.executable, "examples/lightcone_analysis.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "lightcone: 4200 objects" in out.stdout
+    assert "comoving depth:" in out.stdout
+    assert "3-D pairs within 20 Mpc/h:" in out.stdout
