@@ -58,6 +58,7 @@ def curate_corpus(
     boilerplate_min_dup: int | None = None,
     jaccard_threshold: float = 0.8,
     decontam_k: int = 8,
+    decontam_excise: bool = False,
     max_dup_span_frac: float | None = None,
     remove_dup_spans: bool = False,
     dup_span: int = 8,
@@ -132,7 +133,12 @@ def curate_corpus(
     5. near-dup removal: MinHash-LSH candidates -> connected
        components -> keep cluster canonical.
     6. decontamination vs ``eval_df`` (when given): any shared
-       ``decontam_k``-gram disqualifies.
+       ``decontam_k``-gram disqualifies the document —
+       ``decontam_excise=True`` instead EXCISES just the shared spans
+       (``excise_contaminated_spans``) and keeps the rows, the
+       salvage treatment for long documents quoting one benchmark
+       item; excision is a text rewrite, so it reports no attrition
+       row.
     6b. duplicated-span handling (mutually exclusive forms):
        ``max_dup_span_frac`` DROPS docs whose corpus-duplicated
        ``dup_span``-window fraction exceeds the cap;
@@ -373,13 +379,22 @@ def curate_corpus(
         carried_cache = list(getattr(pairs, "_oc_cached", []))
 
     if eval_df is not None:
-        out = mark(
-            "decontaminate",
-            decontaminate(
-                out, eval_df, k=decontam_k,
+        if decontam_excise:
+            from .dedup import excise_contaminated_spans
+
+            # row-local-count-preserving rewrite: no mark() row
+            out = excise_contaminated_spans(
+                out, eval_df, span=decontam_k,
                 text_col=text_col, id_col=id_col,
-            ),
-        )
+            )
+        else:
+            out = mark(
+                "decontaminate",
+                decontaminate(
+                    out, eval_df, k=decontam_k,
+                    text_col=text_col, id_col=id_col,
+                ),
+            )
 
     if max_dup_span_frac is not None:
         from .dedup import duplicate_spans

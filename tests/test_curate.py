@@ -36,3 +36,41 @@ def test_curate_return_dropped_attribution(spark):
 
     with _pytest.raises(ValueError, match="report"):
         curate_corpus(df, return_dropped=True, report=False)
+
+
+def test_curate_corpus_decontam_excise_mode(spark):
+    """decontam_excise=True keeps contaminated rows but cuts the
+    benchmark spans out; the drop path removes them entirely."""
+    from pyspark.sql import functions as F
+
+    from opencosmo_spark.pipeline import curate_corpus
+
+    bench = "what is the capital of france answer paris exactly here"
+    long_doc = (
+        "a long original essay full of novel words and arguments "
+        + bench
+        + " followed by more completely original closing text indeed"
+    )
+    clean = "another clean document with plenty of original words okay"
+    df = spark.createDataFrame(
+        [(0, long_doc), (1, clean)], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame([(9, bench)], ["doc_id", "text"])
+
+    dropped, c1 = curate_corpus(
+        df, eval_df=ev, min_quality=0.0, min_tokens=1, decontam_k=6
+    )
+    assert {r["doc_id"] for r in dropped.collect()} == {1}
+    assert c1["decontaminate"] == 1
+
+    kept, c2 = curate_corpus(
+        df, eval_df=ev, min_quality=0.0, min_tokens=1,
+        decontam_k=6, decontam_excise=True,
+    )
+    texts = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert set(texts) == {0, 1}
+    assert "decontaminate" not in c2  # rewrite, not attrition
+    assert "capital" not in texts[0]
+    assert texts[0].startswith("a long original essay")
+    assert texts[0].endswith("closing text indeed")
+    assert texts[1] == clean
