@@ -187,8 +187,20 @@ def q10_derived_cols(spark, sf):
     ds = ds.with_new_columns(
         rev=col("l_extendedprice") * (1 - col("l_discount")) * (1 + col("l_tax"))
     )
-    from opencosmo_spark import add_mag_cols, norm_cols
+    from opencosmo_spark import (
+        add_mag_cols,
+        gas_emission_measure,
+        gas_mmw,
+        gas_temperature,
+        norm_cols,
+    )
 
+    # derived gas thermodynamics (reference yt_utils derived fields as
+    # engine-side exprs): composition/energy/density lanes are derived
+    # from lineitem numerics identically in the SQL twin; log10-rounded
+    # so cross-engine double-op ulps can't flip the hash
+    yhe = col("l_discount") + 0.24
+    zmet = col("l_tax") * 10.0
     ds = ds.select(
         "l_orderkey",
         "l_linenumber",
@@ -199,6 +211,13 @@ def q10_derived_cols(spark, sf):
         # the stock-column helpers (formerly q12) in the same lineage
         norm=norm_cols("l_quantity", "l_discount", "l_tax"),
         mag=add_mag_cols("l_discount", "l_tax"),
+        mu=gas_mmw(yhe, zmet),
+        gtemp=gas_temperature(
+            col("l_quantity") * 10000.0, yhe, zmet, uu_to_cgs=1e10
+        ).log10(),
+        gem=gas_emission_measure(
+            col("l_extendedprice") * 1e-30, col("l_quantity") * 1e39, yhe
+        ).log10(),
     )
     return ds.df.select(
         "l_orderkey",
@@ -209,6 +228,9 @@ def q10_derived_cols(spark, sf):
         F.round("ang", 6).alias("ang"),
         "norm",
         F.round("mag", 6).alias("mag"),
+        F.round("mu", 9).alias("mu"),
+        F.round("gtemp", 6).alias("gtemp"),
+        F.round("gem", 6).alias("gem"),
     )
 
 
@@ -1554,7 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         "q10_derived_cols": """
             WITH t AS (
               SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
-                     l_tax,
+                     l_tax, l_extendedprice,
                      l_extendedprice * (1 - l_discount) * (1 + l_tax) AS rev
               FROM lineitem
             )
@@ -1565,8 +1587,24 @@ def oracle_sql() -> dict[str, str]:
                    sqrt(l_quantity*l_quantity + l_discount*l_discount
                         + l_tax*l_tax) AS norm,
                    round(-2.5 * log10(pow(10, l_discount*-0.4)
-                                      + pow(10, l_tax*-0.4)), 6) AS mag
-            FROM t
+                                      + pow(10, l_tax*-0.4)), 6) AS mag,
+                   -- derived gas fields (same operand order as the
+                   -- engine exprs; consts are exact double literals)
+                   round(mu, 9) AS mu,
+                   round(log10((mu * ((l_quantity*10000.0) * 1e10))
+                               * 8.076500851845762e-09), 6) AS gtemp,
+                   round(log10((((1.0 - (l_discount+0.24)*0.5)
+                                 * (1.0 - (l_discount+0.24)))
+                                * (l_extendedprice*1e-30))
+                               * (l_quantity*1e39)
+                               * 3.5744105239080025e+47), 6) AS gem
+            FROM (
+              SELECT *,
+                     1.0 / (((1.0 - (l_discount+0.24)) * 2.0
+                             + (l_discount+0.24) * 0.75)
+                            + ((l_tax*10.0) * 0.012899) * 0.03125) AS mu
+              FROM t
+            )
         """,
         "q13_zscore": f"""
             -- z = (pc*n - s)/sqrt(n*ss - s^2), integer-exact inputs.

@@ -12,7 +12,18 @@ from __future__ import annotations
 
 __version__ = "0.1.0"
 
-from .column import add_mag_cols, col, lit, norm_cols, offset_3d
+from .column import (
+    add_mag_cols,
+    col,
+    gas_emission_measure,
+    gas_mmw,
+    gas_number_density,
+    gas_temperature,
+    h_fraction,
+    lit,
+    norm_cols,
+    offset_3d,
+)
 from .dataset import Dataset
 from .header import Cosmology, OpenCosmoHeader
 from .session import get_spark
@@ -36,6 +47,11 @@ __all__ = [
     "norm_cols",
     "offset_3d",
     "add_mag_cols",
+    "gas_mmw",
+    "gas_temperature",
+    "gas_number_density",
+    "gas_emission_measure",
+    "h_fraction",
     "Quantity",
     "Unit",
     "UnitConvention",

@@ -342,3 +342,74 @@ def test_invalid_column_raises(halos):
         halos.filter(col("definitely_not_a_column") > 1).get_data()
     with _pytest.raises((AnalysisException, KeyError, ValueError)):
         halos.select("also_not_a_column").get_data()
+
+
+def test_gas_fields_vs_numpy(spark):
+    """Reference analysis/yt_utils.py:272-310 (_mmw/_temperature/
+    _number_density/_emission_measure/_h_fraction as yt derived
+    fields): the same fully-ionized-gas formulas as engine-side
+    column expressions, checked against a verbatim numpy twin."""
+    import numpy as np
+    import pandas as pd
+
+    from opencosmo_spark import (
+        Dataset,
+        gas_emission_measure,
+        gas_mmw,
+        gas_number_density,
+        gas_temperature,
+        h_fraction,
+    )
+    from opencosmo_spark.column.stock import (
+        BOLTZMANN_ERG_PER_K,
+        PROTON_MASS_G,
+        SOLAR_METALLICITY,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(n, dtype=np.int64),
+            "yhe": rng.uniform(0.22, 0.30, n),
+            "zmet": rng.uniform(0.0, 2.0, n),
+            # specific internal energy in (km/s)^2 (HACC convention)
+            "uu": rng.uniform(1e3, 1e6, n),
+            "rho": 10 ** rng.uniform(-28, -24, n),  # g/cm^3
+            "mass": 10 ** rng.uniform(38, 41, n),  # g
+        }
+    )
+    ds = Dataset(spark.createDataFrame(pdf))
+    out = (
+        ds.select(
+            "pid",
+            mu=gas_mmw("yhe", "zmet"),
+            xh=h_fraction("yhe"),
+            temp=gas_temperature("uu", "yhe", "zmet", uu_to_cgs=1e10),
+            nd=gas_number_density("rho", "yhe", "zmet"),
+            em=gas_emission_measure("rho", "mass", "yhe"),
+        )
+        .get_data("pandas")
+        .set_index("pid")
+        .sort_index()
+    )
+
+    # verbatim numpy twin of the reference formulas
+    Y = pdf["yhe"].to_numpy()
+    X = 1 - Y
+    Z = pdf["zmet"].to_numpy() * SOLAR_METALLICITY
+    mu = 1 / (2 * X + 0.75 * Y + Z / (2 * 16))
+    u_cgs = pdf["uu"].to_numpy() * 1e10
+    temp = mu * PROTON_MASS_G * u_cgs / BOLTZMANN_ERG_PER_K * (5 / 3 - 1)
+    nd = pdf["rho"].to_numpy() / (mu * PROTON_MASS_G)
+    ne = (1 - 0.5 * Y) * pdf["rho"].to_numpy() / PROTON_MASS_G
+    nH = (1 - Y) * pdf["rho"].to_numpy() / PROTON_MASS_G
+    em = ne * nH * (pdf["mass"].to_numpy() / pdf["rho"].to_numpy())
+
+    np.testing.assert_allclose(out.mu.to_numpy(), mu, rtol=1e-12)
+    np.testing.assert_allclose(out.xh.to_numpy(), X, rtol=1e-12)
+    np.testing.assert_allclose(out.temp.to_numpy(), temp, rtol=1e-12)
+    np.testing.assert_allclose(out.nd.to_numpy(), nd, rtol=1e-12)
+    np.testing.assert_allclose(out.em.to_numpy(), em, rtol=1e-10)
+    # physical sanity: ICM-scale temperatures land in the keV band
+    assert (out.temp > 1e4).all() and (out.temp < 1e9).all()
