@@ -1080,10 +1080,26 @@ def q50_stratified_sample(spark, sf):
         labeled, {"A": 1.5, "N": 2.0, "R": 1.0}, "l_returnflag",
         id_col="k", salt="e",
     )
-    return labeled.select(
+    out = labeled.select(
         "l_orderkey", "l_linenumber", "l_returnflag", "split",
         F.col("epoch").cast("long").alias("epoch"),
     )
+    # exact-k lane (new r7): the REAL weighted_reservoir_sample (A-ES,
+    # Efraimidis-Spirakis) picks the 500 quantity-weighted winners —
+    # integer-micro rank key + id tiebreak, oracle-mirrored, emitted as
+    # membership-only rows in the shared (split, epoch) schema
+    from opencosmo_spark.pipeline.sample import weighted_reservoir_sample
+
+    wrs = weighted_reservoir_sample(
+        li, "l_quantity", k=500, id_col="k", salt="w"
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.lit("wrs").alias("split"),
+        F.lit(0).cast("long").alias("epoch"),
+    )
+    return out.unionByName(wrs)
 
 
 def q51_tpch_q3(spark, sf):
@@ -2242,6 +2258,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_returnflag, split,
                    unnest(range(0, copies)) AS epoch
             FROM kept
+            UNION ALL
+            -- A-ES weighted reservoir (k=500, weight l_quantity):
+            -- rank key floor(ln(u)/w * 1e6) with id tiebreak, the
+            -- same integer-micro quantization as the engine
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   'wrs' AS split, 0 AS epoch
+            FROM (
+              SELECT l_orderkey, l_linenumber, l_returnflag,
+                     CAST(floor(
+                       ln((CAST(('0x' || substring(md5(
+                            CAST(l_orderkey*10 + l_linenumber AS VARCHAR)
+                            || ':w'), 1, 15))::BIGINT AS DOUBLE) + 0.5)
+                          / 1152921504606846976.0)
+                       / CAST(l_quantity AS DOUBLE) * 1e6
+                     ) AS BIGINT) AS eskey
+              FROM lineitem
+              WHERE l_quantity > 0
+              ORDER BY eskey DESC,
+                       (l_orderkey*10 + l_linenumber) ASC
+              LIMIT 500
+            )
         """,
         "q51_tpch_q3": f"""
             SELECT l_orderkey,

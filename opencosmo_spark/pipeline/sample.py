@@ -255,6 +255,61 @@ def importance_sample(
     return df.filter(w > 0).filter(lane_u < accept)
 
 
+def weighted_reservoir_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wrs",
+    key_out: str | None = None,
+) -> DataFrame:
+    """EXACT-k sample without replacement, inclusion probability
+    proportional to a per-row weight — the fixed-budget complement of
+    ``importance_sample`` (which fixes the expected FRACTION): "give me
+    the best 1M documents by quality weight, stochastically" is this
+    operator, not a rate filter.
+
+    Algorithm A-ES (Efraimidis & Spirakis 2006): draw u ~ U(0,1) per
+    row, rank by ``u^(1/w)`` — equivalently ``ln(u)/w`` — and keep the
+    ``k`` largest. The ranking is computed in log space and quantized
+    to integer micros (the repo's integer-micro idiom) with the id as
+    tiebreak, so the survivor set is reproducible across engines and
+    partition layouts. ``u`` comes from the sampler family's md5 lane:
+    the same row keeps/loses its slot on every run, engine, and retry.
+
+    Scale shape: one pushable projection + ``TakeOrderedAndProject``
+    (Spark compiles sort-then-limit to a per-partition top-k heap;
+    only ``k`` rows per partition reach the final merge). No corpus
+    shuffle, no RNG state, no driver loop — the right plan at 100 TB
+    for any k that fits on the driver (the returned sample itself).
+
+    Rows with NULL or non-positive weight never qualify. ``key_out``
+    optionally keeps the quantized rank key as a column (audit trail).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    w = F.col(weight_col).cast("double")
+    # lane/2^60 in (0,1): the +0.5 guards the lane==0 row (u would be
+    # exactly 0 and ln blow up); for large lanes it is absorbed by the
+    # double rounding identically in every IEEE engine
+    u = (_lane(key).cast("double") + F.lit(0.5)) / F.lit(float(_SCALE))
+    # floor to integer micros BEFORE ranking: a raw double key could
+    # flip an ordering by ulps across engines (ln differs by <=1 ulp
+    # between libm builds); after the floor only a ~1e-8-wide boundary
+    # band is ambiguous, and ties break by id deterministically
+    es_key = F.floor(F.log(u) / w * F.lit(1e6)).cast("long")
+    out = (
+        df.filter(w > 0)
+        .withColumn("__es_key", es_key)
+        .orderBy(F.col("__es_key").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+    if key_out is not None:
+        return out.withColumnRenamed("__es_key", key_out)
+    return out.drop("__es_key")
+
+
 def plan_mixture(
     df: DataFrame,
     weights: dict[str, float],
