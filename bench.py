@@ -69,6 +69,29 @@ EXTRA_QUERIES = [
 ]
 
 
+def _calibration_probe(spark) -> float:
+    """Fixed CPU-bound JVM probe, independent of the repo's code and of
+    the data on disk: an arithmetic aggregation over a generated
+    10⁷-row range. Its runtime tracks host speed (CPU clock, JIT,
+    steal) and nothing else, so cross-round headline comparisons can
+    divide by it — rounds r6→r8 showed uniform 1.2-1.5× swings on
+    UNCHANGED query code that were pure host drift (SCALE.md). Best-of-3
+    like the queries; the probe runs before the suite so it also
+    absorbs first-job JVM warmup."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = F.col("id").cast("double")
+        spark.range(0, 10_000_000, 1, 32).agg(
+            F.sum(F.sin(x * 1e-6) * F.cos(x * 1e-7) + F.sqrt(x))
+        ).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -77,6 +100,9 @@ def main():
 
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    calibration = _calibration_probe(spark)
+    print(f"# calibration_probe: {calibration:.3f}s", file=sys.stderr)
 
     # one failing query must not zero the whole artifact: record its
     # error, keep timing the rest, total over the survivors
@@ -130,6 +156,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "extra_queries": extra,
+        "calibration_sec": calibration,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

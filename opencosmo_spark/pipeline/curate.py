@@ -56,6 +56,7 @@ def curate_corpus(
     ppl_splits: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
     ppl_scorer: str = "auto",
     boilerplate_min_dup: int | None = None,
+    boilerplate_top_k: int | None = None,
     jaccard_threshold: float = 0.8,
     decontam_k: int = 8,
     decontam_excise: bool = False,
@@ -70,6 +71,8 @@ def curate_corpus(
     dsir_alpha: float = 1.0,
     mix_target_frac: float = 0.5,
     importance_col: str | None = None,
+    budget_docs: int | None = None,
+    budget_weight_col: str | None = None,
     n_shards: int | None = None,
     report: bool = True,
     return_dropped: bool = False,
@@ -128,7 +131,15 @@ def curate_corpus(
        listed in ``ppl_keep`` (the stage-1 ``min_tokens`` gate
        normally leaves nothing unscored).
     2. PII redaction (always on): counts attached, text redacted.
-    3. boilerplate line scrub (``boilerplate_min_dup`` not None).
+    3. boilerplate line scrub (``boilerplate_min_dup`` not None):
+       exact document-frequency count per line. With
+       ``boilerplate_top_k`` instead, a DISCOVERY pass
+       (``discover_boilerplate_lines``, optionally sketch-bounded)
+       finds the top-k document-frequent lines and feeds them to
+       ``line_dedup``'s hot set — templates are scrubbed without
+       being hand-listed and the hot set is size-bounded by
+       construction (``boilerplate_min_dup`` then sets the discovery
+       dup threshold, default 2).
     4. exact dedup (always on): keep lowest id per identical text.
     5. near-dup removal: MinHash-LSH candidates -> connected
        components -> keep cluster canonical.
@@ -153,22 +164,35 @@ def curate_corpus(
        the composite so copies spread), ``mix_alpha`` to derive
        temperature-based rates from the surviving group counts,
        ``importance_col``
-       for quality-proportional selection, or ``dsir_target_df``
+       for quality-proportional selection, ``dsir_target_df``
        for DSIR domain matching against a target corpus (all
-       against ``mix_target_frac`` of the corpus).
+       against ``mix_target_frac`` of the corpus), or
+       ``budget_docs`` + ``budget_weight_col`` for the fixed-budget
+       reservoir mode: EXACTLY ``budget_docs`` survivors with
+       inclusion probability proportional to the weight column
+       (A-ES ``weighted_reservoir_sample``).
     8. shard assignment (``n_shards``): adds shard / shard_pos.
     """
     chosen = [
         x
-        for x in (mix, mix_alpha, importance_col, dsir_target_df)
+        for x in (
+            mix, mix_alpha, importance_col, dsir_target_df, budget_docs
+        )
         if x is not None
     ]
     if len(chosen) > 1:
         raise ValueError(
             "pass exactly ONE of mix (explicit rates), mix_alpha "
             "(temperature-derived rates), importance_col "
-            "(quality-proportional), or dsir_target_df (DSIR domain "
-            "matching) — the combination is ambiguous"
+            "(quality-proportional), dsir_target_df (DSIR domain "
+            "matching), or budget_docs (fixed-budget weighted "
+            "reservoir) — the combination is ambiguous"
+        )
+    if budget_docs is not None and budget_weight_col is None:
+        raise ValueError(
+            "budget_docs (reservoir mix mode) needs budget_weight_col: "
+            "the per-document weight column driving A-ES inclusion "
+            "probability"
         )
     if max_dup_span_frac is not None and remove_dup_spans:
         raise ValueError(
@@ -320,12 +344,26 @@ def curate_corpus(
         )
 
     if ppl_model is not None or ppl_train_df is not None:
-        from .lm import perplexity_buckets, train_bigram_lm
-
-        model = (
-            ppl_model if ppl_model is not None
-            else train_bigram_lm(ppl_train_df, text_col=text_col, id_col=id_col)
+        from .lm import (
+            perplexity_buckets,
+            train_bigram_lm,
+            train_trigram_lm,
         )
+
+        if ppl_model is not None:
+            model = ppl_model
+        elif ppl_scorer == "trigram":
+            # in-call training honors the requested scorer: "trigram"
+            # trains the JM-interpolated trigram LM instead of erroring
+            # downstream on a bigram model ("auto"/"bigram" train the
+            # bigram tables — the CCNet default)
+            model = train_trigram_lm(
+                ppl_train_df, text_col=text_col, id_col=id_col
+            )
+        else:
+            model = train_bigram_lm(
+                ppl_train_df, text_col=text_col, id_col=id_col
+            )
         keep_set = set(ppl_keep)
         bad = keep_set - {"head", "middle", "tail", "unscored"}
         if bad:
@@ -344,7 +382,23 @@ def curate_corpus(
 
     out = scrub_pii(out, text_col=text_col)
 
-    if boilerplate_min_dup is not None:
+    if boilerplate_top_k is not None:
+        # discovery path: sketch/groupBy top-k document-frequent lines
+        # (size-bounded by construction) feed line_dedup's hot set —
+        # the planted-template scrub with no hand-listed vocabulary
+        from .sketch import discover_boilerplate_lines
+
+        hot = discover_boilerplate_lines(
+            out, text_col=text_col, k=boilerplate_top_k,
+            min_dup=boilerplate_min_dup or 2,
+        )
+        out = mark(
+            "line_dedup",
+            line_dedup(
+                out, text_col=text_col, id_col=id_col, hot_lines=hot
+            ),
+        )
+    elif boilerplate_min_dup is not None:
         out = mark(
             "line_dedup",
             line_dedup(
@@ -451,6 +505,19 @@ def curate_corpus(
             importance_sample(
                 out, importance_col, target_frac=mix_target_frac,
                 id_col=id_col,
+            ),
+        )
+    elif budget_docs is not None:
+        # fixed-budget reservoir mix: exactly budget_docs survivors,
+        # inclusion probability proportional to the weight column —
+        # "the best k documents, stochastically" (A-ES; one pushable
+        # projection + TakeOrderedAndProject, no corpus shuffle)
+        from .sample import weighted_reservoir_sample
+
+        out = mark(
+            "mix",
+            weighted_reservoir_sample(
+                out, budget_weight_col, budget_docs, id_col=id_col
             ),
         )
     elif dsir_target_df is not None:

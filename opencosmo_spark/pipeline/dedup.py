@@ -599,6 +599,7 @@ def line_dedup(
     min_dup: int = 2,
     min_line_chars: int = 1,
     sep: str = "\n",
+    hot_lines: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-level duplicate-LINE removal — the boilerplate scrub of
     the RefinedWeb/Falcon recipe (Penedo et al. 2023): any line at
@@ -615,18 +616,28 @@ def line_dedup(
     the DISTINCT boilerplate vocabulary — tiny relative to the corpus
     (that's what makes it boilerplate), so AQE broadcasts the
     anti-join side; hashes (not line strings) cross the shuffle.
+
+    ``hot_lines`` (a DataFrame with a ``line`` string column, e.g.
+    from ``discover_boilerplate_lines``) REPLACES the exact count:
+    the provided lines become the hot set directly — no per-line
+    counting pass — so a sketch-discovered (or hand-curated)
+    boilerplate vocabulary can drive the scrub with its size bounded
+    by construction instead of by the corpus's distinct-line count.
     """
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     ).withColumn("h", F.xxhash64("line"))
-    hot = (
-        lines.filter(F.length("line") >= min_line_chars)
-        .groupBy("h")
-        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
-        .filter(F.col("ndocs") >= min_dup)
-        .select("h")
-    )
+    if hot_lines is not None:
+        hot = hot_lines.select(F.xxhash64("line").alias("h")).distinct()
+    else:
+        hot = (
+            lines.filter(F.length("line") >= min_line_chars)
+            .groupBy("h")
+            .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+            .filter(F.col("ndocs") >= min_dup)
+            .select("h")
+        )
     kept = lines.join(hot, "h", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(

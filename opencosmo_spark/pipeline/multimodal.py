@@ -130,13 +130,17 @@ def _decode_pnm(data: bytes) -> np.ndarray | None:
 
 def _decode_png(data: bytes) -> np.ndarray | None:
     """Pure-python decode of an 8-bit non-interlaced PNG (gray,
-    gray+alpha, RGB, RGBA — the overwhelmingly common web shapes;
-    public PNG spec, RFC 2083): stdlib ``zlib`` inflate of the IDAT
-    stream, then per-scanline unfiltering (None/Sub/Up/Average/Paeth),
-    returning an (h, w, 3) uint8 RGB array (gray replicated, alpha
-    dropped — the ``convert("RGB")`` posture) or None when the payload
-    is not such a PNG. Palette, 16-bit, and Adam7-interlaced images
-    fall through to the stub rather than mis-decode.
+    gray+alpha, RGB, RGBA, and palette — the overwhelmingly common
+    web shapes; public PNG spec, RFC 2083): stdlib ``zlib`` inflate
+    of the IDAT stream, then per-scanline unfiltering
+    (None/Sub/Up/Average/Paeth), returning an (h, w, 3) uint8 RGB
+    array (gray replicated, alpha dropped — the ``convert("RGB")``
+    posture) or None when the payload is not such a PNG. Palette
+    (color type 3) resolves index scanlines through the PLTE chunk
+    as one numpy gather — a tRNS chunk is accepted and ignored, the
+    same alpha-dropping convention as RGBA. 16-bit and
+    Adam7-interlaced images fall through to the stub rather than
+    mis-decode.
 
     The unfilter loop is per-byte Python per scanline — fine for the
     thumbnail/feature sizes this path serves; a production raster
@@ -148,7 +152,7 @@ def _decode_png(data: bytes) -> np.ndarray | None:
     sig = b"\x89PNG\r\n\x1a\n"
     if data is None or len(data) < 8 + 25 or data[:8] != sig:
         return None
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(data):
         ln = int.from_bytes(data[pos : pos + 4], "big")
         ctype = data[pos + 4 : pos + 8]
@@ -157,6 +161,8 @@ def _decode_png(data: bytes) -> np.ndarray | None:
             return None  # truncated chunk
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -167,12 +173,18 @@ def _decode_png(data: bytes) -> np.ndarray | None:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, color, comp, filt, interlace = ihdr[8:13]
-    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if (
         width <= 0 or height <= 0 or depth != 8 or nch is None
         or comp != 0 or filt != 0 or interlace != 0
     ):
         return None
+    if color == 3:
+        # palette: the scanline bytes are indices into PLTE's RGB
+        # triples (spec: length a multiple of 3, 1-256 entries)
+        if plte is None or len(plte) == 0 or len(plte) % 3 != 0:
+            return None
+        palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
@@ -212,6 +224,11 @@ def _decode_png(data: bytes) -> np.ndarray | None:
     px = out.reshape(height, width, nch)
     if color == 0:
         return np.repeat(px, 3, axis=2)
+    if color == 3:
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            return None  # index past the palette: corrupt stream
+        return palette[idx]  # (h, w, 3) gather
     if color == 4:
         return np.repeat(px[..., :1], 3, axis=2)
     return np.ascontiguousarray(px[..., :3])  # RGB, or RGBA minus alpha

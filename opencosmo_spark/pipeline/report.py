@@ -29,6 +29,8 @@ def corpus_report(
     with_language: bool = True,
     quantiles: tuple[float, ...] = (0.5, 0.95),
     accuracy: int = 10_000,
+    top_ngrams: tuple[int, int] | None = None,
+    ngrams_exact: bool = True,
 ) -> DataFrame:
     """One row per group (one total row when ``group_by`` is None)
     with the dataset-card statistics:
@@ -42,7 +44,16 @@ def corpus_report(
       level from it),
     - ``lang_top`` / ``lang_top_frac`` — modal language and its share
       (stopword-vote classifier; ``with_language=False`` skips the
-      classifier's regexp work).
+      classifier's regexp work),
+    - ``top_ngrams`` (when ``top_ngrams=(n, k)`` is given) — the
+      CORPUS-WIDE ``k`` most frequent word ``n``-grams as an
+      ``array<struct<gram, count>>`` column (identical on every group
+      row) — the C4-paper-style "most common n-grams" table;
+      ``format_dataset_card`` renders it as its own section.
+      ``ngrams_exact=False`` switches the underlying ``top_ngrams``
+      operator to its SpaceSaving path (``count`` is then the
+      sketch's upper bound) — the mode whose shuffle stays bounded
+      when the gram universe is web-scale.
 
     All estimates are sketch-backed; for exact dedup numbers run the
     dedup stages themselves — this is the cheap profile you run FIRST.
@@ -128,6 +139,32 @@ def corpus_report(
                 )
                 .drop("__topn")
             )
+        if top_ngrams is not None:
+            from .sketch import top_ngrams as _top_ngrams
+
+            n, k = top_ngrams
+            grams = _top_ngrams(
+                df, text_col, n, k, exact=ngrams_exact
+            )
+            cnt = "count" if ngrams_exact else "count_upper"
+            gram_row = grams.agg(
+                F.collect_list(
+                    F.struct(
+                        F.col("gram"),
+                        F.col(cnt).cast("long").alias("count"),
+                    )
+                ).alias("__g")
+            ).select(
+                F.array_sort(
+                    F.col("__g"),
+                    lambda a, b: F.when(a["count"] > b["count"], -1)
+                    .when(a["count"] < b["count"], 1)
+                    .when(a["gram"] < b["gram"], -1)
+                    .when(a["gram"] > b["gram"], 1)
+                    .otherwise(0),
+                ).alias("top_ngrams")
+            )
+            card = card.crossJoin(gram_row)
         rows = card.collect()
         spark = df.sparkSession
         return spark.createDataFrame(rows, card.schema)
@@ -148,9 +185,12 @@ def dup_rate(report_df: DataFrame) -> DataFrame:
 
 def format_dataset_card(report_df: DataFrame, title: str = "Corpus") -> str:
     """Render a report as a markdown datasheet block (driver-side;
-    the report is already group-cardinality small)."""
+    the report is already group-cardinality small). A ``top_ngrams``
+    column (from ``corpus_report(top_ngrams=(n, k))``) renders as its
+    own "Most common n-grams" section — the C4-paper-style table —
+    rather than inline in the stats row."""
     rows = report_df.collect()
-    cols = list(report_df.columns)
+    cols = [c for c in report_df.columns if c != "top_ngrams"]
     lines = [f"# {title}", ""]
     lines.append("| " + " | ".join(cols) + " |")
     lines.append("|" + "---|" * len(cols))
@@ -160,4 +200,11 @@ def format_dataset_card(report_df: DataFrame, title: str = "Corpus") -> str:
             + " | ".join("" if r[c] is None else str(r[c]) for c in cols)
             + " |"
         )
+    if "top_ngrams" in report_df.columns and rows:
+        grams = rows[0]["top_ngrams"] or []
+        lines += ["", "## Most common n-grams", ""]
+        lines.append("| gram | count |")
+        lines.append("|---|---|")
+        for g in grams:
+            lines.append(f"| {g['gram']} | {g['count']} |")
     return "\n".join(lines)

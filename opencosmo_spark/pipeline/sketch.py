@@ -206,3 +206,45 @@ def top_ngrams(
     return frequent_items(
         exploded, "gram", k, capacity=capacity, exact=exact
     ).withColumnRenamed("item", "gram")
+
+
+def discover_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    min_dup: int = 2,
+    min_line_chars: int = 1,
+    sep: str = "\n",
+    capacity: int | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Top-``k`` most document-frequent LINES — the boilerplate
+    discovery pass (nav menus, cookie banners, licence stubs) that
+    feeds ``line_dedup(hot_lines=...)``. Returns ``(line, count)``
+    with ``count`` = number of DISTINCT documents containing the line
+    (>= ``min_dup``), document-frequency order, line asc tiebreak.
+
+    Per-document distinctness is row-local (``array_distinct`` on the
+    split — no (doc, line) shuffle), so the sketch/groupBy sees one
+    occurrence per (doc, line) and its counts ARE document
+    frequencies. With ``exact=False`` the SpaceSaving path bounds
+    per-partition state at ``capacity`` regardless of the line
+    universe — the 100 TB mode; ``count`` is then the sketch's
+    ``count_upper`` (a true upper bound; completeness per the module
+    contract). The top-k cutoff, unlike ``line_dedup``'s own exact
+    min-dup count, bounds the hot set size by construction.
+    """
+    lines = df.select(
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), sep))
+        ).alias("line")
+    ).filter(F.length("line") >= min_line_chars)
+    hot = frequent_items(lines, "line", k, capacity=capacity, exact=exact)
+    if exact:
+        hot = hot.withColumnRenamed("item", "line")
+    else:
+        hot = hot.select(
+            F.col("item").alias("line"),
+            F.col("count_upper").alias("count"),
+        )
+    return hot.filter(F.col("count") >= min_dup)

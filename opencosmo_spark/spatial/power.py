@@ -87,10 +87,38 @@ def density_mesh(
     )
 
 
-def _mesh_to_numpy(mesh_df: DataFrame, n_mesh: int) -> np.ndarray:
+# Driver memory budget for the dense FFT mesh: 512³ doubles = 1 GiB.
+# Anything larger is almost certainly a mistake on a shared driver —
+# callers that really want it must raise the budget explicitly.
+MAX_MESH_CELLS = 512**3
+
+
+def _check_mesh_budget(n_mesh: int, max_mesh_cells: int) -> None:
+    if n_mesh**3 > max_mesh_cells:
+        raise ValueError(
+            f"n_mesh={n_mesh} needs a dense {n_mesh}^3 = {n_mesh**3:,} "
+            f"cell driver mesh ({n_mesh**3 * 8 / 2**30:.1f} GiB), over "
+            f"the max_mesh_cells budget of {max_mesh_cells:,}. Pass a "
+            "larger max_mesh_cells explicitly if the driver can hold it."
+        )
+
+
+def _mesh_to_numpy(
+    mesh_df: DataFrame, n_mesh: int, max_mesh_cells: int = MAX_MESH_CELLS
+) -> np.ndarray:
+    """Assemble the sparse ``(cell, mass)`` aggregate into the dense
+    driver mesh the FFT needs. Arrow transfer (``toPandas``) + one
+    vectorized numpy scatter — no per-row Python loop; the transfer
+    cost is the occupied-cell count, the dense array is n_mesh³
+    doubles. Guarded by ``max_mesh_cells`` (default 512³ = 1 GiB)
+    because the dense mesh lives on the driver.
+    """
+    _check_mesh_budget(n_mesh, max_mesh_cells)
+    pdf = mesh_df.toPandas()
     rho = np.zeros(n_mesh**3)
-    for row in mesh_df.collect():
-        rho[int(row["cell"])] = row["mass"]
+    rho[pdf["cell"].to_numpy(dtype=np.int64)] = pdf["mass"].to_numpy(
+        dtype=np.float64
+    )
     return rho.reshape(n_mesh, n_mesh, n_mesh)
 
 
@@ -104,6 +132,7 @@ def power_spectrum(
     n_bins: int | None = None,
     compensated: bool = True,
     subtract_shot_noise: bool = True,
+    max_mesh_cells: int = MAX_MESH_CELLS,
 ) -> dict:
     """Shell-averaged matter power spectrum of a periodic particle
     box. Returns ``{"k": ..., "power": ..., "n_modes": ...,
@@ -118,6 +147,7 @@ def power_spectrum(
     ``subtract_shot_noise`` removes the V/N Poisson floor (weighted:
     V·Σw²/(Σw)²).
     """
+    _check_mesh_budget(n_mesh, max_mesh_cells)
     mesh = density_mesh(df, n_mesh, box_size, cols, weight, scheme)
     if weight:
         stats = df.agg(
@@ -130,7 +160,7 @@ def power_spectrum(
         sw2 = total_w
     if total_w == 0:
         raise ValueError("empty particle set")
-    rho = _mesh_to_numpy(mesh, n_mesh)
+    rho = _mesh_to_numpy(mesh, n_mesh, max_mesh_cells)
     volume = box_size**3
     delta = rho / rho.mean() - 1.0
     dk = np.fft.rfftn(delta) / n_mesh**3
@@ -193,6 +223,7 @@ def cross_power_spectrum(
     scheme: str = "cic",
     n_bins: int | None = None,
     compensated: bool = True,
+    max_mesh_cells: int = MAX_MESH_CELLS,
 ) -> dict:
     """Cross power spectrum P_AB(k) of two tracer sets (halos x
     matter, two samples, ...): Re[δ_A(k) δ_B*(k)] shell-averaged.
@@ -201,10 +232,11 @@ def cross_power_spectrum(
     none is subtracted. The auto spectrum of the same input equals
     ``power_spectrum(..., subtract_shot_noise=False)`` exactly.
     """
+    _check_mesh_budget(n_mesh, max_mesh_cells)
     meshes = []
     for d, wcol in ((df_a, weight_a), (df_b, weight_b)):
         m = density_mesh(d, n_mesh, box_size, cols, wcol, scheme)
-        rho = _mesh_to_numpy(m, n_mesh)
+        rho = _mesh_to_numpy(m, n_mesh, max_mesh_cells)
         if rho.sum() == 0:
             raise ValueError("empty particle set")
         meshes.append(rho / rho.mean() - 1.0)
@@ -410,6 +442,7 @@ def tracer_bias(
     weight_matter: str | None = None,
     scheme: str = "cic",
     n_bins: int | None = None,
+    max_mesh_cells: int = MAX_MESH_CELLS,
 ) -> dict:
     """Scale-dependent tracer bias from the three spectra
     (Dekel & Lahav 1999 conventions):
@@ -431,10 +464,11 @@ def tracer_bias(
     and ratios are driver numpy on the fixed-size meshes. Returns
     ``{k, b, r, p_tm, p_tt, p_mm, n_modes}``.
     """
+    _check_mesh_budget(n_mesh, max_mesh_cells)
     meshes = []
     for d, wcol in ((tracers, weight_tracers), (matter, weight_matter)):
         m = density_mesh(d, n_mesh, box_size, cols, wcol, scheme)
-        rho = _mesh_to_numpy(m, n_mesh)
+        rho = _mesh_to_numpy(m, n_mesh, max_mesh_cells)
         if rho.sum() == 0:
             raise ValueError("empty particle set")
         meshes.append(rho / rho.mean() - 1.0)

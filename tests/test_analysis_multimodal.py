@@ -407,11 +407,16 @@ def test_decode_image_features_real_pnm(spark):
     np.testing.assert_allclose(feats, twin.loc[0, "features"], rtol=1e-6)
 
 
-def _make_png(arr, color_type, row_filters, depth=8, interlace=0):
+def _make_png(
+    arr, color_type, row_filters, depth=8, interlace=0, palette=None,
+    trns=None,
+):
     """Minimal PNG encoder with per-row filter selection — pure stdlib
     (zlib + struct), no codec library. ``arr`` is (h, w, ch) uint8
-    with ch matching ``color_type`` (0=gray ch1, 2=RGB ch3,
-    4=gray+alpha ch2, 6=RGBA ch4)."""
+    with ch matching ``color_type`` (0=gray ch1, 2=RGB ch3, 3=palette
+    index ch1, 4=gray+alpha ch2, 6=RGBA ch4). ``palette`` is the
+    (n, 3) uint8 PLTE table for color_type 3; ``trns`` optional alpha
+    bytes for a tRNS chunk."""
     import struct
     import zlib
 
@@ -447,9 +452,15 @@ def _make_png(arr, color_type, row_filters, depth=8, interlace=0):
                 filt[i] = (cur[i] - pred) & 0xFF
         raw += bytes([f]) + bytes(filt.astype(np.uint8))
         prev = cur
+    mid = b""
+    if palette is not None:
+        mid += chunk(b"PLTE", bytes(np.asarray(palette, np.uint8).reshape(-1)))
+    if trns is not None:
+        mid += chunk(b"tRNS", bytes(trns))
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + mid
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
@@ -793,3 +804,36 @@ def test_pairwise_velocity_and_marked_correlation_dataset_entry(
         pairwise_velocity(halos, [0.0, 10.0])
     with pytest.raises(ValueError, match="no column"):
         marked_correlation(halos, [0.0, 10.0], mark_col="nope")
+
+
+def test_decode_png_palette_numpy_differential():
+    """Color-type-3 PNGs resolve index scanlines through PLTE: decoded
+    RGB equals palette[idx] bit-for-bit across every filter type; a
+    tRNS chunk is tolerated (alpha-dropping convention); missing /
+    malformed palettes and out-of-range indices are honest Nones."""
+    from opencosmo_spark.pipeline.multimodal import _decode_png
+
+    rng = np.random.default_rng(73)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(7, 5, 1), dtype=np.uint8)
+    png = _make_png(idx, 3, row_filters=[0, 1, 2, 3, 4], palette=palette)
+    got = _decode_png(png)
+    assert got is not None
+    np.testing.assert_array_equal(got, palette[idx[..., 0]])
+
+    # tRNS present: same RGB out (alpha dropped like RGBA)
+    png_t = _make_png(
+        idx, 3, row_filters=[0], palette=palette, trns=bytes([128] * 16)
+    )
+    np.testing.assert_array_equal(_decode_png(png_t), palette[idx[..., 0]])
+
+    # honest gates: no PLTE, non-multiple-of-3 PLTE, index past table
+    assert _decode_png(_make_png(idx, 3, [0])) is None
+    assert (
+        _decode_png(
+            _make_png(idx, 3, [0], palette=palette.reshape(-1)[:-1])
+        )
+        is None
+    )
+    small = palette[:8]  # indices up to 15 overflow an 8-entry table
+    assert _decode_png(_make_png(idx, 3, [0], palette=small)) is None

@@ -74,3 +74,63 @@ def test_curate_corpus_decontam_excise_mode(spark):
     assert texts[0].startswith("a long original essay")
     assert texts[0].endswith("closing text indeed")
     assert texts[1] == clean
+
+
+def test_curate_corpus_reservoir_budget_mode(spark):
+    """budget_docs + budget_weight_col: exactly k survivors, heavy
+    weights overrepresented, attrition row present, exclusive with
+    the other mix modes."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    from opencosmo_spark.pipeline import curate_corpus
+
+    rng = np.random.default_rng(83)
+    words = ["red", "blue", "green", "gold", "grey", "teal"]
+    # 40 heavy docs (w=50) vs 160 light docs (w=1): weight share
+    # 2000/2160 ≈ 0.93 — a k=60 reservoir should be heavy-dominated
+    rows = [
+        Row(
+            doc_id=i,
+            text=" ".join(rng.choice(words, 20)) + f" tail {i}",
+            w=50.0 if i < 40 else 1.0,
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    out, counts = curate_corpus(
+        df,
+        budget_docs=60,
+        budget_weight_col="w",
+        min_quality=0.0,
+        min_tokens=1,
+        jaccard_threshold=0.95,
+    )
+    got = out.collect()
+    assert len(got) == 60  # EXACTLY the budget
+    assert counts["mix"] == 60  # attrition report row
+    heavy = sum(1 for r in got if r["doc_id"] < 40)
+    # all 40 heavy docs carry ~93% of the weight; require clear
+    # overrepresentation vs their 20% population share
+    assert heavy >= 30
+    # determinism: same lane, same survivors
+    again, _ = curate_corpus(
+        df,
+        budget_docs=60,
+        budget_weight_col="w",
+        min_quality=0.0,
+        min_tokens=1,
+        jaccard_threshold=0.95,
+    )
+    assert {r["doc_id"] for r in got} == {
+        r["doc_id"] for r in again.collect()
+    }
+
+    with pytest.raises(ValueError, match="budget_weight_col"):
+        curate_corpus(df, budget_docs=10)
+    with pytest.raises(ValueError, match="exactly ONE"):
+        curate_corpus(
+            df, budget_docs=10, budget_weight_col="w",
+            importance_col="w",
+        )

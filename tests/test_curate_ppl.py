@@ -74,3 +74,25 @@ def test_curate_corpus_perplexity_gate_trained_model_and_errors(spark):
         curate_corpus(df, ppl_model=model, ppl_keep=("head", "bogus"))
     with pytest.raises(ValueError, match="at least one bucket"):
         curate_corpus(df, ppl_model=model, ppl_keep=())
+
+
+@pytest.mark.parametrize("scorer", ["bigram", "trigram"])
+def test_curate_corpus_in_call_training_both_scorers(spark, scorer):
+    """ppl_scorer + ppl_train_df trains the REQUESTED model in-call
+    (trigram included — previously only bigram trained in-call), with
+    the same planted-OOD invariant under either scorer."""
+    rng = np.random.default_rng(61)
+    trusted = spark.createDataFrame(_docs(rng, VOCAB, 20, 1000, 30))
+    df = spark.createDataFrame(
+        _docs(rng, VOCAB, 12, 0) + _docs(rng, GIBBERISH, 6, 500)
+    )
+    out, counts = curate_corpus(
+        df,
+        ppl_train_df=trusted,
+        ppl_scorer=scorer,
+        min_quality=0.0,
+        min_tokens=1,
+        jaccard_threshold=0.95,
+    )
+    assert all(r["doc_id"] < 500 for r in out.collect())
+    assert counts["perplexity_gate"] == 12

@@ -80,3 +80,20 @@ def test_lightcone_analysis_example_runs():
     assert "lightcone: 4200 objects" in out.stdout
     assert "comoving depth:" in out.stdout
     assert "3-D pairs within 20 Mpc/h:" in out.stdout
+
+
+def test_survey_statistics_example_runs():
+    out = subprocess.run(
+        [sys.executable, "examples/survey_statistics.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    # the script itself asserts every planted-physics sign (Kaiser
+    # xi_2 drop, declining wp, >3-sigma jackknife detection, net
+    # infall v12 < 0, mass-marked M > 1, declining DeltaSigma,
+    # bounded NFW r_s, b > 1); the sentinel proves it reached the end
+    assert "survey statistics complete" in out.stdout
+    assert "tracer bias: b(k_min)=" in out.stdout

@@ -76,3 +76,56 @@ def test_format_dataset_card(spark, corpus):
     assert card.startswith("# Test corpus")
     assert "| books |" in card.replace("|books", "| books")
     assert "docs" in card
+
+
+def test_report_top_ngrams_section(spark, corpus):
+    """corpus_report(top_ngrams=(n, k)) attaches the corpus-wide
+    top-k gram table (count-desc, gram-asc tiebreak; exact counts
+    match a brute-force python twin) and format_dataset_card renders
+    it as its own 'Most common n-grams' section."""
+    import re
+    from collections import Counter
+
+    rep = corpus_report(corpus, top_ngrams=(3, 5))
+    rows = rep.toPandas()
+    assert len(rows) == 1
+    got = [(g["gram"], g["count"]) for g in rows.iloc[0]["top_ngrams"]]
+
+    # brute-force twin on the same lowercased-word convention
+    cnt = Counter()
+    for _, _, text in DOCS:
+        words = re.findall(r"[a-z0-9']+", text.lower())
+        for i in range(len(words) - 2):
+            cnt[" ".join(words[i : i + 3])] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want
+
+    card = format_dataset_card(rep, title="Grams")
+    assert "## Most common n-grams" in card
+    top_gram = want[0][0]
+    assert f"| {top_gram} | {want[0][1]} |" in card
+    # the array column must NOT leak into the stats table header
+    header = card.splitlines()[2]
+    assert "top_ngrams" not in header
+
+    # grouped report: gram column is corpus-wide, identical per row
+    grp = corpus_report(
+        corpus, group_by="source", top_ngrams=(3, 3)
+    ).toPandas()
+    lists = [
+        tuple((g["gram"], g["count"]) for g in row)
+        for row in grp["top_ngrams"]
+    ]
+    assert len(set(lists)) == 1
+
+    # sketch mode carries the winners too (counts are upper bounds)
+    sk = corpus_report(
+        corpus, top_ngrams=(3, 5), ngrams_exact=False
+    ).toPandas()
+    sk_rows = sk.iloc[0]["top_ngrams"]
+    sk_grams = {g["gram"] for g in sk_rows}
+    assert want[0][0] in sk_grams  # the clear winner always surfaces
+    by_gram = {g["gram"]: g["count"] for g in sk_rows}
+    for gram, true_count in want:
+        if gram in by_gram:
+            assert by_gram[gram] >= true_count  # true upper bound

@@ -223,3 +223,80 @@ def test_wrs_plan_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_discover_boilerplate_lines_and_hot_feed(spark):
+    """Planted template lines dominate document frequency; discovery
+    surfaces them (exact and sketch modes) and line_dedup(hot_lines=)
+    scrubs them WITHOUT its own counting pass — content lines
+    survive even when they repeat within one document (per-doc
+    distinctness means within-doc repeats don't inflate counts)."""
+    from pyspark.sql import Row
+
+    from opencosmo_spark.pipeline.dedup import line_dedup
+    from opencosmo_spark.pipeline.sketch import discover_boilerplate_lines
+
+    banner = "accept all cookies"
+    nav = "home | products | about"
+    rows = [
+        Row(
+            doc_id=i,
+            text="\n".join(
+                [banner, f"unique content {i}", f"unique content {i}", nav]
+            ),
+        )
+        for i in range(30)
+    ] + [Row(doc_id=100, text="no boilerplate here\njust text")]
+    df = spark.createDataFrame(rows)
+
+    hot = discover_boilerplate_lines(df, k=2, min_dup=5)
+    got = {r["line"]: r["count"] for r in hot.collect()}
+    assert got == {banner: 30, nav: 30}  # doc frequency, not row count
+
+    # sketch mode brackets the same winners (count = upper bound)
+    sk = discover_boilerplate_lines(df, k=2, min_dup=5, exact=False)
+    assert {r["line"] for r in sk.collect()} == {banner, nav}
+    for r in sk.collect():
+        assert r["count"] >= 30
+
+    scrubbed = line_dedup(df, hot_lines=hot).toPandas().set_index("doc_id")
+    assert scrubbed.loc[5, "text"] == "unique content 5\nunique content 5"
+    assert banner not in "".join(scrubbed["text"])
+    assert scrubbed.loc[100, "text"] == "no boilerplate here\njust text"
+
+
+def test_curate_discovers_and_scrubs_planted_template(spark):
+    """End-to-end: curate_corpus(boilerplate_top_k=...) discovers a
+    planted template line and scrubs it from every survivor without
+    the template being hand-listed anywhere."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from opencosmo_spark.pipeline import curate_corpus
+
+    rng = np.random.default_rng(77)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    template = "subscribe to our newsletter for updates"
+    rows = [
+        Row(
+            doc_id=i,
+            text=template
+            + "\n"
+            + " ".join(rng.choice(words, 25))
+            + "\nmore body text "
+            + str(i),
+        )
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows)
+    out, counts = curate_corpus(
+        df,
+        boilerplate_top_k=5,
+        min_quality=0.0,
+        min_tokens=1,
+        jaccard_threshold=0.95,
+    )
+    texts = [r["text"] for r in out.collect()]
+    assert texts and all(template not in t for t in texts)
+    assert all("more body text" in t for t in texts)
+    assert counts["line_dedup"] == 25  # scrub rewrites, never drops
