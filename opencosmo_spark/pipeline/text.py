@@ -227,6 +227,159 @@ def pack_chunks(
     return chunks.select(*cols, pack.alias("pack_id"))
 
 
+def pack_chunks_bfd(
+    chunks: DataFrame,
+    budget: int = 256,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_tokens",
+    shard_col: str | None = None,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Boundary-respecting sequence packing by best-fit-decreasing bin
+    packing: every pack's token total is <= ``budget`` (no chunk is
+    ever split across packs — the padding-free complement of
+    ``pack_chunks``' contiguous-stream split), and BFD's 11/9·OPT+1
+    guarantee (Johnson 1973) keeps the pack count — and therefore the
+    padding waste ``packs·budget − tokens`` — near optimal. The
+    training-efficiency knob: fewer packs at the same budget = fewer
+    padded positions per epoch.
+
+    Deterministic: items are processed in (−tokens, id, idx) order and
+    best-fit ties break on the lowest pack id, so the assignment is a
+    pure function of the data. A chunk LARGER than the budget gets its
+    own pack (flagged ``oversize=true``) rather than erroring — the
+    caller decides whether to re-chunk.
+
+    Scale shape: packing is inherently sequential WITHIN a bin set, so
+    the operator packs per ``shard_col`` group via ``applyInPandas`` —
+    shards pack in parallel, packs never span shards (the isolation a
+    sharded training mix wants), and the per-shard python cost is
+    O(n log n) sort + bisect best-fit. ``shard_col=None`` packs
+    globally in ONE group (single worker — test scale only, same
+    caveat as ``pack_chunks``' global window). Returns the input
+    columns (+``keep_cols``) plus ``pack_id`` (unique per shard),
+    ``pack_tokens`` (the pack's total), and ``oversize``.
+    """
+    from bisect import bisect_left, insort
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    for c in (id_col, idx_col, tokens_col, *(keep_cols or ())):
+        if c not in chunks.columns:
+            raise ValueError(f"column {c!r} not in input")
+    if shard_col is not None and shard_col not in chunks.columns:
+        raise ValueError(f"shard_col {shard_col!r} not in input")
+
+    group = shard_col if shard_col is not None else "__shard"
+    src = (
+        chunks
+        if shard_col is not None
+        else chunks.withColumn("__shard", F.lit(0))
+    )
+    cols = list(
+        dict.fromkeys(
+            [group, id_col, idx_col, tokens_col, *(keep_cols or ())]
+        )
+    )
+    src = src.select(*cols)
+    out_schema = T.StructType(
+        list(src.schema.fields)
+        + [
+            T.StructField("pack_id", T.LongType()),
+            T.StructField("pack_tokens", T.LongType()),
+            T.StructField("oversize", T.BooleanType()),
+        ]
+    )
+
+    def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf.sort_values(
+            [tokens_col, id_col, idx_col],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        # bins sorted by (remaining, pack_id): best fit = the leftmost
+        # entry with remaining >= need (smallest remaining wins,
+        # lowest pack id on ties)
+        bins: list[tuple[int, int]] = []
+        totals: list[int] = []
+        assign = []
+        over = []
+        for need in order[tokens_col].astype(int):
+            if need > budget:
+                pid = len(totals)
+                totals.append(need)
+                assign.append(pid)
+                over.append(True)
+                continue
+            i = bisect_left(bins, (need, -1))
+            if i < len(bins):
+                rem, pid = bins.pop(i)
+                left = rem - need
+                totals[pid] += need
+                insort(bins, (left, pid))
+            else:
+                pid = len(totals)
+                totals.append(need)
+                insort(bins, (budget - need, pid))
+            assign.append(pid)
+            over.append(False)
+        out = order.copy()
+        out["pack_id"] = pd.array(assign, dtype="int64")
+        out["pack_tokens"] = pd.array(
+            [totals[a] for a in assign], dtype="int64"
+        )
+        out["oversize"] = over
+        return out
+
+    packed = src.groupBy(group).applyInPandas(pack_one, out_schema)
+    return packed.drop("__shard") if shard_col is None else packed
+
+
+def packing_report(
+    packed: DataFrame, budget: int, shard_col: str | None = None
+) -> dict:
+    """Padding-waste summary of a ``pack_chunks_bfd`` output:
+    ``{packs, tokens, capacity, waste, waste_frac, oversize_packs}``
+    — one aggregation (driver gets six numbers). Oversize packs are
+    excluded from capacity/waste arithmetic (they carry no padding).
+    Pass the same ``shard_col`` used when packing — pack ids are only
+    unique per shard."""
+    keys = ([shard_col] if shard_col else []) + ["pack_id"]
+    row = (
+        packed.groupBy(*keys)
+        .agg(
+            F.first("pack_tokens").alias("t"),
+            F.max(F.col("oversize").cast("int")).alias("ov"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("packs"),
+            F.sum("t").alias("tokens"),
+            F.sum(
+                F.when(F.col("ov") == 0, F.lit(int(budget)) - F.col("t"))
+                .otherwise(F.lit(0))
+            ).alias("waste"),
+            F.sum("ov").alias("oversize_packs"),
+        )
+        .first()
+    )
+    packs = int(row["packs"] or 0)
+    ov = int(row["oversize_packs"] or 0)
+    cap = (packs - ov) * int(budget)
+    waste = int(row["waste"] or 0)
+    return {
+        "packs": packs,
+        "tokens": int(row["tokens"] or 0),
+        "capacity": cap,
+        "waste": waste,
+        "waste_frac": waste / cap if cap else 0.0,
+        "oversize_packs": ov,
+    }
+
+
 def add_text_features(
     df: DataFrame, text_col: str = "text", prefix: str = ""
 ) -> DataFrame:

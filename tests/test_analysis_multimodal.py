@@ -837,3 +837,65 @@ def test_decode_png_palette_numpy_differential():
     )
     small = palette[:8]  # indices up to 15 overflow an 8-entry table
     assert _decode_png(_make_png(idx, 3, [0], palette=small)) is None
+
+
+def test_audio_spectral_features_physics_and_twin(spark):
+    """Spectral features from real WAV frames: a pure 1 kHz tone
+    centers at ~1 kHz with near-zero flatness, white noise is flat
+    with a much higher centroid; the scalar outputs equal the numpy
+    twin computed directly from the same samples."""
+    from opencosmo_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        _spectral_stats,
+        audio_spectral_features,
+    )
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    tone = np.sin(2 * np.pi * 1000 * t)
+    rng = np.random.default_rng(41)
+    noise = rng.uniform(-0.9, 0.9, size=rate)
+    rows = [
+        (0, "audio", bytearray(_wav_bytes(tone, rate)), "audio/wav",
+         0, 0, 0),
+        (1, "audio", bytearray(_wav_bytes(noise, rate)), "audio/wav",
+         0, 0, 0),
+        (2, "audio", bytearray(b"junk"), "audio/mpeg", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["media_id", "kind", "payload", "mime",
+                       "width", "height", "duration_ms"]
+    ), MEDIA_SCHEMA)
+    out = (
+        audio_spectral_features(df)
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+
+    # physics: tone centered at its frequency, nearly flat-less
+    assert abs(out.loc[0, "spectral_centroid"] - 1000) < 60
+    assert abs(out.loc[0, "spectral_rolloff"] - 1000) < 60
+    assert out.loc[0, "spectral_flatness"] < 0.01
+    # noise: much flatter and much broader
+    assert out.loc[1, "spectral_flatness"] > 0.3
+    assert out.loc[1, "spectral_centroid"] > 1500
+    assert out.loc[1, "spectral_bandwidth"] > out.loc[0, "spectral_bandwidth"]
+    assert out.loc[0, "decoder"] == "wav"
+    # stub path: zeros, flagged
+    assert out.loc[2, "decoder"] == "stub-sha256"
+    assert out.loc[2, "spectral_centroid"] == 0.0
+    assert list(out.loc[2, "band_energies"]) == [0.0] * 16
+
+    # numpy twin on the exact 16-bit-quantized samples the decoder saw
+    q = (tone * 32767.0).astype("<i2").astype(np.float64) / 32768.0
+    c, b, r, f, e = _spectral_stats(q, rate, 1024, 512, 16, 0.85)
+    assert out.loc[0, "spectral_centroid"] == pytest.approx(c, rel=1e-12)
+    assert out.loc[0, "spectral_bandwidth"] == pytest.approx(b, rel=1e-12)
+    assert out.loc[0, "spectral_rolloff"] == pytest.approx(r, rel=1e-12)
+    assert out.loc[0, "spectral_flatness"] == pytest.approx(f, rel=1e-12)
+    np.testing.assert_allclose(out.loc[0, "band_energies"], e, rtol=1e-12)
+    # the tone's energy concentrates in the band containing 1 kHz
+    assert int(np.argmax(e)) == int(
+        np.digitize([1000.0], np.geomspace(50.0, rate / 2, 17))[0] - 1
+    )

@@ -1117,3 +1117,134 @@ def test_excise_contaminated_spans_surgical_decontamination(spark):
     assert "capital" not in out[0]
     assert out[1].endswith("ok")
     assert out[2] == ""
+
+
+def test_pack_chunks_bfd_python_twin_and_invariants(spark):
+    """BFD packing equals an independent python twin exactly (same
+    deterministic order), never exceeds the budget except flagged
+    oversize singletons, and wastes no more capacity than naive
+    arrival-order first-fit."""
+    from bisect import bisect_left, insort
+
+    import numpy as np
+
+    from opencosmo_spark.pipeline.text import (
+        pack_chunks_bfd,
+        packing_report,
+    )
+
+    rng = np.random.default_rng(29)
+    rows = [
+        (int(i), 0, int(t))
+        for i, t in enumerate(rng.integers(10, 200, size=300))
+    ] + [(1000, 0, 500)]  # one oversize chunk (budget 256)
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_idx", "n_tokens"])
+    budget = 256
+    got = pack_chunks_bfd(df, budget=budget).toPandas()
+
+    # python twin: same (-tokens, id, idx) order, same best-fit rule
+    items = sorted(rows, key=lambda r: (-r[2], r[0], r[1]))
+    bins, totals, want = [], [], {}
+    for doc, idx, need in items:
+        if need > budget:
+            pid = len(totals)
+            totals.append(need)
+        else:
+            i = bisect_left(bins, (need, -1))
+            if i < len(bins):
+                rem, pid = bins.pop(i)
+                totals[pid] += need
+                insort(bins, (rem - need, pid))
+            else:
+                pid = len(totals)
+                totals.append(need)
+                insort(bins, (budget - need, pid))
+        want[(doc, idx)] = pid
+    gmap = {
+        (r.doc_id, r.chunk_idx): r.pack_id for r in got.itertuples()
+    }
+    assert gmap == want
+
+    # invariants: totals within budget unless oversize; totals exact
+    per_pack = got.groupby("pack_id").n_tokens.sum()
+    for r in got.itertuples():
+        assert r.pack_tokens == per_pack[r.pack_id]
+        assert r.oversize == (r.doc_id == 1000)
+        if not r.oversize:
+            assert r.pack_tokens <= budget
+
+    # BFD uses no more packs than arrival-order first-fit
+    ff_bins = []
+    for _, _, need in rows:
+        if need > budget:
+            ff_bins.append(need)
+            continue
+        for j, used in enumerate(ff_bins):
+            if used + need <= budget:
+                ff_bins[j] += need
+                break
+        else:
+            ff_bins.append(need)
+    assert got.pack_id.nunique() <= len(ff_bins)
+
+    rep = packing_report(pack_chunks_bfd(df, budget=budget), budget)
+    assert rep["packs"] == got.pack_id.nunique()
+    assert rep["oversize_packs"] == 1
+    assert rep["tokens"] == sum(r[2] for r in rows)
+    assert (
+        rep["waste"]
+        == (rep["packs"] - 1) * budget - (rep["tokens"] - 500)
+    )
+    assert 0 <= rep["waste_frac"] < 0.5
+
+
+def test_pack_chunks_bfd_sharded_isolation_and_determinism(spark):
+    """Packs never span shards; the assignment is invariant under
+    repartitioning; loud errors on bad inputs."""
+    import numpy as np
+    import pytest
+
+    from opencosmo_spark.pipeline.text import (
+        pack_chunks_bfd,
+        packing_report,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (int(i), 0, int(t), ["a", "b", "c"][i % 3])
+        for i, t in enumerate(rng.integers(20, 120, size=200))
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "chunk_idx", "n_tokens", "shard"]
+    )
+    a = pack_chunks_bfd(df, budget=128, shard_col="shard").toPandas()
+    b = pack_chunks_bfd(
+        df.repartition(13, "doc_id"), budget=128, shard_col="shard"
+    ).toPandas()
+    key = ["doc_id", "chunk_idx"]
+    assert (
+        a.sort_values(key).reset_index(drop=True)[
+            ["doc_id", "pack_id", "pack_tokens"]
+        ].equals(
+            b.sort_values(key).reset_index(drop=True)[
+                ["doc_id", "pack_id", "pack_tokens"]
+            ]
+        )
+    )
+    # a (shard, pack) never mixes shards by construction; pack totals
+    # within budget
+    assert (a.pack_tokens <= 128).all()
+    rep = packing_report(
+        pack_chunks_bfd(df, budget=128, shard_col="shard"),
+        128,
+        shard_col="shard",
+    )
+    assert rep["tokens"] == sum(r[2] for r in rows)
+    assert rep["packs"] >= 3  # at least one pack per shard
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_chunks_bfd(df, budget=0)
+    with pytest.raises(ValueError, match="not in input"):
+        pack_chunks_bfd(df, shard_col="nope")
+    with pytest.raises(ValueError, match="not in input"):
+        pack_chunks_bfd(df.drop("n_tokens"))
