@@ -1250,12 +1250,24 @@ def q62_line_dedup(spark, sf):
     # corpus is single-line): any token appearing in >= 390/500 of
     # docs is boilerplate and is deleted from every doc; survivors
     # keep their order, emptied docs survive as text=''.
+    # Second lane (r9): the same scrub through the DISCOVERY path —
+    # discover_boilerplate_lines (per-doc-distinct explode +
+    # frequent_items exact mode, k unbinding) feeds
+    # line_dedup(hot_lines=...); with k above the vocabulary size the
+    # discovered hot set must equal the exact min-dup set, so
+    # text_disc hash-matches the oracle's independent recomputation.
     from opencosmo_spark.pipeline.dedup import line_dedup
+    from opencosmo_spark.pipeline.sketch import discover_boilerplate_lines
 
     d = _t(spark, sf, "documents")
-    return line_dedup(d, sep=" ", min_dup=390).select(
+    base = line_dedup(d, sep=" ", min_dup=390).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+    hot = discover_boilerplate_lines(d, k=100_000, min_dup=390, sep=" ")
+    disc = line_dedup(d, sep=" ", hot_lines=hot).select(
+        "doc_id", F.col("text").alias("text_disc")
+    )
+    return base.join(disc, "doc_id")
 
 
 def q63_bm25_topk(spark, sf):
@@ -2445,7 +2457,8 @@ def oracle_sql() -> dict[str, str]:
               FROM kept GROUP BY doc_id
             )
             SELECT d.doc_id, coalesce(r.text, '') AS text,
-                   d.lang, d.source, d.n_chars
+                   d.lang, d.source, d.n_chars,
+                   coalesce(r.text, '') AS text_disc
             FROM documents d LEFT JOIN reb r USING (doc_id)
         """,
         "q63_bm25_topk": _bm25_oracle_sql(),

@@ -13,10 +13,12 @@ from .events import (
     drift_monitor_stream,
     dedup_stream,
     event_time_expr,
+    frequent_items_stream,
     interval_join_stream,
     read_event_stream,
     run_stream_to_memory,
     run_stream_to_parquet,
+    streaming_top_items,
     running_user_stats,
     sessionize_stream,
     windowed_aggregate,
@@ -25,6 +27,8 @@ from .events import (
 __all__ = [
     "read_event_stream",
     "event_time_expr",
+    "frequent_items_stream",
+    "streaming_top_items",
     "interval_join_stream",
     "corpus_dedup_stream",
     "drift_monitor_stream",

@@ -410,3 +410,148 @@ def drift_monitor_stream(
         return stream_df.writeStream.foreachBatch(_on_batch).start()
 
     return start, reports
+
+
+def frequent_items_stream(
+    items: DataFrame,
+    item_col: str = "item",
+    capacity: int = 64,
+    n_lanes: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters — the Structured-Streaming twin of
+    ``pipeline.sketch.frequent_items``: per-lane SpaceSaving
+    summaries (Metwally et al. 2005) maintained in the state store
+    across micro-batches via ``applyInPandasWithState``, re-emitted
+    per lane after every batch (update mode).
+
+    Lanes partition the ITEM space by hash (``xxhash64(item) %
+    n_lanes``) — every occurrence of an item lands in exactly ONE
+    lane, so unlike the batch sketch's data-placement partitions, a
+    tracked item's counter already holds its GLOBAL count bounds:
+    lower = cnt − err, upper = cnt; an item tracked in no lane has
+    true count ≤ its own lane's eviction floor. State is bounded at
+    ``n_lanes × capacity`` counters no matter the stream length, and
+    each lane updates from a per-batch ``value_counts`` (python loop
+    over distinct items per batch, not rows).
+
+    Emits one row per tracked item per batch:
+    ``(lane, seq, item, cnt, err, lane_floor)`` with ``seq`` the
+    lane's update counter — downstream takes each lane's max-seq rows
+    for the current summary (``streaming_top_items`` does exactly
+    that on a memory-sink table).
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    if capacity <= 0 or n_lanes <= 0:
+        raise ValueError("capacity and n_lanes must be positive")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("lane", T.IntegerType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("item", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("err", T.LongType()),
+            T.StructField("lane_floor", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("its", T.ArrayType(T.StringType())),
+            T.StructField("cnts", T.ArrayType(T.LongType())),
+            T.StructField("errs", T.ArrayType(T.LongType())),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            its, cnts, errs, seq = state.get
+            counters = dict(zip(its, cnts))
+            errors = dict(zip(its, errs))
+        else:
+            counters, errors, seq = {}, {}, 0
+        for pdf in pdfs:
+            vc = pdf["__item"].dropna().value_counts()
+            for item, n in vc.items():
+                n = int(n)
+                if item in counters:
+                    counters[item] += n
+                elif len(counters) < capacity:
+                    counters[item] = n
+                    errors[item] = 0
+                else:
+                    evict = min(counters, key=counters.get)
+                    m = counters.pop(evict)
+                    errors.pop(evict)
+                    counters[item] = m + n
+                    errors[item] = m
+        seq += 1
+        state.update(
+            (
+                list(counters.keys()),
+                [counters[i] for i in counters],
+                [errors[i] for i in counters],
+                seq,
+            )
+        )
+        if counters:
+            floor = (
+                min(counters.values()) if len(counters) >= capacity else 0
+            )
+            yield pd.DataFrame(
+                {
+                    "lane": int(key[0]),
+                    "seq": seq,
+                    "item": list(counters.keys()),
+                    "cnt": [counters[i] for i in counters],
+                    "err": [errors[i] for i in counters],
+                    "lane_floor": floor,
+                }
+            )
+
+    lanes = items.select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_lanes))
+        .cast("int")
+        .alias("__lane"),
+        F.col(item_col).cast("string").alias("__item"),
+    )
+    return lanes.groupBy("__lane").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_top_items(snapshot: DataFrame, k: int) -> DataFrame:
+    """Collapse a ``frequent_items_stream`` sink table to the current
+    global top-``k``: keep each lane's latest (max-seq) summary rows,
+    rank by count upper bound (= ``cnt``: lanes partition the item
+    space, so no cross-lane floor correction applies), tiebreak item
+    asc. Returns ``(item, count_lower, count_upper)`` like the batch
+    sketch. Driver-small input (≤ lanes × capacity rows per emitted
+    batch)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    latest = (
+        snapshot.withColumn(
+            "__mx", F.max("seq").over(Window.partitionBy("lane"))
+        )
+        .filter(F.col("seq") == F.col("__mx"))
+        .drop("__mx")
+    )
+    return (
+        latest.select(
+            "item",
+            (F.col("cnt") - F.col("err")).alias("count_lower"),
+            F.col("cnt").alias("count_upper"),
+        )
+        .orderBy(F.col("count_upper").desc(), F.col("item").asc())
+        .limit(int(k))
+    )

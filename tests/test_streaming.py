@@ -398,3 +398,79 @@ def test_samplers_run_on_streams(spark, tmp_path):
             r.doc_id for r in spark.table(f"sampled_{name}").collect()
         )
         assert got == want and len(got) > 0
+
+
+def test_frequent_items_stream_exact_and_sketch(spark, tmp_path):
+    """Streaming SpaceSaving twin: with unbinding capacity the
+    state-store counters equal the exact batch groupBy; with tight
+    capacity the planted heavy hitter still wins and the emitted
+    bounds bracket the true counts. Statefulness is real — the
+    summaries accumulate across micro-batches."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from opencosmo_spark.streaming import (
+        frequent_items_stream,
+        run_stream_to_memory,
+        streaming_top_items,
+    )
+
+    rng = np.random.default_rng(97)
+    items = (
+        ["hot_item"] * 500
+        + ["warm_item"] * 120
+        + [f"tail_{i}" for i in rng.integers(0, 400, size=800)]
+    )
+    rng.shuffle(items)
+    d = tmp_path / "items_stream"
+    d.mkdir()
+    third = len(items) // 3
+    for b in range(3):
+        chunk = items[b * third : (b + 1) * third if b < 2 else len(items)]
+        pd.DataFrame({"item": chunk}).to_parquet(d / f"part-{b}.parquet")
+    truth = pd.Series(items).value_counts()
+
+    schema = T.StructType([T.StructField("item", T.StringType())])
+    # exact mode: capacity above the distinct-item count -> counters
+    # ARE the true counts
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    sk = frequent_items_stream(stream, "item", capacity=2000, n_lanes=4)
+    sink = run_stream_to_memory(sk, "fi_exact", mode="update")
+    top = streaming_top_items(sink, k=5).toPandas()
+    assert list(top["item"][:2]) == ["hot_item", "warm_item"]
+    for r in top.itertuples():
+        assert r.count_lower == r.count_upper == truth[r.item]
+    # every tracked counter (not just top-k) is exact
+    latest = streaming_top_items(sink, k=10_000_000).toPandas()
+    got = dict(zip(latest["item"], latest["count_upper"]))
+    assert got == truth.to_dict()
+
+    # sketch mode: tight capacity (8 per lane), bounds bracket truth,
+    # heavy hitter survives eviction pressure
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force 3 micro-batches
+        .parquet(str(d))
+    )
+    sk2 = frequent_items_stream(stream2, "item", capacity=8, n_lanes=4)
+    sink2 = run_stream_to_memory(sk2, "fi_sketch", mode="update")
+    # statefulness: at least one lane updated across >1 micro-batch
+    assert sink2.agg(F.max("seq")).first()[0] > 1
+    top2 = streaming_top_items(sink2, k=1).toPandas()
+    assert top2.loc[0, "item"] == "hot_item"
+    tracked = streaming_top_items(sink2, k=10_000_000).toPandas()
+    for r in tracked.itertuples():
+        true = int(truth.get(r.item, 0))
+        assert r.count_lower <= true <= r.count_upper
+    # state bound: no lane tracks more than capacity items
+    from pyspark.sql import Window
+
+    latest_rows = sink2.withColumn(
+        "__mx", F.max("seq").over(Window.partitionBy("lane"))
+    ).filter(F.col("seq") == F.col("__mx"))
+    per_lane = latest_rows.groupBy("lane").count().toPandas()
+    assert (per_lane["count"] <= 8).all()
+
+    with pytest.raises(ValueError, match="positive"):
+        frequent_items_stream(stream, "item", capacity=0)
