@@ -91,6 +91,34 @@ def main():
     hi = scored.filter(F.col("quality_prob") > 0.5).count()
     print(f"classifier: {hi}/{scored.count()} docs above p=0.5")
 
+    # 1d. dataset card with the C4-style most-common-trigrams section,
+    #     straight off corpus_report
+    from opencosmo_spark.pipeline.report import (
+        corpus_report,
+        format_dataset_card,
+    )
+
+    card = format_dataset_card(
+        corpus_report(curated, top_ngrams=(3, 5)), title="Curated corpus"
+    )
+    print(card.split("## Most common n-grams")[1].strip()[:200])
+
+    # 1e. fixed-budget selection: exactly 200 documents, inclusion
+    #     probability proportional to the classifier score (the
+    #     "best k docs, stochastically" budget-first phrasing)
+    best, bcounts = curate_corpus(
+        scored.select("doc_id", "quality_prob").join(
+            curated.select("doc_id", "text", "lang", "source"), "doc_id"
+        ),
+        min_quality=0.0,
+        min_tokens=1,
+        jaccard_threshold=0.95,
+        budget_docs=200,
+        budget_weight_col="quality_prob",
+        report=True,
+    )
+    print(f"budget mix: {bcounts['mix']} survivors (asked 200)")
+
     # 2. keyword search over the curated corpus
     hits = bm25_topk(curated, ["vector", "key"], k=5)
     print("bm25 top-5:", [(r["doc_id"], r["bm25"]) for r in hits.collect()])

@@ -34,6 +34,8 @@ def test_curation_pipeline_example_runs():
     assert "curation attrition:" in out.stdout
     assert "perplexity bands:" in out.stdout
     assert "classifier:" in out.stdout
+    assert "| gram | count |" in out.stdout  # card n-gram section
+    assert "budget mix: 200 survivors" in out.stdout  # exact-k reservoir
     assert "bm25 top-5:" in out.stdout
     assert "incremental batch:" in out.stdout
 
