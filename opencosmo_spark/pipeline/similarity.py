@@ -939,3 +939,151 @@ def mine_hard_negatives(
         pairs.withColumn("neg_rank", F.row_number().over(w))
         .filter(F.col("neg_rank") <= k)
     )
+
+
+def write_ann_index(
+    df: DataFrame,
+    path: str,
+    *,
+    nlist: int = 8,
+    ivf_iters: int = 3,
+    pq_m: int | None = None,
+    pq_ksub: int = 8,
+    pq_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebook: list[tuple[int, list[float]]] | None = None,
+) -> dict:
+    """Materialize a persistent ANN index: train (or take) the IVF
+    codebook, stamp every vector with its cell, optionally PQ-encode,
+    and write the table PARTITIONED BY cell — a probe's
+    ``ivf_cell IN (...)`` filter then prunes at the directory level,
+    so each query reads ~nprobe/nlist of the files (the build-once /
+    query-many posture; same artifact idiom as ``write_dedup_index``).
+
+    The codebooks and build parameters are written as
+    ``_ann_params.json`` inside the directory (and returned):
+    searching with a different quantizer than the one that clustered
+    the files would silently probe the wrong cells, so
+    ``read_ann_index`` restores the exact artifacts. Codebooks are
+    driver-small by construction (nlist x dim + m x ksub x dim/m
+    floats), which is what makes the JSON sidecar the right home.
+    """
+    import json
+
+    from ..io.ingest import hadoop_fs
+
+    cb = codebook or train_ivf_codebook(
+        df, nlist=nlist, iters=ivf_iters, vec_col=vec_col, id_col=id_col
+    )
+    stamped = assign_ivf_cells(
+        df.select(id_col, vec_col), cb, vec_col=vec_col,
+        cell_col="ivf_cell",
+    )
+    pq_cbs = None
+    if pq_m is not None:
+        pq_cbs = pq_train_codebooks(
+            df, m=pq_m, ksub=pq_ksub, iters=pq_iters,
+            vec_col=vec_col, id_col=id_col,
+        )
+        stamped = pq_encode(stamped, pq_cbs, vec_col=vec_col)
+    stamped.write.partitionBy("ivf_cell").mode("overwrite").parquet(path)
+
+    params = {
+        "nlist": len(cb),
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "pq_m": pq_m,
+        "pq_ksub": pq_ksub if pq_m is not None else None,
+        "codebook": [[cid, list(map(float, c))] for cid, c in cb],
+        "pq_codebooks": pq_cbs,
+    }
+    jvm, fs, jpath = hadoop_fs(
+        df.sparkSession, path.rstrip("/") + "/_ann_params.json"
+    )
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(json.dumps(params).encode("utf-8")))
+    finally:
+        stream.close()
+    return params
+
+
+def read_ann_index(spark, path: str) -> dict:
+    """Load a ``write_ann_index`` artifact:
+    ``{"df", "codebook", "pq_codebooks", "params"}`` — the DataFrame
+    keeps its ``ivf_cell`` partition column so probe filters prune at
+    the directory level; the codebooks come back exactly as written
+    (floats round-trip through JSON bit-for-bit)."""
+    import json
+
+    from ..io.ingest import hadoop_fs
+
+    df = spark.read.parquet(path)
+    jvm, fs, jpath = hadoop_fs(spark, path.rstrip("/") + "/_ann_params.json")
+    if not fs.exists(jpath):
+        raise ValueError(f"{path} has no _ann_params.json sidecar")
+    stream = fs.open(jpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+        stream, baos, spark._jsc.hadoopConfiguration(), True
+    )
+    params = json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+    codebook = [(int(cid), list(c)) for cid, c in params["codebook"]]
+    return {
+        "df": df,
+        "codebook": codebook,
+        "pq_codebooks": params.get("pq_codebooks"),
+        "params": params,
+    }
+
+
+def ann_index_search(
+    index: dict,
+    query_vector: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    exact_rerank: bool = True,
+) -> DataFrame:
+    """Query a ``read_ann_index`` artifact: probe the ``nprobe``
+    nearest cells (driver arithmetic on the tiny codebook, the filter
+    prunes partitions), then either the exact cosine top-k over the
+    probed vectors or — when the index was PQ-encoded — the ADC code
+    scan with exact re-rank against the stored vectors. Returns
+    ``(id, cos_sim)`` (ADC-scored rows return ``(id, adc_sim)`` when
+    ``exact_rerank=False``)."""
+    params = index["params"]
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    df = index["df"]
+    if index.get("pq_codebooks"):
+        return ivf_pq_search(
+            df,
+            index["codebook"],
+            index["pq_codebooks"],
+            query_vector,
+            k=k,
+            nprobe=nprobe,
+            id_col=id_col,
+            cell_col="ivf_cell",
+            rerank=(
+                df.select(id_col, vec_col) if exact_rerank else None
+            ),
+            vec_col=vec_col,
+        )
+    probe = sorted(
+        (
+            (round(_cos_py(query_vector, c), 6), cid)
+            for cid, c in index["codebook"]
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:nprobe]
+    cand = df.filter(F.col("ivf_cell").isin([cid for _, cid in probe]))
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1248,3 +1248,87 @@ def test_pack_chunks_bfd_sharded_isolation_and_determinism(spark):
         pack_chunks_bfd(df, shard_col="nope")
     with pytest.raises(ValueError, match="not in input"):
         pack_chunks_bfd(df.drop("n_tokens"))
+
+
+def test_ann_index_roundtrip_and_search(spark, tmp_path):
+    """write_ann_index -> read_ann_index -> ann_index_search: full
+    probe equals brute force exactly; codebooks round-trip
+    bit-for-bit; probe filters prune at the partition level; the PQ
+    variant with exact rerank recovers brute force under full probe."""
+    from opencosmo_spark.pipeline import brute_force_cosine_topk
+    from opencosmo_spark.pipeline.similarity import (
+        ann_index_search,
+        read_ann_index,
+        train_ivf_codebook,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(
+        np.asarray(
+            emb.filter(F.col("vec_id") == 3).toPandas().embedding[0],
+            dtype=float,
+        )
+    )
+
+    # flat (no-PQ) index
+    p1 = str(tmp_path / "ann_flat")
+    params = write_ann_index(emb, p1, nlist=8, ivf_iters=2)
+    idx = read_ann_index(spark, p1)
+    assert idx["codebook"] == [
+        (int(c), list(map(float, v))) for c, v in params["codebook"]
+    ]
+    got = ann_index_search(idx, q, k=8, nprobe=8).toPandas()
+    brute = brute_force_cosine_topk(emb, q, k=8).toPandas()
+    assert list(got.iloc[:, 0]) == list(brute.vec_id)
+    np.testing.assert_array_equal(got.cos_sim, brute.cos_sim)
+    # the index search agrees with a LIVE search against the same
+    # trained codebook at tight nprobe (same quantizer, same probes)
+    from opencosmo_spark.pipeline.similarity import ivf_ann
+
+    live = ivf_ann(
+        emb, q, k=5, nlist=8, nprobe=2, codebook=idx["codebook"]
+    ).toPandas()
+    via_index = ann_index_search(idx, q, k=5, nprobe=2).toPandas()
+    assert list(via_index.iloc[:, 0]) == list(live.vec_id)
+
+    # partition pruning: the probe predicate lands in the scan's
+    # PartitionFilters (directory-level pruning, not a post-scan
+    # filter)
+    import re
+
+    probed = idx["df"].filter(F.col("ivf_cell").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*ivf_cell[^\]]*IN", plan)
+    assert m, f"probe filter not pushed to PartitionFilters:\n{plan[:800]}"
+
+    # PQ-encoded index, exact rerank, full probe == brute force
+    p2 = str(tmp_path / "ann_pq")
+    write_ann_index(
+        emb, p2, nlist=8, ivf_iters=2, pq_m=4, pq_ksub=8, pq_iters=2
+    )
+    idx2 = read_ann_index(spark, p2)
+    assert idx2["pq_codebooks"] is not None
+    got2 = ann_index_search(idx2, q, k=8, nprobe=8).toPandas()
+    # the coarse 4x8 ADC bounds recall at this corpus size, but the
+    # rerank guarantees: the query itself wins, every returned score
+    # is the EXACT cosine (numpy twin), and the order is descending
+    assert got2.iloc[0, 0] == brute.vec_id.iloc[0]
+    allv = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=float)
+        for r in emb.toPandas().itertuples()
+    }
+    qv = np.asarray(q)
+    for r in got2.itertuples():
+        v = allv[int(r[1])]
+        exact = round(
+            float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))), 6
+        )
+        assert r.cos_sim == pytest.approx(exact, abs=1e-6)
+    assert list(got2.cos_sim) == sorted(got2.cos_sim, reverse=True)
+
+    # loud error on a directory without the sidecar
+    bare = str(tmp_path / "bare")
+    emb.limit(4).write.parquet(bare)
+    with pytest.raises(ValueError, match="_ann_params"):
+        read_ann_index(spark, bare)
