@@ -75,6 +75,31 @@ def main():
     )
     n_dup = flags.filter(F.col("dup_of").isNotNull()).count()
     print(f"semantic dedup: {n_dup} near-duplicate vectors flagged")
+
+    # 5. the persistent form: one call writes the cell-partitioned
+    #    artifact with its quantizers in the sidecar; a later session
+    #    (or a later batch append) needs only the path
+    from opencosmo_spark.pipeline import (
+        ann_index_search,
+        append_to_ann_index,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="ann_index_")
+    write_ann_index(
+        reduced, idx_dir, nlist=8, ivf_iters=3,
+        vec_col="pca", id_col="vec_id",
+    )
+    idx = read_ann_index(spark, idx_dir)
+    hit = ann_index_search(idx, list(q), k=1, nprobe=2).first()
+    print(f"index search: top-1 id={hit[0]} sim={hit['cos_sim']}")
+    n_new = append_to_ann_index(
+        idx_dir,
+        reduced.select((F.col("vec_id") + 10_000).alias("vec_id"), "pca"),
+    )
+    total = read_ann_index(spark, idx_dir)["df"].count()
+    print(f"index append: +{n_new} vectors -> {total} total")
     spark.stop()
 
 

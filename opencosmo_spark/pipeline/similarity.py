@@ -1087,3 +1087,32 @@ def ann_index_search(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def append_to_ann_index(index_path: str, new_df: DataFrame) -> int:
+    """Incrementally grow a ``write_ann_index`` artifact: assign the
+    NEW vectors to cells with the INDEX'S OWN quantizers (never
+    retrain — a new codebook would orphan the files already
+    clustered), PQ-encode if the index carries codebooks, and append
+    into the same cell partitions. One projection + one append write;
+    existing files are untouched, so queries keep pruning exactly as
+    before. Returns the number of appended rows.
+
+    Re-train and rebuild (a fresh ``write_ann_index``) when the data
+    distribution has drifted far from the codebook — appends keep the
+    index CORRECT (assignment uses the stored quantizer) but cell
+    balance degrades as the distribution moves.
+    """
+    spark = new_df.sparkSession
+    idx = read_ann_index(spark, index_path)
+    params = idx["params"]
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    stamped = assign_ivf_cells(
+        new_df.select(id_col, vec_col), idx["codebook"], vec_col=vec_col,
+        cell_col="ivf_cell",
+    )
+    if idx.get("pq_codebooks"):
+        stamped = pq_encode(stamped, idx["pq_codebooks"], vec_col=vec_col)
+    n = stamped.count()
+    stamped.write.partitionBy("ivf_cell").mode("append").parquet(index_path)
+    return n

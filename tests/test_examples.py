@@ -19,6 +19,8 @@ def test_embedding_pipeline_example_runs():
     assert "pca: kept k=8 axes" in out.stdout
     assert "ann top-5:" in out.stdout
     assert "semantic dedup:" in out.stdout
+    assert "index search: top-1" in out.stdout
+    assert "index append: +" in out.stdout
 
 
 def test_curation_pipeline_example_runs():

@@ -1332,3 +1332,39 @@ def test_ann_index_roundtrip_and_search(spark, tmp_path):
     emb.limit(4).write.parquet(bare)
     with pytest.raises(ValueError, match="_ann_params"):
         read_ann_index(spark, bare)
+
+
+def test_append_to_ann_index_incremental(spark, tmp_path):
+    """Appended vectors join the same cell partitions under the
+    STORED quantizer: searches see them immediately, old rows are
+    untouched, and an appended query vector becomes its own top-1."""
+    from opencosmo_spark.pipeline.similarity import (
+        ann_index_search,
+        append_to_ann_index,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    p = str(tmp_path / "ann_inc")
+    write_ann_index(base, p, nlist=8, ivf_iters=2)
+    before = read_ann_index(spark, p)
+    n_before = before["df"].count()
+
+    n = append_to_ann_index(p, extra)
+    assert n == extra.count()
+    after = read_ann_index(spark, p)
+    assert after["df"].count() == n_before + n
+    # quantizer unchanged — appends must never retrain
+    assert after["codebook"] == before["codebook"]
+
+    # an appended vector is findable: query with one of the new rows
+    row = extra.limit(1).collect()[0]
+    q = [float(x) for x in row["embedding"]]
+    got = ann_index_search(after, q, k=3, nprobe=8).toPandas()
+    assert int(got.iloc[0, 0]) == int(row["vec_id"])
+    assert got.iloc[0]["cos_sim"] == 1.0
