@@ -1,0 +1,127 @@
+"""End-to-end example: the Structured-Streaming layer over a staged
+event stream — windowed aggregation, session windows, streaming
+dedup, stateful running stats, and the SpaceSaving heavy-hitters
+sketch in the state store.
+
+    python examples/streaming_pipeline.py [events_parquet]
+
+Each query runs against a file-source directory staged in two pieces
+so the stream really sees multiple micro-batches; processAllAvailable
+drives it to completion (the test/smoke harness — production swaps
+the memory sink for parquet/Kafka and just keeps running). Every
+operator's state is BOUNDED: windows and sessions expire by
+watermark, dedup state lives one watermark horizon, the
+heavy-hitters sketch is n_lanes x capacity counters forever.
+"""
+
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from opencosmo_spark import get_spark  # noqa: E402
+from opencosmo_spark.streaming import (  # noqa: E402
+    dedup_stream,
+    event_time_expr,
+    frequent_items_stream,
+    read_event_stream,
+    run_stream_to_memory,
+    running_user_stats,
+    sessionize_stream,
+    streaming_top_items,
+    windowed_aggregate,
+)
+
+EVENTS = (
+    sys.argv[1]
+    if len(sys.argv) > 1
+    else "/root/testdata/sf0.001/events.parquet"
+)
+
+
+def stage_stream_dir(spark) -> str:
+    """Split the fixture into two files so the source produces
+    multiple micro-batches."""
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    t = pq.read_table(EVENTS)
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), f"{d}/part-0.parquet")
+    pq.write_table(t.slice(half), f"{d}/part-1.parquet")
+    return d
+
+
+def main():
+    spark = get_spark("streaming-example")
+    events_dir = stage_stream_dir(spark)
+    batch = spark.read.parquet(EVENTS)
+    batch = batch.withColumn(
+        "event_time", event_time_expr(batch.schema["ts"].dataType)
+    )
+    print(f"events: {batch.count()} rows staged as 2 micro-batches")
+
+    # 1. tumbling-window aggregate with watermark (batch twin: q28)
+    stream = read_event_stream(spark, events_dir)
+    win = run_stream_to_memory(
+        windowed_aggregate(stream, window="10 minutes"),
+        "ex_win",
+    )
+    print(f"windowed agg: {win.count()} (window, kind) rows")
+
+    # 2. session windows by 30-minute gap (batch twin: q37)
+    stream = read_event_stream(spark, events_dir)
+    sess = run_stream_to_memory(
+        sessionize_stream(stream, gap="30 minutes"), "ex_sess"
+    )
+    print(f"sessions: {sess.count()} user sessions")
+
+    # 3. streaming exact dedup within the watermark horizon
+    stream = read_event_stream(spark, events_dir)
+    ded = run_stream_to_memory(
+        dedup_stream(stream, key_cols=["user_id", "event_type"]), "ex_dedup"
+    )
+    print(
+        f"dedup: {batch.count()} events -> "
+        f"{ded.count()} first-arrival (user, event_type) rows"
+    )
+
+    # 4. custom stateful operator: per-user running stats emitted per
+    #    batch from the state store
+    stream = read_event_stream(spark, events_dir)
+    stats = run_stream_to_memory(
+        running_user_stats(stream), "ex_stats", mode="update"
+    )
+    final = stats.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events")
+    )
+    print(f"running stats: {final.count()} users tracked")
+
+    # 5. heavy hitters in the state store: trending event kinds
+    stream = read_event_stream(spark, events_dir)
+    sk = frequent_items_stream(
+        stream.select(F.col("event_type").alias("item")),
+        capacity=16,
+        n_lanes=4,
+    )
+    sink = run_stream_to_memory(sk, "ex_hh", mode="update")
+    top = streaming_top_items(sink, k=3).collect()
+    print(
+        "top kinds:",
+        [(r["item"], int(r["count_upper"])) for r in top],
+    )
+    truth = (
+        batch.groupBy("event_type").count().orderBy(F.desc("count")).first()
+    )
+    assert top[0]["item"] == truth["event_type"], "sketch missed the modal kind"
+
+    shutil.rmtree(events_dir)
+    print("streaming pipeline complete")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

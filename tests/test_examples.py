@@ -101,3 +101,21 @@ def test_survey_statistics_example_runs():
     # bounded NFW r_s, b > 1); the sentinel proves it reached the end
     assert "survey statistics complete" in out.stdout
     assert "tracer bias: b(k_min)=" in out.stdout
+
+
+def test_streaming_pipeline_example_runs():
+    out = subprocess.run(
+        [sys.executable, "examples/streaming_pipeline.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "windowed agg:" in out.stdout
+    assert "sessions:" in out.stdout
+    assert "first-arrival" in out.stdout
+    assert "running stats: 15 users tracked" in out.stdout
+    # the script itself asserts the sketch's modal kind equals the
+    # batch groupBy's; the sentinel proves it got there
+    assert "streaming pipeline complete" in out.stdout
