@@ -150,6 +150,13 @@ def main():
         extra[name] = round(best, 3)
         print(f"# {name}: {extra[name]:.3f}s ({n} rows) [extra]", file=sys.stderr)
 
+    # second probe AFTER the suite: a single start-of-run probe can't
+    # see interference that arrives mid-suite (observed r9: probe
+    # 0.44 s, then queries 4-8x their quiet-window times minutes
+    # later) — the start/end pair brackets the run
+    calibration_end = _calibration_probe(spark)
+    print(f"# calibration_probe_end: {calibration_end:.3f}s", file=sys.stderr)
+
     out = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -157,6 +164,7 @@ def main():
         "queries": timings,
         "extra_queries": extra,
         "calibration_sec": calibration,
+        "calibration_end_sec": calibration_end,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
