@@ -899,3 +899,47 @@ def test_audio_spectral_features_physics_and_twin(spark):
     assert int(np.argmax(e)) == int(
         np.digitize([1000.0], np.geomspace(50.0, rate / 2, 17))[0] - 1
     )
+
+
+def test_audio_near_dup_via_band_energies(spark):
+    """Composition recipe: band_energies from audio_spectral_features
+    feed the cosine similarity operators — a duplicated clip (same
+    audio, new id) is its twin's nearest neighbor with sim ~1, while
+    tone and noise stay far apart."""
+    from pyspark.sql import functions as F
+
+    from opencosmo_spark.pipeline import brute_force_cosine_topk
+    from opencosmo_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        audio_spectral_features,
+    )
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    rng = np.random.default_rng(43)
+    clips = {
+        0: np.sin(2 * np.pi * 500 * t),
+        1: rng.uniform(-0.9, 0.9, size=rate),
+        2: np.sin(2 * np.pi * 500 * t),  # exact dup of clip 0
+        3: np.sin(2 * np.pi * 2500 * t),
+    }
+    rows = [
+        (i, "audio", bytearray(_wav_bytes(x, rate)), "audio/wav", 0, 0, 0)
+        for i, x in clips.items()
+    ]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["media_id", "kind", "payload", "mime",
+                       "width", "height", "duration_ms"]
+    ), MEDIA_SCHEMA)
+    feats = audio_spectral_features(df).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("band_energies").alias("embedding"),
+    )
+    q = feats.filter("vec_id = 0").first()["embedding"]
+    top = brute_force_cosine_topk(feats, list(q), k=2).toPandas()
+    assert set(top.vec_id) == {0, 2}  # the clip and its duplicate
+    assert (top.cos_sim > 0.9999).all()
+    # different content is genuinely distant in band space
+    all4 = brute_force_cosine_topk(feats, list(q), k=4).toPandas()
+    far = all4[all4.vec_id.isin([1, 3])]
+    assert (far.cos_sim < 0.9).all()
