@@ -731,6 +731,17 @@ def q30_text_profile(spark, sf):
         6,
     )
 
+    # per-domain cap lane (pipeline/sample.py::cap_per_group, r9): the
+    # RefinedWeb anti-domination rule through the REAL operator —
+    # survivors are the 5 smallest md5 ':cap' lanes per registered
+    # domain, membership mirrored lane-exactly in the oracle
+    from opencosmo_spark.pipeline.sample import cap_per_group
+
+    cap = cap_per_group(
+        g.select("doc_id", "url_domain"), "url_domain", 5
+    ).select("doc_id", F.lit(True).alias("__cap"))
+    g = g.join(cap, "doc_id", "left")
+
     return g.select(
         "doc_id",
         length.alias("n_chars_calc"),
@@ -761,6 +772,7 @@ def q30_text_profile(spark, sf):
         F.col("url_tld").alias("u_tld"),
         F.col("url_path_depth").alias("u_depth"),
         "u_blocked",
+        F.coalesce("__cap", F.lit(False)).alias("u_cap_keep"),
     )
 
 
@@ -1982,6 +1994,16 @@ def oracle_sql() -> dict[str, str]:
                        AS depth
               FROM documents
             )
+            , cap AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       PARTITION BY dom
+                       ORDER BY ('0x' || substring(
+                           md5(doc_id::VARCHAR || ':cap'), 1, 15))::BIGINT,
+                         doc_id
+                     ) AS rn
+              FROM uu
+            )
             SELECT s.doc_id, s.n_chars_calc, s.n_tokens, s.avg_word_len,
                    CAST(l.score AS BIGINT) AS en_score,
                    CASE WHEN l.score >= 2 THEN 'en' ELSE 'other' END AS lang_guess,
@@ -2003,7 +2025,8 @@ def oracle_sql() -> dict[str, str]:
                    u.tld AS u_tld,
                    u.depth AS u_depth,
                    u.dom IN ('src3.com', 'src7.co.uk', 'src11.org')
-                     AS u_blocked
+                     AS u_blocked,
+                   (c.rn <= 5) AS u_cap_keep
             FROM stats s
             JOIN lang l USING (doc_id)
             JOIN qs q USING (doc_id)
@@ -2012,6 +2035,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN rgm rg USING (doc_id)
             JOIN gq g USING (doc_id)
             JOIN uu u USING (doc_id)
+            JOIN cap c USING (doc_id)
             LEFT JOIN lagg la USING (doc_id)
         """,
         "q31_dedup_fingerprint": """
