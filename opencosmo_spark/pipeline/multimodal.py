@@ -780,3 +780,48 @@ def media_near_dedup(
     )
     keep = cc.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def audio_near_dedup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    threshold: float = 0.999,
+    n_bands: int = 16,
+    nlist: int = 8,
+) -> DataFrame:
+    """Perceptual AUDIO dedup, df-in/df-out — the sound-side twin of
+    ``media_near_dedup``: extract band-energy vectors
+    (``audio_spectral_features``), flag near-identical spectra with
+    the cell-partitioned SemDeDup pass (cosine >= ``threshold``
+    within IVF cells — never all-pairs), cluster, keep the smallest
+    id per cluster. Re-encoded / resampled-within-PCM twins of the
+    same recording collapse; run ``media_exact_dedup`` first at scale
+    so this pass sees only distinct bytes. Payloads the WAV decoder
+    can't read fall to the digest stub (distinct digests -> distinct
+    spectra -> such rows are never spuriously merged).
+    """
+    from .dedup import connected_components
+    from .similarity import semantic_dedup
+
+    feats = audio_spectral_features(
+        df.select(id_col, payload_col), payload_col, n_bands=n_bands
+    ).select(id_col, F.col("band_energies").alias("__vec"))
+    # zero-energy vectors (stub rows, silence) have no direction to
+    # compare — they bypass the cosine pass and always survive
+    energy = F.aggregate(
+        "__vec", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    feats = feats.withColumn("__e", energy)
+    nz = feats.filter(F.col("__e") > 0).drop("__e")
+    flags = semantic_dedup(
+        nz, threshold=threshold, vec_col="__vec", id_col=id_col,
+        nlist=nlist,
+    )
+    pairs = flags.filter(F.col("dup_of").isNotNull()).select(
+        F.col(id_col).alias("a"), F.col("dup_of").alias("b")
+    )
+    cc = connected_components(pairs, nz.select(F.col(id_col)), id_col=id_col)
+    keep = cc.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    zero = feats.filter(F.col("__e") <= 0).select(id_col)
+    return df.join(keep.unionByName(zero), id_col, "left_semi")

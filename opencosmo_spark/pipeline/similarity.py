@@ -22,7 +22,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm vector has no direction — its cosine is
+    # NULL (never reaches a threshold, never ranks), instead of an
+    # ANSI DIVIDE_BY_ZERO that can fire even on guarded rows when the
+    # optimizer folds this expression into a combined filter predicate
+    # evaluated ahead of the guard. Nonzero divisors are bit-identical
+    # to plain division, so oracle hashes are unaffected.
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def _cos_py(a, b) -> float:
@@ -547,8 +553,9 @@ def semantic_dedup(
         F.col("__nrm").alias("__nb"),
         F.col(cell_col).alias("cell"),
     )
-    sim = _dot(F.col("__va"), F.col("__vb")) / (
-        F.col("__na") * F.col("__nb")
+    sim = F.try_divide(
+        _dot(F.col("__va"), F.col("__vb")),
+        F.col("__na") * F.col("__nb"),
     )
     pairs = a.join(b, "cell").filter(
         (F.col("__b") < F.col("__a"))

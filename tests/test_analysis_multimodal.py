@@ -943,3 +943,35 @@ def test_audio_near_dup_via_band_energies(spark):
     all4 = brute_force_cosine_topk(feats, list(q), k=4).toPandas()
     far = all4[all4.vec_id.isin([1, 3])]
     assert (far.cos_sim < 0.9).all()
+
+
+def test_audio_near_dedup_collapses_twins(spark):
+    """audio_near_dedup: identical recordings under different ids
+    collapse to the smallest id; distinct recordings and undecodable
+    payloads all survive."""
+    from opencosmo_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        audio_near_dedup,
+    )
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    rng = np.random.default_rng(47)
+    tone = np.sin(2 * np.pi * 700 * t)
+    noise = rng.uniform(-0.9, 0.9, size=rate)
+    rows = [
+        (0, "audio", bytearray(_wav_bytes(tone, rate)), "audio/wav", 0, 0, 0),
+        (1, "audio", bytearray(_wav_bytes(noise, rate)), "audio/wav", 0, 0, 0),
+        (2, "audio", bytearray(_wav_bytes(tone, rate)), "audio/wav", 0, 0, 0),
+        (5, "audio", bytearray(_wav_bytes(tone, rate)), "audio/wav", 0, 0, 0),
+        (7, "audio", bytearray(b"not audio"), "audio/mpeg", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["media_id", "kind", "payload", "mime",
+                       "width", "height", "duration_ms"]
+    ), MEDIA_SCHEMA)
+    kept = sorted(
+        r["media_id"] for r in audio_near_dedup(df).collect()
+    )
+    # tone copies {0, 2, 5} collapse to 0; noise and the stub survive
+    assert kept == [0, 1, 7]
