@@ -31,11 +31,13 @@ from .dedup import _shingle_frame
 
 def ngram_overlap(
     corpus: DataFrame,
-    eval_df: DataFrame,
+    eval_df: DataFrame | None,
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
     eval_text_col: str | None = None,
+    eval_index: DataFrame | None = None,
+    index_params: dict | None = None,
 ) -> DataFrame:
     """Per-corpus-doc overlap stats vs the eval set's k-gram universe.
 
@@ -45,22 +47,42 @@ def ngram_overlap(
     ``frac = n_hit / n_grams`` rounded to 6 decimals. Docs whose text
     yields no grams (null text) have no row — they cannot overlap;
     ``decontaminate`` keeps them.
+
+    ``eval_index`` takes a loaded ``write_decontamination_index``
+    table instead of (or alongside) ``eval_df``: the benchmark side is
+    then never re-shingled — the stored gram-hash set probes directly.
+    Pass the index's ``index_params`` too so a ``k`` mismatch (which
+    would silently match NOTHING — different window length, disjoint
+    hash universes) fails loudly.
     """
-    ce = _shingle_frame(corpus, text_col, id_col, k)
-    ev = (
-        _shingle_frame(
-            eval_df.select(
-                F.monotonically_increasing_id().alias("__eid"),
-                F.col(eval_text_col or text_col).alias("__etext"),
-            ),
-            "__etext",
-            "__eid",
-            k,
+    if eval_df is None and eval_index is None:
+        raise ValueError("pass eval_df and/or eval_index")
+    if index_params and index_params.get("k", k) != k:
+        raise ValueError(
+            f"index was built with k={index_params['k']}, called with "
+            f"k={k} — gram hashes would never match; use the index's k "
+            "or rebuild the index"
         )
-        .select(F.explode("sh").alias("h"))
-        .distinct()
-        .withColumn("__hit", F.lit(1))
-    )
+    ce = _shingle_frame(corpus, text_col, id_col, k)
+    sides = []
+    if eval_df is not None:
+        sides.append(
+            _shingle_frame(
+                eval_df.select(
+                    F.monotonically_increasing_id().alias("__eid"),
+                    F.col(eval_text_col or text_col).alias("__etext"),
+                ),
+                "__etext",
+                "__eid",
+                k,
+            ).select(F.explode("sh").alias("h"))
+        )
+    if eval_index is not None:
+        sides.append(eval_index.select("h"))
+    ev = sides[0]
+    for s in sides[1:]:
+        ev = ev.unionByName(s)
+    ev = ev.distinct().withColumn("__hit", F.lit(1))
     # ONE pass over the exploded corpus grams: a broadcast LEFT join
     # marks hits, then a single per-doc aggregation counts both the
     # gram total and the hit count — the corpus shingle subtree is
@@ -84,12 +106,14 @@ def ngram_overlap(
 
 def decontaminate(
     corpus: DataFrame,
-    eval_df: DataFrame,
+    eval_df: DataFrame | None,
     k: int = 8,
     max_frac: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
     eval_text_col: str | None = None,
+    eval_index: DataFrame | None = None,
+    index_params: dict | None = None,
 ) -> DataFrame:
     """Drop corpus docs whose eval-set n-gram overlap exceeds
     ``max_frac`` (default 0.0 — any shared k-gram disqualifies).
@@ -99,12 +123,99 @@ def decontaminate(
     shuffles — and docs that produce no grams at all (null text) are
     absent from the stats and correctly SURVIVE (nothing to overlap),
     which a keep-side semi-join would silently drop.
+
+    ``eval_index`` / ``index_params`` pass through to
+    ``ngram_overlap`` — the persisted-benchmark-index path.
     """
     stats = ngram_overlap(
-        corpus, eval_df, k, text_col, id_col, eval_text_col
+        corpus,
+        eval_df,
+        k,
+        text_col,
+        id_col,
+        eval_text_col,
+        eval_index=eval_index,
+        index_params=index_params,
     )
     drop = stats.filter(F.col("frac") > max_frac).select(id_col)
     return corpus.join(drop, id_col, "left_anti")
+
+
+def write_decontamination_index(
+    eval_df: DataFrame,
+    path: str,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    buckets: int = 8,
+) -> dict:
+    """Materialize a benchmark suite's k-gram hash universe as a
+    parquet artifact — the decontamination twin of
+    ``dedup.write_dedup_index``. Benchmarks change rarely and every
+    corpus release re-checks against ALL of them, so re-shingling the
+    eval texts per release (per corpus, per recipe stage) is wasted
+    work and — worse — re-distributes eval TEXT to the cluster each
+    time; the index stores only distinct 8-byte gram hashes (``h``),
+    which is also the privacy-friendly shape for benchmark sets whose
+    text cannot ship with the pipeline.
+
+    Build parameters land in ``_decon_params.json`` inside the
+    directory (and are returned): a probe with a different ``k``
+    shares NO hashes with the index (different window length), so
+    ``ngram_overlap`` validates them when given. Indexes for several
+    benchmarks can be unioned at probe time (they are plain
+    ``h``-column tables); keep one ``k`` per family.
+    """
+    grams = (
+        _shingle_frame(
+            eval_df.select(
+                F.monotonically_increasing_id().alias("__eid"),
+                F.col(text_col).alias("__etext"),
+            ),
+            "__etext",
+            "__eid",
+            k,
+        )
+        .select(F.explode("sh").alias("h"))
+        .distinct()
+    )
+    grams.repartition(buckets).write.mode("overwrite").parquet(path)
+    import json
+
+    from ..io.ingest import hadoop_fs
+
+    params = {"k": k}
+    jvm, fs, jpath = hadoop_fs(
+        eval_df.sparkSession, path.rstrip("/") + "/_decon_params.json"
+    )
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(json.dumps(params).encode("utf-8")))
+    finally:
+        stream.close()
+    return params
+
+
+def read_decontamination_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a ``write_decontamination_index`` table plus its build
+    parameters; pass both to ``ngram_overlap`` / ``decontaminate``
+    (``eval_index=..., index_params=...``) so a ``k`` mismatch fails
+    loudly instead of silently matching nothing."""
+    import json
+
+    from ..io.ingest import hadoop_fs
+
+    df = spark.read.parquet(path)
+    jvm, fs, jpath = hadoop_fs(spark, path.rstrip("/") + "/_decon_params.json")
+    params: dict = {}
+    if fs.exists(jpath):
+        stream = fs.open(jpath)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+            stream, baos, spark._jsc.hadoopConfiguration(), True
+        )
+        params = json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+    return df, params
 
 
 def semantic_overlap(
@@ -186,6 +297,77 @@ def semantic_overlap(
         F.col("__b.__e_id").alias("eval_id"),
         (-F.col("__b.__ns")).alias("sim"),
     )
+
+
+def corpus_overlap_sketch(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    b_text_col: str | None = None,
+    b_id_col: str | None = None,
+    lg_nom: int = 14,
+) -> dict:
+    """Theta-sketch ESTIMATE of ``corpus_overlap``'s gram-level
+    numbers — the train-vs-benchmark / snapshot-vs-snapshot overlap
+    report without EVER joining the two gram universes.
+
+    ``corpus_overlap`` is exact but pays three set shuffles keyed by
+    gram hash (two distincts + the shared-set equi-join); at two
+    100 TB snapshots those are the dominant cost of the whole report.
+    Here each side is scanned once into a Theta sketch (DataSketches
+    aggregate, 2^``lg_nom`` nominal entries — KB-sized state that
+    partial-aggregates map-side), and union / intersection estimates
+    come from composing the TWO sketch values driver-side. Relative
+    error ~1/sqrt(2^lg_nom) (~0.8% at the default) on each estimate;
+    intersection error grows as the true overlap shrinks relative to
+    the union — for exact counts or per-document effects run
+    ``corpus_overlap``; this is the cheap first look.
+
+    Returns driver scalars: ``{"grams_a", "grams_b", "shared_grams",
+    "jaccard", "containment_a_in_b", "containment_b_in_a", "docs_a",
+    "docs_b"}`` (all gram numbers estimates, doc counts exact; no
+    affected-document counts — identifying WHICH docs share grams
+    inherently needs the join the sketch path exists to avoid).
+    """
+    bt = b_text_col or text_col
+    bi = b_id_col or id_col
+    ska = (
+        _shingle_frame(a, text_col, id_col, k)
+        .select(F.explode("sh").alias("h"))
+        .agg(F.theta_sketch_agg("h", lg_nom).alias("__ska"))
+    )
+    skb = (
+        _shingle_frame(b.select(F.col(bi), F.col(bt)), bt, bi, k)
+        .select(F.explode("sh").alias("h"))
+        .agg(F.theta_sketch_agg("h", lg_nom).alias("__skb"))
+    )
+    row = (
+        ska.crossJoin(skb)
+        .select(
+            F.theta_sketch_estimate("__ska").alias("na"),
+            F.theta_sketch_estimate("__skb").alias("nb"),
+            F.theta_sketch_estimate(
+                F.theta_intersection("__ska", "__skb")
+            ).alias("ns"),
+            F.theta_sketch_estimate(
+                F.theta_union("__ska", "__skb")
+            ).alias("nu"),
+        )
+        .collect()[0]
+    )
+    na, nb, ns, nu = row.na, row.nb, row.ns, row.nu
+    return {
+        "grams_a": na,
+        "grams_b": nb,
+        "shared_grams": ns,
+        "jaccard": round(ns / nu, 6) if nu else 0.0,
+        "containment_a_in_b": round(ns / na, 6) if na else 0.0,
+        "containment_b_in_a": round(ns / nb, 6) if nb else 0.0,
+        "docs_a": a.count(),
+        "docs_b": b.count(),
+    }
 
 
 def corpus_overlap(

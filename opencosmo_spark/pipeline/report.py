@@ -173,6 +173,255 @@ def corpus_report(
             proj.unpersist()
 
 
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = "doc_id",
+    shard_col: str | Column | None = None,
+    with_language: bool = True,
+    lgk: int = 14,
+    kll_k: int = 200,
+) -> DataFrame:
+    """The MERGEABLE form of the dataset card: one row per shard
+    carrying exact sums (docs / tokens / chars / bytes / quality sum)
+    plus DataSketches state — HLL sketches of the text fingerprint and
+    document id, a KLL sketch of per-doc token counts, and the
+    per-shard language histogram as a small map. Every column is
+    either additive or a mergeable sketch, so
+    ``merge_corpus_profiles`` can produce the corpus card from ANY
+    subset of shard rows without touching the text again.
+
+    This is the incremental-corpus answer ``corpus_report`` doesn't
+    give: at 100 TB a growing corpus is profiled shard-by-shard as it
+    lands (each shard's text scans ONCE, emitting a row of a few KB),
+    the rows accumulate in a plain parquet table (binary sketch
+    columns round-trip losslessly), and "card for the whole corpus /
+    this month / these sources" is a driver-cheap merge over the
+    selected rows — never a rescan. ``shard_col`` names the grouping
+    (ingest batch, crawl date, source file); None profiles the whole
+    input as a single shard row labelled ``__all__``.
+
+    Sketch knobs: ``lgk`` is the HLL precision (2^lgk registers;
+    14 -> ~0.8% relative error, ~16 KB), ``kll_k`` the KLL accuracy
+    parameter (200 -> ~1.65% rank error). Merges require equal knobs
+    across rows — keep one setting per profile table.
+    """
+    text = F.col(text_col)
+    shard = (
+        F.lit("__all__")
+        if shard_col is None
+        else (F.col(shard_col) if isinstance(shard_col, str) else shard_col)
+    ).cast("string").alias("shard")
+    proj = df.select(
+        shard,
+        token_count(text).cast("long").alias("__tok"),
+        F.length(text).cast("long").alias("__chars"),
+        F.octet_length(text).cast("long").alias("__bytes"),
+        quality_score(text).alias("__q"),
+        F.md5(text).alias("__fp"),
+        *([language_id(text).alias("__lang")] if with_language else []),
+        *([F.col(id_col).cast("string").alias("__id")] if id_col else []),
+    )
+    if with_language:
+        proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        prof = proj.groupBy("shard").agg(
+            F.count("*").alias("docs"),
+            F.sum("__tok").alias("total_tokens"),
+            F.sum("__chars").alias("total_chars"),
+            F.sum("__bytes").alias("total_bytes"),
+            F.sum("__q").alias("quality_sum"),
+            F.hll_sketch_agg("__fp", lgk).alias("fp_hll"),
+            (
+                F.hll_sketch_agg("__id", lgk).alias("id_hll")
+                if id_col
+                else F.lit(None).cast("binary").alias("id_hll")
+            ),
+            F.kll_sketch_agg_bigint("__tok", kll_k).alias("tok_kll"),
+        )
+        if with_language:
+            langs = (
+                proj.groupBy("shard", "__lang")
+                .agg(F.count("*").alias("__n"))
+                .groupBy("shard")
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("__lang", "__n"))
+                    ).alias("lang_counts")
+                )
+            )
+            prof = prof.join(langs, "shard")
+        # materialize: the profile IS the artifact — callers persist it
+        # (parquet append) and the text must not re-scan on reuse
+        rows = prof.collect()
+        return df.sparkSession.createDataFrame(rows, prof.schema)
+    finally:
+        if with_language:
+            proj.unpersist()
+
+
+def merge_corpus_profiles(
+    profiles: DataFrame,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    kll_k: int = 200,
+) -> DataFrame:
+    """Collapse ``corpus_profile`` rows (any subset — filter by shard
+    first for a per-source or per-period card) into ONE card row with
+    the ``corpus_report`` field names: exact ``docs`` / totals /
+    ``mean_quality``, sketch-merged ``approx_distinct_texts`` /
+    ``distinct_ids`` (HLL union — identical to having sketched the
+    concatenated corpus directly), ``tokens_pXX`` from the merged KLL
+    sketch, and the modal language over the summed histograms.
+
+    Cost is one aggregation over the PROFILE rows (KB each); the
+    corpus text is never touched. ``kll_k`` must match the value the
+    profiles were built with.
+    """
+    agg = [
+        F.sum("docs").alias("docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.sum("total_chars").alias("total_chars"),
+        F.sum("total_bytes").alias("total_bytes"),
+        F.round(F.sum("quality_sum") / F.sum("docs"), 6).alias(
+            "mean_quality"
+        ),
+        F.hll_sketch_estimate(F.hll_union_agg("fp_hll")).alias(
+            "approx_distinct_texts"
+        ),
+        F.kll_merge_agg_bigint("tok_kll", kll_k).alias("__kll"),
+    ]
+    has_ids = (
+        profiles.filter(F.col("id_hll").isNotNull()).limit(1).count() > 0
+    )
+    if has_ids:
+        agg.insert(
+            1,
+            F.hll_sketch_estimate(F.hll_union_agg("id_hll")).alias(
+                "distinct_ids"
+            ),
+        )
+    else:
+        agg.insert(1, F.lit(None).cast("long").alias("distinct_ids"))
+    card = profiles.agg(*agg)
+    card = card.select(
+        "*",
+        *[
+            F.kll_sketch_get_quantile_bigint(
+                F.col("__kll"), F.lit(float(q))
+            ).alias(f"tokens_p{int(q * 100)}")
+            for q in quantiles
+        ],
+    ).drop("__kll")
+    if "lang_counts" in profiles.columns:
+        top = (
+            profiles.select(
+                F.explode("lang_counts").alias("__lang", "__n")
+            )
+            .groupBy("__lang")
+            .agg(F.sum("__n").alias("__n"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__n")).alias("neg"),
+                        F.col("__lang").alias("lang"),
+                        F.col("__n").alias("n"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("m.lang").alias("lang_top"),
+                F.col("m.n").alias("__topn"),
+            )
+        )
+        card = card.crossJoin(top).withColumn(
+            "lang_top_frac",
+            F.round(F.col("__topn") / F.col("docs"), 6),
+        ).drop("__topn")
+    return card
+
+
+def corpus_churn(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    normalize: bool = True,
+    exact: bool = True,
+    lg_nom: int = 14,
+) -> dict:
+    """Document-level churn between two corpus snapshots — the
+    crawl-refresh sizing question ("how much of last month's corpus
+    survived, how much is new?") answered over normalized-text
+    fingerprints (the ``incremental_dedup`` convention: md5 of
+    lowercased, whitespace-collapsed text, so reformatting isn't
+    churn).
+
+    Returns driver scalars: ``{"docs_old", "docs_new",
+    "distinct_old", "distinct_new", "added", "removed", "common",
+    "churn"}`` where added/removed/common partition the DISTINCT
+    fingerprint universes and ``churn = (added + removed) /
+    union``.
+
+    ``exact=True``: distinct fingerprints per side, one equi-join for
+    the common set, subtraction for the rest — shuffles keyed by the
+    16-byte fingerprint. ``exact=False``: each side scans once into a
+    Theta sketch and added/removed/common come from
+    ``theta_difference`` / ``theta_intersection`` on the TWO sketch
+    values — no fingerprint ever joins or shuffles, the two-snapshot
+    analog of ``decontaminate.corpus_overlap_sketch`` (~0.8% relative
+    at the default ``lg_nom``; doc counts stay exact in both modes).
+    """
+
+    def fp(df):
+        t = F.col(text_col)
+        if normalize:
+            t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+        return df.select(F.md5(t).alias("fp"))
+    n_old, n_new = old.count(), new.count()
+    if exact:
+        fo = fp(old).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        fn = fp(new).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            do, dn = fo.count(), fn.count()
+            common = fo.join(fn, "fp").count()
+        finally:
+            fo.unpersist()
+            fn.unpersist()
+        added, removed = dn - common, do - common
+    else:
+        so = fp(old).agg(F.theta_sketch_agg("fp", lg_nom).alias("s"))
+        sn = fp(new).agg(F.theta_sketch_agg("fp", lg_nom).alias("s2"))
+        r = (
+            so.crossJoin(sn)
+            .select(
+                F.theta_sketch_estimate("s").alias("do"),
+                F.theta_sketch_estimate("s2").alias("dn"),
+                F.theta_sketch_estimate(
+                    F.theta_intersection("s", "s2")
+                ).alias("common"),
+                F.theta_sketch_estimate(
+                    F.theta_difference("s2", "s")
+                ).alias("added"),
+                F.theta_sketch_estimate(
+                    F.theta_difference("s", "s2")
+                ).alias("removed"),
+            )
+            .collect()[0]
+        )
+        do, dn = r.do, r.dn
+        common, added, removed = r.common, r.added, r.removed
+    union = added + removed + common
+    return {
+        "docs_old": n_old,
+        "docs_new": n_new,
+        "distinct_old": do,
+        "distinct_new": dn,
+        "added": added,
+        "removed": removed,
+        "common": common,
+        "churn": round((added + removed) / union, 6) if union else 0.0,
+    }
+
+
 def dup_rate(report_df: DataFrame) -> DataFrame:
     """Attach ``dup_rate`` = 1 - distinct_texts/docs to a report."""
     return report_df.select(
