@@ -778,13 +778,38 @@ def q30_text_profile(spark, sf):
 
 def q31_dedup_fingerprint(spark, sf):
     # exact near-dup fingerprint: md5 of text prefix; keep-first per
-    # group (hash-groupBy dedup)
+    # group (hash-groupBy dedup) — plus `churn:*` lanes running the
+    # REAL pipeline.report.corpus_churn (exact mode) between two
+    # overlapping snapshot views of the table (old: doc_id%3!=0,
+    # new: doc_id%2!=0), hash-checked against the oracle's
+    # independent distinct-fingerprint set arithmetic
+    from opencosmo_spark.pipeline.report import corpus_churn
+
     d = _t(spark, sf, "documents")
     f = d.select(F.md5(F.substring(F.col("text"), 1, 40)).alias("fp"), "doc_id")
     g = f.groupBy("fp").agg(
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc_id")
     )
-    return g.filter(F.col("n") > 1)
+    base = g.filter(F.col("n") > 1)
+    ch = corpus_churn(
+        d.filter(F.col("doc_id") % 3 != 0), d.filter(F.col("doc_id") % 2 != 0)
+    )
+    lanes = spark.createDataFrame(
+        [
+            ("churn:" + k, int(ch[k]))
+            for k in (
+                "docs_old",
+                "docs_new",
+                "distinct_old",
+                "distinct_new",
+                "added",
+                "removed",
+                "common",
+            )
+        ],
+        "fp string, n bigint",
+    ).select("fp", "n", F.lit(None).cast("bigint").alias("keep_doc_id"))
+    return base.unionByName(lanes)
 
 
 def q33_cosine_topk(spark, sf):
@@ -2039,9 +2064,38 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lagg la USING (doc_id)
         """,
         "q31_dedup_fingerprint": """
-            SELECT md5(substr(text, 1, 40)) AS fp, count(*) AS n,
-                   min(doc_id) AS keep_doc_id
-            FROM documents GROUP BY 1 HAVING count(*) > 1
+            WITH g AS (
+              SELECT md5(substr(text, 1, 40)) AS fp, count(*) AS n,
+                     min(doc_id) AS keep_doc_id
+              FROM documents GROUP BY 1 HAVING count(*) > 1
+            ),
+            o AS (
+              SELECT DISTINCT
+                     md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+              FROM documents WHERE doc_id % 3 <> 0
+            ),
+            nw AS (
+              SELECT DISTINCT
+                     md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+              FROM documents WHERE doc_id % 2 <> 0
+            ),
+            c AS (SELECT count(*) AS cnt FROM o JOIN nw USING (fp)),
+            lanes(fp, n) AS (
+              SELECT 'churn:docs_old',
+                     (SELECT count(*) FROM documents WHERE doc_id % 3 <> 0)
+              UNION ALL SELECT 'churn:docs_new',
+                     (SELECT count(*) FROM documents WHERE doc_id % 2 <> 0)
+              UNION ALL SELECT 'churn:distinct_old', (SELECT count(*) FROM o)
+              UNION ALL SELECT 'churn:distinct_new', (SELECT count(*) FROM nw)
+              UNION ALL SELECT 'churn:common', (SELECT cnt FROM c)
+              UNION ALL SELECT 'churn:added',
+                     (SELECT count(*) FROM nw) - (SELECT cnt FROM c)
+              UNION ALL SELECT 'churn:removed',
+                     (SELECT count(*) FROM o) - (SELECT cnt FROM c)
+            )
+            SELECT fp, n, keep_doc_id FROM g
+            UNION ALL
+            SELECT fp, n, CAST(NULL AS BIGINT) AS keep_doc_id FROM lanes
         """,
         "q33_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
