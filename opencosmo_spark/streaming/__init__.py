@@ -10,6 +10,7 @@ custom-operator hook.
 
 from .events import (
     corpus_dedup_stream,
+    corpus_profile_stream,
     drift_monitor_stream,
     dedup_stream,
     event_time_expr,
@@ -31,6 +32,7 @@ __all__ = [
     "streaming_top_items",
     "interval_join_stream",
     "corpus_dedup_stream",
+    "corpus_profile_stream",
     "drift_monitor_stream",
     "dedup_stream",
     "windowed_aggregate",

@@ -340,6 +340,77 @@ def corpus_dedup_stream(
     return fresh.drop("__fp")
 
 
+def corpus_profile_stream(
+    docs: DataFrame,
+    profile_dir: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str | None = "doc_id",
+    with_language: bool = True,
+    lgk: int = 14,
+    kll_k: int = 200,
+    drive: bool = True,
+):
+    """Streaming twin of the ``corpus_profile`` artifact: every
+    micro-batch of arriving documents is profiled (exact sums + HLL /
+    KLL sketch state) and lands as rows in the append-only profile
+    table at ``profile_dir`` — the dataset card is then
+    ``merge_corpus_profiles`` over that table at ANY moment of the
+    ingest, and the sketch merge laws make the streaming-built card
+    IDENTICAL to batch-profiling everything seen so far.
+
+    Each batch's rows are stamped ``batch_id`` and written with
+    dynamic partition overwrite on that column: a batch re-run after
+    failure recovery REPLACES its own partition instead of appending a
+    duplicate profile row — foreachBatch's at-least-once delivery
+    composes to exactly-once at the artifact level. The shard label is
+    ``batch-<id>``; state per batch is the profile row itself (KB) —
+    nothing streaming-stateful lives in the checkpoint beyond source
+    offsets, so the operator scales with batch size, not stream
+    length.
+
+    ``drive=True`` (the test/backfill harness form) processes all
+    currently-available input and stops, mirroring
+    ``run_stream_to_parquet``; ``drive=False`` returns the running
+    ``StreamingQuery`` for continuous ingestion.
+    """
+    from ..pipeline.report import corpus_profile
+
+    def handle(batch_df, batch_id):
+        prof = corpus_profile(
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            with_language=with_language,
+            lgk=lgk,
+            kll_k=kll_k,
+        )
+        out = prof.withColumn(
+            "shard", F.concat(F.lit("batch-"), F.lit(str(batch_id)))
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        (
+            out.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(profile_dir)
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    if not drive:
+        return q
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return None
+
+
 def drift_monitor_stream(
     stream_df: DataFrame,
     ref: DataFrame,

@@ -474,3 +474,96 @@ def test_frequent_items_stream_exact_and_sketch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="positive"):
         frequent_items_stream(stream, "item", capacity=0)
+
+
+def test_corpus_profile_stream_merges_to_batch_card(spark, tmp_path):
+    """Streaming-built profile artifact: one profile row per
+    micro-batch; merging the table gives EXACTLY the card that batch
+    corpus_profile over everything gives (HLL merge law), and a
+    restart with the same checkpoint neither re-reads files nor
+    duplicates profile rows (dynamic-partition idempotency)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opencosmo_spark.pipeline.report import (
+        corpus_profile,
+        merge_corpus_profiles,
+    )
+    from opencosmo_spark.streaming import corpus_profile_stream
+
+    rng = __import__("numpy").random.default_rng(13)
+    words = ["data", "spark", "table", "row", "scan", "join", "agg"]
+
+    def doc(n):
+        return " ".join(rng.choice(words, size=n))
+
+    texts = [doc(int(rng.integers(5, 30))) for _ in range(90)]
+    texts[10] = texts[0]  # planted dup across batches
+    texts[40] = texts[0]
+    d = tmp_path / "docs_prof"
+    d.mkdir()
+    for b in range(3):
+        chunk = texts[b * 30 : (b + 1) * 30]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": list(range(b * 30, b * 30 + 30)),
+                    "text": chunk,
+                }
+            ),
+            d / f"part-{b}.parquet",
+        )
+    prof_dir = str(tmp_path / "profile_tbl")
+    ckpt = str(tmp_path / "profile_ckpt")
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)  # force 3 micro-batches
+        .parquet(str(d))
+    )
+    corpus_profile_stream(stream, prof_dir, ckpt)
+
+    stored = spark.read.parquet(prof_dir)
+    assert stored.select("batch_id").distinct().count() == 3
+    assert set(stored.columns) >= {"shard", "docs", "fp_hll", "tok_kll"}
+
+    card = merge_corpus_profiles(stored).toPandas().iloc[0]
+    batch_all = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    direct = merge_corpus_profiles(corpus_profile(batch_all)).toPandas().iloc[0]
+    for c in [
+        "docs",
+        "total_tokens",
+        "total_bytes",
+        "approx_distinct_texts",
+        "distinct_ids",
+        "tokens_p50",
+        "lang_top",
+    ]:
+        assert card[c] == direct[c], c
+
+    # restart on the same checkpoint with no new files: no new rows
+    stream2 = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    corpus_profile_stream(stream2, prof_dir, ckpt)
+    assert spark.read.parquet(prof_dir).count() == stored.count()
+
+    # a late 4th file: exactly one more profile row, merge still exact
+    pq.write_table(
+        pa.table({"doc_id": [900], "text": [doc(12)]}),
+        d / "part-3.parquet",
+    )
+    stream3 = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    corpus_profile_stream(stream3, prof_dir, ckpt)
+    grown = spark.read.parquet(prof_dir)
+    assert grown.select("batch_id").distinct().count() == 4
+    assert (
+        merge_corpus_profiles(grown).toPandas().iloc[0]["docs"] == 91
+    )
