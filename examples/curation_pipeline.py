@@ -139,6 +139,37 @@ def main():
     fresh = incremental_dedup(curated, batch, jaccard_threshold=0.8)
     print(f"incremental batch: {batch.count()} in -> {fresh.count()} new")
 
+    # 5. the mergeable-artifact layer: profile the corpus per source
+    #    shard, append the rows to a parquet artifact, and answer the
+    #    card question from the ARTIFACT (no rescans); then size the
+    #    old-vs-new churn and the cross-corpus overlap without joins
+    import tempfile
+
+    from opencosmo_spark.pipeline.decontaminate import corpus_overlap_sketch
+    from opencosmo_spark.pipeline.report import (
+        corpus_churn,
+        corpus_profile,
+        merge_corpus_profiles,
+    )
+
+    with tempfile.TemporaryDirectory() as tdir:
+        prof_path = tdir + "/profile"
+        corpus_profile(curated, shard_col="source").write.parquet(prof_path)
+        stored = spark.read.parquet(prof_path)
+        merged = merge_corpus_profiles(stored).collect()[0]
+        print(
+            f"profile artifact: {stored.count()} shard rows -> card "
+            f"docs={merged['docs']} distinct~{merged['approx_distinct_texts']} "
+            f"p50={merged['tokens_p50']}"
+        )
+    ch = corpus_churn(docs, curated)
+    print(
+        f"churn raw->curated: kept~{ch['common']} removed~{ch['removed']} "
+        f"({ch['churn']:.3f} churn)"
+    )
+    ov = corpus_overlap_sketch(curated, batch, k=5)
+    print(f"overlap sketch jaccard: {ov['jaccard']:.3f}")
+
     spark.stop()
 
 

@@ -118,6 +118,35 @@ def main():
     )
     assert top[0]["item"] == truth["event_type"], "sketch missed the modal kind"
 
+    # 6. streaming corpus profiling: each document micro-batch lands
+    #    one mergeable profile row; the card is a merge over the
+    #    artifact, identical to batch-profiling everything seen so far
+    from opencosmo_spark.pipeline.report import merge_corpus_profiles
+    from opencosmo_spark.streaming import corpus_profile_stream
+
+    doc_dir = tempfile.mkdtemp(prefix="docs_stream_")
+    art_dir = tempfile.mkdtemp(prefix="profile_art_")
+    docs_fixture = EVENTS.rsplit("/", 1)[0] + "/documents.parquet"
+    spark.read.parquet(docs_fixture).limit(200).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(doc_dir)
+    doc_stream = (
+        spark.readStream.schema(spark.read.parquet(doc_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(doc_dir)
+    )
+    corpus_profile_stream(
+        doc_stream, art_dir + "/table", art_dir + "/ckpt"
+    )
+    prof = spark.read.parquet(art_dir + "/table")
+    card = merge_corpus_profiles(prof).collect()[0]
+    print(
+        f"stream profile: {prof.count()} batch rows -> card "
+        f"docs={card['docs']} p50={card['tokens_p50']}"
+    )
+    shutil.rmtree(doc_dir)
+    shutil.rmtree(art_dir)
+
     shutil.rmtree(events_dir)
     print("streaming pipeline complete")
     spark.stop()

@@ -40,6 +40,9 @@ def test_curation_pipeline_example_runs():
     assert "budget mix: 200 survivors" in out.stdout  # exact-k reservoir
     assert "bm25 top-5:" in out.stdout
     assert "incremental batch:" in out.stdout
+    assert "profile artifact:" in out.stdout  # mergeable card shards
+    assert "churn raw->curated:" in out.stdout
+    assert "overlap sketch jaccard:" in out.stdout
 
 
 def test_web_pipeline_example_runs(tmp_path):
@@ -118,4 +121,5 @@ def test_streaming_pipeline_example_runs():
     assert "running stats: 15 users tracked" in out.stdout
     # the script itself asserts the sketch's modal kind equals the
     # batch groupBy's; the sentinel proves it got there
+    assert "stream profile: 2 batch rows -> card docs=200" in out.stdout
     assert "streaming pipeline complete" in out.stdout
