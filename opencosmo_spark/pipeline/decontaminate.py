@@ -299,6 +299,44 @@ def semantic_overlap(
     )
 
 
+def _overlap_sketch_frame(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    b_text_col: str | None,
+    b_id_col: str | None,
+    lg_nom: int,
+) -> DataFrame:
+    """One-row (na, nb, ns, nu) frame behind ``corpus_overlap_sketch``
+    — split out so the plan test can pin its shape: each side reduces
+    to a single sketch row BEFORE the only join (a 1-row x 1-row
+    cross), i.e. gram rows never reach a join."""
+    bt = b_text_col or text_col
+    bi = b_id_col or id_col
+    ska = (
+        _shingle_frame(a, text_col, id_col, k)
+        .select(F.explode("sh").alias("h"))
+        .agg(F.theta_sketch_agg("h", lg_nom).alias("__ska"))
+    )
+    skb = (
+        _shingle_frame(b.select(F.col(bi), F.col(bt)), bt, bi, k)
+        .select(F.explode("sh").alias("h"))
+        .agg(F.theta_sketch_agg("h", lg_nom).alias("__skb"))
+    )
+    return ska.crossJoin(skb).select(
+        F.theta_sketch_estimate("__ska").alias("na"),
+        F.theta_sketch_estimate("__skb").alias("nb"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("__ska", "__skb")
+        ).alias("ns"),
+        F.theta_sketch_estimate(F.theta_union("__ska", "__skb")).alias(
+            "nu"
+        ),
+    )
+
+
 def corpus_overlap_sketch(
     a: DataFrame,
     b: DataFrame,
@@ -331,32 +369,9 @@ def corpus_overlap_sketch(
     affected-document counts — identifying WHICH docs share grams
     inherently needs the join the sketch path exists to avoid).
     """
-    bt = b_text_col or text_col
-    bi = b_id_col or id_col
-    ska = (
-        _shingle_frame(a, text_col, id_col, k)
-        .select(F.explode("sh").alias("h"))
-        .agg(F.theta_sketch_agg("h", lg_nom).alias("__ska"))
-    )
-    skb = (
-        _shingle_frame(b.select(F.col(bi), F.col(bt)), bt, bi, k)
-        .select(F.explode("sh").alias("h"))
-        .agg(F.theta_sketch_agg("h", lg_nom).alias("__skb"))
-    )
-    row = (
-        ska.crossJoin(skb)
-        .select(
-            F.theta_sketch_estimate("__ska").alias("na"),
-            F.theta_sketch_estimate("__skb").alias("nb"),
-            F.theta_sketch_estimate(
-                F.theta_intersection("__ska", "__skb")
-            ).alias("ns"),
-            F.theta_sketch_estimate(
-                F.theta_union("__ska", "__skb")
-            ).alias("nu"),
-        )
-        .collect()[0]
-    )
+    row = _overlap_sketch_frame(
+        a, b, k, text_col, id_col, b_text_col, b_id_col, lg_nom
+    ).collect()[0]
     na, nb, ns, nu = row.na, row.nb, row.ns, row.nu
     return {
         "grams_a": na,

@@ -264,19 +264,31 @@ def merge_corpus_profiles(
     profiles: DataFrame,
     quantiles: tuple[float, ...] = (0.5, 0.95),
     kll_k: int = 200,
+    group_by: str | Column | None = None,
 ) -> DataFrame:
     """Collapse ``corpus_profile`` rows (any subset — filter by shard
-    first for a per-source or per-period card) into ONE card row with
-    the ``corpus_report`` field names: exact ``docs`` / totals /
+    first for a per-period card) into ONE card row with the
+    ``corpus_report`` field names: exact ``docs`` / totals /
     ``mean_quality``, sketch-merged ``approx_distinct_texts`` /
     ``distinct_ids`` (HLL union — identical to having sketched the
     concatenated corpus directly), ``tokens_pXX`` from the merged KLL
     sketch, and the modal language over the summed histograms.
+    ``group_by`` (a profile-row column or expression — e.g. a prefix
+    extracted from the shard label) yields one card row per group
+    instead: the per-source card table, straight off the artifact.
 
     Cost is one aggregation over the PROFILE rows (KB each); the
     corpus text is never touched. ``kll_k`` must match the value the
     profiles were built with.
     """
+    key: list[Column] = []
+    if group_by is not None:
+        key = [
+            F.col(group_by).alias("group")
+            if isinstance(group_by, str)
+            else group_by.alias("group")
+        ]
+        profiles = profiles.withColumn("group", key[0])
     agg = [
         F.sum("docs").alias("docs"),
         F.sum("total_tokens").alias("total_tokens"),
@@ -302,7 +314,9 @@ def merge_corpus_profiles(
         )
     else:
         agg.insert(1, F.lit(None).cast("long").alias("distinct_ids"))
-    card = profiles.agg(*agg)
+    card = (
+        profiles.groupBy("group").agg(*agg) if key else profiles.agg(*agg)
+    )
     card = card.select(
         "*",
         *[
@@ -313,12 +327,14 @@ def merge_corpus_profiles(
         ],
     ).drop("__kll")
     if "lang_counts" in profiles.columns:
+        gb = ["group"] if key else []
         top = (
             profiles.select(
-                F.explode("lang_counts").alias("__lang", "__n")
+                *gb, F.explode("lang_counts").alias("__lang", "__n")
             )
-            .groupBy("__lang")
+            .groupBy(*gb, "__lang")
             .agg(F.sum("__n").alias("__n"))
+            .groupBy(*gb)
             .agg(
                 F.min(
                     F.struct(
@@ -329,14 +345,19 @@ def merge_corpus_profiles(
                 ).alias("m")
             )
             .select(
+                *gb,
                 F.col("m.lang").alias("lang_top"),
                 F.col("m.n").alias("__topn"),
             )
         )
-        card = card.crossJoin(top).withColumn(
-            "lang_top_frac",
-            F.round(F.col("__topn") / F.col("docs"), 6),
-        ).drop("__topn")
+        card = (
+            (card.join(top, "group") if key else card.crossJoin(top))
+            .withColumn(
+                "lang_top_frac",
+                F.round(F.col("__topn") / F.col("docs"), 6),
+            )
+            .drop("__topn")
+        )
     return card
 
 

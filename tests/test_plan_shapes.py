@@ -560,3 +560,34 @@ def test_density_mesh_single_aggregation_no_python(spark):
         assert n.count("Exchange") == 1, scheme
         assert not any("Join" in x for x in n), scheme
         assert count_in(plan, "PythonUDF") == 0, scheme
+
+
+def test_overlap_sketch_grams_never_join(spark):
+    """corpus_overlap_sketch: each corpus reduces to ONE theta-sketch
+    row before the only join in the plan — a 1-row x 1-row broadcast
+    nested loop. No gram row reaches a join, no exchange is keyed by
+    gram hash (contrast: the exact corpus_overlap pays three)."""
+    from opencosmo_spark.pipeline.decontaminate import (
+        _overlap_sketch_frame,
+    )
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    a = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    b = docs.filter("doc_id % 2 = 1").select("doc_id", "text")
+    frame = _overlap_sketch_frame(
+        a, b, 8, "text", "doc_id", None, None, 14
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = frame._jdf.queryExecution().explainString(mode)
+    ns = nodes(plan)
+    joins = [n for n in ns if "Join" in n]
+    assert joins == ["BroadcastNestedLoopJoin"], joins
+    # both sides hit the join as completed aggregates (sketch rows):
+    # the join's children chain through HashAggregate, and the only
+    # exchanges are the two single-partition sketch merges
+    assert not [
+        n for n in ns if n == "SortMergeJoin" or n == "ShuffledHashJoin"
+    ]
+    assert "theta_sketch_agg" in plan

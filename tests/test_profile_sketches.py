@@ -248,3 +248,23 @@ def test_corpus_churn_exact_and_sketch(spark):
     est = corpus_churn(old, new, exact=False)
     for key in ["distinct_old", "distinct_new", "added", "removed", "common"]:
         assert abs(est[key] - ex[key]) <= max(2, 0.05 * ex[key]), key
+
+
+def test_merge_profiles_group_by(spark, corpus):
+    """Per-group cards straight off the artifact: merging with
+    group_by over shard equals merging each shard's rows separately."""
+    prof = corpus_profile(corpus, shard_col="shard")
+    per = (
+        merge_corpus_profiles(prof, group_by="shard")
+        .toPandas()
+        .set_index("group")
+        .sort_index()
+    )
+    assert list(per.index) == ["s0", "s1", "s2", "s3"]
+    for s in ["s0", "s3"]:
+        single = merge_corpus_profiles(
+            prof.filter(f"shard = '{s}'")
+        ).toPandas().iloc[0]
+        for c in ["docs", "total_tokens", "approx_distinct_texts",
+                  "tokens_p50", "lang_top", "lang_top_frac"]:
+            assert per.loc[s][c] == single[c], (s, c)
