@@ -160,11 +160,9 @@ class SkyboxRegion:
             dec_ok = (
                 self.dec_min <= other.dec - r and other.dec + r <= self.dec_max
             )
-            ra_ok = self.ra_length >= 360.0 or (
-                _arc_len(self.ra_min, (other.ra - r) % 360.0) + 2 * r
-                <= self.ra_length
+            return dec_ok and self._arc_contains(
+                (other.ra - r) % 360.0, (other.ra + r) % 360.0
             )
-            return dec_ok and ra_ok
         if not isinstance(other, SkyboxRegion):
             raise ValueError(
                 f"expected a 2D sky region, got {type(other).__name__}"
@@ -172,11 +170,27 @@ class SkyboxRegion:
         dec_ok = (
             self.dec_min <= other.dec_min and other.dec_max <= self.dec_max
         )
-        ra_ok = self.ra_length >= 360.0 or (
-            _arc_len(self.ra_min, other.ra_min) + other.ra_length
-            <= self.ra_length
-        )
-        return dec_ok and ra_ok
+        if other.ra_length >= 360.0:
+            return dec_ok and self.ra_length >= 360.0
+        return dec_ok and self._arc_contains(other.ra_min, other.ra_max)
+
+    def _arc_contains(self, lo: float, hi: float) -> bool:
+        """Does self's RA arc contain the forward arc lo -> hi?
+        Compared via the two endpoint OFFSETS from self.ra_min —
+        never by adding an offset to an arc LENGTH: offsets are
+        like-computed ``(x - ra_min) % 360`` values, so a child
+        sharing self's end meridian compares exactly equal, whereas
+        ``offset + length`` picks up an ulp of addition error and
+        flips exact containment (hypothesis-found: a=[1.025, 130.525]
+        failing to contain b=[129.5, 130.525] by 3e-14 deg). The
+        offset form is also what makes the algebra agree with
+        pointwise ``contains_point`` at every float, not just almost
+        everywhere."""
+        if self.ra_length >= 360.0:
+            return True
+        off_lo = _arc_len(self.ra_min, lo)
+        off_hi = _arc_len(self.ra_min, hi)
+        return off_lo <= off_hi <= self.ra_length
 
     def intersects(self, other) -> bool:
         if isinstance(other, ConeRegion):

@@ -16,7 +16,7 @@ Invariants mirror what the reference guarantees structurally:
 from fractions import Fraction
 
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from opencosmo_spark.spatial.octree import _morton_encode, region_to_cells
 from opencosmo_spark.spatial.region import (
@@ -213,6 +213,15 @@ def _skybox(ra_min, ra_max, dec_min=-10.0, dec_max=10.0):
     a_len=st.floats(1.0, 180.0),
     b_start=st.floats(0, 360, exclude_max=True),
     b_len=st.floats(1.0, 180.0),
+)
+# regression pin: offset+length arc algebra lost exact containment to
+# an ulp of addition error when b shares a's end meridian (round-9
+# hypothesis find; fixed by endpoint-offset comparison)
+@example(
+    a_start=1.02500000000002,
+    a_len=129.5,
+    b_start=129.50000000000003,
+    b_len=1.02500000000002,
 )
 def test_skybox_wrap_algebra_vs_pointwise(a_start, a_len, b_start, b_len):
     """contains/intersects must agree with dense point-wise evaluation,
