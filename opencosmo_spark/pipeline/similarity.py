@@ -948,6 +948,93 @@ def mine_hard_negatives(
     )
 
 
+def ann_recall_report(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "doc_id",
+    query_vec_col: str = "embedding",
+    corpus_vec_col: str = "embedding",
+    cell_col: str = "__ivf_cell",
+) -> DataFrame:
+    """Recall@k tuning sweep for the IVF path — the measurement that
+    turns "pick nlist/nprobe" from folklore into a number. For each
+    ``nprobe`` value, the IVF batch retriever's top-k per query is
+    compared against the exact broadcast ground truth; returns one row
+    per sweep point: ``(nprobe, n_queries, recall_at_k)`` where recall
+    is the fraction of true top-k pairs the approximate path found
+    (micro-averaged over queries).
+
+    Both retrievers are ``mine_hard_negatives`` with no positives —
+    i.e. pure batch top-k retrieval — so the measured plans are
+    EXACTLY the production plans, not a harness re-implementation.
+    Cost: one exact pass (queries broadcast over the corpus — the
+    same price any ground truth costs) plus one cell-join pass per
+    sweep point; run it on a query/corpus SAMPLE at 100 TB, the
+    recall estimate converges long before the corpus does. Ranking
+    ties are broken identically on both sides (sim desc, id asc at
+    6-decimal rounding), so recall 1.0 is achievable and
+    ``nprobe = nlist`` must achieve it (probing every cell IS the
+    exact scan) — the test pins that identity.
+    """
+    from pyspark import StorageLevel
+
+    truth = (
+        mine_hard_negatives(
+            queries_df,
+            corpus_df,
+            None,
+            k,
+            query_id_col=query_id_col,
+            corpus_id_col=corpus_id_col,
+            query_vec_col=query_vec_col,
+            corpus_vec_col=corpus_vec_col,
+            method="broadcast",
+        )
+        .select(query_id_col, corpus_id_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        total = truth.count()
+        rows = []
+        for np_ in nprobes:
+            approx = mine_hard_negatives(
+                queries_df,
+                corpus_df,
+                None,
+                k,
+                query_id_col=query_id_col,
+                corpus_id_col=corpus_id_col,
+                query_vec_col=query_vec_col,
+                corpus_vec_col=corpus_vec_col,
+                method="ivf",
+                codebook=codebook,
+                nprobe=int(np_),
+                cell_col=cell_col,
+            )
+            hit = (
+                approx.select(query_id_col, corpus_id_col)
+                .join(truth, [query_id_col, corpus_id_col], "left_semi")
+                .count()
+            )
+            n_queries = queries_df.count()
+            rows.append(
+                (
+                    int(np_),
+                    int(n_queries),
+                    round(hit / total, 6) if total else 0.0,
+                )
+            )
+    finally:
+        truth.unpersist()
+    return queries_df.sparkSession.createDataFrame(
+        rows, "nprobe int, n_queries bigint, recall_at_k double"
+    )
+
+
 def write_ann_index(
     df: DataFrame,
     path: str,

@@ -135,3 +135,36 @@ def test_hard_negatives_broadcast_plan(spark, emb_tables):
     )
     # queries broadcast; the corpus is never shuffled for scoring
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ann_recall_report_sweep(spark, emb_tables):
+    """Recall@k sweep: nprobe = nlist recovers recall 1.0 exactly
+    (probing every cell IS the exact scan), recall is monotonically
+    nondecreasing in nprobe, and every value is a valid fraction."""
+    from opencosmo_spark.pipeline.similarity import (
+        ann_recall_report,
+        train_ivf_codebook,
+    )
+
+    queries, emb, qmat, qids, cmat, cids = emb_tables
+    emb = emb.withColumnRenamed("vec_id", "doc_id")
+    cb = train_ivf_codebook(
+        emb.withColumnRenamed("doc_id", "vec_id"), nlist=4, iters=3
+    )
+    rep = (
+        ann_recall_report(
+            queries, emb, cb, k=5, nprobes=(1, 2, 4)
+        )
+        .toPandas()
+        .sort_values("nprobe")
+        .reset_index(drop=True)
+    )
+    assert list(rep.nprobe) == [1, 2, 4]
+    assert (rep.n_queries == 6).all()
+    assert (rep.recall_at_k >= 0).all() and (rep.recall_at_k <= 1).all()
+    # monotone in nprobe; full probe = exact
+    assert rep.recall_at_k.is_monotonic_increasing
+    assert rep.recall_at_k.iloc[-1] == 1.0
+    # probing 1 of 4 cells must lose SOMETHING on this clustered data
+    # or the sweep isn't discriminating (it does: planted geometry)
+    assert rep.recall_at_k.iloc[0] < 1.0
