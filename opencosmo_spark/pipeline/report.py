@@ -238,6 +238,10 @@ def corpus_profile(
                 else F.lit(None).cast("binary").alias("id_hll")
             ),
             F.kll_sketch_agg_bigint("__tok", kll_k).alias("tok_kll"),
+            # theta twin of fp_hll: HLL unions but cannot intersect;
+            # the theta sketch is what lets TWO profile tables be
+            # overlap-estimated against each other artifact-to-artifact
+            F.theta_sketch_agg("__fp", lgk).alias("fp_theta"),
         )
         if with_language:
             langs = (
@@ -361,6 +365,65 @@ def merge_corpus_profiles(
     return card
 
 
+def profile_overlap(
+    profiles_a: DataFrame,
+    profiles_b: DataFrame,
+    lg_nom: int = 14,
+) -> dict:
+    """Overlap estimate between two PROFILED corpora (or any two shard
+    subsets of profile tables) computed entirely from stored
+    ``fp_theta`` sketches — neither corpus's text is touched, read, or
+    even reachable. This is the artifact-layer closure the HLL columns
+    can't provide (HLL unions but has no intersection): once shards
+    are profiled, "how much does corpus A share with corpus B / last
+    month with this month" costs two sketch unions and driver
+    composition, at ANY corpus size.
+
+    Returns ``{"distinct_a", "distinct_b", "common", "jaccard",
+    "containment_a_in_b", "containment_b_in_a"}`` — all estimates over
+    DISTINCT normalized-text-fingerprint universes (theta relative
+    error ~1/sqrt(2^lg_nom); pass the profiles' build ``lgk``).
+    Profile rows predating the ``fp_theta`` column refuse loudly
+    rather than estimating from partial coverage.
+    """
+    for side, p in (("a", profiles_a), ("b", profiles_b)):
+        if "fp_theta" not in p.columns:
+            raise ValueError(
+                f"profiles_{side} has no fp_theta column — re-profile "
+                "with a current corpus_profile (the theta sketch is "
+                "what makes artifact-to-artifact overlap possible)"
+            )
+    sa = profiles_a.agg(
+        F.theta_union_agg("fp_theta", lg_nom).alias("__sa")
+    )
+    sb = profiles_b.agg(
+        F.theta_union_agg("fp_theta", lg_nom).alias("__sb")
+    )
+    r = (
+        sa.crossJoin(sb)
+        .select(
+            F.theta_sketch_estimate("__sa").alias("na"),
+            F.theta_sketch_estimate("__sb").alias("nb"),
+            F.theta_sketch_estimate(
+                F.theta_intersection("__sa", "__sb")
+            ).alias("ns"),
+            F.theta_sketch_estimate(F.theta_union("__sa", "__sb")).alias(
+                "nu"
+            ),
+        )
+        .collect()[0]
+    )
+    na, nb, ns, nu = r.na, r.nb, r.ns, r.nu
+    return {
+        "distinct_a": na,
+        "distinct_b": nb,
+        "common": ns,
+        "jaccard": round(ns / nu, 6) if nu else 0.0,
+        "containment_a_in_b": round(ns / na, 6) if na else 0.0,
+        "containment_b_in_a": round(ns / nb, 6) if nb else 0.0,
+    }
+
+
 def corpus_churn(
     old: DataFrame,
     new: DataFrame,
@@ -382,12 +445,15 @@ def corpus_churn(
     fingerprint universes and ``churn = (added + removed) /
     union``.
 
-    ``exact=True``: distinct fingerprints per side, one equi-join for
-    the common set, subtraction for the rest — shuffles keyed by the
-    16-byte fingerprint. ``exact=False``: each side scans once into a
-    Theta sketch and added/removed/common come from
+    ``exact=True``: ONE job — both snapshots union with a side flag,
+    one fingerprint-keyed aggregation computes per-fp presence and row
+    counts, and a single-row rollup derives all seven scalars (doc
+    counts, distincts, common). No join, no separate count jobs: each
+    snapshot's text scans exactly once and the only shuffle is keyed
+    by the 16-byte fingerprint. ``exact=False``: each side scans once
+    into a Theta sketch and added/removed/common come from
     ``theta_difference`` / ``theta_intersection`` on the TWO sketch
-    values — no fingerprint ever joins or shuffles, the two-snapshot
+    values — no fingerprint ever shuffles at all, the two-snapshot
     analog of ``decontaminate.corpus_overlap_sketch`` (~0.8% relative
     at the default ``lg_nom``; doc counts stay exact in both modes).
     """
@@ -397,18 +463,39 @@ def corpus_churn(
         if normalize:
             t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
         return df.select(F.md5(t).alias("fp"))
-    n_old, n_new = old.count(), new.count()
     if exact:
-        fo = fp(old).distinct().persist(StorageLevel.MEMORY_AND_DISK)
-        fn = fp(new).distinct().persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            do, dn = fo.count(), fn.count()
-            common = fo.join(fn, "fp").count()
-        finally:
-            fo.unpersist()
-            fn.unpersist()
+        u = fp(old).select(
+            "fp", F.lit(1).alias("__o"), F.lit(0).alias("__n")
+        ).unionByName(
+            fp(new).select(
+                "fp", F.lit(0).alias("__o"), F.lit(1).alias("__n")
+            )
+        )
+        per = u.groupBy("fp").agg(
+            F.sum("__o").alias("__co"), F.sum("__n").alias("__cn")
+        )
+        r = per.agg(
+            F.sum("__co").alias("docs_old"),
+            F.sum("__cn").alias("docs_new"),
+            F.count(F.when(F.col("__co") > 0, 1)).alias("do"),
+            F.count(F.when(F.col("__cn") > 0, 1)).alias("dn"),
+            # NULL texts fingerprint to NULL; they count toward doc and
+            # distinct totals (one NULL group) but never as "common" —
+            # matching equi-join semantics, where NULL keys don't match
+            F.count(
+                F.when(
+                    (F.col("__co") > 0)
+                    & (F.col("__cn") > 0)
+                    & F.col("fp").isNotNull(),
+                    1,
+                )
+            ).alias("common"),
+        ).collect()[0]
+        n_old, n_new = r.docs_old or 0, r.docs_new or 0
+        do, dn, common = r.do, r.dn, r.common
         added, removed = dn - common, do - common
     else:
+        n_old, n_new = old.count(), new.count()
         so = fp(old).agg(F.theta_sketch_agg("fp", lg_nom).alias("s"))
         sn = fp(new).agg(F.theta_sketch_agg("fp", lg_nom).alias("s2"))
         r = (

@@ -268,3 +268,33 @@ def test_merge_profiles_group_by(spark, corpus):
         for c in ["docs", "total_tokens", "approx_distinct_texts",
                   "tokens_p50", "lang_top", "lang_top_frac"]:
             assert per.loc[s][c] == single[c], (s, c)
+
+
+def test_profile_overlap_artifact_to_artifact(spark, corpus):
+    """Overlap between two corpora estimated purely from their stored
+    profile rows: within theta error of the exact fingerprint
+    overlap; disjoint corpora ~0; a corpus against itself = 1; rows
+    without fp_theta refuse loudly."""
+    from opencosmo_spark.pipeline.report import profile_overlap
+
+    a = corpus.filter("shard in ('s0','s1','s2')")  # shares dups
+    b = corpus.filter("shard in ('s2','s3')")
+    pa = corpus_profile(a, shard_col="shard")
+    pb = corpus_profile(b, shard_col="shard")
+    est = profile_overlap(pa, pb)
+
+    # corpus_profile fingerprints raw text (md5(text)); recompute the
+    # same convention for the exact side
+    fa = a.selectExpr("md5(text) fp").distinct()
+    fb = b.selectExpr("md5(text) fp").distinct()
+    na, nb = fa.count(), fb.count()
+    common = fa.join(fb, "fp").count()
+    assert abs(est["distinct_a"] - na) <= max(2, 0.03 * na)
+    assert abs(est["distinct_b"] - nb) <= max(2, 0.03 * nb)
+    assert abs(est["common"] - common) <= max(2, 0.05 * common)
+
+    same = profile_overlap(pa, pa)
+    assert same["jaccard"] == pytest.approx(1.0, abs=1e-6)
+
+    with pytest.raises(ValueError, match="fp_theta"):
+        profile_overlap(pa.drop("fp_theta"), pb)
