@@ -74,6 +74,7 @@ def curate_corpus(
     budget_docs: int | None = None,
     budget_weight_col: str | None = None,
     n_shards: int | None = None,
+    profile_path: str | None = None,
     report: bool = True,
     return_dropped: bool = False,
 ) -> tuple[DataFrame, dict[str, int]]:
@@ -172,6 +173,10 @@ def curate_corpus(
        inclusion probability proportional to the weight column
        (A-ES ``weighted_reservoir_sample``).
     8. shard assignment (``n_shards``): adds shard / shard_pos.
+    9. profile publication (``profile_path``): appends the survivors'
+       ``corpus_profile`` rows (per shard when sharded) to the
+       mergeable card artifact — the release documents itself, and
+       cross-release churn/overlap questions run off stored sketches.
     """
     chosen = [
         x
@@ -569,6 +574,20 @@ def curate_corpus(
         from .dedup import _attach_cached
 
         _attach_cached(out, carried_cache)
+    if profile_path is not None:
+        # the recipe publishes its own card shard: one profile row
+        # (per shard when sharded) appended to the mergeable artifact
+        # — release N's card is merge_corpus_profiles over the table,
+        # and cross-release churn/overlap come from the stored
+        # sketches without re-reading any release
+        from .report import corpus_profile
+
+        corpus_profile(
+            out,
+            text_col=text_col,
+            id_col=id_col,
+            shard_col="shard" if "shard" in out.columns else None,
+        ).write.mode("append").parquet(profile_path)
     if return_dropped:
         spark = df.sparkSession
         if audit_frames:

@@ -134,3 +134,37 @@ def test_curate_corpus_reservoir_budget_mode(spark):
             df, budget_docs=10, budget_weight_col="w",
             importance_col="w",
         )
+
+
+def test_curate_corpus_publishes_profile(spark, tmp_path):
+    """profile_path appends the survivors' card shard(s) to the
+    artifact; a second release appends more rows and the merged card
+    over each release's rows matches that release's survivor count."""
+    from opencosmo_spark.pipeline.curate import curate_corpus
+    from opencosmo_spark.pipeline.report import merge_corpus_profiles
+
+    docs = spark.createDataFrame(
+        [
+            (i, "clean document text about spark tables rows " * 3 + str(i))
+            for i in range(40)
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "release_profiles")
+    out1, c1 = curate_corpus(
+        docs, min_quality=0.0, min_tokens=1, n_shards=2,
+        profile_path=path,
+    )
+    n1 = out1.count()
+    prof = spark.read.parquet(path)
+    assert prof.count() == 2  # one row per shard
+    assert merge_corpus_profiles(prof).collect()[0]["docs"] == n1
+
+    out2, c2 = curate_corpus(
+        docs.withColumn("doc_id", docs.doc_id + 1000),
+        min_quality=0.0, min_tokens=1, profile_path=path,
+    )
+    prof2 = spark.read.parquet(path)
+    assert prof2.count() == 3  # unsharded release adds one __all__ row
+    merged = merge_corpus_profiles(prof2).collect()[0]
+    assert merged["docs"] == n1 + out2.count()
