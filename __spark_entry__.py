@@ -742,6 +742,36 @@ def q30_text_profile(spark, sf):
     ).select("doc_id", F.lit(True).alias("__cap"))
     g = g.join(cap, "doc_id", "left")
 
+    # chat-render lane (pipeline/chat.py, r9): a synthetic 3-turn
+    # conversation per doc through the REAL render_chat — rendered
+    # length and the assistant turn's supervised-span offsets are pure
+    # string/length algebra, mirrored exactly in the oracle
+    from opencosmo_spark.pipeline.chat import render_chat
+
+    msgs = F.array(
+        F.struct(
+            F.lit("system").alias("role"),
+            F.lit("You are helpful.").alias("content"),
+        ),
+        F.struct(
+            F.lit("user").alias("role"),
+            F.substring(F.col("text"), 1, 40).alias("content"),
+        ),
+        F.struct(
+            F.lit("assistant").alias("role"),
+            F.substring(F.col("text"), 41, 60).alias("content"),
+        ),
+    )
+    chat = render_chat(
+        d.select("doc_id", msgs.alias("messages")), "messages"
+    ).select(
+        "doc_id",
+        F.length("text").alias("chat_len"),
+        F.element_at("supervised_spans", 1)["start"].alias("chat_sup_start"),
+        F.element_at("supervised_spans", 1)["end"].alias("chat_sup_end"),
+    )
+    g = g.join(chat, "doc_id", "left")
+
     return g.select(
         "doc_id",
         length.alias("n_chars_calc"),
@@ -773,6 +803,9 @@ def q30_text_profile(spark, sf):
         F.col("url_path_depth").alias("u_depth"),
         "u_blocked",
         F.coalesce("__cap", F.lit(False)).alias("u_cap_keep"),
+        "chat_len",
+        "chat_sup_start",
+        "chat_sup_end",
     )
 
 
@@ -2029,6 +2062,17 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM uu
             )
+            -- chat-render lane mirror: template <|role|>\ncontent\n per
+            -- turn; fixed system part is 28 chars, user header 10 +
+            -- len(u), assistant header 14 -> supervised content starts
+            -- at 52 + len(u)
+            , chat AS (
+              SELECT doc_id,
+                     52 + length(substr(text, 1, 40)) AS chat_sup_start,
+                     52 + length(substr(text, 1, 40))
+                        + length(substr(text, 41, 60)) AS chat_sup_end
+              FROM documents
+            )
             SELECT s.doc_id, s.n_chars_calc, s.n_tokens, s.avg_word_len,
                    CAST(l.score AS BIGINT) AS en_score,
                    CASE WHEN l.score >= 2 THEN 'en' ELSE 'other' END AS lang_guess,
@@ -2051,7 +2095,10 @@ def oracle_sql() -> dict[str, str]:
                    u.depth AS u_depth,
                    u.dom IN ('src3.com', 'src7.co.uk', 'src11.org')
                      AS u_blocked,
-                   (c.rn <= 5) AS u_cap_keep
+                   (c.rn <= 5) AS u_cap_keep,
+                   ch.chat_sup_end + 1 AS chat_len,
+                   ch.chat_sup_start,
+                   ch.chat_sup_end
             FROM stats s
             JOIN lang l USING (doc_id)
             JOIN qs q USING (doc_id)
@@ -2061,6 +2108,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN gq g USING (doc_id)
             JOIN uu u USING (doc_id)
             JOIN cap c USING (doc_id)
+            JOIN chat ch USING (doc_id)
             LEFT JOIN lagg la USING (doc_id)
         """,
         "q31_dedup_fingerprint": """

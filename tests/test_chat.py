@@ -1,0 +1,104 @@
+"""Chat/SFT preparation: rendering + supervised-span offsets against
+an exact python twin, and the substring invariant the loss mask
+depends on."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opencosmo_spark.pipeline.chat import (
+    chat_sft_rows,
+    conversation_turns,
+    render_chat,
+)
+
+CONVS = [
+    (
+        0,
+        [
+            ("system", "You are a helpful assistant."),
+            ("user", "What is 2+2?"),
+            ("assistant", "4"),
+            ("user", "And 3+3?"),
+            ("assistant", "6, naturally."),
+        ],
+    ),
+    (1, [("user", "no reply here")]),
+    (2, [("assistant", ""), ("user", "x"), ("assistant", "ok")]),
+    (3, None),
+    (4, []),
+]
+
+
+def _twin(msgs, role="assistant"):
+    """Exact python reference for the documented template."""
+    text, spans, pos = "", [], 0
+    for r, c in msgs or []:
+        part = f"<|{r}|>\n{c}\n"
+        if r == role:
+            start = pos + len(r) + 5
+            spans.append((start, start + len(c)))
+        text += part
+        pos += len(part)
+    return text, spans
+
+
+@pytest.fixture(scope="module")
+def convs(spark):
+    return spark.createDataFrame(
+        CONVS,
+        "conv_id long, messages array<struct<role:string,content:string>>",
+    )
+
+
+def test_render_chat_matches_twin_and_substring_invariant(spark, convs):
+    got = {
+        r["conv_id"]: r
+        for r in render_chat(convs).collect()
+    }
+    for cid, msgs in CONVS:
+        text, spans = _twin(msgs)
+        assert got[cid]["text"] == text, cid
+        got_spans = [
+            (s["start"], s["end"]) for s in got[cid]["supervised_spans"]
+        ]
+        assert got_spans == spans, cid
+        # the loss-mask invariant: the span slices out exactly the
+        # assistant content
+        contents = [c for r, c in (msgs or []) if r == "assistant"]
+        assert [text[a:b] for a, b in got_spans] == contents, cid
+
+
+def test_conversation_turns_flatten(spark, convs):
+    t = conversation_turns(convs).toPandas()
+    assert len(t) == 5 + 1 + 3  # null/empty arrays yield no rows
+    c0 = t[t.conv_id == 0].sort_values("turn")
+    assert list(c0.turn) == [0, 1, 2, 3, 4]
+    assert list(c0.role) == ["system", "user", "assistant", "user", "assistant"]
+    assert c0.iloc[2].content == "4"
+
+
+def test_chat_sft_rows_filters_unsupervised(spark, convs):
+    rows = {r["conv_id"]: r for r in chat_sft_rows(convs).collect()}
+    # conv 1 (no assistant), 3 (null), 4 (empty) drop; conv 2 keeps
+    # (one empty + one nonempty assistant turn = 2 chars)
+    assert set(rows) == {0, 2}
+    assert rows[0]["n_supervised_chars"] == len("4") + len("6, naturally.")
+    assert rows[2]["n_supervised_chars"] == 2
+    # composes with the packer: token counts over the rendered text
+    from opencosmo_spark.pipeline.text import token_count
+
+    df = chat_sft_rows(convs).withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    assert df.filter("n_tokens <= 0").count() == 0
+
+
+def test_render_chat_custom_supervised_role(spark, convs):
+    got = {
+        r["conv_id"]: r
+        for r in render_chat(convs, supervised_role="user").collect()
+    }
+    text, spans = _twin(CONVS[0][1], role="user")
+    assert [
+        (s["start"], s["end"]) for s in got[0]["supervised_spans"]
+    ] == spans

@@ -45,8 +45,12 @@ def test_oracle_sql_mentions_known_tables_only():
         )
         unknown = froms - tables - {"unnest", "range", "generate_series"}
         # CTE names are fine: they're defined inside the same statement
+        # optional (col, ...) list covers the `name(cols) AS (` form
         ctes = set(
-            t.lower() for t in re.findall(r"([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", sql)
+            t.lower()
+            for t in re.findall(
+                r"([A-Za-z_][A-Za-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(", sql
+            )
         )
         unknown -= ctes
         # parenthesized subqueries / aliases captured by the regex
