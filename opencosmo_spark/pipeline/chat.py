@@ -45,9 +45,16 @@ def conversation_turns(
 
 
 def _part_expr(m: Column) -> Column:
-    """One rendered message part: ``<|role|>\\ncontent\\n``."""
+    """One rendered message part: ``<|role|>\\ncontent\\n``. NULL
+    role/content render as empty strings — a NULL would otherwise null
+    the whole concat, silently dropping the part from the rendered
+    text while the span arithmetic still counted it."""
     return F.concat(
-        F.lit("<|"), m["role"], F.lit("|>\n"), m["content"], F.lit("\n")
+        F.lit("<|"),
+        F.coalesce(m["role"], F.lit("")),
+        F.lit("|>\n"),
+        F.coalesce(m["content"], F.lit("")),
+        F.lit("\n"),
     )
 
 
@@ -90,12 +97,14 @@ def render_chat(
             msgs,
             F.slice(starts, 1, F.size(msgs)),
             lambda m, s: F.struct(
-                (s + F.length(m["role"]) + 5).alias("start"),
+                (
+                    s + F.length(F.coalesce(m["role"], F.lit(""))) + 5
+                ).alias("start"),
                 (
                     s
-                    + F.length(m["role"])
+                    + F.length(F.coalesce(m["role"], F.lit("")))
                     + 5
-                    + F.length(m["content"])
+                    + F.length(F.coalesce(m["content"], F.lit("")))
                 ).alias("end"),
                 m["role"].alias("__role"),
             ),

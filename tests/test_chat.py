@@ -102,3 +102,25 @@ def test_render_chat_custom_supervised_role(spark, convs):
     assert [
         (s["start"], s["end"]) for s in got[0]["supervised_spans"]
     ] == spans
+
+
+def test_render_chat_null_content_renders_empty(spark):
+    """NULL content/role render as empty strings — the part is still
+    present in the text and the spans stay aligned."""
+    df = spark.createDataFrame(
+        [
+            (
+                9,
+                [
+                    ("user", None),
+                    ("assistant", "fine"),
+                    (None, "orphan"),
+                ],
+            )
+        ],
+        "conv_id long, messages array<struct<role:string,content:string>>",
+    )
+    r = render_chat(df).collect()[0]
+    assert r["text"] == "<|user|>\n\n<|assistant|>\nfine\n<||>\norphan\n"
+    (sp,) = r["supervised_spans"]
+    assert r["text"][sp["start"] : sp["end"]] == "fine"
