@@ -999,6 +999,7 @@ def ann_recall_report(
     )
     try:
         total = truth.count()
+        n_queries = queries_df.count()
         rows = []
         for np_ in nprobes:
             approx = mine_hard_negatives(
@@ -1020,7 +1021,6 @@ def ann_recall_report(
                 .join(truth, [query_id_col, corpus_id_col], "left_semi")
                 .count()
             )
-            n_queries = queries_df.count()
             rows.append(
                 (
                     int(np_),
