@@ -298,3 +298,20 @@ def test_profile_overlap_artifact_to_artifact(spark, corpus):
 
     with pytest.raises(ValueError, match="fp_theta"):
         profile_overlap(pa.drop("fp_theta"), pb)
+
+
+def test_merge_profiles_mixed_id_coverage(spark, corpus):
+    """Merging a table whose rows mix id-sketched and id-less
+    profiles: null sketches are skipped, distinct_ids reflects only
+    the covered shards, exact fields still total."""
+    with_ids = corpus_profile(
+        corpus.filter("shard = 's0'"), shard_col="shard"
+    )
+    without = corpus_profile(
+        corpus.filter("shard = 's1'"), id_col=None, shard_col="shard"
+    )
+    mixed = with_ids.unionByName(without)
+    card = merge_corpus_profiles(mixed).toPandas().iloc[0]
+    assert card["docs"] == 200
+    only_s0 = merge_corpus_profiles(with_ids).toPandas().iloc[0]
+    assert card["distinct_ids"] == only_s0["distinct_ids"]
