@@ -124,3 +124,75 @@ def test_render_chat_null_content_renders_empty(spark):
     assert r["text"] == "<|user|>\n\n<|assistant|>\nfine\n<||>\norphan\n"
     (sp,) = r["supervised_spans"]
     assert r["text"][sp["start"] : sp["end"]] == "fine"
+
+
+def test_render_chat_randomized_unicode_twin(spark):
+    """Seeded-random conversations with adversarial content (unicode,
+    newlines, template-lookalike '<|' strings, empties) against the
+    python twin — one batched comparison, not per-example spark
+    rounds."""
+    import random
+
+    rng = random.Random(99)
+    alphabet = "ab \n<|>é漢🙂|"
+    rows = []
+    for cid in range(60):
+        msgs = [
+            (
+                rng.choice(["system", "user", "assistant", "tool"]),
+                "".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 30))
+                ),
+            )
+            for _ in range(rng.randrange(1, 7))
+        ]
+        rows.append((cid, msgs))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id long, messages array<struct<role:string,content:string>>",
+    )
+    got = {r["conv_id"]: r for r in render_chat(df).collect()}
+    for cid, msgs in rows:
+        text, spans = _twin(msgs)
+        assert got[cid]["text"] == text, cid
+        got_spans = [
+            (s["start"], s["end"]) for s in got[cid]["supervised_spans"]
+        ]
+        assert got_spans == spans, cid
+        for (a, b), c in zip(
+            got_spans, [c for r, c in msgs if r == "assistant"]
+        ):
+            assert text[a:b] == c, cid
+
+
+def test_chat_jsonl_round_trip(spark, tmp_path):
+    """The real interchange: conversations written as JSONL, read back
+    with an explicit schema, rendered — end-to-end SFT ingestion."""
+    from opencosmo_spark.pipeline.jsonl import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        CONVS[:3],
+        "conv_id long, messages array<struct<role:string,content:string>>",
+    )
+    p = str(tmp_path / "chat_jsonl")
+    write_jsonl(df.withColumn("text", F.lit("")), p, compress=False)
+    back = read_jsonl(
+        spark,
+        p,
+        id_field="conv_id",
+        schema=(
+            "conv_id long, text string, "
+            "messages array<struct<role:string,content:string>>"
+        ),
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in chat_sft_rows(back, id_col="doc_id").collect()
+    }
+    text0, spans0 = _twin(CONVS[0][1])
+    # read_jsonl normalizes doc_id to string
+    assert rows["0"]["text"] == text0
+    assert [
+        (s["start"], s["end"]) for s in rows["0"]["supervised_spans"]
+    ] == spans0
