@@ -11,6 +11,7 @@ custom-operator hook.
 from .events import (
     corpus_dedup_stream,
     corpus_profile_stream,
+    decontaminate_stream,
     drift_monitor_stream,
     dedup_stream,
     event_time_expr,
@@ -33,6 +34,7 @@ __all__ = [
     "interval_join_stream",
     "corpus_dedup_stream",
     "corpus_profile_stream",
+    "decontaminate_stream",
     "drift_monitor_stream",
     "dedup_stream",
     "windowed_aggregate",

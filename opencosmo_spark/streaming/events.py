@@ -411,6 +411,70 @@ def corpus_profile_stream(
     return None
 
 
+def decontaminate_stream(
+    docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    eval_index: DataFrame,
+    index_params: dict | None = None,
+    *,
+    k: int = 8,
+    max_frac: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    drive: bool = True,
+):
+    """Streaming twin of index-probed ``decontaminate``: each arriving
+    micro-batch is checked against a PERSISTED benchmark gram index
+    (``write_decontamination_index``) and its surviving documents land
+    in ``out_dir`` partitioned by ``batch_id`` with dynamic partition
+    overwrite — the same at-least-once-to-exactly-once composition as
+    ``corpus_profile_stream``, and the batch_id partitioning doubles
+    as natural ingest sharding.
+
+    Decontamination is per-document (no cross-batch state), so the
+    streaming form is exactly the batch operator applied per batch:
+    results are IDENTICAL to batch-decontaminating the concatenated
+    input, which the test asserts. State in the checkpoint is source
+    offsets only; the index is a static side re-planned per batch —
+    pass the slim hash table, and at benchmark scale (1e5-1e6 8-byte
+    hashes) the join broadcasts.
+    """
+    from ..pipeline.decontaminate import decontaminate
+
+    def handle(batch_df, batch_id):
+        clean = decontaminate(
+            batch_df,
+            None,
+            k,
+            max_frac,
+            text_col,
+            id_col,
+            eval_index=eval_index,
+            index_params=index_params,
+        )
+        (
+            clean.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    if not drive:
+        return q
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return None
+
+
 def drift_monitor_stream(
     stream_df: DataFrame,
     ref: DataFrame,
