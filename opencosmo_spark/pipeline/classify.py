@@ -425,3 +425,69 @@ def quality_classifier_score(
             ).alias("quality_prob"),
         )
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    labels: DataFrame,
+    prob_col: str = "quality_prob",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a probabilistic classifier — the check
+    that turns "the classifier says 0.9" into a statement about the
+    world (a well-calibrated 0.9 bucket is ~90% positive; a gate
+    thresholding miscalibrated scores silently shifts its true
+    operating point). One row per probability bin:
+    ``(bin, p_lo, p_hi, n, mean_pred, frac_pos, abs_gap)`` plus the
+    expected calibration error as every row's ``ece`` (n-weighted mean
+    of ``abs_gap`` — constant per row so the table stays one frame).
+
+    One join (scores to labels, keyed by id) and one aggregation over
+    ``bins`` groups; at 100 TB run it on the labeled holdout, which is
+    classifier-eval-sized by construction. ``prob = 1.0`` lands in the
+    top bin (no phantom ``bins+1`` bucket).
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    j = scored.select(id_col, prob_col).join(
+        labels.select(id_col, label_col), id_col
+    )
+    b = F.least(
+        F.floor(F.col(prob_col) * bins).cast("int"), F.lit(bins - 1)
+    )
+    per = (
+        j.select(
+            b.alias("bin"),
+            F.col(prob_col).alias("__p"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__p"), 6).alias("mean_pred"),
+            F.round(F.avg("__y"), 6).alias("frac_pos"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") / bins, 6).alias("p_lo"),
+            F.round((F.col("bin") + 1) / bins, 6).alias("p_hi"),
+            "n",
+            "mean_pred",
+            "frac_pos",
+            F.round(
+                F.abs(F.col("mean_pred") - F.col("frac_pos")), 6
+            ).alias("abs_gap"),
+        )
+    )
+    ece = per.agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.col("abs_gap") * F.col("n")) / F.sum("n"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("ece")
+    )
+    return per.crossJoin(F.broadcast(ece)).orderBy("bin")

@@ -214,3 +214,55 @@ def test_quality_classifier_feeds_importance_sampling(spark):
     n_junk = (kept.doc_id >= 5000).sum()
     assert n_clean > 2 * n_junk
     assert abs(len(kept) - 80) < 25  # budget ~40% of 200
+
+
+def test_calibration_report_matches_pandas_twin(spark):
+    """Reliability table vs an exact pandas recomputation on scores
+    with known calibration structure: a perfectly-calibrated band and
+    a deliberately overconfident one."""
+    import numpy as np
+    import pandas as pd
+
+    from opencosmo_spark.pipeline.classify import calibration_report
+
+    rng = np.random.default_rng(17)
+    rows = []
+    # band A: predictions ~0.25, true rate 0.25 (calibrated)
+    for i in range(400):
+        p = float(np.round(rng.uniform(0.2, 0.3), 4))
+        rows.append((i, p, int(rng.random() < 0.25)))
+    # band B: predictions ~0.9, true rate 0.5 (overconfident)
+    for i in range(400, 800):
+        p = float(np.round(rng.uniform(0.85, 0.95), 4))
+        rows.append((i, p, int(rng.random() < 0.5)))
+    # boundary: prob exactly 1.0 must land in the top bin
+    rows.append((800, 1.0, 1))
+    scored = spark.createDataFrame(
+        [(i, p) for i, p, y in rows], ["doc_id", "quality_prob"]
+    )
+    labels = spark.createDataFrame(
+        [(i, y) for i, p, y in rows], ["doc_id", "label"]
+    )
+    rep = calibration_report(scored, labels, bins=10).toPandas()
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "p", "y"])
+    pdf["bin"] = np.minimum((pdf.p * 10).astype(int), 9)
+    twin = pdf.groupby("bin").agg(
+        n=("p", "size"), mean_pred=("p", "mean"), frac_pos=("y", "mean")
+    )
+    assert sorted(rep.bin) == sorted(twin.index)
+    for _, r in rep.iterrows():
+        t = twin.loc[r.bin]
+        assert r.n == t.n
+        assert abs(r.mean_pred - round(t.mean_pred, 6)) < 1e-9
+        assert abs(r.frac_pos - round(t.frac_pos, 6)) < 1e-9
+        assert abs(r.abs_gap - abs(r.mean_pred - r.frac_pos)) < 5e-6
+    gaps = (rep.set_index("bin").abs_gap * rep.set_index("bin").n)
+    ece_twin = round(gaps.sum() / rep.n.sum(), 6)
+    assert abs(rep.ece.iloc[0] - ece_twin) < 5e-6
+    assert (rep.ece == rep.ece.iloc[0]).all()
+    # structure: the ~0.25 band is calibrated, the ~0.9 band is not
+    lo = rep[rep.bin == 2].iloc[0]
+    hi = rep[(rep.bin == 8) | (rep.bin == 9)].sort_values("n").iloc[-1]
+    assert lo.abs_gap < 0.1 and hi.abs_gap > 0.25
+    assert rep[rep.bin == 9].n.iloc[0] >= 1  # the p=1.0 row
