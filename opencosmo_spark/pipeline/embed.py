@@ -145,3 +145,60 @@ def pca_project(
     for every consumer that doesn't need raw vectors)."""
     out = df.withColumn(out_col, pca_project_expr(F.col(vec_col), model, whiten))
     return out.drop(vec_col) if drop_input else out
+
+
+def pool_embeddings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    weight_col: str | None = None,
+    normalize: bool = False,
+) -> DataFrame:
+    """Pool per-chunk embeddings into one document vector — the
+    long-document retrieval recipe (chunk -> embed -> POOL -> index):
+    elementwise (optionally weighted) mean over each document's chunk
+    vectors, optionally L2-normalized for cosine indexes.
+
+    Plan: ONE shuffle keyed by ``id_col`` (collect_list of the
+    document's chunk vectors — bounded by chunks-per-doc, not corpus
+    size), then the mean is a row-local ``aggregate``/``zip_with``
+    reduction in the JVM; no posexplode to (doc, dim) rows, which
+    would shuffle dim x chunks rows per document instead of chunks.
+    Weighted mode (``weight_col``, e.g. chunk token counts) computes
+    sum(w_i * v_i) / sum(w_i); zero total weight yields NULL rather
+    than a fake zero vector. Returns ``(id_col, vec_col, n_chunks)``.
+    """
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    pairs = df.select(
+        F.col(id_col),
+        F.struct(
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") * w
+            ).alias("wv"),
+            w.alias("w"),
+        ).alias("__p"),
+    )
+    g = pairs.groupBy(id_col).agg(
+        F.collect_list("__p").alias("__ps"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    total_w = F.aggregate(
+        "__ps", F.lit(0.0), lambda acc, p: acc + p["w"]
+    )
+    vsum = F.aggregate(
+        F.col("__ps"),
+        F.transform(
+            F.element_at(F.col("__ps"), 1)["wv"], lambda _: F.lit(0.0)
+        ),
+        lambda acc, p: F.zip_with(acc, p["wv"], lambda a, b: a + b),
+    )
+    mean = F.when(
+        total_w > 0,
+        F.transform(vsum, lambda x: x / total_w),
+    )
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(mean, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        mean = F.when(nrm > 0, F.transform(mean, lambda x: x / nrm))
+    return g.select(id_col, mean.alias(vec_col), "n_chunks")

@@ -129,3 +129,59 @@ def test_pca_then_semantic_dedup_composition(spark, emb):
     assert len(planted) == 10
     # every planted copy is flagged against some earlier vector
     assert planted.dup_of.notna().all()
+
+
+def test_pool_embeddings_matches_numpy_twin(spark):
+    """Plain, weighted, and normalized pooling vs numpy; zero-weight
+    docs yield NULL vectors; n_chunks exact; partition-invariant."""
+    import numpy as np
+
+    from opencosmo_spark.pipeline.embed import pool_embeddings
+
+    rng = np.random.default_rng(31)
+    rows = []
+    vecs = {}
+    wts = {}
+    for doc in range(12):
+        k = int(rng.integers(1, 6))
+        vecs[doc] = rng.normal(size=(k, 8))
+        wts[doc] = rng.integers(0, 5, size=k).astype(float)
+        for i in range(k):
+            rows.append(
+                (doc, i, [float(x) for x in vecs[doc][i]], float(wts[doc][i]))
+            )
+    df = spark.createDataFrame(
+        rows, ["doc_id", "chunk", "embedding", "w"]
+    ).repartition(7)
+
+    plain = {
+        r["doc_id"]: (r["embedding"], r["n_chunks"])
+        for r in pool_embeddings(df).collect()
+    }
+    for doc, m in vecs.items():
+        got, n = plain[doc]
+        assert n == len(m)
+        np.testing.assert_allclose(got, m.mean(axis=0), rtol=1e-12)
+
+    weighted = {
+        r["doc_id"]: r["embedding"]
+        for r in pool_embeddings(df, weight_col="w").collect()
+    }
+    for doc, m in vecs.items():
+        w = wts[doc]
+        if w.sum() == 0:
+            assert weighted[doc] is None
+        else:
+            np.testing.assert_allclose(
+                weighted[doc], (m * w[:, None]).sum(0) / w.sum(), rtol=1e-12
+            )
+
+    unit = {
+        r["doc_id"]: r["embedding"]
+        for r in pool_embeddings(df, normalize=True).collect()
+    }
+    for doc, m in vecs.items():
+        v = m.mean(axis=0)
+        np.testing.assert_allclose(
+            unit[doc], v / np.linalg.norm(v), rtol=1e-9
+        )
