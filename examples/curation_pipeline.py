@@ -91,6 +91,17 @@ def main():
     hi = scored.filter(F.col("quality_prob") > 0.5).count()
     print(f"classifier: {hi}/{scored.count()} docs above p=0.5")
 
+    # 1c'. is the classifier's 0.9 actually a 0.9? reliability table
+    #      against the training labels (run on a held-out set in
+    #      production)
+    from opencosmo_spark.pipeline.classify import calibration_report
+
+    cal = calibration_report(scored, labeled, bins=5).collect()
+    print(
+        f"calibration: ece={cal[0]['ece']:.3f} over "
+        f"{len(cal)} occupied bins"
+    )
+
     # 1d. dataset card with the C4-style most-common-trigrams section,
     #     straight off corpus_report
     from opencosmo_spark.pipeline.report import (

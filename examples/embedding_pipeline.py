@@ -100,6 +100,33 @@ def main():
     )
     total = read_ann_index(spark, idx_dir)["df"].count()
     print(f"index append: +{n_new} vectors -> {total} total")
+
+    # long-document recipe: treat every 4 vectors as one document's
+    # chunks, pool to a doc vector (token-weighted), and measure the
+    # IVF recall/nprobe trade on the pooled index
+    from opencosmo_spark.pipeline.embed import pool_embeddings
+    from opencosmo_spark.pipeline.similarity import ann_recall_report
+
+    chunks = emb.select(
+        (F.col("vec_id") / 4).cast("long").alias("doc_id"),
+        "embedding",
+        (F.col("vec_id") % 3 + 1).alias("w"),
+    )
+    docs = pool_embeddings(chunks, weight_col="w", normalize=True)
+    qdocs = docs.limit(5).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    cb = train_ivf_codebook(
+        docs.withColumnRenamed("doc_id", "vec_id"), nlist=8, iters=3
+    )
+    rec = ann_recall_report(
+        qdocs, docs, cb, k=5, nprobes=(1, 8)
+    ).collect()
+    by = {r["nprobe"]: r["recall_at_k"] for r in rec}
+    print(
+        f"pooled docs: {docs.count()} vectors; recall@5 "
+        f"nprobe=1 {by[1]:.2f} -> nprobe=8 {by[8]:.2f}"
+    )
     spark.stop()
 
 

@@ -21,6 +21,7 @@ def test_embedding_pipeline_example_runs():
     assert "semantic dedup:" in out.stdout
     assert "index search: top-1" in out.stdout
     assert "index append: +" in out.stdout
+    assert "pooled docs:" in out.stdout  # chunk->pool->recall sweep
 
 
 def test_curation_pipeline_example_runs():
@@ -36,6 +37,7 @@ def test_curation_pipeline_example_runs():
     assert "curation attrition:" in out.stdout
     assert "perplexity bands:" in out.stdout
     assert "classifier:" in out.stdout
+    assert "calibration: ece=" in out.stdout
     assert "| gram | count |" in out.stdout  # card n-gram section
     assert "budget mix: 200 survivors" in out.stdout  # exact-k reservoir
     assert "bm25 top-5:" in out.stdout
