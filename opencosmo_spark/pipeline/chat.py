@@ -150,3 +150,92 @@ def chat_sft_rows(
         .filter(F.col("n_supervised_chars") >= int(min_supervised_chars))
         .select(id_col, "text", "supervised_spans", "n_supervised_chars")
     )
+
+
+def pack_sft_rows(
+    sft: DataFrame,
+    budget: int = 2048,
+    id_col: str = "conv_id",
+    text_col: str = "text",
+    spans_col: str = "supervised_spans",
+    shard_col: str | None = None,
+    token_mode: str = "whitespace",
+) -> DataFrame:
+    """Pack rendered SFT rows into fixed-token training sequences with
+    the supervised spans RE-BASED to pack coordinates — the step that
+    actually completes the chat chain: packing that drops or desyncs
+    the loss mask silently trains on prompt scaffolding.
+
+    Composition: token counts via ``token_count(token_mode)``,
+    boundary-respecting assignment via ``pack_chunks_bfd`` (no
+    conversation ever splits), then per pack the member texts
+    concatenate in ascending ``id_col`` order and every span shifts by
+    its member's character offset — computed by the same running-sum
+    algebra ``render_chat`` uses, so ``pack_text[start:end]`` still
+    slices exactly the supervised content (asserted per span in the
+    test). Returns one row per pack: ``(shard?, pack_id, text,``
+    ``supervised_spans, n_docs, pack_tokens, oversize)``.
+
+    Scale shape: the pack step inherits ``pack_chunks_bfd``'s
+    per-shard parallelism; the assembly is one groupBy(pack) whose
+    state is the pack's own members (budget-bounded), and all offset
+    arithmetic is row-local JVM.
+    """
+    from .text import pack_chunks_bfd, token_count
+
+    with_tok = sft.withColumn(
+        "__nt", token_count(F.col(text_col), token_mode)
+    ).withColumn("__ci", F.lit(0))
+    packed = pack_chunks_bfd(
+        with_tok,
+        budget,
+        id_col=id_col,
+        idx_col="__ci",
+        tokens_col="__nt",
+        shard_col=shard_col,
+        keep_cols=(text_col, spans_col),
+    )
+    gb = ([shard_col] if shard_col else []) + ["pack_id"]
+    rows = packed.groupBy(*gb).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col(text_col).alias("t"),
+                    F.col(spans_col).alias("sp"),
+                )
+            )
+        ).alias("__items"),
+        F.first("pack_tokens").alias("pack_tokens"),
+        (F.max(F.col("oversize").cast("int")) == 1).alias("oversize"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    starts = F.aggregate(
+        F.transform("__items", lambda it: F.length(it["t"])),
+        F.array(F.lit(0)),
+        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)),
+    )
+    text = F.array_join(
+        F.transform("__items", lambda it: it["t"]), ""
+    )
+    spans = F.flatten(
+        F.zip_with(
+            F.col("__items"),
+            F.slice(starts, 1, F.size("__items")),
+            lambda it, off: F.transform(
+                it["sp"],
+                lambda s: F.struct(
+                    (s["start"] + off).alias("start"),
+                    (s["end"] + off).alias("end"),
+                ),
+            ),
+        )
+    )
+    return rows.select(
+        *gb,
+        text.alias(text_col),
+        spans.alias(spans_col),
+        "n_docs",
+        "pack_tokens",
+        "oversize",
+    )

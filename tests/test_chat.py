@@ -196,3 +196,54 @@ def test_chat_jsonl_round_trip(spark, tmp_path):
     assert [
         (s["start"], s["end"]) for s in rows["0"]["supervised_spans"]
     ] == spans0
+
+
+def test_pack_sft_rows_rebases_spans(spark):
+    """Packed SFT sequences: every conversation appears exactly once,
+    no pack exceeds the budget (absent oversize), and every re-based
+    span still slices exactly its assistant content out of the PACK
+    text — the loss mask survives packing."""
+    import random
+
+    from opencosmo_spark.pipeline.chat import pack_sft_rows
+
+    rng = random.Random(7)
+    convs = []
+    for cid in range(30):
+        msgs = []
+        for _ in range(rng.randrange(1, 4)):
+            msgs.append(("user", " ".join(
+                rng.choice(["ask", "tell", "why", "how"])
+                for _ in range(rng.randrange(2, 8))
+            )))
+            msgs.append(("assistant", " ".join(
+                rng.choice(["yes", "no", "maybe", "because", "so"])
+                for _ in range(rng.randrange(2, 10))
+            )))
+        convs.append((cid, msgs))
+    df = spark.createDataFrame(
+        convs,
+        "conv_id long, messages array<struct<role:string,content:string>>",
+    )
+    sft = chat_sft_rows(df)
+    packs = pack_sft_rows(sft, budget=60).collect()
+
+    expected = {}
+    for cid, msgs in convs:
+        text, spans = _twin(msgs)
+        expected[cid] = [text[a:b] for a, b in spans]
+    all_sliced = []
+    seen_docs = 0
+    for p in packs:
+        assert p["oversize"] or p["pack_tokens"] <= 60
+        seen_docs += p["n_docs"]
+        for s in p["supervised_spans"]:
+            all_sliced.append(p["text"][s["start"] : s["end"]])
+    assert seen_docs == 30
+    want = sorted(c for v in expected.values() for c in v)
+    assert sorted(all_sliced) == want
+    # determinism: same input -> identical assignment
+    again = pack_sft_rows(sft, budget=60).collect()
+    assert sorted(r["text"] for r in again) == sorted(
+        r["text"] for r in packs
+    )
