@@ -13,11 +13,22 @@ that amortize to zero in production, and interleaved same-code
 measurements on this shared VM swing +-15% run-to-run — best-of-3
 suppresses that noise; all runs re-read parquet from disk, no
 df.cache()).
+
+Noise self-identification (added after round 9, where a mid-suite
+host-noise window inflated the recorded headline 27.2s vs a
+quiet-window 9.5s while BOTH start/end calibration probes read
+quiet): the artifact now records ALL per-query run times, flags any
+query whose max/min run spread exceeds NOISE_SPREAD (3x) as
+noise-suspect, quiet-retries every flagged query once after the
+suite (taking the better best-of), and annotates each query with a
+CPU micro-probe reading taken immediately before it so a reader can
+see exactly where in the suite the host got slow.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -68,6 +79,13 @@ EXTRA_QUERIES = [
     "q66_pair_counts",
 ]
 
+# max/min run-time ratio above which a query's measurement window is
+# presumed contaminated by host noise (CPU steal on this shared VM).
+# Quiet-window best-of-3 spreads sit at 1.0-1.5x; genuine plan changes
+# move ALL three runs together, so a 3x intra-query spread can only be
+# the host.
+NOISE_SPREAD = 3.0
+
 
 def _calibration_probe(spark) -> float:
     """Fixed CPU-bound JVM probe, independent of the repo's code and of
@@ -92,6 +110,31 @@ def _calibration_probe(spark) -> float:
     return round(best, 3)
 
 
+def _micro_probe() -> float:
+    """~10ms pure-CPU probe (no Spark job overhead) run immediately
+    before each query. Host CPU steal slows this the same way it slows
+    the executors, so a per-query probe trace lets a reader see WHEN in
+    the suite the host got noisy — the start/end JVM probes proved
+    blind to a noise window that opened and closed mid-suite (r9)."""
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(200_000):
+        acc += math.sin(i * 1e-3)
+    _ = acc
+    return round(time.perf_counter() - t0, 4)
+
+
+def _time_query(fn, spark, sf_dir, reps: int = 3):
+    """Run a query `reps` times; return (all run times, row count)."""
+    runs = []
+    n = 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        runs.append(round(time.perf_counter() - t0, 3))
+    return runs, n
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -107,62 +150,90 @@ def main():
     # one failing query must not zero the whole artifact: record its
     # error, keep timing the rest, total over the survivors
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    spreads: dict[str, float] = {}
+    probes: dict[str, float] = {}
     errors: dict[str, str] = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        best, n = None, 0
-        try:
-            for _ in range(3):
-                t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                n = df.count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-        except Exception as e:  # noqa: BLE001 — isolate per query
-            errors[name] = f"{type(e).__name__}: {e}"[:500]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-            continue
-        timings[name] = round(best, 3)
-        total += best
-        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+    noise_suspect: list[str] = []
+
+    def run_suite(names, bucket, tag=""):
+        for name in names:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            probes[name] = _micro_probe()
+            try:
+                runs, n = _time_query(fn, spark, sf_dir)
+            except Exception as e:  # noqa: BLE001 — isolate per query
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                continue
+            best = min(runs)
+            spread = round(max(runs) / max(best, 1e-9), 2)
+            all_runs[name] = runs
+            spreads[name] = spread
+            bucket[name] = round(best, 3)
+            if spread > NOISE_SPREAD:
+                noise_suspect.append(name)
+            print(
+                f"# {name}: {best:.3f}s (runs={runs}, spread={spread}x,"
+                f" {n} rows){tag}",
+                file=sys.stderr,
+            )
+
+    run_suite(BENCH_QUERIES, timings)
 
     # extras get the same best-of-3 protocol as the headliners: on a
     # shared VM with ±15% run-to-run swing, single-shot extras made
     # round-over-round deltas unclassifiable (r6's q63 "regression"
     # was pure single-shot noise — see SCALE.md)
     extra: dict[str, float] = {}
-    for name in EXTRA_QUERIES:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        best, n = None, 0
+    run_suite(EXTRA_QUERIES, extra, tag=" [extra]")
+
+    # quiet-retry: any query whose intra-run spread exceeded the noise
+    # gate gets one more best-of-3 AFTER the suite (by which time a
+    # transient noise window has typically closed). The final recorded
+    # time is the better of the two best-ofs — the steady-state number.
+    retried: dict[str, float] = {}
+    for name in noise_suspect:
+        fn = qs[name]
         try:
-            for _ in range(3):
-                t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-        except Exception as e:  # noqa: BLE001 — isolate per query
-            errors[name] = f"{type(e).__name__}: {e}"[:500]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            runs, _n = _time_query(fn, spark, sf_dir)
+        except Exception:  # noqa: BLE001 — retry is best-effort
             continue
-        extra[name] = round(best, 3)
-        print(f"# {name}: {extra[name]:.3f}s ({n} rows) [extra]", file=sys.stderr)
+        retry_best = min(runs)
+        retried[name] = round(retry_best, 3)
+        bucket = timings if name in timings else extra
+        if retry_best < bucket[name]:
+            bucket[name] = round(retry_best, 3)
+        all_runs[name] = all_runs[name] + runs
+        print(
+            f"# {name}: quiet-retry runs={runs} -> recorded"
+            f" {bucket[name]:.3f}s",
+            file=sys.stderr,
+        )
+
+    total = round(sum(timings.values()), 3)
 
     # second probe AFTER the suite: a single start-of-run probe can't
     # see interference that arrives mid-suite (observed r9: probe
     # 0.44 s, then queries 4-8x their quiet-window times minutes
-    # later) — the start/end pair brackets the run
+    # later) — the start/end pair brackets the run, and the per-query
+    # micro-probe trace fills in the middle
     calibration_end = _calibration_probe(spark)
     print(f"# calibration_probe_end: {calibration_end:.3f}s", file=sys.stderr)
 
     out = {
         "metric": "headline_queries_total",
-        "value": round(total, 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "extra_queries": extra,
+        "query_runs": all_runs,
+        "query_spread": spreads,
+        "micro_probe_sec": probes,
+        "noise_suspect": noise_suspect,
+        "quiet_retry": retried,
         "calibration_sec": calibration,
         "calibration_end_sec": calibration_end,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
