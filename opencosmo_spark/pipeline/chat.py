@@ -1,7 +1,8 @@
 """Instruction-tuning data preparation: conversation tables
 (``array<struct<role, content>>`` message columns — the ShareGPT /
 chat-JSONL interchange shape) rendered into training strings with
-EXACT assistant-span character offsets for loss masking.
+EXACT assistant-span character (and optionally token) offsets for
+loss masking.
 
 The loss-masking contract is the part pipelines get wrong: the
 trainer must know which character (then token) ranges of the rendered
@@ -9,8 +10,11 @@ string are assistant content (supervised) vs prompt scaffolding
 (masked). Computing those offsets anywhere but at render time —
 regex-recovering them later, or re-rendering in the loader — breaks
 the moment the template changes. Here the offsets are computed by the
-SAME expression that renders, so ``rendered[start:end] == content``
-holds by construction (differentially tested per turn).
+SAME expressions that render: the span start is ``part_start +
+length(header_expr(role))`` where ``header_expr`` is the expression
+that rendered the header, so ``rendered[start:end] == content`` holds
+by construction for ANY template (differentially tested per turn
+across templates).
 
 Everything is JVM higher-order functions over the messages array —
 per-row, shuffle-free, linear in conversation length; at 100 TB the
@@ -20,7 +24,65 @@ operator is embarrassingly row-parallel and composes with
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+from typing import Mapping
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class ChatTemplate:
+    """A chat rendering template: each message renders as
+    ``header(role) + content + footer(role)``, where the header is
+    ``header_prefix + role + header_suffix`` unless ``headers`` maps
+    the role to a fixed header string, and the footer is ``footer``
+    unless ``footers`` overrides it for the role.
+
+    The span arithmetic in :func:`render_chat` is derived from the
+    same ``header_expr``/``footer_expr`` expressions that render, so
+    any template expressible here keeps the exact-offset contract
+    with no per-template code.
+    """
+
+    header_prefix: str = "<|"
+    header_suffix: str = "|>\n"
+    footer: str = "\n"
+    headers: Mapping[str, str] | None = field(default=None)
+    footers: Mapping[str, str] | None = field(default=None)
+
+    def header_expr(self, role: Column) -> Column:
+        out = F.concat(
+            F.lit(self.header_prefix), role, F.lit(self.header_suffix)
+        )
+        for r, h in (self.headers or {}).items():
+            out = F.when(role == F.lit(r), F.lit(h)).otherwise(out)
+        return out
+
+    def footer_expr(self, role: Column) -> Column:
+        out = F.lit(self.footer)
+        for r, ft in (self.footers or {}).items():
+            out = F.when(role == F.lit(r), F.lit(ft)).otherwise(out)
+        return out
+
+    # python twins (used by tests and by driver-side tooling)
+    def header(self, role: str) -> str:
+        if self.headers and role in self.headers:
+            return self.headers[role]
+        return f"{self.header_prefix}{role}{self.header_suffix}"
+
+    def footer_of(self, role: str) -> str:
+        if self.footers and role in self.footers:
+            return self.footers[role]
+        return self.footer
+
+
+#: The repo's documented default: ``<|role|>\ncontent\n``.
+DEFAULT_TEMPLATE = ChatTemplate()
+
+#: ChatML-style: ``<|im_start|>role\ncontent<|im_end|>\n``.
+CHATML = ChatTemplate(
+    header_prefix="<|im_start|>", header_suffix="\n", footer="<|im_end|>\n"
+)
 
 
 def conversation_turns(
@@ -44,47 +106,119 @@ def conversation_turns(
     )
 
 
-def _part_expr(m: Column) -> Column:
-    """One rendered message part: ``<|role|>\\ncontent\\n``. NULL
-    role/content render as empty strings — a NULL would otherwise null
-    the whole concat, silently dropping the part from the rendered
-    text while the span arithmetic still counted it."""
-    return F.concat(
-        F.lit("<|"),
-        F.coalesce(m["role"], F.lit("")),
-        F.lit("|>\n"),
-        F.coalesce(m["content"], F.lit("")),
-        F.lit("\n"),
-    )
+def _tok(c: Column, mode: str) -> Column:
+    """Additive token counter: counts non-overlapping regex matches,
+    so empty strings count 0 and ``tok(a)+tok(b) == tok(a+b)``
+    whenever the a|b boundary is whitespace-adjacent. (The public
+    ``token_count`` uses trim+split, which maps '' -> 1 — fine for
+    document stats, wrong for span algebra.)"""
+    if mode == "whitespace":
+        return F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0))
+    if mode == "bpe":
+        return F.size(
+            F.regexp_extract_all(
+                c, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0
+            )
+        )
+    raise ValueError(f"unknown token mode {mode!r}")
 
 
 def render_chat(
     df: DataFrame,
     messages_col: str = "messages",
     supervised_role: str = "assistant",
+    template: ChatTemplate = DEFAULT_TEMPLATE,
+    token_mode: str | None = None,
+    max_turns: int = 4096,
+    on_long: str = "error",
 ) -> DataFrame:
     """Append ``text`` (the rendered training string) and
     ``supervised_spans`` (``array<struct<start, end>>`` — 0-based
     character offsets, end-exclusive, of each ``supervised_role``
     turn's CONTENT within ``text``).
 
-    Template: each message renders as ``<|role|>\\ncontent\\n``,
-    concatenated in turn order. Span arithmetic is pure expression
-    algebra over the same parts that build the string: a running-sum
-    aggregate gives each part's start, the header length
-    (``len(role) + 5``) offsets to the content, so
-    ``substring(text, start+1, end-start) == content`` for every
-    supervised turn — the invariant the loss mask depends on and the
-    test asserts. NULL message arrays yield empty text and no spans.
+    Each message renders as ``template.header(role) + content +
+    template.footer(role)``, concatenated in turn order. Span
+    arithmetic is pure expression algebra over the same expressions
+    that build the string: a running-sum aggregate gives each part's
+    start and ``length(header_expr(role))`` offsets to the content,
+    so ``substring(text, start+1, end-start) == content`` for every
+    supervised turn UNDER ANY TEMPLATE — the invariant the loss mask
+    depends on and the tests assert across templates. NULL message
+    arrays yield empty text and no spans; NULL role/content render as
+    empty strings.
+
+    ``token_mode`` (``"whitespace"`` / ``"bpe"``): also emit
+    ``n_tokens`` (total rendered tokens) and extend each span with
+    ``tok_start``/``tok_end`` token offsets. Token coordinates use
+    the PER-PART tokenization convention (each header / content /
+    footer segment tokenized separately, counts concatenated) — the
+    convention real SFT loaders use when they tokenize segments and
+    splice token lists. For templates whose part boundaries are
+    whitespace (the default template qualifies: headers end with
+    ``\\n``, footers are ``\\n``), this equals whole-string
+    tokenization exactly, which is what the differential test pins.
+
+    ``max_turns``: the running-sum span algebra is quadratic in turn
+    count (row-local array appends — irrelevant at real chat depths,
+    a hazard on adversarial crawl rows: a 10k-turn row pays ~1e8
+    array copies). Conversations longer than ``max_turns`` raise
+    (``on_long="error"``, default — the loud option) or are sliced to
+    the first ``max_turns`` turns with a ``turns_truncated`` flag
+    column (``on_long="truncate"``).
     """
-    msgs = F.coalesce(
+    if on_long not in ("error", "truncate"):
+        raise ValueError(f"on_long must be 'error' or 'truncate', got {on_long!r}")
+    msgs_raw = F.coalesce(
         F.col(messages_col),
         F.array().cast(df.schema[messages_col].dataType),
     )
-    parts = F.transform(msgs, _part_expr)
+    out_extra = []
+    if on_long == "truncate":
+        out_extra.append(
+            (F.size(msgs_raw) > int(max_turns)).alias("turns_truncated")
+        )
+        msgs = F.slice(msgs_raw, 1, int(max_turns))
+    else:
+        guard = F.assert_true(
+            F.size(msgs_raw) <= int(max_turns),
+            F.concat(
+                F.lit(
+                    f"render_chat: conversation exceeds max_turns={max_turns}"
+                    " (got "
+                ),
+                F.size(msgs_raw).cast("string"),
+                F.lit(
+                    " turns); raise max_turns, pre-filter with"
+                    " conversation_turns, or pass on_long='truncate'"
+                ),
+            ),
+        )
+        # assert_true is NULL on success; the when() forces its
+        # evaluation on every row without altering the array
+        msgs = F.when(guard.isNull(), msgs_raw)
+
+    def role_of(m: Column) -> Column:
+        return F.coalesce(m["role"], F.lit(""))
+
+    def content_of(m: Column) -> Column:
+        return F.coalesce(m["content"], F.lit(""))
+
+    def part_expr(m: Column) -> Column:
+        # NULL role/content render as empty strings — a NULL would
+        # otherwise null the whole concat, silently dropping the part
+        # from the rendered text while the span arithmetic still
+        # counted it
+        return F.concat(
+            template.header_expr(role_of(m)),
+            content_of(m),
+            template.footer_expr(role_of(m)),
+        )
+
+    parts = F.transform(msgs, part_expr)
     # starts[i] = sum of part lengths before i (running-sum aggregate:
-    # conversations are short arrays, the quadratic array-append is
-    # driver-irrelevant and row-local)
+    # conversations are short arrays — max_turns bounds the quadratic
+    # row-local array-append)
     starts = F.aggregate(
         F.transform(parts, lambda p: F.length(p)),
         F.array(F.lit(0)),
@@ -92,36 +226,79 @@ def render_chat(
             acc, F.array(F.element_at(acc, -1) + x)
         ),
     )
-    spans = F.filter(
-        F.zip_with(
+
+    want_tokens = token_mode is not None
+    if want_tokens:
+        part_toks = F.transform(
             msgs,
-            F.slice(starts, 1, F.size(msgs)),
-            lambda m, s: F.struct(
-                (
-                    s + F.length(F.coalesce(m["role"], F.lit(""))) + 5
-                ).alias("start"),
-                (
-                    s
-                    + F.length(F.coalesce(m["role"], F.lit("")))
-                    + 5
-                    + F.length(F.coalesce(m["content"], F.lit("")))
-                ).alias("end"),
-                m["role"].alias("__role"),
+            lambda m: _tok(template.header_expr(role_of(m)), token_mode)
+            + _tok(content_of(m), token_mode)
+            + _tok(template.footer_expr(role_of(m)), token_mode),
+        )
+        tok_starts = F.aggregate(
+            part_toks,
+            F.array(F.lit(0)),
+            lambda acc, x: F.concat(
+                acc, F.array(F.element_at(acc, -1) + x)
             ),
-        ),
+        )
+        zipped = F.zip_with(
+            F.slice(starts, 1, F.size(msgs)),
+            F.slice(tok_starts, 1, F.size(msgs)),
+            lambda c, t: F.struct(c.alias("c"), t.alias("t")),
+        )
+
+        def span_of(m: Column, off: Column) -> Column:
+            hdr = template.header_expr(role_of(m))
+            start = off["c"] + F.length(hdr)
+            tstart = off["t"] + _tok(hdr, token_mode)
+            return F.struct(
+                start.alias("start"),
+                (start + F.length(content_of(m))).alias("end"),
+                tstart.alias("tok_start"),
+                (tstart + _tok(content_of(m), token_mode)).alias(
+                    "tok_end"
+                ),
+                m["role"].alias("__role"),
+            )
+
+    else:
+        zipped = F.slice(starts, 1, F.size(msgs))
+
+        def span_of(m: Column, off: Column) -> Column:
+            hdr = template.header_expr(role_of(m))
+            start = off + F.length(hdr)
+            return F.struct(
+                start.alias("start"),
+                (start + F.length(content_of(m))).alias("end"),
+                m["role"].alias("__role"),
+            )
+
+    spans = F.filter(
+        F.zip_with(msgs, zipped, span_of),
         lambda sp: sp["__role"] == F.lit(supervised_role),
     )
-    return df.withColumn(
-        "text", F.concat_ws("", parts)
-    ).withColumn(
+    span_fields = ["start", "end"] + (
+        ["tok_start", "tok_end"] if want_tokens else []
+    )
+    out = df
+    for extra in out_extra:
+        out = out.withColumn("turns_truncated", extra)
+    out = out.withColumn("text", F.concat_ws("", parts)).withColumn(
         "supervised_spans",
         F.transform(
             spans,
             lambda sp: F.struct(
-                sp["start"].alias("start"), sp["end"].alias("end")
+                *[sp[f].alias(f) for f in span_fields]
             ),
         ),
     )
+    if want_tokens:
+        out = out.withColumn(
+            "n_tokens",
+            F.aggregate(part_toks, F.lit(0), lambda a, x: a + x),
+        )
+    return out
 
 
 def chat_sft_rows(
@@ -130,14 +307,28 @@ def chat_sft_rows(
     id_col: str = "conv_id",
     supervised_role: str = "assistant",
     min_supervised_chars: int = 1,
+    template: ChatTemplate = DEFAULT_TEMPLATE,
+    token_mode: str | None = None,
+    max_turns: int = 4096,
+    on_long: str = "error",
 ) -> DataFrame:
     """The standard SFT preparation in one call: render conversations,
     drop those with no (or too little) supervised content — a
     conversation whose every turn is masked contributes nothing but
     padding — and return ``(id_col, text, supervised_spans,
-    n_supervised_chars)`` ready for token counting and
-    ``pack_chunks_bfd``."""
-    r = render_chat(df, messages_col, supervised_role)
+    n_supervised_chars[, n_tokens])`` ready for token counting and
+    ``pack_sft_rows`` (pass ``token_mode`` here and
+    ``token_count_col="n_tokens"`` there for token-budget packing
+    with re-based token spans)."""
+    r = render_chat(
+        df,
+        messages_col,
+        supervised_role,
+        template=template,
+        token_mode=token_mode,
+        max_turns=max_turns,
+        on_long=on_long,
+    )
     sup = F.aggregate(
         F.transform(
             F.col("supervised_spans"), lambda s: s["end"] - s["start"]
@@ -145,10 +336,13 @@ def chat_sft_rows(
         F.lit(0),
         lambda acc, x: acc + x,
     )
+    cols = [id_col, "text", "supervised_spans", "n_supervised_chars"]
+    if token_mode is not None:
+        cols.append("n_tokens")
     return (
         r.withColumn("n_supervised_chars", sup)
         .filter(F.col("n_supervised_chars") >= int(min_supervised_chars))
-        .select(id_col, "text", "supervised_spans", "n_supervised_chars")
+        .select(*cols)
     )
 
 
@@ -160,21 +354,32 @@ def pack_sft_rows(
     spans_col: str = "supervised_spans",
     shard_col: str | None = None,
     token_mode: str = "whitespace",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Pack rendered SFT rows into fixed-token training sequences with
     the supervised spans RE-BASED to pack coordinates — the step that
     actually completes the chat chain: packing that drops or desyncs
     the loss mask silently trains on prompt scaffolding.
 
-    Composition: token counts via ``token_count(token_mode)``,
-    boundary-respecting assignment via ``pack_chunks_bfd`` (no
-    conversation ever splits), then per pack the member texts
-    concatenate in ascending ``id_col`` order and every span shifts by
-    its member's character offset — computed by the same running-sum
-    algebra ``render_chat`` uses, so ``pack_text[start:end]`` still
-    slices exactly the supervised content (asserted per span in the
-    test). Returns one row per pack: ``(shard?, pack_id, text,``
-    ``supervised_spans, n_docs, pack_tokens, oversize)``.
+    Token budget: ``budget`` is in TOKENS. By default each row is
+    counted via ``token_count(text, token_mode)``; pass
+    ``token_count_col`` to bin by a precomputed per-row token count
+    instead — ``"n_tokens"`` from ``chat_sft_rows(token_mode=...)``
+    for render-consistent counts, or a real-tokenizer count column.
+
+    Composition: boundary-respecting assignment via
+    ``pack_chunks_bfd`` (no conversation ever splits), then per pack
+    the member texts concatenate in ascending ``id_col`` order and
+    every span shifts by its member's character offset — computed by
+    the same running-sum algebra ``render_chat`` uses, so
+    ``pack_text[start:end]`` still slices exactly the supervised
+    content (asserted per span in the test). When the spans carry
+    ``tok_start``/``tok_end`` (rendered with ``token_mode``), those
+    re-base the same way using the per-member token counts — pass
+    ``token_count_col`` matching the render's token coordinates so
+    character and token offsets shift in lockstep. Returns one row
+    per pack: ``(shard?, pack_id, text, supervised_spans, n_docs,
+    pack_tokens, oversize)``.
 
     Scale shape: the pack step inherits ``pack_chunks_bfd``'s
     per-shard parallelism; the assembly is one groupBy(pack) whose
@@ -183,9 +388,11 @@ def pack_sft_rows(
     """
     from .text import pack_chunks_bfd, token_count
 
-    with_tok = sft.withColumn(
-        "__nt", token_count(F.col(text_col), token_mode)
-    ).withColumn("__ci", F.lit(0))
+    if token_count_col is not None:
+        nt = F.col(token_count_col).cast("long")
+    else:
+        nt = token_count(F.col(text_col), token_mode).cast("long")
+    with_tok = sft.withColumn("__nt", nt).withColumn("__ci", F.lit(0))
     packed = pack_chunks_bfd(
         with_tok,
         budget,
@@ -195,6 +402,9 @@ def pack_sft_rows(
         shard_col=shard_col,
         keep_cols=(text_col, spans_col),
     )
+    has_tok = "tok_start" in (
+        sft.schema[spans_col].dataType.elementType.fieldNames()
+    )
     gb = ([shard_col] if shard_col else []) + ["pack_id"]
     rows = packed.groupBy(*gb).agg(
         F.array_sort(
@@ -203,6 +413,7 @@ def pack_sft_rows(
                     F.col(id_col).alias("id"),
                     F.col(text_col).alias("t"),
                     F.col(spans_col).alias("sp"),
+                    F.col("__nt").alias("nt"),
                 )
             )
         ).alias("__items"),
@@ -210,27 +421,58 @@ def pack_sft_rows(
         (F.max(F.col("oversize").cast("int")) == 1).alias("oversize"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    starts = F.aggregate(
-        F.transform("__items", lambda it: F.length(it["t"])),
-        F.array(F.lit(0)),
-        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)),
-    )
-    text = F.array_join(
-        F.transform("__items", lambda it: it["t"]), ""
-    )
-    spans = F.flatten(
-        F.zip_with(
-            F.col("__items"),
-            F.slice(starts, 1, F.size("__items")),
-            lambda it, off: F.transform(
-                it["sp"],
-                lambda s: F.struct(
-                    (s["start"] + off).alias("start"),
-                    (s["end"] + off).alias("end"),
-                ),
+
+    def running(sizes: Column) -> Column:
+        return F.aggregate(
+            F.transform(sizes, lambda x: x.cast("long")),
+            F.array(F.lit(0).cast("long")),
+            lambda acc, x: F.concat(
+                acc, F.array(F.element_at(acc, -1) + x)
             ),
         )
+
+    char_starts = running(
+        F.transform("__items", lambda it: F.length(it["t"]))
     )
+    text = F.array_join(F.transform("__items", lambda it: it["t"]), "")
+    if has_tok:
+        tok_starts = running(
+            F.transform("__items", lambda it: it["nt"])
+        )
+        offs = F.zip_with(
+            F.slice(char_starts, 1, F.size("__items")),
+            F.slice(tok_starts, 1, F.size("__items")),
+            lambda c, t: F.struct(c.alias("c"), t.alias("t")),
+        )
+        spans = F.flatten(
+            F.zip_with(
+                F.col("__items"),
+                offs,
+                lambda it, off: F.transform(
+                    it["sp"],
+                    lambda s: F.struct(
+                        (s["start"] + off["c"]).alias("start"),
+                        (s["end"] + off["c"]).alias("end"),
+                        (s["tok_start"] + off["t"]).alias("tok_start"),
+                        (s["tok_end"] + off["t"]).alias("tok_end"),
+                    ),
+                ),
+            )
+        )
+    else:
+        spans = F.flatten(
+            F.zip_with(
+                F.col("__items"),
+                F.slice(char_starts, 1, F.size("__items")),
+                lambda it, off: F.transform(
+                    it["sp"],
+                    lambda s: F.struct(
+                        (s["start"] + off).alias("start"),
+                        (s["end"] + off).alias("end"),
+                    ),
+                ),
+            )
+        )
     return rows.select(
         *gb,
         text.alias(text_col),

@@ -247,3 +247,208 @@ def test_pack_sft_rows_rebases_spans(spark):
     assert sorted(r["text"] for r in again) == sorted(
         r["text"] for r in packs
     )
+
+
+# ---- round 10: templates, token spans, token-budget packing, guards ----
+
+import re
+
+from opencosmo_spark.pipeline.chat import CHATML, ChatTemplate, DEFAULT_TEMPLATE
+
+
+def _tok_py(s, mode="whitespace"):
+    pat = r"\S+" if mode == "whitespace" else r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+    return re.findall(pat, s)
+
+
+def _twin_t(msgs, template, role="assistant", token_mode=None):
+    """Exact python reference for ANY ChatTemplate, char + token
+    offsets (per-part tokenization convention)."""
+    text, spans, pos, tpos = "", [], 0, 0
+    for r, c in msgs or []:
+        r2, c2 = r or "", c or ""
+        hdr, ftr = template.header(r2), template.footer_of(r2)
+        if r == role:
+            start = pos + len(hdr)
+            if token_mode:
+                ts = tpos + len(_tok_py(hdr, token_mode))
+                spans.append(
+                    (start, start + len(c2), ts, ts + len(_tok_py(c2, token_mode)))
+                )
+            else:
+                spans.append((start, start + len(c2)))
+        text += hdr + c2 + ftr
+        pos += len(hdr) + len(c2) + len(ftr)
+        if token_mode:
+            tpos += sum(len(_tok_py(x, token_mode)) for x in (hdr, c2, ftr))
+    return text, spans
+
+
+def _rand_convs(seed, n=40):
+    import random
+
+    rng = random.Random(seed)
+    alphabet = "ab \n<|>é漢|._"
+    rows = []
+    for cid in range(n):
+        msgs = [
+            (
+                rng.choice(["system", "user", "assistant", "tool"]),
+                "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 30))),
+            )
+            for _ in range(rng.randrange(1, 7))
+        ]
+        rows.append((cid, msgs))
+    return rows
+
+
+def test_render_chat_chatml_template_twin(spark):
+    """ChatML template: exact text + char/token offsets vs the python
+    twin, substring invariant preserved under a template whose footer
+    is NOT whitespace-leading (the per-part token convention case)."""
+    rows = _rand_convs(11)
+    df = spark.createDataFrame(
+        rows,
+        "conv_id long, messages array<struct<role:string,content:string>>",
+    )
+    got = {
+        r["conv_id"]: r
+        for r in render_chat(df, template=CHATML, token_mode="whitespace").collect()
+    }
+    for cid, msgs in rows:
+        text, spans = _twin_t(msgs, CHATML, token_mode="whitespace")
+        assert got[cid]["text"] == text, cid
+        gs = [
+            (s["start"], s["end"], s["tok_start"], s["tok_end"])
+            for s in got[cid]["supervised_spans"]
+        ]
+        assert gs == spans, cid
+        for (a, b, _ts, _te), c in zip(
+            gs, [c for r, c in msgs if r == "assistant"]
+        ):
+            assert text[a:b] == c, cid
+
+
+def test_render_chat_role_keyed_overrides(spark):
+    """Role-keyed header/footer overrides: span arithmetic derives
+    from the same header expression, so offsets stay exact when one
+    role renders differently from the prefix+role+suffix rule."""
+    tpl = ChatTemplate(
+        headers={"user": "### User:\n", "assistant": "### Reply\n"},
+        footers={"assistant": "\n---\n"},
+    )
+    rows = _rand_convs(23)
+    df = spark.createDataFrame(
+        rows,
+        "conv_id long, messages array<struct<role:string,content:string>>",
+    )
+    got = {r["conv_id"]: r for r in render_chat(df, template=tpl).collect()}
+    for cid, msgs in rows:
+        text, spans = _twin_t(msgs, tpl)
+        assert got[cid]["text"] == text, cid
+        gs = [(s["start"], s["end"]) for s in got[cid]["supervised_spans"]]
+        assert gs == spans, cid
+        for (a, b), c in zip(gs, [c for r, c in msgs if r == "assistant"]):
+            assert text[a:b] == c, cid
+
+
+def test_render_chat_token_spans_whole_text(spark):
+    """Default template boundaries are whitespace, so the per-part
+    token coordinates equal WHOLE-TEXT tokenization: tokenizing the
+    rendered string and slicing [tok_start:tok_end] recovers exactly
+    the tokens of the supervised content."""
+    rows = _rand_convs(37)
+    df = spark.createDataFrame(
+        rows,
+        "conv_id long, messages array<struct<role:string,content:string>>",
+    )
+    for mode in ("whitespace", "bpe"):
+        got = {
+            r["conv_id"]: r
+            for r in render_chat(df, token_mode=mode).collect()
+        }
+        for cid, msgs in rows:
+            r = got[cid]
+            toks = _tok_py(r["text"], mode)
+            assert r["n_tokens"] == len(toks), (cid, mode)
+            for sp, c in zip(
+                r["supervised_spans"],
+                [c for rr, c in msgs if rr == "assistant"],
+            ):
+                assert toks[sp["tok_start"] : sp["tok_end"]] == _tok_py(
+                    c, mode
+                ), (cid, mode)
+
+
+def test_pack_sft_rows_token_budget_rebases_token_spans(spark):
+    """Token-budget packing: bins by the render-consistent n_tokens
+    column, respects the budget in TOKENS, and re-bases BOTH char and
+    token spans — every re-based token span slices its content's
+    tokens out of the tokenized PACK text."""
+    import random
+
+    from opencosmo_spark.pipeline.chat import chat_sft_rows, pack_sft_rows
+
+    rng = random.Random(5)
+    convs = []
+    for cid in range(30):
+        msgs = []
+        for _ in range(rng.randrange(1, 4)):
+            msgs.append(
+                ("user", " ".join(rng.choice(["ask", "why", "how"]) for _ in range(rng.randrange(2, 8))))
+            )
+            msgs.append(
+                ("assistant", " ".join(rng.choice(["yes", "no", "so", "ok"]) for _ in range(rng.randrange(2, 10))))
+            )
+        convs.append((cid, msgs))
+    df = spark.createDataFrame(
+        convs,
+        "conv_id long, messages array<struct<role:string,content:string>>",
+    )
+    sft = chat_sft_rows(df, token_mode="whitespace")
+    packs = pack_sft_rows(
+        sft, budget=60, token_count_col="n_tokens"
+    ).collect()
+    seen = 0
+    want = []
+    for cid, msgs in convs:
+        _text, spans = _twin_t(msgs, DEFAULT_TEMPLATE, token_mode="whitespace")
+        want.extend(
+            " ".join(_tok_py(c)) for r, c in msgs if r == "assistant"
+        )
+    got_tok_slices, got_char_slices = [], []
+    for p in packs:
+        assert p["oversize"] or p["pack_tokens"] <= 60
+        seen += p["n_docs"]
+        toks = _tok_py(p["text"])
+        for s in p["supervised_spans"]:
+            got_char_slices.append(p["text"][s["start"] : s["end"]])
+            got_tok_slices.append(
+                " ".join(toks[s["tok_start"] : s["tok_end"]])
+            )
+    assert seen == 30
+    assert sorted(got_tok_slices) == sorted(want)
+    # char spans agree with token spans content-wise (contents here
+    # are whitespace-clean so the joined tokens equal the raw slice)
+    assert sorted(got_char_slices) == sorted(want)
+
+
+def test_render_chat_max_turns_error_and_truncate(spark):
+    """The quadratic-guard: past max_turns the default loudly errors;
+    on_long='truncate' slices and flags instead."""
+    long_msgs = [("user", f"m{i}") for i in range(10)]
+    df = spark.createDataFrame(
+        [(0, long_msgs), (1, [("assistant", "short")])],
+        "conv_id long, messages array<struct<role:string,content:string>>",
+    )
+    with pytest.raises(Exception, match="max_turns"):
+        render_chat(df, max_turns=5).collect()
+    got = {
+        r["conv_id"]: r
+        for r in render_chat(df, max_turns=5, on_long="truncate").collect()
+    }
+    text5, _ = _twin_t(long_msgs[:5], DEFAULT_TEMPLATE)
+    assert got[0]["text"] == text5
+    assert got[0]["turns_truncated"] is True
+    assert got[1]["turns_truncated"] is False
+    assert got[1]["text"] == _twin_t([("assistant", "short")], DEFAULT_TEMPLATE)[0]
