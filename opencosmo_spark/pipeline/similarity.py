@@ -825,6 +825,35 @@ def ivf_pq_search(
     )
 
 
+def _probe_cells(
+    vec: Column,
+    codebook: list[tuple[int, list[float]]],
+    nprobe: int,
+) -> Column:
+    """Per-row IVF probe list: cosine to every centroid (a tiny
+    literal), sort (desc sim, asc cell id) via a packed struct array,
+    slice ``nprobe`` — all JVM, no driver pass over the rows."""
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for cid, c in codebook
+        ]
+    )
+    scored = F.transform(
+        cents,
+        lambda s: F.struct(
+            (-F.round(cosine(vec, s["c"]), 9)).alias("neg_sim"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cell"]
+    )
+
+
 def mine_hard_negatives(
     queries_df: DataFrame,
     corpus_df: DataFrame,
@@ -898,30 +927,9 @@ def mine_hard_negatives(
                 corpus_vec_col,
                 cell_col,
             ).withColumnRenamed(corpus_vec_col, "__cvec")
-        # per-query probe list: cosine to every centroid (a tiny
-        # literal), sort (desc sim, asc cell id) via a packed struct
-        # array, slice nprobe — all JVM, no driver pass over queries
-        cents = F.array(
-            *[
-                F.struct(
-                    F.lit(int(cid)).alias("cell"),
-                    F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
-                )
-                for cid, vec in codebook
-            ]
-        )
-        scored = F.transform(
-            cents,
-            lambda s: F.struct(
-                (-F.round(cosine(F.col("__qvec"), s["c"]), 9)).alias(
-                    "neg_sim"
-                ),
-                s["cell"].alias("cell"),
-            ),
-        )
-        probes = F.slice(F.array_sort(scored), 1, nprobe)
         q = q.withColumn(
-            cell_col, F.explode(F.transform(probes, lambda s: s["cell"]))
+            cell_col,
+            F.explode(_probe_cells(F.col("__qvec"), codebook, nprobe)),
         )
         pairs = c.join(q, cell_col).drop(cell_col)
     else:
@@ -950,8 +958,8 @@ def mine_hard_negatives(
 
 def ann_recall_report(
     queries_df: DataFrame,
-    corpus_df: DataFrame,
-    codebook: list[tuple[int, list[float]]],
+    corpus_df: DataFrame | None = None,
+    codebook: list[tuple[int, list[float]]] | None = None,
     k: int = 10,
     nprobes: tuple[int, ...] = (1, 2, 4),
     query_id_col: str = "query_id",
@@ -959,6 +967,7 @@ def ann_recall_report(
     query_vec_col: str = "embedding",
     corpus_vec_col: str = "embedding",
     cell_col: str = "__ivf_cell",
+    index: dict | None = None,
 ) -> DataFrame:
     """Recall@k tuning sweep for the IVF path — the measurement that
     turns "pick nlist/nprobe" from folklore into a number. For each
@@ -979,8 +988,27 @@ def ann_recall_report(
     6-decimal rounding), so recall 1.0 is achievable and
     ``nprobe = nlist`` must achieve it (probing every cell IS the
     exact scan) — the test pins that identity.
+
+    Pass ``index`` (a ``read_ann_index`` dict) to sweep the PERSISTED
+    artifact instead of an ad-hoc corpus: the corpus, codebook, id/vec
+    column names, and the stored ``ivf_cell`` column all come from the
+    index, so the sweep measures the build-once/query-many retrieval
+    plans — including the directory-level cell pruning — not a live
+    re-quantization.
     """
     from pyspark import StorageLevel
+
+    if index is not None:
+        params = index["params"]
+        corpus_df = index["df"]
+        codebook = index["codebook"]
+        corpus_id_col = params["id_col"]
+        corpus_vec_col = params["vec_col"]
+        cell_col = "ivf_cell"
+    if corpus_df is None or codebook is None:
+        raise ValueError(
+            "ann_recall_report needs corpus_df+codebook, or index="
+        )
 
     truth = (
         mine_hard_negatives(
@@ -1183,6 +1211,69 @@ def ann_index_search(
     )
 
 
+def ann_index_search_batch(
+    index: dict,
+    queries_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    prune: bool = True,
+) -> DataFrame:
+    """Batch retrieval against a persisted ``write_ann_index``
+    artifact — the build-once/query-MANY entry point that
+    ``ann_index_search`` (one driver-side vector) doesn't cover.
+    Every query probes its ``nprobe`` nearest stored cells and meets
+    only those candidates through the same cell equi-join machinery
+    as ``mine_hard_negatives(method="ivf")``; scoring is exact cosine
+    over the STORED full vectors (IVF-flat semantics — for PQ-ADC
+    scoring of single queries use ``ann_index_search``). Returns
+    ``(query_id, <id_col>, cos_sim, rank)`` with rank 1..k per query.
+
+    ``prune=True`` first computes the union of probed cells — one
+    tiny job whose result is at most ``nlist`` integers on the driver
+    — and statically filters the index scan with
+    ``ivf_cell IN (...)``, which lands in the parquet scan's
+    PartitionFilters (directory-level pruning, pinned by a plan
+    test). At 100 TB this is the difference between listing/reading
+    every cell directory and only the probed ones; the per-query
+    candidate narrowing still happens in the equi-join.
+    """
+    params = index["params"]
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    corpus = index["df"]
+    codebook = index["codebook"]
+    if prune:
+        cells = [
+            r["c"]
+            for r in queries_df.select(
+                F.explode(
+                    _probe_cells(F.col(query_vec_col), codebook, nprobe)
+                ).alias("c")
+            )
+            .distinct()
+            .collect()
+        ]
+        corpus = corpus.filter(
+            F.col("ivf_cell").isin([int(c) for c in cells])
+        )
+    out = mine_hard_negatives(
+        queries_df,
+        corpus,
+        None,
+        k,
+        query_id_col=query_id_col,
+        corpus_id_col=id_col,
+        query_vec_col=query_vec_col,
+        corpus_vec_col=vec_col,
+        method="ivf",
+        codebook=codebook,
+        nprobe=nprobe,
+        cell_col="ivf_cell",
+    )
+    return out.withColumnRenamed("neg_rank", "rank")
+
+
 def append_to_ann_index(index_path: str, new_df: DataFrame) -> int:
     """Incrementally grow a ``write_ann_index`` artifact: assign the
     NEW vectors to cells with the INDEX'S OWN quantizers (never
@@ -1207,6 +1298,16 @@ def append_to_ann_index(index_path: str, new_df: DataFrame) -> int:
     )
     if idx.get("pq_codebooks"):
         stamped = pq_encode(stamped, idx["pq_codebooks"], vec_col=vec_col)
-    n = stamped.count()
-    stamped.write.partitionBy("ivf_cell").mode("append").parquet(index_path)
+    # persist around count+write: without it the cell-assignment (and
+    # optional PQ-encode) job would execute twice per append
+    from pyspark import StorageLevel
+
+    stamped = stamped.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = stamped.count()
+        stamped.write.partitionBy("ivf_cell").mode("append").parquet(
+            index_path
+        )
+    finally:
+        stamped.unpersist()
     return n

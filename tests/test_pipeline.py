@@ -1368,3 +1368,61 @@ def test_append_to_ann_index_incremental(spark, tmp_path):
     got = ann_index_search(after, q, k=3, nprobe=8).toPandas()
     assert int(got.iloc[0, 0]) == int(row["vec_id"])
     assert got.iloc[0]["cos_sim"] == 1.0
+
+
+def test_ann_index_search_batch_and_index_recall(spark, tmp_path):
+    """Round 10: batch-query retrieval over the PERSISTED artifact
+    equals the per-query ann_index_search loop; the probed-cell
+    filter lands in the parquet scan's PartitionFilters (directory
+    pruning); ann_recall_report(index=...) sweeps the stored artifact
+    and must hit recall 1.0 at nprobe = nlist."""
+    import re
+
+    from opencosmo_spark.pipeline.similarity import (
+        ann_index_search,
+        ann_index_search_batch,
+        ann_recall_report,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = str(tmp_path / "ann_batch")
+    write_ann_index(emb, p, nlist=8, ivf_iters=2)
+    idx = read_ann_index(spark, p)
+
+    queries = emb.filter(F.col("vec_id") % 100 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = ann_index_search_batch(idx, queries, k=5, nprobe=2)
+    got = batch.toPandas()
+
+    # equality with the single-vector entry point, query by query
+    for row in queries.toPandas().itertuples():
+        loop = ann_index_search(
+            idx, [float(x) for x in row.embedding], k=5, nprobe=2
+        ).toPandas()
+        sub = got[got.query_id == row.query_id].sort_values("rank")
+        assert list(sub.vec_id) == list(loop.vec_id), row.query_id
+        np.testing.assert_allclose(sub.cos_sim, loop.cos_sim)
+
+    # the prune filter is a static IN over the probed cells: it must
+    # reach PartitionFilters on the index scan, not a post-scan filter
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*ivf_cell[^\]]*IN", plan
+    ), f"probe cells not pruned at partition level:\n{plan[:1200]}"
+
+    # recall sweep over the stored index: probing every cell IS the
+    # exact scan, so nprobe = nlist pins recall exactly 1.0
+    rep = {
+        r["nprobe"]: r["recall_at_k"]
+        for r in ann_recall_report(
+            queries, index=idx, k=5, nprobes=(1, 8)
+        ).collect()
+    }
+    assert rep[8] == 1.0
+    assert 0.0 <= rep[1] <= 1.0
+
+    with pytest.raises(ValueError, match="index="):
+        ann_recall_report(queries)
