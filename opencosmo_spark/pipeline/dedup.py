@@ -306,6 +306,29 @@ def band_keys_from_signatures(
     return sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
 
 
+def dedup_index_rows(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    hasher: str = "xxhash64",
+    normalize: bool = True,
+) -> DataFrame:
+    """The (id, fp, shingles, sig) rows a dedup index stores for a set
+    of documents — the exact-dedup fingerprint plus the MinHash state.
+    ``write_dedup_index`` writes these for a full corpus;
+    ``streaming.near_dedup_stream`` appends them per micro-batch so
+    later batches probe earlier survivors without re-reading text."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hasher)
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    fps = df.select(F.col(id_col), F.md5(t).alias("fp"))
+    return fps.join(sigs, id_col)
+
+
 def write_dedup_index(
     df: DataFrame,
     path: str,
@@ -332,12 +355,15 @@ def write_dedup_index(
     ``read_dedup_index`` returns them and ``incremental_dedup``
     validates them when given.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hasher)
-    t = F.col(text_col)
-    if normalize:
-        t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
-    fps = df.select(F.col(id_col), F.md5(t).alias("fp"))
-    out = fps.join(sigs, id_col)
+    out = dedup_index_rows(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+        hasher=hasher,
+        normalize=normalize,
+    )
     out.repartition(buckets, F.col(id_col)).write.mode("overwrite").parquet(path)
     import json
 

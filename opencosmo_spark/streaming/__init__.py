@@ -12,6 +12,7 @@ from .events import (
     corpus_dedup_stream,
     corpus_profile_stream,
     decontaminate_stream,
+    near_dedup_stream,
     drift_monitor_stream,
     dedup_stream,
     event_time_expr,
@@ -35,6 +36,7 @@ __all__ = [
     "corpus_dedup_stream",
     "corpus_profile_stream",
     "decontaminate_stream",
+    "near_dedup_stream",
     "drift_monitor_stream",
     "dedup_stream",
     "windowed_aggregate",

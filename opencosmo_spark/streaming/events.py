@@ -475,6 +475,133 @@ def decontaminate_stream(
     return None
 
 
+def near_dedup_stream(
+    docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_path: str,
+    updates_dir: str,
+    *,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    drive: bool = True,
+):
+    """Streaming NEAR-duplicate ingest dedup against a persisted
+    MinHash index — the live-crawl twin of
+    ``incremental_dedup(existing_index=...)``. Each micro-batch:
+
+    1. probes the base ``write_dedup_index`` artifact UNION the
+       accumulated per-batch survivor signatures in ``updates_dir``
+       (band-bucket join on stored signatures — corpus text is never
+       re-read), dropping exact and near duplicates of everything
+       already kept;
+    2. collapses within-batch near-dup clusters (the batch operator's
+       connected-components stage, batch-sized);
+    3. lands survivors in ``out_dir`` AND their (id, fp, shingles,
+       sig) index rows in ``updates_dir``, both partitioned by
+       ``batch_id`` with dynamic partition overwrite — a recovered
+       batch re-run REPLACES its own partitions, composing
+       foreachBatch's at-least-once into exactly-once at the artifact
+       level.
+
+    Cross-batch state lives in the PERSISTED index increments, not
+    the streaming state store: it is bounded by survivor count (not
+    stream length), survives restarts by construction, doubles as the
+    next batch job's ``existing_index``, and needs no watermark — a
+    duplicate arriving a month late still probes the same artifact.
+    When reading ``updates_dir`` the CURRENT batch_id partition is
+    excluded, so a crash-recovery re-run never sees its own partial
+    output and drops the whole batch as self-duplicates.
+
+    Shingle/hash/normalization parameters come from the index sidecar
+    (probing with different parameters silently misses every
+    duplicate — the batch operator's loud-mismatch guard applies);
+    ``bands``/``jaccard_threshold`` are per-run knobs.
+
+    ``drive=True`` processes all currently-available input and stops
+    (test/backfill harness); ``drive=False`` returns the running
+    ``StreamingQuery``.
+    """
+    from ..pipeline.dedup import (
+        dedup_index_rows,
+        incremental_dedup,
+        read_dedup_index,
+    )
+
+    spark = docs.sparkSession
+
+    def handle(batch_df, batch_id):
+        base, params = read_dedup_index(spark, index_path)
+        id_col = params.get("id_col", "doc_id")
+        try:
+            ups = (
+                spark.read.parquet(updates_dir)
+                .filter(F.col("batch_id") != int(batch_id))
+                .drop("batch_id")
+            )
+            index = base.unionByName(ups)
+        except Exception:  # noqa: BLE001 — first batch: no updates yet
+            index = base
+        survivors = incremental_dedup(
+            None,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            normalize=params.get("normalize", True),
+            near_dup=True,
+            num_hashes=params.get("num_hashes", 16),
+            bands=bands,
+            shingle_k=params.get("shingle_k", 3),
+            jaccard_threshold=jaccard_threshold,
+            hasher=params.get("hasher", "xxhash64"),
+            existing_index=index,
+            index_params=params,
+        )
+        from pyspark import StorageLevel
+
+        survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            (
+                survivors.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+            rows = dedup_index_rows(
+                survivors,
+                text_col=text_col,
+                id_col=id_col,
+                num_hashes=params.get("num_hashes", 16),
+                shingle_k=params.get("shingle_k", 3),
+                hasher=params.get("hasher", "xxhash64"),
+                normalize=params.get("normalize", True),
+            )
+            (
+                rows.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(updates_dir)
+            )
+        finally:
+            survivors.unpersist()
+
+    q = (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    if not drive:
+        return q
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return None
+
+
 def drift_monitor_stream(
     stream_df: DataFrame,
     ref: DataFrame,

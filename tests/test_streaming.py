@@ -651,3 +651,117 @@ def test_decontaminate_stream_matches_batch(spark, tmp_path):
     )
     decontaminate_stream(stream2, out_dir, ckpt, idx, params, k=5)
     assert spark.read.parquet(out_dir).count() == len(got)
+
+
+def test_near_dedup_stream_matches_batch_incremental(spark, tmp_path):
+    """Streaming near-dup ingest against the persisted minhash index:
+    survivors across all micro-batches equal batch incremental_dedup
+    over the concatenated input probing the same base index. Planted:
+    exact dups of the corpus, near-dups of the corpus, a cross-batch
+    near-dup pair, a within-batch near-dup clique, and fresh docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opencosmo_spark.pipeline.dedup import (
+        incremental_dedup,
+        read_dedup_index,
+        write_dedup_index,
+    )
+    from opencosmo_spark.streaming import near_dedup_stream
+
+    rng = __import__("numpy").random.default_rng(31)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+    def doc(n=40):
+        return " ".join(rng.choice(words, size=n))
+
+    def perturb(t):
+        toks = t.split()
+        toks[-1] = "PERTURBED"
+        return " ".join(toks)
+
+    corpus_texts = [doc() for _ in range(10)]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], ["doc_id", "text"]
+    )
+    idx_path = str(tmp_path / "nd_base_idx")
+    write_dedup_index(corpus, idx_path, num_hashes=16, shingle_k=3)
+    base_idx, params = read_dedup_index(spark, idx_path)
+
+    cluster = doc()  # near-dup clique seed (pairwise-similar copies)
+    batch1 = (
+        [doc() for _ in range(8)]          # fresh
+        + [corpus_texts[0]]                # exact dup of corpus
+        + [perturb(corpus_texts[1])]       # near-dup of corpus
+        + [cluster, perturb(cluster)]      # within-batch near-dup pair
+    )
+    batch2 = (
+        [doc() for _ in range(8)]          # fresh
+        + [corpus_texts[2]]                # exact dup of corpus
+        + [cluster + " TAIL"]              # cross-batch near-dup of batch1's survivor
+        + [batch1[0]]                      # cross-batch EXACT dup
+    )
+    d = tmp_path / "nd_docs"
+    d.mkdir()
+    for i, texts in enumerate([batch1, batch2]):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": list(range(i * 100, i * 100 + len(texts))),
+                    "text": texts,
+                }
+            ),
+            d / f"part-{i}.parquet",
+        )
+
+    out_dir = str(tmp_path / "nd_out")
+    ups_dir = str(tmp_path / "nd_updates")
+    ckpt = str(tmp_path / "nd_ckpt")
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    near_dedup_stream(
+        stream, out_dir, ckpt, idx_path, ups_dir,
+        bands=4, jaccard_threshold=0.5,
+    )
+    got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+
+    all_docs = spark.createDataFrame(
+        [(i, t) for i, t in zip(range(0, len(batch1)), batch1)]
+        + [(i, t) for i, t in zip(range(100, 100 + len(batch2)), batch2)],
+        ["doc_id", "text"],
+    )
+    want = sorted(
+        r.doc_id
+        for r in incremental_dedup(
+            None,
+            all_docs,
+            existing_index=base_idx,
+            index_params=params,
+            bands=4,
+            jaccard_threshold=0.5,
+        ).collect()
+    )
+    assert got == want
+    # the planted duplicates died: corpus exacts (8, 108), corpus
+    # near-dup (9), clique loser (11), cross-batch near (109) and
+    # exact (110)
+    assert not {8, 9, 11, 108, 109, 110} & set(got)
+    # the clique winner and fresh docs survived
+    assert 10 in got
+
+    # restart with the same checkpoint: nothing new lands
+    stream2 = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    near_dedup_stream(
+        stream2, out_dir, ckpt, idx_path, ups_dir,
+        bands=4, jaccard_threshold=0.5,
+    )
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    ) == got
