@@ -128,19 +128,75 @@ def _decode_pnm(data: bytes) -> np.ndarray | None:
     return arr
 
 
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter_lines(
+    raw: bytes, off: int, h: int, stride: int, nch: int
+) -> tuple[np.ndarray | None, int]:
+    """Invert PNG scanline filtering for ``h`` lines of ``stride``
+    bytes starting at ``off`` (each line is 1 filter byte + data;
+    the 'previous line' is all-zero for the first line — which is
+    also why each Adam7 pass unfilters independently). Returns
+    ``(array (h, stride), next offset)`` or ``(None, off)`` on an
+    invalid filter byte."""
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = raw[off]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=off + 1)
+        cur = line.astype(np.int32)
+        if f == 0:  # None
+            pass
+        elif f == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need the left pixel
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                if f == 1:
+                    cur[i] = (cur[i] + a) & 0xFF
+                elif f == 3:
+                    cur[i] = (cur[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[i - nch]) if i >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            return None, off  # invalid filter type
+        out[y] = cur
+        prev = cur
+        off += stride + 1
+    return out, off
+
+
 def _decode_png(data: bytes) -> np.ndarray | None:
-    """Pure-python decode of an 8-bit non-interlaced PNG (gray,
-    gray+alpha, RGB, RGBA, and palette — the overwhelmingly common
-    web shapes; public PNG spec, RFC 2083): stdlib ``zlib`` inflate
-    of the IDAT stream, then per-scanline unfiltering
-    (None/Sub/Up/Average/Paeth), returning an (h, w, 3) uint8 RGB
-    array (gray replicated, alpha dropped — the ``convert("RGB")``
-    posture) or None when the payload is not such a PNG. Palette
-    (color type 3) resolves index scanlines through the PLTE chunk
-    as one numpy gather — a tRNS chunk is accepted and ignored, the
-    same alpha-dropping convention as RGBA. 16-bit and
-    Adam7-interlaced images fall through to the stub rather than
-    mis-decode.
+    """Pure-python decode of an 8-bit PNG (gray, gray+alpha, RGB,
+    RGBA, and palette — the overwhelmingly common web shapes; public
+    PNG spec, RFC 2083), non-interlaced AND Adam7-interlaced: stdlib
+    ``zlib`` inflate of the IDAT stream, then per-scanline
+    unfiltering (None/Sub/Up/Average/Paeth), returning an (h, w, 3)
+    uint8 RGB array (gray replicated, alpha dropped — the
+    ``convert("RGB")`` posture) or None when the payload is not such
+    a PNG. Palette (color type 3) resolves index scanlines through
+    the PLTE chunk as one numpy gather — a tRNS chunk is accepted and
+    ignored, the same alpha-dropping convention as RGBA. Adam7
+    deinterlacing runs each of the seven passes through the same
+    unfilter machinery (each pass filters against its OWN previous
+    scanline) and scatters the sub-image with one strided numpy
+    assignment per pass. 16-bit images fall through to the stub
+    rather than mis-decode.
 
     The unfilter loop is per-byte Python per scanline — fine for the
     thumbnail/feature sizes this path serves; a production raster
@@ -176,7 +232,7 @@ def _decode_png(data: bytes) -> np.ndarray | None:
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if (
         width <= 0 or height <= 0 or depth != 8 or nch is None
-        or comp != 0 or filt != 0 or interlace != 0
+        or comp != 0 or filt != 0 or interlace not in (0, 1)
     ):
         return None
     if color == 3:
@@ -189,39 +245,31 @@ def _decode_png(data: bytes) -> np.ndarray | None:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = width * nch
-    if len(raw) < height * (stride + 1):
-        return None
-    out = np.zeros((height, stride), np.uint8)
-    prev = np.zeros(stride, np.int32)
-    for y in range(height):
-        off = y * (stride + 1)
-        f = raw[off]
-        line = np.frombuffer(raw, np.uint8, count=stride, offset=off + 1)
-        cur = line.astype(np.int32)
-        if f == 0:  # None
-            pass
-        elif f == 2:  # Up
-            cur = (cur + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth need the left pixel
-            for i in range(stride):
-                a = int(cur[i - nch]) if i >= nch else 0
-                b = int(prev[i])
-                if f == 1:
-                    cur[i] = (cur[i] + a) & 0xFF
-                elif f == 3:
-                    cur[i] = (cur[i] + ((a + b) >> 1)) & 0xFF
-                else:
-                    c = int(prev[i - nch]) if i >= nch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[i] = (cur[i] + pred) & 0xFF
-        else:
-            return None  # invalid filter type
-        out[y] = cur
-        prev = cur
-    px = out.reshape(height, width, nch)
+    if interlace == 0:
+        stride = width * nch
+        if len(raw) < height * (stride + 1):
+            return None
+        out, _ = _unfilter_lines(raw, 0, height, stride, nch)
+        if out is None:
+            return None
+        px = out.reshape(height, width, nch)
+    else:
+        px = np.zeros((height, width, nch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass emits no bytes at all
+            pstride = pw * nch
+            if len(raw) < off + ph * (pstride + 1):
+                return None
+            sub, off = _unfilter_lines(raw, off, ph, pstride, nch)
+            if sub is None:
+                return None
+            # strided scatter: pass p owns grid positions
+            # (y0 + i*dy, x0 + j*dx)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
     if color == 0:
         return np.repeat(px, 3, axis=2)
     if color == 3:
@@ -522,12 +570,14 @@ def decode_image_features(
     """Attach an image feature vector column.
 
     Decode ladder, per row: PIL when installed ('pil'); else the
-    built-in pure-python parsers over the ACTUAL pixels — 8-bit
-    non-interlaced PNG ('png', stdlib zlib + scanline unfiltering),
-    24-bit BMP ('bmp'), and binary PGM/PPM ('pnm'), all real
-    channel-mean/block-grid features with no dependency; else the
-    deterministic digest fake ('stub-sha256'). The ``decoder`` column
-    records which path each row took.
+    built-in pure-python parsers over the ACTUAL pixels — 8-bit PNG
+    incl. palette and Adam7-interlaced ('png', stdlib zlib + scanline
+    unfiltering), 24-bit BMP ('bmp'), and binary PGM/PPM ('pnm'), all
+    real channel-mean/block-grid features with no dependency; else
+    the deterministic digest fake ('stub-sha256'). The ``decoder``
+    column records which path each row took; ``decoder_report``
+    turns it into the per-format real-vs-stub ledger for the
+    dataset card.
 
     ``require_real_codec=True`` keeps the strict contract: without a
     general codec library JPEG/WebP/GIF payloads would silently stub,
@@ -659,6 +709,34 @@ def media_exact_dedup(
         F.col("keep_id").alias(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def decoder_report(
+    decoded: DataFrame,
+    mime_col: str = "mime",
+    decoder_col: str = "decoder",
+) -> DataFrame:
+    """Per-format decode accounting for the dataset card: one row per
+    (mime, decoder) with ``n`` and ``frac_of_mime`` — the honest
+    ledger of which formats decoded with a REAL codec vs fell to the
+    digest stub (e.g. ``image/jpeg -> stub-sha256 1.0`` in an
+    environment without PIL). Feed it ``decode_image_features`` /
+    ``decode_audio_features`` output; one groupBy + one broadcastable
+    per-mime total join, payload bytes untouched."""
+    per = decoded.groupBy(mime_col, decoder_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = decoded.groupBy(mime_col).agg(F.count(F.lit(1)).alias("__t"))
+    return (
+        per.join(F.broadcast(tot), mime_col)
+        .select(
+            mime_col,
+            decoder_col,
+            "n",
+            F.round(F.col("n") / F.col("__t"), 6).alias("frac_of_mime"),
+        )
+        .orderBy(mime_col, decoder_col)
+    )
 
 
 def media_stats(df: DataFrame) -> DataFrame:
@@ -798,8 +876,13 @@ def audio_near_dedup(
     id per cluster. Re-encoded / resampled-within-PCM twins of the
     same recording collapse; run ``media_exact_dedup`` first at scale
     so this pass sees only distinct bytes. Payloads the WAV decoder
-    can't read fall to the digest stub (distinct digests -> distinct
-    spectra -> such rows are never spuriously merged).
+    can't read get ALL-ZERO band energies from
+    ``audio_spectral_features`` — such rows (like true silence) have
+    no spectral direction to compare, so the zero-energy bypass below
+    excludes them from the cosine pass entirely and they always
+    survive; they are never spuriously merged, but two stub rows are
+    also never merged with EACH OTHER (use ``media_exact_dedup`` for
+    byte-identical undecodables).
     """
     from .dedup import connected_components
     from .similarity import semantic_dedup

@@ -488,8 +488,9 @@ def test_decode_png_all_filters_numpy_differential():
         np.testing.assert_array_equal(got, want)
 
     img = rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
-    # honest gates: 16-bit and interlaced fall through (None), as do
-    # truncated streams and non-PNG bytes
+    # honest gates: 16-bit falls through (None), as do truncated
+    # streams and non-PNG bytes; a header CLAIMING Adam7 over
+    # sequential scanline data fails the pass-length accounting
     assert _decode_png(_make_png(img, 2, [0], depth=16)) is None
     assert _decode_png(_make_png(img, 2, [0], interlace=1)) is None
     assert _decode_png(_make_png(img, 2, [0])[:-12]) is not None  # IEND loss ok
@@ -975,3 +976,162 @@ def test_audio_near_dedup_collapses_twins(spark):
     )
     # tone copies {0, 2, 5} collapse to 0; noise and the stub survive
     assert kept == [0, 1, 7]
+
+
+def _filter_pass(sub, row_filters):
+    """Filter one (Adam7 pass or whole-image) scanline block: returns
+    the raw filtered bytes (1 filter byte + data per line), with the
+    'previous line' zeroed at the block start — the PNG rule that
+    makes each interlace pass self-contained."""
+    h, w, nch = sub.shape
+    raw = bytearray()
+    prev = np.zeros(w * nch, np.int32)
+    for y in range(h):
+        cur = sub[y].reshape(-1).astype(np.int32)
+        f = row_filters[y % len(row_filters)]
+        filt = cur.copy()
+        for i in range(len(cur)):
+            a = int(cur[i - nch]) if i >= nch else 0
+            b = int(prev[i])
+            c = int(prev[i - nch]) if i >= nch else 0
+            if f == 1:
+                filt[i] = (cur[i] - a) & 0xFF
+            elif f == 2:
+                filt[i] = (cur[i] - b) & 0xFF
+            elif f == 3:
+                filt[i] = (cur[i] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (cur[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(filt.astype(np.uint8))
+        prev = cur
+    return bytes(raw)
+
+
+def _make_png_adam7(arr, color_type, row_filters, palette=None):
+    """Adam7-interlaced PNG encoder: seven passes, each filtered
+    independently, concatenated into one IDAT stream (PNG spec §8.2)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    arr = np.asarray(arr, np.uint8)
+    h, w, _nch = arr.shape
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = arr[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _filter_pass(np.ascontiguousarray(sub), row_filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    mid = b""
+    if palette is not None:
+        mid += chunk(b"PLTE", bytes(np.asarray(palette, np.uint8).reshape(-1)))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + mid
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_adam7_numpy_differential():
+    """Adam7 deinterlacing: bit-exact recovery across color types,
+    all five filter types cycling within each pass, and awkward
+    dimensions (1xN, Nx1, sizes straddling the 8x8 pass grid)."""
+    from opencosmo_spark.pipeline.multimodal import _decode_png
+
+    rng = np.random.default_rng(83)
+    for color_type, nch in ((0, 1), (4, 2), (2, 3), (6, 4)):
+        for h, w in ((13, 11), (8, 8), (1, 9), (9, 1), (3, 3), (16, 5)):
+            img = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+            png = _make_png_adam7(img, color_type, row_filters=[0, 1, 2, 3, 4])
+            got = _decode_png(png)
+            assert got is not None, (color_type, h, w)
+            if color_type == 0:
+                want = np.repeat(img, 3, axis=2)
+            elif color_type == 4:
+                want = np.repeat(img[..., :1], 3, axis=2)
+            else:
+                want = img[..., :3]
+            np.testing.assert_array_equal(got, want, err_msg=f"{color_type} {h}x{w}")
+
+    # palette + Adam7: index scanlines deinterlace, then one gather
+    pal = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, size=(10, 6, 1), dtype=np.uint8)
+    png = _make_png_adam7(idx, 3, row_filters=[0, 2], palette=pal)
+    got = _decode_png(png)
+    np.testing.assert_array_equal(got, pal[idx[..., 0]])
+
+    # truncated interlaced stream (half the filtered bytes): the
+    # pass-length accounting must return None, not mis-scatter
+    import struct
+    import zlib
+
+    arr = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    full = _make_png_adam7(arr, 2, [0])
+    i = full.index(b"IDAT")
+    ln = struct.unpack(">I", full[i - 4 : i])[0]
+    raw = zlib.decompress(full[i + 4 : i + 4 + ln])
+    half = zlib.compress(raw[: len(raw) // 2])
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    trunc = full[: i - 4] + chunk(b"IDAT", half) + chunk(b"IEND", b"")
+    assert _decode_png(trunc) is None
+
+
+def test_decoder_report_counts_stub_rows(spark):
+    """decoder_report: the per-format ledger separates real decodes
+    from digest stubs (the honest dataset-card accounting for formats
+    whose codec is gated, e.g. JPEG without PIL)."""
+    import pandas as pd
+
+    from opencosmo_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+        decoder_report,
+    )
+
+    png = _make_png(
+        np.zeros((2, 2, 3), np.uint8), 2, row_filters=[0]
+    )
+    ipng = _make_png_adam7(
+        np.zeros((2, 2, 3), np.uint8), 2, row_filters=[0]
+    )
+    rows = pd.DataFrame(
+        {
+            "media_id": [1, 2, 3, 4],
+            "kind": ["image"] * 4,
+            "payload": [png, ipng, b"\xff\xd8\xff\xe0 fake jpeg", b"\xff\xd8\xff\xe0 fake2"],
+            "mime": ["image/png", "image/png", "image/jpeg", "image/jpeg"],
+            "width": [2, 2, None, None],
+            "height": [2, 2, None, None],
+            "duration_ms": [None] * 4,
+        }
+    )
+    dec = decode_image_features(
+        spark.createDataFrame(rows, MEDIA_SCHEMA), feature_dim=8
+    )
+    rep = {
+        (r["mime"], r["decoder"]): (r["n"], r["frac_of_mime"])
+        for r in decoder_report(dec).collect()
+    }
+    assert rep[("image/png", "png")] == (2, 1.0)  # incl. the Adam7 one
+    assert rep[("image/jpeg", "stub-sha256")] == (2, 1.0)
