@@ -447,15 +447,24 @@ def calibration_report(
     One join (scores to labels, keyed by id) and one aggregation over
     ``bins`` groups; at 100 TB run it on the labeled holdout, which is
     classifier-eval-sized by construction. ``prob = 1.0`` lands in the
-    top bin (no phantom ``bins+1`` bucket).
+    top bin (no phantom ``bins+1`` bucket), out-of-range probs clamp
+    into the edge bins (a bin row outside [0, bins) would silently
+    pollute the table and the ECE weighting), and NULL-prob rows are
+    dropped before binning — an unscored row says nothing about
+    calibration.
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
-    j = scored.select(id_col, prob_col).join(
-        labels.select(id_col, label_col), id_col
+    j = (
+        scored.select(id_col, prob_col)
+        .filter(F.col(prob_col).isNotNull())
+        .join(labels.select(id_col, label_col), id_col)
     )
-    b = F.least(
-        F.floor(F.col(prob_col) * bins).cast("int"), F.lit(bins - 1)
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor(F.col(prob_col) * bins).cast("int"), F.lit(bins - 1)
+        ),
     )
     per = (
         j.select(

@@ -60,6 +60,7 @@ def curate_corpus(
     jaccard_threshold: float = 0.8,
     decontam_k: int = 8,
     decontam_excise: bool = False,
+    decontam_index_path: str | None = None,
     max_dup_span_frac: float | None = None,
     remove_dup_spans: bool = False,
     dup_span: int = 8,
@@ -150,7 +151,13 @@ def curate_corpus(
        (``excise_contaminated_spans``) and keeps the rows, the
        salvage treatment for long documents quoting one benchmark
        item; excision is a text rewrite, so it reports no attrition
-       row.
+       row. ``decontam_index_path`` additionally PUBLISHES the
+       benchmark gram universe (``write_decontamination_index``)
+       next to the release — the same artifact idiom as stage 9's
+       profile shard — and the drop path then probes the
+       just-written index, so the published artifact IS the one the
+       release was cleaned with (an index-probed rerun drops the
+       same documents; round-trip tested).
     6b. duplicated-span handling (mutually exclusive forms):
        ``max_dup_span_frac`` DROPS docs whose corpus-duplicated
        ``dup_span``-window fraction exceeds the cap;
@@ -437,7 +444,26 @@ def curate_corpus(
         # RETURNED frame (attached at the end; later stages rebind out)
         carried_cache = list(getattr(pairs, "_oc_cached", []))
 
+    if decontam_index_path is not None and eval_df is None:
+        raise ValueError(
+            "decontam_index_path publishes the benchmark gram index — "
+            "it needs eval_df"
+        )
     if eval_df is not None:
+        eval_index = index_params = None
+        if decontam_index_path is not None:
+            from .decontaminate import (
+                read_decontamination_index,
+                write_decontamination_index,
+            )
+
+            write_decontamination_index(
+                eval_df, decontam_index_path, k=decontam_k,
+                text_col=text_col,
+            )
+            eval_index, index_params = read_decontamination_index(
+                df.sparkSession, decontam_index_path
+            )
         if decontam_excise:
             from .dedup import excise_contaminated_spans
 
@@ -450,8 +476,11 @@ def curate_corpus(
             out = mark(
                 "decontaminate",
                 decontaminate(
-                    out, eval_df, k=decontam_k,
+                    out,
+                    None if eval_index is not None else eval_df,
+                    k=decontam_k,
                     text_col=text_col, id_col=id_col,
+                    eval_index=eval_index, index_params=index_params,
                 ),
             )
 

@@ -166,21 +166,35 @@ def pool_embeddings(
     would shuffle dim x chunks rows per document instead of chunks.
     Weighted mode (``weight_col``, e.g. chunk token counts) computes
     sum(w_i * v_i) / sum(w_i); zero total weight yields NULL rather
-    than a fake zero vector. Returns ``(id_col, vec_col, n_chunks)``.
+    than a fake zero vector. Chunks with a NULL vector (or NULL
+    weight in weighted mode) are EXCLUDED from the pool instead of
+    silently nulling the whole document vector; ``n_chunks`` counts
+    all chunks seen, ``n_pooled`` the ones that contributed — an
+    all-NULL document pools to NULL with ``n_pooled = 0``. Returns
+    ``(id_col, vec_col, n_chunks, n_pooled)``.
     """
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    valid = F.col(vec_col).isNotNull()
+    if weight_col:
+        valid = valid & F.col(weight_col).isNotNull()
     pairs = df.select(
         F.col(id_col),
-        F.struct(
-            F.transform(
-                F.col(vec_col), lambda x: x.cast("double") * w
-            ).alias("wv"),
-            w.alias("w"),
+        valid.alias("__ok"),
+        F.when(
+            valid,
+            F.struct(
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double") * w
+                ).alias("wv"),
+                w.alias("w"),
+            ),
         ).alias("__p"),
     )
+    # collect_list skips NULL entries, so only valid chunks pool
     g = pairs.groupBy(id_col).agg(
         F.collect_list("__p").alias("__ps"),
         F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("__ok").cast("int")).alias("n_pooled"),
     )
     total_w = F.aggregate(
         "__ps", F.lit(0.0), lambda acc, p: acc + p["w"]
@@ -201,4 +215,4 @@ def pool_embeddings(
             F.aggregate(mean, F.lit(0.0), lambda a, x: a + x * x)
         )
         mean = F.when(nrm > 0, F.transform(mean, lambda x: x / nrm))
-    return g.select(id_col, mean.alias(vec_col), "n_chunks")
+    return g.select(id_col, mean.alias(vec_col), "n_chunks", "n_pooled")

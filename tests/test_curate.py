@@ -168,3 +168,54 @@ def test_curate_corpus_publishes_profile(spark, tmp_path):
     assert prof2.count() == 3  # unsharded release adds one __all__ row
     merged = merge_corpus_profiles(prof2).collect()[0]
     assert merged["docs"] == n1 + out2.count()
+
+
+def test_curate_publishes_decontam_index_roundtrip(spark, tmp_path):
+    """decontam_index_path: curate writes the benchmark gram universe
+    next to the release, the in-call drop stage probes that very
+    artifact, and an index-probed RERUN from the published path drops
+    exactly the same documents — the release ships its own
+    reproducible decontamination."""
+    import pytest
+
+    from opencosmo_spark.pipeline import curate_corpus
+    from opencosmo_spark.pipeline.decontaminate import (
+        decontaminate,
+        read_decontamination_index,
+    )
+
+    bench = "what is the capital of france answer paris exactly here"
+    long_doc = (
+        "a long original essay full of novel words and arguments "
+        + bench
+        + " followed by more completely original closing text indeed"
+    )
+    clean = "another clean document with plenty of original words okay"
+    df = spark.createDataFrame(
+        [(0, long_doc), (1, clean)], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame([(9, bench)], ["doc_id", "text"])
+    idx_path = str(tmp_path / "release_decon_idx")
+
+    curated, counts = curate_corpus(
+        df, eval_df=ev, min_quality=0.0, min_tokens=1,
+        decontam_k=6, decontam_index_path=idx_path,
+    )
+    survivors = {r["doc_id"] for r in curated.collect()}
+    assert survivors == {1}
+    assert counts["decontaminate"] == 1
+
+    # the artifact is a real index: params sidecar + rerun parity
+    idx, params = read_decontamination_index(spark, idx_path)
+    assert params == {"k": 6}
+    rerun = {
+        r["doc_id"]
+        for r in decontaminate(
+            df, None, k=6, eval_index=idx, index_params=params
+        ).collect()
+    }
+    assert rerun == {1}
+
+    # publishing without a benchmark set is a loud error
+    with pytest.raises(ValueError, match="eval_df"):
+        curate_corpus(df, decontam_index_path=idx_path)

@@ -185,3 +185,36 @@ def test_pool_embeddings_matches_numpy_twin(spark):
         np.testing.assert_allclose(
             unit[doc], v / np.linalg.norm(v), rtol=1e-9
         )
+
+
+def test_pool_embeddings_null_chunks_excluded(spark):
+    """A NULL chunk vector (or NULL weight) no longer nulls the whole
+    document: invalid chunks are excluded, n_pooled counts the
+    contributors, and an all-NULL document pools to NULL."""
+    import numpy as np
+
+    from opencosmo_spark.pipeline.embed import pool_embeddings
+
+    rows = [
+        (1, [1.0, 2.0], 2.0),
+        (1, None, 1.0),            # NULL vector: excluded
+        (1, [3.0, 4.0], None),     # NULL weight: excluded in weighted mode
+        (2, None, 1.0),            # all-NULL doc
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>, w double"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in pool_embeddings(df, weight_col="w").collect()
+    }
+    assert got[1]["n_chunks"] == 3 and got[1]["n_pooled"] == 1
+    np.testing.assert_allclose(got[1]["embedding"], [1.0, 2.0])
+    assert got[2]["embedding"] is None and got[2]["n_pooled"] == 0
+
+    # unweighted mode: NULL weight column is irrelevant, NULL vec still skips
+    got_u = {
+        r["doc_id"]: r for r in pool_embeddings(df).collect()
+    }
+    assert got_u[1]["n_pooled"] == 2
+    np.testing.assert_allclose(got_u[1]["embedding"], [2.0, 3.0])

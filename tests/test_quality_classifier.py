@@ -266,3 +266,25 @@ def test_calibration_report_matches_pandas_twin(spark):
     hi = rep[(rep.bin == 8) | (rep.bin == 9)].sort_values("n").iloc[-1]
     assert lo.abs_gap < 0.1 and hi.abs_gap > 0.25
     assert rep[rep.bin == 9].n.iloc[0] >= 1  # the p=1.0 row
+
+
+def test_calibration_report_clamps_and_drops_null_probs(spark):
+    """Out-of-range probs clamp into the edge bins (no bin -1 or
+    bins rows) and NULL-prob rows are dropped before binning, so
+    neither pollutes the table or the ECE weighting."""
+    from opencosmo_spark.pipeline.classify import calibration_report
+
+    scored = spark.createDataFrame(
+        [(1, -0.2), (2, 0.05), (3, 1.4), (4, None), (5, 0.95)],
+        "doc_id long, quality_prob double",
+    )
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1), (5, 1)], ["doc_id", "label"]
+    )
+    rep = calibration_report(scored, labels, bins=10).toPandas()
+    assert set(rep.bin) <= set(range(10))
+    assert rep.n.sum() == 4  # the NULL-prob row is gone
+    bot = rep.set_index("bin").loc[0]
+    top = rep.set_index("bin").loc[9]
+    assert bot["n"] == 2  # -0.2 clamped down into bin 0 with 0.05
+    assert top["n"] == 2  # 1.4 clamped into the top bin with 0.95
