@@ -742,11 +742,12 @@ def q30_text_profile(spark, sf):
     ).select("doc_id", F.lit(True).alias("__cap"))
     g = g.join(cap, "doc_id", "left")
 
-    # chat-render lane (pipeline/chat.py, r9): a synthetic 3-turn
-    # conversation per doc through the REAL render_chat — rendered
-    # length and the assistant turn's supervised-span offsets are pure
+    # chat-render lane (pipeline/chat.py, r9; token spans r10): a
+    # synthetic 3-turn conversation per doc through the REAL
+    # render_chat — rendered length, the assistant turn's
+    # supervised-span CHAR offsets, and (r10) its TOKEN offsets
+    # (token_mode="whitespace": per-part \S+ counts) are pure
     # string/length algebra, mirrored exactly in the oracle
-    from opencosmo_spark.pipeline.chat import render_chat
 
     msgs = F.array(
         F.struct(
@@ -762,13 +763,23 @@ def q30_text_profile(spark, sf):
             F.substring(F.col("text"), 41, 60).alias("content"),
         ),
     )
+    from opencosmo_spark.pipeline.chat import render_chat
+
     chat = render_chat(
-        d.select("doc_id", msgs.alias("messages")), "messages"
+        d.select("doc_id", msgs.alias("messages")),
+        "messages",
+        token_mode="whitespace",
     ).select(
         "doc_id",
         F.length("text").alias("chat_len"),
         F.element_at("supervised_spans", 1)["start"].alias("chat_sup_start"),
         F.element_at("supervised_spans", 1)["end"].alias("chat_sup_end"),
+        F.element_at("supervised_spans", 1)["tok_start"]
+        .cast("long")
+        .alias("chat_tok_start"),
+        F.element_at("supervised_spans", 1)["tok_end"]
+        .cast("long")
+        .alias("chat_tok_end"),
     )
     g = g.join(chat, "doc_id", "left")
 
@@ -806,6 +817,8 @@ def q30_text_profile(spark, sf):
         "chat_len",
         "chat_sup_start",
         "chat_sup_end",
+        "chat_tok_start",
+        "chat_tok_end",
     )
 
 
@@ -2065,12 +2078,23 @@ def oracle_sql() -> dict[str, str]:
             -- chat-render lane mirror: template <|role|>\ncontent\n per
             -- turn; fixed system part is 28 chars, user header 10 +
             -- len(u), assistant header 14 -> supervised content starts
-            -- at 52 + len(u)
+            -- at 52 + len(u). Token coordinates (whitespace mode,
+            -- per-part \S+ counts): system part = 1 header + 3
+            -- content tokens, each other header 1 token, footers 0 ->
+            -- assistant content tokens start at 6 + tokens(u)
             , chat AS (
               SELECT doc_id,
                      52 + length(substr(text, 1, 40)) AS chat_sup_start,
                      52 + length(substr(text, 1, 40))
-                        + length(substr(text, 41, 60)) AS chat_sup_end
+                        + length(substr(text, 41, 60)) AS chat_sup_end,
+                     6 + length(regexp_extract_all(
+                           substr(text, 1, 40), '\S+'))
+                       AS chat_tok_start,
+                     6 + length(regexp_extract_all(
+                           substr(text, 1, 40), '\S+'))
+                       + length(regexp_extract_all(
+                           substr(text, 41, 60), '\S+'))
+                       AS chat_tok_end
               FROM documents
             )
             SELECT s.doc_id, s.n_chars_calc, s.n_tokens, s.avg_word_len,
@@ -2098,7 +2122,9 @@ def oracle_sql() -> dict[str, str]:
                    (c.rn <= 5) AS u_cap_keep,
                    ch.chat_sup_end + 1 AS chat_len,
                    ch.chat_sup_start,
-                   ch.chat_sup_end
+                   ch.chat_sup_end,
+                   ch.chat_tok_start,
+                   ch.chat_tok_end
             FROM stats s
             JOIN lang l USING (doc_id)
             JOIN qs q USING (doc_id)
