@@ -1,0 +1,114 @@
+"""End-to-end example: instruction-tuning data preparation — build
+conversations, render them with a configurable chat template, compute
+exact loss-mask spans (character AND token offsets), pack into
+fixed-token training sequences, and verify the mask survives packing.
+
+Run against the synthetic fixtures:
+
+    python examples/sft_pipeline.py [sf_dir]
+
+Everything here is the public package API; each step prints what it
+did. At real scale the same calls run unchanged on a cluster — the
+chat chain is row-local JVM expressions, and packing parallelizes per
+shard.
+"""
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from opencosmo_spark import get_spark  # noqa: E402
+from opencosmo_spark.pipeline.chat import (  # noqa: E402
+    CHATML,
+    chat_sft_rows,
+    conversation_turns,
+    pack_sft_rows,
+    render_chat,
+)
+from opencosmo_spark.pipeline.text import packing_report  # noqa: E402
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def main():
+    spark = get_spark("sft-example")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    # 1. synthesize ShareGPT-shaped conversations from the documents
+    #    table: system turn + user question (text prefix) + assistant
+    #    answer (text middle) — the interchange shape chat JSONL lands
+    #    in. Real pipelines read this with jsonl.read_jsonl.
+    convs = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        F.array(
+            F.struct(
+                F.lit("system").alias("role"),
+                F.lit("You are a concise assistant.").alias("content"),
+            ),
+            F.struct(
+                F.lit("user").alias("role"),
+                F.substring("text", 1, 80).alias("content"),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"),
+                F.substring("text", 81, 160).alias("content"),
+            ),
+        ).alias("messages"),
+    )
+    n_turns = conversation_turns(convs).count()
+    print(f"conversations: {convs.count()} ({n_turns} turns)")
+
+    # 2. render with the ChatML template, token offsets included:
+    #    supervised_spans carries (start, end, tok_start, tok_end) for
+    #    every assistant turn, computed by the SAME expressions that
+    #    render — the loss mask can never desync from the text.
+    sft = chat_sft_rows(convs, token_mode="whitespace", template=CHATML)
+    row = sft.orderBy("conv_id").first()
+    sp = row["supervised_spans"][0]
+    sliced = row["text"][sp["start"] : sp["end"]]
+    print(
+        f"rendered: {sft.count()} rows with supervised content; "
+        f"first span chars [{sp['start']}:{sp['end']}] tokens "
+        f"[{sp['tok_start']}:{sp['tok_end']}]"
+    )
+    print(f"mask check: span slices assistant content = {len(sliced) > 0}")
+
+    # 3. pack into 256-token training sequences, binning by the
+    #    render-consistent n_tokens column; spans re-base to pack
+    #    coordinates (char and token offsets shift in lockstep)
+    packs = pack_sft_rows(
+        sft, budget=256, token_count_col="n_tokens"
+    )
+    rep = packing_report(packs, budget=256)
+    print(
+        f"packed: {rep['packs']} packs, {rep['tokens']} tokens, "
+        f"waste_frac={rep['waste_frac']:.3f}, "
+        f"oversize={rep['oversize_packs']}"
+    )
+
+    # 4. the invariant a trainer depends on: every re-based span still
+    #    slices exactly one assistant turn's content out of the PACK
+    first_pack = packs.orderBy("pack_id").first()
+    ok = all(
+        0 <= s["start"] < s["end"] <= len(first_pack["text"])
+        for s in first_pack["supervised_spans"]
+    )
+    print(
+        f"pack 0: {first_pack['n_docs']} conversations, "
+        f"{len(first_pack['supervised_spans'])} supervised spans, "
+        f"all in-bounds = {ok}"
+    )
+
+    # 5. default-template render for comparison (token coordinates
+    #    equal whole-text whitespace tokenization for this template)
+    plain = render_chat(convs, token_mode="whitespace")
+    tot = plain.agg(F.sum("n_tokens")).first()[0]
+    print(f"default template total tokens: {tot}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -125,3 +125,19 @@ def test_streaming_pipeline_example_runs():
     # batch groupBy's; the sentinel proves it got there
     assert "stream profile: 2 batch rows -> card docs=200" in out.stdout
     assert "streaming pipeline complete" in out.stdout
+
+
+def test_sft_pipeline_example_runs():
+    out = subprocess.run(
+        [sys.executable, "examples/sft_pipeline.py",
+         "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "conversations: 500" in out.stdout
+    assert "mask check: span slices assistant content = True" in out.stdout
+    assert "packed:" in out.stdout and "oversize=0" in out.stdout
+    assert "all in-bounds = True" in out.stdout
