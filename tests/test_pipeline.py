@@ -1426,3 +1426,35 @@ def test_ann_index_search_batch_and_index_recall(spark, tmp_path):
 
     with pytest.raises(ValueError, match="index="):
         ann_recall_report(queries)
+
+
+def test_ann_index_search_batch_pq_index_scores_full_vectors(spark, tmp_path):
+    """Batch search over a PQ-encoded index scores with the STORED
+    full vectors (IVF-flat semantics): at full probe it equals brute
+    force exactly, codes notwithstanding."""
+    from opencosmo_spark.pipeline import brute_force_cosine_topk
+    from opencosmo_spark.pipeline.similarity import (
+        ann_index_search_batch,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = str(tmp_path / "ann_pq_batch")
+    write_ann_index(emb, p, nlist=8, ivf_iters=2, pq_m=4, pq_ksub=8, pq_iters=2)
+    idx = read_ann_index(spark, p)
+
+    qrow = emb.filter(F.col("vec_id") == 7).first()
+    queries = spark.createDataFrame(
+        [(7, list(qrow["embedding"]))], "query_id long, embedding array<double>"
+    )
+    got = (
+        ann_index_search_batch(idx, queries, k=6, nprobe=8)
+        .orderBy("rank")
+        .toPandas()
+    )
+    brute = brute_force_cosine_topk(
+        emb, [float(x) for x in qrow["embedding"]], k=6
+    ).toPandas()
+    assert list(got.vec_id) == list(brute.vec_id)
+    np.testing.assert_allclose(got.cos_sim, brute.cos_sim)
