@@ -178,20 +178,30 @@ def _apply_bpe_pandas(
     text_col: str,
     id_col: str,
     out_col: str,
+    vocab: dict[str, int] | None = None,
+    unk_id: int | None = None,
 ) -> DataFrame:
     """Vocab-scale BPE application: broadcast merge-rank dict + Arrow
-    pandas UDF (see ``apply_bpe`` for the equivalence argument)."""
+    pandas UDF (see ``apply_bpe`` for the equivalence argument). With
+    ``vocab`` the same pass emits ``array<int>`` token ids (see
+    ``bpe_encode_ids``)."""
     import re
 
     from .text import WORD_RE
 
     ranks = {pair: i for i, pair in enumerate(merges)}
     bc = df.sparkSession.sparkContext.broadcast(ranks)
+    bc_vocab = (
+        df.sparkSession.sparkContext.broadcast(dict(vocab))
+        if vocab is not None
+        else None
+    )
     word_re = re.compile(WORD_RE)
 
-    @F.pandas_udf("array<string>")
+    @F.pandas_udf("array<string>" if vocab is None else "array<int>")
     def bpe_udf(texts: pd.Series) -> pd.Series:
         rk = bc.value
+        vb = bc_vocab.value if bc_vocab is not None else None
         cache: dict[str, list[str]] = {}
 
         def encode(word: str) -> list[str]:
@@ -229,7 +239,65 @@ def _apply_bpe_pandas(
             toks: list[str] = []
             for w in word_re.findall((t or "").lower()):
                 toks.extend(encode(w))
-            res.append(toks)
+            if vb is None:
+                res.append(toks)
+            elif unk_id is None:
+                try:
+                    res.append([vb[s] for s in toks])
+                except KeyError as e:
+                    raise ValueError(
+                        f"token {e.args[0]!r} not in vocab — pass "
+                        "unk_id to map out-of-vocabulary symbols"
+                    ) from None
+            else:
+                res.append([vb.get(s, int(unk_id)) for s in toks])
         return pd.Series(res)
 
     return df.select(F.col(id_col), bpe_udf(F.col(text_col)).alias(out_col))
+
+def bpe_vocab(
+    tokens_df: DataFrame, tokens_col: str = "bpe_tokens"
+) -> DataFrame:
+    """Dense, deterministic vocabulary over a tokenized corpus:
+    ``(token, token_id)`` with ids 0..V-1 assigned in lexicographic
+    token order — the same corpus always yields the same mapping, at
+    any partitioning. One explode+distinct aggregation (corpus-sized)
+    followed by a global ranking window over the DISTINCT tokens,
+    which is vocab-sized (tens of thousands of rows) — the one place
+    a single-partition window is the right call."""
+    from pyspark.sql import Window
+
+    return (
+        tokens_df.select(F.explode(tokens_col).alias("token"))
+        .distinct()
+        .withColumn(
+            "token_id",
+            F.row_number().over(Window.orderBy("token")) - 1,
+        )
+    )
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "input_ids",
+    unk_id: int | None = None,
+) -> DataFrame:
+    """Tokenize documents straight to integer ``input_ids`` — the
+    shape a trainer actually loads. Same merge application as
+    ``apply_bpe(method="pandas")`` (min-rank greedy, per-partition
+    word memo) with the vocabulary mapped in the SAME Arrow batch, so
+    the text is traversed once and no array<string> intermediate ever
+    materializes. ``vocab`` is a driver dict (vocab-scale by
+    construction — collect ``bpe_vocab``'s output); it ships once per
+    executor via broadcast alongside the merge ranks.
+
+    Out-of-vocabulary symbols (a character the vocab never saw) map
+    to ``unk_id`` when given, else raise loudly — silently skipping
+    them would desync ids from token counts."""
+    return _apply_bpe_pandas(
+        df, merges, text_col, id_col, out_col, vocab=vocab, unk_id=unk_id
+    )

@@ -190,3 +190,40 @@ def test_tokenizer_pipeline_end_to_end(spark):
     assert all(r["n"] < 48 + 16 for r in seqs)
     total = sum(r["n"] for r in seqs)
     assert total == sum(tok_counts.values())  # nothing lost in packing
+
+
+def test_bpe_vocab_and_encode_ids_roundtrip(spark):
+    """bpe_vocab is dense/deterministic; bpe_encode_ids emits exactly
+    the ids of apply_bpe's tokens (decode-back equality); OOV symbols
+    raise loudly without unk_id and map to it when given."""
+    from opencosmo_spark.pipeline.bpe import bpe_encode_ids, bpe_vocab
+
+    texts = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new"),
+        (2, "wider wide widest lower"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    merges = train_bpe_merges(df, n_merges=12, min_pair_freq=1)
+    toks = apply_bpe(df, merges, method="pandas")
+
+    v = bpe_vocab(toks).toPandas().sort_values("token_id")
+    assert list(v.token_id) == list(range(len(v)))  # dense 0..V-1
+    assert list(v.token) == sorted(v.token)          # lexicographic
+    vocab = dict(zip(v.token, v.token_id))
+    inv = {i: t for t, i in vocab.items()}
+
+    ids = {
+        r["doc_id"]: r["input_ids"]
+        for r in bpe_encode_ids(df, merges, vocab).collect()
+    }
+    want = {r["doc_id"]: r["bpe_tokens"] for r in toks.collect()}
+    for did, tk in want.items():
+        assert [inv[i] for i in ids[did]] == tk, did
+
+    # OOV: a character never seen in training
+    oov = spark.createDataFrame([(9, "zzz qqq")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="not in vocab"):
+        bpe_encode_ids(oov, merges, vocab).collect()
+    got = bpe_encode_ids(oov, merges, vocab, unk_id=-1).first()["input_ids"]
+    assert -1 in got
