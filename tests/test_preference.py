@@ -1,0 +1,204 @@
+"""Preference-pair (DPO) preparation: shared-prompt-prefix guarantee,
+completion-only span masking against an exact python twin, token
+offsets, and the pair-hygiene filter."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opencosmo_spark.pipeline.chat import CHATML, ChatTemplate
+from opencosmo_spark.pipeline.preference import (
+    filter_preference_pairs,
+    render_preference_pairs,
+)
+
+# (pair_id, prompt_msgs, chosen_msgs, rejected_msgs)
+PAIRS = [
+    (
+        0,
+        [
+            ("system", "You are terse."),
+            ("user", "What is 2+2?"),
+            ("assistant", "4"),  # context assistant turn: stays masked
+            ("user", "And 3+3?"),
+        ],
+        [("assistant", "6, naturally.")],
+        [("assistant", "seven")],
+    ),
+    (
+        1,
+        [("user", "name a prime")],
+        [("assistant", "7"), ("user", "why?"), ("assistant", "odd, indivisible")],
+        [("assistant", "7")],
+    ),
+    # multi-byte content on both sides of the boundary
+    (
+        2,
+        [("user", "übersetze: café")],
+        [("assistant", "café → Kaffeehaus")],
+        [("assistant", "")],  # empty completion: zero-length span dropped
+    ),
+    (3, [("user", "hi")], None, [("assistant", "yo")]),  # NULL chosen
+    (4, [("user", "same")], [("assistant", "tie")], [("assistant", "tie")]),
+]
+
+SCHEMA = (
+    "pair_id long,"
+    " prompt array<struct<role:string,content:string>>,"
+    " chosen array<struct<role:string,content:string>>,"
+    " rejected array<struct<role:string,content:string>>"
+)
+
+
+def _render(msgs, tpl):
+    text, pos, spans = "", 0, []
+    for r, c in msgs or []:
+        h, f = tpl.header(r), tpl.footer_of(r)
+        if r == "assistant":
+            spans.append((pos + len(h), pos + len(h) + len(c)))
+        text += h + c + f
+        pos = len(text)
+    return text, spans
+
+
+def _twin(prompt, comp, tpl):
+    """Exact python reference: render prompt++comp, keep assistant
+    spans that end past the rendered-prompt length."""
+    ptext, _ = _render(prompt, tpl)
+    text, spans = _render((prompt or []) + (comp or []), tpl)
+    keep = [s for s in spans if s[1] > len(ptext) and s[1] > s[0]]
+    return ptext, text, keep
+
+
+@pytest.fixture(scope="module")
+def pairs_df(spark):
+    return spark.createDataFrame(PAIRS, SCHEMA)
+
+
+@pytest.mark.parametrize(
+    "tpl",
+    [ChatTemplate(), CHATML],
+    ids=["default", "chatml"],
+)
+def test_render_matches_twin_across_templates(spark, pairs_df, tpl):
+    got = {
+        r["pair_id"]: r
+        for r in render_preference_pairs(pairs_df, template=tpl).collect()
+    }
+    for pid, prompt, chosen, rejected in PAIRS:
+        row = got[pid]
+        for comp, name in ((chosen, "chosen"), (rejected, "rejected")):
+            ptext, text, spans = _twin(prompt, comp, tpl)
+            assert row["prompt_text"] == ptext, (pid, name)
+            assert row["prompt_chars"] == len(ptext)
+            assert row[f"{name}_text"] == text, (pid, name)
+            assert [
+                (s["start"], s["end"]) for s in row[f"{name}_spans"]
+            ] == spans, (pid, name)
+            # the invariants the trainer depends on
+            assert text.startswith(ptext)
+            for s, e in spans:
+                assert s >= len(ptext) and e > s
+
+
+def test_shared_prefix_and_slice_invariant(pairs_df):
+    for row in render_preference_pairs(pairs_df).collect():
+        p = row["prompt_chars"]
+        assert row["chosen_text"][:p] == row["rejected_text"][:p]
+        assert row["chosen_text"][:p] == row["prompt_text"]
+        for name in ("chosen", "rejected"):
+            text = row[f"{name}_text"]
+            for sp in row[f"{name}_spans"]:
+                # every span slices completion content (non-prompt)
+                assert sp["start"] >= p and sp["end"] > sp["start"]
+                assert text[sp["start"] : sp["end"]] != ""
+
+
+def test_context_assistant_turn_stays_masked(pairs_df):
+    row = (
+        render_preference_pairs(pairs_df)
+        .filter(F.col("pair_id") == 0)
+        .collect()[0]
+    )
+    # prompt holds one assistant turn ("4") — it must NOT appear in
+    # either branch's spans; each branch supervises exactly its one
+    # completion turn
+    assert len(row["chosen_spans"]) == 1
+    assert len(row["rejected_spans"]) == 1
+    sp = row["chosen_spans"][0]
+    assert row["chosen_text"][sp["start"] : sp["end"]] == "6, naturally."
+    sp = row["rejected_spans"][0]
+    assert row["rejected_text"][sp["start"] : sp["end"]] == "seven"
+
+
+def test_token_offsets_slice_whole_string_tokenization(pairs_df):
+    out = render_preference_pairs(pairs_df, token_mode="whitespace")
+    for row in out.collect():
+        ptoks = row["prompt_tokens"]
+        assert ptoks == len(row["prompt_text"].split())
+        for name in ("chosen", "rejected"):
+            toks = row[f"{name}_text"].split()
+            assert row[f"{name}_tokens"] == len(toks)
+            for sp in row[f"{name}_spans"]:
+                content = row[f"{name}_text"][sp["start"] : sp["end"]]
+                assert toks[sp["tok_start"] : sp["tok_end"]] == content.split()
+                assert sp["tok_start"] >= ptoks
+
+
+def test_null_completion_renders_bare_prompt(pairs_df):
+    row = (
+        render_preference_pairs(pairs_df)
+        .filter(F.col("pair_id") == 3)
+        .collect()[0]
+    )
+    assert row["chosen_text"] == row["prompt_text"]
+    assert row["chosen_spans"] == []
+    assert len(row["rejected_spans"]) == 1
+
+
+def test_preexisting_text_column_survives(spark):
+    df = spark.createDataFrame(PAIRS, SCHEMA).withColumn(
+        "text", F.lit("original-doc-text")
+    )
+    out = render_preference_pairs(df)
+    assert out.filter(F.col("text") != "original-doc-text").count() == 0
+    assert "chosen_text" in out.columns
+
+
+def test_filter_preference_pairs(pairs_df):
+    rendered = render_preference_pairs(pairs_df)
+    kept = filter_preference_pairs(rendered)
+    ids = {r["pair_id"] for r in kept.select("pair_id").collect()}
+    # 2 drops (empty rejected), 3 drops (NULL chosen), 4 drops
+    # (identical); 0 and 1 survive
+    assert ids == {0, 1}
+    flags = {
+        r["pair_id"]: r
+        for r in filter_preference_pairs(
+            rendered, min_completion_chars=0, drop_identical=False
+        ).collect()
+    }
+    assert flags[4]["pp_identical"] is True
+    assert flags[0]["pp_identical"] is False
+    assert flags[0]["pp_chosen_chars"] == len("6, naturally.")
+    assert flags[0]["pp_rejected_chars"] == len("seven")
+    # len-ratio gate: pair 1's chosen has 17 supervised chars vs the
+    # rejected's 1 (ratio 17); pair 0 is 13 vs 5 (ratio 2.6)
+    strict = filter_preference_pairs(rendered, max_len_ratio=3.0)
+    sids = {r["pair_id"] for r in strict.select("pair_id").collect()}
+    assert sids == {0}
+
+
+def test_len_ratio_value(pairs_df):
+    flags = {
+        r["pair_id"]: r
+        for r in filter_preference_pairs(
+            render_preference_pairs(pairs_df),
+            min_completion_chars=0,
+            drop_identical=False,
+        ).collect()
+    }
+    c = flags[0]["pp_chosen_chars"]
+    r = flags[0]["pp_rejected_chars"]
+    assert flags[0]["pp_len_ratio"] == round(max(c, r) / min(c, r), 6)
+    # empty side -> NULL ratio
+    assert flags[2]["pp_len_ratio"] is None
