@@ -1131,17 +1131,30 @@ def write_ann_index(
     return params
 
 
-def read_ann_index(spark, path: str) -> dict:
+def read_ann_index(spark, path: str, updates_dir: str | None = None) -> dict:
     """Load a ``write_ann_index`` artifact:
     ``{"df", "codebook", "pq_codebooks", "params"}`` — the DataFrame
     keeps its ``ivf_cell`` partition column so probe filters prune at
     the directory level; the codebooks come back exactly as written
-    (floats round-trip through JSON bit-for-bit)."""
+    (floats round-trip through JSON bit-for-bit).
+
+    ``updates_dir``: also union the per-batch increments written by
+    ``streaming.ann_index_stream`` (partitioned ``batch_id/ivf_cell``
+    — ``ivf_cell`` stays a partition column there too, so probe
+    filters prune BOTH scans at the directory level). Missing or
+    empty updates dir is fine: the index is just the base artifact.
+    """
     import json
 
     from ..io.ingest import hadoop_fs
 
     df = spark.read.parquet(path)
+    if updates_dir is not None:
+        _, ufs, ujpath = hadoop_fs(spark, updates_dir)
+        if ufs.exists(ujpath):
+            df = df.unionByName(
+                spark.read.parquet(updates_dir).drop("batch_id")
+            )
     jvm, fs, jpath = hadoop_fs(spark, path.rstrip("/") + "/_ann_params.json")
     if not fs.exists(jpath):
         raise ValueError(f"{path} has no _ann_params.json sidecar")

@@ -532,16 +532,19 @@ def near_dedup_stream(
     spark = docs.sparkSession
 
     def handle(batch_df, batch_id):
+        from ..io.ingest import hadoop_fs
+
         base, params = read_dedup_index(spark, index_path)
         id_col = params.get("id_col", "doc_id")
-        try:
+        _jvm, fs, jpath = hadoop_fs(spark, updates_dir)
+        if fs.exists(jpath):
             ups = (
                 spark.read.parquet(updates_dir)
                 .filter(F.col("batch_id") != int(batch_id))
                 .drop("batch_id")
             )
             index = base.unionByName(ups)
-        except Exception:  # noqa: BLE001 — first batch: no updates yet
+        else:  # first batch: no survivor increments yet
             index = base
         survivors = incremental_dedup(
             None,
@@ -590,6 +593,78 @@ def near_dedup_stream(
 
     q = (
         docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    if not drive:
+        return q
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return None
+
+
+def ann_index_stream(
+    vectors: DataFrame,
+    updates_dir: str,
+    checkpoint_dir: str,
+    index_path: str,
+    *,
+    drive: bool = True,
+):
+    """Streaming ingest into a persisted ANN index — the live twin of
+    ``similarity.append_to_ann_index``. Each arriving micro-batch of
+    ``(id, vector)`` rows is stamped with the index's OWN quantizers
+    (cell assignment, and PQ codes when the index carries codebooks —
+    NEVER retrained: a new codebook would orphan the files already
+    clustered) and lands in ``updates_dir`` partitioned by
+    ``(batch_id, ivf_cell)`` with dynamic partition overwrite, so a
+    crash-recovery re-run REPLACES its own partitions — the same
+    at-least-once-to-exactly-once composition as the profile / dedup
+    streams, chosen over ``mode("append")`` into the base index
+    precisely because a retried append would duplicate vectors.
+
+    ``ivf_cell`` stays a partition column in the increments, so
+    ``read_ann_index(path, updates_dir=...)`` serves queries over
+    base + live rows with directory-level pruning on BOTH scans, and
+    cross-batch state is zero: the quantizer is static (read once at
+    wiring — the never-retrain posture made explicit) and each batch
+    is independent. Rebuild with ``write_ann_index`` when drift
+    degrades cell balance, exactly as for batch appends.
+    """
+    from ..pipeline.similarity import (
+        assign_ivf_cells,
+        pq_encode,
+        read_ann_index,
+    )
+
+    spark = vectors.sparkSession
+    idx = read_ann_index(spark, index_path)
+    params = idx["params"]
+    id_col, vec_col = params["id_col"], params["vec_col"]
+
+    def handle(batch_df, batch_id):
+        stamped = assign_ivf_cells(
+            batch_df.select(id_col, vec_col),
+            idx["codebook"],
+            vec_col=vec_col,
+            cell_col="ivf_cell",
+        )
+        if idx.get("pq_codebooks"):
+            stamped = pq_encode(
+                stamped, idx["pq_codebooks"], vec_col=vec_col
+            )
+        (
+            stamped.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "ivf_cell")
+            .parquet(updates_dir)
+        )
+
+    q = (
+        vectors.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

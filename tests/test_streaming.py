@@ -765,3 +765,114 @@ def test_near_dedup_stream_matches_batch_incremental(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(out_dir).collect()
     ) == got
+
+
+def test_ann_index_stream_matches_batch_stamping(spark, tmp_path):
+    """Streaming ANN ingest: micro-batch increments carry exactly the
+    rows batch stamping with the STORED quantizers would produce
+    (cells AND PQ codes), the merged index's full-probe search equals
+    brute force over base+new, and probe filters prune BOTH scans at
+    the partition level."""
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from opencosmo_spark.pipeline import brute_force_cosine_topk
+    from opencosmo_spark.pipeline.similarity import (
+        ann_index_search_batch,
+        assign_ivf_cells,
+        pq_encode,
+        read_ann_index,
+        write_ann_index,
+    )
+    from opencosmo_spark.streaming import ann_index_stream
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 40)
+    new = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60))
+
+    idx_path = str(tmp_path / "ann_base")
+    write_ann_index(
+        base, idx_path, nlist=4, ivf_iters=2, pq_m=4, pq_ksub=8, pq_iters=2
+    )
+
+    # two micro-batches of new vectors via the file source
+    d = tmp_path / "ann_new"
+    d.mkdir()
+    pdf = new.toPandas()
+    pq.write_table(
+        __import__("pyarrow").Table.from_pandas(pdf.iloc[:10]),
+        d / "part-0.parquet",
+    )
+    pq.write_table(
+        __import__("pyarrow").Table.from_pandas(pdf.iloc[10:]),
+        d / "part-1.parquet",
+    )
+    ups_dir = str(tmp_path / "ann_updates")
+    ckpt = str(tmp_path / "ann_ckpt")
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    ann_index_stream(stream, ups_dir, ckpt, idx_path)
+
+    # 1) artifact equality: increments == batch stamping of the
+    # concatenated input under the stored quantizers
+    idx = read_ann_index(spark, idx_path)
+    want = pq_encode(
+        assign_ivf_cells(
+            new.select("vec_id", "embedding"),
+            idx["codebook"],
+            cell_col="ivf_cell",
+        ),
+        idx["pq_codebooks"],
+    )
+    got_rows = spark.read.parquet(ups_dir).drop("batch_id")
+
+    def norm(df):
+        return sorted(
+            (
+                int(r["vec_id"]),
+                int(r["ivf_cell"]),
+                tuple(int(c) for c in r["pq_codes"]),
+            )
+            for r in df.collect()
+        )
+
+    assert norm(got_rows) == norm(want)
+    assert spark.read.parquet(ups_dir).select("batch_id").distinct().count() == 2
+
+    # 2) merged search at full probe == brute force over base + new
+    merged = read_ann_index(spark, idx_path, updates_dir=ups_dir)
+    qrow = emb.filter(F.col("vec_id") == 45).toPandas().embedding[0]
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in qrow])], "query_id long, embedding array<double>"
+    )
+    got = (
+        ann_index_search_batch(merged, queries, k=6, nprobe=4)
+        .toPandas()
+        .sort_values("rank")
+    )
+    both = emb.filter(F.col("vec_id") < 60)
+    brute = brute_force_cosine_topk(
+        both, [float(x) for x in qrow], k=6
+    ).toPandas()
+    assert list(got.vec_id) == list(brute.vec_id)  # 45 itself wins
+    np.testing.assert_allclose(got.cos_sim, brute.cos_sim, atol=1e-6)
+
+    # 3) probe filters prune base AND updates at the directory level
+    probed = merged["df"].filter(F.col("ivf_cell").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    hits = re.findall(r"PartitionFilters: \[[^\]]*ivf_cell[^\]]*IN", plan)
+    assert len(hits) == 2, f"expected pruning on both scans:\n{plan[:1200]}"
+
+    # 4) restart with the same checkpoint: nothing re-lands, rows stay
+    stream2 = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    ann_index_stream(stream2, ups_dir, ckpt, idx_path)
+    assert norm(spark.read.parquet(ups_dir).drop("batch_id")) == norm(want)
