@@ -783,6 +783,48 @@ def q30_text_profile(spark, sf):
     )
     g = g.join(chat, "doc_id", "left")
 
+    # preference-pair lane (pipeline/preference.py, r10): a synthetic
+    # (prompt, chosen, rejected) triple per doc through the REAL
+    # render_preference_pairs + filter_preference_pairs flags — the
+    # shared-prefix boundary, the completion span offsets (NULL when
+    # the completion is empty: zero-length spans are dropped), and
+    # the pair-hygiene flags are pure string/length algebra, mirrored
+    # exactly in the oracle
+    from opencosmo_spark.pipeline.preference import (
+        filter_preference_pairs,
+        render_preference_pairs,
+    )
+
+    def _msg(role, content):
+        return F.array(
+            F.struct(F.lit(role).alias("role"), content.alias("content"))
+        )
+
+    trip = d.select(
+        "doc_id",
+        _msg("user", F.substring("text", 1, 30)).alias("prompt"),
+        _msg("assistant", F.substring("text", 31, 40)).alias("chosen"),
+        _msg("assistant", F.substring("text", 71, 20)).alias("rejected"),
+    )
+    pp = filter_preference_pairs(
+        render_preference_pairs(trip),
+        min_completion_chars=0,
+        drop_identical=False,
+    ).select(
+        "doc_id",
+        F.col("prompt_chars").alias("dpo_prompt_chars"),
+        F.try_element_at("chosen_spans", F.lit(1))["start"].alias(
+            "dpo_chosen_start"
+        ),
+        F.try_element_at("chosen_spans", F.lit(1))["end"].alias(
+            "dpo_chosen_end"
+        ),
+        F.col("pp_rejected_chars").alias("dpo_rejected_chars"),
+        F.col("pp_identical").alias("dpo_identical"),
+        F.col("pp_len_ratio").alias("dpo_len_ratio"),
+    )
+    g = g.join(pp, "doc_id", "left")
+
     return g.select(
         "doc_id",
         length.alias("n_chars_calc"),
@@ -819,6 +861,12 @@ def q30_text_profile(spark, sf):
         "chat_sup_end",
         "chat_tok_start",
         "chat_tok_end",
+        "dpo_prompt_chars",
+        "dpo_chosen_start",
+        "dpo_chosen_end",
+        "dpo_rejected_chars",
+        "dpo_identical",
+        "dpo_len_ratio",
     )
 
 
@@ -2097,6 +2145,18 @@ def oracle_sql() -> dict[str, str]:
                        AS chat_tok_end
               FROM documents
             )
+            -- preference-pair lane mirror: prompt = <|user|>\nU\n ->
+            -- prompt_chars = 10 + len(U); completion content starts
+            -- 14 chars (the assistant header) past the shared prefix;
+            -- empty completions drop their zero-length span (NULL
+            -- offsets); hygiene flags are pure content-length algebra
+            , dpo AS (
+              SELECT doc_id,
+                     10 + length(substr(text, 1, 30)) AS dpo_prompt_chars,
+                     substr(text, 31, 40) AS cch,
+                     substr(text, 71, 20) AS rch
+              FROM documents
+            )
             SELECT s.doc_id, s.n_chars_calc, s.n_tokens, s.avg_word_len,
                    CAST(l.score AS BIGINT) AS en_score,
                    CASE WHEN l.score >= 2 THEN 'en' ELSE 'other' END AS lang_guess,
@@ -2124,7 +2184,21 @@ def oracle_sql() -> dict[str, str]:
                    ch.chat_sup_start,
                    ch.chat_sup_end,
                    ch.chat_tok_start,
-                   ch.chat_tok_end
+                   ch.chat_tok_end,
+                   dp.dpo_prompt_chars,
+                   CASE WHEN length(dp.cch) > 0
+                        THEN dp.dpo_prompt_chars + 14 END AS dpo_chosen_start,
+                   CASE WHEN length(dp.cch) > 0
+                        THEN dp.dpo_prompt_chars + 14 + length(dp.cch)
+                   END AS dpo_chosen_end,
+                   length(dp.rch) AS dpo_rejected_chars,
+                   dp.cch = dp.rch AS dpo_identical,
+                   CASE WHEN length(dp.cch) > 0 AND length(dp.rch) > 0
+                        THEN round(
+                          CAST(greatest(length(dp.cch), length(dp.rch))
+                               AS DOUBLE)
+                          / least(length(dp.cch), length(dp.rch)), 6)
+                   END AS dpo_len_ratio
             FROM stats s
             JOIN lang l USING (doc_id)
             JOIN qs q USING (doc_id)
@@ -2135,6 +2209,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN uu u USING (doc_id)
             JOIN cap c USING (doc_id)
             JOIN chat ch USING (doc_id)
+            JOIN dpo dp USING (doc_id)
             LEFT JOIN lagg la USING (doc_id)
         """,
         "q31_dedup_fingerprint": """
