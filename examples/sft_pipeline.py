@@ -107,6 +107,47 @@ def main():
     tot = plain.agg(F.sum("n_tokens")).first()[0]
     print(f"default template total tokens: {tot}")
 
+    # 6. preference pairs (DPO): shared prompt, two completions —
+    #    chosen/rejected share the rendered prompt prefix exactly,
+    #    spans cover ONLY the completion, and the hygiene gate drops
+    #    identical / empty / length-confounded pairs with per-rule
+    #    flags
+    from opencosmo_spark.pipeline.preference import (
+        filter_preference_pairs,
+        render_preference_pairs,
+    )
+
+    def msg(role, content):
+        return F.struct(F.lit(role).alias("role"), content.alias("content"))
+
+    triples = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.array(
+            msg("user", F.substring("text", 1, 60))
+        ).alias("prompt"),
+        F.array(
+            msg("assistant", F.substring("text", 61, 80))
+        ).alias("chosen"),
+        F.array(
+            msg("assistant", F.substring("text", 141, 40))
+        ).alias("rejected"),
+    )
+    pairs = filter_preference_pairs(
+        render_preference_pairs(triples, token_mode="whitespace"),
+        max_len_ratio=4.0,
+    )
+    n_pairs = pairs.count()
+    p0 = pairs.orderBy("pair_id").first()
+    shared = p0["chosen_text"][: p0["prompt_chars"]] == p0[
+        "rejected_text"
+    ][: p0["prompt_chars"]]
+    print(
+        f"DPO pairs kept: {n_pairs}; pair {p0['pair_id']}: shared "
+        f"prompt prefix = {shared}, chosen span = "
+        f"{(p0['chosen_spans'][0]['start'], p0['chosen_spans'][0]['end'])}, "
+        f"len_ratio = {p0['pp_len_ratio']}"
+    )
+
     spark.stop()
 
 

@@ -147,6 +147,54 @@ def main():
     shutil.rmtree(doc_dir)
     shutil.rmtree(art_dir)
 
+    # 7. streaming ANN-index ingest: arriving embedding micro-batches
+    #    are stamped with the persisted index's own quantizer and land
+    #    as exactly-once increments; queries read base + live rows
+    #    with directory pruning on both scans
+    from opencosmo_spark.pipeline.similarity import (
+        ann_index_search_batch,
+        read_ann_index,
+        write_ann_index,
+    )
+    from opencosmo_spark.streaming import ann_index_stream
+
+    emb_fixture = EVENTS.rsplit("/", 1)[0] + "/embeddings.parquet"
+    emb = spark.read.parquet(emb_fixture)
+    ann_dir = tempfile.mkdtemp(prefix="ann_stream_")
+    write_ann_index(
+        emb.filter(F.col("vec_id") < 50), ann_dir + "/index", nlist=4
+    )
+    new_dir = ann_dir + "/new"
+    emb.filter(
+        (F.col("vec_id") >= 50) & (F.col("vec_id") < 80)
+    ).repartition(2).write.parquet(new_dir)
+    vec_stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(new_dir)
+    )
+    ann_index_stream(
+        vec_stream, ann_dir + "/updates", ann_dir + "/ann_ckpt",
+        ann_dir + "/index",
+    )
+    merged = read_ann_index(
+        spark, ann_dir + "/index", updates_dir=ann_dir + "/updates"
+    )
+    qvec = emb.filter(F.col("vec_id") == 60).first()["embedding"]
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in qvec])],
+        "query_id long, embedding array<double>",
+    )
+    hit = (
+        ann_index_search_batch(merged, queries, k=1, nprobe=4)
+        .first()
+    )
+    print(
+        f"streamed vector retrievable: top-1 for its own query = "
+        f"{hit['vec_id']} (expect 60), cos = {hit['cos_sim']:.4f}"
+    )
+    shutil.rmtree(ann_dir)
+
     shutil.rmtree(events_dir)
     print("streaming pipeline complete")
     spark.stop()

@@ -124,6 +124,7 @@ def test_streaming_pipeline_example_runs():
     # the script itself asserts the sketch's modal kind equals the
     # batch groupBy's; the sentinel proves it got there
     assert "stream profile: 2 batch rows -> card docs=200" in out.stdout
+    assert "streamed vector retrievable: top-1 for its own query = 60" in out.stdout
     assert "streaming pipeline complete" in out.stdout
 
 
@@ -141,3 +142,4 @@ def test_sft_pipeline_example_runs():
     assert "mask check: span slices assistant content = True" in out.stdout
     assert "packed:" in out.stdout and "oversize=0" in out.stdout
     assert "all in-bounds = True" in out.stdout
+    assert "shared prompt prefix = True" in out.stdout
