@@ -58,6 +58,8 @@ def curate_corpus(
     boilerplate_min_dup: int | None = None,
     boilerplate_top_k: int | None = None,
     jaccard_threshold: float = 0.8,
+    dedup_index_path: str | None = None,
+    dedup_index_bands: int = 4,
     decontam_k: int = 8,
     decontam_excise: bool = False,
     decontam_index_path: str | None = None,
@@ -145,6 +147,20 @@ def curate_corpus(
     4. exact dedup (always on): keep lowest id per identical text.
     5. near-dup removal: MinHash-LSH candidates -> connected
        components -> keep cluster canonical.
+    4+5 (incremental form): with ``dedup_index_path`` — a previous
+       release's ``write_dedup_index`` artifact — stages 4 and 5
+       become ONE ``incremental_dedup`` probe: exact and near
+       duplicates of the INDEXED release drop (band joins on the
+       stored signatures; the old corpus text is never re-read),
+       then the batch collapses within itself. Shingle/hash/
+       normalization parameters come from the index sidecar (loud
+       mismatch guard); ``dedup_index_bands`` is the per-run probe
+       knob. This is the monthly-snapshot twin of
+       ``streaming.near_dedup_stream`` — attrition reports one
+       ``incremental_dedup`` stage instead of exact_dedup +
+       near_dedup. Note dedup here sees the PII-scrubbed text, so
+       build the probed index from a release curated by this same
+       recipe (as published releases are).
     6. decontamination vs ``eval_df`` (when given): any shared
        ``decontam_k``-gram disqualifies the document —
        ``decontam_excise=True`` instead EXCISES just the shared spans
@@ -419,30 +435,59 @@ def curate_corpus(
             ),
         )
 
-    # exact_dedup returns the digest report; apply it as a survivor
-    # semi-join (keep the min-id row of every identical-text group)
-    survivors = exact_dedup(out, text_col, id_col).select(
-        F.col(f"keep_{id_col}").alias(id_col)
-    )
-    out = mark("exact_dedup", out.join(survivors, id_col, "left_semi"))
+    if dedup_index_path is not None:
+        # incremental release build: ONE probe of the previous
+        # release's persisted (id, fp, shingles, sig) index replaces
+        # stages 4+5 — old-corpus text is never re-read
+        from .dedup import incremental_dedup, read_dedup_index
 
-    pairs = minhash_lsh_candidates(
-        out, text_col=text_col, id_col=id_col,
-        jaccard_threshold=jaccard_threshold,
-    )
-    out = mark("near_dedup", dedup_by_clusters(out, pairs, id_col=id_col))
+        base_idx, idx_params = read_dedup_index(
+            df.sparkSession, dedup_index_path
+        )
+        cache_owner = incremental_dedup(
+            None,
+            out,
+            text_col=text_col,
+            id_col=id_col,
+            normalize=idx_params.get("normalize", True),
+            near_dup=True,
+            num_hashes=idx_params.get("num_hashes", 16),
+            bands=dedup_index_bands,
+            shingle_k=idx_params.get("shingle_k", 3),
+            jaccard_threshold=jaccard_threshold,
+            hasher=idx_params.get("hasher", "xxhash64"),
+            existing_index=base_idx,
+            index_params=idx_params,
+        )
+        out = mark("incremental_dedup", cache_owner)
+    else:
+        # exact_dedup returns the digest report; apply it as a
+        # survivor semi-join (keep the min-id row of every
+        # identical-text group)
+        survivors = exact_dedup(out, text_col, id_col).select(
+            F.col(f"keep_{id_col}").alias(id_col)
+        )
+        out = mark("exact_dedup", out.join(survivors, id_col, "left_semi"))
+
+        cache_owner = minhash_lsh_candidates(
+            out, text_col=text_col, id_col=id_col,
+            jaccard_threshold=jaccard_threshold,
+        )
+        out = mark(
+            "near_dedup", dedup_by_clusters(out, cache_owner, id_col=id_col)
+        )
     if report:
         # the mark() checkpoint materialized the stage — the builder's
         # persisted signature frame is now dead weight; free it
         from .dedup import release_cached
 
-        release_cached(pairs)
+        release_cached(cache_owner)
         carried_cache = []
     else:
         # lazy mode: the cache must survive until the caller
         # materializes the result — ownership is handed forward on the
         # RETURNED frame (attached at the end; later stages rebind out)
-        carried_cache = list(getattr(pairs, "_oc_cached", []))
+        carried_cache = list(getattr(cache_owner, "_oc_cached", []))
 
     if decontam_index_path is not None and eval_df is None:
         raise ValueError(

@@ -219,3 +219,89 @@ def test_curate_publishes_decontam_index_roundtrip(spark, tmp_path):
     # publishing without a benchmark set is a loud error
     with pytest.raises(ValueError, match="eval_df"):
         curate_corpus(df, decontam_index_path=idx_path)
+
+
+def test_curate_corpus_incremental_dedup_index(spark, tmp_path):
+    """dedup_index_path turns stages 4+5 into one incremental probe
+    of a previous release's persisted index: exact and near dups of
+    the INDEXED corpus drop, the batch still collapses within itself,
+    survivors equal a direct incremental_dedup of the post-gate
+    batch, and attrition reports the merged stage."""
+    from opencosmo_spark.pipeline import curate_corpus
+    from opencosmo_spark.pipeline.dedup import (
+        incremental_dedup,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(47)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "theta", "kappa"]
+
+    def doc(n=40):
+        return " ".join(rng.choice(words, size=n))
+
+    def perturb(t):
+        toks = t.split()
+        toks[-1] = "PERTURBED"
+        return " ".join(toks)
+
+    release = [doc() for _ in range(10)]
+    rel_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(release)], ["doc_id", "text"]
+    )
+    idx_path = str(tmp_path / "release_idx")
+    write_dedup_index(rel_df, idx_path, num_hashes=16, shingle_k=3)
+
+    within = doc()
+    batch = (
+        [doc() for _ in range(6)]       # 100-105 fresh
+        + [release[0]]                  # 106 exact dup of the release
+        + [perturb(release[1])]         # 107 near dup of the release
+        + [within, perturb(within)]     # 108/109 within-batch pair
+    )
+    batch_df = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch)], ["doc_id", "text"]
+    )
+
+    curated, counts = curate_corpus(
+        batch_df,
+        min_quality=0.0,
+        min_tokens=1,
+        dedup_index_path=idx_path,
+        jaccard_threshold=0.5,
+    )
+    got = sorted(r["doc_id"] for r in curated.collect())
+    assert 106 not in got and 107 not in got      # index dups died
+    assert not {108, 109} <= set(got)             # pair collapsed to one
+    assert set(range(100, 106)) <= set(got)       # fresh docs survive
+    assert "incremental_dedup" in counts
+    assert "exact_dedup" not in counts and "near_dedup" not in counts
+
+    # equality with the bare operator on the same post-gate input
+    base_idx, params = read_dedup_index(spark, idx_path)
+    want = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(
+            None,
+            batch_df,
+            existing_index=base_idx,
+            index_params=params,
+            jaccard_threshold=0.5,
+        ).collect()
+    )
+    assert got == want
+
+    # loud mismatch: an index built under a different id column
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different parameters"):
+        curate_corpus(
+            batch_df.withColumnRenamed("doc_id", "docno"),
+            id_col="docno",
+            min_quality=0.0,
+            min_tokens=1,
+            dedup_index_path=idx_path,
+        )
