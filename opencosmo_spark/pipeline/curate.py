@@ -60,6 +60,7 @@ def curate_corpus(
     jaccard_threshold: float = 0.8,
     dedup_index_path: str | None = None,
     dedup_index_bands: int = 4,
+    publish_dedup_index_path: str | None = None,
     decontam_k: int = 8,
     decontam_excise: bool = False,
     decontam_index_path: str | None = None,
@@ -161,6 +162,13 @@ def curate_corpus(
        near_dedup. Note dedup here sees the PII-scrubbed text, so
        build the probed index from a release curated by this same
        recipe (as published releases are).
+       ``publish_dedup_index_path`` closes the loop: the recipe
+       writes the dedup index for the NEXT incremental build — base
+       index rows copied + this release's rows stamped with the
+       base's stored parameters (``extend_dedup_index``), or a fresh
+       ``write_dedup_index`` of the release when no base was probed.
+       The same ship-your-own-artifact idiom as
+       ``decontam_index_path`` / ``profile_path``.
     6. decontamination vs ``eval_df`` (when given): any shared
        ``decontam_k``-gram disqualifies the document —
        ``decontam_excise=True`` instead EXCISES just the shared spans
@@ -662,6 +670,34 @@ def curate_corpus(
             id_col=id_col,
             shard_col="shard" if "shard" in out.columns else None,
         ).write.mode("append").parquet(profile_path)
+    if publish_dedup_index_path is not None:
+        # release-over-release loop closure: publish the dedup index
+        # the NEXT incremental build probes. With dedup_index_path the
+        # published artifact covers old release + this one (base rows
+        # copied, new rows stamped with the base's stored parameters —
+        # extend_dedup_index); without, it's a fresh index of this
+        # release. Index text is the RELEASE text (post-scrub), which
+        # is exactly what the next build's stage 4+5 must compare
+        # against. Multi-epoch repeats collapse to one row per doc.
+        from .dedup import extend_dedup_index, write_dedup_index
+
+        release_docs = out.dropDuplicates([id_col]).select(
+            id_col, text_col
+        )
+        if dedup_index_path is not None:
+            extend_dedup_index(
+                dedup_index_path,
+                release_docs,
+                publish_dedup_index_path,
+                text_col=text_col,
+            )
+        else:
+            write_dedup_index(
+                release_docs,
+                publish_dedup_index_path,
+                text_col=text_col,
+                id_col=id_col,
+            )
     if return_dropped:
         spark = df.sparkSession
         if audit_frames:

@@ -389,6 +389,65 @@ def write_dedup_index(
     return params
 
 
+def extend_dedup_index(
+    base_path: str,
+    new_df: DataFrame,
+    out_path: str,
+    *,
+    text_col: str = "text",
+    buckets: int = 64,
+) -> dict:
+    """Publish a NEW dedup index covering base + new documents: the
+    base index's (id, fp, shingles, sig) rows are COPIED (the old
+    corpus text is never re-read — the whole point of the artifact),
+    and the new documents' rows are computed with the base's OWN
+    stored parameters, so the chain can never drift into a silent
+    shingle/hash mismatch. Writes to ``out_path`` with the same
+    sidecar; returns the parameters.
+
+    ``out_path`` must differ from ``base_path``: Spark cannot
+    overwrite a table it is reading, and a versioned path per release
+    is the auditable layout anyway (release N+1 probes release N's
+    index by name).
+    """
+    import json
+
+    from ..io.ingest import hadoop_fs
+
+    if out_path.rstrip("/") == base_path.rstrip("/"):
+        raise ValueError(
+            "extend_dedup_index cannot overwrite the index it reads — "
+            "write a new versioned path per release"
+        )
+    spark = new_df.sparkSession
+    base, params = read_dedup_index(spark, base_path)
+    id_col = params.get("id_col", "doc_id")
+    rows = dedup_index_rows(
+        new_df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=params.get("num_hashes", 16),
+        shingle_k=params.get("shingle_k", 3),
+        hasher=params.get("hasher", "xxhash64"),
+        normalize=params.get("normalize", True),
+    )
+    (
+        base.unionByName(rows)
+        .repartition(buckets, F.col(id_col))
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    jvm, fs, jpath = hadoop_fs(
+        spark, out_path.rstrip("/") + "/_dedup_params.json"
+    )
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(json.dumps(params).encode("utf-8")))
+    finally:
+        stream.close()
+    return params
+
+
 def read_dedup_index(spark, path: str) -> tuple[DataFrame, dict]:
     """Load a ``write_dedup_index`` table plus its build parameters.
     Pass both to ``incremental_dedup(existing_index=...,

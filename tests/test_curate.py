@@ -305,3 +305,79 @@ def test_curate_corpus_incremental_dedup_index(spark, tmp_path):
             min_tokens=1,
             dedup_index_path=idx_path,
         )
+
+
+def test_curate_release_chain_publishes_dedup_index(spark, tmp_path):
+    """Release-over-release loop: release 1 publishes idx1; release 2
+    probes idx1 and publishes idx2 (old rows copied + its own);
+    release 3 probed against idx2 drops duplicates of BOTH earlier
+    releases. Parameters ride the chain unchanged."""
+    from opencosmo_spark.pipeline import curate_corpus
+    from opencosmo_spark.pipeline.dedup import (
+        extend_dedup_index,
+        read_dedup_index,
+    )
+
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(53)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "theta", "kappa"]
+
+    def doc(n=40):
+        return " ".join(rng.choice(words, size=n))
+
+    r1_texts = [doc() for _ in range(6)]
+    r1 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(r1_texts)], ["doc_id", "text"]
+    )
+    idx1 = str(tmp_path / "idx1")
+    _, c1 = curate_corpus(
+        r1, min_quality=0.0, min_tokens=1,
+        publish_dedup_index_path=idx1,
+    )
+    base1, p1 = read_dedup_index(spark, idx1)
+    assert base1.count() == c1["near_dedup"]  # one row per release doc
+
+    r2_texts = [doc() for _ in range(5)]
+    r2 = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(r2_texts + [r1_texts[0]])],
+        ["doc_id", "text"],
+    )
+    idx2 = str(tmp_path / "idx2")
+    cur2, c2 = curate_corpus(
+        r2, min_quality=0.0, min_tokens=1,
+        dedup_index_path=idx1,
+        publish_dedup_index_path=idx2,
+        jaccard_threshold=0.5,
+    )
+    kept2 = {r["doc_id"] for r in cur2.collect()}
+    assert 105 not in kept2  # the r1 exact dup died on the idx1 probe
+    base2, p2 = read_dedup_index(spark, idx2)
+    assert p2 == p1  # parameters ride the chain
+    assert base2.count() == base1.count() + len(kept2)
+
+    # release 3: dups of r1 AND r2 both drop against idx2
+    def perturb(t):
+        toks = t.split()
+        toks[-1] = "PERTURBED"
+        return " ".join(toks)
+
+    r3 = spark.createDataFrame(
+        [
+            (200, doc()),                 # fresh
+            (201, r1_texts[1]),           # exact dup of release 1
+            (202, perturb(r2_texts[0])),  # near dup of release 2
+        ],
+        ["doc_id", "text"],
+    )
+    cur3, _ = curate_corpus(
+        r3, min_quality=0.0, min_tokens=1,
+        dedup_index_path=idx2, jaccard_threshold=0.5,
+    )
+    assert {r["doc_id"] for r in cur3.collect()} == {200}
+
+    # overwrite-in-place is refused loudly
+    with _pytest.raises(ValueError, match="versioned"):
+        extend_dedup_index(idx2, r3, idx2)
