@@ -150,6 +150,34 @@ def main():
     fresh = incremental_dedup(curated, batch, jaccard_threshold=0.8)
     print(f"incremental batch: {batch.count()} in -> {fresh.count()} new")
 
+    # 4b. the release chain: this release publishes its dedup index,
+    #     the next curate probes it (stages 4+5 in one pass, old text
+    #     never re-read) and publishes the extended index for the one
+    #     after
+    import tempfile as _tf
+
+    chain = _tf.mkdtemp(prefix="release_chain_")
+    _, c_v1 = curate_corpus(
+        docs.limit(120), min_quality=0.0, min_tokens=1,
+        publish_dedup_index_path=chain + "/idx_v1",
+    )
+    next_snap = docs.limit(160).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    v2, c_v2 = curate_corpus(
+        next_snap, min_quality=0.0, min_tokens=1,
+        dedup_index_path=chain + "/idx_v1",
+        publish_dedup_index_path=chain + "/idx_v2",
+    )
+    print(
+        f"release chain: v1 kept {c_v1['near_dedup']}, v2 probe kept "
+        f"{c_v2['incremental_dedup']} of {c_v2['input']} "
+        f"(dups of v1 dropped without re-reading v1 text)"
+    )
+    import shutil as _sh
+
+    _sh.rmtree(chain)
+
     # 5. the mergeable-artifact layer: profile the corpus per source
     #    shard, append the rows to a parquet artifact, and answer the
     #    card question from the ARTIFACT (no rescans); then size the

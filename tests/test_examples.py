@@ -35,6 +35,7 @@ def test_curation_pipeline_example_runs():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "curation attrition:" in out.stdout
+    assert "release chain: v1 kept" in out.stdout
     assert "perplexity bands:" in out.stdout
     assert "classifier:" in out.stdout
     assert "calibration: ece=" in out.stdout
