@@ -136,6 +136,49 @@ def render_preference_pairs(
     return out
 
 
+def preference_to_kto(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Unpair rendered preference triples into KTO-style rows
+    (Ethayarajh et al. 2024: binary desirable/undesirable feedback
+    instead of paired comparison) — one row per (pair, side):
+    ``(example_id, <id_col>, side, desirable, text,
+    supervised_spans[, n_tokens])``, with ``example_id`` =
+    ``"<id>:chosen"`` / ``"<id>:rejected"`` so rows stay unique and
+    traceable to their pair.
+
+    The schema deliberately matches ``chat_sft_rows`` output (text +
+    supervised_spans [+ n_tokens]), so KTO rows feed straight into
+    ``pack_sft_rows`` and the rest of the SFT chain. ``drop_empty``
+    removes sides with no supervised span (NULL or empty completions
+    render as the bare prompt — zero training signal). Two
+    projections + a union: no shuffle, row-parallel at any scale.
+    """
+    has_tok = "chosen_tokens" in pairs.columns
+
+    def side(name: str, desirable: bool) -> DataFrame:
+        cols = [
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(f":{name}")
+            ).alias("example_id"),
+            F.col(id_col),
+            F.lit(name).alias("side"),
+            F.lit(desirable).alias("desirable"),
+            F.col(f"{name}_text").alias("text"),
+            F.col(f"{name}_spans").alias("supervised_spans"),
+        ]
+        if has_tok:
+            cols.append(F.col(f"{name}_tokens").alias("n_tokens"))
+        out = pairs.select(*cols)
+        if drop_empty:
+            out = out.filter(F.size("supervised_spans") > 0)
+        return out
+
+    return side("chosen", True).unionByName(side("rejected", False))
+
+
 def filter_preference_pairs(
     pairs: DataFrame,
     min_completion_chars: int = 1,

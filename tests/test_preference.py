@@ -202,3 +202,39 @@ def test_len_ratio_value(pairs_df):
     assert flags[0]["pp_len_ratio"] == round(max(c, r) / min(c, r), 6)
     # empty side -> NULL ratio
     assert flags[2]["pp_len_ratio"] is None
+
+
+def test_preference_to_kto_unpairs_with_sft_schema(spark, pairs_df):
+    from opencosmo_spark.pipeline.chat import pack_sft_rows
+    from opencosmo_spark.pipeline.preference import (
+        preference_to_kto,
+        render_preference_pairs,
+    )
+
+    rendered = render_preference_pairs(pairs_df, token_mode="whitespace")
+    kto = preference_to_kto(rendered)
+    rows = {r["example_id"]: r for r in kto.collect()}
+    # pair 3's chosen is NULL -> no span -> dropped; its rejected kept
+    assert "3:chosen" not in rows and "3:rejected" in rows
+    # pair 2's rejected is empty -> dropped
+    assert "2:rejected" not in rows and "2:chosen" in rows
+    r0c, r0r = rows["0:chosen"], rows["0:rejected"]
+    assert r0c["desirable"] is True and r0r["desirable"] is False
+    # text/span payloads are the branch's own
+    sp = r0c["supervised_spans"][0]
+    assert r0c["text"][sp["start"] : sp["end"]] == "6, naturally."
+    assert r0c["n_tokens"] == len(r0c["text"].split())
+    # keep-empty mode keeps both sides of every pair
+    all_rows = preference_to_kto(rendered, drop_empty=False)
+    assert all_rows.count() == pairs_df.count() * 2
+
+    # the schema contract: KTO rows feed pack_sft_rows directly
+    packs = pack_sft_rows(
+        kto, budget=64, id_col="example_id",
+        token_count_col="n_tokens",
+    )
+    p = packs.collect()
+    assert sum(r["n_docs"] for r in p) == len(rows)
+    for pk in p:
+        for s in pk["supervised_spans"]:
+            assert 0 <= s["start"] < s["end"] <= len(pk["text"])
