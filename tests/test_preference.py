@@ -238,3 +238,49 @@ def test_preference_to_kto_unpairs_with_sft_schema(spark, pairs_df):
     for pk in p:
         for s in pk["supervised_spans"]:
             assert 0 <= s["start"] < s["end"] <= len(pk["text"])
+
+
+def test_render_preference_randomized_unicode_twin(spark):
+    """Seeded-random triples with adversarial content (unicode,
+    newlines, template-lookalike '<|' strings, empty completions,
+    assistant turns inside the prompt) against the python twin — one
+    batched comparison."""
+    import random
+
+    rng = random.Random(173)
+    alphabet = "ab \n<|>é漢🙂|"
+
+    def content():
+        return "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 25))
+        )
+
+    rows = []
+    for pid in range(50):
+        prompt = [
+            (rng.choice(["system", "user", "assistant"]), content())
+            for _ in range(rng.randrange(1, 5))
+        ]
+        chosen = [("assistant", content())]
+        rejected = [
+            ("assistant", content())
+            for _ in range(rng.randrange(1, 3))
+        ]
+        rows.append((pid, prompt, chosen, rejected))
+    df = spark.createDataFrame(rows, SCHEMA.replace("pair_id", "pair_id"))
+    tpl = ChatTemplate()
+    got = {r["pair_id"]: r for r in render_preference_pairs(df).collect()}
+    for pid, prompt, chosen, rejected in rows:
+        row = got[pid]
+        for comp, name in ((chosen, "chosen"), (rejected, "rejected")):
+            ptext, text, spans = _twin(prompt, comp, tpl)
+            assert row[f"{name}_text"] == text, pid
+            assert [
+                (s["start"], s["end"]) for s in row[f"{name}_spans"]
+            ] == spans, pid
+            for a, b in spans:
+                assert text[a:b] != "" and a >= len(ptext)
+        assert (
+            row["chosen_text"][: row["prompt_chars"]]
+            == row["rejected_text"][: row["prompt_chars"]]
+        )
