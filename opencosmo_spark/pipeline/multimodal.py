@@ -128,6 +128,149 @@ def _decode_pnm(data: bytes) -> np.ndarray | None:
     return arr
 
 
+def _gif_lzw(mcs: int, data: bytes, npix: int) -> bytearray | None:
+    """GIF-variant LZW decode (GIF89a spec appendix F): codes packed
+    LSB-first, initial code size ``mcs + 1``, CLEAR ``2^mcs``, END
+    ``2^mcs + 1``, dictionary capped at 4096 with deferred-clear
+    tolerance. Returns the pixel-index stream or None on corruption."""
+    clear = 1 << mcs
+    end_code = clear + 1
+    code_size = mcs + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while len(out) < npix:
+        while nbits < code_size:
+            if pos >= len(data):
+                return None  # stream ends before END/npix — truncated
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            code_size = mcs + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end_code + 1
+            prev = None
+            continue
+        if code == end_code:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return out
+
+
+# GIF 4-pass row interlace: (start_row, row_step) per pass (spec §23)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(data: bytes) -> np.ndarray | None:
+    """Pure-python decode of a GIF87a/89a FIRST frame (stdlib + numpy
+    only): header + logical screen descriptor, global/local color
+    table, extension-block skipping (graphic control, comments,
+    application blocks), LZW pixel stream, 4-pass interlace gather.
+    Returns the frame as an (h, w, 3) uint8 RGB array, or None when
+    the payload is not a well-formed GIF. Deliberate simplifications,
+    documented: animations yield their first frame only (the
+    dedup/feature convention — same as video keyframing), and
+    transparency renders as the palette color (the alpha-dropping
+    convention the RGBA PNG path uses)."""
+    if data is None or len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+
+    def le16(off: int) -> int:
+        return int.from_bytes(data[off : off + 2], "little")
+
+    packed = data[10]
+    gct = None
+    pos = 13
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        if pos + 3 * n > len(data):
+            return None
+        gct = np.frombuffer(data, np.uint8, count=3 * n, offset=pos).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label byte + len-prefixed sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                return None
+            iw, ih = le16(pos + 5), le16(pos + 7)
+            ipacked = data[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 0x07) + 1)
+                if pos + 3 * n > len(data):
+                    return None
+                table = np.frombuffer(
+                    data, np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if table is None or iw <= 0 or ih <= 0 or pos >= len(data):
+                return None
+            mcs = data[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                return None
+            chunks = []
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                if pos + 1 + ln > len(data):
+                    return None
+                chunks.append(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            if pos >= len(data):
+                return None  # missing block terminator
+            idx = _gif_lzw(mcs, b"".join(chunks), iw * ih)
+            if idx is None or len(idx) < iw * ih:
+                return None
+            ind = np.frombuffer(
+                bytes(idx[: iw * ih]), np.uint8
+            ).reshape(ih, iw)
+            if (ipacked & 0x40) and ih > 1:  # interlaced: gather rows
+                order = [
+                    r
+                    for start, step in _GIF_INTERLACE
+                    for r in range(start, ih, step)
+                ]
+                de = np.empty_like(ind)
+                de[np.asarray(order)] = ind
+                ind = de
+            if int(ind.max(initial=0)) >= len(table):
+                return None
+            return table[ind]
+        else:  # 0x3B trailer before any frame, or junk
+            return None
+    return None
+
+
 # Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
 _ADAM7 = (
     (0, 0, 8, 8),
@@ -572,7 +715,8 @@ def decode_image_features(
     Decode ladder, per row: PIL when installed ('pil'); else the
     built-in pure-python parsers over the ACTUAL pixels — 8-bit PNG
     incl. palette and Adam7-interlaced ('png', stdlib zlib + scanline
-    unfiltering), 24-bit BMP ('bmp'), and binary PGM/PPM ('pnm'), all
+    unfiltering), 24-bit BMP ('bmp'), binary PGM/PPM ('pnm'), and
+    GIF87a/89a first frames incl. interlaced ('gif', own LZW) — all
     real channel-mean/block-grid features with no dependency; else
     the deterministic digest fake ('stub-sha256'). The ``decoder``
     column records which path each row took; ``decoder_report``
@@ -580,7 +724,7 @@ def decode_image_features(
     dataset card.
 
     ``require_real_codec=True`` keeps the strict contract: without a
-    general codec library JPEG/WebP/GIF payloads would silently stub,
+    general codec library JPEG/WebP payloads would silently stub,
     so it raises unless PIL is importable.
     """
     if require_real_codec and not _HAVE_PIL:
@@ -616,6 +760,9 @@ def decode_image_features(
         arr = _decode_pnm(p)
         if arr is not None:
             return _pixel_features(arr, feature_dim).tolist(), "pnm"
+        arr = _decode_gif(p)
+        if arr is not None:
+            return _pixel_features(arr, feature_dim).tolist(), "gif"
         return _fake_decode(p, feature_dim).tolist(), "stub-sha256"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -810,6 +957,7 @@ def image_dhash(
             (_decode_png, "png"),
             (_decode_bmp, "bmp"),
             (_decode_pnm, "pnm"),
+            (_decode_gif, "gif"),
         ):
             arr = dec(p)
             if arr is not None:

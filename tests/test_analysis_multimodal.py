@@ -1135,3 +1135,193 @@ def test_decoder_report_counts_stub_rows(spark):
     }
     assert rep[("image/png", "png")] == (2, 1.0)  # incl. the Adam7 one
     assert rep[("image/jpeg", "stub-sha256")] == (2, 1.0)
+
+
+def _gif_pack_codes(codes, code_size):
+    """LSB-first GIF code packing at a FIXED code size (valid because
+    the encoder below clears often enough that the decoder never
+    grows past that size)."""
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(indices, palette, mcs=4, interlace=False, extra_frame=False,
+              with_extensions=True, truncate=False):
+    """Hand-built GIF89a: global color table, optional GCE/comment
+    extensions, one image block holding ``indices`` (h, w) under the
+    classic clear-often 'uncompressed LZW' scheme, optional second
+    frame (animation) and interlace flag. Independent of the decoder
+    under test."""
+    ind = np.asarray(indices, np.uint8)
+    h, w = ind.shape
+    pal = np.asarray(palette, np.uint8)
+    n = len(pal)
+    assert n == 1 << mcs
+    clear, code_size = 1 << mcs, mcs + 1
+
+    rows = ind
+    if interlace:
+        order = [
+            r
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for r in range(start, h, step)
+        ]
+        rows = ind[np.asarray(order)]  # stream carries pass order
+    pix = list(rows.reshape(-1))
+    codes = []
+    block = (1 << mcs) - 2  # stay below the decoder's size bump
+    for i in range(0, len(pix), block):
+        codes.append(clear)
+        codes.extend(pix[i : i + block])
+    codes.append(clear + 1)  # END
+    payload = _gif_pack_codes(codes, code_size)
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (mcs - 1), 0, 0])  # GCT present, size 2^mcs
+    out += bytes(pal.reshape(-1))
+    if with_extensions:
+        # graphic control + comment extensions must be skipped
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        out += b"\x21\xfe\x05hello\x00"
+    ipacked = 0x40 if interlace else 0x00
+    out += b"\x2c" + b"\x00" * 4
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([ipacked, mcs])
+    for i in range(0, len(payload), 255):
+        blockb = payload[i : i + 255]
+        out += bytes([len(blockb)]) + blockb
+    out += b"\x00"
+    if truncate:
+        return bytes(out[: len(out) - len(payload) // 2])
+    if extra_frame:
+        # a second, all-zero frame: the decoder must return frame 1
+        z = _make_gif(np.zeros_like(ind), pal, mcs=mcs,
+                      with_extensions=False)
+        img_start = z.index(b"\x2c")
+        out += z[img_start:-1]  # its image block, sans trailer
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_decode_gif_numpy_differential():
+    """Hand-encoded GIFs (own LZW writer, clear-often scheme) decode
+    to exactly palette[indices]: plain, interlaced, multi-frame
+    (first frame wins), extension skipping; truncated streams and
+    non-GIFs refuse."""
+    from opencosmo_spark.pipeline.multimodal import _decode_gif
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    ind = rng.integers(0, 16, size=(13, 9), dtype=np.uint8)
+    want = pal[ind]
+
+    np.testing.assert_array_equal(_decode_gif(_make_gif(ind, pal)), want)
+    np.testing.assert_array_equal(
+        _decode_gif(_make_gif(ind, pal, interlace=True)), want
+    )
+    np.testing.assert_array_equal(
+        _decode_gif(_make_gif(ind, pal, extra_frame=True)), want
+    )
+    # a 1-row image exercises the interlace degenerate case
+    one = ind[:1]
+    np.testing.assert_array_equal(
+        _decode_gif(_make_gif(one, pal)), pal[one]
+    )
+    assert _decode_gif(_make_gif(ind, pal, truncate=True)) is None
+    assert _decode_gif(b"GIF89a" + b"\x00" * 4) is None
+    assert _decode_gif(b"notagif") is None
+    assert _decode_gif(None) is None
+
+
+def test_decode_gif_real_lzw_compression():
+    """A REAL LZW-compressed stream (reference encoder with growing
+    code sizes, written here independently) decodes identically —
+    exercising dictionary growth, the KwKwK case, and code-size
+    bumps that the clear-often scheme never reaches."""
+    from opencosmo_spark.pipeline.multimodal import _gif_lzw
+
+    rng = np.random.default_rng(7)
+    # low-entropy stream so LZW actually builds long entries
+    seq = bytes(rng.integers(0, 4, size=4000, dtype=np.uint8))
+    mcs = 2
+    clear, end = 1 << mcs, (1 << mcs) + 1
+
+    # reference GIF-LZW encoder (public algorithm, Welch 1984 + GIF
+    # appendix F): emit code for w when w+c leaves the dict
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, code_size = end + 1, mcs + 1
+    codes = [(clear, code_size)]
+    w = b""
+    for ch in seq:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], code_size))
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            # the decoder adds entries one code LATER, so the encoder
+            # bumps at 2^n + 1, not 2^n (the classic GIF off-by-one)
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        w = bytes([ch])
+    codes.append((table[w], code_size))
+    codes.append((end, code_size))
+
+    acc = nbits = 0
+    out = bytearray()
+    for c, size in codes:
+        acc |= c << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+
+    got = _gif_lzw(mcs, bytes(out), len(seq))
+    assert got is not None and bytes(got) == seq
+
+
+def test_decode_image_features_gif_lane(spark):
+    """The Spark ladder takes the gif path and the features equal the
+    numpy twin of the decoded pixels."""
+    from opencosmo_spark.pipeline.multimodal import (
+        _decode_gif,
+        _pixel_features,
+        decode_image_features,
+    )
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    payloads = [
+        _make_gif(
+            rng.integers(0, 16, size=(10, 7), dtype=np.uint8), pal
+        )
+        for _ in range(4)
+    ] + [b"junk-not-an-image"]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "media_id long, payload binary",
+    )
+    out = decode_image_features(df, feature_dim=16).toPandas()
+    decs = dict(zip(out.media_id, out.decoder))
+    assert all(decs[i] == "gif" for i in range(4))
+    assert decs[4] == "stub-sha256"
+    feats = dict(zip(out.media_id, out.features))
+    for i in range(4):
+        want = _pixel_features(_decode_gif(payloads[i]), 16)
+        np.testing.assert_allclose(feats[i], want, rtol=1e-6)
