@@ -227,6 +227,123 @@ def pack_chunks(
     return chunks.select(*cols, pack.alias("pack_id"))
 
 
+def block_pack_ids(
+    df: DataFrame,
+    block_size: int = 2048,
+    ids_col: str = "input_ids",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+    eos_id: int | None = None,
+    drop_last: bool = True,
+) -> DataFrame:
+    """The standard PRETRAINING packer (GPT-2/3, LLaMA concat-and-
+    chunk): concatenate every document's token ids in ``id_col``
+    order and emit fixed ``block_size`` blocks — documents SPLIT
+    across block boundaries (unlike ``pack_chunks_bfd``, which never
+    splits and pays padding for it; pretraining pays nothing and
+    masks nothing). Returns one row per block: ``(shard?, block_id,
+    input_ids, n_tokens, doc_spans)`` where ``doc_spans`` =
+    ``array<struct<doc_id, start, end>>`` locates each document's
+    slice inside the block — the provenance/attention-reset metadata
+    (position-id resets at document boundaries need exactly this).
+
+    ``eos_id`` appends a document separator to every document before
+    packing (the convention every GPT-style pipeline uses so the
+    model learns document ends). ``drop_last`` drops the final ragged
+    block (training wants fixed shapes); keep it for eval loss over
+    a full corpus.
+
+    Scale shape: one window cumsum in (id) order gives each document
+    its global token offset; each document then explodes into ONLY
+    the blocks it overlaps (``ceil(n/block)+1`` pieces, each an
+    ``F.slice`` — no per-token rows ever exist), and blocks assemble
+    in one groupBy whose state is block-bounded. As with
+    ``pack_chunks``, ``shard_col=None`` is a single-reducer global
+    sort (test scale); pass a shard column at 100 TB and blocks pack
+    per-shard in parallel, never spanning shards.
+    """
+    from pyspark.sql import Window
+
+    if block_size <= 0:
+        raise ValueError(f"block_size must be positive, got {block_size}")
+    if ids_col not in df.columns or id_col not in df.columns:
+        raise ValueError(f"{ids_col!r}/{id_col!r} not in input")
+    ids = F.col(ids_col)
+    if eos_id is not None:
+        ids = F.concat(
+            ids, F.array(F.lit(int(eos_id)).cast(
+                df.schema[ids_col].dataType.elementType
+            ))
+        )
+    B = int(block_size)
+    w = (
+        (Window.partitionBy(shard_col) if shard_col else Window)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = (
+        df.withColumn("__ids", ids)
+        .withColumn("__n", F.size("__ids"))
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "__start", F.coalesce(F.sum("__n").over(w), F.lit(0)).cast("long")
+        )
+    )
+    first_b = (F.col("__start") / B).cast("long")
+    last_b = ((F.col("__start") + F.col("__n") - 1) / B).cast("long")
+    pieces = base.select(
+        *([shard_col] if shard_col else []),
+        id_col,
+        "__ids",
+        "__n",
+        "__start",
+        F.explode(F.sequence(first_b, last_b)).alias("block_id"),
+    )
+    # this document's slice that falls inside this block (0-based
+    # token coordinates within the doc / within the block)
+    s_doc = F.greatest(F.lit(0).cast("long"), F.col("block_id") * B - F.col("__start"))
+    e_doc = F.least(
+        F.col("__n").cast("long"),
+        (F.col("block_id") + 1) * B - F.col("__start"),
+    )
+    off_in_block = F.greatest(
+        F.lit(0).cast("long"), F.col("__start") - F.col("block_id") * B
+    )
+    pieces = pieces.select(
+        *([shard_col] if shard_col else []),
+        "block_id",
+        F.struct(
+            off_in_block.alias("off"),
+            F.col(id_col).alias("doc"),
+            F.slice(
+                "__ids", (s_doc + 1).cast("int"), (e_doc - s_doc).cast("int")
+            ).alias("piece"),
+        ).alias("__p"),
+    )
+    gb = ([shard_col] if shard_col else []) + ["block_id"]
+    blocks = pieces.groupBy(*gb).agg(
+        F.array_sort(F.collect_list("__p")).alias("__ps")
+    )
+    out_ids = F.flatten(F.transform("__ps", lambda p: p["piece"]))
+    spans = F.transform(
+        "__ps",
+        lambda p: F.struct(
+            p["doc"].alias(id_col),
+            p["off"].alias("start"),
+            (p["off"] + F.size(p["piece"])).alias("end"),
+        ),
+    )
+    out = blocks.select(
+        *gb,
+        out_ids.alias(ids_col),
+        F.size(out_ids).alias("n_tokens"),
+        spans.alias("doc_spans"),
+    )
+    if drop_last:
+        out = out.filter(F.col("n_tokens") == B)
+    return out
+
+
 def pack_chunks_bfd(
     chunks: DataFrame,
     budget: int = 256,

@@ -1458,3 +1458,86 @@ def test_ann_index_search_batch_pq_index_scores_full_vectors(spark, tmp_path):
     ).toPandas()
     assert list(got.vec_id) == list(brute.vec_id)
     np.testing.assert_allclose(got.cos_sim, brute.cos_sim)
+
+
+def test_block_pack_ids_matches_python_twin(spark):
+    """The pretraining concat-and-chunk packer: blocks equal the
+    python concatenation exactly, doc_spans slice the right tokens,
+    eos separators and ragged-tail handling behave, shard mode packs
+    per shard."""
+    import numpy as np
+
+    from opencosmo_spark.pipeline.text import block_pack_ids
+
+    rng = np.random.default_rng(61)
+    docs = [
+        (i, [int(x) for x in rng.integers(5, 500, size=rng.integers(1, 40))])
+        for i in range(30)
+    ]
+    docs.append((30, []))  # zero-token doc contributes nothing
+    df = spark.createDataFrame(docs, "doc_id long, input_ids array<int>")
+    B, EOS = 32, 0
+
+    def twin(eos=None):
+        stream, spans = [], {}
+        for i, ids in sorted(docs):
+            seq = ids + ([eos] if eos is not None else [])
+            spans[i] = (len(stream), len(stream) + len(seq))
+            stream.extend(seq)
+        blocks = [
+            stream[i : i + B] for i in range(0, len(stream), B)
+        ]
+        return stream, blocks
+
+    for eos in (None, EOS):
+        stream, blocks = twin(eos)
+        full = [b for b in blocks if len(b) == B]
+        got = (
+            block_pack_ids(df, B, eos_id=eos)
+            .orderBy("block_id")
+            .collect()
+        )
+        assert [list(r["input_ids"]) for r in got] == full
+        assert all(r["n_tokens"] == B for r in got)
+        # doc_spans slice exactly the document's tokens
+        for r in got:
+            base = r["block_id"] * B
+            for sp in r["doc_spans"]:
+                piece = r["input_ids"][sp["start"] : sp["end"]]
+                assert list(piece) == stream[base + sp["start"] : base + sp["end"]]
+        # keep-last mode reconstructs the whole stream
+        kept = (
+            block_pack_ids(df, B, eos_id=eos, drop_last=False)
+            .orderBy("block_id")
+            .collect()
+        )
+        flat = [x for r in kept for x in r["input_ids"]]
+        assert flat == stream
+
+    # a long doc splits across >2 blocks and every span re-slices it
+    long_doc = [(0, list(range(100)))]
+    ldf = spark.createDataFrame(long_doc, "doc_id long, input_ids array<int>")
+    lb = block_pack_ids(ldf, 16, drop_last=False).orderBy("block_id").collect()
+    assert [x for r in lb for x in r["input_ids"]] == list(range(100))
+    assert len(lb) == 7
+
+    # shard mode: blocks never span shards
+    sdf = df.withColumn(
+        "shard", (F.col("doc_id") % 2).cast("int")
+    )
+    per = block_pack_ids(sdf, B, shard_col="shard", drop_last=False)
+    tot = per.groupBy("shard").agg(
+        F.sum("n_tokens").alias("t")
+    ).collect()
+    want = {
+        s: sum(len(ids) for i, ids in docs if i % 2 == s)
+        for s in (0, 1)
+    }
+    assert {r["shard"]: r["t"] for r in tot} == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="block_size"):
+        block_pack_ids(df, 0)
+    with _pytest.raises(ValueError, match="not in input"):
+        block_pack_ids(df, 8, ids_col="nope")
