@@ -148,6 +148,32 @@ def main():
         f"len_ratio = {p0['pp_len_ratio']}"
     )
 
+    # 7. the PRETRAINING counterpart: real BPE token ids through the
+    #    concat-and-chunk block packer — fixed 128-token blocks,
+    #    documents split at block boundaries, doc_spans carrying the
+    #    provenance a position-id-resetting loader needs
+    from opencosmo_spark.pipeline.bpe import (
+        apply_bpe,
+        bpe_encode_ids,
+        bpe_vocab,
+        train_bpe_merges,
+    )
+    from opencosmo_spark.pipeline.text import block_pack_ids
+
+    merges = train_bpe_merges(docs, n_merges=50)
+    v = bpe_vocab(apply_bpe(docs, merges, method="pandas")).toPandas()
+    vocab = dict(zip(v.token, v.token_id))
+    ids = bpe_encode_ids(docs.select("doc_id", "text"), merges, vocab)
+    blocks = block_pack_ids(
+        ids, block_size=128, eos_id=len(vocab), drop_last=True
+    )
+    nb = blocks.count()
+    b0 = blocks.orderBy("block_id").first()
+    print(
+        f"pretraining blocks: {nb} x 128 tokens, block 0 holds "
+        f"{len(b0['doc_spans'])} doc slices"
+    )
+
     spark.stop()
 
 
