@@ -591,3 +591,65 @@ def test_overlap_sketch_grams_never_join(spark):
         n for n in ns if n == "SortMergeJoin" or n == "ShuffledHashJoin"
     ]
     assert "theta_sketch_agg" in plan
+
+
+def test_block_pack_ids_sharded_plan_and_no_cartesian(spark):
+    """block_pack_ids(shard_col=...) plans hash-partitioned window +
+    one grouping shuffle — never the single-reducer global sort, no
+    join of any kind (the per-token-row anti-design would also show
+    up as explosive row counts; the piece design has exactly one
+    Generate)."""
+    from pyspark.sql import functions as F
+
+    from opencosmo_spark.pipeline.text import block_pack_ids
+
+    df = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("int").alias("shard"),
+        F.sequence(F.lit(1), (F.col("id") % 37 + 1).cast("int")).alias(
+            "input_ids"
+        ),
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    sharded = block_pack_ids(df, 32, shard_col="shard")
+    plan = sharded._jdf.queryExecution().explainString(mode)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert nodes(plan).count("Generate") == 1  # one explode: docs -> pieces
+
+    global_plan = (
+        block_pack_ids(df, 32)._jdf.queryExecution().explainString(mode)
+    )
+    assert "SinglePartition" in global_plan  # the documented trade
+
+
+def test_render_preference_pairs_is_pure_projection(spark):
+    """Three renders per row must stay a single scan+project: zero
+    exchanges, zero joins, zero python UDFs — the row-parallel shape
+    the 100 TB claim rests on."""
+    from opencosmo_spark.pipeline.preference import (
+        filter_preference_pairs,
+        render_preference_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [("user", "q")], [("assistant", "a")], [("assistant", "b")])],
+        "pair_id long,"
+        " prompt array<struct<role:string,content:string>>,"
+        " chosen array<struct<role:string,content:string>>,"
+        " rejected array<struct<role:string,content:string>>",
+    )
+    out = filter_preference_pairs(
+        render_preference_pairs(df), min_completion_chars=0,
+        drop_identical=False,
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
