@@ -235,6 +235,7 @@ def block_pack_ids(
     shard_col: str | None = None,
     eos_id: int | None = None,
     drop_last: bool = True,
+    order_col: str | None = None,
 ) -> DataFrame:
     """The standard PRETRAINING packer (GPT-2/3, LLaMA concat-and-
     chunk): concatenate every document's token ids in ``id_col``
@@ -261,6 +262,10 @@ def block_pack_ids(
     ``pack_chunks``, ``shard_col=None`` is a single-reducer global
     sort (test scale); pass a shard column at 100 TB and blocks pack
     per-shard in parallel, never spanning shards.
+
+    ``order_col`` overrides the concatenation order (``id_col`` ties
+    break after it) — the hook ``streaming.block_pack_stream`` uses
+    to put the previous batch's carried tail ahead of new arrivals.
     """
     from pyspark.sql import Window
 
@@ -276,9 +281,10 @@ def block_pack_ids(
             ))
         )
     B = int(block_size)
+    ordering = [order_col, id_col] if order_col else [id_col]
     w = (
         (Window.partitionBy(shard_col) if shard_col else Window)
-        .orderBy(id_col)
+        .orderBy(*ordering)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     base = (

@@ -10,6 +10,7 @@ custom-operator hook.
 
 from .events import (
     ann_index_stream,
+    block_pack_stream,
     corpus_dedup_stream,
     corpus_profile_stream,
     decontaminate_stream,
@@ -31,6 +32,7 @@ from .events import (
 __all__ = [
     "read_event_stream",
     "ann_index_stream",
+    "block_pack_stream",
     "event_time_expr",
     "frequent_items_stream",
     "streaming_top_items",

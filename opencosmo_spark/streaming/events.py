@@ -677,6 +677,163 @@ def ann_index_stream(
     return None
 
 
+def block_pack_stream(
+    docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    tail_dir: str,
+    *,
+    block_size: int = 2048,
+    ids_col: str = "input_ids",
+    id_col: str = "doc_id",
+    eos_id: int | None = None,
+    drive: bool = True,
+):
+    """Streaming PRETRAINING ingestion — the live twin of
+    ``text.block_pack_ids``: tokenized documents arrive in
+    micro-batches and leave as fixed ``block_size`` blocks with
+    globally consecutive ``block_id`` and exact ``doc_spans``
+    provenance, as if the whole stream had been concatenated and
+    chunked in one pass.
+
+    Cross-batch state is the carried TAIL (the ragged remainder of
+    the concatenated stream, always < block_size tokens) plus the
+    next block number — persisted per batch in ``tail_dir`` as
+    (seq, doc, ids) piece rows so provenance survives the batch
+    boundary, NOT held in the state store. Both the full blocks
+    (``out_dir``) and the tail land under ``batch_id`` dynamic
+    partition overwrite; a crash-recovery re-run reads only tails
+    with ``batch_id < current`` (never its own partial write) and
+    REPLACES its own partitions — the same exactly-once composition
+    as the dedup/profile/ANN streams, and the reason the tail is an
+    artifact: re-running batch k against tail k-1 is deterministic,
+    while state-store carry would double-apply.
+
+    Within a micro-batch, documents concatenate in STRING order of
+    ``id_col`` (carried tail pieces always first); use fixed-width
+    ids when numeric order matters. ``eos_id`` appends the separator
+    to each ARRIVING document only — carried tail tokens already
+    contain theirs. A document may span batches; its block spans
+    then split at the former batch boundary (adjacent spans with the
+    same doc id — token stream unaffected).
+    """
+    from ..io.ingest import hadoop_fs
+    from ..pipeline.text import block_pack_ids
+
+    spark = docs.sparkSession
+    B = int(block_size)
+    elem_t = docs.schema[ids_col].dataType.elementType
+    id_t = docs.schema[id_col].dataType
+
+    def ord_struct(p: int, k) -> F.Column:
+        return F.struct(
+            F.lit(int(p)).alias("p"), k.cast("string").alias("k")
+        )
+
+    def handle(batch_df, batch_id):
+        bid = int(batch_id)
+        base_block = 0
+        tail_rows = None
+        _jvm, fs, jpath = hadoop_fs(spark, tail_dir)
+        if fs.exists(jpath):
+            prior = spark.read.parquet(tail_dir).filter(
+                F.col("batch_id") < bid
+            )
+            last = prior.agg(F.max("batch_id")).first()[0]
+            if last is not None:
+                t = prior.filter(F.col("batch_id") == last)
+                base_block = int(t.agg(F.max("next_block")).first()[0])
+                tail_rows = t.filter(F.col("seq") >= 0).select(
+                    ord_struct(0, F.format_string("%020d", "seq")).alias(
+                        "__ord"
+                    ),
+                    F.col(id_col),
+                    F.col(ids_col),
+                )
+        inc_ids = F.col(ids_col)
+        if eos_id is not None:
+            inc_ids = F.concat(
+                inc_ids, F.array(F.lit(int(eos_id)).cast(elem_t))
+            )
+        inc = batch_df.select(
+            ord_struct(1, F.col(id_col)).alias("__ord"),
+            F.col(id_col),
+            inc_ids.alias(ids_col),
+        )
+        allrows = (
+            tail_rows.unionByName(inc) if tail_rows is not None else inc
+        )
+        from pyspark import StorageLevel
+
+        blocks = block_pack_ids(
+            allrows, B, ids_col=ids_col, id_col=id_col,
+            drop_last=False, order_col="__ord",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            full = blocks.filter(F.col("n_tokens") == B).select(
+                (F.col("block_id") + base_block).alias("block_id"),
+                ids_col,
+                "n_tokens",
+                "doc_spans",
+            )
+            n_full = full.count()
+            (
+                full.withColumn("batch_id", F.lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+            # the ragged remainder becomes the next batch's carry —
+            # one piece row per doc slice, provenance intact; the
+            # seq=-1 marker row carries next_block even when the
+            # stream happens to align to the block boundary
+            ragged = blocks.filter(F.col("n_tokens") < B)
+            new_tail = ragged.select(
+                F.posexplode("doc_spans").alias("seq", "__sp"),
+                F.col(ids_col).alias("__bids"),
+            ).select(
+                F.col("seq").cast("int").alias("seq"),
+                F.col(f"__sp.{id_col}").alias(id_col),
+                F.slice(
+                    "__bids",
+                    (F.col("__sp.start") + 1).cast("int"),
+                    (F.col("__sp.end") - F.col("__sp.start")).cast("int"),
+                ).alias(ids_col),
+            )
+            marker = spark.range(1).select(
+                F.lit(-1).cast("int").alias("seq"),
+                F.lit(None).cast(id_t).alias(id_col),
+                F.array().cast(f"array<{elem_t.simpleString()}>").alias(
+                    ids_col
+                ),
+            )
+            (
+                new_tail.unionByName(marker)
+                .withColumn("next_block", F.lit(base_block + n_full))
+                .withColumn("batch_id", F.lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(tail_dir)
+            )
+        finally:
+            blocks.unpersist()
+
+    q = (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    if not drive:
+        return q
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return None
+
+
 def drift_monitor_stream(
     stream_df: DataFrame,
     ref: DataFrame,

@@ -876,3 +876,107 @@ def test_ann_index_stream_matches_batch_stamping(spark, tmp_path):
     )
     ann_index_stream(stream2, ups_dir, ckpt, idx_path)
     assert norm(spark.read.parquet(ups_dir).drop("batch_id")) == norm(want)
+
+
+def test_block_pack_stream_matches_batch(spark, tmp_path):
+    """Streaming concat-and-chunk: blocks across all micro-batches
+    equal batch block_pack_ids over the concatenated input — global
+    block ids consecutive, token streams identical, spans identical
+    after merging the batch-boundary splits; the carried tail
+    conserves every token; checkpoint restart re-lands nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opencosmo_spark.pipeline.text import block_pack_ids
+    from opencosmo_spark.streaming import block_pack_stream
+
+    rng = np.random.default_rng(83)
+    B = 32
+    docs = [
+        (
+            100 + i,
+            [int(x) for x in rng.integers(5, 99, size=rng.integers(1, 50))],
+        )
+        for i in range(24)
+    ]
+    d = tmp_path / "bp_docs"
+    d.mkdir()
+    for k in range(3):
+        chunk = docs[k * 8 : (k + 1) * 8]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [c[0] for c in chunk],
+                    "input_ids": [c[1] for c in chunk],
+                }
+            ),
+            d / f"part-{k}.parquet",
+        )
+
+    out_dir = str(tmp_path / "bp_out")
+    tail_dir = str(tmp_path / "bp_tail")
+    ckpt = str(tmp_path / "bp_ckpt")
+    stream = (
+        spark.readStream.schema("doc_id long, input_ids array<long>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    block_pack_stream(
+        stream, out_dir, ckpt, tail_dir, block_size=B, eos_id=0
+    )
+
+    got = spark.read.parquet(out_dir).orderBy("block_id").collect()
+    all_df = spark.createDataFrame(docs, "doc_id long, input_ids array<long>")
+    want = (
+        block_pack_ids(all_df, B, eos_id=0, drop_last=True)
+        .orderBy("block_id")
+        .collect()
+    )
+    assert [r["block_id"] for r in got] == list(range(len(want)))
+    assert [list(r["input_ids"]) for r in got] == [
+        list(r["input_ids"]) for r in want
+    ]
+
+    def merge(spans):
+        out = []
+        for doc, s, e in spans:
+            if out and out[-1][0] == doc and out[-1][2] == s:
+                out[-1] = (doc, out[-1][1], e)
+            else:
+                out.append((doc, s, e))
+        return out
+
+    for g, w in zip(got, want):
+        gm = merge([(s["doc_id"], s["start"], s["end"]) for s in g["doc_spans"]])
+        wm = [(s["doc_id"], s["start"], s["end"]) for s in w["doc_spans"]]
+        assert gm == wm, g["block_id"]
+
+    # token conservation: emitted blocks + the final carried tail
+    # hold every token of every doc (+1 eos each)
+    tails = spark.read.parquet(tail_dir)
+    last = tails.agg(F.max("batch_id")).first()[0]
+    carry = (
+        tails.filter((F.col("batch_id") == last) & (F.col("seq") >= 0))
+        .collect()
+    )
+    total = sum(len(ids) + 1 for _, ids in docs)
+    assert len(got) * B + sum(len(r["input_ids"]) for r in carry) == total
+    nb = tails.filter(F.col("batch_id") == last).agg(
+        F.max("next_block")
+    ).first()[0]
+    assert nb == len(got)
+
+    # restart with the same checkpoint: nothing new
+    stream2 = (
+        spark.readStream.schema("doc_id long, input_ids array<long>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    block_pack_stream(
+        stream2, out_dir, ckpt, tail_dir, block_size=B, eos_id=0
+    )
+    again = spark.read.parquet(out_dir).orderBy("block_id").collect()
+    assert [list(r["input_ids"]) for r in again] == [
+        list(r["input_ids"]) for r in got
+    ]
