@@ -195,6 +195,39 @@ def main():
     )
     shutil.rmtree(ann_dir)
 
+    # 8. streaming pretraining ingestion: tokenized docs arrive in
+    #    micro-batches, fixed blocks leave with globally consecutive
+    #    ids; the ragged tail carries between batches as an artifact
+    from opencosmo_spark.streaming import block_pack_stream
+
+    bp_dir = tempfile.mkdtemp(prefix="block_pack_")
+    tok = spark.read.parquet(docs_fixture).limit(60).select(
+        "doc_id",
+        F.transform(
+            F.split(F.trim("text"), r"\s+"),
+            lambda w: F.abs(F.hash(w)) % 1000,
+        ).alias("input_ids"),
+    )
+    tok.repartition(2).write.parquet(bp_dir + "/toks")
+    tok_stream = (
+        spark.readStream.schema(spark.read.parquet(bp_dir + "/toks").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bp_dir + "/toks")
+    )
+    block_pack_stream(
+        tok_stream, bp_dir + "/blocks", bp_dir + "/ckpt",
+        bp_dir + "/tail", block_size=256, eos_id=0,
+    )
+    blk = spark.read.parquet(bp_dir + "/blocks")
+    nblk = blk.count()
+    ok = blk.filter(F.col("n_tokens") != 256).count() == 0
+    print(
+        f"stream blocks: {nblk} x 256 tokens, all full = {ok}, "
+        f"ids consecutive = "
+        f"{sorted(r['block_id'] for r in blk.select('block_id').collect()) == list(range(nblk))}"
+    )
+    shutil.rmtree(bp_dir)
+
     shutil.rmtree(events_dir)
     print("streaming pipeline complete")
     spark.stop()

@@ -126,6 +126,7 @@ def test_streaming_pipeline_example_runs():
     # batch groupBy's; the sentinel proves it got there
     assert "stream profile: 2 batch rows -> card docs=200" in out.stdout
     assert "streamed vector retrievable: top-1 for its own query = 60" in out.stdout
+    assert "all full = True" in out.stdout and "ids consecutive = True" in out.stdout
     assert "streaming pipeline complete" in out.stdout
 
 
