@@ -350,6 +350,41 @@ def block_pack_ids(
     return out
 
 
+def block_position_ids(
+    blocks: DataFrame,
+    spans_col: str = "doc_spans",
+    pos_col: str = "position_ids",
+    seg_col: str = "segment_ids",
+) -> DataFrame:
+    """Materialize the two arrays a document-boundary-aware trainer
+    derives from ``block_pack_ids``'s ``doc_spans``: ``position_ids``
+    (0..len-1 restarting at every document boundary — the
+    position-reset convention that stops cross-document attention
+    from seeing bogus long-range offsets) and ``segment_ids`` (the
+    span's index within the block, the block-diagonal attention-mask
+    key). Pure per-row array expressions over the spans — spans tile
+    the block by construction, so both arrays are exactly
+    ``n_tokens`` long (a property the tests assert)."""
+    spans = F.col(spans_col)
+    pos = F.flatten(
+        F.transform(
+            spans,
+            lambda sp: F.sequence(
+                F.lit(0).cast("long"), sp["end"] - sp["start"] - 1
+            ),
+        )
+    )
+    seg = F.flatten(
+        F.transform(
+            spans,
+            lambda sp, i: F.array_repeat(
+                i.cast("long"), (sp["end"] - sp["start"]).cast("int")
+            ),
+        )
+    )
+    return blocks.withColumn(pos_col, pos).withColumn(seg_col, seg)
+
+
 def pack_chunks_bfd(
     chunks: DataFrame,
     budget: int = 256,

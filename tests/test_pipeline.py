@@ -1541,3 +1541,32 @@ def test_block_pack_ids_matches_python_twin(spark):
         block_pack_ids(df, 0)
     with _pytest.raises(ValueError, match="not in input"):
         block_pack_ids(df, 8, ids_col="nope")
+
+
+def test_block_position_ids_tile_blocks(spark):
+    """position_ids restart at every doc boundary, segment_ids index
+    the spans, and both arrays are exactly n_tokens long."""
+    import numpy as np
+
+    from opencosmo_spark.pipeline.text import block_pack_ids, block_position_ids
+
+    rng = np.random.default_rng(29)
+    docs = [
+        (i, [int(x) for x in rng.integers(1, 9, size=rng.integers(1, 20))])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, input_ids array<int>")
+    out = block_position_ids(
+        block_pack_ids(df, 16, eos_id=0, drop_last=False)
+    ).collect()
+    assert out
+    for r in out:
+        assert len(r["position_ids"]) == r["n_tokens"]
+        assert len(r["segment_ids"]) == r["n_tokens"]
+        # twin from the spans themselves
+        want_pos, want_seg = [], []
+        for i, sp in enumerate(r["doc_spans"]):
+            want_pos.extend(range(sp["end"] - sp["start"]))
+            want_seg.extend([i] * (sp["end"] - sp["start"]))
+        assert list(r["position_ids"]) == want_pos
+        assert list(r["segment_ids"]) == want_seg
