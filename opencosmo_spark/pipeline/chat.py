@@ -346,6 +346,43 @@ def chat_sft_rows(
     )
 
 
+def supervised_token_mask(
+    df: DataFrame,
+    spans_col: str = "supervised_spans",
+    n_tokens_col: str = "n_tokens",
+    mask_col: str = "loss_mask",
+) -> DataFrame:
+    """Materialize the per-token loss mask a trainer actually loads:
+    ``mask_col`` = array<boolean> of length ``n_tokens_col`` with
+    True exactly on the supervised token positions (the spans'
+    ``tok_start``/``tok_end`` ranges — render with ``token_mode`` so
+    they exist; raises otherwise). Works on ``chat_sft_rows`` output
+    (pass ``n_tokens``) and on ``pack_sft_rows`` packs (pass
+    ``pack_tokens``) — the spans are already in the right coordinate
+    frame in both. Pure per-row array expressions, O(n_tokens x
+    n_spans) per row with span counts in the dozens."""
+    fields = df.schema[spans_col].dataType.elementType.fieldNames()
+    if "tok_start" not in fields:
+        raise ValueError(
+            f"{spans_col!r} has no tok_start/tok_end — render with "
+            "token_mode=... to get token-coordinate spans"
+        )
+    spans = F.col(spans_col)
+    n = F.col(n_tokens_col).cast("long")
+    mask = F.transform(
+        F.sequence(F.lit(0).cast("long"), n - 1),
+        lambda i: F.exists(
+            spans,
+            lambda sp: (i >= sp["tok_start"]) & (i < sp["tok_end"]),
+        ),
+    )
+    # sequence(0, -1) would raise under ANSI; empty rows get []
+    empty = F.array().cast("array<boolean>")
+    return df.withColumn(
+        mask_col, F.when(n > 0, mask).otherwise(empty)
+    )
+
+
 def pack_sft_rows(
     sft: DataFrame,
     budget: int = 2048,

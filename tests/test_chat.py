@@ -452,3 +452,50 @@ def test_render_chat_max_turns_error_and_truncate(spark):
     assert got[0]["turns_truncated"] is True
     assert got[1]["turns_truncated"] is False
     assert got[1]["text"] == _twin_t([("assistant", "short")], DEFAULT_TEMPLATE)[0]
+
+
+def test_supervised_token_mask_matches_spans(spark, convs):
+    """loss_mask is exactly the union of the token spans, on both raw
+    SFT rows and packs; char/token-less renders refuse loudly."""
+    from opencosmo_spark.pipeline.chat import (
+        pack_sft_rows,
+        supervised_token_mask,
+    )
+
+    sft = chat_sft_rows(convs, token_mode="whitespace")
+    masked = supervised_token_mask(sft).collect()
+    assert masked
+    for r in masked:
+        m = list(r["loss_mask"])
+        assert len(m) == r["n_tokens"]
+        want = [False] * r["n_tokens"]
+        for sp in r["supervised_spans"]:
+            for i in range(sp["tok_start"], sp["tok_end"]):
+                want[i] = True
+        assert m == want
+        # the masked tokens ARE the supervised contents' tokens
+        toks = r["text"].split()
+        got_toks = [t for t, keep in zip(toks, m) if keep]
+        want_toks = [
+            t
+            for sp in r["supervised_spans"]
+            for t in r["text"][sp["start"] : sp["end"]].split()
+        ]
+        assert got_toks == want_toks
+
+    packs = pack_sft_rows(
+        sft, budget=64, token_count_col="n_tokens"
+    )
+    pm = supervised_token_mask(
+        packs, n_tokens_col="pack_tokens"
+    ).collect()
+    for r in pm:
+        assert len(r["loss_mask"]) == r["pack_tokens"]
+        assert sum(r["loss_mask"]) == sum(
+            sp["tok_end"] - sp["tok_start"] for sp in r["supervised_spans"]
+        )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tok_start"):
+        supervised_token_mask(chat_sft_rows(convs))
