@@ -1280,9 +1280,37 @@ def q56_pack_chunks(spark, sf):
     chunks = chunk_documents(d, max_tokens=64).withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
     )
-    return pack_chunks(
+    packed = pack_chunks(
         chunks, budget=256, shard_col="shard", keep_cols=("chunk_text",)
     )
+    # block-packer lanes (pipeline/text.py::block_pack_ids, r10): the
+    # PRETRAINING concat-and-chunk through the REAL operator — token
+    # ids are dummies (1..n; block boundaries depend only on lengths)
+    # so the oracle mirrors the whole thing with window arithmetic.
+    # Lane rows: shard=-1 marker, doc_id=block_id, chunk_idx=#docs in
+    # the block, n_tokens=block fill, pack_id=first doc in the block
+    # (the spans' offset-0 entry — equals MIN(doc_id) because docs
+    # concatenate in id order)
+    from opencosmo_spark.pipeline.text import block_pack_ids, token_count
+
+    ids_df = d.select(
+        "doc_id",
+        F.sequence(
+            F.lit(1), token_count("text", "whitespace").cast("int")
+        ).alias("input_ids"),
+    )
+    blocks = block_pack_ids(ids_df, 256, drop_last=False)
+    lane = blocks.select(
+        F.lit(-1).cast("int").alias("shard"),
+        F.col("block_id").cast("long").alias("doc_id"),
+        F.size("doc_spans").cast("long").alias("chunk_idx"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.lit("block").alias("chunk_text"),
+        F.element_at("doc_spans", 1)["doc_id"].cast("long").alias(
+            "pack_id"
+        ),
+    )
+    return packed.unionByName(lane.select(*packed.columns))
 
 
 def q57_sky_crossmatch(spark, sf):
@@ -2359,6 +2387,31 @@ def oracle_sql() -> dict[str, str]:
                      CAST(least(64, n - i*64) AS BIGINT) AS n_tokens
               FROM c
             )
+            , bp AS (
+              -- block-packer lane mirror: doc start offsets in the
+              -- concatenated token stream (docs in id order)
+              SELECT doc_id, len(ws) AS n,
+                     COALESCE(SUM(len(ws)) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS st
+              FROM w
+            ), bpx AS (
+              SELECT doc_id, n, st,
+                     UNNEST(generate_series(
+                       CAST(floor(st / 256.0) AS BIGINT),
+                       CAST(floor((st + n - 1) / 256.0) AS BIGINT)
+                     )) AS b
+              FROM bp
+            ), blk AS (
+              SELECT b,
+                     CAST(SUM(least(n, (b+1)*256 - st)
+                              - greatest(0, b*256 - st)) AS BIGINT)
+                       AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     MIN(doc_id) AS first_doc
+              FROM bpx GROUP BY b
+            )
             SELECT shard, doc_id, chunk_idx, n_tokens, chunk_text,
                    CAST(floor(
                      (SUM(n_tokens) OVER (PARTITION BY shard
@@ -2367,6 +2420,14 @@ def oracle_sql() -> dict[str, str]:
                                                 AND CURRENT ROW)
                       - n_tokens) / 256.0) AS BIGINT) AS pack_id
             FROM t
+            UNION ALL
+            SELECT CAST(-1 AS INTEGER) AS shard,
+                   b AS doc_id,
+                   n_docs AS chunk_idx,
+                   n_tokens,
+                   'block' AS chunk_text,
+                   first_doc AS pack_id
+            FROM blk
         """,
         "q44_asof_join": """
             WITH o AS (
