@@ -713,9 +713,11 @@ def block_pack_stream(
     ``id_col`` (carried tail pieces always first); use fixed-width
     ids when numeric order matters. ``eos_id`` appends the separator
     to each ARRIVING document only — carried tail tokens already
-    contain theirs. A document may span batches; its block spans
-    then split at the former batch boundary (adjacent spans with the
-    same doc id — token stream unaffected).
+    contain theirs. A document may span batches; its pieces re-enter
+    as separate tail rows, and the emitted blocks MERGE the resulting
+    adjacent same-doc spans back together, so the output is
+    bit-identical to the batch packer's — spans included (the test
+    pins direct equality).
     """
     from ..io.ingest import hadoop_fs
     from ..pipeline.text import block_pack_ids
@@ -770,11 +772,40 @@ def block_pack_stream(
             drop_last=False, order_col="__ord",
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
+            # a doc that spanned a batch boundary re-entered as tail
+            # pieces — merge its adjacent spans back so the artifact
+            # equals the batch packer's spans exactly
+            span_t = blocks.schema["doc_spans"].dataType
+
+            def merge_spans(spans):
+                def last(acc):
+                    return F.element_at(acc, -1)
+
+                return F.aggregate(
+                    spans,
+                    F.array().cast(span_t),
+                    lambda acc, sp: F.when(
+                        (F.size(acc) > 0)
+                        & (last(acc)[id_col] == sp[id_col])
+                        & (last(acc)["end"] == sp["start"]),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(
+                                F.struct(
+                                    sp[id_col].alias(id_col),
+                                    last(acc)["start"].alias("start"),
+                                    sp["end"].alias("end"),
+                                )
+                            ),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(sp))),
+                )
+
             full = blocks.filter(F.col("n_tokens") == B).select(
                 (F.col("block_id") + base_block).alias("block_id"),
                 ids_col,
                 "n_tokens",
-                "doc_spans",
+                merge_spans(F.col("doc_spans")).alias("doc_spans"),
             )
             n_full = full.count()
             (

@@ -938,17 +938,9 @@ def test_block_pack_stream_matches_batch(spark, tmp_path):
         list(r["input_ids"]) for r in want
     ]
 
-    def merge(spans):
-        out = []
-        for doc, s, e in spans:
-            if out and out[-1][0] == doc and out[-1][2] == s:
-                out[-1] = (doc, out[-1][1], e)
-            else:
-                out.append((doc, s, e))
-        return out
-
+    # spans equal DIRECTLY: the stream merges batch-boundary splits
     for g, w in zip(got, want):
-        gm = merge([(s["doc_id"], s["start"], s["end"]) for s in g["doc_spans"]])
+        gm = [(s["doc_id"], s["start"], s["end"]) for s in g["doc_spans"]]
         wm = [(s["doc_id"], s["start"], s["end"]) for s in w["doc_spans"]]
         assert gm == wm, g["block_id"]
 
