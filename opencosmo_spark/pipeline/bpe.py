@@ -301,3 +301,65 @@ def bpe_encode_ids(
     return _apply_bpe_pandas(
         df, merges, text_col, id_col, out_col, vocab=vocab, unk_id=unk_id
     )
+
+
+def write_tokenizer(
+    spark,
+    path: str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    unk_id: int | None = None,
+) -> dict:
+    """Persist the trained tokenizer as an artifact — the same
+    ship-your-own-artifact idiom as ``write_dedup_index`` /
+    ``write_ann_index``: a release's token ids are only reproducible
+    with the EXACT merges and vocabulary that produced them, so they
+    travel as ``_tokenizer.json`` under ``path`` (ordered merge list,
+    token->id map, the unk policy) instead of as driver state that
+    dies with the session. Tokenizers are vocab-scale by construction
+    (tens of thousands of entries), which is what makes a JSON
+    sidecar the right home — same reasoning as the ANN codebooks.
+    Works on HDFS/S3 URIs via the Hadoop FileSystem. Returns the
+    params dict it wrote."""
+    import json
+
+    from ..io.ingest import hadoop_fs
+
+    params = {
+        "merges": [[a, b] for a, b in merges],
+        "vocab": vocab,
+        "unk_id": unk_id,
+    }
+    jvm, fs, jpath = hadoop_fs(spark, path.rstrip("/") + "/_tokenizer.json")
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(json.dumps(params).encode("utf-8")))
+    finally:
+        stream.close()
+    return params
+
+
+def read_tokenizer(spark, path: str) -> dict:
+    """Load a ``write_tokenizer`` artifact back into the exact driver
+    objects ``bpe_encode_ids`` / ``apply_bpe`` take:
+    ``{"merges": [(a, b), ...], "vocab": {token: id}, "unk_id"}``.
+    Raises loudly when the sidecar is missing — encoding with a
+    REBUILT tokenizer would silently produce different ids."""
+    import json
+
+    from ..io.ingest import hadoop_fs
+
+    jvm, fs, jpath = hadoop_fs(spark, path.rstrip("/") + "/_tokenizer.json")
+    if not fs.exists(jpath):
+        raise ValueError(f"{path} has no _tokenizer.json sidecar")
+    stream = fs.open(jpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+        stream, baos, spark._jsc.hadoopConfiguration(), True
+    )
+    params = json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+    return {
+        "merges": [tuple(m) for m in params["merges"]],
+        "vocab": {t: int(i) for t, i in params["vocab"].items()},
+        "unk_id": params.get("unk_id"),
+    }

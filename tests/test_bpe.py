@@ -227,3 +227,49 @@ def test_bpe_vocab_and_encode_ids_roundtrip(spark):
         bpe_encode_ids(oov, merges, vocab).collect()
     got = bpe_encode_ids(oov, merges, vocab, unk_id=-1).first()["input_ids"]
     assert -1 in got
+
+
+def test_tokenizer_artifact_roundtrip(spark, tmp_path):
+    """write_tokenizer/read_tokenizer: encoding with the read-back
+    artifact equals encoding with the original driver objects
+    bit-for-bit; missing sidecar refuses loudly."""
+    import pytest as _pytest
+
+    from opencosmo_spark.pipeline.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+        read_tokenizer,
+        write_tokenizer,
+    )
+
+    texts = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new"),
+        (2, "wider wide widest lower"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    merges = train_bpe_merges(df, n_merges=12, min_pair_freq=1)
+    v = bpe_vocab(apply_bpe(df, merges, method="pandas")).toPandas()
+    vocab = dict(zip(v.token, v.token_id.astype(int)))
+
+    p = str(tmp_path / "tok")
+    write_tokenizer(spark, p, merges, vocab, unk_id=-1)
+    tok = read_tokenizer(spark, p)
+    assert tok["merges"] == merges
+    assert tok["vocab"] == vocab
+    assert tok["unk_id"] == -1
+
+    want = {
+        r["doc_id"]: list(r["input_ids"])
+        for r in bpe_encode_ids(df, merges, vocab).collect()
+    }
+    got = {
+        r["doc_id"]: list(r["input_ids"])
+        for r in bpe_encode_ids(
+            df, tok["merges"], tok["vocab"], unk_id=tok["unk_id"]
+        ).collect()
+    }
+    assert got == want
+
+    with _pytest.raises(ValueError, match="_tokenizer"):
+        read_tokenizer(spark, str(tmp_path / "nope"))
