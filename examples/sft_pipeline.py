@@ -162,8 +162,23 @@ def main():
 
     merges = train_bpe_merges(docs, n_merges=50)
     v = bpe_vocab(apply_bpe(docs, merges, method="pandas")).toPandas()
-    vocab = dict(zip(v.token, v.token_id))
-    ids = bpe_encode_ids(docs.select("doc_id", "text"), merges, vocab)
+    vocab = dict(zip(v.token, v.token_id.astype(int)))
+
+    # the tokenizer ships as a release artifact — ids are only
+    # reproducible with the EXACT merges/vocab that produced them
+    import tempfile as _tf
+
+    from opencosmo_spark.pipeline.bpe import read_tokenizer, write_tokenizer
+
+    tok_dir = _tf.mkdtemp(prefix="tokenizer_")
+    write_tokenizer(spark, tok_dir, merges, vocab)
+    tok = read_tokenizer(spark, tok_dir)
+    print(f"tokenizer artifact: {len(tok['vocab'])} tokens, "
+          f"{len(tok['merges'])} merges round-tripped")
+
+    ids = bpe_encode_ids(
+        docs.select("doc_id", "text"), tok["merges"], tok["vocab"]
+    )
     blocks = block_pack_ids(
         ids, block_size=128, eos_id=len(vocab), drop_last=True
     )

@@ -146,3 +146,4 @@ def test_sft_pipeline_example_runs():
     assert "all in-bounds = True" in out.stdout
     assert "shared prompt prefix = True" in out.stdout
     assert "pretraining blocks:" in out.stdout
+    assert "tokenizer artifact:" in out.stdout

@@ -284,3 +284,26 @@ def test_render_preference_randomized_unicode_twin(spark):
             row["chosen_text"][: row["prompt_chars"]]
             == row["rejected_text"][: row["prompt_chars"]]
         )
+
+
+def test_preference_on_long_truncate_flags(spark):
+    """on_long='truncate' slices each branch at max_turns and renames
+    the flag per branch; the default errors loudly on a long prompt."""
+    long_prompt = [("user", f"m{i}") for i in range(6)]
+    df = spark.createDataFrame(
+        [(0, long_prompt, [("assistant", "ok")], [("assistant", "no")])],
+        SCHEMA,
+    )
+    out = render_preference_pairs(
+        df, max_turns=4, on_long="truncate"
+    ).collect()[0]
+    assert out["prompt_turns_truncated"] is True
+    assert out["chosen_turns_truncated"] is True
+    assert out["rejected_turns_truncated"] is True
+    # the sliced prompt renders only the first 4 turns
+    assert out["prompt_text"].count("<|user|>") == 4
+    # completions fell off the slice -> no spans
+    assert out["chosen_spans"] == [] and out["rejected_spans"] == []
+
+    with pytest.raises(Exception, match="max_turns"):
+        render_preference_pairs(df, max_turns=4).collect()
