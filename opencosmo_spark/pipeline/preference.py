@@ -136,6 +136,44 @@ def render_preference_pairs(
     return out
 
 
+def preference_report(
+    pairs: DataFrame,
+    min_completion_chars: int = 1,
+    max_len_ratio: float | None = None,
+) -> dict:
+    """Pair-hygiene accounting in ONE aggregation job: how many pairs
+    each :func:`filter_preference_pairs` rule would drop (rules
+    overlap — a pair can be both identical and short — so the counts
+    are per-rule incidence, and ``kept`` is the conjunction, exactly
+    the filter's survivors). Keys: ``pairs``, ``identical``,
+    ``chosen_empty``/``rejected_empty`` (below min chars),
+    ``ratio_dropped`` (NULL-ratio pairs never trip it), ``kept``.
+    Driver result is six longs — safe at any scale."""
+    flags = filter_preference_pairs(
+        pairs, min_completion_chars=0, drop_identical=False
+    )
+    mc = int(min_completion_chars)
+    c_ok = F.col("pp_chosen_chars") >= mc
+    r_ok = F.col("pp_rejected_chars") >= mc
+    keep = c_ok & r_ok & ~F.col("pp_identical")
+    if max_len_ratio is not None:
+        ratio_bad = F.col("pp_len_ratio") > float(max_len_ratio)
+        keep = keep & ~F.coalesce(ratio_bad, F.lit(False))
+    else:
+        ratio_bad = F.lit(False)
+    row = flags.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.sum(F.col("pp_identical").cast("long")).alias("identical"),
+        F.sum((~c_ok).cast("long")).alias("chosen_empty"),
+        F.sum((~r_ok).cast("long")).alias("rejected_empty"),
+        F.sum(F.coalesce(ratio_bad, F.lit(False)).cast("long")).alias(
+            "ratio_dropped"
+        ),
+        F.sum(keep.cast("long")).alias("kept"),
+    ).first()
+    return {k: int(row[k] or 0) for k in row.asDict()}
+
+
 def preference_to_kto(
     pairs: DataFrame,
     id_col: str = "pair_id",

@@ -307,3 +307,24 @@ def test_preference_on_long_truncate_flags(spark):
 
     with pytest.raises(Exception, match="max_turns"):
         render_preference_pairs(df, max_turns=4).collect()
+
+
+def test_preference_report_counts_each_rule(spark, pairs_df):
+    """One-job accounting equals the filter's survivors and the
+    fixture's known per-rule incidences."""
+    from opencosmo_spark.pipeline.preference import preference_report
+
+    rendered = render_preference_pairs(pairs_df)
+    rep = preference_report(rendered)
+    assert rep["pairs"] == 5
+    assert rep["identical"] == 1          # pair 4
+    assert rep["chosen_empty"] == 1       # pair 3 (NULL chosen)
+    assert rep["rejected_empty"] == 1     # pair 2 (empty rejected)
+    assert rep["ratio_dropped"] == 0      # no ratio gate
+    assert rep["kept"] == filter_preference_pairs(rendered).count()
+
+    strict = preference_report(rendered, max_len_ratio=3.0)
+    assert strict["ratio_dropped"] == 1   # pair 1 (ratio 17)
+    assert strict["kept"] == filter_preference_pairs(
+        rendered, max_len_ratio=3.0
+    ).count()
