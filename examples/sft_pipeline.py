@@ -132,10 +132,19 @@ def main():
             msg("assistant", F.substring("text", 141, 40))
         ).alias("rejected"),
     )
-    pairs = filter_preference_pairs(
-        render_preference_pairs(triples, token_mode="whitespace"),
-        max_len_ratio=4.0,
+    from opencosmo_spark.pipeline.preference import preference_report
+
+    rendered_pairs = render_preference_pairs(
+        triples, token_mode="whitespace"
     )
+    rep_pp = preference_report(rendered_pairs, max_len_ratio=4.0)
+    print(
+        f"pair hygiene: {rep_pp['pairs']} pairs, "
+        f"{rep_pp['identical']} identical, "
+        f"{rep_pp['ratio_dropped']} ratio-dropped, "
+        f"{rep_pp['kept']} kept"
+    )
+    pairs = filter_preference_pairs(rendered_pairs, max_len_ratio=4.0)
     n_pairs = pairs.count()
     p0 = pairs.orderBy("pair_id").first()
     shared = p0["chosen_text"][: p0["prompt_chars"]] == p0[

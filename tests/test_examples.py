@@ -145,5 +145,6 @@ def test_sft_pipeline_example_runs():
     assert "packed:" in out.stdout and "oversize=0" in out.stdout
     assert "all in-bounds = True" in out.stdout
     assert "shared prompt prefix = True" in out.stdout
+    assert "pair hygiene:" in out.stdout
     assert "pretraining blocks:" in out.stdout
     assert "tokenizer artifact:" in out.stdout
