@@ -339,6 +339,10 @@ def chat_sft_rows(
     cols = [id_col, "text", "supervised_spans", "n_supervised_chars"]
     if token_mode is not None:
         cols.append("n_tokens")
+    if on_long == "truncate":
+        # keep the slice provenance flag render_chat produced so
+        # downstream consumers can tell which conversations were cut
+        cols.append("turns_truncated")
     return (
         r.withColumn("n_supervised_chars", sup)
         .filter(F.col("n_supervised_chars") >= int(min_supervised_chars))

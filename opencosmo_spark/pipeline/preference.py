@@ -239,7 +239,11 @@ def filter_preference_pairs(
     - ``pp_len_ratio``: longer/shorter completion-char ratio (NULL
       when a side is empty). Pairs above ``max_len_ratio`` (when set)
       are dropped — gross length mismatch is the classic reward-hack
-      confound (the model learns "longer wins", not quality).
+      confound (the model learns "longer wins", not quality). A NULL
+      ratio is NOT dropped by this rule (it matches
+      ``preference_report``'s ``ratio_dropped`` accounting exactly);
+      a zero-char side is the ``min_completion_chars`` rule's job,
+      and at ``min_completion_chars=0`` such pairs survive here too.
     """
     def span_chars(col: str):
         return F.aggregate(
@@ -277,5 +281,10 @@ def filter_preference_pairs(
     if drop_identical:
         keep = keep & ~F.col("pp_identical")
     if max_len_ratio is not None:
-        keep = keep & (F.col("pp_len_ratio") <= float(max_len_ratio))
+        # NULL ratio (zero-char side) must not NULL-out the whole
+        # predicate: coalesce to "not ratio-dropped", mirroring
+        # preference_report's ratio_dropped accounting.
+        keep = keep & ~F.coalesce(
+            F.col("pp_len_ratio") > float(max_len_ratio), F.lit(False)
+        )
     return out.filter(keep)

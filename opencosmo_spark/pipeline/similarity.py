@@ -1152,9 +1152,17 @@ def read_ann_index(spark, path: str, updates_dir: str | None = None) -> dict:
     if updates_dir is not None:
         _, ufs, ujpath = hadoop_fs(spark, updates_dir)
         if ufs.exists(ujpath):
-            df = df.unionByName(
-                spark.read.parquet(updates_dir).drop("batch_id")
-            )
+            # an existing-but-empty directory (stream started, no
+            # batch committed yet) has no parquet to infer a schema
+            # from — treat it like a missing dir, as documented
+            try:
+                updates = spark.read.parquet(updates_dir)
+            except Exception as exc:  # AnalysisException: unable to infer
+                if "infer" not in str(exc).lower():
+                    raise
+                updates = None
+            if updates is not None:
+                df = df.unionByName(updates.drop("batch_id"))
     jvm, fs, jpath = hadoop_fs(spark, path.rstrip("/") + "/_ann_params.json")
     if not fs.exists(jpath):
         raise ValueError(f"{path} has no _ann_params.json sidecar")

@@ -236,6 +236,7 @@ def block_pack_ids(
     eos_id: int | None = None,
     drop_last: bool = True,
     order_col: str | None = None,
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """The standard PRETRAINING packer (GPT-2/3, LLaMA concat-and-
     chunk): concatenate every document's token ids in ``id_col``
@@ -266,6 +267,14 @@ def block_pack_ids(
     ``order_col`` overrides the concatenation order (``id_col`` ties
     break after it) — the hook ``streaming.block_pack_stream`` uses
     to put the previous batch's carried tail ahead of new arrivals.
+
+    ``shuffle_seed`` concatenates in SEEDED-SHUFFLE order instead of
+    id order — ``xxhash64(doc_id, seed)`` as the sort key (id breaks
+    ties), the per-epoch document shuffle every real pretraining run
+    does before chunking. Deterministic for a given seed, a different
+    permutation per seed, and zero extra shuffles (the same window
+    sort, on a different key). Mutually exclusive with ``order_col``
+    (pass your own column when you need a custom order).
     """
     from pyspark.sql import Window
 
@@ -273,6 +282,15 @@ def block_pack_ids(
         raise ValueError(f"block_size must be positive, got {block_size}")
     if ids_col not in df.columns or id_col not in df.columns:
         raise ValueError(f"{ids_col!r}/{id_col!r} not in input")
+    if shuffle_seed is not None:
+        if order_col is not None:
+            raise ValueError(
+                "shuffle_seed and order_col are mutually exclusive"
+            )
+        order_col = "__shuffle_key"
+        df = df.withColumn(
+            order_col, F.xxhash64(F.col(id_col), F.lit(int(shuffle_seed)))
+        )
     ids = F.col(ids_col)
     if eos_id is not None:
         ids = F.concat(

@@ -687,6 +687,7 @@ def block_pack_stream(
     ids_col: str = "input_ids",
     id_col: str = "doc_id",
     eos_id: int | None = None,
+    shuffle_seed: int | None = None,
     drive: bool = True,
 ):
     """Streaming PRETRAINING ingestion — the live twin of
@@ -709,9 +710,16 @@ def block_pack_stream(
     artifact: re-running batch k against tail k-1 is deterministic,
     while state-store carry would double-apply.
 
-    Within a micro-batch, documents concatenate in STRING order of
-    ``id_col`` (carried tail pieces always first); use fixed-width
-    ids when numeric order matters. ``eos_id`` appends the separator
+    Within a micro-batch, documents concatenate in NATIVE order of
+    ``id_col`` — numeric ids order numerically, exactly as the batch
+    packer's default does (string ids order lexically; carried tail
+    pieces always come first). ``shuffle_seed`` instead orders the
+    ARRIVING documents of each micro-batch by
+    ``xxhash64(doc_id, seed)`` — the streaming form of the batch
+    packer's seeded epoch shuffle. A stream can only permute within
+    what has arrived: the result equals the batch packer with order
+    key (arrival batch, hash, id), not a whole-corpus shuffle — the
+    twin test pins exactly that form. ``eos_id`` appends the separator
     to each ARRIVING document only — carried tail tokens already
     contain theirs. A document may span batches; its pieces re-enter
     as separate tail rows, and the emitted blocks MERGE the resulting
@@ -727,10 +735,32 @@ def block_pack_stream(
     elem_t = docs.schema[ids_col].dataType.elementType
     id_t = docs.schema[id_col].dataType
 
+    # Order key must sort like the BATCH packer's native id order:
+    # casting numeric ids to string breaks it for mixed widths
+    # ("10" < "2"), so numeric ids keep their own type and the tail
+    # seq is cast INTO that type; string ids keep lexical order with
+    # the zero-padded seq.
+    id_is_numeric = isinstance(
+        id_t,
+        (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+            T.DecimalType,
+        ),
+    )
+
     def ord_struct(p: int, k) -> F.Column:
-        return F.struct(
-            F.lit(int(p)).alias("p"), k.cast("string").alias("k")
-        )
+        if shuffle_seed is not None:
+            key = k.cast("long")  # xxhash64 keys; tail seq casts in
+        elif id_is_numeric:
+            key = k.cast(id_t)
+        else:
+            key = k.cast("string")
+        return F.struct(F.lit(int(p)).alias("p"), key.alias("k"))
 
     def handle(batch_df, batch_id):
         bid = int(batch_id)
@@ -757,8 +787,13 @@ def block_pack_stream(
             inc_ids = F.concat(
                 inc_ids, F.array(F.lit(int(eos_id)).cast(elem_t))
             )
+        inc_key = (
+            F.xxhash64(F.col(id_col), F.lit(int(shuffle_seed)))
+            if shuffle_seed is not None
+            else F.col(id_col)
+        )
         inc = batch_df.select(
-            ord_struct(1, F.col(id_col)).alias("__ord"),
+            ord_struct(1, inc_key).alias("__ord"),
             F.col(id_col),
             inc_ids.alias(ids_col),
         )

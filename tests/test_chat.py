@@ -454,6 +454,36 @@ def test_render_chat_max_turns_error_and_truncate(spark):
     assert got[1]["text"] == _twin_t([("assistant", "short")], DEFAULT_TEMPLATE)[0]
 
 
+def test_chat_sft_rows_truncate_keeps_flag(spark):
+    """chat_sft_rows(on_long='truncate') must carry turns_truncated
+    through its final select so downstream consumers can tell which
+    conversations were sliced."""
+    long_msgs = [("user", f"m{i}") for i in range(6)] + [
+        ("assistant", "answer")
+    ]
+    df = spark.createDataFrame(
+        [(0, long_msgs), (1, [("user", "hi"), ("assistant", "yo")])],
+        "conv_id long, messages array<struct<role:string,content:string>>",
+    )
+    out = chat_sft_rows(df, max_turns=4, on_long="truncate")
+    assert "turns_truncated" in out.columns
+    got = {r["conv_id"]: r for r in out.collect()}
+    # conv 0's assistant turn was sliced off -> no supervised chars,
+    # so it's filtered; conv 1 survives un-truncated
+    assert got[1]["turns_truncated"] is False
+    out2 = {
+        r["conv_id"]: r
+        for r in chat_sft_rows(
+            df, max_turns=7, on_long="truncate"
+        ).collect()
+    }
+    assert out2[0]["turns_truncated"] is False
+    # error mode keeps the old schema (no flag column)
+    assert "turns_truncated" not in chat_sft_rows(
+        df, max_turns=10
+    ).columns
+
+
 def test_supervised_token_mask_matches_spans(spark, convs):
     """loss_mask is exactly the union of the token spans, on both raw
     SFT rows and packs; char/token-less renders refuse loudly."""

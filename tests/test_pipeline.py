@@ -1543,6 +1543,69 @@ def test_block_pack_ids_matches_python_twin(spark):
         block_pack_ids(df, 8, ids_col="nope")
 
 
+def test_block_pack_ids_shuffle_seed(spark):
+    """shuffle_seed: equals the explicit order_col form with
+    xxhash64(doc_id, seed) hand-built; deterministic per seed; a
+    different seed gives a different document permutation; mutually
+    exclusive with order_col."""
+    import numpy as np
+    import pytest as _pytest
+
+    from opencosmo_spark.pipeline.text import block_pack_ids
+
+    rng = np.random.default_rng(7)
+    docs = [
+        (i, [int(x) for x in rng.integers(5, 500, size=rng.integers(1, 40))])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, input_ids array<int>")
+    B = 32
+
+    def rows(out):
+        return [
+            (
+                r["block_id"],
+                list(r["input_ids"]),
+                [(s["doc_id"], s["start"], s["end"]) for s in r["doc_spans"]],
+            )
+            for r in out.orderBy("block_id").collect()
+        ]
+
+    got = rows(block_pack_ids(df, B, eos_id=0, shuffle_seed=17))
+    want = rows(
+        block_pack_ids(
+            df.withColumn(
+                "__k", F.xxhash64(F.col("doc_id"), F.lit(17))
+            ),
+            B,
+            eos_id=0,
+            order_col="__k",
+        )
+    )
+    assert got == want
+    # deterministic for the same seed
+    assert got == rows(block_pack_ids(df, B, eos_id=0, shuffle_seed=17))
+    # a different seed permutes the documents (streams differ)
+    other = rows(block_pack_ids(df, B, eos_id=0, shuffle_seed=18))
+    assert [g[1] for g in got] != [o[1] for o in other]
+    # same multiset of tokens either way
+    flat = sorted(
+        x
+        for r in block_pack_ids(
+            df, B, eos_id=0, shuffle_seed=17, drop_last=False
+        ).collect()
+        for x in r["input_ids"]
+    )
+    base = sorted(
+        x
+        for r in block_pack_ids(df, B, eos_id=0, drop_last=False).collect()
+        for x in r["input_ids"]
+    )
+    assert flat == base
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        block_pack_ids(df, B, shuffle_seed=1, order_col="doc_id")
+
+
 def test_block_position_ids_tile_blocks(spark):
     """position_ids restart at every doc boundary, segment_ids index
     the spans, and both arrays are exactly n_tokens long."""

@@ -204,6 +204,34 @@ def test_len_ratio_value(pairs_df):
     assert flags[2]["pp_len_ratio"] is None
 
 
+def test_null_len_ratio_not_dropped_by_ratio_rule(pairs_df):
+    """A NULL ratio (zero-char side, reachable at
+    min_completion_chars=0) must not NULL-out the keep predicate:
+    the ratio rule only drops pairs ABOVE max_len_ratio, matching
+    preference_report's ratio_dropped accounting exactly."""
+    from opencosmo_spark.pipeline.preference import preference_report
+
+    rendered = render_preference_pairs(pairs_df)
+    loose = filter_preference_pairs(
+        rendered,
+        min_completion_chars=0,
+        drop_identical=False,
+        max_len_ratio=100.0,
+    )
+    rows = {r["pair_id"]: r for r in loose.collect()}
+    # pairs 2 (empty rejected) and 3 (NULL chosen) have NULL ratio —
+    # they must SURVIVE the ratio-only gate
+    assert 2 in rows and rows[2]["pp_len_ratio"] is None
+    assert 3 in rows and rows[3]["pp_len_ratio"] is None
+    # and the report's kept equals the filter's survivors under the
+    # report's own rule set (identical dropped, min chars applied)
+    rep = preference_report(rendered, max_len_ratio=100.0)
+    assert rep["ratio_dropped"] == 0
+    assert rep["kept"] == filter_preference_pairs(
+        rendered, max_len_ratio=100.0
+    ).count()
+
+
 def test_preference_to_kto_unpairs_with_sft_schema(spark, pairs_df):
     from opencosmo_spark.pipeline.chat import pack_sft_rows
     from opencosmo_spark.pipeline.preference import (

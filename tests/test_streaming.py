@@ -3,6 +3,9 @@ equal its batch twin over the same file set (memory sink +
 processAllAvailable drives the stream to completion).
 """
 
+import os
+import time
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -877,6 +880,16 @@ def test_ann_index_stream_matches_batch_stamping(spark, tmp_path):
     ann_index_stream(stream2, ups_dir, ckpt, idx_path)
     assert norm(spark.read.parquet(ups_dir).drop("batch_id")) == norm(want)
 
+    # 5) an existing-but-EMPTY updates dir (stream started, no batch
+    # committed yet) must behave like a missing one, not raise an
+    # unable-to-infer-schema error
+    empty = tmp_path / "ann_empty_ups"
+    empty.mkdir()
+    base_only = read_ann_index(spark, idx_path, updates_dir=str(empty))
+    assert base_only["df"].count() == read_ann_index(spark, idx_path)[
+        "df"
+    ].count()
+
 
 def test_block_pack_stream_matches_batch(spark, tmp_path):
     """Streaming concat-and-chunk: blocks across all micro-batches
@@ -904,6 +917,7 @@ def test_block_pack_stream_matches_batch(spark, tmp_path):
     d.mkdir()
     for k in range(3):
         chunk = docs[k * 8 : (k + 1) * 8]
+        f = d / f"part-{k}.parquet"
         pq.write_table(
             pa.table(
                 {
@@ -911,8 +925,16 @@ def test_block_pack_stream_matches_batch(spark, tmp_path):
                     "input_ids": [c[1] for c in chunk],
                 }
             ),
-            d / f"part-{k}.parquet",
+            f,
         )
+    # FileStreamSource orders by mtime; back-to-back writes can tie at
+    # millisecond granularity and legally permute micro-batches. Pin
+    # arrival order explicitly — the operator's contract is equality
+    # in ARRIVAL order.
+    t0 = time.time()
+    for k in range(3):
+        f = d / f"part-{k}.parquet"
+        os.utime(f, (t0 + k, t0 + k))
 
     out_dir = str(tmp_path / "bp_out")
     tail_dir = str(tmp_path / "bp_tail")
@@ -972,3 +994,138 @@ def test_block_pack_stream_matches_batch(spark, tmp_path):
     assert [list(r["input_ids"]) for r in again] == [
         list(r["input_ids"]) for r in got
     ]
+
+
+def test_block_pack_stream_shuffle_seed_twin(spark, tmp_path):
+    """shuffle_seed orders each micro-batch's arrivals by
+    xxhash64(doc_id, seed): the stream equals the batch packer with
+    explicit order key (arrival batch, hash) — the documented
+    streaming form of the seeded epoch shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opencosmo_spark.pipeline.text import block_pack_ids
+    from opencosmo_spark.streaming import block_pack_stream
+
+    rng = np.random.default_rng(19)
+    B, SEED = 16, 5
+    docs = [
+        (
+            i,
+            [int(x) for x in rng.integers(5, 99, size=rng.integers(1, 30))],
+        )
+        for i in range(12)
+    ]
+    d = tmp_path / "bps_docs"
+    d.mkdir()
+    t0 = time.time()
+    for k in range(2):
+        chunk = docs[k * 6 : (k + 1) * 6]
+        f = d / f"part-{k}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [c[0] for c in chunk],
+                    "input_ids": [c[1] for c in chunk],
+                }
+            ),
+            f,
+        )
+        os.utime(f, (t0 + k, t0 + k))
+    out_dir = str(tmp_path / "bps_out")
+    stream = (
+        spark.readStream.schema("doc_id long, input_ids array<long>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    block_pack_stream(
+        stream,
+        out_dir,
+        str(tmp_path / "bps_ckpt"),
+        str(tmp_path / "bps_tail"),
+        block_size=B,
+        eos_id=0,
+        shuffle_seed=SEED,
+    )
+    got = spark.read.parquet(out_dir).orderBy("block_id").collect()
+    all_df = spark.createDataFrame(
+        [(i, ids, i // 6) for i, ids in docs],
+        "doc_id long, input_ids array<long>, b int",
+    ).withColumn(
+        "__k",
+        F.struct(
+            F.col("b"), F.xxhash64(F.col("doc_id"), F.lit(SEED))
+        ),
+    )
+    want = (
+        block_pack_ids(all_df, B, eos_id=0, order_col="__k", drop_last=True)
+        .orderBy("block_id")
+        .collect()
+    )
+    assert [list(r["input_ids"]) for r in got] == [
+        list(r["input_ids"]) for r in want
+    ]
+    for g, w in zip(got, want):
+        gm = [(s["doc_id"], s["start"], s["end"]) for s in g["doc_spans"]]
+        wm = [(s["doc_id"], s["start"], s["end"]) for s in w["doc_spans"]]
+        assert gm == wm, g["block_id"]
+
+
+def test_block_pack_stream_numeric_ids_order_natively(spark, tmp_path):
+    """Mixed-width numeric ids (2 vs 10) within one micro-batch must
+    concatenate in NATIVE order, matching batch block_pack_ids —
+    string order would put "10" before "2" and silently break the
+    documented bit-identical-to-batch equality."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opencosmo_spark.pipeline.text import block_pack_ids
+    from opencosmo_spark.streaming import block_pack_stream
+
+    B = 8
+    docs = [
+        (2, [21, 22, 23]),
+        (10, [31, 32, 33, 34]),
+        (100, [41, 42]),
+        (3, [51, 52, 53, 54, 55]),
+    ]
+    d = tmp_path / "bpn_docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [c[0] for c in docs],
+                "input_ids": [c[1] for c in docs],
+            }
+        ),
+        d / "part-0.parquet",
+    )
+    out_dir = str(tmp_path / "bpn_out")
+    stream = (
+        spark.readStream.schema("doc_id long, input_ids array<long>")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(str(d))
+    )
+    block_pack_stream(
+        stream,
+        out_dir,
+        str(tmp_path / "bpn_ckpt"),
+        str(tmp_path / "bpn_tail"),
+        block_size=B,
+        eos_id=0,
+    )
+    got = spark.read.parquet(out_dir).orderBy("block_id").collect()
+    all_df = spark.createDataFrame(docs, "doc_id long, input_ids array<long>")
+    want = (
+        block_pack_ids(all_df, B, eos_id=0, drop_last=True)
+        .orderBy("block_id")
+        .collect()
+    )
+    assert [list(r["input_ids"]) for r in got] == [
+        list(r["input_ids"]) for r in want
+    ]
+    for g, w in zip(got, want):
+        gm = [(s["doc_id"], s["start"], s["end"]) for s in g["doc_spans"]]
+        wm = [(s["doc_id"], s["start"], s["end"]) for s in w["doc_spans"]]
+        assert gm == wm, g["block_id"]
