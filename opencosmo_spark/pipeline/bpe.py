@@ -33,14 +33,61 @@ from .text import words_expr
 
 _EOW = "</w>"
 
+# Lossless pre-tokenization for byte mode: alternating runs of
+# non-whitespace and whitespace concatenate back to the exact input —
+# the property byte-level round-trip decoding rests on. (Char mode
+# keeps the lossy lowercase word regex the retrieval stack shares.)
+_PIECE_RE = r"\S+|\s+"
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's public byte<->unicode bijection (Radford et al. 2019,
+    released gpt-2 encoder.py): printable latin-1 bytes map to
+    themselves, the remaining 68 to U+0100.., so every base symbol is
+    a visible, JSON-safe character and the alphabet is EXACTLY 256 —
+    any byte sequence decomposes, making OOV structurally
+    impossible."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_B2U = _bytes_to_unicode()
+_U2B = {c: b for b, c in _B2U.items()}
+_B2U_TABLE = [_B2U[i] for i in range(256)]
+
+
+def _pieces_expr(text_col, mode: str) -> F.Column:
+    """Pre-tokenization array: char mode = the shared lowercase word
+    regex; byte mode = lossless \\S+|\\s+ runs (case preserved)."""
+    if mode == "char":
+        return words_expr(text_col)
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(c, F.lit(_PIECE_RE), 0)
+
+
+def _check_mode(mode: str) -> None:
+    if mode not in ("char", "byte"):
+        raise ValueError(f"mode must be 'char' or 'byte', got {mode!r}")
+
 
 def word_frequencies(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame, text_col: str = "text", mode: str = "char"
 ) -> DataFrame:
     """(word, freq) over the corpus — the one corpus-sized shuffle."""
-    toks = words_expr(text_col)
+    _check_mode(mode)
     return (
-        df.select(F.explode(toks).alias("word"))
+        df.select(F.explode(_pieces_expr(text_col, mode)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -52,6 +99,23 @@ def _initial_symbols(word: F.Column) -> F.Column:
     # split("") leaves a trailing empty string on some engines; filter
     chars = F.filter(chars, lambda c: c != F.lit(""))
     return F.concat(chars, F.array(F.lit(_EOW)))
+
+
+def _byte_symbols(word: F.Column) -> F.Column:
+    """Byte-level initial symbols, pure JVM: UTF-8 encode, hex, split
+    into byte pairs (the \\G every-2-chars idiom), then index the
+    256-entry byte->unicode literal table. No end-of-word mark — byte
+    mode's pieces carry their own whitespace, and decode must
+    reproduce the input bytes exactly."""
+    hexpairs = F.filter(
+        F.split(F.hex(F.encode(word, "UTF-8")), r"(?<=\G..)"),
+        lambda c: c != F.lit(""),
+    )
+    table = F.lit(_B2U_TABLE)
+    return F.transform(
+        hexpairs,
+        lambda h: F.element_at(table, F.conv(h, 16, 10).cast("int") + 1),
+    )
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
@@ -93,14 +157,27 @@ def train_bpe_merges(
     n_merges: int = 50,
     text_col: str = "text",
     min_pair_freq: int = 2,
+    mode: str = "char",
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the
     ordered merge list [(left_symbol, right_symbol), ...]. Stops early
     when the best remaining pair's weighted frequency drops below
-    ``min_pair_freq``."""
+    ``min_pair_freq``.
+
+    ``mode="byte"``: GPT-2-style byte-level BPE — pieces are lossless
+    ``\\S+|\\s+`` runs, initial symbols are the 256-char byte
+    alphabet, no end-of-word mark. Every possible input decomposes to
+    base bytes, so a byte-mode tokenizer (with
+    ``bpe_vocab(include_byte_alphabet=True)``) structurally cannot
+    hit out-of-vocabulary symbols on ANY text — the property a
+    production crawl tokenizer relies on. Pair-count join keys stay
+    space-safe: no byte symbol maps to ' ' (0x20 is outside GPT-2's
+    printable ranges)."""
+    _check_mode(mode)
+    init = _initial_symbols if mode == "char" else _byte_symbols
     words = (
-        word_frequencies(df, text_col)
-        .select(_initial_symbols(F.col("word")).alias("symbols"), "freq")
+        word_frequencies(df, text_col, mode=mode)
+        .select(init(F.col("word")).alias("symbols"), "freq")
         .localCheckpoint()
     )
     merges: list[tuple[str, str]] = []
@@ -128,6 +205,7 @@ def apply_bpe(
     id_col: str = "doc_id",
     out_col: str = "bpe_tokens",
     method: str = "auto",
+    mode: str = "char",
 ) -> DataFrame:
     """Tokenize documents with a learned merge list. Two physical
     paths, identical results (exact-match tested against each other
@@ -151,19 +229,26 @@ def apply_bpe(
 
     ``method="auto"`` picks expr for <=100 merges, pandas beyond. At
     100 TB both are embarrassingly parallel projections; the merge
-    list never touches a shuffle.
+    list never touches a shuffle. ``mode`` must match training
+    (see :func:`train_bpe_merges`).
     """
+    _check_mode(mode)
     if method == "auto":
         method = "expr" if len(merges) <= 100 else "pandas"
     if method == "pandas":
-        return _apply_bpe_pandas(df, merges, text_col, id_col, out_col)
+        return _apply_bpe_pandas(
+            df, merges, text_col, id_col, out_col, mode=mode
+        )
     if method != "expr":
         raise ValueError(f"method must be auto|expr|pandas, got {method!r}")
-    toks = words_expr(text_col)
+    toks = _pieces_expr(text_col, mode)
 
     def tokenize_word(w):
-        chars = F.filter(F.split(w, ""), lambda c: c != F.lit(""))
-        syms = F.concat(chars, F.array(F.lit(_EOW)))
+        if mode == "byte":
+            syms = _byte_symbols(w)
+        else:
+            chars = F.filter(F.split(w, ""), lambda c: c != F.lit(""))
+            syms = F.concat(chars, F.array(F.lit(_EOW)))
         for a, b in merges:
             syms = _merge_symbols(syms, a, b)
         return syms
@@ -180,6 +265,7 @@ def _apply_bpe_pandas(
     out_col: str,
     vocab: dict[str, int] | None = None,
     unk_id: int | None = None,
+    mode: str = "char",
 ) -> DataFrame:
     """Vocab-scale BPE application: broadcast merge-rank dict + Arrow
     pandas UDF (see ``apply_bpe`` for the equivalence argument). With
@@ -189,6 +275,7 @@ def _apply_bpe_pandas(
 
     from .text import WORD_RE
 
+    _check_mode(mode)
     ranks = {pair: i for i, pair in enumerate(merges)}
     bc = df.sparkSession.sparkContext.broadcast(ranks)
     bc_vocab = (
@@ -196,7 +283,9 @@ def _apply_bpe_pandas(
         if vocab is not None
         else None
     )
-    word_re = re.compile(WORD_RE)
+    word_re = re.compile(WORD_RE if mode == "char" else _PIECE_RE)
+    byte_mode = mode == "byte"
+    b2u = _B2U  # closure-shipped 256-entry table
 
     @F.pandas_udf("array<string>" if vocab is None else "array<int>")
     def bpe_udf(texts: pd.Series) -> pd.Series:
@@ -208,8 +297,11 @@ def _apply_bpe_pandas(
             got = cache.get(word)
             if got is not None:
                 return got
-            syms = list(word)
-            syms.append(_EOW)
+            if byte_mode:
+                syms = [b2u[b] for b in word.encode("utf-8")]
+            else:
+                syms = list(word)
+                syms.append(_EOW)
             while len(syms) > 1:
                 best_rank = None
                 best = None
@@ -237,7 +329,8 @@ def _apply_bpe_pandas(
         res = []
         for t in texts:
             toks: list[str] = []
-            for w in word_re.findall((t or "").lower()):
+            src = (t or "") if byte_mode else (t or "").lower()
+            for w in word_re.findall(src):
                 toks.extend(encode(w))
             if vb is None:
                 res.append(toks)
@@ -256,7 +349,10 @@ def _apply_bpe_pandas(
     return df.select(F.col(id_col), bpe_udf(F.col(text_col)).alias(out_col))
 
 def bpe_vocab(
-    tokens_df: DataFrame, tokens_col: str = "bpe_tokens"
+    tokens_df: DataFrame,
+    tokens_col: str = "bpe_tokens",
+    include_byte_alphabet: bool = False,
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Dense, deterministic vocabulary over a tokenized corpus:
     ``(token, token_id)`` with ids 0..V-1 assigned in lexicographic
@@ -264,16 +360,33 @@ def bpe_vocab(
     any partitioning. One explode+distinct aggregation (corpus-sized)
     followed by a global ranking window over the DISTINCT tokens,
     which is vocab-sized (tens of thousands of rows) — the one place
-    a single-partition window is the right call."""
+    a single-partition window is the right call.
+
+    ``include_byte_alphabet``: union the 256 byte-mode base symbols
+    before ranking. ``merges``: union every merge PRODUCT (``a+b``
+    per learned merge) — GPT-2's vocab construction. Both matter for
+    OOV-impossibility on NEW text: unseen bytes decompose to the
+    alphabet, and greedy application on text the training corpus
+    never exhibited can legitimately STOP at an intermediate merge
+    product that no training document's final tokenization contains
+    (e.g. a merge learned from 'wör…' fires on 'wÀ' and goes no
+    further). With both unions, byte-mode encoding structurally
+    cannot miss the vocabulary."""
     from pyspark.sql import Window
 
-    return (
-        tokens_df.select(F.explode(tokens_col).alias("token"))
-        .distinct()
-        .withColumn(
-            "token_id",
-            F.row_number().over(Window.orderBy("token")) - 1,
+    toks = tokens_df.select(F.explode(tokens_col).alias("token"))
+    extra = list(_B2U_TABLE) if include_byte_alphabet else []
+    if merges:
+        extra.extend(a + b for a, b in merges)
+    if extra:
+        toks = toks.unionByName(
+            tokens_df.sparkSession.createDataFrame(
+                [(s,) for s in extra], "token string"
+            )
         )
+    return toks.distinct().withColumn(
+        "token_id",
+        F.row_number().over(Window.orderBy("token")) - 1,
     )
 
 
@@ -285,6 +398,7 @@ def bpe_encode_ids(
     id_col: str = "doc_id",
     out_col: str = "input_ids",
     unk_id: int | None = None,
+    mode: str = "char",
 ) -> DataFrame:
     """Tokenize documents straight to integer ``input_ids`` — the
     shape a trainer actually loads. Same merge application as
@@ -297,10 +411,41 @@ def bpe_encode_ids(
 
     Out-of-vocabulary symbols (a character the vocab never saw) map
     to ``unk_id`` when given, else raise loudly — silently skipping
-    them would desync ids from token counts."""
+    them would desync ids from token counts. With ``mode="byte"``
+    and a vocab built with ``include_byte_alphabet=True`` AND
+    ``merges=`` (alphabet + every merge product — GPT-2's
+    construction), OOV is structurally impossible and ``unk_id`` is
+    unreachable."""
     return _apply_bpe_pandas(
-        df, merges, text_col, id_col, out_col, vocab=vocab, unk_id=unk_id
+        df,
+        merges,
+        text_col,
+        id_col,
+        out_col,
+        vocab=vocab,
+        unk_id=unk_id,
+        mode=mode,
     )
+
+
+def decode_bpe_ids(
+    ids: list[int], vocab: dict[str, int], mode: str = "byte"
+) -> str:
+    """Driver-side inverse of ``bpe_encode_ids`` for BYTE mode: ids ->
+    token strings -> bytes (via the GPT-2 unicode->byte inverse) ->
+    the EXACT original text, whitespace and case included (the
+    round-trip property test pins this on arbitrary unicode). Char
+    mode refuses: its pre-tokenization lowercases and drops
+    non-word characters, so no inverse exists."""
+    if mode != "byte":
+        raise ValueError(
+            "only byte-mode tokenizations are losslessly decodable"
+        )
+    inv = {i: t for t, i in vocab.items()}
+    data = bytes(
+        _U2B[ch] for i in ids for ch in inv[int(i)]
+    )
+    return data.decode("utf-8")
 
 
 def write_tokenizer(
@@ -309,6 +454,7 @@ def write_tokenizer(
     merges: list[tuple[str, str]],
     vocab: dict[str, int],
     unk_id: int | None = None,
+    mode: str = "char",
 ) -> dict:
     """Persist the trained tokenizer as an artifact — the same
     ship-your-own-artifact idiom as ``write_dedup_index`` /
@@ -325,10 +471,12 @@ def write_tokenizer(
 
     from ..io.ingest import hadoop_fs
 
+    _check_mode(mode)
     params = {
         "merges": [[a, b] for a, b in merges],
         "vocab": vocab,
         "unk_id": unk_id,
+        "mode": mode,
     }
     jvm, fs, jpath = hadoop_fs(spark, path.rstrip("/") + "/_tokenizer.json")
     stream = fs.create(jpath, True)
@@ -362,4 +510,5 @@ def read_tokenizer(spark, path: str) -> dict:
         "merges": [tuple(m) for m in params["merges"]],
         "vocab": {t: int(i) for t, i in params["vocab"].items()},
         "unk_id": params.get("unk_id"),
+        "mode": params.get("mode", "char"),
     }

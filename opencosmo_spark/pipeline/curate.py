@@ -79,6 +79,9 @@ def curate_corpus(
     budget_weight_col: str | None = None,
     n_shards: int | None = None,
     profile_path: str | None = None,
+    tokenizer_path: str | None = None,
+    tokenizer_merges: int = 200,
+    tokenizer_mode: str = "byte",
     report: bool = True,
     return_dropped: bool = False,
 ) -> tuple[DataFrame, dict[str, int]]:
@@ -208,6 +211,12 @@ def curate_corpus(
        ``corpus_profile`` rows (per shard when sharded) to the
        mergeable card artifact — the release documents itself, and
        cross-release churn/overlap questions run off stored sketches.
+    10. tokenizer publication (``tokenizer_path``): trains
+       ``tokenizer_merges`` BPE merges on the release text
+       (``tokenizer_mode``, default byte-level) and writes the
+       ``_tokenizer.json`` artifact, so the release's token ids are
+       reproducible from the release directory alone
+       (``read_tokenizer`` + ``bpe_encode_ids``).
     """
     chosen = [
         x
@@ -698,6 +707,49 @@ def curate_corpus(
                 text_col=text_col,
                 id_col=id_col,
             )
+    if tokenizer_path is not None:
+        # tokenizer publication: train BPE on the RELEASE text and
+        # ship the _tokenizer.json artifact beside the dedup/decon/
+        # profile artifacts, so a release's token ids are reproducible
+        # from the release directory alone (read_tokenizer +
+        # bpe_encode_ids — no retraining, no driver state). Byte mode
+        # (default) seeds the 256-byte alphabet and every merge
+        # product into the vocab, making OOV structurally impossible
+        # on any future text the tokenizer meets.
+        from .bpe import (
+            apply_bpe,
+            bpe_vocab,
+            train_bpe_merges,
+            write_tokenizer,
+        )
+
+        release_docs = out.dropDuplicates([id_col]).select(
+            id_col, text_col
+        )
+        merges = train_bpe_merges(
+            release_docs,
+            n_merges=int(tokenizer_merges),
+            text_col=text_col,
+            mode=tokenizer_mode,
+        )
+        vocab_df = bpe_vocab(
+            apply_bpe(
+                release_docs, merges, text_col=text_col,
+                id_col=id_col, mode=tokenizer_mode,
+            ),
+            include_byte_alphabet=tokenizer_mode == "byte",
+            merges=merges,
+        )
+        vocab = {
+            r["token"]: int(r["token_id"]) for r in vocab_df.collect()
+        }
+        write_tokenizer(
+            df.sparkSession,
+            tokenizer_path,
+            merges,
+            vocab,
+            mode=tokenizer_mode,
+        )
     if return_dropped:
         spark = df.sparkSession
         if audit_frames:

@@ -273,3 +273,132 @@ def test_tokenizer_artifact_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="_tokenizer"):
         read_tokenizer(spark, str(tmp_path / "nope"))
+
+
+def test_byte_mode_roundtrip_arbitrary_unicode(spark):
+    """Byte-level BPE (GPT-2 style): ids decode back to the EXACT
+    input text on arbitrary unicode — whitespace, case, emoji,
+    control bytes, and bytes the training corpus never saw (OOV is
+    structurally impossible with the seeded byte alphabet, so unk_id
+    is unreachable)."""
+    from hypothesis import given, settings, strategies as st
+
+    from opencosmo_spark.pipeline.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+        decode_bpe_ids,
+        train_bpe_merges,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, "Hello, wörld! Hello wörld."),
+            (1, "the quick brown fox\njumps über the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = train_bpe_merges(train, n_merges=20, mode="byte")
+    vocab = {
+        r["token"]: r["token_id"]
+        for r in bpe_vocab(
+            apply_bpe(train, merges, mode="byte"),
+            include_byte_alphabet=True,
+            merges=merges,
+        ).collect()
+    }
+    assert len(vocab) >= 256  # the full byte alphabet is present
+
+    # spark round-trip on a fixed adversarial batch (unseen scripts,
+    # control chars, emoji, mixed whitespace)
+    texts = [
+        (0, "ЦЖ unseen ☃ bytes \x00\x07"),
+        (1, "  leading and trailing  "),
+        (2, "MiXeD CaSe\twith\ttabs"),
+        (3, "🦊🦊 emoji run"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = bpe_encode_ids(df, merges, vocab, mode="byte").collect()
+    for r in got:
+        orig = dict(texts)[r["doc_id"]]
+        assert decode_bpe_ids(list(r["input_ids"]), vocab, mode="byte") == orig
+
+    # hypothesis: the driver-twin encoder (same greedy min-rank loop
+    # the UDF runs) round-trips ANY unicode string — this pins the
+    # encode/decode pair without a Spark job per example
+    ranks = {m: i for i, m in enumerate(merges)}
+    from opencosmo_spark.pipeline.bpe import _B2U, _PIECE_RE
+
+    piece_re = re.compile(_PIECE_RE)
+
+    def encode_py(text):
+        out = []
+        for w in piece_re.findall(text):
+            syms = [_B2U[b] for b in w.encode("utf-8")]
+            while len(syms) > 1:
+                cand = [
+                    (ranks[(syms[i], syms[i + 1])], i)
+                    for i in range(len(syms) - 1)
+                    if (syms[i], syms[i + 1]) in ranks
+                ]
+                if not cand:
+                    break
+                _, _i = min(cand)
+                a, b = syms[_i], syms[_i + 1]
+                ns, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                syms = ns
+            out.extend(vocab[s] for s in syms)
+        return out
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=60))
+    def check(text):
+        assert decode_bpe_ids(encode_py(text), vocab, mode="byte") == text
+
+    check()
+
+
+def test_byte_mode_expr_equals_pandas_and_char_lanes_unchanged(spark):
+    """Byte mode: the JVM expression path (hex-split + table lookup)
+    equals the pandas path token-for-token; char mode defaults keep
+    their existing outputs (regression pin for the q30 lanes)."""
+    from opencosmo_spark.pipeline.bpe import apply_bpe, train_bpe_merges
+
+    df = spark.createDataFrame(
+        [
+            (0, "Sphinx of black quartz, judge my vow!"),
+            (1, "pack my box with five dozen liquor jugs"),
+            (2, "ȘpëçîàL çhárãçtérs — Ünïcødé"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = train_bpe_merges(df, n_merges=15, mode="byte", min_pair_freq=2)
+    e = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in apply_bpe(df, merges, mode="byte", method="expr").collect()
+    }
+    p = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in apply_bpe(df, merges, mode="byte", method="pandas").collect()
+    }
+    assert e == p
+    # char mode still lowercases and strips punctuation (unchanged)
+    cm = train_bpe_merges(df, n_merges=5)
+    toks = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in apply_bpe(df, cm).collect()
+    }
+    assert all("," not in t and t == t.lower() for ts in toks.values() for t in ts)
+    with pytest.raises(ValueError, match="mode"):
+        train_bpe_merges(df, 5, mode="nope")

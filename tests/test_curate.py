@@ -381,3 +381,60 @@ def test_curate_release_chain_publishes_dedup_index(spark, tmp_path):
     # overwrite-in-place is refused loudly
     with _pytest.raises(ValueError, match="versioned"):
         extend_dedup_index(idx2, r3, idx2)
+
+
+def test_curate_publishes_tokenizer_roundtrip(spark, tmp_path):
+    """tokenizer_path: curate trains and publishes _tokenizer.json
+    beside the other release artifacts; read_tokenizer +
+    bpe_encode_ids reproduces the release's token ids from the
+    artifact alone (no retraining), and byte mode round-trips the
+    release text exactly."""
+    from opencosmo_spark.pipeline.bpe import (
+        bpe_encode_ids,
+        decode_bpe_ids,
+        read_tokenizer,
+    )
+    from opencosmo_spark.pipeline.curate import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"Document {i}: spark tables hold rows of data " * 2)
+            for i in range(20)
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "release_tok")
+    out, _ = curate_corpus(
+        docs,
+        min_quality=0.0,
+        min_tokens=1,
+        tokenizer_path=path,
+        tokenizer_merges=30,
+    )
+    tok = read_tokenizer(spark, path)
+    assert tok["mode"] == "byte"
+    assert len(tok["vocab"]) >= 256
+    ids = bpe_encode_ids(
+        out.select("doc_id", "text"),
+        tok["merges"],
+        tok["vocab"],
+        mode=tok["mode"],
+    )
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    rows = ids.collect()
+    assert rows
+    for r in rows:
+        got = decode_bpe_ids(list(r["input_ids"]), tok["vocab"], mode="byte")
+        assert got == texts[r["doc_id"]]
+    # a second encode from a fresh read is id-for-id identical
+    tok2 = read_tokenizer(spark, path)
+    again = {
+        r["doc_id"]: list(r["input_ids"])
+        for r in bpe_encode_ids(
+            out.select("doc_id", "text"),
+            tok2["merges"],
+            tok2["vocab"],
+            mode=tok2["mode"],
+        ).collect()
+    }
+    assert again == {r["doc_id"]: list(r["input_ids"]) for r in rows}
