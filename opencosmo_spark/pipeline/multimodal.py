@@ -425,6 +425,279 @@ def _decode_png(data: bytes) -> np.ndarray | None:
     return np.ascontiguousarray(px[..., :3])  # RGB, or RGBA minus alpha
 
 
+# --- baseline JPEG (ITU-T T.81 sequential DCT) ---------------------
+
+# zigzag scan order: entry k of the coefficient stream lands at this
+# flat 8x8 position (T.81 figure A.6)
+_JPEG_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# orthonormal 8-point DCT-II basis: spatial = A.T @ coef @ A
+_JPEG_A = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8.0) if u == 0 else np.sqrt(2.0 / 8.0))
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment: 0xFF00
+    byte-stuffing removed on the fly; ``restart()`` drops to the next
+    byte boundary and consumes the RSTn marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+        self.b = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            byte = self.d[self.p]
+            self.p += 1
+            if byte == 0xFF:
+                nxt = self.d[self.p] if self.p < len(self.d) else 0xD9
+                if nxt == 0x00:
+                    self.p += 1
+                # a real marker here means the scan ended early; feed
+                # 1-bits (T.81 padding convention) by leaving byte=0xFF
+            self.b = byte
+            self.n = 8
+        self.n -= 1
+        return (self.b >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        self.n = 0
+        p = self.p
+        # skip 0xFF fill bytes, then consume the RSTn marker
+        while p + 1 < len(self.d) and self.d[p] == 0xFF and self.d[p + 1] == 0xFF:
+            p += 1
+        if (
+            p + 1 < len(self.d)
+            and self.d[p] == 0xFF
+            and 0xD0 <= self.d[p + 1] <= 0xD7
+        ):
+            p += 2
+        self.p = p
+
+
+def _jpeg_huff(counts: bytes, symbols: bytes) -> dict:
+    """Canonical Huffman table: (code length, code) -> symbol."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_sym(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.bit()
+        s = table.get((length, code))
+        if s is not None:
+            return s
+    raise ValueError("invalid huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.12: map a t-bit magnitude to its signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray | None:
+    """Pure stdlib+numpy decode of a BASELINE sequential JPEG (SOF0;
+    SOF1 decodes identically) — the dominant web-crawl image format:
+    marker parse (DQT/DHT/SOF/DRI/SOS), canonical Huffman entropy
+    decode with 0xFF00 unstuffing and RSTn restart handling, dequant,
+    zigzag unscramble, orthonormal-matrix IDCT, nearest-neighbor
+    chroma upsampling, JFIF YCbCr->RGB. Returns (h, w, 3) uint8 RGB,
+    or None when the payload is not a well-formed baseline JPEG
+    (progressive SOF2 and arithmetic coding stay honestly gated —
+    they fall through to the stub and are counted per-format by
+    ``decoder_report``). Public algorithm: ITU-T T.81 annexes A/F.
+    Differential-tested against an independent encoder twin."""
+    if data is None or len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        frame = None
+        restart_interval = 0
+        p = 2
+        while p + 4 <= len(data):
+            if data[p] != 0xFF:
+                return None
+            marker = data[p + 1]
+            if marker == 0xD9:  # EOI before SOS: no image
+                return None
+            seg_len = (data[p + 2] << 8) | data[p + 3]
+            seg = data[p + 4 : p + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                q = 0
+                while q < len(seg):
+                    prec, tid = seg[q] >> 4, seg[q] & 15
+                    q += 1
+                    if prec:
+                        tbl = np.frombuffer(
+                            seg, ">u2", count=64, offset=q
+                        ).astype(np.int32)
+                        q += 128
+                    else:
+                        tbl = np.frombuffer(
+                            seg, np.uint8, count=64, offset=q
+                        ).astype(np.int32)
+                        q += 64
+                    dq = np.zeros(64, np.int32)
+                    dq[_JPEG_ZZ] = tbl  # stored in zigzag order
+                    qt[tid] = dq
+            elif marker == 0xC4:  # DHT
+                q = 0
+                while q < len(seg):
+                    cls, tid = seg[q] >> 4, seg[q] & 15
+                    counts = seg[q + 1 : q + 17]
+                    n = sum(counts)
+                    huff[(cls, tid)] = _jpeg_huff(
+                        counts, seg[q + 17 : q + 17 + n]
+                    )
+                    q += 17 + n
+            elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+                h = (seg[1] << 8) | seg[2]
+                w = (seg[3] << 8) | seg[4]
+                comps = []
+                for c in range(seg[5]):
+                    cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                    comps.append((cid, hv >> 4, hv & 15, tq))
+                frame = (h, w, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive/lossless/arithmetic: gated
+            elif marker == 0xDD:  # DRI
+                restart_interval = (seg[0] << 8) | seg[1]
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    return None
+                ns = seg[0]
+                scan = []
+                for c in range(ns):
+                    cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
+                    scan.append((cs, tds >> 4, tds & 15))
+                return _jpeg_scan(
+                    data, p + 2 + seg_len, frame, scan, qt, huff,
+                    restart_interval,
+                )
+            p += 2 + seg_len
+        return None
+    except (IndexError, KeyError, ValueError):
+        return None
+
+
+def _jpeg_scan(
+    data: bytes,
+    pos: int,
+    frame,
+    scan,
+    qt,
+    huff,
+    restart_interval: int,
+) -> np.ndarray | None:
+    """Entropy-decode the single baseline scan into RGB pixels."""
+    h, w, comps = frame
+    if h == 0 or w == 0 or not comps:
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    planes = {}
+    meta = []  # (cid, ch, cv, dq, dc_table, ac_table)
+    for cs, td, ta in scan:
+        cid, ch, cv, tq = by_id[cs]
+        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8), np.float64)
+        meta.append((cid, ch, cv, qt[tq], huff[(0, td)], huff[(1, ta)]))
+    bits = _JpegBits(data, pos)
+    pred = dict.fromkeys(planes, 0)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                bits.restart()
+                pred = dict.fromkeys(planes, 0)
+            mcu_count += 1
+            for cid, ch, cv, dq, dc_t, ac_t in meta:
+                for v in range(cv):
+                    for u in range(ch):
+                        coef = np.zeros(64, np.float64)
+                        t = _jpeg_sym(bits, dc_t)
+                        pred[cid] += _jpeg_extend(bits.bits(t), t)
+                        coef[0] = pred[cid] * dq[0]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_sym(bits, ac_t)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            coef[_JPEG_ZZ[k]] = (
+                                _jpeg_extend(bits.bits(s), s) * dq[_JPEG_ZZ[k]]
+                            )
+                            k += 1
+                        blk = _JPEG_A.T @ coef.reshape(8, 8) @ _JPEG_A
+                        y0 = (my * cv + v) * 8
+                        x0 = (mx * ch + u) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk + 128.0
+    # upsample each component to full resolution and crop
+    full = []
+    for cid, ch, cv, _dq, _d, _a in meta:
+        pl = planes[cid]
+        if ch != hmax or cv != vmax:
+            pl = np.repeat(np.repeat(pl, vmax // cv, 0), hmax // ch, 1)
+        full.append(pl[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    if len(full) != 3:
+        return None
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
 def _pixel_features(arr: np.ndarray, out_dim: int) -> np.ndarray:
     """Real features from decoded pixels: overall channel means plus a
     g x g block-mean grid (the 'resize -> channel-mean' path), scaled
@@ -715,17 +988,19 @@ def decode_image_features(
     Decode ladder, per row: PIL when installed ('pil'); else the
     built-in pure-python parsers over the ACTUAL pixels — 8-bit PNG
     incl. palette and Adam7-interlaced ('png', stdlib zlib + scanline
-    unfiltering), 24-bit BMP ('bmp'), binary PGM/PPM ('pnm'), and
-    GIF87a/89a first frames incl. interlaced ('gif', own LZW) — all
-    real channel-mean/block-grid features with no dependency; else
-    the deterministic digest fake ('stub-sha256'). The ``decoder``
-    column records which path each row took; ``decoder_report``
-    turns it into the per-format real-vs-stub ledger for the
-    dataset card.
+    unfiltering), 24-bit BMP ('bmp'), binary PGM/PPM ('pnm'),
+    GIF87a/89a first frames incl. interlaced ('gif', own LZW), and
+    BASELINE sequential JPEG incl. chroma subsampling and restart
+    markers ('jpeg', own Huffman + IDCT — the dominant crawl format)
+    — all real channel-mean/block-grid features with no dependency;
+    else the deterministic digest fake ('stub-sha256'). The
+    ``decoder`` column records which path each row took;
+    ``decoder_report`` turns it into the per-format real-vs-stub
+    ledger for the dataset card.
 
     ``require_real_codec=True`` keeps the strict contract: without a
-    general codec library JPEG/WebP payloads would silently stub,
-    so it raises unless PIL is importable.
+    general codec library progressive-JPEG/WebP payloads would
+    silently stub, so it raises unless PIL is importable.
     """
     if require_real_codec and not _HAVE_PIL:
         raise NotImplementedError(
@@ -763,6 +1038,9 @@ def decode_image_features(
         arr = _decode_gif(p)
         if arr is not None:
             return _pixel_features(arr, feature_dim).tolist(), "gif"
+        arr = _decode_jpeg(p)
+        if arr is not None:
+            return _pixel_features(arr, feature_dim).tolist(), "jpeg"
         return _fake_decode(p, feature_dim).tolist(), "stub-sha256"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -958,6 +1236,7 @@ def image_dhash(
             (_decode_bmp, "bmp"),
             (_decode_pnm, "pnm"),
             (_decode_gif, "gif"),
+            (_decode_jpeg, "jpeg"),
         ):
             arr = dec(p)
             if arr is not None:

@@ -1325,3 +1325,399 @@ def test_decode_image_features_gif_lane(spark):
     for i in range(4):
         want = _pixel_features(_decode_gif(payloads[i]), 16)
         np.testing.assert_allclose(feats[i], want, rtol=1e-6)
+
+
+# --- baseline JPEG differential: independent encoder twin -----------
+
+def _jpeg_twin_tables(symbols_used):
+    """Minimal valid canonical Huffman table over the symbols a scan
+    actually uses: every symbol at the same code length L (smallest L
+    with 2**L > n, so the all-ones code is never assigned). Returns
+    (counts16, symbol_list, {sym: (code, L)})."""
+    syms = sorted(symbols_used)
+    n = len(syms)
+    L = max(2, (n + 1).bit_length())
+    counts = [0] * 16
+    counts[L - 1] = n
+    codes = {s: (i, L) for i, s in enumerate(syms)}
+    return counts, syms, codes
+
+
+class _JpegTwinWriter:
+    """MSB-first bit emitter with 0xFF00 stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def pad(self):
+        while self.n:
+            self.put(1, 1)
+
+
+_TWIN_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_TWIN_QL = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+])
+_TWIN_QC = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+])
+
+_TWIN_A = np.array([
+    [
+        (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+        * np.cos((2 * x + 1) * u * np.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+])
+
+
+def _twin_cat(v):
+    """DC/AC magnitude category + appended bits (T.81 F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    t = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << t) - 1
+    return t, bits
+
+
+def _make_jpeg(rgb, subsample=False, restart=0, gray=False):
+    """Independent baseline-JPEG encoder (test twin): forward DCT,
+    Annex-K quant tables, per-scan minimal canonical Huffman tables,
+    optional 4:2:0 subsampling and restart intervals. Returns
+    (jpeg_bytes, expected_rgb) where expected_rgb is the encoder's
+    own reconstruction of its quantized coefficients."""
+    h, w = rgb.shape[:2]
+    if gray:
+        planes = [rgb[..., 0].astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        r = rgb[..., 0].astype(np.float64)
+        g = rgb[..., 1].astype(np.float64)
+        b = rgb[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-component sampled+padded planes
+    comp_planes = []
+    for pl, (sh, sv) in zip(planes, samp):
+        if sh != hmax or sv != vmax:
+            fy, fx = vmax // sv, hmax // sh
+            ph, pw = mcuy * vmax * 8, mcux * hmax * 8
+            pad = np.zeros((ph, pw))
+            pad[:h, :w] = pl
+            pad[h:, :w] = pl[h - 1, :]
+            pad[:h, w:] = pl[:, w - 1][:, None]
+            pad[h:, w:] = pl[h - 1, w - 1]
+            sub = pad.reshape(ph // fy, fy, pw // fx, fx).mean((1, 3))
+            comp_planes.append(sub)
+        else:
+            ph, pw = mcuy * sv * 8, mcux * sh * 8
+            pad = np.zeros((ph, pw))
+            pad[:h, :w] = pl
+            pad[h:, :w] = pl[h - 1, :]
+            pad[:h, w:] = pl[:, w - 1][:, None]
+            pad[h:, w:] = pl[h - 1, w - 1]
+            comp_planes.append(pad)
+
+    qts = [_TWIN_QL] + ([_TWIN_QC] if not gray else [])
+    qt_of = [0] + [1] * (len(planes) - 1)
+
+    # pass 1: quantize every block in MCU order, collect symbols
+    blocks = []  # (comp, quantized 8x8)
+    recon = [np.zeros_like(p) for p in comp_planes]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(samp):
+                for v in range(sv):
+                    for u in range(sh):
+                        y0 = (my * sv + v) * 8
+                        x0 = (mx * sh + u) * 8
+                        blk = comp_planes[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
+                        F = _TWIN_A @ blk @ _TWIN_A.T
+                        q = qts[qt_of[ci]]
+                        qc = np.rint(F / q).astype(np.int64)
+                        blocks.append((ci, qc))
+                        rec = _TWIN_A.T @ (qc * q).astype(np.float64) @ _TWIN_A
+                        recon[ci][y0:y0 + 8, x0:x0 + 8] = rec + 128.0
+
+    # symbol collection for Huffman tables (one DC + one AC table set
+    # for luma [comp 0], one set for chroma [comps 1..])
+    def tset(ci):
+        return 0 if ci == 0 else 1
+
+    ntab = 1 if gray else 2
+    dc_syms = [set() for _ in range(ntab)]
+    ac_syms = [set() for _ in range(ntab)]
+
+    def block_symbols(ci, qc, pred):
+        zz = qc.flatten()[_TWIN_ZZ]
+        t, _ = _twin_cat(int(zz[0]) - pred)
+        dc_syms[tset(ci)].add(t)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms[tset(ci)].add(0xF0)
+                run -= 16
+            s, _ = _twin_cat(int(zz[k]))
+            ac_syms[tset(ci)].add((run << 4) | s)
+            run = 0
+        if run:
+            ac_syms[tset(ci)].add(0x00)
+        return int(zz[0])
+
+    preds = [0] * len(planes)
+    mcu_blocks = len(blocks) // (mcux * mcuy)
+    i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and (my * mcux + mx) and (my * mcux + mx) % restart == 0:
+                preds = [0] * len(planes)
+            for _ in range(mcu_blocks):
+                ci, qc = blocks[i]
+                preds[ci] = block_symbols(ci, qc, preds[ci])
+                i += 1
+    for s in ac_syms:
+        s.add(0x00)  # EOB always representable
+
+    dc_tabs = [_jpeg_twin_tables(s) for s in dc_syms]
+    ac_tabs = [_jpeg_twin_tables(s) for s in ac_syms]
+
+    # pass 2: emit the entropy stream
+    wtr = _JpegTwinWriter()
+    preds = [0] * len(planes)
+    i = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            m = my * mcux + mx
+            if restart and m and m % restart == 0:
+                wtr.pad()
+                wtr.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                preds = [0] * len(planes)
+            for _ in range(mcu_blocks):
+                ci, qc = blocks[i]
+                i += 1
+                zz = qc.flatten()[_TWIN_ZZ]
+                dcodes = dc_tabs[tset(ci)][2]
+                acodes = ac_tabs[tset(ci)][2]
+                t, bits = _twin_cat(int(zz[0]) - preds[ci])
+                preds[ci] = int(zz[0])
+                c, L = dcodes[t]
+                wtr.put(c, L)
+                if t:
+                    wtr.put(bits, t)
+                run = 0
+                for k in range(1, 64):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, L = acodes[0xF0]
+                        wtr.put(c, L)
+                        run -= 16
+                    s, bits = _twin_cat(int(zz[k]))
+                    c, L = acodes[(run << 4) | s]
+                    wtr.put(c, L)
+                    if s:
+                        wtr.put(bits, s)
+                    run = 0
+                if run:
+                    c, L = acodes[0x00]
+                    wtr.put(c, L)
+    wtr.pad()
+
+    # headers
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    for tid, q in enumerate(qts):
+        seg(0xDB, bytes([tid]) + bytes(int(q.flatten()[z]) for z in _TWIN_ZZ))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(planes))
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, qt_of[ci]])
+    seg(0xC0, bytes(sof))
+    for cls, tabs in ((0, dc_tabs), (1, ac_tabs)):
+        for tid, (counts, syms, _) in enumerate(tabs):
+            seg(0xC4, bytes([(cls << 4) | tid]) + bytes(counts) + bytes(syms))
+    if restart:
+        seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytearray([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, (tset(ci) << 4) | tset(ci)])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, bytes(sos))
+    out.extend(wtr.out)
+    out.extend(b"\xff\xd9")
+
+    # expected reconstruction: upsample + colorspace, the decoder's way
+    ups = []
+    for rc, (sh, sv) in zip(recon, samp):
+        if sh != hmax or sv != vmax:
+            rc = np.repeat(np.repeat(rc, vmax // sv, 0), hmax // sh, 1)
+        ups.append(rc[:h, :w])
+    if gray:
+        gplane = np.clip(np.rint(ups[0]), 0, 255).astype(np.uint8)
+        expect = np.repeat(gplane[..., None], 3, axis=2)
+    else:
+        yy, cbb, crr = ups
+        rr = yy + 1.402 * (crr - 128.0)
+        gg = yy - 0.344136 * (cbb - 128.0) - 0.714136 * (crr - 128.0)
+        bb = yy + 1.772 * (cbb - 128.0)
+        expect = np.clip(
+            np.rint(np.stack([rr, gg, bb], -1)), 0, 255
+        ).astype(np.uint8)
+    return bytes(out), expect
+
+
+@pytest.mark.parametrize(
+    "shape,subsample,restart,gray",
+    [
+        ((16, 24), False, 0, True),     # grayscale, exact MCU grid
+        ((13, 20), False, 0, False),    # 4:4:4, ragged edges
+        ((29, 35), True, 0, False),     # 4:2:0, ragged edges
+        ((16, 32), True, 2, False),     # restart interval
+    ],
+)
+def test_decode_jpeg_differential(shape, subsample, restart, gray):
+    """Own baseline-JPEG decoder vs the independent encoder twin: the
+    decoded pixels equal the encoder's reconstruction of its own
+    quantized coefficients to within one intensity level (float
+    rounding at the clip boundary)."""
+    from opencosmo_spark.pipeline.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(sum(shape) + restart)
+    h, w = shape
+    # smooth-ish content: random low-frequency field, so quantized
+    # coefficients exercise DC, low AC, runs, and ZRL paths
+    base = rng.integers(0, 256, (4, 4, 3)).astype(np.float64)
+    img = np.clip(
+        np.rint(
+            np.kron(base, np.ones(((h + 3) // 4, (w + 3) // 4, 1)))[
+                :h, :w
+            ]
+            + rng.normal(0, 12, (h, w, 3))
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    payload, expect = _make_jpeg(
+        img, subsample=subsample, restart=restart, gray=gray
+    )
+    got = _decode_jpeg(payload)
+    assert got is not None, "decoder rejected a valid baseline JPEG"
+    assert got.shape == expect.shape
+    assert int(np.abs(got.astype(int) - expect.astype(int)).max()) <= 1
+
+
+def test_decode_jpeg_gates_progressive_and_garbage():
+    from opencosmo_spark.pipeline.multimodal import _decode_jpeg
+
+    img = np.full((8, 8, 3), 77, np.uint8)
+    payload, _ = _make_jpeg(img)
+    # flip SOF0 -> SOF2 (progressive): honestly gated, returns None
+    prog = bytearray(payload)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    assert _decode_jpeg(bytes(prog)) is None
+    assert _decode_jpeg(b"\xff\xd8\xff\xe0 fake jpeg") is None
+    assert _decode_jpeg(b"") is None
+    assert _decode_jpeg(None) is None
+    assert _decode_jpeg(payload[:40]) is None  # truncated header
+
+
+def test_decode_image_features_real_jpeg(spark):
+    """The mapInPandas ladder decodes baseline JPEG rows with the real
+    codec ('jpeg') and decoder_report flips image/jpeg off the stub."""
+    import pandas as pd
+
+    from opencosmo_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+        decoder_report,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    good, expect = _make_jpeg(img, subsample=True)
+    rows = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "kind": ["image", "image"],
+            "payload": [good, b"\xff\xd8\xff\xe0 not a real jpeg"],
+            "mime": ["image/jpeg", "image/jpeg"],
+            "width": [16, None],
+            "height": [16, None],
+            "duration_ms": [None, None],
+        }
+    )
+    dec = decode_image_features(
+        spark.createDataFrame(rows, MEDIA_SCHEMA), feature_dim=8
+    )
+    got = {r["media_id"]: r for r in dec.collect()}
+    assert got[1]["decoder"] == "jpeg"
+    assert got[2]["decoder"] == "stub-sha256"
+    # features are the real pixel features of the decoded image
+    from opencosmo_spark.pipeline.multimodal import _pixel_features
+
+    np.testing.assert_allclose(
+        got[1]["features"], _pixel_features(expect, 8), rtol=2e-2, atol=2e-2
+    )
+    rep = {
+        (r["mime"], r["decoder"]): r["n"]
+        for r in decoder_report(dec).collect()
+    }
+    assert rep[("image/jpeg", "jpeg")] == 1
+    assert rep[("image/jpeg", "stub-sha256")] == 1
