@@ -1232,6 +1232,110 @@ def ann_index_search(
     )
 
 
+def _ann_batch_pq(
+    index: dict,
+    queries_df: DataFrame,
+    k: int,
+    nprobe: int,
+    query_id_col: str,
+    query_vec_col: str,
+    prune: bool,
+    exact_rerank: bool,
+) -> DataFrame:
+    """PQ-ADC scoring for the batch index-search path: each query row
+    builds its m per-subspace distance TABLES (ksub floats each) once
+    as JVM array expressions against the broadcast-literal codebooks;
+    candidates met through the cell equi-join are then scored with m
+    table lookups + a fixed sum — the big scan reads ONLY the m-byte
+    ``pq_codes`` (codes-only ReadSchema, plan-pinned), never the full
+    vectors. ``exact_rerank=True`` re-scores each query's top ``4*k``
+    ADC candidates against the stored vectors (a candidate-sized
+    join — tens of rows per query), matching the single-query
+    ``ivf_pq_search`` semantics and returning ``cos_sim``;
+    ``exact_rerank=False`` returns the raw ``adc_dist`` ranking."""
+    from pyspark.sql import Window
+
+    params = index["params"]
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    codebook = index["codebook"]
+    pq_cbs = index["pq_codebooks"]
+    m, ksub, dsub = len(pq_cbs), len(pq_cbs[0]), len(pq_cbs[0][0])
+    corpus = index["df"]
+
+    q = queries_df.select(
+        F.col(query_id_col), F.col(query_vec_col).alias("__qvec")
+    ).withColumn(
+        "__cells", _probe_cells(F.col("__qvec"), codebook, nprobe)
+    )
+    def _table(cb, base):
+        # closure factory: PySpark HOF lambdas must take exactly
+        # their positional arity (default args break detection)
+        def per_centroid(ci):
+            def step(acc, j):
+                return acc + F.pow(
+                    F.element_at(F.col("__qvec"), j + F.lit(base))
+                    - F.element_at(cb, ci * dsub + j + 1),
+                    F.lit(2.0),
+                )
+
+            return F.aggregate(
+                F.sequence(F.lit(0), F.lit(dsub - 1)), F.lit(0.0), step
+            )
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(ksub - 1)), per_centroid
+        )
+
+    for s in range(m):
+        cb = F.array(
+            *[F.lit(float(x)) for c in pq_cbs[s] for x in c]
+        )
+        q = q.withColumn(f"__t{s}", _table(cb, s * dsub + 1))
+    qx = q.withColumn("ivf_cell", F.explode("__cells")).drop("__cells")
+    cand = corpus.select(id_col, "ivf_cell", "pq_codes")
+    if prune:
+        cells = [
+            int(r["c"])
+            for r in qx.select(F.col("ivf_cell").alias("c"))
+            .distinct()
+            .collect()
+        ]
+        cand = cand.filter(F.col("ivf_cell").isin(cells))
+    dist = None
+    for s in range(m):
+        term = F.element_at(
+            F.col(f"__t{s}"), F.element_at(F.col("pq_codes"), s + 1) + 1
+        )
+        dist = term if dist is None else dist + term
+    scored = cand.join(qx, "ivf_cell").select(
+        query_id_col, id_col, F.round(dist, 6).alias("adc_dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col)
+    )
+    depth = 4 * k if exact_rerank else k
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= depth
+    )
+    if not exact_rerank:
+        return top
+    vecs = corpus.select(id_col, vec_col)
+    re = (
+        top.select(query_id_col, id_col)
+        .join(vecs, id_col)
+        .join(q.select(query_id_col, "__qvec"), query_id_col)
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        re.select(query_id_col, id_col, sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_index_search_batch(
     index: dict,
     queries_df: DataFrame,
@@ -1240,16 +1344,30 @@ def ann_index_search_batch(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     prune: bool = True,
+    exact_rerank: bool = True,
+    score: str = "auto",
 ) -> DataFrame:
     """Batch retrieval against a persisted ``write_ann_index``
     artifact — the build-once/query-MANY entry point that
     ``ann_index_search`` (one driver-side vector) doesn't cover.
     Every query probes its ``nprobe`` nearest stored cells and meets
     only those candidates through the same cell equi-join machinery
-    as ``mine_hard_negatives(method="ivf")``; scoring is exact cosine
-    over the STORED full vectors (IVF-flat semantics — for PQ-ADC
-    scoring of single queries use ``ann_index_search``). Returns
-    ``(query_id, <id_col>, cos_sim, rank)`` with rank 1..k per query.
+    as ``mine_hard_negatives(method="ivf")``. Flat indexes score
+    exact cosine over the stored vectors; PQ-encoded indexes score
+    ADC over the stored CODES — the scan's ReadSchema carries only
+    the m-byte codes, never the vectors (plan-pinned) — then
+    exact-rerank each query's top ``4*k`` candidates against the
+    stored vectors (``exact_rerank=True``, the default, matching the
+    single-query ``ann_index_search`` semantics; ``False`` returns
+    the raw ``adc_dist`` ranking). Returns
+    ``(query_id, <id_col>, cos_sim, rank)`` with rank 1..k per query
+    (``adc_dist`` instead of ``cos_sim`` for unreranked PQ).
+
+    ``score``: ``"auto"`` (default) picks ADC when the index carries
+    PQ codes, flat otherwise; ``"flat"`` forces exact cosine over the
+    stored vectors even on a PQ index (exact verification at small
+    scale — reads the full vector column); ``"adc"`` demands codes
+    and raises on a flat index.
 
     ``prune=True`` first computes the union of probed cells — one
     tiny job whose result is at most ``nlist`` integers on the driver
@@ -1264,6 +1382,21 @@ def ann_index_search_batch(
     id_col, vec_col = params["id_col"], params["vec_col"]
     corpus = index["df"]
     codebook = index["codebook"]
+    if score not in ("auto", "flat", "adc"):
+        raise ValueError(f"score must be auto|flat|adc, got {score!r}")
+    if score == "adc" and not index.get("pq_codebooks"):
+        raise ValueError("score='adc' needs a PQ-encoded index")
+    if score != "flat" and index.get("pq_codebooks"):
+        return _ann_batch_pq(
+            index,
+            queries_df,
+            k,
+            nprobe,
+            query_id_col,
+            query_vec_col,
+            prune,
+            exact_rerank,
+        )
     if prune:
         cells = [
             r["c"]

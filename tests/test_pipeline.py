@@ -1428,13 +1428,20 @@ def test_ann_index_search_batch_and_index_recall(spark, tmp_path):
         ann_recall_report(queries)
 
 
-def test_ann_index_search_batch_pq_index_scores_full_vectors(spark, tmp_path):
-    """Batch search over a PQ-encoded index scores with the STORED
-    full vectors (IVF-flat semantics): at full probe it equals brute
-    force exactly, codes notwithstanding."""
-    from opencosmo_spark.pipeline import brute_force_cosine_topk
+def test_ann_index_search_batch_pq_adc_scoring(spark, tmp_path):
+    """Batch search over a PQ-encoded index scores ADC over the
+    stored CODES (codes-only ReadSchema on the big scan, plan-pinned)
+    and exact-reranks the top 4k against the stored vectors — the
+    same semantics as the single-query ann_index_search path, which
+    it must match query-for-query. exact_rerank=False exposes the
+    raw adc_dist ranking, which equals pq_search over the probed
+    cells."""
+    import re
+
     from opencosmo_spark.pipeline.similarity import (
+        ann_index_search,
         ann_index_search_batch,
+        pq_search,
         read_ann_index,
         write_ann_index,
     )
@@ -1444,20 +1451,62 @@ def test_ann_index_search_batch_pq_index_scores_full_vectors(spark, tmp_path):
     write_ann_index(emb, p, nlist=8, ivf_iters=2, pq_m=4, pq_ksub=8, pq_iters=2)
     idx = read_ann_index(spark, p)
 
-    qrow = emb.filter(F.col("vec_id") == 7).first()
-    queries = spark.createDataFrame(
-        [(7, list(qrow["embedding"]))], "query_id long, embedding array<double>"
+    queries = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    got = (
-        ann_index_search_batch(idx, queries, k=6, nprobe=8)
-        .orderBy("rank")
-        .toPandas()
-    )
-    brute = brute_force_cosine_topk(
-        emb, [float(x) for x in qrow["embedding"]], k=6
+    batch = ann_index_search_batch(idx, queries, k=5, nprobe=3)
+    got = batch.toPandas()
+
+    # 1) per-query equality with the single-vector entry point
+    for row in queries.toPandas().itertuples():
+        loop = ann_index_search(
+            idx, [float(x) for x in row.embedding], k=5, nprobe=3
+        ).toPandas()
+        sub = got[got.query_id == row.query_id].sort_values("rank")
+        assert list(sub.vec_id) == list(loop.vec_id), row.query_id
+        np.testing.assert_allclose(sub.cos_sim, loop.cos_sim)
+
+    # 2) the ADC scan reads only the codes: every scan of the index
+    # table that carries pq_codes must NOT carry the vector column
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    code_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "pq_codes" in ln
+    ]
+    assert code_scans, f"no codes scan found:\n{plan[:1500]}"
+    assert all("embedding" not in ln for ln in code_scans), code_scans
+    # and the probed-cell filter still prunes at the directory level
+    assert re.search(r"PartitionFilters: \[[^\]]*ivf_cell[^\]]*IN", plan)
+
+    # 3) the self-query reranks to the top with cos_sim 1.0
+    firsts = got[got["rank"] == 1]
+    assert set(firsts.query_id) == set(firsts.vec_id)
+    np.testing.assert_allclose(firsts.cos_sim, 1.0)
+
+    # 4) unreranked mode returns the pure ADC ranking = pq_search
+    # over the same probed cells, query by query
+    raw = ann_index_search_batch(
+        idx, queries, k=4, nprobe=3, exact_rerank=False
     ).toPandas()
-    assert list(got.vec_id) == list(brute.vec_id)
-    np.testing.assert_allclose(got.cos_sim, brute.cos_sim)
+    assert "adc_dist" in raw.columns
+    from opencosmo_spark.pipeline.similarity import _cos_py, _probe_cells
+
+    for row in queries.toPandas().itertuples():
+        qv = [float(x) for x in row.embedding]
+        cells = sorted(
+            ((round(_cos_py(qv, c), 9), cid) for cid, c in idx["codebook"]),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        cand = idx["df"].filter(
+            F.col("ivf_cell").isin([cid for _, cid in cells])
+        )
+        want = pq_search(
+            cand, idx["pq_codebooks"], qv, k=4, id_col="vec_id"
+        ).toPandas()
+        sub = raw[raw.query_id == row.query_id].sort_values("rank")
+        assert list(sub.vec_id) == list(want.vec_id), row.query_id
+        np.testing.assert_allclose(sub.adc_dist, want.adc_dist, atol=1e-5)
 
 
 def test_block_pack_ids_matches_python_twin(spark):

@@ -848,13 +848,15 @@ def test_ann_index_stream_matches_batch_stamping(spark, tmp_path):
     assert spark.read.parquet(ups_dir).select("batch_id").distinct().count() == 2
 
     # 2) merged search at full probe == brute force over base + new
+    # (score='flat': this checks ARTIFACT merging exactly, so force
+    # exact cosine over the stored vectors rather than PQ-ADC)
     merged = read_ann_index(spark, idx_path, updates_dir=ups_dir)
     qrow = emb.filter(F.col("vec_id") == 45).toPandas().embedding[0]
     queries = spark.createDataFrame(
         [(0, [float(x) for x in qrow])], "query_id long, embedding array<double>"
     )
     got = (
-        ann_index_search_batch(merged, queries, k=6, nprobe=4)
+        ann_index_search_batch(merged, queries, k=6, nprobe=4, score="flat")
         .toPandas()
         .sort_values("rank")
     )
