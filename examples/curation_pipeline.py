@@ -174,6 +174,26 @@ def main():
         f"{c_v2['incremental_dedup']} of {c_v2['input']} "
         f"(dups of v1 dropped without re-reading v1 text)"
     )
+
+    # 4c. the release also publishes its TOKENIZER: token ids are
+    #     reproducible from the release directory alone (byte-level
+    #     by default — lossless on any future text)
+    from opencosmo_spark.pipeline.bpe import bpe_encode_ids, read_tokenizer
+
+    v3, _ = curate_corpus(
+        docs.limit(80), min_quality=0.0, min_tokens=1,
+        tokenizer_path=chain + "/tok_v1", tokenizer_merges=40,
+    )
+    tok = read_tokenizer(spark, chain + "/tok_v1")
+    n_ids = bpe_encode_ids(
+        v3.select("doc_id", "text"), tok["merges"], tok["vocab"],
+        mode=tok["mode"],
+    ).count()
+    print(
+        f"tokenizer artifact: mode={tok['mode']}, "
+        f"{len(tok['vocab'])} tokens; re-encoded {n_ids} release docs "
+        f"from the stored artifact alone"
+    )
     import shutil as _sh
 
     _sh.rmtree(chain)

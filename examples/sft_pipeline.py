@@ -198,6 +198,39 @@ def main():
         f"{len(b0['doc_spans'])} doc slices"
     )
 
+    # epoch 2 of the same corpus: a SEEDED document shuffle before
+    # chunking (xxhash64 order key — zero extra shuffles), the way
+    # every real pretraining run varies block composition per epoch
+    epoch2 = block_pack_ids(
+        ids, block_size=128, eos_id=len(vocab), drop_last=True,
+        shuffle_seed=2,
+    )
+    print(f"epoch-2 shuffle: {epoch2.count()} blocks, new composition")
+
+    # 8. byte-level (GPT-2 style) tokenizer: lossless on ANY text —
+    #    OOV structurally impossible, ids decode back to the exact
+    #    input bytes (crawl-safe: case, whitespace, emoji, unseen
+    #    scripts all round-trip)
+    from opencosmo_spark.pipeline.bpe import decode_bpe_ids
+
+    bmerges = train_bpe_merges(docs, n_merges=40, mode="byte")
+    bv = bpe_vocab(
+        apply_bpe(docs, bmerges, mode="byte", method="pandas"),
+        include_byte_alphabet=True,
+        merges=bmerges,
+    ).toPandas()
+    bvocab = dict(zip(bv.token, bv.token_id.astype(int)))
+    sample = docs.select("doc_id", "text").limit(1)
+    brow = bpe_encode_ids(
+        sample, bmerges, bvocab, mode="byte"
+    ).first()
+    orig = sample.first()["text"]
+    assert decode_bpe_ids(list(brow["input_ids"]), bvocab) == orig
+    print(
+        f"byte-level tokenizer: {len(bvocab)} tokens "
+        f"(256-byte alphabet + merges), lossless round-trip OK"
+    )
+
     spark.stop()
 
 
