@@ -705,6 +705,55 @@ def pq_encode(
     return df.withColumn(code_col, codes)
 
 
+def _cell_centroid_expr(
+    codebook: list[tuple[int, list[float]]], cell_col: str
+) -> Column:
+    """Per-row IVF centroid lookup: a literal cell->centroid map
+    (nlist entries, driver-small by construction) indexed by the
+    row's cell id — pure JVM, no join."""
+    pairs: list[Column] = []
+    for cid, c in codebook:
+        pairs.append(F.lit(int(cid)))
+        pairs.append(F.array(*[F.lit(float(x)) for x in c]))
+    return F.element_at(F.create_map(*pairs), F.col(cell_col))
+
+
+def _residual_expr(
+    vec_col: str,
+    codebook: list[tuple[int, list[float]]],
+    cell_col: str,
+) -> Column:
+    """vec - centroid[cell]: the quantity residual-PQ codebooks are
+    trained on and encode (Jegou et al. 2011 IVFADC)."""
+    return F.zip_with(
+        F.col(vec_col),
+        _cell_centroid_expr(codebook, cell_col),
+        lambda x, c: x.cast("double") - c,
+    )
+
+
+def _pq_encode_indexed(
+    stamped: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    pq_codebooks: list[list[list[float]]],
+    vec_col: str,
+    cell_col: str = "ivf_cell",
+    residual: bool = False,
+) -> DataFrame:
+    """PQ-stamp rows that already carry their IVF cell, in either
+    raw-vector or residual space — the one encode path write/append/
+    stream all share, so an index can never mix spaces."""
+    if not residual:
+        return pq_encode(stamped, pq_codebooks, vec_col=vec_col)
+    return pq_encode(
+        stamped.withColumn(
+            "__res", _residual_expr(vec_col, codebook, cell_col)
+        ),
+        pq_codebooks,
+        vec_col="__res",
+    ).drop("__res")
+
+
 def pq_pack_codes(code_col: str = "pq_codes") -> Column:
     """Pack an array of m<=8 codes (ksub<=256) into one DECIMAL(38,0)
     — the compact at-rest form. DECIMAL, not BIGINT: 8 codes x 8 bits
@@ -782,6 +831,7 @@ def ivf_pq_search(
     code_col: str = "pq_codes",
     rerank: DataFrame | None = None,
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """The FAISS-IVFPQ composition, from this module's own pieces:
     IVF cell probe (file-level pruning on a cell-clustered table) ->
@@ -796,7 +846,9 @@ def ivf_pq_search(
     and exactly re-scored — a k-row join, the standard recall
     recovery. This is the 100 TB posture: the big scan touches codes
     of nprobe/nlist of the corpus; full vectors are read for tens of
-    rows only.
+    rows only. ``residual=True`` scores codes trained/encoded in
+    residual space (``write_ann_index(pq_residual=True)``) — the
+    query's per-cell residual drives the ADC tables.
     """
 
     probe = sorted(
@@ -804,15 +856,46 @@ def ivf_pq_search(
         key=lambda t: (-t[0], t[1]),
     )[:nprobe]
     probe_cells = [cid for _, cid in probe]
-    cand = df_encoded.filter(F.col(cell_col).isin(probe_cells))
-    adc = pq_search(
-        cand,
-        pq_codebooks,
-        query_vector,
-        k=k if rerank is None else 4 * k,
-        id_col=id_col,
-        code_col=code_col,
-    )
+    depth = k if rerank is None else 4 * k
+    if residual:
+        # residual space is PER CELL: each probed cell scores against
+        # the query's residual to THAT cell's centroid (IVFADC), so
+        # the ADC scan is one pq_search per probed cell unioned —
+        # still a single job, nprobe branch plans over disjoint
+        # partition-pruned scans
+        cents = {cid: c for cid, c in ivf_codebook}
+        per_cell = []
+        for cid in probe_cells:
+            qr = [
+                float(q) - float(c)
+                for q, c in zip(query_vector, cents[cid])
+            ]
+            per_cell.append(
+                pq_search(
+                    df_encoded.filter(F.col(cell_col) == cid),
+                    pq_codebooks,
+                    qr,
+                    k=depth,
+                    id_col=id_col,
+                    code_col=code_col,
+                )
+            )
+        adc = per_cell[0]
+        for nxt in per_cell[1:]:
+            adc = adc.unionByName(nxt)
+        adc = adc.orderBy(
+            F.col("adc_dist").asc(), F.col(id_col)
+        ).limit(depth)
+    else:
+        cand = df_encoded.filter(F.col(cell_col).isin(probe_cells))
+        adc = pq_search(
+            cand,
+            pq_codebooks,
+            query_vector,
+            k=depth,
+            id_col=id_col,
+            code_col=code_col,
+        )
     if rerank is None:
         return adc
     q = F.array(*[F.lit(float(x)) for x in query_vector])
@@ -1072,6 +1155,7 @@ def write_ann_index(
     pq_m: int | None = None,
     pq_ksub: int = 8,
     pq_iters: int = 3,
+    pq_residual: bool = False,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codebook: list[tuple[int, list[float]]] | None = None,
@@ -1090,6 +1174,15 @@ def write_ann_index(
     ``read_ann_index`` restores the exact artifacts. Codebooks are
     driver-small by construction (nlist x dim + m x ksub x dim/m
     floats), which is what makes the JSON sidecar the right home.
+
+    ``pq_residual=True`` trains and encodes PQ in RESIDUAL space
+    (vector minus its cell centroid — the FAISS-IVFADC composition,
+    Jegou et al. 2011): residuals are smaller and more isotropic than
+    raw vectors, so the same m x ksub budget quantizes them with far
+    less error, which is higher ADC recall for free at query time.
+    The flag persists in the sidecar; every encode path (append,
+    streaming ingest) and both search paths honor it, so an index can
+    never mix spaces.
     """
     import json
 
@@ -1104,11 +1197,22 @@ def write_ann_index(
     )
     pq_cbs = None
     if pq_m is not None:
-        pq_cbs = pq_train_codebooks(
-            df, m=pq_m, ksub=pq_ksub, iters=pq_iters,
-            vec_col=vec_col, id_col=id_col,
+        if pq_residual:
+            train_src = stamped.withColumn(
+                "__res", _residual_expr(vec_col, cb, "ivf_cell")
+            )
+            pq_cbs = pq_train_codebooks(
+                train_src, m=pq_m, ksub=pq_ksub, iters=pq_iters,
+                vec_col="__res", id_col=id_col,
+            )
+        else:
+            pq_cbs = pq_train_codebooks(
+                df, m=pq_m, ksub=pq_ksub, iters=pq_iters,
+                vec_col=vec_col, id_col=id_col,
+            )
+        stamped = _pq_encode_indexed(
+            stamped, cb, pq_cbs, vec_col, residual=pq_residual
         )
-        stamped = pq_encode(stamped, pq_cbs, vec_col=vec_col)
     stamped.write.partitionBy("ivf_cell").mode("overwrite").parquet(path)
 
     params = {
@@ -1117,6 +1221,7 @@ def write_ann_index(
         "id_col": id_col,
         "pq_m": pq_m,
         "pq_ksub": pq_ksub if pq_m is not None else None,
+        "pq_residual": bool(pq_residual) if pq_m is not None else None,
         "codebook": [[cid, list(map(float, c))] for cid, c in cb],
         "pq_codebooks": pq_cbs,
     }
@@ -1212,6 +1317,7 @@ def ann_index_search(
                 df.select(id_col, vec_col) if exact_rerank else None
             ),
             vec_col=vec_col,
+            residual=bool(params.get("pq_residual")),
         )
     probe = sorted(
         (
@@ -1262,18 +1368,20 @@ def _ann_batch_pq(
     m, ksub, dsub = len(pq_cbs), len(pq_cbs[0]), len(pq_cbs[0][0])
     corpus = index["df"]
 
+    residual = bool(params.get("pq_residual"))
     q = queries_df.select(
         F.col(query_id_col), F.col(query_vec_col).alias("__qvec")
     ).withColumn(
         "__cells", _probe_cells(F.col("__qvec"), codebook, nprobe)
     )
-    def _table(cb, base):
+
+    def _table(cb, base, src):
         # closure factory: PySpark HOF lambdas must take exactly
         # their positional arity (default args break detection)
         def per_centroid(ci):
             def step(acc, j):
                 return acc + F.pow(
-                    F.element_at(F.col("__qvec"), j + F.lit(base))
+                    F.element_at(src, j + F.lit(base))
                     - F.element_at(cb, ci * dsub + j + 1),
                     F.lit(2.0),
                 )
@@ -1286,12 +1394,35 @@ def _ann_batch_pq(
             F.sequence(F.lit(0), F.lit(ksub - 1)), per_centroid
         )
 
-    for s in range(m):
-        cb = F.array(
-            *[F.lit(float(x)) for c in pq_cbs[s] for x in c]
+    def _add_tables(frame, src):
+        for s in range(m):
+            cb = F.array(
+                *[F.lit(float(x)) for c in pq_cbs[s] for x in c]
+            )
+            frame = frame.withColumn(
+                f"__t{s}", _table(cb, s * dsub + 1, src)
+            )
+        return frame
+
+    if residual:
+        # residual space is per cell: tables come AFTER the probe
+        # explode, from (query - centroid[cell]) — nprobe table sets
+        # per query instead of one, amortized over that cell's
+        # candidates exactly as in the single-query IVFADC path
+        qx = q.withColumn("ivf_cell", F.explode("__cells")).drop(
+            "__cells"
         )
-        q = q.withColumn(f"__t{s}", _table(cb, s * dsub + 1))
-    qx = q.withColumn("ivf_cell", F.explode("__cells")).drop("__cells")
+        qx = _add_tables(
+            qx.withColumn(
+                "__qres", _residual_expr("__qvec", codebook, "ivf_cell")
+            ),
+            F.col("__qres"),
+        ).drop("__qres")
+    else:
+        q = _add_tables(q, F.col("__qvec"))
+        qx = q.withColumn("ivf_cell", F.explode("__cells")).drop(
+            "__cells"
+        )
     cand = corpus.select(id_col, "ivf_cell", "pq_codes")
     if prune:
         cells = [
@@ -1451,7 +1582,13 @@ def append_to_ann_index(index_path: str, new_df: DataFrame) -> int:
         cell_col="ivf_cell",
     )
     if idx.get("pq_codebooks"):
-        stamped = pq_encode(stamped, idx["pq_codebooks"], vec_col=vec_col)
+        stamped = _pq_encode_indexed(
+            stamped,
+            idx["codebook"],
+            idx["pq_codebooks"],
+            vec_col,
+            residual=bool(params.get("pq_residual")),
+        )
     # persist around count+write: without it the cell-assignment (and
     # optional PQ-encode) job would execute twice per append
     from pyspark import StorageLevel

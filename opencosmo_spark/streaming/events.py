@@ -652,8 +652,14 @@ def ann_index_stream(
             cell_col="ivf_cell",
         )
         if idx.get("pq_codebooks"):
-            stamped = pq_encode(
-                stamped, idx["pq_codebooks"], vec_col=vec_col
+            from ..pipeline.similarity import _pq_encode_indexed
+
+            stamped = _pq_encode_indexed(
+                stamped,
+                idx["codebook"],
+                idx["pq_codebooks"],
+                vec_col,
+                residual=bool(params.get("pq_residual")),
             )
         (
             stamped.withColumn("batch_id", F.lit(int(batch_id)))
