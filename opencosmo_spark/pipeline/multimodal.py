@@ -425,7 +425,7 @@ def _decode_png(data: bytes) -> np.ndarray | None:
     return np.ascontiguousarray(px[..., :3])  # RGB, or RGBA minus alpha
 
 
-# --- baseline JPEG (ITU-T T.81 sequential DCT) ---------------------
+# --- JPEG (ITU-T T.81): baseline sequential + progressive ----------
 
 # zigzag scan order: entry k of the coefficient stream lands at this
 # flat 8x8 position (T.81 figure A.6)
@@ -470,8 +470,13 @@ class _JpegBits:
                 nxt = self.d[self.p] if self.p < len(self.d) else 0xD9
                 if nxt == 0x00:
                     self.p += 1
-                # a real marker here means the scan ended early; feed
-                # 1-bits (T.81 padding convention) by leaving byte=0xFF
+                else:
+                    # a real marker: the scan's entropy data is over.
+                    # Un-consume the 0xFF (progressive scan dispatch
+                    # finds the marker at self.p) and feed padding
+                    # 1-bits (T.81 convention).
+                    self.p -= 1
+                    byte = 0xFF
             self.b = byte
             self.n = 8
         self.n -= 1
@@ -528,17 +533,22 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def _decode_jpeg(data: bytes) -> np.ndarray | None:
-    """Pure stdlib+numpy decode of a BASELINE sequential JPEG (SOF0;
-    SOF1 decodes identically) — the dominant web-crawl image format:
+    """Pure stdlib+numpy decode of a JPEG — BASELINE sequential
+    (SOF0/SOF1) and PROGRESSIVE (SOF2, spectral selection +
+    successive approximation) — the dominant web-crawl image format:
     marker parse (DQT/DHT/SOF/DRI/SOS), canonical Huffman entropy
     decode with 0xFF00 unstuffing and RSTn restart handling, dequant,
     zigzag unscramble, orthonormal-matrix IDCT, nearest-neighbor
-    chroma upsampling, JFIF YCbCr->RGB. Returns (h, w, 3) uint8 RGB,
-    or None when the payload is not a well-formed baseline JPEG
-    (progressive SOF2 and arithmetic coding stay honestly gated —
+    chroma upsampling, JFIF YCbCr->RGB. Progressive scans accumulate
+    per-component coefficient state (DC/AC first + refinement scans,
+    cross-block EOB runs) and reconstruct at EOI. Returns (h, w, 3)
+    uint8 RGB, or None when the payload is not a well-formed JPEG
+    (lossless/hierarchical/arithmetic coding stay honestly gated —
     they fall through to the stub and are counted per-format by
-    ``decoder_report``). Public algorithm: ITU-T T.81 annexes A/F.
-    Differential-tested against an independent encoder twin."""
+    ``decoder_report``). Public algorithm: ITU-T T.81 annexes A/F/G.
+    Differential-tested against independent baseline AND progressive
+    encoder twins sharing one quantization — the two decodes must be
+    bit-identical."""
     if data is None or len(data) < 4 or data[:2] != b"\xff\xd8":
         return None
     try:
@@ -546,12 +556,18 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
         huff: dict[tuple[int, int], dict] = {}
         frame = None
         restart_interval = 0
+        progressive = False
+        coefs = None
         p = 2
-        while p + 4 <= len(data):
+        while p + 2 <= len(data):
             if data[p] != 0xFF:
                 return None
             marker = data[p + 1]
-            if marker == 0xD9:  # EOI before SOS: no image
+            if marker == 0xD9:  # EOI
+                if progressive and coefs is not None:
+                    return _jpeg_reconstruct(frame, coefs, qt)
+                return None  # EOI before SOS: no image
+            if p + 4 > len(data):
                 return None
             seg_len = (data[p + 2] << 8) | data[p + 3]
             seg = data[p + 4 : p + 2 + seg_len]
@@ -583,7 +599,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                         counts, seg[q + 17 : q + 17 + n]
                     )
                     q += 17 + n
-            elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 seq, SOF2 prog
                 h = (seg[1] << 8) | seg[2]
                 w = (seg[3] << 8) | seg[4]
                 comps = []
@@ -591,9 +607,12 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                     cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                     comps.append((cid, hv >> 4, hv & 15, tq))
                 frame = (h, w, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                progressive = marker == 0xC2
+                if progressive:
+                    coefs = _jpeg_alloc_coefs(frame)
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                             0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive/lossless/arithmetic: gated
+                return None  # lossless/arithmetic/hierarchical: gated
             elif marker == 0xDD:  # DRI
                 restart_interval = (seg[0] << 8) | seg[1]
             elif marker == 0xDA:  # SOS
@@ -604,11 +623,22 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                 for c in range(ns):
                     cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
                     scan.append((cs, tds >> 4, tds & 15))
-                return _jpeg_scan(
-                    data, p + 2 + seg_len, frame, scan, qt, huff,
-                    restart_interval,
+                if not progressive:
+                    return _jpeg_scan(
+                        data, p + 2 + seg_len, frame, scan, qt, huff,
+                        restart_interval,
+                    )
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                p = _jpeg_prog_scan(
+                    data, p + 2 + seg_len, frame, scan, huff,
+                    restart_interval, coefs,
+                    ss, se, ahal >> 4, ahal & 15,
                 )
+                continue
             p += 2 + seg_len
+        if progressive and coefs is not None:
+            return _jpeg_reconstruct(frame, coefs, qt)  # missing EOI
         return None
     except (IndexError, KeyError, ValueError):
         return None
@@ -685,6 +715,265 @@ def _jpeg_scan(
         if ch != hmax or cv != vmax:
             pl = np.repeat(np.repeat(pl, vmax // cv, 0), hmax // ch, 1)
         full.append(pl[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    if len(full) != 3:
+        return None
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_frame_geom(frame):
+    """Shared geometry: (hmax, vmax, mcux, mcuy, per-component dict
+    cid -> (ch, cv, tq, padded block grid (bh, bw), non-interleaved
+    block grid (nih, niw)))."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geo = {}
+    for cid, ch, cv, tq in comps:
+        niw = -(-(-(-w * ch // hmax)) // 8)
+        nih = -(-(-(-h * cv // vmax)) // 8)
+        geo[cid] = (ch, cv, tq, mcuy * cv, mcux * ch, nih, niw)
+    return hmax, vmax, mcux, mcuy, geo
+
+
+def _jpeg_alloc_coefs(frame):
+    """Per-component DCT coefficient state for progressive decoding:
+    (padded-block-rows, padded-block-cols, 64) int32 per component."""
+    _hm, _vm, _mx, _my, geo = _jpeg_frame_geom(frame)
+    return {
+        cid: np.zeros((bh, bw, 64), np.int64)
+        for cid, (_ch, _cv, _tq, bh, bw, _nh, _nw) in geo.items()
+    }
+
+
+def _jpeg_prog_scan(
+    data: bytes,
+    pos: int,
+    frame,
+    scan,
+    huff,
+    restart_interval: int,
+    coefs,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode ONE progressive scan (T.81 annex G.1.2 / the public
+    libjpeg decode_mcu_DC/AC_first/refine logic) into the coefficient
+    state; returns the offset of the next marker. DC scans (Ss=0) may
+    interleave components; AC scans carry exactly one. Successive
+    approximation: first scans (Ah=0) deliver magnitudes scaled by
+    2^Al, refinements (Ah>0) one bit per coefficient; AC first/refine
+    scans run EOB-run bookkeeping across blocks."""
+    h, w, comps = frame
+    # T.81 G.1: DC scans are Ss=0,Se=0; AC scans are Ss>=1 and carry
+    # exactly one component
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ah and ah != al + 1:
+        raise ValueError("successive approximation must refine one bit")
+    hmax, vmax, mcux, mcuy, geo = _jpeg_frame_geom(frame)
+    by_id = {c[0]: c for c in comps}
+    bits = _JpegBits(data, pos)
+    pred = {cs: 0 for cs, _td, _ta in scan}
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def dc_first(cid, by, bx, dc_t):
+        t = _jpeg_sym(bits, dc_t)
+        pred[cid] += _jpeg_extend(bits.bits(t), t)
+        coefs[cid][by, bx, 0] = pred[cid] << al
+
+    def dc_refine(cid, by, bx):
+        if bits.bit():
+            coefs[cid][by, bx, 0] |= p1
+
+    def ac_first(cid, by, bx, ac_t):
+        nonlocal eobrun
+        blk = coefs[cid][by, bx]
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _jpeg_sym(bits, ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += bits.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past Se")
+            blk[_JPEG_ZZ[k]] = _jpeg_extend(bits.bits(s), s) << al
+            k += 1
+
+    def ac_refine(cid, by, bx, ac_t):
+        nonlocal eobrun
+        blk = coefs[cid][by, bx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _jpeg_sym(bits, ac_t)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s:
+                    # size is 1 by construction in refinement scans
+                    val = p1 if bits.bit() else m1
+                else:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += bits.bits(r)
+                        break
+                    # r == 15: ZRL — advance over 16 zero-history
+                    # coefficients (with correction bits on nonzeros)
+                while k <= se:
+                    z = _JPEG_ZZ[k]
+                    if blk[z] != 0:
+                        if bits.bit() and (blk[z] & p1) == 0:
+                            blk[z] += p1 if blk[z] >= 0 else m1
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if val and k <= se:
+                    blk[_JPEG_ZZ[k]] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                z = _JPEG_ZZ[k]
+                if blk[z] != 0:
+                    if bits.bit() and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def do_restart():
+        nonlocal eobrun
+        bits.restart()
+        for cid in pred:
+            pred[cid] = 0
+        eobrun = 0
+
+    if ss == 0:  # DC scan (se must be 0)
+        tabs = {cs: huff.get((0, td)) for cs, td, _ta in scan}
+        if len(scan) > 1:  # interleaved over MCUs
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if (
+                        restart_interval
+                        and unit
+                        and unit % restart_interval == 0
+                    ):
+                        do_restart()
+                    unit += 1
+                    for cs, _td, _ta in scan:
+                        _cid, ch, cv, _tq = by_id[cs]
+                        for v in range(cv):
+                            for u in range(ch):
+                                by, bx = my * cv + v, mx * ch + u
+                                if ah == 0:
+                                    dc_first(cs, by, bx, tabs[cs])
+                                else:
+                                    dc_refine(cs, by, bx)
+        else:
+            cs = scan[0][0]
+            _ch, _cv, _tq, _bh, _bw, nih, niw = geo[cs]
+            unit = 0
+            for by in range(nih):
+                for bx in range(niw):
+                    if (
+                        restart_interval
+                        and unit
+                        and unit % restart_interval == 0
+                    ):
+                        do_restart()
+                    unit += 1
+                    if ah == 0:
+                        dc_first(cs, by, bx, tabs[cs])
+                    else:
+                        dc_refine(cs, by, bx)
+    else:  # AC scan: exactly one component, non-interleaved
+        cs, _td, ta = scan[0]
+        ac_t = huff.get((1, ta))
+        _ch, _cv, _tq, _bh, _bw, nih, niw = geo[cs]
+        unit = 0
+        for by in range(nih):
+            for bx in range(niw):
+                if (
+                    restart_interval
+                    and unit
+                    and unit % restart_interval == 0
+                ):
+                    do_restart()
+                unit += 1
+                if ah == 0:
+                    ac_first(cs, by, bx, ac_t)
+                else:
+                    ac_refine(cs, by, bx, ac_t)
+
+    # the bit reader parks exactly on the next marker's 0xFF (bit()
+    # un-consumes markers); skip any trailing RSTn / fill bytes
+    p = bits.p
+    while p + 1 < len(data):
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        nxt = data[p + 1]
+        if nxt == 0xFF:
+            p += 1
+            continue
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            p += 2
+            continue
+        return p
+    raise ValueError("no marker after scan")
+
+
+def _jpeg_reconstruct(frame, coefs, qt) -> np.ndarray | None:
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    assemble RGB exactly like the sequential path (same formulas, so
+    a progressive stream of the same quantized coefficients decodes
+    bit-identically to its baseline twin)."""
+    h, w, comps = frame
+    hmax, vmax, _mx, _my, geo = _jpeg_frame_geom(frame)
+    full = []
+    for cid, ch, cv, tq in comps:
+        _c, _v, _t, bh, bw, _nh, _nw = geo[cid]
+        dq = qt[tq]
+        plane = np.zeros((bh * 8, bw * 8), np.float64)
+        arr = coefs[cid]
+        for by in range(bh):
+            for bx in range(bw):
+                coef = arr[by, bx].astype(np.float64) * dq
+                blk = _JPEG_A.T @ coef.reshape(8, 8) @ _JPEG_A
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    blk + 128.0
+                )
+        if ch != hmax or cv != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // cv, 0), hmax // ch, 1
+            )
+        full.append(plane[:h, :w])
     if len(full) == 1:
         g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[..., None], 3, axis=2)
@@ -990,16 +1279,17 @@ def decode_image_features(
     incl. palette and Adam7-interlaced ('png', stdlib zlib + scanline
     unfiltering), 24-bit BMP ('bmp'), binary PGM/PPM ('pnm'),
     GIF87a/89a first frames incl. interlaced ('gif', own LZW), and
-    BASELINE sequential JPEG incl. chroma subsampling and restart
-    markers ('jpeg', own Huffman + IDCT — the dominant crawl format)
-    — all real channel-mean/block-grid features with no dependency;
-    else the deterministic digest fake ('stub-sha256'). The
-    ``decoder`` column records which path each row took;
+    JPEG — baseline sequential AND progressive, incl. chroma
+    subsampling, restart markers, spectral selection and successive
+    approximation ('jpeg', own Huffman + IDCT — the dominant crawl
+    format) — all real channel-mean/block-grid features with no
+    dependency; else the deterministic digest fake ('stub-sha256').
+    The ``decoder`` column records which path each row took;
     ``decoder_report`` turns it into the per-format real-vs-stub
     ledger for the dataset card.
 
     ``require_real_codec=True`` keeps the strict contract: without a
-    general codec library progressive-JPEG/WebP payloads would
+    general codec library WebP / arithmetic-coded-JPEG payloads would
     silently stub, so it raises unless PIL is importable.
     """
     if require_real_codec and not _HAVE_PIL:

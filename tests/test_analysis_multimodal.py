@@ -1414,12 +1414,13 @@ def _twin_cat(v):
     return t, bits
 
 
-def _make_jpeg(rgb, subsample=False, restart=0, gray=False):
-    """Independent baseline-JPEG encoder (test twin): forward DCT,
-    Annex-K quant tables, per-scan minimal canonical Huffman tables,
-    optional 4:2:0 subsampling and restart intervals. Returns
-    (jpeg_bytes, expected_rgb) where expected_rgb is the encoder's
-    own reconstruction of its quantized coefficients."""
+def _twin_quantize(rgb, subsample=False, gray=False):
+    """Shared twin front half: colorspace, subsample, pad, forward
+    DCT, Annex-K quantization. Returns (h, w, samp, qts, qt_of,
+    grids, expect) where grids[ci][by, bx] is the quantized 8x8 block
+    and expect is the encoder's own reconstruction — identical
+    whichever scan script (baseline or progressive) later emits the
+    coefficients."""
     h, w = rgb.shape[:2]
     if gray:
         planes = [rgb[..., 0].astype(np.float64)]
@@ -1441,48 +1442,86 @@ def _make_jpeg(rgb, subsample=False, restart=0, gray=False):
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
-    # per-component sampled+padded planes
     comp_planes = []
     for pl, (sh, sv) in zip(planes, samp):
+        ph, pw = mcuy * vmax * 8, mcux * hmax * 8
+        pad = np.zeros((ph, pw))
+        pad[:h, :w] = pl
+        pad[h:, :w] = pl[h - 1, :]
+        pad[:h, w:] = pl[:, w - 1][:, None]
+        pad[h:, w:] = pl[h - 1, w - 1]
         if sh != hmax or sv != vmax:
             fy, fx = vmax // sv, hmax // sh
-            ph, pw = mcuy * vmax * 8, mcux * hmax * 8
-            pad = np.zeros((ph, pw))
-            pad[:h, :w] = pl
-            pad[h:, :w] = pl[h - 1, :]
-            pad[:h, w:] = pl[:, w - 1][:, None]
-            pad[h:, w:] = pl[h - 1, w - 1]
-            sub = pad.reshape(ph // fy, fy, pw // fx, fx).mean((1, 3))
-            comp_planes.append(sub)
-        else:
-            ph, pw = mcuy * sv * 8, mcux * sh * 8
-            pad = np.zeros((ph, pw))
-            pad[:h, :w] = pl
-            pad[h:, :w] = pl[h - 1, :]
-            pad[:h, w:] = pl[:, w - 1][:, None]
-            pad[h:, w:] = pl[h - 1, w - 1]
-            comp_planes.append(pad)
+            pad = pad.reshape(ph // fy, fy, pw // fx, fx).mean((1, 3))
+        comp_planes.append(pad)
 
     qts = [_TWIN_QL] + ([_TWIN_QC] if not gray else [])
     qt_of = [0] + [1] * (len(planes) - 1)
 
-    # pass 1: quantize every block in MCU order, collect symbols
-    blocks = []  # (comp, quantized 8x8)
+    grids = []
     recon = [np.zeros_like(p) for p in comp_planes]
+    for ci, (sh, sv) in enumerate(samp):
+        g_ = np.zeros((mcuy * sv, mcux * sh, 64), np.int64)
+        q = qts[qt_of[ci]]
+        for by in range(mcuy * sv):
+            for bx in range(mcux * sh):
+                blk = comp_planes[ci][
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ] - 128.0
+                Fq = _TWIN_A @ blk @ _TWIN_A.T
+                qc = np.rint(Fq / q).astype(np.int64)
+                g_[by, bx] = qc.flatten()
+                rec = _TWIN_A.T @ (qc * q).astype(np.float64) @ _TWIN_A
+                recon[ci][
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ] = rec + 128.0
+        grids.append(g_)
+
+    ups = []
+    for rc, (sh, sv) in zip(recon, samp):
+        if sh != hmax or sv != vmax:
+            rc = np.repeat(np.repeat(rc, vmax // sv, 0), hmax // sh, 1)
+        ups.append(rc[:h, :w])
+    if gray:
+        gplane = np.clip(np.rint(ups[0]), 0, 255).astype(np.uint8)
+        expect = np.repeat(gplane[..., None], 3, axis=2)
+    else:
+        yy, cbb, crr = ups
+        rr = yy + 1.402 * (crr - 128.0)
+        gg = yy - 0.344136 * (cbb - 128.0) - 0.714136 * (crr - 128.0)
+        bb = yy + 1.772 * (cbb - 128.0)
+        expect = np.clip(
+            np.rint(np.stack([rr, gg, bb], -1)), 0, 255
+        ).astype(np.uint8)
+    return h, w, samp, qts, qt_of, grids, expect
+
+
+def _make_jpeg(rgb, subsample=False, restart=0, gray=False):
+    """Independent baseline-JPEG encoder (test twin): forward DCT,
+    Annex-K quant tables, per-scan minimal canonical Huffman tables,
+    optional 4:2:0 subsampling and restart intervals. Returns
+    (jpeg_bytes, expected_rgb) where expected_rgb is the encoder's
+    own reconstruction of its quantized coefficients."""
+    h, w, samp, qts, qt_of, grids, expect = _twin_quantize(
+        rgb, subsample=subsample, gray=gray
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = samp  # component count
+
+    # MCU-order block list for the sequential scan
+    blocks = []  # (comp, quantized 8x8)
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, (sh, sv) in enumerate(samp):
                 for v in range(sv):
                     for u in range(sh):
-                        y0 = (my * sv + v) * 8
-                        x0 = (mx * sh + u) * 8
-                        blk = comp_planes[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
-                        F = _TWIN_A @ blk @ _TWIN_A.T
-                        q = qts[qt_of[ci]]
-                        qc = np.rint(F / q).astype(np.int64)
-                        blocks.append((ci, qc))
-                        rec = _TWIN_A.T @ (qc * q).astype(np.float64) @ _TWIN_A
-                        recon[ci][y0:y0 + 8, x0:x0 + 8] = rec + 128.0
+                        blocks.append(
+                            (ci, grids[ci][my * sv + v, mx * sh + u]
+                             .reshape(8, 8))
+                        )
 
     # symbol collection for Huffman tables (one DC + one AC table set
     # for luma [comp 0], one set for chroma [comps 1..])
@@ -1602,23 +1641,6 @@ def _make_jpeg(rgb, subsample=False, restart=0, gray=False):
     out.extend(wtr.out)
     out.extend(b"\xff\xd9")
 
-    # expected reconstruction: upsample + colorspace, the decoder's way
-    ups = []
-    for rc, (sh, sv) in zip(recon, samp):
-        if sh != hmax or sv != vmax:
-            rc = np.repeat(np.repeat(rc, vmax // sv, 0), hmax // sh, 1)
-        ups.append(rc[:h, :w])
-    if gray:
-        gplane = np.clip(np.rint(ups[0]), 0, 255).astype(np.uint8)
-        expect = np.repeat(gplane[..., None], 3, axis=2)
-    else:
-        yy, cbb, crr = ups
-        rr = yy + 1.402 * (crr - 128.0)
-        gg = yy - 0.344136 * (cbb - 128.0) - 0.714136 * (crr - 128.0)
-        bb = yy + 1.772 * (cbb - 128.0)
-        expect = np.clip(
-            np.rint(np.stack([rr, gg, bb], -1)), 0, 255
-        ).astype(np.uint8)
     return bytes(out), expect
 
 
@@ -1667,7 +1689,9 @@ def test_decode_jpeg_gates_progressive_and_garbage():
 
     img = np.full((8, 8, 3), 77, np.uint8)
     payload, _ = _make_jpeg(img)
-    # flip SOF0 -> SOF2 (progressive): honestly gated, returns None
+    # flip SOF0 -> SOF2: the stream is then MALFORMED progressive
+    # (a full-band Ss=0,Se=63 scan is illegal in a progressive frame)
+    # and must be rejected, not misparsed
     prog = bytearray(payload)
     i = prog.find(b"\xff\xc0")
     prog[i + 1] = 0xC2
@@ -1721,3 +1745,346 @@ def test_decode_image_features_real_jpeg(spark):
     }
     assert rep[("image/jpeg", "jpeg")] == 1
     assert rep[("image/jpeg", "stub-sha256")] == 1
+
+
+class _ProgTwin:
+    """Independent PROGRESSIVE-JPEG encoder (test twin, T.81 annex G /
+    the public libjpeg jcphuff.c logic): emits the same quantized
+    coefficients as the baseline twin through a spectral-selection +
+    successive-approximation scan script. Two-pass per scan: collect
+    symbol frequencies for the minimal canonical tables, then emit."""
+
+    def __init__(self, grids, samp, ss_geo):
+        self.grids = grids      # per-comp (bh, bw, 64) int64
+        self.samp = samp
+        self.ss_geo = ss_geo    # per-comp non-interleaved (nih, niw)
+
+    # ---- per-scan symbol/bit streams -------------------------------
+
+    def dc_first(self, comps, al, sink):
+        """Interleaved DC first scan: category symbols per component
+        table set; sink(tset, 'sym'|'bits', value, nbits)."""
+        samp = self.samp
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        bh = self.grids[0].shape[0] // samp[0][1]  # mcuy
+        bw = self.grids[0].shape[1] // samp[0][0]  # mcux
+        pred = [0] * len(comps)
+        for my in range(bh):
+            for mx in range(bw):
+                for ci in comps:
+                    sh, sv = samp[ci]
+                    for v in range(sv):
+                        for u in range(sh):
+                            c0 = int(
+                                self.grids[ci][my * sv + v, mx * sh + u, 0]
+                            )
+                            pt = c0 >> al  # arithmetic shift (T.81 DC)
+                            diff = pt - pred[ci]
+                            pred[ci] = pt
+                            t, bits = _twin_cat(diff)
+                            sink(0 if ci == 0 else 1, "sym", t, 0)
+                            if t:
+                                sink(0 if ci == 0 else 1, "bits", bits, t)
+
+    def dc_refine(self, comps, al, sink):
+        samp = self.samp
+        bh = self.grids[0].shape[0] // samp[0][1]
+        bw = self.grids[0].shape[1] // samp[0][0]
+        for my in range(bh):
+            for mx in range(bw):
+                for ci in comps:
+                    sh, sv = samp[ci]
+                    for v in range(sv):
+                        for u in range(sh):
+                            c0 = int(
+                                self.grids[ci][my * sv + v, mx * sh + u, 0]
+                            )
+                            sink(None, "bits", (c0 >> al) & 1, 1)
+
+    def ac_first(self, ci, ss, se, al, sink):
+        """Non-interleaved AC first scan with cross-block EOB runs."""
+        tbl = 0 if ci == 0 else 1
+        nih, niw = self.ss_geo[ci]
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                sink(tbl, "sym", r << 4, 0)
+                if r:
+                    sink(tbl, "bits", eobrun - (1 << r), r)
+                eobrun = 0
+
+        for by in range(nih):
+            for bx in range(niw):
+                blk = self.grids[ci][by, bx]
+                vals = []
+                for k in range(ss, se + 1):
+                    c = int(blk[_TWIN_ZZ[k]])
+                    mag = (-((-c) >> al)) if c < 0 else (c >> al)
+                    vals.append(mag)
+                if not any(vals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                last_nz = max(i for i, v in enumerate(vals) if v)
+                for i, v in enumerate(vals):
+                    if i > last_nz:
+                        break
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        sink(tbl, "sym", 0xF0, 0)
+                        r -= 16
+                    t, bits = _twin_cat(v)
+                    sink(tbl, "sym", (r << 4) | t, 0)
+                    sink(tbl, "bits", bits, t)
+                    r = 0
+                if last_nz < len(vals) - 1:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+
+    def ac_refine(self, ci, ss, se, al, sink):
+        """Non-interleaved AC refinement (jcphuff encode_mcu_AC_refine):
+        newly-nonzero coefficients as (run<<4)|1 + sign, correction
+        bits for history-nonzero coefficients buffered after the next
+        symbol (or with the pending EOB run)."""
+        tbl = 0 if ci == 0 else 1
+        nih, niw = self.ss_geo[ci]
+        eobrun = 0
+        be_bits: list[int] = []   # corrections riding the EOB run
+
+        def flush_eob():
+            nonlocal eobrun, be_bits
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                sink(tbl, "sym", r << 4, 0)
+                if r:
+                    sink(tbl, "bits", eobrun - (1 << r), r)
+                for b in be_bits:
+                    sink(tbl, "bits", b, 1)
+                eobrun = 0
+                be_bits = []
+
+        for by in range(nih):
+            for bx in range(niw):
+                blk = self.grids[ci][by, bx]
+                absv = []
+                for k in range(ss, se + 1):
+                    c = int(blk[_TWIN_ZZ[k]])
+                    absv.append((abs(c)) >> al)
+                eob = -1
+                for i, v in enumerate(absv):
+                    if v == 1:
+                        eob = i
+                r = 0
+                br: list[int] = []
+                for i, v in enumerate(absv):
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob:
+                        flush_eob()
+                        sink(tbl, "sym", 0xF0, 0)
+                        r -= 16
+                        for b in br:
+                            sink(tbl, "bits", b, 1)
+                        br = []
+                    if v > 1:
+                        br.append(v & 1)
+                        continue
+                    flush_eob()
+                    sink(tbl, "sym", (r << 4) | 1, 0)
+                    c = int(blk[_TWIN_ZZ[ss + i]])
+                    sink(tbl, "bits", 1 if c > 0 else 0, 1)
+                    for b in br:
+                        sink(tbl, "bits", b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be_bits.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+
+
+def _make_jpeg_progressive(rgb, subsample=False, gray=False):
+    """Progressive twin: same _twin_quantize coefficients as the
+    baseline twin, emitted as a DC-first + spectral-band AC-first +
+    one-bit successive-approximation refinement scan script. Returns
+    (jpeg_bytes, expected_rgb)."""
+    h, w, samp, qts, qt_of, grids, expect = _twin_quantize(
+        rgb, subsample=subsample, gray=gray
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    ss_geo = []
+    for sh, sv in samp:
+        sw = -(-(w * sh) // hmax)
+        svh = -(-(h * sv) // vmax)
+        ss_geo.append((-(-svh // 8), -(-sw // 8)))
+    tw = _ProgTwin(grids, samp, ss_geo)
+    ncomp = len(samp)
+    comps = list(range(ncomp))
+
+    # scan script: DC first (Al=1) -> per-comp AC bands (Al=1) ->
+    # DC refine -> per-comp AC refines (Ah=1, Al=0)
+    script = [("dcf", comps, 0, 0, 0, 1)]
+    for ci in comps:
+        script.append(("acf", [ci], 1, 5, 0, 1))
+        script.append(("acf", [ci], 6, 63, 0, 1))
+    script.append(("dcr", comps, 0, 0, 1, 0))
+    for ci in comps:
+        script.append(("acr", [ci], 1, 5, 1, 0))
+        script.append(("acr", [ci], 6, 63, 1, 0))
+
+    def run_scan(kind, sc, ss, se, ah, al, sink):
+        if kind == "dcf":
+            tw.dc_first(sc, al, sink)
+        elif kind == "dcr":
+            tw.dc_refine(sc, al, sink)
+        elif kind == "acf":
+            tw.ac_first(sc[0], ss, se, al, sink)
+        else:
+            tw.ac_refine(sc[0], ss, se, al, sink)
+
+    # pass 1: symbol sets per table (class, tset)
+    sym_sets: dict[tuple[int, int], set] = {}
+    for kind, sc, ss, se, ah, al in script:
+        cls = 0 if kind.startswith("dc") else 1
+
+        def collect(tset, typ, val, nb, cls=cls):
+            if typ == "sym" and tset is not None:
+                sym_sets.setdefault((cls, tset), set()).add(val)
+
+        run_scan(kind, sc, ss, se, ah, al, collect)
+    tabs = {
+        key: _jpeg_twin_tables(syms) for key, syms in sym_sets.items()
+    }
+
+    # pass 2: emit
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    for tid, q in enumerate(qts):
+        seg(0xDB, bytes([tid]) + bytes(int(q.flatten()[z]) for z in _TWIN_ZZ))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(ncomp)
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, qt_of[ci]])
+    seg(0xC2, bytes(sof))
+    for (cls, tid), (counts, syms, _codes) in sorted(tabs.items()):
+        seg(0xC4, bytes([(cls << 4) | tid]) + bytes(counts) + bytes(syms))
+
+    for kind, sc, ss, se, ah, al in script:
+        cls = 0 if kind.startswith("dc") else 1
+        sos = bytearray([len(sc)])
+        for ci in sc:
+            t = 0 if ci == 0 else 1
+            # DC refinement scans read no table; point both at 0
+            td = t if cls == 0 and kind == "dcf" else (0 if cls == 0 else t)
+            ta = t if cls == 1 else 0
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(sos))
+        wtr = _JpegTwinWriter()
+
+        def emit(tset, typ, val, nb, cls=cls, wtr=wtr):
+            if typ == "sym":
+                code, ln = tabs[(cls, tset)][2][val]
+                wtr.put(code, ln)
+            else:
+                wtr.put(val, nb)
+
+        run_scan(kind, sc, ss, se, ah, al, emit)
+        wtr.pad()
+        out.extend(wtr.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out), expect
+
+
+@pytest.mark.parametrize(
+    "shape,subsample,gray",
+    [
+        ((16, 24), False, True),     # grayscale, exact grid
+        ((13, 20), False, False),    # 4:4:4, ragged edges
+        ((29, 35), True, False),     # 4:2:0, ragged edges
+    ],
+)
+def test_decode_jpeg_progressive_differential(shape, subsample, gray):
+    """Progressive decode vs TWO oracles: the encoder twin's own
+    reconstruction (within 1 intensity level), and — because the
+    progressive twin emits the SAME quantized coefficients as the
+    baseline twin — bit-exact equality with the baseline decode of
+    the same image."""
+    from opencosmo_spark.pipeline.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(sum(shape))
+    h, w = shape
+    base = rng.integers(0, 256, (4, 4, 3)).astype(np.float64)
+    img = np.clip(
+        np.rint(
+            np.kron(base, np.ones(((h + 3) // 4, (w + 3) // 4, 1)))[
+                :h, :w
+            ]
+            + rng.normal(0, 12, (h, w, 3))
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    prog, expect = _make_jpeg_progressive(img, subsample=subsample, gray=gray)
+    got = _decode_jpeg(prog)
+    assert got is not None, "decoder rejected a valid progressive JPEG"
+    assert got.shape == expect.shape
+    assert int(np.abs(got.astype(int) - expect.astype(int)).max()) <= 1
+
+    seq, _ = _make_jpeg(img, subsample=subsample, gray=gray)
+    got_seq = _decode_jpeg(seq)
+    assert np.array_equal(got, got_seq), (
+        "progressive and baseline decodes of identical quantized "
+        "coefficients must agree bit-for-bit"
+    )
+
+
+def test_decode_jpeg_progressive_eobrun_and_sparse():
+    """Adversarial coefficient shapes: a FLAT image (every AC zero ->
+    maximal cross-block EOB runs in first and refinement scans) and a
+    sparse high-frequency image (long zero runs + isolated small
+    coefficients -> ZRL and correction-bit paths). Both must equal
+    the baseline decode bit-for-bit."""
+    from opencosmo_spark.pipeline.multimodal import _decode_jpeg
+
+    flat = np.full((32, 40, 3), 131, np.uint8)
+    prog, expect = _make_jpeg_progressive(flat, subsample=True)
+    got = _decode_jpeg(prog)
+    assert got is not None
+    seq, _ = _make_jpeg(flat, subsample=True)
+    assert np.array_equal(got, _decode_jpeg(seq))
+    assert int(np.abs(got.astype(int) - expect.astype(int)).max()) <= 1
+
+    rng = np.random.default_rng(99)
+    sparse = np.full((48, 48, 3), 128, np.uint8)
+    # isolated bright pixels -> energy smeared across high frequencies
+    # at magnitude ~1 after quantization
+    for _ in range(25):
+        yy, xx = rng.integers(0, 48, 2)
+        sparse[yy, xx] = rng.integers(140, 200, 3)
+    prog, expect = _make_jpeg_progressive(sparse)
+    got = _decode_jpeg(prog)
+    assert got is not None
+    seq, _ = _make_jpeg(sparse)
+    assert np.array_equal(got, _decode_jpeg(seq))
+    assert int(np.abs(got.astype(int) - expect.astype(int)).max()) <= 1

@@ -706,7 +706,9 @@ def test_near_dedup_stream_matches_batch_incremental(spark, tmp_path):
     )
     d = tmp_path / "nd_docs"
     d.mkdir()
+    t0 = time.time()
     for i, texts in enumerate([batch1, batch2]):
+        f = d / f"part-{i}.parquet"
         pq.write_table(
             pa.table(
                 {
@@ -714,8 +716,12 @@ def test_near_dedup_stream_matches_batch_incremental(spark, tmp_path):
                     "text": texts,
                 }
             ),
-            d / f"part-{i}.parquet",
+            f,
         )
+        # pin arrival order: FileStreamSource sorts by mtime and
+        # back-to-back writes can tie at millisecond granularity,
+        # inverting the planted cross-batch dup direction
+        os.utime(f, (t0 + i, t0 + i))
 
     out_dir = str(tmp_path / "nd_out")
     ups_dir = str(tmp_path / "nd_updates")
