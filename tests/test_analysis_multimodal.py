@@ -2088,3 +2088,39 @@ def test_decode_jpeg_progressive_eobrun_and_sparse():
     seq, _ = _make_jpeg(sparse)
     assert np.array_equal(got, _decode_jpeg(seq))
     assert int(np.abs(got.astype(int) - expect.astype(int)).max()) <= 1
+
+
+def test_decode_jpeg_randomized_sweep():
+    """Randomized shapes/content through BOTH encoder twins: baseline
+    (with and without 4:2:0 + restarts) and progressive must decode
+    to the shared reconstruction within 1 level, and agree with each
+    other bit-for-bit, across 10 random cases."""
+    from opencosmo_spark.pipeline.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(2026)
+    for case in range(10):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        subsample = bool(rng.integers(0, 2))
+        gray = case % 5 == 4
+        restart = int(rng.integers(0, 3))  # 0 = none
+        img = np.clip(
+            np.rint(
+                rng.normal(128, 40, (h, w, 3))
+                + rng.integers(-60, 60)
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        seq, expect = _make_jpeg(
+            img, subsample=subsample, restart=restart, gray=gray
+        )
+        got_seq = _decode_jpeg(seq)
+        assert got_seq is not None, (case, h, w, subsample, gray, restart)
+        assert (
+            int(np.abs(got_seq.astype(int) - expect.astype(int)).max()) <= 1
+        ), (case, "baseline")
+        prog, _ = _make_jpeg_progressive(img, subsample=subsample, gray=gray)
+        got_prog = _decode_jpeg(prog)
+        assert got_prog is not None, (case, "progressive rejected")
+        assert np.array_equal(got_prog, got_seq), (case, "path divergence")
