@@ -1137,3 +1137,71 @@ def test_block_pack_stream_numeric_ids_order_natively(spark, tmp_path):
         gm = [(s["doc_id"], s["start"], s["end"]) for s in g["doc_spans"]]
         wm = [(s["doc_id"], s["start"], s["end"]) for s in w["doc_spans"]]
         assert gm == wm, g["block_id"]
+
+
+def test_image_decode_composes_with_streaming(spark, tmp_path):
+    """decode_image_features is a stateless mapInPandas, so it
+    composes with Structured Streaming unchanged: decoding a file
+    stream of image payloads yields exactly the batch decode of the
+    same rows — the multimodal ingest path needs no streaming twin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opencosmo_spark.pipeline.multimodal import decode_image_features
+
+    # two micro-batches of tiny PGMs (P5) + one undecodable payload
+    def pgm(v, w=4, h=4):
+        return b"P5\n%d %d\n255\n" % (w, h) + bytes([v] * (w * h))
+
+    rows = [
+        (1, pgm(10)),
+        (2, pgm(200)),
+        (3, b"not an image"),
+        (4, pgm(77, 3, 5)),
+    ]
+    d = tmp_path / "img_stream"
+    d.mkdir()
+    t0 = time.time()
+    for i in range(2):
+        chunk = rows[i * 2 : (i + 1) * 2]
+        f = d / f"part-{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "media_id": [r[0] for r in chunk],
+                    "payload": [r[1] for r in chunk],
+                }
+            ),
+            f,
+        )
+        os.utime(f, (t0 + i, t0 + i))
+
+    schema = "media_id long, payload binary"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        decode_image_features(stream, feature_dim=8)
+        .writeStream.format("memory")
+        .queryName("img_decode_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["media_id"]: (list(r["features"]), r["decoder"])
+        for r in spark.table("img_decode_out").collect()
+    }
+    want = {
+        r["media_id"]: (list(r["features"]), r["decoder"])
+        for r in decode_image_features(
+            spark.read.parquet(str(d)), feature_dim=8
+        ).collect()
+    }
+    assert got == want
+    assert got[1][1] == "pnm" and got[3][1] == "stub-sha256"
