@@ -338,8 +338,10 @@ def _decode_png(data: bytes) -> np.ndarray | None:
     deinterlacing runs each of the seven passes through the same
     unfilter machinery (each pass filters against its OWN previous
     scanline) and scatters the sub-image with one strided numpy
-    assignment per pass. 16-bit images fall through to the stub
-    rather than mis-decode.
+    assignment per pass. 16-bit non-palette images (scientific
+    imagery) decode with byte-pair filtering and keep the high byte
+    (the ``v >> 8`` reduction); 1/2/4-bit depths fall through to the
+    stub rather than mis-decode.
 
     The unfilter loop is per-byte Python per scanline — fine for the
     thumbnail/feature sizes this path serves; a production raster
@@ -374,9 +376,19 @@ def _decode_png(data: bytes) -> np.ndarray | None:
     depth, color, comp, filt, interlace = ihdr[8:13]
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if (
-        width <= 0 or height <= 0 or depth != 8 or nch is None
+        width <= 0 or height <= 0 or nch is None
         or comp != 0 or filt != 0 or interlace not in (0, 1)
     ):
+        return None
+    # 16-bit samples (scientific imagery): filtering operates on BYTES
+    # with the per-pixel distance doubled; the high byte is kept on
+    # output (the v >> 8 16->8 reduction, PIL's convert posture).
+    # Palette images are 8-bit indices by spec.
+    if depth == 16 and color != 3:
+        bpp = nch * 2
+    elif depth == 8:
+        bpp = nch
+    else:
         return None
     if color == 3:
         # palette: the scanline bytes are indices into PLTE's RGB
@@ -388,14 +400,20 @@ def _decode_png(data: bytes) -> np.ndarray | None:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
+    def to_px(rows, n_rows, n_cols):
+        # (rows, cols*bpp) bytes -> (rows, cols, nch) uint8 samples
+        if bpp == nch:
+            return rows.reshape(n_rows, n_cols, nch)
+        return rows.reshape(n_rows, n_cols, nch, 2)[..., 0]
+
     if interlace == 0:
-        stride = width * nch
+        stride = width * bpp
         if len(raw) < height * (stride + 1):
             return None
-        out, _ = _unfilter_lines(raw, 0, height, stride, nch)
+        out, _ = _unfilter_lines(raw, 0, height, stride, bpp)
         if out is None:
             return None
-        px = out.reshape(height, width, nch)
+        px = to_px(out, height, width)
     else:
         px = np.zeros((height, width, nch), np.uint8)
         off = 0
@@ -404,15 +422,15 @@ def _decode_png(data: bytes) -> np.ndarray | None:
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass emits no bytes at all
-            pstride = pw * nch
+            pstride = pw * bpp
             if len(raw) < off + ph * (pstride + 1):
                 return None
-            sub, off = _unfilter_lines(raw, off, ph, pstride, nch)
+            sub, off = _unfilter_lines(raw, off, ph, pstride, bpp)
             if sub is None:
                 return None
             # strided scatter: pass p owns grid positions
             # (y0 + i*dy, x0 + j*dx)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+            px[y0::dy, x0::dx] = to_px(sub, ph, pw)
     if color == 0:
         return np.repeat(px, 3, axis=2)
     if color == 3:

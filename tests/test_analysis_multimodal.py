@@ -2124,3 +2124,42 @@ def test_decode_jpeg_randomized_sweep():
         got_prog = _decode_jpeg(prog)
         assert got_prog is not None, (case, "progressive rejected")
         assert np.array_equal(got_prog, got_seq), (case, "path divergence")
+
+
+def test_decode_png_16bit_numpy_differential():
+    """16-bit PNG (scientific imagery): byte-pair filtering across
+    every filter type decodes to the high byte of each sample (the
+    v >> 8 reduction), for gray and RGB; 16-bit palette stays
+    rejected (not a legal PNG shape), sub-byte depths still stub."""
+    from opencosmo_spark.pipeline.multimodal import _decode_png
+
+    rng = np.random.default_rng(21)
+    h, w = 9, 7
+
+    # gray 16-bit: encode as 2 byte-channels (hi, lo) so the twin's
+    # filter left-distance equals the real bpp of 2
+    g16 = rng.integers(0, 65536, (h, w), np.uint32).astype(np.uint16)
+    gb = np.stack([(g16 >> 8) & 0xFF, g16 & 0xFF], axis=-1).astype(np.uint8)
+    png = _make_png(gb, 0, row_filters=[0, 1, 2, 3, 4], depth=16)
+    got = _decode_png(png)
+    assert got is not None
+    want = (g16 >> 8).astype(np.uint8)
+    assert np.array_equal(got, np.repeat(want[..., None], 3, axis=2))
+
+    # RGB 16-bit: 6 byte-channels, bpp 6
+    c16 = rng.integers(0, 65536, (h, w, 3), np.uint32).astype(np.uint16)
+    cb = np.zeros((h, w, 6), np.uint8)
+    cb[..., 0::2] = (c16 >> 8).astype(np.uint8)
+    cb[..., 1::2] = (c16 & 0xFF).astype(np.uint8)
+    png = _make_png(cb, 2, row_filters=[4, 3, 2, 1, 0], depth=16)
+    got = _decode_png(png)
+    assert got is not None
+    assert np.array_equal(got, (c16 >> 8).astype(np.uint8))
+
+    # 16-bit palette is illegal -> rejected; 4-bit depth still stubs
+    pal = np.array([[1, 2, 3]], np.uint8)
+    idx = np.zeros((2, 2, 1), np.uint8)
+    bad = _make_png(idx, 3, row_filters=[0], depth=16, palette=pal)
+    assert _decode_png(bad) is None
+    low = _make_png(idx, 0, row_filters=[0], depth=4)
+    assert _decode_png(low) is None
