@@ -390,14 +390,30 @@ def _decode_png(data: bytes) -> np.ndarray | None:
         bpp = nch
     else:
         return None
+    if width * height * nch > _MAX_IMAGE_SAMPLES:
+        return None  # mutated header must not allocate unbounded planes
     if color == 3:
         # palette: the scanline bytes are indices into PLTE's RGB
         # triples (spec: length a multiple of 3, 1-256 entries)
         if plte is None or len(plte) == 0 or len(plte) % 3 != 0:
             return None
         palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    # bounded inflate: the filtered stream size is known exactly from
+    # the header (per-pass for Adam7 — each pass row pays its own
+    # filter byte); a compression bomb past that + slack is
+    # malformed, never worth materializing
+    if interlace == 0:
+        expected = height * (width * bpp + 1)
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ph * (pw * bpp + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected + 8)
     except zlib.error:
         return None
     def to_px(rows, n_rows, n_cols):
@@ -467,6 +483,13 @@ _JPEG_A = np.array(
         for u in range(8)
     ]
 )
+
+
+# A mutated/malicious header must not allocate unbounded planes: cap
+# decodable images at 50M samples (covers every real crawl photo; a
+# pure-python decode beyond this is impractical anyway). Shared by the
+# PNG path (x nch).
+_MAX_IMAGE_SAMPLES = 50_000_000
 
 
 class _JpegBits:
@@ -623,7 +646,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                 comps = []
                 for c in range(seg[5]):
                     cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                    comps.append((cid, hv >> 4, hv & 15, tq))
+                    ch, cv = hv >> 4, hv & 15
+                    if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                        return None  # T.81: sampling factors are 1..4
+                    comps.append((cid, ch, cv, tq))
                 frame = (h, w, comps)
                 progressive = marker == 0xC2
                 if progressive:
@@ -658,7 +684,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
         if progressive and coefs is not None:
             return _jpeg_reconstruct(frame, coefs, qt)  # missing EOI
         return None
-    except (IndexError, KeyError, ValueError):
+    except (IndexError, KeyError, ValueError, OverflowError):
         return None
 
 
@@ -673,10 +699,12 @@ def _jpeg_scan(
 ) -> np.ndarray | None:
     """Entropy-decode the single baseline scan into RGB pixels."""
     h, w, comps = frame
-    if h == 0 or w == 0 or not comps:
+    if h == 0 or w == 0 or not comps or h * w > _MAX_IMAGE_SAMPLES:
         return None
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0:
+        return None
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     by_id = {c[0]: c for c in comps}
@@ -765,7 +793,14 @@ def _jpeg_frame_geom(frame):
 
 def _jpeg_alloc_coefs(frame):
     """Per-component DCT coefficient state for progressive decoding:
-    (padded-block-rows, padded-block-cols, 64) int32 per component."""
+    (padded-block-rows, padded-block-cols, 64) int64 per component."""
+    h, w, comps = frame
+    if (
+        h == 0 or w == 0 or not comps
+        or h * w > _MAX_IMAGE_SAMPLES
+        or any(c[1] < 1 or c[2] < 1 for c in comps)
+    ):
+        raise ValueError("bad progressive frame geometry")
     _hm, _vm, _mx, _my, geo = _jpeg_frame_geom(frame)
     return {
         cid: np.zeros((bh, bw, 64), np.int64)
@@ -811,6 +846,8 @@ def _jpeg_prog_scan(
 
     def dc_first(cid, by, bx, dc_t):
         t = _jpeg_sym(bits, dc_t)
+        if t > 11:
+            raise ValueError("DC category out of range")
         pred[cid] += _jpeg_extend(bits.bits(t), t)
         coefs[cid][by, bx, 0] = pred[cid] << al
 
@@ -893,6 +930,8 @@ def _jpeg_prog_scan(
 
     if ss == 0:  # DC scan (se must be 0)
         tabs = {cs: huff.get((0, td)) for cs, td, _ta in scan}
+        if ah == 0 and any(t is None for t in tabs.values()):
+            raise ValueError("DC scan references an undefined table")
         if len(scan) > 1:  # interleaved over MCUs
             unit = 0
             for my in range(mcuy):
@@ -933,6 +972,8 @@ def _jpeg_prog_scan(
     else:  # AC scan: exactly one component, non-interleaved
         cs, _td, ta = scan[0]
         ac_t = huff.get((1, ta))
+        if ac_t is None:
+            raise ValueError("AC scan references an undefined table")
         _ch, _cv, _tq, _bh, _bw, nih, niw = geo[cs]
         unit = 0
         for by in range(nih):

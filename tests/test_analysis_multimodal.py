@@ -2163,3 +2163,61 @@ def test_decode_png_16bit_numpy_differential():
     assert _decode_png(bad) is None
     low = _make_png(idx, 0, row_filters=[0], depth=4)
     assert _decode_png(low) is None
+
+
+def test_image_decoders_are_total_under_mutation():
+    """Crawl payloads are routinely corrupt: every built-in decoder
+    must be TOTAL — return an array or None, never raise — under
+    random byte mutations, truncations, and garbage. A decoder that
+    throws kills the whole Spark task; the ladder relies on None.
+    Also pins the anti-bomb guards: a mutated header cannot demand an
+    unbounded allocation."""
+    from opencosmo_spark.pipeline.multimodal import (
+        _decode_bmp,
+        _decode_gif,
+        _decode_jpeg,
+        _decode_png,
+        _decode_pnm,
+    )
+
+    rng = np.random.default_rng(77)
+    img = rng.integers(0, 256, (10, 12, 3)).astype(np.uint8)
+    seq, _ = _make_jpeg(img, subsample=True)
+    prog, _ = _make_jpeg_progressive(img)
+    png = _make_png(img, 2, row_filters=[0, 1, 2, 3, 4])
+    gif = _make_gif(
+        np.zeros((8, 8), np.uint8),
+        np.array([[0, 0, 0]] * 4, np.uint8),
+        mcs=2,
+    )
+    bmp = _make_bmp(img)
+    pnm = b"P6\n12 10\n255\n" + bytes(img.reshape(-1))
+    decoders = [_decode_png, _decode_bmp, _decode_pnm, _decode_gif, _decode_jpeg]
+    samples = [bytes(x) for x in (seq, prog, png, gif, bmp, pnm)]
+
+    def check(payload):
+        for dec in decoders:
+            out = dec(payload)
+            assert out is None or isinstance(out, np.ndarray)
+
+    for s in samples:
+        b = bytearray(s)
+        for _ in range(60):
+            m = bytearray(b)
+            for _ in range(int(rng.integers(1, 4))):
+                m[rng.integers(0, len(m))] = rng.integers(0, 256)
+            check(bytes(m))
+        for _ in range(10):
+            check(bytes(b[: rng.integers(0, len(b))]))  # truncations
+    for _ in range(30):
+        check(bytes(rng.integers(0, 256, rng.integers(0, 64), np.uint8)))
+    # anti-bomb: a PNG header demanding a 4-gigapixel image and a JPEG
+    # SOF claiming 65535x65535 must both refuse quickly
+    big_png = _make_png(np.zeros((2, 2, 3), np.uint8), 2, row_filters=[0])
+    bp = bytearray(big_png)
+    bp[16:24] = (65535).to_bytes(4, "big") + (65535).to_bytes(4, "big")
+    assert _decode_png(bytes(bp)) is None
+    bj = bytearray(seq)
+    i = bj.find(b"\xff\xc0")
+    bj[i + 5 : i + 9] = b"\xff\xff\xff\xff"
+    assert _decode_jpeg(bytes(bj)) is None
