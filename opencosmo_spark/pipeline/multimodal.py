@@ -1073,10 +1073,37 @@ def _pixel_features(arr: np.ndarray, out_dim: int) -> np.ndarray:
     return out
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry mu-law and A-law expansion tables (ITU-T G.711) as
+    float32 in [-1, 1] — the telephony codings speech corpora ship."""
+    mu = np.zeros(256, np.float32)
+    al = np.zeros(256, np.float32)
+    for c in range(256):
+        u = ~c & 0xFF
+        exp = (u >> 4) & 7
+        mant = u & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        mu[c] = (-mag if u & 0x80 else mag) / 32768.0
+        a = c ^ 0x55
+        exp = (a >> 4) & 7
+        mant = a & 0x0F
+        mag = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (
+            exp - 1
+        )
+        # A-law sign convention is INVERTED vs mu-law: bit 7 set (after
+        # the 0x55 toggle) means POSITIVE (G.711 alaw2linear)
+        al[c] = (mag if a & 0x80 else -mag) / 32768.0
+    return mu, al
+
+
+_MULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
 def _decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
-    """Pure-python decode of RIFF/WAVE PCM (format code 1, 8- or
-    16-bit, any channel count — the one audio container parseable
-    without a codec library, public RIFF spec): returns
+    """Pure-python decode of RIFF/WAVE (public RIFF + G.711 specs) —
+    PCM (code 1: 8/16/24-bit), IEEE float (code 3: 32/64-bit), A-law
+    (code 6) and mu-law (code 7), plus WAVE_FORMAT_EXTENSIBLE (0xFFFE,
+    real code from the subformat GUID), any channel count: returns
     ``(mono float32 samples in [-1, 1], sample_rate)`` or None when
     the payload is not such a WAV. Channels are mixed down by mean.
     """
@@ -1088,8 +1115,12 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
         size = int.from_bytes(data[pos + 4 : pos + 8], "little")
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
+            code = int.from_bytes(body[0:2], "little")
+            if code == 0xFFFE and len(body) >= 26:
+                # EXTENSIBLE: the real code leads the subformat GUID
+                code = int.from_bytes(body[24:26], "little")
             fmt = (
-                int.from_bytes(body[0:2], "little"),  # format code
+                code,
                 int.from_bytes(body[2:4], "little"),  # channels
                 int.from_bytes(body[4:8], "little"),  # sample rate
                 int.from_bytes(body[14:16], "little"),  # bits/sample
@@ -1100,12 +1131,36 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
     if fmt is None or raw is None:
         return None
     code, nch, rate, bits = fmt
-    if code != 1 or nch < 1 or rate <= 0 or bits not in (8, 16):
+    ok = (
+        (code == 1 and bits in (8, 16, 24))
+        or (code == 3 and bits in (32, 64))
+        or (code in (6, 7) and bits == 8)
+    )
+    if not ok or nch < 1 or rate <= 0:
         return None
-    if bits == 16:
-        # a truncated data chunk may end mid-sample — trim, don't crash
-        raw = raw[: len(raw) - (len(raw) % 2)]
+    # a truncated data chunk may end mid-sample — trim, don't crash
+    bstep = bits // 8
+    raw = raw[: len(raw) - (len(raw) % bstep)]
+    if code == 7:
+        samples = _MULAW_TABLE[np.frombuffer(raw, np.uint8)]
+    elif code == 6:
+        samples = _ALAW_TABLE[np.frombuffer(raw, np.uint8)]
+    elif code == 3:
+        dt = "<f4" if bits == 32 else "<f8"
+        samples = np.clip(
+            np.frombuffer(raw, dt).astype(np.float32), -1.0, 1.0
+        )
+    elif bits == 16:
         samples = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif bits == 24:
+        b3 = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+        v = (
+            b3[:, 0].astype(np.int32)
+            | (b3[:, 1].astype(np.int32) << 8)
+            | (b3[:, 2].astype(np.int32) << 16)
+        )
+        v = np.where(v & 0x800000, v - (1 << 24), v)
+        samples = v.astype(np.float32) / 8388608.0
     else:
         samples = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
     n = (len(samples) // nch) * nch

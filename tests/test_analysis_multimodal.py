@@ -2221,3 +2221,98 @@ def test_image_decoders_are_total_under_mutation():
     i = bj.find(b"\xff\xc0")
     bj[i + 5 : i + 9] = b"\xff\xff\xff\xff"
     assert _decode_jpeg(bytes(bj)) is None
+
+
+def _wav_raw(raw: bytes, code: int, rate: int, bits: int, nch: int = 1,
+             extensible: bool = False) -> bytes:
+    """RIFF wrapper around pre-encoded sample bytes for any format
+    code (independent of the decoder under test)."""
+    byte_rate = rate * nch * bits // 8
+    if extensible:
+        body16 = (
+            (0xFFFE).to_bytes(2, "little") + nch.to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+            + (nch * bits // 8).to_bytes(2, "little")
+            + bits.to_bytes(2, "little")
+            + (22).to_bytes(2, "little")            # cbSize
+            + bits.to_bytes(2, "little")            # valid bits
+            + (0).to_bytes(4, "little")             # channel mask
+            + code.to_bytes(2, "little")            # subformat GUID head
+            + bytes(14)
+        )
+    else:
+        body16 = (
+            code.to_bytes(2, "little") + nch.to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+            + (nch * bits // 8).to_bytes(2, "little")
+            + bits.to_bytes(2, "little")
+        )
+    fmt = b"fmt " + len(body16).to_bytes(4, "little") + body16
+    data = b"data" + len(raw).to_bytes(4, "little") + raw
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_decode_wav_g711_float_and_24bit():
+    """mu-law/A-law (independent G.711 COMPRESSORS in this test),
+    IEEE float, 24-bit PCM, and WAVE_FORMAT_EXTENSIBLE all decode;
+    G.711 round-trips within the coding's quantization error."""
+    from opencosmo_spark.pipeline.multimodal import _decode_wav
+
+    rng = np.random.default_rng(12)
+    t = np.arange(800) / 8000.0
+    sig = (0.7 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+
+    def mulaw_compress(x):
+        out = bytearray()
+        for v in np.clip((x * 32768).astype(int), -32768, 32767):
+            s = 0x80 if v < 0 else 0
+            v = min(abs(int(v)), 0x7FFF) + 0x84
+            exp = v.bit_length() - 8          # 0..7 for v in [0x84, 0x7FFF+0x84]
+            mant = (v >> (exp + 3)) & 0x0F
+            out.append(~(s | (exp << 4) | mant) & 0xFF)
+        return bytes(out)
+
+    def alaw_compress(x):
+        out = bytearray()
+        for v in np.clip((x * 32768).astype(int), -32768, 32767):
+            s = 0x80 if v >= 0 else 0         # A-law sign convention
+            v = min(abs(int(v)), 0x7FFF)
+            if v < 256:
+                code = v >> 4
+            else:
+                exp = v.bit_length() - 8
+                mant = (v >> (exp + 3)) & 0x0F
+                code = (exp << 4) | mant
+            out.append((s | code) ^ 0x55)
+        return bytes(out)
+
+    got, rate = _decode_wav(_wav_raw(mulaw_compress(sig), 7, 8000, 8))
+    assert rate == 8000 and len(got) == len(sig)
+    assert float(np.abs(got - sig).max()) < 0.04  # mu-law quantization
+    assert float(np.corrcoef(got, sig)[0, 1]) > 0.999
+
+    got, _ = _decode_wav(_wav_raw(alaw_compress(sig), 6, 8000, 8))
+    assert float(np.abs(got - sig).max()) < 0.04
+    assert float(np.corrcoef(got, sig)[0, 1]) > 0.999
+
+    # IEEE float32: exact
+    got, _ = _decode_wav(_wav_raw(sig.astype("<f4").tobytes(), 3, 8000, 32))
+    np.testing.assert_allclose(got, sig, atol=1e-7)
+
+    # 24-bit PCM: exact integer reconstruction
+    v24 = np.clip((sig * 8388607).astype(np.int64), -(1 << 23), (1 << 23) - 1)
+    raw24 = b"".join(
+        int(x & 0xFFFFFF).to_bytes(3, "little") for x in v24
+    )
+    got, _ = _decode_wav(_wav_raw(raw24, 1, 8000, 24))
+    np.testing.assert_allclose(got, v24 / 8388608.0, atol=1e-7)
+
+    # EXTENSIBLE wrapping PCM16 decodes like plain PCM16
+    raw16 = (sig * 32767.0).astype("<i2").tobytes()
+    got_ext, _ = _decode_wav(_wav_raw(raw16, 1, 8000, 16, extensible=True))
+    got_pcm, _ = _decode_wav(_wav_raw(raw16, 1, 8000, 16))
+    assert np.array_equal(got_ext, got_pcm)
+
+    # unsupported codes still refuse
+    assert _decode_wav(_wav_raw(raw16, 2, 8000, 16)) is None  # ADPCM
