@@ -1176,7 +1176,8 @@ def decode_audio_features(
     require_real_codec: bool = False,
 ) -> DataFrame:
     """Attach audio signal features. Decode ladder per row: the
-    built-in pure-python RIFF/WAVE PCM parser over the ACTUAL samples
+    built-in pure-python RIFF/WAVE parser over the ACTUAL samples —
+    PCM 8/16/24-bit, IEEE float, G.711 mu-law/A-law, EXTENSIBLE
     ('wav' — real rate/duration/RMS/zero-crossing/peak, no
     dependency); else the deterministic digest fake ('stub-sha256').
     The ``decoder`` column records which path each row took.
@@ -1191,7 +1192,7 @@ def decode_audio_features(
     if require_real_codec:
         raise NotImplementedError(
             "general audio decoding needs a codec library not installed "
-            "here (only RIFF/WAVE PCM decodes without one)"
+            "here (only RIFF/WAVE PCM/float/G.711 decodes without one)"
         )
     out_schema = T.StructType(
         list(df.schema.fields)
