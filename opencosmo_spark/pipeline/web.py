@@ -319,10 +319,145 @@ def html_to_text(col: Column | str) -> Column:
     return F.trim(c)
 
 
+_BLOCK_TAGS = frozenset(
+    "p div br li ul ol tr td table h1 h2 h3 h4 h5 h6 blockquote "
+    "section article header footer nav aside form pre dl dd dt "
+    "figure figcaption main body".split()
+)
+_SKIP_TAGS = frozenset("script style noscript svg template iframe".split())
+
+
+def _html_blocks(html: str) -> list[tuple[str, int, int]]:
+    """Parse HTML into text BLOCKS with link-word accounting:
+    [(block_text, n_words, n_link_words)] in document order. Stdlib
+    ``html.parser`` (tolerant of malformed markup), script/style/svg
+    subtree content skipped, entities decoded by the parser."""
+    from html.parser import HTMLParser
+
+    blocks: list[tuple[str, int, int]] = []
+
+    class P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.skip = 0
+            self.a_depth = 0
+            self.parts: list[str] = []
+            self.words = 0
+            self.link_words = 0
+
+        def _flush(self):
+            text = " ".join("".join(self.parts).split())
+            if text:
+                blocks.append((text, self.words, self.link_words))
+            self.parts = []
+            self.words = 0
+            self.link_words = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _SKIP_TAGS:
+                self.skip += 1
+            elif tag == "a":
+                self.a_depth += 1
+            elif tag in _BLOCK_TAGS:
+                self._flush()
+
+        def handle_endtag(self, tag):
+            if tag in _SKIP_TAGS:
+                self.skip = max(0, self.skip - 1)
+            elif tag == "a":
+                self.a_depth = max(0, self.a_depth - 1)
+            elif tag in _BLOCK_TAGS:
+                self._flush()
+
+        def handle_data(self, data):
+            if self.skip or not data:
+                return
+            n = len(data.split())
+            self.words += n
+            if self.a_depth:
+                self.link_words += n
+            self.parts.append(data)
+
+    p = P()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:  # noqa: BLE001 — parser must be total on crawls
+        pass
+    p._flush()
+    return blocks
+
+
+def html_main_text(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "main_text",
+    min_words: int = 10,
+    max_link_density: float = 0.33,
+) -> DataFrame:
+    """MAIN-CONTENT extraction — the boilerplate-block classifier the
+    modern crawl recipes (RefinedWeb §3.2, FineWeb) credit over raw
+    tag-stripping: navigation menus, sidebars, footers and "related
+    links" boxes are short and link-dense, article prose is long and
+    link-sparse (the shallow-text-features result of Kohlschütter et
+    al. 2010, boilerpipe).
+
+    Per block (stdlib ``html.parser``; script/style subtrees skipped;
+    ``<a>``-nested words counted separately): a block is CONTENT when
+    it has >= ``min_words`` words and link density (link words /
+    words) <= ``max_link_density``. One smoothing pass then rescues
+    short low-link-density blocks ADJACENT to a content block
+    (headings, single-sentence paragraphs — boilerpipe's either-neighbor
+    rule). ``out_col`` is the kept blocks joined by newlines; pages
+    with no content block yield the empty string (the quality gate's
+    job to drop).
+
+    Arrow-batched ``mapInPandas`` — raw HTML never shuffles, the
+    parser is row-local, and the output column is exactly what
+    ``curate_corpus`` wants as ``text``. For C4-style recipes that
+    want ALL text (WET posture) use ``html_to_text``; this operator
+    is the higher-precision alternative."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
+    mw = int(min_words)
+    mld = float(max_link_density)
+
+    def extract(html: str | None) -> str:
+        bl = _html_blocks(html or "")
+        if not bl:
+            return ""
+        content = [
+            w >= mw and (lw / w if w else 1.0) <= mld
+            for _t, w, lw in bl
+        ]
+        # neighbor rescue: short clean blocks between content blocks
+        rescued = list(content)
+        for i, (_t, w, lw) in enumerate(bl):
+            if content[i] or w == 0:
+                continue
+            if (lw / w) > mld:
+                continue
+            prev_c = i > 0 and content[i - 1]
+            next_c = i + 1 < len(bl) and content[i + 1]
+            if prev_c or next_c:  # boilerpipe's rule: EITHER neighbor
+                rescued[i] = True
+        kept = [t for (t, _w, _lw), c in zip(bl, rescued) if c]
+        return "\n".join(kept)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = [extract(h) for h in pdf[html_col]]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def warc_to_documents(
     warc_df: DataFrame,
     min_status: int = 200,
     max_status: int = 299,
+    extract: str = "basic",
 ) -> DataFrame:
     """The ingestion composition: WARC records -> one document row per
     successful HTML/text response, ``(doc_id, url, fetch_date, text)``
@@ -339,8 +474,18 @@ def warc_to_documents(
     gate drop the rest. For charset-faithful decoding, parse the
     Content-Type charset parameter and decode in a ``mapInPandas``
     over the ``read_warc`` output.
+
+    ``extract``: ``"basic"`` (default) runs the WET-style
+    ``html_to_text`` regex chain — ALL page text, C4 posture;
+    ``"main"`` runs the boilerplate-block classifier
+    ``html_main_text`` — article prose only, the RefinedWeb/FineWeb
+    posture (navigation/sidebar/footer blocks dropped by link
+    density).
     """
     from .dedup import md5_lane
+
+    if extract not in ("basic", "main"):
+        raise ValueError(f"extract must be basic|main, got {extract!r}")
 
     is_resp = F.col("warc_type") == "response"
     status_ok = (
@@ -358,6 +503,26 @@ def warc_to_documents(
     )
     is_text = ctype.startswith("text/plain")
     raw = F.col("payload").cast("string")  # UTF-8, invalid bytes replaced
+    if extract == "main":
+        base = warc_df.filter(status_ok & (is_html | is_text)).select(
+            md5_lane(F.col("record_id")).alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.col("warc_date").alias("fetch_date"),
+            raw.alias("__html"),
+            is_html.alias("__is_html"),
+        )
+        extracted = html_main_text(base, "__html", "__main")
+        return (
+            extracted.select(
+                "doc_id",
+                "url",
+                "fetch_date",
+                F.when(F.col("__is_html"), F.col("__main"))
+                .otherwise(F.trim(F.col("__html")))
+                .alias("text"),
+            )
+            .filter(F.length("text") > 0)
+        )
     return (
         warc_df.filter(status_ok & (is_html | is_text))
         .select(

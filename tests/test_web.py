@@ -391,3 +391,86 @@ def test_url_host_fqdn_trailing_dot(spark):
     assert hosts == ["example.com", "h.example.com"]
     kept = url_filter(df, block_domains=["example.com"]).count()
     assert kept == 0  # both match despite dot / port / case
+
+
+ARTICLE_HTML = """<html><head><title>T</title>
+<script>var nav = "<p>fake</p>";</script>
+<style>.x{color:red}</style></head><body>
+<nav><ul>
+<li><a href="/">Home</a></li><li><a href="/about">About us</a></li>
+<li><a href="/contact">Contact</a></li><li><a href="/shop">Shop</a></li>
+</ul></nav>
+<div class="sidebar">
+<p><a href="/r1">Related story one</a> <a href="/r2">Related two</a>
+<a href="/r3">Related three</a></p>
+</div>
+<article>
+<h2>The actual headline</h2>
+<p>This is the first real paragraph of the article body with plenty of
+genuine prose words that a reader actually came to this page for, and
+it even cites <a href="/src">one source</a> inline without becoming a
+link farm.</p>
+<p>Second paragraph continues the long-form discussion with more
+sentences of substantive content so the word count stays comfortably
+above any threshold used by the classifier.</p>
+</article>
+<footer><p><a href="/tos">Terms</a> | <a href="/priv">Privacy</a> |
+Copyright 2024</p></footer>
+</body></html>"""
+
+
+def test_html_main_text_drops_boilerplate(spark):
+    """The boilerplate-block classifier: nav menus, link-farm
+    sidebars, and footers (short, link-dense) are dropped; article
+    prose (long, link-sparse) survives, including the heading rescued
+    by the neighbor rule; an inline citation does NOT disqualify a
+    long paragraph."""
+    from opencosmo_spark.pipeline import html_main_text
+
+    df = spark.createDataFrame([(0, ARTICLE_HTML)], ["i", "html"])
+    got = html_main_text(df).first()["main_text"]
+    assert "first real paragraph" in got
+    assert "Second paragraph continues" in got
+    assert "one source" in got          # inline link text kept
+    assert "Home" not in got            # nav gone
+    assert "Related story one" not in got  # sidebar gone
+    assert "Terms" not in got and "Privacy" not in got  # footer gone
+    assert "fake" not in got and "color:red" not in got
+    # headline is short but sandwiched next to content -> rescued
+    assert "The actual headline" in got
+
+    # totality: empty / None / garbage never raise, yield ""
+    edge = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "<<<>>> not html & junk")],
+        ["i", "html"],
+    )
+    vals = [r["main_text"] for r in html_main_text(edge).collect()]
+    assert all(isinstance(v, str) for v in vals)
+
+    # link-farm-only page -> empty string (the quality gate's job)
+    farm = "<body><p>" + " ".join(
+        f'<a href="/{i}">link {i}</a>' for i in range(30)
+    ) + "</p></body>"
+    assert html_main_text(
+        spark.createDataFrame([(0, farm)], ["i", "html"])
+    ).first()["main_text"] == ""
+
+
+def test_warc_to_documents_main_extraction(spark, tmp_path):
+    """extract='main' runs the block classifier on HTML responses and
+    passes WET plain text through untouched; extract mode validation
+    is loud."""
+    (tmp_path / "seg.warc").write_bytes(_archive())
+    basic = warc_to_documents(read_warc(spark, str(tmp_path))).toPandas()
+    main = warc_to_documents(
+        read_warc(spark, str(tmp_path)), extract="main"
+    ).toPandas()
+    # same documents survive (the fixture page is all prose), WET
+    # passthrough identical
+    assert set(main.url) <= set(basic.url)
+    wet = main.set_index("url").loc["http://example.com/wet", "text"]
+    assert wet == "Pre-extracted plain text.\nSecond line."
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="extract"):
+        warc_to_documents(read_warc(spark, str(tmp_path)), extract="x")
