@@ -316,6 +316,8 @@ def html_to_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"[ \t\x0b\f\r]+", " ")
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     c = F.regexp_replace(c, r"\n{2,}", "\n")
+    # F.trim strips spaces only — boundary newlines go here
+    c = F.regexp_replace(c, r"^\n+|\n+$", "")
     return F.trim(c)
 
 
@@ -453,11 +455,82 @@ def html_main_text(
     return df.mapInPandas(run, out_schema)
 
 
+def _sniff_charset(ctype: str | None, body: bytes) -> str:
+    """Charset resolution the way browsers do it: the Content-Type
+    ``charset=`` parameter wins; else a ``<meta charset>`` /
+    ``http-equiv`` sniff over the first 1024 bytes; else UTF-8. HTML5
+    aliasing applies (latin-1 is treated as windows-1252 — the spec's
+    rule, and what the bytes on real pages actually are); gb2312
+    widens to its gb18030 superset. Unknown labels fall back to
+    UTF-8."""
+    import codecs
+    import re as _re
+
+    enc = None
+    m = _re.search(r"charset\s*=\s*[\"']?([\w.:-]+)", ctype or "", _re.I)
+    if m:
+        enc = m.group(1)
+    else:
+        head = body[:1024].decode("ascii", "replace")
+        m = _re.search(
+            r"<meta[^>]+charset\s*=\s*[\"']?([\w.:-]+)", head, _re.I
+        )
+        if m:
+            enc = m.group(1)
+    if not enc:
+        return "utf-8"
+    enc = enc.strip().lower()
+    enc = {
+        "iso-8859-1": "cp1252",
+        "latin-1": "cp1252",
+        "latin1": "cp1252",
+        "us-ascii": "cp1252",
+        "gb2312": "gb18030",
+        "gbk": "gb18030",
+    }.get(enc, enc)
+    try:
+        codecs.lookup(enc)
+        return enc
+    except LookupError:
+        return "utf-8"
+
+
+def decode_payload_text(
+    df: DataFrame,
+    payload_col: str = "payload",
+    ctype_col: str = "http_content_type",
+    out_col: str = "text_raw",
+) -> DataFrame:
+    """Charset-FAITHFUL payload decoding (the deferred alternative to
+    the JVM UTF-8-with-replacement cast): per row, resolve the charset
+    from the Content-Type parameter or a ``<meta charset>`` sniff
+    (``_sniff_charset``) and decode with Python codecs,
+    ``errors="replace"``. Legacy-charset pages (windows-1252,
+    shift-jis, gb18030, ...) come out as real text instead of
+    replacement-riddled UTF-8 misreads. Arrow-batched mapInPandas;
+    payload bytes never shuffle."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for ct, body in zip(pdf[ctype_col], pdf[payload_col]):
+                b = bytes(body) if body is not None else b""
+                vals.append(b.decode(_sniff_charset(ct, b), "replace"))
+            pdf[out_col] = vals
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def warc_to_documents(
     warc_df: DataFrame,
     min_status: int = 200,
     max_status: int = 299,
     extract: str = "basic",
+    charset: str = "jvm",
 ) -> DataFrame:
     """The ingestion composition: WARC records -> one document row per
     successful HTML/text response, ``(doc_id, url, fetch_date, text)``
@@ -467,13 +540,14 @@ def warc_to_documents(
     are dropped; HTML goes through ``html_to_text``, ``text/plain``
     (WET conversions) passes through as-is.
 
-    Payload bytes decode as UTF-8 with replacement (the JVM string
-    cast): legacy-charset pages (latin-1, shift-jis, ...) arrive with
-    replacement characters rather than mojibake crashes — the C4
-    convention, which keeps UTF-8-clean text and lets the quality
-    gate drop the rest. For charset-faithful decoding, parse the
-    Content-Type charset parameter and decode in a ``mapInPandas``
-    over the ``read_warc`` output.
+    ``charset``: ``"jvm"`` (default) decodes payload bytes as UTF-8
+    with replacement (the JVM string cast) — legacy-charset pages
+    (latin-1, shift-jis, ...) arrive with replacement characters
+    rather than mojibake crashes, the C4 convention that lets the
+    quality gate drop the rest. ``"faithful"`` resolves the real
+    charset per row (Content-Type parameter or ``<meta charset>``
+    sniff, HTML5 aliasing — ``decode_payload_text``) so legacy pages
+    yield their actual text.
 
     ``extract``: ``"basic"`` (default) runs the WET-style
     ``html_to_text`` regex chain — ALL page text, C4 posture;
@@ -486,6 +560,12 @@ def warc_to_documents(
 
     if extract not in ("basic", "main"):
         raise ValueError(f"extract must be basic|main, got {extract!r}")
+    if charset not in ("jvm", "faithful"):
+        raise ValueError(f"charset must be jvm|faithful, got {charset!r}")
+    if charset == "faithful":
+        warc_df = decode_payload_text(
+            warc_df, "payload", "http_content_type", "__decoded"
+        )
 
     is_resp = F.col("warc_type") == "response"
     status_ok = (
@@ -502,7 +582,11 @@ def warc_to_documents(
         "application/xhtml"
     )
     is_text = ctype.startswith("text/plain")
-    raw = F.col("payload").cast("string")  # UTF-8, invalid bytes replaced
+    raw = (
+        F.col("__decoded")
+        if charset == "faithful"
+        else F.col("payload").cast("string")  # UTF-8, bytes replaced
+    )
     if extract == "main":
         base = warc_df.filter(status_ok & (is_html | is_text)).select(
             md5_lane(F.col("record_id")).alias("doc_id"),

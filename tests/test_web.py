@@ -474,3 +474,79 @@ def test_warc_to_documents_main_extraction(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="extract"):
         warc_to_documents(read_warc(spark, str(tmp_path)), extract="x")
+
+
+def test_charset_faithful_decoding(spark, tmp_path):
+    """charset='faithful': legacy-charset pages decode as their real
+    text (header param, or <meta charset> sniff, HTML5 latin-1 ->
+    cp1252 aliasing), where the default JVM cast shows replacement
+    characters; unknown labels fall back to UTF-8-replace."""
+    cafe_1252 = "<p>café — déjà vu</p>".encode("cp1252")
+    sjis_body = "<p>日本語</p>".encode("shift_jis")
+    meta_page = (
+        b'<html><head><meta charset="windows-1252"></head><body><p>'
+        + "naïve".encode("cp1252")
+        + b"</p></body></html>"
+    )
+    archive = (
+        _record(
+            b"response", b"1001", b"http://ex.com/latin",
+            _http(b"200 OK", b"text/html; charset=iso-8859-1", cafe_1252),
+        )
+        + _record(
+            b"response", b"1002", b"http://ex.com/sjis",
+            _http(b"200 OK", b"text/html; charset=Shift_JIS", sjis_body),
+        )
+        + _record(
+            b"response", b"1003", b"http://ex.com/meta",
+            _http(b"200 OK", b"text/html", meta_page),
+        )
+        + _record(
+            b"response", b"1004", b"http://ex.com/bogus",
+            _http(b"200 OK", b"text/html; charset=klingon-8", b"<p>ok</p>"),
+        )
+    )
+    (tmp_path / "cs.warc").write_bytes(archive)
+    recs = read_warc(spark, str(tmp_path))
+
+    faithful = warc_to_documents(recs, charset="faithful").toPandas()
+    by_url = faithful.set_index("url")["text"]
+    assert by_url["http://ex.com/latin"] == "café — déjà vu"
+    assert by_url["http://ex.com/sjis"] == "日本語"
+    assert by_url["http://ex.com/meta"] == "naïve"
+    assert by_url["http://ex.com/bogus"] == "ok"
+
+    # the default JVM cast mangles the legacy pages (that's the point)
+    jvm = warc_to_documents(recs).toPandas().set_index("url")["text"]
+    assert "café" not in jvm["http://ex.com/latin"]
+    assert "�" in jvm["http://ex.com/latin"]
+
+    # composes with main-content extraction
+    both = warc_to_documents(
+        recs, charset="faithful", extract="main"
+    ).toPandas()
+    assert set(both.url) <= set(faithful.url)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="charset"):
+        warc_to_documents(recs, charset="nope")
+
+
+def test_sniff_charset_unit():
+    from opencosmo_spark.pipeline.web import _sniff_charset
+
+    assert _sniff_charset("text/html; charset=UTF-8", b"") == "utf-8"
+    assert _sniff_charset("text/html; charset=latin-1", b"") == "cp1252"
+    assert _sniff_charset("text/html; charset=gb2312", b"") == "gb18030"
+    assert _sniff_charset(None, b'<meta charset="euc-jp">') == "euc-jp"
+    assert (
+        _sniff_charset(
+            None,
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=big5">',
+        )
+        == "big5"
+    )
+    assert _sniff_charset(None, b"no meta here") == "utf-8"
+    assert _sniff_charset("text/html; charset=not-a-codec", b"") == "utf-8"
