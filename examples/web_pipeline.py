@@ -87,6 +87,20 @@ def main():
     docs = warc_to_documents(warc)
     print("ingested docs:", docs.count())
 
+    # 1b. the higher-precision ingestion the modern recipes use:
+    #     charset='faithful' resolves each page's real encoding
+    #     (header param or <meta> sniff) instead of UTF-8-mangling
+    #     legacy pages; extract='main' runs the boilerplate-block
+    #     classifier (nav/sidebar/footer dropped by link density —
+    #     the RefinedWeb/FineWeb posture). Canonical URL keys then
+    #     collapse tracked/reordered variants for refetch dedup.
+    from opencosmo_spark.pipeline import canonical_url
+
+    main_docs = warc_to_documents(warc, charset="faithful", extract="main")
+    print("main-content docs:", main_docs.count())
+    n_canon = docs.select(canonical_url("url")).distinct().count()
+    print(f"canonical url keys: {n_canon}")
+
     # 2. URL gate + curation in one call (blocklist drops the spam
     #    host and every subdomain)
     curated, counts = curate_corpus(

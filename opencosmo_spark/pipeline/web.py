@@ -649,6 +649,58 @@ def url_host(col: Column | str) -> Column:
     )
 
 
+# query parameters that carry tracking state, never content identity —
+# the standard strip set for crawl URL canonicalization
+_TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "utm_id", "fbclid", "gclid", "dclid", "msclkid",
+    "mc_cid", "mc_eid", "igshid", "ref", "ref_src",
+)
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of a URL for refetch/duplicate detection — the
+    normalization every crawl dedup stage applies before keying
+    (RFC 3986 §6 syntax-based normalization plus the tracking-param
+    strip): lowercase scheme+host, drop the fragment, drop default
+    ports (``:80`` http / ``:443`` https), strip the host's trailing
+    dot, collapse an empty path to ``/``, remove tracking query
+    parameters (``utm_*``, click ids), SORT the surviving query
+    parameters (param order never changes the resource), and drop the
+    ``?`` entirely when nothing survives. Pure JVM —
+    ``try_parse_url`` + array expressions, no Python; NULL when the
+    value does not parse as an http(s) URL."""
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.try_parse_url(c, F.lit("PROTOCOL")))
+    host = url_host(c)
+    # HOST strips the port already via url_host; recover a NON-default
+    # explicit port from the authority
+    auth = F.try_parse_url(c, F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    default = F.when(scheme == "https", F.lit("443")).otherwise(F.lit("80"))
+    port_sfx = F.when(
+        (port != "") & (port != default), F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    path = F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.coalesce(F.try_parse_url(c, F.lit("QUERY")), F.lit(""))
+    drop = F.array(*[F.lit(p) for p in _TRACKING_PARAMS])
+    params = F.filter(
+        F.split(query, "&"),
+        lambda kv: (kv != "")
+        & ~F.array_contains(drop, F.lower(F.split(kv, "=")[0]))
+        & ~F.lower(kv).startswith("utm_"),
+    )
+    qnorm = F.array_join(F.array_sort(params), "&")
+    q_sfx = F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(
+        F.lit("")
+    )
+    out = F.concat(scheme, F.lit("://"), host, port_sfx, path, q_sfx)
+    return F.when(
+        scheme.isin("http", "https") & host.isNotNull(), out
+    )
+
+
 def url_suffixes(col: Column | str) -> Column:
     """Array of every dot-suffix of the URL's host, longest first:
     ``a.b.example.com -> [a.b.example.com, b.example.com, example.com,

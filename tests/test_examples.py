@@ -58,6 +58,8 @@ def test_web_pipeline_example_runs(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "ingested docs: 24" in out.stdout
+    assert "main-content docs:" in out.stdout
+    assert "canonical url keys:" in out.stdout
     assert "'url_gate': 16" in out.stdout
     assert "# Example web corpus" in out.stdout
     assert "top host:" in out.stdout

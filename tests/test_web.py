@@ -550,3 +550,44 @@ def test_sniff_charset_unit():
     )
     assert _sniff_charset(None, b"no meta here") == "utf-8"
     assert _sniff_charset("text/html; charset=not-a-codec", b"") == "utf-8"
+
+
+def test_canonical_url_normalization(spark):
+    """RFC 3986 syntax normalization + tracking-param strip, against
+    a hand-computed oracle; same-resource variants collapse to one
+    canonical key, different resources stay distinct."""
+    from opencosmo_spark.pipeline import canonical_url
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTP://Example.COM:80/a/b?x=1#frag", "http://example.com/a/b?x=1"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com.:8443/p", "https://example.com:8443/p"),
+        (
+            "https://ex.com/p?utm_source=tw&b=2&a=1&fbclid=XYZ",
+            "https://ex.com/p?a=1&b=2",
+        ),
+        ("https://ex.com/p?utm_campaign=x", "https://ex.com/p"),
+        ("https://ex.com/p?b=2&a=1", "https://ex.com/p?a=1&b=2"),
+        ("ftp://ex.com/file", None),          # non-http(s)
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"]
+    ).select("i", canonical_url("url").alias("c"))
+    got = {r["i"]: r["c"] for r in df.collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+    # dedup collapse: all tracked/reordered variants share one key
+    variants = [
+        "https://ex.com/p?a=1&b=2",
+        "https://EX.com/p?b=2&a=1",
+        "https://ex.com/p?a=1&utm_medium=mail&b=2#top",
+        "https://ex.com:443/p?a=1&b=2",
+    ]
+    vdf = spark.createDataFrame([(v,) for v in variants], ["url"])
+    assert (
+        vdf.select(canonical_url("url").alias("c")).distinct().count() == 1
+    )
