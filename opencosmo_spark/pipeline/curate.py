@@ -46,6 +46,7 @@ def curate_corpus(
     url_allow_domains=None,
     url_block_patterns=None,
     cap_per_domain: int | None = None,
+    url_canonical_dedup: bool = False,
     normalize_unicode: bool = False,
     gopher: bool | dict = False,
     gopher_rep: bool | dict = False,
@@ -108,6 +109,13 @@ def curate_corpus(
        per registered domain of ``url_col`` — the anti-domination
        rule (RefinedWeb/FineWeb). Deterministic smallest-lane
        survivors; one ranking window.
+    0b2. canonical-URL refetch dedup (``url_canonical_dedup=True``):
+       one survivor per ``canonical_url`` key — tracked / reordered /
+       default-port variants of one resource are refetches, not
+       content (the crawl-side twin of text dedup; runs before text
+       hashing so duplicate fetches never pay shingling).
+       Deterministic smallest-``id_col`` survivor; rows with a NULL
+       canonical key (unparseable URL) all survive.
     0c. unicode normalization (``normalize_unicode=True``): curly
        quotes/dashes/ellipsis folded to ASCII, zero-width and control
        characters removed — BEFORE hashing, so dedup keys never split
@@ -337,6 +345,25 @@ def curate_corpus(
                 "__cap_path_depth", "__cap_is_ip",
             ),
         )
+
+    if url_canonical_dedup:
+        if url_col not in out.columns:
+            raise ValueError(
+                f"url_canonical_dedup given but column {url_col!r} is "
+                f"not in the input"
+            )
+        from pyspark.sql import Window
+
+        from .web import canonical_url
+
+        keyed = out.withColumn("__canon", canonical_url(url_col))
+        w = Window.partitionBy("__canon").orderBy(id_col)
+        deduped = (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__canon").isNull() | (F.col("__rn") == 1))
+            .drop("__canon", "__rn")
+        )
+        out = mark("url_canonical_dedup", deduped)
 
     if normalize_unicode:
         from .clean import normalize_text

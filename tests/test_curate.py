@@ -438,3 +438,40 @@ def test_curate_publishes_tokenizer_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert again == {r["doc_id"]: list(r["input_ids"]) for r in rows}
+
+
+def test_curate_url_canonical_dedup(spark):
+    """Stage 0b2: tracked/reordered/default-port URL variants are
+    refetches of one resource — exactly one (smallest-id) survivor per
+    canonical key; unparseable URLs never collapse; the stage shows up
+    in the attrition counts; loud error without a url column."""
+    import pytest as _pytest
+
+    from opencosmo_spark.pipeline.curate import curate_corpus
+
+    base = "plenty of clean document words here for the quality gate "
+    docs = spark.createDataFrame(
+        [
+            (1, base + "a", "https://ex.com/p?a=1&b=2"),
+            (2, base + "b", "https://EX.com/p?b=2&a=1&utm_source=tw"),
+            (3, base + "c", "https://ex.com:443/p?a=1&b=2#frag"),
+            (4, base + "d", "https://ex.com/q"),
+            (5, base + "e", "not a url"),
+            (6, base + "f", "also not a url"),
+        ],
+        ["doc_id", "text", "url"],
+    )
+    out, counts = curate_corpus(
+        docs, min_quality=0.0, min_tokens=1, url_canonical_dedup=True,
+        jaccard_threshold=1.01,  # disable near-dedup: texts are similar
+    )
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # 1 survives its variant group {1,2,3}; 4 unique; 5,6 unparseable
+    assert ids == [1, 4, 5, 6]
+    assert counts["url_canonical_dedup"] == 4
+
+    with _pytest.raises(ValueError, match="url_canonical_dedup"):
+        curate_corpus(
+            docs.drop("url"), min_quality=0.0, min_tokens=1,
+            url_canonical_dedup=True,
+        )
