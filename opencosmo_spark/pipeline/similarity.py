@@ -1347,6 +1347,7 @@ def _ann_batch_pq(
     query_vec_col: str,
     prune: bool,
     exact_rerank: bool,
+    rerank_depth: int | None = None,
 ) -> DataFrame:
     """PQ-ADC scoring for the batch index-search path: each query row
     builds its m per-subspace distance TABLES (ksub floats each) once
@@ -1444,7 +1445,9 @@ def _ann_batch_pq(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col)
     )
-    depth = 4 * k if exact_rerank else k
+    depth = (rerank_depth or 4 * k) if exact_rerank else k
+    if exact_rerank and depth < k:
+        raise ValueError(f"rerank_depth {depth} < k {k}")
     top = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= depth
     )
@@ -1477,6 +1480,7 @@ def ann_index_search_batch(
     prune: bool = True,
     exact_rerank: bool = True,
     score: str = "auto",
+    rerank_depth: int | None = None,
 ) -> DataFrame:
     """Batch retrieval against a persisted ``write_ann_index``
     artifact — the build-once/query-MANY entry point that
@@ -1498,7 +1502,9 @@ def ann_index_search_batch(
     PQ codes, flat otherwise; ``"flat"`` forces exact cosine over the
     stored vectors even on a PQ index (exact verification at small
     scale — reads the full vector column); ``"adc"`` demands codes
-    and raises on a flat index.
+    and raises on a flat index. ``rerank_depth`` overrides the 4*k
+    ADC candidate depth fed to the exact rerank — the recall/IO knob
+    ``pq_rerank_depth_report`` measures.
 
     ``prune=True`` first computes the union of probed cells — one
     tiny job whose result is at most ``nlist`` integers on the driver
@@ -1527,6 +1533,7 @@ def ann_index_search_batch(
             query_vec_col,
             prune,
             exact_rerank,
+            rerank_depth,
         )
     if prune:
         cells = [
@@ -1557,6 +1564,78 @@ def ann_index_search_batch(
         cell_col="ivf_cell",
     )
     return out.withColumnRenamed("neg_rank", "rank")
+
+
+def pq_rerank_depth_report(
+    index: dict,
+    queries_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    depths: tuple[int, ...] = (10, 20, 40, 80),
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k vs ADC rerank depth for a PQ index — the second
+    tuning sweep the batch retriever needs (``ann_recall_report``
+    sweeps nprobe; this sweeps how many ADC candidates the exact
+    rerank re-scores). Ground truth is the same probed-cell retrieval
+    with ``score="flat"`` (exact cosine over everything the probe can
+    see), so the measured loss is PURELY quantization-ordering loss —
+    deeper rerank monotonically recovers it, and depth >= the probed
+    candidate count pins recall 1.0 exactly. Returns one row per
+    depth: ``(rerank_depth, n_queries, recall_at_k)``."""
+    from pyspark import StorageLevel
+
+    if not index.get("pq_codebooks"):
+        raise ValueError("pq_rerank_depth_report needs a PQ-encoded index")
+    truth = (
+        ann_index_search_batch(
+            index,
+            queries_df,
+            k=k,
+            nprobe=nprobe,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            score="flat",
+        )
+        .select(query_id_col, index["params"]["id_col"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        total = truth.count()
+        n_queries = queries_df.count()
+        rows = []
+        for d in depths:
+            got = ann_index_search_batch(
+                index,
+                queries_df,
+                k=k,
+                nprobe=nprobe,
+                query_id_col=query_id_col,
+                query_vec_col=query_vec_col,
+                rerank_depth=int(d),
+            )
+            hit = (
+                got.select(query_id_col, index["params"]["id_col"])
+                .join(
+                    truth,
+                    [query_id_col, index["params"]["id_col"]],
+                    "left_semi",
+                )
+                .count()
+            )
+            rows.append(
+                (
+                    int(d),
+                    int(n_queries),
+                    round(hit / total, 6) if total else 0.0,
+                )
+            )
+    finally:
+        truth.unpersist()
+    return queries_df.sparkSession.createDataFrame(
+        rows, "rerank_depth int, n_queries bigint, recall_at_k double"
+    )
 
 
 def append_to_ann_index(index_path: str, new_df: DataFrame) -> int:

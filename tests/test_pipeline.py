@@ -1798,3 +1798,44 @@ def test_ann_index_residual_pq(spark, tmp_path):
         for r in df.collect()
     )
     assert norm(got2) == norm(want)
+
+
+def test_pq_rerank_depth_report(spark, tmp_path):
+    """Recall@k vs ADC rerank depth over a PQ index: monotone
+    non-decreasing in depth, and a depth covering every probed
+    candidate pins recall exactly 1.0 (the ground truth is the same
+    probe with exact scoring, so only quantization ordering can lose
+    pairs); flat indexes refuse."""
+    from opencosmo_spark.pipeline.similarity import (
+        pq_rerank_depth_report,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = str(tmp_path / "ann_depth")
+    write_ann_index(
+        emb, p, nlist=8, ivf_iters=2, pq_m=4, pq_ksub=8, pq_iters=2,
+        pq_residual=True,
+    )
+    idx = read_ann_index(spark, p)
+    queries = emb.filter(F.col("vec_id") % 125 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rep = {
+        r["rerank_depth"]: r["recall_at_k"]
+        for r in pq_rerank_depth_report(
+            idx, queries, k=5, nprobe=3, depths=(5, 20, 500)
+        ).collect()
+    }
+    assert rep[5] <= rep[20] <= rep[500]
+    # 500 > any probed candidate count at sf0.001 -> exact ordering
+    assert rep[500] == 1.0
+    assert 0.0 < rep[5] <= 1.0
+
+    pf = str(tmp_path / "ann_depth_flat")
+    write_ann_index(emb, pf, nlist=8, ivf_iters=2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="PQ-encoded"):
+        pq_rerank_depth_report(read_ann_index(spark, pf), queries)
