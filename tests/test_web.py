@@ -591,3 +591,47 @@ def test_canonical_url_normalization(spark):
     assert (
         vdf.select(canonical_url("url").alias("c")).distinct().count() == 1
     )
+
+
+def test_warc_stream_main_and_faithful_compose(spark, tmp_path):
+    """The round-11 ingestion options are stateless, so they compose
+    with the WARC stream unchanged: extract='main' +
+    charset='faithful' on a stream equals the batch run row-for-row."""
+    from opencosmo_spark.pipeline.web import read_warc_stream
+    from opencosmo_spark.streaming.events import run_stream_to_memory
+
+    cafe = "<p>café article prose with plenty of words to keep the "
+    page = (cafe + "classifier happy and the block long enough</p>").encode(
+        "cp1252"
+    )
+    archive = _archive() + _record(
+        b"response", b"2001", b"http://ex.com/legacy",
+        _http(b"200 OK", b"text/html; charset=latin-1", page),
+    )
+    src = tmp_path / "crawl_m"
+    src.mkdir()
+    (src / "seg-00.warc").write_bytes(archive)
+
+    docs = warc_to_documents(
+        read_warc_stream(spark, str(src)),
+        extract="main",
+        charset="faithful",
+    )
+    assert docs.isStreaming
+    got = (
+        run_stream_to_memory(docs, "warc_docs_mf")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        warc_to_documents(
+            read_warc(spark, str(src)), extract="main", charset="faithful"
+        )
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert got[["url", "text"]].equals(want[["url", "text"]])
+    legacy = got.set_index("url")["text"]["http://ex.com/legacy"]
+    assert legacy.startswith("café article prose")
