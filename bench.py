@@ -203,7 +203,12 @@ def main():
     probes: dict[str, float] = {}
     errors: dict[str, str] = {}
     noise_suspect: list[str] = []
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        # malformed sf string ("1.2.3", "12.") — history lookup simply
+        # finds no matching rounds; never abort the bench run over it
+        sf_val = sf
     history = _history_medians(
         os.path.dirname(os.path.abspath(__file__)), sf=sf_val
     )

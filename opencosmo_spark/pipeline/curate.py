@@ -357,12 +357,17 @@ def curate_corpus(
         from .web import canonical_url
 
         keyed = out.withColumn("__canon", canonical_url(url_col))
+        # NULL-canonical rows (unparseable URLs) all survive by
+        # definition — route them around the window so they don't pile
+        # into one skewed NULL partition at crawl scale
+        parseable = keyed.filter(F.col("__canon").isNotNull())
+        unparseable = keyed.filter(F.col("__canon").isNull()).drop("__canon")
         w = Window.partitionBy("__canon").orderBy(id_col)
         deduped = (
-            keyed.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__canon").isNull() | (F.col("__rn") == 1))
+            parseable.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
             .drop("__canon", "__rn")
-        )
+        ).unionByName(unparseable)
         out = mark("url_canonical_dedup", deduped)
 
     if normalize_unicode:

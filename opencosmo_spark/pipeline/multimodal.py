@@ -668,6 +668,13 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                     cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
                     scan.append((cs, tds >> 4, tds & 15))
                 if not progressive:
+                    if len(scan) < len(frame[2]):
+                        # non-interleaved multi-scan baseline (one SOS
+                        # per component): this decoder handles only the
+                        # interleaved single-scan form — returning just
+                        # the first (Y) scan would silently yield a
+                        # grayscale image, so fall to the stub honestly
+                        return None
                     return _jpeg_scan(
                         data, p + 2 + seg_len, frame, scan, qt, huff,
                         restart_interval,

@@ -1445,7 +1445,11 @@ def _ann_batch_pq(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col)
     )
-    depth = (rerank_depth or 4 * k) if exact_rerank else k
+    depth = (
+        (4 * k if rerank_depth is None else rerank_depth)
+        if exact_rerank
+        else k
+    )
     if exact_rerank and depth < k:
         raise ValueError(f"rerank_depth {depth} < k {k}")
     top = scored.withColumn("rank", F.row_number().over(w)).filter(

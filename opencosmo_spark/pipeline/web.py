@@ -562,10 +562,6 @@ def warc_to_documents(
         raise ValueError(f"extract must be basic|main, got {extract!r}")
     if charset not in ("jvm", "faithful"):
         raise ValueError(f"charset must be jvm|faithful, got {charset!r}")
-    if charset == "faithful":
-        warc_df = decode_payload_text(
-            warc_df, "payload", "http_content_type", "__decoded"
-        )
 
     is_resp = F.col("warc_type") == "response"
     status_ok = (
@@ -582,13 +578,22 @@ def warc_to_documents(
         "application/xhtml"
     )
     is_text = ctype.startswith("text/plain")
+    # filter FIRST, decode second: binary payloads (images, redirects,
+    # non-2xx) must never reach the charset sniffer — at crawl scale
+    # that's most of the archive materialized as Python strings for
+    # nothing
+    kept = warc_df.filter(status_ok & (is_html | is_text))
+    if charset == "faithful":
+        kept = decode_payload_text(
+            kept, "payload", "http_content_type", "__decoded"
+        )
     raw = (
         F.col("__decoded")
         if charset == "faithful"
         else F.col("payload").cast("string")  # UTF-8, bytes replaced
     )
     if extract == "main":
-        base = warc_df.filter(status_ok & (is_html | is_text)).select(
+        base = kept.select(
             md5_lane(F.col("record_id")).alias("doc_id"),
             F.col("target_uri").alias("url"),
             F.col("warc_date").alias("fetch_date"),
@@ -608,7 +613,7 @@ def warc_to_documents(
             .filter(F.length("text") > 0)
         )
     return (
-        warc_df.filter(status_ok & (is_html | is_text))
+        kept
         .select(
             md5_lane(F.col("record_id")).alias("doc_id"),
             F.col("target_uri").alias("url"),

@@ -1839,3 +1839,26 @@ def test_pq_rerank_depth_report(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="PQ-encoded"):
         pq_rerank_depth_report(read_ann_index(spark, pf), queries)
+
+
+def test_ann_batch_rerank_depth_zero_rejected(spark, tmp_path):
+    """rerank_depth=0 is an invalid explicit depth (< k): it must hit
+    the depth validation, not silently fall back to the 4*k default
+    the way a truthiness test would."""
+    from opencosmo_spark.pipeline.similarity import (
+        ann_index_search_batch,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = str(tmp_path / "ann_depth0")
+    write_ann_index(
+        emb, p, nlist=4, ivf_iters=2, pq_m=4, pq_ksub=8, pq_iters=2,
+    )
+    idx = read_ann_index(spark, p)
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="rerank_depth"):
+        ann_index_search_batch(idx, queries, k=5, rerank_depth=0)
