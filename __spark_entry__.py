@@ -1287,10 +1287,15 @@ def q56_pack_chunks(spark, sf):
     # PRETRAINING concat-and-chunk through the REAL operator — token
     # ids are dummies (1..n; block boundaries depend only on lengths)
     # so the oracle mirrors the whole thing with window arithmetic.
-    # Lane rows: shard=-1 marker, doc_id=block_id, chunk_idx=#docs in
-    # the block, n_tokens=block fill, pack_id=first doc in the block
-    # (the spans' offset-0 entry — equals MIN(doc_id) because docs
-    # concatenate in id order)
+    # SHARDED scale form (r12): docs hash into 4 block shards and
+    # each shard concatenates/packs independently — the partitioned
+    # window the 100-TB path uses, not the single-reducer global
+    # sort. Lane rows: shard=-(bshard+1) marker (-1..-4, disjoint
+    # from the >=0 chunk lanes), doc_id=per-shard block_id,
+    # chunk_idx=#docs in the block, n_tokens=block fill,
+    # pack_id=first doc in the block (the spans' offset-0 entry —
+    # equals the shard's MIN(doc_id) in the block because docs
+    # concatenate in id order within each shard)
     from opencosmo_spark.pipeline.text import block_pack_ids, token_count
 
     ids_df = d.select(
@@ -1298,10 +1303,12 @@ def q56_pack_chunks(spark, sf):
         F.sequence(
             F.lit(1), token_count("text", "whitespace").cast("int")
         ).alias("input_ids"),
+    ).withColumn("bshard", F.pmod(F.col("doc_id"), F.lit(4)).cast("int"))
+    blocks = block_pack_ids(
+        ids_df, 256, shard_col="bshard", drop_last=False
     )
-    blocks = block_pack_ids(ids_df, 256, drop_last=False)
     lane = blocks.select(
-        F.lit(-1).cast("int").alias("shard"),
+        (-(F.col("bshard") + 1)).cast("int").alias("shard"),
         F.col("block_id").cast("long").alias("doc_id"),
         F.size("doc_spans").cast("long").alias("chunk_idx"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -2388,29 +2395,32 @@ def oracle_sql() -> dict[str, str]:
               FROM c
             )
             , bp AS (
-              -- block-packer lane mirror: doc start offsets in the
-              -- concatenated token stream (docs in id order)
-              SELECT doc_id, len(ws) AS n,
+              -- block-packer lane mirror, SHARDED: doc start offsets
+              -- in each shard's concatenated token stream (docs in
+              -- id order within shard = doc_id % 4)
+              SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS bshard,
+                     len(ws) AS n,
                      COALESCE(SUM(len(ws)) OVER (
+                       PARTITION BY doc_id % 4
                        ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING
                              AND 1 PRECEDING), 0) AS st
               FROM w
             ), bpx AS (
-              SELECT doc_id, n, st,
+              SELECT doc_id, bshard, n, st,
                      UNNEST(generate_series(
                        CAST(floor(st / 256.0) AS BIGINT),
                        CAST(floor((st + n - 1) / 256.0) AS BIGINT)
                      )) AS b
               FROM bp
             ), blk AS (
-              SELECT b,
+              SELECT bshard, b,
                      CAST(SUM(least(n, (b+1)*256 - st)
                               - greatest(0, b*256 - st)) AS BIGINT)
                        AS n_tokens,
                      CAST(COUNT(*) AS BIGINT) AS n_docs,
                      MIN(doc_id) AS first_doc
-              FROM bpx GROUP BY b
+              FROM bpx GROUP BY bshard, b
             )
             SELECT shard, doc_id, chunk_idx, n_tokens, chunk_text,
                    CAST(floor(
@@ -2421,7 +2431,7 @@ def oracle_sql() -> dict[str, str]:
                       - n_tokens) / 256.0) AS BIGINT) AS pack_id
             FROM t
             UNION ALL
-            SELECT CAST(-1 AS INTEGER) AS shard,
+            SELECT CAST(-(bshard + 1) AS INTEGER) AS shard,
                    b AS doc_id,
                    n_docs AS chunk_idx,
                    n_tokens,

@@ -1177,6 +1177,154 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
     return mono, rate
 
 
+# --- MPEG audio (mp3) frame-header metadata — NO PCM decode ---------
+# ISO/IEC 11172-3 frame-header layout (public spec). Walking the
+# frame chain gives duration/bitrate/rate/channels for both CBR and
+# VBR files without a codec library, which is all crawl-audio triage
+# (dedup by duration+digest, sampling, stats) needs; the PCM decode
+# itself stays honestly gated.
+
+# bitrate tables in kbps, indexed [version-group][layer][idx];
+# version-group 0 = MPEG1, 1 = MPEG2/2.5
+_MP3_BITRATES = {
+    (0, 1): (0, 32, 64, 96, 128, 160, 192, 224,
+             256, 288, 320, 352, 384, 416, 448),
+    (0, 2): (0, 32, 48, 56, 64, 80, 96, 112,
+             128, 160, 192, 224, 256, 320, 384),
+    (0, 3): (0, 32, 40, 48, 56, 64, 80, 96,
+             112, 128, 160, 192, 224, 256, 320),
+    (1, 1): (0, 32, 48, 56, 64, 80, 96, 112,
+             128, 144, 160, 176, 192, 224, 256),
+    (1, 2): (0, 8, 16, 24, 32, 40, 48, 56,
+             64, 80, 96, 112, 128, 144, 160),
+    (1, 3): (0, 8, 16, 24, 32, 40, 48, 56,
+             64, 80, 96, 112, 128, 144, 160),
+}
+# sample-rate tables by version bits (00=MPEG2.5, 10=MPEG2, 11=MPEG1)
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_parse_header(data: bytes, p: int):
+    """Parse one MPEG audio frame header at offset ``p``. Returns
+    ``(frame_bytes, samples_per_frame, sample_rate, channels)`` or
+    None if the 4 bytes are not a valid header."""
+    if p + 4 > len(data) or data[p] != 0xFF or (data[p + 1] & 0xE0) != 0xE0:
+        return None
+    ver_bits = (data[p + 1] >> 3) & 3  # 0=2.5, 1=resv, 2=MPEG2, 3=MPEG1
+    layer_bits = (data[p + 1] >> 1) & 3  # 0=resv, 1=III, 2=II, 3=I
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits  # 1, 2, 3
+    br_idx = (data[p + 2] >> 4) & 15
+    sr_idx = (data[p + 2] >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:  # free-format / invalid
+        return None
+    vgroup = 0 if ver_bits == 3 else 1
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
+    rate = _MP3_RATES[ver_bits][sr_idx]
+    padding = (data[p + 2] >> 1) & 1
+    channels = 1 if ((data[p + 3] >> 6) & 3) == 3 else 2
+    if layer == 1:
+        spf = 384
+        frame = (12 * bitrate // rate + padding) * 4
+    else:
+        # Layer III halves the frame at MPEG2/2.5 (576 samples)
+        spf = 1152 if (layer == 2 or vgroup == 0) else 576
+        frame = spf // 8 * bitrate // rate + padding
+    if frame < 4:
+        return None
+    return frame, spf, rate, channels, bitrate
+
+
+def _mp3_metadata(data: bytes) -> tuple[int, int, int, int, int] | None:
+    """Walk the MPEG audio frame chain: returns ``(sample_rate,
+    channels, n_frames, n_samples, bitrate_bps_avg)`` or None when the
+    payload is not MPEG audio. Requires >= 2 chained valid frames so a
+    random 0xFFEx byte pair can't false-sync; skips a leading ID3v2
+    tag (syncsafe size) and tolerates trailing junk / ID3v1 'TAG'."""
+    if data is None or len(data) < 8:
+        return None
+    p = 0
+    if data[:3] == b"ID3" and len(data) > 10:
+        size = (
+            (data[6] & 0x7F) << 21
+            | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7
+            | (data[9] & 0x7F)
+        )
+        p = 10 + size
+    first = _mp3_parse_header(data, p)
+    if first is None:
+        return None
+    n_frames = 0
+    n_samples = 0
+    bit_sum = 0
+    rate, channels = first[2], first[3]
+    while True:
+        got = _mp3_parse_header(data, p)
+        if got is None:
+            break
+        frame, spf, r, ch, br = got
+        if r != rate:  # rate can't change mid-stream in real files
+            break
+        n_frames += 1
+        n_samples += spf
+        bit_sum += br
+        p += frame
+        if p >= len(data):
+            break
+    if n_frames < 2:
+        return None
+    return rate, channels, n_frames, n_samples, bit_sum // n_frames
+
+
+# ---------------------------------------------------------------------------
+# Decode ladders — the single source of truth for which formats decode
+# with a REAL built-in codec. The decode loops iterate these tables and
+# the require_real_codec gate messages are generated from them, so the
+# gate text can never drift from actual coverage again (round-11 bug:
+# the hand-written message still claimed PNG/BMP/PNM-only after the
+# JPEG/GIF/16-bit-PNG decoders landed).
+# ---------------------------------------------------------------------------
+
+# (decoder column value, decode fn, human-readable coverage) in attempt
+# order. Each fn takes bytes and returns an (h, w, 3) uint8 array or
+# None to pass the payload down the ladder.
+_IMAGE_LADDER: tuple = (
+    ("png", _decode_png,
+     "PNG 8/16-bit incl. palette and Adam7 interlace"),
+    ("bmp", _decode_bmp, "uncompressed 24-bit BMP"),
+    ("pnm", _decode_pnm, "binary PGM/PPM"),
+    ("gif", _decode_gif, "GIF87a/89a first frame incl. interlaced"),
+    ("jpeg", _decode_jpeg,
+     "JPEG baseline sequential + progressive"),
+)
+
+# audio twin: fn returns (mono float array, rate) or None
+_AUDIO_LADDER: tuple = (
+    ("wav", _decode_wav,
+     "RIFF/WAVE PCM 8/16/24-bit, IEEE float, G.711 mu-law/A-law, "
+     "EXTENSIBLE"),
+)
+
+# metadata-only tier: real container parse, no PCM — the decoder
+# column gets the tier name so decoder_report separates it from both
+# real decodes and the digest stub
+_AUDIO_META_LADDER: tuple = (
+    ("mp3-meta", _mp3_metadata,
+     "MPEG audio (mp3) frame headers: duration/bitrate/sample-rate/"
+     "channels, no PCM"),
+)
+
+
+def _ladder_coverage(ladder) -> str:
+    return "; ".join(desc for _, _, desc in ladder)
+
+
 def decode_audio_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -1186,8 +1334,12 @@ def decode_audio_features(
     built-in pure-python RIFF/WAVE parser over the ACTUAL samples —
     PCM 8/16/24-bit, IEEE float, G.711 mu-law/A-law, EXTENSIBLE
     ('wav' — real rate/duration/RMS/zero-crossing/peak, no
-    dependency); else the deterministic digest fake ('stub-sha256').
-    The ``decoder`` column records which path each row took.
+    dependency); else the MPEG audio frame-header walk ('mp3-meta' —
+    REAL sample_rate/n_samples/duration from the frame chain, but
+    rms/zcr/peak stay NULL because signal stats need PCM; enough for
+    crawl-audio triage: dedup by duration+digest, sampling, stats);
+    else the deterministic digest fake ('stub-sha256'). The
+    ``decoder`` column records which path each row took.
 
     Appended columns: sample_rate (int), n_samples (long),
     audio_duration_ms (long), rms (double), zcr (double — fraction of
@@ -1199,7 +1351,9 @@ def decode_audio_features(
     if require_real_codec:
         raise NotImplementedError(
             "general audio decoding needs a codec library not installed "
-            "here (only RIFF/WAVE PCM/float/G.711 decodes without one)"
+            "here (formats that decode without one: "
+            f"{_ladder_coverage(_AUDIO_LADDER)}; metadata-only: "
+            f"{_ladder_coverage(_AUDIO_META_LADDER)})"
         )
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -1233,6 +1387,24 @@ def decode_audio_features(
                 float(zc / max(n - 1, 1)),
                 float(np.max(np.abs(m64))),
                 "wav",
+            )
+        try:
+            meta = _mp3_metadata(p)
+        except Exception:  # noqa: BLE001 - any dirty payload -> stub
+            meta = None
+        if meta is not None:
+            # metadata-only tier: real rate/duration from the frame
+            # chain, but signal stats need PCM — they stay NULL so a
+            # consumer can't mistake them for measurements
+            rate, _channels, _n_frames, n_samples, _bps = meta
+            return (
+                rate,
+                n_samples,
+                int(n_samples * 1000 / rate),
+                None,
+                None,
+                None,
+                "mp3-meta",
             )
         fake = _fake_decode(p or b"", 4)
         return (
@@ -1416,9 +1588,9 @@ def decode_image_features(
     """
     if require_real_codec and not _HAVE_PIL:
         raise NotImplementedError(
-            "image decoding requires PIL, which is not installed here "
-            "(only 8-bit PNG, uncompressed 24-bit BMP, and binary "
-            "PGM/PPM decode without it)"
+            "general image decoding requires PIL, which is not installed "
+            "here (formats that decode without it: "
+            f"{_ladder_coverage(_IMAGE_LADDER)})"
         )
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -1438,21 +1610,10 @@ def decode_image_features(
                 return _pixel_features(img, feature_dim).tolist(), "pil"
             except Exception:  # noqa: BLE001 - fall through the ladder
                 pass
-        arr = _decode_png(p)
-        if arr is not None:
-            return _pixel_features(arr, feature_dim).tolist(), "png"
-        arr = _decode_bmp(p)
-        if arr is not None:
-            return _pixel_features(arr, feature_dim).tolist(), "bmp"
-        arr = _decode_pnm(p)
-        if arr is not None:
-            return _pixel_features(arr, feature_dim).tolist(), "pnm"
-        arr = _decode_gif(p)
-        if arr is not None:
-            return _pixel_features(arr, feature_dim).tolist(), "gif"
-        arr = _decode_jpeg(p)
-        if arr is not None:
-            return _pixel_features(arr, feature_dim).tolist(), "jpeg"
+        for name, dec, _ in _IMAGE_LADDER:
+            arr = dec(p)
+            if arr is not None:
+                return _pixel_features(arr, feature_dim).tolist(), name
         return _fake_decode(p, feature_dim).tolist(), "stub-sha256"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1643,13 +1804,7 @@ def image_dhash(
                 return _dhash_bits(img, hash_size), "pil"
             except Exception:  # noqa: BLE001
                 pass
-        for dec, name in (
-            (_decode_png, "png"),
-            (_decode_bmp, "bmp"),
-            (_decode_pnm, "pnm"),
-            (_decode_gif, "gif"),
-            (_decode_jpeg, "jpeg"),
-        ):
+        for name, dec, _ in _IMAGE_LADDER:
             arr = dec(p)
             if arr is not None:
                 return _dhash_bits(arr, hash_size), name

@@ -1685,3 +1685,71 @@ def append_to_ann_index(index_path: str, new_df: DataFrame) -> int:
     finally:
         stamped.unpersist()
     return n
+
+
+def compact_ann_index(
+    spark, index_path: str, updates_dir: str | None = None
+) -> int:
+    """Fold ``streaming.ann_index_stream``'s per-batch increments into
+    the base PARTITIONED-BY-cell index layout, bounding the file count
+    a long-running ingest would otherwise grow without limit. Nothing
+    is re-stamped — cells and PQ codes were assigned with the index's
+    own quantizers at ingest — the increments are just repartitioned
+    by cell (one compacted file per cell instead of one per
+    batch x cell) and appended into the base cell directories.
+
+    Crash-safe exactly-once, in the same spirit as the stream's
+    dynamic-overwrite idiom: the whole updates dir is first RENAMED to
+    a ``<updates_dir>.compacting`` staging name (one atomic metadata
+    op — a concurrent micro-batch commits either before the rename,
+    and is compacted, or after, recreating a fresh updates dir for the
+    next cycle), the fold writes a ``_folded`` marker inside staging
+    when the append commits, and only then is staging deleted. A
+    re-run after a crash at ANY point resumes: staging present without
+    the marker -> fold again (the append never committed — Spark's
+    file committer is all-or-nothing per job); marker present -> just
+    delete. Default ``updates_dir`` is ``<index_path>_updates``.
+
+    Run at stream quiesce points (between ``ann_index_stream`` runs or
+    after stop): compacting a batch the stopped stream would RETRY on
+    restart would double it, exactly as for any at-least-once sink.
+    Returns the number of rows folded into the base (0 when there was
+    nothing to compact)."""
+    from ..io.ingest import hadoop_fs
+
+    updates_dir = updates_dir or index_path.rstrip("/") + "_updates"
+    _, fs, upath = hadoop_fs(spark, updates_dir)
+    staging = updates_dir.rstrip("/") + ".compacting"
+    _, _, spath = hadoop_fs(spark, staging)
+    _, _, mpath = hadoop_fs(spark, staging + "/_folded")
+    if not fs.exists(spath):
+        if not fs.exists(upath):
+            return 0
+        fs.rename(upath, spath)
+    n = 0
+    if not fs.exists(mpath):
+        try:
+            inc = spark.read.parquet(staging)
+        except Exception as exc:  # empty dir: no parquet to infer from
+            if "infer" not in str(exc).lower():
+                raise
+            inc = None
+        if inc is not None:
+            from pyspark import StorageLevel
+
+            folded = (
+                inc.drop("batch_id")
+                .repartition("ivf_cell")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            try:
+                n = folded.count()
+                if n:
+                    folded.write.partitionBy("ivf_cell").mode(
+                        "append"
+                    ).parquet(index_path)
+            finally:
+                folded.unpersist()
+        fs.create(mpath, True).close()
+    fs.delete(spath, True)
+    return n

@@ -2316,3 +2316,121 @@ def test_decode_wav_g711_float_and_24bit():
 
     # unsupported codes still refuse
     assert _decode_wav(_wav_raw(raw16, 2, 8000, 16)) is None  # ADPCM
+
+
+def test_codec_gate_messages_derive_from_ladder(spark):
+    """The require_real_codec gate text is generated from the SAME
+    ladder tables the decode loops iterate — every format the ladder
+    really decodes must be named in the gate message (round-11 drift
+    bug: the hand-written message underclaimed coverage after the
+    JPEG/GIF/16-bit-PNG decoders landed)."""
+    from opencosmo_spark.pipeline.multimodal import (
+        _AUDIO_LADDER,
+        _IMAGE_LADDER,
+        decode_audio_features,
+        decode_image_features,
+    )
+
+    df = spark.createDataFrame([(b"x",)], "payload binary")
+    with pytest.raises(NotImplementedError) as ei:
+        decode_image_features(df, require_real_codec=True)
+    for _, _, desc in _IMAGE_LADDER:
+        assert desc in str(ei.value), desc
+    with pytest.raises(NotImplementedError) as ea:
+        decode_audio_features(df, require_real_codec=True)
+    for _, _, desc in _AUDIO_LADDER:
+        assert desc in str(ea.value), desc
+    # the ladder is the one the decode loop consumes: every entry is
+    # (name, callable, description)
+    for name, fn, desc in _IMAGE_LADDER + _AUDIO_LADDER:
+        assert callable(fn) and isinstance(name, str) and desc
+
+
+def _mp3_fixture(
+    n_frames=10, ver_bits=3, layer_bits=1, br_idx=9, sr_idx=0,
+    mono=True, id3=False,
+):
+    """Hand-built MPEG audio stream: n_frames valid frame headers with
+    zeroed payloads. Defaults: MPEG1 Layer III, 128 kbps, 44100 Hz
+    (br_idx 9 in the L3 table), the commonest crawl mp3 shape."""
+    hdr0 = 0xFF
+    hdr1 = 0xE0 | (ver_bits << 3) | (layer_bits << 1)
+    hdr2 = (br_idx << 4) | (sr_idx << 2)  # padding 0
+    hdr3 = 0xC0 if mono else 0x00
+    from opencosmo_spark.pipeline.multimodal import _mp3_parse_header
+
+    probe = bytes([hdr0, hdr1, hdr2, hdr3])
+    frame_bytes = _mp3_parse_header(probe + b"\x00" * 4, 0)[0]
+    frame = probe + b"\x00" * (frame_bytes - 4)
+    out = frame * n_frames
+    if id3:
+        body = b"\x00" * 200  # 200-byte tag body, syncsafe size
+        out = b"ID3\x04\x00\x00" + bytes([0, 0, 200 >> 7, 200 & 0x7F]) + body + out
+    return out
+
+
+def test_mp3_metadata_frame_walk():
+    """Known-duration differential: N frames of MPEG1 Layer III at
+    44100 Hz are exactly N*1152 samples; MPEG2 Layer III halves the
+    frame to 576; ID3v2 tags are skipped; junk and single-frame false
+    syncs are rejected."""
+    from opencosmo_spark.pipeline.multimodal import _mp3_metadata
+
+    rate, ch, nf, ns, bps = _mp3_metadata(_mp3_fixture(10))
+    assert (rate, ch, nf, ns) == (44100, 1, 10, 10 * 1152)
+    assert bps == 128_000
+
+    # stereo MPEG2 Layer III @ 22050: 576 samples per frame
+    rate, ch, nf, ns, bps = _mp3_metadata(
+        _mp3_fixture(7, ver_bits=2, sr_idx=0, br_idx=8, mono=False)
+    )
+    assert (rate, ch, nf, ns) == (22050, 2, 7, 7 * 576)
+
+    # Layer I: 384 samples per frame, 4-byte-slot frames
+    rate, ch, nf, ns, bps = _mp3_metadata(
+        _mp3_fixture(5, layer_bits=3, br_idx=9)
+    )
+    assert (rate, ch, nf, ns) == (44100, 1, 5, 5 * 384)
+
+    # ID3v2 tag is skipped
+    rate, ch, nf, ns, bps = _mp3_metadata(_mp3_fixture(10, id3=True))
+    assert (nf, ns) == (10, 10 * 1152)
+
+    # rejections: junk, truncation to one frame, WAV bytes
+    assert _mp3_metadata(b"not audio at all" * 10) is None
+    one = _mp3_fixture(1)
+    assert _mp3_metadata(one) is None  # single frame: false-sync guard
+    assert _mp3_metadata(None) is None
+
+
+def test_decode_audio_features_mp3_meta_tier(spark):
+    """mp3 payloads land in the metadata-only tier: real
+    rate/duration from the frame chain, NULL signal stats, decoder
+    'mp3-meta' — decoder_report then separates them from real decodes
+    and stubs."""
+    import pandas as pd
+
+    from opencosmo_spark.pipeline.multimodal import (
+        decode_audio_features,
+        decoder_report,
+    )
+
+    payload = _mp3_fixture(20)
+    df = spark.createDataFrame(
+        [("a", "audio/mpeg", payload), ("b", "audio/mpeg", b"junkjunk")],
+        "media_id string, mime string, payload binary",
+    )
+    out = decode_audio_features(df).toPandas().set_index("media_id")
+    a = out.loc["a"]
+    assert a.decoder == "mp3-meta"
+    assert a.sample_rate == 44100
+    assert a.n_samples == 20 * 1152
+    assert a.audio_duration_ms == int(20 * 1152 * 1000 / 44100)
+    assert pd.isna(a.rms) and pd.isna(a.zcr) and pd.isna(a.peak)
+    assert out.loc["b"].decoder == "stub-sha256"
+
+    rep = decoder_report(
+        decode_audio_features(df), mime_col="mime"
+    ).toPandas()
+    tiers = set(rep.decoder)
+    assert tiers == {"mp3-meta", "stub-sha256"}

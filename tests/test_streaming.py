@@ -898,6 +898,43 @@ def test_ann_index_stream_matches_batch_stamping(spark, tmp_path):
         "df"
     ].count()
 
+    # 6) compaction folds the per-batch increments into the base
+    # cell layout: search results identical to the merged read, the
+    # updates dir is gone, no batch x cell file sprawl remains (one
+    # compacted file per touched cell), and a re-run is a no-op
+    from opencosmo_spark.pipeline.similarity import compact_ann_index
+
+    # snapshot the merged-read rows BEFORE compaction moves the files
+    merged_rows = norm(merged["df"].select("vec_id", "ivf_cell", "pq_codes"))
+    n_folded = compact_ann_index(spark, idx_path, ups_dir)
+    assert n_folded == new.count()
+    import os
+
+    assert not os.path.exists(ups_dir)
+    assert not os.path.exists(ups_dir + ".compacting")
+    compacted = read_ann_index(spark, idx_path)
+    got2 = (
+        ann_index_search_batch(compacted, queries, k=6, nprobe=4, score="flat")
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert list(got2.vec_id) == list(got.vec_id)
+    np.testing.assert_allclose(got2.cos_sim, got.cos_sim, atol=1e-12)
+    assert norm(
+        compacted["df"].select("vec_id", "ivf_cell", "pq_codes")
+    ) == merged_rows
+    # file count bounded: each touched cell gained at most ONE
+    # compacted file (the increments were one file per batch x cell)
+    for cell_dir in os.listdir(idx_path):
+        if cell_dir.startswith("ivf_cell="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(idx_path, cell_dir))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) <= 2, (cell_dir, files)
+    assert compact_ann_index(spark, idx_path, ups_dir) == 0
+
 
 def test_block_pack_stream_matches_batch(spark, tmp_path):
     """Streaming concat-and-chunk: blocks across all micro-batches
