@@ -1282,6 +1282,16 @@ def _mp3_metadata(data: bytes) -> tuple[int, int, int, int, int] | None:
     return rate, channels, n_frames, n_samples, bit_sum // n_frames
 
 
+def _decode_webp_safe(data: bytes) -> np.ndarray | None:
+    """Ladder wrapper for the VP8L lossless-WebP decoder
+    (``pipeline/vp8l.py`` — see its module docstring for the feature
+    set and differential-testing strategy). Lossy VP8 returns None
+    and falls to the stub, counted by ``decoder_report``."""
+    from .vp8l import decode_webp
+
+    return decode_webp(data)
+
+
 # ---------------------------------------------------------------------------
 # Decode ladders — the single source of truth for which formats decode
 # with a REAL built-in codec. The decode loops iterate these tables and
@@ -1302,6 +1312,9 @@ _IMAGE_LADDER: tuple = (
     ("gif", _decode_gif, "GIF87a/89a first frame incl. interlaced"),
     ("jpeg", _decode_jpeg,
      "JPEG baseline sequential + progressive"),
+    ("webp", _decode_webp_safe,
+     "WebP lossless (VP8L: prefix codes, LZ77, color cache, all four "
+     "transforms; lossy VP8 gated)"),
 )
 
 # audio twin: fn returns (mono float array, rate) or None
