@@ -632,6 +632,12 @@ def ann_index_stream(
     wiring — the never-retrain posture made explicit) and each batch
     is independent. Rebuild with ``write_ann_index`` when drift
     degrades cell balance, exactly as for batch appends.
+
+    A long-running ingest accumulates one file per (batch, cell);
+    fold them into the base cell layout with
+    ``similarity.compact_ann_index(spark, index_path, updates_dir)``
+    at stream quiesce points (crash-safe exactly-once; see its
+    docstring).
     """
     from ..pipeline.similarity import (
         assign_ivf_cells,
