@@ -1282,6 +1282,73 @@ def _mp3_metadata(data: bytes) -> tuple[int, int, int, int, int] | None:
     return rate, channels, n_frames, n_samples, bit_sum // n_frames
 
 
+def _mp3_meta_uniform(data: bytes):
+    got = _mp3_metadata(data)
+    if got is None:
+        return None
+    rate, channels, _n_frames, n_samples, _bps = got
+    return rate, channels, n_samples
+
+
+def _flac_metadata(data: bytes):
+    """FLAC STREAMINFO parse (the mandatory first metadata block of
+    the public FLAC format): ``(sample_rate, channels, n_samples)``
+    without decoding any audio frames."""
+    if data is None or len(data) < 42 or data[:4] != b"fLaC":
+        return None
+    p = 4
+    while p + 4 <= len(data):
+        hdr = data[p]
+        size = int.from_bytes(data[p + 1 : p + 4], "big")
+        if (hdr & 0x7F) == 0:  # STREAMINFO
+            block = data[p + 4 : p + 4 + size]
+            if len(block) < 18:
+                return None
+            v = int.from_bytes(block[10:18], "big")
+            rate = v >> 44
+            channels = ((v >> 41) & 7) + 1
+            total = v & ((1 << 36) - 1)
+            if rate == 0:
+                return None
+            return rate, channels, total
+        if hdr & 0x80:  # last-block flag and no STREAMINFO seen
+            return None
+        p += 4 + size
+    return None
+
+
+def _ogg_metadata(data: bytes):
+    """Ogg container parse (RFC 3533 pages) for Vorbis and Opus
+    streams: sample rate and channels from the identification packet
+    on the first page, duration from the LAST page's granule position
+    (PCM sample count for Vorbis; 48 kHz ticks minus pre-skip for
+    Opus). No audio decode."""
+    if data is None or len(data) < 58 or data[:4] != b"OggS":
+        return None
+    nseg = data[26]
+    body = data[27 + nseg :]
+    if body.startswith(b"\x01vorbis") and len(body) >= 16:
+        channels = body[11]
+        rate = int.from_bytes(body[12:16], "little")
+        pre_skip = 0
+    elif body.startswith(b"OpusHead") and len(body) >= 12:
+        channels = body[9]
+        pre_skip = int.from_bytes(body[10:12], "little")
+        rate = 48000  # Opus always decodes at 48 kHz
+    else:
+        return None
+    if rate == 0 or channels == 0:
+        return None
+    last = data.rfind(b"OggS")
+    if last < 0 or last + 14 > len(data):
+        return None
+    granule = int.from_bytes(data[last + 6 : last + 14], "little")
+    if granule >= (1 << 62):  # -1 marker / corrupt
+        return None
+    n_samples = max(0, granule - pre_skip)
+    return rate, channels, n_samples
+
+
 def _decode_webp_safe(data: bytes) -> np.ndarray | None:
     """Ladder wrapper for the VP8L lossless-WebP decoder
     (``pipeline/vp8l.py`` — see its module docstring for the feature
@@ -1324,13 +1391,19 @@ _AUDIO_LADDER: tuple = (
      "EXTENSIBLE"),
 )
 
-# metadata-only tier: real container parse, no PCM — the decoder
-# column gets the tier name so decoder_report separates it from both
-# real decodes and the digest stub
+# metadata-only tier: real container parse, no PCM — each fn returns
+# (sample_rate, channels, n_samples) or None; the decoder column gets
+# the tier name so decoder_report separates it from both real decodes
+# and the digest stub
 _AUDIO_META_LADDER: tuple = (
-    ("mp3-meta", _mp3_metadata,
+    ("mp3-meta", _mp3_meta_uniform,
      "MPEG audio (mp3) frame headers: duration/bitrate/sample-rate/"
      "channels, no PCM"),
+    ("flac-meta", _flac_metadata,
+     "FLAC STREAMINFO: sample-rate/channels/total-samples, no PCM"),
+    ("ogg-meta", _ogg_metadata,
+     "Ogg Vorbis/Opus pages: rate/channels from the ident packet, "
+     "duration from the last granule, no PCM"),
 )
 
 
@@ -1347,12 +1420,14 @@ def decode_audio_features(
     built-in pure-python RIFF/WAVE parser over the ACTUAL samples —
     PCM 8/16/24-bit, IEEE float, G.711 mu-law/A-law, EXTENSIBLE
     ('wav' — real rate/duration/RMS/zero-crossing/peak, no
-    dependency); else the MPEG audio frame-header walk ('mp3-meta' —
-    REAL sample_rate/n_samples/duration from the frame chain, but
-    rms/zcr/peak stay NULL because signal stats need PCM; enough for
-    crawl-audio triage: dedup by duration+digest, sampling, stats);
-    else the deterministic digest fake ('stub-sha256'). The
-    ``decoder`` column records which path each row took.
+    dependency); else the METADATA tiers — mp3 frame-header walk
+    ('mp3-meta'), FLAC STREAMINFO ('flac-meta'), Ogg Vorbis/Opus page
+    parse ('ogg-meta') — REAL sample_rate/n_samples/duration from the
+    container, but rms/zcr/peak stay NULL because signal stats need
+    PCM; enough for crawl-audio triage: dedup by duration+digest,
+    sampling, stats; else the deterministic digest fake
+    ('stub-sha256'). The ``decoder`` column records which path each
+    row took.
 
     Appended columns: sample_rate (int), n_samples (long),
     audio_duration_ms (long), rms (double), zcr (double — fraction of
@@ -1401,24 +1476,26 @@ def decode_audio_features(
                 float(np.max(np.abs(m64))),
                 "wav",
             )
-        try:
-            meta = _mp3_metadata(p)
-        except Exception:  # noqa: BLE001 - any dirty payload -> stub
-            meta = None
-        if meta is not None:
-            # metadata-only tier: real rate/duration from the frame
-            # chain, but signal stats need PCM — they stay NULL so a
-            # consumer can't mistake them for measurements
-            rate, _channels, _n_frames, n_samples, _bps = meta
-            return (
-                rate,
-                n_samples,
-                int(n_samples * 1000 / rate),
-                None,
-                None,
-                None,
-                "mp3-meta",
-            )
+        for tier, meta_fn, _ in _AUDIO_META_LADDER:
+            try:
+                meta = meta_fn(p)
+            except Exception:  # noqa: BLE001 - dirty payload -> next
+                meta = None
+            if meta is not None:
+                # metadata-only tier: real rate/duration from the
+                # container, but signal stats need PCM — they stay
+                # NULL so a consumer can't mistake them for
+                # measurements
+                rate, _channels, n_samples = meta
+                return (
+                    rate,
+                    n_samples,
+                    int(n_samples * 1000 / rate),
+                    None,
+                    None,
+                    None,
+                    tier,
+                )
         fake = _fake_decode(p or b"", 4)
         return (
             0,

@@ -8,15 +8,18 @@ pass, payload bytes never shuffle, and downstream (quality gates,
 dedup, decontamination) is ordinary column work on the result.
 
 The extractor itself is a pure-python pass over the public PDF format
-(ISO 32000 / the classic PDF 1.x layout): object scan, zlib
-FlateDecode of content streams, page-tree walk for page order, and a
-content-stream tokenizer over the text operators (``BT/ET``, ``Tj``,
-``TJ``, ``'``, ``"``, ``Td/TD/T*/Tm``) with layout-order line
-assembly. Escapes in literal strings and hex strings are decoded per
-spec; bytes map through latin-1 (exact for the standard simple-font
-encodings on fixtures and most western PDFs; embedded CID fonts with
-``/Identity-H`` CMaps would need the font's ToUnicode table — out of
-scope, counted honestly).
+(ISO 32000 / the classic PDF 1.x layout): object scan with PDF 1.5+
+object-stream (``/ObjStm``) expansion, zlib FlateDecode of content
+streams, page-tree walk for page order, and a content-stream
+tokenizer over the text operators (``BT/ET``, ``Tj``, ``TJ``, ``'``,
+``"``, ``Td/TD/T*/Tm``, ``Tf``) with layout-order line assembly.
+Escapes in literal strings and hex strings are decoded per spec.
+Simple-font strings map through latin-1 (exact for the standard
+encodings); CID-keyed fonts (LaTeX/Word embedded subsets, Identity-H)
+resolve through their ``/ToUnicode`` CMap — ``bfchar``, both
+``bfrange`` forms, 1- and 2-byte codespaces — with ``Tf`` switching
+the active map; unmapped glyph codes surface as U+FFFD rather than
+silent garbage.
 
 The ``extractor`` column is the honest per-file ledger (the
 ``decoder_report`` idiom from ``multimodal``):
@@ -54,8 +57,16 @@ def _find_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     ``{obj_num: (body_before_stream, raw_stream_bytes_or_None)}``.
     A linear scan instead of the xref table: xref offsets are wrong
     in incrementally-updated / mildly corrupt files far more often
-    than the obj/endobj framing is, and the scan is one pass."""
+    than the obj/endobj framing is, and the scan is one pass.
+
+    PDF 1.5+ object streams (``/Type /ObjStm``) are expanded: their
+    FlateDecode payload holds ``N`` non-stream objects (catalog, page
+    tree, pages — exactly the dictionaries the page walk needs) behind
+    an ``(obj_num, offset)`` header table; each contained object joins
+    the map unless a top-level object with the same number exists
+    (incremental updates append replacements at top level)."""
     objects: dict[int, tuple[bytes, bytes | None]] = {}
+    objstms: list[tuple[bytes, bytes]] = []
     for m in _OBJ_RE.finditer(data):
         start = m.end()
         end = data.find(b"endobj", start)
@@ -74,7 +85,39 @@ def _find_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
                 stream = rest[:se].rstrip(b"\r\n")
             body = head
         objects[int(m.group(1))] = (body, stream)
+        if stream is not None and re.search(rb"/Type\s*/ObjStm\b", body):
+            objstms.append((body, stream))
+    for head, stream in objstms:
+        for num, obody in _expand_objstm(head, stream):
+            objects.setdefault(num, (obody, None))
     return objects
+
+
+def _expand_objstm(head: bytes, stream: bytes):
+    """Yield ``(obj_num, body_bytes)`` for each object inside one
+    object stream. ``/N`` objects, ``/First`` = byte offset of the
+    first object body; the header section is N pairs of integers
+    ``obj_num offset`` (offset relative to First)."""
+    n_m = re.search(rb"/N\s+(\d+)", head)
+    f_m = re.search(rb"/First\s+(\d+)", head)
+    if n_m is None or f_m is None:
+        return
+    inflated = _inflate(head, stream)
+    if inflated is None:
+        return
+    n, first = int(n_m.group(1)), int(f_m.group(1))
+    header = inflated[:first].split()
+    if len(header) < 2 * n:
+        return
+    pairs = []
+    try:
+        for i in range(n):
+            pairs.append((int(header[2 * i]), int(header[2 * i + 1])))
+    except ValueError:
+        return
+    for i, (num, off) in enumerate(pairs):
+        end = pairs[i + 1][1] if i + 1 < len(pairs) else len(inflated) - first
+        yield num, inflated[first + off : first + end]
 
 
 def _inflate(head: bytes, stream: bytes) -> bytes | None:
@@ -154,8 +197,97 @@ def _page_content_streams(data: bytes, objects) -> list[bytes] | None:
             if inflated is not None:
                 page_parts.append(inflated)
         # per spec, split /Contents arrays concatenate into ONE stream
-        streams.append(b"\n".join(page_parts))
+        streams.append((b"\n".join(page_parts), _page_fonts(head, objects)))
     return streams
+
+
+def _utf16be_hex(hx: bytes) -> str:
+    try:
+        return bytes.fromhex(hx.decode("ascii")).decode(
+            "utf-16-be", "replace"
+        )
+    except ValueError:
+        return "�"
+
+
+def _parse_cmap(data: bytes) -> dict | None:
+    """Parse a /ToUnicode CMap stream into
+    ``{"len": code_bytes, "map": {font_code: unicode_str}}`` —
+    ``bfchar`` pairs, ``bfrange`` in both the incrementing and the
+    array destination forms, code width from the codespace range
+    (2 bytes when absent: the Identity-H convention)."""
+    code_len = 2
+    m = re.search(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", data)
+    if m:
+        code_len = max(1, len(m.group(1)) // 2)
+    mapping: dict[int, str] = {}
+    for blk in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for pm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", blk.group(1)
+        ):
+            mapping[int(pm.group(1), 16)] = _utf16be_hex(pm.group(2))
+    for blk in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for rm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(\[[^\]]*\]|<[0-9A-Fa-f]+>)",
+            blk.group(1),
+        ):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            if hi - lo > 0x10000:  # malformed range: refuse the blowup
+                continue
+            dst = rm.group(3)
+            if dst.startswith(b"["):
+                hexes = re.findall(rb"<([0-9A-Fa-f]+)>", dst)
+                for i, hx in enumerate(hexes):
+                    if lo + i <= hi:
+                        mapping[lo + i] = _utf16be_hex(hx)
+            else:
+                base_hex = dst.strip(b"<>")
+                width = len(base_hex) // 2
+                base = int(base_hex, 16)
+                for i in range(hi - lo + 1):
+                    try:
+                        raw = (base + i).to_bytes(width, "big")
+                    except OverflowError:
+                        break
+                    mapping[lo + i] = raw.decode("utf-16-be", "replace")
+    if not mapping:
+        return None
+    return {"len": code_len, "map": mapping}
+
+
+def _page_fonts(page_head: bytes, objects) -> dict[str, dict]:
+    """Resolve the page's /Resources /Font table to
+    ``{"/F1": cmap, ...}`` for the fonts that carry a /ToUnicode
+    CMap (CID-keyed fonts — LaTeX/Word embedded subsets — whose
+    shown strings are glyph ids, not character bytes). Simple fonts
+    without a CMap are absent: their strings pass through latin-1,
+    which is exact for the standard encodings."""
+    res = page_head
+    rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", page_head)
+    if rm and int(rm.group(1)) in objects:
+        res = objects[int(rm.group(1))][0]
+    fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
+    if fm is None:
+        return {}
+    fonts: dict[str, dict] = {}
+    for m in re.finditer(rb"/([^\s/<>]+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
+        fnum = int(m.group(2))
+        if fnum not in objects:
+            continue
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", objects[fnum][0])
+        if tm is None:
+            continue
+        tobj = objects.get(int(tm.group(1)))
+        if tobj is None or tobj[1] is None:
+            continue
+        raw = _inflate(tobj[0], tobj[1])
+        if raw is None:
+            continue
+        cmap = _parse_cmap(raw)
+        if cmap is not None:
+            fonts["/" + m.group(1).decode("latin-1")] = cmap
+    return fonts
 
 
 _ESCAPES = {
@@ -221,18 +353,37 @@ def _hex_string(s: bytes, i: int) -> tuple[str, int]:
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 
 
-def _content_text(stream: bytes) -> str:
+def _content_text(stream: bytes, fonts: dict[str, dict] | None = None) -> str:
     """Tokenize ONE content stream and assemble the shown text in
     layout order: ``Tj``/``TJ``/``'``/``\"`` emit onto the current
     line; ``Td``/``TD`` with a y move, ``T*``, and ``Tm`` with a y
     change start a new line; a big TJ kern gap becomes a space (the
-    standard word-split heuristic for kerned text)."""
+    standard word-split heuristic for kerned text).
+
+    ``fonts`` maps font resource names to parsed /ToUnicode CMaps;
+    ``Tf`` switches the active font, and shown strings under a
+    CMap-carrying font are decoded as ``code_len``-byte glyph codes
+    through the CMap instead of latin-1 (the CID-keyed-font path)."""
+    fonts = fonts or {}
     lines: list[list[str]] = [[]]
     stack: list = []  # operands since the last operator
     last_ty: float | None = None
+    cmap: dict | None = None
     i, n = 0, len(stream)
 
     def show(txt: str) -> None:
+        if not txt:
+            return
+        if cmap is not None:
+            raw = txt.encode("latin-1", "replace")
+            step = cmap["len"]
+            table = cmap["map"]
+            txt = "".join(
+                table.get(
+                    int.from_bytes(raw[j : j + step], "big"), "�"
+                )
+                for j in range(0, len(raw) - step + 1, step)
+            )
         if txt:
             lines[-1].append(txt)
 
@@ -308,6 +459,10 @@ def _content_text(stream: bytes) -> str:
                 newline()
                 if stack and isinstance(stack[-1], str):
                     show(stack[-1])
+            elif op == b"Tf":
+                # operands: /FontName size — switch the active CMap
+                if len(stack) >= 2 and isinstance(stack[-2], str):
+                    cmap = fonts.get(stack[-2])
             elif op in (b"Td", b"TD"):
                 if len(stack) >= 2 and isinstance(stack[-1], float):
                     if stack[-1] != 0:
@@ -354,7 +509,7 @@ def extract_pdf_text(data: bytes | None) -> tuple[str, int, str]:
         if streams is None:
             return "", 0, "stub"
         n_pages = len(streams)
-        pages = [_content_text(s) for s in streams if s]
+        pages = [_content_text(s, f) for s, f in streams if s]
         text = "\n\n".join(p for p in pages if p).strip()
         if text:
             return text, n_pages, "pdf-text"

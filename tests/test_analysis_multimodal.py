@@ -2434,3 +2434,61 @@ def test_decode_audio_features_mp3_meta_tier(spark):
     ).toPandas()
     tiers = set(rep.decoder)
     assert tiers == {"mp3-meta", "stub-sha256"}
+
+
+def test_flac_and_ogg_metadata_tiers(spark):
+    """FLAC STREAMINFO and Ogg Vorbis/Opus page parses land in the
+    metadata tier with real rate/duration and NULL signal stats."""
+    import pandas as pd
+
+    from opencosmo_spark.pipeline.multimodal import (
+        _flac_metadata,
+        _ogg_metadata,
+        decode_audio_features,
+    )
+
+    # FLAC: hand-built STREAMINFO (44100 Hz, stereo, 88200 samples)
+    v = (44100 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36) | 88200
+    streaminfo = (
+        (1152).to_bytes(2, "big") * 2  # min/max block size
+        + b"\x00\x00\x00" * 2          # min/max frame size
+        + v.to_bytes(8, "big")
+        + b"\x00" * 16                 # md5
+    )
+    flac = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    assert _flac_metadata(flac) == (44100, 2, 88200)
+    assert _flac_metadata(b"fLaCxx") is None
+    assert _flac_metadata(b"RIFFxxxx") is None
+
+    def ogg_page(body, granule, first=True):
+        return (
+            b"OggS\x00" + (b"\x02" if first else b"\x04")
+            + granule.to_bytes(8, "little")
+            + b"\x01\x00\x00\x00" + b"\x00\x00\x00\x00"
+            + b"\x00\x00\x00\x00" + bytes([1, len(body)]) + body
+        )
+
+    # Vorbis: ident packet on page 1, last granule = PCM samples
+    ident = b"\x01vorbis" + b"\x00\x00\x00\x00" + bytes([2]) + (22050).to_bytes(4, "little") + b"\x00" * 16
+    ogg = ogg_page(ident, 0) + ogg_page(b"\x05vorbis", 44100, first=False)
+    assert _ogg_metadata(ogg) == (22050, 2, 44100)
+
+    # Opus: 48 kHz ticks minus pre-skip
+    opus_head = b"OpusHead\x01" + bytes([1]) + (312).to_bytes(2, "little") + (16000).to_bytes(4, "little") + b"\x00\x00\x00"
+    ogg2 = ogg_page(opus_head, 0) + ogg_page(b"x", 48312, first=False)
+    assert _ogg_metadata(ogg2) == (48000, 1, 48000)
+    assert _ogg_metadata(b"OggSgarbage" + b"\x00" * 60) is None
+
+    # Spark tier wiring
+    df = spark.createDataFrame(
+        [("f", flac), ("o", ogg), ("x", b"junk" * 10)],
+        "media_id string, payload binary",
+    )
+    out = decode_audio_features(df).toPandas().set_index("media_id")
+    assert out.loc["f"].decoder == "flac-meta"
+    assert out.loc["f"].sample_rate == 44100
+    assert out.loc["f"].audio_duration_ms == 2000
+    assert pd.isna(out.loc["f"].rms)
+    assert out.loc["o"].decoder == "ogg-meta"
+    assert out.loc["o"].audio_duration_ms == 2000
+    assert out.loc["x"].decoder == "stub-sha256"

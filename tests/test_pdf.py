@@ -184,3 +184,176 @@ def test_pdf_documents_compose_with_curate(spark, tmp_path):
     rows = kept.toPandas()
     assert len(rows) == 1
     assert rows.url.iloc[0].endswith("good.pdf")
+
+
+def make_pdf_objstm(page_contents):
+    """PDF 1.5-style: catalog/pages/page dicts packed inside a
+    FlateDecode object stream; content streams stay top-level."""
+    n_pages = len(page_contents)
+    kid_nums = [4 + 2 * i for i in range(n_pages)]
+    packed = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+    kids = b" ".join(b"%d 0 R" % k for k in kid_nums)
+    packed[2] = b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    for i in range(n_pages):
+        pnum, cnum = 4 + 2 * i, 5 + 2 * i
+        packed[pnum] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R >>" % cnum
+        )
+    # object-stream payload: header of (num offset) pairs, then bodies
+    nums = sorted(packed)
+    bodies, offsets, pos = [], [], 0
+    for num in nums:
+        offsets.append((num, pos))
+        body = packed[num] + b"\n"
+        bodies.append(body)
+        pos += len(body)
+    header = b" ".join(b"%d %d" % p for p in offsets) + b"\n"
+    payload = zlib.compress(header + b"".join(bodies))
+    objs = {}
+    objs[50] = (
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n" % (len(nums), len(header), len(payload))
+        + payload
+        + b"\nendstream"
+    )
+    for i, content in enumerate(page_contents):
+        cnum = 5 + 2 * i
+        objs[cnum] = (
+            b"<< /Length %d >>\nstream\n" % len(content)
+            + content
+            + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.5\n")
+    for num in sorted(objs):
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def test_objstm_packed_page_tree():
+    """PDF 1.5 object streams: the page tree lives inside a compressed
+    ObjStm and must still drive ordered multi-page extraction."""
+    pdf = make_pdf_objstm(
+        [b"BT (packed first) Tj ET", b"BT (packed second) Tj ET"]
+    )
+    text, n_pages, ex = extract_pdf_text(pdf)
+    assert (n_pages, ex) == (2, "pdf-text")
+    assert text == "packed first\n\npacked second"
+
+
+def test_objstm_top_level_takes_precedence():
+    """Incremental updates append replacement objects at top level;
+    a top-level object with the same number must win over the ObjStm
+    copy."""
+    pdf = make_pdf_objstm([b"BT (old text) Tj ET"])
+    # append a replacement content stream as object 5 at top level
+    newc = b"BT (new text) Tj ET"
+    extra = (
+        b"5 0 obj\n<< /Length %d >>\nstream\n" % len(newc)
+        + newc
+        + b"\nendstream\nendobj\n"
+    )
+    at = pdf.rindex(b"trailer")
+    updated = pdf[:at] + extra + pdf[at:]
+    text, _, ex = extract_pdf_text(updated)
+    assert ex == "pdf-text"
+    assert text == "new text"
+
+
+def make_pdf_cid(hex_text_pages, cmap_src, one_byte=False):
+    """PDF with a CID-keyed (Type0/Identity-H-style) font: shown
+    strings are hex glyph codes, /ToUnicode CMap maps them to
+    unicode."""
+    payload = zlib.compress(cmap_src)
+    n_pages = len(hex_text_pages)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        3: (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+            b"/Encoding /Identity-H /ToUnicode 9 0 R >>"
+        ),
+        9: (
+            b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(payload)
+            + payload
+            + b"\nendstream"
+        ),
+    }
+    kid_nums = [4 + 2 * i for i in range(n_pages)]
+    kids = b" ".join(b"%d 0 R" % k for k in kid_nums)
+    objs[2] = b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    for i, content in enumerate(hex_text_pages):
+        pnum, cnum = 4 + 2 * i, 5 + 2 * i
+        objs[pnum] = (
+            b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R "
+            b"/Resources << /Font << /F1 3 0 R >> >> >>" % cnum
+        )
+        objs[cnum] = (
+            b"<< /Length %d >>\nstream\n" % len(content)
+            + content
+            + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    for num in sorted(objs):
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+CMAP_2BYTE = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+2 beginbfchar
+<0001> <0048>
+<0002> <00E9>
+endbfchar
+1 beginbfrange
+<0010> <0012> <006C>
+endbfrange
+1 beginbfrange
+<0020> <0021> [<0020> <21D2>]
+endbfrange
+endcmap end end
+"""
+
+
+def test_cid_font_tounicode_mapping():
+    """Hex strings under a /ToUnicode font decode through the CMap:
+    bfchar singles, an incrementing bfrange (0010-0012 -> l,m,n), and
+    the array bfrange form (0021 -> U+21D2 arrow)."""
+    # codes: 0001 0002 0010 0011 0012 0020 0021
+    content = b"BT /F1 12 Tf <0001 0002 0010 0011 0012 0020 0021> Tj ET"
+    pdf = make_pdf_cid([content], CMAP_2BYTE)
+    text, n_pages, ex = extract_pdf_text(pdf)
+    assert (n_pages, ex) == (1, "pdf-text")
+    assert text == "Hélmn ⇒"
+
+
+def test_cid_font_tf_switching():
+    """Tf switches the CMap on and off: /F1 maps, an unknown /F9
+    falls back to latin-1 pass-through."""
+    content = (
+        b"BT /F1 12 Tf <0001> Tj T* /F9 12 Tf (plain) Tj ET"
+    )
+    pdf = make_pdf_cid([content], CMAP_2BYTE)
+    text, _, _ = extract_pdf_text(pdf)
+    assert text.splitlines() == ["H", "plain"]
+
+
+def test_cid_one_byte_codespace():
+    cmap = (
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"2 beginbfchar <41> <0061> <42> <0062> endbfchar\n"
+    )
+    content = b"BT /F1 12 Tf <4142> Tj (AB) Tj ET"
+    pdf = make_pdf_cid([content], cmap)
+    text, _, _ = extract_pdf_text(pdf)
+    # both hex AND literal strings route through the 1-byte CMap
+    assert text == "abab"
+
+
+def test_cid_unmapped_code_replacement():
+    content = b"BT /F1 12 Tf <0001 9999> Tj ET"
+    pdf = make_pdf_cid([content], CMAP_2BYTE)
+    text, _, _ = extract_pdf_text(pdf)
+    assert text == "H�"
