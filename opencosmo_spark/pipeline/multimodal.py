@@ -605,7 +605,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                 return None
             marker = data[p + 1]
             if marker == 0xD9:  # EOI
-                if progressive and coefs is not None:
+                if coefs is not None:  # progressive or multi-scan
                     return _jpeg_reconstruct(frame, coefs, qt)
                 return None  # EOI before SOS: no image
             if p + 4 > len(data):
@@ -668,17 +668,29 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                     cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
                     scan.append((cs, tds >> 4, tds & 15))
                 if not progressive:
-                    if len(scan) < len(frame[2]):
-                        # non-interleaved multi-scan baseline (one SOS
-                        # per component): this decoder handles only the
-                        # interleaved single-scan form — returning just
-                        # the first (Y) scan would silently yield a
-                        # grayscale image, so fall to the stub honestly
+                    if len(scan) == len(frame[2]) and coefs is None:
+                        # the common interleaved single-scan form:
+                        # direct streaming decode, no coefficient state
+                        return _jpeg_scan(
+                            data, p + 2 + seg_len, frame, scan, qt,
+                            huff, restart_interval,
+                        )
+                    if len(scan) != 1:
+                        # partially-interleaved multi-scan baseline
+                        # (2-of-3 components per SOS) is legal but
+                        # vanishingly rare: fall to the stub honestly
                         return None
-                    return _jpeg_scan(
-                        data, p + 2 + seg_len, frame, scan, qt, huff,
-                        restart_interval,
+                    # non-interleaved multi-scan baseline (one SOS per
+                    # component): accumulate coefficients per scan and
+                    # reconstruct at EOI, sharing the progressive
+                    # dequant/IDCT/color path
+                    if coefs is None:
+                        coefs = _jpeg_alloc_coefs(frame)
+                    p = _jpeg_seq_scan(
+                        data, p + 2 + seg_len, frame, scan, huff,
+                        restart_interval, coefs,
                     )
+                    continue
                 ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
                 ahal = seg[3 + 2 * ns]
                 p = _jpeg_prog_scan(
@@ -688,7 +700,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                 )
                 continue
             p += 2 + seg_len
-        if progressive and coefs is not None:
+        if coefs is not None:
             return _jpeg_reconstruct(frame, coefs, qt)  # missing EOI
         return None
     except (IndexError, KeyError, ValueError, OverflowError):
@@ -999,7 +1011,66 @@ def _jpeg_prog_scan(
 
     # the bit reader parks exactly on the next marker's 0xFF (bit()
     # un-consumes markers); skip any trailing RSTn / fill bytes
-    p = bits.p
+    return _jpeg_next_marker(data, bits.p)
+
+
+def _jpeg_seq_scan(
+    data: bytes,
+    pos: int,
+    frame,
+    scan,
+    huff,
+    restart_interval: int,
+    coefs,
+) -> int:
+    """Decode one NON-INTERLEAVED baseline sequential scan (T.81 F.2,
+    one component per SOS — the multi-scan baseline layout some
+    encoders emit) into the shared coefficient state; returns the
+    offset of the next marker. Reconstruction then goes through
+    ``_jpeg_reconstruct`` exactly like progressive, so the dequant /
+    IDCT / color math is shared bit-for-bit with the interleaved
+    path."""
+    cs, td, ta = scan[0]
+    dc_t, ac_t = huff.get((0, td)), huff.get((1, ta))
+    if dc_t is None or ac_t is None:
+        raise ValueError("scan references an undefined table")
+    _hm, _vm, _mx, _my, geo = _jpeg_frame_geom(frame)
+    _ch, _cv, _tq, _bh, _bw, nih, niw = geo[cs]
+    bits = _JpegBits(data, pos)
+    pred = 0
+    unit = 0
+    for by in range(nih):
+        for bx in range(niw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                bits.restart()
+                pred = 0
+            unit += 1
+            blk = coefs[cs][by, bx]
+            t = _jpeg_sym(bits, dc_t)
+            if t > 11:
+                raise ValueError("DC category out of range")
+            pred += _jpeg_extend(bits.bits(t), t)
+            blk[0] = pred
+            k = 1
+            while k <= 63:
+                rs = _jpeg_sym(bits, ac_t)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past 63")
+                blk[_JPEG_ZZ[k]] = _jpeg_extend(bits.bits(s), s)
+                k += 1
+    return _jpeg_next_marker(data, bits.p)
+
+
+def _jpeg_next_marker(data: bytes, p: int) -> int:
+    """Position of the next real marker at/after ``p``: skips fill
+    bytes, stuffed zeros, and RSTn."""
     while p + 1 < len(data):
         if data[p] != 0xFF:
             p += 1
@@ -1378,7 +1449,8 @@ _IMAGE_LADDER: tuple = (
     ("pnm", _decode_pnm, "binary PGM/PPM"),
     ("gif", _decode_gif, "GIF87a/89a first frame incl. interlaced"),
     ("jpeg", _decode_jpeg,
-     "JPEG baseline sequential + progressive"),
+     "JPEG baseline sequential (interleaved + non-interleaved "
+     "multi-scan) + progressive"),
     ("webp", _decode_webp_safe,
      "WebP lossless (VP8L: prefix codes, LZ77, color cache, all four "
      "transforms; lossy VP8 gated)"),

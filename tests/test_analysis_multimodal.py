@@ -2492,3 +2492,155 @@ def test_flac_and_ogg_metadata_tiers(spark):
     assert out.loc["o"].decoder == "ogg-meta"
     assert out.loc["o"].audio_duration_ms == 2000
     assert out.loc["x"].decoder == "stub-sha256"
+
+
+def _make_jpeg_multiscan(rgb, subsample=False, gray=False, restart=0):
+    """Non-interleaved multi-scan baseline twin: same quantization
+    front half as _make_jpeg, but one SOS per component, each scanning
+    its own non-interleaved block grid (the layout some encoders emit
+    that round 11's decoder had to stub)."""
+    h, w, samp, qts, qt_of, grids, expect = _twin_quantize(
+        rgb, subsample=subsample, gray=gray
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    ntab = 1 if gray else 2
+
+    def tset(ci):
+        return 0 if ci == 0 else 1
+
+    def ni_grid(ci):
+        sh, sv = samp[ci]
+        cw = -(-(w * sh) // hmax)
+        chh = -(-(h * sv) // vmax)
+        return -(-chh // 8), -(-cw // 8)
+
+    dc_syms = [set() for _ in range(ntab)]
+    ac_syms = [set() for _ in range(ntab)]
+
+    def scan_blocks(ci):
+        nih, niw = ni_grid(ci)
+        pred = 0
+        unit = 0
+        for by in range(nih):
+            for bx in range(niw):
+                if restart and unit and unit % restart == 0:
+                    pred = 0
+                unit += 1
+                zz = grids[ci][by, bx][_TWIN_ZZ]
+                yield int(zz[0]) - pred, zz
+                pred = int(zz[0])
+
+    for ci in range(len(samp)):
+        for diff, zz in scan_blocks(ci):
+            t, _ = _twin_cat(diff)
+            dc_syms[tset(ci)].add(t)
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms[tset(ci)].add(0xF0)
+                    run -= 16
+                s, _ = _twin_cat(int(zz[k]))
+                ac_syms[tset(ci)].add((run << 4) | s)
+                run = 0
+            if run:
+                ac_syms[tset(ci)].add(0x00)
+    for s in ac_syms:
+        s.add(0x00)
+
+    dc_tabs = [_jpeg_twin_tables(s) for s in dc_syms]
+    ac_tabs = [_jpeg_twin_tables(s) for s in ac_syms]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    for tid, q in enumerate(qts):
+        seg(0xDB, bytes([tid]) + bytes(int(q.flatten()[z]) for z in _TWIN_ZZ))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(samp))
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, qt_of[ci]])
+    seg(0xC0, bytes(sof))
+    for cls, tabs in ((0, dc_tabs), (1, ac_tabs)):
+        for tid, (counts, syms, _) in enumerate(tabs):
+            seg(0xC4, bytes([(cls << 4) | tid]) + bytes(counts) + bytes(syms))
+    if restart:
+        seg(0xDD, restart.to_bytes(2, "big"))
+
+    for ci in range(len(samp)):
+        seg(0xDA, bytes([1, ci + 1, (tset(ci) << 4) | tset(ci), 0, 63, 0]))
+        wtr = _JpegTwinWriter()
+        dcodes = dc_tabs[tset(ci)][2]
+        acodes = ac_tabs[tset(ci)][2]
+        unit = 0
+        rst = 0
+        for diff, zz in scan_blocks(ci):
+            if restart and unit and unit % restart == 0:
+                wtr.pad()
+                wtr.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+            unit += 1
+            t, bits = _twin_cat(diff)
+            c, L = dcodes[t]
+            wtr.put(c, L)
+            if t:
+                wtr.put(bits, t)
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, L = acodes[0xF0]
+                    wtr.put(c, L)
+                    run -= 16
+                s, bits = _twin_cat(int(zz[k]))
+                c, L = acodes[(run << 4) | s]
+                wtr.put(c, L)
+                if s:
+                    wtr.put(bits, s)
+                run = 0
+            if run:
+                c, L = acodes[0x00]
+                wtr.put(c, L)
+        wtr.pad()
+        out.extend(wtr.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out), expect
+
+
+@pytest.mark.parametrize(
+    "shape,subsample,gray,restart",
+    [
+        ((13, 20), False, False, 0),   # 4:4:4 ragged, 3 scans
+        ((16, 24), False, True, 0),    # grayscale single scan (ni path)
+        ((29, 35), True, False, 0),    # 4:2:0 ragged (ni luma grid)
+        ((16, 20), False, False, 3),   # restart markers inside scans
+    ],
+)
+def test_decode_jpeg_multiscan_baseline(shape, subsample, gray, restart):
+    """Non-interleaved multi-scan baseline decodes to the same pixels
+    as the interleaved single-scan encoding of the SAME quantized
+    coefficients — round 11 stubbed this layout, round 12 decodes it
+    through the shared coefficient/reconstruct path."""
+    from opencosmo_spark.pipeline.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(sum(shape))
+    rgb = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+    multi, expect = _make_jpeg_multiscan(
+        rgb, subsample=subsample, gray=gray, restart=restart
+    )
+    got = _decode_jpeg(multi)
+    assert got is not None, "multi-scan baseline fell to the stub"
+    assert got.shape == expect.shape
+    assert int(np.abs(got.astype(int) - expect.astype(int)).max()) <= 1
+    # and it must agree with the interleaved twin of the same coefs
+    inter, _ = _make_jpeg(rgb, subsample=subsample, gray=gray)
+    np.testing.assert_array_equal(got, _decode_jpeg(inter))
