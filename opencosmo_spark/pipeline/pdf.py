@@ -120,20 +120,156 @@ def _expand_objstm(head: bytes, stream: bytes):
         yield num, inflated[first + off : first + end]
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
+    """PDF LZWDecode (ISO 32000 7.4.4): MSB-first variable-width
+    codes, 9 -> 12 bits, clear=256, EOD=257, EarlyChange code-width
+    bump (default 1)."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    size = 258
+    width = 9
+    prev: bytes | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while bitpos + width <= nbits:
+        code = 0
+        for _ in range(width):
+            code = (code << 1) | (
+                (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+            )
+            bitpos += 1
+        if code == 257:  # EOD
+            break
+        if code == 256:  # clear table
+            table = {i: bytes([i]) for i in range(256)}
+            size = 258
+            width = 9
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == size and prev is not None:  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None:
+            table[size] = prev + entry[:1]
+            size += 1
+        if size + early - 1 >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int,
+                   bpc: int) -> bytes | None:
+    """Invert PNG row predictors (PDF Predictor >= 10 — common on
+    ObjStm / xref streams)."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    stride = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(stride)
+    i = 0
+    while i < len(data):
+        ft = data[i]
+        i += 1
+        row = bytearray(data[i : i + stride])
+        i += stride
+        if len(row) < stride:
+            row += bytes(stride - len(row))
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ft == 1:
+                row[x] = (row[x] + a) & 0xFF
+            elif ft == 2:
+                row[x] = (row[x] + b) & 0xFF
+            elif ft == 3:
+                row[x] = (row[x] + (a + b) // 2) & 0xFF
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pr) & 0xFF
+            elif ft != 0:
+                return None
+        out += row
+        prev = row
+    return bytes(out)
+
+
 def _inflate(head: bytes, stream: bytes) -> bytes | None:
-    """Apply the object's /Filter to its raw stream bytes. Only
-    FlateDecode (the overwhelmingly dominant filter for content
-    streams) is implemented; anything else returns None and the file
-    falls to the honest ledger."""
-    filt = re.search(rb"/Filter\s*(\[?)\s*/(\w+)", head)
-    if filt is None:
+    """Apply the object's /Filter chain to its raw stream bytes:
+    FlateDecode (+ optional PNG predictor from /DecodeParms),
+    LZWDecode, ASCIIHexDecode, ASCII85Decode, and arrays chaining
+    them. Unknown filters (DCTDecode, JBIG2, crypt filters) return
+    None and the file falls to the honest ledger."""
+    fm = re.search(rb"/Filter\s*(?:\[(.*?)\]|/([A-Za-z0-9]+))", head, re.S)
+    if fm is None:
         return stream
-    if filt.group(2) != b"FlateDecode":
-        return None
-    try:
-        return zlib.decompress(stream)
-    except zlib.error:
-        return None
+    names = (
+        re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
+        if fm.group(1) is not None
+        else [fm.group(2)]
+    )
+    pred = cols = 0
+    colors, bpc = 1, 8
+    pm = re.search(rb"/DecodeParms\s*<<(.*?)>>", head, re.S)
+    if pm:
+        g = pm.group(1)
+        m = re.search(rb"/Predictor\s+(\d+)", g)
+        pred = int(m.group(1)) if m else 0
+        m = re.search(rb"/Columns\s+(\d+)", g)
+        cols = int(m.group(1)) if m else 1
+        m = re.search(rb"/Colors\s+(\d+)", g)
+        colors = int(m.group(1)) if m else 1
+        m = re.search(rb"/BitsPerComponent\s+(\d+)", g)
+        bpc = int(m.group(1)) if m else 8
+    data: bytes | None = stream
+    for name in names:
+        if data is None:
+            return None
+        if name == b"FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                return None
+            if pred >= 10:
+                data = _png_unpredict(data, cols, colors, bpc)
+        elif name == b"LZWDecode":
+            early = 1
+            if pm:
+                em = re.search(rb"/EarlyChange\s+(\d+)", pm.group(1))
+                if em:
+                    early = int(em.group(1))
+            data = _lzw_decode(data, early)
+            if data is not None and pred >= 10:
+                data = _png_unpredict(data, cols, colors, bpc)
+        elif name == b"ASCIIHexDecode":
+            body = re.sub(rb"\s+", b"", data.split(b">", 1)[0])
+            if len(body) % 2:
+                body += b"0"
+            try:
+                data = bytes.fromhex(body.decode("ascii"))
+            except (ValueError, UnicodeDecodeError):
+                return None
+        elif name == b"ASCII85Decode":
+            import base64
+
+            body = re.sub(rb"\s+", b"", data)
+            if body.startswith(b"<~"):
+                body = body[2:]
+            if body.endswith(b"~>"):
+                body = body[:-2]
+            try:
+                data = base64.a85decode(body)
+            except ValueError:
+                return None
+        else:
+            return None
+    return data
 
 
 def _page_content_streams(data: bytes, objects) -> list[bytes] | None:

@@ -503,7 +503,9 @@ def decode_webp(data: bytes) -> np.ndarray | None:
     ):
         return None
     try:
-        # chunk walk: VP8L directly, or inside a VP8X extended file
+        # chunk walk: VP8L directly, inside a VP8X extended file, or
+        # the FIRST frame of an animation (ANMF wraps a VP8L/VP8
+        # sub-chunk after its 16-byte frame header)
         pos = 12
         payload = None
         while pos + 8 <= len(data):
@@ -513,6 +515,13 @@ def decode_webp(data: bytes) -> np.ndarray | None:
             if tag == b"VP8L":
                 payload = body
                 break
+            if tag == b"ANMF" and len(body) > 24:
+                sub_tag = body[16:20]
+                sub_size = int.from_bytes(body[20:24], "little")
+                if sub_tag == b"VP8L":
+                    payload = body[24 : 24 + sub_size]
+                    break
+                return None  # lossy animation frame: gated
             if tag == b"VP8 ":  # lossy: gated
                 return None
             pos += 8 + size + (size & 1)

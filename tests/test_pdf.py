@@ -357,3 +357,177 @@ def test_cid_unmapped_code_replacement():
     pdf = make_pdf_cid([content], CMAP_2BYTE)
     text, _, _ = extract_pdf_text(pdf)
     assert text == "H�"
+
+
+def make_pdf_filtered(content, filter_spec, encoded):
+    """One-page PDF whose content stream carries an explicit /Filter
+    spec with pre-encoded bytes."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        4: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        5: (
+            b"<< " + filter_spec + b" /Length %d >>\nstream\n" % len(encoded)
+            + encoded
+            + b"\nendstream"
+        ),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    for num in sorted(objs):
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def _lzw_encode(data):
+    """Reference PDF LZW encoder for the differential (MSB-first,
+    9->12 bit codes, EarlyChange=1)."""
+    table = {bytes([i]): i for i in range(256)}
+    size, width = 258, 9
+    bits = []
+
+    def emit(code):
+        for i in range(width - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    emit(256)  # clear
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = size
+        size += 1
+        if size + 1 - 1 >= (1 << width) and width < 12:
+            width += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            byte |= b << (7 - j)
+        out.append(byte)
+    return bytes(out)
+
+
+def test_filter_asciihex():
+    content = b"BT (hex ok) Tj ET"
+    enc = content.hex().encode("ascii") + b">"
+    pdf = make_pdf_filtered(content, b"/Filter /ASCIIHexDecode", enc)
+    assert extract_pdf_text(pdf) == ("hex ok", 1, "pdf-text")
+
+
+def test_filter_ascii85():
+    import base64
+
+    content = b"BT (a85 ok) Tj ET"
+    enc = base64.a85encode(content) + b"~>"
+    pdf = make_pdf_filtered(content, b"/Filter /ASCII85Decode", enc)
+    assert extract_pdf_text(pdf) == ("a85 ok", 1, "pdf-text")
+
+
+def test_filter_lzw():
+    content = b"BT (lzw ok, repeated repeated repeated text) Tj ET"
+    pdf = make_pdf_filtered(
+        content, b"/Filter /LZWDecode", _lzw_encode(content)
+    )
+    assert extract_pdf_text(pdf) == (
+        "lzw ok, repeated repeated repeated text", 1, "pdf-text"
+    )
+
+
+def test_filter_chain_a85_flate():
+    import base64
+
+    content = b"BT (chained filters) Tj ET"
+    enc = base64.a85encode(zlib.compress(content)) + b"~>"
+    pdf = make_pdf_filtered(
+        content, b"/Filter [/ASCII85Decode /FlateDecode]", enc
+    )
+    assert extract_pdf_text(pdf) == ("chained filters", 1, "pdf-text")
+
+
+def test_filter_flate_png_predictor():
+    """Flate + PNG up-predictor (the layout xref/ObjStm streams use)."""
+    content = b"BT (predicted) Tj ET"
+    cols = 5
+    rows = [content[i : i + cols] for i in range(0, len(content), cols)]
+    rows[-1] = rows[-1] + b" " * (cols - len(rows[-1]))
+    # apply the PNG "up" filter (type 2) forward
+    filtered = bytearray()
+    prev = bytes(cols)
+    for r in rows:
+        filtered.append(2)
+        filtered += bytes((r[i] - prev[i]) & 0xFF for i in range(cols))
+        prev = r
+    enc = zlib.compress(bytes(filtered))
+    spec = (
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 "
+        b"/Columns 5 >>"
+    )
+    pdf = make_pdf_filtered(content, spec, enc)
+    assert extract_pdf_text(pdf)[0] == "predicted"
+
+
+def test_filter_unknown_is_honest():
+    pdf = make_pdf_filtered(
+        b"BT (x) Tj ET", b"/Filter /DCTDecode", b"\xff\xd8junk"
+    )
+    text, n_pages, ex = extract_pdf_text(pdf)
+    assert text == "" and ex in ("pdf-no-text", "stub")
+
+
+def test_pdf_to_documents_composes_with_stream(spark, tmp_path):
+    """pdf_to_documents is a stateless row transform, so it composes
+    unchanged with a streaming binaryFile source: per-batch output
+    over 2 micro-batches equals the batch run on the same files."""
+    from pyspark.sql import types as T
+
+    d = tmp_path / "pdf_stream"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(make_pdf([b"BT (stream alpha) Tj ET"]))
+    (d / "b.pdf").write_bytes(
+        make_pdf([b"BT (stream beta) Tj ET"], compress=True)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    got = []
+
+    def handle(batch_df, batch_id):
+        got.extend(
+            pdf_to_documents(batch_df).select(
+                "url", "text", "extractor"
+            ).collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "pdf_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    src = spark.read.format("binaryFile").load(str(d))
+    want = pdf_to_documents(src).select("url", "text", "extractor").collect()
+    key = lambda r: r["url"]
+    assert sorted(got, key=key) == sorted(want, key=key)
+    assert len(got) == 2

@@ -724,3 +724,26 @@ def test_webp_in_decode_ladder(spark):
     assert out.loc["b"].decoder == "stub-sha256"
     hashed = image_dhash(df).toPandas().set_index("media_id")
     assert hashed.loc["a"].decoder == "webp"
+
+
+def test_animated_webp_first_frame():
+    """Animations decode their FIRST frame: ANMF wraps a VP8L
+    sub-chunk after the 16-byte frame header."""
+    rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    full = encode_plain(rgb)
+    vp8l_chunk = full[12:]  # 'VP8L' + size + body (+pad)
+    anmf_body = b"\x00" * 16 + vp8l_chunk
+    anmf = b"ANMF" + len(anmf_body).to_bytes(4, "little") + anmf_body
+    if len(anmf_body) % 2:
+        anmf += b"\x00"
+    vp8x = b"VP8X" + (10).to_bytes(4, "little") + b"\x02" + b"\x00" * 9
+    anim = b"ANIM" + (6).to_bytes(4, "little") + b"\x00" * 6
+    body = b"WEBP" + vp8x + anim + anmf
+    riff = b"RIFF" + len(body).to_bytes(4, "little") + body
+    np.testing.assert_array_equal(decode_webp(riff), rgb)
+    # lossy animation frames stay gated
+    lossy_body = b"\x00" * 16 + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4
+    anmf2 = b"ANMF" + len(lossy_body).to_bytes(4, "little") + lossy_body
+    body2 = b"WEBP" + vp8x + anim + anmf2
+    riff2 = b"RIFF" + len(body2).to_bytes(4, "little") + body2
+    assert decode_webp(riff2) is None
