@@ -16,6 +16,7 @@ shuffles move metadata only.
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Iterator
 
 import numpy as np
@@ -1897,6 +1898,122 @@ def decoder_report(
         )
         .orderBy(mime_col, decoder_col)
     )
+
+
+def _image_header_meta(data: bytes | None):
+    """Header-parsed ``(format, width, height)`` without decoding any
+    pixels — works for every format the decode ladder handles AND the
+    gated ones (lossy VP8, arithmetic JPEG), so crawl-image triage
+    (size filters, aspect stats, dedup keys) runs on real payloads the
+    pixel path would stub. Returns None when no known header
+    matches."""
+    if not data or len(data) < 10:
+        return None
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+            return (
+                "png",
+                int.from_bytes(data[16:20], "big"),
+                int.from_bytes(data[20:24], "big"),
+            )
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return (
+                "gif",
+                int.from_bytes(data[6:8], "little"),
+                int.from_bytes(data[8:10], "little"),
+            )
+        if data[:2] == b"BM" and len(data) >= 26:
+            return (
+                "bmp",
+                int.from_bytes(data[18:22], "little"),
+                abs(int.from_bytes(data[22:26], "little", signed=True)),
+            )
+        if data[:2] == b"\xff\xd8":  # JPEG: find any SOF marker
+            p = 2
+            while p + 9 < len(data):
+                if data[p] != 0xFF:
+                    return None
+                marker = data[p + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    p += 2
+                    continue
+                seg_len = (data[p + 2] << 8) | data[p + 3]
+                # every SOFn (incl. arithmetic/lossless variants),
+                # excluding DHT/JPG/DAC (C4, C8, CC)
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                    0xC4, 0xC8, 0xCC,
+                ):
+                    h = (data[p + 5] << 8) | data[p + 6]
+                    w = (data[p + 7] << 8) | data[p + 8]
+                    return "jpeg", w, h
+                if marker == 0xDA:  # SOS before any SOF: give up
+                    return None
+                p += 2 + seg_len
+            return None
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            pos = 12
+            while pos + 8 <= len(data):
+                tag = data[pos : pos + 4]
+                size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+                body = data[pos + 8 : pos + 8 + size]
+                if tag == b"VP8X" and len(body) >= 10:
+                    return (
+                        "webp",
+                        int.from_bytes(body[4:7], "little") + 1,
+                        int.from_bytes(body[7:10], "little") + 1,
+                    )
+                if tag == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+                    v = int.from_bytes(body[1:5], "little")
+                    return "webp", (v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1
+                if tag == b"VP8 " and len(body) >= 10:
+                    # lossy keyframe: 3-byte frame tag, then the
+                    # 9d 01 2a start code, then 14-bit w/h
+                    if body[3:6] == b"\x9d\x01\x2a":
+                        return (
+                            "webp",
+                            int.from_bytes(body[6:8], "little") & 0x3FFF,
+                            int.from_bytes(body[8:10], "little") & 0x3FFF,
+                        )
+                    return None
+                pos += 8 + size + (size & 1)
+            return None
+        if data[:2] in (b"P5", b"P6") and data[2:3].isspace():
+            toks = re.split(rb"\s+", data[2:200].strip())
+            if len(toks) >= 2:
+                return "pnm", int(toks[0]), int(toks[1])
+    except (IndexError, ValueError):
+        return None
+    return None
+
+
+def image_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach header-parsed image metadata columns — ``img_format``
+    (string or NULL), ``img_width``, ``img_height`` — without decoding
+    any pixels. Covers PNG/GIF/BMP/PNM/JPEG (every SOFn, including the
+    arithmetic and lossless variants the pixel ladder gates) and WebP
+    (VP8X extended header, VP8L lossless header, and the LOSSY VP8
+    keyframe header the decode ladder gates). The image twin of the
+    audio metadata tier: triage — size/aspect filters, dedup keys,
+    corpus stats — runs on real payloads at zero decode cost; one
+    Arrow-batched pass, payload bytes never shuffle."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("img_format", T.StringType()),
+            T.StructField("img_width", T.IntegerType()),
+            T.StructField("img_height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_image_header_meta(p) for p in pdf[payload_col]]
+            pdf["img_format"] = [m[0] if m else None for m in metas]
+            pdf["img_width"] = [m[1] if m else None for m in metas]
+            pdf["img_height"] = [m[2] if m else None for m in metas]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
 
 
 def media_stats(df: DataFrame) -> DataFrame:

@@ -2644,3 +2644,74 @@ def test_decode_jpeg_multiscan_baseline(shape, subsample, gray, restart):
     # and it must agree with the interleaved twin of the same coefs
     inter, _ = _make_jpeg(rgb, subsample=subsample, gray=gray)
     np.testing.assert_array_equal(got, _decode_jpeg(inter))
+
+
+def test_image_metadata_header_parse(spark):
+    """Header-parsed dimensions for every format INCLUDING the gated
+    ones (lossy VP8 WebP, arithmetic JPEG): the image twin of the
+    audio metadata tier."""
+    import struct
+    import zlib as _z
+
+    from opencosmo_spark.pipeline.multimodal import (
+        _image_header_meta,
+        image_metadata,
+    )
+
+    # PNG IHDR 31x17
+    ihdr = struct.pack(">II", 31, 17) + b"\x08\x02\x00\x00\x00"
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", _z.crc32(b"IHDR" + ihdr))
+    )
+    assert _image_header_meta(png) == ("png", 31, 17)
+
+    gif = b"GIF89a" + (40).to_bytes(2, "little") + (25).to_bytes(2, "little") + b"\x00" * 6
+    assert _image_header_meta(gif) == ("gif", 40, 25)
+
+    bmp = b"BM" + b"\x00" * 16 + (12).to_bytes(4, "little") + (-9 & 0xFFFFFFFF).to_bytes(4, "little") + b"\x00" * 10
+    assert _image_header_meta(bmp) == ("bmp", 12, 9)  # top-down height
+
+    # baseline JPEG via the encoder twin
+    rng = np.random.default_rng(4)
+    jpg, _ = _make_jpeg(rng.integers(0, 256, (13, 20, 3)).astype(np.uint8))
+    assert _image_header_meta(jpg) == ("jpeg", 20, 13)
+    # arithmetic-coded SOF9: dimensions parse even though decode gates
+    arith = bytearray(jpg)
+    sof_at = bytes(arith).index(b"\xff\xc0")
+    arith[sof_at + 1] = 0xC9
+    assert _image_header_meta(bytes(arith)) == ("jpeg", 20, 13)
+
+    # lossless WebP via the VP8L twin
+    import sys as _s
+    _s.path.insert(0, "tests")
+    from test_vp8l import encode_plain
+
+    webp = encode_plain(rng.integers(0, 256, (7, 9, 3)).astype(np.uint8))
+    assert _image_header_meta(webp) == ("webp", 9, 7)
+
+    # LOSSY VP8 keyframe header (decode gates, metadata doesn't)
+    vp8 = (
+        b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + (33).to_bytes(2, "little") + (21).to_bytes(2, "little")
+    )
+    lossy = (
+        b"RIFF" + (12 + len(vp8) + 2).to_bytes(4, "little") + b"WEBP"
+        + b"VP8 " + len(vp8).to_bytes(4, "little") + vp8
+    )
+    assert _image_header_meta(lossy) == ("webp", 33, 21)
+
+    pnm = b"P6\n64 48\n255\n" + b"\x00" * 10
+    assert _image_header_meta(pnm) == ("pnm", 64, 48)
+    assert _image_header_meta(b"not an image") is None
+    assert _image_header_meta(None) is None
+
+    df = spark.createDataFrame(
+        [("a", png), ("b", lossy), ("c", b"junk" * 5)],
+        "media_id string, payload binary",
+    )
+    out = image_metadata(df).toPandas().set_index("media_id")
+    assert (out.loc["a"].img_format, out.loc["a"].img_width) == ("png", 31)
+    assert (out.loc["b"].img_format, out.loc["b"].img_height) == ("webp", 21)
+    assert out.loc["c"].img_format is None
