@@ -1789,6 +1789,120 @@ def decode_image_features(
     return df.mapInPandas(run, out_schema)
 
 
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield ``(box_type, payload_start, payload_end)`` for the
+    ISO-BMFF boxes in ``data[start:end]``."""
+    p = start
+    while p + 8 <= end:
+        size = int.from_bytes(data[p : p + 4], "big")
+        btype = data[p + 4 : p + 8]
+        body_at = p + 8
+        if size == 1:  # 64-bit largesize
+            if p + 16 > end:
+                return
+            size = int.from_bytes(data[p + 8 : p + 16], "big")
+            body_at = p + 16
+        elif size == 0:  # box extends to EOF
+            size = end - p
+        if size < 8 or p + size > end:
+            return
+        yield btype, body_at, p + size
+        p += size
+
+
+def _mp4_metadata(data: bytes | None):
+    """ISO-BMFF (mp4/mov/m4a/3gp) metadata without any codec:
+    ``(duration_ms, width, height, has_video, has_audio)`` from the
+    moov/mvhd, trak/tkhd, and trak/mdia/hdlr boxes. Returns None when
+    the payload is not BMFF (no ftyp/moov structure)."""
+    if data is None or len(data) < 16:
+        return None
+    top = list(_mp4_boxes(data, 0, len(data)))
+    if not top or top[0][0] != b"ftyp":
+        return None
+    duration_ms = 0
+    width = height = 0
+    has_video = has_audio = False
+    for btype, b0, b1 in top:
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in _mp4_boxes(data, b0, b1):
+            if ctype == b"mvhd" and c1 - c0 >= 20:
+                ver = data[c0]
+                if ver == 1 and c1 - c0 >= 32:
+                    scale = int.from_bytes(data[c0 + 20 : c0 + 24], "big")
+                    dur = int.from_bytes(data[c0 + 24 : c0 + 32], "big")
+                else:
+                    scale = int.from_bytes(data[c0 + 12 : c0 + 16], "big")
+                    dur = int.from_bytes(data[c0 + 16 : c0 + 20], "big")
+                if scale:
+                    duration_ms = dur * 1000 // scale
+            elif ctype == b"trak":
+                for ttype, t0, t1 in _mp4_boxes(data, c0, c1):
+                    if ttype == b"tkhd":
+                        ver = data[t0]
+                        off = 88 if ver == 1 else 76
+                        if t1 - t0 >= off + 8:
+                            w = int.from_bytes(
+                                data[t0 + off : t0 + off + 4], "big"
+                            ) >> 16  # 16.16 fixed point
+                            h = int.from_bytes(
+                                data[t0 + off + 4 : t0 + off + 8], "big"
+                            ) >> 16
+                            width = max(width, w)
+                            height = max(height, h)
+                    elif ttype == b"mdia":
+                        for mtype, m0, m1 in _mp4_boxes(data, t0, t1):
+                            if mtype == b"hdlr" and m1 - m0 >= 12:
+                                handler = data[m0 + 8 : m0 + 12]
+                                if handler == b"vide":
+                                    has_video = True
+                                elif handler == b"soun":
+                                    has_audio = True
+        return duration_ms, width, height, has_video, has_audio
+    return None
+
+
+def video_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach container-parsed video metadata columns —
+    ``vid_format`` ('mp4' or NULL), ``vid_duration_ms``,
+    ``vid_width``, ``vid_height``, ``vid_has_audio`` — without any
+    codec (ISO-BMFF box walk: mvhd duration, tkhd dimensions, hdlr
+    track types). The video twin of the audio/image metadata tiers;
+    ``vid_duration_ms`` feeds ``sample_video_frames``'s
+    ``duration_ms`` contract directly, so frame-sampling plumbing
+    runs on real crawl mp4 payloads. One Arrow-batched pass, payload
+    bytes never shuffle. Matroska/WebM stays honestly NULL (EBML
+    parse not implemented)."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("vid_format", T.StringType()),
+            T.StructField("vid_duration_ms", T.LongType()),
+            T.StructField("vid_width", T.IntegerType()),
+            T.StructField("vid_height", T.IntegerType()),
+            T.StructField("vid_has_audio", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for p in pdf[payload_col]:
+                try:
+                    metas.append(_mp4_metadata(p))
+                except Exception:  # noqa: BLE001 - dirty payload
+                    metas.append(None)
+            pdf["vid_format"] = ["mp4" if m else None for m in metas]
+            pdf["vid_duration_ms"] = [m[0] if m else None for m in metas]
+            pdf["vid_width"] = [m[1] if m else None for m in metas]
+            pdf["vid_height"] = [m[2] if m else None for m in metas]
+            pdf["vid_has_audio"] = [m[4] if m else None for m in metas]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def sample_video_frames(
     df: DataFrame,
     every_ms: int = 1000,

@@ -2715,3 +2715,88 @@ def test_image_metadata_header_parse(spark):
     assert (out.loc["a"].img_format, out.loc["a"].img_width) == ("png", 31)
     assert (out.loc["b"].img_format, out.loc["b"].img_height) == ("webp", 21)
     assert out.loc["c"].img_format is None
+
+
+def _box(btype, payload):
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def _make_mp4(duration_ms=5000, timescale=1000, w=640, h=360,
+              audio=True, v1=False):
+    """Minimal valid ISO-BMFF fixture: ftyp + moov(mvhd, video trak
+    with tkhd dims + hdlr vide, optional audio trak)."""
+    if v1:
+        mvhd = (
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + timescale.to_bytes(4, "big")
+            + (duration_ms * timescale // 1000).to_bytes(8, "big")
+            + b"\x00" * 80
+        )
+    else:
+        mvhd = (
+            b"\x00\x00\x00\x00" + b"\x00" * 8
+            + timescale.to_bytes(4, "big")
+            + (duration_ms * timescale // 1000).to_bytes(4, "big")
+            + b"\x00" * 80
+        )
+
+    def tkhd(width, height):
+        return (
+            b"\x00\x00\x00\x00" + b"\x00" * 72
+            + (width << 16).to_bytes(4, "big")
+            + (height << 16).to_bytes(4, "big")
+        )
+
+    def hdlr(kind):
+        return b"\x00" * 8 + kind + b"\x00" * 12
+
+    vtrak = _box(
+        b"trak",
+        _box(b"tkhd", tkhd(w, h)) + _box(b"mdia", _box(b"hdlr", hdlr(b"vide"))),
+    )
+    atrak = _box(
+        b"trak",
+        _box(b"tkhd", tkhd(0, 0)) + _box(b"mdia", _box(b"hdlr", hdlr(b"soun"))),
+    ) if audio else b""
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + vtrak + atrak)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_mp4_metadata_box_walk(spark):
+    """ISO-BMFF metadata tier: duration from mvhd (v0 and v1), dims
+    from tkhd 16.16 fixed point, track kinds from hdlr; junk is NULL;
+    the duration feeds sample_video_frames' contract."""
+    from opencosmo_spark.pipeline.multimodal import (
+        _mp4_metadata,
+        sample_video_frames,
+        video_metadata,
+    )
+
+    mp4 = _make_mp4(duration_ms=5000, w=640, h=360, audio=True)
+    assert _mp4_metadata(mp4) == (5000, 640, 360, True, True)
+    v1 = _make_mp4(duration_ms=7500, timescale=90000, w=1280, h=720,
+                   audio=False, v1=True)
+    assert _mp4_metadata(v1) == (7500, 1280, 720, True, False)
+    assert _mp4_metadata(b"RIFFxxxxWEBP") is None
+    assert _mp4_metadata(None) is None
+    assert _mp4_metadata(b"\x00\x00\x00\x08ftyp" + b"\x00" * 8) is None
+
+    df = spark.createDataFrame(
+        [("a", mp4), ("b", b"junk" * 8)], "media_id string, payload binary"
+    )
+    out = video_metadata(df).toPandas().set_index("media_id")
+    assert out.loc["a"].vid_format == "mp4"
+    assert out.loc["a"].vid_duration_ms == 5000
+    assert (out.loc["a"].vid_width, out.loc["a"].vid_height) == (640, 360)
+    assert bool(out.loc["a"].vid_has_audio)
+    assert out.loc["b"].vid_format is None
+
+    # composes with the frame-sampling plumbing: 5 frames at 1000ms
+    from pyspark.sql import functions as sf
+
+    frames = sample_video_frames(
+        video_metadata(df)
+        .filter(sf.col("vid_format").isNotNull())
+        .withColumnRenamed("vid_duration_ms", "duration_ms")
+    )
+    assert frames.count() == 5
