@@ -1382,7 +1382,10 @@ def _flac_metadata(data: bytes):
             total = v & ((1 << 36) - 1)
             if rate == 0:
                 return None
-            return rate, channels, total
+            # total == 0 is the spec's UNKNOWN-length sentinel
+            # (streamed/live captures): report NULL samples, not a
+            # fake 0 ms duration
+            return rate, channels, (total if total else None)
         if hdr & 0x80:  # last-block flag and no STREAMINFO seen
             return None
         p += 4 + size
@@ -1411,9 +1414,18 @@ def _ogg_metadata(data: bytes):
         return None
     if rate == 0 or channels == 0:
         return None
-    last = data.rfind(b"OggS")
-    if last < 0 or last + 14 > len(data):
-        return None
+    # find the last VALID page header: 'OggS' can occur inside
+    # compressed packet bytes, so require the version-0 byte and a
+    # complete 27-byte header before trusting a granule
+    end = len(data)
+    last = -1
+    while True:
+        last = data.rfind(b"OggS", 0, end)
+        if last < 0:
+            return None
+        if last + 27 <= len(data) and data[last + 4] == 0:
+            break
+        end = last
     granule = int.from_bytes(data[last + 6 : last + 14], "little")
     if granule >= (1 << 62):  # -1 marker / corrupt
         return None
@@ -1563,7 +1575,9 @@ def decode_audio_features(
                 return (
                     rate,
                     n_samples,
-                    int(n_samples * 1000 / rate),
+                    # n_samples None = container says UNKNOWN length
+                    (int(n_samples * 1000 / rate)
+                     if n_samples is not None else None),
                     None,
                     None,
                     None,
@@ -1866,7 +1880,8 @@ def _mp4_metadata(data: bytes | None):
 def video_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Attach container-parsed video metadata columns —
     ``vid_format`` ('mp4' or NULL), ``vid_duration_ms``,
-    ``vid_width``, ``vid_height``, ``vid_has_audio`` — without any
+    ``vid_width``, ``vid_height``, ``vid_has_video``,
+    ``vid_has_audio`` — without any
     codec (ISO-BMFF box walk: mvhd duration, tkhd dimensions, hdlr
     track types). The video twin of the audio/image metadata tiers;
     ``vid_duration_ms`` feeds ``sample_video_frames``'s
@@ -1881,6 +1896,7 @@ def video_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             T.StructField("vid_duration_ms", T.LongType()),
             T.StructField("vid_width", T.IntegerType()),
             T.StructField("vid_height", T.IntegerType()),
+            T.StructField("vid_has_video", T.BooleanType()),
             T.StructField("vid_has_audio", T.BooleanType()),
         ]
     )
@@ -1897,6 +1913,7 @@ def video_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             pdf["vid_duration_ms"] = [m[0] if m else None for m in metas]
             pdf["vid_width"] = [m[1] if m else None for m in metas]
             pdf["vid_height"] = [m[2] if m else None for m in metas]
+            pdf["vid_has_video"] = [m[3] if m else None for m in metas]
             pdf["vid_has_audio"] = [m[4] if m else None for m in metas]
             yield pdf
 
@@ -2092,7 +2109,10 @@ def _image_header_meta(data: bytes | None):
                 pos += 8 + size + (size & 1)
             return None
         if data[:2] in (b"P5", b"P6") and data[2:3].isspace():
-            toks = re.split(rb"\s+", data[2:200].strip())
+            # netpbm headers may carry '#' comment lines between
+            # tokens — same tokenizer rule as _decode_pnm
+            head = re.sub(rb"#[^\n]*", b" ", data[2:400])
+            toks = re.split(rb"\s+", head.strip())
             if len(toks) >= 2:
                 return "pnm", int(toks[0]), int(toks[1])
     except (IndexError, ValueError):

@@ -81,8 +81,15 @@ def _find_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             se = rest.rfind(b"endstream")
             if se >= 0:
                 # /Length may be an indirect ref; the endstream frame
-                # is authoritative for this scan
-                stream = rest[:se].rstrip(b"\r\n")
+                # is authoritative for this scan. Strip AT MOST the
+                # one EOL the spec puts before 'endstream' — a
+                # trailing data byte that happens to be 0x0A/0x0D
+                # (e.g. the last zlib checksum byte) must survive
+                stream = rest[:se]
+                if stream.endswith(b"\r\n"):
+                    stream = stream[:-2]
+                elif stream.endswith((b"\n", b"\r")):
+                    stream = stream[:-1]
             body = head
         objects[int(m.group(1))] = (body, stream)
         if stream is not None and re.search(rb"/Type\s*/ObjStm\b", body):
@@ -156,7 +163,13 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
         if prev is not None:
             table[size] = prev + entry[:1]
             size += 1
-        if size + early - 1 >= (1 << width) and width < 12:
+        # PDF 7.4.4.2: the code width grows when the ENCODER adds
+        # entry 2^width - EarlyChange (511/1023/2047 at the default
+        # EarlyChange=1). The decoder's table lags the encoder's by
+        # exactly one entry at each read position, so the DECODER
+        # bumps one table-addition earlier: after adding entry 510,
+        # size (next free) is 511 and 511 + 1 >= 512.
+        if size + early >= (1 << width) and width < 12:
             width += 1
         prev = entry
     return bytes(out)

@@ -1698,17 +1698,24 @@ def compact_ann_index(
     by cell (one compacted file per cell instead of one per
     batch x cell) and appended into the base cell directories.
 
-    Crash-safe exactly-once, in the same spirit as the stream's
-    dynamic-overwrite idiom: the whole updates dir is first RENAMED to
-    a ``<updates_dir>.compacting`` staging name (one atomic metadata
-    op — a concurrent micro-batch commits either before the rename,
-    and is compacted, or after, recreating a fresh updates dir for the
-    next cycle), the fold writes a ``_folded`` marker inside staging
-    when the append commits, and only then is staging deleted. A
-    re-run after a crash at ANY point resumes: staging present without
-    the marker -> fold again (the append never committed — Spark's
-    file committer is all-or-nothing per job); marker present -> just
-    delete. Default ``updates_dir`` is ``<index_path>_updates``.
+    Crash-safe exactly-once, three idempotent phases:
+
+    1. The whole updates dir is RENAMED to ``<updates_dir>.compacting``
+       (one atomic metadata op — a concurrent micro-batch commits
+       either before the rename, and is compacted, or after,
+       recreating a fresh updates dir for the next cycle).
+    2. The compacted rows are written to ``staging/_folded_out``
+       (overwrite mode), and a ``_folded`` marker is created when that
+       job commits. Until the marker exists nothing has touched the
+       base, so a crash anywhere in phase 2 just re-runs it — the
+       overwrite replaces any partial output wholesale.
+    3. Each ``_folded_out`` part file is MOVED into its base cell
+       directory by filesystem rename — atomic per file, and a moved
+       file is gone from ``_folded_out``, so a crash mid-phase-3
+       resumes moving only the remainder; nothing is ever appended
+       twice. Staging is deleted last.
+
+    Default ``updates_dir`` is ``<index_path>_updates``.
 
     Run at stream quiesce points (between ``ann_index_stream`` runs or
     after stop): compacting a batch the stopped stream would RETRY on
@@ -1718,15 +1725,17 @@ def compact_ann_index(
     from ..io.ingest import hadoop_fs
 
     updates_dir = updates_dir or index_path.rstrip("/") + "_updates"
-    _, fs, upath = hadoop_fs(spark, updates_dir)
+    jvm, fs, upath = hadoop_fs(spark, updates_dir)
     staging = updates_dir.rstrip("/") + ".compacting"
     _, _, spath = hadoop_fs(spark, staging)
     _, _, mpath = hadoop_fs(spark, staging + "/_folded")
+    folded_out = staging + "/_folded_out"
     if not fs.exists(spath):
         if not fs.exists(upath):
             return 0
         fs.rename(upath, spath)
-    n = 0
+    # phase 2: compact into the staging-local output (idempotent —
+    # the base is untouched until the marker exists)
     if not fs.exists(mpath):
         try:
             inc = spark.read.parquet(staging)
@@ -1735,21 +1744,37 @@ def compact_ann_index(
                 raise
             inc = None
         if inc is not None:
-            from pyspark import StorageLevel
-
-            folded = (
+            (
                 inc.drop("batch_id")
                 .repartition("ivf_cell")
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .write.partitionBy("ivf_cell")
+                .mode("overwrite")
+                .parquet(folded_out)
             )
-            try:
-                n = folded.count()
-                if n:
-                    folded.write.partitionBy("ivf_cell").mode(
-                        "append"
-                    ).parquet(index_path)
-            finally:
-                folded.unpersist()
         fs.create(mpath, True).close()
+    # phase 3: move part files into the base cell dirs (atomic per
+    # file; re-runs move only what remains)
+    n = 0
+    _, _, fopath = hadoop_fs(spark, folded_out)
+    if fs.exists(fopath):
+        try:
+            n = spark.read.parquet(folded_out).count()
+        except Exception as exc:
+            if "infer" not in str(exc).lower():
+                raise
+            n = 0
+        Path = jvm.org.apache.hadoop.fs.Path
+        for cell_dir in fs.listStatus(fopath):
+            if not cell_dir.isDirectory():
+                continue
+            cell_name = cell_dir.getPath().getName()
+            if not cell_name.startswith("ivf_cell="):
+                continue
+            target = Path(index_path.rstrip("/") + "/" + cell_name)
+            fs.mkdirs(target)
+            for f in fs.listStatus(cell_dir.getPath()):
+                name = f.getPath().getName()
+                if name.endswith(".parquet"):
+                    fs.rename(f.getPath(), Path(target, name))
     fs.delete(spath, True)
     return n

@@ -45,27 +45,41 @@ __all__ = ["decode_webp"]
 
 # --- distance mapping ------------------------------------------------
 def _make_distance_table() -> list[tuple[int, int]]:
+    """The 120 2D neighbor offsets for distance codes 1..120. The
+    spec's plane-code encoding ((dy << 4) | (8 - dx), one uint8 per
+    entry) structurally bounds dx to [-7, 8] and dy to [0, 7]; with
+    dy == 0 requiring dx >= 1, that candidate set has EXACTLY 120
+    members — the table is the full set ordered by squared distance,
+    then |dx|, positive dx first."""
     cands = []
-    for dy in range(0, 9):
-        for dx in range(-8, 9):
-            if dy == 0 and dx <= 0:
-                continue
-            if dy == 0 and dx == 0:
+    for dy in range(0, 8):
+        for dx in range(-7, 9):
+            if dy == 0 and dx < 1:
                 continue
             cands.append((dx, dy))
+    assert len(cands) == 120
     cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]),
                               0 if p[0] >= 0 else 1))
-    return cands[:120]
+    return cands
 
 
 _DIST_TABLE = _make_distance_table()
 
+# decode budget shared in spirit with multimodal._MAX_IMAGE_SAMPLES:
+# the per-pixel loops here are pure Python, so a hostile image must
+# fall to the stub, not wedge the Spark stage
+_MAX_PIXELS = 50_000_000 // 3
+
 # spot-pin the published table's head so a rule regression can't slip
 # through silently (first rows of the spec's listing)
-assert _DIST_TABLE[:12] == [
+assert _DIST_TABLE[:24] == [
     (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
     (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+    (0, 3), (3, 0), (1, 3), (-1, 3), (3, 1), (-3, 1),
+    (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
 ]
+# every entry must be expressible as a plane code byte
+assert all(0 <= 8 - dx <= 15 and 0 <= dy <= 7 for dx, dy in _DIST_TABLE)
 
 
 class _Bits:
@@ -532,6 +546,11 @@ def decode_webp(data: bytes) -> np.ndarray | None:
         h = bits.read(14) + 1
         bits.bit()  # alpha hint
         if bits.read(3) != 0:  # version must be 0
+            return None
+        # anti-bomb cap, same budget as the PNG/JPEG decoders: a
+        # few-KB payload may declare 16384x16384 and LZ77-fill it —
+        # refuse rather than stall an executor on 268M-pixel loops
+        if w * h > _MAX_PIXELS:
             return None
 
         # transforms, in bitstream order

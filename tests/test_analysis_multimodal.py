@@ -2459,6 +2459,15 @@ def test_flac_and_ogg_metadata_tiers(spark):
     assert _flac_metadata(flac) == (44100, 2, 88200)
     assert _flac_metadata(b"fLaCxx") is None
     assert _flac_metadata(b"RIFFxxxx") is None
+    # total_samples == 0 is the spec's UNKNOWN sentinel: duration must
+    # come back NULL, not a fake 0 ms (review finding)
+    v0 = (44100 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36)
+    si0 = (
+        (1152).to_bytes(2, "big") * 2 + b"\x00\x00\x00" * 2
+        + v0.to_bytes(8, "big") + b"\x00" * 16
+    )
+    flac0 = b"fLaC" + bytes([0x80]) + len(si0).to_bytes(3, "big") + si0
+    assert _flac_metadata(flac0) == (44100, 2, None)
 
     def ogg_page(body, granule, first=True):
         return (
@@ -2478,6 +2487,14 @@ def test_flac_and_ogg_metadata_tiers(spark):
     ogg2 = ogg_page(opus_head, 0) + ogg_page(b"x", 48312, first=False)
     assert _ogg_metadata(ogg2) == (48000, 1, 48000)
     assert _ogg_metadata(b"OggSgarbage" + b"\x00" * 60) is None
+    # 'OggS' inside the last page's PACKET bytes must not false-sync
+    # the granule read (review finding): the fake marker is followed
+    # by a nonzero version byte, so the scan steps back to the real
+    # page header
+    poisoned = ogg_page(ident, 0) + ogg_page(
+        b"\x05vorbisOggS\xffjunkjunk", 22050, first=False
+    )
+    assert _ogg_metadata(poisoned) == (22050, 2, 22050)
 
     # Spark tier wiring
     df = spark.createDataFrame(
@@ -2704,6 +2721,9 @@ def test_image_metadata_header_parse(spark):
 
     pnm = b"P6\n64 48\n255\n" + b"\x00" * 10
     assert _image_header_meta(pnm) == ("pnm", 64, 48)
+    # netpbm '#' comment lines between tokens (review finding)
+    pnm_c = b"P5\n# CREATOR: netpbm\n640 480\n255\n" + b"\x00" * 4
+    assert _image_header_meta(pnm_c) == ("pnm", 640, 480)
     assert _image_header_meta(b"not an image") is None
     assert _image_header_meta(None) is None
 
@@ -2788,6 +2808,7 @@ def test_mp4_metadata_box_walk(spark):
     assert out.loc["a"].vid_format == "mp4"
     assert out.loc["a"].vid_duration_ms == 5000
     assert (out.loc["a"].vid_width, out.loc["a"].vid_height) == (640, 360)
+    assert bool(out.loc["a"].vid_has_video)
     assert bool(out.loc["a"].vid_has_audio)
     assert out.loc["b"].vid_format is None
 

@@ -400,8 +400,16 @@ def _lzw_encode(data):
         emit(table[w])
         table[wc] = size
         size += 1
-        if size + 1 - 1 >= (1 << width) and width < 12:
+        # EarlyChange=1 ENCODER: codes are wider as soon as entry
+        # 511/1023/2047 is added (PDF 7.4.4.2). The decoder bumps one
+        # table-addition EARLIER (its table lags the encoder by one
+        # entry at each read position).
+        if size >= (1 << width) and width < 12:
             width += 1
+        if size >= 4095:  # table full: clear, as real encoders do
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            size, width = 258, 9
         w = bytes([ch])
     if w:
         emit(table[w])
@@ -531,3 +539,46 @@ def test_pdf_to_documents_composes_with_stream(spark, tmp_path):
     key = lambda r: r["url"]
     assert sorted(got, key=key) == sorted(want, key=key)
     assert len(got) == 2
+
+
+def test_filter_lzw_width_growth_past_511():
+    """A low-redundancy stream forcing the 9->10 bit width bump at
+    entry 511 (EarlyChange=1, the Acrobat convention) — the reviewer
+    found the decoder and twin shared an off-by-one here."""
+    import random
+
+    rng = random.Random(7)
+    # ~2000 distinct-ish bytes -> dictionary passes 511 entries
+    middle = bytes(rng.randrange(256) for _ in range(2000))
+    content = b"BT (wide) Tj ET % " + middle.replace(b"(", b"_").replace(
+        b")", b"_"
+    ).replace(b"\\", b"_").replace(b"\n", b"_").replace(b"\r", b"_")
+    pdf = make_pdf_filtered(
+        content, b"/Filter /LZWDecode", _lzw_encode(content)
+    )
+    text, _, ex = extract_pdf_text(pdf)
+    assert (text, ex) == ("wide", "pdf-text")
+
+
+def test_stream_trailing_newline_byte_survives():
+    """A Flate stream whose last checksum byte is 0x0A must not lose
+    it to EOL stripping (reviewer finding: rstrip(b'\\r\\n') corrupted
+    ~1.5% of streams)."""
+    content = b"BT (eol byte) Tj ET"
+    enc = None
+    # tune the adler32 (the stream's LAST bytes) via two raw bytes in
+    # a trailing comment until the compressed stream ends in 0x0A
+    legal = [b for b in range(256) if b not in (10, 13)]
+    for k1 in legal:
+        for k2 in legal:
+            candidate = content + b" %" + bytes([k1, k2])
+            z = zlib.compress(candidate)
+            if z.endswith(b"\n"):
+                enc = z
+                content_expected = candidate
+                break
+        if enc is not None:
+            break
+    assert enc is not None
+    pdf = make_pdf_filtered(content, b"/Filter /FlateDecode", enc)
+    assert extract_pdf_text(pdf)[0] == "eol byte"

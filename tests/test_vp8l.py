@@ -747,3 +747,42 @@ def test_animated_webp_first_frame():
     body2 = b"WEBP" + vp8x + anim + anmf2
     riff2 = b"RIFF" + len(body2).to_bytes(4, "little") + body2
     assert decode_webp(riff2) is None
+
+
+def test_distance_table_structural_bounds():
+    """Review finding: the generated table must be exactly the
+    plane-code-expressible candidate set (dx in [-7, 8], dy in [0, 7],
+    dx >= 1 when dy == 0) — 120 members with no selection — ordered by
+    squared distance, |dx|, positive first."""
+    assert len(_DIST_TABLE) == len(set(_DIST_TABLE)) == 120
+    for dx, dy in _DIST_TABLE:
+        assert -7 <= dx <= 8 and 0 <= dy <= 7
+        if dy == 0:
+            assert dx >= 1
+    d2 = [dx * dx + dy * dy for dx, dy in _DIST_TABLE]
+    assert d2 == sorted(d2)
+    # the full candidate set is covered
+    want = {
+        (dx, dy)
+        for dy in range(8)
+        for dx in range(-7, 9)
+        if not (dy == 0 and dx < 1)
+    }
+    assert set(_DIST_TABLE) == want
+
+
+def test_decode_bomb_guard():
+    """A tiny payload declaring 16384x16384 must fall to None, not
+    wedge the executor (review finding)."""
+    bw = BW()
+    bw.b(16383, 14)
+    bw.b(16383, 14)
+    bw.b(0)
+    bw.b(0, 3)
+    bw.b(0)  # no transforms
+    bw.b(0)  # no cache
+    bw.b(0)  # no meta
+    body = b"\x2f" + bw.bytes() + b"\x00" * 64
+    chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
+    riff = b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+    assert decode_webp(riff) is None
