@@ -1877,18 +1877,119 @@ def _mp4_metadata(data: bytes | None):
     return None
 
 
+def _ebml_vint(data: bytes, p: int, keep_marker: bool):
+    """One EBML variable-length integer at ``p``: returns
+    ``(value, next_pos)`` or None. Element IDs keep the length-marker
+    bit (``keep_marker=True``); sizes strip it."""
+    if p >= len(data):
+        return None
+    first = data[p]
+    if first == 0:
+        return None
+    length = 8 - first.bit_length() + 1
+    if p + length > len(data):
+        return None
+    if keep_marker:
+        v = int.from_bytes(data[p : p + length], "big")
+    else:
+        v = first & ((1 << (8 - length)) - 1)
+        for i in range(1, length):
+            v = (v << 8) | data[p + i]
+        if v == (1 << (7 * length)) - 1:
+            # all-ones = UNKNOWN size (streaming/live Segments):
+            # clamp to the enclosing end at the walk
+            v = 1 << 62
+    return v, p + length
+
+
+def _ebml_walk(data: bytes, p: int, end: int):
+    """Yield ``(element_id, body_start, body_end)`` over one EBML
+    level."""
+    while p < end:
+        got = _ebml_vint(data, p, keep_marker=True)
+        if got is None:
+            return
+        eid, p = got
+        got = _ebml_vint(data, p, keep_marker=False)
+        if got is None:
+            return
+        size, p = got
+        body_end = min(end, p + size)
+        yield eid, p, body_end
+        p = body_end
+
+
+def _webm_metadata(data: bytes | None):
+    """Matroska/WebM metadata via an EBML walk — no codec:
+    ``(duration_ms, width, height, has_video, has_audio)``. Duration =
+    Info.Duration (float ticks) x Info.TimecodeScale (ns per tick,
+    default 1e6); dimensions from the first video TrackEntry. Returns
+    None when the payload is not EBML."""
+    if data is None or len(data) < 8 or data[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+    segment = None
+    for eid, b0, b1 in _ebml_walk(data, 0, len(data)):
+        if eid == 0x18538067:  # Segment
+            segment = (b0, b1)
+            break
+    if segment is None:
+        return None
+    duration_ms = 0
+    width = height = 0
+    has_video = has_audio = False
+    scale_ns = 1_000_000
+    dur_ticks = 0.0
+    for eid, b0, b1 in _ebml_walk(data, segment[0], segment[1]):
+        if eid == 0x1549A966:  # Info
+            for iid, i0, i1 in _ebml_walk(data, b0, b1):
+                if iid == 0x2AD7B1:  # TimecodeScale
+                    scale_ns = int.from_bytes(data[i0:i1], "big")
+                elif iid == 0x4489:  # Duration: 4- or 8-byte float
+                    import struct
+
+                    if i1 - i0 == 4:
+                        dur_ticks = struct.unpack(">f", data[i0:i1])[0]
+                    elif i1 - i0 == 8:
+                        dur_ticks = struct.unpack(">d", data[i0:i1])[0]
+        elif eid == 0x1654AE6B:  # Tracks
+            for tid, t0, t1 in _ebml_walk(data, b0, b1):
+                if tid != 0xAE:  # TrackEntry
+                    continue
+                ttype = 0
+                vw = vh = 0
+                for fid, f0, f1 in _ebml_walk(data, t0, t1):
+                    if fid == 0x83:  # TrackType
+                        ttype = data[f0] if f1 > f0 else 0
+                    elif fid == 0xE0:  # Video
+                        for vid_, v0, v1 in _ebml_walk(data, f0, f1):
+                            if vid_ == 0xB0:
+                                vw = int.from_bytes(data[v0:v1], "big")
+                            elif vid_ == 0xBA:
+                                vh = int.from_bytes(data[v0:v1], "big")
+                if ttype == 1:
+                    has_video = True
+                    width = max(width, vw)
+                    height = max(height, vh)
+                elif ttype == 2:
+                    has_audio = True
+    if dur_ticks > 0 and scale_ns > 0:
+        duration_ms = int(dur_ticks * scale_ns / 1_000_000)
+    return duration_ms, width, height, has_video, has_audio
+
+
 def video_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Attach container-parsed video metadata columns —
-    ``vid_format`` ('mp4' or NULL), ``vid_duration_ms``,
+    ``vid_format`` ('mp4' / 'webm' or NULL), ``vid_duration_ms``,
     ``vid_width``, ``vid_height``, ``vid_has_video``,
     ``vid_has_audio`` — without any
     codec (ISO-BMFF box walk: mvhd duration, tkhd dimensions, hdlr
-    track types). The video twin of the audio/image metadata tiers;
+    track types; Matroska/WebM EBML walk: Info duration x
+    TimecodeScale, video TrackEntry dimensions, track kinds). The
+    video twin of the audio/image metadata tiers;
     ``vid_duration_ms`` feeds ``sample_video_frames``'s
     ``duration_ms`` contract directly, so frame-sampling plumbing
-    runs on real crawl mp4 payloads. One Arrow-batched pass, payload
-    bytes never shuffle. Matroska/WebM stays honestly NULL (EBML
-    parse not implemented)."""
+    runs on real crawl mp4/webm payloads. One Arrow-batched pass,
+    payload bytes never shuffle."""
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -1904,12 +2005,22 @@ def video_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = []
+            fmts = []
             for p in pdf[payload_col]:
-                try:
-                    metas.append(_mp4_metadata(p))
-                except Exception:  # noqa: BLE001 - dirty payload
-                    metas.append(None)
-            pdf["vid_format"] = ["mp4" if m else None for m in metas]
+                m = None
+                fmt = None
+                for name, fn in (("mp4", _mp4_metadata),
+                                 ("webm", _webm_metadata)):
+                    try:
+                        m = fn(p)
+                    except Exception:  # noqa: BLE001 - dirty payload
+                        m = None
+                    if m is not None:
+                        fmt = name
+                        break
+                metas.append(m)
+                fmts.append(fmt)
+            pdf["vid_format"] = fmts
             pdf["vid_duration_ms"] = [m[0] if m else None for m in metas]
             pdf["vid_width"] = [m[1] if m else None for m in metas]
             pdf["vid_height"] = [m[2] if m else None for m in metas]

@@ -2821,3 +2821,76 @@ def test_mp4_metadata_box_walk(spark):
         .withColumnRenamed("vid_duration_ms", "duration_ms")
     )
     assert frames.count() == 5
+
+
+def _ebml(eid_bytes, body):
+    # size as a 2-byte vint (0x4000 | size) keeps the fixture simple
+    assert len(body) < 0x3FFF
+    return eid_bytes + bytes([0x40 | (len(body) >> 8), len(body) & 0xFF]) + body
+
+
+def _make_webm(duration_ms=4000, scale_ns=1_000_000, w=320, h=240,
+               audio=True):
+    import struct
+
+    info = _ebml(
+        b"\x15\x49\xa9\x66",
+        _ebml(b"\x2a\xd7\xb1", scale_ns.to_bytes(3, "big"))
+        + _ebml(b"\x44\x89", struct.pack(
+            ">d", duration_ms * 1_000_000 / scale_ns)),
+    )
+    video = _ebml(
+        b"\xe0",
+        _ebml(b"\xb0", w.to_bytes(2, "big"))
+        + _ebml(b"\xba", h.to_bytes(2, "big")),
+    )
+    vtrack = _ebml(b"\xae", _ebml(b"\x83", b"\x01") + video)
+    atrack = _ebml(b"\xae", _ebml(b"\x83", b"\x02")) if audio else b""
+    tracks = _ebml(b"\x16\x54\xae\x6b", vtrack + atrack)
+    segment = _ebml(b"\x18\x53\x80\x67", info + tracks)
+    header = _ebml(b"\x1a\x45\xdf\xa3", b"\x42\x82\x84webm"[:0] + b"")
+    return header + segment
+
+
+def test_webm_metadata_ebml_walk(spark):
+    """EBML walk: duration from Info (float ticks x TimecodeScale),
+    dims from the video TrackEntry, track kinds; mp4 and webm coexist
+    in one video_metadata pass."""
+    from opencosmo_spark.pipeline.multimodal import (
+        _webm_metadata,
+        video_metadata,
+    )
+
+    webm = _make_webm(duration_ms=4000, w=320, h=240, audio=True)
+    assert _webm_metadata(webm) == (4000, 320, 240, True, True)
+    noaudio = _make_webm(duration_ms=1500, scale_ns=500_000, w=64, h=48,
+                         audio=False)
+    assert _webm_metadata(noaudio) == (1500, 64, 48, True, False)
+    assert _webm_metadata(b"RIFFxxxxWEBP") is None
+    assert _webm_metadata(None) is None
+
+    df = spark.createDataFrame(
+        [("m", _make_mp4(duration_ms=2000)), ("w", webm), ("x", b"junk!")],
+        "media_id string, payload binary",
+    )
+    out = video_metadata(df).toPandas().set_index("media_id")
+    assert out.loc["m"].vid_format == "mp4"
+    assert out.loc["w"].vid_format == "webm"
+    assert out.loc["w"].vid_duration_ms == 4000
+    assert (out.loc["w"].vid_width, out.loc["w"].vid_height) == (320, 240)
+    assert bool(out.loc["w"].vid_has_video) and bool(out.loc["w"].vid_has_audio)
+    assert out.loc["x"].vid_format is None
+
+
+def test_webm_unknown_size_segment():
+    """Streaming WebM encodes the Segment size as an all-ones vint
+    (UNKNOWN): the walk must clamp it to end-of-data, not stop at a
+    127-byte body."""
+    from opencosmo_spark.pipeline.multimodal import _webm_metadata
+
+    full = _make_webm(duration_ms=2500, w=100, h=80, audio=False)
+    # rebuild with an unknown-size segment: header + 0x18538067 + 0xFF
+    seg_at = full.index(b"\x18\x53\x80\x67")
+    seg_body_at = seg_at + 4 + 2  # id + 2-byte size vint
+    streaming = full[:seg_at] + b"\x18\x53\x80\x67\xff" + full[seg_body_at:]
+    assert _webm_metadata(streaming) == (2500, 100, 80, True, False)
