@@ -1834,7 +1834,11 @@ def _mp4_metadata(data: bytes | None):
     top = list(_mp4_boxes(data, 0, len(data)))
     if not top or top[0][0] != b"ftyp":
         return None
-    duration_ms = 0
+    # NULL, not fake 0: a missing mvhd or zero timescale means the
+    # container does not state a duration (fragmented mp4, live), and
+    # a consumer must be able to tell that from a genuine 0-length
+    # clip — same posture as the FLAC n_samples==0 sentinel.
+    duration_ms = None
     width = height = 0
     has_video = has_audio = False
     for btype, b0, b1 in top:
@@ -1934,11 +1938,13 @@ def _webm_metadata(data: bytes | None):
             break
     if segment is None:
         return None
-    duration_ms = 0
+    # NULL, not fake 0: live/streamed WebM legitimately omits
+    # Info.Duration — distinguish "unknown" from a real 0-length clip.
+    duration_ms = None
     width = height = 0
     has_video = has_audio = False
     scale_ns = 1_000_000
-    dur_ticks = 0.0
+    dur_ticks = None
     for eid, b0, b1 in _ebml_walk(data, segment[0], segment[1]):
         if eid == 0x1549A966:  # Info
             for iid, i0, i1 in _ebml_walk(data, b0, b1):
@@ -1972,7 +1978,7 @@ def _webm_metadata(data: bytes | None):
                     height = max(height, vh)
                 elif ttype == 2:
                     has_audio = True
-    if dur_ticks > 0 and scale_ns > 0:
+    if dur_ticks is not None and scale_ns > 0:
         duration_ms = int(dur_ticks * scale_ns / 1_000_000)
     return duration_ms, width, height, has_video, has_audio
 

@@ -67,7 +67,11 @@ def _find_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     (incremental updates append replacements at top level)."""
     objects: dict[int, tuple[bytes, bytes | None]] = {}
     objstms: list[tuple[bytes, bytes]] = []
+    consumed = 0  # end of the last fully-framed object: 'N G obj'
+    # matches INSIDE a /Length-framed stream are data, not objects
     for m in _OBJ_RE.finditer(data):
+        if m.start() < consumed:
+            continue
         start = m.end()
         end = data.find(b"endobj", start)
         if end < 0:
@@ -78,20 +82,45 @@ def _find_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
         if sm is not None:
             head = body[: sm.start()]
             rest = body[sm.end():]
-            se = rest.rfind(b"endstream")
-            if se >= 0:
-                # /Length may be an indirect ref; the endstream frame
-                # is authoritative for this scan. Strip AT MOST the
-                # one EOL the spec puts before 'endstream' — a
-                # trailing data byte that happens to be 0x0A/0x0D
-                # (e.g. the last zlib checksum byte) must survive
-                stream = rest[:se]
-                if stream.endswith(b"\r\n"):
-                    stream = stream[:-2]
-                elif stream.endswith((b"\n", b"\r")):
-                    stream = stream[:-1]
+            # a DIRECT /Length is authoritative (PDF 32000-1 §7.3.8.1)
+            # — the byte-frame fallbacks below misframe a stream whose
+            # compressed data happens to contain 'endobj'/'endstream'
+            lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+            sabs = start + sm.end()  # absolute stream-data offset
+            if lm is not None:
+                ln = int(lm.group(1))
+                tail = data[sabs + ln : sabs + ln + 16]
+                if re.match(rb"\s{0,2}endstream", tail):
+                    stream = data[sabs : sabs + ln]
+                    end = data.find(b"endobj", sabs + ln)
+                    if end < 0:
+                        end = sabs + ln
+            if stream is None:
+                se = rest.rfind(b"endstream")
+                if se < 0:
+                    # first 'endobj' fell inside the stream data and
+                    # /Length was absent/indirect: frame forward to
+                    # the next 'endstream' in the file instead
+                    se_abs = data.find(b"endstream", sabs)
+                    if se_abs >= 0:
+                        rest = data[sabs:se_abs]
+                        se = len(rest)
+                        end = data.find(b"endobj", se_abs)
+                        if end < 0:
+                            end = se_abs
+                if se >= 0:
+                    # Strip AT MOST the one EOL the spec puts before
+                    # 'endstream' — a trailing data byte that happens
+                    # to be 0x0A/0x0D (e.g. the last zlib checksum
+                    # byte) must survive
+                    stream = rest[:se]
+                    if stream.endswith(b"\r\n"):
+                        stream = stream[:-2]
+                    elif stream.endswith((b"\n", b"\r")):
+                        stream = stream[:-1]
             body = head
         objects[int(m.group(1))] = (body, stream)
+        consumed = end
         if stream is not None and re.search(rb"/Type\s*/ObjStm\b", body):
             objstms.append((body, stream))
     for head, stream in objstms:
@@ -213,12 +242,58 @@ def _png_unpredict(data: bytes, columns: int, colors: int,
     return bytes(out)
 
 
+def _decode_parms(head: bytes, n_filters: int) -> list[bytes | None]:
+    """Per-filter /DecodeParms (or the /DP abbreviation) bodies,
+    aligned with the /Filter chain. Handles BOTH spec forms: a single
+    ``<<...>>`` dict (applies to the first filter) and the array form
+    used with /Filter arrays — ``[null <</Predictor 12 ...>>]`` —
+    where entry i parameterizes filter i (PDF 32000-1 §7.3.8.2)."""
+    parms: list[bytes | None] = [None] * n_filters
+    m = re.search(rb"/(?:DecodeParms|DP)\s*(<<|\[)", head)
+    if m is None:
+        return parms
+    if m.group(1) == b"<<":
+        dm = re.search(rb"/(?:DecodeParms|DP)\s*<<(.*?)>>", head, re.S)
+        if dm and n_filters:
+            # single-dict form: some writers pair one dict with a
+            # filter ARRAY meaning "the filter that takes parms" —
+            # replicate it (hex/85 filters ignore parms anyway)
+            parms = [dm.group(1)] * n_filters
+        return parms
+    am = re.search(rb"/(?:DecodeParms|DP)\s*\[(.*?)\]", head, re.S)
+    if am is None:
+        return parms
+    for i, em in enumerate(
+        re.finditer(rb"null|<<(.*?)>>", am.group(1), re.S)
+    ):
+        if i >= n_filters:
+            break
+        if em.group(0) != b"null":
+            parms[i] = em.group(1)
+    return parms
+
+
+def _predictor_parms(g: bytes | None) -> tuple[int, int, int, int, int]:
+    """(predictor, columns, colors, bits-per-component, early-change)
+    from one filter's parms dict body (defaults per the spec)."""
+    if not g:
+        return 0, 1, 1, 8, 1
+    vals = []
+    for key, dflt in ((rb"/Predictor", 0), (rb"/Columns", 1),
+                      (rb"/Colors", 1), (rb"/BitsPerComponent", 8),
+                      (rb"/EarlyChange", 1)):
+        m = re.search(key + rb"\s+(\d+)", g)
+        vals.append(int(m.group(1)) if m else dflt)
+    return tuple(vals)  # type: ignore[return-value]
+
+
 def _inflate(head: bytes, stream: bytes) -> bytes | None:
     """Apply the object's /Filter chain to its raw stream bytes:
     FlateDecode (+ optional PNG predictor from /DecodeParms),
     LZWDecode, ASCIIHexDecode, ASCII85Decode, and arrays chaining
-    them. Unknown filters (DCTDecode, JBIG2, crypt filters) return
-    None and the file falls to the honest ledger."""
+    them — each filter paired with ITS OWN /DecodeParms entry when
+    the array form is used. Unknown filters (DCTDecode, JBIG2, crypt
+    filters) return None and the file falls to the honest ledger."""
     fm = re.search(rb"/Filter\s*(?:\[(.*?)\]|/([A-Za-z0-9]+))", head, re.S)
     if fm is None:
         return stream
@@ -227,23 +302,12 @@ def _inflate(head: bytes, stream: bytes) -> bytes | None:
         if fm.group(1) is not None
         else [fm.group(2)]
     )
-    pred = cols = 0
-    colors, bpc = 1, 8
-    pm = re.search(rb"/DecodeParms\s*<<(.*?)>>", head, re.S)
-    if pm:
-        g = pm.group(1)
-        m = re.search(rb"/Predictor\s+(\d+)", g)
-        pred = int(m.group(1)) if m else 0
-        m = re.search(rb"/Columns\s+(\d+)", g)
-        cols = int(m.group(1)) if m else 1
-        m = re.search(rb"/Colors\s+(\d+)", g)
-        colors = int(m.group(1)) if m else 1
-        m = re.search(rb"/BitsPerComponent\s+(\d+)", g)
-        bpc = int(m.group(1)) if m else 8
+    all_parms = _decode_parms(head, len(names))
     data: bytes | None = stream
-    for name in names:
+    for name, g in zip(names, all_parms):
         if data is None:
             return None
+        pred, cols, colors, bpc, early = _predictor_parms(g)
         if name == b"FlateDecode":
             try:
                 data = zlib.decompress(data)
@@ -252,11 +316,6 @@ def _inflate(head: bytes, stream: bytes) -> bytes | None:
             if pred >= 10:
                 data = _png_unpredict(data, cols, colors, bpc)
         elif name == b"LZWDecode":
-            early = 1
-            if pm:
-                em = re.search(rb"/EarlyChange\s+(\d+)", pm.group(1))
-                if em:
-                    early = int(em.group(1))
             data = _lzw_decode(data, early)
             if data is not None and pred >= 10:
                 data = _png_unpredict(data, cols, colors, bpc)
@@ -632,6 +691,26 @@ def _content_text(stream: bytes, fonts: dict[str, dict] | None = None) -> str:
     return "\n".join("".join(ln) for ln in lines if ln)
 
 
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s*(?:\d+\s+\d+\s+R|<<)")
+
+
+def _is_encrypted(data: bytes, objects) -> bool:
+    """True when a TRAILER dictionary carries /Encrypt — classic
+    ``trailer << ... >>`` blocks and PDF 1.5+ cross-reference-stream
+    dicts (``/Type /XRef``, which hold the trailer entries). Scanning
+    the whole file instead would misclassify an unencrypted PDF whose
+    uncompressed content stream or a comment merely CONTAINS the
+    bytes ``/Encrypt 1 0 R``."""
+    for m in re.finditer(rb"trailer", data):
+        if _ENCRYPT_RE.search(data, m.end(), m.end() + 2048):
+            return True
+    for head, stream in objects.values():
+        if stream is not None and re.search(rb"/Type\s*/XRef\b", head):
+            if _ENCRYPT_RE.search(head):
+                return True
+    return False
+
+
 def extract_pdf_text(data: bytes | None) -> tuple[str, int, str]:
     """Extract text from one PDF payload. Returns
     ``(text, n_pages, extractor)`` — see the module docstring for the
@@ -646,9 +725,7 @@ def extract_pdf_text(data: bytes | None) -> tuple[str, int, str]:
         objects = _find_objects(data)
         if not objects:
             return "", 0, "stub"
-        if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data) or re.search(
-            rb"/Encrypt\s*<<", data
-        ):
+        if _is_encrypted(data, objects):
             n_pages = len(
                 [1 for h, _ in objects.values()
                  if re.search(rb"/Type\s*/Page\b", h)]

@@ -1705,10 +1705,13 @@ def compact_ann_index(
        either before the rename, and is compacted, or after,
        recreating a fresh updates dir for the next cycle).
     2. The compacted rows are written to ``staging/_folded_out``
-       (overwrite mode), and a ``_folded`` marker is created when that
-       job commits. Until the marker exists nothing has touched the
-       base, so a crash anywhere in phase 2 just re-runs it — the
-       overwrite replaces any partial output wholesale.
+       (overwrite mode), and a ``_folded.<row_count>`` marker is
+       created when that job commits. Until the marker exists nothing
+       has touched the base, so a crash anywhere in phase 2 just
+       re-runs it — the overwrite replaces any partial output
+       wholesale. The count in the marker name is what the function
+       returns, so a crash-resume in phase 3 still reports the full
+       cycle total.
     3. Each ``_folded_out`` part file is MOVED into its base cell
        directory by filesystem rename — atomic per file, and a moved
        file is gone from ``_folded_out``, so a crash mid-phase-3
@@ -1728,21 +1731,38 @@ def compact_ann_index(
     jvm, fs, upath = hadoop_fs(spark, updates_dir)
     staging = updates_dir.rstrip("/") + ".compacting"
     _, _, spath = hadoop_fs(spark, staging)
-    _, _, mpath = hadoop_fs(spark, staging + "/_folded")
     folded_out = staging + "/_folded_out"
     if not fs.exists(spath):
         if not fs.exists(upath):
             return 0
-        fs.rename(upath, spath)
+        # Hadoop rename reports most failures by returning False
+        # (HDFS) or raising FileNotFound (local fs copy fallback): a
+        # failed claim means another compactor took the updates dir
+        # between our exists() and rename() — back off and let the
+        # owner finish rather than racing it into phase 2/3.
+        try:
+            claimed = fs.rename(upath, spath)
+        except Exception:
+            claimed = False
+            if fs.exists(upath) or not fs.exists(spath):
+                raise  # a real failure, not a lost claim
+        if not claimed:
+            return 0
+    Path = jvm.org.apache.hadoop.fs.Path
     # phase 2: compact into the staging-local output (idempotent —
-    # the base is untouched until the marker exists)
-    if not fs.exists(mpath):
+    # the base is untouched until the marker exists). The folded row
+    # count is persisted IN the marker name (``_folded.<n>``) so a
+    # crash-resume in phase 3 still reports the true cycle total, not
+    # just the unmoved remainder.
+    marker = _folded_marker(fs, jvm, staging)
+    if marker is None:
         try:
             inc = spark.read.parquet(staging)
         except Exception as exc:  # empty dir: no parquet to infer from
             if "infer" not in str(exc).lower():
                 raise
             inc = None
+        n = 0
         if inc is not None:
             (
                 inc.drop("batch_id")
@@ -1751,19 +1771,14 @@ def compact_ann_index(
                 .mode("overwrite")
                 .parquet(folded_out)
             )
-        fs.create(mpath, True).close()
+            n = spark.read.parquet(folded_out).count()
+        fs.create(Path(staging + "/_folded.%d" % n), True).close()
+    else:
+        n = marker
     # phase 3: move part files into the base cell dirs (atomic per
     # file; re-runs move only what remains)
-    n = 0
     _, _, fopath = hadoop_fs(spark, folded_out)
     if fs.exists(fopath):
-        try:
-            n = spark.read.parquet(folded_out).count()
-        except Exception as exc:
-            if "infer" not in str(exc).lower():
-                raise
-            n = 0
-        Path = jvm.org.apache.hadoop.fs.Path
         for cell_dir in fs.listStatus(fopath):
             if not cell_dir.isDirectory():
                 continue
@@ -1775,6 +1790,35 @@ def compact_ann_index(
             for f in fs.listStatus(cell_dir.getPath()):
                 name = f.getPath().getName()
                 if name.endswith(".parquet"):
-                    fs.rename(f.getPath(), Path(target, name))
+                    if not fs.rename(f.getPath(), Path(target, name)):
+                        # a silent move failure must NOT fall through
+                        # to the staging delete below — that would
+                        # drop these index rows permanently.
+                        raise RuntimeError(
+                            "compact_ann_index: rename of %s into %s "
+                            "failed; staging kept for resume"
+                            % (name, cell_name)
+                        )
     fs.delete(spath, True)
     return n
+
+
+def _folded_marker(fs, jvm, staging: str) -> int | None:
+    """Return the folded-row count persisted by phase 2's
+    ``_folded.<n>`` marker, or None when phase 2 has not committed.
+    A bare legacy ``_folded`` marker reads as count-unknown 0 (the
+    pre-r13 layout, preserved so an in-flight staging dir resumes)."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    spath = Path(staging)
+    if not fs.exists(spath):
+        return None
+    for st in fs.listStatus(spath):
+        name = st.getPath().getName()
+        if name == "_folded":
+            return 0
+        if name.startswith("_folded."):
+            try:
+                return int(name.split(".", 1)[1])
+            except ValueError:
+                return 0
+    return None

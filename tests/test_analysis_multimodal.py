@@ -2894,3 +2894,40 @@ def test_webm_unknown_size_segment():
     seg_body_at = seg_at + 4 + 2  # id + 2-byte size vint
     streaming = full[:seg_at] + b"\x18\x53\x80\x67\xff" + full[seg_body_at:]
     assert _webm_metadata(streaming) == (2500, 100, 80, True, False)
+
+
+def test_video_duration_unknown_is_null():
+    """Containers that omit duration (live WebM without Info.Duration,
+    mvhd with timescale 0) report duration=None — NULL, not a fake 0 —
+    so a consumer can tell 'unknown' from a genuine 0-length clip,
+    matching the FLAC metadata tier's posture."""
+    import struct
+
+    from opencosmo_spark.pipeline.multimodal import (
+        _mp4_metadata,
+        _webm_metadata,
+    )
+
+    # mvhd timescale 0: dims/track kinds still parse, duration -> NULL
+    zerots = _make_mp4(duration_ms=0, timescale=0, w=640, h=360)
+    assert _mp4_metadata(zerots) == (None, 640, 360, True, True)
+    # a genuine 0-length clip (timescale valid, duration 0) stays 0
+    empty = _make_mp4(duration_ms=0, timescale=1000, w=64, h=48)
+    assert _mp4_metadata(empty) == (0, 64, 48, True, True)
+
+    # WebM Info without a Duration element (live/streamed capture)
+    info = _ebml(b"\x15\x49\xa9\x66",
+                 _ebml(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big")))
+    video = _ebml(b"\xe0", _ebml(b"\xb0", (100).to_bytes(2, "big"))
+                  + _ebml(b"\xba", (80).to_bytes(2, "big")))
+    vtrack = _ebml(b"\xae", _ebml(b"\x83", b"\x01") + video)
+    tracks = _ebml(b"\x16\x54\xae\x6b", vtrack)
+    live = (_ebml(b"\x1a\x45\xdf\xa3", b"")
+            + _ebml(b"\x18\x53\x80\x67", info + tracks))
+    assert _webm_metadata(live) == (None, 100, 80, True, False)
+    # Duration element present and exactly 0 ticks stays a real 0
+    info0 = _ebml(b"\x15\x49\xa9\x66",
+                  _ebml(b"\x44\x89", struct.pack(">d", 0.0)))
+    zero = (_ebml(b"\x1a\x45\xdf\xa3", b"")
+            + _ebml(b"\x18\x53\x80\x67", info0 + tracks))
+    assert _webm_metadata(zero) == (0, 100, 80, True, False)

@@ -582,3 +582,81 @@ def test_stream_trailing_newline_byte_survives():
     assert enc is not None
     pdf = make_pdf_filtered(content, b"/Filter /FlateDecode", enc)
     assert extract_pdf_text(pdf)[0] == "eol byte"
+
+
+def test_encrypt_literal_in_content_is_not_encrypted():
+    """An UNENCRYPTED pdf whose uncompressed content stream merely
+    contains the literal bytes '/Encrypt 1 0 R' must extract as
+    pdf-text, not be misclassified pdf-encrypted (the /Encrypt scan
+    is restricted to trailer dictionaries)."""
+    pdf = make_pdf([b"BT (see /Encrypt 1 0 R in the spec) Tj ET"])
+    text, n_pages, ex = extract_pdf_text(pdf)
+    assert ex == "pdf-text"
+    assert text == "see /Encrypt 1 0 R in the spec"
+    # and a comment mentioning it is just as harmless
+    pdf2 = make_pdf([b"BT (x) Tj ET"]).replace(
+        b"%PDF-1.4\n", b"%PDF-1.4\n% /Encrypt << /V 1 >>\n"
+    )
+    assert extract_pdf_text(pdf2) == ("x", 1, "pdf-text")
+
+
+def test_encrypt_in_xref_stream_dict_detected():
+    """PDF 1.5+ files carry the trailer entries in the /Type /XRef
+    cross-reference STREAM dict (no 'trailer' keyword at all): an
+    /Encrypt there must still reach the pdf-encrypted ledger."""
+    xref_body = b"\x00" * 10
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        4: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        5: (b"<< /Length 24 >>\nstream\nBT (secret text here) Tj\nendstream"),
+        6: (
+            b"<< /Type /XRef /Size 7 /Root 1 0 R /Encrypt 9 0 R "
+            b"/W [1 2 1] /Length %d >>\nstream\n" % len(xref_body)
+            + xref_body + b"\nendstream"
+        ),
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    for num in sorted(objs):
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    out += b"startxref\n9\n%%EOF\n"
+    text, n_pages, ex = extract_pdf_text(bytes(out))
+    assert (text, ex) == ("", "pdf-encrypted")
+
+
+def test_endobj_inside_stream_direct_length_frames():
+    """A stream whose DATA contains the bytes 'endobj' / 'N 0 obj':
+    the direct /Length frames it correctly (pre-fix the first-endobj
+    scan truncated the object and dropped the page text), and the
+    phantom 'obj' match inside the stream data must not register as
+    an object."""
+    content = b"BT (x endobj 7 0 obj y) Tj ET"
+    pdf = make_pdf([content])  # make_pdf writes a direct /Length
+    text, n_pages, ex = extract_pdf_text(pdf)
+    assert (text, n_pages, ex) == ("x endobj 7 0 obj y", 1, "pdf-text")
+
+
+def test_decodeparms_array_form():
+    """/Filter arrays pair with /DecodeParms ARRAYS entry-by-entry
+    (PDF 32000-1 §7.3.8.2): [null <</Predictor 12 ...>>] must apply
+    the predictor to the SECOND filter (pre-fix the array form never
+    matched and predictor-coded bytes came back garbled)."""
+    import base64
+
+    content = b"BT (array parms) Tj ET"
+    cols = 4
+    rows = [content[i: i + cols] for i in range(0, len(content), cols)]
+    rows[-1] = rows[-1] + b" " * (cols - len(rows[-1]))
+    filtered = bytearray()
+    prev = bytes(cols)
+    for r in rows:
+        filtered.append(2)  # PNG "up"
+        filtered += bytes((r[i] - prev[i]) & 0xFF for i in range(cols))
+        prev = r
+    enc = base64.a85encode(zlib.compress(bytes(filtered))) + b"~>"
+    spec = (
+        b"/Filter [/ASCII85Decode /FlateDecode] "
+        b"/DecodeParms [null << /Predictor 12 /Columns 4 >>]"
+    )
+    pdf = make_pdf_filtered(content, spec, enc)
+    assert extract_pdf_text(pdf)[0] == "array parms"

@@ -936,6 +936,94 @@ def test_ann_index_stream_matches_batch_stamping(spark, tmp_path):
     assert compact_ann_index(spark, idx_path, ups_dir) == 0
 
 
+def test_ann_compaction_resume_and_claim(spark, tmp_path):
+    """compact_ann_index crash-resume and claim hygiene: (a) a resume
+    that finds phase 2's marker reports the FULL cycle count from the
+    ``_folded.<n>`` marker name even when phase 3 already moved every
+    file (pre-fix it under-reported the unmoved remainder); (b) a
+    staging dir claimed by another compactor (updates dir already
+    renamed away) makes a second caller a 0-row no-op, not a racer;
+    (c) a failed phase-3 rename raises instead of falling through to
+    the staging delete."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from opencosmo_spark.pipeline.similarity import (
+        assign_ivf_cells,
+        compact_ann_index,
+        pq_encode,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx_path = str(tmp_path / "ann_base")
+    write_ann_index(
+        emb.filter(F.col("vec_id") < 40), idx_path,
+        nlist=4, ivf_iters=2, pq_m=4, pq_ksub=8, pq_iters=2,
+    )
+    idx = read_ann_index(spark, idx_path)
+    new = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60))
+    stamped = pq_encode(
+        assign_ivf_cells(
+            new.select("vec_id", "embedding"), idx["codebook"],
+            cell_col="ivf_cell",
+        ),
+        idx["pq_codebooks"],
+    ).withColumn("batch_id", F.lit(0))
+    ups_dir = str(tmp_path / "ann_updates")
+    stamped.write.partitionBy("batch_id", "ivf_cell").parquet(ups_dir)
+    n_new = new.count()
+
+    # (b) an in-flight staging claim next to a FRESH updates dir the
+    # stream recreated: the call resumes the claimed cycle (folds the
+    # staged rows) and leaves the fresh updates dir for the NEXT
+    # cycle — it never mixes the two.
+    owner_staging = ups_dir + ".compacting"
+    os.rename(ups_dir, owner_staging)
+    os.makedirs(ups_dir)  # stream recreated a fresh (empty) updates dir
+    assert compact_ann_index(spark, idx_path, ups_dir) == n_new
+    assert not os.path.exists(owner_staging)
+    assert os.path.exists(ups_dir)  # next cycle's dir untouched
+    os.rmdir(ups_dir)
+    assert read_ann_index(spark, idx_path)["df"].count() == 60
+
+    # (a) crash-resume count: phase 2 committed (marker present) and
+    # phase 3 moved EVERYTHING, but the staging delete never ran.
+    # The resume must report the marker's full count, not 0.
+    os.makedirs(owner_staging)
+    open(os.path.join(owner_staging, "_folded.%d" % 1234), "w").close()
+    assert compact_ann_index(spark, idx_path, ups_dir) == 1234
+    assert not os.path.exists(owner_staging)
+    # and with staging fully gone, a fresh call is the no-op path
+    assert compact_ann_index(spark, idx_path, ups_dir) == 0
+
+    # (c) a phase-3 rename that cannot succeed (target cell path is a
+    # FILE, so the per-file rename into it fails) raises and keeps
+    # staging for resume instead of deleting the rows
+    emb2 = emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 70))
+    stamped2 = pq_encode(
+        assign_ivf_cells(
+            emb2.select("vec_id", "embedding"), idx["codebook"],
+            cell_col="ivf_cell",
+        ),
+        idx["pq_codebooks"],
+    ).withColumn("batch_id", F.lit(0))
+    stamped2.write.partitionBy("batch_id", "ivf_cell").parquet(ups_dir)
+    cells = [r[0] for r in stamped2.select("ivf_cell").distinct().collect()]
+    blocker = os.path.join(idx_path, "ivf_cell=%d" % cells[0])
+    import shutil
+
+    shutil.rmtree(blocker)
+    open(blocker, "w").close()  # a file where the cell DIR should be
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        compact_ann_index(spark, idx_path, ups_dir)
+    assert os.path.exists(ups_dir + ".compacting")  # kept for resume
+
+
 def test_block_pack_stream_matches_batch(spark, tmp_path):
     """Streaming concat-and-chunk: blocks across all micro-batches
     equal batch block_pack_ids over the concatenated input — global
