@@ -1434,10 +1434,12 @@ def _ogg_metadata(data: bytes):
 
 
 def _decode_webp_safe(data: bytes) -> np.ndarray | None:
-    """Ladder wrapper for the VP8L lossless-WebP decoder
-    (``pipeline/vp8l.py`` — see its module docstring for the feature
-    set and differential-testing strategy). Lossy VP8 returns None
-    and falls to the stub, counted by ``decoder_report``."""
+    """Ladder wrapper for the WebP decoders — lossless VP8L
+    (``pipeline/vp8l.py``) AND lossy VP8 intra keyframes
+    (``pipeline/vp8.py``, bit-exact against libwebp's YUV output in
+    the test differential); see both module docstrings for feature
+    sets and testing strategy. Malformed payloads return None and
+    fall to the stub, counted by ``decoder_report``."""
     from .vp8l import decode_webp
 
     return decode_webp(data)
@@ -1466,7 +1468,9 @@ _IMAGE_LADDER: tuple = (
      "multi-scan) + progressive"),
     ("webp", _decode_webp_safe,
      "WebP lossless (VP8L: prefix codes, LZ77, color cache, all four "
-     "transforms; lossy VP8 gated)"),
+     "transforms) + lossy (VP8 intra keyframe: bool decoder, "
+     "B_PRED/16x16/chroma intra prediction, WHT/DCT, both loop "
+     "filters)"),
 )
 
 # audio twin: fn returns (mono float array, rate) or None
@@ -2151,7 +2155,7 @@ def decoder_report(
 def _image_header_meta(data: bytes | None):
     """Header-parsed ``(format, width, height)`` without decoding any
     pixels — works for every format the decode ladder handles AND the
-    gated ones (lossy VP8, arithmetic JPEG), so crawl-image triage
+    gated ones (arithmetic JPEG), so crawl-image triage
     (size filters, aspect stats, dedup keys) runs on real payloads the
     pixel path would stub. Returns None when no known header
     matches."""

@@ -504,11 +504,12 @@ def _inv_color_index(img: np.ndarray, w: int, h: int,
 
 
 def decode_webp(data: bytes) -> np.ndarray | None:
-    """Decode a lossless WebP payload to an (h, w, 3) uint8 RGB array
-    (alpha composited over nothing — the A channel is dropped to match
-    the other ladder decoders). Returns None when the payload is not a
-    RIFF/WEBP container with a VP8L chunk (lossy VP8 / animation
-    honestly fall to the stub)."""
+    """Decode a WebP payload to an (h, w, 3) uint8 RGB array — BOTH
+    flavors: lossless (the VP8L decoder in this module; alpha
+    composited over nothing, the A channel is dropped to match the
+    other ladder decoders) and lossy (the VP8 intra-keyframe decoder
+    in ``pipeline/vp8.py``, BT.601 conversion). Returns None when the
+    payload is not a RIFF/WEBP container or the frame is malformed."""
     if (
         data is None
         or len(data) < 20
@@ -516,9 +517,18 @@ def decode_webp(data: bytes) -> np.ndarray | None:
         or data[8:12] != b"WEBP"
     ):
         return None
+
+    def _lossy(payload: bytes) -> np.ndarray | None:
+        from .vp8 import decode_vp8_rgb
+
+        try:
+            return decode_vp8_rgb(payload)
+        except Exception:  # noqa: BLE001 - malformed frame -> stub
+            return None
+
     try:
-        # chunk walk: VP8L directly, inside a VP8X extended file, or
-        # the FIRST frame of an animation (ANMF wraps a VP8L/VP8
+        # chunk walk: VP8L/VP8 directly, inside a VP8X extended file,
+        # or the FIRST frame of an animation (ANMF wraps a VP8L/VP8
         # sub-chunk after its 16-byte frame header)
         pos = 12
         payload = None
@@ -535,9 +545,11 @@ def decode_webp(data: bytes) -> np.ndarray | None:
                 if sub_tag == b"VP8L":
                     payload = body[24 : 24 + sub_size]
                     break
-                return None  # lossy animation frame: gated
-            if tag == b"VP8 ":  # lossy: gated
+                if sub_tag == b"VP8 ":
+                    return _lossy(body[24 : 24 + sub_size])
                 return None
+            if tag == b"VP8 ":
+                return _lossy(body)
             pos += 8 + size + (size & 1)
         if payload is None or not payload or payload[0] != 0x2F:
             return None
