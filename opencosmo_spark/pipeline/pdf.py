@@ -25,10 +25,19 @@ The ``extractor`` column is the honest per-file ledger (the
 ``decoder_report`` idiom from ``multimodal``):
 
 - ``pdf-text``      text extracted
-- ``pdf-encrypted`` ``/Encrypt`` in a trailer: content streams are
-  ciphertext, nothing readable without the key
+- ``pdf-encrypted`` ``/Encrypt`` in a trailer and NOT decryptable
+  with the standard security handler's empty user password. Files
+  "encrypted" only to set owner permissions (the common crawl case)
+  ARE decrypted — RC4 40/128-bit per PDF 32000-1 §7.6.3, stdlib
+  hashlib + a 15-line RC4 — and extract under their real labels;
+  real-password and AES (V4/V5) files keep the honest ledger
+- ``pdf-images``    valid PDF, no text operators, and at least one
+  page image is EXTRACTABLE by composition (DCTDecode streams are
+  JPEG payloads as-is; Flate/LZW/raw samples become binary PNM) —
+  ``pdf_to_images`` turns these files into multimodal corpus rows
 - ``pdf-scanned``   valid PDF, no text operators, page images present
-  (scanned document — needs OCR, which is out of scope)
+  but none extractable (CCITT G4 / JBIG2 / JPX codecs — needs more
+  than composition; OCR out of scope either way)
 - ``pdf-no-text``   valid PDF, no text operators, no page images
 - ``stub``          not parseable as a PDF
 
@@ -47,7 +56,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["extract_pdf_text", "pdf_to_documents"]
+__all__ = [
+    "extract_pdf_images",
+    "extract_pdf_text",
+    "pdf_to_documents",
+    "pdf_to_images",
+]
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
@@ -287,6 +301,20 @@ def _predictor_parms(g: bytes | None) -> tuple[int, int, int, int, int]:
     return tuple(vals)  # type: ignore[return-value]
 
 
+def _filter_chain(head: bytes) -> list[tuple[bytes, bytes | None]]:
+    """The object's ``(filter name, parms dict body)`` pairs, in
+    application order; empty when the stream is unfiltered."""
+    fm = re.search(rb"/Filter\s*(?:\[(.*?)\]|/([A-Za-z0-9]+))", head, re.S)
+    if fm is None:
+        return []
+    names = (
+        re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
+        if fm.group(1) is not None
+        else [fm.group(2)]
+    )
+    return list(zip(names, _decode_parms(head, len(names))))
+
+
 def _inflate(head: bytes, stream: bytes) -> bytes | None:
     """Apply the object's /Filter chain to its raw stream bytes:
     FlateDecode (+ optional PNG predictor from /DecodeParms),
@@ -294,17 +322,12 @@ def _inflate(head: bytes, stream: bytes) -> bytes | None:
     them — each filter paired with ITS OWN /DecodeParms entry when
     the array form is used. Unknown filters (DCTDecode, JBIG2, crypt
     filters) return None and the file falls to the honest ledger."""
-    fm = re.search(rb"/Filter\s*(?:\[(.*?)\]|/([A-Za-z0-9]+))", head, re.S)
-    if fm is None:
-        return stream
-    names = (
-        re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
-        if fm.group(1) is not None
-        else [fm.group(2)]
-    )
-    all_parms = _decode_parms(head, len(names))
+    return _run_filters(_filter_chain(head), stream)
+
+
+def _run_filters(pairs, stream: bytes) -> bytes | None:
     data: bytes | None = stream
-    for name, g in zip(names, all_parms):
+    for name, g in pairs:
         if data is None:
             return None
         pred, cols, colors, bpc, early = _predictor_parms(g)
@@ -407,6 +430,183 @@ def _page_content_streams(data: bytes, objects) -> list[bytes] | None:
         # per spec, split /Contents arrays concatenate into ONE stream
         streams.append((b"\n".join(page_parts), _page_fonts(head, objects)))
     return streams
+
+
+def _resolve_dict(head: bytes, key: bytes, objects) -> bytes | None:
+    """The body of ``/key << ... >>``, following one level of
+    indirection (``/key N 0 R`` -> object N's head)."""
+    m = re.search(key + rb"\s*<<", head)
+    if m is not None:
+        # balanced << >> scan (resources/xobject dicts nest)
+        i = m.end()
+        depth = 1
+        while i < len(head) - 1 and depth:
+            if head[i : i + 2] == b"<<":
+                depth += 1
+                i += 2
+            elif head[i : i + 2] == b">>":
+                depth -= 1
+                i += 2
+            else:
+                i += 1
+        return head[m.end() : i - 2]
+    m = re.search(key + rb"\s+(\d+)\s+\d+\s+R", head)
+    if m is not None:
+        got = objects.get(int(m.group(1)))
+        if got is not None:
+            return got[0]
+    return None
+
+
+def _xobject_image(head: bytes, stream: bytes):
+    """One ``/Subtype /Image`` XObject -> ``(fmt, payload)`` where the
+    payload is directly decodable by the multimodal image ladder:
+
+    - DCTDecode-filtered images ARE JPEG files — any preceding
+      transport filters (hex/85) are applied and the JPEG bytes pass
+      through untouched ('jpeg')
+    - FlateDecode / LZW / unfiltered raw samples become binary PNM
+      (P5 for /DeviceGray / /CalGray / 1-bit masks, P6 for
+      /DeviceRGB / /CalRGB), which the ladder's PNM decoder reads
+      ('pnm'); a ``/Decode [1 0]`` inversion is honored
+
+    Returns None for codecs needing more than composition (JPX,
+    CCITT G4, JBIG2) or exotic color spaces — those stay in the
+    honest pdf-scanned bucket."""
+    wm = re.search(rb"/Width\s+(\d+)", head)
+    hm = re.search(rb"/Height\s+(\d+)", head)
+    if wm is None or hm is None:
+        return None
+    w, h = int(wm.group(1)), int(hm.group(1))
+    if w <= 0 or h <= 0 or w * h > 50_000_000 // 3:
+        return None
+    pairs = _filter_chain(head)
+    if pairs and pairs[-1][0] == b"DCTDecode":
+        data = _run_filters(pairs[:-1], stream)
+        if data is None or data[:2] != b"\xff\xd8":
+            return None
+        return "jpeg", data
+    bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
+    bpc = int(bm.group(1)) if bm else 8
+    mask = re.search(rb"/ImageMask\s+true", head) is not None
+    if mask:
+        ncomp, bpc = 1, 1
+    elif re.search(rb"/(?:DeviceRGB|CalRGB)\b", head):
+        ncomp = 3
+    elif re.search(rb"/(?:DeviceGray|CalGray)\b", head):
+        ncomp = 1
+    else:
+        return None  # Indexed/ICC/CMYK: out of compositional reach
+    if bpc not in (1, 8) or (bpc == 1 and ncomp != 1):
+        return None
+    data = _run_filters(pairs, stream)
+    if data is None:
+        return None
+    if bpc == 1:
+        import numpy as np
+
+        rowbytes = (w + 7) >> 3
+        if len(data) < rowbytes * h:
+            return None
+        bits = np.unpackbits(
+            np.frombuffer(data[: rowbytes * h], np.uint8).reshape(
+                h, rowbytes
+            ),
+            axis=1,
+        )[:, :w]
+        if re.search(rb"/Decode\s*\[\s*1\s+0\s*\]", head) or mask:
+            # ImageMask: sample 0 paints (dark); /Decode [1 0] inverts
+            bits = 1 - bits
+        body = (bits * 255).astype(np.uint8).tobytes()
+    else:
+        need = w * h * ncomp
+        if len(data) < need:
+            return None
+        body = data[:need]
+        if re.search(rb"/Decode\s*\[\s*1\s+0", head):
+            body = bytes(255 - b for b in body)
+    magic = b"P6" if ncomp == 3 else b"P5"
+    return "pnm", magic + b"\n%d %d\n255\n" % (w, h) + body
+
+
+def extract_pdf_images(data: bytes | None):
+    """Page-image extraction for the scanned-PDF bucket: walk each
+    page's ``/Resources /XObject`` entries (one level of indirection
+    allowed on both dicts) in page-tree order and convert every
+    ``/Subtype /Image`` stream the filter chains can reach into a
+    ladder-decodable payload. Returns ``[(page_idx, fmt, payload)]``
+    (possibly empty); never raises on dirty input. Images referenced
+    by no page land at the end with page_idx -1 (damaged trees)."""
+    if data is None or not data[:1024].startswith(b"%PDF-"):
+        head = data.find(b"%PDF-", 0, 1024) if data else -1
+        if head < 0:
+            return []
+        data = data[head:]
+    try:
+        objects, locked = _open_objects(data)
+        if objects is None or locked:
+            return []
+        pages: list[int] = []
+
+        def walk(num: int, depth: int = 0) -> None:
+            if depth > 64 or num not in objects:
+                return
+            hd, _ = objects[num]
+            if re.search(rb"/Type\s*/Pages\b", hd):
+                kids = re.search(rb"/Kids\s*\[([^\]]*)\]", hd)
+                if kids:
+                    for km in re.finditer(
+                        rb"(\d+)\s+\d+\s+R", kids.group(1)
+                    ):
+                        walk(int(km.group(1)), depth + 1)
+            elif re.search(rb"/Type\s*/Page\b", hd):
+                pages.append(num)
+
+        for num, (hd, _) in objects.items():
+            if re.search(rb"/Type\s*/Catalog\b", hd):
+                m = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", hd)
+                if m:
+                    walk(int(m.group(1)))
+                break
+        if not pages:
+            pages = [
+                num
+                for num, (hd, _) in sorted(objects.items())
+                if re.search(rb"/Type\s*/Page\b", hd)
+            ]
+        out = []
+        seen: set[int] = set()
+        for pi, num in enumerate(pages):
+            hd, _ = objects[num]
+            res = _resolve_dict(hd, rb"/Resources", objects)
+            if res is None:
+                continue
+            xo = _resolve_dict(res, rb"/XObject", objects)
+            if xo is None:
+                continue
+            for m in re.finditer(rb"/\S+\s+(\d+)\s+\d+\s+R", xo):
+                onum = int(m.group(1))
+                got = objects.get(onum)
+                if got is None or got[1] is None:
+                    continue
+                ohead, ostream = got
+                if not re.search(rb"/Subtype\s*/Image\b", ohead):
+                    continue
+                seen.add(onum)
+                img = _xobject_image(ohead, ostream)
+                if img is not None:
+                    out.append((pi, img[0], img[1]))
+        # orphaned image streams (broken resource dicts): still usable
+        for onum, (ohead, ostream) in sorted(objects.items()):
+            if onum in seen or ostream is None:
+                continue
+            if re.search(rb"/Subtype\s*/Image\b", ohead):
+                img = _xobject_image(ohead, ostream)
+                if img is not None:
+                    out.append((-1, img[0], img[1]))
+        return out
+    except Exception:  # noqa: BLE001 - dirty payload -> no images
+        return []
 
 
 def _utf16be_hex(hx: bytes) -> str:
@@ -711,6 +911,189 @@ def _is_encrypted(data: bytes, objects) -> bool:
     return False
 
 
+# --- standard security handler (PDF 32000-1 §7.6.3, RC4 with the
+# empty user password — the common crawl case: files "encrypted" only
+# to set owner permissions) --------------------------------------------
+
+_PW_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 255
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 255
+        j = (j + s[i]) & 255
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 255]
+    return bytes(out)
+
+
+def _string_bytes(body: bytes, at: int) -> bytes | None:
+    """Raw bytes of the PDF string starting at ``at`` (``(...)`` with
+    escapes, or ``<hex>``) — for binary dict entries like /O and /U."""
+    while at < len(body) and body[at] in b" \t\r\n":
+        at += 1
+    if at >= len(body):
+        return None
+    if body[at] == 0x3C:  # <hex>
+        s, _ = _hex_string(body, at)
+        return s.encode("latin-1")
+    if body[at] == 0x28:  # (literal)
+        s, _ = _literal_string(body, at)
+        return s.encode("latin-1")
+    return None
+
+
+def _parse_encrypt(data: bytes, objects):
+    """The standard security handler's parameters from the trailer's
+    /Encrypt entry, or None when absent / not /Standard / not RC4."""
+    enc_head = None
+    for m in re.finditer(rb"trailer", data):
+        g = re.search(
+            rb"/Encrypt\s+(\d+)\s+\d+\s+R", data[m.end() : m.end() + 2048]
+        )
+        if g:
+            got = objects.get(int(g.group(1)))
+            if got:
+                enc_head = got[0]
+            break
+        g = re.search(
+            rb"/Encrypt\s*<<(.*?)>>", data[m.end() : m.end() + 2048], re.S
+        )
+        if g:
+            enc_head = g.group(1)
+            break
+    if enc_head is None:
+        for head, stream in objects.values():
+            if stream is not None and re.search(rb"/Type\s*/XRef\b", head):
+                g = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", head)
+                if g and int(g.group(1)) in objects:
+                    enc_head = objects[int(g.group(1))][0]
+                    break
+    if enc_head is None:
+        return None
+    if not re.search(rb"/Filter\s*/Standard\b", enc_head):
+        return None
+    vm = re.search(rb"/V\s+(\d+)", enc_head)
+    v = int(vm.group(1)) if vm else 0
+    rm = re.search(rb"/R\s+(\d+)", enc_head)
+    pm = re.search(rb"/P\s+(-?\d+)", enc_head)
+    if rm is None or pm is None:
+        return None
+    r = int(rm.group(1))
+    if v not in (1, 2) or r not in (2, 3):
+        # V4/AESV2, V5/AES-256: beyond the stdlib handler — locked
+        return None
+    lm = re.search(rb"/Length\s+(\d+)", enc_head)
+    length = int(lm.group(1)) if lm else 40
+    om = re.search(rb"/O\s*", enc_head)
+    um = re.search(rb"/U\s*", enc_head)
+    if om is None or um is None:
+        return None
+    o = _string_bytes(enc_head, om.end())
+    u = _string_bytes(enc_head, um.end())
+    if o is None or u is None or len(o) < 32 or len(u) < 32:
+        return None
+    # first element of the trailer /ID array (may legally be absent)
+    id0 = b""
+    im = re.search(rb"/ID\s*\[", data)
+    if im:
+        got = _string_bytes(data, im.end())
+        if got is not None:
+            id0 = got
+    return {
+        "r": r, "length": length, "o": o[:32], "u": u[:32],
+        "p": int(pm.group(1)), "id0": id0,
+    }
+
+
+def _empty_user_key(enc) -> bytes | None:
+    """Algorithm 2 key from the EMPTY user password, validated
+    against /U per Algorithm 6 (R2: full 32 bytes; R3: first 16).
+    Returns None when the file needs a real password."""
+    import hashlib
+    import struct
+
+    n = 5 if enc["r"] == 2 else max(5, min(16, enc["length"] // 8))
+    h = hashlib.md5(
+        _PW_PAD + enc["o"] + struct.pack("<i", enc["p"]) + enc["id0"]
+    ).digest()
+    if enc["r"] >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    if enc["r"] == 2:
+        ok = _rc4(key, _PW_PAD) == enc["u"]
+    else:
+        x = hashlib.md5(_PW_PAD + enc["id0"]).digest()
+        x = _rc4(key, x)
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        ok = x == enc["u"][:16]
+    return key if ok else None
+
+
+def _decrypt_objects(data: bytes, objects, key: bytes):
+    """New object map with every top-level stream RC4-decrypted under
+    its per-object key (Algorithm 1), then /ObjStm re-expanded (their
+    contained objects are not separately encrypted). XRef streams are
+    never encrypted and pass through."""
+    import hashlib
+
+    gens = {}
+    for m in _OBJ_RE.finditer(data):
+        gens.setdefault(int(m.group(1)), int(m.group(2)))
+    out = {}
+    for num, (head, stream) in objects.items():
+        if stream is not None and not re.search(
+            rb"/Type\s*/XRef\b", head
+        ):
+            gen = gens.get(num, 0)
+            okey = hashlib.md5(
+                key
+                + num.to_bytes(3, "little")
+                + gen.to_bytes(2, "little")
+            ).digest()[: min(len(key) + 5, 16)]
+            stream = _rc4(okey, stream)
+        out[num] = (head, stream)
+    for head, stream in list(out.values()):
+        if stream is not None and re.search(rb"/Type\s*/ObjStm\b", head):
+            for num, obody in _expand_objstm(head, stream):
+                out.setdefault(num, (obody, None))
+    return out
+
+
+def _open_objects(data: bytes):
+    """(objects, locked): the object map ready for extraction. For
+    encrypted files the empty-user-password RC4 handler is tried;
+    ``locked=True`` means content is ciphertext we cannot read
+    (real password, or an AES scheme)."""
+    objects = _find_objects(data)
+    if not objects:
+        return None, False
+    if not _is_encrypted(data, objects):
+        return objects, False
+    enc = _parse_encrypt(data, objects)
+    if enc is None:
+        return objects, True
+    key = _empty_user_key(enc)
+    if key is None:
+        return objects, True
+    return _decrypt_objects(data, objects, key), False
+
+
 def extract_pdf_text(data: bytes | None) -> tuple[str, int, str]:
     """Extract text from one PDF payload. Returns
     ``(text, n_pages, extractor)`` — see the module docstring for the
@@ -722,10 +1105,10 @@ def extract_pdf_text(data: bytes | None) -> tuple[str, int, str]:
             return "", 0, "stub"
         data = data[head:]
     try:
-        objects = _find_objects(data)
-        if not objects:
+        objects, locked = _open_objects(data)
+        if objects is None:
             return "", 0, "stub"
-        if _is_encrypted(data, objects):
+        if locked:
             n_pages = len(
                 [1 for h, _ in objects.values()
                  if re.search(rb"/Type\s*/Page\b", h)]
@@ -743,7 +1126,15 @@ def extract_pdf_text(data: bytes | None) -> tuple[str, int, str]:
             re.search(rb"/Subtype\s*/Image\b", h)
             for h, _ in objects.values()
         )
-        return "", n_pages, "pdf-scanned" if has_image else "pdf-no-text"
+        if not has_image:
+            return "", n_pages, "pdf-no-text"
+        # scanned document: 'pdf-images' when at least one page image
+        # is extractable by composition (DCT -> JPEG payload, Flate ->
+        # PNM) so pdf_to_images will yield corpus rows for this file;
+        # 'pdf-scanned' stays the honest label for codecs out of
+        # reach (CCITT G4, JBIG2, JPX)
+        extractable = extract_pdf_images(data)
+        return "", n_pages, "pdf-images" if extractable else "pdf-scanned"
     except Exception:  # noqa: BLE001 - any dirty payload -> stub
         return "", 0, "stub"
 
@@ -804,4 +1195,72 @@ def pdf_to_documents(
         .alias("text"),
         "n_pages",
         "extractor",
+    )
+
+
+def pdf_to_images(
+    df: DataFrame,
+    payload_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Scanned-PDF image ingestion: ``binaryFile`` rows in, one row
+    out per extractable page image — ``(media_id, doc_id, url, page,
+    img_idx, payload_format, payload)`` — the shape the multimodal
+    operators consume directly: ``image_metadata`` reads the JPEG/PNM
+    headers, ``decode_image_features`` / ``image_dhash`` decode the
+    pixels with the real codec ladder (the extracted payloads ARE
+    JPEG or binary PNM files; see ``extract_pdf_images``). This turns
+    the ``pdf-images`` ledger bucket of ``pdf_to_documents`` into
+    multimodal corpus rows instead of a dead end.
+
+    One Arrow-batched ``mapInPandas`` pass with a row fan-out (a file
+    yields 0..N images); payload bytes never shuffle."""
+    from .dedup import md5_lane
+
+    out_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("page", T.IntegerType()),
+            T.StructField("img_idx", T.IntegerType()),
+            T.StructField("payload_format", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            urls, pgs, idxs, fmts, payloads = [], [], [], [], []
+            for url, payload in zip(
+                pdf_batch[path_col], pdf_batch[payload_col]
+            ):
+                for k, (pg, fmt, body) in enumerate(
+                    extract_pdf_images(payload)
+                ):
+                    urls.append(url)
+                    pgs.append(pg)
+                    idxs.append(k)
+                    fmts.append(fmt)
+                    payloads.append(body)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype=object),
+                    "page": pd.Series(pgs, dtype="int32"),
+                    "img_idx": pd.Series(idxs, dtype="int32"),
+                    "payload_format": pd.Series(fmts, dtype=object),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    out = df.select(path_col, payload_col).mapInPandas(run, out_schema)
+    return out.select(
+        F.concat_ws(
+            "/", md5_lane(F.col("url")),
+            F.col("page").cast("string"), F.col("img_idx").cast("string"),
+        ).alias("media_id"),
+        md5_lane(F.col("url")).alias("doc_id"),
+        "url",
+        "page",
+        "img_idx",
+        "payload_format",
+        "payload",
     )

