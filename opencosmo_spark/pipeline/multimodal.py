@@ -676,13 +676,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                             data, p + 2 + seg_len, frame, scan, qt,
                             huff, restart_interval,
                         )
-                    if len(scan) != 1:
-                        # partially-interleaved multi-scan baseline
-                        # (2-of-3 components per SOS) is legal but
-                        # vanishingly rare: fall to the stub honestly
-                        return None
-                    # non-interleaved multi-scan baseline (one SOS per
-                    # component): accumulate coefficients per scan and
+                    # multi-scan baseline: non-interleaved (one SOS
+                    # per component) OR partially interleaved (a
+                    # subset of components per SOS, MCU geometry from
+                    # the FRAME's max sampling factors per T.81
+                    # A.2.3): accumulate coefficients per scan and
                     # reconstruct at EOI, sharing the progressive
                     # dequant/IDCT/color path
                     if coefs is None:
@@ -1024,48 +1022,76 @@ def _jpeg_seq_scan(
     restart_interval: int,
     coefs,
 ) -> int:
-    """Decode one NON-INTERLEAVED baseline sequential scan (T.81 F.2,
-    one component per SOS — the multi-scan baseline layout some
-    encoders emit) into the shared coefficient state; returns the
-    offset of the next marker. Reconstruction then goes through
-    ``_jpeg_reconstruct`` exactly like progressive, so the dequant /
-    IDCT / color math is shared bit-for-bit with the interleaved
-    path."""
-    cs, td, ta = scan[0]
-    dc_t, ac_t = huff.get((0, td)), huff.get((1, ta))
-    if dc_t is None or ac_t is None:
-        raise ValueError("scan references an undefined table")
-    _hm, _vm, _mx, _my, geo = _jpeg_frame_geom(frame)
-    _ch, _cv, _tq, _bh, _bw, nih, niw = geo[cs]
+    """Decode one multi-scan baseline sequential scan (T.81 F.2) into
+    the shared coefficient state; returns the offset of the next
+    marker. A single-component scan walks that component's own block
+    grid non-interleaved; a multi-component scan (the legal but rare
+    partially-interleaved layout, e.g. [Y, Cb] then [Cr]) walks the
+    FRAME-level MCU grid with each scan component contributing its
+    ch x cv blocks per MCU — the same geometry the fully-interleaved
+    path uses, restart markers counting MCUs. Reconstruction then
+    goes through ``_jpeg_reconstruct`` exactly like progressive, so
+    the dequant / IDCT / color math is shared bit-for-bit with the
+    interleaved path."""
+    tables = []
+    for cs, td, ta in scan:
+        dc_t, ac_t = huff.get((0, td)), huff.get((1, ta))
+        if dc_t is None or ac_t is None:
+            raise ValueError("scan references an undefined table")
+        tables.append((cs, dc_t, ac_t))
+    _hm, _vm, mcux, mcuy, geo = _jpeg_frame_geom(frame)
     bits = _JpegBits(data, pos)
-    pred = 0
+    preds = {cs: 0 for cs, _, _ in tables}
+
+    def block(cs, dc_t, ac_t, by, bx):
+        blk = coefs[cs][by, bx]
+        t = _jpeg_sym(bits, dc_t)
+        if t > 11:
+            raise ValueError("DC category out of range")
+        preds[cs] += _jpeg_extend(bits.bits(t), t)
+        blk[0] = preds[cs]
+        k = 1
+        while k <= 63:
+            rs = _jpeg_sym(bits, ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past 63")
+            blk[_JPEG_ZZ[k]] = _jpeg_extend(bits.bits(s), s)
+            k += 1
+
     unit = 0
-    for by in range(nih):
-        for bx in range(niw):
-            if restart_interval and unit and unit % restart_interval == 0:
-                bits.restart()
-                pred = 0
-            unit += 1
-            blk = coefs[cs][by, bx]
-            t = _jpeg_sym(bits, dc_t)
-            if t > 11:
-                raise ValueError("DC category out of range")
-            pred += _jpeg_extend(bits.bits(t), t)
-            blk[0] = pred
-            k = 1
-            while k <= 63:
-                rs = _jpeg_sym(bits, ac_t)
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC run past 63")
-                blk[_JPEG_ZZ[k]] = _jpeg_extend(bits.bits(s), s)
-                k += 1
+    if len(tables) == 1:
+        cs, dc_t, ac_t = tables[0]
+        _ch, _cv, _tq, _bh, _bw, nih, niw = geo[cs]
+        for by in range(nih):
+            for bx in range(niw):
+                if (restart_interval and unit
+                        and unit % restart_interval == 0):
+                    bits.restart()
+                    preds[cs] = 0
+                unit += 1
+                block(cs, dc_t, ac_t, by, bx)
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (restart_interval and unit
+                        and unit % restart_interval == 0):
+                    bits.restart()
+                    for cs in preds:
+                        preds[cs] = 0
+                unit += 1
+                for cs, dc_t, ac_t in tables:
+                    ch, cv = geo[cs][0], geo[cs][1]
+                    for v in range(cv):
+                        for u in range(ch):
+                            block(cs, dc_t, ac_t,
+                                  my * cv + v, mx * ch + u)
     return _jpeg_next_marker(data, bits.p)
 
 
@@ -2089,6 +2115,317 @@ def sample_video_frames(
             "frame_payload"
         ),
     )
+
+
+# --- subtitle-track text extraction (zero codec work) ----------------
+
+def _mp4_sample_table(data: bytes, stbl0: int, stbl1: int):
+    """Resolve the stbl sample tables to per-sample (offset, size)
+    file positions plus stts deltas. Returns (offsets_sizes, deltas)
+    or None when a required table is missing/inconsistent."""
+    stts = stsc = stsz = stco = None
+    co64 = False
+    for btype, b0, b1 in _mp4_boxes(data, stbl0, stbl1):
+        if btype == b"stts":
+            stts = (b0, b1)
+        elif btype == b"stsc":
+            stsc = (b0, b1)
+        elif btype == b"stsz":
+            stsz = (b0, b1)
+        elif btype in (b"stco", b"co64"):
+            stco = (b0, b1)
+            co64 = btype == b"co64"
+    if not (stts and stsc and stsz and stco):
+        return None
+    b0, b1 = stsz
+    uniform = int.from_bytes(data[b0 + 4 : b0 + 8], "big")
+    n = int.from_bytes(data[b0 + 8 : b0 + 12], "big")
+    if n == 0 or n > 100_000:
+        return None
+    if uniform:
+        sizes = [uniform] * n
+    else:
+        if b0 + 12 + 4 * n > b1:
+            return None
+        sizes = [
+            int.from_bytes(data[b0 + 12 + 4 * i : b0 + 16 + 4 * i], "big")
+            for i in range(n)
+        ]
+    b0, b1 = stco
+    nch = int.from_bytes(data[b0 + 4 : b0 + 8], "big")
+    step = 8 if co64 else 4
+    if nch == 0 or b0 + 8 + step * nch > b1:
+        return None
+    chunk_offs = [
+        int.from_bytes(
+            data[b0 + 8 + step * i : b0 + 8 + step * (i + 1)], "big"
+        )
+        for i in range(nch)
+    ]
+    b0, b1 = stsc
+    nsc = int.from_bytes(data[b0 + 4 : b0 + 8], "big")
+    if b0 + 8 + 12 * nsc > b1:
+        return None
+    runs = [
+        (
+            int.from_bytes(data[b0 + 8 + 12 * i : b0 + 12 + 12 * i], "big"),
+            int.from_bytes(data[b0 + 12 + 12 * i : b0 + 16 + 12 * i], "big"),
+        )
+        for i in range(nsc)
+    ]
+    spc_of = []
+    for ci in range(1, nch + 1):
+        spc = 1
+        for first, cnt in runs:
+            if first <= ci:
+                spc = cnt
+            else:
+                break
+        spc_of.append(spc)
+    pos = []
+    si = 0
+    for ci in range(nch):
+        off = chunk_offs[ci]
+        for _ in range(spc_of[ci]):
+            if si >= n:
+                break
+            pos.append((off, sizes[si]))
+            off += sizes[si]
+            si += 1
+    if len(pos) < n:
+        return None
+    b0, b1 = stts
+    ne = int.from_bytes(data[b0 + 4 : b0 + 8], "big")
+    if b0 + 8 + 8 * ne > b1:
+        return None
+    deltas = []
+    for i in range(ne):
+        cnt = int.from_bytes(data[b0 + 8 + 8 * i : b0 + 12 + 8 * i], "big")
+        d = int.from_bytes(data[b0 + 12 + 8 * i : b0 + 16 + 8 * i], "big")
+        if cnt > n:
+            return None
+        deltas.extend([d] * cnt)
+    if len(deltas) < n:
+        deltas.extend([0] * (n - len(deltas)))
+    return pos[:n], deltas[:n]
+
+
+def _mp4_subtitles(data: bytes | None):
+    """Timed-text cues from ISO-BMFF subtitle tracks (3GPP ``tx3g``,
+    handler 'text'/'sbtl'/'subt'): walk the track's sample tables
+    (stts/stsc/stsz/stco) to the mdat sample bytes — each tx3g sample
+    is a 2-byte big-endian length + UTF-8 text. Returns
+    ``[(t_start_ms, t_end_ms, text)]`` (gaps are empty samples and
+    are skipped), ``[]`` for BMFF without subtitle cues, or None when
+    the payload is not BMFF."""
+    if data is None or len(data) < 16:
+        return None
+    top = list(_mp4_boxes(data, 0, len(data)))
+    if not top or top[0][0] != b"ftyp":
+        return None
+    cues = []
+    for btype, b0, b1 in top:
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in _mp4_boxes(data, b0, b1):
+            if ctype != b"trak":
+                continue
+            handler = b""
+            scale = 0
+            stbl = None
+            fmt = b""
+            for ttype, t0, t1 in _mp4_boxes(data, c0, c1):
+                if ttype != b"mdia":
+                    continue
+                for mtype, m0, m1 in _mp4_boxes(data, t0, t1):
+                    if mtype == b"hdlr" and m1 - m0 >= 12:
+                        handler = data[m0 + 8 : m0 + 12]
+                    elif mtype == b"mdhd" and m1 - m0 >= 20:
+                        ver = data[m0]
+                        at = m0 + (20 if ver == 1 else 12)
+                        scale = int.from_bytes(data[at : at + 4], "big")
+                    elif mtype == b"minf":
+                        for ntype, n0, n1 in _mp4_boxes(data, m0, m1):
+                            if ntype == b"stbl":
+                                stbl = (n0, n1)
+                                for xtype, x0, x1 in _mp4_boxes(
+                                    data, n0, n1
+                                ):
+                                    if xtype == b"stsd" and x1 - x0 >= 16:
+                                        fmt = data[x0 + 12 : x0 + 16]
+            if handler not in (b"text", b"sbtl", b"subt") and \
+                    fmt != b"tx3g":
+                continue
+            if stbl is None or scale == 0:
+                continue
+            tab = _mp4_sample_table(data, *stbl)
+            if tab is None:
+                continue
+            pos, deltas = tab
+            t = 0
+            for (off, size), d in zip(pos, deltas):
+                t0ms = t * 1000 // scale
+                t += d
+                t1ms = t * 1000 // scale
+                if size < 2 or off + size > len(data):
+                    continue
+                ln = int.from_bytes(data[off : off + 2], "big")
+                if ln == 0 or ln > size - 2:
+                    continue
+                try:
+                    text = data[off + 2 : off + 2 + ln].decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+                if text.strip():
+                    cues.append((t0ms, t1ms, text))
+        return cues
+    return None
+
+
+def _webm_subtitles(data: bytes | None):
+    """Timed-text cues from Matroska/WebM ``S_TEXT/UTF8`` subtitle
+    tracks (TrackType 0x11): Cluster walk — Timecode + BlockGroup
+    (Block + BlockDuration) or SimpleBlock for the subtitle track
+    number, payload is the UTF-8 cue text. Times in ms via
+    TimecodeScale (default 1e6 ns/tick). Returns cue list / [] /
+    None exactly like ``_mp4_subtitles``."""
+    if data is None or len(data) < 8 or data[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+    segment = None
+    for eid, b0, b1 in _ebml_walk(data, 0, len(data)):
+        if eid == 0x18538067:
+            segment = (b0, b1)
+            break
+    if segment is None:
+        return None
+    scale_ns = 1_000_000
+    sub_track = None
+    clusters = []
+    for eid, b0, b1 in _ebml_walk(data, segment[0], segment[1]):
+        if eid == 0x1549A966:  # Info
+            for iid, i0, i1 in _ebml_walk(data, b0, b1):
+                if iid == 0x2AD7B1:
+                    scale_ns = int.from_bytes(data[i0:i1], "big")
+        elif eid == 0x1654AE6B:  # Tracks
+            for tid, t0, t1 in _ebml_walk(data, b0, b1):
+                if tid != 0xAE:
+                    continue
+                num = ttype = 0
+                codec = b""
+                for fid, f0, f1 in _ebml_walk(data, t0, t1):
+                    if fid == 0xD7:
+                        num = int.from_bytes(data[f0:f1], "big")
+                    elif fid == 0x83:
+                        ttype = data[f0] if f1 > f0 else 0
+                    elif fid == 0x86:
+                        codec = data[f0:f1]
+                if ttype == 0x11 and codec.startswith(b"S_TEXT"):
+                    sub_track = num
+        elif eid == 0x1F43B675:  # Cluster
+            clusters.append((b0, b1))
+    if sub_track is None:
+        return []
+
+    def block_cue(p0, p1, tc, dur_ticks):
+        got = _ebml_vint(data, p0, False)
+        if got is None:
+            return None
+        tnum, p = got
+        if tnum != sub_track or p + 3 > p1:
+            return None
+        rel = int.from_bytes(data[p : p + 2], "big", signed=True)
+        flags = data[p + 2]
+        if flags & 0x06:  # laced: never used for subtitles
+            return None
+        try:
+            text = data[p + 3 : p1].decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+        if not text.strip():
+            return None
+        t0ms = (tc + rel) * scale_ns // 1_000_000
+        t1ms = (tc + rel + (dur_ticks or 0)) * scale_ns // 1_000_000
+        return (t0ms, t1ms if dur_ticks else t0ms, text)
+
+    cues = []
+    for b0, b1 in clusters:
+        tc = 0
+        for eid, e0, e1 in _ebml_walk(data, b0, b1):
+            if eid == 0xE7:  # Timecode
+                tc = int.from_bytes(data[e0:e1], "big")
+            elif eid == 0xA3:  # SimpleBlock
+                cue = block_cue(e0, e1, tc, 0)
+                if cue:
+                    cues.append(cue)
+            elif eid == 0xA0:  # BlockGroup
+                blk = None
+                dur = 0
+                for gid, g0, g1 in _ebml_walk(data, e0, e1):
+                    if gid == 0xA1:
+                        blk = (g0, g1)
+                    elif gid == 0x9B:
+                        dur = int.from_bytes(data[g0:g1], "big")
+                if blk:
+                    cue = block_cue(blk[0], blk[1], tc, dur)
+                    if cue:
+                        cues.append(cue)
+    return cues
+
+
+def video_subtitles(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Subtitle text from crawl video WITHOUT any codec work: mp4
+    ``tx3g`` sample-table walk + WebM ``S_TEXT/UTF8`` cluster walk.
+    One output row per cue — ``(media_id, sub_format, cue_idx,
+    t_start_ms, t_end_ms, text)`` — and, so the ledger stays honest,
+    exactly one row with NULL cue fields for every input file that
+    yielded no cues (``sub_format`` still says whether the container
+    parsed: 'mp4'/'webm'/NULL). ``text`` concatenated per media_id
+    feeds ``curate_corpus`` the way ``pdf_to_documents`` does for
+    PDFs. One Arrow-batched pass; payload bytes never shuffle."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("sub_format", T.StringType()),
+            T.StructField("cue_idx", T.IntegerType()),
+            T.StructField("t_start_ms", T.LongType()),
+            T.StructField("t_end_ms", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                fmt = None
+                cues = None
+                for name, fn in (("mp4", _mp4_subtitles),
+                                 ("webm", _webm_subtitles)):
+                    try:
+                        cues = fn(p)
+                    except Exception:  # noqa: BLE001 - dirty payload
+                        cues = None
+                    if cues is not None:
+                        fmt = name
+                        break
+                if not cues:
+                    rows.append((mid, fmt, None, None, None, None))
+                    continue
+                for k, (t0, t1, text) in enumerate(cues):
+                    rows.append((mid, fmt, k, t0, t1, text))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sub_format", "cue_idx",
+                    "t_start_ms", "t_end_ms", "text",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
 def media_digest_groups(

@@ -28,12 +28,16 @@ The ``extractor`` column is the honest per-file ledger (the
 - ``pdf-encrypted`` ``/Encrypt`` in a trailer and NOT decryptable
   with the standard security handler's empty user password. Files
   "encrypted" only to set owner permissions (the common crawl case)
-  ARE decrypted — RC4 40/128-bit per PDF 32000-1 §7.6.3, stdlib
-  hashlib + a 15-line RC4 — and extract under their real labels;
-  real-password and AES (V4/V5) files keep the honest ledger
+  ARE decrypted — RC4 40/128 (R2-R4), AES-128 (V4/AESV2) and
+  AES-256 (V5, R5 and R6 incl. the Algorithm 2.B hardened hash) per
+  PDF 32000 §7.6, pure stdlib (hashlib + from-definition RC4/AES,
+  the AES core pinned against the FIPS-197 known-answer vectors) —
+  and extract under their real labels; real-user-password files
+  keep the honest ledger
 - ``pdf-images``    valid PDF, no text operators, and at least one
   page image is EXTRACTABLE by composition (DCTDecode streams are
-  JPEG payloads as-is; Flate/LZW/raw samples become binary PNM) —
+  JPEG payloads as-is; Flate/LZW/raw samples — incl. /Indexed
+  palettes — become binary PNM) —
   ``pdf_to_images`` turns these files into multimodal corpus rows
 - ``pdf-scanned``   valid PDF, no text operators, page images present
   but none extractable (CCITT G4 / JBIG2 / JPX codecs — needs more
@@ -458,7 +462,61 @@ def _resolve_dict(head: bytes, key: bytes, objects) -> bytes | None:
     return None
 
 
-def _xobject_image(head: bytes, stream: bytes):
+def _unpack_samples(data: bytes, w: int, h: int, bpc: int):
+    """(h, w) sample array from row-byte-padded packed samples at
+    1/2/4/8 bits per sample (single component), or None on underrun."""
+    import numpy as np
+
+    if bpc == 8:
+        if len(data) < w * h:
+            return None
+        return np.frombuffer(data[: w * h], np.uint8).reshape(h, w)
+    rowbytes = (w * bpc + 7) >> 3
+    if len(data) < rowbytes * h:
+        return None
+    bits = np.unpackbits(
+        np.frombuffer(data[: rowbytes * h], np.uint8).reshape(h, rowbytes),
+        axis=1,
+    )[:, : w * bpc].reshape(h, w, bpc)
+    weights = (1 << np.arange(bpc - 1, -1, -1)).astype(np.uint16)
+    return (bits * weights).sum(axis=2).astype(np.uint8)
+
+
+def _indexed_palette(head: bytes, objects):
+    """(base_ncomp, hival, lookup bytes) for an ``/Indexed`` color
+    space — array form with a hex/literal lookup string or an
+    indirect reference to a lookup stream — or None."""
+    im = re.search(
+        rb"/ColorSpace\s*\[\s*/(?:Indexed|I)\s*"
+        rb"/(DeviceRGB|CalRGB|DeviceGray|CalGray)\s+(\d+)\s*",
+        head,
+    )
+    if im is None:
+        return None
+    ncomp = 3 if b"RGB" in im.group(1) else 1
+    hival = int(im.group(2))
+    if hival > 255:
+        return None
+    at = im.end()
+    lookup = _string_bytes(head, at)
+    if lookup is None:
+        rm = re.match(rb"\s*(\d+)\s+\d+\s+R", head[at:])
+        if rm is None or objects is None:
+            return None
+        got = objects.get(int(rm.group(1)))
+        if got is None:
+            return None
+        ohead, ostream = got
+        if ostream is not None:
+            lookup = _inflate(ohead, ostream)
+        else:
+            lookup = _string_bytes(ohead, 0)
+    if lookup is None or len(lookup) < (hival + 1) * ncomp:
+        return None
+    return ncomp, hival, lookup
+
+
+def _xobject_image(head: bytes, stream: bytes, objects=None):
     """One ``/Subtype /Image`` XObject -> ``(fmt, payload)`` where the
     payload is directly decodable by the multimodal image ladder:
 
@@ -469,10 +527,14 @@ def _xobject_image(head: bytes, stream: bytes):
       (P5 for /DeviceGray / /CalGray / 1-bit masks, P6 for
       /DeviceRGB / /CalRGB), which the ladder's PNM decoder reads
       ('pnm'); a ``/Decode [1 0]`` inversion is honored
+    - ``/Indexed`` palettes over those bases (1/2/4/8-bit indices,
+      lookup string or lookup stream) map through the palette to PNM
 
     Returns None for codecs needing more than composition (JPX,
-    CCITT G4, JBIG2) or exotic color spaces — those stay in the
-    honest pdf-scanned bucket."""
+    CCITT G4, JBIG2) or exotic color spaces (ICC, CMYK) — those stay
+    in the honest pdf-scanned bucket."""
+    import numpy as np
+
     wm = re.search(rb"/Width\s+(\d+)", head)
     hm = re.search(rb"/Height\s+(\d+)", head)
     if wm is None or hm is None:
@@ -489,22 +551,36 @@ def _xobject_image(head: bytes, stream: bytes):
     bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
     bpc = int(bm.group(1)) if bm else 8
     mask = re.search(rb"/ImageMask\s+true", head) is not None
+    indexed = None if mask else _indexed_palette(head, objects)
     if mask:
         ncomp, bpc = 1, 1
+    elif indexed is not None:
+        ncomp = 1  # indices are single-component samples
     elif re.search(rb"/(?:DeviceRGB|CalRGB)\b", head):
         ncomp = 3
     elif re.search(rb"/(?:DeviceGray|CalGray)\b", head):
         ncomp = 1
     else:
-        return None  # Indexed/ICC/CMYK: out of compositional reach
-    if bpc not in (1, 8) or (bpc == 1 and ncomp != 1):
+        return None  # ICC/CMYK: out of compositional reach
+    if bpc not in (1, 2, 4, 8) or (ncomp == 3 and bpc != 8):
         return None
+    if bpc in (2, 4) and indexed is None and not mask:
+        return None  # sub-byte gray without a palette: rare, skip
     data = _run_filters(pairs, stream)
     if data is None:
         return None
+    if indexed is not None:
+        bn, hival, lookup = indexed
+        idx = _unpack_samples(data, w, h, bpc)
+        if idx is None or int(idx.max(initial=0)) > hival:
+            return None
+        pal = np.frombuffer(
+            lookup[: (hival + 1) * bn], np.uint8
+        ).reshape(hival + 1, bn)
+        body = pal[idx].tobytes()
+        magic = b"P6" if bn == 3 else b"P5"
+        return "pnm", magic + b"\n%d %d\n255\n" % (w, h) + body
     if bpc == 1:
-        import numpy as np
-
         rowbytes = (w + 7) >> 3
         if len(data) < rowbytes * h:
             return None
@@ -548,19 +624,29 @@ def extract_pdf_images(data: bytes | None):
             return []
         pages: list[int] = []
 
-        def walk(num: int, depth: int = 0) -> None:
+        # inherited_res: /Resources is inheritable from ancestor
+        # /Pages nodes (PDF 32000-1 Table 29) — carry the nearest
+        # ancestor's down so pages relying on inheritance still
+        # resolve their XObjects
+        inherited_res: dict[int, bytes | None] = {}
+
+        def walk(num: int, depth: int = 0,
+                 res: bytes | None = None) -> None:
             if depth > 64 or num not in objects:
                 return
             hd, _ = objects[num]
             if re.search(rb"/Type\s*/Pages\b", hd):
+                own = _resolve_dict(hd, rb"/Resources", objects)
                 kids = re.search(rb"/Kids\s*\[([^\]]*)\]", hd)
                 if kids:
                     for km in re.finditer(
                         rb"(\d+)\s+\d+\s+R", kids.group(1)
                     ):
-                        walk(int(km.group(1)), depth + 1)
+                        walk(int(km.group(1)), depth + 1,
+                             own if own is not None else res)
             elif re.search(rb"/Type\s*/Page\b", hd):
                 pages.append(num)
+                inherited_res[num] = res
 
         for num, (hd, _) in objects.items():
             if re.search(rb"/Type\s*/Catalog\b", hd):
@@ -580,6 +666,8 @@ def extract_pdf_images(data: bytes | None):
             hd, _ = objects[num]
             res = _resolve_dict(hd, rb"/Resources", objects)
             if res is None:
+                res = inherited_res.get(num)
+            if res is None:
                 continue
             xo = _resolve_dict(res, rb"/XObject", objects)
             if xo is None:
@@ -593,7 +681,7 @@ def extract_pdf_images(data: bytes | None):
                 if not re.search(rb"/Subtype\s*/Image\b", ohead):
                     continue
                 seen.add(onum)
-                img = _xobject_image(ohead, ostream)
+                img = _xobject_image(ohead, ostream, objects)
                 if img is not None:
                     out.append((pi, img[0], img[1]))
         # orphaned image streams (broken resource dicts): still usable
@@ -601,7 +689,7 @@ def extract_pdf_images(data: bytes | None):
             if onum in seen or ostream is None:
                 continue
             if re.search(rb"/Subtype\s*/Image\b", ohead):
-                img = _xobject_image(ohead, ostream)
+                img = _xobject_image(ohead, ostream, objects)
                 if img is not None:
                     out.append((-1, img[0], img[1]))
         return out
@@ -940,6 +1028,177 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _aes_tables():
+    """AES S-box / inverse S-box / GF(2^8) multiply tables, generated
+    from the FIPS-197 definitions (x^8+x^4+x^3+x+1 field, affine
+    transform) rather than embedded literals."""
+    # GF(2^8) exp/log over generator 3
+    exp = [0] * 512
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x ^= (x << 1) ^ (0x11B if x & 0x80 else 0)
+    for i in range(255, 512):
+        exp[i] = exp[i - 255]
+
+    def gmul(a, b):
+        if a == 0 or b == 0:
+            return 0
+        return exp[log[a] + log[b]]
+
+    sbox = [0] * 256
+    for i in range(256):
+        inv = 0 if i == 0 else exp[255 - log[i]]
+        b = inv
+        s = inv
+        for _ in range(4):
+            b = ((b << 1) | (b >> 7)) & 0xFF
+            s ^= b
+        sbox[i] = s ^ 0x63
+    inv_sbox = [0] * 256
+    for i, v in enumerate(sbox):
+        inv_sbox[v] = i
+    return sbox, inv_sbox, gmul
+
+
+_AES_SBOX, _AES_INV_SBOX, _AES_GMUL = _aes_tables()
+
+
+def _aes_expand(key: bytes):
+    """FIPS-197 key expansion -> list of round-key words (4 bytes)."""
+    nk = len(key) // 4
+    nr = nk + 6
+    words = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    rcon = 1
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(words[i - 1])
+        if i % nk == 0:
+            t = t[1:] + t[:1]
+            t = [_AES_SBOX[b] for b in t]
+            t[0] ^= rcon
+            rcon = _AES_GMUL(rcon, 2)
+        elif nk > 6 and i % nk == 4:
+            t = [_AES_SBOX[b] for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
+    return words, nr
+
+
+def _aes_decrypt_block(words, nr, blk: bytes) -> bytes:
+    """FIPS-197 §5.3 inverse cipher on one 16-byte block."""
+    s = [list(blk[r::4]) for r in range(4)]  # state[row][col]
+
+    def add_rk(rnd):
+        for c in range(4):
+            w = words[4 * rnd + c]
+            for r in range(4):
+                s[r][c] ^= w[r]
+
+    add_rk(nr)
+    for rnd in range(nr - 1, -1, -1):
+        # InvShiftRows
+        for r in range(1, 4):
+            s[r] = s[r][-r:] + s[r][:-r]
+        # InvSubBytes
+        for r in range(4):
+            s[r] = [_AES_INV_SBOX[b] for b in s[r]]
+        add_rk(rnd)
+        if rnd:
+            # InvMixColumns
+            g = _AES_GMUL
+            for c in range(4):
+                a0, a1, a2, a3 = s[0][c], s[1][c], s[2][c], s[3][c]
+                s[0][c] = g(a0, 14) ^ g(a1, 11) ^ g(a2, 13) ^ g(a3, 9)
+                s[1][c] = g(a0, 9) ^ g(a1, 14) ^ g(a2, 11) ^ g(a3, 13)
+                s[2][c] = g(a0, 13) ^ g(a1, 9) ^ g(a2, 14) ^ g(a3, 11)
+                s[3][c] = g(a0, 11) ^ g(a1, 13) ^ g(a2, 9) ^ g(a3, 14)
+    return bytes(s[r][c] for c in range(4) for r in range(4))
+
+
+def _aes_encrypt_block(words, nr, blk: bytes) -> bytes:
+    """FIPS-197 §5.1 forward cipher (needed only by the R6 key
+    derivation hash, Algorithm 2.B)."""
+    s = [list(blk[r::4]) for r in range(4)]
+
+    def add_rk(rnd):
+        for c in range(4):
+            w = words[4 * rnd + c]
+            for r in range(4):
+                s[r][c] ^= w[r]
+
+    add_rk(0)
+    g = _AES_GMUL
+    for rnd in range(1, nr + 1):
+        for r in range(4):
+            s[r] = [_AES_SBOX[b] for b in s[r]]
+        for r in range(1, 4):
+            s[r] = s[r][r:] + s[r][:r]
+        if rnd < nr:
+            for c in range(4):
+                a0, a1, a2, a3 = s[0][c], s[1][c], s[2][c], s[3][c]
+                s[0][c] = g(a0, 2) ^ g(a1, 3) ^ a2 ^ a3
+                s[1][c] = a0 ^ g(a1, 2) ^ g(a2, 3) ^ a3
+                s[2][c] = a0 ^ a1 ^ g(a2, 2) ^ g(a3, 3)
+                s[3][c] = g(a0, 3) ^ a1 ^ a2 ^ g(a3, 2)
+        add_rk(rnd)
+    return bytes(s[r][c] for c in range(4) for r in range(4))
+
+
+def _aes_cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """AES-CBC, NO padding and NO prepended IV — the exact form the
+    R6 hash uses (data is always a multiple of 16 there)."""
+    words, nr = _aes_expand(key)
+    out = bytearray()
+    prev = iv
+    for at in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[at : at + 16], prev))
+        prev = _aes_encrypt_block(words, nr, blk)
+        out.extend(prev)
+    return bytes(out)
+
+
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6 hardened hash): iterated
+    SHA-256/384/512 selected by an AES-CBC round, 64+ iterations."""
+    import hashlib
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    e = b"\xff"
+    while i < 64 or e[-1] > i - 32:
+        k1 = (pwd + k + udata) * 64
+        e = _aes_cbc_encrypt_raw(k[:16], k[16:32], k1)
+        m = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[m](
+            e
+        ).digest()
+        i += 1
+    return k[:32]
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes,
+                     strip_pad: bool = True) -> bytes | None:
+    """AES-CBC per the PDF crypt filters: leading 16-byte IV, PKCS#7
+    padding (stripped when ``strip_pad``). None on malformed sizes."""
+    if len(data) < 32 or len(data) % 16:
+        return None
+    words, nr = _aes_expand(key)
+    prev = data[:16]
+    out = bytearray()
+    for at in range(16, len(data), 16):
+        blk = data[at : at + 16]
+        plain = _aes_decrypt_block(words, nr, blk)
+        out.extend(a ^ b for a, b in zip(plain, prev))
+        prev = blk
+    if strip_pad:
+        pad = out[-1]
+        if not 1 <= pad <= 16:
+            return None
+        del out[-pad:]
+    return bytes(out)
+
+
 def _string_bytes(body: bytes, at: int) -> bytes | None:
     """Raw bytes of the PDF string starting at ``at`` (``(...)`` with
     escapes, or ``<hex>``) — for binary dict entries like /O and /U."""
@@ -993,19 +1252,48 @@ def _parse_encrypt(data: bytes, objects):
     if rm is None or pm is None:
         return None
     r = int(rm.group(1))
-    if v not in (1, 2) or r not in (2, 3):
-        # V4/AESV2, V5/AES-256: beyond the stdlib handler — locked
-        return None
     lm = re.search(rb"/Length\s+(\d+)", enc_head)
     length = int(lm.group(1)) if lm else 40
+    em = re.search(rb"/EncryptMetadata\s+false", enc_head) is None
+    if v in (1, 2) and r in (2, 3):
+        cfm = "rc4"
+    elif v == 4 and r == 4:
+        # crypt filters: the streams' filter comes from /StmF
+        if re.search(rb"/StmF\s*/Identity\b", enc_head):
+            cfm = "identity"  # streams are NOT encrypted
+        elif re.search(rb"/CFM\s*/AESV2\b", enc_head):
+            cfm = "aes"
+            length = 128
+        elif re.search(rb"/CFM\s*/V2\b", enc_head):
+            cfm = "rc4"
+            clm = re.search(rb"/CF\b.*?/Length\s+(\d+)", enc_head, re.S)
+            if clm:
+                cl = int(clm.group(1))
+                length = cl * 8 if cl <= 32 else cl  # bytes vs bits
+        else:
+            return None  # unknown crypt filter
+    elif v == 5 and r in (5, 6):
+        cfm = "aes5"
+        length = 256
+    else:
+        return None
     om = re.search(rb"/O\s*", enc_head)
     um = re.search(rb"/U\s*", enc_head)
     if om is None or um is None:
         return None
     o = _string_bytes(enc_head, om.end())
     u = _string_bytes(enc_head, um.end())
-    if o is None or u is None or len(o) < 32 or len(u) < 32:
+    need_u = 48 if cfm == "aes5" else 32
+    if o is None or u is None or len(o) < 32 or len(u) < need_u:
         return None
+    ue = None
+    if cfm == "aes5":
+        uem = re.search(rb"/UE\s*", enc_head)
+        if uem is None:
+            return None
+        ue = _string_bytes(enc_head, uem.end())
+        if ue is None or len(ue) < 32:
+            return None
     # first element of the trailer /ID array (may legally be absent)
     id0 = b""
     im = re.search(rb"/ID\s*\[", data)
@@ -1014,28 +1302,56 @@ def _parse_encrypt(data: bytes, objects):
         if got is not None:
             id0 = got
     return {
-        "r": r, "length": length, "o": o[:32], "u": u[:32],
-        "p": int(pm.group(1)), "id0": id0,
+        "r": r, "length": length, "o": o[:48], "u": u[:need_u],
+        "p": int(pm.group(1)), "id0": id0, "cfm": cfm, "em": em,
+        "ue": ue[:32] if ue else None,
     }
 
 
 def _empty_user_key(enc) -> bytes | None:
-    """Algorithm 2 key from the EMPTY user password, validated
-    against /U per Algorithm 6 (R2: full 32 bytes; R3: first 16).
-    Returns None when the file needs a real password."""
+    """File encryption key from the EMPTY user password, validated
+    against /U. R2/R3/R4: Algorithm 2 + Algorithm 6 (R2 compares the
+    full 32 bytes, R3/R4 the first 16; R4 without /EncryptMetadata
+    folds ffffffff into the hash). R5/R6 (AES-256): SHA-256 /
+    Algorithm 2.B over the validation salt, file key unwrapped from
+    /UE with AES-256-CBC (zero IV). Returns None when the file needs
+    a real password."""
     import hashlib
     import struct
 
+    if enc["cfm"] == "aes5":
+        u = enc["u"]
+        vsalt, ksalt = u[32:40], u[40:48]
+        if enc["r"] == 5:
+            h = hashlib.sha256(b"" + vsalt).digest()
+            ik = hashlib.sha256(b"" + ksalt).digest()
+        else:
+            h = _hash_2b(b"", vsalt)
+            ik = _hash_2b(b"", ksalt)
+        if h != u[:32]:
+            return None
+        words, nr = _aes_expand(ik)
+        prev = b"\x00" * 16
+        key = bytearray()
+        for at in range(0, 32, 16):
+            blk = enc["ue"][at : at + 16]
+            plain = _aes_decrypt_block(words, nr, blk)
+            key.extend(a ^ b for a, b in zip(plain, prev))
+            prev = blk
+        return bytes(key)
+
+    o = enc["o"][:32]
     n = 5 if enc["r"] == 2 else max(5, min(16, enc["length"] // 8))
-    h = hashlib.md5(
-        _PW_PAD + enc["o"] + struct.pack("<i", enc["p"]) + enc["id0"]
-    ).digest()
+    seed = _PW_PAD + o + struct.pack("<i", enc["p"]) + enc["id0"]
+    if enc["r"] >= 4 and not enc["em"]:
+        seed += b"\xff\xff\xff\xff"
+    h = hashlib.md5(seed).digest()
     if enc["r"] >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:n]).digest()
     key = h[:n]
     if enc["r"] == 2:
-        ok = _rc4(key, _PW_PAD) == enc["u"]
+        ok = _rc4(key, _PW_PAD) == enc["u"][:32]
     else:
         x = hashlib.md5(_PW_PAD + enc["id0"]).digest()
         x = _rc4(key, x)
@@ -1045,11 +1361,14 @@ def _empty_user_key(enc) -> bytes | None:
     return key if ok else None
 
 
-def _decrypt_objects(data: bytes, objects, key: bytes):
-    """New object map with every top-level stream RC4-decrypted under
-    its per-object key (Algorithm 1), then /ObjStm re-expanded (their
-    contained objects are not separately encrypted). XRef streams are
-    never encrypted and pass through."""
+def _decrypt_objects(data: bytes, objects, key: bytes, cfm: str):
+    """New object map with every top-level stream decrypted — RC4 or
+    AES-CBC under its per-object key (Algorithm 1; AESV2 appends the
+    sAlT salt), or the file key directly for AES-256 (V5) — then
+    /ObjStm re-expanded (their contained objects are not separately
+    encrypted). XRef streams are never encrypted and pass through; a
+    stream whose AES framing is malformed becomes None rather than
+    garbage."""
     import hashlib
 
     gens = {}
@@ -1060,13 +1379,24 @@ def _decrypt_objects(data: bytes, objects, key: bytes):
         if stream is not None and not re.search(
             rb"/Type\s*/XRef\b", head
         ):
-            gen = gens.get(num, 0)
-            okey = hashlib.md5(
-                key
-                + num.to_bytes(3, "little")
-                + gen.to_bytes(2, "little")
-            ).digest()[: min(len(key) + 5, 16)]
-            stream = _rc4(okey, stream)
+            if cfm == "aes5":
+                stream = _aes_cbc_decrypt(key, stream)
+            else:
+                gen = gens.get(num, 0)
+                seed = (
+                    key
+                    + num.to_bytes(3, "little")
+                    + gen.to_bytes(2, "little")
+                )
+                if cfm == "aes":
+                    seed += b"sAlT"
+                okey = hashlib.md5(seed).digest()[
+                    : min(len(key) + 5, 16)
+                ]
+                if cfm == "aes":
+                    stream = _aes_cbc_decrypt(okey, stream)
+                else:
+                    stream = _rc4(okey, stream)
         out[num] = (head, stream)
     for head, stream in list(out.values()):
         if stream is not None and re.search(rb"/Type\s*/ObjStm\b", head):
@@ -1077,9 +1407,10 @@ def _decrypt_objects(data: bytes, objects, key: bytes):
 
 def _open_objects(data: bytes):
     """(objects, locked): the object map ready for extraction. For
-    encrypted files the empty-user-password RC4 handler is tried;
-    ``locked=True`` means content is ciphertext we cannot read
-    (real password, or an AES scheme)."""
+    encrypted files the empty-user-password standard handler is
+    tried — RC4 40/128 (R2-R4), AES-128 (V4/AESV2) and AES-256
+    (V5/R5/R6); ``locked=True`` means content is ciphertext we
+    cannot read (a real user password, or an unknown scheme)."""
     objects = _find_objects(data)
     if not objects:
         return None, False
@@ -1088,10 +1419,12 @@ def _open_objects(data: bytes):
     enc = _parse_encrypt(data, objects)
     if enc is None:
         return objects, True
+    if enc["cfm"] == "identity":
+        return objects, False  # /StmF /Identity: streams plaintext
     key = _empty_user_key(enc)
     if key is None:
         return objects, True
-    return _decrypt_objects(data, objects, key), False
+    return _decrypt_objects(data, objects, key, enc["cfm"]), False
 
 
 def extract_pdf_text(data: bytes | None) -> tuple[str, int, str]:

@@ -2931,3 +2931,383 @@ def test_video_duration_unknown_is_null():
     zero = (_ebml(b"\x1a\x45\xdf\xa3", b"")
             + _ebml(b"\x18\x53\x80\x67", info0 + tracks))
     assert _webm_metadata(zero) == (0, 100, 80, True, False)
+
+
+def _make_jpeg_partial(rgb, subsample=False, restart=0):
+    """Partially-interleaved multi-scan baseline twin: scan 1 carries
+    [Y, Cb] interleaved over the FRAME MCU grid, scan 2 carries [Cr]
+    non-interleaved — the legal 2-of-3 layout (T.81 A.2.3) the
+    decoder previously stubbed. Tables are (re)defined before each
+    scan. Returns (jpeg_bytes, expected_rgb)."""
+    h, w, samp, qts, qt_of, grids, expect = _twin_quantize(
+        rgb, subsample=subsample
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def scan_blocks(comps, interleaved):
+        """(ci, 8x8 block) in scan order, with MCU/block counters for
+        restart placement."""
+        out = []
+        if interleaved:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    unit = []
+                    for ci in comps:
+                        sh, sv = samp[ci]
+                        for v in range(sv):
+                            for u in range(sh):
+                                unit.append(
+                                    (ci,
+                                     grids[ci][my * sv + v, mx * sh + u]
+                                     .reshape(8, 8))
+                                )
+                    out.append(unit)
+        else:
+            (ci,) = comps
+            sh, sv = samp[ci]
+            niw = -(-(-(-w * sh // hmax)) // 8)
+            nih = -(-(-(-h * sv // vmax)) // 8)
+            for by in range(nih):
+                for bx in range(niw):
+                    out.append(
+                        [(ci, grids[ci][by, bx].reshape(8, 8))]
+                    )
+        return out
+
+    def encode_scan(units, comps):
+        """(dht_payloads, sos_payload, entropy_bytes) for one scan
+        with its own minimal tables (ids 0/0 redefined per scan)."""
+        dc_syms, ac_syms = set(), set()
+        preds = {ci: 0 for ci in comps}
+        for ui, unit in enumerate(units):
+            if restart and ui and ui % restart == 0:
+                preds = {ci: 0 for ci in comps}
+            for ci, qc in unit:
+                zz = qc.flatten()[_TWIN_ZZ]
+                t, _ = _twin_cat(int(zz[0]) - preds[ci])
+                preds[ci] = int(zz[0])
+                dc_syms.add(t)
+                run = 0
+                for k in range(1, 64):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ac_syms.add(0xF0)
+                        run -= 16
+                    s, _ = _twin_cat(int(zz[k]))
+                    ac_syms.add((run << 4) | s)
+                    run = 0
+                if run:
+                    ac_syms.add(0x00)
+        ac_syms.add(0x00)
+        dc_tab = _jpeg_twin_tables(dc_syms)
+        ac_tab = _jpeg_twin_tables(ac_syms)
+        wtr = _JpegTwinWriter()
+        preds = {ci: 0 for ci in comps}
+        rst = 0
+        for ui, unit in enumerate(units):
+            if restart and ui and ui % restart == 0:
+                wtr.pad()
+                wtr.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                preds = {ci: 0 for ci in comps}
+            for ci, qc in unit:
+                zz = qc.flatten()[_TWIN_ZZ]
+                t, bits = _twin_cat(int(zz[0]) - preds[ci])
+                preds[ci] = int(zz[0])
+                c, L = dc_tab[2][t]
+                wtr.put(c, L)
+                if t:
+                    wtr.put(bits, t)
+                run = 0
+                for k in range(1, 64):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, L = ac_tab[2][0xF0]
+                        wtr.put(c, L)
+                        run -= 16
+                    s, bits = _twin_cat(int(zz[k]))
+                    c, L = ac_tab[2][(run << 4) | s]
+                    wtr.put(c, L)
+                    if s:
+                        wtr.put(bits, s)
+                    run = 0
+                if run:
+                    c, L = ac_tab[2][0x00]
+                    wtr.put(c, L)
+        wtr.pad()
+        dhts = [
+            bytes([0x00]) + bytes(dc_tab[0]) + bytes(dc_tab[1]),
+            bytes([0x10]) + bytes(ac_tab[0]) + bytes(ac_tab[1]),
+        ]
+        sos = bytearray([len(comps)])
+        for ci in comps:
+            sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        sos += bytes([0, 63, 0])
+        return dhts, bytes(sos), bytes(wtr.out)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    for tid, q in enumerate(qts):
+        seg(0xDB, bytes([tid]) + bytes(int(q.flatten()[z]) for z in _TWIN_ZZ))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(samp))
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, qt_of[ci]])
+    seg(0xC0, bytes(sof))
+    if restart:
+        seg(0xDD, restart.to_bytes(2, "big"))
+    for comps, inter in (([0, 1], True), ([2], False)):
+        units = scan_blocks(comps, inter)
+        dhts, sos, entropy = encode_scan(units, comps)
+        for d in dhts:
+            seg(0xC4, d)
+        seg(0xDA, sos)
+        out.extend(entropy)
+    out.extend(b"\xff\xd9")
+    return bytes(out), expect
+
+
+@pytest.mark.parametrize(
+    "shape,subsample,restart",
+    [
+        ((16, 24), False, 0),   # exact MCU grid, 4:4:4
+        ((13, 21), False, 0),   # ragged edges
+        ((29, 35), True, 0),    # 4:2:0: chroma MCU geometry differs
+        ((16, 32), True, 3),    # restart markers count MCUs per scan
+    ],
+)
+def test_decode_jpeg_partially_interleaved(shape, subsample, restart):
+    """The 2-of-3 partially-interleaved multi-scan baseline layout
+    decodes bit-identically to the fully-interleaved twin of the
+    same quantized coefficients (closes the last honest JPEG stub)."""
+    from opencosmo_spark.pipeline.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(sum(shape) + restart)
+    h, w = shape
+    low = rng.normal(128, 40, (max(1, h // 8), max(1, w // 8), 3))
+    rgb = np.clip(
+        np.kron(low, np.ones((8, 8, 1)))[:h, :w], 0, 255
+    ).astype(np.uint8)
+    partial, expect = _make_jpeg_partial(
+        rgb, subsample=subsample, restart=restart
+    )
+    full, expect2 = _make_jpeg(rgb, subsample=subsample)
+    np.testing.assert_array_equal(expect, expect2)
+    got = _decode_jpeg(partial)
+    assert got is not None
+    np.testing.assert_array_equal(got, _decode_jpeg(full))
+    assert np.abs(got.astype(int) - expect.astype(int)).max() <= 1
+
+
+def _make_mp4_subs(cues, timescale=1000, handler=b"text", gaps=False):
+    """ISO-BMFF fixture with one tx3g subtitle track: ``cues`` =
+    [(text, duration_ticks)]; with ``gaps`` an empty sample is
+    interleaved after each cue (the tx3g gap convention)."""
+    samples = []
+    deltas = []
+    for text, dur in cues:
+        enc = text.encode("utf-8")
+        samples.append(len(enc).to_bytes(2, "big") + enc)
+        deltas.append(dur)
+        if gaps:
+            samples.append(b"\x00\x00")
+            deltas.append(dur // 2 or 1)
+
+    def build(mdat_at):
+        stsd = _box(
+            b"stsd",
+            b"\x00" * 4 + (1).to_bytes(4, "big")
+            + _box(b"tx3g", b"\x00" * 6 + b"\x00\x01" + b"\x00" * 24),
+        )
+        stts = _box(
+            b"stts",
+            b"\x00" * 4 + len(deltas).to_bytes(4, "big")
+            + b"".join(
+                (1).to_bytes(4, "big") + d.to_bytes(4, "big")
+                for d in deltas
+            ),
+        )
+        stsc = _box(
+            b"stsc",
+            b"\x00" * 4 + (1).to_bytes(4, "big")
+            + (1).to_bytes(4, "big") + len(samples).to_bytes(4, "big")
+            + (1).to_bytes(4, "big"),
+        )
+        stsz = _box(
+            b"stsz",
+            b"\x00" * 4 + (0).to_bytes(4, "big")
+            + len(samples).to_bytes(4, "big")
+            + b"".join(len(s).to_bytes(4, "big") for s in samples),
+        )
+        stco = _box(
+            b"stco",
+            b"\x00" * 4 + (1).to_bytes(4, "big")
+            + mdat_at.to_bytes(4, "big"),
+        )
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        mdhd = _box(
+            b"mdhd",
+            b"\x00" * 4 + b"\x00" * 8 + timescale.to_bytes(4, "big")
+            + sum(deltas).to_bytes(4, "big") + b"\x00" * 4,
+        )
+        hdlr = _box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12)
+        mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+        moov = _box(b"moov", _box(b"trak", mdia))
+        return moov
+
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    moov = build(0)
+    mdat_at = len(ftyp) + len(moov) + 8
+    moov = build(mdat_at)
+    return ftyp + moov + _box(b"mdat", b"".join(samples))
+
+
+def _make_webm_subs(cues, scale_ns=1_000_000, simple=False,
+                    codec=b"S_TEXT/UTF8"):
+    """WebM fixture with an S_TEXT/UTF8 track: ``cues`` =
+    [(t_ticks, dur_ticks, text)] in one cluster at timecode 0."""
+    info = _ebml(b"\x15\x49\xa9\x66",
+                 _ebml(b"\x2a\xd7\xb1", scale_ns.to_bytes(3, "big")))
+    track = _ebml(
+        b"\xae",
+        _ebml(b"\xd7", b"\x01") + _ebml(b"\x83", b"\x11")
+        + _ebml(b"\x86", codec),
+    )
+    tracks = _ebml(b"\x16\x54\xae\x6b", track)
+    blocks = b""
+    for t, dur, text in cues:
+        frame = b"\x81" + t.to_bytes(2, "big") + b"\x00" + text.encode()
+        if simple:
+            blocks += _ebml(b"\xa3", frame)
+        else:
+            blocks += _ebml(
+                b"\xa0",
+                _ebml(b"\xa1", frame)
+                + _ebml(b"\x9b", dur.to_bytes(2, "big")),
+            )
+    cluster = _ebml(b"\x1f\x43\xb6\x75",
+                    _ebml(b"\xe7", b"\x00") + blocks)
+    return (_ebml(b"\x1a\x45\xdf\xa3", b"")
+            + _ebml(b"\x18\x53\x80\x67", info + tracks + cluster))
+
+
+def test_mp4_subtitle_extraction():
+    """tx3g sample-table walk: cue times from stts x mdhd timescale,
+    text from the 2-byte-length samples, gap samples skipped."""
+    from opencosmo_spark.pipeline.multimodal import _mp4_subtitles
+
+    mp4 = _make_mp4_subs(
+        [("Hello there.", 2000), ("General Kenobi!", 1500)],
+        timescale=1000, gaps=True,
+    )
+    cues = _mp4_subtitles(mp4)
+    assert cues == [
+        (0, 2000, "Hello there."),
+        (3000, 4500, "General Kenobi!"),
+    ]
+    # handler 'sbtl' variant and a 90kHz timescale
+    alt = _make_mp4_subs([("hi", 90000)], timescale=90000,
+                         handler=b"sbtl")
+    assert _mp4_subtitles(alt) == [(0, 1000, "hi")]
+    # a video-only mp4 has no cues but IS bmff; junk is None
+    assert _mp4_subtitles(_make_mp4(duration_ms=2000)) == []
+    assert _mp4_subtitles(b"RIFFxxxxWEBP") is None
+
+
+def test_webm_subtitle_extraction():
+    """S_TEXT/UTF8 cluster walk: BlockGroup duration and SimpleBlock
+    forms, TimecodeScale honored, non-subtitle codecs ignored."""
+    from opencosmo_spark.pipeline.multimodal import _webm_subtitles
+
+    webm = _make_webm_subs(
+        [(0, 1800, "first cue"), (2500, 900, "second cue")]
+    )
+    assert _webm_subtitles(webm) == [
+        (0, 1800, "first cue"),
+        (2500, 3400, "second cue"),
+    ]
+    simple = _make_webm_subs([(100, 0, "simple form")], simple=True)
+    assert _webm_subtitles(simple) == [(100, 100, "simple form")]
+    # 500us ticks double every time value
+    scaled = _make_webm_subs([(10, 4, "s")], scale_ns=500_000)
+    assert _webm_subtitles(scaled) == [(5, 7, "s")]
+    # an audio-codec track with the same layout yields no cues
+    nosub = _make_webm_subs([(0, 10, "x")], codec=b"A_OPUS")
+    assert _webm_subtitles(nosub.replace(b"\x83\x81\x11", b"\x83\x81\x02")) == []
+    assert _webm_subtitles(_make_webm(duration_ms=500)) == []
+    assert _webm_subtitles(b"junk") is None
+
+
+def test_video_subtitles_spark_ledger(spark):
+    """video_subtitles fans cue rows out per file and keeps
+    subtitle-less files visible with NULL cue fields — the honest
+    ledger; the text column feeds corpus curation as-is."""
+    from pyspark.sql import functions as sf
+
+    from opencosmo_spark.pipeline.multimodal import video_subtitles
+
+    mp4 = _make_mp4_subs([("line one", 1000), ("line two", 1000)])
+    webm = _make_webm_subs([(0, 500, "webm cue")])
+    plain = _make_mp4(duration_ms=3000)  # video, no subtitle track
+    df = spark.createDataFrame(
+        [("a", mp4), ("b", webm), ("c", plain), ("d", b"garbage")],
+        "media_id string, payload binary",
+    )
+    out = video_subtitles(df).toPandas()
+    a = out[out.media_id == "a"].sort_values("cue_idx")
+    assert list(a.text) == ["line one", "line two"]
+    assert list(a.t_start_ms) == [0, 1000]
+    assert a.sub_format.iloc[0] == "mp4"
+    b = out[out.media_id == "b"]
+    assert list(b.text) == ["webm cue"] and b.sub_format.iloc[0] == "webm"
+    c = out[out.media_id == "c"]
+    assert len(c) == 1 and c.text.isna().all() and \
+        c.sub_format.iloc[0] == "mp4"
+    d = out[out.media_id == "d"]
+    assert len(d) == 1 and d.sub_format.isna().all()
+
+    # pretraining-text shape: concat per media_id, ready for curation
+    docs = (
+        video_subtitles(df)
+        .filter(sf.col("text").isNotNull())
+        .groupBy("media_id")
+        .agg(sf.concat_ws("\n", sf.collect_list("text")).alias("text"))
+    )
+    got = {r.media_id: r.text for r in docs.collect()}
+    assert got == {"a": "line one\nline two", "b": "webm cue"}
+
+
+def test_subtitle_parsers_total_under_mutation():
+    """The subtitle walkers never raise on mutated containers — the
+    same totality standard as the other metadata tiers."""
+    import numpy as np
+
+    from opencosmo_spark.pipeline.multimodal import (
+        _mp4_subtitles,
+        _webm_subtitles,
+    )
+
+    rng = np.random.default_rng(17)
+    base_m = bytearray(_make_mp4_subs([("mutate me", 1000)]))
+    base_w = bytearray(_make_webm_subs([(0, 100, "mutate me")]))
+    for base, fn in ((base_m, _mp4_subtitles), (base_w, _webm_subtitles)):
+        for _ in range(300):
+            mut = bytearray(base)
+            for _ in range(int(rng.integers(1, 5))):
+                mut[int(rng.integers(0, len(mut)))] = int(
+                    rng.integers(0, 256)
+                )
+            out = fn(bytes(mut))
+            assert out is None or isinstance(out, list)

@@ -1036,15 +1036,16 @@ def test_encrypted_empty_user_password_decrypts(r, length):
 
 
 def test_encrypted_real_password_stays_locked():
-    """A real user password (and AES schemes) keep the honest
-    pdf-encrypted ledger — no silent garbage extraction."""
+    """A real user password keeps the honest pdf-encrypted ledger —
+    no silent garbage extraction; a V4 dict with an UNKNOWN crypt
+    filter (no /CF) is locked rather than guessed at."""
     from opencosmo_spark.pipeline.pdf import extract_pdf_text
 
     pdf = make_pdf([b"BT (secret) Tj ET"])
     locked = rc4_encrypt_pdf(pdf, user_pw=b"hunter2")
     assert extract_pdf_text(locked) == ("", 1, "pdf-encrypted")
 
-    # V4 / AESV2 crypt filter: out of stdlib reach, locked
+    # V4 claimed with no crypt-filter dict: unknown scheme, locked
     enc = rc4_encrypt_pdf(pdf)
     aes = enc.replace(b"/Filter /Standard /V 2 /R 3",
                       b"/Filter /Standard /V 4 /R 4")
@@ -1076,3 +1077,323 @@ def test_encrypted_scanned_pdf_images_extract():
     locked = rc4_encrypt_pdf(pdf, user_pw=b"nope")
     assert extract_pdf_images(locked) == []
     assert extract_pdf_text(locked)[2] == "pdf-encrypted"
+
+
+def test_extract_pdf_images_indexed_palette():
+    """/Indexed color spaces (1/2/4/8-bit indices, lookup string OR
+    lookup stream) map through the palette to exact PNM pixels."""
+    import numpy as np
+
+    from opencosmo_spark.pipeline.multimodal import _decode_pnm
+    from opencosmo_spark.pipeline.pdf import extract_pdf_images
+
+    rng = np.random.default_rng(8)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (5, 7), dtype=np.uint8)
+
+    def packed(bpc):
+        bits = ((idx[..., None] >> np.arange(bpc - 1, -1, -1)) & 1)
+        flat = bits.reshape(idx.shape[0], -1).astype(np.uint8)
+        pad = (-flat.shape[1]) % 8
+        flat = np.pad(flat, ((0, 0), (0, pad)))
+        return np.packbits(flat, axis=1).tobytes()
+
+    for bpc in (4, 8):
+        samples = packed(bpc) if bpc < 8 else idx.tobytes()
+        body = zlib.compress(samples)
+        img = (
+            b"<< /Type /XObject /Subtype /Image /Width 7 /Height 5 "
+            b"/ColorSpace [/Indexed /DeviceRGB 15 <"
+            + pal.tobytes().hex().encode() + b">] "
+            b"/BitsPerComponent %d /Filter /FlateDecode "
+            b"/Length %d >>\nstream\n" % (bpc, len(body))
+            + body + b"\nendstream"
+        )
+        imgs = extract_pdf_images(make_scanned_pdf([img]))
+        assert len(imgs) == 1 and imgs[0][1] == "pnm", bpc
+        np.testing.assert_array_equal(_decode_pnm(imgs[0][2]), pal[idx])
+
+    # 1-bit indexed over a gray base via a lookup STREAM object
+    bidx = (idx % 2).astype(np.uint8)
+    packedb = np.packbits(
+        np.pad(bidx, ((0, 0), (0, (-7) % 8))), axis=1
+    ).tobytes()
+    body = zlib.compress(packedb)
+    lk = zlib.compress(bytes([10, 240]))  # gray palette: dark, light
+    img = (
+        b"<< /Type /XObject /Subtype /Image /Width 7 /Height 5 "
+        b"/ColorSpace [/Indexed /DeviceGray 1 90 0 R] "
+        b"/BitsPerComponent 1 /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n" % len(body)
+        + body + b"\nendstream"
+    )
+    pdf = make_scanned_pdf([img])
+    lkobj = (
+        b"90 0 obj\n<< /Filter /FlateDecode /Length %d >>\nstream\n"
+        % len(lk) + lk + b"\nendstream\nendobj\n"
+    )
+    t_at = pdf.find(b"trailer")
+    pdf = pdf[:t_at] + lkobj + pdf[t_at:]
+    imgs = extract_pdf_images(pdf)
+    assert len(imgs) == 1
+    want = np.array([10, 240], np.uint8)[bidx]
+    np.testing.assert_array_equal(
+        _decode_pnm(imgs[0][2])[:, :, 0], want
+    )
+
+    # out-of-range index or short palette refuses
+    bad = img.replace(b"/DeviceGray 1 90 0 R", b"/DeviceGray 0 90 0 R")
+    pdf_bad = make_scanned_pdf([bad])
+    pdf_bad = pdf_bad[: pdf_bad.find(b"trailer")] + lkobj \
+        + pdf_bad[pdf_bad.find(b"trailer"):]
+    assert extract_pdf_images(pdf_bad) == []
+
+
+def test_aes_core_fips_kat():
+    """The from-definition AES core matches the FIPS-197 Appendix C
+    known-answer vectors (128 and 256 bit) in both directions — the
+    external pin that keeps the AES-based PDF handlers from being
+    self-referential."""
+    from opencosmo_spark.pipeline.pdf import (
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _aes_expand,
+    )
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    w, nr = _aes_expand(key)
+    assert _aes_encrypt_block(w, nr, pt) == ct
+    assert _aes_decrypt_block(w, nr, ct) == pt
+    key256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f"
+    )
+    ct256 = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    w, nr = _aes_expand(key256)
+    assert _aes_encrypt_block(w, nr, pt) == ct256
+    assert _aes_decrypt_block(w, nr, ct256) == pt
+
+
+def _aes_cbc_pad_encrypt(key, iv, data):
+    """PKCS#7-padded AES-CBC with prepended IV (the PDF stream form)
+    for the fixtures — built on the KAT-pinned forward cipher."""
+    from opencosmo_spark.pipeline.pdf import _aes_cbc_encrypt_raw
+
+    pad = 16 - len(data) % 16
+    return iv + _aes_cbc_encrypt_raw(key, iv, data + bytes([pad]) * pad)
+
+
+def aes_encrypt_pdf(pdf, user_pw=b"", owner_pw=b"hunter2", p=-44):
+    """V4/AESV2 encrypt-twin: RC4-era key derivation (Algorithms
+    2/3/4-5 at R4 = R3 forms) transcribed independently, streams
+    AES-128-CBC under per-object keys with the sAlT salt. The AES
+    block core itself is the module's — acceptable because the FIPS
+    KAT test pins it externally."""
+    import hashlib
+    import re as _re
+    import struct
+
+    n = 16
+    id0 = hashlib.md5(pdf).digest()
+    h = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+    for _ in range(50):
+        h = hashlib.md5(h).digest()
+    okey = h[:n]
+    o = rc4_twin(okey, (user_pw + _PAD)[:32])
+    for i in range(1, 20):
+        o = rc4_twin(bytes(b ^ i for b in okey), o)
+    h = hashlib.md5(
+        (user_pw + _PAD)[:32] + o + struct.pack("<i", p) + id0
+    ).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    u = rc4_twin(key, hashlib.md5(_PAD + id0).digest())
+    for i in range(1, 20):
+        u = rc4_twin(bytes(b ^ i for b in key), u)
+    u = u + b"\x00" * 16
+
+    out = bytearray()
+    pos = 0
+    max_num = 0
+    iv_ctr = 0
+    for m in _re.finditer(rb"(\d+)\s+0\s+obj", pdf):
+        num = int(m.group(1))
+        max_num = max(max_num, num)
+        end = pdf.find(b"endobj", m.end())
+        body = pdf[m.end():end]
+        sm = _re.search(rb"stream\r?\n", body)
+        if sm:
+            head = body[: sm.start()]
+            lm = _re.search(rb"/Length\s+(\d+)", head)
+            ln = int(lm.group(1))
+            raw = body[sm.end() : sm.end() + ln]
+            okey_obj = hashlib.md5(
+                key + num.to_bytes(3, "little") + b"\x00\x00" + b"sAlT"
+            ).digest()[:16]
+            iv_ctr += 1
+            iv = hashlib.md5(b"iv%d" % iv_ctr).digest()
+            enc = _aes_cbc_pad_encrypt(okey_obj, iv, raw)
+            new_head = _re.sub(
+                rb"/Length\s+\d+", b"/Length %d" % len(enc), head
+            )
+            enc_body = (new_head + body[sm.start() : sm.end()] + enc
+                        + b"\nendstream")
+        else:
+            enc_body = body
+        out += pdf[pos : m.start()]
+        out += pdf[m.start() : m.end()] + enc_body + b"endobj"
+        pos = end + len(b"endobj")
+    out += pdf[pos:]
+
+    enum = max_num + 9
+    enc_obj = (
+        b"%d 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+        b"/StmF /StdCF /StrF /StdCF "
+        b"/P %d /O <%s> /U <%s> >>\nendobj\n"
+        % (enum, p, o.hex().encode(), u.hex().encode())
+    )
+    t_at = out.find(b"trailer")
+    out[t_at:t_at] = enc_obj
+    tdict_end = out.find(b">>", out.find(b"trailer"))
+    out[tdict_end:tdict_end] = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+        enum, id0.hex().encode(), id0.hex().encode()
+    )
+    return bytes(out)
+
+
+def aes256_encrypt_pdf(pdf, user_pw=b"", r=6):
+    """V5 (AES-256) encrypt-twin, R5 and R6: U = hash + validation
+    salt + key salt, UE wraps the random file key under the
+    key-salt-derived intermediate key (zero-IV CBC), streams
+    AES-256-CBC under the file key directly."""
+    import hashlib
+    import re as _re
+
+    from opencosmo_spark.pipeline.pdf import (
+        _aes_cbc_encrypt_raw,
+        _hash_2b,
+    )
+
+    vsalt = hashlib.md5(b"vs" + pdf[:32]).digest()[:8]
+    ksalt = hashlib.md5(b"ks" + pdf[:32]).digest()[:8]
+    filekey = hashlib.sha256(b"filekey" + pdf[:16]).digest()
+    if r == 5:
+        uhash = hashlib.sha256(user_pw + vsalt).digest()
+        ik = hashlib.sha256(user_pw + ksalt).digest()
+    else:
+        uhash = _hash_2b(user_pw, vsalt)
+        ik = _hash_2b(user_pw, ksalt)
+    u = uhash + vsalt + ksalt
+    ue = _aes_cbc_encrypt_raw(ik, b"\x00" * 16, filekey)
+    o = hashlib.sha256(b"owner-entry-unused").digest() + b"\x00" * 16
+
+    out = bytearray()
+    pos = 0
+    max_num = 0
+    iv_ctr = 0
+    for m in _re.finditer(rb"(\d+)\s+0\s+obj", pdf):
+        num = int(m.group(1))
+        max_num = max(max_num, num)
+        end = pdf.find(b"endobj", m.end())
+        body = pdf[m.end():end]
+        sm = _re.search(rb"stream\r?\n", body)
+        if sm:
+            head = body[: sm.start()]
+            lm = _re.search(rb"/Length\s+(\d+)", head)
+            ln = int(lm.group(1))
+            raw = body[sm.end() : sm.end() + ln]
+            iv_ctr += 1
+            iv = hashlib.md5(b"v5iv%d" % iv_ctr).digest()
+            enc = _aes_cbc_pad_encrypt(filekey, iv, raw)
+            new_head = _re.sub(
+                rb"/Length\s+\d+", b"/Length %d" % len(enc), head
+            )
+            enc_body = (new_head + body[sm.start() : sm.end()] + enc
+                        + b"\nendstream")
+        else:
+            enc_body = body
+        out += pdf[pos : m.start()]
+        out += pdf[m.start() : m.end()] + enc_body + b"endobj"
+        pos = end + len(b"endobj")
+    out += pdf[pos:]
+
+    enum = max_num + 9
+    enc_obj = (
+        b"%d 0 obj\n<< /Filter /Standard /V 5 /R %d /Length 256 "
+        b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        b"/StmF /StdCF /StrF /StdCF /P -44 "
+        b"/O <%s> /U <%s> /UE <%s> /OE <%s> >>\nendobj\n"
+        % (enum, r, o.hex().encode(), u.hex().encode(),
+           ue.hex().encode(), (b"\x00" * 32).hex().encode())
+    )
+    t_at = out.find(b"trailer")
+    out[t_at:t_at] = enc_obj
+    tdict_end = out.find(b">>", out.find(b"trailer"))
+    out[tdict_end:tdict_end] = b" /Encrypt %d 0 R" % enum
+    return bytes(out)
+
+
+def test_aesv2_empty_user_password_decrypts():
+    """V4/AESV2 (AES-128-CBC crypt filter) owner-locked files decrypt
+    with the empty user password and extract as pdf-text; a real
+    user password stays locked."""
+    from opencosmo_spark.pipeline.pdf import extract_pdf_text
+
+    pdf = make_pdf(
+        [b"BT (aes one) Tj ET", b"BT (aes two) Tj ET"], compress=True
+    )
+    enc = aes_encrypt_pdf(pdf)
+    assert extract_pdf_text(enc) == ("aes one\n\naes two", 2, "pdf-text")
+    locked = aes_encrypt_pdf(pdf, user_pw=b"secret")
+    assert extract_pdf_text(locked) == ("", 2, "pdf-encrypted")
+
+
+@pytest.mark.parametrize("r", [5, 6])
+def test_aes256_empty_user_password_decrypts(r):
+    """V5 (AES-256) files — R5's simple SHA-256 and R6's Algorithm
+    2.B hardened hash — unwrap the file key from /UE with the empty
+    user password and extract; wrong passwords stay locked."""
+    from opencosmo_spark.pipeline.pdf import extract_pdf_text
+
+    pdf = make_pdf([b"BT (top secret cleartext) Tj ET"], compress=True)
+    enc = aes256_encrypt_pdf(pdf, r=r)
+    assert extract_pdf_text(enc) == ("top secret cleartext", 1, "pdf-text")
+    locked = aes256_encrypt_pdf(pdf, user_pw=b"pw", r=r)
+    assert extract_pdf_text(locked) == ("", 1, "pdf-encrypted")
+
+
+def test_extract_pdf_images_inherited_resources():
+    """/Resources inherited from an ancestor /Pages node (PDF 32000-1
+    Table 29) still resolves the page's image XObjects with correct
+    page association."""
+    import numpy as np
+
+    from opencosmo_spark.pipeline.multimodal import _decode_pnm
+    from opencosmo_spark.pipeline.pdf import extract_pdf_images
+
+    rng = np.random.default_rng(30)
+    gray = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    img = _flate_image(gray)
+    content = b"q /Im0 Do Q"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+            b"/Resources << /XObject << /Im0 12 0 R >> >> >>"),
+        4: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        5: (b"<< /Length %d >>\nstream\n" % len(content)
+            + content + b"\nendstream"),
+        12: img,
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    for num in sorted(objs):
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    imgs = extract_pdf_images(bytes(out))
+    assert len(imgs) == 1 and imgs[0][0] == 0  # page-associated, not -1
+    np.testing.assert_array_equal(
+        _decode_pnm(imgs[0][2]), np.repeat(gray[..., None], 3, 2)
+    )

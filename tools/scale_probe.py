@@ -40,6 +40,16 @@ from opencosmo_spark import get_spark
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sf1"
+
+# the costliest extras (bench's extra_queries) — exactly the ones a
+# headline-only probe would skip, added in r13 per the r12 verdict
+EXTRA_PROBE = (
+    "q47_dedup_clusters",
+    "q49_ivf_lloyd_step",
+    "q50_stratified_sample",
+    "q60_semantic_dedup",
+    "q66_pair_counts",
+)
 COPIES = 10
 OFFSET = 100_000_000
 
@@ -101,7 +111,7 @@ def build(spark, force=False) -> None:
 def time_suite(spark, sf_dir, reps=2) -> dict[str, float]:
     qs = entrymod.queries()
     out = {}
-    for name in BENCH_QUERIES:
+    for name in tuple(BENCH_QUERIES) + EXTRA_PROBE:
         fn = qs[name]
         best = None
         for _ in range(reps):
@@ -134,8 +144,11 @@ def main():
         tot_s += s
         tot_b += b
         print(f"| {name} | {s:.3f} | {b:.3f} | {b / s:.1f}x |")
-    print(f"| **total** | {tot_s:.3f} | {tot_b:.3f} | "
+    print(f"| **total (headline)** | {tot_s:.3f} | {tot_b:.3f} | "
           f"{tot_b / tot_s:.1f}x |")
+    for name in EXTRA_PROBE:
+        s, b = t_small[name], t_big[name]
+        print(f"| {name} (extra) | {s:.3f} | {b:.3f} | {b / s:.1f}x |")
     spark.stop()
 
 
