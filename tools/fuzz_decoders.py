@@ -1,0 +1,134 @@
+"""Offline totality fuzz over the round-13 decoder surfaces.
+
+Hammers the newest parsers — lossy VP8 WebP, partially-interleaved
+multi-scan JPEG, PDF text/image extraction (incl. RC4/AES decryption),
+and mp4/WebM subtitle walks — with byte mutations and truncations of
+VALID seed payloads produced by the test suite's independent encoder
+twins. The contract under fuzz is totality: junk degrades to
+None/ledger rows, never an exception out of the decode entry point.
+
+Not a pytest file (runtime is minutes); run ad hoc:
+
+    python tools/fuzz_decoders.py [trials_per_seed]
+
+Exit code 0 = no escape; any escaping exception aborts with the
+mutated payload written to /tmp for reproduction.
+"""
+from __future__ import annotations
+
+import sys
+import traceback
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+TRIALS = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+
+
+def _mutants(rng, seed_bytes, trials):
+    """Byte-flip mutants plus a truncation sweep of one seed payload."""
+    data = bytearray(seed_bytes)
+    for _ in range(trials):
+        mut = bytearray(data)
+        for _ in range(rng.integers(1, 8)):
+            mut[rng.integers(0, len(mut))] = rng.integers(0, 256)
+        yield bytes(mut)
+    step = max(1, len(data) // 64)
+    for cut in range(0, len(data), step):
+        yield bytes(data[:cut])
+
+
+def _hammer(name, fn, seeds, rng, trials=TRIALS):
+    calls = 0
+    for si, seed in enumerate(seeds):
+        for mut in _mutants(rng, seed, trials):
+            try:
+                fn(mut)
+            except Exception:
+                crash = Path(f"/tmp/fuzz_{name}_{si}.bin")
+                crash.write_bytes(mut)
+                print(f"ESCAPE in {name} seed {si} -> {crash}")
+                traceback.print_exc()
+                sys.exit(1)
+            calls += 1
+    print(f"{name}: {calls} calls clean")
+    return calls
+
+
+def main():
+    rng = np.random.default_rng(13)
+    total = 0
+
+    # --- lossy VP8 / VP8L / animated WebP -----------------------------
+    from test_vp8 import _LW, lw_encode, make_image
+    from opencosmo_spark.pipeline.vp8l import decode_webp
+
+    seeds = []
+    if _LW is not None:
+        for kind, q in (("mix", 40), ("grad", 75), ("noise", 90)):
+            seeds.append(lw_encode(make_image(48, 40, kind, rng), q))
+    total += _hammer("vp8", decode_webp, seeds, rng)
+
+    # --- partially-interleaved + multi-scan JPEG ----------------------
+    from test_analysis_multimodal import (
+        _make_jpeg_partial,
+        _make_jpeg_multiscan,
+    )
+    from opencosmo_spark.pipeline.multimodal import _decode_jpeg
+
+    rgb = (rng.integers(0, 256, (40, 48, 3))).astype(np.uint8)
+    seeds = [
+        _make_jpeg_partial(rgb)[0],
+        _make_jpeg_partial(rgb, subsample=True, restart=2)[0],
+        _make_jpeg_multiscan(rgb)[0],
+    ]
+    total += _hammer("jpeg_scans", _decode_jpeg, seeds, rng)
+
+    # --- PDF text + image extraction incl. decryption -----------------
+    from test_pdf import (
+        make_pdf,
+        make_pdf_objstm,
+        make_scanned_pdf,
+        _flate_image,
+    )
+    from opencosmo_spark.pipeline.pdf import (
+        extract_pdf_text,
+        extract_pdf_images,
+    )
+
+    pages = [b"BT /F1 12 Tf 72 700 Td (fuzz seed text) Tj ET"]
+    img = (rng.integers(0, 256, (16, 16, 3))).astype(np.uint8)
+    scanned = make_scanned_pdf([_flate_image(img)])
+    seeds = [
+        make_pdf(pages, compress=True),
+        make_pdf(pages, encrypted=True),
+        make_pdf_objstm(pages),
+        scanned,
+    ]
+    total += _hammer("pdf_text", extract_pdf_text, seeds, rng)
+    total += _hammer("pdf_images", extract_pdf_images, [scanned], rng)
+
+    # --- subtitle walks ------------------------------------------------
+    from test_analysis_multimodal import _make_mp4_subs, _make_webm_subs
+    from opencosmo_spark.pipeline.multimodal import (
+        _mp4_subtitles,
+        _webm_subtitles,
+    )
+
+    mp4_cues = [("first cue", 1200), ("second cue", 900)]
+    webm_cues = [(0, 1200, "first cue"), (1500, 900, "second cue")]
+    total += _hammer(
+        "mp4_subs", _mp4_subtitles, [_make_mp4_subs(mp4_cues)], rng
+    )
+    total += _hammer(
+        "webm_subs", _webm_subtitles, [_make_webm_subs(webm_cues)], rng
+    )
+
+    print(f"TOTAL {total} decode calls, zero escapes")
+
+
+if __name__ == "__main__":
+    main()
