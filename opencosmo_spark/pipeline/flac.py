@@ -1,0 +1,500 @@
+"""Pure-python + numpy FLAC decoder (public format: RFC 9639 / the
+xiph.org FLAC format spec). Full native-frame PCM decode:
+
+- metadata block walk (STREAMINFO is authoritative for rate/bits/
+  channels when a frame header defers to it)
+- frame headers: both blocking strategies, all block-size and
+  sample-rate codes (incl. the 8/16-bit explicit forms), the
+  UTF-8-style coded frame/sample number, CRC-8 verification
+- subframes: CONSTANT, VERBATIM, FIXED orders 0-4, LPC orders 1-32
+  (quantized coefficients + right-shift, integer-exact), wasted-bits
+  unary prefix on every type
+- residuals: 4-bit Rice and 5-bit Rice2 partition methods, any
+  partition order, escape partitions (raw n-bit samples, n=0 legal)
+- stereo decorrelation: left/side, right/side, mid/side (the side
+  channel carries the +1 bit depth), any independent channel count
+- frame footer CRC-16 verification over the whole frame
+
+The decode is integer-exact (FLAC is lossless): the test suite
+round-trips bitstreams from an independently written encoder twin
+(tests/test_flac.py) and requires sample-for-sample equality.
+
+Totality posture matches the repo's other decoders: any malformed,
+truncated, or mutated payload returns ``None`` (the caller's ladder
+falls to the STREAMINFO metadata tier or the digest stub) — never an
+exception out of the worker.
+
+Scale posture: payloads are decoded row-locally inside an
+Arrow-batched ``mapInPandas`` (bytes never shuffle). The bit reader
+materializes an unpacked bit array (8 bytes per payload byte), so
+files over ``_MAX_BYTES`` (64 MiB) are declined here and triaged by
+the zero-decode metadata tier instead — at crawl scale that is the
+right trade for a bounded worker footprint.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_BYTES = 64 << 20
+
+
+class _Corrupt(Exception):
+    """Any structural problem with the bitstream."""
+
+
+class _BitReader:
+    """MSB-first bit reader over an unpacked bit array.
+
+    ``_ones`` (positions of set bits) makes unary reads O(log n) via
+    searchsorted instead of a per-bit loop — unary codes dominate the
+    Rice residual hot path.
+    """
+
+    __slots__ = ("bits", "ones", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        arr = np.frombuffer(data, np.uint8)
+        self.bits = np.unpackbits(arr)
+        self.ones = np.flatnonzero(self.bits).astype(np.int64)
+        self.pos = 0
+        self.nbits = len(self.bits)
+
+    def read(self, n: int) -> int:
+        p = self.pos
+        if p + n > self.nbits:
+            raise _Corrupt("eof")
+        self.pos = p + n
+        v = 0
+        for b in self.bits[p : p + n]:
+            v = (v << 1) | int(b)
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        i = int(np.searchsorted(self.ones, self.pos))
+        if i >= len(self.ones):
+            raise _Corrupt("eof in unary")
+        stop = int(self.ones[i])
+        q = stop - self.pos
+        self.pos = stop + 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+# --- CRCs (table-driven; the encoder twin uses bit-by-bit forms) ----
+
+def _make_crc_table(poly: int, width: int):
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    tab = []
+    for byte in range(256):
+        r = byte << (width - 8)
+        for _ in range(8):
+            r = ((r << 1) ^ poly) if (r & top) else (r << 1)
+        tab.append(r & mask)
+    return tab
+
+
+_CRC8_TAB = _make_crc_table(0x07, 8)
+_CRC16_TAB = _make_crc_table(0x8005, 16)
+
+
+def _crc8(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = _CRC8_TAB[r ^ b]
+    return r
+
+
+def _crc16(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFF) ^ _CRC16_TAB[(r >> 8) ^ b]
+    return r
+
+
+# --- frame-header code tables ---------------------------------------
+
+_BLOCKSIZE_CODES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+_RATE_CODES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _read_coded_number(br: _BitReader) -> int:
+    """The frame header's UTF-8-style coded number, extended to 36
+    bits (up to 7 bytes)."""
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    n_follow = 0
+    mask = 0x40
+    while first & mask:
+        n_follow += 1
+        mask >>= 1
+    if n_follow < 1 or n_follow > 6:
+        raise _Corrupt("bad coded-number lead byte")
+    val = first & (mask - 1)
+    for _ in range(n_follow):
+        b = br.read(8)
+        if (b & 0xC0) != 0x80:
+            raise _Corrupt("bad coded-number continuation")
+        val = (val << 6) | (b & 0x3F)
+    return val
+
+
+def _read_residual(br: _BitReader, blocksize: int, order: int) -> np.ndarray:
+    """Rice-coded residual section → int64 array of blocksize-order
+    values."""
+    method = br.read(2)
+    if method not in (0, 1):
+        raise _Corrupt("reserved residual method")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    part_order = br.read(4)
+    nparts = 1 << part_order
+    if blocksize % nparts != 0:
+        raise _Corrupt("partition order does not divide block size")
+    per = blocksize >> part_order
+    out = np.empty(blocksize - order, dtype=np.int64)
+    filled = 0
+    for p in range(nparts):
+        n = per - order if p == 0 else per
+        if n < 0:
+            raise _Corrupt("negative partition length")
+        param = br.read(plen)
+        if param == escape:
+            nbits = br.read(5)
+            vals = _read_raw_block(br, n, nbits)
+        else:
+            vals = _read_rice_block(br, n, param)
+        out[filled : filled + n] = vals
+        filled += n
+    return out
+
+
+def _read_raw_block(br: _BitReader, n: int, nbits: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if nbits == 0:
+        return np.zeros(n, dtype=np.int64)
+    p = br.pos
+    if p + n * nbits > br.nbits:
+        raise _Corrupt("eof in raw partition")
+    br.pos = p + n * nbits
+    chunk = br.bits[p : p + n * nbits].reshape(n, nbits).astype(np.int64)
+    pw = (np.int64(1) << np.arange(nbits - 1, -1, -1, dtype=np.int64))
+    v = chunk @ pw
+    sign = np.int64(1) << (nbits - 1)
+    return np.where(v >= sign, v - (np.int64(1) << nbits), v)
+
+
+def _read_rice_block(br: _BitReader, n: int, k: int) -> np.ndarray:
+    """n Rice(k) values: unary quotient, stop bit, k remainder bits,
+    zigzag-folded. The ones-position index advances amortized O(set
+    bits consumed), no per-bit python loop."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    ones = br.ones
+    nones = len(ones)
+    pos = br.pos
+    j = int(np.searchsorted(ones, pos))
+    stops = np.empty(n, dtype=np.int64)
+    starts = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        while True:
+            if j >= nones:
+                raise _Corrupt("eof in rice quotient")
+            s = int(ones[j])
+            j += 1
+            if s >= pos:
+                break
+        starts[i] = pos
+        stops[i] = s
+        pos = s + 1 + k
+    if pos > br.nbits:
+        raise _Corrupt("eof in rice remainder")
+    br.pos = pos
+    q = stops - starts
+    if k:
+        idx = stops[:, None] + 1 + np.arange(k, dtype=np.int64)
+        pw = (np.int64(1) << np.arange(k - 1, -1, -1, dtype=np.int64))
+        r = br.bits[idx].astype(np.int64) @ pw
+    else:
+        r = np.zeros(n, dtype=np.int64)
+    folded = (q << k) | r
+    return (folded >> 1) ^ -(folded & 1)
+
+
+def _apply_fixed(warm: list[int], res: np.ndarray, order: int) -> np.ndarray:
+    """Fixed predictor of the given order = iterated integer cumsum
+    (the residual is the order-th finite difference of the signal)."""
+    if order == 0:
+        return res.copy()
+    # differences of the warm-up samples seed each cumsum level
+    levels = [np.asarray(warm, dtype=np.int64)]
+    for _ in range(order):
+        levels.append(np.diff(levels[-1]))
+    cur = res
+    for lvl in range(order, 0, -1):
+        seed = levels[lvl - 1][-1]
+        cur = seed + np.cumsum(cur)
+    return np.concatenate([np.asarray(warm, dtype=np.int64), cur])
+
+
+def _apply_lpc(
+    warm: list[int], res: np.ndarray, coefs: list[int], shift: int
+) -> np.ndarray:
+    order = len(coefs)
+    out = list(warm)
+    rl = res.tolist()
+    cs = coefs
+    for e in rl:
+        acc = 0
+        m = len(out)
+        for j in range(order):
+            acc += cs[j] * out[m - 1 - j]
+        out.append(e + (acc >> shift))
+    return np.asarray(out, dtype=np.int64)
+
+
+def _read_subframe(br: _BitReader, blocksize: int, bits: int) -> np.ndarray:
+    if br.read(1) != 0:
+        raise _Corrupt("subframe pad bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+    eff = bits - wasted
+    if eff <= 0:
+        raise _Corrupt("wasted bits exceed sample size")
+    if stype == 0:  # CONSTANT
+        v = br.read_signed(eff)
+        out = np.full(blocksize, v, dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        out = _read_raw_block(br, blocksize, eff)
+    elif 8 <= stype <= 12:  # FIXED
+        order = stype & 7
+        if order > blocksize:
+            raise _Corrupt("fixed order exceeds block size")
+        warm = [br.read_signed(eff) for _ in range(order)]
+        res = _read_residual(br, blocksize, order)
+        out = _apply_fixed(warm, res, order)
+    elif stype >= 32:  # LPC
+        order = (stype & 31) + 1
+        if order > blocksize:
+            raise _Corrupt("lpc order exceeds block size")
+        warm = [br.read_signed(eff) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 15:
+            raise _Corrupt("invalid lpc precision code")
+        prec += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise _Corrupt("negative lpc shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        res = _read_residual(br, blocksize, order)
+        out = _apply_lpc(warm, res, coefs, shift)
+    else:
+        raise _Corrupt("reserved subframe type")
+    if wasted:
+        out = out << wasted
+    return out
+
+
+def _parse_streaminfo(block: bytes):
+    if len(block) < 18:
+        raise _Corrupt("short STREAMINFO")
+    v = int.from_bytes(block[10:18], "big")
+    rate = v >> 44
+    channels = ((v >> 41) & 7) + 1
+    bits = ((v >> 36) & 0x1F) + 1
+    total = v & ((1 << 36) - 1)
+    if rate == 0:
+        raise _Corrupt("zero sample rate")
+    return rate, channels, bits, total
+
+
+def _decode_frame(br: _BitReader, data: bytes, si):
+    """One frame at the current (byte-aligned) position → (channels,
+    blocksize) int64 array and the frame's sample rate."""
+    si_rate, si_channels, si_bits, _ = si
+    start_byte = br.pos >> 3
+    sync = br.read(14)
+    if sync != 0x3FFE:
+        raise _Corrupt("bad sync")
+    if br.read(1) != 0:
+        raise _Corrupt("reserved header bit")
+    br.read(1)  # blocking strategy (affects only the coded number's meaning)
+    bs_code = br.read(4)
+    rate_code = br.read(4)
+    chan_code = br.read(4)
+    size_code = br.read(3)
+    if br.read(1) != 0:
+        raise _Corrupt("reserved header bit")
+    _read_coded_number(br)
+    if bs_code == 0:
+        raise _Corrupt("reserved block size code")
+    elif bs_code == 6:
+        blocksize = br.read(8) + 1
+    elif bs_code == 7:
+        blocksize = br.read(16) + 1
+    else:
+        blocksize = _BLOCKSIZE_CODES[bs_code]
+    if rate_code == 0:
+        rate = si_rate
+    elif rate_code in _RATE_CODES:
+        rate = _RATE_CODES[rate_code]
+    elif rate_code == 12:
+        rate = br.read(8) * 1000
+    elif rate_code == 13:
+        rate = br.read(16)
+    elif rate_code == 14:
+        rate = br.read(16) * 10
+    else:
+        raise _Corrupt("invalid sample rate code")
+    if rate <= 0:
+        raise _Corrupt("zero frame sample rate")
+    sizes = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+    if size_code == 0:
+        bits = si_bits
+    elif size_code in sizes:
+        bits = sizes[size_code]
+    else:
+        raise _Corrupt("reserved sample size code")
+    # CRC-8 covers the header bytes up to (not incl.) the CRC byte
+    hdr_end = br.pos >> 3
+    expect = br.read(8)
+    if _crc8(data[start_byte:hdr_end]) != expect:
+        raise _Corrupt("header crc mismatch")
+
+    if chan_code <= 7:
+        nch = chan_code + 1
+        if nch != si_channels:
+            raise _Corrupt("channel count disagrees with STREAMINFO")
+        chans = [_read_subframe(br, blocksize, bits) for _ in range(nch)]
+        out = np.stack(chans)
+    elif chan_code in (8, 9, 10):
+        if si_channels != 2:
+            raise _Corrupt("stereo decorrelation in non-stereo stream")
+        # the SIDE channel carries one extra bit
+        b0 = bits + (1 if chan_code == 9 else 0)
+        b1 = bits + (1 if chan_code in (8, 10) else 0)
+        c0 = _read_subframe(br, blocksize, b0)
+        c1 = _read_subframe(br, blocksize, b1)
+        if chan_code == 8:  # left/side
+            left = c0
+            right = c0 - c1
+        elif chan_code == 9:  # side/right
+            right = c1
+            left = c1 + c0
+        else:  # mid/side
+            m2 = (c0 << 1) | (c1 & 1)
+            left = (m2 + c1) >> 1
+            right = (m2 - c1) >> 1
+        out = np.stack([left, right])
+    else:
+        raise _Corrupt("reserved channel assignment")
+
+    br.align()
+    crc_end = br.pos >> 3
+    expect16 = br.read(16)
+    if _crc16(data[start_byte:crc_end]) != expect16:
+        raise _Corrupt("frame crc mismatch")
+    return out, rate, bits
+
+
+def decode_flac_samples(data: bytes):
+    """Decode a complete FLAC stream → ``(samples, rate, bits)`` with
+    ``samples`` an int64 array of shape (n, channels) in decode order,
+    or ``None`` for anything that is not a clean FLAC stream (caller
+    falls to the metadata tier / stub). Requires at least one valid
+    audio frame — a metadata-only shell is not a decodable file.
+    """
+    if (
+        data is None
+        or len(data) < 42
+        or len(data) > _MAX_BYTES
+        or data[:4] != b"fLaC"
+    ):
+        return None
+    try:
+        p = 4
+        si = None
+        while True:
+            if p + 4 > len(data):
+                raise _Corrupt("eof in metadata blocks")
+            hdr = data[p]
+            size = int.from_bytes(data[p + 1 : p + 4], "big")
+            body = data[p + 4 : p + 4 + size]
+            if len(body) < size:
+                raise _Corrupt("truncated metadata block")
+            if (hdr & 0x7F) == 0:
+                si = _parse_streaminfo(body)
+            p += 4 + size
+            if hdr & 0x80:
+                break
+        if si is None:
+            raise _Corrupt("no STREAMINFO")
+        br = _BitReader(data)
+        br.pos = p * 8
+        frames = []
+        rate = None
+        bits = None
+        while True:
+            rem = len(data) - (br.pos >> 3)
+            if rem <= 0:
+                break
+            if rem == 128 and data[br.pos >> 3 : (br.pos >> 3) + 3] == b"TAG":
+                break  # trailing ID3v1 tag
+            block, frate, fbits = _decode_frame(br, data, si)
+            if rate is None:
+                rate, bits = frate, fbits
+            elif frate != rate or fbits != bits:
+                raise _Corrupt("stream parameters changed mid-stream")
+            frames.append(block)
+        if not frames:
+            return None
+        samples = np.concatenate([f.T for f in frames], axis=0)
+        total = si[3]
+        if total:
+            # STREAMINFO is authoritative for stream length when set;
+            # fewer decoded samples than declared = truncated file
+            if len(samples) < total:
+                raise _Corrupt("fewer samples than STREAMINFO declares")
+            samples = samples[:total]
+        return samples, rate, bits
+    except (_Corrupt, KeyError, IndexError, ValueError, OverflowError):
+        return None
+
+
+def decode_flac(data: bytes):
+    """Ladder-facing wrapper: ``(mono float32 in [-1, 1], rate)`` or
+    None, matching ``_decode_wav``'s convention (channel mixdown by
+    mean, normalization by 2^(bits-1))."""
+    got = decode_flac_samples(data)
+    if got is None:
+        return None
+    samples, rate, bits = got
+    if samples.size == 0:
+        return None
+    mono = samples.mean(axis=1) / float(1 << (bits - 1))
+    return np.clip(mono, -1.0, 1.0).astype(np.float32), rate

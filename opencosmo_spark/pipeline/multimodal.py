@@ -1499,11 +1499,29 @@ _IMAGE_LADDER: tuple = (
      "filters)"),
 )
 
+def _decode_flac_safe(data: bytes):
+    """Ladder wrapper for the native FLAC frame decoder
+    (``pipeline/flac.py``, RFC 9639): full PCM — constant/verbatim/
+    fixed/LPC subframes, Rice and Rice2 residuals incl. escape
+    partitions, all stereo decorrelations, wasted bits, CRC-verified.
+    Bit-exact round-trips against the independently written encoder
+    twin in tests/test_flac.py. Malformed payloads (or metadata-only
+    shells with no frames) return None and fall to the flac-meta
+    tier."""
+    from .flac import decode_flac
+
+    return decode_flac(data)
+
+
 # audio twin: fn returns (mono float array, rate) or None
 _AUDIO_LADDER: tuple = (
     ("wav", _decode_wav,
      "RIFF/WAVE PCM 8/16/24-bit, IEEE float, G.711 mu-law/A-law, "
      "EXTENSIBLE"),
+    ("flac", _decode_flac_safe,
+     "FLAC native frames (RFC 9639): fixed + LPC prediction, "
+     "Rice/Rice2 residuals incl. escapes, left/right/mid-side "
+     "decorrelation, wasted bits, 8-32 bit, CRC-verified"),
 )
 
 # metadata-only tier: real container parse, no PCM — each fn returns
@@ -1531,25 +1549,29 @@ def decode_audio_features(
     payload_col: str = "payload",
     require_real_codec: bool = False,
 ) -> DataFrame:
-    """Attach audio signal features. Decode ladder per row: the
-    built-in pure-python RIFF/WAVE parser over the ACTUAL samples —
-    PCM 8/16/24-bit, IEEE float, G.711 mu-law/A-law, EXTENSIBLE
-    ('wav' — real rate/duration/RMS/zero-crossing/peak, no
-    dependency); else the METADATA tiers — mp3 frame-header walk
-    ('mp3-meta'), FLAC STREAMINFO ('flac-meta'), Ogg Vorbis/Opus page
-    parse ('ogg-meta') — REAL sample_rate/n_samples/duration from the
-    container, but rms/zcr/peak stay NULL because signal stats need
-    PCM; enough for crawl-audio triage: dedup by duration+digest,
-    sampling, stats; else the deterministic digest fake
-    ('stub-sha256'). The ``decoder`` column records which path each
-    row took.
+    """Attach audio signal features. Decode ladder per row: REAL PCM
+    decodes first — the built-in pure-python RIFF/WAVE parser (PCM
+    8/16/24-bit, IEEE float, G.711 mu-law/A-law, EXTENSIBLE; 'wav'),
+    then the native FLAC frame decoder (``pipeline/flac.py``, RFC
+    9639 — fixed/LPC prediction, Rice residuals, stereo
+    decorrelation, CRC-verified; 'flac') — both give real
+    rate/duration/RMS/zero-crossing/peak with no dependency; else
+    the METADATA tiers — mp3 frame-header walk ('mp3-meta'), FLAC
+    STREAMINFO for frame-less or oversized/corrupt files
+    ('flac-meta'), Ogg Vorbis/Opus page parse ('ogg-meta') — REAL
+    sample_rate/n_samples/duration from the container, but
+    rms/zcr/peak stay NULL because signal stats need PCM; enough for
+    crawl-audio triage: dedup by duration+digest, sampling, stats;
+    else the deterministic digest fake ('stub-sha256'). The
+    ``decoder`` column records which path each row took.
 
     Appended columns: sample_rate (int), n_samples (long),
     audio_duration_ms (long), rms (double), zcr (double — fraction of
     sign changes), peak (double), decoder (string).
 
-    ``require_real_codec=True`` raises: compressed formats (mp3, ogg,
-    flac) need a codec library that is not installed here.
+    ``require_real_codec=True`` raises: the remaining compressed
+    formats (mp3, ogg) need a codec library that is not installed
+    here.
     """
     if require_real_codec:
         raise NotImplementedError(
@@ -1572,11 +1594,13 @@ def decode_audio_features(
     )
 
     def decode_one(p: bytes | None):
-        try:
-            got = _decode_wav(p)
-        except Exception:  # noqa: BLE001 - any dirty payload -> stub
-            got = None
-        if got is not None:
+        for codec, fn, _ in _AUDIO_LADDER:
+            try:
+                got = fn(p)
+            except Exception:  # noqa: BLE001 - any dirty payload -> next
+                got = None
+            if got is None:
+                continue
             mono, rate = got
             m64 = mono.astype(np.float64)  # stats in f64: f32 sums drift
             n = len(m64)
@@ -1589,7 +1613,7 @@ def decode_audio_features(
                 float(np.sqrt(np.mean(m64 * m64))),
                 float(zc / max(n - 1, 1)),
                 float(np.max(np.abs(m64))),
-                "wav",
+                codec,
             )
         for tier, meta_fn, _ in _AUDIO_META_LADDER:
             try:
@@ -1719,11 +1743,11 @@ def audio_spectral_features(
     mel-like coarse spectrum usable as an embedding).
 
     Decode ladder per row as in ``decode_audio_features``: the real
-    RIFF/WAVE PCM parser ('wav') with genuine numpy FFT frames, else
-    the deterministic digest stub ('stub-sha256', zero features).
-    Arrow-batched ``mapInPandas`` — the FFT is numpy C per batch, the
-    payload bytes never shuffle (the operator appends columns in
-    place)."""
+    PCM decoders — RIFF/WAVE ('wav') and native FLAC ('flac') — with
+    genuine numpy FFT frames, else the deterministic digest stub
+    ('stub-sha256', zero features). Arrow-batched ``mapInPandas`` —
+    the FFT is numpy C per batch, the payload bytes never shuffle
+    (the operator appends columns in place)."""
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -1737,17 +1761,19 @@ def audio_spectral_features(
     )
 
     def one(p: bytes | None):
-        try:
-            got = _decode_wav(p)
-        except Exception:  # noqa: BLE001 - any dirty payload -> stub
-            got = None
-        if got is None:
-            return (0.0, 0.0, 0.0, 0.0, [0.0] * n_bands, "stub-sha256")
-        mono, rate = got
-        c, b, r, f, e = _spectral_stats(
-            mono, rate, n_fft, hop, n_bands, rolloff_frac
-        )
-        return (c, b, r, f, e, "wav")
+        for codec, fn, _ in _AUDIO_LADDER:
+            try:
+                got = fn(p)
+            except Exception:  # noqa: BLE001 - any dirty payload -> next
+                got = None
+            if got is None:
+                continue
+            mono, rate = got
+            c, b, r, f, e = _spectral_stats(
+                mono, rate, n_fft, hop, n_bands, rolloff_frac
+            )
+            return (c, b, r, f, e, codec)
+        return (0.0, 0.0, 0.0, 0.0, [0.0] * n_bands, "stub-sha256")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [

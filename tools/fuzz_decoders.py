@@ -111,6 +111,27 @@ def main():
     total += _hammer("pdf_text", extract_pdf_text, seeds, rng)
     total += _hammer("pdf_images", extract_pdf_images, [scanned], rng)
 
+    # --- FLAC native frame decode --------------------------------------
+    from test_flac import flac_file, _sig
+    from opencosmo_spark.pipeline.flac import decode_flac_samples
+
+    seeds = [
+        flac_file(
+            [[_sig(512, 1, -3000, 3000)]], 44100, 16,
+            specs=[[{"type": "fixed", "order": 2, "rice_k": 6,
+                     "part_order": 2}]],
+        ),
+        flac_file(
+            [[_sig(256, 2, -900, 900), _sig(256, 3, -900, 900)]],
+            48000, 24, chan_mode="mid_side",
+            specs=[[{"type": "lpc", "order": 4,
+                     "coefs": [900, -300, 120, -40], "shift": 9,
+                     "precision": 12, "rice_k": 11},
+                    {"type": "verbatim"}]],
+        ),
+    ]
+    total += _hammer("flac", decode_flac_samples, seeds, rng)
+
     # --- subtitle walks ------------------------------------------------
     from test_analysis_multimodal import _make_mp4_subs, _make_webm_subs
     from opencosmo_spark.pipeline.multimodal import (
