@@ -24,6 +24,7 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # canonical ID3v1 genre list (indices 0-79, from the public ID3v1
@@ -179,8 +180,11 @@ def _parse_id3v2(data: bytes):
         try:
             if fid in ("COMM", "COM", "USLT", "ULT"):
                 lang, text = _id3_lang_text(frame[0], frame[1:])
-                key = fmap[fid]
-                if text and key not in out:
+                # .get is defensive: the id/version pairing makes a
+                # miss impossible today, but a miss must never abort
+                # the payload's other tags
+                key = fmap.get(fid)
+                if text and key and key not in out:
                     out[key] = text
                     if lang:
                         out.setdefault("language", lang)
@@ -465,3 +469,47 @@ def extract_media_tags(
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+def media_to_documents(
+    df: DataFrame,
+    payload_col: str = "content",
+    path_col: str = "path",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Media corpus ingestion: ``binaryFile`` rows in, one document
+    row out per file — ``(doc_id, url, text, title, artist, album,
+    date, genre, language, extractor)`` — the shape
+    ``warc_to_documents`` / ``pdf_to_documents`` feed
+    ``curate_corpus``. ``text`` is the embedded lyrics (USLT /
+    LYRICS / ©lyr — genuine pretraining text); files whose container
+    parsed but carries no lyrics are KEPT with empty text under their
+    honest ``extractor`` label (the tag source, or 'no-tags') so a
+    ledger groupBy accounts for every input. The tag columns are
+    entity keys for joins/dedup downstream.
+
+    One Arrow-batched ``mapInPandas`` pass; payload bytes never
+    shuffle (extraction is row-local, file-per-task from the
+    binaryFile source).
+    """
+    from .dedup import md5_lane
+
+    tagged = extract_media_tags(
+        df.select(path_col, payload_col), payload_col
+    )
+    return tagged.select(
+        md5_lane(F.col(path_col)).alias("doc_id"),
+        F.col(path_col).alias("url"),
+        F.when(
+            F.length("tag_lyrics") >= min_chars, F.col("tag_lyrics")
+        ).otherwise(F.lit("")).alias("text"),
+        F.col("tag_title").alias("title"),
+        F.col("tag_artist").alias("artist"),
+        F.col("tag_album").alias("album"),
+        F.col("tag_date").alias("date"),
+        F.col("tag_genre").alias("genre"),
+        F.col("tag_language").alias("language"),
+        F.coalesce(F.col("tag_source"), F.lit("no-tags")).alias(
+            "extractor"
+        ),
+    )

@@ -1203,18 +1203,173 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
 
 _MULAW_TABLE, _ALAW_TABLE = _g711_tables()
 
+# IMA ADPCM (DVI4 / WAVE format 0x11) tables — public, from the IMA
+# Recommended Practices for Enhancing Digital Audio Compatibility
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+# Microsoft ADPCM (WAVE format 0x02) adaptation table and the 7
+# standard predictor coefficient pairs (public RIFF/WAVE spec)
+_MS_ADAPT = np.array([
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+], dtype=np.int32)
+_MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232))
+
+
+def _ima_decode_blocks(blocks: np.ndarray, nch: int) -> np.ndarray:
+    """Vectorized-across-blocks IMA ADPCM: ``blocks`` is (nblocks,
+    block_align) uint8. Returns (nblocks, samples_per_block, nch)
+    int16-range int32. Per channel: a 4-byte header (predictor i16le,
+    step index, reserved), then nibble data in interleaved 4-byte
+    channel groups, low nibble first."""
+    nb, balign = blocks.shape
+    hdr = blocks[:, : 4 * nch].reshape(nb, nch, 4).astype(np.int32)
+    pred = (hdr[:, :, 0] | (hdr[:, :, 1] << 8)).astype(np.int32)
+    pred = np.where(pred & 0x8000, pred - 0x10000, pred)
+    index = np.clip(hdr[:, :, 2], 0, 88)
+    body = blocks[:, 4 * nch :]
+    ngroups = body.shape[1] // (4 * nch)
+    body = body[:, : ngroups * 4 * nch].reshape(nb, ngroups, nch, 4)
+    # low nibble first, then high, within each byte
+    nibbles = np.stack([body & 0x0F, body >> 4], axis=-1).reshape(
+        nb, ngroups, nch, 8
+    )
+    # per-channel sample stream: (nb, nch, ngroups*8)
+    stream = nibbles.transpose(0, 2, 1, 3).reshape(nb, nch, -1)
+    nsamp = stream.shape[2]
+    out = np.empty((nb, nch, nsamp + 1), dtype=np.int32)
+    out[:, :, 0] = pred
+    for i in range(nsamp):
+        n = stream[:, :, i].astype(np.int32)
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        diff += np.where(n & 1, step >> 2, 0)
+        diff += np.where(n & 2, step >> 1, 0)
+        diff += np.where(n & 4, step, 0)
+        pred = np.where(n & 8, pred - diff, pred + diff)
+        pred = np.clip(pred, -32768, 32767)
+        index = np.clip(index + _IMA_INDEX[n & 7], 0, 88)
+        out[:, :, i + 1] = pred
+    return out.transpose(0, 2, 1)  # (nb, samples, nch)
+
+
+def _ms_adpcm_decode_blocks(
+    blocks: np.ndarray, nch: int, coefs: np.ndarray
+) -> np.ndarray:
+    """Vectorized-across-blocks Microsoft ADPCM: ``blocks`` is
+    (nblocks, block_align) uint8. Block header per the RIFF spec:
+    per-channel predictor index, per-channel initial delta i16le,
+    per-channel sample1 i16le, per-channel sample2 i16le (sample2 is
+    the OLDER sample and is emitted first); then 4-bit signed nibbles,
+    high nibble first, channels alternating per nibble."""
+    nb, balign = blocks.shape
+
+    def i16(at):
+        v = (blocks[:, at] | (blocks[:, at + 1].astype(np.int32) << 8))
+        return np.where(v & 0x8000, v - 0x10000, v).astype(np.int32)
+
+    pred_idx = np.clip(blocks[:, 0:nch].astype(np.int32), 0,
+                       len(coefs) - 1)
+    c1 = coefs[pred_idx, 0]  # (nb, nch)
+    c2 = coefs[pred_idx, 1]
+    delta = np.stack([i16(nch + 2 * c) for c in range(nch)], axis=1)
+    s1 = np.stack([i16(3 * nch + 2 * c) for c in range(nch)], axis=1)
+    s2 = np.stack([i16(5 * nch + 2 * c) for c in range(nch)], axis=1)
+    body = blocks[:, 7 * nch :]
+    # high nibble first within each byte; channels alternate per nibble
+    nibbles = np.stack([body >> 4, body & 0x0F], axis=-1).reshape(nb, -1)
+    nsteps = nibbles.shape[1] // nch
+    nibbles = nibbles[:, : nsteps * nch].reshape(nb, nsteps, nch)
+    out = np.empty((nb, nsteps + 2, nch), dtype=np.int32)
+    out[:, 0, :] = s2
+    out[:, 1, :] = s1
+    delta = np.maximum(delta, 16)
+    for i in range(nsteps):
+        n = nibbles[:, i, :].astype(np.int32)
+        signed = np.where(n & 8, n - 16, n)
+        pred = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+        pred = np.clip(pred, -32768, 32767)
+        s2 = s1
+        s1 = pred
+        delta = np.maximum((_MS_ADAPT[n] * delta) >> 8, 16)
+        out[:, i + 2, :] = pred
+    return out
+
+
+def _decode_wav_adpcm(
+    code: int, nch: int, rate: int, fmt_body: bytes, raw: bytes, fact
+) -> tuple[np.ndarray, int] | None:
+    """Block-based ADPCM data-chunk decode for ``_decode_wav``:
+    Microsoft ADPCM (code 2, custom coefficient sets honored) and
+    IMA/DVI ADPCM (code 0x11). Blocks are independent, so the decode
+    vectorizes ACROSS blocks — the python loop is over nibbles within
+    a block only."""
+    if len(fmt_body) < 20:
+        return None
+    balign = int.from_bytes(fmt_body[12:14], "little")
+    spb = int.from_bytes(fmt_body[18:20], "little")
+    if code == 0x11:
+        hdr_bytes = 4 * nch
+        decode = lambda b: _ima_decode_blocks(b, nch)  # noqa: E731
+    else:
+        hdr_bytes = 7 * nch
+        ncoef = int.from_bytes(fmt_body[20:22], "little") if len(
+            fmt_body
+        ) >= 22 else 0
+        if ncoef and len(fmt_body) >= 22 + 4 * ncoef:
+            coefs = np.frombuffer(
+                fmt_body[22 : 22 + 4 * ncoef], "<i2"
+            ).astype(np.int32).reshape(ncoef, 2)
+        else:
+            coefs = np.array(_MS_COEFS, dtype=np.int32)
+        decode = lambda b: _ms_adpcm_decode_blocks(b, nch, coefs)  # noqa: E731
+    if balign <= hdr_bytes or spb < 1:
+        return None
+    nfull = len(raw) // balign
+    parts = []
+    if nfull:
+        blocks = np.frombuffer(
+            raw[: nfull * balign], np.uint8
+        ).reshape(nfull, balign)
+        parts.append(decode(blocks)[:, :spb, :].reshape(-1, nch))
+    tail = raw[nfull * balign :]
+    if len(tail) > hdr_bytes:
+        tb = np.frombuffer(tail, np.uint8).reshape(1, -1)
+        parts.append(decode(tb)[0, :spb, :])
+    if not parts:
+        return None
+    samples = np.concatenate(parts, axis=0)
+    if fact:
+        samples = samples[:fact]
+    if len(samples) == 0:
+        return None
+    mono = samples.mean(axis=1).astype(np.float32) / 32768.0
+    return mono, rate
+
 
 def _decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
-    """Pure-python decode of RIFF/WAVE (public RIFF + G.711 specs) —
-    PCM (code 1: 8/16/24-bit), IEEE float (code 3: 32/64-bit), A-law
-    (code 6) and mu-law (code 7), plus WAVE_FORMAT_EXTENSIBLE (0xFFFE,
-    real code from the subformat GUID), any channel count: returns
-    ``(mono float32 samples in [-1, 1], sample_rate)`` or None when
-    the payload is not such a WAV. Channels are mixed down by mean.
+    """Pure-python decode of RIFF/WAVE (public RIFF + G.711 + IMA
+    specs) — PCM (code 1: 8/16/24-bit), IEEE float (code 3: 32/64-bit),
+    A-law (code 6), mu-law (code 7), Microsoft ADPCM (code 2) and IMA/
+    DVI ADPCM (code 0x11), plus WAVE_FORMAT_EXTENSIBLE (0xFFFE, real
+    code from the subformat GUID), any channel count: returns ``(mono
+    float32 samples in [-1, 1], sample_rate)`` or None when the
+    payload is not such a WAV. Channels are mixed down by mean.
     """
     if data is None or len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
-    pos, fmt, raw = 12, None, None
+    pos, fmt, raw, fmt_body, fact = 12, None, None, b"", None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = int.from_bytes(data[pos + 4 : pos + 8], "little")
@@ -1224,18 +1379,25 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
             if code == 0xFFFE and len(body) >= 26:
                 # EXTENSIBLE: the real code leads the subformat GUID
                 code = int.from_bytes(body[24:26], "little")
+            fmt_body = body
             fmt = (
                 code,
                 int.from_bytes(body[2:4], "little"),  # channels
                 int.from_bytes(body[4:8], "little"),  # sample rate
                 int.from_bytes(body[14:16], "little"),  # bits/sample
             )
+        elif cid == b"fact" and len(body) >= 4:
+            fact = int.from_bytes(body[0:4], "little")
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks pad to even length
     if fmt is None or raw is None:
         return None
     code, nch, rate, bits = fmt
+    if code in (2, 0x11):
+        if bits != 4 or nch < 1 or nch > 8 or rate <= 0:
+            return None
+        return _decode_wav_adpcm(code, nch, rate, fmt_body, raw, fact)
     ok = (
         (code == 1 and bits in (8, 16, 24))
         or (code == 3 and bits in (32, 64))
@@ -1517,7 +1679,7 @@ def _decode_flac_safe(data: bytes):
 _AUDIO_LADDER: tuple = (
     ("wav", _decode_wav,
      "RIFF/WAVE PCM 8/16/24-bit, IEEE float, G.711 mu-law/A-law, "
-     "EXTENSIBLE"),
+     "IMA + Microsoft ADPCM, EXTENSIBLE"),
     ("flac", _decode_flac_safe,
      "FLAC native frames (RFC 9639): fixed + LPC prediction, "
      "Rice/Rice2 residuals incl. escapes, left/right/mid-side "

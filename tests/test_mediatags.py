@@ -371,3 +371,41 @@ def test_real_flac_payload_tags_and_pcm_coexist(spark):
     assert canon["title"] == "Dual"
     samples, rate, _ = decode_flac_samples(data)
     assert rate == 8000 and list(samples[:, 0]) == sig
+
+
+def test_media_to_documents_composes_with_curate(spark, tmp_path):
+    """media_to_documents output slots into curate_corpus exactly
+    like pdf_to_documents: lyric-bearing files survive the quality
+    gate, tag-less or lyric-less files fall at it but stay countable
+    in the ledger."""
+    from opencosmo_spark.pipeline.curate import curate_corpus
+    from opencosmo_spark.pipeline.mediatags import media_to_documents
+
+    lyrics = ("The quick brown fox jumps over the lazy dog. "
+              "It then naps in the warm afternoon sun for hours.")
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "song.mp3").write_bytes(
+        id3v2([("TIT2", t_frame("Song")),
+               ("USLT", lang_frame("eng", "", lyrics))]) + b"\xff" * 64
+    )
+    (d / "instrumental.flac").write_bytes(
+        flac_with_tags([("TITLE", "No Words")])
+    )
+    (d / "junk.bin").write_bytes(b"not media" * 10)
+    src = spark.read.format("binaryFile").load(str(d))
+    docs = media_to_documents(src)
+    pdf = docs.toPandas().set_index("url")
+    assert len(pdf) == 3
+    song = pdf[pdf.index.str.endswith("song.mp3")].iloc[0]
+    assert song.text == lyrics and song.extractor == "id3v2"
+    inst = pdf[pdf.index.str.endswith("instrumental.flac")].iloc[0]
+    assert inst.text == "" and inst.extractor == "flac-vorbis"
+    assert inst.title == "No Words"
+    junk = pdf[pdf.index.str.endswith("junk.bin")].iloc[0]
+    assert junk.extractor == "no-tags"
+    kept, counts = curate_corpus(
+        docs.select("doc_id", "url", "text"), min_tokens=5
+    )
+    rows = kept.toPandas()
+    assert len(rows) == 1 and rows.url.iloc[0].endswith("song.mp3")
