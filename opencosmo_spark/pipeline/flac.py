@@ -217,19 +217,37 @@ def _read_rice_block(br: _BitReader, n: int, k: int) -> np.ndarray:
     nones = len(ones)
     pos = br.pos
     j = int(np.searchsorted(ones, pos))
-    stops = np.empty(n, dtype=np.int64)
-    starts = np.empty(n, dtype=np.int64)
-    for i in range(n):
+    # hot path: fetch stop-bit positions through a chunked python
+    # list buffer — per-element numpy scalar extraction is ~3x the
+    # cost of a list index, and this loop touches every set bit of
+    # the residual section
+    stop_list = []
+    append = stop_list.append
+    start_list = []
+    sappend = start_list.append
+    chunk = 4096
+    buf = ones[j : j + chunk].tolist()
+    j += len(buf)
+    bi = 0
+    nbuf = len(buf)
+    for _ in range(n):
         while True:
-            if j >= nones:
-                raise _Corrupt("eof in rice quotient")
-            s = int(ones[j])
-            j += 1
+            if bi >= nbuf:
+                if j >= nones:
+                    raise _Corrupt("eof in rice quotient")
+                buf = ones[j : j + chunk].tolist()
+                j += len(buf)
+                bi = 0
+                nbuf = len(buf)
+            s = buf[bi]
+            bi += 1
             if s >= pos:
                 break
-        starts[i] = pos
-        stops[i] = s
+        sappend(pos)
+        append(s)
         pos = s + 1 + k
+    stops = np.asarray(stop_list, dtype=np.int64)
+    starts = np.asarray(start_list, dtype=np.int64)
     if pos > br.nbits:
         raise _Corrupt("eof in rice remainder")
     br.pos = pos
@@ -422,19 +440,76 @@ def _decode_frame(br: _BitReader, data: bytes, si):
     return out, rate, bits
 
 
+def _skip_id3v2(data: bytes) -> bytes:
+    """Crawl reality: many FLAC files carry a non-standard leading
+    ID3v2 tag before the ``fLaC`` marker. Skip it (syncsafe size,
+    +10-byte footer when the footer flag is set)."""
+    if len(data) < 10 or data[:3] != b"ID3":
+        return data
+    if any(b & 0x80 for b in data[6:10]):
+        return data
+    size = 0
+    for b in data[6:10]:
+        size = (size << 7) | b
+    end = 10 + size + (10 if data[5] & 0x10 else 0)
+    return data[end:] if end < len(data) else data
+
+
+def _ogg_flac_to_native(data: bytes):
+    """FLAC-to-Ogg mapping (public Xiph spec): the first packet is
+    0x7F 'FLAC' major minor nheaders(2BE) then a native 'fLaC' +
+    STREAMINFO; subsequent header packets are native metadata blocks;
+    audio packets are native frames. Since native FLAC frames are
+    byte-aligned and self-delimiting, concatenating the packet bytes
+    in order reconstructs a native stream our frame walker decodes
+    directly. Returns the native bytes or None."""
+    if len(data) < 47 or data[:4] != b"OggS":
+        return None
+    out = bytearray()
+    first_packet_checked = False
+    p = 0
+    while p + 27 <= len(data):
+        if data[p : p + 4] != b"OggS" or data[p + 4] != 0:
+            break
+        nseg = data[p + 26]
+        seg_table = data[p + 27 : p + 27 + nseg]
+        if len(seg_table) < nseg:
+            return None
+        body_at = p + 27 + nseg
+        body_len = int(sum(seg_table))
+        if body_at + body_len > len(data):
+            return None
+        if not first_packet_checked:
+            body = data[body_at : body_at + body_len]
+            if len(body) < 13 or body[:5] != b"\x7fFLAC" or body[
+                9:13
+            ] != b"fLaC":
+                return None
+            out += body[9:]
+            first_packet_checked = True
+        else:
+            out += data[body_at : body_at + body_len]
+        p = body_at + body_len
+    return bytes(out) if first_packet_checked else None
+
+
 def decode_flac_samples(data: bytes):
     """Decode a complete FLAC stream → ``(samples, rate, bits)`` with
     ``samples`` an int64 array of shape (n, channels) in decode order,
     or ``None`` for anything that is not a clean FLAC stream (caller
     falls to the metadata tier / stub). Requires at least one valid
     audio frame — a metadata-only shell is not a decodable file.
+    Accepts the two crawl-common encapsulations as well: a leading
+    ID3v2 tag before the marker, and FLAC-in-Ogg (.oga) via the
+    packet reassembly above.
     """
-    if (
-        data is None
-        or len(data) < 42
-        or len(data) > _MAX_BYTES
-        or data[:4] != b"fLaC"
-    ):
+    if data is None or len(data) < 42 or len(data) > _MAX_BYTES:
+        return None
+    if data[:3] == b"ID3":
+        data = _skip_id3v2(data)
+    elif data[:4] == b"OggS":
+        data = _ogg_flac_to_native(data)
+    if data is None or len(data) < 42 or data[:4] != b"fLaC":
         return None
     try:
         p = 4

@@ -1553,8 +1553,15 @@ def _mp3_meta_uniform(data: bytes):
 def _flac_metadata(data: bytes):
     """FLAC STREAMINFO parse (the mandatory first metadata block of
     the public FLAC format): ``(sample_rate, channels, n_samples)``
-    without decoding any audio frames."""
-    if data is None or len(data) < 42 or data[:4] != b"fLaC":
+    without decoding any audio frames. Tolerates the crawl-common
+    non-standard leading ID3v2 tag before the marker."""
+    if data is None or len(data) < 42:
+        return None
+    if data[:3] == b"ID3":
+        from .flac import _skip_id3v2
+
+        data = _skip_id3v2(data)
+    if len(data) < 42 or data[:4] != b"fLaC":
         return None
     p = 4
     while p + 4 <= len(data):
@@ -1598,6 +1605,16 @@ def _ogg_metadata(data: bytes):
         channels = body[9]
         pre_skip = int.from_bytes(body[10:12], "little")
         rate = 48000  # Opus always decodes at 48 kHz
+    elif body.startswith(b"\x7fFLAC") and len(body) >= 35 and body[
+        9:13
+    ] == b"fLaC":
+        # FLAC-to-Ogg mapping: the native STREAMINFO sits at byte 17
+        # of the first packet (after 'fLaC' + 4-byte block header);
+        # its packed rate/channels field is 10 bytes in
+        v = int.from_bytes(body[27:35], "big")
+        rate = v >> 44
+        channels = ((v >> 41) & 7) + 1
+        pre_skip = 0
     else:
         return None
     if rate == 0 or channels == 0:
@@ -1683,7 +1700,8 @@ _AUDIO_LADDER: tuple = (
     ("flac", _decode_flac_safe,
      "FLAC native frames (RFC 9639): fixed + LPC prediction, "
      "Rice/Rice2 residuals incl. escapes, left/right/mid-side "
-     "decorrelation, wasted bits, 8-32 bit, CRC-verified"),
+     "decorrelation, wasted bits, 8-32 bit, CRC-verified; also "
+     "ID3v2-prefixed files and FLAC-in-Ogg (.oga)"),
 )
 
 # metadata-only tier: real container parse, no PCM — each fn returns
@@ -1697,8 +1715,8 @@ _AUDIO_META_LADDER: tuple = (
     ("flac-meta", _flac_metadata,
      "FLAC STREAMINFO: sample-rate/channels/total-samples, no PCM"),
     ("ogg-meta", _ogg_metadata,
-     "Ogg Vorbis/Opus pages: rate/channels from the ident packet, "
-     "duration from the last granule, no PCM"),
+     "Ogg Vorbis/Opus/FLAC pages: rate/channels from the ident "
+     "packet, duration from the last granule, no PCM"),
 )
 
 

@@ -578,3 +578,88 @@ def test_spectral_features_on_flac(spark):
     # a pure 1 kHz tone: centroid near 1 kHz, very low flatness
     assert abs(row.spectral_centroid - freq) < 50
     assert row.spectral_flatness < 0.05
+
+
+def _split_streaminfo(base: bytes):
+    si_size = int.from_bytes(base[5:8], "big")
+    cut = 8 + si_size
+    return base[:cut], base[cut:]
+
+
+def test_id3v2_prefixed_flac_decodes():
+    from test_mediatags import id3v2, t_frame
+
+    sig = _sig(96, 91, -400, 400)
+    base = flac_file([[sig]], 8000, 16, bs_mode="explicit8",
+                     specs=[[{"type": "verbatim"}]])
+    tagged = id3v2([("TIT2", t_frame("Prefixed"))]) + base
+    got = decode_flac_samples(tagged)
+    assert got is not None
+    np.testing.assert_array_equal(got[0][:, 0], sig)
+    from opencosmo_spark.pipeline.multimodal import _flac_metadata
+
+    assert _flac_metadata(tagged) == (8000, 1, 96)
+
+
+def test_ogg_encapsulated_flac_decodes():
+    from test_mediatags import ogg_page, vorbis_block
+
+    from opencosmo_spark.pipeline.multimodal import _ogg_metadata
+
+    sig = _sig(512 + 77, 92, -2000, 2000)
+    base = flac_file([[sig[:512]], [sig[512:]]], 22050, 16,
+                     specs=[[{"type": "fixed", "order": 2,
+                              "rice_k": 7}]] * 2)
+    header, frames_blob = _split_streaminfo(base)
+    # rebuild the two frames individually to place one per packet
+    f1_end = frames_blob.index(b"\xff\xf8", 2)
+    f1, f2 = frames_blob[:f1_end], frames_blob[f1_end:]
+    assert f1 and f2
+    # mapping header packet: 0x7F FLAC 1 0 nheaders=1, then the
+    # native fLaC + STREAMINFO with the last-metadata flag CLEARED
+    # (a vorbis-comment header packet follows)
+    si = header[:4] + bytes([header[4] & 0x7F]) + header[5:]
+    pkt0 = b"\x7fFLAC" + bytes([1, 0]) + (1).to_bytes(2, "big") + si
+    vc = vorbis_block([("TITLE", "Oga")])
+    pkt_vc = bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc
+    data = (ogg_page(pkt0, 0)
+            + ogg_page(pkt_vc, 1)
+            + ogg_page(f1, 2, granule=512)
+            # an audio frame split mid-bytes across two pages
+            + ogg_page(f2[: len(f2) // 2], 3)
+            + ogg_page(f2[len(f2) // 2 :], 4, granule=len(sig)))
+    got = decode_flac_samples(data)
+    assert got is not None
+    samples, rate, bits = got
+    np.testing.assert_array_equal(samples[:, 0], sig)
+    assert rate == 22050
+    # the ogg metadata tier reads the embedded STREAMINFO + granule
+    assert _ogg_metadata(data) == (22050, 1, len(sig))
+    # mixdown wrapper too
+    mono, r = decode_flac(data)
+    assert r == 22050 and len(mono) == len(sig)
+
+
+def test_ogg_flac_rejects_damage():
+    from test_mediatags import ogg_page
+
+    sig = _sig(64, 93, -100, 100)
+    base = flac_file([[sig]], 8000, 16, bs_mode="explicit8",
+                     specs=[[{"type": "verbatim"}]])
+    header, frames_blob = _split_streaminfo(base)
+    pkt0 = b"\x7fFLAC" + bytes([1, 0]) + (0).to_bytes(2, "big") + header
+    ok = ogg_page(pkt0, 0) + ogg_page(frames_blob, 1, granule=64)
+    assert decode_flac_samples(ok) is not None
+    # a vorbis ident packet is NOT a FLAC mapping
+    notflac = ogg_page(b"\x01vorbis" + b"\x00" * 23, 0) + ogg_page(
+        frames_blob, 1
+    )
+    assert decode_flac_samples(notflac) is None
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        mut = bytearray(ok)
+        for _ in range(int(rng.integers(1, 6))):
+            mut[int(rng.integers(0, len(mut)))] = int(
+                rng.integers(0, 256)
+            )
+        decode_flac_samples(bytes(mut))  # totality

@@ -90,7 +90,7 @@ def flac_with_tags(pairs) -> bytes:
             + bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc)
 
 
-def ogg_page(body: bytes, seq=0, first=True) -> bytes:
+def ogg_page(body: bytes, seq=0, first=True, granule=0) -> bytes:
     segs = []
     rem = len(body)
     while rem >= 255:
@@ -98,7 +98,7 @@ def ogg_page(body: bytes, seq=0, first=True) -> bytes:
         rem -= 255
     segs.append(rem)
     hdr = (b"OggS\x00" + (b"\x02" if first and seq == 0 else b"\x00")
-           + b"\x00" * 8  # granule
+           + granule.to_bytes(8, "little")
            + b"\x01\x00\x00\x00"  # serial
            + seq.to_bytes(4, "little")
            + b"\x00" * 4  # crc unchecked
