@@ -1358,6 +1358,172 @@ def _decode_wav_adpcm(
     return mono, rate
 
 
+def _f80(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (the AIFF sample-rate field):
+    1 sign, 15 exponent, 64 explicit-integer-bit mantissa."""
+    if len(b) < 10:
+        return 0.0
+    sign = -1.0 if b[0] & 0x80 else 1.0
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:  # inf/nan
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _decode_aiff(data: bytes) -> tuple[np.ndarray, int] | None:
+    """AIFF / AIFF-C (public Apple EA-IFF-85 spec): big-endian PCM
+    8/16/24/32-bit, plus the AIFF-C codings that need no codec —
+    'NONE' (BE), 'sowt' (LE 16-bit), 'ulaw'/'alaw' (G.711), 'fl32'/
+    'fl64' (IEEE floats). Returns the `_decode_wav` convention or
+    None."""
+    if (
+        data is None
+        or len(data) < 24
+        or data[:4] != b"FORM"
+        or data[8:12] not in (b"AIFF", b"AIFC")
+    ):
+        return None
+    is_aifc = data[8:12] == b"AIFC"
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "big")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"COMM" and len(body) >= 18:
+            comp = body[18:22] if is_aifc and len(body) >= 22 else b"NONE"
+            comm = (
+                int.from_bytes(body[0:2], "big"),  # channels
+                int.from_bytes(body[2:6], "big"),  # sample frames
+                int.from_bytes(body[6:8], "big"),  # bits
+                _f80(body[8:18]),
+                comp,
+            )
+        elif cid == b"SSND" and len(body) >= 8:
+            off = int.from_bytes(body[0:4], "big")
+            ssnd = body[8 + off :]
+        pos += 8 + size + (size & 1)  # chunks pad to even length
+    if comm is None or ssnd is None:
+        return None
+    nch, nframes, bits, fr, comp = comm
+    rate = int(round(fr))
+    if nch < 1 or rate <= 0:
+        return None
+    if comp in (b"NONE", b"none"):
+        if bits not in (8, 16, 24, 32):
+            return None
+        step = bits // 8
+        raw = ssnd[: len(ssnd) - (len(ssnd) % step)]
+        if bits == 8:
+            samples = np.frombuffer(raw, np.int8).astype(
+                np.float32
+            ) / 128.0
+        elif bits == 16:
+            samples = np.frombuffer(raw, ">i2").astype(
+                np.float32
+            ) / 32768.0
+        elif bits == 24:
+            b3 = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+            v = (
+                (b3[:, 0].astype(np.int32) << 16)
+                | (b3[:, 1].astype(np.int32) << 8)
+                | b3[:, 2].astype(np.int32)
+            )
+            v = np.where(v & 0x800000, v - (1 << 24), v)
+            samples = v.astype(np.float32) / 8388608.0
+        else:
+            samples = (
+                np.frombuffer(raw, ">i4").astype(np.float64)
+                / 2147483648.0
+            ).astype(np.float32)
+    elif comp == b"sowt":  # little-endian 16-bit PCM (Mac convention)
+        raw = ssnd[: len(ssnd) - (len(ssnd) % 2)]
+        samples = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif comp in (b"ulaw", b"ULAW"):
+        samples = _MULAW_TABLE[np.frombuffer(ssnd, np.uint8)]
+    elif comp in (b"alaw", b"ALAW"):
+        samples = _ALAW_TABLE[np.frombuffer(ssnd, np.uint8)]
+    elif comp == b"fl32":
+        raw = ssnd[: len(ssnd) - (len(ssnd) % 4)]
+        samples = np.clip(
+            np.frombuffer(raw, ">f4").astype(np.float32), -1.0, 1.0
+        )
+    elif comp == b"fl64":
+        raw = ssnd[: len(ssnd) - (len(ssnd) % 8)]
+        samples = np.clip(np.frombuffer(raw, ">f8"), -1.0, 1.0).astype(
+            np.float32
+        )
+    else:
+        return None  # a genuinely compressed AIFF-C coding
+    n = (len(samples) // nch) * nch
+    if n == 0:
+        return None
+    mono = samples[:n].reshape(-1, nch).mean(axis=1)
+    if nframes:
+        mono = mono[:nframes]
+    return mono, rate
+
+
+_AU_ENCODINGS = {
+    1: ("mulaw", 1), 2: ("i1", 1), 3: (">i2", 2), 4: ("be24", 3),
+    5: (">i4", 4), 6: (">f4", 4), 7: (">f8", 8), 27: ("alaw", 1),
+}
+
+
+def _decode_au(data: bytes) -> tuple[np.ndarray, int] | None:
+    """Sun/NeXT .au/.snd (public header layout): mu-law/A-law and
+    big-endian signed PCM 8/16/24/32-bit and float 32/64 — the
+    coding of many older speech corpora. Returns the `_decode_wav`
+    convention or None."""
+    if data is None or len(data) < 28 or data[:4] != b".snd":
+        return None
+    off = int.from_bytes(data[4:8], "big")
+    dsize = int.from_bytes(data[8:12], "big")
+    enc = int.from_bytes(data[12:16], "big")
+    rate = int.from_bytes(data[16:20], "big")
+    nch = int.from_bytes(data[20:24], "big")
+    if enc not in _AU_ENCODINGS or rate <= 0 or not 1 <= nch <= 8:
+        return None
+    if off < 24 or off > len(data):
+        return None
+    raw = data[off:]
+    if dsize != 0xFFFFFFFF:  # ~0 = unknown length
+        raw = raw[:dsize]
+    kind, step = _AU_ENCODINGS[enc]
+    raw = raw[: len(raw) - (len(raw) % step)]
+    if kind == "mulaw":
+        samples = _MULAW_TABLE[np.frombuffer(raw, np.uint8)]
+    elif kind == "alaw":
+        samples = _ALAW_TABLE[np.frombuffer(raw, np.uint8)]
+    elif kind == "i1":
+        samples = np.frombuffer(raw, np.int8).astype(np.float32) / 128.0
+    elif kind == "be24":
+        b3 = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+        v = (
+            (b3[:, 0].astype(np.int32) << 16)
+            | (b3[:, 1].astype(np.int32) << 8)
+            | b3[:, 2].astype(np.int32)
+        )
+        v = np.where(v & 0x800000, v - (1 << 24), v)
+        samples = v.astype(np.float32) / 8388608.0
+    elif kind == ">i2":
+        samples = np.frombuffer(raw, ">i2").astype(np.float32) / 32768.0
+    elif kind == ">i4":
+        samples = (
+            np.frombuffer(raw, ">i4").astype(np.float64) / 2147483648.0
+        ).astype(np.float32)
+    else:
+        samples = np.clip(
+            np.frombuffer(raw, kind).astype(np.float32), -1.0, 1.0
+        )
+    n = (len(samples) // nch) * nch
+    if n == 0:
+        return None
+    return samples[:n].reshape(-1, nch).mean(axis=1), rate
+
+
 def _decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
     """Pure-python decode of RIFF/WAVE (public RIFF + G.711 + IMA
     specs) — PCM (code 1: 8/16/24-bit), IEEE float (code 3: 32/64-bit),
@@ -1638,6 +1804,173 @@ def _ogg_metadata(data: bytes):
     return rate, channels, n_samples
 
 
+def _packbits(data: bytes, expect: int) -> bytes | None:
+    """PackBits RLE (TIFF compression 32773, the public Apple/TIFF6
+    scheme): n in 0..127 copies n+1 literals, n in -127..-1 repeats
+    the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    p = 0
+    n = len(data)
+    while p < n and len(out) < expect:
+        c = data[p]
+        p += 1
+        if c < 128:
+            out += data[p : p + c + 1]
+            p += c + 1
+        elif c > 128:
+            if p >= n:
+                return None
+            out += bytes([data[p]]) * (257 - c)
+            p += 1
+    return bytes(out[:expect]) if len(out) >= expect else None
+
+
+def _tiff_ifd(data: bytes):
+    """Parse the first IFD: returns (tags dict, byteorder) or None.
+    Array values resolve through their offsets; value types byte/
+    short/long only (what the baseline tags use)."""
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        return None
+    bo = "<" if data[:2] == b"II" else ">"
+    import struct as _struct
+
+    if _struct.unpack(bo + "H", data[2:4])[0] != 42:
+        return None
+    ifd_at = _struct.unpack(bo + "I", data[4:8])[0]
+    if ifd_at + 2 > len(data):
+        return None
+    count = _struct.unpack(bo + "H", data[ifd_at : ifd_at + 2])[0]
+    if count > 4096:
+        return None
+    sizes = {1: 1, 3: 2, 4: 4}
+    fmts = {1: "B", 3: "H", 4: "I"}
+    tags = {}
+    for i in range(count):
+        e = ifd_at + 2 + 12 * i
+        if e + 12 > len(data):
+            return None
+        tag, typ, cnt = _struct.unpack(bo + "HHI", data[e : e + 8])
+        if typ not in sizes or cnt > 1_000_000:
+            continue
+        total = sizes[typ] * cnt
+        if total <= 4:
+            raw = data[e + 8 : e + 8 + total]
+        else:
+            off = _struct.unpack(bo + "I", data[e + 8 : e + 12])[0]
+            if off + total > len(data):
+                return None
+            raw = data[off : off + total]
+        vals = _struct.unpack(bo + str(cnt) + fmts[typ], raw)
+        tags[tag] = vals
+    return tags, bo
+
+
+def _decode_tiff(data: bytes) -> np.ndarray | None:
+    """Pure-python baseline TIFF decode (public TIFF 6.0 spec):
+    stripped, chunky planar config; compressions none (1), LZW (5 —
+    the PDF LZWDecode machinery, same MSB-first early-change code),
+    and PackBits (32773); horizontal-differencing predictor (2);
+    photometrics bilevel/gray (0 white-is-zero and 1), RGB(A, alpha
+    dropped), and palette via the 16-bit ColorMap; 1/8/16-bit samples
+    (16-bit scaled to 8). Tiled, planar, G3/G4-fax and JPEG-in-TIFF
+    variants return None and fall down the ladder/metadata tier."""
+    got = _tiff_ifd(data)
+    if got is None:
+        return None
+    tags, _bo = got
+    if 256 not in tags or 257 not in tags or 273 not in tags:
+        return None
+    w, h = tags[256][0], tags[257][0]
+    spp = tags.get(277, (1,))[0]
+    bits_arr = tags.get(258, (1,))
+    bits = bits_arr[0]
+    if any(b != bits for b in bits_arr):
+        return None
+    comp = tags.get(259, (1,))[0]
+    photo = tags.get(262, (1,))[0]
+    pred = tags.get(317, (1,))[0]
+    planar = tags.get(284, (1,))[0]
+    rows_per_strip = tags.get(278, (h,))[0] or h
+    offsets = tags[273]
+    counts = tags.get(279)
+    if (
+        w <= 0 or h <= 0 or w * h * max(spp, 1) > _MAX_IMAGE_SAMPLES
+        or planar != 1 or comp not in (1, 5, 32773)
+        or bits not in (1, 8, 16)
+        or photo not in (0, 1, 2, 3)
+        or (photo == 2 and spp < 3)
+        or (photo != 2 and spp not in (1, 2))
+    ):
+        return None
+    if counts is None:
+        if comp != 1 or len(offsets) != 1:
+            return None
+        counts = (len(data) - offsets[0],)
+    if len(counts) != len(offsets):
+        return None
+    row_bytes = (w * spp * bits + 7) // 8
+    rows = []
+    done = 0
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(data):
+            return None
+        strip = data[off : off + cnt]
+        nrows = min(rows_per_strip, h - done)
+        if nrows <= 0:
+            break
+        expect = row_bytes * nrows
+        if comp == 5:
+            from .pdf import _lzw_decode
+
+            raw = _lzw_decode(strip, early=1)
+            if raw is None or len(raw) < expect:
+                return None
+            raw = raw[:expect]
+        elif comp == 32773:
+            raw = _packbits(strip, expect)
+            if raw is None:
+                return None
+        else:
+            if len(strip) < expect:
+                return None
+            raw = strip[:expect]
+        rows.append(np.frombuffer(raw, np.uint8).reshape(nrows, row_bytes))
+        done += nrows
+    if done < h:
+        return None
+    grid = np.concatenate(rows, axis=0)
+    if bits == 1:
+        px = np.unpackbits(grid, axis=1)[:, : w * spp].reshape(h, w, spp)
+        px = (px * 255).astype(np.uint8)
+    elif bits == 16:
+        flat = grid.reshape(-1).tobytes()
+        arr = np.frombuffer(flat, ("<u2" if _bo == "<" else ">u2"))
+        px = (arr >> 8).astype(np.uint8).reshape(h, w, spp)
+    else:
+        px = grid.reshape(h, w, spp)
+    if pred == 2:
+        if bits != 8:
+            return None
+        px = np.add.accumulate(px, axis=1, dtype=np.uint8)
+    if photo == 3:  # palette
+        cmap = tags.get(320)
+        if cmap is None or len(cmap) < 3 * (1 << bits):
+            return None
+        ncol = 1 << bits
+        lut = (
+            np.array(cmap[: 3 * ncol], dtype=np.uint16)
+            .reshape(3, ncol)
+            .T >> 8
+        ).astype(np.uint8)
+        return lut[px[:, :, 0]]
+    if photo == 2:
+        return px[:, :, :3].copy()
+    mono = px[:, :, 0]
+    if photo == 0:  # white-is-zero
+        mono = 255 - mono
+    return np.repeat(mono[:, :, None], 3, axis=2)
+
+
 def _decode_webp_safe(data: bytes) -> np.ndarray | None:
     """Ladder wrapper for the WebP decoders — lossless VP8L
     (``pipeline/vp8l.py``) AND lossy VP8 intra keyframes
@@ -1676,6 +2009,9 @@ _IMAGE_LADDER: tuple = (
      "transforms) + lossy (VP8 intra keyframe: bool decoder, "
      "B_PRED/16x16/chroma intra prediction, WHT/DCT, both loop "
      "filters)"),
+    ("tiff", _decode_tiff,
+     "baseline TIFF 6.0: stripped none/LZW/PackBits, horizontal "
+     "predictor, bilevel/gray/RGB/palette, 1/8/16-bit, II and MM"),
 )
 
 def _decode_flac_safe(data: bytes):
@@ -1702,6 +2038,12 @@ _AUDIO_LADDER: tuple = (
      "Rice/Rice2 residuals incl. escapes, left/right/mid-side "
      "decorrelation, wasted bits, 8-32 bit, CRC-verified; also "
      "ID3v2-prefixed files and FLAC-in-Ogg (.oga)"),
+    ("aiff", _decode_aiff,
+     "AIFF/AIFF-C big-endian PCM 8/16/24/32-bit, sowt, G.711 "
+     "ulaw/alaw, fl32/fl64"),
+    ("au", _decode_au,
+     "Sun/NeXT .au mu-law/A-law + big-endian PCM 8-32-bit and "
+     "float 32/64"),
 )
 
 # metadata-only tier: real container parse, no PCM — each fn returns
@@ -2723,6 +3065,13 @@ def _image_header_meta(data: bytes | None):
                 int.from_bytes(data[18:22], "little"),
                 abs(int.from_bytes(data[22:26], "little", signed=True)),
             )
+        if data[:2] in (b"II", b"MM"):  # TIFF — incl. the fax/tiled
+            got = _tiff_ifd(data)     # variants the pixel ladder gates
+            if got is not None:
+                tags, _ = got
+                if 256 in tags and 257 in tags:
+                    return "tiff", tags[256][0], tags[257][0]
+            return None
         if data[:2] == b"\xff\xd8":  # JPEG: find any SOF marker
             p = 2
             while p + 9 < len(data):

@@ -179,28 +179,35 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
     codes, 9 -> 12 bits, clear=256, EOD=257, EarlyChange code-width
     bump (default 1)."""
     out = bytearray()
-    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
-    size = 258
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
     width = 9
     prev: bytes | None = None
-    bitpos = 0
-    nbits = len(data) * 8
-    while bitpos + width <= nbits:
-        code = 0
-        for _ in range(width):
-            code = (code << 1) | (
-                (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
-            )
-            bitpos += 1
+    # int-accumulator code reader (a per-bit loop here dominated
+    # whole-image TIFF LZW decode time)
+    acc = 0
+    navail = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while navail < width:
+            if pos >= n:
+                return bytes(out)  # bits exhausted mid-code: done
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            navail += 8
+        navail -= width
+        code = (acc >> navail) & ((1 << width) - 1)
+        acc &= (1 << navail) - 1
         if code == 257:  # EOD
             break
         if code == 256:  # clear table
-            table = {i: bytes([i]) for i in range(256)}
-            size = 258
+            table = list(base)
             width = 9
             prev = None
             continue
-        if code in table:
+        size = len(table)
+        if code < size:
             entry = table[code]
         elif code == size and prev is not None:  # KwKwK
             entry = prev + prev[:1]
@@ -208,7 +215,7 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
             return None
         out += entry
         if prev is not None:
-            table[size] = prev + entry[:1]
+            table.append(prev + entry[:1])
             size += 1
         # PDF 7.4.4.2: the code width grows when the ENCODER adds
         # entry 2^width - EarlyChange (511/1023/2047 at the default

@@ -111,6 +111,55 @@ def main():
     total += _hammer("pdf_text", extract_pdf_text, seeds, rng)
     total += _hammer("pdf_images", extract_pdf_images, [scanned], rng)
 
+    # --- TIFF / AIFF / AU / ADPCM / media tags -------------------------
+    from test_tiff import make_tiff, _img
+    from test_aiff_au import aiff_file, au_file
+    from test_adpcm import ima_encode, ms_encode, wav_file
+    from test_mediatags import (
+        id3v2 as mk_id3, t_frame, lang_frame, flac_with_tags,
+        ogg_vorbis_with_tags, mp4_with_tags,
+    )
+    from opencosmo_spark.pipeline.multimodal import (
+        _decode_tiff,
+        _decode_aiff,
+        _decode_au,
+        _decode_wav,
+    )
+    from opencosmo_spark.pipeline.mediatags import _PARSERS
+
+    total += _hammer(
+        "tiff", _decode_tiff,
+        [make_tiff(_img(20, 24, 3, 1), comp=5),
+         make_tiff(_img(16, 16, 1, 2), comp=32773, rows_per_strip=5)],
+        rng,
+    )
+    sig = list(range(-100, 100)) * 4
+    total += _hammer("aiff", _decode_aiff,
+                     [aiff_file([sig], 8000, 16)], rng)
+    total += _hammer("au", _decode_au, [au_file([sig], 8000, 3)], rng)
+    ima_payload, _ = ima_encode([sig], 33)
+    ms_payload, _ = ms_encode([sig], 32)
+    total += _hammer(
+        "wav_adpcm", _decode_wav,
+        [wav_file(0x11, 1, 8000, 20, 33, ima_payload),
+         wav_file(2, 1, 8000, 22, 32, ms_payload)],
+        rng,
+    )
+
+    def parse_all_tags(blob):
+        for parse in _PARSERS:
+            parse(blob)
+
+    total += _hammer(
+        "mediatags", parse_all_tags,
+        [mk_id3([("TIT2", t_frame("t")),
+                 ("USLT", lang_frame("eng", "", "l"))]),
+         flac_with_tags([("TITLE", "t")]),
+         ogg_vorbis_with_tags([("TITLE", "t")], split=True),
+         mp4_with_tags([(b"\xa9nam", b"t")])],
+        rng,
+    )
+
     # --- FLAC native frame decode --------------------------------------
     from test_flac import flac_file, _sig
     from opencosmo_spark.pipeline.flac import decode_flac_samples
