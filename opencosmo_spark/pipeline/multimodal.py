@@ -1804,6 +1804,91 @@ def _ogg_metadata(data: bytes):
     return rate, channels, n_samples
 
 
+def _decode_ico(data: bytes) -> np.ndarray | None:
+    """ICO/CUR (the public Windows icon layout, the favicon format):
+    picks the largest directory entry and decodes it — embedded PNG
+    via the PNG decoder, or a headerless DIB (BITMAPINFOHEADER with
+    doubled height for the AND mask) at 32-bit BGRA (alpha dropped),
+    24-bit BGR, or 8/4/1-bit palette. Returns (h, w, 3) uint8 or
+    None."""
+    if data is None or len(data) < 22:
+        return None
+    if data[0:2] != b"\x00\x00" or data[2:4] not in (
+        b"\x01\x00", b"\x02\x00"
+    ):
+        return None
+    count = int.from_bytes(data[4:6], "little")
+    if not 1 <= count <= 64 or 6 + 16 * count > len(data):
+        return None
+    best = None
+    for i in range(count):
+        e = 6 + 16 * i
+        w = data[e] or 256
+        h = data[e + 1] or 256
+        size = int.from_bytes(data[e + 8 : e + 12], "little")
+        off = int.from_bytes(data[e + 12 : e + 16], "little")
+        if off + size > len(data) or size < 8:
+            continue
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h, off, size)
+    if best is None:
+        return None
+    w, h, off, size = best
+    img = data[off : off + size]
+    if img[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(img)
+    # headerless DIB: BITMAPINFOHEADER, height covers XOR + AND masks
+    if len(img) < 40 or int.from_bytes(img[0:4], "little") != 40:
+        return None
+    bw = int.from_bytes(img[4:8], "little", signed=True)
+    bh = int.from_bytes(img[8:12], "little", signed=True) // 2
+    bpp = int.from_bytes(img[14:16], "little")
+    comp = int.from_bytes(img[16:20], "little")
+    nclr = int.from_bytes(img[32:36], "little")
+    if comp != 0 or bw != w or bh != h or bpp not in (1, 4, 8, 24, 32):
+        return None
+    if w * h * 3 > _MAX_IMAGE_SAMPLES:
+        return None
+    pal = None
+    at = 40
+    if bpp <= 8:
+        ncolors = nclr or (1 << bpp)
+        pal = np.frombuffer(
+            img[at : at + 4 * ncolors], np.uint8
+        ).reshape(-1, 4)
+        if len(pal) < ncolors:
+            return None
+        at += 4 * ncolors
+    stride = ((w * bpp + 31) // 32) * 4
+    need = stride * h
+    if at + need > len(img):
+        return None
+    rows = np.frombuffer(img[at : at + need], np.uint8).reshape(
+        h, stride
+    )[::-1]  # bottom-up
+    if bpp == 32:
+        px = rows.reshape(h, stride // 4, 4)[:, :w, :]
+        return px[:, :, [2, 1, 0]].copy()  # BGRA -> RGB
+    if bpp == 24:
+        px = rows[:, : w * 3].reshape(h, w, 3)
+        return px[:, :, ::-1].copy()
+    if bpp == 8:
+        idx = rows[:, :w]
+    else:
+        bits_row = np.unpackbits(rows, axis=1)
+        if bpp == 1:
+            idx = bits_row[:, :w]
+        else:  # 4-bit: regroup nibbles
+            nib = bits_row.reshape(h, -1, 4)
+            idx = (
+                nib[:, :, 0] * 8 + nib[:, :, 1] * 4
+                + nib[:, :, 2] * 2 + nib[:, :, 3]
+            )[:, :w]
+    if pal is None or idx.max() >= len(pal):
+        return None
+    return pal[idx][:, :, [2, 1, 0]].copy()  # palette is BGRX
+
+
 def _packbits(data: bytes, expect: int) -> bytes | None:
     """PackBits RLE (TIFF compression 32773, the public Apple/TIFF6
     scheme): n in 0..127 copies n+1 literals, n in -127..-1 repeats
@@ -2012,6 +2097,9 @@ _IMAGE_LADDER: tuple = (
     ("tiff", _decode_tiff,
      "baseline TIFF 6.0: stripped none/LZW/PackBits, horizontal "
      "predictor, bilevel/gray/RGB/palette, 1/8/16-bit, II and MM"),
+    ("ico", _decode_ico,
+     "ICO/CUR favicons: largest entry, embedded PNG or 1/4/8/24/"
+     "32-bit DIB"),
 )
 
 def _decode_flac_safe(data: bytes):
@@ -3071,6 +3159,17 @@ def _image_header_meta(data: bytes | None):
                 tags, _ = got
                 if 256 in tags and 257 in tags:
                     return "tiff", tags[256][0], tags[257][0]
+            return None
+        if data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+            count = int.from_bytes(data[4:6], "little")
+            if 1 <= count <= 64 and len(data) >= 6 + 16 * count:
+                dims = [
+                    ((data[6 + 16 * i] or 256),
+                     (data[6 + 16 * i + 1] or 256))
+                    for i in range(count)
+                ]
+                w, h = max(dims, key=lambda d: d[0] * d[1])
+                return "ico", w, h
             return None
         if data[:2] == b"\xff\xd8":  # JPEG: find any SOF marker
             p = 2

@@ -127,6 +127,14 @@ def main():
     )
     from opencosmo_spark.pipeline.mediatags import _PARSERS
 
+    from test_ico import ico_file, _dib
+    from opencosmo_spark.pipeline.multimodal import _decode_ico
+
+    total += _hammer(
+        "ico", _decode_ico,
+        [ico_file([_dib(_img(16, 16, 3, 9), 32)], [(16, 16)])],
+        rng,
+    )
     total += _hammer(
         "tiff", _decode_tiff,
         [make_tiff(_img(20, 24, 3, 1), comp=5),
