@@ -160,6 +160,44 @@ def main():
     )
     print("== per-video training text ==")
     text.show(truncate=60)
+
+    # 4) audio drop: real PCM features + embedded-tag text
+    import struct
+
+    from opencosmo_spark.pipeline import media_to_documents
+    from opencosmo_spark.pipeline.multimodal import decode_audio_features
+
+    audio = WORK / "audio"
+    audio.mkdir(parents=True, exist_ok=True)
+    tone = (12000 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000))
+    au = (struct.pack(">4sIIIII", b".snd", 28, 16000, 3, 8000, 1)
+          + b"\x00" * 4 + tone.astype(">i2").tobytes())
+    (audio / "tone.au").write_bytes(au)
+
+    def ss(v):  # ID3v2 syncsafe size
+        return bytes([(v >> 21) & 0x7F, (v >> 14) & 0x7F,
+                      (v >> 7) & 0x7F, v & 0x7F])
+
+    lyric = b"\x00eng\x00Twinkle twinkle little star."
+    frames = (b"TIT2" + len(b"\x00A Song").to_bytes(4, "big")
+              + b"\x00\x00" + b"\x00A Song"
+              + b"USLT" + len(lyric).to_bytes(4, "big") + b"\x00\x00"
+              + lyric)
+    # a real MPEG1 Layer III 128 kbps 44.1 kHz frame chain (417-byte
+    # frames) so the metadata tier reports true duration
+    mp3_frames = (b"\xff\xfb\x90\x00" + b"\x00" * 413) * 3
+    (audio / "tagged.mp3").write_bytes(
+        b"ID3\x03\x00\x00" + ss(len(frames)) + frames + mp3_frames
+    )
+    drops = spark.read.format("binaryFile").load(str(audio))
+    print("== audio decode ledger ==")
+    decode_audio_features(drops, payload_col="content").select(
+        "path", "decoder", "sample_rate", "audio_duration_ms", "rms"
+    ).show(truncate=40)
+    print("== tag documents (lyrics as training text) ==")
+    media_to_documents(drops).select(
+        "url", "title", "extractor", "text"
+    ).show(truncate=44)
     spark.stop()
 
 

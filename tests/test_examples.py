@@ -150,3 +150,21 @@ def test_sft_pipeline_example_runs():
     assert "pair hygiene:" in out.stdout
     assert "pretraining blocks:" in out.stdout
     assert "tokenizer artifact:" in out.stdout
+
+
+def test_document_media_pipeline_example_runs():
+    out = subprocess.run(
+        [sys.executable, "examples/document_media_pipeline.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "pdf ledger" in out.stdout
+    assert "extracted page images" in out.stdout
+    assert "General Kenobi!" in out.stdout
+    # audio section: real PCM row, metadata tier row, lyric document
+    assert "mp3-meta" in out.stdout
+    assert "Twinkle twinkle little star." in out.stdout
+    assert "id3v2" in out.stdout
