@@ -118,7 +118,12 @@ def _id3_lang_text(enc: int, raw: bytes):
     return lang if lang.strip("\x00 ").isalpha() else None, text
 
 
-def _parse_id3v2(data: bytes):
+def _id3v2_frames(data: bytes):
+    """Shared ID3v2 tag walk: ``(major, [(frame_id, frame_bytes)])``
+    or None when there is no well-formed ID3v2 header. Handles the
+    syncsafe tag size, whole-tag (v2.2/2.3) and per-frame (v2.4)
+    unsynchronisation, extended headers, and stops at padding or
+    structural damage, keeping the frames that decoded cleanly."""
     if len(data) < 10 or data[:3] != b"ID3":
         return None
     major = data[3]
@@ -134,8 +139,7 @@ def _parse_id3v2(data: bytes):
     if flags & 0x80 and major in (2, 3):
         # whole-tag unsynchronisation (v2.4 marks it per frame)
         body = body.replace(b"\xff\x00", b"\xff")
-    tags: dict[str, str] = {}
-    out: dict[str, str] = {}
+    frames: list[tuple[str, bytes]] = []
     p = 0
     # extended header
     if major == 3 and flags & 0x40:
@@ -149,7 +153,6 @@ def _parse_id3v2(data: bytes):
             return None
     idlen = 3 if major == 2 else 4
     szlen = 3 if major == 2 else 4
-    fmap = _ID3V22_MAP if major == 2 else _ID3V23_MAP
     while p + idlen + szlen <= len(body):
         fid_raw = body[p : p + idlen]
         if fid_raw.strip(b"\x00") == b"":  # padding reached
@@ -177,6 +180,19 @@ def _parse_id3v2(data: bytes):
             frame = frame.replace(b"\xff\x00", b"\xff")
         if major != 2 and fflags & 0x0C:  # compressed/encrypted
             continue
+        frames.append((fid, frame))
+    return major, frames
+
+
+def _parse_id3v2(data: bytes):
+    got = _id3v2_frames(data)
+    if got is None:
+        return None
+    major, frames = got
+    tags: dict[str, str] = {}
+    out: dict[str, str] = {}
+    fmap = _ID3V22_MAP if major == 2 else _ID3V23_MAP
+    for fid, frame in frames:
         try:
             if fid in ("COMM", "COM", "USLT", "ULT"):
                 lang, text = _id3_lang_text(frame[0], frame[1:])
@@ -408,6 +424,232 @@ def _parse_mp4_tags(data: bytes):
 
 _PARSERS = (_parse_id3v2, _parse_flac_tags, _parse_ogg_tags,
             _parse_mp4_tags, _parse_id3v1)
+
+
+# --- embedded cover art ----------------------------------------------
+
+def _skip_encoded_str(enc: int, body: bytes) -> int:
+    """Offset just past a NUL-terminated string in the frame's
+    encoding (UTF-16 terminators are 2-byte aligned)."""
+    if enc in (1, 2):
+        at = 0
+        while True:
+            i = body.find(b"\x00\x00", at)
+            if i < 0:
+                return len(body)
+            if i % 2 == 0:
+                return i + 2
+            at = i + 1
+    i = body.find(b"\x00")
+    return len(body) if i < 0 else i + 1
+
+
+def _flac_picture_block(block: bytes):
+    """The FLAC PICTURE metadata block (also carried base64 inside
+    Vorbis METADATA_BLOCK_PICTURE comments): (mime, kind, image
+    bytes) or None."""
+    if len(block) < 32:
+        return None
+    kind = int.from_bytes(block[0:4], "big")
+    mlen = int.from_bytes(block[4:8], "big")
+    if mlen > 255 or 8 + mlen + 4 > len(block):
+        return None
+    mime = block[8 : 8 + mlen].decode("latin-1", errors="replace")
+    p = 8 + mlen
+    dlen = int.from_bytes(block[p : p + 4], "big")
+    p += 4 + dlen  # description
+    p += 16  # width/height/depth/ncolors
+    if p + 4 > len(block):
+        return None
+    ilen = int.from_bytes(block[p : p + 4], "big")
+    p += 4
+    if ilen == 0 or p + ilen > len(block):
+        return None
+    return mime, kind, block[p : p + ilen]
+
+
+def _id3_art(data: bytes):
+    got = _id3v2_frames(data)
+    if got is None:
+        return None
+    _major, frames = got
+    arts = []
+    for fid, frame in frames:
+        try:
+            if fid == "APIC" and len(frame) > 4:
+                enc = frame[0]
+                rest = frame[1:]
+                i = rest.find(b"\x00")
+                if i < 0:
+                    continue
+                mime = rest[:i].decode("latin-1", errors="replace")
+                rest = rest[i + 1 :]
+                kind = rest[0]
+                img_at = _skip_encoded_str(enc, rest[1:])
+                img = rest[1 + img_at :]
+                if img:
+                    arts.append((mime, kind, bytes(img)))
+            elif fid == "PIC" and len(frame) > 6:  # v2.2
+                enc = frame[0]
+                fmt3 = frame[1:4].decode("latin-1", errors="replace")
+                kind = frame[4]
+                img_at = _skip_encoded_str(enc, frame[5:])
+                img = frame[5 + img_at :]
+                if img:
+                    arts.append((f"image/{fmt3.lower().strip()}",
+                                 kind, bytes(img)))
+        except (ValueError, IndexError):
+            continue
+    return arts or None
+
+
+def _flac_art(data: bytes):
+    if len(data) < 8 or data[:4] != b"fLaC":
+        return None
+    arts = []
+    p = 4
+    while p + 4 <= len(data):
+        hdr = data[p]
+        size = int.from_bytes(data[p + 1 : p + 4], "big")
+        if (hdr & 0x7F) == 6:  # PICTURE
+            got = _flac_picture_block(data[p + 4 : p + 4 + size])
+            if got is not None:
+                arts.append(got)
+        if hdr & 0x80:
+            break
+        p += 4 + size
+    return arts or None
+
+
+def _ogg_art(data: bytes):
+    got = _parse_ogg_tags(data)
+    if got is None:
+        return None
+    _canon, tags, _src = got
+    b64 = tags.get("METADATA_BLOCK_PICTURE")
+    if not b64:
+        return None
+    import base64
+
+    try:
+        block = base64.b64decode(b64, validate=False)
+    except Exception:  # noqa: BLE001 - bad base64 -> no art
+        return None
+    pic = _flac_picture_block(block)
+    return [pic] if pic is not None else None
+
+
+def _mp4_art(data: bytes):
+    from .multimodal import _mp4_boxes
+
+    if data is None or len(data) < 16:
+        return None
+    top = list(_mp4_boxes(data, 0, len(data)))
+    if not top or top[0][0] != b"ftyp":
+        return None
+    arts = []
+    for btype, b0, b1 in top:
+        if btype != b"moov":
+            continue
+        for t2, c0, c1 in _mp4_boxes(data, b0, b1):
+            if t2 != b"udta":
+                continue
+            for t3, d0, d1 in _mp4_boxes(data, c0, c1):
+                if t3 != b"meta":
+                    continue
+                for t4, e0, e1 in _mp4_boxes(data, d0 + 4, d1):
+                    if t4 != b"ilst":
+                        continue
+                    for item, i0, i1 in _mp4_boxes(data, e0, e1):
+                        if item != b"covr":
+                            continue
+                        for sub, s0, s1 in _mp4_boxes(data, i0, i1):
+                            if sub != b"data" or s1 - s0 < 9:
+                                continue
+                            dtype = int.from_bytes(
+                                data[s0 : s0 + 4], "big"
+                            )
+                            mime = {13: "image/jpeg",
+                                    14: "image/png"}.get(dtype)
+                            if mime is None:
+                                continue
+                            arts.append(
+                                (mime, 3, data[s0 + 8 : s1])
+                            )  # kind 3 = front cover
+    return arts or None
+
+
+_ART_PARSERS = (
+    ("id3v2", _id3_art),
+    ("flac-picture", _flac_art),
+    ("ogg-picture", _ogg_art),
+    ("mp4-covr", _mp4_art),
+)
+
+
+def extract_media_art(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Embedded cover-art extraction — the cross-modal bridge from
+    audio payloads to the image corpus: one output row per picture
+    found in ID3v2 APIC/PIC frames, FLAC PICTURE metadata blocks,
+    Vorbis ``METADATA_BLOCK_PICTURE`` comments (base64-wrapped FLAC
+    PICTURE structure), or MP4 ``covr`` atoms. Columns appended:
+    ``art_idx`` (int, per-file), ``art_mime`` (declared MIME),
+    ``art_kind`` (the ID3/FLAC picture-type code; 3 = front cover),
+    ``art_source``, and ``art_payload`` (binary — feed it straight to
+    ``image_metadata`` / ``decode_image_features`` / ``image_dhash``).
+    Files with no embedded art emit exactly one row with NULL art
+    fields, keeping the per-file ledger honest (the
+    ``video_subtitles`` posture). Row-local parse in one Arrow
+    ``mapInPandas``; payload bytes never shuffle.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("art_idx", T.IntegerType()),
+            T.StructField("art_mime", T.StringType()),
+            T.StructField("art_kind", T.IntegerType()),
+            T.StructField("art_source", T.StringType()),
+            T.StructField("art_payload", T.BinaryType()),
+        ]
+    )
+
+    def arts_of(p):
+        if p is None:
+            return None
+        blob = bytes(p)
+        for source, fn in _ART_PARSERS:
+            try:
+                got = fn(blob)
+            except Exception:  # noqa: BLE001 - dirty payload -> next
+                got = None
+            if got:
+                return source, got
+        return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                base = pdf.iloc[i]
+                got = arts_of(base[payload_col])
+                if got is None:
+                    rows.append(
+                        list(base) + [None, None, None, None, None]
+                    )
+                    continue
+                source, arts = got
+                for j, (mime, kind, img) in enumerate(arts):
+                    rows.append(
+                        list(base) + [j, mime, int(kind), source, img]
+                    )
+            yield pd.DataFrame(rows, columns=list(pdf.columns) + [
+                "art_idx", "art_mime", "art_kind", "art_source",
+                "art_payload",
+            ])
+
+    return df.mapInPandas(run, out_schema)
 
 _CANON_COLS = ("title", "artist", "album", "date", "genre", "comment",
                "lyrics", "language")

@@ -1294,15 +1294,22 @@ def _ms_adpcm_decode_blocks(
     out = np.empty((nb, nsteps + 2, nch), dtype=np.int32)
     out[:, 0, :] = s2
     out[:, 1, :] = s1
-    delta = np.maximum(delta, 16)
+    # int64 state: s*c sums overflow int32 exactly at the corner
+    # (coefficients of -32768 with full-scale samples), and corrupt
+    # streams can grow delta geometrically before the floor clamps it
+    s1 = s1.astype(np.int64)
+    s2 = s2.astype(np.int64)
+    c1 = c1.astype(np.int64)
+    c2 = c2.astype(np.int64)
+    delta = np.clip(delta.astype(np.int64), 16, 1 << 28)
     for i in range(nsteps):
-        n = nibbles[:, i, :].astype(np.int32)
+        n = nibbles[:, i, :].astype(np.int64)
         signed = np.where(n & 8, n - 16, n)
         pred = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
         pred = np.clip(pred, -32768, 32767)
         s2 = s1
         s1 = pred
-        delta = np.maximum((_MS_ADAPT[n] * delta) >> 8, 16)
+        delta = np.clip((_MS_ADAPT[n] * delta) >> 8, 16, 1 << 28)
         out[:, i + 2, :] = pred
     return out
 
@@ -1369,6 +1376,10 @@ def _f80(b: bytes) -> float:
     if exp == 0 and mant == 0:
         return 0.0
     if exp == 0x7FFF:  # inf/nan
+        return 0.0
+    # corrupt exponents overflow float64 (sample rates are < 2^31;
+    # anything bigger is junk and must DECLINE, not raise)
+    if not 16383 - 63 <= exp <= 16383 + 63:
         return 0.0
     return sign * mant * 2.0 ** (exp - 16383 - 63)
 

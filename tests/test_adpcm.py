@@ -307,3 +307,24 @@ def test_adpcm_in_audio_features_ladder(spark):
     # encoder-reconstruction RMS, which is itself near the true RMS
     want = np.sqrt(np.mean((np.array(recon[0]) / 32768.0) ** 2))
     assert abs(row.rms - want) < 0.02 * want
+
+
+def test_ms_adpcm_extreme_coefficients_no_overflow():
+    """The int32 corner: coefficient pairs of -32768 with full-scale
+    headers must clamp, not wrap (s1*c1 + s2*c2 = -2^31 - overflow by
+    one in 32-bit arithmetic)."""
+    spb = 8
+    balign = 7 + (spb - 2) // 2
+    custom = [(-32768, -32768)]
+    # header: predictor 0, delta 32767, s1 = s2 = -32768
+    payload = bytes([0]) + struct.pack("<hhh", 32767, -32768, -32768)
+    payload += b"\x77\x77\x77"  # arbitrary nibbles
+    data = wav_file(2, 1, 8000, balign, spb, payload, coefs=custom)
+    got = _decode_wav(data)
+    assert got is not None
+    mono, _ = got
+    # all samples clamp inside [-1, 1]; no silent wraparound artifacts
+    assert np.all(np.abs(mono) <= 1.0)
+    # prediction of two full-negative samples through double-negative
+    # coefficients is strongly positive -> clamps at +32767
+    assert mono[2] == 32767 / 32768.0

@@ -210,3 +210,12 @@ def test_totality_and_ladder(spark):
         assert out.loc[key].decoder == key
         assert out.loc[key].sample_rate == 8000
         assert abs(out.loc[key].rms - want) < 1e-6
+
+
+def test_f80_corrupt_exponent_declines():
+    """Fuzz-found: a corrupt rate field with a huge exponent must
+    decline (0.0 -> decoder returns None), not raise OverflowError."""
+    assert _f80(b"\x7f\xfe" + b"\xff" * 8) == 0.0
+    assert _f80(b"\x00\x01" + b"\xff" * 8) == 0.0
+    # a normal rate still round-trips
+    assert _f80(f80(44100)) == 44100

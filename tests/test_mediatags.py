@@ -409,3 +409,107 @@ def test_media_to_documents_composes_with_curate(spark, tmp_path):
     )
     rows = kept.toPandas()
     assert len(rows) == 1 and rows.url.iloc[0].endswith("song.mp3")
+
+
+# ---------------------------------------------------- cover art
+
+def apic_frame(mime: str, kind: int, img: bytes, enc=0,
+               desc=b"") -> bytes:
+    return (bytes([enc]) + mime.encode() + b"\x00" + bytes([kind])
+            + desc + (b"\x00\x00" if enc in (1, 2) else b"\x00") + img)
+
+
+def flac_picture_block(mime: str, kind: int, img: bytes) -> bytes:
+    m = mime.encode()
+    return (kind.to_bytes(4, "big") + len(m).to_bytes(4, "big") + m
+            + (0).to_bytes(4, "big")  # empty description
+            + b"\x00" * 16  # w/h/depth/ncolors
+            + len(img).to_bytes(4, "big") + img)
+
+
+def test_id3_apic_and_pic_art():
+    from opencosmo_spark.pipeline.mediatags import _id3_art
+
+    png = b"\x89PNG\r\n\x1a\nfakepixels"
+    jpg = b"\xff\xd8\xff\xe0fakejpeg"
+    data = id3v2([
+        ("TIT2", t_frame("T")),
+        ("APIC", apic_frame("image/png", 3, png)),
+        ("APIC", apic_frame("image/jpeg", 4, jpg, enc=1,
+                            desc="desc ✓".encode("utf-16"))),
+    ])
+    arts = _id3_art(data)
+    assert arts == [("image/png", 3, png), ("image/jpeg", 4, jpg)]
+    # v2.2 PIC with 3-char format
+    pic = (b"\x00" + b"PNG" + bytes([3]) + b"\x00" + png)
+    data2 = id3v2([("PIC", pic)], major=2)
+    assert _id3_art(data2) == [("image/png", 3, png)]
+    assert _id3_art(id3v2([("TIT2", t_frame("x"))])) is None
+
+
+def test_flac_and_ogg_picture_blocks():
+    import base64
+
+    from opencosmo_spark.pipeline.mediatags import _flac_art, _ogg_art
+
+    img = b"\xff\xd8\xff\xe0" + bytes(range(64))
+    block = flac_picture_block("image/jpeg", 3, img)
+    streaminfo = b"\x00" * 10 + (
+        (44100 << 44) | (15 << 36) | 100
+    ).to_bytes(8, "big") + b"\x00" * 16
+    flac = (b"fLaC" + bytes([0]) + len(streaminfo).to_bytes(3, "big")
+            + streaminfo
+            + bytes([0x80 | 6]) + len(block).to_bytes(3, "big") + block)
+    assert _flac_art(flac) == [("image/jpeg", 3, img)]
+    ogg = ogg_vorbis_with_tags([
+        ("TITLE", "x"),
+        ("METADATA_BLOCK_PICTURE",
+         base64.b64encode(block).decode()),
+    ])
+    assert _ogg_art(ogg) == [("image/jpeg", 3, img)]
+
+
+def test_mp4_covr_art():
+    from opencosmo_spark.pipeline.mediatags import _mp4_art
+
+    jpg = b"\xff\xd8\xff\xe0cover"
+    ilst = box(b"covr", box(b"data",
+                            (13).to_bytes(4, "big") + b"\x00" * 4 + jpg))
+    meta = b"\x00" * 4 + box(b"ilst", ilst)
+    moov = box(b"moov", box(b"udta", box(b"meta", meta)))
+    data = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+    assert _mp4_art(data) == [("image/jpeg", 3, jpg)]
+
+
+def test_extract_media_art_operator_feeds_image_ladder(spark):
+    from test_analysis_multimodal import _make_png
+
+    from opencosmo_spark.pipeline.mediatags import extract_media_art
+    from opencosmo_spark.pipeline.multimodal import image_metadata
+
+    px = np.random.default_rng(1).integers(
+        0, 256, (12, 10, 3)
+    ).astype(np.uint8)
+    real_png = _make_png(px, 2, [0] * 12)
+    rows = [
+        ("song", id3v2([("APIC", apic_frame("image/png", 3,
+                                            real_png))])),
+        ("bare", id3v2([("TIT2", t_frame("no art"))])),
+        ("junk", b"nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "id string, payload binary")
+    out = extract_media_art(df)
+    pdf = out.toPandas().set_index("id")
+    assert pdf.loc["song"].art_source == "id3v2"
+    assert pdf.loc["song"].art_mime == "image/png"
+    assert pdf.loc["bare"].art_source is None  # honest NULL-art row
+    assert pdf.loc["junk"].art_source is None
+    assert len(pdf) == 3
+    # the art payload is a REAL image: route it through the ladder
+    arts = out.filter("art_payload is not null").selectExpr(
+        "id", "art_payload as payload"
+    )
+    meta = image_metadata(arts).toPandas().iloc[0]
+    assert (meta.img_format, meta.img_width, meta.img_height) == (
+        "png", 10, 12,
+    )

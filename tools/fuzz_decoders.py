@@ -154,9 +154,13 @@ def main():
         rng,
     )
 
+    from opencosmo_spark.pipeline.mediatags import _ART_PARSERS
+
     def parse_all_tags(blob):
         for parse in _PARSERS:
             parse(blob)
+        for _name, art_fn in _ART_PARSERS:
+            art_fn(blob)
 
     total += _hammer(
         "mediatags", parse_all_tags,
