@@ -26,16 +26,19 @@ exception out of the worker.
 
 Scale posture: payloads are decoded row-locally inside an
 Arrow-batched ``mapInPandas`` (bytes never shuffle). The bit reader
-materializes an unpacked bit array (8 bytes per payload byte), so
-files over ``_MAX_BYTES`` (64 MiB) are declined here and triaged by
-the zero-decode metadata tier instead — at crawl scale that is the
-right trade for a bounded worker footprint.
+materializes an unpacked bit array (8 bytes per payload byte) PLUS an
+int64 index of every set bit (~8 more bytes per set bit, so ~32
+bytes/byte at the ~50% bit density of compressed audio — ~40
+bytes/byte total transient). Files over ``_MAX_BYTES`` (8 MiB, i.e.
+~320 MB transient per row) are declined here and triaged by the
+zero-decode metadata tier instead — at crawl scale that is the right
+trade for a bounded worker footprint.
 """
 from __future__ import annotations
 
 import numpy as np
 
-_MAX_BYTES = 64 << 20
+_MAX_BYTES = 8 << 20
 
 
 class _Corrupt(Exception):

@@ -178,8 +178,15 @@ def _id3v2_frames(data: bytes):
         p += fsize
         if major == 4 and fflags & 0x02:  # per-frame unsync
             frame = frame.replace(b"\xff\x00", b"\xff")
-        if major != 2 and fflags & 0x0C:  # compressed/encrypted
+        # compressed/encrypted frames: the flag bits moved between
+        # versions — v2.3 uses 0x0080/0x0040, v2.4 uses 0x0008/0x0004
+        if major == 3 and fflags & 0x00C0:
             continue
+        if major == 4 and fflags & 0x000C:
+            continue
+        if major == 4 and fflags & 0x0001 and len(frame) >= 4:
+            # data-length indicator: 4 syncsafe bytes prefixed to body
+            frame = frame[4:]
         frames.append((fid, frame))
     return major, frames
 

@@ -1315,13 +1315,19 @@ def _ms_adpcm_decode_blocks(
 
 
 def _decode_wav_adpcm(
-    code: int, nch: int, rate: int, fmt_body: bytes, raw: bytes, fact
+    code: int, nch: int, rate: int, fmt_body: bytes, raw: bytes, fact,
+    extensible: bool = False,
 ) -> tuple[np.ndarray, int] | None:
     """Block-based ADPCM data-chunk decode for ``_decode_wav``:
     Microsoft ADPCM (code 2, custom coefficient sets honored) and
     IMA/DVI ADPCM (code 0x11). Blocks are independent, so the decode
     vectorizes ACROSS blocks — the python loop is over nibbles within
-    a block only."""
+    a block only.
+
+    ``extensible`` marks a code remapped from WAVE_FORMAT_EXTENSIBLE:
+    there ``fmt_body[20:22]`` is the low word of dwChannelMask, NOT a
+    coefficient count, so the custom-table read is skipped and the
+    standard ``_MS_COEFS`` apply."""
     if len(fmt_body) < 20:
         return None
     balign = int.from_bytes(fmt_body[12:14], "little")
@@ -1331,9 +1337,9 @@ def _decode_wav_adpcm(
         decode = lambda b: _ima_decode_blocks(b, nch)  # noqa: E731
     else:
         hdr_bytes = 7 * nch
-        ncoef = int.from_bytes(fmt_body[20:22], "little") if len(
-            fmt_body
-        ) >= 22 else 0
+        ncoef = int.from_bytes(fmt_body[20:22], "little") if (
+            not extensible and len(fmt_body) >= 22
+        ) else 0
         if ncoef and len(fmt_body) >= 22 + 4 * ncoef:
             coefs = np.frombuffer(
                 fmt_body[22 : 22 + 4 * ncoef], "<i2"
@@ -1547,6 +1553,7 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
     if data is None or len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
     pos, fmt, raw, fmt_body, fact = 12, None, None, b"", None
+    extensible = False
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = int.from_bytes(data[pos + 4 : pos + 8], "little")
@@ -1556,6 +1563,7 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
             if code == 0xFFFE and len(body) >= 26:
                 # EXTENSIBLE: the real code leads the subformat GUID
                 code = int.from_bytes(body[24:26], "little")
+                extensible = True
             fmt_body = body
             fmt = (
                 code,
@@ -1574,7 +1582,9 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
     if code in (2, 0x11):
         if bits != 4 or nch < 1 or nch > 8 or rate <= 0:
             return None
-        return _decode_wav_adpcm(code, nch, rate, fmt_body, raw, fact)
+        return _decode_wav_adpcm(
+            code, nch, rate, fmt_body, raw, fact, extensible=extensible
+        )
     ok = (
         (code == 1 and bits in (8, 16, 24))
         or (code == 3 and bits in (32, 64))
@@ -1864,11 +1874,10 @@ def _decode_ico(data: bytes) -> np.ndarray | None:
     at = 40
     if bpp <= 8:
         ncolors = nclr or (1 << bpp)
-        pal = np.frombuffer(
-            img[at : at + 4 * ncolors], np.uint8
-        ).reshape(-1, 4)
-        if len(pal) < ncolors:
+        pal_raw = img[at : at + 4 * ncolors]
+        if len(pal_raw) < 4 * ncolors:  # truncated DIB palette
             return None
+        pal = np.frombuffer(pal_raw, np.uint8).reshape(-1, 4)
         at += 4 * ncolors
     stride = ((w * bpp + 31) // 32) * 4
     need = stride * h
@@ -1946,7 +1955,7 @@ def _tiff_ifd(data: bytes):
         if e + 12 > len(data):
             return None
         tag, typ, cnt = _struct.unpack(bo + "HHI", data[e : e + 8])
-        if typ not in sizes or cnt > 1_000_000:
+        if typ not in sizes or cnt == 0 or cnt > 1_000_000:
             continue
         total = sizes[typ] * cnt
         if total <= 4:
@@ -2037,7 +2046,8 @@ def _decode_tiff(data: bytes) -> np.ndarray | None:
     grid = np.concatenate(rows, axis=0)
     if bits == 1:
         px = np.unpackbits(grid, axis=1)[:, : w * spp].reshape(h, w, spp)
-        px = (px * 255).astype(np.uint8)
+        if photo != 3:  # palette keeps raw 0/1 indices into the LUT
+            px = (px * 255).astype(np.uint8)
     elif bits == 16:
         flat = grid.reshape(-1).tobytes()
         arr = np.frombuffer(flat, ("<u2" if _bo == "<" else ">u2"))
@@ -2050,7 +2060,9 @@ def _decode_tiff(data: bytes) -> np.ndarray | None:
         px = np.add.accumulate(px, axis=1, dtype=np.uint8)
     if photo == 3:  # palette
         cmap = tags.get(320)
-        if cmap is None or len(cmap) < 3 * (1 << bits):
+        if bits == 16 or cmap is None or len(cmap) < 3 * (1 << bits):
+            # 16-bit indices were scaled to 8 above, so they no longer
+            # address the ColorMap — decline rather than mis-colour.
             return None
         ncol = 1 << bits
         lut = (
@@ -2465,7 +2477,10 @@ def decode_image_features(
             except Exception:  # noqa: BLE001 - fall through the ladder
                 pass
         for name, dec, _ in _IMAGE_LADDER:
-            arr = dec(p)
+            try:
+                arr = dec(p)
+            except Exception:  # noqa: BLE001 - one corrupt payload must
+                arr = None  # not crash the task; fall down the ladder
             if arr is not None:
                 return _pixel_features(arr, feature_dim).tolist(), name
         return _fake_decode(p, feature_dim).tolist(), "stub-sha256"
@@ -3341,7 +3356,10 @@ def image_dhash(
             except Exception:  # noqa: BLE001
                 pass
         for name, dec, _ in _IMAGE_LADDER:
-            arr = dec(p)
+            try:
+                arr = dec(p)
+            except Exception:  # noqa: BLE001 - one corrupt payload must
+                arr = None  # not crash the task; fall down the ladder
             if arr is not None:
                 return _dhash_bits(arr, hash_size), name
         import hashlib

@@ -328,3 +328,41 @@ def test_ms_adpcm_extreme_coefficients_no_overflow():
     # prediction of two full-negative samples through double-negative
     # coefficients is strongly positive -> clamps at +32767
     assert mono[2] == 32767 / 32768.0
+
+
+def wav_extensible_adpcm(nch, rate, balign, spb, payload,
+                         channel_mask=3):
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping MS ADPCM (subformat
+    code 2). In this layout bytes [20:22] are the LOW WORD OF
+    dwChannelMask, not a coefficient count — the review-found misread."""
+    fmt = struct.pack("<HHIIHH", 0xFFFE, nch, rate,
+                      rate * balign // spb, balign, 4)
+    # cbSize=22, wSamplesPerBlock (union), dwChannelMask, GUID
+    guid = struct.pack("<H", 2) + bytes.fromhex(
+        "0000000010008000" + "00aa00389b71"
+    )
+    fmt += struct.pack("<HHI", 22, spb, channel_mask) + guid
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) % 2:
+        chunks += b"\x00"
+    return (b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
+            + b"WAVE" + chunks)
+
+
+def test_extensible_adpcm_ignores_channel_mask_as_coefs():
+    """EXTENSIBLE-wrapped MS ADPCM must use the standard coefficient
+    table, never misread dwChannelMask/GUID bytes as a custom one:
+    the decode must equal the plain code-2 file's decode exactly."""
+    spb = 32
+    balign = 14 + (spb - 2)  # 2 channels, one byte per sample pair
+    chans = [_sig(2 * spb, 21), _sig(2 * spb, 22)]
+    payload, recon = ms_encode(chans, spb)
+    plain = wav_file(2, 2, 16000, balign, spb, payload)
+    wrapped = wav_extensible_adpcm(2, 16000, balign, spb, payload,
+                                   channel_mask=3)
+    _expect(plain, recon, 16000)
+    _expect(wrapped, recon, 16000)
+    got_p = _decode_wav(plain)[0]
+    got_w = _decode_wav(wrapped)[0]
+    np.testing.assert_array_equal(got_p, got_w)

@@ -155,3 +155,16 @@ def test_ladder_integration(spark):
     assert (meta.img_format, meta.img_width, meta.img_height) == (
         "ico", 16, 16,
     )
+
+
+def test_truncated_dib_palette_declines():
+    """A DIB header claiming 256 palette colours backed by only 3
+    bytes (review-found crash: ``reshape(-1, 4)`` ValueError) must
+    decline, not raise."""
+    w = h = 4
+    hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, 2 * h, 1, 8, 0, 0, 0, 0, 256, 0
+    )
+    img = hdr + b"\x01\x02\x03"
+    data = ico_file([img], [(w, h)])
+    assert _decode_ico(data) is None

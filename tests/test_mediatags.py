@@ -513,3 +513,46 @@ def test_extract_media_art_operator_feeds_image_ladder(spark):
     assert (meta.img_format, meta.img_width, meta.img_height) == (
         "png", 10, 12,
     )
+
+
+def _id3v2_flagged(frames, major, pad=16):
+    """Like ``id3v2`` but frames are (fid, content, fflags)."""
+    body = b""
+    for fid, content, fflags in frames:
+        sz = (_ss(len(content)) if major == 4
+              else len(content).to_bytes(4, "big"))
+        body += fid.encode() + sz + fflags.to_bytes(2, "big") + content
+    body += b"\x00" * pad
+    return b"ID3" + bytes([major, 0, 0]) + _ss(len(body)) + body
+
+
+def test_id3v23_compressed_flag_masks():
+    """v2.3 compressed/encrypted flags live at 0x0080/0x0040, not
+    0x0C (review-found: they were parsed as plain text). A v2.3
+    frame with 0x0C set is NEITHER compressed nor encrypted (those
+    bits are grouping/unused there) and must still parse."""
+    data = _id3v2_flagged(
+        [("TIT2", t_frame("skipme"), 0x0080),   # compressed: skip
+         ("TPE1", t_frame("keepme"), 0x0000),
+         ("TALB", t_frame("also"), 0x000C)],    # v2.3: not comp/enc
+        major=3,
+    )
+    canon, _, _ = _parse_id3v2(data)
+    assert canon["artist"] == "keepme"
+    assert canon["album"] == "also"
+    assert "title" not in canon
+
+
+def test_id3v24_compressed_flag_and_dli():
+    """v2.4 compressed/encrypted at 0x0008/0x0004; flag 0x0001 means
+    a 4-byte data-length indicator prefixes the body (review-found:
+    it leaked into the text)."""
+    body = t_frame("clean")
+    data = _id3v2_flagged(
+        [("TIT2", t_frame("skipme"), 0x0008),   # compressed: skip
+         ("TPE1", _ss(len(body)) + body, 0x0001)],  # DLI stripped
+        major=4,
+    )
+    canon, _, _ = _parse_id3v2(data)
+    assert canon["artist"] == "clean"
+    assert "title" not in canon

@@ -291,3 +291,61 @@ def test_ladder_integration(spark):
     assert (meta.img_format, meta.img_width, meta.img_height) == (
         "tiff", 16, 16,
     )
+
+
+# ---------------------------------------------------- review fixes
+
+
+def test_ifd_entry_count_zero_declines():
+    """An IFD entry with count=0 (review-found crash: empty tuple for
+    tag 256 then ``tags[256][0]`` IndexError) must decline, not
+    raise. make_tiff sorts entries, so tag 256 is the first entry at
+    IFD offset 8 + 2; its count field sits 4 bytes in."""
+    data = bytearray(make_tiff(_img(4, 4, 3, 7)))
+    e = 8 + 2  # first IFD entry (tag 256, ImageWidth)
+    assert struct.unpack("<H", data[e : e + 2])[0] == 256
+    data[e + 4 : e + 8] = struct.pack("<I", 0)  # count = 0
+    assert _decode_tiff(bytes(data)) is None
+
+
+def test_bilevel_palette_uses_raw_indices():
+    """1-bit photometric=3: indices must stay 0/1 into the 2-entry
+    ColorMap (review-found crash: scaling to 0/255 before the LUT
+    gather)."""
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, 2, (6, 9)).astype(np.uint8)
+    pal = np.array([[255, 0, 64], [0, 200, 30]], dtype=np.uint8)
+    data = make_tiff(idx, bits=1, photo=3, palette=pal)
+    out = _decode_tiff(data)
+    assert out is not None
+    np.testing.assert_array_equal(out, pal[idx])
+
+
+def test_16bit_palette_declines():
+    """16-bit palette indices are scaled to 8 bits by the sample
+    normalizer, so they no longer address the ColorMap — decline."""
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    data = make_tiff(idx, bits=16, photo=3, palette=pal)
+    assert _decode_tiff(data) is None
+
+
+def test_ladder_swallows_decoder_exception(spark, monkeypatch):
+    """One corrupt payload must never crash the task: the ladder
+    wraps each decoder call and falls through on any exception."""
+    import opencosmo_spark.pipeline.multimodal as mm
+
+    def boom(_p):
+        raise IndexError("synthetic decoder bug")
+
+    patched = tuple(
+        (("tiff", boom, entry[2]) if entry[0] == "tiff" else entry)
+        for entry in mm._IMAGE_LADDER
+    )
+    monkeypatch.setattr(mm, "_IMAGE_LADDER", patched)
+    df = spark.createDataFrame(
+        [("t", make_tiff(_img(4, 4, 3, 5)))],
+        "id string, payload binary",
+    )
+    row = mm.decode_image_features(df).toPandas().iloc[0]
+    assert row.decoder == "stub-sha256"  # fell past the broken tier
