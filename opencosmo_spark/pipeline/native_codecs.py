@@ -1,0 +1,532 @@
+"""ctypes bindings to the system image codecs — the native fast tier
+of the image decode ladder.
+
+``multimodal.py``'s pure-python decoders are the portable baseline
+(and the differential oracle for this module: every native decoder is
+cross-checked against its pure twin in tests/test_native_codecs.py).
+But pure-python entropy decode runs at ~1-10 MB/s/core while the
+battle-tested C codecs that ship in this container do 100+ — at crawl
+scale that is the difference between decode being free and decode
+being the job. This module binds them with **totality as the
+contract**: every function returns an ``(h, w, 3) uint8`` array or
+``None``; no exception, no abort, no stderr spam escapes a worker.
+
+Per-codec safety notes (the reason each binding looks the way it
+does):
+
+- **JPEG** (`libjpeg.so.62`): libjpeg reports errors by calling
+  ``error_exit`` which must ``longjmp`` (the default calls
+  ``exit()``!). A ctypes callback cannot longjmp, so the decode goes
+  through a ~60-line C shim (``_jpeg_shim.c``) holding the
+  ``jmp_buf``, compiled lazily with the system gcc. No gcc / no
+  header → tier silently unavailable.
+- **PNG** (`libpng16.so.16`): the libpng *simplified API*
+  (``png_image_begin_read_from_memory``) catches internal longjmps
+  itself and returns 0 on error — ctypes-safe. We read RGBA and drop
+  alpha in numpy so the result matches the pure decoder's
+  alpha-dropped semantics (libpng would otherwise composite onto a
+  background).
+- **TIFF** (`libtiff.so.6`): plain error-code API; handlers are
+  nulled once to silence stderr. Decode via ``TIFFOpen`` on a tmpfs
+  spool file + ``TIFFReadRGBAImageOriented`` with ``stopOnError=1``
+  (a corrupt strip declines to the pure tier rather than returning
+  half-garbage pixels).
+- **GIF** (`libgif.so.7`): ``DGifOpen`` with a read callback +
+  ``DGifSlurp``; error-code API. Struct layouts are giflib 5.x
+  (verified empirically in the tests against the encoder twin).
+  Frames offset into the canvas or interlaced rasters are handled;
+  anything structurally odd declines to the pure tier.
+- **WebP** (`libwebp.so.7`): ``WebPDecodeRGB`` returns NULL on any
+  error — the easy one. (The VP8 pure decoder is bit-exact against
+  this library's YUV output in tests/test_vp8.py.)
+
+Reproducibility note: lossless formats (PNG/GIF/TIFF/VP8L) decode
+bit-identically native vs pure. JPEG and lossy-WebP RGB may differ by
+a few LSBs (the JPEG spec allows IDCT tolerance; upsamplers differ),
+so pipelines that must be bit-reproducible across heterogeneous
+clusters should pin ``decoder="pure"``; ``"auto"`` (the default)
+takes the ~100x throughput instead.
+
+Scale posture: libraries are dlopen'd once per python worker and
+cached; the shim compiles once per node into a content-hash-keyed
+/tmp path (atomic rename, racing workers converge). Payload bytes
+stay row-local; the max-pixels cap mirrors
+``multimodal._MAX_IMAGE_SAMPLES`` so native and pure tiers refuse the
+same oversized images.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+import threading
+
+import numpy as np
+
+# mirrors multimodal._MAX_IMAGE_SAMPLES (= h * w * channels) without a
+# circular import; pixels = samples / 3
+_MAX_SAMPLES = 50_000_000
+_MAX_PIXELS = _MAX_SAMPLES // 3
+
+_LOCK = threading.Lock()
+_CACHE: dict[str, object] = {}
+
+
+def _lib(name: str):
+    """dlopen + cache; None (cached) when unavailable."""
+    with _LOCK:
+        if name in _CACHE:
+            return _CACHE[name]
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            lib = None
+        _CACHE[name] = lib
+        return lib
+
+
+# ---------------------------------------------------------------- JPEG
+
+_SHIM_SRC = os.path.join(os.path.dirname(__file__), "_jpeg_shim.c")
+
+
+def _compile_shim() -> str | None:
+    """Compile _jpeg_shim.c into a content-hash-keyed /tmp path.
+
+    Concurrent workers compile into unique temp names and atomically
+    rename onto the shared path — last writer wins with identical
+    bytes, so the race is benign."""
+    import hashlib
+
+    try:
+        src = open(_SHIM_SRC, "rb").read()
+    except OSError:
+        return None
+    key = hashlib.sha256(src).hexdigest()[:16]
+    out = os.path.join(
+        tempfile.gettempdir(), f"ocs_jpeg_shim_{key}.so"
+    )
+    if os.path.exists(out):
+        return out
+    tmp = out + f".build{os.getpid()}"
+    try:
+        proc = subprocess.run(
+            ["gcc", "-O2", "-shared", "-fPIC", _SHIM_SRC,
+             "-o", tmp, "-ljpeg"],
+            capture_output=True, timeout=120,
+        )
+        if proc.returncode != 0:
+            return None
+        os.replace(tmp, out)
+        return out
+    except (OSError, subprocess.SubprocessError):
+        return None
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+
+def _jpeg_shim():
+    with _LOCK:
+        if "jpeg_shim" in _CACHE:
+            return _CACHE["jpeg_shim"]
+    path = _compile_shim()
+    shim = None
+    if path is not None:
+        try:
+            shim = ctypes.CDLL(path)
+            shim.ocs_jpeg_decode_rgb.restype = ctypes.POINTER(
+                ctypes.c_uint8
+            )
+            shim.ocs_jpeg_decode_rgb.argtypes = [
+                ctypes.c_char_p, ctypes.c_ulong, ctypes.c_ulong,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            shim.ocs_shim_free.restype = None
+            shim.ocs_shim_free.argtypes = [ctypes.c_void_p]
+        except OSError:
+            shim = None
+    with _LOCK:
+        _CACHE["jpeg_shim"] = shim
+    return shim
+
+
+def decode_jpeg_native(data: bytes | None) -> np.ndarray | None:
+    if not data or len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    shim = _jpeg_shim()
+    if shim is None:
+        return None
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    buf = shim.ocs_jpeg_decode_rgb(
+        data, len(data), _MAX_PIXELS, ctypes.byref(w), ctypes.byref(h)
+    )
+    if not buf:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(
+            buf, shape=(h.value, w.value, 3)
+        ).copy()
+    finally:
+        shim.ocs_shim_free(
+            ctypes.cast(buf, ctypes.c_void_p)
+        )
+    return arr
+
+
+# ---------------------------------------------------------------- WebP
+
+
+def decode_webp_native(data: bytes | None) -> np.ndarray | None:
+    if (
+        not data or len(data) < 16
+        or data[:4] != b"RIFF" or data[8:12] != b"WEBP"
+    ):
+        return None
+    lw = _lib("libwebp.so.7")
+    if lw is None:
+        return None
+    lw.WebPGetInfo.restype = ctypes.c_int
+    lw.WebPDecodeRGB.restype = ctypes.POINTER(ctypes.c_uint8)
+    lw.WebPFree.restype = None
+    lw.WebPFree.argtypes = [ctypes.c_void_p]
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    if not lw.WebPGetInfo(
+        data, ctypes.c_size_t(len(data)),
+        ctypes.byref(w), ctypes.byref(h),
+    ):
+        return None
+    if w.value <= 0 or h.value <= 0 or w.value * h.value > _MAX_PIXELS:
+        return None
+    buf = lw.WebPDecodeRGB(
+        data, ctypes.c_size_t(len(data)),
+        ctypes.byref(w), ctypes.byref(h),
+    )
+    if not buf:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(
+            buf, shape=(h.value, w.value, 3)
+        ).copy()
+    finally:
+        lw.WebPFree(ctypes.cast(buf, ctypes.c_void_p))
+    return arr
+
+
+# ----------------------------------------------------------------- PNG
+
+
+class _PngImage(ctypes.Structure):
+    # libpng 1.6 simplified-API control struct (png.h: png_image)
+    _fields_ = [
+        ("opaque", ctypes.c_void_p),
+        ("version", ctypes.c_uint32),
+        ("width", ctypes.c_uint32),
+        ("height", ctypes.c_uint32),
+        ("format", ctypes.c_uint32),
+        ("flags", ctypes.c_uint32),
+        ("colormap_entries", ctypes.c_uint32),
+        ("warning_or_error", ctypes.c_uint32),
+        ("message", ctypes.c_char * 64),
+    ]
+
+
+_PNG_IMAGE_VERSION = 1
+_PNG_FORMAT_RGBA = 0x03  # FLAG_ALPHA | FLAG_COLOR
+
+
+def decode_png_native(data: bytes | None) -> np.ndarray | None:
+    if not data or len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    lp = _lib("libpng16.so.16")
+    if lp is None:
+        return None
+    lp.png_image_begin_read_from_memory.restype = ctypes.c_int
+    lp.png_image_finish_read.restype = ctypes.c_int
+    lp.png_image_free.restype = None
+    img = _PngImage()
+    img.version = _PNG_IMAGE_VERSION
+    if not lp.png_image_begin_read_from_memory(
+        ctypes.byref(img), data, ctypes.c_size_t(len(data))
+    ):
+        lp.png_image_free(ctypes.byref(img))
+        return None
+    w, h = img.width, img.height
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        lp.png_image_free(ctypes.byref(img))
+        return None
+    # read RGBA and drop alpha ourselves: asking libpng for RGB would
+    # composite alpha onto a background, which the pure decoder and
+    # the rest of the ladder do not do
+    img.format = _PNG_FORMAT_RGBA
+    buf = np.empty((h, w, 4), dtype=np.uint8)
+    ok = lp.png_image_finish_read(
+        ctypes.byref(img), None,
+        buf.ctypes.data_as(ctypes.c_void_p), 0, None,
+    )
+    if not ok:
+        lp.png_image_free(ctypes.byref(img))
+        return None
+    return buf[:, :, :3].copy()
+
+
+# ---------------------------------------------------------------- TIFF
+
+_TIFF_HANDLERS_CLEARED = False
+
+
+def decode_tiff_native(data: bytes | None) -> np.ndarray | None:
+    global _TIFF_HANDLERS_CLEARED
+    if not data or len(data) < 8 or data[:4] not in (
+        b"II*\x00", b"MM\x00*"
+    ):
+        return None
+    lt = _lib("libtiff.so.6")
+    if lt is None:
+        return None
+    lt.TIFFOpen.restype = ctypes.c_void_p
+    lt.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lt.TIFFClose.restype = None
+    lt.TIFFClose.argtypes = [ctypes.c_void_p]
+    lt.TIFFReadRGBAImageOriented.restype = ctypes.c_int
+    with _LOCK:
+        if not _TIFF_HANDLERS_CLEARED:
+            lt.TIFFSetErrorHandler.restype = ctypes.c_void_p
+            lt.TIFFSetWarningHandler.restype = ctypes.c_void_p
+            lt.TIFFSetErrorHandler(None)
+            lt.TIFFSetWarningHandler(None)
+            _TIFF_HANDLERS_CLEARED = True
+    # spool to tmpfs: TIFFOpen wants a path; /dev/shm is memory-backed
+    spool_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    fd, path = tempfile.mkstemp(suffix=".tif", dir=spool_dir)
+    try:
+        os.write(fd, data)
+        os.close(fd)
+        tif = lt.TIFFOpen(path.encode(), b"rm")
+        if not tif:
+            return None
+        try:
+            w = ctypes.c_uint32(0)
+            h = ctypes.c_uint32(0)
+            # TIFFGetField is varargs; tag ids 256/257 per TIFF 6.0
+            if not lt.TIFFGetField(
+                ctypes.c_void_p(tif), ctypes.c_uint32(256),
+                ctypes.byref(w),
+            ) or not lt.TIFFGetField(
+                ctypes.c_void_p(tif), ctypes.c_uint32(257),
+                ctypes.byref(h),
+            ):
+                return None
+            if (
+                w.value <= 0 or h.value <= 0
+                or w.value * h.value > _MAX_PIXELS
+            ):
+                return None
+            raster = np.empty(h.value * w.value, dtype=np.uint32)
+            ok = lt.TIFFReadRGBAImageOriented(
+                ctypes.c_void_p(tif), w, h,
+                raster.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int(1),  # ORIENTATION_TOPLEFT
+                ctypes.c_int(1),  # stopOnError: decline, don't guess
+            )
+            if not ok:
+                return None
+        finally:
+            lt.TIFFClose(ctypes.c_void_p(tif))
+    except OSError:
+        return None
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+    # packed ABGR words: little-endian byte order is R, G, B, A
+    rgba = raster.view(np.uint8).reshape(h.value, w.value, 4)
+    return rgba[:, :, :3].copy()
+
+
+# ----------------------------------------------------------------- GIF
+# giflib 5.x public structs (gif_lib.h); GifWord is int
+
+class _GifColorType(ctypes.Structure):
+    _fields_ = [
+        ("Red", ctypes.c_ubyte),
+        ("Green", ctypes.c_ubyte),
+        ("Blue", ctypes.c_ubyte),
+    ]
+
+
+class _ColorMapObject(ctypes.Structure):
+    _fields_ = [
+        ("ColorCount", ctypes.c_int),
+        ("BitsPerPixel", ctypes.c_int),
+        ("SortFlag", ctypes.c_bool),
+        ("Colors", ctypes.POINTER(_GifColorType)),
+    ]
+
+
+class _GifImageDesc(ctypes.Structure):
+    _fields_ = [
+        ("Left", ctypes.c_int),
+        ("Top", ctypes.c_int),
+        ("Width", ctypes.c_int),
+        ("Height", ctypes.c_int),
+        ("Interlace", ctypes.c_bool),
+        ("ColorMap", ctypes.POINTER(_ColorMapObject)),
+    ]
+
+
+class _SavedImage(ctypes.Structure):
+    _fields_ = [
+        ("ImageDesc", _GifImageDesc),
+        ("RasterBits", ctypes.POINTER(ctypes.c_ubyte)),
+        ("ExtensionBlockCount", ctypes.c_int),
+        ("ExtensionBlocks", ctypes.c_void_p),
+    ]
+
+
+class _GifFileType(ctypes.Structure):
+    _fields_ = [
+        ("SWidth", ctypes.c_int),
+        ("SHeight", ctypes.c_int),
+        ("SColorResolution", ctypes.c_int),
+        ("SBackGroundColor", ctypes.c_int),
+        ("AspectByte", ctypes.c_ubyte),
+        ("SColorMap", ctypes.POINTER(_ColorMapObject)),
+        ("ImageCount", ctypes.c_int),
+        ("Image", _GifImageDesc),
+        ("SavedImages", ctypes.POINTER(_SavedImage)),
+        ("ExtensionBlockCount", ctypes.c_int),
+        ("ExtensionBlocks", ctypes.c_void_p),
+        ("Error", ctypes.c_int),
+        ("UserData", ctypes.c_void_p),
+        ("Private", ctypes.c_void_p),
+    ]
+
+
+_GIF_INPUT_FUNC = ctypes.CFUNCTYPE(
+    ctypes.c_int, ctypes.c_void_p,
+    ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+)
+
+
+def decode_gif_native(data: bytes | None) -> np.ndarray | None:
+    if not data or len(data) < 13 or data[:6] not in (
+        b"GIF87a", b"GIF89a"
+    ):
+        return None
+    lg = _lib("libgif.so.7")
+    if lg is None:
+        return None
+    lg.DGifOpen.restype = ctypes.POINTER(_GifFileType)
+    lg.DGifSlurp.restype = ctypes.c_int
+    lg.DGifCloseFile.restype = ctypes.c_int
+
+    pos = [0]
+
+    def _read(_gif, buf, count):
+        chunk = data[pos[0] : pos[0] + count]
+        pos[0] += len(chunk)
+        if chunk:
+            ctypes.memmove(buf, chunk, len(chunk))
+        return len(chunk)
+
+    cb = _GIF_INPUT_FUNC(_read)
+    err = ctypes.c_int(0)
+    gp = lg.DGifOpen(None, cb, ctypes.byref(err))
+    if not gp:
+        return None
+    try:
+        if lg.DGifSlurp(gp) != 1:
+            return None
+        g = gp.contents
+        if g.ImageCount < 1 or not g.SavedImages:
+            return None
+        first = g.SavedImages[0]
+        desc = first.ImageDesc
+        w, h = desc.Width, desc.Height
+        if (
+            w <= 0 or h <= 0 or w * h > _MAX_PIXELS
+            or not first.RasterBits
+        ):
+            return None
+        if desc.Left != 0 or desc.Top != 0 or (
+            (w, h) != (g.SWidth, g.SHeight)
+        ):
+            # partial-canvas first frame: compositing semantics live
+            # in the pure decoder — decline rather than diverge
+            return None
+        cmap = desc.ColorMap if desc.ColorMap else g.SColorMap
+        if not cmap:
+            return None
+        cm = cmap.contents
+        ncol = cm.ColorCount
+        if ncol <= 0 or ncol > 256 or not cm.Colors:
+            return None
+        pal = np.ctypeslib.as_array(
+            ctypes.cast(cm.Colors, ctypes.POINTER(ctypes.c_ubyte)),
+            shape=(ncol * 3,),
+        ).reshape(ncol, 3).copy()
+        # DGifSlurp deinterlaces into row order itself (giflib 5.x
+        # dgif_lib.c writes each interlace pass at its target rows)
+        idx = np.ctypeslib.as_array(
+            first.RasterBits, shape=(h * w,)
+        ).reshape(h, w).copy()
+    finally:
+        lg.DGifCloseFile(gp, ctypes.byref(err))
+    if int(idx.max(initial=0)) >= ncol:
+        return None
+    return pal[idx]
+
+
+# --------------------------------------------------------------- ladder
+
+
+def native_image_ladder() -> tuple:
+    """(decoder-column value, fn, coverage) rows for the codecs whose
+    libraries are actually loadable here — probed once per worker.
+    Order mirrors the pure ladder; each fn sniffs magic bytes first,
+    so a miss costs a few comparisons."""
+    with _LOCK:
+        if "ladder" in _CACHE:
+            return _CACHE["ladder"]
+    rows = []
+    if _lib("libpng16.so.16") is not None:
+        rows.append((
+            "png-native", decode_png_native,
+            "PNG via system libpng16 (simplified API, RGBA read, "
+            "alpha dropped)",
+        ))
+    if _lib("libgif.so.7") is not None:
+        rows.append((
+            "gif-native", decode_gif_native,
+            "GIF first frame via system giflib 5 (full-canvas frames; "
+            "offset frames decline to the pure tier)",
+        ))
+    if _jpeg_shim() is not None:
+        rows.append((
+            "jpeg-native", decode_jpeg_native,
+            "JPEG via system libjpeg through the setjmp-safe C shim "
+            "(baseline + progressive + arithmetic)",
+        ))
+    if _lib("libwebp.so.7") is not None:
+        rows.append((
+            "webp-native", decode_webp_native,
+            "WebP lossless + lossy via system libwebp",
+        ))
+    if _lib("libtiff.so.6") is not None:
+        rows.append((
+            "tiff-native", decode_tiff_native,
+            "TIFF via system libtiff RGBA reader (strict stopOnError)",
+        ))
+    ladder = tuple(rows)
+    with _LOCK:
+        _CACHE["ladder"] = ladder
+    return ladder

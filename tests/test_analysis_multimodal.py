@@ -525,7 +525,8 @@ def test_decode_image_features_real_png(spark):
     )
     out = (
         decode_image_features(
-            spark.createDataFrame(rows, MEDIA_SCHEMA), feature_dim=16
+            spark.createDataFrame(rows, MEDIA_SCHEMA), feature_dim=16,
+            decoder="pure",
         )
         .toPandas()
         .set_index("media_id")
@@ -1127,7 +1128,8 @@ def test_decoder_report_counts_stub_rows(spark):
         }
     )
     dec = decode_image_features(
-        spark.createDataFrame(rows, MEDIA_SCHEMA), feature_dim=8
+        spark.createDataFrame(rows, MEDIA_SCHEMA), feature_dim=8,
+        decoder="pure",
     )
     rep = {
         (r["mime"], r["decoder"]): (r["n"], r["frac_of_mime"])
@@ -1317,7 +1319,9 @@ def test_decode_image_features_gif_lane(spark):
         [(i, p) for i, p in enumerate(payloads)],
         "media_id long, payload binary",
     )
-    out = decode_image_features(df, feature_dim=16).toPandas()
+    out = decode_image_features(
+        df, feature_dim=16, decoder="pure"
+    ).toPandas()
     decs = dict(zip(out.media_id, out.decoder))
     assert all(decs[i] == "gif" for i in range(4))
     assert decs[4] == "stub-sha256"
@@ -1728,7 +1732,8 @@ def test_decode_image_features_real_jpeg(spark):
         }
     )
     dec = decode_image_features(
-        spark.createDataFrame(rows, MEDIA_SCHEMA), feature_dim=8
+        spark.createDataFrame(rows, MEDIA_SCHEMA), feature_dim=8,
+        decoder="pure",
     )
     got = {r["media_id"]: r for r in dec.collect()}
     assert got[1]["decoder"] == "jpeg"

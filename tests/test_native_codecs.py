@@ -1,0 +1,293 @@
+"""Native ctypes codec tier (`pipeline/native_codecs.py`).
+
+Strategy: the PURE decoders (themselves differentially tested against
+independent encoder twins and system libwebp) are the oracle for the
+native tier. Lossless formats must match bit-exactly; JPEG and lossy
+WebP are allowed the spec's IDCT/upsampler tolerance. Totality fuzz
+mirrors the pure decoders' sweeps: no exception may escape on any
+mutation or truncation.
+
+Every test is skipped wholesale if the corresponding library (or gcc
+for the JPEG shim) is missing — the tier is optional by design.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from opencosmo_spark.pipeline import native_codecs as nc
+from opencosmo_spark.pipeline.multimodal import (
+    _decode_gif,
+    _decode_jpeg,
+    _decode_png,
+    _decode_tiff,
+    _image_ladder,
+)
+
+from test_analysis_multimodal import (
+    _make_gif,
+    _make_jpeg,
+    _make_png,
+    _make_png_adam7,
+)
+from test_tiff import _img, make_tiff
+
+
+def _png_rgb(px):
+    return _make_png(px, 2, [0, 1, 2, 3, 4])
+
+_LADDER_NAMES = {r[0] for r in nc.native_image_ladder()}
+
+
+def _needs(name):
+    return pytest.mark.skipif(
+        f"{name}-native" not in _LADDER_NAMES,
+        reason=f"native {name} codec unavailable",
+    )
+
+
+# ------------------------------------------------------------ PNG
+
+
+@_needs("png")
+def test_png_native_bit_exact_rgb_and_palette():
+    rng = np.random.default_rng(5)
+    for mode in ("rgb", "gray", "palette"):
+        if mode == "rgb":
+            px = rng.integers(0, 256, (21, 13, 3)).astype(np.uint8)
+            data = _png_rgb(px)
+        elif mode == "gray":
+            px = rng.integers(0, 256, (9, 17, 1)).astype(np.uint8)
+            data = _make_png(px, 0, [0, 2])
+        else:
+            pal = rng.integers(0, 256, (7, 3)).astype(np.uint8)
+            idx = rng.integers(0, 7, (11, 6, 1)).astype(np.uint8)
+            data = _make_png(idx, 3, [0, 1], palette=pal)
+        nat = nc.decode_png_native(data)
+        pure = _decode_png(data)
+        assert nat is not None and pure is not None, mode
+        np.testing.assert_array_equal(nat, pure, err_msg=mode)
+
+
+@_needs("png")
+def test_png_native_interlaced_bit_exact():
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 256, (15, 11, 3)).astype(np.uint8)
+    data = _make_png_adam7(px, 2, [0, 1, 2])
+    nat = nc.decode_png_native(data)
+    np.testing.assert_array_equal(nat, _decode_png(data))
+
+
+# ------------------------------------------------------------ GIF
+
+
+@_needs("gif")
+def test_gif_native_bit_exact_incl_interlace():
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    for interlace in (False, True):
+        idx = rng.integers(0, 16, (17, 23)).astype(np.uint8)
+        data = _make_gif(idx, pal, interlace=interlace)
+        nat = nc.decode_gif_native(data)
+        pure = _decode_gif(data)
+        assert nat is not None and pure is not None
+        np.testing.assert_array_equal(nat, pure)
+
+
+# ----------------------------------------------------------- JPEG
+
+
+@_needs("jpeg")
+def test_jpeg_native_within_idct_tolerance():
+    """JPEG decode is not bit-specified (T.81 allows IDCT tolerance):
+    libjpeg's fixed-point islow IDCT may differ from the pure
+    decoder's exact float IDCT by a few counts per sample. Assert the
+    agreed bound — tight enough to catch any structural bug (wrong
+    plane, wrong upsample, wrong color matrix land >50 off)."""
+    rng = np.random.default_rng(8)
+    for subsample in (False, True):
+        img = rng.integers(0, 256, (24, 33, 3)).astype(np.uint8)
+        data, expect = _make_jpeg(img, subsample=subsample)
+        nat = nc.decode_jpeg_native(data)
+        pure = _decode_jpeg(data)
+        assert nat is not None and pure is not None
+        assert nat.shape == pure.shape == expect.shape
+        d = np.abs(nat.astype(int) - pure.astype(int))
+        assert d.max() <= 32 and d.mean() < 1.0, (
+            subsample, d.max(), d.mean(),
+        )
+
+
+@_needs("jpeg")
+def test_jpeg_native_gray():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    data, _expect = _make_jpeg(img, gray=True)
+    nat = nc.decode_jpeg_native(data)
+    pure = _decode_jpeg(data)
+    assert nat is not None and pure is not None
+    d = np.abs(nat.astype(int) - pure.astype(int))
+    assert d.max() <= 32 and d.mean() < 1.0
+
+
+# ----------------------------------------------------------- TIFF
+
+
+@_needs("tiff")
+def test_tiff_native_bit_exact_across_variants():
+    rng = np.random.default_rng(10)
+    rgb = _img(16, 20, 3, 3)
+    gray = rng.integers(0, 256, (12, 9)).astype(np.uint8)
+    cases = [
+        make_tiff(rgb),
+        make_tiff(rgb, comp=32773),
+        make_tiff(rgb, comp=5),
+        make_tiff(gray),
+        make_tiff(rgb, bo=">"),
+    ]
+    for i, data in enumerate(cases):
+        nat = nc.decode_tiff_native(data)
+        pure = _decode_tiff(data)
+        assert nat is not None and pure is not None, i
+        np.testing.assert_array_equal(nat, pure, err_msg=str(i))
+
+
+# ----------------------------------------------------------- WebP
+
+
+@_needs("webp")
+def test_webp_native_lossless_bit_exact():
+    import ctypes
+
+    lw = ctypes.CDLL("libwebp.so.7")
+    lw.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (20, 30, 3)).astype(np.uint8)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lw.WebPEncodeLosslessRGB(
+        np.ascontiguousarray(img).tobytes(), 30, 20, 90,
+        ctypes.byref(out),
+    )
+    assert n > 0
+    data = ctypes.string_at(out, n)
+    lw.WebPFree(out)
+    nat = nc.decode_webp_native(data)
+    assert nat is not None
+    np.testing.assert_array_equal(nat, img)
+
+
+@_needs("webp")
+def test_webp_native_lossy_decodes():
+    import ctypes
+
+    lw = ctypes.CDLL("libwebp.so.7")
+    lw.WebPEncodeRGB.restype = ctypes.c_size_t
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lw.WebPEncodeRGB(
+        np.ascontiguousarray(img).tobytes(), 48, 32, 48 * 3,
+        ctypes.c_float(75.0), ctypes.byref(out),
+    )
+    assert n > 0
+    data = ctypes.string_at(out, n)
+    lw.WebPFree(out)
+    nat = nc.decode_webp_native(data)
+    assert nat is not None and nat.shape == (32, 48, 3)
+
+
+# ------------------------------------------------------- totality
+
+
+def test_native_totality_mutation_sweep():
+    """No native decoder may raise (or abort the process!) on any
+    mutated or truncated payload — the same sweep the pure decoders
+    get. This is THE test that the libjpeg setjmp shim and the
+    error-code paths of the other bindings actually hold."""
+    rng = np.random.default_rng(13)
+    rgb = _img(12, 14, 3, 4)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (12, 14)).astype(np.uint8)
+    seeds = [
+        make_tiff(rgb),
+        _png_rgb(rgb),
+        _make_gif(idx, pal),
+        _make_jpeg(rgb)[0],
+    ]
+    fns = [
+        nc.decode_tiff_native, nc.decode_png_native,
+        nc.decode_gif_native, nc.decode_jpeg_native,
+        nc.decode_webp_native,
+    ]
+    for data in seeds:
+        for trial in range(40):
+            mut = bytearray(data)
+            for _ in range(int(rng.integers(1, 6))):
+                mut[int(rng.integers(0, len(mut)))] = int(
+                    rng.integers(0, 256)
+                )
+            for fn in fns:
+                fn(bytes(mut))  # must not raise
+        for cut in range(0, len(data), max(1, len(data) // 24)):
+            for fn in fns:
+                fn(data[:cut])
+    for fn in fns:
+        assert fn(b"") is None and fn(None) is None
+
+
+# --------------------------------------------------------- ladder
+
+
+def test_image_ladder_modes():
+    pure = _image_ladder("pure")
+    auto = _image_ladder("auto")
+    native = _image_ladder("native")
+    assert pure and all(not n.endswith("-native") for n, _, _ in pure)
+    assert all(n.endswith("-native") for n, _, _ in native)
+    assert auto == native + pure
+    with pytest.raises(ValueError):
+        _image_ladder("fastest")
+
+
+@pytest.mark.skipif(
+    not _LADDER_NAMES, reason="no native codecs in this environment"
+)
+def test_auto_mode_prefers_native_in_spark(spark):
+    """End-to-end: decoder_report shows native rows under the default
+    auto mode, pure pins stay pure, and features agree between tiers
+    on a lossless format."""
+    from opencosmo_spark.pipeline.multimodal import (
+        decode_image_features,
+        decoder_report,
+    )
+
+    rgb = _img(16, 20, 3, 3)
+    rows = [
+        ("a", make_tiff(rgb), "image/tiff"),
+        ("b", _png_rgb(rgb), "image/png"),
+        ("c", b"not an image at all", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, payload binary, mime string"
+    )
+    out_auto = decode_image_features(df, feature_dim=16).toPandas()
+    out_pure = decode_image_features(
+        df, feature_dim=16, decoder="pure"
+    ).toPandas()
+    auto = out_auto.set_index("media_id")
+    pure = out_pure.set_index("media_id")
+    if "tiff-native" in _LADDER_NAMES:
+        assert auto.loc["a"].decoder == "tiff-native"
+    if "png-native" in _LADDER_NAMES:
+        assert auto.loc["b"].decoder == "png-native"
+    assert pure.loc["a"].decoder == "tiff"
+    assert pure.loc["b"].decoder == "png"
+    assert auto.loc["c"].decoder == "stub-sha256"
+    for key in ("a", "b"):  # lossless: identical pixels -> features
+        np.testing.assert_allclose(
+            auto.loc[key].features, pure.loc[key].features, atol=1e-6
+        )
+    rep = decoder_report(
+        decode_image_features(df, feature_dim=8)
+    ).toPandas()
+    assert any(rep.decoder.str.endswith("-native"))

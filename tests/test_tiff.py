@@ -285,7 +285,7 @@ def test_ladder_integration(spark):
     df = spark.createDataFrame(
         [("t", data)], "id string, payload binary"
     )
-    row = decode_image_features(df).toPandas().iloc[0]
+    row = decode_image_features(df, decoder="pure").toPandas().iloc[0]
     assert row.decoder == "tiff"
     meta = image_metadata(df).toPandas().iloc[0]
     assert (meta.img_format, meta.img_width, meta.img_height) == (
@@ -330,9 +330,11 @@ def test_16bit_palette_declines():
     assert _decode_tiff(data) is None
 
 
-def test_ladder_swallows_decoder_exception(spark, monkeypatch):
+def test_ladder_swallows_decoder_exception(monkeypatch):
     """One corrupt payload must never crash the task: the ladder
-    wraps each decoder call and falls through on any exception."""
+    helper wraps each decoder call and falls through on any
+    exception (driver-side test; the Spark paths call the same
+    ``_decode_via_ladder``)."""
     import opencosmo_spark.pipeline.multimodal as mm
 
     def boom(_p):
@@ -343,9 +345,10 @@ def test_ladder_swallows_decoder_exception(spark, monkeypatch):
         for entry in mm._IMAGE_LADDER
     )
     monkeypatch.setattr(mm, "_IMAGE_LADDER", patched)
-    df = spark.createDataFrame(
-        [("t", make_tiff(_img(4, 4, 3, 5)))],
-        "id string, payload binary",
-    )
-    row = mm.decode_image_features(df).toPandas().iloc[0]
-    assert row.decoder == "stub-sha256"  # fell past the broken tier
+    data = make_tiff(_img(4, 4, 3, 5))
+    arr, name = mm._decode_via_ladder(data, "pure")
+    assert arr is None and name is None  # fell past the broken tier
+    # and with the real ladder the same payload decodes fine
+    monkeypatch.undo()
+    arr, name = mm._decode_via_ladder(data, "pure")
+    assert name == "tiff" and arr is not None

@@ -188,7 +188,9 @@ def test_vp8_through_container_and_ladder(spark):
         [("a", data), ("b", b"RIFF\x10\x00\x00\x00WEBPVP8 junk")],
         "media_id string, payload binary",
     )
-    out = decode_image_features(df).toPandas().set_index("media_id")
+    out = decode_image_features(
+        df, decoder="pure"
+    ).toPandas().set_index("media_id")
     assert out.loc["a"].decoder == "webp"
     assert out.loc["b"].decoder == "stub-sha256"
 
