@@ -44,6 +44,7 @@ if TYPE_CHECKING:
     from pyspark.sql import SparkSession
 
 LINK_PREFIX = "__link_"
+CELL_COL = "__cell_id"  # = spatial.bound.CELL_COL (io stays import-light)
 
 
 def _require_h5py():
@@ -305,6 +306,44 @@ def _jsonable(d):
 # ---------------------------------------------------------------------
 # export: Spark-native layout -> reference on-disk format
 # ---------------------------------------------------------------------
+def octree_index_ranges(
+    cells: np.ndarray, level: int, dims: int = 3
+) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    """Rebuild the SPEC spatial-index tree (SPEC.md "index": per-level
+    ``start``/``size`` over z-order cells) from a per-row cell-id
+    column sorted ascending — the inverse of the cell-id-column model
+    this engine uses in place of the reference's row-range tree.
+
+    ``cells`` are Morton ids at ``level`` (``octree.morton_cell_column``
+    — the same z-order family SPEC.md:56-60 prescribes). Level ``l``'s
+    cell of a row is its level-``level`` id right-shifted by
+    ``dims * (level - l)``, so coarser levels are prefix aggregations:
+    one bincount + cumsum per level, no python loop over rows.
+
+    Returns {lvl: (starts, sizes)} for lvl in 0..level, sizes summing
+    to len(cells) at every level.
+    """
+    cells = np.asarray(cells, dtype=np.int64)
+    if np.any(cells < 0) or (
+        len(cells) and int(cells.max()) >= 1 << (dims * level)
+    ):
+        raise ValueError(f"cell ids out of range for level {level}")
+    if np.any(np.diff(cells) < 0):
+        raise ValueError("rows must be sorted by cell id (export sorts)")
+    out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for lvl in range(level + 1):
+        shift = dims * (level - lvl)
+        ncell = 1 << (dims * lvl)
+        sizes = np.bincount(cells >> shift, minlength=ncell).astype(
+            np.int64
+        )
+        starts = np.concatenate(
+            [[0], np.cumsum(sizes)[:-1]]
+        ).astype(np.int64)
+        out[lvl] = (starts, sizes)
+    return out
+
+
 def ranges_from_link_keys(
     child_keys: np.ndarray,
     n_source: int,
@@ -359,6 +398,16 @@ def dataset_to_hdf5(
     1:1 ``__link_<name>`` columns on the source itself export as
     ``<name>_idx`` (null -> -1 sentinel, SPEC.md:81-83).
 
+    When the dataset carries the ingest-time ``__cell_id`` column and
+    its header records ``tree_level``, the SPEC spatial ``index``
+    group is rebuilt too (``octree_index_ranges``): rows are sorted by
+    cell id (restoring the tree's contiguity contract) and every level
+    0..tree_level gets its ``start``/``size`` datasets, so reference
+    tooling can spatially query the exported file. Internal columns
+    (``__row_id``, ``__cell_id``, ``__link_*``) never appear in
+    ``data`` — they are this engine's representation of what the SPEC
+    stores positionally.
+
     Driver-side like all HDF5 touchpoints (the format is not
     splittable); at scale export one file per partition-range the same
     way ingest parallelizes per-file.
@@ -369,8 +418,19 @@ def dataset_to_hdf5(
     if os.path.exists(h5_path) and not overwrite:
         raise FileExistsError(f"{h5_path} exists (pass overwrite=True)")
 
-    def _column_arrays(d):
+    def _column_arrays(d, sort_cell=False):
+        """(columns, orig_positions): orig_positions is the pre-sort
+        row position of each output row (None when no sort applied) —
+        the id space positional link keys were minted in."""
         pdf = d.df.toPandas()
+        orig_pos = None
+        if sort_cell and CELL_COL in pdf.columns:
+            # SPEC index/tree contiguity: region rows must be adjacent
+            order = np.argsort(
+                pdf[CELL_COL].to_numpy(), kind="stable"
+            )
+            pdf = pdf.iloc[order].reset_index(drop=True)
+            orig_pos = order.astype(np.int64)
         out = {}
         for c in pdf.columns:
             v = pdf[c]
@@ -378,14 +438,16 @@ def dataset_to_hdf5(
                 out[c] = np.stack([np.asarray(x) for x in v])
             else:
                 out[c] = v.to_numpy()
-        return out
+        return out, orig_pos
 
     def _write_data_group(root, d, cols):
         data = root.create_group("data")
         units = getattr(d, "_units", {}) or {}
         descs = getattr(d, "_descriptions", {}) or {}
         for name, arr in cols.items():
-            if name.startswith(LINK_PREFIX):
+            if name.startswith("__"):
+                # engine-internal (__row_id / __cell_id / __link_*):
+                # the SPEC stores these positionally, not as columns
                 continue
             if arr.dtype == object:
                 arr = arr.astype("S")
@@ -396,11 +458,28 @@ def dataset_to_hdf5(
             if name in descs:
                 dset.attrs["description"] = str(descs[name])
 
+    def _write_index_group(root, d, cols):
+        hdr_ = getattr(d, "_header", None)
+        lvl = int(((getattr(hdr_, "extra", None) or {})).get(
+            "tree_level", 0
+        )) if hdr_ is not None else 0
+        if not lvl or CELL_COL not in cols:
+            return
+        igrp = root.create_group("index")
+        igrp.attrs["index_type"] = "octtree"
+        for l, (starts, sizes) in octree_index_ranges(
+            cols[CELL_COL], lvl
+        ).items():
+            g = igrp.create_group(f"level_{l}")
+            g.create_dataset("start", data=starts)
+            g.create_dataset("size", data=sizes)
+
     with h5py.File(h5_path, "w") as f:
         root = f.create_group(group) if group else f
-        src_cols = _column_arrays(ds)
+        src_cols, src_orig_pos = _column_arrays(ds, sort_cell=True)
         n_src = len(next(iter(src_cols.values()))) if src_cols else 0
         _write_data_group(root, ds, src_cols)
+        _write_index_group(root, ds, src_cols)
 
         linked = None
         # 1:1 idx links carried on the source
@@ -414,7 +493,10 @@ def dataset_to_hdf5(
             linked = linked or root.create_group("data_linked")
             linked.create_dataset(lname + "_idx", data=idx)
 
-        # 1:N links rebuilt from each child's key column
+        # 1:N links rebuilt from each child's key column. Positional
+        # key values were minted against the source order AS GIVEN, so
+        # if the cell sort permuted the source, the permutation is the
+        # id lookup (ranges_from_link_keys source_ids).
         for lname, child in (children or {}).items():
             key = LINK_PREFIX + lname
             cdf = child.df.orderBy(key) if key in child.df.columns else child.df
@@ -424,10 +506,12 @@ def dataset_to_hdf5(
                 units=getattr(child, "_units", None),
                 descriptions=getattr(child, "_descriptions", None),
             )
-            ccols = _column_arrays(csorted)
+            ccols, _ = _column_arrays(csorted)
             if key not in ccols:
                 raise ValueError(f"child {lname!r} lacks {key} column")
-            starts, sizes = ranges_from_link_keys(ccols[key], n_src)
+            starts, sizes = ranges_from_link_keys(
+                ccols[key], n_src, source_ids=src_orig_pos
+            )
             linked = linked or root.create_group("data_linked")
             linked.create_dataset(lname + "_start", data=starts)
             linked.create_dataset(lname + "_size", data=sizes)
@@ -448,3 +532,145 @@ def dataset_to_hdf5(
                 v = getattr(hdr, attr, None)
                 if v is not None:
                     hgrp.attrs[attr] = v
+
+
+def structure_collection_to_hdf5(
+    collection, h5_path: str, overwrite: bool = False
+) -> None:
+    """Export a ``StructureCollection`` as a SPEC multi-dataset file
+    (SPEC.md "Multiple OpenCosmo Datasets in a File"): one group per
+    member (``/<source>/{data,data_linked,index}``, ``/<child>/data``)
+    plus the shared root ``/header`` — the layout the reference itself
+    writes for halo_properties + halo_particles files, so a collection
+    processed here round-trips into the reference toolchain.
+
+    Links are re-expressed positionally from the collection's
+    LinkSpecs: for a 1:N link the child is written sorted by its
+    ``child_key`` and the source group gets ``<name>_start``/
+    ``<name>_size`` computed over the source's ``source_key`` values;
+    for a 1:1 link the source group gets ``<name>_idx`` holding the
+    child ROW position (or -1), matching SPEC.md:81-83.
+    """
+    h5py = _require_h5py()
+
+    if os.path.exists(h5_path) and not overwrite:
+        raise FileExistsError(f"{h5_path} exists (pass overwrite=True)")
+
+    members = collection.members()
+    src_name = collection.source_name
+    source = members[src_name]
+    links = collection.links
+
+    def _pdf_arrays(pdf):
+        out = {}
+        for c in pdf.columns:
+            v = pdf[c]
+            if len(v) and isinstance(v.iloc[0], (list, np.ndarray)):
+                out[c] = np.stack([np.asarray(x) for x in v])
+            else:
+                out[c] = v.to_numpy()
+        return out
+
+    def _write_data(root, d, cols):
+        data = root.create_group("data")
+        units = getattr(d, "_units", {}) or {}
+        descs = getattr(d, "_descriptions", {}) or {}
+        for name, arr in cols.items():
+            if name.startswith("__"):
+                continue
+            if arr.dtype == object:
+                arr = arr.astype("S")
+            dset = data.create_dataset(name, data=arr)
+            u = units.get(name)
+            if u is not None and str(u) not in ("", "None"):
+                dset.attrs["unit"] = str(u)
+            if name in descs:
+                dset.attrs["description"] = str(descs[name])
+
+    src_pdf = source.df.toPandas()
+    if CELL_COL in src_pdf.columns:
+        order = np.argsort(src_pdf[CELL_COL].to_numpy(), kind="stable")
+        src_pdf = src_pdf.iloc[order].reset_index(drop=True)
+    src_cols = _pdf_arrays(src_pdf)
+
+    with h5py.File(h5_path, "w") as f:
+        sgrp = f.create_group(src_name)
+        _write_data(sgrp, source, src_cols)
+        hdr = getattr(source, "_header", None)
+        lvl = int(((getattr(hdr, "extra", None) or {})).get(
+            "tree_level", 0
+        )) if hdr is not None else 0
+        if lvl and CELL_COL in src_cols:
+            igrp = sgrp.create_group("index")
+            igrp.attrs["index_type"] = "octtree"
+            for l, (st, sz) in octree_index_ranges(
+                src_cols[CELL_COL], lvl
+            ).items():
+                g = igrp.create_group(f"level_{l}")
+                g.create_dataset("start", data=st)
+                g.create_dataset("size", data=sz)
+
+        linked = None
+        for lname, spec in links.items():
+            child = members.get(lname)
+            if child is None:
+                continue
+            cpdf = child.df.toPandas()
+            ckeys = cpdf[spec.child_key].to_numpy()
+            skeys = src_pdf[spec.source_key].to_numpy()
+            if spec.kind == "1:N":
+                # child grouped by key; source rows address their span
+                corder = np.argsort(ckeys, kind="stable")
+                cpdf = cpdf.iloc[corder].reset_index(drop=True)
+                sorted_keys = np.asarray(ckeys, np.int64)[corder]
+                starts = np.searchsorted(
+                    sorted_keys, skeys, side="left"
+                ).astype(np.int64)
+                ends = np.searchsorted(
+                    sorted_keys, skeys, side="right"
+                ).astype(np.int64)
+                linked = linked or sgrp.create_group("data_linked")
+                linked.create_dataset(lname + "_start", data=starts)
+                linked.create_dataset(lname + "_size", data=ends - starts)
+            else:  # 1:1 — child row position per source row, -1 gap
+                corder = np.arange(len(cpdf))
+                pos_by_key = {
+                    int(k): int(i) for i, k in enumerate(ckeys)
+                }
+                idx = np.array(
+                    [pos_by_key.get(int(k), -1) for k in skeys],
+                    dtype=np.int64,
+                )
+                linked = linked or sgrp.create_group("data_linked")
+                linked.create_dataset(lname + "_idx", data=idx)
+            cgrp = f.create_group(lname)
+            _write_data(cgrp, child, _pdf_arrays(cpdf))
+
+        if hdr is not None:
+            hgrp = f.create_group("header")
+            cos = hgrp.create_group("cosmology")
+            c = getattr(hdr, "cosmology", None)
+            if c is not None:
+                for attr in ("H0", "Om0", "Ode0", "w0", "wa"):
+                    v = getattr(c, attr, None)
+                    if v is not None:
+                        cos.attrs[attr] = float(v)
+            for attr in ("redshift", "box_size"):
+                v = getattr(hdr, attr, None)
+                if v is not None:
+                    hgrp.attrs[attr] = v
+
+
+def write_hdf5(ds, h5_path: str, overwrite: bool = False, **kw) -> None:
+    """One entry point for HDF5 export (the ``oc.write`` twin for the
+    reference's on-disk format): dispatches on the input —
+    ``StructureCollection`` -> multi-dataset SPEC file
+    (``structure_collection_to_hdf5``), ``Dataset`` ->
+    single-dataset SPEC file (``dataset_to_hdf5``; pass ``children=``
+    for ad-hoc 1:N companions)."""
+    from ..collection.structure import StructureCollection
+
+    if isinstance(ds, StructureCollection):
+        structure_collection_to_hdf5(ds, h5_path, overwrite=overwrite)
+    else:
+        dataset_to_hdf5(ds, h5_path, overwrite=overwrite, **kw)

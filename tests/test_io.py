@@ -292,3 +292,130 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 10000
     assert set(back.columns) == {"id", "cell"}
+
+
+def test_octree_index_ranges_numpy():
+    """Ungated: SPEC index-tree rebuild from a sorted cell column —
+    every level's (start, size) addresses exactly the rows whose
+    level-L morton id has that level-l prefix."""
+    import numpy as np
+
+    from opencosmo_spark.io.hdf5 import octree_index_ranges
+
+    rng = np.random.default_rng(41)
+    cells = np.sort(rng.integers(0, 8**2, 75))
+    out = octree_index_ranges(cells, 2)
+    assert set(out) == {0, 1, 2}
+    s0, z0 = out[0]
+    assert z0.tolist() == [75] and s0.tolist() == [0]
+    for lvl, shift in ((1, 3), (2, 0)):
+        st, sz = out[lvl]
+        assert len(sz) == 8**lvl and sz.sum() == 75
+        for c in range(len(sz)):
+            seg = cells[st[c] : st[c] + sz[c]]
+            assert ((seg >> shift) == c).all()
+    # unsorted input / out-of-range ids are loud errors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        octree_index_ranges(np.array([3, 1]), 2)
+    with _pytest.raises(ValueError):
+        octree_index_ranges(np.array([0, 8**2]), 2)
+
+
+def test_hdf5_export_index_group_gated(spark, tmp_path):
+    """Export with a materialized __cell_id rebuilds the SPEC index
+    tree (index_type attr, per-level start/size, rows cell-sorted) and
+    keeps internal columns out of /data."""
+    pytest.importorskip("h5py")
+    import h5py
+    import numpy as np
+
+    from opencosmo_spark.dataset import Dataset
+    from opencosmo_spark.header import OpenCosmoHeader
+    from opencosmo_spark.io.hdf5 import write_hdf5
+
+    rng = np.random.default_rng(42)
+    cells = rng.integers(0, 8, 40).tolist()  # level-1 ids
+    ds = Dataset(
+        spark.createDataFrame(
+            [(i, float(i), c) for i, c in enumerate(cells)],
+            ["tag", "mass", "__cell_id"],
+        ),
+        header=OpenCosmoHeader(box_size=64.0, extra={"tree_level": 1}),
+    )
+    out = tmp_path / "indexed.h5"
+    write_hdf5(ds, str(out))
+    with h5py.File(out, "r") as f:
+        assert f["index"].attrs["index_type"] == "octtree"
+        assert set(f["data"].keys()) == {"tag", "mass"}  # no __cols
+        st = f["index/level_1/start"][()]
+        sz = f["index/level_1/size"][()]
+        tags = f["data/tag"][()]
+    assert sz.sum() == 40
+    want = np.sort(np.asarray(cells))
+    got_cells = np.repeat(np.arange(8), sz)
+    np.testing.assert_array_equal(got_cells, want)
+    # the rows really are cell-sorted: tag i has cell cells[i]
+    cell_of_tag = {i: c for i, c in enumerate(cells)}
+    resorted = [cell_of_tag[t] for t in tags]
+    assert resorted == sorted(resorted)
+
+
+def test_structure_collection_hdf5_export_gated(spark, tmp_path):
+    """StructureCollection -> SPEC multi-dataset file: member groups,
+    shared header, 1:N start/size over the source_key order."""
+    pytest.importorskip("h5py")
+    import h5py
+
+    import opencosmo_spark as oc
+    from opencosmo_spark.collection.structure import (
+        LinkSpec,
+        StructureCollection,
+    )
+    from opencosmo_spark.dataset import Dataset
+    from opencosmo_spark.header import Cosmology, OpenCosmoHeader
+    from opencosmo_spark.io.hdf5 import write_hdf5
+
+    halos = Dataset(
+        spark.createDataFrame(
+            [(10, 1.0), (20, 2.0), (30, 3.0)], ["halo_tag", "mass"]
+        ),
+        header=OpenCosmoHeader(
+            cosmology=Cosmology(H0=70.0), redshift=1.0, box_size=32.0
+        ),
+    )
+    parts = Dataset(
+        spark.createDataFrame(
+            [(30, 0.1), (10, 0.2), (30, 0.3), (10, 0.4)],
+            ["halo_tag", "x"],
+        )
+    )
+    col = StructureCollection(
+        halos,
+        "halo_properties",
+        {"halo_particles": parts},
+        {
+            "halo_particles": LinkSpec(
+                kind="1:N", source_key="halo_tag", child_key="halo_tag"
+            )
+        },
+    )
+    out = tmp_path / "structure.h5"
+    write_hdf5(col, str(out))
+    with h5py.File(out, "r") as f:
+        assert set(f.keys()) == {
+            "halo_properties", "halo_particles", "header",
+        }
+        tags = f["halo_properties/data/halo_tag"][()]
+        st = f["halo_properties/data_linked/halo_particles_start"][()]
+        sz = f["halo_properties/data_linked/halo_particles_size"][()]
+        cx = f["halo_particles/data/x"][()]
+        assert f["header/cosmology"].attrs["H0"] == 70.0
+        assert f["header"].attrs["box_size"] == 32.0
+    by_tag = dict(zip(tags.tolist(), zip(st.tolist(), sz.tolist())))
+    assert by_tag[20] == (by_tag[20][0], 0)
+    s, z = by_tag[10]
+    assert sorted(cx[s : s + z].tolist()) == [0.2, 0.4]
+    s, z = by_tag[30]
+    assert sorted(cx[s : s + z].tolist()) == [0.1, 0.3]
