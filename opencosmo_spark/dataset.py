@@ -43,6 +43,11 @@ from .units import (
 HIDDEN_PREFIX = "__"
 ROW_ID = "__row_id"
 
+# positional take: ranges whose upper bound fits comfortably through
+# TakeOrderedAndProject + one window task use the head path; anything
+# larger switches to the distributed bucket rank (_ranked_distributed)
+_POSITIONAL_HEAD_MAX = 4_000_000
+
 
 def _is_literal_array(v) -> bool:
     """True for driver-side value arrays (numpy array, list/tuple of
@@ -490,14 +495,99 @@ class Dataset:
             raise ValueError(f"take at={at!r} (want start|end|random)")
         return self._clone(out)
 
+    def _ranked_distributed(self) -> "DataFrame | None":
+        """Global 0-based positions WITHOUT a single-partition window:
+        quantile boundaries on the leading (numeric, ascending) order
+        key split rows into value buckets; one count-per-bucket job
+        gives cumulative offsets (driver holds B integers), then
+        position = bucket offset + per-bucket row_number. Both jobs
+        compute the bucket from ROW VALUES (literal boundaries), so
+        the rank is deterministic across jobs — no reliance on
+        partition-id stability, no AQE hazard, no cache.
+
+        Returns a df with ``__rn`` (0-based global position) or None
+        when the order shape doesn't qualify (non-numeric or
+        descending leading key) — callers fall back to the bounded
+        head+window path.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import types as T
+
+        keys = self._sort_keys
+        if not keys and ROW_ID in self._df.columns:
+            keys = ((ROW_ID, True),)
+        if not keys or not keys[0][1]:
+            return None
+        lead = keys[0][0]
+        if not isinstance(
+            self._df.schema[lead].dataType,
+            (T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+             T.FloatType, T.DoubleType, T.DecimalType),
+        ):
+            return None
+        df = self._df
+        n_buckets = min(
+            256, max(8, df.sparkSession.sparkContext.defaultParallelism)
+        )
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = sorted(set(
+            df.stat.approxQuantile(lead, probs, 0.001)
+        ))
+        if bounds:
+            barr = F.array(*[F.lit(float(b)) for b in bounds])
+            bucket = F.aggregate(
+                barr,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(lead).cast("double") > b, 1).otherwise(0),
+            )
+        else:
+            bucket = F.lit(0)
+        order = self._order_cols()
+        with_b = df.withColumn("__bucket", bucket)
+        counts = {
+            r["__bucket"]: r["n"]
+            for r in with_b.groupBy("__bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        offsets, acc = [], 0
+        for b in range(len(bounds) + 1):
+            offsets.append(acc)
+            acc += counts.get(b, 0)
+        off_arr = F.array(*[F.lit(o) for o in offsets])
+        w = Window.partitionBy("__bucket").orderBy(*order)
+        return (
+            with_b.withColumn(
+                "__rn",
+                F.element_at(off_arr, F.col("__bucket") + 1)
+                + F.row_number().over(w)
+                - 1,
+            ).drop("__bucket")
+        )
+
     def take_range(self, start: int, end: int) -> "Dataset":
         """Rows [start, end) in the current order
-        (reference dataset.py:838-883). Plans as TakeOrderedAndProject
-        (limit end) then a row_number over only those ``end`` rows."""
+        (reference dataset.py:838-883).
+
+        Small ranges (``end`` <= ``_POSITIONAL_HEAD_MAX``) plan as
+        TakeOrderedAndProject (limit end) + a row_number over only
+        those rows — optimal when the range is a page. Larger ranges
+        switch to the fully distributed rank
+        (``_ranked_distributed``): per-value-bucket row numbers +
+        broadcast offsets, so a ``take_range(0, 50M)`` at 100x scale
+        never funnels through one task."""
         if start < 0 or end < start:
             raise ValueError("bad range")
         order = self._order_cols()
         df = self._df
+        if end > _POSITIONAL_HEAD_MAX:
+            ranked = self._ranked_distributed()
+            if ranked is not None:
+                out = ranked.filter(
+                    (F.col("__rn") >= start) & (F.col("__rn") < end)
+                ).drop("__rn")
+                return self._clone(out)
         if order:
             head = df.orderBy(*order).limit(end)
         else:
@@ -516,19 +606,29 @@ class Dataset:
     def take_rows(self, rows: Iterable[int]) -> "Dataset":
         """Select explicit row positions in the current order
         (reference dataset.py:885-912). Positions are joined against a
-        row_number — a broadcast semi-join on the positions list."""
+        row_number — a broadcast semi-join on the positions list.
+        Positions past ``_POSITIONAL_HEAD_MAX`` rank distributedly
+        (``_ranked_distributed``) instead of limiting a head through
+        one window task."""
         positions = sorted(set(int(r) for r in rows))
         if not positions:
             return self._clone(self._df.limit(0))
         from pyspark.sql import Window
 
         order = self._require_order("take_rows")
+        spark = self._df.sparkSession
         hi = positions[-1] + 1
+        pos_df = spark.createDataFrame([(p,) for p in positions], "__rn long")
+        if hi > _POSITIONAL_HEAD_MAX:
+            ranked = self._ranked_distributed()
+            if ranked is not None:
+                out = ranked.join(
+                    F.broadcast(pos_df), "__rn", "left_semi"
+                ).drop("__rn")
+                return self._clone(out)
         head = self._df.orderBy(*[c for c in order]).limit(hi)
         w = Window.orderBy(*order)
         ranked = head.withColumn("__rn", F.row_number().over(w) - 1)
-        spark = self._df.sparkSession
-        pos_df = spark.createDataFrame([(p,) for p in positions], "__rn long")
         out = ranked.join(F.broadcast(pos_df), "__rn", "left_semi").drop("__rn")
         return self._clone(out)
 
