@@ -17,6 +17,24 @@ from ..spatial.region import ConeRegion, HealpixRegion, SkyboxRegion
 PIX = "pixel"
 
 
+def _to_healsparse(pixels, pdf, value_cols, nside_lr, nside, hsp):
+    """The healsparse output adapter's actual logic with the module
+    injected: one ``HealSparseMap.make_empty(nside_coverage,
+    nside_sparse, dtype)`` per value column, populated by nested-pixel
+    assignment (reference healpix_map.py:328-408). ``get_data`` passes
+    the real healsparse module; the contract test passes a vendored
+    minimal fixture so the construction order/args are exercised in
+    CI without the wheel."""
+    import numpy as np
+
+    result = {}
+    for c in value_cols:
+        m = hsp.HealSparseMap.make_empty(nside_lr, nside, np.float32)
+        m[pixels] = pdf[c].to_numpy(dtype=np.float32)
+        result[c] = m
+    return result[value_cols[0]] if len(result) == 1 else result
+
+
 class HealpixMap(Dataset):
     def __init__(self, df, nside: int, nside_lr: int | None = None, **kw):
         super().__init__(df, **kw)
@@ -154,11 +172,6 @@ class HealpixMap(Dataset):
                 "(pip install healsparse); 'healpix' format works "
                 "without it"
             ) from exc
-        result = {}
-        for c in value_cols:  # pragma: no cover - needs healsparse
-            m = hsp.HealSparseMap.make_empty(
-                self._nside_lr, self._nside, np.float32
-            )
-            m[pixels] = pdf[c].to_numpy(dtype=np.float32)
-            result[c] = m
-        return result[value_cols[0]] if len(result) == 1 else result
+        return _to_healsparse(
+            pixels, pdf, value_cols, self._nside_lr, self._nside, hsp
+        )

@@ -49,6 +49,23 @@ ROW_ID = "__row_id"
 _POSITIONAL_HEAD_MAX = 4_000_000
 
 
+def _to_astropy_table(pdf, units, table_cls):
+    """The astropy output adapter's actual logic, with the Table class
+    injected: build the table from pandas and attach each column's
+    unit as its astropy-parseable string (the reference emits littleh
+    explicitly so astropy never reads 'h' as hours — SPEC.md:28-32).
+    ``get_data("astropy")`` passes the real ``astropy.table.Table``;
+    the contract test passes a vendored minimal fixture, so every line
+    here runs in CI even though the wheel isn't in this image."""
+    t = table_cls.from_pandas(pdf)
+    for c in pdf.columns:
+        u = units.get(c)
+        s = str(u) if u is not None else ""
+        if s and s != "dex":
+            t[c].unit = s
+    return t
+
+
 def _is_literal_array(v) -> bool:
     """True for driver-side value arrays (numpy array, list/tuple of
     values, or an array-valued Quantity) — attached by alignment join,
@@ -848,14 +865,17 @@ class Dataset:
             return [r.asDict() for r in df.collect()]
         if format == "astropy":
             # reference's default format (dataset/formats.py); gated —
-            # astropy is not in this image
+            # astropy is not in this image. The adapter logic itself is
+            # _to_astropy_table, contract-tested against a vendored
+            # minimal Table fixture (tests/test_format_adapters.py) so
+            # the real path is exercised everywhere but the import.
             try:
                 from astropy.table import Table  # noqa: PLC0415
             except ImportError as exc:
                 raise ImportError(
                     "astropy not installed in this image"
                 ) from exc
-            return Table.from_pandas(df.toPandas())
+            return _to_astropy_table(df.toPandas(), self._units, Table)
         if format == "jax":
             try:
                 import jax.numpy as jnp  # noqa: PLC0415
