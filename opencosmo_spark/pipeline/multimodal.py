@@ -3293,6 +3293,29 @@ def _image_header_meta(data: bytes | None):
                     return None
                 pos += 8 + size + (size & 1)
             return None
+        if data[4:8] == b"ftyp" and data[8:12] in (b"avif", b"avis"):
+            # AVIF: ISO-BMFF walk meta -> iprp -> ipco -> ispe
+            def _find_ispe(start, end, depth=0):
+                if depth > 6:
+                    return None
+                for btype, b0, b1 in _mp4_boxes(data, start, end):
+                    if btype == b"ispe" and b1 - b0 >= 12:
+                        return (
+                            int.from_bytes(data[b0 + 4 : b0 + 8], "big"),
+                            int.from_bytes(data[b0 + 8 : b0 + 12], "big"),
+                        )
+                    if btype in (b"meta", b"iprp", b"ipco"):
+                        # meta is a FullBox: 4 version/flag bytes
+                        at = b0 + 4 if btype == b"meta" else b0
+                        got = _find_ispe(at, b1, depth + 1)
+                        if got:
+                            return got
+                return None
+
+            got = _find_ispe(0, len(data))
+            if got:
+                return "avif", got[0], got[1]
+            return None
         if data[:2] in (b"P5", b"P6") and data[2:3].isspace():
             # netpbm headers may carry '#' comment lines between
             # tokens — same tokenizer rule as _decode_pnm

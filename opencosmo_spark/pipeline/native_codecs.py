@@ -486,6 +486,136 @@ def decode_gif_native(data: bytes | None) -> np.ndarray | None:
     return pal[idx]
 
 
+# ---------------------------------------------------------------- AVIF
+# libavif ships in this container (with dav1d/gav1 underneath). There
+# is no pure-python AV1 decoder in the repo, so this tier ADDS a
+# format instead of accelerating one: without it AVIF falls to the
+# digest stub. Structs are version-gated — avifRGBImage grew a
+# maxThreads field at 1.0 — and validated empirically by an
+# encode->decode round-trip in the tests (libavif encodes too).
+
+_AVIF_RGB_COMMON = [
+    ("width", ctypes.c_uint32),
+    ("height", ctypes.c_uint32),
+    ("depth", ctypes.c_uint32),
+    ("format", ctypes.c_int),
+    ("chromaUpsampling", ctypes.c_int),
+    ("chromaDownsampling", ctypes.c_int),
+    ("avoidLibYUV", ctypes.c_int),
+    ("ignoreAlpha", ctypes.c_int),
+    ("alphaPremultiplied", ctypes.c_int),
+    ("isFloat", ctypes.c_int),
+]
+
+
+class _AvifRGB011(ctypes.Structure):  # libavif 0.11.x
+    _fields_ = _AVIF_RGB_COMMON + [
+        ("pixels", ctypes.POINTER(ctypes.c_uint8)),
+        ("rowBytes", ctypes.c_uint32),
+    ]
+
+
+class _AvifRGB10(ctypes.Structure):  # libavif 1.x
+    _fields_ = _AVIF_RGB_COMMON + [
+        ("maxThreads", ctypes.c_int),
+        ("pixels", ctypes.POINTER(ctypes.c_uint8)),
+        ("rowBytes", ctypes.c_uint32),
+    ]
+
+
+def _avif():
+    """(lib, rgb_struct) or None — version-gated so an unknown struct
+    layout declines instead of corrupting memory."""
+    with _LOCK:
+        if "avif" in _CACHE:
+            return _CACHE["avif"]
+    got = None
+    la = _lib("libavif.so.15") or _lib("libavif.so.16")
+    if la is not None:
+        try:
+            la.avifVersion.restype = ctypes.c_char_p
+            ver = la.avifVersion().decode()
+            if ver.startswith("0.11."):
+                got = (la, _AvifRGB011)
+            elif ver.startswith("1."):
+                got = (la, _AvifRGB10)
+        except (OSError, AttributeError):
+            got = None
+    if got is not None:
+        la = got[0]
+        la.avifImageCreateEmpty.restype = ctypes.c_void_p
+        la.avifDecoderCreate.restype = ctypes.c_void_p
+        la.avifImageDestroy.argtypes = [ctypes.c_void_p]
+        la.avifDecoderDestroy.argtypes = [ctypes.c_void_p]
+        la.avifDecoderReadMemory.restype = ctypes.c_int
+        la.avifImageYUVToRGB.restype = ctypes.c_int
+    with _LOCK:
+        _CACHE["avif"] = got
+    return got
+
+
+def _is_avif(data: bytes) -> bool:
+    return (
+        len(data) > 16
+        and data[4:8] == b"ftyp"
+        and data[8:12] in (b"avif", b"avis")
+    )
+
+
+def decode_avif_native(data: bytes | None) -> np.ndarray | None:
+    if not data or not _is_avif(data):
+        return None
+    got = _avif()
+    if got is None:
+        return None
+    la, rgb_cls = got
+    image = la.avifImageCreateEmpty()
+    if not image:
+        return None
+    try:
+        dec = la.avifDecoderCreate()
+        if not dec:
+            return None
+        try:
+            res = la.avifDecoderReadMemory(
+                ctypes.c_void_p(dec), ctypes.c_void_p(image),
+                data, ctypes.c_size_t(len(data)),
+            )
+        finally:
+            la.avifDecoderDestroy(dec)
+        if res != 0:  # AVIF_RESULT_OK
+            return None
+        rgb = rgb_cls()
+        la.avifRGBImageSetDefaults(
+            ctypes.byref(rgb), ctypes.c_void_p(image)
+        )
+        w, h = rgb.width, rgb.height
+        if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+            return None
+        rgb.format = 0  # AVIF_RGB_FORMAT_RGB
+        rgb.depth = 8
+        la.avifRGBImageAllocatePixels(ctypes.byref(rgb))
+        if not rgb.pixels or rgb.rowBytes < w * 3:
+            return None
+        try:
+            if la.avifImageYUVToRGB(
+                ctypes.c_void_p(image), ctypes.byref(rgb)
+            ) != 0:
+                return None
+            arr = (
+                np.ctypeslib.as_array(
+                    rgb.pixels, shape=(h, rgb.rowBytes)
+                )[:, : w * 3]
+                .reshape(h, w, 3)
+                .copy()
+            )
+        finally:
+            la.avifRGBImageFreePixels(ctypes.byref(rgb))
+        return arr
+    finally:
+        la.avifImageDestroy(image)
+
+
 # --------------------------------------------------------------- ladder
 
 
@@ -525,6 +655,12 @@ def native_image_ladder() -> tuple:
         rows.append((
             "tiff-native", decode_tiff_native,
             "TIFF via system libtiff RGBA reader (strict stopOnError)",
+        ))
+    if _avif() is not None:
+        rows.append((
+            "avif-native", decode_avif_native,
+            "AVIF via system libavif/dav1d (no pure tier exists: this "
+            "is new real coverage, not acceleration)",
         ))
     ladder = tuple(rows)
     with _LOCK:

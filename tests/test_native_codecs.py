@@ -291,3 +291,111 @@ def test_auto_mode_prefers_native_in_spark(spark):
         decode_image_features(df, feature_dim=8)
     ).toPandas()
     assert any(rep.decoder.str.endswith("-native"))
+
+
+# ------------------------------------------------------------ AVIF
+
+
+def _avif_encode(img: np.ndarray) -> bytes:
+    """Encode RGB via libavif itself — the oracle and the fixture
+    generator in one (no pure AVIF tier exists to twin against)."""
+    import ctypes
+
+    got = nc._avif()
+    assert got is not None
+    la, rgb_cls = got
+
+    class _RWData(ctypes.Structure):
+        _fields_ = [
+            ("data", ctypes.POINTER(ctypes.c_uint8)),
+            ("size", ctypes.c_size_t),
+        ]
+
+    h, w, _ = img.shape
+    la.avifImageCreate.restype = ctypes.c_void_p
+    la.avifEncoderCreate.restype = ctypes.c_void_p
+    la.avifEncoderDestroy.argtypes = [ctypes.c_void_p]
+    image = la.avifImageCreate(w, h, 8, 1)  # YUV444
+    rgb = rgb_cls()
+    la.avifRGBImageSetDefaults(ctypes.byref(rgb), ctypes.c_void_p(image))
+    rgb.format = 0  # RGB
+    buf = np.ascontiguousarray(img)
+    rgb.pixels = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    rgb.rowBytes = w * 3
+    assert la.avifImageRGBToYUV(
+        ctypes.c_void_p(image), ctypes.byref(rgb)
+    ) == 0
+    enc = la.avifEncoderCreate()
+    out = _RWData()
+    assert la.avifEncoderWrite(
+        ctypes.c_void_p(enc), ctypes.c_void_p(image), ctypes.byref(out)
+    ) == 0
+    data = ctypes.string_at(out.data, out.size)
+    la.avifRWDataFree(ctypes.byref(out))
+    la.avifEncoderDestroy(enc)
+    la.avifImageDestroy(ctypes.c_void_p(image))
+    return data
+
+
+@_needs("avif")
+def test_avif_native_roundtrip_and_meta():
+    """libavif encode -> decode_avif_native: near-lossless on a
+    smooth gradient (AV1 default quality, YUV444), exact dims; the
+    header-meta tier reads the ispe box without decoding."""
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1),
+         (xx + yy) * 255 // (h + w - 2)], 2
+    ).astype(np.uint8)
+    data = _avif_encode(img)
+    assert data[4:12] == b"ftypavif"
+    arr = nc.decode_avif_native(data)
+    assert arr is not None and arr.shape == (h, w, 3)
+    d = np.abs(arr.astype(int) - img.astype(int))
+    assert d.max() <= 8 and d.mean() < 2.0, (d.max(), d.mean())
+
+    from opencosmo_spark.pipeline.multimodal import _image_header_meta
+
+    assert _image_header_meta(data) == ("avif", w, h)
+
+
+@_needs("avif")
+def test_avif_native_totality():
+    h = w = 16
+    img = np.random.default_rng(17).integers(0, 256, (h, w, 3)).astype(
+        np.uint8
+    )
+    data = _avif_encode(img)
+    rng = np.random.default_rng(18)
+    for _ in range(40):
+        mut = bytearray(data)
+        for _ in range(int(rng.integers(1, 6))):
+            mut[int(rng.integers(0, len(mut)))] = int(
+                rng.integers(0, 256)
+            )
+        nc.decode_avif_native(bytes(mut))  # must not raise/abort
+    for cut in range(0, len(data), max(1, len(data) // 24)):
+        nc.decode_avif_native(data[:cut])
+    assert nc.decode_avif_native(b"") is None
+    assert nc.decode_avif_native(None) is None
+
+
+@_needs("avif")
+def test_avif_in_auto_ladder(spark):
+    img = np.random.default_rng(19).integers(
+        0, 200, (24, 24, 3)
+    ).astype(np.uint8)
+    data = _avif_encode(img)
+    from opencosmo_spark.pipeline.multimodal import decode_image_features
+
+    df = spark.createDataFrame(
+        [("a", data)], "media_id string, payload binary"
+    )
+    row = decode_image_features(df, feature_dim=8).toPandas().iloc[0]
+    assert row.decoder == "avif-native"
+    # pure mode has no AVIF tier: falls to the digest stub, honestly
+    row = decode_image_features(
+        df, feature_dim=8, decoder="pure"
+    ).toPandas().iloc[0]
+    assert row.decoder == "stub-sha256"
