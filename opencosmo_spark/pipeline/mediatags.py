@@ -637,24 +637,40 @@ def extract_media_art(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for i in range(len(pdf)):
-                base = pdf.iloc[i]
-                got = arts_of(base[payload_col])
+            # fan-out via one positional take per batch instead of
+            # re-boxing every column per row (wide media tables made
+            # the old list(pdf.iloc[i]) loop the hot spot)
+            take: list[int] = []
+            art_idx: list = []
+            mimes: list = []
+            kinds: list = []
+            sources: list = []
+            arts_payload: list = []
+            for i, p in enumerate(pdf[payload_col]):
+                got = arts_of(p)
                 if got is None:
-                    rows.append(
-                        list(base) + [None, None, None, None, None]
-                    )
+                    take.append(i)
+                    art_idx.append(None)
+                    mimes.append(None)
+                    kinds.append(None)
+                    sources.append(None)
+                    arts_payload.append(None)
                     continue
                 source, arts = got
                 for j, (mime, kind, img) in enumerate(arts):
-                    rows.append(
-                        list(base) + [j, mime, int(kind), source, img]
-                    )
-            yield pd.DataFrame(rows, columns=list(pdf.columns) + [
-                "art_idx", "art_mime", "art_kind", "art_source",
-                "art_payload",
-            ])
+                    take.append(i)
+                    art_idx.append(j)
+                    mimes.append(mime)
+                    kinds.append(int(kind))
+                    sources.append(source)
+                    arts_payload.append(img)
+            out = pdf.iloc[take].reset_index(drop=True)
+            out["art_idx"] = art_idx
+            out["art_mime"] = mimes
+            out["art_kind"] = kinds
+            out["art_source"] = sources
+            out["art_payload"] = arts_payload
+            yield out
 
     return df.mapInPandas(run, out_schema)
 
