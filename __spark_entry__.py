@@ -1462,6 +1462,22 @@ def q64_nb_classify(spark, sf):
     return nb_classify(train, score, num_features=64)
 
 
+def q67_take_range_distributed(spark, sf):
+    # distributed positional take: rows [1000, 1400) of orders in
+    # o_orderkey order through the bucket-rank path (head_max=0 forces
+    # it — the page is small at sf0.01 but the PLAN is the 100-TB
+    # shape: quantile buckets + per-bucket row_number + broadcast
+    # offsets, no single-partition window; plan pin in
+    # tests/test_plan_shapes.py). Oracle: ORDER BY ... LIMIT/OFFSET.
+    from opencosmo_spark.dataset import Dataset
+
+    o = _t(spark, sf, "orders")
+    ds = Dataset(o).sort_by("o_orderkey")
+    return ds.take_range(1000, 1400, head_max=0).spark_df.select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
 def q65_dup_spans(spark, sf):
     # exact duplicated-span profile (substring-dedup niche): for each
     # doc, how many of its distinct 8-word windows appear in >= 2 docs
@@ -1536,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_bm25_topk": q63_bm25_topk,
         "q64_nb_classify": q64_nb_classify,
         "q65_dup_spans": q65_dup_spans,
+        "q67_take_range_distributed": q67_take_range_distributed,
     }
 
 
@@ -1876,6 +1893,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "q67_take_range_distributed": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_orderkey LIMIT 400 OFFSET 1000
         """,
         "q66_pair_counts": """
             WITH pp AS (

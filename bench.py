@@ -84,6 +84,7 @@ EXTRA_QUERIES = [
     "q64_nb_classify",
     "q65_dup_spans",
     "q66_pair_counts",
+    "q67_take_range_distributed",
 ]
 
 # max/min run-time ratio above which a query's measurement window is

@@ -583,11 +583,14 @@ class Dataset:
             ).drop("__bucket")
         )
 
-    def take_range(self, start: int, end: int) -> "Dataset":
+    def take_range(
+        self, start: int, end: int, head_max: int | None = None
+    ) -> "Dataset":
         """Rows [start, end) in the current order
         (reference dataset.py:838-883).
 
-        Small ranges (``end`` <= ``_POSITIONAL_HEAD_MAX``) plan as
+        Small ranges (``end`` <= ``head_max``, default
+        ``_POSITIONAL_HEAD_MAX``) plan as
         TakeOrderedAndProject (limit end) + a row_number over only
         those rows — optimal when the range is a page. Larger ranges
         switch to the fully distributed rank
@@ -596,9 +599,11 @@ class Dataset:
         never funnels through one task."""
         if start < 0 or end < start:
             raise ValueError("bad range")
+        if head_max is None:
+            head_max = _POSITIONAL_HEAD_MAX
         order = self._order_cols()
         df = self._df
-        if end > _POSITIONAL_HEAD_MAX:
+        if end > head_max:
             ranked = self._ranked_distributed()
             if ranked is not None:
                 out = ranked.filter(
@@ -620,7 +625,9 @@ class Dataset:
         out = ranked.filter(F.col("__rn") > start).drop("__rn")
         return self._clone(out)
 
-    def take_rows(self, rows: Iterable[int]) -> "Dataset":
+    def take_rows(
+        self, rows: Iterable[int], head_max: int | None = None
+    ) -> "Dataset":
         """Select explicit row positions in the current order
         (reference dataset.py:885-912). Positions are joined against a
         row_number — a broadcast semi-join on the positions list.
@@ -634,9 +641,11 @@ class Dataset:
 
         order = self._require_order("take_rows")
         spark = self._df.sparkSession
+        if head_max is None:
+            head_max = _POSITIONAL_HEAD_MAX
         hi = positions[-1] + 1
         pos_df = spark.createDataFrame([(p,) for p in positions], "__rn long")
-        if hi > _POSITIONAL_HEAD_MAX:
+        if hi > head_max:
             ranked = self._ranked_distributed()
             if ranked is not None:
                 out = ranked.join(
