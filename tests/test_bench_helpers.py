@@ -7,6 +7,8 @@ import json
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench
@@ -65,3 +67,49 @@ def test_history_gate_replays_r10_sustained_window():
     med = h["q35_minhash_lsh"]
     assert 9.881 > bench.HISTORY_RATIO * med  # the r10 miss now flags
     assert 0.957 <= bench.HISTORY_RATIO * med  # steady state passes
+
+
+def test_bench_query_lists_resolve():
+    """Every bench lane must name a real queries() entry with an
+    oracle (except documented non-SQL ops) — catches drift when
+    queries are added or renamed."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    import bench
+
+    qs = set(e.queries())
+    oracles = set(e.oracle_sql())
+    for name in bench.BENCH_QUERIES + bench.EXTRA_QUERIES:
+        assert name in qs, f"bench names unknown query {name}"
+        assert name in oracles, f"bench query {name} lacks an oracle"
+    for lane in bench.WARM_LANE:
+        assert lane in qs
+    for q in bench.HISTORY_SINCE:
+        assert q in qs
+
+
+def test_history_since_scopes_medians(tmp_path):
+    """Rounds older than a query's HISTORY_SINCE are excluded from
+    its median (query-definition changes must not flag forever)."""
+    import json
+
+    import bench
+
+    for rnd, t in ((1, 0.3), (2, 0.3), (13, 0.8), (14, 0.85)):
+        (tmp_path / f"BENCH_r{rnd:02d}.json").write_text(json.dumps({
+            "metric": "headline_queries_total", "value": 1.0,
+            "sf": 0.1, "queries": {"q31_dedup_fingerprint": t,
+                                   "q01_scan_filter_project": 0.3},
+        }))
+    old = dict(bench.HISTORY_SINCE)
+    try:
+        bench.HISTORY_SINCE.clear()
+        bench.HISTORY_SINCE["q31_dedup_fingerprint"] = 13
+        m = bench._history_medians(str(tmp_path), sf=0.1)
+    finally:
+        bench.HISTORY_SINCE.clear()
+        bench.HISTORY_SINCE.update(old)
+    assert m["q31_dedup_fingerprint"] == pytest.approx(0.825)
+    assert m["q01_scan_filter_project"] == pytest.approx(0.3)
