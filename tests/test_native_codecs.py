@@ -399,3 +399,17 @@ def test_avif_in_auto_ladder(spark):
         df, feature_dim=8, decoder="pure"
     ).toPandas().iloc[0]
     assert row.decoder == "stub-sha256"
+
+
+@_needs("jpeg")
+def test_jpeg_native_progressive():
+    from test_analysis_multimodal import _make_jpeg_progressive
+
+    rng = np.random.default_rng(20)
+    img = rng.integers(0, 256, (24, 17, 3)).astype(np.uint8)
+    data, _expect = _make_jpeg_progressive(img)
+    nat = nc.decode_jpeg_native(data)
+    pure = _decode_jpeg(data)
+    assert nat is not None and pure is not None
+    d = np.abs(nat.astype(int) - pure.astype(int))
+    assert d.max() <= 32 and d.mean() < 1.0, (d.max(), d.mean())
