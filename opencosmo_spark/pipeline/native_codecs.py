@@ -243,7 +243,13 @@ _PNG_FORMAT_RGBA = 0x03  # FLAG_ALPHA | FLAG_COLOR
 
 
 def decode_png_native(data: bytes | None) -> np.ndarray | None:
-    if not data or len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+    if not data or len(data) < 26 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    if data[24] == 16:
+        # 16-bit: the simplified API treats 16-bit samples as LINEAR
+        # and sRGB-encodes them into 8-bit output (measured: mean
+        # diff ~47 vs the pure tier's raw >>8) — decline to the pure
+        # decoder rather than silently change pixel semantics
         return None
     lp = _lib("libpng16.so.16")
     if lp is None:

@@ -413,3 +413,37 @@ def test_jpeg_native_progressive():
     assert nat is not None and pure is not None
     d = np.abs(nat.astype(int) - pure.astype(int))
     assert d.max() <= 32 and d.mean() < 1.0, (d.max(), d.mean())
+
+
+@_needs("png")
+def test_png_native_declines_16bit_to_pure():
+    """libpng's simplified API sRGB-encodes 16-bit (it assumes linear
+    input), which would silently change pixel semantics vs the pure
+    tier's raw >>8 — 16-bit must decline natively and the auto ladder
+    must land on the pure decoder."""
+    import struct
+    import zlib
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b))
+        )
+
+    rng = np.random.default_rng(21)
+    h, w = 9, 7
+    px16 = rng.integers(0, 65536, (h, w, 3)).astype(">u2")
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px16[y].tobytes() for y in range(h))
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert nc.decode_png_native(data) is None
+    pure = _decode_png(data)
+    assert pure is not None
+    arr, name = None, None
+    from opencosmo_spark.pipeline.multimodal import _decode_via_ladder
+
+    arr, name = _decode_via_ladder(data, "auto")
+    assert name == "png" and np.array_equal(arr, pure)
