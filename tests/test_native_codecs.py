@@ -138,12 +138,20 @@ def test_tiff_native_bit_exact_across_variants():
     rng = np.random.default_rng(10)
     rgb = _img(16, 20, 3, 3)
     gray = rng.integers(0, 256, (12, 9)).astype(np.uint8)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.integers(0, 256, (12, 9)).astype(np.uint8)
+    bilevel = rng.integers(0, 2, (12, 9)).astype(np.uint8)
     cases = [
         make_tiff(rgb),
         make_tiff(rgb, comp=32773),
         make_tiff(rgb, comp=5),
         make_tiff(gray),
         make_tiff(rgb, bo=">"),
+        make_tiff(gray, bits=16),       # libtiff 16->8 = high byte too
+        make_tiff(gray, photo=0),       # white-is-zero inversion
+        make_tiff(idx, photo=3, palette=pal),
+        make_tiff(bilevel, bits=1),
+        make_tiff(rgb, comp=5, predictor=2),
     ]
     for i, data in enumerate(cases):
         nat = nc.decode_tiff_native(data)
