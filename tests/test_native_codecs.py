@@ -455,3 +455,37 @@ def test_png_native_declines_16bit_to_pure():
 
     arr, name = _decode_via_ladder(data, "auto")
     assert name == "png" and np.array_equal(arr, pure)
+
+
+@_needs("gif")
+def test_gif_native_local_color_table():
+    """An image block carrying its own LOCAL color table must decode
+    through that table in BOTH tiers (fixture hand-packs a clear-per-
+    symbol LZW stream so the code width never grows)."""
+    from test_analysis_multimodal import _gif_pack_codes
+
+    rng = np.random.default_rng(7)
+    h, w = 6, 5
+    idx = rng.integers(0, 4, (h, w)).astype(np.uint8)
+    gpal = np.zeros((4, 3), np.uint8)  # global: all black decoy
+    lpal = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | 0x01, 0, 0]) + bytes(gpal.reshape(-1))
+    out += (b"\x2c" + b"\x00\x00\x00\x00"
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little"))
+    out += bytes([0x80 | 0x01]) + bytes(lpal.reshape(-1))
+    mcs = 2
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    stream = []
+    for v in idx.reshape(-1).tolist():
+        stream += [clear, int(v)]
+    stream.append(eoi)
+    packed = _gif_pack_codes(stream, mcs + 1)
+    out += bytes([mcs]) + bytes([len(packed)]) + packed + b"\x00\x3b"
+    data = bytes(out)
+    want = lpal[idx]
+    nat = nc.decode_gif_native(data)
+    pure = _decode_gif(data)
+    assert nat is not None and np.array_equal(nat, want)
+    assert pure is not None and np.array_equal(pure, want)
