@@ -191,17 +191,24 @@ def test_webp_native_lossy_decodes():
     lw = ctypes.CDLL("libwebp.so.7")
     lw.WebPEncodeRGB.restype = ctypes.c_size_t
     rng = np.random.default_rng(12)
-    img = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack(
+        [xx * 255 // 47, yy * 255 // 31, (xx + yy) * 255 // 78], 2
+    ).astype(np.uint8)
     out = ctypes.POINTER(ctypes.c_uint8)()
     n = lw.WebPEncodeRGB(
         np.ascontiguousarray(img).tobytes(), 48, 32, 48 * 3,
-        ctypes.c_float(75.0), ctypes.byref(out),
+        ctypes.c_float(90.0), ctypes.byref(out),
     )
     assert n > 0
     data = ctypes.string_at(out, n)
     lw.WebPFree(out)
     nat = nc.decode_webp_native(data)
     assert nat is not None and nat.shape == (32, 48, 3)
+    # structural sanity vs the source: a plane swap / wrong matrix /
+    # wrong upsampler lands far outside lossy tolerance on a gradient
+    d = np.abs(nat.astype(int) - img.astype(int))
+    assert d.mean() < 8 and d.max() < 64, (d.mean(), d.max())
 
 
 # ------------------------------------------------------- totality
