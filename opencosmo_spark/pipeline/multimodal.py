@@ -3198,6 +3198,85 @@ def decoder_report(
     )
 
 
+def _heif_primary_ispe(data: bytes) -> tuple[int, int] | None:
+    """(width, height) of a HEIF/AVIF file's PRIMARY item: walk
+    meta -> {pitm, iprp/{ipco, ipma}}, then follow the primary item's
+    ipma associations (1-based indices into ipco's ordered property
+    boxes) to ITS ispe. Falls back to the first ispe when the
+    association tables are absent/malformed."""
+    meta = None
+    for btype, b0, b1 in _mp4_boxes(data, 0, len(data)):
+        if btype == b"meta":
+            meta = (b0 + 4, b1)  # FullBox: skip version/flags
+            break
+    if meta is None:
+        return None
+    pitm_id = None
+    ipco_props: list[tuple[bytes, int, int]] = []
+    ipma_assoc: dict[int, list[int]] = {}
+    first_ispe = None
+    for btype, b0, b1 in _mp4_boxes(data, meta[0], meta[1]):
+        if btype == b"pitm" and b1 - b0 >= 6:
+            ver = data[b0]
+            if ver == 0:
+                pitm_id = int.from_bytes(data[b0 + 4 : b0 + 6], "big")
+            elif b1 - b0 >= 8:
+                pitm_id = int.from_bytes(data[b0 + 4 : b0 + 8], "big")
+        elif btype == b"iprp":
+            for ptype, p0, p1 in _mp4_boxes(data, b0, b1):
+                if ptype == b"ipco":
+                    ipco_props = list(_mp4_boxes(data, p0, p1))
+                elif ptype == b"ipma" and p1 - p0 >= 8:
+                    ver = data[p0]
+                    flags = int.from_bytes(data[p0 + 1 : p0 + 4], "big")
+                    at = p0 + 4
+                    n = int.from_bytes(data[at : at + 4], "big")
+                    at += 4
+                    for _ in range(min(n, 10_000)):
+                        idw = 4 if ver >= 1 else 2
+                        if at + idw + 1 > p1:
+                            break
+                        item = int.from_bytes(
+                            data[at : at + idw], "big"
+                        )
+                        at += idw
+                        cnt = data[at]
+                        at += 1
+                        idxs = []
+                        for _ in range(cnt):
+                            if flags & 1:
+                                if at + 2 > p1:
+                                    break
+                                idxs.append(
+                                    int.from_bytes(
+                                        data[at : at + 2], "big"
+                                    ) & 0x7FFF
+                                )
+                                at += 2
+                            else:
+                                if at + 1 > p1:
+                                    break
+                                idxs.append(data[at] & 0x7F)
+                                at += 1
+                        ipma_assoc[item] = idxs
+    for ptype, p0, p1 in ipco_props:
+        if ptype == b"ispe" and p1 - p0 >= 12 and first_ispe is None:
+            first_ispe = (
+                int.from_bytes(data[p0 + 4 : p0 + 8], "big"),
+                int.from_bytes(data[p0 + 8 : p0 + 12], "big"),
+            )
+    if pitm_id is not None and pitm_id in ipma_assoc and ipco_props:
+        for idx in ipma_assoc[pitm_id]:
+            if 1 <= idx <= len(ipco_props):
+                ptype, p0, p1 = ipco_props[idx - 1]
+                if ptype == b"ispe" and p1 - p0 >= 12:
+                    return (
+                        int.from_bytes(data[p0 + 4 : p0 + 8], "big"),
+                        int.from_bytes(data[p0 + 8 : p0 + 12], "big"),
+                    )
+    return first_ispe
+
+
 def _image_header_meta(data: bytes | None):
     """Header-parsed ``(format, width, height)`` without decoding any
     pixels — works for every format the decode ladder handles AND the
@@ -3293,28 +3372,23 @@ def _image_header_meta(data: bytes | None):
                     return None
                 pos += 8 + size + (size & 1)
             return None
-        if data[4:8] == b"ftyp" and data[8:12] in (b"avif", b"avis"):
-            # AVIF: ISO-BMFF walk meta -> iprp -> ipco -> ispe
-            def _find_ispe(start, end, depth=0):
-                if depth > 6:
-                    return None
-                for btype, b0, b1 in _mp4_boxes(data, start, end):
-                    if btype == b"ispe" and b1 - b0 >= 12:
-                        return (
-                            int.from_bytes(data[b0 + 4 : b0 + 8], "big"),
-                            int.from_bytes(data[b0 + 8 : b0 + 12], "big"),
-                        )
-                    if btype in (b"meta", b"iprp", b"ipco"):
-                        # meta is a FullBox: 4 version/flag bytes
-                        at = b0 + 4 if btype == b"meta" else b0
-                        got = _find_ispe(at, b1, depth + 1)
-                        if got:
-                            return got
-                return None
-
-            got = _find_ispe(0, len(data))
+        if data[4:8] == b"ftyp" and data[8:12] in (
+            b"avif", b"avis", b"heic", b"heix", b"hevc", b"heim",
+            b"heis", b"hevm", b"hevs", b"mif1", b"msf1",
+        ):
+            # AVIF/HEIC: resolve the PRIMARY item's ispe through the
+            # HEIF property model — pitm names the primary item, ipma
+            # associates it with 1-based indices into ipco's ordered
+            # property list. A file routinely carries several ispe
+            # boxes (coded-size item, cropped derived item, alpha,
+            # thumbnails), so "first ispe" is wrong in general.
+            got = _heif_primary_ispe(data)
             if got:
-                return "avif", got[0], got[1]
+                fmt = (
+                    "avif" if data[8:12] in (b"avif", b"avis")
+                    else "heic"
+                )
+                return fmt, got[0], got[1]
             return None
         if data[:2] in (b"P5", b"P6") and data[2:3].isspace():
             # netpbm headers may carry '#' comment lines between

@@ -650,6 +650,111 @@ def decode_avif_native(data: bytes | None) -> np.ndarray | None:
         la.avifImageDestroy(image)
 
 
+# ---------------------------------------------------------------- HEIF
+# libheif + libde265 ship here: HEIC (the default iPhone photo format)
+# decodes through a fully OPAQUE-handle C API — the only struct
+# crossing the boundary is heif_error, which is part of the stable
+# public API (code/subcode/message, returned by value). Like AVIF,
+# this ADDS a format: no pure HEVC tier exists.
+
+class _HeifError(ctypes.Structure):
+    _fields_ = [
+        ("code", ctypes.c_int),
+        ("subcode", ctypes.c_int),
+        ("message", ctypes.c_char_p),
+    ]
+
+
+_HEIC_BRANDS = (
+    b"heic", b"heix", b"hevc", b"heim", b"heis", b"hevm", b"hevs",
+    b"mif1", b"msf1",
+)
+_HEIF_CHANNEL_INTERLEAVED = 10
+_HEIF_COLORSPACE_RGB = 1
+_HEIF_CHROMA_INTERLEAVED_RGB = 10
+
+
+def _heif():
+    with _LOCK:
+        if "heif" in _CACHE:
+            return _CACHE["heif"]
+    lh = _lib("libheif.so.1")
+    if lh is not None:
+        try:
+            lh.heif_context_alloc.restype = ctypes.c_void_p
+            lh.heif_context_free.argtypes = [ctypes.c_void_p]
+            lh.heif_context_read_from_memory.restype = _HeifError
+            lh.heif_context_get_primary_image_handle.restype = _HeifError
+            lh.heif_decode_image.restype = _HeifError
+            lh.heif_image_handle_get_width.restype = ctypes.c_int
+            lh.heif_image_handle_get_height.restype = ctypes.c_int
+            lh.heif_image_get_plane_readonly.restype = ctypes.POINTER(
+                ctypes.c_uint8
+            )
+        except AttributeError:
+            lh = None
+    with _LOCK:
+        _CACHE["heif"] = lh
+    return lh
+
+
+def _is_heic(data: bytes) -> bool:
+    return (
+        len(data) > 16
+        and data[4:8] == b"ftyp"
+        and data[8:12] in _HEIC_BRANDS
+    )
+
+
+def decode_heif_native(data: bytes | None) -> np.ndarray | None:
+    if not data or not _is_heic(data):
+        return None
+    lh = _heif()
+    if lh is None:
+        return None
+    ctx = lh.heif_context_alloc()
+    if not ctx:
+        return None
+    hdl = ctypes.c_void_p()
+    img = ctypes.c_void_p()
+    try:
+        if lh.heif_context_read_from_memory(
+            ctypes.c_void_p(ctx), data, ctypes.c_size_t(len(data)), None
+        ).code != 0:
+            return None
+        if lh.heif_context_get_primary_image_handle(
+            ctypes.c_void_p(ctx), ctypes.byref(hdl)
+        ).code != 0:
+            return None
+        w = lh.heif_image_handle_get_width(hdl)
+        h = lh.heif_image_handle_get_height(hdl)
+        if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+            return None
+        if lh.heif_decode_image(
+            hdl, ctypes.byref(img), _HEIF_COLORSPACE_RGB,
+            _HEIF_CHROMA_INTERLEAVED_RGB, None,
+        ).code != 0:
+            return None
+        stride = ctypes.c_int(0)
+        p = lh.heif_image_get_plane_readonly(
+            ctypes.c_void_p(img.value), _HEIF_CHANNEL_INTERLEAVED,
+            ctypes.byref(stride),
+        )
+        if not p or stride.value < w * 3:
+            return None
+        return (
+            np.ctypeslib.as_array(p, shape=(h, stride.value))[:, : w * 3]
+            .reshape(h, w, 3)
+            .copy()
+        )
+    finally:
+        if img.value:
+            lh.heif_image_release(ctypes.c_void_p(img.value))
+        if hdl.value:
+            lh.heif_image_handle_release(hdl)
+        lh.heif_context_free(ctypes.c_void_p(ctx))
+
+
 # --------------------------------------------------------------- ladder
 
 
@@ -697,6 +802,12 @@ def native_image_ladder() -> tuple:
             "avif-native", decode_avif_native,
             "AVIF via system libavif/dav1d (no pure tier exists: this "
             "is new real coverage, not acceleration)",
+        ))
+    if _heif() is not None:
+        rows.append((
+            "heic-native", decode_heif_native,
+            "HEIC/HEIF via system libheif/libde265 (iPhone photos; "
+            "new real coverage — no pure HEVC tier exists)",
         ))
     ladder = tuple(rows)
     with _LOCK:

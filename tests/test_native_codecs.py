@@ -496,3 +496,109 @@ def test_gif_native_local_color_table():
     pure = _decode_gif(data)
     assert nat is not None and np.array_equal(nat, want)
     assert pure is not None and np.array_equal(pure, want)
+
+
+# ------------------------------------------------------------ HEIC
+
+
+def _heic_encode(img: np.ndarray) -> bytes:
+    """Encode via libheif/x265 — fixture generator and oracle."""
+    import ctypes
+    import os
+    import tempfile
+
+    lh = nc._heif()
+    assert lh is not None
+    lh.heif_image_create.restype = nc._HeifError
+    lh.heif_image_add_plane.restype = nc._HeifError
+    lh.heif_image_get_plane.restype = ctypes.POINTER(ctypes.c_uint8)
+    lh.heif_context_get_encoder_for_format.restype = nc._HeifError
+    lh.heif_context_encode_image.restype = nc._HeifError
+    lh.heif_context_write_to_file.restype = nc._HeifError
+
+    h, w, _ = img.shape
+    ctx = lh.heif_context_alloc()
+    him = ctypes.c_void_p()
+    assert lh.heif_image_create(
+        w, h, 1, 10, ctypes.byref(him)
+    ).code == 0
+    assert lh.heif_image_add_plane(
+        ctypes.c_void_p(him.value), 10, w, h, 8
+    ).code == 0
+    stride = ctypes.c_int()
+    p = lh.heif_image_get_plane(
+        ctypes.c_void_p(him.value), 10, ctypes.byref(stride)
+    )
+    buf = np.ascontiguousarray(img)
+    for y in range(h):
+        ctypes.memmove(
+            ctypes.addressof(p.contents) + y * stride.value,
+            buf[y].ctypes.data, w * 3,
+        )
+    enc = ctypes.c_void_p()
+    assert lh.heif_context_get_encoder_for_format(
+        ctypes.c_void_p(ctx), 1, ctypes.byref(enc)
+    ).code == 0
+    oh = ctypes.c_void_p()
+    assert lh.heif_context_encode_image(
+        ctypes.c_void_p(ctx), ctypes.c_void_p(him.value), enc, None,
+        ctypes.byref(oh),
+    ).code == 0
+    fd, path = tempfile.mkstemp(suffix=".heic")
+    os.close(fd)
+    try:
+        assert lh.heif_context_write_to_file(
+            ctypes.c_void_p(ctx), path.encode()
+        ).code == 0
+        data = open(path, "rb").read()
+    finally:
+        os.unlink(path)
+        lh.heif_context_free(ctypes.c_void_p(ctx))
+    return data
+
+
+@_needs("heic")
+def test_heic_native_roundtrip_and_meta():
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1),
+         (xx + yy) * 255 // (h + w - 2)], 2
+    ).astype(np.uint8)
+    data = _heic_encode(img)
+    assert data[4:12] == b"ftypheic"
+    arr = nc.decode_heif_native(data)
+    assert arr is not None and arr.shape == (h, w, 3)
+    d = np.abs(arr.astype(int) - img.astype(int))
+    assert d.max() <= 24 and d.mean() < 4.0, (d.max(), d.mean())
+
+    from opencosmo_spark.pipeline.multimodal import _image_header_meta
+
+    assert _image_header_meta(data) == ("heic", w, h)
+
+
+@_needs("heic")
+def test_heic_native_totality_and_ladder(spark):
+    img = np.random.default_rng(23).integers(
+        0, 200, (16, 16, 3)
+    ).astype(np.uint8)
+    data = _heic_encode(img)
+    rng = np.random.default_rng(24)
+    for _ in range(40):
+        mut = bytearray(data)
+        for _ in range(int(rng.integers(1, 6))):
+            mut[int(rng.integers(0, len(mut)))] = int(
+                rng.integers(0, 256)
+            )
+        nc.decode_heif_native(bytes(mut))
+    for cut in range(0, len(data), max(1, len(data) // 24)):
+        nc.decode_heif_native(data[:cut])
+    assert nc.decode_heif_native(b"") is None
+
+    from opencosmo_spark.pipeline.multimodal import decode_image_features
+
+    df = spark.createDataFrame(
+        [("a", data)], "media_id string, payload binary"
+    )
+    row = decode_image_features(df, feature_dim=8).toPandas().iloc[0]
+    assert row.decoder == "heic-native"
