@@ -77,6 +77,14 @@ def _payloads(h, w, seed=7):
         lw.WebPFree(buf)
     except OSError:
         pass
+    try:
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        from test_native_codecs import _avif_encode, _heic_encode
+
+        out.append(("avif", _avif_encode(half), h * w))
+        out.append(("heic", _heic_encode(half), h * w))
+    except Exception:  # noqa: BLE001 - libs absent: skip the rows
+        pass
     return out
 
 
@@ -87,6 +95,8 @@ PURE = {
     "jpeg": _decode_jpeg,
     "webp-lossy": _decode_webp_safe,
     "webp-lossless": _decode_webp_safe,
+    "avif": lambda _p: None,  # no pure tier exists
+    "heic": lambda _p: None,
 }
 NATIVE = {
     "png": nc.decode_png_native,
@@ -95,6 +105,8 @@ NATIVE = {
     "jpeg": nc.decode_jpeg_native,
     "webp-lossy": nc.decode_webp_native,
     "webp-lossless": nc.decode_webp_native,
+    "avif": nc.decode_avif_native,
+    "heic": nc.decode_heif_native,
 }
 
 
