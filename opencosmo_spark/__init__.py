@@ -59,6 +59,7 @@ __all__ = [
     "open",
     "write",
     "write_parquet",
+    "write_hdf5",
     "make_box",
     "make_cone",
     "make_skybox",
@@ -81,6 +82,15 @@ def write_parquet(path, dataset, overwrite: bool = False):
     from .io import write_dataset
 
     return write_dataset(path, dataset, overwrite=overwrite)
+
+
+def write_hdf5(path, dataset, overwrite: bool = False, **kw):
+    """Export to the reference's SPEC HDF5 layout (h5py-gated):
+    Dataset -> single-dataset file, StructureCollection ->
+    multi-dataset file; see io/hdf5.py::write_hdf5."""
+    from .io.hdf5 import write_hdf5 as _wh
+
+    return _wh(dataset, path, overwrite=overwrite, **kw)
 
 
 def make_box(p1, p2):
