@@ -755,6 +755,128 @@ def decode_heif_native(data: bytes | None) -> np.ndarray | None:
         lh.heif_context_free(ctypes.c_void_p(ctx))
 
 
+# ----------------------------------------------------------------- SVG
+# librsvg + cairo ship here (Rust-backed parser, GError out-params —
+# total by construction: junk returns a NULL handle). SVG is a text
+# format no pixel tier ever covered; rasterizing at intrinsic size
+# turns crawl vector assets (logos, figures, icons) into real pixels
+# for features/dHash instead of digest stubs.
+
+
+class _RsvgRect(ctypes.Structure):
+    _fields_ = [
+        ("x", ctypes.c_double),
+        ("y", ctypes.c_double),
+        ("width", ctypes.c_double),
+        ("height", ctypes.c_double),
+    ]
+
+
+def _rsvg():
+    with _LOCK:
+        if "rsvg" in _CACHE:
+            return _CACHE["rsvg"]
+    got = None
+    rs = _lib("librsvg-2.so.2")
+    ca = _lib("libcairo.so.2")
+    go = _lib("libgobject-2.0.so.0")
+    if rs is not None and ca is not None and go is not None:
+        try:
+            rs.rsvg_handle_new_from_data.restype = ctypes.c_void_p
+            rs.rsvg_handle_get_intrinsic_size_in_pixels.restype = (
+                ctypes.c_int
+            )
+            rs.rsvg_handle_render_document.restype = ctypes.c_int
+            ca.cairo_image_surface_create.restype = ctypes.c_void_p
+            ca.cairo_create.restype = ctypes.c_void_p
+            ca.cairo_image_surface_get_data.restype = ctypes.POINTER(
+                ctypes.c_uint8
+            )
+            ca.cairo_image_surface_get_stride.restype = ctypes.c_int
+            got = (rs, ca, go)
+        except AttributeError:
+            got = None
+    with _LOCK:
+        _CACHE["rsvg"] = got
+    return got
+
+
+_SVG_DEFAULT_PX = 512  # viewport when the document has no intrinsic size
+
+
+def _looks_like_svg(data: bytes) -> bool:
+    head = data[:4096].lstrip(b"\xef\xbb\xbf \t\r\n")
+    if not head.startswith((b"<?xml", b"<svg", b"<!DOCTYPE svg", b"<!--")):
+        return False
+    return b"<svg" in data[:4096]
+
+
+def decode_svg_native(data: bytes | None) -> np.ndarray | None:
+    if not data or len(data) < 8:
+        return None
+    if data[:2] == b"\x1f\x8b":  # svgz
+        import gzip
+
+        try:
+            data = gzip.decompress(data[: 16 << 20])
+        except OSError:
+            return None
+    if not _looks_like_svg(data):
+        return None
+    got = _rsvg()
+    if got is None:
+        return None
+    rs, ca, go = got
+    err = ctypes.c_void_p()
+    h = rs.rsvg_handle_new_from_data(
+        data, ctypes.c_size_t(len(data)), ctypes.byref(err)
+    )
+    if not h:
+        return None
+    surf = cr = None
+    try:
+        wd = ctypes.c_double(0)
+        hd = ctypes.c_double(0)
+        ok = rs.rsvg_handle_get_intrinsic_size_in_pixels(
+            ctypes.c_void_p(h), ctypes.byref(wd), ctypes.byref(hd)
+        )
+        w = int(round(wd.value)) if ok and wd.value > 0 else _SVG_DEFAULT_PX
+        ht = int(round(hd.value)) if ok and hd.value > 0 else _SVG_DEFAULT_PX
+        if w <= 0 or ht <= 0 or w * ht > _MAX_PIXELS:
+            return None
+        surf = ca.cairo_image_surface_create(0, w, ht)  # ARGB32
+        cr = ca.cairo_create(ctypes.c_void_p(surf))
+        vp = _RsvgRect(0.0, 0.0, float(w), float(ht))
+        err2 = ctypes.c_void_p()
+        if not rs.rsvg_handle_render_document(
+            ctypes.c_void_p(h), ctypes.c_void_p(cr),
+            ctypes.byref(vp), ctypes.byref(err2),
+        ):
+            return None
+        ca.cairo_surface_flush(ctypes.c_void_p(surf))
+        p = ca.cairo_image_surface_get_data(ctypes.c_void_p(surf))
+        stride = ca.cairo_image_surface_get_stride(ctypes.c_void_p(surf))
+        if not p or stride < w * 4:
+            return None
+        raw = np.ctypeslib.as_array(p, shape=(ht, stride))[
+            :, : w * 4
+        ].reshape(ht, w, 4).copy()
+    finally:
+        if cr:
+            ca.cairo_destroy(ctypes.c_void_p(cr))
+        if surf:
+            ca.cairo_surface_destroy(ctypes.c_void_p(surf))
+        go.g_object_unref(ctypes.c_void_p(h))
+    # cairo ARGB32 is PREMULTIPLIED BGRA (little-endian): un-multiply
+    # so dropping alpha keeps true colors (the ladder's convention)
+    b, g, r, a = (raw[:, :, i].astype(np.uint32) for i in range(4))
+    rgb = np.stack([r, g, b], axis=2)
+    an = np.maximum(a, 1)[:, :, None]
+    rgb = np.minimum((rgb * 255 + an // 2) // an, 255).astype(np.uint8)
+    rgb[a == 0] = 0
+    return rgb
+
+
 # --------------------------------------------------------------- ladder
 
 
@@ -808,6 +930,12 @@ def native_image_ladder() -> tuple:
             "heic-native", decode_heif_native,
             "HEIC/HEIF via system libheif/libde265 (iPhone photos; "
             "new real coverage — no pure HEVC tier exists)",
+        ))
+    if _rsvg() is not None:
+        rows.append((
+            "svg-native", decode_svg_native,
+            "SVG/SVGZ rasterized at intrinsic size via system "
+            "librsvg + cairo (vector assets; new real coverage)",
         ))
     ladder = tuple(rows)
     with _LOCK:

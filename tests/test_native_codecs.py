@@ -602,3 +602,61 @@ def test_heic_native_totality_and_ladder(spark):
     )
     row = decode_image_features(df, feature_dim=8).toPandas().iloc[0]
     assert row.decoder == "heic-native"
+
+
+# ------------------------------------------------------------- SVG
+
+
+@_needs("svg")
+def test_svg_native_rasterizes_known_shapes():
+    """A two-color document rasterizes to exactly its fill colors at
+    the intrinsic size (librsvg+cairo; premultiplied-BGRA converted
+    back to straight RGB)."""
+    svg = (
+        b'<svg xmlns="http://www.w3.org/2000/svg" width="60" '
+        b'height="40"><rect width="60" height="40" fill="#204080"/>'
+        b'<circle cx="30" cy="20" r="12" fill="#ff8000"/></svg>'
+    )
+    arr = nc.decode_svg_native(svg)
+    assert arr is not None and arr.shape == (40, 60, 3)
+    np.testing.assert_array_equal(arr[20, 30], [255, 128, 0])
+    np.testing.assert_array_equal(arr[0, 0], [32, 64, 128])
+
+    # svgz: same document gzipped
+    import gzip
+
+    arr2 = nc.decode_svg_native(gzip.compress(svg))
+    assert arr2 is not None
+    np.testing.assert_array_equal(arr, arr2)
+
+    from opencosmo_spark.pipeline.multimodal import _decode_via_ladder
+
+    got, name = _decode_via_ladder(svg, "auto")
+    assert name == "svg-native" and np.array_equal(got, arr)
+
+
+@_needs("svg")
+def test_svg_native_totality_and_gates():
+    assert nc.decode_svg_native(b"") is None
+    assert nc.decode_svg_native(None) is None
+    assert nc.decode_svg_native(b"<html><body>hi</body></html>") is None
+    assert nc.decode_svg_native(b"<svg") is None  # truncated
+    # oversized intrinsic dims decline instead of allocating
+    huge = (
+        b'<svg xmlns="http://www.w3.org/2000/svg" width="999999" '
+        b'height="999999"/>'
+    )
+    assert nc.decode_svg_native(huge) is None
+    # mutation sweep over a valid doc
+    svg = (
+        b'<svg xmlns="http://www.w3.org/2000/svg" width="20" '
+        b'height="20"><rect width="20" height="20" fill="red"/></svg>'
+    )
+    rng = np.random.default_rng(29)
+    for _ in range(40):
+        mut = bytearray(svg)
+        for _ in range(int(rng.integers(1, 5))):
+            mut[int(rng.integers(0, len(mut)))] = int(
+                rng.integers(0, 256)
+            )
+        nc.decode_svg_native(bytes(mut))  # must not raise
