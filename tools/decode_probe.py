@@ -85,6 +85,17 @@ def _payloads(h, w, seed=7):
         out.append(("heic", _heic_encode(half), h * w))
     except Exception:  # noqa: BLE001 - libs absent: skip the rows
         pass
+    shapes = "".join(
+        f'<circle cx="{int(rng.integers(0, w))}" '
+        f'cy="{int(rng.integers(0, h))}" r="{int(rng.integers(2, 9))}" '
+        f'fill="#{int(rng.integers(0, 1 << 24)):06x}"/>'
+        for _ in range(64)
+    )
+    svg = (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" '
+        f'height="{h}">{shapes}</svg>'
+    ).encode()
+    out.append(("svg", svg, h * w))
     return out
 
 
@@ -97,6 +108,7 @@ PURE = {
     "webp-lossless": _decode_webp_safe,
     "avif": lambda _p: None,  # no pure tier exists
     "heic": lambda _p: None,
+    "svg": lambda _p: None,
 }
 NATIVE = {
     "png": nc.decode_png_native,
@@ -107,6 +119,7 @@ NATIVE = {
     "webp-lossless": nc.decode_webp_native,
     "avif": nc.decode_avif_native,
     "heic": nc.decode_heif_native,
+    "svg": nc.decode_svg_native,
 }
 
 
