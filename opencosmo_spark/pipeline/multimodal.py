@@ -3390,6 +3390,46 @@ def _image_header_meta(data: bytes | None):
                 )
                 return fmt, got[0], got[1]
             return None
+        head = data[:4096].lstrip(b"\xef\xbb\xbf \t\r\n")
+        if (
+            head.startswith((b"<?xml", b"<svg", b"<!DOCTYPE svg"))
+            and b"<svg" in data[:4096]
+        ):
+            # SVG: width/height attrs on the root tag (plain px), else
+            # the viewBox extent — no rasterization, just the header
+            at = data.find(b"<svg")
+            tag_end = data.find(b">", at)
+            tag = data[at : tag_end if tag_end > 0 else at + 2048]
+            import re as _re
+
+            def attr(name):
+                m = _re.search(
+                    (name + r'\s*=\s*"([^"]*)"').encode(), tag
+                )
+                return m.group(1).decode("ascii", "replace") if m else None
+
+            def px(v):
+                if v is None:
+                    return None
+                m = _re.fullmatch(r"\s*(\d+(?:\.\d+)?)(px)?\s*", v)
+                return int(float(m.group(1))) if m else None
+
+            w, h = px(attr("width")), px(attr("height"))
+            if w and h:
+                return "svg", w, h
+            vb = attr("viewBox")
+            if vb:
+                parts = vb.replace(",", " ").split()
+                if len(parts) == 4:
+                    try:
+                        return (
+                            "svg",
+                            int(float(parts[2])),
+                            int(float(parts[3])),
+                        )
+                    except ValueError:
+                        return None
+            return None
         if data[:2] in (b"P5", b"P6") and data[2:3].isspace():
             # netpbm headers may carry '#' comment lines between
             # tokens — same tokenizer rule as _decode_pnm

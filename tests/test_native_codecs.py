@@ -660,3 +660,21 @@ def test_svg_native_totality_and_gates():
                 rng.integers(0, 256)
             )
         nc.decode_svg_native(bytes(mut))  # must not raise
+
+
+def test_svg_header_meta():
+    from opencosmo_spark.pipeline.multimodal import _image_header_meta
+
+    assert _image_header_meta(
+        b'<svg xmlns="http://www.w3.org/2000/svg" width="60" '
+        b'height="40"></svg>'
+    ) == ("svg", 60, 40)
+    assert _image_header_meta(
+        b'<?xml version="1.0"?>\n<svg xmlns="x" '
+        b'viewBox="0 0 120 80"></svg>'
+    ) == ("svg", 120, 80)
+    # percent/em sizes and non-SVG XML decline honestly
+    assert _image_header_meta(
+        b'<svg width="50%" height="10em"></svg>'
+    ) is None
+    assert _image_header_meta(b"<html><body>x</body></html>") is None
