@@ -678,3 +678,60 @@ def test_svg_header_meta():
         b'<svg width="50%" height="10em"></svg>'
     ) is None
     assert _image_header_meta(b"<html><body>x</body></html>") is None
+
+
+# -------------------------------------------------------- thumbnail
+
+
+def test_resize_pixels_exact_box_means():
+    from opencosmo_spark.pipeline.multimodal import resize_pixels
+
+    rng = np.random.default_rng(31)
+    arr = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    out = resize_pixels(arr, 24)  # exactly 2x: box means are blocks
+    assert out.shape == (16, 24, 3)
+    want = np.rint(
+        arr.reshape(16, 2, 24, 2, 3).mean(axis=(1, 3))
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(out, want)
+    # never upscales
+    small = rng.integers(0, 256, (10, 8, 3)).astype(np.uint8)
+    assert resize_pixels(small, 256) is small
+    # non-integer ratio: sums preserved within rounding
+    odd = resize_pixels(arr, 19)
+    assert odd.shape == (13, 19, 3)
+    assert abs(float(odd.mean()) - float(arr.mean())) < 2.0
+
+
+def test_encode_png_roundtrips_through_pure_decoder():
+    from opencosmo_spark.pipeline.multimodal import encode_png
+
+    rng = np.random.default_rng(32)
+    arr = rng.integers(0, 256, (9, 13, 3)).astype(np.uint8)
+    data = encode_png(arr)
+    np.testing.assert_array_equal(_decode_png(data), arr)
+
+
+def test_image_thumbnail_operator(spark):
+    from opencosmo_spark.pipeline.multimodal import image_thumbnail
+
+    rgb = _img(64, 96, 3, 33)
+    rows = [
+        ("a", make_tiff(rgb)),
+        ("b", b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = image_thumbnail(df, max_side=32).toPandas().set_index(
+        "media_id"
+    )
+    a = out.loc["a"]
+    assert (a.thumb_width, a.thumb_height) == (32, 21)
+    assert a.decoder in ("tiff", "tiff-native")
+    # the thumbnail is a decodable lossless PNG of the resized pixels
+    from opencosmo_spark.pipeline.multimodal import resize_pixels
+
+    np.testing.assert_array_equal(
+        _decode_png(bytes(a.thumb_payload)), resize_pixels(rgb, 32)
+    )
+    b = out.loc["b"]
+    assert b.thumb_payload is None and b.decoder == "stub"
