@@ -102,3 +102,53 @@ void ocs_shim_free(void *p)
 {
     free(p);
 }
+
+/* Test/probe helper: encode RGB8 to JPEG, optionally with arithmetic
+ * entropy coding and/or progressive scan scripts. Exists so the
+ * arithmetic-decode path (a format the pure tier gates) can be
+ * PROVEN against fixtures generated in-container — no external
+ * encoder ships here. Returns a malloc'd buffer (ocs_shim_free) or
+ * NULL; *out_len receives the byte count. */
+unsigned char *ocs_jpeg_encode_rgb(const unsigned char *rgb,
+                                   int w, int h, int quality,
+                                   int arithmetic, int progressive,
+                                   unsigned long *out_len)
+{
+    struct jpeg_compress_struct cinfo;
+    struct ocs_err_mgr jerr;
+    unsigned char *buf = NULL;
+    unsigned long len = 0;
+
+    memset(&cinfo, 0, sizeof cinfo);
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = ocs_error_exit;
+    jerr.pub.emit_message = ocs_emit_message;
+    jerr.pub.output_message = ocs_output_message;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_compress(&cinfo);
+        free(buf);
+        return NULL;
+    }
+    jpeg_create_compress(&cinfo);
+    jpeg_mem_dest(&cinfo, &buf, &len);
+    cinfo.image_width = w;
+    cinfo.image_height = h;
+    cinfo.input_components = 3;
+    cinfo.in_color_space = JCS_RGB;
+    jpeg_set_defaults(&cinfo);
+    jpeg_set_quality(&cinfo, quality, TRUE);
+    if (arithmetic)
+        cinfo.arith_code = TRUE;
+    if (progressive)
+        jpeg_simple_progression(&cinfo);
+    jpeg_start_compress(&cinfo, TRUE);
+    while (cinfo.next_scanline < cinfo.image_height) {
+        JSAMPROW row = (JSAMPROW) rgb
+            + (size_t) cinfo.next_scanline * w * 3;
+        jpeg_write_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_compress(&cinfo);
+    jpeg_destroy_compress(&cinfo);
+    *out_len = len;
+    return buf;
+}

@@ -156,6 +156,40 @@ def _jpeg_shim():
     return shim
 
 
+def encode_jpeg_native(
+    img: np.ndarray, quality: int = 85,
+    arithmetic: bool = False, progressive: bool = False,
+) -> bytes | None:
+    """JPEG-encode an (h, w, 3) uint8 array through the shim — the
+    fixture generator that lets the ARITHMETIC decode path (a format
+    the pure tier gates) be proven in-container, and the encoder the
+    throughput probe uses. None when the shim/gcc is unavailable."""
+    shim = _jpeg_shim()
+    if shim is None:
+        return None
+    if not hasattr(shim, "_enc_ready"):
+        shim.ocs_jpeg_encode_rgb.restype = ctypes.POINTER(
+            ctypes.c_uint8
+        )
+        shim.ocs_jpeg_encode_rgb.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_ulong),
+        ]
+        shim._enc_ready = True
+    h, w, _ = img.shape
+    n = ctypes.c_ulong(0)
+    buf = shim.ocs_jpeg_encode_rgb(
+        np.ascontiguousarray(img).tobytes(), w, h, quality,
+        int(arithmetic), int(progressive), ctypes.byref(n),
+    )
+    if not buf:
+        return None
+    try:
+        return ctypes.string_at(buf, n.value)
+    finally:
+        shim.ocs_shim_free(ctypes.cast(buf, ctypes.c_void_p))
+
+
 def decode_jpeg_native(data: bytes | None) -> np.ndarray | None:
     if not data or len(data) < 4 or data[:2] != b"\xff\xd8":
         return None

@@ -735,3 +735,31 @@ def test_image_thumbnail_operator(spark):
     )
     b = out.loc["b"]
     assert b.thumb_payload is None and b.decoder == "stub"
+
+
+@_needs("jpeg")
+def test_jpeg_native_arithmetic_coding():
+    """Arithmetic-coded JPEG (a format the PURE tier gates honestly)
+    decodes through the shim, and — entropy coding being lossless over
+    the same quantized coefficients — reconstructs IDENTICALLY to the
+    huffman encoding of the same image. Fixture generated in-container
+    by the shim's own encoder."""
+    rng = np.random.default_rng(35)
+    img = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    huff = nc.encode_jpeg_native(img, quality=85)
+    arith = nc.encode_jpeg_native(img, quality=85, arithmetic=True)
+    arith_prog = nc.encode_jpeg_native(
+        img, quality=85, arithmetic=True, progressive=True
+    )
+    assert huff and arith and arith_prog
+    assert len(arith) < len(huff)  # arithmetic compresses tighter
+    base = nc.decode_jpeg_native(huff)
+    for data in (arith, arith_prog):
+        assert _decode_jpeg(data) is None  # pure tier gates these
+        got = nc.decode_jpeg_native(data)
+        assert got is not None
+        np.testing.assert_array_equal(got, base)
+    # header-meta still reads dims (SOF9/SOF10 markers)
+    from opencosmo_spark.pipeline.multimodal import _image_header_meta
+
+    assert _image_header_meta(arith) == ("jpeg", 32, 24)
