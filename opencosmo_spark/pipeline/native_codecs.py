@@ -939,9 +939,9 @@ def native_image_ladder() -> tuple:
         rows.append((
             "jpeg-native", decode_jpeg_native,
             "JPEG via system libjpeg through the setjmp-safe C shim "
-            "(baseline + progressive; arithmetic-coded streams decode "
-            "iff the system lib was built with D_ARITH_CODING_SUPPORT "
-            "— untested here for lack of an arithmetic encoder)",
+            "(baseline + progressive + arithmetic — the arithmetic "
+            "path is proven by the shim's own encoder: huffman and "
+            "arithmetic codings of one image reconstruct identically)",
         ))
     if _lib("libwebp.so.7") is not None:
         rows.append((
