@@ -39,6 +39,13 @@ does):
 - **WebP** (`libwebp.so.7`): ``WebPDecodeRGB`` returns NULL on any
   error — the easy one. (The VP8 pure decoder is bit-exact against
   this library's YUV output in tests/test_vp8.py.)
+- **AVIF / HEIC / SVG** (`libavif`+dav1d, `libheif`+libde265,
+  `librsvg`+cairo): NEW coverage, not acceleration — no pure tier
+  exists for AV1/HEVC/vector rasterization. AVIF declares only the
+  version-gated avifRGBImage struct; HEIC crosses only the public
+  heif_error; SVG uses GError out-params. All three validate by
+  in-container encode->decode round-trips (the same libraries
+  encode) plus mutation/truncation totality sweeps.
 
 Reproducibility note: lossless formats (PNG/GIF/TIFF/VP8L) decode
 bit-identically native vs pure. JPEG and lossy-WebP RGB may differ by
