@@ -144,6 +144,16 @@ def main():
     ).show(truncate=40)
     decode_image_features(imgs).select("media_id", "decoder").show()
 
+    # 2b) thumbnails through the same ladder (native codecs first
+    # where the system libraries load — see pipeline/native_codecs):
+    # area-average resize, lossless PNG back out
+    from opencosmo_spark.pipeline import image_thumbnail
+
+    print("== thumbnails ==")
+    image_thumbnail(imgs, max_side=16).select(
+        "media_id", "thumb_width", "thumb_height", "decoder"
+    ).show(truncate=40)
+
     # 3) subtitle tracks -> timed text rows (zero codec work)
     from pyspark.sql import functions as F
 
