@@ -2327,6 +2327,110 @@ def _decode_via_ladder(
     return None, None
 
 
+def resample_pcm(
+    mono: np.ndarray, src_rate: int, dst_rate: int
+) -> np.ndarray:
+    """Band-limited sample-rate conversion of a mono float signal:
+    rfft -> truncate/zero-pad the spectrum -> irfft, with amplitude
+    rescale. Exact for band-limited content (a full-period sine
+    round-trips to float precision), properly ANTI-ALIASED on
+    downsample — the aliasing linear interpolation would introduce is
+    precisely what a training corpus must not bake in. O(n log n) per
+    payload, row-local."""
+    if src_rate == dst_rate or len(mono) == 0:
+        return np.asarray(mono, np.float32)
+    n = len(mono)
+    m = max(1, int(round(n * dst_rate / src_rate)))
+    spec = np.fft.rfft(np.asarray(mono, np.float64))
+    out_bins = m // 2 + 1
+    new = np.zeros(out_bins, dtype=complex)
+    k = min(len(spec), out_bins)
+    new[:k] = spec[:k]
+    out = np.fft.irfft(new, m) * (m / n)
+    return out.astype(np.float32)
+
+
+def encode_wav_pcm16(mono: np.ndarray, rate: int) -> bytes:
+    """Minimal RIFF/WAVE writer: mono 16-bit PCM — the interchange
+    format every trainer/loader reads, decodable by this module's own
+    ``_decode_wav`` (round-trip tested)."""
+    import struct as _struct
+
+    x = np.asarray(mono, np.float64)
+    # *32768 then clamp: matches _decode_wav's /32768 convention, so
+    # round-trips err by at most half an LSB
+    pcm = np.clip(
+        np.round(x * 32768.0), -32768, 32767
+    ).astype("<i2").tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(pcm).to_bytes(4, "little") + pcm
+    if len(pcm) % 2:
+        chunks += b"\x00"
+    return (
+        b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE"
+        + chunks
+    )
+
+
+def audio_resample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    target_rate: int = 16000,
+) -> DataFrame:
+    """Normalize every audio payload to mono ``target_rate`` PCM16 WAV
+    — the audio analog of ``image_thumbnail`` and the prep step ASR/
+    audio-LM training needs (uniform sample rate, uniform container).
+    Decode through the real-PCM ladder (WAV incl. ADPCM/G.711, FLAC,
+    AIFF, au), band-limited FFT resample, re-encode with the stdlib
+    writer. Undecodable payloads (or metadata-only formats — mp3/ogg
+    have no PCM tier) get NULL output and the ``stub`` marker.
+
+    Appended: ``audio_payload`` (binary WAV), ``audio_rate`` (int),
+    ``audio_n_samples`` (long), ``decoder`` (string). One
+    Arrow-batched ``mapInPandas``; payloads never shuffle."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("audio_payload", T.BinaryType()),
+            T.StructField("audio_rate", T.IntegerType()),
+            T.StructField("audio_n_samples", T.LongType()),
+            T.StructField("decoder", T.StringType()),
+        ]
+    )
+
+    def one(p):
+        p = p if p is not None else b""
+        for name, dec, _ in _AUDIO_LADDER:
+            try:
+                got = dec(p)
+            except Exception:  # noqa: BLE001 - fall down the ladder
+                got = None
+            if got is not None:
+                mono, rate = got
+                if rate <= 0 or len(mono) == 0:
+                    continue
+                out = resample_pcm(mono, int(rate), target_rate)
+                return (
+                    encode_wav_pcm16(out, target_rate),
+                    target_rate,
+                    len(out),
+                    name,
+                )
+        return None, None, None, "stub"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            got = [one(p) for p in pdf[payload_col]]
+            pdf["audio_payload"] = [g[0] for g in got]
+            pdf["audio_rate"] = [g[1] for g in got]
+            pdf["audio_n_samples"] = [g[2] for g in got]
+            pdf["decoder"] = [g[3] for g in got]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def decode_audio_features(
     df: DataFrame,
     payload_col: str = "payload",

@@ -763,3 +763,74 @@ def test_jpeg_native_arithmetic_coding():
     from opencosmo_spark.pipeline.multimodal import _image_header_meta
 
     assert _image_header_meta(arith) == ("jpeg", 32, 24)
+
+
+# --------------------------------------------------- audio resample
+
+
+def test_resample_pcm_band_limited_exact():
+    from opencosmo_spark.pipeline.multimodal import resample_pcm
+
+    # a full-period band-limited sine survives up- AND downsample to
+    # float precision (FFT resample is exact there)
+    n, cycles = 4410, 100  # 1 kHz at 44.1 kHz for 0.1 s
+    t = np.arange(n)
+    sig = np.sin(2 * np.pi * cycles * t / n).astype(np.float64)
+    down = resample_pcm(sig, 44100, 16000)
+    assert len(down) == 1600
+    td = np.arange(1600)
+    want = np.sin(2 * np.pi * cycles * td / 1600)
+    np.testing.assert_allclose(down, want, atol=1e-6)
+    # identity when rates match
+    same = resample_pcm(sig, 44100, 44100)
+    np.testing.assert_allclose(same, sig, atol=1e-7)
+    # downsample is anti-aliased: content above the new Nyquist dies
+    hf = np.sin(2 * np.pi * 2000 * t / n)  # 20 kHz at 44.1 kHz
+    gone = resample_pcm(hf, 44100, 16000)
+    assert float(np.abs(gone).max()) < 1e-6
+
+
+def test_encode_wav_pcm16_roundtrip():
+    from opencosmo_spark.pipeline.multimodal import (
+        _decode_wav,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(41)
+    sig = (rng.uniform(-1, 1, 500) * 0.9).astype(np.float64)
+    data = encode_wav_pcm16(sig, 16000)
+    got = _decode_wav(data)
+    assert got is not None
+    mono, rate = got
+    assert rate == 16000 and len(mono) == 500
+    np.testing.assert_allclose(mono, sig, atol=0.51 / 32768)
+
+
+def test_audio_resample_operator(spark):
+    from opencosmo_spark.pipeline.multimodal import (
+        _decode_wav,
+        audio_resample,
+        encode_wav_pcm16,
+    )
+
+    n, cycles = 4410, 100
+    t = np.arange(n)
+    sig = 0.5 * np.sin(2 * np.pi * cycles * t / n)
+    src = encode_wav_pcm16(sig, 44100)
+    df = spark.createDataFrame(
+        [("a", src), ("b", b"junk")],
+        "media_id string, payload binary",
+    )
+    out = audio_resample(df, target_rate=16000).toPandas().set_index(
+        "media_id"
+    )
+    a = out.loc["a"]
+    assert (a.audio_rate, a.audio_n_samples, a.decoder) == (
+        16000, 1600, "wav",
+    )
+    mono, rate = _decode_wav(bytes(a.audio_payload))
+    assert rate == 16000
+    want = 0.5 * np.sin(2 * np.pi * cycles * np.arange(1600) / 1600)
+    np.testing.assert_allclose(mono, want, atol=2.0 / 32767)
+    b = out.loc["b"]
+    assert b.audio_payload is None and b.decoder == "stub"
