@@ -821,7 +821,8 @@ def _rsvg():
     rs = _lib("librsvg-2.so.2")
     ca = _lib("libcairo.so.2")
     go = _lib("libgobject-2.0.so.0")
-    if rs is not None and ca is not None and go is not None:
+    gl = _lib("libglib-2.0.so.0")
+    if None not in (rs, ca, go, gl):
         try:
             rs.rsvg_handle_new_from_data.restype = ctypes.c_void_p
             rs.rsvg_handle_get_intrinsic_size_in_pixels.restype = (
@@ -834,7 +835,9 @@ def _rsvg():
                 ctypes.c_uint8
             )
             ca.cairo_image_surface_get_stride.restype = ctypes.c_int
-            got = (rs, ca, go)
+            gl.g_error_free.restype = None
+            gl.g_error_free.argtypes = [ctypes.c_void_p]
+            got = (rs, ca, go, gl)
         except AttributeError:
             got = None
     with _LOCK:
@@ -867,12 +870,16 @@ def decode_svg_native(data: bytes | None) -> np.ndarray | None:
     got = _rsvg()
     if got is None:
         return None
-    rs, ca, go = got
+    rs, ca, go, gl = got
     err = ctypes.c_void_p()
     h = rs.rsvg_handle_new_from_data(
         data, ctypes.c_size_t(len(data)), ctypes.byref(err)
     )
     if not h:
+        if err.value:
+            # one GError per malformed payload would be a slow leak
+            # in a long-lived worker at crawl scale
+            gl.g_error_free(err)
         return None
     surf = cr = None
     try:
@@ -893,6 +900,8 @@ def decode_svg_native(data: bytes | None) -> np.ndarray | None:
             ctypes.c_void_p(h), ctypes.c_void_p(cr),
             ctypes.byref(vp), ctypes.byref(err2),
         ):
+            if err2.value:
+                gl.g_error_free(err2)
             return None
         ca.cairo_surface_flush(ctypes.c_void_p(surf))
         p = ca.cairo_image_surface_get_data(ctypes.c_void_p(surf))
