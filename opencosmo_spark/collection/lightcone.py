@@ -11,6 +11,7 @@ DataFrame — union is free, and ``with_redshift_range`` /
 
 from __future__ import annotations
 
+from .._litarr import lit_double_array
 from pyspark.sql import functions as F
 
 from ..dataset import Dataset
@@ -205,7 +206,7 @@ def lightcone_to_cartesian(
         cosmology.comoving_distance(i * dz) * scale
         for i in range(n_knots)
     ]
-    arr = F.array(*[F.lit(float(v)) for v in knots])
+    arr = lit_double_array(knots)
     zc = F.col(z_col).cast("double")
     guard = F.when(
         (zc < 0) | (zc > z_max),

@@ -21,6 +21,7 @@ from pyspark.sql import Column as SparkColumn
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._litarr import lit_double_array
 from .column.expr import (
     Binder,
     ColumnExpr,
@@ -551,7 +552,7 @@ class Dataset:
             df.stat.approxQuantile(lead, probs, 0.001)
         ))
         if bounds:
-            barr = F.array(*[F.lit(float(b)) for b in bounds])
+            barr = lit_double_array(bounds)
             bucket = F.aggregate(
                 barr,
                 F.lit(0),

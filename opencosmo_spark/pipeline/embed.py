@@ -25,6 +25,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+from .._litarr import lit_double_array
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -117,7 +118,7 @@ def pca_project_expr(
     ``1/sqrt(explained_variance)`` for whitening."""
     coords = []
     for j, comp in enumerate(model["components"]):
-        w = F.array(*[F.lit(float(c)) for c in comp])
+        w = lit_double_array(comp)
         offset = float(np.dot(model["mean"], comp))
         d = F.aggregate(
             F.zip_with(vec, w, lambda a, b: a.cast("double") * b),

