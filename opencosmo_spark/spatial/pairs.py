@@ -21,6 +21,8 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
+from .._parallel import spread_small_input
+
 
 def _cell_id(ix, iy, iz, n: int):
     return (ix * n + iy) * n + iz
@@ -90,35 +92,54 @@ def _pairs_engine(
         *[F.col(f"__carry_{c}").alias(f"{c}_a") for c in carry_a],
     )
 
-    # the other side fans out to its 27-neighborhood; when the grid is
-    # coarser than 3 cells per axis the offsets collapse (mod n) and
-    # duplicates are dropped per row with array_distinct
+    # the other side fans out to its 27-neighborhood. The neighbor
+    # indices are precomputed ONCE PER AXIS in a projection (9 values)
+    # and the 27 cell ids are plain arithmetic over them — the old
+    # form inlined the pmod/bounds algebra into every one of the 27
+    # array slots (162 pmods + 162 comparisons per row, measured as
+    # the dominant single-task CPU cost of the pair engine at bench
+    # scale; guide §1.2 step 2, per-task work).
     offs = [-1, 0, 1]
+    base_b = spread_small_input(base_b)
+    if periodic:
+        axes = {
+            f"__j{ax}{k}": F.pmod(F.col(f"__i{ax}") + d, F.lit(n))
+            for ax in ("x", "y", "z")
+            for k, d in enumerate(offs)
+        }
+    else:
+        axes = {
+            f"__j{ax}{k}": F.col(f"__i{ax}") + d
+            for ax in ("x", "y", "z")
+            for k, d in enumerate(offs)
+        }
+    base_b = base_b.select("*", *[v.alias(k) for k, v in axes.items()])
     neigh = []
-    for dx in offs:
-        for dy in offs:
-            for dz in offs:
-                jx, jy, jz = (
-                    F.col("__ix") + dx,
-                    F.col("__iy") + dy,
-                    F.col("__iz") + dz,
-                )
+    for kx in range(3):
+        for ky in range(3):
+            for kz in range(3):
+                jx = F.col(f"__jx{kx}")
+                jy = F.col(f"__jy{ky}")
+                jz = F.col(f"__jz{kz}")
+                cid = _cell_id(jx, jy, jz, n)
                 if periodic:
-                    jx, jy, jz = (
-                        F.pmod(jx, F.lit(n)),
-                        F.pmod(jy, F.lit(n)),
-                        F.pmod(jz, F.lit(n)),
+                    # pmod is always in [0, n): no bounds guard needed
+                    neigh.append(cid)
+                else:
+                    neigh.append(
+                        F.when(
+                            (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
+                            & (jz >= 0) & (jz < n),
+                            cid,
+                        )
                     )
-                neigh.append(
-                    F.when(
-                        (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
-                        & (jz >= 0) & (jz < n),
-                        _cell_id(jx, jy, jz, n),
-                    )
-                )
-    cells = F.array_distinct(
-        F.filter(F.array(*neigh), lambda c: c.isNotNull())
-    )
+    cells = F.array(*neigh)
+    if not periodic:
+        # out-of-box offsets produce NULL slots; indices never repeat
+        cells = F.filter(cells, lambda c: c.isNotNull())
+    elif n < 3:
+        # offsets collapse (mod n) on grids coarser than 3 cells/axis
+        cells = F.array_distinct(cells)
     b = base_b.select(
         F.col("__pid").alias("b"),
         F.col("__x").alias("xb"),
