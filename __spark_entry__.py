@@ -1188,19 +1188,18 @@ def q50_stratified_sample(spark, sf):
     out = stratified_sample(
         li, {"A": 0.5, "N": 0.1, "R": 0.25}, "l_returnflag", id_col="k"
     )
-    # split lane (new r7): the REAL split_corpus operator labels each
-    # surviving row with its deterministic train/val/test membership —
+    # split lane (new r7): deterministic train/val/test membership —
     # disjoint lane ranges, oracle-mirrored with the same integer
-    # boundaries
-    from opencosmo_spark.pipeline.sample import split_corpus
+    # boundaries. r14: split_label is the one-pass column form of
+    # split_corpus (same lane, same boundaries, row-identical to the
+    # old union-of-three-filtered-scans — which re-scanned lineitem
+    # and re-ran the lane md5 once PER split; oracle-verified
+    # unchanged)
+    from opencosmo_spark.pipeline.sample import split_label
 
-    splits = split_corpus(
+    labeled = split_label(
         out, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="k"
     )
-    labeled = None
-    for name, part in splits.items():
-        lab = part.withColumn("split", F.lit(name))
-        labeled = lab if labeled is None else labeled.unionByName(lab)
     # epoch lane (new r7): the REAL epoch_sample materializes the
     # multi-epoch side of the mix (N repeats twice, A carries a
     # half-lane of second copies) — copies = floor(rate) + fractional

@@ -33,3 +33,14 @@ def lit_double_array(values) -> Column:
     if not vals or not all(math.isfinite(v) for v in vals):
         return F.array(*[F.lit(v) for v in vals])
     return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+
+
+def lit_long_array(values) -> Column:
+    """A literal ``array<bigint>`` Column in one py4j round-trip (the
+    integer twin of ``lit_double_array``; every element is rendered
+    with the SQL ``L`` suffix so the array type never depends on
+    element magnitudes)."""
+    vals = [int(v) for v in values]
+    if not vals:
+        return F.array().cast("array<bigint>")
+    return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")

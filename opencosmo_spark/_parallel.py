@@ -18,13 +18,20 @@ untouched.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
 def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin ``df`` to ``min_parts`` (default: the session's
     defaultParallelism) partitions iff it currently has fewer — a
-    no-op on already-parallel inputs (the 100 TB case)."""
+    no-op on already-parallel inputs (the 100 TB case).
+
+    ``OC_SPREAD_DISABLE=1`` turns the helper into a no-op — the A/B
+    switch measurement harnesses flip without rebuilding plans."""
+    if os.environ.get("OC_SPREAD_DISABLE"):
+        return df
     try:
         sc = df.sparkSession.sparkContext
         want = int(min_parts or sc.defaultParallelism)

@@ -21,7 +21,7 @@ from pyspark.sql import Column as SparkColumn
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._litarr import lit_double_array
+from ._litarr import lit_double_array, lit_long_array
 from .column.expr import (
     Binder,
     ColumnExpr,
@@ -573,7 +573,9 @@ class Dataset:
         for b in range(len(bounds) + 1):
             offsets.append(acc)
             acc += counts.get(b, 0)
-        off_arr = F.array(*[F.lit(o) for o in offsets])
+        # one py4j call for up to 256 offsets (and a magnitude-stable
+        # array<bigint> type) instead of one round-trip per literal
+        off_arr = lit_long_array(offsets)
         w = Window.partitionBy("__bucket").orderBy(*order)
         return (
             with_b.withColumn(

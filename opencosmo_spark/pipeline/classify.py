@@ -74,11 +74,13 @@ def nb_train(
         label_col, "feat", F.col("c").alias("cnt")
     )
     totals = counts.groupBy(label_col).agg(F.sum("cnt").alias("tot"))
-    labels = df.select(label_col).distinct()
+    # label universe = totals' keys: a distinct over the raw corpus
+    # would re-scan train only to be intersected right back against
+    # totals by the inner join below (labels with zero token-bearing
+    # docs drop either way) — one full pass + exchange saved
     feats = spark.range(num_features).select(F.col("id").cast("long").alias("feat"))
     dense = (
-        labels.crossJoin(feats)
-        .join(totals, label_col)
+        totals.crossJoin(F.broadcast(feats))
         .join(counts, [label_col, "feat"], "left")
         .select(
             label_col,

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, functions as F
 from pyspark.sql import types as T
 
+from .._parallel import spread_small_input
+
 
 def md5_lane(c, hex_digits: int = 15) -> F.Column:
     """Deterministic non-negative hash lane from md5 (60 bits at the
@@ -49,17 +51,35 @@ def _shingle_frame(
     yield one partial window: slices past the end are empty, zip_with
     null-pads, and xxhash64 skips nulls deterministically.
     """
-    wh = F.transform(
-        F.split(F.col(text_col), " "), lambda w: F.xxhash64(w)
+    # tokenize+hash+window-combine is the expensive per-row leg and it
+    # runs BEFORE any exchange: a single-row-group input would execute
+    # it as one task (guide §2.5 input skew) — spread first, no-op on
+    # already-parallel scans
+    df = spread_small_input(df)
+    # the whole chain is rendered as TWO parsed SQL expressions (the
+    # _litarr/similarity SQL-text idiom): each higher-order-function
+    # Column built from Python costs ~20 ms of py4j round-trips, and
+    # this builder runs 1 transform + (k-1) zip_with + array_distinct
+    # per call — measured as the bulk of the ngram query's ~1.5 s
+    # driver-side construction. Identical expression tree: split's
+    # default limit is -1 and xxhash64's default seed 42 on both paths.
+    tq = "`" + text_col.replace("`", "``") + "`"
+    wdf = df.select(
+        F.col(id_col),
+        F.expr(f"transform(split({tq}, ' '), w -> xxhash64(w))").alias(
+            "__wh"
+        ),
     )
-    wdf = df.select(F.col(id_col), wh.alias("__wh"))
-    c = F.col("__wh")
-    nwin = F.greatest(F.size(c) - F.lit(k - 1), F.lit(1))
-    sh = F.slice(c, 1, nwin)
+    nwin = f"greatest(size(__wh) - {k - 1}, 1)"
+    sh = f"slice(__wh, 1, {nwin})"
     for off in range(1, k):
-        nxt = F.slice(c, 1 + off, nwin)
-        sh = F.zip_with(sh, nxt, lambda h, w: F.xxhash64(h, w))
-    return wdf.select(F.col(id_col), F.array_distinct(sh).alias("sh"))
+        sh = (
+            f"zip_with({sh}, slice(__wh, {1 + off}, {nwin}), "
+            f"(h, w) -> xxhash64(h, w))"
+        )
+    return wdf.select(
+        F.col(id_col), F.expr(f"array_distinct({sh})").alias("sh")
+    )
 
 
 def exact_dedup(
@@ -164,58 +184,65 @@ def minhash_signatures(
     (banding, bucket join, exact-Jaccard verify) is oracle-checkable.
     Same algebra, swappable primitive.
     """
+    # shingling + num_hashes minhash lanes is the dominant per-row
+    # cost and precedes every exchange: parallelize a single-partition
+    # input up front (no-op at scale — guide §2.5 input skew)
+    df = spread_small_input(df)
+    # expressions are rendered as parsed SQL text (the _litarr idiom):
+    # the old Column form built 2 + num_hashes higher-order functions
+    # per call at ~20 ms of py4j round-trips each — over a second of
+    # serial driver time per minhash query at num_hashes=16. The SQL
+    # strings parse to the identical trees (split's default limit,
+    # xxhash64's default seed 42, md5_lane's conv/substring/cast all
+    # spelled out; oracle hash-checks the downstream pairs).
+    tq = "`" + text_col.replace("`", "``") + "`"
+
+    def _ml(x: str) -> str:  # md5_lane(x) twin
+        return f"cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+
     if hasher == "xxhash64":
-        words = F.split(F.col(text_col), " ")
-        wh = F.transform(words, lambda w: F.xxhash64(w))
-        base = df.select(F.col(id_col), wh.alias("wh"))
-        n = F.size(F.col("wh"))
-        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(shingle_k - 1), F.lit(1)))
-        window_hash = F.transform(
-            idx,
-            lambda i: F.xxhash64(
-                # try_element_at: docs shorter than k words yield one
-                # partial window (nulls hash deterministically)
-                *[F.try_element_at(F.col("wh"), i + off) for off in range(shingle_k)]
+        base = df.select(
+            F.col(id_col),
+            F.expr(f"transform(split({tq}, ' '), w -> xxhash64(w))").alias(
+                "wh"
             ),
         )
-        base = base.select(
-            F.col(id_col), F.array_distinct(window_hash).alias("shingles")
+        # try_element_at: docs shorter than k words yield one partial
+        # window (nulls hash deterministically)
+        args = ", ".join(
+            f"try_element_at(wh, i + {off})" for off in range(shingle_k)
         )
-
-        def sig_lane(j):
-            return F.array_min(
-                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(j)))
-            )
-
+        win = (
+            f"transform(sequence(1, greatest(size(wh) - {shingle_k - 1}, "
+            f"1)), i -> xxhash64({args}))"
+        )
+        lanes = ", ".join(
+            f"array_min(transform(shingles, s -> xxhash64(s, {j})))"
+            for j in range(num_hashes)
+        )
     elif hasher == "md5":
-        words = F.split(F.col(text_col), " ")
-        base = df.select(F.col(id_col), words.alias("ws"))
-        n = F.size(F.col("ws"))
-        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(shingle_k - 1), F.lit(1)))
-        window_hash = F.transform(
-            idx,
-            lambda i: md5_lane(
-                F.array_join(F.slice(F.col("ws"), i, shingle_k), " ")
-            ),
+        base = df.select(
+            F.col(id_col), F.expr(f"split({tq}, ' ')").alias("ws")
         )
-        base = base.select(
-            F.col(id_col), F.array_distinct(window_hash).alias("shingles")
+        inner = _ml(f"array_join(slice(ws, i, {shingle_k}), ' ')")
+        win = (
+            f"transform(sequence(1, greatest(size(ws) - {shingle_k - 1}, "
+            f"1)), i -> {inner})"
         )
-
-        def sig_lane(j):
-            return F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s: md5_lane(
-                        F.concat(s.cast("string"), F.lit(f":{j}"))
-                    ),
-                )
-            )
-
+        lanes = ", ".join(
+            "array_min(transform(shingles, s -> "
+            + _ml(f"concat(cast(s as string), ':{j}')")
+            + "))"
+            for j in range(num_hashes)
+        )
     else:
         raise ValueError(f"unknown hasher {hasher!r} (xxhash64|md5)")
-    sig = F.array(*[sig_lane(j) for j in range(num_hashes)]).alias("sig")
-    return base.select(F.col(id_col), F.col("shingles"), sig)
+    base = base.select(
+        F.col(id_col), F.expr(f"array_distinct({win})").alias("shingles")
+    )
+    return base.select(
+        F.col(id_col), F.col("shingles"), F.expr(f"array({lanes})").alias("sig")
+    )
 
 
 def _attach_cached(result: DataFrame, cached) -> DataFrame:
@@ -532,7 +559,12 @@ def simhash(
     DuckDB SQL for oracle checking.
     """
     words = F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ex = df.select(F.col(id_col), words).filter(F.col("w") != "")
+    # the explode multiplies rows ~words× before the grouped bit-sum
+    # shuffle; spread a single-partition input so the explode + 64
+    # per-bit CASE sums run on all cores (no-op at scale)
+    ex = spread_small_input(df).select(F.col(id_col), words).filter(
+        F.col("w") != ""
+    )
     if hasher == "md5":
         if bits > 60:
             raise ValueError("md5 lane provides 60 bits")
@@ -923,6 +955,9 @@ def connected_components(
     canonical survivor. Numeric AND string ids both work (string
     cluster ids are the lexicographic minimum; their convergence
     check sums a 64-bit label hash — the star path's checksum idiom).
+    Edge endpoints must be drawn from ``nodes`` (every in-repo caller
+    derives both from the same corpus); behavior for an endpoint
+    absent from ``nodes`` is unspecified.
 
     Two algorithms:
 
@@ -958,11 +993,24 @@ def connected_components(
         )
     # materialize the edge list ONCE: it is re-joined every round, and
     # upstream candidate generation (LSH banding, Jaccard verify) must
-    # not be re-executed per iteration
+    # not be re-executed per iteration. Self-loops (n, n) fold the
+    # node's OWN label into the neighborhood min, so each round below
+    # is one join + one grouped min producing the new labels directly
+    # — the old shape (neighbor-min agg, then a second left-join of
+    # labels against it with least/coalesce) re-shuffled the label
+    # table once more per round and, under AQE, materialized an extra
+    # broadcast per round (guide §2.4: two operations keyed the same
+    # way share one exchange; the closed-neighborhood min IS the new
+    # label, so the second join computed nothing the agg could not).
     sym = (
         edges.select(F.col(a_col).alias("__src"), F.col(b_col).alias("__dst"))
         .union(
             edges.select(F.col(b_col).alias("__src"), F.col(a_col).alias("__dst"))
+        )
+        .union(
+            nodes.select(
+                F.col(id_col).alias("__src"), F.col(id_col).alias("__dst")
+            )
         )
         .localCheckpoint(eager=True)
     )
@@ -988,26 +1036,16 @@ def connected_components(
     prev_sum = None
     converged = False
     for _ in range(max_iterations):
-        nmin = (
-            sym.join(labels, sym["__dst"] == labels["__node"])
-            .groupBy("__src")
-            .agg(F.min("__label").alias("__nmin"))
-        )
         # the convergence scalar rides the SAME job that materializes
         # the checkpoint (Observation = CollectMetrics in the plan) —
         # one pass over labels per round instead of two
         obs = Observation()
         labels = (
-            labels.join(nmin, labels["__node"] == nmin["__src"], "left")
-            .select(
-                "__node",
-                F.least(
-                    F.col("__label"), F.coalesce("__nmin", "__label")
-                ).alias("__label"),
-            )
-            .observe(
-                obs, _conv_metric()
-            )
+            sym.join(labels, sym["__dst"] == labels["__node"])
+            .groupBy("__src")
+            .agg(F.min("__label").alias("__label"))
+            .select(F.col("__src").alias("__node"), "__label")
+            .observe(obs, _conv_metric())
             .localCheckpoint(eager=True)
         )
         cur = obs.get["s"]

@@ -486,6 +486,58 @@ def split_corpus(
     return out
 
 
+def split_label(
+    df: DataFrame,
+    fracs: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    group_col: str | None = None,
+    label_col: str = "split",
+) -> DataFrame:
+    """One-pass COLUMN form of ``split_corpus``: every row gets the
+    name of the split whose ``split_corpus`` frame would contain it,
+    from the same lane and the same cumulative integer boundaries.
+
+    Consuming all splits via ``split_corpus`` is a union of one
+    filtered scan per split — each branch re-reads the parent and
+    re-evaluates the lane md5 (3 splits = 3 scans, guide §2.3
+    "project before the exchange"/§1.2 per-task work). When the
+    downstream wants every row labeled (the training-mix shape), this
+    single scan with one chained CASE is plan-equivalent input-wise
+    and row-identical to that union.
+    """
+    # share split_corpus's validation + lane/boundary arithmetic by
+    # building the SAME spec it builds
+    spec = split_corpus(df, fracs, id_col, salt, group_col)
+    if group_col is not None:
+        key = F.concat(
+            F.when(
+                F.col(group_col).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"split_label: NULL in group_col {group_col!r} — "
+                        f"coalesce unclustered rows to their own id "
+                        f"before a grouped split"
+                    )
+                ),
+            ).otherwise(F.col(group_col).cast("string")),
+            F.lit(":" + salt),
+        )
+    else:
+        key = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    lane = _lane(key)
+    names = list(spec)
+    label = F.lit(names[-1])
+    hi = 0.0
+    cases: list[tuple[Column, str]] = []
+    for name, frac in list(fracs.items())[:-1]:
+        hi += frac
+        cases.append((F.lit(int(hi * _SCALE)).cast("decimal(38,0)"), name))
+    for bound, name in reversed(cases):
+        label = F.when(lane < bound, F.lit(name)).otherwise(label)
+    return df.withColumn(label_col, label)
+
+
 def epoch_sample(
     df: DataFrame,
     rates: dict[str, float],

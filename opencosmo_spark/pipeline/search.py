@@ -54,6 +54,15 @@ def bm25_scores(
     base = df.select(F.col(id_col), toks.alias("__toks")).select(
         id_col, F.size("__toks").alias("__dl"), *tf_cols
     )
+    # base feeds BOTH the stats aggregate and the scoring pass; without
+    # a persist each subtree re-scans the corpus and re-tokenizes —
+    # the expensive leg runs twice (guide §5 caching: reused AND
+    # expensive to recompute). The cached frame is (id, dl, tf...) —
+    # a few longs per doc, never the text. Caller releases via
+    # dedup.release_cached once the result is materialized.
+    from .dedup import _attach_cached
+
+    base = base.persist()
     nterms = len(query_terms)
     stats = base.agg(
         F.count(F.lit(1)).alias("__n"),
@@ -80,8 +89,11 @@ def bm25_scores(
         score = term if score is None else score + term
         h = F.col(f"__tf_{i}") > 0
         hit = h if hit is None else hit | h
-    return j.filter(hit).select(
-        F.col(id_col), F.round(score, decimals).alias("bm25")
+    return _attach_cached(
+        j.filter(hit).select(
+            F.col(id_col), F.round(score, decimals).alias("bm25")
+        ),
+        [base],
     )
 
 
@@ -107,7 +119,10 @@ def bm25_topk(
         b=b,
         decimals=decimals,
     )
-    return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+    out = scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+    # carry the cache-release handle across the derived frame
+    out._oc_cached = list(getattr(scored, "_oc_cached", []))
+    return out
 
 
 def build_term_index(

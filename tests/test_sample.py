@@ -326,3 +326,35 @@ def test_epoch_sample_materializes_multi_epoch_mixture(spark):
         )
     with _pytest.raises(ValueError, match="non-negative"):
         epoch_sample(df, {"big": -0.5}, "source")
+
+
+def test_split_label_matches_split_corpus(spark):
+    # the one-pass column form must agree row-for-row with the
+    # union-of-filtered-frames form it optimizes away (q50's shape)
+    from opencosmo_spark.pipeline.sample import split_corpus, split_label
+
+    df = spark.createDataFrame(
+        [(f"d{i:04d}",) for i in range(1500)], ["doc_id"]
+    )
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    via_frames = {
+        name: set(r.doc_id for r in part.collect())
+        for name, part in split_corpus(df, fracs).items()
+    }
+    labeled = split_label(df, fracs).collect()
+    assert len(labeled) == 1500
+    for r in labeled:
+        assert r.doc_id in via_frames[r.split], (r.doc_id, r.split)
+    # grouped form agrees too (leakage-free unit)
+    gdf = spark.createDataFrame(
+        [(f"d{i}", f"g{i % 7}") for i in range(300)],
+        ["doc_id", "cluster"],
+    )
+    via_g = {
+        name: set(r.doc_id for r in part.collect())
+        for name, part in split_corpus(
+            gdf, fracs, group_col="cluster"
+        ).items()
+    }
+    for r in split_label(gdf, fracs, group_col="cluster").collect():
+        assert r.doc_id in via_g[r.split]
