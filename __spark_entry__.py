@@ -873,11 +873,16 @@ def q30_text_profile(spark, sf):
 def q31_dedup_fingerprint(spark, sf):
     # exact near-dup fingerprint: md5 of text prefix; keep-first per
     # group (hash-groupBy dedup) — plus `churn:*` lanes running the
-    # REAL pipeline.report.corpus_churn (exact mode) between two
+    # REAL pipeline.report churn aggregate (exact mode) between two
     # overlapping snapshot views of the table (old: doc_id%3!=0,
     # new: doc_id%2!=0), hash-checked against the oracle's
-    # independent distinct-fingerprint set arithmetic
-    from opencosmo_spark.pipeline.report import corpus_churn
+    # independent distinct-fingerprint set arithmetic. r14: the lanes
+    # come from corpus_churn_lanes — the same one-pass aggregate kept
+    # LAZY and unioned into the plan, where corpus_churn collected 7
+    # scalars to the driver mid-construction and re-uploaded them via
+    # createDataFrame (a full extra job + round-trip inside the timed
+    # path; values identical, oracle-verified)
+    from opencosmo_spark.pipeline.report import corpus_churn_lanes
 
     d = _t(spark, sf, "documents")
     f = d.select(F.md5(F.substring(F.col("text"), 1, 40)).alias("fp"), "doc_id")
@@ -885,24 +890,13 @@ def q31_dedup_fingerprint(spark, sf):
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc_id")
     )
     base = g.filter(F.col("n") > 1)
-    ch = corpus_churn(
+    lanes = corpus_churn_lanes(
         d.filter(F.col("doc_id") % 3 != 0), d.filter(F.col("doc_id") % 2 != 0)
+    ).select(
+        F.concat(F.lit("churn:"), F.col("metric")).alias("fp"),
+        F.col("value").alias("n"),
+        F.lit(None).cast("bigint").alias("keep_doc_id"),
     )
-    lanes = spark.createDataFrame(
-        [
-            ("churn:" + k, int(ch[k]))
-            for k in (
-                "docs_old",
-                "docs_new",
-                "distinct_old",
-                "distinct_new",
-                "added",
-                "removed",
-                "common",
-            )
-        ],
-        "fp string, n bigint",
-    ).select("fp", "n", F.lit(None).cast("bigint").alias("keep_doc_id"))
     return base.unionByName(lanes)
 
 

@@ -530,6 +530,67 @@ def corpus_churn(
     }
 
 
+def corpus_churn_lanes(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """LAZY frame form of exact-mode ``corpus_churn``: the same
+    one-pass fingerprint aggregate, emitted as seven
+    ``(metric, value)`` rows (docs_old, docs_new, distinct_old,
+    distinct_new, added, removed, common) instead of collected driver
+    scalars. Composable into a consumer's own plan, so a report query
+    embedding churn stays ONE job instead of paying a driver collect +
+    re-upload round-trip mid-construction (guide §5: the driver
+    should do almost no data work). Values match ``corpus_churn``
+    exactly (added = distinct_new - common, removed = distinct_old -
+    common; empty inputs coalesce doc counts to 0 like the eager
+    form's ``or 0``)."""
+
+    def fp(df):
+        t = F.col(text_col)
+        if normalize:
+            t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+        return df.select(F.md5(t).alias("fp"))
+
+    u = fp(old).select(
+        "fp", F.lit(1).alias("__o"), F.lit(0).alias("__n")
+    ).unionByName(
+        fp(new).select("fp", F.lit(0).alias("__o"), F.lit(1).alias("__n"))
+    )
+    per = u.groupBy("fp").agg(
+        F.sum("__o").alias("__co"), F.sum("__n").alias("__cn")
+    )
+    r = per.agg(
+        F.coalesce(F.sum("__co"), F.lit(0)).alias("docs_old"),
+        F.coalesce(F.sum("__cn"), F.lit(0)).alias("docs_new"),
+        F.count(F.when(F.col("__co") > 0, 1)).alias("do"),
+        F.count(F.when(F.col("__cn") > 0, 1)).alias("dn"),
+        # NULL fingerprints never count as common (equi-join semantics)
+        F.count(
+            F.when(
+                (F.col("__co") > 0)
+                & (F.col("__cn") > 0)
+                & F.col("fp").isNotNull(),
+                1,
+            )
+        ).alias("common"),
+    )
+    return r.select(
+        F.expr(
+            "stack(7, "
+            "'docs_old', cast(docs_old as bigint), "
+            "'docs_new', cast(docs_new as bigint), "
+            "'distinct_old', do, "
+            "'distinct_new', dn, "
+            "'added', dn - common, "
+            "'removed', do - common, "
+            "'common', common) as (metric, value)"
+        )
+    )
+
+
 def dup_rate(report_df: DataFrame) -> DataFrame:
     """Attach ``dup_rate`` = 1 - distinct_texts/docs to a report."""
     return report_df.select(

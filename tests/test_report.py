@@ -129,3 +129,32 @@ def test_report_top_ngrams_section(spark, corpus):
     for gram, true_count in want:
         if gram in by_gram:
             assert by_gram[gram] >= true_count  # true upper bound
+
+
+def test_corpus_churn_lanes_matches_eager(spark):
+    # the lazy frame form must emit exactly the eager dict's values
+    from opencosmo_spark.pipeline.report import corpus_churn, corpus_churn_lanes
+
+    old = spark.createDataFrame(
+        [(1, "a b"), (2, "dup text"), (3, "gone"), (4, None)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(5, "a  B"), (6, "dup text"), (7, "fresh"), (8, None)],
+        ["doc_id", "text"],
+    )
+    eager = corpus_churn(old, new)
+    lanes = {
+        r.metric: r.value for r in corpus_churn_lanes(old, new).collect()
+    }
+    for k in (
+        "docs_old", "docs_new", "distinct_old", "distinct_new",
+        "added", "removed", "common",
+    ):
+        assert lanes[k] == eager[k], (k, lanes[k], eager[k])
+    # empty-input doc counts coalesce to 0 like the eager form
+    empty = old.filter("doc_id < 0")
+    lanes0 = {
+        r.metric: r.value for r in corpus_churn_lanes(empty, empty).collect()
+    }
+    assert lanes0["docs_old"] == 0 and lanes0["docs_new"] == 0
