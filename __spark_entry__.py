@@ -25,6 +25,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from opencosmo_spark._litarr import values_df
+
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
@@ -505,7 +507,10 @@ def q66_pair_counts(spark, sf):
         )),
         edges, "dr",
     )
-    grid = spark.createDataFrame([(0,), (1,)], "bin INT")
+    # values_df: LocalTableScan, not a 32-slice PythonRDD (the old
+    # 2-row createDataFrame grid spun up 32 Python workers per run
+    # behind the synchronized SparkEnv lock — thread-dump-verified)
+    grid = values_df(spark, [(0,), (1,)], "bin INT")
     return (
         grid.join(dd, "bin", "left")
         .join(dr, "bin", "left")

@@ -44,3 +44,87 @@ def lit_long_array(values) -> Column:
     if not vals:
         return F.array().cast("array<bigint>")
     return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")
+
+
+# Above this many cells the rendered SQL text stops being "driver-
+# small" and the Arrow createDataFrame path is the right tool anyway.
+_VALUES_MAX_CELLS = 50_000
+
+
+def _sql_cell(v) -> str | None:
+    """SQL literal for one VALUES cell, or None when the value has no
+    faithful literal form (caller falls back to createDataFrame)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):  # before int: bool subclasses int
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        if -(2**63) <= v < 2**63:
+            return f"{v}L"
+        return None
+    if isinstance(v, float):
+        if math.isfinite(v):
+            return f"{v!r}D"
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return None
+
+
+def values_df(spark, rows, schema: str):
+    """Driver-small literal table as a pure-JVM ``LocalRelation``.
+
+    ``spark.createDataFrame(rows, schema)`` on a Python list plans as
+    ``Scan ExistingRDD`` over a PythonRDD parallelized into
+    ``defaultParallelism`` slices — a 2-row bin grid became a 32-task
+    stage in which every task acquires a Python worker through the
+    synchronized ``SparkEnv.createPythonWorker`` (thread dumps showed
+    31/32 executor threads BLOCKED on that monitor: ~10 s of summed
+    runTime for ~0.2 s of CPU, guide §4: keep Python out of paths that
+    don't need it). Rendering the same rows as a SQL ``VALUES`` table
+    plans as ``LocalTableScan``: zero tasks, zero Python workers, and
+    joins against it broadcast trivially.
+
+    ``schema`` is flat DDL (``"name type, name type"``). Cells may be
+    int / float (NaN and ±Inf included) / str / bool / None; anything
+    else — or a table bigger than ~50k cells — falls back to
+    ``createDataFrame`` unchanged. Values are bit-identical to the
+    fallback path: ints are exact, ``repr(float)`` round-trips IEEE
+    doubles (the ``lit_double_array`` guarantee), strings are
+    backslash-escaped."""
+    rows = list(rows)
+    fields = []
+    for part in schema.split(","):
+        toks = part.split(None, 1)
+        if len(toks) != 2:
+            return spark.createDataFrame(rows, schema)
+        fields.append((toks[0].strip().strip("`"), toks[1].strip()))
+    ncol = len(fields)
+    if rows and sum(len(r) for r in rows) > _VALUES_MAX_CELLS:
+        return spark.createDataFrame(rows, schema)
+    proj = ", ".join(
+        f"CAST(col{i + 1} AS {t}) AS `{n}`" for i, (n, t) in enumerate(fields)
+    )
+    # the UNION ALL with an empty all-NULL branch exists only to make
+    # every column NULLABLE in the analyzed schema (matching
+    # createDataFrame exactly); the optimizer prunes the empty side,
+    # so the executed plan stays a bare LocalTableScan
+    null_sel = ", ".join(
+        f"CAST(NULL AS {t}) AS `{n}`" for n, t in fields
+    )
+    if not rows:
+        return spark.sql(f"SELECT {null_sel} WHERE FALSE")
+    lits: list[str] = []
+    for r in rows:
+        if len(r) != ncol:
+            return spark.createDataFrame(rows, schema)
+        cells = [_sql_cell(v) for v in r]
+        if any(c is None for c in cells):
+            return spark.createDataFrame(rows, schema)
+        lits.append("(" + ", ".join(cells) + ")")
+    return spark.sql(
+        f"SELECT {proj} FROM VALUES {', '.join(lits)} "
+        f"UNION ALL SELECT {null_sel} WHERE FALSE"
+    )

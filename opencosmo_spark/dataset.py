@@ -21,7 +21,7 @@ from pyspark.sql import Column as SparkColumn
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._litarr import lit_double_array, lit_long_array
+from ._litarr import lit_double_array, lit_long_array, values_df
 from .column.expr import (
     Binder,
     ColumnExpr,
@@ -647,7 +647,7 @@ class Dataset:
         if head_max is None:
             head_max = _POSITIONAL_HEAD_MAX
         hi = positions[-1] + 1
-        pos_df = spark.createDataFrame([(p,) for p in positions], "__rn long")
+        pos_df = values_df(spark, [(p,) for p in positions], "__rn long")
         if hi > head_max:
             ranked = self._ranked_distributed()
             if ranked is not None:

@@ -28,6 +28,17 @@ _DEFAULTS = {
     # Read INT64 TIMESTAMP(NANOS) parquet columns as raw nanos longs
     # (Spark has no ns timestamp; callers convert via timestamp_micros).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # PySpark wraps EVERY DataFrame/Column op with call-site capture
+    # for error enrichment: getActiveSession + a JVM round-trip + a
+    # Python stack walk PER OPERATION (pyspark/errors/utils.py
+    # _with_origin). Profiling the pair engine showed 692 wrapped ops
+    # costing 2.2 s of pure driver time per query construction —
+    # ~3 ms/op against ~0.2 ms for the underlying py4j call. Queries
+    # are constructed on every run, so this is steady-state cost, not
+    # warmup (guide §5: the driver should do almost no data work).
+    # Cost: errors lose the user-code line-number context; plans,
+    # values, and error CLASSES are unchanged.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # InferFiltersFromGenerate synthesizes `size(arr) > 0` under every
     # explode; predicate pushdown then inlines the full array-producing
     # expression into a per-row interpreted Filter (no codegen for

@@ -21,6 +21,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
+from .._litarr import values_df
 from .._parallel import spread_small_input
 
 
@@ -274,7 +275,7 @@ def two_point_correlation(
         rr = n * (n - 1) / 2.0 * shell / vbox
         rows.append((i, edges[i], edges[i + 1], rr))
     spark = df.sparkSession
-    rr_df = spark.createDataFrame(rows, "bin INT, r_lo DOUBLE, r_hi DOUBLE, rr DOUBLE")
+    rr_df = values_df(spark, rows, "bin INT, r_lo DOUBLE, r_hi DOUBLE, rr DOUBLE")
     return (
         rr_df.join(dd, "bin", "left")
         .select(
@@ -343,8 +344,8 @@ def _ls_assemble(
     ``(DDn - 2 DRn + RRn) / RRn``. One home so a normalization or
     NULL-handling fix can never diverge between geometries."""
     rows = [(i, edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
-    grid = spark.createDataFrame(
-        rows, f"bin INT, {lo_name} DOUBLE, {hi_name} DOUBLE"
+    grid = values_df(
+        spark, rows, f"bin INT, {lo_name} DOUBLE, {hi_name} DOUBLE"
     )
     ddn = F.col("dd") / F.lit(nd * (nd - 1) / 2.0)
     drn = F.col("dr") / F.lit(float(nd) * nr)
@@ -671,7 +672,8 @@ def stacked_radial_profile(
                 round(dens / rho_bar - 1.0, 10) if rho_bar > 0 else None,
             )
         )
-    return spark.createDataFrame(
+    return values_df(
+        spark,
         out,
         "bin int, r_lo double, r_hi double, n_pairs long, mass double, "
         "mean_density double, overdensity double",
@@ -809,8 +811,9 @@ def projected_correlation(
             xi = dd / rr - 1.0 if rr > 0 else 0.0
             wp += xi * 2.0 * d_pi
         out.append((i, lo, hi, dd_tot, round(wp, 10)))
-    return df.sparkSession.createDataFrame(
-        out, "bin int, rp_lo double, rp_hi double, dd long, wp double"
+    return values_df(
+        df.sparkSession, out,
+        "bin int, rp_lo double, rp_hi double, dd long, wp double",
     )
 
 
@@ -890,7 +893,7 @@ def correlation_multipoles(
         "bin int, s_lo double, s_hi double, dd long, "
         + ", ".join(f"xi_{l} double" for l in ells)
     )
-    return df.sparkSession.createDataFrame(out, schema)
+    return values_df(df.sparkSession, out, schema)
 
 
 def pairwise_velocity(
@@ -951,7 +954,8 @@ def pairwise_velocity(
             ).alias("v12_std"),
         )
     )
-    edges = binned.sparkSession.createDataFrame(
+    edges = values_df(
+        binned.sparkSession,
         [(i, float(bins[i]), float(bins[i + 1])) for i in range(len(bins) - 1)],
         "bin int, r_lo double, r_hi double",
     )
@@ -1019,7 +1023,8 @@ def marked_correlation(
             ).alias("ww"),
         )
     )
-    edges = binned.sparkSession.createDataFrame(
+    edges = values_df(
+        binned.sparkSession,
         [(i, float(bins[i]), float(bins[i + 1])) for i in range(len(bins) - 1)],
         "bin int, r_lo double, r_hi double",
     )
@@ -1162,7 +1167,8 @@ def two_point_jackknife(
             (i, edges[i], edges[i + 1], dd[i], rr_full,
              round(xi_full, 10), round(err, 10), kk)
         )
-    return df.sparkSession.createDataFrame(
+    return values_df(
+        df.sparkSession,
         out,
         "bin int, r_lo double, r_hi double, dd long, rr double, "
         "xi double, xi_err double, n_jackknife int",
@@ -1316,7 +1322,8 @@ def stacked_delta_sigma(
                     round(sigma_bar - sigma, decimals),
                 )
             )
-    return centers.sparkSession.createDataFrame(
+    return values_df(
+        centers.sparkSession,
         out,
         "bin int, rp_lo double, rp_hi double, n_pairs long, mass double, "
         "sigma double, sigma_bar double, delta_sigma double",

@@ -69,3 +69,39 @@ def test_nonfinite_falls_back(spark):
 def test_empty_falls_back(spark):
     row = spark.range(1).select(lit_double_array([]).alias("v")).collect()[0]
     assert list(row["v"]) == []
+
+
+def test_values_df_matches_createdataframe(spark):
+    """values_df must be a drop-in createDataFrame twin (values,
+    schema incl. nullability) that plans as LocalTableScan — zero
+    tasks, zero Python workers."""
+    from opencosmo_spark._litarr import values_df
+
+    cases = [
+        ([(0,), (1,)], "bin INT"),
+        (
+            [(0, 0.0, 5.0, 1.5), (1, 5.0, 10.0, float("nan"))],
+            "bin INT, r_lo DOUBLE, r_hi DOUBLE, rr DOUBLE",
+        ),
+        ([(1, "a'b\\c", None), (2, None, True)], "k long, s string, f boolean"),
+        ([], "bin INT, x DOUBLE"),
+        ([(float("-inf"), float("inf"))], "a double, b double"),
+    ]
+    for rows, schema in cases:
+        a = values_df(spark, rows, schema)
+        b = spark.createDataFrame(rows, schema)
+        assert a.schema == b.schema, schema
+        assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+        plan = a._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" in plan
+        assert "ExistingRDD" not in plan
+
+
+def test_values_df_fallback_on_exotic_cells(spark):
+    """Cells without a faithful SQL literal fall back to
+    createDataFrame (values still correct)."""
+    from opencosmo_spark._litarr import values_df
+
+    rows = [([1, 2],), ([3],)]
+    df = values_df(spark, rows, "xs array<bigint>")
+    assert sorted(r.xs for r in df.collect()) == [[1, 2], [3]]
