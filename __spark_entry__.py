@@ -77,11 +77,37 @@ def _ts_ns(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+# Per-session table-plan memo: spark.read.parquet re-reads footers and
+# re-infers the schema on EVERY call (~0.2 s of driver+job time per
+# table per query construction — bench queries construct per rep).
+# The cached value is an UNRESOLVED PLAN + schema, the metastore-table
+# pattern: every action still scans the parquet files, nothing
+# data-sized is persisted. Keyed weakly by session so a stopped
+# session's plans can never leak into a new one; _harden runs once per
+# session (its four confs are idempotent).
+import weakref
+
+_T_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    _harden(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = _ts_ns(df)
+    try:
+        per = _T_CACHE.get(spark)
+    except TypeError:  # un-weakref-able session stand-in (tests/mocks)
+        per = None
+    if per is None:
+        _harden(spark)
+        per = {}
+        try:
+            _T_CACHE[spark] = per
+        except TypeError:
+            pass
+    df = per.get((sf_dir, name))
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = _ts_ns(df)
+        per[(sf_dir, name)] = df
     return df
 
 

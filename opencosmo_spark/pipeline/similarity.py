@@ -8,6 +8,8 @@ All dot products are JVM-side ``zip_with``/``aggregate`` folds.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .._litarr import lit_double_array
@@ -68,6 +70,19 @@ def _norm_sql(a: str) -> str:
 
 def _cosine_sql(a: str, b: str) -> str:
     return f"try_divide({_dot_sql(a, b)}, ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+def _fold_norm(vals) -> float:
+    """Driver-side twin of ``_norm_sql`` over a literal array: the
+    same left fold of ``cast(x as double) * x`` then sqrt, in the same
+    order, in IEEE doubles — bit-identical to evaluating the SQL fold
+    on the JVM (Python floats ARE IEEE doubles; sqrt is correctly
+    rounded in both)."""
+    acc = 0.0
+    for x in vals:
+        xd = float(x)
+        acc += xd * xd
+    return math.sqrt(acc)
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -180,18 +195,42 @@ def assign_ivf_cells(
     """
     vq = _quote(vec_col)
     arrs = [_double_array_sql(c) for _, c in centroids]
-    if all(a is not None for a in arrs):
-        # one parsed expression for the whole argmax (see the SQL-text
-        # twins note above: per-centroid HOF builds cost ~1.3 s of
-        # driver time at nlist=8; this is one py4j call)
+    norms = [_fold_norm(c) for _, c in centroids]
+    if all(a is not None for a in arrs) and all(
+        math.isfinite(n) for n in norms
+    ):
+        # SQL-text argmax, restructured for PARSE/ANALYZE cost: the old
+        # form interpolated the full per-centroid cosine text (dot +
+        # both norm folds over the literal array) into the sims array,
+        # then interpolated THAT array twice (array_position +
+        # array_max) — ~44 KB of SQL whose single withColumn cost
+        # ~1.1 s of JVM analysis per construction. Now (1) the row
+        # norm is hoisted to one helper column, (2) each centroid's
+        # norm is a Python-folded double constant (same left-fold,
+        # same IEEE ops — bit-identical to the JVM fold of the same
+        # literal array), (3) the sims array is materialized ONCE as a
+        # column so the argmax is a tiny expression and the per-row
+        # fold never runs twice.
+        nrm, sims = "__oc_nrm", "__oc_sims"
+        while nrm in df.columns or sims in df.columns:
+            nrm, sims = nrm + "_", sims + "_"
         sims_sql = "array(" + ",".join(
-            f"round({_cosine_sql(vq, a)}, 6)" for a in arrs
+            f"round(try_divide({_dot_sql(vq, a)}, "
+            f"({_quote(nrm)} * {n!r}D)), 6)"
+            for a, n in zip(arrs, norms)
         ) + ")"
-        cell = F.expr(
-            f"cast(array_position({sims_sql}, "
-            f"array_max({sims_sql})) - 1 as bigint)"
+        return (
+            df.withColumn(nrm, F.expr(_norm_sql(vq)))
+            .withColumn(sims, F.expr(sims_sql))
+            .withColumn(
+                cell_col,
+                F.expr(
+                    f"cast(array_position({_quote(sims)}, "
+                    f"array_max({_quote(sims)})) - 1 as bigint)"
+                ),
+            )
+            .drop(nrm, sims)
         )
-        return df.withColumn(cell_col, cell)
     v = F.col(vec_col)
     sims = F.array(
         *[
