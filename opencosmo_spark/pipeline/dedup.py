@@ -1014,9 +1014,16 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
+    # round-0 labels are the IDENTITY map (label(x) = x), so the first
+    # propagation round needs no label join at all: min over the
+    # closed neighborhood of __dst ids IS min over round-0 labels.
+    # The loop below therefore starts from the round-1 result directly
+    # — one grouped shuffle replaces (eager identity checkpoint job +
+    # join + grouped shuffle): two fewer jobs per call (guide §2.4
+    # remove shuffles outright).
     labels = nodes.select(
         F.col(id_col).alias("__node"), F.col(id_col).alias("__label")
-    ).localCheckpoint(eager=True)
+    )
     # convergence metric: numeric labels sum exactly; non-numeric
     # (string) ids sum a 64-bit hash instead — the same
     # consecutive-equal-checksum idiom the star path uses, since
@@ -1035,16 +1042,25 @@ def connected_components(
 
     prev_sum = None
     converged = False
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         # the convergence scalar rides the SAME job that materializes
         # the checkpoint (Observation = CollectMetrics in the plan) —
         # one pass over labels per round instead of two
         obs = Observation()
+        if it == 0:
+            # identity labels: label(__dst) == __dst, the join is a
+            # no-op — aggregate sym directly (see round-0 note above)
+            new = sym.groupBy("__src").agg(
+                F.min("__dst").alias("__label")
+            )
+        else:
+            new = (
+                sym.join(labels, sym["__dst"] == labels["__node"])
+                .groupBy("__src")
+                .agg(F.min("__label").alias("__label"))
+            )
         labels = (
-            sym.join(labels, sym["__dst"] == labels["__node"])
-            .groupBy("__src")
-            .agg(F.min("__label").alias("__label"))
-            .select(F.col("__src").alias("__node"), "__label")
+            new.select(F.col("__src").alias("__node"), "__label")
             .observe(obs, _conv_metric())
             .localCheckpoint(eager=True)
         )
