@@ -568,8 +568,9 @@ def epoch_sample(
     (where curate_corpus places mixing). Expected copies per row is
     exactly its stratum rate.
 
-    One projection + one ``sequence``/``explode`` — no join, no
-    shuffle, no RNG state; the CASE chain over strata is scan-fused
+    One ``posexplode(array_repeat)`` generate — no join, no shuffle,
+    no RNG state, no filter (zero-copy rows yield an empty array and
+    vanish in the generate); the CASE chain over strata is scan-fused
     like the rest of the sampler family.
     """
     if epoch_col in df.columns:
@@ -602,12 +603,19 @@ def epoch_sample(
         ),
     )
     n_copies = full + F.when(_lane(key) < frac, F.lit(1)).otherwise(F.lit(0))
+    # posexplode(array_repeat) instead of filter(__nc > 0) + explode
+    # (sequence(0, __nc - 1)): an empty array drops the row in the
+    # Generate itself, so the lane md5 is evaluated ONCE per row — the
+    # old filter's __nc > 0 conjunct re-evaluated the md5 a second
+    # time after CollapseProject inlined it (guide §1.2 per-task work;
+    # visible in the q50 scan-stage Filter condition). Same rows, same
+    # 0-based epochs.
     return (
-        df.withColumn("__nc", n_copies)
-        .filter(F.col("__nc") > 0)
-        .withColumn(
-            epoch_col,
-            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)),
+        df.select(
+            "*",
+            F.posexplode(
+                F.array_repeat(F.lit(0), n_copies)
+            ).alias(epoch_col, "__zero"),
         )
-        .drop("__nc")
+        .drop("__zero")
     )
