@@ -1079,22 +1079,33 @@ def q43_grouping_sets(spark, sf):
     # shuffle — vs N scans for the manual union-of-groupbys.
     li = _t(spark, sf, "lineitem")
 
-    def agg(grouped, tag):
-        return grouped.agg(
-            F.sum(_cents(F.col("l_quantity")).cast("decimal(19,0)"))
-            .cast("long")
-            .alias("sum_qty_c"),
-            F.count(F.lit(1)).alias("n"),
-        ).select(
-            F.lit(tag).alias("gs"),
-            "l_returnflag",
-            "l_linestatus",
-            "sum_qty_c",
-            "n",
-        )
-
-    return agg(li.rollup("l_returnflag", "l_linestatus"), "rollup").unionByName(
-        agg(li.cube("l_returnflag", "l_linestatus"), "cube")
+    # r14: ONE cube aggregation serves both variants. rollup's grouping
+    # sets {(rf,ls),(rf),()} are exactly the cube's minus the ls-only
+    # set, and grouping_id() tells the sets apart exactly (gid 2 =
+    # ls-only; data NULLs cannot be confused with subtotal NULLs). Each
+    # cube group row fans out to its tags with ONE explode — "cube"
+    # always, plus "rollup" unless gid 2 — so the whole query is one
+    # scan + one 4-set Expand + one exchange (guide §2.4: the old
+    # rollup∪cube union ran two scans and two Expand+agg passes; a
+    # filter-above-union form defeats ReusedExchange because the gid
+    # predicate pushes below the exchange). Row-multiset identical to
+    # the old form (oracle-verified).
+    cub = li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_cents(F.col("l_quantity")).cast("decimal(19,0)"))
+        .cast("long")
+        .alias("sum_qty_c"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id().alias("__gid"),
+    )
+    tags = F.when(
+        F.col("__gid") != 2, F.array(F.lit("cube"), F.lit("rollup"))
+    ).otherwise(F.array(F.lit("cube")))
+    return cub.select(
+        F.explode(tags).alias("gs"),
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty_c",
+        "n",
     )
 
 

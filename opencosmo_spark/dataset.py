@@ -513,7 +513,12 @@ class Dataset:
             raise ValueError(f"take at={at!r} (want start|end|random)")
         return self._clone(out)
 
-    def _ranked_distributed(self) -> "DataFrame | None":
+    def _ranked_distributed(
+        self,
+        rank_lo: int | None = None,
+        rank_hi: int | None = None,
+        positions: "list[int] | None" = None,
+    ) -> "DataFrame | None":
         """Global 0-based positions WITHOUT a single-partition window:
         quantile boundaries on the leading (numeric, ascending) order
         key split rows into value buckets; one count-per-bucket job
@@ -522,6 +527,16 @@ class Dataset:
         compute the bucket from ROW VALUES (literal boundaries), so
         the rank is deterministic across jobs — no reliance on
         partition-id stability, no AQE hazard, no cache.
+
+        ``rank_lo``/``rank_hi`` (a half-open rank interval) or
+        ``positions`` (explicit ranks) prune buckets BEFORE the
+        ranking exchange: bucket b holds exactly ranks
+        [offsets[b], offsets[b] + count[b]) — both driver-known after
+        the count job — so buckets disjoint from the request can be
+        dropped at the scan stage with zero effect on the surviving
+        ``__rn`` values (guide §2.3: shuffle only the rows that can
+        reach the result — a take_range page at 100 TB shuffles the
+        few covering buckets, not the corpus).
 
         Returns a df with ``__rn`` (0-based global position) or None
         when the order shape doesn't qualify (non-numeric or
@@ -595,6 +610,42 @@ class Dataset:
         for b in range(len(bounds) + 1):
             offsets.append(acc)
             acc += counts.get(b, 0)
+        # prune buckets that cannot intersect the requested ranks:
+        # bucket b covers ranks [offsets[b], offsets[b] + n_b) exactly,
+        # so the restriction is driver arithmetic + one scan-stage
+        # filter ahead of the ranking exchange. Ranks of kept rows are
+        # unchanged (offsets were computed over the FULL table).
+        n_b = len(bounds) + 1
+        keep: "list[int] | None" = None
+        if positions is not None:
+            keep = sorted(
+                {
+                    b
+                    for b in range(n_b)
+                    if any(
+                        offsets[b] <= p < offsets[b] + counts.get(b, 0)
+                        for p in positions
+                    )
+                }
+            )
+        elif rank_lo is not None or rank_hi is not None:
+            lo = 0 if rank_lo is None else rank_lo
+            hi = acc if rank_hi is None else rank_hi
+            keep = [
+                b
+                for b in range(n_b)
+                if offsets[b] < hi and offsets[b] + counts.get(b, 0) > lo
+            ]
+        if keep is not None and len(keep) < n_b:
+            if not keep:
+                with_b = with_b.filter(F.lit(False))
+            elif keep == list(range(keep[0], keep[-1] + 1)):
+                with_b = with_b.filter(
+                    (F.col("__bucket") >= keep[0])
+                    & (F.col("__bucket") <= keep[-1])
+                )
+            else:
+                with_b = with_b.filter(F.col("__bucket").isin(keep))
         # one py4j call for up to 256 offsets (and a magnitude-stable
         # array<bigint> type) instead of one round-trip per literal
         off_arr = lit_long_array(offsets)
@@ -629,7 +680,7 @@ class Dataset:
         order = self._order_cols()
         df = self._df
         if end > head_max:
-            ranked = self._ranked_distributed()
+            ranked = self._ranked_distributed(rank_lo=start, rank_hi=end)
             if ranked is not None:
                 out = ranked.filter(
                     (F.col("__rn") >= start) & (F.col("__rn") < end)
@@ -671,7 +722,7 @@ class Dataset:
         hi = positions[-1] + 1
         pos_df = values_df(spark, [(p,) for p in positions], "__rn long")
         if hi > head_max:
-            ranked = self._ranked_distributed()
+            ranked = self._ranked_distributed(positions=positions)
             if ranked is not None:
                 out = ranked.join(
                     F.broadcast(pos_df), "__rn", "left_semi"

@@ -67,11 +67,21 @@ def nb_train(
       (label_total + alpha*num_features)) * 1e6)`` as BIGINT.
     - priors: (label, prior) — ``round(ln(docs_label / N) * 1e6)``.
     """
+    from pyspark import StorageLevel
+
     spark = df.sparkSession
     # _doc_features grouped by [label] already returns one row per
-    # (label, feat) with the total token count — just rename it
-    counts = _doc_features(df, [label_col], text_col, num_features).select(
-        label_col, "feat", F.col("c").alias("cnt")
+    # (label, feat) with the total token count — just rename it.
+    # counts is consumed TWICE below (totals + the dense left join);
+    # without a persist each consumer re-runs the whole
+    # tokenize+explode+shuffle pass over the corpus (two extra scans
+    # in the plan — guide §5 caching rule: reused AND expensive). The
+    # cached frame is bounded by labels x num_features rows BY
+    # CONSTRUCTION, never by corpus size.
+    counts = (
+        _doc_features(df, [label_col], text_col, num_features)
+        .select(label_col, "feat", F.col("c").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     totals = counts.groupBy(label_col).agg(F.sum("cnt").alias("tot"))
     # label universe = totals' keys: a distinct over the raw corpus
@@ -109,7 +119,9 @@ def nb_train(
         .cast("long")
         .alias("prior"),
     )
-    return dense, priors
+    from .dedup import _attach_cached
+
+    return _attach_cached(dense, [counts]), priors
 
 
 def nb_predict(

@@ -130,10 +130,20 @@ def duplicate_spans(
     spans at ~2^-64 per pair; a production run at vocabulary scale can
     widen to 128 bits by pairing two seeded xxhash64 lanes.
     """
+    from pyspark import StorageLevel
+
     sh = _shingle_frame(df, text_col, id_col, span)
+    # consumed THREE times below (the document-frequency agg, the
+    # hit-count join, and the final per-doc left join) — without a
+    # persist each consumer re-runs the tokenize+window-hash pass over
+    # the full corpus (guide §5 caching rule: reused AND expensive).
+    # Cached rows are (id, n_spans, span-hash array): the text itself
+    # is NOT cached, so the footprint is ~8 bytes per corpus token,
+    # spilling to disk at scale; the caller frees it via
+    # release_cached once the result is materialized.
     counted = sh.select(
         F.col(id_col), F.size("sh").cast("long").alias("n_spans"), F.col("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ex = counted.select(F.col(id_col), F.explode("sh").alias("g"))
     dup = (
         ex.groupBy("g")
@@ -146,7 +156,7 @@ def duplicate_spans(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
-    return (
+    return _attach_cached(
         counted.drop("sh")
         .join(hits, id_col, "left")
         .select(
@@ -158,7 +168,8 @@ def duplicate_spans(
                 / F.col("n_spans"),
                 decimals,
             ).alias("dup_frac"),
-        )
+        ),
+        [counted],
     )
 
 
@@ -659,6 +670,14 @@ def ngram_jaccard_pairs(
                 F.size("sh").alias("n"),
                 F.explode("sh").alias("h"),
             )
+        # both self-join sides read ex; without a persist each side
+        # re-runs the tokenize+shingle pass (at broadcast-join scale
+        # the build side re-computes it wholesale — guide §5 caching
+        # rule: reused AND expensive). Cached rows are (id, n, hash)
+        # longs — text never cached; released via release_cached.
+        from pyspark import StorageLevel
+
+        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
         t = float(threshold)
         a = ex.select(
             F.col(id_col).alias("a"), F.col("n").alias("na"), "h"
@@ -679,9 +698,12 @@ def ngram_jaccard_pairs(
         jac = F.col("inter").cast("double") / (
             F.col("na") + F.col("nb") - F.col("inter")
         )
-        return hits.select(
-            "a", "b", F.round(jac, 6).alias("jaccard")
-        ).filter(F.col("jaccard") >= threshold)
+        return _attach_cached(
+            hits.select(
+                "a", "b", F.round(jac, 6).alias("jaccard")
+            ).filter(F.col("jaccard") >= threshold),
+            [ex],
+        )
     sh = _shingle_frame(df, text_col, id_col, k)
     if candidates is None:
         if not allow_bruteforce:

@@ -133,9 +133,18 @@ def frequent_items(
         raise ValueError(f"capacity {cap} must be >= k {k}")
     c = F.col(item_col) if isinstance(item_col, str) else item_col
     items = df.select(c.cast("string").alias("item"))
+    # the summary frame is consumed TWICE below (total-floor scalar +
+    # per-item candidate agg); without a persist each consumer re-runs
+    # the whole corpus sketch pass — two MapInPandas scans in the plan
+    # (guide §5 caching rule: reused AND expensive). The cached frame
+    # is bounded by partitions x capacity rows BY CONSTRUCTION (the
+    # SpaceSaving invariant), never by the item universe; the caller
+    # frees it via release_cached once the result is materialized.
+    from pyspark import StorageLevel
+
     rows = items.mapInPandas(
         _spacesaving_partition(cap, "item"), _CAND_SCHEMA
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # total eviction floor across ALL partitions (one value per pid) —
     # a single-row frame, broadcast onto the candidates. Bounded: the
     # distinct is over <= #partitions rows.
@@ -160,19 +169,25 @@ def frequent_items(
             ).alias("count_upper"),
         )
     )
+    from .dedup import _attach_cached
+
     if not exact:
-        return cands.orderBy(
-            F.col("count_upper").desc(), F.col("item").asc()
-        ).limit(int(k))
+        return _attach_cached(
+            cands.orderBy(
+                F.col("count_upper").desc(), F.col("item").asc()
+            ).limit(int(k)),
+            [rows],
+        )
     short = cands.orderBy(
         F.col("count_upper").desc(), F.col("item").asc()
     ).limit(int(4 * k))
-    return (
+    return _attach_cached(
         items.join(F.broadcast(short.select("item")), "item", "inner")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy(F.col("count").desc(), F.col("item").asc())
-        .limit(int(k))
+        .limit(int(k)),
+        [rows],
     )
 
 

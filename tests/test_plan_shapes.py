@@ -679,3 +679,37 @@ def test_take_range_distributed_no_single_partition(spark, monkeypatch):
     plan = rows._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert sorted(r.id for r in rows.collect()) == [0, 2500, 4999]
+
+
+def test_take_range_distributed_bucket_prune(spark, monkeypatch):
+    """The rank interval/position list must prune non-covering value
+    buckets BEFORE the ranking exchange (bucket coverage is
+    driver-known from the offsets), with ranks unchanged: a page read
+    at 100 TB shuffles the covering buckets, not the corpus."""
+    import pyspark.sql.functions as F
+
+    import opencosmo_spark.dataset as dmod
+    from opencosmo_spark.dataset import Dataset
+
+    monkeypatch.setattr(dmod, "_POSITIONAL_HEAD_MAX", 0)
+    df = spark.range(0, 5000).withColumn(
+        "v", (F.col("id") * 13) % 4999
+    ).repartition(11)
+    ds = Dataset(df).sort_by("id")
+
+    out = ds.take_range(1000, 1300).spark_df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the pre-exchange prune shows up as a filter on the bucket column
+    assert "__bucket" in plan.split("Exchange", 1)[-1]
+    assert sorted(r.id for r in out.collect()) == list(range(1000, 1300))
+
+    # position list: only buckets containing a requested rank survive
+    rows = ds.take_rows([0, 4999]).spark_df
+    assert sorted(r.id for r in rows.collect()) == [0, 4999]
+
+    # full range -> no prune, identical result
+    allr = ds.take_range(0, 5000).spark_df
+    assert allr.count() == 5000
+
+    # out-of-table range -> empty, not an error
+    assert ds.take_range(100_000, 100_100).spark_df.count() == 0
