@@ -1216,10 +1216,29 @@ def q50_stratified_sample(spark, sf):
     # per-stratum deterministic downsampling — the training-mix
     # operation (keep 50% of A, 10% of N, 25% of R), reproducible
     # across engines via the md5 hash lane (q07 pattern, per-stratum)
+    from opencosmo_spark._parallel import spread_small_input
     from opencosmo_spark.pipeline.sample import stratified_sample
 
-    li = _t(spark, sf, "lineitem").withColumn(
-        "k", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    # r14: the sampler lanes are scan-fused filters, so ALL their md5
+    # work runs inside the scan stage — which on a single-row-group
+    # local file is ONE task (stage metrics: 1.08 s of 1.85 s in a
+    # 3-task stage; guide §2.5 input skew). Spread BOTH branches,
+    # KEYED by the row id: hash repartition needs no
+    # sort-before-repartition (the keyless form's local sort
+    # serializes in the very task this relieves) and is retry-safe
+    # (deterministic key); the stratified filter still pushes below
+    # the exchange so only survivors shuffle, the split/epoch md5s
+    # and the wrs rank key run post-exchange on all cores, and the
+    # two branches' reduce stages overlap. No-op on already-parallel
+    # inputs (the 100 TB case); row-wise lanes are partition-
+    # independent, so the result is unchanged. Interleaved same-
+    # session A/B best-of-4: none 2.32 s / lane-only 2.37 s / both
+    # 1.75 s.
+    li = spread_small_input(
+        _t(spark, sf, "lineitem").withColumn(
+            "k", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+        ),
+        key=F.col("k"),
     )
     out = stratified_sample(
         li, {"A": 0.5, "N": 0.1, "R": 0.25}, "l_returnflag", id_col="k"

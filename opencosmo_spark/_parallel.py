@@ -23,10 +23,20 @@ import os
 from pyspark.sql import DataFrame
 
 
-def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def spread_small_input(
+    df: DataFrame, min_parts: int | None = None, key=None
+) -> DataFrame:
     """Round-robin ``df`` to ``min_parts`` (default: the session's
     defaultParallelism) partitions iff it currently has fewer — a
     no-op on already-parallel inputs (the 100 TB case).
+
+    ``key`` (a Column over a high-cardinality deterministic value, e.g.
+    a row id) switches to HASH repartitioning: a keyless round-robin
+    first pays a local sort of its input (sortBeforeRepartition, on by
+    default so retried tasks reproduce the row->partition map — guide
+    §2.5), which serializes in exactly the single map task this helper
+    exists to relieve; a deterministic key needs no such sort and is
+    retry-safe by construction.
 
     ``OC_SPREAD_DISABLE=1`` turns the helper into a no-op — the A/B
     switch measurement harnesses flip without rebuilding plans."""
@@ -40,4 +50,6 @@ def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame
         return df
     if have >= want or want <= 1:
         return df
+    if key is not None:
+        return df.repartition(want, key)
     return df.repartition(want)

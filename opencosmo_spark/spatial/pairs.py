@@ -25,8 +25,9 @@ from .._litarr import values_df
 from .._parallel import spread_small_input
 
 
-def _cell_id(ix, iy, iz, n: int):
-    return (ix * n + iy) * n + iz
+def _q(name: str) -> str:
+    """Backtick-quote an identifier for SQL text."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _prep_cells(
@@ -37,23 +38,25 @@ def _prep_cells(
     cell: float,
     carry: tuple[str, ...] = (),
 ):
-    x, y, z = (F.col(c) for c in cols)
-    ix = F.least(F.floor(x / cell), F.lit(n - 1)).cast("long")
-    iy = F.least(F.floor(y / cell), F.lit(n - 1)).cast("long")
-    iz = F.least(F.floor(z / cell), F.lit(n - 1)).cast("long")
-    return df.select(
-        F.col(id_col).alias("__pid"),
-        x.cast("double").alias("__x"),
-        y.cast("double").alias("__y"),
-        z.cast("double").alias("__z"),
-        ix.alias("__ix"),
-        iy.alias("__iy"),
-        iz.alias("__iz"),
-        # per-point payload (velocities, marks) rides the SAME pair
-        # join instead of being re-attached by per-side equi-joins
-        # afterwards — at pair volume, two avoided joins
-        *[F.col(c).cast("double").alias(f"__carry_{c}") for c in carry],
-    )
+    # one parsed selectExpr instead of ~20 Column round-trips (the
+    # SQL-text idiom; repr round-trips the IEEE cell width exactly,
+    # floor(double) is BIGINT so least/cast semantics are unchanged)
+    exprs = [f"{_q(id_col)} AS __pid"]
+    for c, out in zip(cols, ("__x", "__y", "__z")):
+        exprs.append(f"CAST({_q(c)} AS DOUBLE) AS {out}")
+    for c, out in zip(cols, ("__ix", "__iy", "__iz")):
+        exprs.append(
+            f"CAST(least(floor({_q(c)} / {cell!r}), {n - 1}) AS BIGINT)"
+            f" AS {out}"
+        )
+    # per-point payload (velocities, marks) rides the SAME pair
+    # join instead of being re-attached by per-side equi-joins
+    # afterwards — at pair volume, two avoided joins
+    for c in carry:
+        exprs.append(
+            "CAST({0} AS DOUBLE) AS {1}".format(_q(c), _q(f"__carry_{c}"))
+        )
+    return df.selectExpr(*exprs)
 
 
 def _pairs_engine(
@@ -84,13 +87,16 @@ def _pairs_engine(
     base_a = _prep_cells(dfa, id_col_a, cols_a, n, cell, carry=carry_a)
     base_b = _prep_cells(dfb, id_col_b, cols_b, n, cell, carry=carry_b)
 
-    a = base_a.select(
-        F.col("__pid").alias("a"),
-        F.col("__x").alias("xa"),
-        F.col("__y").alias("ya"),
-        F.col("__z").alias("za"),
-        _cell_id(F.col("__ix"), F.col("__iy"), F.col("__iz"), n).alias("__cell"),
-        *[F.col(f"__carry_{c}").alias(f"{c}_a") for c in carry_a],
+    a = base_a.selectExpr(
+        "__pid AS a",
+        "__x AS xa",
+        "__y AS ya",
+        "__z AS za",
+        f"((__ix * {n} + __iy) * {n} + __iz) AS __cell",
+        *[
+            "{0} AS {1}".format(_q(f"__carry_{c}"), _q(f"{c}_a"))
+            for c in carry_a
+        ],
     )
 
     # the other side fans out to its 27-neighborhood. The neighbor
@@ -102,62 +108,75 @@ def _pairs_engine(
     # scale; guide §1.2 step 2, per-task work).
     offs = [-1, 0, 1]
     base_b = spread_small_input(base_b)
+    # the whole axis+neighborhood chain is rendered as SQL TEXT and
+    # parsed in TWO driver calls (the _litarr/similarity idiom): built
+    # from Python Column ops it cost ~250 py4j round-trips per engine
+    # call (~0.8 s of pure driver wait per q66 construction, measured
+    # by cProfile — guide §4's boundary cost, applied to the
+    # driver↔JVM boundary). The parsed trees are identical: integer
+    # arithmetic over the same per-axis indices, same pmod/bounds
+    # semantics, same NULL-slot filter.
     if periodic:
-        axes = {
-            f"__j{ax}{k}": F.pmod(F.col(f"__i{ax}") + d, F.lit(n))
+        axes_txt = [
+            f"pmod(__i{ax} + {d}, {n}) AS __j{ax}{k}"
             for ax in ("x", "y", "z")
             for k, d in enumerate(offs)
-        }
+        ]
     else:
-        axes = {
-            f"__j{ax}{k}": F.col(f"__i{ax}") + d
+        axes_txt = [
+            f"(__i{ax} + {d}) AS __j{ax}{k}"
             for ax in ("x", "y", "z")
             for k, d in enumerate(offs)
-        }
-    base_b = base_b.select("*", *[v.alias(k) for k, v in axes.items()])
-    neigh = []
+        ]
+    base_b = base_b.selectExpr("*", *axes_txt)
+    neigh_txt = []
     for kx in range(3):
         for ky in range(3):
             for kz in range(3):
-                jx = F.col(f"__jx{kx}")
-                jy = F.col(f"__jy{ky}")
-                jz = F.col(f"__jz{kz}")
-                cid = _cell_id(jx, jy, jz, n)
+                cid = (
+                    f"((__jx{kx} * {n} + __jy{ky}) * {n} + __jz{kz})"
+                )
                 if periodic:
                     # pmod is always in [0, n): no bounds guard needed
-                    neigh.append(cid)
+                    neigh_txt.append(cid)
                 else:
-                    neigh.append(
-                        F.when(
-                            (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
-                            & (jz >= 0) & (jz < n),
-                            cid,
-                        )
+                    guard = (
+                        f"__jx{kx} >= 0 AND __jx{kx} < {n} AND "
+                        f"__jy{ky} >= 0 AND __jy{ky} < {n} AND "
+                        f"__jz{kz} >= 0 AND __jz{kz} < {n}"
                     )
-    cells = F.array(*neigh)
+                    neigh_txt.append(
+                        f"CASE WHEN {guard} THEN {cid} END"
+                    )
+    cells_txt = "array(" + ", ".join(neigh_txt) + ")"
     if not periodic:
         # out-of-box offsets produce NULL slots; indices never repeat
-        cells = F.filter(cells, lambda c: c.isNotNull())
+        cells_txt = f"filter({cells_txt}, c -> c IS NOT NULL)"
     elif n < 3:
         # offsets collapse (mod n) on grids coarser than 3 cells/axis
-        cells = F.array_distinct(cells)
-    b = base_b.select(
-        F.col("__pid").alias("b"),
-        F.col("__x").alias("xb"),
-        F.col("__y").alias("yb"),
-        F.col("__z").alias("zb"),
-        F.explode(cells).alias("__cell"),
-        *[F.col(f"__carry_{c}").alias(f"{c}_b") for c in carry_b],
+        cells_txt = f"array_distinct({cells_txt})"
+    b = base_b.selectExpr(
+        "__pid AS b",
+        "__x AS xb",
+        "__y AS yb",
+        "__z AS zb",
+        f"explode({cells_txt}) AS __cell",
+        *[
+            "`__carry_{0}` AS `{0}_b`".format(c.replace("`", "``"))
+            for c in carry_b
+        ],
     )
 
+    bx = repr(float(box_size))
+
     def delta(p, q):
-        d = F.col(p) - F.col(q)
+        d = f"({p} - {q})"
         if periodic:
-            d = d - F.lit(float(box_size)) * F.round(d / F.lit(float(box_size)), 0)
+            d = f"({d} - {bx} * round({d} / {bx}, 0))"
         return d
 
     dx, dy, dz = delta("xa", "xb"), delta("ya", "yb"), delta("za", "zb")
-    dist = F.sqrt(dx * dx + dy * dy + dz * dz)
+    dist = f"sqrt({dx} * {dx} + {dy} * {dy} + {dz} * {dz})"
     out = a.join(b, "__cell")
     if self_join:
         out = out.filter(F.col("a") < F.col("b"))
@@ -169,16 +188,19 @@ def _pairs_engine(
     extra = (
         # transverse/line-of-sight split against the THIRD axis (the
         # conventional z line of sight; reorder cols for another)
-        [F.sqrt(dx * dx + dy * dy).alias("rp"), F.abs(dz).alias("pi")]
+        [
+            f"sqrt({dx} * {dx} + {dy} * {dy}) AS rp",
+            f"abs({dz}) AS pi",
+        ]
         if components
         else []
     )
     if vector:
-        extra += [dx.alias("dx"), dy.alias("dy"), dz.alias("dz")]
-    extra += [F.col(f"{c}_a") for c in carry_a]
-    extra += [F.col(f"{c}_b") for c in carry_b]
+        extra += [f"{dx} AS dx", f"{dy} AS dy", f"{dz} AS dz"]
+    extra += [_q(f"{c}_a") for c in carry_a]
+    extra += [_q(f"{c}_b") for c in carry_b]
     return (
-        out.select("a", "b", dist.alias("dist"), *extra)
+        out.selectExpr("a", "b", f"{dist} AS dist", *extra)
         .filter(F.col("dist") <= float(radius))
     )
 
