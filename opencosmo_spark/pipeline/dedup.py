@@ -544,8 +544,13 @@ def minhash_lsh_candidates(
         cand.join(sh.withColumnsRenamed({id_col: "a", "shingles": "sh_a"}), "a")
         .join(sh.withColumnsRenamed({id_col: "b", "shingles": "sh_b"}), "b")
     )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| exactly (shingle arrays are
+    # array_distinct'ed), so the union needs no second array
+    # traversal/allocation — codegen CSE evaluates the shared
+    # intersect subtree once (guide §1.2 per-task work; the verify
+    # stage is allocation-bound: its task time was ~5x its CPU time)
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
     return _attach_cached(
         j.select("a", "b", F.round(jac, 6).alias("jaccard"))
@@ -723,8 +728,10 @@ def ngram_jaccard_pairs(
                 sh.withColumnsRenamed({id_col: "a", "sh": "sh_a"}), "a"
             ).join(sh.withColumnsRenamed({id_col: "b", "sh": "sh_b"}), "b")
         )
+    # same size identity as the LSH verify: shingle arrays are
+    # distinct, so the union size is arithmetic over the intersect
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
     return pairs.select("a", "b", F.round(jac, 6).alias("jaccard")).filter(
         F.col("jaccard") >= threshold

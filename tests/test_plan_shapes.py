@@ -713,3 +713,23 @@ def test_take_range_distributed_bucket_prune(spark, monkeypatch):
 
     # out-of-table range -> empty, not an error
     assert ds.take_range(100_000, 100_100).spark_df.count() == 0
+
+
+def test_spread_small_input_keyed(spark):
+    """Keyed spread must hash-partition (no sort-before-repartition
+    pass) and stay a no-op on already-parallel input; row multiset is
+    unchanged either way."""
+    import pyspark.sql.functions as F
+
+    from opencosmo_spark._parallel import spread_small_input
+
+    small = spark.range(0, 1000, 1, 1).withColumn("k", F.col("id") * 3)
+    out = spread_small_input(small, key=F.col("k"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(k" in plan
+    assert "roundrobin" not in plan.lower()
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
+
+    wide = spark.range(0, 1000, 1, 64).withColumn("k", F.col("id"))
+    assert spread_small_input(wide, key=F.col("k")) is wide
