@@ -1031,10 +1031,27 @@ def connected_components(
     # broadcast per round (guide §2.4: two operations keyed the same
     # way share one exchange; the closed-neighborhood min IS the new
     # label, so the second join computed nothing the agg could not).
+    # both edge directions come out of ONE explode over each edge row
+    # — the old two-branch union consumed `edges` twice, re-running
+    # the WHOLE upstream candidate generation (LSH banding + exact
+    # verify) once per direction (two identical heavy map stages in
+    # the q47 profile; guide §2.4/§5: reused and expensive subtrees
+    # must not be re-evaluated). Same row multiset, same types.
     sym = (
-        edges.select(F.col(a_col).alias("__src"), F.col(b_col).alias("__dst"))
-        .union(
-            edges.select(F.col(b_col).alias("__src"), F.col(a_col).alias("__dst"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("s"), F.col(b_col).alias("d")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("s"), F.col(a_col).alias("d")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select(
+            F.col("__e.s").alias("__src"), F.col("__e.d").alias("__dst")
         )
         .union(
             nodes.select(
