@@ -652,12 +652,18 @@ def semantic_dedup(
     # interpreted folds otherwise). The pair expression stays
     # dot/(na*nb) — bit-identical to cosine(), so thresholds and the
     # SQL twin are unaffected.
+    # Persisted: stamped feeds BOTH self-join sides and the final
+    # left join — without it the IVF argmax assignment and the norm
+    # fold re-run 3x per row (guide §5 caching rule: reused AND
+    # expensive). The caller frees it via dedup.release_cached.
+    from pyspark import StorageLevel
+
     stamped = df.select(
         F.col(id_col),
         F.col(vec_col),
         F.col(cell_col),
         _norm(F.col(vec_col)).alias("__nrm"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = stamped.select(
         F.col(id_col).alias("__a"),
         F.col(vec_col).alias("__va"),
@@ -679,10 +685,13 @@ def semantic_dedup(
         & (F.round(sim, 6) >= F.lit(float(threshold)))
     )
     dup = pairs.groupBy("__a").agg(F.min("__b").alias("dup_of"))
-    return (
+    from .dedup import _attach_cached
+
+    return _attach_cached(
         a.select("__a", "cell")
         .join(dup, "__a", "left")
-        .select(F.col("__a").alias(id_col), "cell", "dup_of")
+        .select(F.col("__a").alias(id_col), "cell", "dup_of"),
+        [stamped],
     )
 
 
