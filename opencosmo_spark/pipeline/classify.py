@@ -194,14 +194,21 @@ def nb_classify(
         num_features=num_features,
         alpha=alpha,
     )
-    return nb_predict(
-        score_df,
-        model,
-        priors,
-        id_col=id_col,
-        text_col=text_col,
-        label_col=label_col,
-        num_features=num_features,
+    from .dedup import _attach_cached
+
+    # propagate the counts cache riding on the model frame so
+    # release_cached on the one-call result frees it too
+    return _attach_cached(
+        nb_predict(
+            score_df,
+            model,
+            priors,
+            id_col=id_col,
+            text_col=text_col,
+            label_col=label_col,
+            num_features=num_features,
+        ),
+        getattr(model, "_oc_cached", []),
     )
 
 
