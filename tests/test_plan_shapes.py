@@ -170,14 +170,30 @@ def test_q51_star_join_broadcasts_and_pushes(spark):
     assert "LessThan(o_orderdate" in plan
 
 
-def test_q50_sample_is_pushable_scan_filter(spark):
+def test_q50_sample_is_pushable_scan_filter(spark, monkeypatch):
     """Stratified sampling compiles to a bare filter over one scan: no
-    exchange, no join, no Python."""
+    exchange, no join, no Python. The query adds ONE scale-adaptive
+    keyed spread (a no-op at real scale — OC_SPREAD_DISABLE pins the
+    operator's intrinsic shape here); with the spread on, the only
+    exchange allowed is that hash repartition and the stratified lane
+    filter must still sit BELOW it (survivors-only shuffle)."""
+    monkeypatch.setenv("OC_SPREAD_DISABLE", "1")
     plan = plan_of(spark, "q50_stratified_sample")
     n = nodes(plan)
     assert "Exchange" not in n
     assert not any("Join" in x for x in n)
     assert "BatchEvalPython" not in n
+
+    monkeypatch.delenv("OC_SPREAD_DISABLE")
+    plan = plan_of(spark, "q50_stratified_sample")
+    n = nodes(plan)
+    assert n.count("Exchange") <= 2  # one keyed spread per branch
+    assert "REPARTITION_BY_NUM" in plan
+    assert not any("Join" in x for x in n)
+    assert "BatchEvalPython" not in n
+    # the md5 lane filter pushed below the spread: scan side filters
+    scan_side = plan.split("Exchange", 1)[-1]
+    assert "md5" in scan_side
 
 
 def test_q27_rolling_windows_single_exchange(spark):
