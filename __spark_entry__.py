@@ -1548,10 +1548,13 @@ def q65_dup_spans(spark, sf):
 # =====================================================================
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # exactly 50 entries — the driver's correctness window is 50
-        # rows, so EVERY query gets a driver oracle row. Formerly-
-        # separate trivial queries were merged, keeping operator
-        # coverage: q02+q03 -> q02_select_drop, q10+q11 ->
+        # 51 entries: 50 fill the driver's 50-row correctness window
+        # (every one gets a driver oracle row), and q67 — the 51st,
+        # added r13 under the documented overflow contract (commit
+        # a30246a) — sits OUTSIDE that window and is oracle-checked
+        # in-repo instead (tools/check_oracle.py covers all 51).
+        # Formerly-separate trivial queries were merged, keeping
+        # operator coverage: q02+q03 -> q02_select_drop, q10+q11 ->
         # q10_derived_cols, q24+q25+q23 -> q24_set_ops (the anti-join
         # family member joined in round 6, freeing a slot for the
         # pair-engine parity row q66), and q30+q32+q38+q41+q48 ->

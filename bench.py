@@ -11,8 +11,14 @@ the steady-state number a long-lived cluster sees (the first run
 pays one-time JVM JIT, codegen compilation, and file-listing costs
 that amortize to zero in production, and interleaved same-code
 measurements on this shared VM swing +-15% run-to-run — best-of-3
-suppresses that noise; all runs re-read parquet from disk, no
-df.cache()).
+suppresses that noise). Operators that persist() an intermediate
+WITHIN one execution (the §5 reused-subtree caches) are unpersisted
+and the session cache cleared BETWEEN runs (r15 fix): Spark's
+CacheManager plan-matches the rebuilt query, so without the release
+runs 2-3 silently read the cache materialized in run 1 and best-of-3
+recorded a cross-run-cache number no single execution ever sees
+(r14's "Asked to cache already cached data" WARNs). Every timed run
+now recomputes from parquet, including its own cache materialization.
 
 Noise self-identification (added after round 9, where a mid-suite
 host-noise window inflated the recorded headline 27.2s vs a
@@ -107,7 +113,9 @@ HISTORY_RATIO = 2.5
 # pays executor-side cache materialization, so run 1 reads ~20% slow
 # and the spread gate fires on warmup, not host noise. One untimed
 # warmup run before the timed best-of-3 pins them; everything else
-# keeps the cheaper cold protocol.
+# keeps the cheaper cold protocol. (Since the r15 between-run cache
+# release, the warm run no longer seeds any cache — it still absorbs
+# per-query codegen/JIT warmup, so the lane is kept.)
 WARM_LANE = {"q31_dedup_fingerprint", "q35_minhash_lsh"}
 
 # History gate validity horizon: when a query's DEFINITION grows (more
@@ -203,18 +211,42 @@ def _micro_probe() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _release_caches(spark, df) -> None:
+    """Drop every cache a query execution materialized so the NEXT run
+    recomputes from parquet: the operator-registered intermediates
+    (``_oc_cached``, the dedup builders' release protocol) plus a
+    whole-session ``clearCache()`` belt for persists without a hook.
+    Without this, CacheManager plan-matching let runs 2-3 read run 1's
+    cache and best-of-3 recorded cross-run-cache times (r14 audit)."""
+    for c in getattr(df, "_oc_cached", []):
+        try:
+            c.unpersist()
+        except Exception:  # noqa: BLE001 — release is best-effort
+            pass
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def _time_query(fn, spark, sf_dir, reps: int = 3, warm: bool = False):
     """Run a query `reps` times; return (all run times, row count).
-    ``warm`` adds one UNTIMED run first (WARM_LANE queries whose first
-    run pays cache materialization)."""
+    Caches are released BETWEEN runs (see _release_caches) so each
+    timed run is a full single-execution recompute. ``warm`` adds one
+    UNTIMED run first (WARM_LANE queries — absorbs codegen/JIT
+    warmup; its caches are released too)."""
     runs = []
     n = 0
     if warm:
-        fn(spark, sf_dir).count()
+        df = fn(spark, sf_dir)
+        df.count()
+        _release_caches(spark, df)
     for _ in range(reps):
         t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
+        df = fn(spark, sf_dir)
+        n = df.count()
         runs.append(round(time.perf_counter() - t0, 3))
+        _release_caches(spark, df)
     return runs, n
 
 

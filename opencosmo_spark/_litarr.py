@@ -51,9 +51,31 @@ def lit_long_array(values) -> Column:
 _VALUES_MAX_CELLS = 50_000
 
 
-def _sql_cell(v) -> str | None:
+# declared column type (base name) -> python types whose literal
+# rendering + CAST reproduces createDataFrame's verified conversion.
+# A cell/type pair OUTSIDE this table falls back to createDataFrame so
+# a caller bug still fails loudly (TypeError) instead of becoming a
+# silent NULL under the VALUES path's non-ANSI cast.
+_CELL_TYPES = {
+    "tinyint": (bool, int), "smallint": (bool, int), "int": (bool, int),
+    "integer": (bool, int), "bigint": (bool, int), "long": (bool, int),
+    "float": (float,), "real": (float,), "double": (float,),
+    "string": (str,), "boolean": (bool,),
+}
+
+
+def _sql_cell(v, decl: str | None = None) -> str | None:
     """SQL literal for one VALUES cell, or None when the value has no
-    faithful literal form (caller falls back to createDataFrame)."""
+    faithful literal form (caller falls back to createDataFrame).
+    ``decl`` (the column's declared DDL type) additionally rejects
+    cells whose python type createDataFrame would refuse for that
+    column — preserving the loud-failure contract."""
+    if decl is not None:
+        allowed = _CELL_TYPES.get(decl.split("(")[0].strip().lower())
+        if allowed is None:
+            return None  # unknown declared type — verified path only
+        if v is not None and not isinstance(v, allowed):
+            return None
     if v is None:
         return "NULL"
     if isinstance(v, bool):  # before int: bool subclasses int
@@ -63,8 +85,11 @@ def _sql_cell(v) -> str | None:
             return f"{v}L"
         return None
     if isinstance(v, float):
+        # coerce through float() so float SUBCLASSES (np.float64 under
+        # NumPy 2.x reprs as 'np.float64(0.5)') render a parseable
+        # literal — the lit_double_array coercion
         if math.isfinite(v):
-            return f"{v!r}D"
+            return f"{float(v)!r}D"
         if math.isnan(v):
             return "CAST('NaN' AS DOUBLE)"
         return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
@@ -120,7 +145,7 @@ def values_df(spark, rows, schema: str):
     for r in rows:
         if len(r) != ncol:
             return spark.createDataFrame(rows, schema)
-        cells = [_sql_cell(v) for v in r]
+        cells = [_sql_cell(v, fields[i][1]) for i, v in enumerate(r)]
         if any(c is None for c in cells):
             return spark.createDataFrame(rows, schema)
         lits.append("(" + ", ".join(cells) + ")")

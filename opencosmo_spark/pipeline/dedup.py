@@ -54,8 +54,10 @@ def _shingle_frame(
     # tokenize+hash+window-combine is the expensive per-row leg and it
     # runs BEFORE any exchange: a single-row-group input would execute
     # it as one task (guide §2.5 input skew) — spread first, no-op on
-    # already-parallel scans
-    df = spread_small_input(df)
+    # already-parallel scans. KEYED by the row id: a keyless
+    # round-robin pays sortBeforeRepartition's local sort inside the
+    # very map task being relieved (the q50 finding).
+    df = spread_small_input(df, key=F.col(id_col))
     # the whole chain is rendered as TWO parsed SQL expressions (the
     # _litarr/similarity SQL-text idiom): each higher-order-function
     # Column built from Python costs ~20 ms of py4j round-trips, and
@@ -197,8 +199,9 @@ def minhash_signatures(
     """
     # shingling + num_hashes minhash lanes is the dominant per-row
     # cost and precedes every exchange: parallelize a single-partition
-    # input up front (no-op at scale — guide §2.5 input skew)
-    df = spread_small_input(df)
+    # input up front (no-op at scale — guide §2.5 input skew). Keyed
+    # by row id — no sortBeforeRepartition local sort (q50 finding).
+    df = spread_small_input(df, key=F.col(id_col))
     # expressions are rendered as parsed SQL text (the _litarr idiom):
     # the old Column form built 2 + num_hashes higher-order functions
     # per call at ~20 ms of py4j round-trips each — over a second of
@@ -577,10 +580,11 @@ def simhash(
     words = F.explode(F.split(F.col(text_col), " ")).alias("w")
     # the explode multiplies rows ~words× before the grouped bit-sum
     # shuffle; spread a single-partition input so the explode + 64
-    # per-bit CASE sums run on all cores (no-op at scale)
-    ex = spread_small_input(df).select(F.col(id_col), words).filter(
-        F.col("w") != ""
-    )
+    # per-bit CASE sums run on all cores (no-op at scale). Keyed by
+    # row id — no sortBeforeRepartition local sort (q50 finding).
+    ex = spread_small_input(df, key=F.col(id_col)).select(
+        F.col(id_col), words
+    ).filter(F.col("w") != "")
     if hasher == "md5":
         if bits > 60:
             raise ValueError("md5 lane provides 60 bits")

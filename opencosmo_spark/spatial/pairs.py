@@ -46,7 +46,7 @@ def _prep_cells(
         exprs.append(f"CAST({_q(c)} AS DOUBLE) AS {out}")
     for c, out in zip(cols, ("__ix", "__iy", "__iz")):
         exprs.append(
-            f"CAST(least(floor({_q(c)} / {cell!r}), {n - 1}) AS BIGINT)"
+            f"CAST(least(floor({_q(c)} / {cell!r}D), {n - 1}) AS BIGINT)"
             f" AS {out}"
         )
     # per-point payload (velocities, marks) rides the SAME pair
@@ -167,7 +167,12 @@ def _pairs_engine(
         ],
     )
 
-    bx = repr(float(box_size))
+    # D suffix pins the literal to DOUBLE: a bare float repr parses as
+    # DECIMAL, which silently switches integer/decimal coordinate
+    # columns to exact decimal division (different floor() at the
+    # boundary) — double columns matched either way, but the "repr
+    # round-trips IEEE exactly" claim only holds for a double literal
+    bx = repr(float(box_size)) + "D"
 
     def delta(p, q):
         d = f"({p} - {q})"
