@@ -660,16 +660,20 @@ def q30_text_profile(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
-    length = F.length(F.col("text"))
-    nospace = F.length(F.regexp_replace(F.col("text"), " ", ""))
-    tokens = length - nospace + 1
-    s = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    # char/token/lang-score algebra as SQL text (r15 — the _litarr
+    # idiom applied to the entry glue; same expression trees)
+    nospace = "length(regexp_replace(text, ' ', ''))"
+    tokens = f"(length(text) - {nospace} + 1)"
+    s = "concat(' ', lower(text), ' ')"
 
     def cnt(word):
         pat = f" {word} "
-        return (F.length(s) - F.length(F.regexp_replace(s, pat, ""))) / len(pat)
+        return (
+            f"((length({s}) - length(regexp_replace({s}, '{pat}', '')))"
+            f" / {len(pat)})"
+        )
 
-    score = cnt("the") + cnt("a") + cnt("of")
+    score = f"({cnt('the')} + {cnt('a')} + {cnt('of')})"
     stats = repetition_stats("text")
     # Gopher quality rules (pipeline/clean.py; Rae et al. 2021 A1.1) —
     # the word-level slice that is exactly mirrorable in SQL; the
@@ -682,20 +686,30 @@ def q30_text_profile(spark, sf):
     # self-trained bigram LM (pipeline/lm.py; CCNet-style signal):
     # every bigram is in-model, so the add-alpha conditional applies
     # everywhere; log-probs quantized to integer micros BEFORE the
-    # per-doc sum (the q64 idiom) so the oracle matches bit-for-bit
-    from opencosmo_spark.pipeline.lm import _bigram_frame, train_bigram_lm
-
-    lm = train_bigram_lm(d)
-    v = float(lm["vocab"])
-    bgr = _bigram_frame(d, "text", "doc_id")
-    lp = F.log(
-        (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(0.1))
-        / (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(0.1) * F.lit(v))
+    # per-doc sum (the q64 idiom) so the oracle matches bit-for-bit.
+    # r15: the LAZY model form — the eager train_bigram_lm ran two
+    # count JOBS at construction time (guide §5, driver does no data
+    # work while planning); V now rides the plan as a broadcast 1-row
+    # cross join, arithmetic bit-identical (0.1D * cast(vocab as
+    # double) is the same double multiply the literal path ran).
+    from opencosmo_spark.pipeline.lm import (
+        _bigram_frame,
+        train_bigram_lm_lazy,
     )
+
+    lm = train_bigram_lm_lazy(d)
+    bgr = _bigram_frame(d, "text", "doc_id")
     lm_agg = (
         bgr.join(lm["bigrams"], ["h1", "h2"], "left")
         .join(lm["unigrams"], ["h1"], "left")
-        .select("doc_id", F.round(lp * F.lit(1e6), 0).cast("long").alias("__lpm"))
+        .crossJoin(F.broadcast(lm["vocab_scalar"]))
+        .selectExpr(
+            "doc_id",
+            "cast(round(log((cast(coalesce(c12, 0) as double) + 0.1D) /"
+            " (cast(coalesce(c1, 0) as double) + 0.1D *"
+            " cast(vocab as double))) * 1000000.0D, 0) as bigint)"
+            " AS __lpm",
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -708,58 +722,54 @@ def q30_text_profile(spark, sf):
     # synthetic URLs (documents has no url column) through the REAL
     # url_features / url_suffixes operators — registered-domain
     # heuristic incl. compound ccTLDs, path depth, and the suffix-
-    # match blocklist semantics of url_filter, all oracle-mirrored
-    from opencosmo_spark.pipeline.web import url_features, url_suffixes
+    # match blocklist semantics of url_filter, all oracle-mirrored.
+    # r15: rendered as SQL text (same CASE/concat tree, one parse).
+    from opencosmo_spark.pipeline.web import _url_suffixes_sql, url_features
 
-    tld = (
-        F.when(F.col("doc_id") % 4 == 0, F.lit("com"))
-        .when(F.col("doc_id") % 4 == 1, F.lit("co.uk"))
-        .when(F.col("doc_id") % 4 == 2, F.lit("org"))
-        .otherwise(F.lit("net"))
+    url_txt = (
+        "concat('https://',"
+        " CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END,"
+        " source, '.',"
+        " CASE WHEN doc_id % 4 = 0 THEN 'com'"
+        " WHEN doc_id % 4 = 1 THEN 'co.uk'"
+        " WHEN doc_id % 4 = 2 THEN 'org' ELSE 'net' END,"
+        " CASE WHEN doc_id % 7 = 0"
+        " THEN concat('/a/b/', cast(doc_id as string))"
+        " ELSE concat('/p/', cast(doc_id as string)) END)"
     )
-    sub = F.when(F.col("doc_id") % 5 == 0, F.lit("www.")).otherwise(F.lit(""))
-    path = (
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(F.lit("/a/b/"), F.col("doc_id").cast("string")),
-        )
-        .otherwise(F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
-    )
-    url = F.concat(
-        F.lit("https://"), sub, F.col("source"), F.lit("."), tld, path
-    )
-    blocklist = ["src3.com", "src7.co.uk", "src11.org"]
-    g = url_features(g.withColumn("url", url), "url").withColumn(
+    g = url_features(
+        g.withColumn("url", F.expr(url_txt)), "url"
+    ).withColumn(
         "u_blocked",
-        F.arrays_overlap(
-            url_suffixes("url"), F.lit(blocklist).cast("array<string>")
+        F.expr(
+            f"arrays_overlap({_url_suffixes_sql('url')},"
+            " cast(array('src3.com', 'src7.co.uk', 'src11.org')"
+            " as array<string>))"
         ),
     )
     # Gopher A1.2 repetition slice (pipeline/clean.py, new r7): the
     # heaviest repeated 2-gram's char coverage and the duplicated
     # 5-gram mass, through the REAL gopher_repetition_flags helpers —
-    # integer mass / integer content length, exactly SQL-mirrorable
+    # integer mass / integer content length, exactly SQL-mirrorable.
+    # r15: the helpers' SQL-text twins (same sorted run-length scan).
     from opencosmo_spark.pipeline.clean import (
-        _dup_gram_mass,
-        _top_gram_mass,
-        _word_grams,
+        _dup_gram_mass_sql,
+        _top_gram_mass_sql,
+        _word_grams_sql,
     )
 
-    rep_words = F.filter(
-        F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    rep_words = "filter(split(trim(text), '\\\\s+'), w -> w != '')"
+    rep_cl = (
+        f"cast(greatest(length(concat_ws(' ', {rep_words})), 1) as double)"
     )
-    rep_cl = F.greatest(
-        F.length(F.concat_ws(" ", rep_words)), F.lit(1)
-    ).cast("double")
-    r_top2 = F.round(
-        _top_gram_mass(_word_grams(rep_words, 2)).cast("double") / rep_cl, 6
+    r_top2 = (
+        f"round(cast({_top_gram_mass_sql(_word_grams_sql(rep_words, 2))}"
+        f" as double) / {rep_cl}, 6)"
     )
-    r_dup5 = F.round(
-        F.least(
-            _dup_gram_mass(_word_grams(rep_words, 5)).cast("double") / rep_cl,
-            F.lit(1.0),
-        ),
-        6,
+    r_dup5 = (
+        f"round(least(cast("
+        f"{_dup_gram_mass_sql(_word_grams_sql(rep_words, 5))}"
+        f" as double) / {rep_cl}, 1.0D), 6)"
     )
 
     # per-domain cap lane (pipeline/sample.py::cap_per_group, r9): the
@@ -780,37 +790,29 @@ def q30_text_profile(spark, sf):
     # (token_mode="whitespace": per-part \S+ counts) are pure
     # string/length algebra, mirrored exactly in the oracle
 
-    msgs = F.array(
-        F.struct(
-            F.lit("system").alias("role"),
-            F.lit("You are helpful.").alias("content"),
-        ),
-        F.struct(
-            F.lit("user").alias("role"),
-            F.substring(F.col("text"), 1, 40).alias("content"),
-        ),
-        F.struct(
-            F.lit("assistant").alias("role"),
-            F.substring(F.col("text"), 41, 60).alias("content"),
-        ),
-    )
     from opencosmo_spark.pipeline.chat import render_chat
 
+    msgs_txt = (
+        "array(named_struct('role', 'system',"
+        " 'content', 'You are helpful.'),"
+        " named_struct('role', 'user',"
+        " 'content', substring(text, 1, 40)),"
+        " named_struct('role', 'assistant',"
+        " 'content', substring(text, 41, 60)))"
+    )
     chat = render_chat(
-        d.select("doc_id", msgs.alias("messages")),
+        d.selectExpr("doc_id", f"{msgs_txt} AS messages"),
         "messages",
         token_mode="whitespace",
-    ).select(
+    ).selectExpr(
         "doc_id",
-        F.length("text").alias("chat_len"),
-        F.element_at("supervised_spans", 1)["start"].alias("chat_sup_start"),
-        F.element_at("supervised_spans", 1)["end"].alias("chat_sup_end"),
-        F.element_at("supervised_spans", 1)["tok_start"]
-        .cast("long")
-        .alias("chat_tok_start"),
-        F.element_at("supervised_spans", 1)["tok_end"]
-        .cast("long")
-        .alias("chat_tok_end"),
+        "length(text) AS chat_len",
+        "element_at(supervised_spans, 1).start AS chat_sup_start",
+        "element_at(supervised_spans, 1).`end` AS chat_sup_end",
+        "cast(element_at(supervised_spans, 1).tok_start as bigint)"
+        " AS chat_tok_start",
+        "cast(element_at(supervised_spans, 1).tok_end as bigint)"
+        " AS chat_tok_end",
     )
     g = g.join(chat, "doc_id", "left")
 
@@ -827,77 +829,73 @@ def q30_text_profile(spark, sf):
     )
 
     def _msg(role, content):
-        return F.array(
-            F.struct(F.lit(role).alias("role"), content.alias("content"))
-        )
+        return f"array(named_struct('role', '{role}', 'content', {content}))"
 
-    trip = d.select(
+    trip = d.selectExpr(
         "doc_id",
-        _msg("user", F.substring("text", 1, 30)).alias("prompt"),
-        _msg("assistant", F.substring("text", 31, 40)).alias("chosen"),
-        _msg("assistant", F.substring("text", 71, 20)).alias("rejected"),
+        f"{_msg('user', 'substring(text, 1, 30)')} AS prompt",
+        f"{_msg('assistant', 'substring(text, 31, 40)')} AS chosen",
+        f"{_msg('assistant', 'substring(text, 71, 20)')} AS rejected",
     )
     pp = filter_preference_pairs(
         render_preference_pairs(trip),
         min_completion_chars=0,
         drop_identical=False,
-    ).select(
+    ).selectExpr(
         "doc_id",
-        F.col("prompt_chars").alias("dpo_prompt_chars"),
-        F.try_element_at("chosen_spans", F.lit(1))["start"].alias(
-            "dpo_chosen_start"
-        ),
-        F.try_element_at("chosen_spans", F.lit(1))["end"].alias(
-            "dpo_chosen_end"
-        ),
-        F.col("pp_rejected_chars").alias("dpo_rejected_chars"),
-        F.col("pp_identical").alias("dpo_identical"),
-        F.col("pp_len_ratio").alias("dpo_len_ratio"),
+        "prompt_chars AS dpo_prompt_chars",
+        "try_element_at(chosen_spans, 1).start AS dpo_chosen_start",
+        "try_element_at(chosen_spans, 1).`end` AS dpo_chosen_end",
+        "pp_rejected_chars AS dpo_rejected_chars",
+        "pp_identical AS dpo_identical",
+        "pp_len_ratio AS dpo_len_ratio",
     )
     g = g.join(pp, "doc_id", "left")
 
     return g.select(
-        "doc_id",
-        length.alias("n_chars_calc"),
-        tokens.alias("n_tokens"),
-        (nospace.cast("double") / tokens).alias("avg_word_len"),
-        score.cast("long").alias("en_score"),
-        F.when(score >= 2, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+        F.expr("doc_id"),
+        F.expr("length(text)").alias("n_chars_calc"),
+        F.expr(tokens).alias("n_tokens"),
+        F.expr(f"cast({nospace} as double) / {tokens}").alias(
+            "avg_word_len"
+        ),
+        F.expr(f"cast({score} as bigint)").alias("en_score"),
+        F.expr(
+            f"CASE WHEN {score} >= 2 THEN 'en' ELSE 'other' END"
+        ).alias("lang_guess"),
         quality_score("text").alias("quality"),
         token_count("text", "whitespace").alias("n_ws"),
         token_count("text", "bpe").alias("n_bpe"),
-        r_top2.alias("r_top2gram_cf"),
-        r_dup5.alias("r_dup5gram_cf"),
+        F.expr(r_top2).alias("r_top2gram_cf"),
+        F.expr(r_dup5).alias("r_dup5gram_cf"),
         *[c.alias(name) for name, c in stats.items()],
-        "g_word_count",
-        "g_mean_word_len",
-        "g_alpha_word_ratio",
-        "g_stopword_hits",
-        (
-            F.col("g_ok_word_count")
-            & F.col("g_ok_mean_word_len")
-            & F.col("g_ok_alpha_word_ratio")
-            & F.col("g_ok_stopwords")
+        F.expr("g_word_count"),
+        F.expr("g_mean_word_len"),
+        F.expr("g_alpha_word_ratio"),
+        F.expr("g_stopword_hits"),
+        F.expr(
+            "(g_ok_word_count AND g_ok_mean_word_len"
+            " AND g_ok_alpha_word_ratio AND g_ok_stopwords)"
         ).alias("g_keep"),
-        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-        F.coalesce("lp_micro_sum", F.lit(0)).alias("lp_micro_sum"),
-        F.col("url_host").alias("u_host"),
-        F.col("url_domain").alias("u_domain"),
-        F.col("url_tld").alias("u_tld"),
-        F.col("url_path_depth").alias("u_depth"),
-        "u_blocked",
-        F.coalesce("__cap", F.lit(False)).alias("u_cap_keep"),
-        "chat_len",
-        "chat_sup_start",
-        "chat_sup_end",
-        "chat_tok_start",
-        "chat_tok_end",
-        "dpo_prompt_chars",
-        "dpo_chosen_start",
-        "dpo_chosen_end",
-        "dpo_rejected_chars",
-        "dpo_identical",
-        "dpo_len_ratio",
+        F.expr("coalesce(n_bigrams, 0)").alias("n_bigrams"),
+        F.expr("coalesce(lp_micro_sum, 0)").alias("lp_micro_sum"),
+        F.expr("url_host").alias("u_host"),
+        F.expr("url_domain").alias("u_domain"),
+        F.expr("url_tld").alias("u_tld"),
+        F.expr("url_path_depth").alias("u_depth"),
+        F.expr("u_blocked"),
+        F.expr("coalesce(__cap, false)").alias("u_cap_keep"),
+        F.expr("chat_len"),
+        F.expr("chat_sup_start"),
+        F.expr("chat_sup_end"),
+        F.expr("chat_tok_start"),
+        F.expr("chat_tok_end"),
+        F.expr("dpo_prompt_chars"),
+        F.expr("dpo_chosen_start"),
+        F.expr("dpo_chosen_end"),
+        F.expr("dpo_rejected_chars"),
+        F.expr("dpo_identical"),
+        F.expr("dpo_len_ratio"),
     )
 
 

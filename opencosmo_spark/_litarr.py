@@ -46,6 +46,51 @@ def lit_long_array(values) -> Column:
     return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")
 
 
+def sql_str(s: str) -> str:
+    """Render a python string as a Spark SQL string EXPRESSION whose
+    value is exactly ``s`` (shared by the SQL-text operator folds).
+    Printable strings become a plain escaped literal; control
+    characters outside \\n/\\r/\\t (e.g. a NUL sentinel) have no
+    literal escape that survives every parser config, so those render
+    as ``concat(..., char(n), ...)`` pieces."""
+    out = []  # literal-safe chunks and char(n) pieces, in order
+    buf = []
+
+    def flush():
+        if buf:
+            out.append("'" + "".join(buf) + "'")
+            buf.clear()
+
+    for ch in s:
+        o = ord(ch)
+        if ch == "\\":
+            buf.append("\\\\")
+        elif ch == "'":
+            buf.append("\\'")
+        elif ch == "\n":
+            buf.append("\\n")
+        elif ch == "\r":
+            buf.append("\\r")
+        elif ch == "\t":
+            buf.append("\\t")
+        elif o < 0x20 or o == 0x7F:
+            flush()
+            out.append(f"char({o})")
+        else:
+            buf.append(ch)
+    flush()
+    if not out:
+        return "''"
+    if len(out) == 1:
+        return out[0]
+    return "concat(" + ", ".join(out) + ")"
+
+
+def sql_ident(name: str) -> str:
+    """Backtick-quote an identifier for SQL text."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 # Above this many cells the rendered SQL text stops being "driver-
 # small" and the Arrow createDataFrame path is the right tool anyway.
 _VALUES_MAX_CELLS = 50_000

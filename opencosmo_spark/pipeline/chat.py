@@ -64,6 +64,34 @@ class ChatTemplate:
             out = F.when(role == F.lit(r), F.lit(ft)).otherwise(out)
         return out
 
+    # SQL-text twins (the _litarr idiom, r15): same CASE nesting order
+    # as the Column forms (later overrides wrap earlier ones), template
+    # strings escaped through sql_str so any literal renders exactly
+    def header_sql(self, role: str) -> str:
+        from .._litarr import sql_str
+
+        out = (
+            f"concat({sql_str(self.header_prefix)}, {role},"
+            f" {sql_str(self.header_suffix)})"
+        )
+        for r, h in (self.headers or {}).items():
+            out = (
+                f"(CASE WHEN {role} = {sql_str(r)} THEN {sql_str(h)}"
+                f" ELSE {out} END)"
+            )
+        return out
+
+    def footer_sql(self, role: str) -> str:
+        from .._litarr import sql_str
+
+        out = sql_str(self.footer)
+        for r, ft in (self.footers or {}).items():
+            out = (
+                f"(CASE WHEN {role} = {sql_str(r)} THEN {sql_str(ft)}"
+                f" ELSE {out} END)"
+            )
+        return out
+
     # python twins (used by tests and by driver-side tooling)
     def header(self, role: str) -> str:
         if self.headers and role in self.headers:
@@ -123,6 +151,18 @@ def _tok(c: Column, mode: str) -> Column:
     raise ValueError(f"unknown token mode {mode!r}")
 
 
+def _tok_sql(c: str, mode: str) -> str:
+    """SQL-text twin of :func:`_tok` (same regexes)."""
+    if mode == "whitespace":
+        return f"size(regexp_extract_all({c}, '\\\\S+', 0))"
+    if mode == "bpe":
+        return (
+            f"size(regexp_extract_all({c},"
+            " '[A-Za-z]+|[0-9]+|[^\\\\sA-Za-z0-9]', 0))"
+        )
+    raise ValueError(f"unknown token mode {mode!r}")
+
+
 def render_chat(
     df: DataFrame,
     messages_col: str = "messages",
@@ -169,136 +209,128 @@ def render_chat(
     """
     if on_long not in ("error", "truncate"):
         raise ValueError(f"on_long must be 'error' or 'truncate', got {on_long!r}")
-    msgs_raw = F.coalesce(
-        F.col(messages_col),
-        F.array().cast(df.schema[messages_col].dataType),
-    )
-    out_extra = []
+    # The whole render is built as parsed SQL text (the _litarr idiom,
+    # r15): the Column form registered ~10 HOF lambdas per call (~20 ms
+    # of py4j round-trips each) and render_preference_pairs calls this
+    # three times per construction. The expressions are the same tree
+    # shapes — NULL-coalesced role/content, running-sum aggregate
+    # starts, zip_with span structs — with internal struct fields named
+    # s/e/ts/te/r (projected away before output; 'end' would need
+    # keyword quoting). Value equivalence is pinned by the chat tests'
+    # substring==content differentials and the q30 oracle.
+    from .._litarr import sql_ident, sql_str
+
+    mq = sql_ident(messages_col)
+    ddl = df.schema[messages_col].dataType.simpleString()
+    msgs_raw = f"coalesce({mq}, cast(array() as {ddl}))"
+    out_cols: dict[str, Column] = {}
     if on_long == "truncate":
-        out_extra.append(
-            (F.size(msgs_raw) > int(max_turns)).alias("turns_truncated")
+        out_cols["turns_truncated"] = F.expr(
+            f"(size({msgs_raw}) > {int(max_turns)})"
         )
-        msgs = F.slice(msgs_raw, 1, int(max_turns))
+        msgs = f"slice({msgs_raw}, 1, {int(max_turns)})"
     else:
-        guard = F.assert_true(
-            F.size(msgs_raw) <= int(max_turns),
-            F.concat(
-                F.lit(
-                    f"render_chat: conversation exceeds max_turns={max_turns}"
-                    " (got "
-                ),
-                F.size(msgs_raw).cast("string"),
-                F.lit(
-                    " turns); raise max_turns, pre-filter with"
-                    " conversation_turns, or pass on_long='truncate'"
-                ),
-            ),
+        pre = (
+            f"render_chat: conversation exceeds max_turns={max_turns}"
+            " (got "
         )
-        # assert_true is NULL on success; the when() forces its
+        post = (
+            " turns); raise max_turns, pre-filter with"
+            " conversation_turns, or pass on_long='truncate'"
+        )
+        guard = (
+            f"assert_true(size({msgs_raw}) <= {int(max_turns)},"
+            f" concat({sql_str(pre)},"
+            f" cast(size({msgs_raw}) as string), {sql_str(post)}))"
+        )
+        # assert_true is NULL on success; the CASE forces its
         # evaluation on every row without altering the array
-        msgs = F.when(guard.isNull(), msgs_raw)
+        msgs = f"(CASE WHEN {guard} IS NULL THEN {msgs_raw} END)"
 
-    def role_of(m: Column) -> Column:
-        return F.coalesce(m["role"], F.lit(""))
+    def role_of(m: str) -> str:
+        return f"coalesce({m}.role, '')"
 
-    def content_of(m: Column) -> Column:
-        return F.coalesce(m["content"], F.lit(""))
+    def content_of(m: str) -> str:
+        return f"coalesce({m}.content, '')"
 
-    def part_expr(m: Column) -> Column:
+    def part_expr(m: str) -> str:
         # NULL role/content render as empty strings — a NULL would
         # otherwise null the whole concat, silently dropping the part
         # from the rendered text while the span arithmetic still
         # counted it
-        return F.concat(
-            template.header_expr(role_of(m)),
-            content_of(m),
-            template.footer_expr(role_of(m)),
+        return (
+            f"concat({template.header_sql(role_of(m))}, {content_of(m)},"
+            f" {template.footer_sql(role_of(m))})"
         )
 
-    parts = F.transform(msgs, part_expr)
+    parts = f"transform({msgs}, m -> {part_expr('m')})"
     # starts[i] = sum of part lengths before i (running-sum aggregate:
     # conversations are short arrays — max_turns bounds the quadratic
     # row-local array-append)
-    starts = F.aggregate(
-        F.transform(parts, lambda p: F.length(p)),
-        F.array(F.lit(0)),
-        lambda acc, x: F.concat(
-            acc, F.array(F.element_at(acc, -1) + x)
-        ),
-    )
+
+    def running(arr: str) -> str:
+        return (
+            f"aggregate({arr}, array(0),"
+            " (acc, x) -> concat(acc, array(element_at(acc, -1) + x)))"
+        )
+
+    starts = running(f"transform({parts}, p -> length(p))")
 
     want_tokens = token_mode is not None
     if want_tokens:
-        part_toks = F.transform(
-            msgs,
-            lambda m: _tok(template.header_expr(role_of(m)), token_mode)
-            + _tok(content_of(m), token_mode)
-            + _tok(template.footer_expr(role_of(m)), token_mode),
-        )
-        tok_starts = F.aggregate(
-            part_toks,
-            F.array(F.lit(0)),
-            lambda acc, x: F.concat(
-                acc, F.array(F.element_at(acc, -1) + x)
-            ),
-        )
-        zipped = F.zip_with(
-            F.slice(starts, 1, F.size(msgs)),
-            F.slice(tok_starts, 1, F.size(msgs)),
-            lambda c, t: F.struct(c.alias("c"), t.alias("t")),
-        )
-
-        def span_of(m: Column, off: Column) -> Column:
-            hdr = template.header_expr(role_of(m))
-            start = off["c"] + F.length(hdr)
-            tstart = off["t"] + _tok(hdr, token_mode)
-            return F.struct(
-                start.alias("start"),
-                (start + F.length(content_of(m))).alias("end"),
-                tstart.alias("tok_start"),
-                (tstart + _tok(content_of(m), token_mode)).alias(
-                    "tok_end"
-                ),
-                m["role"].alias("__role"),
+        part_toks = (
+            f"transform({msgs}, m -> "
+            + " + ".join(
+                [
+                    _tok_sql(template.header_sql(role_of("m")), token_mode),
+                    _tok_sql(content_of("m"), token_mode),
+                    _tok_sql(template.footer_sql(role_of("m")), token_mode),
+                ]
             )
-
+            + ")"
+        )
+        tok_starts = running(part_toks)
+        zipped = (
+            f"zip_with(slice({starts}, 1, size({msgs})),"
+            f" slice({tok_starts}, 1, size({msgs})),"
+            " (c, t) -> named_struct('c', c, 't', t))"
+        )
+        hdr = template.header_sql(role_of("m"))
+        start = f"(off.c + length({hdr}))"
+        tstart = f"(off.t + {_tok_sql(hdr, token_mode)})"
+        span_struct = (
+            f"named_struct('s', {start},"
+            f" 'e', {start} + length({content_of('m')}),"
+            f" 'ts', {tstart},"
+            f" 'te', {tstart} + {_tok_sql(content_of('m'), token_mode)},"
+            f" 'r', m.role)"
+        )
     else:
-        zipped = F.slice(starts, 1, F.size(msgs))
+        zipped = f"slice({starts}, 1, size({msgs}))"
+        hdr = template.header_sql(role_of("m"))
+        start = f"(off + length({hdr}))"
+        span_struct = (
+            f"named_struct('s', {start},"
+            f" 'e', {start} + length({content_of('m')}),"
+            f" 'r', m.role)"
+        )
 
-        def span_of(m: Column, off: Column) -> Column:
-            hdr = template.header_expr(role_of(m))
-            start = off + F.length(hdr)
-            return F.struct(
-                start.alias("start"),
-                (start + F.length(content_of(m))).alias("end"),
-                m["role"].alias("__role"),
-            )
-
-    spans = F.filter(
-        F.zip_with(msgs, zipped, span_of),
-        lambda sp: sp["__role"] == F.lit(supervised_role),
+    spans = (
+        f"filter(zip_with({msgs}, {zipped}, (m, off) -> {span_struct}),"
+        f" sp -> sp.r = {sql_str(supervised_role)})"
     )
-    span_fields = ["start", "end"] + (
-        ["tok_start", "tok_end"] if want_tokens else []
+    out_fields = "'start', sp.s, 'end', sp.e" + (
+        ", 'tok_start', sp.ts, 'tok_end', sp.te" if want_tokens else ""
     )
-    out = df
-    for extra in out_extra:
-        out = out.withColumn("turns_truncated", extra)
-    out = out.withColumn("text", F.concat_ws("", parts)).withColumn(
-        "supervised_spans",
-        F.transform(
-            spans,
-            lambda sp: F.struct(
-                *[sp[f].alias(f) for f in span_fields]
-            ),
-        ),
+    out_cols["text"] = F.expr(f"concat_ws('', {parts})")
+    out_cols["supervised_spans"] = F.expr(
+        f"transform({spans}, sp -> named_struct({out_fields}))"
     )
     if want_tokens:
-        out = out.withColumn(
-            "n_tokens",
-            F.aggregate(part_toks, F.lit(0), lambda a, x: a + x),
+        out_cols["n_tokens"] = F.expr(
+            f"aggregate({part_toks}, 0, (a, x) -> a + x)"
         )
-    return out
+    return df.withColumns(out_cols)
 
 
 def chat_sft_rows(

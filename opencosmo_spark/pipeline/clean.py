@@ -56,83 +56,84 @@ def gopher_quality_flags(
     - per-rule booleans ``g_ok_*`` and the conjunction ``keep``
 
     Thresholds are the paper's defaults, overridable per corpus.
+
+    Rendered as parsed SQL text (the _litarr idiom, r15): the Column
+    form registered 8 higher-order-function lambdas (~20 ms of py4j
+    round-trips each) plus 15 chained withColumn projections per call
+    — ~0.3-0.9 s of serial driver time per construction (guide §4's
+    boundary cost at the driver↔JVM boundary). Same expressions:
+    split's regex, the 0.0D aggregate init, the int->double cast
+    points and round(…, 6) are all spelled identically, and the flags
+    are value-checked by the oracle (q30) and the clean tests.
     """
-    t = F.col(text_col)
-    words = F.split(F.trim(t), r"\s+")
-    words = F.filter(words, lambda w: w != F.lit(""))
-    n_words = F.size(words)
-    safe_n = F.greatest(n_words, F.lit(1)).cast("double")
+    from .._litarr import sql_ident, sql_str
+
+    t = sql_ident(text_col)
+    words = f"filter(split(trim({t}), '\\\\s+'), w -> w != '')"
+    safe_n = f"cast(greatest(size({words}), 1) as double)"
     mean_wlen = (
-        F.aggregate(
-            words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
-        )
-        / safe_n
+        f"aggregate({words}, 0.0D,"
+        f" (acc, w) -> acc + cast(length(w) as double)) / {safe_n}"
     )
-    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
-    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"(\.\.\.|…)"), 0))
-    symbol_ratio = (n_hash + n_ellipsis).cast("double") / safe_n
-    lines = F.filter(
-        F.split(t, "\n"), lambda ln: F.trim(ln) != F.lit("")
-    )
-    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    n_hash = f"(length({t}) - length(regexp_replace({t}, '#', '')))"
+    n_ellipsis = f"size(regexp_extract_all({t}, '(\\\\.\\\\.\\\\.|…)', 0))"
+    symbol_ratio = f"cast(({n_hash} + {n_ellipsis}) as double) / {safe_n}"
+    lines = f"filter(split({t}, '\\n'), ln -> trim(ln) != '')"
+    n_lines = f"cast(greatest(size({lines}), 1) as double)"
     bullet_ratio = (
-        F.size(
-            F.filter(
-                lines,
-                lambda ln: F.trim(ln).rlike(r"^([\-\*•‣◦])"),
-            )
-        ).cast("double")
-        / n_lines
+        f"cast(size(filter({lines},"
+        f" ln -> trim(ln) rlike '^([\\\\-\\\\*•‣◦])')) as double)"
+        f" / {n_lines}"
     )
     ellipsis_ratio = (
-        F.size(
-            F.filter(
-                lines,
-                lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"),
-            )
-        ).cast("double")
-        / n_lines
+        f"cast(size(filter({lines},"
+        f" ln -> rtrim(ln) rlike '(\\\\.\\\\.\\\\.|…)$')) as double)"
+        f" / {n_lines}"
     )
     alpha_ratio = (
-        F.size(
-            F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))
-        ).cast("double")
-        / safe_n
+        f"cast(size(filter({words}, w -> w rlike '[A-Za-z]')) as double)"
+        f" / {safe_n}"
     )
-    lower_words = F.transform(words, F.lower)
-    stop_hits = F.size(
-        F.array_intersect(
-            F.array_distinct(lower_words),
-            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
-        )
+    stops = ", ".join(sql_str(w) for w in _GOPHER_STOPWORDS)
+    stop_hits = (
+        f"size(array_intersect(array_distinct("
+        f"transform({words}, w -> lower(w))), array({stops})))"
     )
-
-    out = (
-        df.withColumn("g_word_count", n_words)
-        .withColumn("g_mean_word_len", F.round(mean_wlen, 6))
-        .withColumn("g_symbol_ratio", F.round(symbol_ratio, 6))
-        .withColumn("g_bullet_ratio", F.round(bullet_ratio, 6))
-        .withColumn("g_ellipsis_ratio", F.round(ellipsis_ratio, 6))
-        .withColumn("g_alpha_word_ratio", F.round(alpha_ratio, 6))
-        .withColumn("g_stopword_hits", stop_hits)
+    out = df.withColumns(
+        {
+            "g_word_count": F.expr(f"size({words})"),
+            "g_mean_word_len": F.expr(f"round({mean_wlen}, 6)"),
+            "g_symbol_ratio": F.expr(f"round({symbol_ratio}, 6)"),
+            "g_bullet_ratio": F.expr(f"round({bullet_ratio}, 6)"),
+            "g_ellipsis_ratio": F.expr(f"round({ellipsis_ratio}, 6)"),
+            "g_alpha_word_ratio": F.expr(f"round({alpha_ratio}, 6)"),
+            "g_stopword_hits": F.expr(stop_hits),
+        }
     )
     checks = {
-        "g_ok_word_count": F.col("g_word_count").between(min_words, max_words),
-        "g_ok_mean_word_len": F.col("g_mean_word_len").between(
-            min_mean_word_len, max_mean_word_len
+        "g_ok_word_count": (
+            f"g_word_count BETWEEN {int(min_words)} AND {int(max_words)}"
         ),
-        "g_ok_symbol_ratio": F.col("g_symbol_ratio") <= max_symbol_ratio,
-        "g_ok_bullet_ratio": F.col("g_bullet_ratio") <= max_bullet_ratio,
-        "g_ok_ellipsis_ratio": F.col("g_ellipsis_ratio") <= max_ellipsis_ratio,
-        "g_ok_alpha_word_ratio": F.col("g_alpha_word_ratio")
-        >= min_alpha_word_ratio,
-        "g_ok_stopwords": F.col("g_stopword_hits") >= min_stopword_hits,
+        "g_ok_mean_word_len": (
+            f"g_mean_word_len BETWEEN {float(min_mean_word_len)!r}D"
+            f" AND {float(max_mean_word_len)!r}D"
+        ),
+        "g_ok_symbol_ratio": (
+            f"g_symbol_ratio <= {float(max_symbol_ratio)!r}D"
+        ),
+        "g_ok_bullet_ratio": (
+            f"g_bullet_ratio <= {float(max_bullet_ratio)!r}D"
+        ),
+        "g_ok_ellipsis_ratio": (
+            f"g_ellipsis_ratio <= {float(max_ellipsis_ratio)!r}D"
+        ),
+        "g_ok_alpha_word_ratio": (
+            f"g_alpha_word_ratio >= {float(min_alpha_word_ratio)!r}D"
+        ),
+        "g_ok_stopwords": f"g_stopword_hits >= {int(min_stopword_hits)}",
     }
-    keep: Column = F.lit(True)
-    for name, cond in checks.items():
-        out = out.withColumn(name, cond)
-        keep = keep & F.col(name)
-    return out.withColumn("keep", keep)
+    out = out.withColumns({k: F.expr(v) for k, v in checks.items()})
+    return out.withColumn("keep", F.expr(" AND ".join(checks.keys())))
 
 
 def _dup_beyond_first(arr: Column) -> Column:
@@ -247,6 +248,58 @@ def _dup_gram_mass(grams: Column) -> Column:
         ),
     )
     return scanned["mass"]
+
+
+# ----- SQL-text twins of the gram helpers (the _litarr idiom, r15) --
+# Each takes/returns SQL TEXT instead of Columns: the Column forms
+# register one interpreted-lambda aggregate per call (~20 ms of py4j
+# round-trips), and q30's repetition lane builds four of them per
+# construction. Same expressions: array_sort + run-length aggregate,
+# <=> for eqNullSafe, the same long casts and CASE arithmetic.
+
+
+def _word_grams_sql(words: str, n: int) -> str:
+    """SQL-text twin of :func:`_word_grams` over a words EXPRESSION."""
+    return (
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"transform(sequence(1, size({words}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({words}, i, {n}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+
+
+def _top_gram_mass_sql(grams: str) -> str:
+    """SQL-text twin of :func:`_top_gram_mass`."""
+    return (
+        f"aggregate(array_sort({grams}), "
+        "named_struct('prev', cast(null as string), 'run', 0L, "
+        "'best_mass', 0L), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', CASE WHEN x <=> acc.prev THEN acc.run + 1L ELSE 1L END, "
+        "'best_mass', greatest(acc.best_mass, "
+        "CASE WHEN x <=> acc.prev "
+        "THEN (acc.run + 1L) * cast(length(x) as bigint) "
+        "ELSE 0L END)), "
+        "acc -> acc.best_mass)"
+    )
+
+
+def _dup_gram_mass_sql(grams: str) -> str:
+    """SQL-text twin of :func:`_dup_gram_mass`."""
+    return (
+        f"aggregate(array_sort({grams}), "
+        "named_struct('prev', cast(null as string), 'run', 0L, "
+        "'mass', 0L), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', CASE WHEN x <=> acc.prev THEN acc.run + 1L ELSE 1L END, "
+        "'mass', acc.mass + CASE WHEN x <=> acc.prev "
+        "THEN cast(length(x) as bigint) * "
+        "(CASE WHEN acc.run = 1L THEN 2L ELSE 1L END) "
+        "ELSE 0L END), "
+        "acc -> acc.mass)"
+    )
 
 
 # (threshold, signal kind) per Rae et al. 2021 Table A1, repetition rows

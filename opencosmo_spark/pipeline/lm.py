@@ -23,19 +23,26 @@ from .text import words_expr
 
 def _bigram_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, h1, h2) — one row per adjacent word pair, hashes of the
-    lowered words; documents with < 2 words produce no rows."""
-    words = words_expr(text_col)
-    wh = F.transform(words, lambda w: F.xxhash64(w))
-    base = df.select(F.col(id_col), wh.alias("__wh"))
-    c = F.col("__wh")
-    n = F.size(c)
-    pairs = F.zip_with(
-        F.slice(c, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(c, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("h1"), b.alias("h2")),
+    lowered words; documents with < 2 words produce no rows.
+
+    Rendered as parsed SQL text (the _litarr idiom): the Column form
+    registered one transform + one zip_with lambda (~20 ms of py4j
+    round-trips each) per call, and this builder runs 2-3x per
+    LM-scoring construction (guide §4's boundary cost at the
+    driver↔JVM boundary). Same tokenizer (words_expr's regex), same
+    shifted-slice zip, same (id, h1, h2) output."""
+    from .._litarr import sql_ident as _q
+
+    tq, iq = _q(text_col), _q(id_col)
+    words = f"regexp_extract_all(lower({tq}), '[a-z0-9]+', 0)"
+    base = df.selectExpr(
+        iq, f"transform({words}, w -> xxhash64(w)) AS __wh"
     )
-    return base.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
-        id_col, F.col("bg.h1").alias("h1"), F.col("bg.h2").alias("h2")
+    n1 = "greatest(size(__wh) - 1, 0)"
+    return base.selectExpr(
+        iq,
+        f"inline(zip_with(slice(__wh, 1, {n1}), slice(__wh, 2, {n1}), "
+        "(a, b) -> named_struct('h1', a, 'h2', b)))",
     )
 
 
@@ -67,6 +74,37 @@ def train_bigram_lm(
         "vocab_df": vocab_df,
         "vocab": int(vocab),
         "total": int(total),
+    }
+
+
+def train_bigram_lm_lazy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> dict:
+    """``train_bigram_lm`` with the two driver scalars kept LAZY: the
+    eager form runs two count JOBS at construction time (guide §5 —
+    the driver should do no data work while building a plan), which a
+    consumer embedding the LM in a larger query pays on every
+    construction. Returns the same count tables plus ``vocab_scalar``
+    — a ONE-ROW frame ``(vocab bigint)`` the consumer cross-joins
+    (a 1-row side broadcasts) so V becomes a plan column instead of a
+    collected literal. ``total`` (only needed for the OOV default in
+    perplexity scoring) is deliberately NOT materialized here — a
+    third aggregate over the bigram frame would add a full corpus
+    pass; count it eagerly if needed. Values are identical to the
+    eager form's; only when/where they are computed changes."""
+    bg = _bigram_frame(df, text_col, id_col)
+    bigrams = bg.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("c12"))
+    unigrams = bg.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_df = (
+        df.select(F.explode(words_expr(text_col)).alias("__w"))
+        .select(F.xxhash64("__w").alias("h"))
+        .distinct()
+    )
+    return {
+        "bigrams": bigrams,
+        "unigrams": unigrams,
+        "vocab_df": vocab_df,
+        "vocab_scalar": vocab_df.agg(F.count(F.lit(1)).alias("vocab")),
     }
 
 

@@ -91,10 +91,11 @@ def render_preference_pairs(
             max_turns=max_turns,
             on_long=on_long,
         )
-        spans = F.filter(
-            F.col("supervised_spans"),
-            lambda sp: (sp["end"] > F.col("prompt_chars"))
-            & (sp["end"] > sp["start"]),
+        # parsed SQL text — the Column lambda cost a ~20 ms HOF
+        # registration per branch (the _litarr idiom, r15)
+        spans = F.expr(
+            "filter(supervised_spans, sp -> sp.`end` > prompt_chars"
+            " AND sp.`end` > sp.start)"
         )
         r = r.withColumn(f"{name}_spans", spans).withColumnRenamed(
             "text", f"{name}_text"
@@ -245,35 +246,28 @@ def filter_preference_pairs(
       a zero-char side is the ``min_completion_chars`` rule's job,
       and at ``min_completion_chars=0`` such pairs survive here too.
     """
-    def span_chars(col: str):
-        return F.aggregate(
-            F.transform(F.col(col), lambda s: s["end"] - s["start"]),
-            F.lit(0),
-            lambda acc, x: acc + x,
+    # parsed SQL text (the _litarr idiom, r15): the Column form
+    # registered two HOF aggregate lambdas per call; same expressions
+    def span_chars(col: str) -> str:
+        return (
+            f"aggregate(transform({col}, s -> s.`end` - s.start), 0,"
+            " (acc, x) -> acc + x)"
         )
 
-    cc = span_chars("chosen_spans")
-    rc = span_chars("rejected_spans")
-    out = (
-        pairs.withColumn("pp_chosen_chars", cc)
-        .withColumn("pp_rejected_chars", rc)
-        .withColumn(
-            "pp_identical", F.col("chosen_text") == F.col("rejected_text")
-        )
-        .withColumn(
-            "pp_len_ratio",
-            F.when(
-                (F.col("pp_chosen_chars") > 0)
-                & (F.col("pp_rejected_chars") > 0),
-                F.round(
-                    F.greatest("pp_chosen_chars", "pp_rejected_chars").cast(
-                        "double"
-                    )
-                    / F.least("pp_chosen_chars", "pp_rejected_chars"),
-                    6,
-                ),
-            ),
-        )
+    out = pairs.withColumns(
+        {
+            "pp_chosen_chars": F.expr(span_chars("chosen_spans")),
+            "pp_rejected_chars": F.expr(span_chars("rejected_spans")),
+            "pp_identical": F.expr("(chosen_text = rejected_text)"),
+        }
+    ).withColumn(
+        "pp_len_ratio",
+        F.expr(
+            "CASE WHEN pp_chosen_chars > 0 AND pp_rejected_chars > 0"
+            " THEN round(cast(greatest(pp_chosen_chars,"
+            " pp_rejected_chars) as double) / least(pp_chosen_chars,"
+            " pp_rejected_chars), 6) END"
+        ),
     )
     keep = (F.col("pp_chosen_chars") >= int(min_completion_chars)) & (
         F.col("pp_rejected_chars") >= int(min_completion_chars)

@@ -706,12 +706,36 @@ def canonical_url(col: Column | str) -> Column:
     )
 
 
+def _url_host_sql(c: str) -> str:
+    """SQL-text twin of :func:`url_host` over a URL expression."""
+    return (
+        f"lower(regexp_replace(try_parse_url({c}, 'HOST'),"
+        " '(:\\\\d+|\\\\.)$', ''))"
+    )
+
+
+def _url_suffixes_sql(c: str) -> str:
+    """SQL-text twin of :func:`url_suffixes` over a URL expression."""
+    labels = f"split({_url_host_sql(c)}, '\\\\.')"
+    return (
+        f"transform(sequence(1, size({labels})),"
+        f" i -> array_join(slice({labels}, i, size({labels})), '.'))"
+    )
+
+
 def url_suffixes(col: Column | str) -> Column:
     """Array of every dot-suffix of the URL's host, longest first:
     ``a.b.example.com -> [a.b.example.com, b.example.com, example.com,
     com]``. Label-aligned — ``ample.com`` is NOT a suffix of
     ``example.com``. This is the matching key for domain blocklists
-    (a listed domain blocks itself and every subdomain)."""
+    (a listed domain blocks itself and every subdomain).
+
+    String column names take the parsed-SQL-text path (one driver
+    call instead of a HOF lambda registration — the _litarr idiom)."""
+    if isinstance(col, str):
+        from .._litarr import sql_ident
+
+        return F.expr(_url_suffixes_sql(sql_ident(col)))
     host = url_host(col)
     labels = F.split(host, r"\.")
     n = F.size(labels)
@@ -727,33 +751,40 @@ def url_features(
     """Attach URL-derived columns (all JVM, scan-fused):
     ``{prefix}host``, ``{prefix}domain`` (registered domain under the
     compound-ccTLD heuristic), ``{prefix}tld``, ``{prefix}path_depth``
-    (number of non-empty path segments), ``{prefix}is_ip``."""
-    host = url_host(url_col)
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    tld = F.element_at(labels, -1)
-    sld = F.when(n >= 2, F.element_at(labels, -2))
+    (number of non-empty path segments), ``{prefix}is_ip``.
+
+    Rendered as parsed SQL text (the _litarr idiom, r15) — the Column
+    form cost ~0.2 s of py4j round-trips per construction; identical
+    expressions (same regexes, same CASE/least fallbacks), value-
+    checked by the oracle (q30) and the web tests."""
+    from .._litarr import sql_ident, sql_str
+
+    uq = sql_ident(url_col)
+    host = _url_host_sql(uq)
+    labels = f"split({host}, '\\\\.')"
+    n = f"size({labels})"
+    tld = f"element_at({labels}, -1)"
+    sld = f"(CASE WHEN {n} >= 2 THEN element_at({labels}, -2) END)"
+    slds = ", ".join(sql_str(s) for s in _COMPOUND_SLDS)
     # registered domain = last 2 labels, or last 3 when the 2nd-level
     # label is a known compound under a 2-letter ccTLD
-    take = F.when(
-        (n >= 3)
-        & (F.length(tld) == 2)
-        & sld.isin(*_COMPOUND_SLDS),
-        F.lit(3),
-    ).otherwise(F.least(F.lit(2), n))
-    domain = F.array_join(F.slice(labels, n - take + 1, take), ".")
-    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
-    path = F.coalesce(
-        F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("")
+    take = (
+        f"(CASE WHEN {n} >= 3 AND length({tld}) = 2"
+        f" AND {sld} IN ({slds}) THEN 3 ELSE least(2, {n}) END)"
     )
-    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
-    return df.select(
+    domain = f"array_join(slice({labels}, {n} - {take} + 1, {take}), '.')"
+    is_ip = f"({host} rlike '^\\\\d{{1,3}}(\\\\.\\\\d{{1,3}}){{3}}$')"
+    path = f"coalesce(try_parse_url({uq}, 'PATH'), '')"
+    depth = f"size(filter(split({path}, '/'), s -> s != ''))"
+    pq = lambda name: sql_ident(f"{prefix}{name}")  # noqa: E731
+    return df.selectExpr(
         "*",
-        host.alias(f"{prefix}host"),
-        F.when(is_ip, host).otherwise(domain).alias(f"{prefix}domain"),
-        F.when(~is_ip, tld).alias(f"{prefix}tld"),
-        depth.alias(f"{prefix}path_depth"),
-        is_ip.alias(f"{prefix}is_ip"),
+        f"{host} AS {pq('host')}",
+        f"(CASE WHEN {is_ip} THEN {host} ELSE {domain} END)"
+        f" AS {pq('domain')}",
+        f"(CASE WHEN NOT {is_ip} THEN {tld} END) AS {pq('tld')}",
+        f"{depth} AS {pq('path_depth')}",
+        f"{is_ip} AS {pq('is_ip')}",
     )
 
 
