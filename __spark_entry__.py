@@ -910,8 +910,11 @@ def q31_dedup_fingerprint(spark, sf):
     # LAZY and unioned into the plan, where corpus_churn collected 7
     # scalars to the driver mid-construction and re-uploaded them via
     # createDataFrame (a full extra job + round-trip inside the timed
-    # path; values identical, oracle-verified)
-    from opencosmo_spark.pipeline.report import corpus_churn_lanes
+    # path; values identical, oracle-verified). r15: the SPLIT form —
+    # both snapshots are %-predicates over the same table, so ONE
+    # scan with per-row membership flags replaces the two filtered
+    # scans (value-identical; equivalence-tested in test_report).
+    from opencosmo_spark.pipeline.report import corpus_churn_lanes_split
 
     d = _t(spark, sf, "documents")
     f = d.select(F.md5(F.substring(F.col("text"), 1, 40)).alias("fp"), "doc_id")
@@ -919,8 +922,8 @@ def q31_dedup_fingerprint(spark, sf):
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc_id")
     )
     base = g.filter(F.col("n") > 1)
-    lanes = corpus_churn_lanes(
-        d.filter(F.col("doc_id") % 3 != 0), d.filter(F.col("doc_id") % 2 != 0)
+    lanes = corpus_churn_lanes_split(
+        d, F.col("doc_id") % 3 != 0, F.col("doc_id") % 2 != 0
     ).select(
         F.concat(F.lit("churn:"), F.col("metric")).alias("fp"),
         F.col("value").alias("n"),

@@ -1041,6 +1041,8 @@ def connected_components(
     # verify) once per direction (two identical heavy map stages in
     # the q47 profile; guide §2.4/§5: reused and expensive subtrees
     # must not be re-evaluated). Same row multiset, same types.
+    from pyspark import StorageLevel
+
     sym = (
         edges.select(
             F.explode(
@@ -1062,8 +1064,37 @@ def connected_components(
                 F.col(id_col).alias("__src"), F.col(id_col).alias("__dst")
             )
         )
-        .localCheckpoint(eager=True)
     )
+    # r15: a checkpointed frame reports UnknownPartitioning, so EVERY
+    # round's join used to re-shuffle the whole edge table (the BIG
+    # side of CC). Hash-partition it ONCE by the join key and cache:
+    # each round's join then reuses the cached partitioning and only
+    # the (smaller) label table shuffles (guide §2.4 — operations
+    # keyed the same way share one exchange). One extra up-front
+    # shuffle buys rounds-1 avoided edge shuffles — net-positive for
+    # any graph needing >= 2 rounds, i.e. all of them, WHEN the
+    # per-round join is a shuffle join (the at-scale case; at toy
+    # scale the label side broadcasts and the cache only costs its
+    # materialization). The cache is bounded (the edge multiset, two
+    # longs per row), spills to disk, and is released before
+    # returning; the checkpoint underneath keeps per-round plans
+    # lineage-free. OC_CC_EDGE_REPART=0 is the measurement A/B switch
+    # (the OC_SPREAD_DISABLE pattern).
+    import os as _os
+
+    partitioned = not _os.environ.get("OC_CC_EDGE_REPART") == "0"
+    if partitioned:
+        # no eager localCheckpoint on this path: the partitioned cache
+        # is itself the materialization barrier (round 0 fills it in
+        # its own job — one job and one pass fewer than checkpoint
+        # THEN repartition). The upstream candidate pipeline stays in
+        # the logical lineage, so each round re-ANALYZES it
+        # (driver-side, small) but never re-executes it.
+        sym = sym.repartition(F.col("__dst")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    else:
+        sym = sym.localCheckpoint(eager=True)
     # round-0 labels are the IDENTITY map (label(x) = x), so the first
     # propagation round needs no label join at all: min over the
     # closed neighborhood of __dst ids IS min over round-0 labels.
@@ -1132,6 +1163,11 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    # labels are checkpoint-materialized every round, so the edge
+    # cache is no longer reachable from the result — release it now
+    # (ingest loops must not accumulate per-call caches)
+    if partitioned:
+        sym.unpersist()
     return labels.select(
         F.col("__node").alias(id_col), F.col("__label").alias("cluster_id")
     )

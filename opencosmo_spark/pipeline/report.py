@@ -559,6 +559,13 @@ def corpus_churn_lanes(
     ).unionByName(
         fp(new).select("fp", F.lit(0).alias("__o"), F.lit(1).alias("__n"))
     )
+    return _churn_rollup(u)
+
+
+def _churn_rollup(u: DataFrame) -> DataFrame:
+    """Shared tail of the lane builders: per-fingerprint presence
+    counts over a ``(fp, __o, __n)`` frame, rolled up to the seven
+    ``(metric, value)`` churn rows."""
     per = u.groupBy("fp").agg(
         F.sum("__o").alias("__co"), F.sum("__n").alias("__cn")
     )
@@ -589,6 +596,35 @@ def corpus_churn_lanes(
             "'common', common) as (metric, value)"
         )
     )
+
+
+def corpus_churn_lanes_split(
+    df: DataFrame,
+    old_cond,
+    new_cond,
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """ONE-SCAN form of :func:`corpus_churn_lanes` for the common case
+    where both snapshots are predicate VIEWS of the same table (e.g.
+    yesterday's partition filter vs today's): the two-branch union
+    scanned — and fingerprinted — the table once per side; here each
+    row is read once, fingerprinted once, and carries 0/1 membership
+    flags for both sides instead of appearing in 0-2 union branches
+    (guide §2.4: remove passes outright). Rows in neither view are
+    dropped before the aggregation, so the shuffle carries exactly
+    the union form's information. ``sum`` over the flags equals the
+    union form's per-branch row counts, so all seven metrics are
+    value-identical (equivalence-tested against the union form)."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    u = df.select(
+        F.md5(t).alias("fp"),
+        F.coalesce(old_cond.cast("int"), F.lit(0)).alias("__o"),
+        F.coalesce(new_cond.cast("int"), F.lit(0)).alias("__n"),
+    ).filter((F.col("__o") > 0) | (F.col("__n") > 0))
+    return _churn_rollup(u)
 
 
 def dup_rate(report_df: DataFrame) -> DataFrame:

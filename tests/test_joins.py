@@ -151,10 +151,15 @@ def test_point_in_interval_join_matches_inequality_join(spark):
 
     out = point_in_interval_join(left, right, "t", "s", "e", bin_width=64)
     got = {(r.lid, r.rid) for r in out.collect()}
+    # collect each side ONCE: the inner comprehension list used to sit
+    # inside the outer loop, re-running right.collect() — a full Spark
+    # job — per left row (300 jobs, ~100 s of pure test overhead)
+    lrows = [(r.lid, r.t) for r in left.collect()]
+    rrows = [(r.rid, r.s, r.e) for r in right.collect()]
     brute = {
         (lr, rr)
-        for (lr, t) in [(r.lid, r.t) for r in left.collect()]
-        for (rr, s, e) in [(r.rid, r.s, r.e) for r in right.collect()]
+        for (lr, t) in lrows
+        for (rr, s, e) in rrows
         if s <= t < e
     }
     assert got == brute

@@ -158,3 +158,49 @@ def test_corpus_churn_lanes_matches_eager(spark):
         r.metric: r.value for r in corpus_churn_lanes(empty, empty).collect()
     }
     assert lanes0["docs_old"] == 0 and lanes0["docs_new"] == 0
+
+
+def test_corpus_churn_lanes_split_matches_union(spark):
+    # the one-scan predicate form must emit exactly the union form's
+    # values for predicate views of the same table — including rows in
+    # neither view, overlapping views, NULL texts, and empty views
+    import pyspark.sql.functions as F
+
+    from opencosmo_spark.pipeline.report import (
+        corpus_churn_lanes,
+        corpus_churn_lanes_split,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b"),
+            (2, "dup  text"),
+            (3, "dup text"),
+            (4, None),
+            (5, "only old"),
+            (6, "only new"),
+            (12, "both sides"),
+        ],
+        ["doc_id", "text"],
+    )
+    old_cond = F.col("doc_id") % 3 != 0
+    new_cond = F.col("doc_id") % 2 != 0
+    union = {
+        r.metric: r.value
+        for r in corpus_churn_lanes(
+            d.filter(old_cond), d.filter(new_cond)
+        ).collect()
+    }
+    split = {
+        r.metric: r.value
+        for r in corpus_churn_lanes_split(d, old_cond, new_cond).collect()
+    }
+    assert split == union, (split, union)
+    # both views empty -> zero doc counts, no NULL metrics
+    empty = {
+        r.metric: r.value
+        for r in corpus_churn_lanes_split(
+            d, F.lit(False), F.lit(False)
+        ).collect()
+    }
+    assert empty["docs_old"] == 0 and empty["docs_new"] == 0
