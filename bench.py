@@ -127,7 +127,20 @@ WARM_LANE = {"q31_dedup_fingerprint", "q35_minhash_lsh"}
 # (~0.8s) — the r14 "0.825s vs median 0.310s" flag was this, not a
 # regression (verified by decomposition: simple part 0.56s, churn
 # 0.78s, both dominated by fixed small-data job overhead).
-HISTORY_SINCE = {"q31_dedup_fingerprint": 13}
+# The persist-using operators are pinned to r15: earlier rounds'
+# recorded bests include cross-rep cache hits the r15 between-run
+# release eliminated (see _release_caches), so pre-r15 medians would
+# flag every honest reading as noise forever.
+HISTORY_SINCE = {
+    "q31_dedup_fingerprint": 15,
+    "q35_minhash_lsh": 15,
+    "q39_ngram_jaccard": 15,
+    "q60_semantic_dedup": 15,
+    "q62_line_dedup": 15,
+    "q63_bm25_topk": 15,
+    "q64_nb_classify": 15,
+    "q65_dup_spans": 15,
+}
 
 
 def _round_of(path: str) -> int:
