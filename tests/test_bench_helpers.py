@@ -54,10 +54,14 @@ def test_history_medians_driver_wrapper_and_junk(tmp_path):
     assert h == {"q1": 4.0}
 
 
-def test_history_gate_replays_r10_sustained_window():
+def test_history_gate_replays_r10_sustained_window(monkeypatch):
     """The real artifact history must flag r10's sustained-noise q35
     measurement (9.881s, intra-run spread only 1.34x) at the 2.5x
-    gate, while its quiet steady state (~0.96s) passes."""
+    gate, while its quiet steady state (~0.96s) passes. q35's LIVE
+    history starts at r15 (HISTORY_SINCE — the pre-r15 bests include
+    cross-rep cache hits), so the replay unpins the horizon: the gate
+    ARITHMETIC against the r1-r14 artifacts is what this test pins."""
+    monkeypatch.setattr(bench, "HISTORY_SINCE", {})
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     h = bench._history_medians(repo, sf=0.1)
     if "q35_minhash_lsh" not in h:

@@ -269,3 +269,98 @@ def test_gopher_repetition_stays_jvm(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_gram_mass_sql_twins_match_column_forms(spark):
+    # the SQL-text twins used by q30's repetition lane must agree with
+    # the Column originals (still used by gopher_repetition_flags) on
+    # every row shape: repeats, no repeats, short docs, empties
+    import pyspark.sql.functions as F
+
+    from opencosmo_spark.pipeline.clean import (
+        _dup_gram_mass,
+        _dup_gram_mass_sql,
+        _top_gram_mass,
+        _top_gram_mass_sql,
+        _word_grams,
+        _word_grams_sql,
+    )
+
+    texts = [
+        "a b a b a b c",
+        "x y z",
+        "one",
+        "",
+        "dup dup dup dup dup",
+        "p q r p q r p q",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    words_col = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    words_sql = "filter(split(trim(text), '\\\\s+'), w -> w != '')"
+    for n in (2, 5):
+        got = df.select(
+            _top_gram_mass(_word_grams(words_col, n)).alias("tc"),
+            F.expr(_top_gram_mass_sql(_word_grams_sql(words_sql, n))).alias("ts"),
+            _dup_gram_mass(_word_grams(words_col, n)).alias("dc"),
+            F.expr(_dup_gram_mass_sql(_word_grams_sql(words_sql, n))).alias("ds"),
+        ).collect()
+        for r in got:
+            assert r.tc == r.ts and r.dc == r.ds, (n, r)
+
+
+def test_text_helper_sql_paths_match_column_paths(spark):
+    # token_count / quality_score / repetition_stats string-name path
+    # (SQL text) must equal the Column path value-for-value
+    import pyspark.sql.functions as F
+
+    from opencosmo_spark.pipeline.text import (
+        quality_score,
+        repetition_stats,
+        token_count,
+    )
+
+    texts = [
+        "The quick brown fox. Jumps over!",
+        "a a a a a",
+        "  padded   words  here ",
+        "punct,,,;;; !!! ???",
+        "one two",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    cols = {
+        "tc_ws_s": token_count("text", "whitespace"),
+        "tc_ws_c": token_count(F.col("text"), "whitespace"),
+        "tc_bpe_s": token_count("text", "bpe"),
+        "tc_bpe_c": token_count(F.col("text"), "bpe"),
+        "q_s": quality_score("text"),
+        "q_c": quality_score(F.col("text")),
+    }
+    for name, c in repetition_stats("text").items():
+        cols[f"rs_s_{name}"] = c
+    for name, c in repetition_stats(F.col("text")).items():
+        cols[f"rs_c_{name}"] = c
+    rows = df.select(*[c.alias(n) for n, c in cols.items()]).collect()
+    for r in rows:
+        assert r.tc_ws_s == r.tc_ws_c and r.tc_bpe_s == r.tc_bpe_c, r
+        assert r.q_s == r.q_c, r
+        for name in ("n_words", "dup_word_frac", "top_word_frac", "dup_bigram_frac"):
+            assert r[f"rs_s_{name}"] == r[f"rs_c_{name}"], (name, r)
+    # sub-two-word documents ("" splits to [''] — one element too):
+    # repetition_stats' bigram window probes element_at(w, 2) on a
+    # 1-element array — an ANSI out-of-bounds error PRE-EXISTING in
+    # the Column path; parity means the SQL path raises the SAME
+    # error, not that either silently succeeds
+    import pytest as _pytest
+
+    for text in ("one", ""):
+        one = spark.createDataFrame([(text,)], "text string")
+        for stats in (
+            repetition_stats("text"),
+            repetition_stats(F.col("text")),
+        ):
+            with _pytest.raises(Exception, match="INVALID_ARRAY_INDEX"):
+                one.select(
+                    stats["dup_bigram_frac"].alias("x")
+                ).collect()

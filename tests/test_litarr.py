@@ -105,3 +105,30 @@ def test_values_df_fallback_on_exotic_cells(spark):
     rows = [([1, 2],), ([3],)]
     df = values_df(spark, rows, "xs array<bigint>")
     assert sorted(r.xs for r in df.collect()) == [[1, 2], [3]]
+
+
+def test_sql_str_roundtrips_every_string(spark):
+    # the SQL-text folds escape template/sentinel strings through
+    # sql_str; each rendered expression must evaluate back to the
+    # exact python string — including quotes, backslashes, newlines,
+    # tabs, unicode, and control characters (the preference sentinel
+    # role starts with NUL)
+    from opencosmo_spark._litarr import sql_str
+
+    cases = [
+        "",
+        "plain",
+        "it's",
+        'double "quotes"',
+        "back\\slash",
+        "line\nbreak\ttab\rret",
+        "<|im_start|>",
+        "\x00__none__",
+        "\x1bescape\x7f",
+        "unicodé — …",
+        "mix'\\\n\x00end",
+    ]
+    exprs = [f"{sql_str(s)} AS c{i}" for i, s in enumerate(cases)]
+    row = spark.range(1).selectExpr(*exprs).first()
+    for i, s in enumerate(cases):
+        assert row[f"c{i}"] == s, (i, s, row[f"c{i}"])
